@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session bootstrap for the graft engine.
+  *
+  * Every entry point (Verify, Bench, tests, user code) funnels through
+  * [[session]] so the three load-bearing configs are always present:
+  *
+  *  - `spark.sql.session.timeZone=UTC` — timestamp rendering and the
+  *    DuckDB oracle comparison are defined in UTC (SURVEY.md §2.2).
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true` — `events.parquet`
+  *    stores `ts` as Parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+  *    read natively (SURVEY.md H1). With this flag it surfaces as a
+  *    LongType that [[graft.sources.Tables]] converts to microseconds.
+  *  - AQE on — runtime join re-planning (SMJ→broadcast) and skew-join
+  *    splitting are the designed scale path (SURVEY.md §4.2); we rely on
+  *    them instead of hand-scheduling.
+  *
+  * Shuffle partitioning: sized for the harness (local[N] with N cores →
+  * N shuffle partitions). On a real cluster this is config, not code —
+  * AQE coalesces the excess either way.
+  */
+object Engine {
+
+  def session(
+      master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      shufflePartitions: Int = 32,
+      appName: String = "graft",
+      extra: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // collect() returns java.time.{Instant, LocalDate} — timezone-proof
+      // canonicalization (no java.sql.* default-TZ ambiguity).
+      .config("spark.sql.datetime.java8API.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    extra.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  /** Apply the graft-required runtime confs to an externally created
+    * session (e.g. the driver's Verify/Bench sessions). All three are
+    * runtime-settable SQL confs in Spark 4.
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}

@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Table registry over the driver-generated parquet star schema
+  * (TESTDATA.md / FIXTURES.md). Schemas are pinned and asserted on load:
+  * schema drift fails fast instead of silently corrupting a hash check.
+  *
+  * `events` needs the H1 recipe (SURVEY.md §0.4): the file stores
+  * TIMESTAMP(NANOS), read as Long via `nanosAsLong`, converted to a
+  * microsecond timestamp. No sub-microsecond components exist in the
+  * data, so the conversion is lossless and agrees with DuckDB exactly.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Pinned logical schemas (post events-conversion). */
+  val schemas: Map[String, StructType] = Map(
+    "region" -> StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType))),
+    "nation" -> StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))),
+    "customer" -> StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))),
+    "supplier" -> StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType))),
+    "part" -> StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_brand", StringType),
+      StructField("p_type", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType))),
+    "orders" -> StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      // Parquet TIMESTAMP(MILLIS, isAdjustedToUTC=false) → NTZ in Spark 4;
+      // midnight-valued (date-like), renders identically under UTC session.
+      StructField("o_orderdate", TimestampNTZType),
+      StructField("o_orderpriority", StringType))),
+    "lineitem" -> StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampNTZType))),
+    "events" -> StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType))),
+    "documents" -> StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType))),
+    "embeddings" -> StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+  )
+
+  /** Load one table from `dir` (a `/root/testdata/sfX`-style directory),
+    * applying the events ns→µs conversion, and assert the pinned schema.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(names.contains(name), s"unknown table: $name")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events")
+        raw.selectExpr(
+          "event_id",
+          "timestamp_micros(ts DIV 1000) AS ts",
+          "user_id", "event_type", "value", "props")
+      else raw
+    val got = normalize(df.schema)
+    val want = normalize(schemas(name))
+    require(got == want,
+      s"schema drift for $name:\n  got  $got\n  want $want")
+    df
+  }
+
+  /** Compare names + types only (nullability/metadata are load-path noise). */
+  private def normalize(s: StructType): Seq[(String, DataType)] =
+    s.fields.toSeq.map(f => (f.name, dropNullability(f.dataType)))
+
+  private def dropNullability(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => ArrayType(dropNullability(et))
+    case MapType(k, v, _) => MapType(dropNullability(k), dropNullability(v))
+    case StructType(fs) =>
+      StructType(fs.map(f => StructField(f.name, dropNullability(f.dataType))))
+    case other => other
+  }
+
+  /** Register all ten tables as temp views over `dir`. Idempotent; the
+    * nanosAsLong conf is (re)applied defensively for externally created
+    * sessions.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  }
+}
