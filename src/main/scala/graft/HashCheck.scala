@@ -1,38 +1,53 @@
 package graft
 
 import graft.core.{Canonical, Engine}
+import graft.ops.{Catalog, DfContract}
 import graft.sources.Tables
 
 /** Ad-hoc correctness gate: run contract queries at a scale factor and
   * compare canonical hashes (SURVEY.md §2.2) to the certified hash01
   * values (§2.4). Usage:
-  *   runMain graft.HashCheck [sfDir] [id id ...]
+  *   runMain graft.HashCheck [sfDir] [--df|--sql] [id id ...]
+  * --sql runs the Appendix-A Spark SQL (E1); --df runs the typed
+  * DataFrame implementations (E2); default runs both and cross-checks.
   * Exit code = number of mismatches.
   */
 object HashCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val ids = if (args.length > 1) args.drop(1).toSeq else Contract.all.map(_.id)
+    val rest = args.drop(1).toSeq
+    val mode = rest.find(a => a == "--df" || a == "--sql").getOrElse("--both")
+    val ids0 = rest.filterNot(_.startsWith("--"))
+    val ids = if (ids0.nonEmpty) ids0 else Contract.all.map(_.id)
     val spark = Engine.session(shufflePartitions = 8, appName = "graft-hashcheck")
     spark.sparkContext.setLogLevel("WARN")
     Tables.registerAll(spark, sfDir)
+    val cat = Catalog(spark, sfDir)
     var bad = 0
-    ids.foreach { id =>
-      val c = Contract.byId(id)
+    def check(id: String, label: String, run: () => String): Unit = {
       val t0 = System.nanoTime()
       val res =
         try {
-          val h = Canonical.hash16(spark.sql(c.sparkSql))
+          val h = run()
           val want = Contract.hash01(id)
           if (h == want) s"OK    $h"
           else { bad += 1; s"FAIL  got $h want $want" }
         } catch {
-          case e: Throwable => bad += 1; s"ERROR ${e.getMessage.take(120)}"
+          case e: Throwable => bad += 1; s"ERROR ${String.valueOf(e.getMessage).take(160)}"
         }
       val ms = (System.nanoTime() - t0) / 1e6
-      println(f"$id%-4s $res  (${ms}%.0f ms)")
+      println(f"$id%-4s $label%-4s $res  (${ms}%.0f ms)")
     }
-    println(s"\n${ids.size - bad}/${ids.size} matched")
+    ids.foreach { id =>
+      if (mode != "--df")
+        check(id, "sql", () => Canonical.hash16(spark.sql(Contract.byId(id).sparkSql)))
+      if (mode != "--sql")
+        DfContract.all.get(id) match {
+          case Some(fn) => check(id, "df", () => Canonical.hash16(fn(cat)))
+          case None => println(f"$id%-4s df   MISSING"); bad += 1
+        }
+    }
+    println(s"\n${if (bad == 0) "all matched" else s"$bad mismatches"}")
     spark.stop()
     if (bad > 0) sys.exit(1)
   }

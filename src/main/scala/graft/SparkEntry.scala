@@ -25,13 +25,21 @@ object SparkEntry {
     spark.sql(Contract.byId("J02").sparkSql)
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Served by the
+    * typed DataFrame implementations (E2) — hash-equivalent to the
+    * Appendix-A SQL, which remains available via [[Contract]] (E1) and
+    * is cross-checked by HashCheck/ContractSpec.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Contract.all.map { c =>
       c.id -> { (spark: SparkSession, sfDir: String) =>
         Engine.configure(spark)
-        Tables.registerAll(spark, sfDir)
-        spark.sql(c.sparkSql)
+        graft.ops.DfContract.all.get(c.id) match {
+          case Some(fn) => fn(graft.ops.Catalog(spark, sfDir))
+          case None =>
+            Tables.registerAll(spark, sfDir)
+            spark.sql(c.sparkSql)
+        }
       }
     }.toMap ++ Extras.queries
 

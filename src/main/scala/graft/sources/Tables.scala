@@ -85,11 +85,31 @@ object Tables {
       StructField("label", IntegerType)))
   )
 
+  // DataFrame plans are immutable — cache per (session, dir, table) so
+  // repeated loads don't re-read parquet footers (50–100 ms each).
+  private val dfCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+
   /** Load one table from `dir` (a `/root/testdata/sfX`-style directory),
     * applying the events ns→µs conversion, and assert the pinned schema.
+    * Memoized per (session, dir, table).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name")
+    val perSession = {
+      var m = dfCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        dfCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((dir, name), loadUncached(spark, dir, name))
+  }
+
+  private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     val df =
       if (name == "events")
@@ -117,12 +137,23 @@ object Tables {
     case other => other
   }
 
-  /** Register all ten tables as temp views over `dir`. Idempotent; the
+  // Last directory registered per session: registration re-reads ten
+  // parquet footers (+ schema asserts), so per-query callers must not
+  // pay it repeatedly. Weak keys: sessions are few, but don't pin them.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  /** Register all ten tables as temp views over `dir`. Idempotent and
+    * memoized per session (re-registering only when `dir` changes); the
     * nanosAsLong conf is (re)applied defensively for externally created
     * sessions.
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    if (registered.get(spark) != dir) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registered.put(spark, dir)
+    }
   }
 }
