@@ -35,8 +35,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // headline value = the 55 BASELINE.md contract queries (comparable
+    // to the recorded baseline); the X* extras are timed separately.
+    val (contract, extras) = results.partition { case (k, _) => Contract.byId.contains(k) }
+    val total = contract.map(_._2).filter(_ >= 0).sum
+    val extrasTotal = extras.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","extras_sec":$extrasTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

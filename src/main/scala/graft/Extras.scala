@@ -1,15 +1,112 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
-/** Operators beyond the 55-query contract: the LLM-pipeline scale paths
-  * (dedup, similarity search, text analysis, multimodal plumbing).
-  * Entries whose semantics are DuckDB-expressible also appear in
-  * [[oracleSql]]; the rest get the driver's rows-only check.
+import graft.core.Engine
+import graft.media.MediaPipeline
+import graft.ops.Catalog
+import graft.text.{MinHashDedup, SimHash, TextAnalysis}
+import graft.vector.Ann
+
+/** Operators beyond the 55-query contract: the LLM-pipeline surface
+  * (dedup, similarity search, text analysis, multimodal plumbing)
+  * mandated by BASELINE.json's north star.
   *
-  * Populated by the extra-operator modules as they land (round 1+).
+  * X01–X06 are deterministic and DuckDB-expressible → full oracle
+  * check. X07–X10 depend on engine-specific hashing (xxhash64), typed
+  * mapPartitions, or LSH bucketing → the driver's rows-only check, with
+  * semantics pinned by ExtrasSpec property tests instead (recall vs
+  * exact, fingerprint stability, probe-all ≡ brute-force).
   */
 object Extras {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map.empty
-  def oracleSql: Map[String, String] = Map.empty
+
+  private def q(fn: Catalog => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      Engine.configure(spark)
+      fn(Catalog(spark, dir))
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- text analysis (oracle-checked) --
+    "X01_token_stats" -> q(c => TextAnalysis.tokenStats(c.documents)),
+    "X02_quality" -> q(c =>
+      TextAnalysis.qualityFeatures(c.documents).orderBy("doc_id").limit(200)),
+    "X03_langid" -> q(c => TextAnalysis.langIdConfusion(c.documents)),
+    // -- dedup (oracle-checked) --
+    "X04_fingerprint_dedup" -> q(c =>
+      TextAnalysis.fingerprintDedupWinners(c.documents)),
+    "X05_ngram_jaccard" -> q(c =>
+      TextAnalysis.ngramJaccardPairs(c.documents, n = 3, threshold = 0.6)),
+    // -- embedding near-dup (oracle-checked) --
+    "X06_embed_neardup" -> q(c => Ann.allPairsAbove(c.embeddings, 0.4)),
+    // -- scale paths (rows-only; property-tested in ExtrasSpec) --
+    "X07_minhash_dedup" -> q(c => MinHashDedup.dedupWinners(c.documents)),
+    "X08_simhash" -> q(c => SimHash.fingerprints(c.documents).orderBy("doc_id")),
+    "X09_ann_top5" -> q(c =>
+      Ann.annTopK(c.embeddings, probeId = 0, k = 5, nPlanes = 8, probeRadius = 2)),
+    "X10_media_features" -> q(c =>
+      MediaPipeline.mediaFeatures(c.spark, c.documents).limit(200))
+  )
+
+  /** DuckDB-dialect oracles for the deterministic extras. The token
+    * expressions mirror TextAnalysis exactly: whitespace split, empties
+    * dropped, 1-based n-gram shingles.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "X01_token_stats" -> """
+WITH t AS (SELECT lang, len(list_filter(str_split(text, ' '), w -> w <> '')) AS tok FROM documents)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       ROUND(AVG(tok), 4) AS avg_tokens
+FROM t GROUP BY lang ORDER BY lang
+""".trim,
+    "X02_quality" -> """
+WITH t AS (SELECT doc_id, n_chars, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM documents)
+SELECT doc_id, n_chars, len(toks) AS n_tokens,
+       ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uniq_ratio,
+       ROUND(CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks), 4) AS avg_tok_len
+FROM t ORDER BY doc_id LIMIT 200
+""".trim,
+    "X03_langid" -> """
+WITH t AS (SELECT lang, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM documents),
+c AS (SELECT lang,
+  len(list_filter(toks, w -> w IN ('order','group','window'))) AS c_de,
+  len(list_filter(toks, w -> w IN ('the','a','fast'))) AS c_en,
+  len(list_filter(toks, w -> w IN ('data','table','row'))) AS c_es,
+  len(list_filter(toks, w -> w IN ('query','join','merge'))) AS c_fr,
+  len(list_filter(toks, w -> w IN ('hash','scan','sort'))) AS c_zh
+FROM t),
+p AS (SELECT lang, CASE WHEN c_de = m THEN 'de' WHEN c_en = m THEN 'en' WHEN c_es = m THEN 'es'
+                        WHEN c_fr = m THEN 'fr' ELSE 'zh' END AS pred_lang
+      FROM (SELECT *, greatest(c_de, c_en, c_es, c_fr, c_zh) AS m FROM c) x)
+SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+""".trim,
+    "X04_fingerprint_dedup" -> """
+SELECT keep_id, n FROM (
+  SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n FROM documents GROUP BY md5(text)) x
+WHERE n > 1 ORDER BY keep_id
+""".trim,
+    "X05_ngram_jaccard" -> """
+WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM t WHERE len(toks) >= 3) u),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT i, j, ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jac
+FROM inter JOIN sz sa ON inter.i = sa.doc_id JOIN sz sb ON inter.j = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.6
+ORDER BY i, j
+""".trim,
+    "X06_embed_neardup" -> """
+SELECT a.vec_id AS i, b.vec_id AS j,
+  ROUND(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4
+ORDER BY i, j
+""".trim
+  )
 }

@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection — the 100 TB dedup scale path
+  * (SURVEY.md §4.3.2).
+  *
+  * Pipeline (all shuffles are on small derived keys, never documents):
+  *   1. shingle every document (word n-grams, map-side);
+  *   2. `numHashes` minhash signature values per document — hash h_k of
+  *      a shingle is xxhash64(shingle, k), signature_k = MIN over the
+  *      document's shingles (one groupBy(doc_id) with map-side partial
+  *      MIN: the classic MapReduce combiner shape);
+  *   3. band the signature (`bands` × `rowsPerBand`), hash each band,
+  *      and bucket-join documents sharing any (band, bandHash) —
+  *      candidate pairs only ever meet inside a bucket;
+  *   4. verify candidates with the exact shingle-set Jaccard (cheap:
+  *      candidates are few) and keep pairs ≥ `threshold`.
+  *
+  * Collision probability for Jaccard s is 1-(1-s^r)^b — with the
+  * default 16×4, s=0.8 is caught with p≈0.986, s=0.3 with p≈0.12.
+  */
+final case class MinHashConfig(
+    shingleSize: Int = 3,
+    numHashes: Int = 64,
+    bands: Int = 16,
+    threshold: Double = 0.8) {
+  require(numHashes % bands == 0, "bands must divide numHashes")
+  def rowsPerBand: Int = numHashes / bands
+}
+
+object MinHashDedup {
+
+  /** Per-doc distinct shingles. array_distinct dedups map-side; the
+    * trailing DISTINCT is a semantic no-op that materializes a single
+    * shuffled exchange shared by every consumer in the dedup pipeline
+    * (ReuseExchange) — signatures and verification would otherwise each
+    * re-execute the shingle scan.
+    */
+  private def shingleRows(documents: DataFrame, cfg: MinHashConfig): DataFrame =
+    documents.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.shingles(col("text"), cfg.shingleSize))).as("s"))
+      .distinct()
+
+  /** (doc_id, sig: array<bigint>[numHashes]) — one row per document. */
+  def signatures(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val sh = shingleRows(documents, cfg)
+    // numHashes independent min-aggregates; partial aggregation makes
+    // this a map-side combine followed by a doc_id shuffle of fixed-size
+    // signature rows.
+    val mins = (0 until cfg.numHashes).map(k => min(xxhash64(col("s"), lit(k))).as(s"h$k"))
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until cfg.numHashes).map(k => col(s"h$k")): _*).as("sig"))
+  }
+
+  /** (doc_id, band, band_hash) — `bands` rows per document. */
+  def bandedSignatures(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val bandCols = (0 until cfg.bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * cfg.rowsPerBand + 1, cfg.rowsPerBand)).as("band_hash"))
+    }
+    signatures(documents, cfg)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+  }
+
+  /** Distinct candidate pairs (i < j) sharing at least one LSH bucket. */
+  def candidatePairs(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val banded = bandedSignatures(documents, cfg)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+  }
+
+  /** Candidate pairs re-scored with exact shingle Jaccard, keeping only
+    * true near-duplicates (≥ cfg.threshold).
+    */
+  def verifiedPairs(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val sh = shingleRows(documents, cfg)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val cand = candidatePairs(documents, cfg)
+    // exact intersection sizes for candidate pairs only
+    val inter = cand
+      .join(sh.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("j") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") / (col("za.sz") + col("zb.sz") - col("c"))
+    inter
+      .join(sizes.as("za"), col("i") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("j") === col("zb.doc_id"))
+      .filter(jac >= cfg.threshold)
+      .select(col("i"), col("j"), round(jac, 6).as("jac"))
+  }
+
+  /** Deduplicated corpus: every document except non-minimal members of
+    * verified near-duplicate pairs (MIN doc_id wins, matching L02's
+    * contract for exact duplicates).
+    */
+  def dedupWinners(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val losers = verifiedPairs(documents, cfg).select(col("j").as("doc_id")).distinct()
+    documents.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+}

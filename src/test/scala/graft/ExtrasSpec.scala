@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Canonical
+import graft.media.MediaPipeline
+import graft.ops.Catalog
+import graft.text.{MinHashDedup, SimHash, TextAnalysis}
+import graft.vector.Ann
+
+/** Property tests for the non-oracle-checkable scale paths (SURVEY §5.4):
+  * MinHash recall vs exact Jaccard, SimHash fingerprint stability on
+  * exact duplicates, ANN probe-all ≡ brute force, media batch shape.
+  */
+class ExtrasSpec extends SparkSpec {
+
+  lazy val cat: Catalog = Catalog(spark, sf01)
+  lazy val cat1: Catalog = Catalog(spark, sf1)
+
+  test("MinHash LSH recovers the exact near-duplicate pairs (recall >= 0.9, exact-verified)") {
+    val exact = TextAnalysis.ngramJaccardPairs(cat.documents, 3, 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = MinHashDedup.verifiedPairs(cat.documents)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-duplicates at sf0.01")
+    // precision is 1.0 by construction (exact re-verification)
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below 0.9 (found ${lsh.size} of ${exact.size})")
+  }
+
+  test("MinHash dedup winners = all docs minus exact-Jaccard losers") {
+    val losers = TextAnalysis.ngramJaccardPairs(cat.documents, 3, 0.8)
+      .select("j").distinct().collect().map(_.getLong(0)).toSet
+    val winners = MinHashDedup.dedupWinners(cat.documents)
+      .collect().map(_.getLong(0)).toSet
+    val all = cat.documents.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(winners == all -- losers)
+  }
+
+  test("SimHash: exact duplicate texts get identical fingerprints (sf0.1)") {
+    val dupGroups = cat1.documents
+      .groupBy("text").agg(collect_list("doc_id").as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select("ids").collect().map(_.getSeq[Long](0))
+    assert(dupGroups.nonEmpty, "sf0.1 fixture should contain 8 duplicate groups")
+    val fp = SimHash.fingerprints(cat1.documents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dupGroups.foreach { ids =>
+      assert(ids.map(fp).distinct.size == 1,
+        s"duplicate docs $ids have differing simhashes")
+    }
+  }
+
+  test("SimHash near-duplicate pairs include all exact-duplicate pairs at hamming 0") {
+    val dupPairs = cat1.documents.as("a")
+      .join(cat1.documents.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val near = SimHash.nearDuplicatePairs(cat1.documents, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    val nearSet = near.map(t => (t._1, t._2)).toSet
+    assert(dupPairs.subsetOf(nearSet),
+      s"missing exact-dup pairs: ${dupPairs -- nearSet}")
+    assert(near.filter(t => dupPairs((t._1, t._2))).forall(_._3 == 0L))
+  }
+
+  test("ANN with probeRadius = nPlanes is exactly brute force; narrower probes keep top-1") {
+    val brute = Canonical.hash16(Ann.bruteForceTopK(cat.embeddings, 0, 5))
+    val full = Canonical.hash16(
+      Ann.annTopK(cat.embeddings, 0, 5, nPlanes = 8, probeRadius = 8))
+    assert(full == brute, "probe-all ANN must equal brute force")
+    // deterministic fixed-seed check: the true nearest neighbour of
+    // probe 0 survives a radius-4 probe of 8 planes
+    val bruteTop = Ann.bruteForceTopK(cat.embeddings, 0, 1).collect()(0).getLong(0)
+    val annIds = Ann.annTopK(cat.embeddings, 0, 5, nPlanes = 8, probeRadius = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(annIds.contains(bruteTop))
+  }
+
+  test("LSH-bucketed near-dup pairs are a subset of the exact pairs") {
+    val exact = Ann.allPairsAbove(cat.embeddings, 0.4)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Ann.bucketedPairsAbove(cat.embeddings, 0.4)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(exact))
+  }
+
+  test("media pipeline: batch shape, determinism, real featurization") {
+    val media = MediaPipeline.toMediaTable(cat.documents)
+    assert(media.schema("media").dataType.typeName == "binary")
+    val decoded = MediaPipeline.decodeAndFeaturize(media).collect()
+    assert(decoded.length == 500)
+    decoded.foreach { d =>
+      assert(d.features.length == 16)
+      assert(math.abs(d.features.sum - 1.0f) < 1e-3, s"histogram not normalized: ${d.doc_id}")
+      assert(d.width >= 1 && d.height >= 1)
+    }
+    // n_bytes must equal n_chars (ASCII corpus) — decode saw real bytes
+    val nchars = cat.documents.select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    decoded.foreach(d => assert(d.n_bytes.toLong == nchars(d.doc_id)))
+    // repartitioning must not change results (mapPartitions is per-row pure)
+    val repart = MediaPipeline.decodeAndFeaturize(
+      MediaPipeline.toMediaTable(cat.documents.repartition(7))).collect()
+    assert(repart.map(_.doc_id).sorted.sameElements(decoded.map(_.doc_id).sorted))
+  }
+
+  test("partition invariance: contract hashes stable under shuffle.partitions 2 vs 8") {
+    val ids = Seq("A01", "J10", "W01", "L07", "U01")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val h2 = {
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        ids.map(id => Canonical.hash16(ops.DfContract.all(id)(cat)))
+      }
+      val h8 = {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        ids.map(id => Canonical.hash16(ops.DfContract.all(id)(cat)))
+      }
+      assert(h2 == h8)
+      ids.zip(h2).foreach { case (id, h) => assert(h == Contract.hash01(id), id) }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+}
