@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Structured Streaming operators over the events stream (E3,
+  * SURVEY.md §3): the same DataFrame algebra as the batch contract
+  * queries, executed incrementally with watermark-driven state
+  * eviction. Each transform here is the streaming form of a certified
+  * batch query (T01/T02/T03); StreamingSpec pins batch ≡ incremental
+  * equivalence and late-data drop (§5.3).
+  *
+  * Scale notes: stateful aggregation state is partitioned by the group
+  * key (window × type, or user × session) across executors; the
+  * watermark bounds state size — windows older than
+  * `max(eventTime) − delay` are finalized, emitted (append mode) and
+  * evicted. At 100 TB/day the knobs are partition count and
+  * state-store backend (RocksDB), not operator shape.
+  */
+object StreamOps {
+
+  /** File-source stream with the pinned events schema. `path` is a
+    * directory of parquet files replayed in event-time order (tests) or
+    * a landing zone (production); `maxFilesPerTrigger` bounds batch
+    * size.
+    */
+  def eventsStream(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(Tables.schemas("events"))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
+  /** Tumbling 1-hour counts/sums per event type — streaming form of
+    * T01. Note: even though `rowFilter` sits after `withWatermark`,
+    * Catalyst pushes deterministic predicates below the watermark node
+    * into the scan — so watermark-advancing control rows must SATISFY
+    * the filter (and live in a window that never finalizes), not bypass
+    * it.
+    */
+  def tumblingHourly(events: DataFrame, delay: String = "30 minutes",
+      rowFilter: Column = lit(true)): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .filter(rowFilter)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
+      .select(col("window.start").as("w"), col("event_type"), col("n"), col("s"))
+
+  /** Sliding 1-hour/30-minute window — streaming form of T02. */
+  def slidingHourly(events: DataFrame, delay: String = "30 minutes",
+      rowFilter: Column = lit(true)): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .filter(rowFilter)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
+      .select(col("window.start").as("w_start"), col("n"), col("s"))
+
+  /** Session windows with a 30-minute gap per user — streaming form of
+    * T03 (merging session state instead of gaps-and-islands windows).
+    */
+  def userSessions(events: DataFrame, delay: String = "30 minutes",
+      rowFilter: Column = lit(true)): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .filter(rowFilter)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n"),
+        min("ts").as("s_start"), max("ts").as("s_end"),
+        round(sum("value"), 2).as("v"))
+      .select(col("user_id"), col("s_start"), col("s_end"), col("n"), col("v"))
+}

@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.sources.Tables
+import graft.streaming.StreamOps
+
+/** Batch ≡ incremental equivalence (SURVEY §5.3): replay the events
+  * table as a file-source stream in event-time order, run the streaming
+  * forms of T01/T02/T03 with a 30-minute watermark in append mode, and
+  * require the emitted result set to equal the batch result. Plus the
+  * late-data case: rows injected behind the watermark must be dropped.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val events = Tables.load(spark, sf001, "events")
+  private lazy val maxTs = events.agg(max("ts")).collect()(0).getInstant(0)
+
+  /** Write `df` as a single parquet file named `name` inside `dstDir`. */
+  private def writeChunk(df: DataFrame, dstDir: Path, name: String): Unit = {
+    val tmp = Files.createTempDirectory("graft-chunk")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    Files.copy(part, dstDir.resolve(s"$name.parquet"))
+  }
+
+  /** Event-time-ordered thirds of the events table. */
+  private def chunks: Seq[DataFrame] = {
+    val ts = events.select("ts").orderBy("ts").collect().map(_.getInstant(0))
+    val c1 = ts(ts.length / 3)
+    val c2 = ts(2 * ts.length / 3)
+    Seq(
+      events.filter(col("ts") <= lit(java.sql.Timestamp.from(c1))),
+      events.filter(col("ts") > lit(java.sql.Timestamp.from(c1)) &&
+        col("ts") <= lit(java.sql.Timestamp.from(c2))),
+      events.filter(col("ts") > lit(java.sql.Timestamp.from(c2))))
+  }
+
+  /** A watermark-advancing control row 4 h past the stream's end.
+    * Predicates are pushed below the watermark operator into the scan,
+    * so the row must SATISFY every query filter (user_id = 0); it stays
+    * invisible in append output because its own window/session never
+    * finalizes: the final watermark is its ts − 30 min, which is before
+    * any window containing it ends.
+    */
+  private def sentinel(id: Long): DataFrame =
+    events.limit(1).select(
+      lit(id).as("event_id"),
+      lit(java.sql.Timestamp.from(maxTs.plusSeconds(14400))).as("ts"),
+      lit(0L).as("user_id"),
+      lit("sentinel").as("event_type"),
+      lit(0.0).as("value"),
+      lit("{}").as("props"))
+
+  /** Run a streaming transform over the replayed chunks (+ optional
+    * late-data injection after the first chunk), returning the append-
+    * mode output after the sentinel finalizes every window.
+    */
+  private def runReplay(
+      name: String,
+      transform: DataFrame => DataFrame,
+      late: Option[DataFrame] = None): Array[Row] = {
+    val srcDir = Files.createTempDirectory(s"graft-stream-$name")
+    val stream = transform(StreamOps.eventsStream(spark, srcDir.toString))
+    val query: StreamingQuery = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .start()
+    try {
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        writeChunk(c, srcDir, s"chunk$i")
+        query.processAllAvailable()
+        late.foreach { l =>
+          if (i == 0) { // inject behind the watermark after chunk 0
+            writeChunk(l, srcDir, "late")
+            query.processAllAvailable()
+          }
+        }
+      }
+      // two sentinels at the SAME event time: the first advances the
+      // watermark past every real window; append-mode emission of the
+      // finalized windows happens in the NEXT micro-batch, which the
+      // second sentinel triggers (their shared future window stays open
+      // and is never emitted)
+      writeChunk(sentinel(Long.MaxValue - 1), srcDir, "sentinel1")
+      query.processAllAvailable()
+      writeChunk(sentinel(Long.MaxValue - 2), srcDir, "sentinel2")
+      query.processAllAvailable()
+      spark.table(name).collect()
+    } finally query.stop()
+  }
+
+  test("tumbling window stream ≡ batch T01, late rows dropped") {
+    // late rows: clones of the 5 earliest events with fresh ids — their
+    // hour windows are far behind the watermark after chunk 0
+    val lateRows = events.orderBy("ts").limit(5)
+      .withColumn("event_id", col("event_id") + 1000000L)
+    val got = runReplay("t01_stream",
+      StreamOps.tumblingHourly(_, rowFilter = col("user_id") < 50),
+      late = Some(lateRows))
+      .map(r => (r.getInstant(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = events.filter(col("user_id") < 50)
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
+      .collect()
+      .map(r => (r.getInstant(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want,
+      s"stream≠batch: missing=${want -- got}, extra=${got -- want}")
+  }
+
+  test("sliding window stream ≡ batch T02 formulation") {
+    val got = runReplay("t02_stream",
+      StreamOps.slidingHourly(_, rowFilter = col("user_id") < 20))
+      .map(r => (r.getInstant(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = ops.TemporalQueries.queries("T02")(ops.Catalog(spark, sf001))
+      .collect()
+      .map(r => (r.getInstant(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"stream≠batch: missing=${want -- got}, extra=${got -- want}")
+  }
+
+  test("session window stream ≡ batch T03 gaps-and-islands") {
+    val got = runReplay("t03_stream",
+      StreamOps.userSessions(_, rowFilter = col("user_id") < 10))
+      .map(r => (r.getLong(0), r.getInstant(1), r.getInstant(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    // batch T03 keyed by session ordinal; re-key by (start, end) bounds
+    val want = ops.TemporalQueries.queries("T03")(ops.Catalog(spark, sf001))
+      .select("user_id", "s_start", "s_end", "n", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInstant(1), r.getInstant(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got == want,
+      s"stream≠batch: missing=${want -- got}, extra=${got -- want}")
+  }
+}
