@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProduct
+
+/** Session-extension entry point: register the engine's native
+  * expressions with any session via
+  *   spark.sql.extensions=graft.GraftExtensions
+  * (or `SparkSession.builder.withExtensions(new GraftExtensions)`).
+  * Runtime registration for an existing session is
+  * [[graft.functions.VectorFunctions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_dot(a, b) takes two array<float> args")
+        DotProduct(exprs.head, exprs(1))
+      }))
+  }
+}

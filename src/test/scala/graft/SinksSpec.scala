@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.Canonical
+import graft.sources.{Sinks, Tables}
+
+/** Source/sink round-trips (SURVEY §2.3 scans/sinks): parquet for every
+  * table (exact), CSV/JSON for a representative table with an explicit
+  * schema on read.
+  */
+class SinksSpec extends SparkSpec {
+
+  private def hashSorted(df: org.apache.spark.sql.DataFrame): String = {
+    val cols = df.columns.map(org.apache.spark.sql.functions.col).toSeq
+    Canonical.hash16(df.orderBy(cols: _*))
+  }
+
+  test("parquet sink round-trips every table exactly") {
+    Tables.names.foreach { name =>
+      val src = Tables.load(spark, sf001, name)
+      val dir = Files.createTempDirectory(s"sink-$name").toString
+      Sinks.parquet(src, dir)
+      val back = Sinks.readParquet(spark, dir)
+      assert(hashSorted(back) == hashSorted(src), s"parquet round-trip drift for $name")
+    }
+  }
+
+  test("partitioned parquet sink preserves content") {
+    val src = Tables.load(spark, sf001, "orders")
+    val dir = Files.createTempDirectory("sink-part").toString
+    Sinks.parquet(src, dir, partitionBy = Seq("o_orderstatus"))
+    val back = Sinks.readParquet(spark, dir).select(src.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    assert(hashSorted(back) == hashSorted(src))
+  }
+
+  test("csv sink round-trips with explicit schema") {
+    val src = Tables.load(spark, sf001, "customer")
+    val dir = Files.createTempDirectory("sink-csv").toString
+    Sinks.csv(src, dir)
+    val back = Sinks.readCsv(spark, dir, src.schema)
+    assert(hashSorted(back) == hashSorted(src))
+  }
+
+  test("json sink round-trips with explicit schema") {
+    val src = Tables.load(spark, sf001, "documents")
+    val dir = Files.createTempDirectory("sink-json").toString
+    Sinks.json(src, dir)
+    val back = Sinks.readJson(spark, dir, src.schema)
+    assert(hashSorted(back) == hashSorted(src))
+  }
+}
