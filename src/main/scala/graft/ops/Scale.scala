@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew- and scale-handling operator utilities — the hand-tunable
+  * complements to AQE for the 100 TB design point.
+  *
+  * AQE's skew-join splitting handles most runtime skew; these exist for
+  * the cases it can't: aggregation skew (one giant group key) and
+  * map-side explosion joins where the skewed side must be salted at
+  * plan time.
+  */
+object Scale {
+
+  /** Two-phase aggregation for skewed group keys: partial-aggregate on
+    * (keys + random salt of `saltBuckets`), then final-aggregate on the
+    * keys. A single hot key spreads over `saltBuckets` reducers in
+    * phase 1 instead of melting one. Only algebraic aggregates
+    * decompose this way — the caller supplies both phases.
+    *
+    * Example (count):
+    *   saltedAggregate(df, Seq(col("k")), 16,
+    *     partial = Seq(count(lit(1)).as("c")),
+    *     fin = Seq(sum("c").as("n")))
+    */
+  def saltedAggregate(
+      df: DataFrame,
+      keys: Seq[Column],
+      saltBuckets: Int,
+      partial: Seq[Column],
+      fin: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    salted
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(keys: _*)
+      .agg(fin.head, fin.tail: _*)
+  }
+
+  /** Skewed equi-join: replicate each `right` row across `saltBuckets`
+    * salts and salt each `left` row randomly, so a hot join key's rows
+    * spread over `saltBuckets` tasks. Use when the hot side is too big
+    * to broadcast and AQE's split is insufficient (e.g. one key is most
+    * of the table). Costs `saltBuckets`× replication of `right` — keep
+    * the right side the smaller one.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      saltBuckets: Int): DataFrame = {
+    val saltedLeft = left.withColumn(
+      "__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val saltedRight = right.withColumn(
+      "__rsalt", explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    saltedLeft
+      .join(saltedRight, leftKey === rightKey && col("__salt") === col("__rsalt"))
+      .drop("__salt", "__rsalt")
+  }
+
+  /** Approximate distinct count (HyperLogLog++): the sketch-based scale
+    * path for COUNT(DISTINCT) when exactness isn't required — mergeable
+    * across partitions, constant memory per group. Excluded from the
+    * oracle contract (engine-specific sketch); accuracy is pinned by a
+    * property test against the exact count.
+    */
+  def approxDistinct(df: DataFrame, keys: Seq[Column], target: Column, rsd: Double = 0.05): DataFrame =
+    if (keys.isEmpty) df.agg(approx_count_distinct(target, rsd).as("approx_nd"))
+    else df.groupBy(keys: _*).agg(approx_count_distinct(target, rsd).as("approx_nd"))
+
+  /** Range-partitioned write-side sort: cluster output by `keys` so
+    * downstream range predicates prune files (the parquet min/max
+    * footer statistics line up with the data order).
+    */
+  def clusterBy(df: DataFrame, numPartitions: Int, keys: Column*): DataFrame =
+    df.repartitionByRange(numPartitions, keys: _*)
+      .sortWithinPartitions(keys: _*)
+}

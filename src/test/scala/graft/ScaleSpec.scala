@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Catalog, Scale}
+
+/** Equivalence properties for the skew/scale utilities: salting must
+  * never change results, only their distribution across tasks.
+  */
+class ScaleSpec extends SparkSpec {
+
+  lazy val cat: Catalog = Catalog(spark, sf01)
+
+  test("saltedAggregate equals direct aggregation") {
+    val direct = cat.orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet
+    val salted = Scale.saltedAggregate(
+      cat.orders, Seq(col("o_custkey")), saltBuckets = 16,
+      partial = Seq(count(lit(1)).as("c"), sum("o_totalprice").as("ps")),
+      fin = Seq(sum("c").as("n"), sum("ps").as("s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet
+    assert(salted == direct)
+  }
+
+  test("saltedJoin equals plain join") {
+    val l = cat.lineitem.filter(col("l_orderkey") < 2000)
+    val r = cat.orders.filter(col("o_orderkey") < 2000)
+    val plain = l.join(r, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_custkey")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSeq.sorted
+    val salted = Scale.saltedJoin(l, r, col("l_orderkey"), col("o_orderkey"), saltBuckets = 8)
+      .select("l_orderkey", "l_linenumber", "o_custkey")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSeq.sorted
+    assert(salted == plain)
+  }
+
+  test("approxDistinct is within the configured error of exact") {
+    val exact = cat.orders.select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    val approx = Scale.approxDistinct(cat.orders, Nil, col("o_custkey"), rsd = 0.05)
+      .collect()(0).getLong(0)
+    val err = math.abs(approx - exact).toDouble / exact
+    assert(err <= 0.15, s"approx $approx vs exact $exact (err $err)")
+  }
+
+  test("clusterBy preserves content and produces range-sorted partitions") {
+    val src = cat.orders.select("o_orderkey", "o_custkey")
+    val clustered = Scale.clusterBy(src, 8, col("o_orderkey"))
+    assert(clustered.count() == src.count())
+    // every partition internally sorted and partition ranges disjoint
+    val parts = clustered.select("o_orderkey").rdd
+      .mapPartitionsWithIndex { (i, it) => Iterator((i, it.map(_.getLong(0)).toArray)) }
+      .collect().sortBy(_._1).map(_._2).filter(_.nonEmpty)
+    parts.foreach(p => assert(p.sameElements(p.sorted)))
+    parts.sliding(2).foreach {
+      case Array(a, b) => assert(a.last <= b.head)
+      case _ =>
+    }
+  }
+}
