@@ -45,6 +45,8 @@ object Extras {
     "X08_simhash" -> q(c => SimHash.fingerprints(c.documents).orderBy("doc_id")),
     "X09_ann_top5" -> q(c =>
       Ann.annTopK(c.embeddings, probeId = 0, k = 5, nPlanes = 8, probeRadius = 2)),
+    "X11_ivf_top5" -> q(c =>
+      graft.vector.Ivf.ivfTopK(c.embeddings, probeId = 0, k = 5, nLists = 16, nProbe = 4)),
     "X10_media_features" -> q(c =>
       MediaPipeline.mediaFeatures(c.spark, c.documents).limit(200))
   )

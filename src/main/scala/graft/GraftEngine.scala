@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Engine
+import graft.functions.VectorFunctions
+import graft.ops.Catalog
+import graft.sources.Tables
+
+/** The user-facing facade — what a user of the reference engine would
+  * switch to. One object wires the three entry points (SURVEY.md §3):
+  *
+  *   val engine = GraftEngine(spark, "/data/sf0.1")
+  *   engine.sql("SELECT ... FROM lineitem ...")          // E1
+  *   engine.tables.lineitem.groupBy(...)...              // E2
+  *   engine.ops("A01")                                   // named contract op
+  *   graft.streaming.StreamOps.eventsStream(spark, dir)  // E3
+  *
+  * Construction registers the ten tables as temp views and the native
+  * SQL functions (graft_dot), and applies the required session confs.
+  */
+final class GraftEngine private (val spark: SparkSession, val dir: String) {
+
+  /** Typed table access (E2). */
+  val tables: Catalog = Catalog(spark, dir)
+
+  /** SQL over the registered table views (E1). */
+  def sql(query: String): DataFrame = spark.sql(query)
+
+  /** Run a named operator from the certified inventory (SURVEY §2.4). */
+  def ops(id: String): DataFrame =
+    graft.ops.DfContract.all.get(id) match {
+      case Some(fn) => fn(tables)
+      case None => throw new IllegalArgumentException(
+        s"unknown operator id: $id (known: ${graft.ops.DfContract.all.keys.toSeq.sorted.mkString(", ")})")
+    }
+
+  /** All operator ids available through [[ops]]. */
+  def opIds: Seq[String] = graft.ops.DfContract.all.keys.toSeq.sorted
+}
+
+object GraftEngine {
+  def apply(spark: SparkSession, dir: String): GraftEngine = {
+    Engine.configure(spark)
+    Tables.registerAll(spark, dir)
+    VectorFunctions.register(spark)
+    new GraftEngine(spark, dir)
+  }
+}

@@ -29,8 +29,15 @@ object Sinks {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .json(path)
 
+  /** Single-string-column text sink (one line per row). */
+  def text(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
+
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
 
   def readCsv(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read

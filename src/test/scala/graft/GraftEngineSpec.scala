@@ -1,0 +1,28 @@
+package graft
+
+import graft.core.Canonical
+
+/** Facade behavior: all three access styles agree on the certified
+  * hashes and unknown ids fail loudly.
+  */
+class GraftEngineSpec extends SparkSpec {
+
+  lazy val engine: GraftEngine = GraftEngine(spark, sf01)
+
+  test("sql (E1), ops (E2), and graft_dot SQL agree with the contract") {
+    assert(Canonical.hash16(engine.sql(Contract.byId("A01").sparkSql)) == Contract.hash01("A01"))
+    assert(Canonical.hash16(engine.ops("A01")) == Contract.hash01("A01"))
+    val viaNative = engine.sql("""
+      SELECT b.vec_id, ROUND(graft_dot(a.embedding, b.embedding), 6) AS cos
+      FROM embeddings a CROSS JOIN embeddings b
+      WHERE a.vec_id = 0 AND b.vec_id <> 0
+      ORDER BY cos DESC, b.vec_id LIMIT 5""")
+    assert(Canonical.hash16(viaNative) == Contract.hash01("L06"))
+  }
+
+  test("ops lists all 55 contract ids and rejects unknown ids") {
+    assert(engine.opIds.size == 55)
+    assert(Contract.all.map(_.id).forall(engine.opIds.contains))
+    intercept[IllegalArgumentException](engine.ops("NOPE"))
+  }
+}

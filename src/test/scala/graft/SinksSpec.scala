@@ -42,6 +42,14 @@ class SinksSpec extends SparkSpec {
     assert(hashSorted(back) == hashSorted(src))
   }
 
+  test("text sink round-trips the documents corpus") {
+    val src = Tables.load(spark, sf001, "documents").select("text")
+    val dir = Files.createTempDirectory("sink-text").toString
+    Sinks.text(src, dir)
+    val back = Sinks.readText(spark, dir).withColumnRenamed("value", "text")
+    assert(hashSorted(back) == hashSorted(src))
+  }
+
   test("json sink round-trips with explicit schema") {
     val src = Tables.load(spark, sf001, "documents")
     val dir = Files.createTempDirectory("sink-json").toString
