@@ -53,6 +53,40 @@ object Contract {
     "L05" -> "83c0ce39dbf295d9", "L06" -> "a16ffcd49a013be6",
     "L07" -> "05eafeda711584a9", "L08" -> "025145e149852ee4")
 
+  /** hash1 column of SURVEY.md §2.4 — canonical SHA-256 prefix at sf0.1
+    * (the bench scale).
+    */
+  val hash1: Map[String, String] = Map(
+    "S01" -> "47f2b63b1237a4e9", "S02" -> "812d8e4813cd0e9c",
+    "P01" -> "a2b8ea6054448c01", "P02" -> "0bf56efa206a9532",
+    "P03" -> "e1d04ae94001eb7d",
+    "J01" -> "ab225367fb8da979", "J02" -> "ab8bc7a4e3f60a8f",
+    "J03" -> "df1590a1fbd152c5", "J04" -> "d3ccc3c3a442b275",
+    "J05" -> "ddafe0dc90181d0c", "J06" -> "9005506b38c46613",
+    "J07" -> "65f9f39610ffe9c3", "J08" -> "a4b162b091e18079",
+    "J09" -> "4020ce885414ca82", "J10" -> "384a4c3a3db3dec1",
+    "A01" -> "f02a0b8a95433f3a", "A02" -> "189aa7b65ca2bcea",
+    "A03" -> "56fb57e727ecc2b9", "A04" -> "d00b2251ef7f1a85",
+    "A05" -> "5a00c1fe1ada6b55", "A06" -> "62d2410d65452e09",
+    "A07" -> "89107845720365fc", "A08" -> "1814c922947c8623",
+    "A09" -> "510f10dca95a2113", "A10" -> "39e5b4830d4d9c14",
+    "W01" -> "85fd2a78dc3c35b8", "W02" -> "e1beab8e7cb8b584",
+    "W03" -> "f833448a6bd0ac5b", "W04" -> "208eacb4cad9d0a8",
+    "W05" -> "bb3e9f5a48b21288", "W06" -> "37c4a7cca298cb1c",
+    "O01" -> "926d0b30ce85b46a", "O02" -> "0bb3f000d64db68f",
+    "U01" -> "36bab61769e2334d", "U02" -> "4713cadab0a9b647",
+    "U03" -> "039651b9b561213a",
+    "F01" -> "7d29bb3c7026c7a4", "F02" -> "c1e1461de52c5c43",
+    "F03" -> "e9e2d64ecc1f000b", "F04" -> "1386a0ed189d6e62",
+    "F05" -> "da1990ec185961ff", "F06" -> "30d4cc71704b1686",
+    "F07" -> "884a7a47805b32e8", "F08" -> "2f268ffea9e3e0d8",
+    "T01" -> "462dfcdcb3b153b9", "T02" -> "6e1bfbe2668b74cd",
+    "T03" -> "b6a3691cbcc05dae",
+    "L01" -> "03e30d516553c002", "L02" -> "61230790cccda93d",
+    "L03" -> "c7463111f5c7e8a8", "L04" -> "c088b8edd44bbbe0",
+    "L05" -> "1103178a73bf46a4", "L06" -> "32f70de085fe4e1f",
+    "L07" -> "aae2a4bdce99b94b", "L08" -> "bb39b90073e27dd3")
+
   val all: Seq[ContractQuery] = Seq(
     // ---- scans ----
     q("S01", """

@@ -23,13 +23,17 @@ object HashCheck {
     spark.sparkContext.setLogLevel("WARN")
     Tables.registerAll(spark, sfDir)
     val cat = Catalog(spark, sfDir)
+    // certified hashes exist for sf0.01 (hash01) and sf0.1 (hash1)
+    val expected =
+      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) Contract.hash1
+      else Contract.hash01
     var bad = 0
     def check(id: String, label: String, run: () => String): Unit = {
       val t0 = System.nanoTime()
       val res =
         try {
           val h = run()
-          val want = Contract.hash01(id)
+          val want = expected(id)
           if (h == want) s"OK    $h"
           else { bad += 1; s"FAIL  got $h want $want" }
         } catch {
