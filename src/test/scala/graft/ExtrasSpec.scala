@@ -107,6 +107,17 @@ class ExtrasSpec extends SparkSpec {
     assert(repart.map(_.doc_id).sorted.sameElements(decoded.map(_.doc_id).sorted))
   }
 
+  test("dedup winners are stable under repartitioning (idempotent re-run)") {
+    val direct = MinHashDedup.dedupWinners(cat.documents)
+      .collect().map(_.getLong(0)).toSeq
+    val repartitioned = MinHashDedup.dedupWinners(cat.documents.repartition(13))
+      .collect().map(_.getLong(0)).toSeq
+    assert(direct == repartitioned)
+    val l02a = ops.DfContract.all("L02")(cat).collect().toSeq
+    val l02b = ops.DfContract.all("L02")(Catalog(spark, sf01)).collect().toSeq
+    assert(l02a == l02b)
+  }
+
   test("partition invariance: contract hashes stable under shuffle.partitions 2 vs 8") {
     val ids = Seq("A01", "J10", "W01", "L07", "U01")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
