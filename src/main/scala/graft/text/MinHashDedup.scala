@@ -43,13 +43,27 @@ object MinHashDedup {
       explode(array_distinct(TextAnalysis.shingles(col("text"), cfg.shingleSize))).as("s"))
       .distinct()
 
+  /** Per-k odd multipliers/offsets for the linear hash family
+    * h_k(x) = a_k·xxhash64(x) + b_k (mod 2^64): one string hash per
+    * shingle, 64 cheap long transforms, instead of 64 string hashes.
+    * Fixed seed ⇒ stable signatures across runs.
+    */
+  private lazy val hashFamily: Array[(Long, Long)] = {
+    val rng = new scala.util.Random(0x5eed5eedL)
+    Array.fill(256)((rng.nextLong() | 1L, rng.nextLong()))
+  }
+
   /** (doc_id, sig: array<bigint>[numHashes]) — one row per document. */
   def signatures(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val sh = shingleRows(documents, cfg)
+    require(cfg.numHashes <= hashFamily.length)
+    val sh = shingleRows(documents, cfg).withColumn("h0", xxhash64(col("s")))
     // numHashes independent min-aggregates; partial aggregation makes
     // this a map-side combine followed by a doc_id shuffle of fixed-size
     // signature rows.
-    val mins = (0 until cfg.numHashes).map(k => min(xxhash64(col("s"), lit(k))).as(s"h$k"))
+    val mins = (0 until cfg.numHashes).map { k =>
+      val (a, b) = hashFamily(k)
+      min(graft.functions.LinearHash(col("h0"), a, b)).as(s"h$k")
+    }
     sh.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until cfg.numHashes).map(k => col(s"h$k")): _*).as("sig"))
