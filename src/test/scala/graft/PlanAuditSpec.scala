@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.{Catalog, DfContract}
+
+/** Plan-shape audit over every DataFrame-form contract query: no
+  * accidental cartesian products or nested-loop joins outside the
+  * queries whose semantics require one, and every parquet scan prunes
+  * columns (reads a strict subset where the query needs one).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  lazy val cat: Catalog = Catalog(spark, sf01)
+
+  // nested-loop/cartesian is the intended plan here: J07 cross join,
+  // A10/L06 1-row broadcast scalar, T02 2-row offsets frame
+  private val nlAllowed = Set("J07", "A10", "L06", "T02")
+
+  test("no unintended cartesian or nested-loop joins") {
+    val offenders = Contract.all.map(_.id).filter { id =>
+      val plan = DfContract.all(id)(cat).queryExecution.executedPlan.toString
+      val hasNl = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      hasNl && !nlAllowed.contains(id)
+    }
+    assert(offenders.isEmpty, s"unexpected NL/cartesian join in: $offenders")
+  }
+
+  test("single-table scans prune columns to what the query touches") {
+    // representative narrow queries: the scan schema must not include
+    // untouched wide columns
+    val l06Plan = DfContract.all("L06")(cat).queryExecution.executedPlan.toString
+    assert(!l06Plan.contains("label"), "L06 scan should prune `label`")
+    val p02Plan = DfContract.all("P02")(cat).queryExecution.executedPlan.toString
+    assert(!p02Plan.contains("c_acctbal"), "P02 scan should prune `c_acctbal`")
+  }
+
+  test("aggregations run partial before the shuffle (map-side combine)") {
+    Seq("A01", "J01", "L05").foreach { id =>
+      val plan = DfContract.all(id)(cat).queryExecution.executedPlan.toString
+      val firstAgg = plan.indexOf("HashAggregate")
+      val firstExchange = plan.indexOf("Exchange")
+      assert(firstAgg >= 0 && firstExchange >= 0, s"$id: expected agg + exchange")
+      // toString prints top-down: a partial agg must also exist BELOW
+      // (after) the exchange in the tree text
+      assert(plan.lastIndexOf("HashAggregate") > firstExchange,
+        s"$id: no aggregate below the shuffle (missing partial agg)")
+    }
+  }
+}
