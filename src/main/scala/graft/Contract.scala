@@ -126,15 +126,22 @@ WHERE (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH')
 ORDER BY o_orderkey LIMIT 50
 """),
     // ---- joins ----
+    // Money columns: computed in exact decimal (H3), then CAST to DOUBLE
+    // for the final output so both engines render identically (values are
+    // certified ≤ 2 decimals — double is exact; canonical hash unchanged
+    // because the §2.2 renderer collapses trailing zeros). Same reason for
+    // the explicit BIGINT casts on SUM-of-integer columns: DuckDB widens
+    // SUM(BIGINT) to HUGEINT, which the driver's comparator renders
+    // differently.
     q("J01", """
 SELECT c_mktsegment, COUNT(*) AS n_orders,
-       ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS total
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """),
     q("J02", """
 SELECT r_name, n_name,
-       ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -199,11 +206,11 @@ ORDER BY c.event_id LIMIT 200
     // ---- aggregation ----
     q("A01", """
 SELECT l_returnflag, l_linestatus,
-  SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty,
-  ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS sum_base,
-  ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS sum_disc,
-  ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))
-            * CAST(1 + l_tax AS DECIMAL(12,2))), 2) AS sum_charge,
+  CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_disc,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))
+            * CAST(1 + l_tax AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_charge,
   ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
   COUNT(*) AS n
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -232,12 +239,12 @@ ORDER BY gs, gp, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """),
     q("A06", """
 SELECT GROUPING(c_mktsegment) AS gm, GROUPING(c_nationkey) AS gn,
-       c_mktsegment, c_nationkey, ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS bal
+       c_mktsegment, c_nationkey, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS bal
 FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
 ORDER BY gm, gn, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
 """),
     q("A07", """
-SELECT c_nationkey, COUNT(*) AS n, ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS bal
+SELECT c_nationkey, COUNT(*) AS n, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS bal
 FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 50 ORDER BY c_nationkey
 """),
     q("A08", """
@@ -375,9 +382,9 @@ FROM orders WHERE o_orderkey < 20 ORDER BY o_orderkey
     q("F04", """
 SELECT p_partkey,
   ABS(p_retailprice - 1000) AS a, ROUND(SQRT(p_retailprice), 4) AS sq,
-  FLOOR(p_retailprice) AS fl, CEIL(p_retailprice) AS ce,
+  CAST(FLOOR(p_retailprice) AS BIGINT) AS fl, CAST(CEIL(p_retailprice) AS BIGINT) AS ce,
   ROUND(LN(p_retailprice), 4) AS lg, ROUND(POWER(p_size, 2), 1) AS pw,
-  MOD(p_partkey, 7) AS md, SIGN(p_retailprice - 1500) AS sg
+  MOD(p_partkey, 7) AS md, CAST(SIGN(p_retailprice - 1500) AS DOUBLE) AS sg
 FROM part WHERE p_partkey < 15 ORDER BY p_partkey
 """),
     q("F05", """
@@ -448,8 +455,8 @@ WITH g AS (
          OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS brk,
     event_id
   FROM events WHERE user_id < 10),
-s AS (SELECT user_id, ts, value, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g)
+s AS (SELECT user_id, ts, value, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess FROM g)
 SELECT user_id, sess, COUNT(*) AS n, MIN(ts) AS s_start, MAX(ts) AS s_end, ROUND(SUM(value), 2) AS v
 FROM s GROUP BY user_id, sess ORDER BY user_id, sess
 """),

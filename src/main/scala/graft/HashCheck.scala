@@ -19,14 +19,20 @@ object HashCheck {
     val mode = rest.find(a => a == "--df" || a == "--sql").getOrElse("--both")
     val ids0 = rest.filterNot(_.startsWith("--"))
     val ids = if (ids0.nonEmpty) ids0 else Contract.all.map(_.id)
+    // certified hashes exist ONLY for sf0.01 (hash01) and sf0.1 (hash1);
+    // refuse any other directory rather than compare against the wrong set
+    val expected = sfDir.replaceAll("/+$", "") match {
+      case d if d.endsWith("sf0.1") => Contract.hash1
+      case d if d.endsWith("sf0.01") => Contract.hash01
+      case d =>
+        System.err.println(
+          s"no certified hashes for '$d' (only sf0.01 and sf0.1 are certified, SURVEY.md §2.4)")
+        sys.exit(2)
+    }
     val spark = Engine.session(shufflePartitions = 8, appName = "graft-hashcheck")
     spark.sparkContext.setLogLevel("WARN")
     Tables.registerAll(spark, sfDir)
     val cat = Catalog(spark, sfDir)
-    // certified hashes exist for sf0.01 (hash01) and sf0.1 (hash1)
-    val expected =
-      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) Contract.hash1
-      else Contract.hash01
     var bad = 0
     def check(id: String, label: String, run: () => String): Unit = {
       val t0 = System.nanoTime()

@@ -26,9 +26,11 @@ object AggregateQueries {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(floor(col("l_quantity")).cast("bigint")).as("sum_qty"),
-          round(sum(price), 2).as("sum_base"),
-          round(sum(price * disc), 2).as("sum_disc"),
-          round(sum(price * disc * tax), 2).as("sum_charge"),
+          // decimal math (H3), DOUBLE at the surface: exact for ≤2-decimal
+          // money values and renders identically to the DuckDB oracle.
+          round(sum(price), 2).cast("double").as("sum_base"),
+          round(sum(price * disc), 2).cast("double").as("sum_disc"),
+          round(sum(price * disc * tax), 2).cast("double").as("sum_charge"),
           round(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -80,7 +82,7 @@ object AggregateQueries {
           col("c_mktsegment"), col("c_nationkey"))
         .agg(
           grouping("c_mktsegment").as("gm"), grouping("c_nationkey").as("gn"),
-          round(sum(col("c_acctbal").cast(DecimalType(18, 4))), 2).as("bal"))
+          round(sum(col("c_acctbal").cast(DecimalType(18, 4))), 2).cast("double").as("bal"))
         .select("gm", "gn", "c_mktsegment", "c_nationkey", "bal")
         .orderBy(col("gm"), col("gn"),
           col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
@@ -90,7 +92,7 @@ object AggregateQueries {
       c.customer.groupBy("c_nationkey")
         .agg(
           count(lit(1)).as("n"),
-          round(sum(col("c_acctbal").cast(DecimalType(18, 4))), 2).as("bal"))
+          round(sum(col("c_acctbal").cast(DecimalType(18, 4))), 2).cast("double").as("bal"))
         .filter(col("n") > 50)
         .orderBy("c_nationkey")
     },

@@ -74,7 +74,7 @@ object RelationalQueries {
         .groupBy("c_mktsegment")
         .agg(
           count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice").cast(DecimalType(18, 4))), 2).as("total"))
+          round(sum(col("o_totalprice").cast(DecimalType(18, 4))), 2).cast("double").as("total"))
         .orderBy("c_mktsegment")
     },
     // J02 — star join: nation/region are tiny → explicit broadcast; the
@@ -87,7 +87,7 @@ object RelationalQueries {
         .join(broadcast(c.nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(c.region), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4))), 2).as("revenue"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4))), 2).cast("double").as("revenue"))
         .orderBy("r_name", "n_name")
     },
     // J03 — left outer against a filtered right side; COUNT(col) is
