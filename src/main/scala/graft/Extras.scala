@@ -48,7 +48,22 @@ object Extras {
     "X11_ivf_top5" -> q(c =>
       graft.vector.Ivf.ivfTopK(c.embeddings, probeId = 0, k = 5, nLists = 16, nProbe = 4)),
     "X10_media_features" -> q(c =>
-      MediaPipeline.mediaFeatures(c.spark, c.documents).limit(200))
+      MediaPipeline.mediaFeatures(c.spark, c.documents).limit(200)),
+    // banded sign-LSH near-dup: the scale path for X06 (recall >= 0.9 vs
+    // the exact pairs, pinned in ExtrasSpec; precision 1.0 by re-score)
+    "X12_embed_neardup_lsh" -> q(c => Ann.bandedPairsAbove(c.embeddings, 0.4)),
+    // index-backed probe: write the bucket-partitioned IVF index, then
+    // answer the probe from a partition-pruned read — demonstrates the
+    // persisted-index surface end to end
+    "X14_ivf_index_probe" -> q(c => {
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_index_" + Integer.toHexString(c.dir.hashCode)).toString
+      graft.vector.Ivf.writeIndex(c.embeddings, idx, nLists = 16)
+      val probeVec = c.embeddings.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0).toArray
+      graft.vector.Ivf.probeIndex(c.spark, idx, probeVec, k = 6, nProbe = 4)
+        .filter(col("vec_id") =!= 0).limit(5)
+    })
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token

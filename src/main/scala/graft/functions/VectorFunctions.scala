@@ -9,15 +9,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for the float-vector dot product.
   *
-  * Semantically identical (for non-null elements, which is all the data
-  * has — FIXTURES.md) to the certified higher-order-function form
+  * Semantically identical to the certified higher-order-function form
   *   aggregate(zip_with(a, b, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),
   *             0.0D, (s,x) -> s + x)
-  * — left-to-right IEEE-double accumulation over float32 elements — but
-  * whole-stage-codegen'd into a tight primitive loop instead of a
-  * per-element lambda interpreter. On unit vectors the dot product IS
-  * the cosine similarity, which makes this the kernel of L06/L07 and of
-  * the ANN/near-dup scale paths.
+  * — left-to-right IEEE-double accumulation over float32 elements,
+  * INCLUDING the null-on-length-mismatch behavior (zip_with pads the
+  * shorter side with nulls, which poison the sum) — but whole-stage-
+  * codegen'd into a tight primitive loop instead of a per-element lambda
+  * interpreter. A ragged/corrupt embedding therefore yields a detectable
+  * NULL, never a silently-truncated score. On unit vectors the dot
+  * product IS the cosine similarity, which makes this the kernel of
+  * L06/L07 and of the ANN/near-dup scale paths.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -33,17 +35,23 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null on null input AND on length mismatch
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -52,12 +60,16 @@ case class DotProduct(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

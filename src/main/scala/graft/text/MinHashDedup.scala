@@ -69,20 +69,42 @@ object MinHashDedup {
       .select(col("doc_id"), array((0 until cfg.numHashes).map(k => col(s"h$k")): _*).as("sig"))
   }
 
-  /** (doc_id, band, band_hash) — `bands` rows per document. */
-  def bandedSignatures(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+  /** Persist the signature table — the expensive shingle+minhash pass
+    * paid ONCE. Downstream dedup (banding, candidates) runs from the
+    * saved table via [[readSignatures]]; at 100 TB this is the index
+    * artifact every re-dedup/incremental run starts from.
+    */
+  def writeSignatures(
+      documents: DataFrame,
+      path: String,
+      cfg: MinHashConfig = MinHashConfig()): Unit =
+    signatures(documents, cfg).write.mode("overwrite").parquet(path)
+
+  def readSignatures(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** (doc_id, band, band_hash) from a precomputed signature table —
+    * `bands` rows per document.
+    */
+  def bandedFromSignatures(sigs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val bandCols = (0 until cfg.bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * cfg.rowsPerBand + 1, cfg.rowsPerBand)).as("band_hash"))
     }
-    signatures(documents, cfg)
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
   }
 
-  /** Distinct candidate pairs (i < j) sharing at least one LSH bucket. */
-  def candidatePairs(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val banded = bandedSignatures(documents, cfg)
+  /** (doc_id, band, band_hash) — `bands` rows per document. */
+  def bandedSignatures(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    bandedFromSignatures(signatures(documents, cfg), cfg)
+
+  /** Distinct candidate pairs (i < j) sharing at least one LSH bucket,
+    * from a precomputed signature table.
+    */
+  def candidatePairsFromSignatures(sigs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val banded = bandedFromSignatures(sigs, cfg)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -92,13 +114,25 @@ object MinHashDedup {
       .distinct()
   }
 
+  /** Distinct candidate pairs (i < j) sharing at least one LSH bucket. */
+  def candidatePairs(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    candidatePairsFromSignatures(signatures(documents, cfg), cfg)
+
   /** Candidate pairs re-scored with exact shingle Jaccard, keeping only
-    * true near-duplicates (≥ cfg.threshold).
+    * true near-duplicates (≥ cfg.threshold). `sigs` (when given) skips
+    * the signature pass; the exact verification still shingles the few
+    * candidate documents' texts.
     */
-  def verifiedPairs(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+  def verifiedPairs(
+      documents: DataFrame,
+      cfg: MinHashConfig = MinHashConfig(),
+      sigs: Option[DataFrame] = None): DataFrame = {
     val sh = shingleRows(documents, cfg)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val cand = candidatePairs(documents, cfg)
+    val cand = sigs match {
+      case Some(s) => candidatePairsFromSignatures(s, cfg)
+      case None => candidatePairs(documents, cfg)
+    }
     // exact intersection sizes for candidate pairs only
     val inter = cand
       .join(sh.as("sa"), col("i") === col("sa.doc_id"))
@@ -117,8 +151,11 @@ object MinHashDedup {
     * verified near-duplicate pairs (MIN doc_id wins, matching L02's
     * contract for exact duplicates).
     */
-  def dedupWinners(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val losers = verifiedPairs(documents, cfg).select(col("j").as("doc_id")).distinct()
+  def dedupWinners(
+      documents: DataFrame,
+      cfg: MinHashConfig = MinHashConfig(),
+      sigs: Option[DataFrame] = None): DataFrame = {
+    val losers = verifiedPairs(documents, cfg, sigs).select(col("j").as("doc_id")).distinct()
     documents.join(losers, Seq("doc_id"), "left_anti")
       .select("doc_id")
       .orderBy("doc_id")

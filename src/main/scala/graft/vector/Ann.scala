@@ -31,6 +31,15 @@ object Ann {
     Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian().toFloat))
   }
 
+  /** Embedding dimensionality measured from the data (one 1-row job at
+    * plan-build time). Hyperplanes generated for this dim always match
+    * the vectors they project — a mismatched corpus surfaces as NULL dot
+    * products (DotProduct's length check) instead of silently degraded
+    * recall.
+    */
+  def dimOf(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding"))).first().getInt(0)
+
   /** Exact top-k by cosine (dot product on unit vectors) for one probe
     * vector identified by `probeId`.
     */
@@ -70,8 +79,7 @@ object Ann {
       nPlanes: Int = 8,
       probeRadius: Int = 2,
       seed: Long = 42L): DataFrame = {
-    val dim = 64
-    val planes = hyperplanes(nPlanes, dim, seed)
+    val planes = hyperplanes(nPlanes, dimOf(embeddings), seed)
     val bucketed = withBucket(embeddings, planes)
     val probe = broadcast(
       bucketed.filter(col("vec_id") === probeId)
@@ -109,7 +117,7 @@ object Ann {
       threshold: Double,
       nPlanes: Int = 6,
       seed: Long = 42L): DataFrame = {
-    val bucketed = withBucket(embeddings, hyperplanes(nPlanes, 64, seed))
+    val bucketed = withBucket(embeddings, hyperplanes(nPlanes, dimOf(embeddings), seed))
     val a = bucketed.select(col("vec_id").as("i"), col("embedding").as("ea"), col("bucket"))
     val b = bucketed.select(col("vec_id").as("j"), col("embedding").as("eb"), col("bucket"))
     a.join(b, Seq("bucket"))
@@ -118,5 +126,104 @@ object Ann {
       .filter(col("dp") > threshold)
       .select(col("i"), col("j"), round(col("dp"), 6).as("cos"))
       .orderBy("i", "j")
+  }
+
+  /** Banded sign-LSH near-dup candidates — the high-recall scale path
+    * for [[allPairsAbove]]. `nBands` independent `nPlanes`-bit bucket
+    * tables; a pair is a candidate if it collides in ANY band (the
+    * OR-of-ANDs construction, exactly MinHash banding but for cosine).
+    * Candidates are re-scored exactly, so precision is 1.0 and recall at
+    * cosine s is 1-(1-p^nPlanes)^nBands with p = 1-acos(s)/π — the
+    * default 4×16 gives ≥0.93 at s=0.4 and ≥0.999 at s=0.7.
+    *
+    * Scale shape: the band table is map-side (vec_id, band, bucket — no
+    * embeddings), candidates meet only inside (band, bucket) buckets,
+    * and embeddings are joined back just for the few candidates.
+    */
+  def bandedPairsAbove(
+      embeddings: DataFrame,
+      threshold: Double,
+      nPlanes: Int = 4,
+      nBands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nPlanes * nBands, dimOf(embeddings), seed)
+    val bandCols = (0 until nBands).map { bd =>
+      val bucket = (0 until nPlanes)
+        .map(j => when(dot(col("embedding"), typedLit(planes(bd * nPlanes + j))) >= 0,
+          lit(1L << j)).otherwise(0L))
+        .reduce((a, b) => a.bitwiseOR(b))
+      struct(lit(bd).as("band"), bucket.as("bucket"))
+    }
+    val bb = embeddings
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = bb.as("a")
+      .join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .distinct()
+    cand
+      .join(embeddings.select(col("vec_id").as("i"), col("embedding").as("ea")), Seq("i"))
+      .join(embeddings.select(col("vec_id").as("j"), col("embedding").as("eb")), Seq("j"))
+      .withColumn("dp", dot(col("ea"), col("eb")))
+      .filter(col("dp") > threshold)
+      .select(col("i"), col("j"), round(col("dp"), 6).as("cos"))
+      .orderBy("i", "j")
+  }
+
+  // ---- persisted index ----------------------------------------------
+
+  /** Persist the LSH-bucketed corpus partitioned by `bucket`, so probes
+    * become partition-pruned reads. The (nPlanes, seed) pair is part of
+    * the index identity — probe with the same values.
+    */
+  def writeIndex(
+      embeddings: DataFrame,
+      path: String,
+      nPlanes: Int = 8,
+      seed: Long = 42L): Unit =
+    withBucket(embeddings, hyperplanes(nPlanes, dimOf(embeddings), seed))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/vectors")
+
+  /** The probe vector's bucket, computed driver-side with the exact
+    * arithmetic of [[withBucket]] (left-to-right double accumulation).
+    */
+  def bucketOf(vec: Array[Float], planes: Array[Array[Float]]): Long =
+    planes.zipWithIndex.foldLeft(0L) { case (acc, (p, b)) =>
+      require(p.length == vec.length, s"plane dim ${p.length} != vec dim ${vec.length}")
+      var s = 0.0
+      var i = 0
+      while (i < vec.length) { s += vec(i).toDouble * p(i).toDouble; i += 1 }
+      if (s >= 0) acc | (1L << b) else acc
+    }
+
+  /** All bucket ids within Hamming distance `r` of `base` (multi-probe
+    * enumeration — sum of C(nPlanes, 0..r) ids, generated driver-side).
+    */
+  def bucketsWithin(base: Long, nPlanes: Int, r: Int): Seq[Long] =
+    (0 to r).flatMap(d =>
+      (0 until nPlanes).combinations(d)
+        .map(_.foldLeft(base)((b, i) => b ^ (1L << i))).toSeq)
+
+  /** Top-k by cosine against a persisted LSH index: the multi-probe
+    * bucket set becomes LITERAL partition predicates, so the scan reads
+    * only ~sum C(nPlanes,0..r)/2^nPlanes of the corpus.
+    */
+  def probeIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      probeVec: Array[Float],
+      k: Int,
+      nPlanes: Int = 8,
+      probeRadius: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nPlanes, probeVec.length, seed)
+    val buckets = bucketsWithin(bucketOf(probeVec, planes), nPlanes, probeRadius)
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("bucket").isin(buckets: _*)) // → PartitionFilters
+      .select(col("vec_id"), round(dot(typedLit(probeVec), col("embedding")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
   }
 }

@@ -1,7 +1,6 @@
 package graft.vector
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.dot
@@ -35,16 +34,68 @@ object Ivf {
 
   /** Assign every vector to its nearest centroid (max dot product,
     * centroid_id ascending as the deterministic tie-break).
+    *
+    * Strictly map-side over the corpus: the (tiny) centroid table is
+    * collapsed into ONE row holding an array of (centroid_id, centroid)
+    * structs, broadcast, and the per-row argmax is a single projection
+    * (transform + array_max over structs — score first, then negated id,
+    * so ties resolve to the smallest centroid_id). No shuffle and no
+    * window touch the corpus: at 100 TB the only data movement is the
+    * centroid broadcast, vs. the previous crossJoin + row_number form
+    * which exchanged nLists×N rows to rank them.
     */
   def assign(embeddings: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("score").desc, col("centroid_id"))
+    val centsArr = cents.agg(
+      sort_array(collect_list(struct(col("centroid_id"), col("centroid")))).as("cents"))
     embeddings
-      .crossJoin(broadcast(cents))
-      .withColumn("score", dot(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("list_id"))
+      .crossJoin(broadcast(centsArr))
+      .withColumn("best",
+        array_max(transform(col("cents"), c =>
+          struct(
+            dot(col("embedding"), c("centroid")).as("score"),
+            (-c("centroid_id")).as("neg_id")))))
+      .select(col("vec_id"), col("embedding"), (-col("best.neg_id")).as("list_id"))
+  }
+
+  /** Spherical k-means (Lloyd) refinement of the hash-sampled centroids:
+    * `iters` rounds of assign → per-list element-wise mean → renormalize
+    * to the unit sphere (so the dot-product argmax stays a cosine
+    * argmax). Lists that go empty keep their previous centroid.
+    *
+    * Scale shape: each round is the map-side [[assign]] plus ONE
+    * partial-aggregated shuffle of `nLists` × `dim` averages — the mean
+    * is computed as `dim` codegen'd avg(element_at) columns, never an
+    * explode. `sampleFraction` < 1 runs Lloyd on a uniform sample (the
+    * standard 100 TB move: centroid quality needs samples, not the
+    * corpus).
+    */
+  def refineCentroids(
+      embeddings: DataFrame,
+      cents: DataFrame,
+      iters: Int,
+      dim: Int,
+      sampleFraction: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    val pool =
+      if (sampleFraction >= 1.0) embeddings
+      else embeddings.sample(withReplacement = false, sampleFraction, seed)
+    var cur = cents
+    for (_ <- 0 until iters) {
+      val avgs = (0 until dim).map(i => avg(element_at(col("embedding"), i + 1)).as(s"m$i"))
+      val means = assign(pool, cur)
+        .groupBy("list_id")
+        .agg(avgs.head, avgs.tail: _*)
+        .select(col("list_id").as("centroid_id"),
+          array((0 until dim).map(i => col(s"m$i")): _*).as("mean"))
+      val norm = sqrt(aggregate(col("mean"), lit(0.0), (s, x) => s + x * x))
+      val safeNorm = when(norm > 0, norm).otherwise(lit(1.0))
+      val refined = means.select(col("centroid_id"),
+        transform(col("mean"), x => (x / safeNorm).cast("float")).as("next"))
+      cur = cur.select(col("centroid_id"), col("centroid").as("prev"))
+        .join(refined, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("next"), col("prev")).as("centroid"))
+    }
+    cur
   }
 
   /** Top-k by cosine for `probeId`, searching only the `nProbe` lists
@@ -55,8 +106,13 @@ object Ivf {
       probeId: Long,
       k: Int,
       nLists: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val cents = centroids(embeddings, nLists)
+      nProbe: Int = 4,
+      kmeansIters: Int = 0): DataFrame = {
+    val cents0 = centroids(embeddings, nLists)
+    val cents =
+      if (kmeansIters <= 0) cents0
+      else refineCentroids(embeddings, cents0, kmeansIters,
+        dim = embeddings.select(size(col("embedding"))).first().getInt(0))
     val indexed = assign(embeddings, cents)
     val probeEmb = embeddings.filter(col("vec_id") === probeId)
       .select(col("embedding").as("probe_emb"))
@@ -71,6 +127,59 @@ object Ivf {
       .filter(col("vec_id") =!= probeId)
       .crossJoin(broadcast(probeEmb))
       .select(col("vec_id"), round(dot(col("probe_emb"), col("embedding")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  // ---- persisted index ----------------------------------------------
+  // Probes above recompute centroid choice + assignment per call — fine
+  // for a one-shot query, wasteful for a query workload. The persisted
+  // form pays the assignment pass ONCE at build time and stores the
+  // corpus partitioned by list_id, so every probe is a partition-pruned
+  // read (plan shows PartitionFilters on list_id) of nProbe/nLists of
+  // the data plus a tiny centroids file.
+
+  /** Build and persist the IVF index: `path/centroids` (nLists rows) and
+    * `path/vectors` parquet partitioned by `list_id`.
+    */
+  def writeIndex(
+      embeddings: DataFrame,
+      path: String,
+      nLists: Int = 16,
+      kmeansIters: Int = 0): Unit = {
+    val cents0 = centroids(embeddings, nLists)
+    val cents =
+      if (kmeansIters <= 0) cents0
+      else refineCentroids(embeddings, cents0, kmeansIters,
+        dim = embeddings.select(size(col("embedding"))).first().getInt(0))
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val saved = embeddings.sparkSession.read.parquet(s"$path/centroids")
+    assign(embeddings, saved)
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/vectors")
+  }
+
+  /** Top-k by cosine against a persisted index. Centroid scoring runs on
+    * the (tiny) centroids file; the chosen list ids become LITERAL
+    * partition predicates, so the vectors scan reads only the probed
+    * list directories — the index is what makes repeated probes cheap.
+    */
+  def probeIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      probeVec: Array[Float],
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val probe = typedLit(probeVec)
+    // nProbe ids to the driver — metadata-sized, like any partition
+    // pruning value; NOT a data collect
+    val lists = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id"), dot(probe, col("centroid")).as("cs"))
+      .orderBy(col("cs").desc, col("centroid_id"))
+      .limit(nProbe)
+      .collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("list_id").isin(lists: _*)) // → PartitionFilters
+      .select(col("vec_id"), round(dot(probe, col("embedding")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }

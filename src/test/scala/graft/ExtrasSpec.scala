@@ -87,6 +87,17 @@ class ExtrasSpec extends SparkSpec {
     assert(bucketed.subsetOf(exact))
   }
 
+  test("banded sign-LSH near-dup (X12) recall >= 0.9 vs exact X06 pairs, precision 1.0") {
+    val exact = Ann.allPairsAbove(cat.embeddings, 0.4)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Ann.bandedPairsAbove(cat.embeddings, 0.4)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(banded.subsetOf(exact), s"false positives: ${banded -- exact}")
+    val recall = (exact & banded).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below 0.9 (found ${banded.size} of ${exact.size})")
+  }
+
   test("media pipeline: batch shape, determinism, real featurization") {
     val media = MediaPipeline.toMediaTable(cat.documents)
     assert(media.schema("media").dataType.typeName == "binary")

@@ -34,6 +34,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p02Plan.contains("c_acctbal"), "P02 scan should prune `c_acctbal`")
   }
 
+  test("IVF assign is map-side: no shuffle or window over the corpus") {
+    val cents = graft.vector.Ivf.centroids(cat.embeddings, 16)
+    val plan = graft.vector.Ivf.assign(cat.embeddings, cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"assign must not rank through a window:\n$plan")
+    // broadcast exchange of the one-row centroid array is fine; any
+    // shuffle (hash/range/single-partition exchange) is not
+    Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+      "Exchange SinglePartition").foreach { x =>
+      assert(!plan.contains(x), s"assign must not shuffle ($x):\n$plan")
+    }
+  }
+
   test("aggregations run partial before the shuffle (map-side combine)") {
     Seq("A01", "J01", "L05").foreach { id =>
       val plan = DfContract.all(id)(cat).queryExecution.executedPlan.toString

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.ops.Catalog
+import graft.text.MinHashDedup
+import graft.vector.{Ann, Ivf}
+
+/** Persisted-index + k-means-refinement properties:
+  *   - probes against a written index equal the recompute-everything
+  *     paths (and degenerate to brute force at full probe width);
+  *   - probe plans read only matching partitions (PartitionFilters);
+  *   - MinHash dedup from a persisted signature table equals the direct
+  *     pipeline;
+  *   - DotProduct null-on-length-mismatch (the certified zip_with
+  *     semantics) instead of silent truncation;
+  *   - Lloyd-refined IVF centroids don't lose recall vs the hash sample
+  *     on clustered data.
+  */
+class VectorIndexSpec extends SparkSpec {
+
+  lazy val cat: Catalog = Catalog(spark, sf01)
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def probeVecOf(id: Long): Array[Float] =
+    cat.embeddings.filter(col("vec_id") === id)
+      .select("embedding").first().getSeq[Float](0).toArray
+
+  test("DotProduct: length mismatch yields NULL, equal lengths the exact sum") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 2f), Array(3f, 4f), true),
+      (Array(1f, 2f), Array(3f, 4f, 5f), false)).toDF("a", "b", "ok")
+    val rows = df.select(col("ok"), VectorFunctions.dot(col("a"), col("b")).as("d")).collect()
+    rows.foreach { r =>
+      if (r.getBoolean(0)) assert(r.getDouble(1) == 11.0)
+      else assert(r.isNullAt(1), "ragged vectors must produce NULL, not a truncated score")
+    }
+  }
+
+  test("IVF persisted index: full-width probe equals brute force, plan partition-prunes") {
+    val path = tmp("graft_ivf_idx")
+    Ivf.writeIndex(cat.embeddings, path, nLists = 16)
+    val probed = Ivf.probeIndex(spark, path, probeVecOf(0), k = 6, nProbe = 16)
+    // the index probe naturally includes the probe vector itself (cos=1)
+    val got = probed.collect().map(_.getLong(0)).filter(_ != 0L).take(5).toSeq
+    val want = Ann.bruteForceTopK(cat.embeddings, 0, 5).collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    val plan = Ivf.probeIndex(spark, path, probeVecOf(0), k = 5, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("list_id"),
+      s"probe must prune list partitions:\n$plan")
+  }
+
+  test("ANN persisted index: full-radius probe equals brute force, plan partition-prunes") {
+    val path = tmp("graft_ann_idx")
+    Ann.writeIndex(cat.embeddings, path, nPlanes = 8)
+    val probed = Ann.probeIndex(spark, path, probeVecOf(0), k = 6, nPlanes = 8, probeRadius = 8)
+    val got = probed.collect().map(_.getLong(0)).filter(_ != 0L).take(5).toSeq
+    val want = Ann.bruteForceTopK(cat.embeddings, 0, 5).collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    val plan = Ann.probeIndex(spark, path, probeVecOf(0), k = 5, nPlanes = 8, probeRadius = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"),
+      s"probe must prune bucket partitions:\n$plan")
+    // multi-probe enumeration: radius-2 over 8 planes = 1 + 8 + 28 buckets
+    assert(Ann.bucketsWithin(0L, 8, 2).distinct.size == 37)
+  }
+
+  test("MinHash dedup from a persisted signature table equals the direct pipeline") {
+    val path = tmp("graft_minhash_sigs")
+    MinHashDedup.writeSignatures(cat.documents, path)
+    val sigs = MinHashDedup.readSignatures(spark, path)
+    val fromIndex = MinHashDedup.dedupWinners(cat.documents, sigs = Some(sigs))
+      .collect().map(_.getLong(0)).toSeq
+    val direct = MinHashDedup.dedupWinners(cat.documents)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fromIndex == direct)
+  }
+
+  test("IVF k-means refinement: recall on clustered data >= hash-sampled centroids") {
+    import spark.implicits._
+    // 8 well-separated unit clusters in 8-dim, small angular noise
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 256).map { i =>
+      val c = i % 8
+      val v = Array.tabulate(8)(d =>
+        (if (d == c) 1.0 else 0.0) + rng.nextGaussian() * 0.12)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(x => (x / n).toFloat))
+    }
+    val df: DataFrame = rows.toDF("vec_id", "embedding")
+    def recallAt(iters: Int): Double = {
+      val probes = Seq(0L, 3L, 5L, 10L, 21L, 42L)
+      probes.map { p =>
+        val exact = Ann.bruteForceTopK(df, p, 5).collect().map(_.getLong(0)).toSet
+        val approx = Ivf.ivfTopK(df, p, 5, nLists = 8, nProbe = 1, kmeansIters = iters)
+          .collect().map(_.getLong(0)).toSet
+        (exact & approx).size.toDouble / 5
+      }.sum / probes.size
+    }
+    val base = recallAt(0)
+    val refined = recallAt(3)
+    assert(refined >= base, s"refined recall $refined < hash-sampled $base")
+    assert(refined >= 0.75, s"refined recall $refined too low on separable clusters")
+  }
+}
