@@ -49,6 +49,8 @@ object Extras {
       graft.vector.Ivf.ivfTopK(c.embeddings, probeId = 0, k = 5, nLists = 16, nProbe = 4)),
     "X10_media_features" -> q(c =>
       MediaPipeline.mediaFeatures(c.spark, c.documents).limit(200)),
+    // tf-idf on top of the L04 document-frequency block (oracle-checked)
+    "X13_tfidf_top3" -> q(c => TextAnalysis.tfIdfTopTerms(c.documents, k = 3)),
     // banded sign-LSH near-dup: the scale path for X06 (recall >= 0.9 vs
     // the exact pairs, pinned in ExtrasSpec; precision 1.0 by re-score)
     "X12_embed_neardup_lsh" -> q(c => Ann.bandedPairsAbove(c.embeddings, 0.4)),
@@ -124,6 +126,17 @@ FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4
 ORDER BY i, j
+""".trim,
+    "X13_tfidf_top3" -> """
+WITH toks AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS w FROM documents),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (SELECT doc_id, tf.w AS w, tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+      FROM tf JOIN dfq ON tf.w = dfq.w CROSS JOIN n),
+r AS (SELECT doc_id, w, tfidf,
+      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn FROM s)
+SELECT doc_id, rn, w, ROUND(tfidf, 6) AS score FROM r WHERE rn <= 3 ORDER BY doc_id, rn
 """.trim
   )
 }

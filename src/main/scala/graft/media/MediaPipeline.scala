@@ -1,10 +1,16 @@
 package graft.media
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One decoded media record. `width`/`height` come from the (stubbed)
-  * decoder; `features` is a real byte-level feature vector.
+/** One decoded media record. `width`/`height` are REAL values decoded
+  * from the PNG payload; `features` is a 16-bin luma histogram over the
+  * decoded pixels.
   */
 final case class DecodedMedia(
     doc_id: Long,
@@ -17,53 +23,100 @@ final case class DecodedMedia(
 /** Multimodal-column plumbing: opaque `binary` payloads + typed
   * metadata, decoded and featurized in distributed batches.
   *
-  * The Spark-side structure is the deliverable (schema, partitioning,
-  * batch shape): media travels as a `binary` column beside a metadata
-  * struct; decode/feature-extract run per partition so a real codec
-  * would amortize native init across a batch, exactly like a Python
-  * `mapInPandas` batch UDF. The codec itself is STUBBED (no image/audio
-  * libraries in this environment) behind [[decodeStub]] — a
-  * deterministic fake with the same signature a real decoder would
-  * have; everything around it is real and tested.
+  * Media travels as a `binary` column beside a metadata struct;
+  * decode/feature-extract run per partition (mapPartitions) so codec
+  * state amortizes across a batch, exactly like a Python `mapInPandas`
+  * batch UDF. The codec is REAL: payloads are PNG images encoded and
+  * decoded with the JDK's javax.imageio (no external libraries), so
+  * `width`/`height`/`features` are true decoded values, not fakes.
+  * Swapping in a different format only changes the two pure functions
+  * [[synthesizePng]] (ingest stand-in) and [[decodeImage]].
   */
 object MediaPipeline {
 
-  /** Synthesize an opaque media column from the documents table: the
-    * UTF-8 payload stands in for image/audio bytes; `meta` carries the
-    * typed metadata a real ingest would attach.
+  /** Deterministic PNG stand-in for a real ingest payload: dimensions
+    * derive from doc_id, pixel content from the text hash, so the decode
+    * side can be verified against ground truth.
     */
-  def toMediaTable(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      col("text").cast("binary").as("media"),
-      struct(
-        lit("fake/utf8").as("kind"),
-        length(col("text")).as("n_bytes"),
-        col("lang").as("origin")).as("meta"))
-
-  /** STUB decoder — stands in for an image/audio codec. Deterministic:
-    * derives fake dimensions from the payload length. A real
-    * implementation would decode `bytes` here (per-partition, so codec
-    * state is reused across the batch).
-    */
-  private[media] def decodeStub(bytes: Array[Byte]): (Int, Int) = {
-    val n = bytes.length
-    (n % 640 + 1, (n * 7) % 480 + 1)
+  private[media] def synthesizePng(docId: Long, text: String): Array[Byte] = {
+    val w = 8 + (docId % 32).toInt
+    val h = 8 + ((docId * 3) % 24).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val seed = text.hashCode
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (seed * 31 + x * 7 + y * 131) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
   }
 
-  /** Real featurization: 16-bin byte histogram, L1-normalized. */
-  private[media] def byteHistogram(bytes: Array[Byte]): Array[Float] = {
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real PNG decode (JDK ImageIO). Fails fast on undecodable bytes —
+    * a corrupt payload must surface, not produce a plausible fake.
+    */
+  def decodeImage(bytes: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable media payload (${bytes.length} bytes)")
+    img
+  }
+
+  /** Decoded (width, height) of a PNG payload. */
+  def decodeDims(bytes: Array[Byte]): (Int, Int) = {
+    val img = decodeImage(bytes)
+    (img.getWidth, img.getHeight)
+  }
+
+  /** 16-bin luma histogram over decoded pixels, L1-normalized. */
+  private[media] def lumaHistogram(img: BufferedImage): Array[Float] = {
     val bins = new Array[Float](16)
-    var i = 0
-    while (i < bytes.length) {
-      bins((bytes(i) & 0xff) >>> 4) += 1f
-      i += 1
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        bins(luma >>> 4) += 1f
+        x += 1
+      }
+      y += 1
     }
-    if (bytes.length > 0) {
-      var b = 0
-      while (b < 16) { bins(b) /= bytes.length.toFloat; b += 1 }
-    }
+    val n = (w * h).toFloat
+    var b = 0
+    while (b < 16) { bins(b) /= n; b += 1 }
     bins
+  }
+
+  /** Synthesize an opaque media column from the documents table: one
+    * real PNG per document; `meta` carries the typed metadata a real
+    * ingest would attach. Encoding runs per partition on executors.
+    */
+  def toMediaTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text, lang) =>
+          val png = synthesizePng(id, text)
+          (id, png, "image/png", png.length, lang)
+        }
+      }
+      .toDF("doc_id", "media", "kind", "n_bytes", "origin")
+      .select(col("doc_id"), col("media"),
+        struct(col("kind"), col("n_bytes"), col("origin")).as("meta"))
   }
 
   /** Decode + featurize in partition-sized batches. Returns a typed
@@ -76,10 +129,12 @@ object MediaPipeline {
       .select(col("doc_id"), col("media"), col("meta.kind").as("kind"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { batch =>
-        // per-partition init of a real codec would go here
+        // per-partition: ImageIO codec lookup state is JVM-wide; a
+        // native codec would be initialized here once per batch
         batch.map { case (id, bytes, kind) =>
-          val (w, h) = decodeStub(bytes)
-          DecodedMedia(id, kind, bytes.length, w, h, byteHistogram(bytes))
+          val img = decodeImage(bytes)
+          DecodedMedia(id, kind, bytes.length,
+            img.getWidth, img.getHeight, lumaHistogram(img))
         }
       }
   }

@@ -158,4 +158,31 @@ object TextAnalysis {
       .select(col("i"), col("j"), round(jac, 6).as("jac"))
       .orderBy("i", "j")
   }
+
+  /** tf-idf scoring on top of the document-frequency building block
+    * (L04): score(d, w) = tf(d, w) · ln(N / df(w)), top-`k` terms per
+    * document. The per-corpus constants (N, and df via one shuffle on
+    * the term key) are tiny relative to the corpus; the heavy work is
+    * the map-side tokenize plus ONE (doc_id, w) aggregation with partial
+    * combine — the same shape as a word count. The per-document top-k
+    * window partitions on doc_id (never a global window).
+    */
+  def tfIdfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, term) pairs, so df is a count over them
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val win = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("w"))
+    tf.join(dfreq, Seq("w"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("rn"), col("w"), round(col("tfidf"), 6).as("score"))
+      .orderBy("doc_id", "rn")
+  }
 }

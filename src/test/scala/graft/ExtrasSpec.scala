@@ -98,7 +98,7 @@ class ExtrasSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below 0.9 (found ${banded.size} of ${exact.size})")
   }
 
-  test("media pipeline: batch shape, determinism, real featurization") {
+  test("media pipeline: real PNG decode recovers true dimensions, batch shape, determinism") {
     val media = MediaPipeline.toMediaTable(cat.documents)
     assert(media.schema("media").dataType.typeName == "binary")
     val decoded = MediaPipeline.decodeAndFeaturize(media).collect()
@@ -106,16 +106,28 @@ class ExtrasSpec extends SparkSpec {
     decoded.foreach { d =>
       assert(d.features.length == 16)
       assert(math.abs(d.features.sum - 1.0f) < 1e-3, s"histogram not normalized: ${d.doc_id}")
-      assert(d.width >= 1 && d.height >= 1)
+      // width/height are DECODED from the PNG bytes; they must equal the
+      // known synthesis dimensions — proves the codec read real pixels
+      assert(d.width == 8 + (d.doc_id % 32).toInt, s"width mismatch for ${d.doc_id}")
+      assert(d.height == 8 + ((d.doc_id * 3) % 24).toInt, s"height mismatch for ${d.doc_id}")
+      assert(d.n_bytes > 8, "PNG payload must be non-trivial")
     }
-    // n_bytes must equal n_chars (ASCII corpus) — decode saw real bytes
-    val nchars = cat.documents.select("doc_id", "n_chars")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    decoded.foreach(d => assert(d.n_bytes.toLong == nchars(d.doc_id)))
     // repartitioning must not change results (mapPartitions is per-row pure)
     val repart = MediaPipeline.decodeAndFeaturize(
       MediaPipeline.toMediaTable(cat.documents.repartition(7))).collect()
     assert(repart.map(_.doc_id).sorted.sameElements(decoded.map(_.doc_id).sorted))
+  }
+
+  test("PNG decode returns the true dimensions of a known image") {
+    val img = new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(4, 2, 0xabcdef)
+    val bytes = MediaPipeline.encodePng(img)
+    assert(MediaPipeline.decodeDims(bytes) == ((5, 3)))
+    val back = MediaPipeline.decodeImage(bytes)
+    assert((back.getRGB(4, 2) & 0xffffff) == 0xabcdef, "decoded pixel must round-trip")
+    intercept[IllegalArgumentException] {
+      MediaPipeline.decodeDims(Array[Byte](1, 2, 3))
+    }
   }
 
   test("dedup winners are stable under repartitioning (idempotent re-run)") {
