@@ -24,23 +24,52 @@ object Bench {
       Contract.all.map(_.id).filter(SparkEntry.queries.contains) ++
         SparkEntry.queries.keys.filterNot(Contract.byId.contains).toSeq.sorted
     val qmap = SparkEntry.queries
-    val results = ordered.map { name =>
-      val fn = qmap(name)
-      val best = (1 to 3).map { _ =>
+    // best-of-3 over SUCCESSFUL runs only; a failed query is reported
+    // explicitly (None → "failed" list + nonzero count), never silently
+    // dropped from the headline total
+    def bestOf(s: SparkSession, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        runs: Int): Option[Double] = {
+      val ok = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).collect(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      }.min
-      name -> best
+        try { fn(s, sfDir).collect(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] run failed: ${String.valueOf(e.getMessage).take(120)}")
+          None
+        }
+      }
+      ok.minOption
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = ordered.map(name => name -> bestOf(spark, qmap(name), runs = 3))
+    val failed = results.collect { case (k, None) => k }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
     // headline value = the 55 BASELINE.md contract queries (comparable
     // to the recorded baseline); the X* extras are timed separately.
     val (contract, extras) = results.partition { case (k, _) => Contract.byId.contains(k) }
-    val total = contract.map(_._2).filter(_ >= 0).sum
-    val extrasTotal = extras.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","extras_sec":$extrasTotal,"queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = contract.flatMap(_._2).sum
+    val extrasTotal = extras.flatMap(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // BASELINE.md was measured at local[4]; when this run uses a
+    // different core count, also time the contract suite at local[4] so
+    // round-over-round ratios never mix configurations
+    val local4 =
+      if (cpus == "4") total
+      else {
+        spark.stop()
+        val s4 = SparkSession.builder()
+          .master("local[4]")
+          .config("spark.sql.shuffle.partitions", "4")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        s4.sparkContext.setLogLevel("WARN")
+        val t = Contract.all.map(_.id).filter(qmap.contains)
+          .flatMap(name => bestOf(s4, qmap(name), runs = 2)).sum
+        s4.stop()
+        t
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"local4_contract_sec":$local4,"failed_queries":$failedJson,"n_failed":${failed.size},"extras_sec":$extrasTotal,"queries":$qs,"sf":"$sfDir"}""")
   }
 }

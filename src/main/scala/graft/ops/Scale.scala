@@ -24,13 +24,24 @@ object Scale {
     *     partial = Seq(count(lit(1)).as("c")),
     *     fin = Seq(sum("c").as("n")))
     */
+  /** Deterministic row salt: a hash of every column, NOT partition-id /
+    * monotonic-id based — those are indeterminate under shuffle-fetch
+    * failure and partial stage recompute, which can reassign rows to
+    * different salt buckets mid-retry and double-count or drop them (the
+    * classic indeterminate-shuffle hazard, at exactly the retry-heavy
+    * scale these utilities target). Identical duplicate rows share a
+    * salt; for that (rare) degenerate skew, add a distinct id upstream.
+    */
+  private def rowSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong))
+
   def saltedAggregate(
       df: DataFrame,
       keys: Seq[Column],
       saltBuckets: Int,
       partial: Seq[Column],
       fin: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val salted = df.withColumn("__salt", rowSalt(df, saltBuckets))
     salted
       .groupBy(keys :+ col("__salt"): _*)
       .agg(partial.head, partial.tail: _*)
@@ -51,8 +62,7 @@ object Scale {
       leftKey: Column,
       rightKey: Column,
       saltBuckets: Int): DataFrame = {
-    val saltedLeft = left.withColumn(
-      "__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val saltedLeft = left.withColumn("__salt", rowSalt(left, saltBuckets))
     val saltedRight = right.withColumn(
       "__rsalt", explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     saltedLeft

@@ -1,0 +1,46 @@
+package graft
+
+import graft.core.Canonical
+import graft.ops.{Catalog, ScalableWindows}
+
+/** The scalable global-window variants must be value-identical to the
+  * certified single-partition forms (same hashes as W04/W05) while
+  * keeping every window partitioned — no Exchange SinglePartition in
+  * the plan.
+  */
+class ScalableWindowsSpec extends SparkSpec {
+
+  lazy val cat: Catalog = Catalog(spark, sf01)
+
+  test("scalable W05 (two-pass rank family) hash-equals the certified result") {
+    assert(Canonical.hash16(ScalableWindows.w05Scalable(cat.customer))
+      == Contract.hash01("W05"))
+  }
+
+  test("scalable W04 (compressed-domain RANGE count) hash-equals the certified result") {
+    assert(Canonical.hash16(ScalableWindows.w04Scalable(cat.part))
+      == Contract.hash01("W04"))
+  }
+
+  test("scalable variants have no single-partition exchange in the plan") {
+    Seq(
+      ScalableWindows.w05Scalable(cat.customer),
+      ScalableWindows.w04Scalable(cat.part)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"scalable window plan must not funnel to one partition:\n$plan")
+    }
+  }
+
+  test("global row number is a correct total-order numbering under skewed partitioning") {
+    val df = ScalableWindows.withGlobalRowNumber(
+      cat.orders.repartition(13), Seq("o_totalprice", "o_orderkey"), out = "g_rn")
+    val rows = df.select("o_totalprice", "o_orderkey", "g_rn")
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    assert(rows.map(_._3).toSeq == (1L to rows.length).toSeq, "row numbers must be 1..N dense")
+    assert(rows.toSeq == rows.sortBy(t => (t._1, t._2)).toSeq,
+      "numbering must follow the (o_totalprice, o_orderkey) total order")
+  }
+}
