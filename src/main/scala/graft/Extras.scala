@@ -65,6 +65,18 @@ object Extras {
         .select("embedding").first().getSeq[Float](0).toArray
       graft.vector.Ivf.probeIndex(c.spark, idx, probeVec, k = 6, nProbe = 4)
         .filter(col("vec_id") =!= 0).limit(5)
+    }),
+    // dedup from a persisted signature table: the signature pass (the
+    // dominant dedup cost) is paid once per corpus; repeat calls reuse
+    // it. Deterministic (signatures are a pure function of the corpus),
+    // and ExtrasSpec pins from-signatures ≡ direct.
+    "X15_minhash_from_sigs" -> q(c => {
+      val sigDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_minhash_sigs_" + Integer.toHexString(c.dir.hashCode)).toString
+      if (!new java.io.File(sigDir, "_SUCCESS").exists())
+        MinHashDedup.writeSignatures(c.documents, sigDir)
+      MinHashDedup.dedupWinners(c.documents,
+        sigs = Some(MinHashDedup.readSignatures(c.spark, sigDir)))
     })
   )
 

@@ -37,6 +37,42 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
 
   /** All operator ids available through [[ops]]. */
   def opIds: Seq[String] = graft.ops.DfContract.all.keys.toSeq.sorted
+
+  // ---- persisted-index surface (build once, probe cheaply) ----------
+
+  /** Build the IVF similarity index at `path` (vectors partitioned by
+    * centroid list; probes prune to nProbe lists).
+    */
+  def buildIvfIndex(path: String, nLists: Int = 16, kmeansIters: Int = 0): Unit =
+    graft.vector.Ivf.writeIndex(tables.embeddings, path, nLists, kmeansIters)
+
+  /** Top-k cosine probe against a built IVF index. */
+  def probeIvf(path: String, probeVec: Array[Float], k: Int, nProbe: Int = 4): DataFrame =
+    graft.vector.Ivf.probeIndex(spark, path, probeVec, k, nProbe)
+
+  /** Build the sign-LSH similarity index at `path` (vectors partitioned
+    * by bucket; probes prune to the multi-probe bucket set).
+    */
+  def buildAnnIndex(path: String, nPlanes: Int = 8, seed: Long = 42L): Unit =
+    graft.vector.Ann.writeIndex(tables.embeddings, path, nPlanes, seed)
+
+  /** Top-k cosine probe against a built LSH index (same nPlanes/seed as
+    * the build).
+    */
+  def probeAnn(path: String, probeVec: Array[Float], k: Int,
+      nPlanes: Int = 8, probeRadius: Int = 2, seed: Long = 42L): DataFrame =
+    graft.vector.Ann.probeIndex(spark, path, probeVec, k, nPlanes, probeRadius, seed)
+
+  /** Persist the MinHash signature table — the expensive pass of near-
+    * dup dedup, paid once.
+    */
+  def buildMinHashSignatures(path: String): Unit =
+    graft.text.MinHashDedup.writeSignatures(tables.documents, path)
+
+  /** Near-dup dedup winners starting from a persisted signature table. */
+  def dedupFromSignatures(path: String): DataFrame =
+    graft.text.MinHashDedup.dedupWinners(tables.documents,
+      sigs = Some(graft.text.MinHashDedup.readSignatures(spark, path)))
 }
 
 object GraftEngine {

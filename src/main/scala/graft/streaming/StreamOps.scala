@@ -1,9 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.sources.Tables
+
+/** First-seen winner of one content fingerprint in the dedup stream. */
+final case class DedupWinner(doc_id: Long, fp: Long)
 
 /** Structured Streaming operators over the events stream (E3,
   * SURVEY.md §3): the same DataFrame algebra as the batch contract
@@ -57,6 +61,45 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour", "30 minutes"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
       .select(col("window.start").as("w_start"), col("n"), col("s"))
+
+  /** File-source stream of documents (pinned schema) — a landing zone
+    * for the streaming dedup path.
+    */
+  def documentsStream(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(Tables.schemas("documents"))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
+  /** Streaming exact dedup with custom state: emit one winner per
+    * content fingerprint (xxhash64 of the text), the first occurrence
+    * seen on the stream (min doc_id within its arrival micro-batch);
+    * every later duplicate is dropped against keyed state.
+    *
+    * Scale shape: state is ONE boolean per distinct fingerprint, hash-
+    * partitioned by fingerprint across executors — the streaming twin of
+    * X04's 32-byte-key groupBy. Documents themselves never enter state.
+    * Unbounded corpora would add a TTL via GroupStateTimeout; the
+    * NoTimeout form keeps exact first-seen semantics.
+    *
+    * Also runs in batch mode (state starts empty per run), where it
+    * degenerates to min-doc_id-per-fingerprint — the L02/X04 contract.
+    */
+  def streamingExactDedup(documents: DataFrame): Dataset[DedupWinner] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id"), xxhash64(col("text")).as("fp"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (fp: Long, rows: Iterator[(Long, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(DedupWinner(rows.map(_._1).min, fp))
+          })
+  }
 
   /** Session windows with a 30-minute gap per user — streaming form of
     * T03 (merging session state instead of gaps-and-islands windows).

@@ -95,6 +95,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful streaming dedup: exactly one winner per fingerprint across micro-batches") {
+    val docs = Tables.load(spark, sf1, "documents") // sf0.1 has 8 duplicate groups
+    val srcDir = Files.createTempDirectory("graft-stream-dedup")
+    // three micro-batches split by doc_id
+    Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2))
+      .zipWithIndex.foreach { case (c, i) => writeChunk(c, srcDir, s"chunk$i") }
+    val stream = StreamOps.streamingExactDedup(
+      StreamOps.documentsStream(spark, srcDir.toString))
+    val query = stream.writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    val winners = spark.table("dedup_stream").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // one winner per distinct fingerprint, never more
+    assert(winners.map(_._2).distinct.length == winners.length, "duplicate fp emitted")
+    val batchDistinct = docs.select(xxhash64(col("text"))).distinct().count()
+    assert(winners.length.toLong == batchDistinct)
+    // non-duplicated documents must win for themselves
+    val dupIds = docs.groupBy("text").agg(collect_list("doc_id").as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(explode(col("ids"))).collect().map(_.getLong(0)).toSet
+    val winnerIds = winners.map(_._1).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((allIds -- dupIds).subsetOf(winnerIds), "a unique document lost its own fingerprint")
+    // batch-mode run of the same operator = min doc_id per fingerprint
+    val batchWinners = StreamOps.streamingExactDedup(docs).collect().map(_.doc_id).toSet
+    val l02Winners = docs.groupBy("text").agg(min("doc_id").as("keep")).select("keep")
+      .collect().map(_.getLong(0)).toSet
+    assert(batchWinners == l02Winners)
+  }
+
   test("tumbling window stream ≡ batch T01, late rows dropped") {
     // late rows: clones of the 5 earliest events with fresh ids — their
     // hour windows are far behind the watermark after chunk 0
