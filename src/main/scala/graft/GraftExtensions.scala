@@ -4,14 +4,14 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, DotProductRewrite}
 
 /** Session-extension entry point: register the engine's native
-  * expressions with any session via
+  * expressions and optimizer rules with any session via
   *   spark.sql.extensions=graft.GraftExtensions
   * (or `SparkSession.builder.withExtensions(new GraftExtensions)`).
   * Runtime registration for an existing session is
-  * [[graft.functions.VectorFunctions.register]].
+  * [[graft.functions.VectorFunctions.register]] + [[graft.core.Engine.configure]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -22,5 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "graft_dot(a, b) takes two array<float> args")
         DotProduct(exprs.head, exprs(1))
       }))
+    // SQL-dialect aggregate(zip_with(...)) folds → codegen'd DotProduct
+    ext.injectOptimizerRule(_ => DotProductRewrite)
   }
 }

@@ -43,17 +43,23 @@ object Engine {
       .config("spark.sql.datetime.java8API.enabled", "true")
       .config("spark.ui.enabled", "false")
     extra.foreach { case (k, v) => b.config(k, v) }
-    b.getOrCreate()
+    configure(b.getOrCreate())
   }
 
   /** Apply the graft-required runtime confs to an externally created
     * session (e.g. the driver's Verify/Bench sessions). All three are
-    * runtime-settable SQL confs in Spark 4.
+    * runtime-settable SQL confs in Spark 4. Also injects the
+    * DotProductRewrite optimizer rule (idempotently) so SQL-dialect
+    * vector folds run through the codegen'd kernel.
     */
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    if (!spark.experimental.extraOptimizations.contains(graft.functions.DotProductRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.functions.DotProductRewrite
+    graft.functions.VectorFunctions.register(spark) // graft_dot for SQL; idempotent
     spark
   }
 }

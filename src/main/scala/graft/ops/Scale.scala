@@ -87,4 +87,19 @@ object Scale {
   def clusterBy(df: DataFrame, numPartitions: Int, keys: Column*): DataFrame =
     df.repartitionByRange(numPartitions, keys: _*)
       .sortWithinPartitions(keys: _*)
+
+  /** Distributed approximate percentiles via the percentile_approx
+    * sketch: mergeable across partitions, bounded memory per group —
+    * the scale path where an exact percentile would need a full sort.
+    * `accuracy` trades memory for error (guarantee: rank error ≤
+    * n/accuracy). Excluded from the oracle contract (sketch output);
+    * accuracy is pinned by a property test against exact percentiles.
+    */
+  def approxPercentiles(
+      df: DataFrame,
+      target: Column,
+      probs: Seq[Double],
+      accuracy: Int = 10000): DataFrame =
+    df.agg(percentile_approx(
+      target, array(probs.map(lit): _*), lit(accuracy)).as("pcts"))
 }

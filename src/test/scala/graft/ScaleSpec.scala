@@ -43,6 +43,25 @@ class ScaleSpec extends SparkSpec {
     assert(err <= 0.15, s"approx $approx vs exact $exact (err $err)")
   }
 
+  test("approxPercentiles within rank-error bound of exact percentiles") {
+    val probs = Seq(0.1, 0.5, 0.9, 0.99)
+    val approx = Scale.approxPercentiles(cat.lineitem, col("l_extendedprice"), probs)
+      .collect()(0).getSeq[Double](0)
+    val exact = cat.lineitem
+      .agg(expr(s"percentile(l_extendedprice, array(${probs.mkString(",")}))"))
+      .collect()(0).getSeq[Double](0)
+    val n = cat.lineitem.count()
+    // rank error <= n/accuracy; convert to a value tolerance by checking
+    // the approx value's true rank is within bound of the target rank
+    val sorted = cat.lineitem.select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+    probs.zip(approx).foreach { case (p, v) =>
+      val rank = sorted.count(_ <= v).toDouble
+      assert(math.abs(rank - p * n) <= n / 10000.0 + 1,
+        s"p=$p approx=$v rank=$rank target=${p * n}")
+    }
+    assert(approx.length == exact.length)
+  }
+
   test("clusterBy preserves content and produces range-sorted partitions") {
     val src = cat.orders.select("o_orderkey", "o_custkey")
     val clustered = Scale.clusterBy(src, 8, col("o_orderkey"))
