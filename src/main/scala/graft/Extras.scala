@@ -77,7 +77,14 @@ object Extras {
         MinHashDedup.writeSignatures(c.documents, sigDir)
       MinHashDedup.dedupWinners(c.documents,
         sigs = Some(MinHashDedup.readSignatures(c.spark, sigDir)))
-    })
+    }),
+    // transitive duplicate clusters over the verified near-dup graph
+    // (property-tested against driver-side union-find in ExtrasSpec)
+    "X16_dup_clusters" -> q(c =>
+      MinHashDedup.duplicateClusters(MinHashDedup.verifiedPairs(c.documents))),
+    // rolling-hash winnowing fingerprint near-dup pairs (property-tested:
+    // exact duplicates score 1.0; stable under repartitioning)
+    "X17_winnow_pairs" -> q(c => TextAnalysis.winnowPairs(c.documents, threshold = 0.5))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token

@@ -175,6 +175,45 @@ object MinHashDedup {
       .orderBy("doc_id")
   }
 
+  /** Transitive duplicate clusters: connected components over a near-
+    * duplicate pair graph (i, j), as iterative min-label propagation —
+    * each node's label becomes the smallest doc_id it can reach; the
+    * label IS the cluster id (and the cluster's canonical survivor,
+    * matching the min-doc_id-wins contract).
+    *
+    * Scale shape: one edge-keyed join + min-aggregate per iteration,
+    * converging in O(cluster diameter) rounds — near-dup clusters are
+    * tiny and shallow in practice. `localCheckpoint` truncates the
+    * lineage each round so the plan stays constant-size; the per-round
+    * convergence count is one metadata action. Deterministic: labels
+    * depend only on graph structure.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
+      .distinct()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges.join(labels, col("b") === col("node"))
+        .groupBy(col("a"))
+        .agg(min("label").as("nlabel"))
+      val updated = labels
+        .join(neighborMin, col("node") === col("a"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("next"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("next") =!= col("label")).count()
+      labels = updated.select(col("node"), col("next").as("label"))
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental dedup — the 100 TB ingest workflow: admit a NEW batch
     * of documents against an EXISTING corpus using only the corpus's
     * persisted signature table. A new document loses if it near-

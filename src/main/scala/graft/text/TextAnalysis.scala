@@ -159,6 +159,55 @@ object TextAnalysis {
       .orderBy("i", "j")
   }
 
+  /** MOSS-style winnowing fingerprints: hash every char `k`-gram
+    * (a rolling hash over the text), then keep the minimum hash of each
+    * length-`w` window of consecutive k-gram hashes. The winnowed set is
+    * ~2/(w+1) the size of the full k-gram set yet guarantees any match
+    * of length ≥ k+w-1 shares a fingerprint — the standard local-
+    * fingerprinting scheme for plagiarism/near-dup detection.
+    *
+    * Entirely map-side (higher-order functions over each row); docs
+    * shorter than k+w-1 chars get an empty set (guarding sequence()'s
+    * descending-range behavior, same hazard as [[shingles]]).
+    */
+  def winnowFingerprints(documents: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    documents.select(col("doc_id"),
+      expr(
+        s"""CASE WHEN length(text) >= ${k + w - 1}
+           | THEN array_distinct(transform(
+           |   sequence(1, length(text) - ${k + w - 2}),
+           |   j -> array_min(transform(sequence(j, j + ${w - 1}),
+           |                            i -> xxhash64(substring(text, i, $k))))))
+           | ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin).as("fps"))
+
+  /** Document pairs whose winnowing-fingerprint Jaccard ≥ `threshold` —
+    * near-dup candidate detection on the compressed fingerprint sets
+    * (the join key is an 8-byte hash; the set is a fraction of the
+    * k-gram set, so the pairwise machinery costs ~1/(w/2)² of the exact
+    * shingle join).
+    */
+  def winnowPairs(
+      documents: DataFrame,
+      k: Int = 8,
+      w: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val fp = winnowFingerprints(documents, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("f"))
+      .distinct()
+    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = fp.as("a")
+      .join(fp.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") / (col("sa.sz") + col("sb.sz") - col("c"))
+    inter
+      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+      .filter(jac >= threshold)
+      .select(col("i"), col("j"), round(jac, 6).as("jac"))
+      .orderBy("i", "j")
+  }
+
   /** tf-idf scoring on top of the document-frequency building block
     * (L04): score(d, w) = tf(d, w) · ln(N / df(w)), top-`k` terms per
     * document. The per-corpus constants (N, and df via one shuffle on

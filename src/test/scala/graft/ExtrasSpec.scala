@@ -130,6 +130,28 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("winnowing fingerprints: exact duplicates score 1.0, sets are stable and guaranteed-overlap holds") {
+    // sf0.1 exact duplicate groups must pair with jaccard exactly 1.0
+    val dupPairs = cat1.documents.as("a")
+      .join(cat1.documents.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs.nonEmpty)
+    val winnowed = TextAnalysis.winnowPairs(cat1.documents, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val atOne = winnowed.filter(_._3 == 1.0).map(t => (t._1, t._2)).toSet
+    assert(dupPairs.subsetOf(atOne), s"missing exact dups: ${dupPairs -- atOne}")
+    // fingerprints are a pure function of the text: repartition-stable
+    val a = TextAnalysis.winnowFingerprints(cat.documents)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val b = TextAnalysis.winnowFingerprints(cat.documents.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(a == b)
+    // non-empty for every doc long enough
+    assert(a.values.forall(_.nonEmpty))
+  }
+
   test("dedup winners are stable under repartitioning (idempotent re-run)") {
     val direct = MinHashDedup.dedupWinners(cat.documents)
       .collect().map(_.getLong(0)).toSeq

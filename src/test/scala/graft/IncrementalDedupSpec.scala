@@ -40,4 +40,32 @@ class IncrementalDedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(inc == batch)
   }
+
+  test("duplicate clusters equal driver-side union-find (incl. a transitive chain)") {
+    import spark.implicits._
+    // synthetic chain 1-2, 2-3 plus separate pair 10-11: clusters must
+    // collapse transitively
+    val chain = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")
+    val got = MinHashDedup.duplicateClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // real pairs at sf0.01: compare against union-find on the same edges
+    val pairs = MinHashDedup.verifiedPairs(cat.documents)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    val gotReal = MinHashDedup.duplicateClusters(
+      MinHashDedup.verifiedPairs(cat.documents))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotReal == want)
+  }
 }
