@@ -84,7 +84,9 @@ object Extras {
       MinHashDedup.duplicateClusters(MinHashDedup.verifiedPairs(c.documents))),
     // rolling-hash winnowing fingerprint near-dup pairs (property-tested:
     // exact duplicates score 1.0; stable under repartitioning)
-    "X17_winnow_pairs" -> q(c => TextAnalysis.winnowPairs(c.documents, threshold = 0.5))
+    "X17_winnow_pairs" -> q(c => TextAnalysis.winnowPairs(c.documents, threshold = 0.5)),
+    // sequence packing into 4096-token bins (oracle-checked)
+    "X18_packing" -> q(c => TextAnalysis.packIntoBins(c.documents, maxTokens = 4096L))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -145,6 +147,12 @@ FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4
 ORDER BY i, j
+""".trim,
+    "X18_packing" -> """
+WITH t AS (SELECT doc_id, CAST(len(list_filter(str_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+SELECT doc_id, n_tokens, CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS bin
+FROM c ORDER BY doc_id
 """.trim,
     "X13_tfidf_top3" -> """
 WITH toks AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS w FROM documents),

@@ -78,6 +78,46 @@ object ScalableWindows {
       .drop("__b", "__local_rn", "__offset")
   }
 
+  /** Adds `out` = global running sum of `valueCol` over the total order
+    * `order` (inclusive of the current row) — a distributed prefix sum.
+    * Same two-pass shape as [[withGlobalRowNumber]]: literal quantile
+    * buckets on the first order key, per-bucket local running sum, plus
+    * each bucket's cumulative total (metadata-sized, merged driver-side).
+    */
+  def withGlobalRunningSum(
+      df: DataFrame,
+      order: Seq[String],
+      valueCol: String,
+      out: String = "run_sum",
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val boundaries = df
+      .select(col(order.head).cast("double").as("__k"))
+      .stat.approxQuantile("__k", probs, 0.001)
+      .distinct.sorted
+    val bucketExpr = boundaries
+      .map(b => when(col(order.head).cast("double") > lit(b), 1).otherwise(0))
+      .foldLeft(lit(0))(_ + _)
+    val staged = df.withColumn("__b", bucketExpr)
+    val totals = staged.groupBy("__b").agg(sum(col(valueCol)).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+      .init.zip(totals).map { case ((_, off), (b, _)) => (b, off) }
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("__b", "__offset")
+    val localWin = Window.partitionBy("__b").orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged
+      .withColumn("__local", sum(col(valueCol)).over(localWin))
+      .join(broadcast(offsetsDf), Seq("__b"))
+      .withColumn(out, (col("__offset") + col("__local")).cast("long"))
+      .drop("__b", "__local", "__offset")
+  }
+
   /** Spark-exact NTILE(buckets) from a global row number and the total
     * row count: the first (N mod buckets) buckets get ceil(N/buckets)
     * rows, the rest floor(N/buckets).

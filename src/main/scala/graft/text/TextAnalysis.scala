@@ -208,6 +208,23 @@ object TextAnalysis {
       .orderBy("i", "j")
   }
 
+  /** Sequence packing for training pipelines: concatenate documents in
+    * doc_id order and chunk the token stream into bins of `maxTokens` —
+    * each document is assigned the bin where it STARTS
+    * (bin = floor((prefix_sum − own_tokens) / maxTokens)). Deterministic,
+    * SQL-expressible (oracle-checked as X18) and computed with the
+    * distributed prefix sum — no single-partition window.
+    */
+  def packIntoBins(documents: DataFrame, maxTokens: Long): DataFrame = {
+    val withTok = documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.ops.ScalableWindows
+      .withGlobalRunningSum(withTok, Seq("doc_id"), "n_tokens", out = "cum")
+      .select(col("doc_id"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / maxTokens).cast("bigint").as("bin"))
+      .orderBy("doc_id")
+  }
+
   /** tf-idf scoring on top of the document-frequency building block
     * (L04): score(d, w) = tf(d, w) · ln(N / df(w)), top-`k` terms per
     * document. The per-corpus constants (N, and df via one shuffle on

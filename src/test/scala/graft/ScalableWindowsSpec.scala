@@ -32,6 +32,23 @@ class ScalableWindowsSpec extends SparkSpec {
     }
   }
 
+  test("global running sum equals the single-partition window form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val src = cat.documents.select(col("doc_id"), col("n_chars"))
+    val naive = src
+      .withColumn("cum", sum("n_chars").over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val scalable = ScalableWindows
+      .withGlobalRunningSum(src, Seq("doc_id"), "n_chars", out = "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scalable == naive)
+    val plan = ScalableWindows.withGlobalRunningSum(src, Seq("doc_id"), "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"))
+  }
+
   test("global row number is a correct total-order numbering under skewed partitioning") {
     val df = ScalableWindows.withGlobalRowNumber(
       cat.orders.repartition(13), Seq("o_totalprice", "o_orderkey"), out = "g_rn")
