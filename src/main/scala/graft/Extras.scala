@@ -86,7 +86,23 @@ object Extras {
     // exact duplicates score 1.0; stable under repartitioning)
     "X17_winnow_pairs" -> q(c => TextAnalysis.winnowPairs(c.documents, threshold = 0.5)),
     // sequence packing into 4096-token bins (oracle-checked)
-    "X18_packing" -> q(c => TextAnalysis.packIntoBins(c.documents, maxTokens = 4096L))
+    "X18_packing" -> q(c => TextAnalysis.packIntoBins(c.documents, maxTokens = 4096L)),
+    // one-pass table profile (oracle-checked)
+    "X19_profile" -> q(c => graft.ops.Profile.profile(c.documents)),
+    // native merge-based as-of join exec (custom LogicalPlan + Strategy
+    // + SparkPlan) — checked against the same DuckDB ASOF oracle as J10
+    "X20_asof_native" -> q(c => {
+      val clicks = c.events.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = c.events.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      graft.plans.AsOfJoin
+        .asof(clicks, purchases, "user_id", "p_user", "ts", "p_ts", "purchase_id")
+        .select(col("event_id"), col("purchase_id"))
+        .orderBy("event_id")
+        .limit(200)
+    })
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -154,6 +170,13 @@ c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN 
 SELECT doc_id, n_tokens, CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS bin
 FROM c ORDER BY doc_id
 """.trim,
+    "X20_asof_native" -> Contract.byId("J10").duckSql,
+    "X19_profile" -> Seq("doc_id", "lang", "n_chars", "source", "text").map(c =>
+      s"""SELECT '$c' AS "column", COUNT($c) AS n_nonnull,
+         | COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS n_distinct,
+         | CAST(MIN($c) AS VARCHAR) AS mn, CAST(MAX($c) AS VARCHAR) AS mx
+         | FROM documents""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
     "X13_tfidf_top3" -> """
 WITH toks AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS w FROM documents),
 tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),

@@ -24,5 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // SQL-dialect aggregate(zip_with(...)) folds → codegen'd DotProduct
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    // native merge-based as-of join (AsOfJoinPlan → AsOfJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -60,6 +60,7 @@ object Engine {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.functions.DotProductRewrite
     graft.functions.VectorFunctions.register(spark) // graft_dot for SQL; idempotent
+    graft.plans.AsOfJoin.registerStrategy(spark) // native as-of planning; idempotent
     spark
   }
 }

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the data-quality first look every ingest runs:
+  * per column, non-null / null / exact-distinct counts and min/max
+  * (rendered as strings so one schema fits every column type).
+  *
+  * ONE aggregation pass over the table computes every column's stats
+  * (Catalyst expands the multi-distinct into a single multi-phase
+  * plan with partial aggregation); the per-column unpivot happens on
+  * the single result row. For very wide tables (hundreds of columns)
+  * batch the columns across several calls; for approximate profiling
+  * at 100 TB swap countDistinct for approx_count_distinct
+  * ([[Scale.approxDistinct]]).
+  */
+object Profile {
+
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__total")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"__n_$c").as("n_nonnull"),
+        (col("__total") - col(s"__n_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("mn"),
+        col(s"__mx_$c").as("mx"))
+    }
+    row.select(explode(array(perCol: _*)).as("p"))
+      .select("p.*")
+      .orderBy("column")
+  }
+}

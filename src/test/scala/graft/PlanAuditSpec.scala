@@ -47,6 +47,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("extras plans: tf-idf windows on doc_id, packing never funnels to one partition") {
+    val x13 = graft.text.TextAnalysis.tfIdfTopTerms(cat.documents, 3)
+      .queryExecution.executedPlan.toString
+    // the top-k window must partition by doc_id, never run global
+    assert(x13.contains("windowspecdefinition(doc_id"), s"X13 window not keyed by doc_id:\n$x13")
+    val x18 = graft.text.TextAnalysis.packIntoBins(cat.documents, 4096L)
+      .queryExecution.executedPlan.toString
+    assert(!x18.contains("Exchange SinglePartition"), s"X18 must not single-partition:\n$x18")
+  }
+
   test("aggregations run partial before the shuffle (map-side combine)") {
     Seq("A01", "J01", "L05").foreach { id =>
       val plan = DfContract.all(id)(cat).queryExecution.executedPlan.toString
