@@ -16,7 +16,14 @@ object Explain {
     val cat = Catalog(spark, sfDir)
     ids.foreach { id =>
       println(s"\n========== $id ==========")
-      DfContract.all(id)(cat).explain("formatted")
+      DfContract.all.get(id) match {
+        case Some(fn) => fn(cat).explain("formatted")
+        case None =>
+          Extras.queries.get(id) match {
+            case Some(fn) => fn(spark, sfDir).explain("formatted")
+            case None => println(s"unknown id: $id (contract ids + ${Extras.queries.keys.toSeq.sorted.mkString(", ")})")
+          }
+      }
     }
     spark.stop()
   }

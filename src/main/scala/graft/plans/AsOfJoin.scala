@@ -167,6 +167,11 @@ object AsOfJoin {
     registerStrategy(spark)
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
+    // self-join safety: shared attribute lineage would duplicate exprIds
+    // in the output; force the caller to alias one side (as any
+    // self-join in Spark must)
+    require(lp.outputSet.intersect(rp.outputSet).isEmpty,
+      "as-of join sides share attribute lineage — alias the right side's columns")
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))

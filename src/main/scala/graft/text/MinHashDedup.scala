@@ -189,9 +189,13 @@ object MinHashDedup {
     * depend only on graph structure.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the (small) edge set ONCE — every iteration joins
+    // against it, and without this the upstream pair pipeline (shingle
+    // join / LSH verify) would re-execute per round
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
       .distinct()
+      .localCheckpoint(true)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)

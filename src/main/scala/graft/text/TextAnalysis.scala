@@ -159,41 +159,50 @@ object TextAnalysis {
       .orderBy("i", "j")
   }
 
-  /** MOSS-style winnowing fingerprints: hash every char `k`-gram
-    * (a rolling hash over the text), then keep the minimum hash of each
-    * length-`w` window of consecutive k-gram hashes. The winnowed set is
-    * ~2/(w+1) the size of the full k-gram set yet guarantees any match
-    * of length ≥ k+w-1 shares a fingerprint — the standard local-
-    * fingerprinting scheme for plagiarism/near-dup detection.
-    *
-    * Entirely map-side (higher-order functions over each row); docs
-    * shorter than k+w-1 chars get an empty set (guarding sequence()'s
-    * descending-range behavior, same hazard as [[shingles]]).
+  /** MOSS-style winnowing fingerprints: a rolling Rabin–Karp hash over
+    * char `k`-grams, reduced to the distinct minima of each length-`w`
+    * hash window. The winnowed set is ~2/(w+1) the size of the k-gram
+    * set yet guarantees any match of length ≥ k+w-1 shares a
+    * fingerprint — the standard local-fingerprinting scheme for
+    * plagiarism/near-dup detection. Entirely map-side via the native
+    * [[graft.functions.WinnowHash]] expression (one compiled pass per
+    * document; the interpreted higher-order-function form cost ~4 µs
+    * per hashed window). Docs shorter than k+w-1 chars get an empty
+    * set.
     */
-  def winnowFingerprints(documents: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+  def winnowFingerprints(documents: DataFrame, k: Int = 12, w: Int = 4): DataFrame =
     documents.select(col("doc_id"),
-      expr(
-        s"""CASE WHEN length(text) >= ${k + w - 1}
-           | THEN array_distinct(transform(
-           |   sequence(1, length(text) - ${k + w - 2}),
-           |   j -> array_min(transform(sequence(j, j + ${w - 1}),
-           |                            i -> xxhash64(substring(text, i, $k))))))
-           | ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin).as("fps"))
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.WinnowHash(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("text")), k, w)).as("fps"))
 
   /** Document pairs whose winnowing-fingerprint Jaccard ≥ `threshold` —
     * near-dup candidate detection on the compressed fingerprint sets
     * (the join key is an 8-byte hash; the set is a fraction of the
-    * k-gram set, so the pairwise machinery costs ~1/(w/2)² of the exact
-    * shingle join).
+    * k-gram set).
+    *
+    * Hot-key control: fingerprints present in more than `maxDf`
+    * documents are dropped BEFORE the self-join (the standard stop-
+    * fingerprint move — a k-gram shared by hundreds of unrelated docs
+    * carries no near-dup signal but would square the join). Jaccard is
+    * computed over the retained sets on both sides, so exact duplicates
+    * still score exactly 1.0. `k` defaults to 12 chars: long enough
+    * that cross-document collisions are rare outside genuinely shared
+    * spans.
     */
   def winnowPairs(
       documents: DataFrame,
-      k: Int = 8,
+      k: Int = 12,
       w: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    val fp = winnowFingerprints(documents, k, w)
+      threshold: Double = 0.5,
+      maxDf: Int = 50): DataFrame = {
+    val fpAll = winnowFingerprints(documents, k, w)
       .select(col("doc_id"), explode(col("fps")).as("f"))
       .distinct()
+    val rare = fpAll.groupBy("f").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("f")
+    val fp = fpAll.join(rare, Seq("f"), "left_semi")
     val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = fp.as("a")
       .join(fp.as("b"), col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
