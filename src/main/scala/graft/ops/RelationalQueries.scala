@@ -159,30 +159,27 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     },
-    // J10 — as-of join, scalable formulation (SURVEY.md §4.3.1): union
-    // both event kinds, one shuffle on user_id, running `last purchase`
-    // window — no click×purchase pair blowup. At equal ts a purchase
-    // sorts before a click (inclusive match) and later purchase ids win
-    // (the certified tie-break).
+    // J10 — as-of join, served by the NATIVE merge exec
+    // (graft.plans.AsOfJoin): children co-partitioned on user_id and
+    // sorted, single forward merge pass holding one candidate row — no
+    // window state and no pair blowup. Hash-verified at sf0.01+sf0.1,
+    // partition-count invariant (AsOfJoinSpec), and oracle-identical to
+    // DuckDB's native ASOF (X20). The union+window formulation remains
+    // available as [[asofUnionWindow]].
     "J10" -> { c =>
-      val e = c.events
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), lit(1).as("is_click"),
-          col("event_id"), lit(null).cast("long").as("pid"))
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), lit(0).as("is_click"),
-          col("event_id"), col("event_id").as("pid"))
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("is_click"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.union(purchases)
-        .withColumn("purchase_id", last("pid", ignoreNulls = true).over(w))
-        .filter(col("is_click") === 1)
+      val clicks = c.events.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = c.events.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      graft.plans.AsOfJoin
+        .asof(clicks, purchases, "user_id", "p_user", "ts", "p_ts", "purchase_id")
         .select(col("event_id"), col("purchase_id"))
         .orderBy("event_id")
         .limit(200)
     },
     // O01 — explicit NULLS LAST over outer-join nulls (H6).
+    // (see also asofUnionWindow below — the declarative as-of form)
     "O01" -> { c =>
       val mx = c.supplier.groupBy("s_nationkey")
         .agg(max("s_acctbal").as("mx"))
@@ -219,4 +216,28 @@ object RelationalQueries {
         .limit(100)
     }
   )
+
+  /** As-of via union + running-last window (SURVEY §4.3.1's declarative
+    * scale plan): one shuffle on user_id, no pair blowup. Kept as the
+    * pure-DataFrame alternative to the native AsOfJoinExec that serves
+    * J10; DfContractSpec-class hash equality is pinned in AsOfJoinSpec.
+    */
+  def asofUnionWindow(c: Catalog): DataFrame = {
+    val e = c.events
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("is_click"),
+        col("event_id"), lit(null).cast("long").as("pid"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("is_click"),
+        col("event_id"), col("event_id").as("pid"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("is_click"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.union(purchases)
+      .withColumn("purchase_id", last("pid", ignoreNulls = true).over(w))
+      .filter(col("is_click") === 1)
+      .select(col("event_id"), col("purchase_id"))
+      .orderBy("event_id")
+      .limit(200)
+  }
 }

@@ -95,7 +95,13 @@ final case class AsOfJoinExec(
       val lTsProj = UnsafeProjection.create(Seq(lts), leftOut)
       val rKeyProj = UnsafeProjection.create(Seq(rk), rightOut)
       val rTsProj = UnsafeProjection.create(Seq(rts), rightOut)
-      val outProj = UnsafeProjection.create(out, leftOut ++ rightOut)
+      // bind the right side as NULLABLE regardless of its schema: an
+      // unmatched left row joins a null-filled right row, and
+      // BindReferences takes nullability from this input sequence — a
+      // non-nullable right attr would skip the isNullAt check and read
+      // garbage zeros instead of NULL
+      val outProj = UnsafeProjection.create(out,
+        leftOut ++ rightOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rightOut.size)
       val joined = new JoinedRow
       val rBuf = rIter.buffered

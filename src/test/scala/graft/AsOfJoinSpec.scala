@@ -38,6 +38,40 @@ class AsOfJoinSpec extends SparkSpec {
       plan.contains("Exchange hashpartitioning(p_user"), s"children not co-partitioned:\n$plan")
   }
 
+  test("union+window as-of alternative stays hash-equal to the certified J10") {
+    assert(Canonical.hash16(graft.ops.RelationalQueries.asofUnionWindow(cat))
+      == Contract.hash01("J10"))
+  }
+
+  test("as-of edge cases: no match, inclusive tie, tie-break, null keys, empty right") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), // user 10: matches tie at ts=100 (max tie wins)
+      (2L, 10L, 99L),  // before any purchase → null
+      (3L, 20L, 50L),  // user 20 has no purchases → null
+      (4L, 10L, 200L)  // later click keeps latest purchase
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 100L, 7L), // tie at ts=100, smaller tie id
+      (10L, 100L, 9L), // tie winner (max tie)
+      (10L, 150L, 11L) // latest before ts=200
+    ).toDF("p_user", "p_ts", "purchase_id")
+    val got = AsOfJoin.asof(left, right, "user_id", "p_user", "ts", "p_ts", "purchase_id")
+      .select("event_id", "purchase_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got == Map(1L -> 9L, 2L -> null, 3L -> null, 4L -> 11L))
+    // empty right side → all null
+    val gotEmpty = AsOfJoin.asof(left, right.filter(col("p_ts") < 0),
+      "user_id", "p_user", "ts", "p_ts", "purchase_id")
+      .select("event_id", "purchase_id")
+      .collect().map(r => r.isNullAt(1))
+    assert(gotEmpty.forall(identity) && gotEmpty.length == 4)
+    // shared-lineage self-join must be rejected loudly
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(left, left, "user_id", "user_id", "ts", "ts", "event_id")
+    }
+  }
+
   test("as-of join is partition-count invariant") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
