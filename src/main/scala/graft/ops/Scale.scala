@@ -88,6 +88,19 @@ object Scale {
     df.repartitionByRange(numPartitions, keys: _*)
       .sortWithinPartitions(keys: _*)
 
+  /** Stratified sample: per-stratum Bernoulli sampling with the given
+    * per-key fractions (keys absent from `fractions` are dropped).
+    * Map-side only — each row flips its own seeded coin; deterministic
+    * for a fixed seed. The standard move for rebalancing a training
+    * corpus by language/source/label.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      key: String,
+      fractions: Map[Any, Double],
+      seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(col(key), fractions, seed)
+
   /** Distributed approximate percentiles via the percentile_approx
     * sketch: mergeable across partitions, bounded memory per group —
     * the scale path where an exact percentile would need a full sort.

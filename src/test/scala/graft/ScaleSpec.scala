@@ -62,6 +62,24 @@ class ScaleSpec extends SparkSpec {
     assert(approx.length == exact.length)
   }
 
+  test("stratifiedSample: deterministic, subset, and near the target fractions") {
+    val fractions: Map[Any, Double] = Map("en" -> 0.5, "de" -> 0.1)
+    val docs = cat.documents
+    val s1 = Scale.stratifiedSample(docs, "lang", fractions).collect().map(_.getLong(0)).toSet
+    val s2 = Scale.stratifiedSample(docs, "lang", fractions).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "fixed seed must be deterministic")
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(all))
+    val byLang = Scale.stratifiedSample(docs, "lang", fractions)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet.subsetOf(Set("en", "de")), "unlisted strata must be dropped")
+    fractions.foreach { case (k, f) =>
+      val got = byLang.getOrElse(k.asInstanceOf[String], 0L).toDouble / totals(k.asInstanceOf[String])
+      assert(math.abs(got - f) < 0.25, s"stratum $k sampled at $got, wanted ~$f")
+    }
+  }
+
   test("clusterBy preserves content and produces range-sorted partitions") {
     val src = cat.orders.select("o_orderkey", "o_custkey")
     val clustered = Scale.clusterBy(src, 8, col("o_orderkey"))
