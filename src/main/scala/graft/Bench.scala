@@ -53,7 +53,7 @@ object Bench {
     // different core count, also time the contract suite at local[4] so
     // round-over-round ratios never mix configurations
     val local4 =
-      if (cpus == "4") total
+      if (cpus == "4") { spark.stop(); total }
       else {
         spark.stop()
         val s4 = SparkSession.builder()
@@ -70,6 +70,6 @@ object Bench {
         s4.stop()
         t
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"local4_contract_sec":$local4,"failed_queries":$failedJson,"n_failed":${failed.size},"extras_sec":$extrasTotal,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","local4_contract_sec":$local4,"failed_queries":$failedJson,"n_failed":${failed.size},"extras_sec":$extrasTotal,"queries":$qs,"sf":"$sfDir"}""")
   }
 }

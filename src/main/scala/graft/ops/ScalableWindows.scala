@@ -90,6 +90,13 @@ object ScalableWindows {
       valueCol: String,
       out: String = "run_sum",
       numPartitions: Int = 0): DataFrame = {
+    // the offset merge reads long bucket totals and emits a long sum;
+    // fractional types would either crash the collect or silently
+    // truncate — restrict to integral values explicitly
+    val vt = df.schema(valueCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType).contains(vt),
+      s"withGlobalRunningSum requires an integral value column, got $vt")
     val spark = df.sparkSession
     val n =
       if (numPartitions > 0) numPartitions
@@ -150,12 +157,16 @@ object ScalableWindows {
       preceding: Long,
       out: String = "cnt_near"): DataFrame = {
     val counts = df.groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__c"))
+    // NULL order values are peers of each other in a RANGE frame (their
+    // frame is exactly the null group) — match them null-safely instead
+    // of dropping them through the inner joins
     val near = counts.as("a")
       .join(counts.as("b"),
-        col("b.__v") >= col("a.__v") - preceding && col("b.__v") <= col("a.__v"))
+        (col("a.__v").isNull && col("b.__v").isNull) ||
+          (col("b.__v") >= col("a.__v") - preceding && col("b.__v") <= col("a.__v")))
       .groupBy(col("a.__v").as("__v"))
       .agg(sum(col("b.__c")).as(out))
-    df.join(near, col(valueCol) === col("__v")).drop("__v")
+    df.join(near, col(valueCol) <=> col("__v")).drop("__v")
   }
 
   /** W05 in scalable form (same columns, same total order). The total

@@ -109,9 +109,13 @@ final case class AsOfJoinExec(
       var candidate: InternalRow = null // latest right row ≤ current left ts
       var candidateKey: Any = null
 
+      // copyValue: the projection reuses ONE buffer, so buffer-backed
+      // values (UTF8String, arrays) would be silently overwritten by
+      // the next projection call — fatal for candidateKey, which must
+      // survive across merge steps
       def keyOf(proj: UnsafeProjection, row: InternalRow, dt: Expression): Any = {
         val r = proj(row)
-        if (r.isNullAt(0)) null else r.get(0, dt.dataType)
+        if (r.isNullAt(0)) null else InternalRow.copyValue(r.get(0, dt.dataType))
       }
 
       lIter.map { lRow =>

@@ -214,6 +214,11 @@ object MinHashDedup {
       labels = updated.select(col("node"), col("next").as("label"))
       iter += 1
     }
+    // never return partially-propagated labels: a component deeper than
+    // maxIter would silently split into several cluster ids
+    require(changed == 0,
+      s"duplicateClusters did not converge within $maxIter iterations " +
+        s"($changed labels still changing) — raise maxIter")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }

@@ -72,6 +72,27 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("as-of join with STRING keys keeps candidates across key groups (buffer-reuse regression)") {
+    import spark.implicits._
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // one partition forces alice+bob through the same merge pass: a
+      // stale buffer-backed candidateKey would corrupt alice's match as
+      // soon as bob's rows are peeked
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val left = Seq(
+        ("alice", 100L, 1L), ("alice", 300L, 2L),
+        ("bob", 100L, 3L), ("bob", 300L, 4L)).toDF("k", "ts", "event_id")
+      val right = Seq(
+        ("alice", 50L, 10L), ("alice", 250L, 11L),
+        ("bob", 60L, 20L)).toDF("rk", "rts", "purchase_id")
+      val got = AsOfJoin.asof(left, right, "k", "rk", "ts", "rts", "purchase_id")
+        .select("event_id", "purchase_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 10L, 2L -> 11L, 3L -> 20L, 4L -> 20L))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("as-of join is partition-count invariant") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
