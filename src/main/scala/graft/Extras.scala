@@ -117,6 +117,10 @@ object Extras {
     "X18_packing" -> q(c => TextAnalysis.packIntoBins(c.documents, maxTokens = 4096L)),
     // one-pass table profile (oracle-checked)
     "X19_profile" -> q(c => graft.ops.Profile.profile(c.documents)),
+    // canonical text normalization (oracle-checked on the normalized
+    // string itself; norm_fp is engine-hash-specific so not emitted)
+    "X21_normalize" -> q(c =>
+      graft.text.TextAnalysis.normalizedDocs(c.documents).select("doc_id", "norm")),
     // native merge-based as-of join exec (custom LogicalPlan + Strategy
     // + SparkPlan) — checked against the same DuckDB ASOF oracle as J10
     "X20_asof_native" -> q(c => {
@@ -199,6 +203,11 @@ SELECT doc_id, n_tokens, CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 4096) AS BI
 FROM c ORDER BY doc_id
 """.trim,
     "X20_asof_native" -> Contract.byId("J10").duckSql,
+    "X21_normalize" -> """
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '  *', ' ', 'g')) AS norm
+FROM documents ORDER BY doc_id
+""".trim,
     "X19_profile" -> Seq("doc_id", "lang", "n_chars", "source", "text").map(c =>
       s"""SELECT '$c' AS "column", COUNT($c) AS n_nonnull,
          | COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS n_distinct,

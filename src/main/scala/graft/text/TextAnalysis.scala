@@ -217,6 +217,25 @@ object TextAnalysis {
       .orderBy("i", "j")
   }
 
+  /** Canonical text normalization — the standard pre-dedup transform:
+    * lowercase, strip everything but [a-z0-9 ], collapse whitespace
+    * runs, trim. Pure map-side; patterns avoid backslash classes so the
+    * same regex text is valid in both engines (H9).
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), "  *", " "))
+
+  /** (doc_id, norm, norm_fp): normalized text + its fingerprint — the
+    * dedup key that catches case/punctuation-only duplicates exact
+    * hashing misses.
+    */
+  def normalizedDocs(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      normalized(col("text")).as("norm"),
+      xxhash64(normalized(col("text"))).as("norm_fp"))
+      .orderBy("doc_id")
+
   /** Sequence packing for training pipelines: concatenate documents in
     * doc_id order and chunk the token stream into bins of `maxTokens` —
     * each document is assigned the bin where it STARTS
