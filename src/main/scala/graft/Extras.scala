@@ -121,6 +121,13 @@ object Extras {
     // string itself; norm_fp is engine-hash-specific so not emitted)
     "X21_normalize" -> q(c =>
       graft.text.TextAnalysis.normalizedDocs(c.documents).select("doc_id", "norm")),
+    // pivot with an explicit value list (oracle-checked)
+    "X22_pivot" -> q(c =>
+      graft.ops.Reshape.pivotCounts(c.orders, "o_orderpriority", "o_orderstatus",
+        Seq("F", "O", "P"))),
+    // native melt / unpivot (oracle-checked)
+    "X23_unpivot" -> q(c =>
+      graft.ops.Reshape.meltNumeric(c.part, Seq("p_partkey"), Seq("p_size", "p_retailprice"))),
     // native merge-based as-of join exec (custom LogicalPlan + Strategy
     // + SparkPlan) — checked against the same DuckDB ASOF oracle as J10
     "X20_asof_native" -> q(c => {
@@ -207,6 +214,20 @@ FROM c ORDER BY doc_id
 SELECT doc_id,
   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '  *', ' ', 'g')) AS norm
 FROM documents ORDER BY doc_id
+""".trim,
+    "X22_pivot" -> """
+SELECT o_orderpriority,
+  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+  COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+  COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""".trim,
+    "X23_unpivot" -> """
+SELECT p_partkey, attr, val FROM (
+  SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_retailprice', p_retailprice FROM part) u
+ORDER BY p_partkey, attr
 """.trim,
     "X19_profile" -> Seq("doc_id", "lang", "n_chars", "source", "text").map(c =>
       s"""SELECT '$c' AS "column", COUNT($c) AS n_nonnull,
