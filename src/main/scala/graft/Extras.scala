@@ -27,13 +27,16 @@ object Extras {
       fn(Catalog(spark, dir))
     }
 
-  /** Cache key for a source table: directory + file size + mtime, so a
-    * regenerated corpus (or a path whose hashCode collides) never reuses
-    * a stale artifact.
+  /** Cache key for a derived artifact: format version + algorithm
+    * config + directory + file size + mtime, folded through a 64-bit
+    * digest — a regenerated corpus, changed algorithm parameters, or a
+    * colliding path string never reuses a stale artifact.
     */
-  private def stamp(dir: String, table: String): String = {
+  private def stamp(dir: String, table: String, config: String): String = {
     val f = new java.io.File(dir, s"$table.parquet")
-    Integer.toHexString((dir + ":" + f.length + ":" + f.lastModified).hashCode)
+    val s = s"v2:$config:$dir:${f.length}:${f.lastModified}"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
   }
 
   /** Per-corpus persisted MinHash signature table (written once to the
@@ -42,8 +45,10 @@ object Extras {
     * X16 — the expensive shingle+sign pass is paid a single time.
     */
   private def sigTable(c: Catalog): DataFrame = {
+    val cfg = graft.text.MinHashConfig()
     val sigDir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_minhash_sigs_" + stamp(c.dir, "documents")).toString
+      "graft_minhash_sigs_" + stamp(c.dir, "documents",
+        s"mh:${cfg.shingleSize}:${cfg.numHashes}:${cfg.bands}")).toString
     if (!new java.io.File(sigDir, "_SUCCESS").exists())
       MinHashDedup.writeSignatures(c.documents, sigDir)
     MinHashDedup.readSignatures(c.spark, sigDir)
@@ -55,7 +60,7 @@ object Extras {
     */
   private def ivfIndexDir(c: Catalog): String = {
     val idx = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivf_index_" + stamp(c.dir, "embeddings")).toString
+      "graft_ivf_index_" + stamp(c.dir, "embeddings", "ivf:16")).toString
     if (!new java.io.File(s"$idx/vectors", "_SUCCESS").exists())
       graft.vector.Ivf.writeIndex(c.embeddings, idx, nLists = 16)
     idx
@@ -129,19 +134,10 @@ object Extras {
     "X23_unpivot" -> q(c =>
       graft.ops.Reshape.meltNumeric(c.part, Seq("p_partkey"), Seq("p_size", "p_retailprice"))),
     // native merge-based as-of join exec (custom LogicalPlan + Strategy
-    // + SparkPlan) — checked against the same DuckDB ASOF oracle as J10
-    "X20_asof_native" -> q(c => {
-      val clicks = c.events.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val purchases = c.events.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-          col("event_id").as("purchase_id"))
-      graft.plans.AsOfJoin
-        .asof(clicks, purchases, "user_id", "p_user", "ts", "p_ts", "purchase_id")
-        .select(col("event_id"), col("purchase_id"))
-        .orderBy("event_id")
-        .limit(200)
-    })
+    // + SparkPlan) — the EXACT plan that serves J10, additionally
+    // oracle-checked here against DuckDB's native ASOF (one builder, no
+    // copy that could drift)
+    "X20_asof_native" -> q(c => graft.ops.RelationalQueries.queries("J10")(c))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token

@@ -90,16 +90,24 @@ object Scale {
 
   /** Stratified sample: per-stratum Bernoulli sampling with the given
     * per-key fractions (keys absent from `fractions` are dropped).
-    * Map-side only — each row flips its own seeded coin; deterministic
-    * for a fixed seed. The standard move for rebalancing a training
-    * corpus by language/source/label.
+    * The coin is a CONTENT hash of the row (+ seed), not `rand()` —
+    * rand() is seeded per partition position, so a repartition or a
+    * partial stage recompute would re-sample rows differently (the same
+    * indeterminate-shuffle hazard [[saltedAggregate]] guards against).
+    * Deterministic for fixed data + seed under any partition layout.
     */
   def stratifiedSample(
       df: DataFrame,
       key: String,
       fractions: Map[Any, Double],
-      seed: Long = 42L): DataFrame =
-    df.stat.sampleBy(col(key), fractions, seed)
+      seed: Long = 42L): DataFrame = {
+    val m = 1000000L
+    val bucket = pmod(xxhash64(df.columns.map(col) :+ lit(seed): _*), lit(m))
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (k, f)) =>
+      acc || (col(key) === lit(k) && bucket < lit(math.round(f * m)))
+    }
+    df.filter(keep)
+  }
 
   /** Distributed approximate percentiles via the percentile_approx
     * sketch: mergeable across partitions, bounded memory per group —

@@ -66,8 +66,11 @@ class ScaleSpec extends SparkSpec {
     val fractions: Map[Any, Double] = Map("en" -> 0.5, "de" -> 0.1)
     val docs = cat.documents
     val s1 = Scale.stratifiedSample(docs, "lang", fractions).collect().map(_.getLong(0)).toSet
-    val s2 = Scale.stratifiedSample(docs, "lang", fractions).collect().map(_.getLong(0)).toSet
-    assert(s1 == s2, "fixed seed must be deterministic")
+    // a content-hash coin must be invariant to partition layout — rand()
+    // based sampling fails this (re-samples under repartition/retry)
+    val s2 = Scale.stratifiedSample(docs.repartition(7), "lang", fractions)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "sample must be deterministic under repartitioning")
     val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(s1.subsetOf(all))
     val byLang = Scale.stratifiedSample(docs, "lang", fractions)
