@@ -48,7 +48,7 @@ object Extras {
     val cfg = graft.text.MinHashConfig()
     val sigDir = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_minhash_sigs_" + stamp(c.dir, "documents",
-        s"mh:${cfg.shingleSize}:${cfg.numHashes}:${cfg.bands}")).toString
+        s"mh2:${cfg.shingleSize}:${cfg.numHashes}:${cfg.bands}")).toString
     if (!new java.io.File(sigDir, "_SUCCESS").exists())
       MinHashDedup.writeSignatures(c.documents, sigDir)
     MinHashDedup.readSignatures(c.spark, sigDir)

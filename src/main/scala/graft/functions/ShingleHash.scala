@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native word-shingle hashing: the DISTINCT 64-bit polynomial hashes
+  * of every `n`-token shingle of a whitespace-tokenized document, in
+  * one compiled pass — no intermediate shingle strings.
+  *
+  * This is the MinHash base-hash (`h0`) producer: signatures only ever
+  * hash the shingle text, so emitting the hash directly (a) skips the
+  * interpreted higher-order-function shingle construction (~4 µs per
+  * lambda eval — the WinnowHash lesson) and (b) shrinks the signature
+  * shuffle key from a ~25-byte string to 8 bytes. The hash covers the
+  * exact token characters with a separator sentinel between tokens, so
+  * shingles equal iff their token sequences are equal (modulo 64-bit
+  * collisions, which MinHash tolerates by construction). Exact-Jaccard
+  * verification keeps using real string shingles.
+  */
+case class ShingleHash(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash requires a string input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val P = 1099511628211L
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // whitespace tokens, empties dropped (same rule as TextAnalysis.tokens)
+    val toks = s.split(' ').filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    // rolling per-token hashes, then combine n of them per shingle with
+    // a separator multiplier so token boundaries stay significant
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      var h = 0L
+      val t = toks(i)
+      var j = 0
+      while (j < t.length) { h = h * P + t.charAt(j); j += 1 }
+      th(i) = h
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i + n <= toks.length) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h = h * P + 0x1f; h = h * P + th(i + j); j += 1 }
+      out.add(h)
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def prettyName: String = "shingle_hash"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -53,13 +53,21 @@ object MinHashDedup {
     Array.fill(256)((rng.nextLong() | 1L, rng.nextLong()))
   }
 
-  /** (doc_id, sig: array<bigint>[numHashes]) — one row per document. */
+  /** (doc_id, sig: array<bigint>[numHashes]) — one row per document.
+    *
+    * The shingle base hashes come from the native [[graft.functions.ShingleHash]]
+    * expression (distinct 64-bit hashes straight from the text — no
+    * intermediate shingle strings, 8-byte shuffle keys), and the 64
+    * minhash functions derive from each base hash via [[graft.functions.LinearHash]].
+    * Partial aggregation makes this a map-side combine followed by one
+    * doc_id shuffle of fixed-size signature rows.
+    */
   def signatures(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     require(cfg.numHashes <= hashFamily.length)
-    val sh = shingleRows(documents, cfg).withColumn("h0", xxhash64(col("s")))
-    // numHashes independent min-aggregates; partial aggregation makes
-    // this a map-side combine followed by a doc_id shuffle of fixed-size
-    // signature rows.
+    val sh = documents.select(col("doc_id"),
+      explode(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.ShingleHash(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("text")), cfg.shingleSize))).as("h0"))
     val mins = (0 until cfg.numHashes).map { k =>
       val (a, b) = hashFamily(k)
       min(graft.functions.LinearHash(col("h0"), a, b)).as(s"h$k")
@@ -121,14 +129,12 @@ object MinHashDedup {
   /** Candidate pairs re-scored with exact shingle Jaccard, keeping only
     * true near-duplicates (≥ cfg.threshold).
     *
-    * With `sigs` (a precomputed signature table) BOTH expensive passes
-    * shrink: candidates come from banding the stored signatures, and the
-    * exact verification shingles ONLY documents that appear in a
-    * candidate pair (left-semi against the candidate ids) — the corpus
-    * text is never re-scanned in full. Without `sigs`, the full shingle
-    * set is computed once and shared between the signature and
-    * verification passes via ReuseExchange (restricting it would break
-    * the sharing for zero gain, since signatures need every doc anyway).
+    * The signature pass never touches shingle STRINGS (ShingleHash
+    * emits base hashes directly), so the exact verification builds
+    * string shingles only for documents that appear in a candidate pair
+    * (left-semi against the candidate ids) — the corpus text is never
+    * re-shingled in full, whether candidates come from the raw corpus
+    * or from a precomputed `sigs` table.
     */
   def verifiedPairs(
       documents: DataFrame,
@@ -138,14 +144,9 @@ object MinHashDedup {
       case Some(s) => candidatePairsFromSignatures(s, cfg)
       case None => candidatePairs(documents, cfg)
     }
-    val shSource = sigs match {
-      case Some(_) =>
-        val candIds = cand.select(col("i").as("doc_id"))
-          .union(cand.select(col("j").as("doc_id"))).distinct()
-        documents.join(candIds, Seq("doc_id"), "left_semi")
-      case None => documents
-    }
-    val sh = shingleRows(shSource, cfg)
+    val candIds = cand.select(col("i").as("doc_id"))
+      .union(cand.select(col("j").as("doc_id"))).distinct()
+    val sh = shingleRows(documents.join(candIds, Seq("doc_id"), "left_semi"), cfg)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // exact intersection sizes for candidate pairs only
     val inter = cand
