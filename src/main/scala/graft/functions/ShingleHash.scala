@@ -52,20 +52,25 @@ case class ShingleHash(child: Expression, n: Int)
       th(i) = h
       i += 1
     }
-    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    // dedup by primitive sort (output order is irrelevant downstream —
+    // only MIN aggregates consume these), avoiding per-shingle boxing
+    val raw = new Array[Long](toks.length - n + 1)
     i = 0
     while (i + n <= toks.length) {
       var h = 0L
       var j = 0
       while (j < n) { h = h * P + 0x1f; h = h * P + th(i + j); j += 1 }
-      out.add(h)
+      raw(i) = h
       i += 1
     }
-    val arr = new Array[Long](out.size)
-    val it = out.iterator()
+    java.util.Arrays.sort(raw)
+    var w = 0
     i = 0
-    while (it.hasNext) { arr(i) = it.next(); i += 1 }
-    new GenericArrayData(arr)
+    while (i < raw.length) {
+      if (w == 0 || raw(i) != raw(w - 1)) { raw(w) = raw(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(raw, w))
   }
 
   override def prettyName: String = "shingle_hash"

@@ -82,14 +82,31 @@ object MinHashDedup {
     * saved table via [[readSignatures]]; at 100 TB this is the index
     * artifact every re-dedup/incremental run starts from.
     */
+  /** Hash-scheme version of the signature pipeline. Bump whenever the
+    * base hash ([[graft.functions.ShingleHash]]) or the hash family
+    * changes — persisted tables from a different scheme must never mix
+    * with live signatures (band hashes would simply never collide and
+    * dedup would silently admit every duplicate).
+    */
+  val SignatureVersion = 2
+
   def writeSignatures(
       documents: DataFrame,
       path: String,
       cfg: MinHashConfig = MinHashConfig()): Unit =
-    signatures(documents, cfg).write.mode("overwrite").parquet(path)
+    signatures(documents, cfg)
+      .withColumn("sig_v", lit(SignatureVersion))
+      .write.mode("overwrite").parquet(path)
 
-  def readSignatures(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  def readSignatures(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("sig_v"),
+      s"signature table at $path has no version column — written by an incompatible build")
+    val v = df.select("sig_v").head.getInt(0)
+    require(v == SignatureVersion,
+      s"signature table at $path is version $v, this build expects $SignatureVersion — rebuild it")
+    df.drop("sig_v")
+  }
 
   /** (doc_id, band, band_hash) from a precomputed signature table —
     * `bands` rows per document.
@@ -262,10 +279,15 @@ object MinHashDedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
     val cand = candOld.union(candNew).distinct()
-    // exact verification shingles ONLY docs that appear in a candidate
-    val involvedOld = existingDocs.join(
-      cand.select(col("i").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-    val sh = shingleRows(involvedOld.unionByName(newDocs.select(involvedOld.columns.map(col): _*)), cfg)
+    // exact verification shingles ONLY docs (old OR new) that appear in
+    // a candidate pair — a large ingest batch with few candidates never
+    // pays a full string-shingle pass
+    val candIds = cand.select(col("i").as("doc_id"))
+      .union(cand.select(col("j").as("doc_id"))).distinct()
+    val involved = existingDocs
+      .unionByName(newDocs.select(existingDocs.columns.map(col): _*))
+      .join(candIds, Seq("doc_id"), "left_semi")
+    val sh = shingleRows(involved, cfg)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.as("sa"), col("i") === col("sa.doc_id"))

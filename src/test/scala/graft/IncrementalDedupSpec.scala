@@ -41,6 +41,39 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(inc == batch)
   }
 
+  test("ShingleHash shingle universe matches TextAnalysis.shingles on every document") {
+    import spark.implicits._
+    // the signature pass (ShingleHash, JVM tokenizer) and the exact
+    // verification pass (TextAnalysis.shingles, Spark tokenizer) must
+    // agree on the shingle COUNT per document, or LSH candidates and
+    // exact Jaccard silently diverge
+    val adversarial = Seq(
+      (9001L, "a  b   c d"), (9002L, "  leading and trailing  "),
+      (9003L, ""), (9004L, "one two"), (9005L, "x y z")).toDF("doc_id", "text")
+    val docs = cat.documents.select("doc_id", "text").unionByName(adversarial)
+    val viaNative = docs.select(col("doc_id"),
+      size(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.ShingleHash(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("text")), 3))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaSpark = docs.select(col("doc_id"),
+      size(array_distinct(graft.text.TextAnalysis.shingles(col("text"), 3))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaNative == viaSpark)
+  }
+
+  test("readSignatures refuses tables without a matching scheme version") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sig_ver").toString
+    MinHashDedup.writeSignatures(cat.documents, path)
+    assert(MinHashDedup.readSignatures(spark, path).count() == cat.documents.count())
+    // unversioned (pre-scheme-change) table must be rejected loudly
+    val legacy = java.nio.file.Files.createTempDirectory("graft_sig_legacy").toString
+    MinHashDedup.signatures(cat.documents).write.mode("overwrite").parquet(legacy)
+    intercept[IllegalArgumentException] {
+      MinHashDedup.readSignatures(spark, legacy)
+    }
+  }
+
   test("duplicate clusters equal driver-side union-find (incl. a transitive chain)") {
     import spark.implicits._
     // synthetic chain 1-2, 2-3 plus separate pair 10-11: clusters must
