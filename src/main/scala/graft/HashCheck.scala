@@ -17,6 +17,11 @@ object HashCheck {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val rest = args.drop(1).toSeq
     val mode = rest.find(a => a == "--df" || a == "--sql").getOrElse("--both")
+    // --partitions=N: re-prove partition invariance of the whole
+    // inventory under a different shuffle width (certified in SURVEY
+    // §0.2; this makes the evidence reproducible on demand)
+    val partitions = rest.find(_.startsWith("--partitions="))
+      .map(_.substring("--partitions=".length).toInt).getOrElse(8)
     val ids0 = rest.filterNot(_.startsWith("--"))
     val ids = if (ids0.nonEmpty) ids0 else Contract.all.map(_.id)
     // certified hashes exist ONLY for sf0.01 (hash01) and sf0.1 (hash1);
@@ -29,7 +34,7 @@ object HashCheck {
           s"no certified hashes for '$d' (only sf0.01 and sf0.1 are certified, SURVEY.md §2.4)")
         sys.exit(2)
     }
-    val spark = Engine.session(shufflePartitions = 8, appName = "graft-hashcheck")
+    val spark = Engine.session(shufflePartitions = partitions, appName = "graft-hashcheck")
     spark.sparkContext.setLogLevel("WARN")
     Tables.registerAll(spark, sfDir)
     val cat = Catalog(spark, sfDir)

@@ -51,4 +51,21 @@ object Sinks {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .schema(schema)
       .json(path)
+
+  /** Schema-INFERRED readers (SURVEY §1.3: inference is only needed for
+    * CSV/JSON sources). Inference costs an extra pass over the data —
+    * prefer the pinned-schema readers for production reads; these exist
+    * for ad-hoc ingest of files without a known schema.
+    */
+  def readCsvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .csv(path)
+
+  def readJsonInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(path)
 }

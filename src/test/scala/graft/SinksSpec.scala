@@ -57,4 +57,22 @@ class SinksSpec extends SparkSpec {
     val back = Sinks.readJson(spark, dir, src.schema)
     assert(hashSorted(back) == hashSorted(src))
   }
+
+  test("schema inference recovers types and content for csv and json") {
+    val src = Tables.load(spark, sf001, "nation") // int keys + strings
+    val csvDir = Files.createTempDirectory("sink-csv-inf").toString
+    Sinks.csv(src, csvDir)
+    val backCsv = Sinks.readCsvInferred(spark, csvDir)
+      .select(src.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    assert(backCsv.schema.fields.map(_.dataType.typeName).toSeq
+      == src.schema.fields.map(_.dataType.typeName).toSeq,
+      s"inferred ${backCsv.schema} != ${src.schema}")
+    assert(hashSorted(backCsv) == hashSorted(src))
+    val jsonDir = Files.createTempDirectory("sink-json-inf").toString
+    Sinks.json(src, jsonDir)
+    val backJson = Sinks.readJsonInferred(spark, jsonDir)
+      .select(src.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    // JSON infers integers as long — values must still round-trip
+    assert(hashSorted(backJson) == hashSorted(src))
+  }
 }
