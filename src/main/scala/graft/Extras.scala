@@ -46,12 +46,21 @@ object Extras {
     */
   private def sigTable(c: Catalog): DataFrame = {
     val cfg = graft.text.MinHashConfig()
+    // the signature-scheme version is part of the cache key, so a
+    // scheme bump can never even SEE an old-format table...
     val sigDir = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_minhash_sigs_" + stamp(c.dir, "documents",
-        s"mh2:${cfg.shingleSize}:${cfg.numHashes}:${cfg.bands}")).toString
+        s"mh:v${MinHashDedup.SignatureVersion}:${cfg.shingleSize}:${cfg.numHashes}:${cfg.bands}")).toString
     if (!new java.io.File(sigDir, "_SUCCESS").exists())
       MinHashDedup.writeSignatures(c.documents, sigDir)
-    MinHashDedup.readSignatures(c.spark, sigDir)
+    // ...and if readSignatures still refuses (corrupt/partial artifact),
+    // this is a CACHE — rebuild it rather than failing the query
+    try MinHashDedup.readSignatures(c.spark, sigDir)
+    catch {
+      case _: IllegalArgumentException =>
+        MinHashDedup.writeSignatures(c.documents, sigDir)
+        MinHashDedup.readSignatures(c.spark, sigDir)
+    }
   }
 
   /** Per-corpus persisted IVF index, built once (same stamp scheme as
