@@ -45,7 +45,9 @@ object DotProductRewrite extends Rule[LogicalPlan] {
         LambdaFunction(Add(ms: NamedLambdaVariable, me: NamedLambdaVariable, _),
           Seq(s: NamedLambdaVariable, e: NamedLambdaVariable), _),
         LambdaFunction(fin: NamedLambdaVariable, Seq(lf: NamedLambdaVariable), _))
-      if zero == 0.0 &&
+      // positive zero ONLY: boxed `== 0.0` would also admit -0.0, whose
+      // fold result on an empty array is -0.0, not DotProduct's 0.0
+      if java.lang.Double.doubleToRawLongBits(zero.asInstanceOf[Double]) == 0L &&
         isFloatArray(a) && isFloatArray(b) &&
         isDoubleCastOf(mx, x) && isDoubleCastOf(my, y) &&
         ms.exprId == s.exprId && me.exprId == e.exprId &&

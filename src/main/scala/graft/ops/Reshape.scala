@@ -22,6 +22,10 @@ object Reshape {
       groupCol: String,
       pivotCol: String,
       values: Seq[String]): DataFrame = {
+    // output names are lowercased, so values differing only by case
+    // would silently collapse onto one column — refuse up front
+    require(values.map(_.toLowerCase).distinct.size == values.size,
+      s"pivot values collide after lowercasing: ${values.mkString(", ")}")
     val wide = df.groupBy(groupCol).pivot(pivotCol, values).count()
     values.foldLeft(wide) { (d, v) =>
       d.withColumn(s"n_${v.toLowerCase}", coalesce(col(s"`$v`"), lit(0L))).drop(v)

@@ -3,46 +3,100 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{BoundaryBucket, StringBoundaryBucket}
 
 /** Scalable equivalents of GLOBAL (un-partitioned) window queries.
   *
-  * The certified W04/W05 forms pin SQL semantics that force a
+  * The certified W04/W05 SQL forms pin semantics that would force a
   * single-partition WindowExec — fine at test scale, a straggler at
   * 100 TB. These variants compute the same results with no
-  * single-partition window anywhere in the plan:
+  * single-partition window anywhere in the plan (and since round 3 they
+  * ARE the contract E2 path for W04/W05):
   *
-  *   - [[withGlobalRowNumber]]: two-pass global numbering — range-
-  *     partition on the order key, per-partition local row_number
-  *     (window partitioned by the range-partition id), then add each
-  *     partition's cumulative row offset. Offsets are one count per
-  *     partition — metadata-sized, merged driver-side exactly like
-  *     partition-pruning values.
+  *   - [[withGlobalRowNumber]]: two-pass global numbering — literal-
+  *     boundary range buckets on the first order key, per-bucket local
+  *     row_number (window partitioned by bucket), then add each
+  *     bucket's cumulative row offset. Offsets are one count per
+  *     bucket — metadata-sized, merged driver-side exactly like
+  *     partition-pruning values. Bucket assignment is an O(log P)
+  *     binary search ([[graft.functions.BoundaryBucket]]), not a
+  *     chained-comparison scan, so the projection stays constant-size
+  *     as the partition count grows.
   *   - [[ntileCol]]/[[percentRankCol]]/[[cumeDistCol]]: the rank family
   *     derived from the global row number and the total count (exact
   *     Spark semantics; requires the order to be a total order, which
   *     every contract query guarantees via tiebreaker columns).
   *   - [[rangeCountNear]]: value-RANGE frame counts computed on the
-  *     COMPRESSED domain — aggregate per distinct order value (one
-  *     partial-agg shuffle), a range self-join on that tiny domain
-  *     table, and a join back. Work on the big table is one aggregation;
-  *     no window at all.
+  *     COMPRESSED integral domain with equi joins only — per-value
+  *     counts, an exploded contribution table (fanout `preceding`+1),
+  *     and a join back. Work on the big table is one aggregation and
+  *     one equi join; no window, no nested-loop domain self-join.
   *
   * Property-tested hash-equal to the certified single-partition W04/W05
   * results (ScalableWindowsSpec), plan-asserted to contain no
-  * `Exchange SinglePartition`.
+  * `Exchange SinglePartition` and no unpartitioned window.
   */
 object ScalableWindows {
 
+  /** Literal-boundary bucket column for the first order key: numeric
+    * keys take approxQuantile boundaries, string keys take sampled
+    * boundary strings (both collected ONCE driver-side and embedded as
+    * literals — a sampled RangePartitioner would re-sample per job and
+    * could disagree between the offset count and the main query).
+    * Anything else fails fast: a silently null-casting key would send
+    * every row to bucket 0 and recreate the single-partition straggler
+    * this module exists to avoid.
+    */
+  private def bucketCol(df: DataFrame, key: String, n: Int): Column =
+    df.schema(key).dataType match {
+      case _: NumericType =>
+        val probs = (1 until n).map(_.toDouble / n).toArray
+        val bs = df
+          .select(col(key).cast("double").as("__k"))
+          .stat.approxQuantile("__k", probs, 0.001)
+          .filterNot(_.isNaN).map(d => if (d == 0.0) 0.0 else d)
+          .distinct.sorted.toSeq
+        BoundaryBucket(col(key).cast("double"), bs)
+      case StringType =>
+        StringBoundaryBucket(col(key), sampledStringBoundaries(df, key, n))
+      case dt => throw new IllegalArgumentException(
+        s"global-window bucketing requires a numeric or string first order column, got $dt — " +
+          "boundaries must be literal deterministic values (cast or derive a key first)")
+    }
+
+  /** Boundary strings for a string order key: a fixed-seed content
+    * sample (deterministic for fixed data under any partition layout),
+    * sorted with UTF8String's byte order — the exact ordering Spark's
+    * string sort uses, so boundaries and within-bucket sorts always
+    * agree. Sampling skew only affects load balance, never correctness:
+    * bucket membership stays a pure function of the key.
+    */
+  private def sampledStringBoundaries(df: DataFrame, key: String, n: Int): Seq[String] = {
+    val total = df.count()
+    if (total == 0) return Nil
+    val fraction = math.min(1.0, (n.toLong * 128L).toDouble / total)
+    val sampled = df.select(col(key)).na.drop(Seq(key))
+      .sample(withReplacement = false, fraction, seed = 42L)
+      .collect().map(_.getString(0))
+    val utf8Order: Ordering[String] = Ordering.comparatorToOrdering(
+      (a: String, b: String) => UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+    val sorted = sampled.sorted(utf8Order).distinct
+    if (sorted.isEmpty) Nil
+    else (1 until n)
+      .map(i => sorted(math.min(sorted.length - 1, i * sorted.length / n)))
+      .distinct
+  }
+
   /** Adds `out` = global row number of the total order `order` (ASC).
-    * The first order column must be numeric: its approximate quantiles
-    * become LITERAL bucket boundaries, so bucket membership is a pure
-    * deterministic function of the row (a sampled RangePartitioner
-    * would re-sample per job and could disagree between the offset
-    * count and the main query). Equal first-key values always share a
-    * bucket, so ties never straddle a merge boundary. One full-data
-    * exchange (the per-bucket window) instead of a single-partition
-    * pipe; bucket counts are metadata-sized and merged driver-side like
-    * partition-pruning values.
+    * The first order column's literal boundaries make bucket membership
+    * a pure deterministic function of the row; equal first-key values
+    * always share a bucket, so ties never straddle a merge boundary.
+    * One full-data exchange (the per-bucket window) instead of a
+    * single-partition pipe; bucket counts are metadata-sized and merged
+    * driver-side like partition-pruning values.
     */
   def withGlobalRowNumber(
       df: DataFrame,
@@ -53,15 +107,7 @@ object ScalableWindows {
     val n =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val probs = (1 until n).map(_.toDouble / n).toArray
-    val boundaries = df
-      .select(col(order.head).cast("double").as("__k"))
-      .stat.approxQuantile("__k", probs, 0.001)
-      .distinct.sorted
-    val bucketExpr = boundaries
-      .map(b => when(col(order.head).cast("double") > lit(b), 1).otherwise(0))
-      .foldLeft(lit(0))(_ + _)
-    val staged = df.withColumn("__b", bucketExpr)
+    val staged = df.withColumn("__b", bucketCol(df, order.head, n))
     // one count per bucket — metadata-sized; deterministic because __b
     // is a pure function of the row
     val counts = staged.groupBy("__b").count()
@@ -80,7 +126,7 @@ object ScalableWindows {
 
   /** Adds `out` = global running sum of `valueCol` over the total order
     * `order` (inclusive of the current row) — a distributed prefix sum.
-    * Same two-pass shape as [[withGlobalRowNumber]]: literal quantile
+    * Same two-pass shape as [[withGlobalRowNumber]]: literal boundary
     * buckets on the first order key, per-bucket local running sum, plus
     * each bucket's cumulative total (metadata-sized, merged driver-side).
     */
@@ -94,22 +140,13 @@ object ScalableWindows {
     // fractional types would either crash the collect or silently
     // truncate — restrict to integral values explicitly
     val vt = df.schema(valueCol).dataType
-    require(Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
-      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType).contains(vt),
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(vt),
       s"withGlobalRunningSum requires an integral value column, got $vt")
     val spark = df.sparkSession
     val n =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val probs = (1 until n).map(_.toDouble / n).toArray
-    val boundaries = df
-      .select(col(order.head).cast("double").as("__k"))
-      .stat.approxQuantile("__k", probs, 0.001)
-      .distinct.sorted
-    val bucketExpr = boundaries
-      .map(b => when(col(order.head).cast("double") > lit(b), 1).otherwise(0))
-      .foldLeft(lit(0))(_ + _)
-    val staged = df.withColumn("__b", bucketExpr)
+    val staged = df.withColumn("__b", bucketCol(df, order.head, n))
     val totals = staged.groupBy("__b").agg(sum(col(valueCol)).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
@@ -148,25 +185,39 @@ object ScalableWindows {
 
   /** Adds `out` = COUNT(*) over `RANGE BETWEEN preceding PRECEDING AND
     * CURRENT ROW` on `valueCol`, computed on the compressed value
-    * domain: per-value counts (one partial-agg shuffle), a range
-    * self-join over the domain table, joined back on the value.
+    * domain with EQUI joins only: each distinct value v (count c)
+    * contributes c to every target value in [v, v+preceding]; the
+    * exploded contributions (fanout `preceding`+1 per distinct value)
+    * are summed per target and joined back on the value.
+    *
+    * Requires an INTEGRAL order column — the contribution enumeration
+    * walks value+0..+preceding, which is meaningless on a continuous
+    * (fractional) domain; there the domain doesn't compress (D ≈ N) and
+    * no bounded-fanout formulation exists, so fail fast rather than
+    * silently planning an O(D²) join. `preceding` is capped because it
+    * is the explode fanout. NULL order values are RANGE-frame peers of
+    * each other (their frame is exactly the null group) and are matched
+    * null-safely.
     */
   def rangeCountNear(
       df: DataFrame,
       valueCol: String,
       preceding: Long,
       out: String = "cnt_near"): DataFrame = {
-    val counts = df.groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__c"))
-    // NULL order values are peers of each other in a RANGE frame (their
-    // frame is exactly the null group) — match them null-safely instead
-    // of dropping them through the inner joins
-    val near = counts.as("a")
-      .join(counts.as("b"),
-        (col("a.__v").isNull && col("b.__v").isNull) ||
-          (col("b.__v") >= col("a.__v") - preceding && col("b.__v") <= col("a.__v")))
-      .groupBy(col("a.__v").as("__v"))
-      .agg(sum(col("b.__c")).as(out))
-    df.join(near, col(valueCol) <=> col("__v")).drop("__v")
+    val dt = df.schema(valueCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+      s"rangeCountNear requires an integral order column, got $dt — " +
+        "a continuous domain does not compress; discretize the key or use a bounded window")
+    require(preceding >= 0 && preceding <= 1000000,
+      s"preceding=$preceding: the contribution fanout is preceding+1 rows per distinct value")
+    val counts = df.groupBy(col(valueCol).cast("long").as("__v")).agg(count(lit(1)).as("__c"))
+    val nonNull = counts.filter(col("__v").isNotNull)
+    val contrib = nonNull.select(
+      explode(sequence(col("__v"), col("__v") + lit(preceding))).as("__t"), col("__c"))
+    val near = contrib.groupBy("__t").agg(sum("__c").as(out))
+      .unionByName(counts.filter(col("__v").isNull)
+        .select(col("__v").as("__t"), col("__c").cast("long").as(out)))
+    df.join(near, col(valueCol).cast("long") <=> col("__t")).drop("__t")
   }
 
   /** W05 in scalable form (same columns, same total order). The total

@@ -47,24 +47,15 @@ object WindowQueries {
         .limit(200)
     },
     // W04 — RANGE frame on a numeric key (value-based, not row-based).
-    "W04" -> { c =>
-      val w = Window.orderBy("p_size").rangeBetween(-2, Window.currentRow)
-      c.part
-        .select(col("p_partkey"), col("p_size"), count(lit(1)).over(w).as("cnt_near"))
-        .orderBy("p_partkey")
-        .limit(100)
-    },
-    "W05" -> { c =>
-      val w = Window.orderBy("c_acctbal", "c_custkey")
-      c.customer.filter(col("c_nationkey") === 3)
-        .select(
-          col("c_custkey"),
-          ntile(4).over(w).as("quart"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
-        .orderBy("c_custkey")
-        .limit(100)
-    },
+    // Served by the compressed-domain formulation: the certified SQL
+    // form (Contract E1) pins the semantics, but its plan is a single-
+    // partition WindowExec — a 100 TB straggler. ScalableWindowsSpec
+    // pins hash-equality of the two forms; PlanAuditSpec pins that no
+    // contract plan carries an unpartitioned window.
+    "W04" -> { c => ScalableWindows.w04Scalable(c.part) },
+    // W05 — global rank family, served by the two-pass bucketed global
+    // row-number (same hash-equality + plan pins as W04).
+    "W05" -> { c => ScalableWindows.w05Scalable(c.customer) },
     "W06" -> { c =>
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -102,7 +102,13 @@ object MinHashDedup {
     val df = spark.read.parquet(path)
     require(df.columns.contains("sig_v"),
       s"signature table at $path has no version column — written by an incompatible build")
-    val v = df.select("sig_v").head.getInt(0)
+    // an empty table is as unusable as a wrong-version one; surface both
+    // as IllegalArgumentException so cache layers (Extras.sigTable) can
+    // treat "refused" uniformly and rebuild
+    val vRow = df.select("sig_v").limit(1).collect().headOption
+    require(vRow.nonEmpty,
+      s"signature table at $path is empty — corrupt or partial write; rebuild it")
+    val v = vRow.get.getInt(0)
     require(v == SignatureVersion,
       s"signature table at $path is version $v, this build expects $SignatureVersion — rebuild it")
     df.drop("sig_v")

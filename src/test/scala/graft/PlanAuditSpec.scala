@@ -57,6 +57,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!x18.contains("Exchange SinglePartition"), s"X18 must not single-partition:\n$x18")
   }
 
+  test("no contract plan contains an unpartitioned (global) window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
+    val offenders = Contract.all.map(_.id).filter { id =>
+      val lp = DfContract.all(id)(cat).queryExecution.optimizedPlan
+      lp.exists {
+        case w: LWindow => w.partitionSpec.isEmpty
+        case w: WindowGroupLimit => w.partitionSpec.isEmpty
+        case _ => false
+      }
+    }
+    assert(offenders.isEmpty,
+      s"single-partition window straggler in: $offenders — route through ScalableWindows")
+  }
+
+  test("single-partition exchanges appear only under global single-row aggregates") {
+    // a global agg funnels ~numPartitions partial rows through one
+    // reducer — metadata-sized and inherent to a 1-row answer. Anything
+    // else funneling to one partition is a scale bug.
+    // S01/A08/A10/L01: global aggregates; S02: a union of ten per-table
+    // global counts; J04/J05: EXISTS/NOT-EXISTS reduced to a global count
+    val allowed = Set("S01", "S02", "A08", "A10", "L01", "J04", "J05")
+    val offenders = Contract.all.map(_.id).filter { id =>
+      DfContract.all(id)(cat).queryExecution.executedPlan.toString
+        .contains("Exchange SinglePartition") && !allowed(id)
+    }
+    assert(offenders.isEmpty, s"unexpected Exchange SinglePartition in: $offenders")
+  }
+
   test("aggregations run partial before the shuffle (map-side combine)") {
     Seq("A01", "J01", "L05").foreach { id =>
       val plan = DfContract.all(id)(cat).queryExecution.executedPlan.toString

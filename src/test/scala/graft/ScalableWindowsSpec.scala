@@ -49,6 +49,51 @@ class ScalableWindowsSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"))
   }
 
+  test("W04 compressed-domain plan carries no nested-loop domain self-join") {
+    val plan = ScalableWindows.w04Scalable(cat.part)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"rangeCountNear must be equi-join only:\n$plan")
+  }
+
+  test("rangeCountNear refuses a continuous (fractional) order column") {
+    val e = intercept[IllegalArgumentException] {
+      ScalableWindows.rangeCountNear(cat.customer, "c_acctbal", 2L)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("global row number works on a STRING first order key (sampled literal boundaries)") {
+    val df = ScalableWindows.withGlobalRowNumber(
+      cat.customer, Seq("c_name", "c_custkey"), out = "g_rn", numPartitions = 7)
+    val rows = df.select("c_name", "c_custkey", "g_rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    assert(rows.map(_._3).toSeq == (1L to rows.length).toSeq, "row numbers must be 1..N dense")
+    assert(rows.toSeq == rows.sortBy(t => (t._1, t._2)).toSeq,
+      "numbering must follow the (c_name, c_custkey) total order")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"))
+  }
+
+  test("global-window bucketing refuses an unorderable-for-bucketing key type") {
+    val e = intercept[IllegalArgumentException] {
+      ScalableWindows.withGlobalRowNumber(
+        cat.documents.selectExpr("doc_id", "array(doc_id) as arr"), Seq("arr", "doc_id"))
+    }
+    assert(e.getMessage.contains("numeric or string"))
+  }
+
+  test("bucket assignment is the O(log P) binary-search expression, not a when-chain") {
+    // the projection must reference boundary_bucket once; a chained-when
+    // fold would grow the plan linearly with the partition count
+    val plan = ScalableWindows.withGlobalRowNumber(
+      cat.orders, Seq("o_totalprice", "o_orderkey"), numPartitions = 256)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("boundary_bucket"), s"expected boundary_bucket in:\n$plan")
+    assert(!plan.contains("CASE WHEN"), "bucket assignment must not be a when-chain")
+  }
+
   test("global row number is a correct total-order numbering under skewed partitioning") {
     val df = ScalableWindows.withGlobalRowNumber(
       cat.orders.repartition(13), Seq("o_totalprice", "o_orderkey"), out = "g_rn")
