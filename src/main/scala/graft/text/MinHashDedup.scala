@@ -25,8 +25,10 @@ final case class MinHashConfig(
     shingleSize: Int = 3,
     numHashes: Int = 64,
     bands: Int = 16,
-    threshold: Double = 0.8) {
+    threshold: Double = 0.8,
+    maxBucket: Int = 4096) {
   require(numHashes % bands == 0, "bands must divide numHashes")
+  require(maxBucket >= 2, "maxBucket must allow at least one pair")
   def rowsPerBand: Int = numHashes / bands
 }
 
@@ -132,17 +134,41 @@ object MinHashDedup {
     bandedFromSignatures(signatures(documents, cfg), cfg)
 
   /** Distinct candidate pairs (i < j) sharing at least one LSH bucket,
-    * from a precomputed signature table.
+    * from a precomputed signature table — with a hot-bucket skew
+    * defense: a degenerate corpus (near-constant text) can send
+    * thousands of documents to one (band, band_hash) key, whose
+    * all-pairs self-join is O(m²) in both candidate mass and reducer
+    * skew. Buckets larger than `cfg.maxBucket` therefore degrade from
+    * all-pairs to STAR pairs — every member against the bucket's
+    * minimum doc_id — which is a projection (no join fan-out at all)
+    * and keeps candidates linear in the bucket size.
+    *
+    * Star semantics preserve what dedup consumes: in a genuinely
+    * duplicative oversized bucket every non-anchor member still reaches
+    * exact verification via its anchor pair, so [[dedupWinners]] losers
+    * and [[duplicateClusters]] connectivity are unchanged (min-id wins
+    * either way); what a capped bucket gives up is only the exhaustive
+    * PAIR LISTING among its members — the output no large-scale run
+    * wants from an m-member duplicate pile anyway.
     */
   def candidatePairsFromSignatures(sigs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val banded = bandedFromSignatures(sigs, cfg)
-    banded.as("a")
-      .join(banded.as("b"),
+    // per-bucket size + anchor: partial-agg on the same 8-byte keys the
+    // candidate join shuffles on — one extra co-partitioned pass
+    val stats = banded.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__n"), min("doc_id").as("__anchor"))
+    val tagged = banded.join(stats, Seq("band", "band_hash"))
+    val small = tagged.filter(col("__n") <= cfg.maxBucket)
+    val allPairs = small.as("a")
+      .join(small.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .distinct()
+    val starPairs = tagged
+      .filter(col("__n") > cfg.maxBucket && col("doc_id") =!= col("__anchor"))
+      .select(col("__anchor").as("i"), col("doc_id").as("j"))
+    allPairs.unionByName(starPairs).distinct()
   }
 
   /** Distinct candidate pairs (i < j) sharing at least one LSH bucket. */

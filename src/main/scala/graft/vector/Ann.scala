@@ -145,7 +145,8 @@ object Ann {
       threshold: Double,
       nPlanes: Int = 4,
       nBands: Int = 16,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucket: Int = 4096): DataFrame = {
     val planes = hyperplanes(nPlanes * nBands, dimOf(embeddings), seed)
     val bandCols = (0 until nBands).map { bd =>
       val bucket = (0 until nPlanes)
@@ -157,18 +158,35 @@ object Ann {
     val bb = embeddings
       .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = bb.as("a")
-      .join(bb.as("b"),
+    // hot-bucket skew defense (same construction as MinHashDedup
+    // .candidatePairsFromSignatures): a near-constant corpus collapses
+    // every vector into one (band, bucket) key whose self-join is
+    // O(m²); oversized buckets degrade to star-to-anchor pairs — a
+    // projection with linear candidate mass that still links every
+    // member to the bucket's min vec_id for verification/clustering.
+    val stats = bb.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n"), min("vec_id").as("__anchor"))
+    val tagged = bb.join(stats, Seq("band", "bucket"))
+    val small = tagged.filter(col("__n") <= maxBucket)
+    val cand = small.as("a")
+      .join(small.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
-      .distinct()
+      .unionByName(tagged
+        .filter(col("__n") > maxBucket && col("vec_id") =!= col("__anchor"))
+        .select(col("__anchor").as("i"), col("vec_id").as("j")))
+    // score BEFORE dedup: a pair colliding in k bands is scored k times
+    // (the dot is a cheap codegen'd kernel) but the expensive shuffle —
+    // the distinct — then runs on the few pairs that beat the
+    // threshold, not on the full candidate mass
     cand
       .join(embeddings.select(col("vec_id").as("i"), col("embedding").as("ea")), Seq("i"))
       .join(embeddings.select(col("vec_id").as("j"), col("embedding").as("eb")), Seq("j"))
       .withColumn("dp", dot(col("ea"), col("eb")))
       .filter(col("dp") > threshold)
       .select(col("i"), col("j"), round(col("dp"), 6).as("cos"))
+      .distinct()
       .orderBy("i", "j")
   }
 
