@@ -46,8 +46,12 @@ object DotProductRewrite extends Rule[LogicalPlan] {
           Seq(s: NamedLambdaVariable, e: NamedLambdaVariable), _),
         LambdaFunction(fin: NamedLambdaVariable, Seq(lf: NamedLambdaVariable), _))
       // positive zero ONLY: boxed `== 0.0` would also admit -0.0, whose
-      // fold result on an empty array is -0.0, not DotProduct's 0.0
-      if java.lang.Double.doubleToRawLongBits(zero.asInstanceOf[Double]) == 0L &&
+      // fold result on an empty array is -0.0, not DotProduct's 0.0; and
+      // a NULL seed (Literal(null, DoubleType)) folds to NULL, which
+      // DotProduct would not — null.asInstanceOf[Double] unboxes to 0.0,
+      // so the null check must come before the bit check
+      if zero != null &&
+        java.lang.Double.doubleToRawLongBits(zero.asInstanceOf[Double]) == 0L &&
         isFloatArray(a) && isFloatArray(b) &&
         isDoubleCastOf(mx, x) && isDoubleCastOf(my, y) &&
         ms.exprId == s.exprId && me.exprId == e.exprId &&

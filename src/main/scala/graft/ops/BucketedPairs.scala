@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Candidate-pair generation inside LSH buckets with a bounded-fanout
+  * defense for oversized buckets — shared by the MinHash text path
+  * ([[graft.text.MinHashDedup]]) and the sign-LSH vector path
+  * ([[graft.vector.Ann]]).
+  *
+  * The hazard: a degenerate corpus (near-constant text or embeddings)
+  * can send millions of members to one (band, bucket) key, whose
+  * all-pairs self-join is O(m²) in candidate mass and melts the single
+  * reducer that owns the key.
+  */
+object BucketedPairs {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Candidate pairs (i, j), i < j, within each (band, bucket) group of
+    * `members` — columns (id: long, band, bucket, sigh: long), where
+    * `sigh` is a 64-bit hash of the member's FULL signature (equal
+    * signatures ⇒ equal sigh).
+    *
+    * Buckets of size ≤ `cap` are all-paired exhaustively (exact pair
+    * listing). Oversized buckets degrade to a linear-candidate scheme
+    * that keeps every reducer's fan-out ≤ `cap` and preserves the links
+    * dedup consumes:
+    *
+    *   1. identical-signature groups star to the group's min id — members
+    *      sharing a full signature are near-certain duplicates and stay
+    *      pair-connected EXACTLY (the degenerate constant-corpus bucket
+    *      is one such group: m−1 pairs, not m²);
+    *   2. group representatives (one per distinct signature, G of them)
+    *      are chunked by id hash into ⌈G/cap⌉ sub-chunks and all-paired
+    *      within each chunk — the chunked self-join spreads the hot
+    *      bucket over many reducers instead of one;
+    *   3. every representative is linked to the bucket's min id, so each
+    *      member still reaches exact verification through at most two
+    *      hops (its group anchor, then the bucket anchor).
+    *
+    * Accuracy contract for an OVERSIZED bucket (callers must document
+    * it): identical-signature duplicate pairs are always connected;
+    * a DISTINCT-signature near-dup pair (B, C) is listed only if B and C
+    * land in the same sub-chunk (probability ~cap/G) or connect through
+    * anchors that themselves pass verification — exhaustive pair listing
+    * and exact transitive connectivity among distinct-signature members
+    * are NOT guaranteed. Small buckets lose nothing.
+    *
+    * Cost: candidates per oversized bucket ≤ (m−G) + G·cap/2 + G —
+    * linear in m for fixed cap. The per-bucket stats and the tagged
+    * member table are localCheckpoint'ed: the (usually expensive)
+    * signature lineage upstream of `members` is computed ONCE instead of
+    * once per self-join side, and the capped fraction becomes a free
+    * driver-side diagnostic. A warning is logged whenever any bucket is
+    * capped, with the affected row fraction, so recall loss is never
+    * silent.
+    *
+    * Output may contain the same (i, j) via several bands — callers
+    * dedup after (or after scoring, whichever is cheaper).
+    */
+  def cappedCandidatePairs(members: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 2, s"cap=$cap must allow at least one pair")
+    val stats = members.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n"), min("id").as("__banchor"))
+      .localCheckpoint(true)
+    val diag = stats.agg(
+      coalesce(sum(when(col("__n") > cap, col("__n"))), lit(0L)).as("capped"),
+      coalesce(sum(col("__n")), lit(0L)).as("total")).first()
+    val (cappedRows, totalRows) = (diag.getLong(0), diag.getLong(1))
+    if (cappedRows > 0) log.warn(
+      s"cappedCandidatePairs: $cappedRows of $totalRows member rows " +
+        f"(${cappedRows.toDouble / totalRows * 100}%.1f%%) sit in buckets larger than cap=$cap " +
+        "and degrade from exhaustive to linear candidate generation — distinct-signature " +
+        "pair recall in those buckets is reduced; raise the cap or the number of planes/bands " +
+        "if this fraction is large")
+    val tagged = members.join(stats, Seq("band", "bucket")).localCheckpoint(true)
+
+    val small = tagged.filter(col("__n") <= cap)
+    val smallPairs = small.as("a")
+      .join(small.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+
+    val over = tagged.filter(col("__n") > cap)
+    // tier 1: identical-signature groups (group anchor = min id < members)
+    val groups = over.groupBy("band", "bucket", "sigh")
+      .agg(min("id").as("__ganchor"), min("__banchor").as("__banchor"))
+    val groupStar = over
+      .join(groups.select("band", "bucket", "sigh", "__ganchor"), Seq("band", "bucket", "sigh"))
+      .filter(col("id") =!= col("__ganchor"))
+      .select(col("__ganchor").as("i"), col("id").as("j"))
+    // tier 2: representatives, chunked all-pairs (fan-out ≤ cap per chunk)
+    val repStats = groups.groupBy("band", "bucket").agg(count(lit(1)).as("__g"))
+    val reps = groups.join(repStats, Seq("band", "bucket"))
+      .withColumn("__chunk",
+        pmod(xxhash64(col("__ganchor")),
+          greatest(lit(1L), ceil(col("__g").cast("double") / cap).cast("long"))))
+    val repPairs = reps.as("a")
+      .join(reps.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.__chunk") === col("b.__chunk") && col("a.__ganchor") < col("b.__ganchor"))
+      .select(col("a.__ganchor").as("i"), col("b.__ganchor").as("j"))
+    // tier 3: bucket anchor link (bucket anchor = min id < representatives)
+    val anchorStar = reps.filter(col("__ganchor") =!= col("__banchor"))
+      .select(col("__banchor").as("i"), col("__ganchor").as("j"))
+
+    smallPairs.unionByName(groupStar).unionByName(repPairs).unionByName(anchorStar)
+  }
+}

@@ -212,8 +212,14 @@ object ScalableWindows {
       s"preceding=$preceding: the contribution fanout is preceding+1 rows per distinct value")
     val counts = df.groupBy(col(valueCol).cast("long").as("__v")).agg(count(lit(1)).as("__c"))
     val nonNull = counts.filter(col("__v").isNotNull)
+    // clamp the sequence stop: __v + preceding wraps negative for values
+    // near Long.MaxValue, turning the enumeration into a huge descending
+    // sequence; targets beyond MaxValue cannot exist in the data, so the
+    // clamp drops only impossible targets
+    val stop = when(col("__v") > lit(Long.MaxValue - preceding), lit(Long.MaxValue))
+      .otherwise(col("__v") + lit(preceding))
     val contrib = nonNull.select(
-      explode(sequence(col("__v"), col("__v") + lit(preceding))).as("__t"), col("__c"))
+      explode(sequence(col("__v"), stop)).as("__t"), col("__c"))
     val near = contrib.groupBy("__t").agg(sum("__c").as(out))
       .unionByName(counts.filter(col("__v").isNull)
         .select(col("__v").as("__t"), col("__c").cast("long").as(out)))

@@ -116,59 +116,53 @@ object MinHashDedup {
     df.drop("sig_v")
   }
 
+  private def bandStructs(cfg: MinHashConfig) = (0 until cfg.bands).map { b =>
+    struct(lit(b).as("band"),
+      xxhash64(slice(col("sig"), b * cfg.rowsPerBand + 1, cfg.rowsPerBand)).as("band_hash"))
+  }
+
   /** (doc_id, band, band_hash) from a precomputed signature table —
     * `bands` rows per document.
     */
-  def bandedFromSignatures(sigs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val bandCols = (0 until cfg.bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * cfg.rowsPerBand + 1, cfg.rowsPerBand)).as("band_hash"))
-    }
+  def bandedFromSignatures(sigs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame =
     sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), explode(array(bandStructs(cfg): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
-  }
 
   /** (doc_id, band, band_hash) — `bands` rows per document. */
   def bandedSignatures(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame =
     bandedFromSignatures(signatures(documents, cfg), cfg)
 
   /** Distinct candidate pairs (i < j) sharing at least one LSH bucket,
-    * from a precomputed signature table — with a hot-bucket skew
-    * defense: a degenerate corpus (near-constant text) can send
-    * thousands of documents to one (band, band_hash) key, whose
-    * all-pairs self-join is O(m²) in both candidate mass and reducer
-    * skew. Buckets larger than `cfg.maxBucket` therefore degrade from
-    * all-pairs to STAR pairs — every member against the bucket's
-    * minimum doc_id — which is a projection (no join fan-out at all)
-    * and keeps candidates linear in the bucket size.
+    * from a precomputed signature table — with the shared hot-bucket
+    * defense of [[graft.ops.BucketedPairs.cappedCandidatePairs]]:
+    * buckets ≤ `cfg.maxBucket` are all-paired exhaustively; oversized
+    * buckets (a degenerate near-constant corpus, or a genuinely huge
+    * duplicate pile) degrade to linear candidates — identical-signature
+    * groups star to their min doc_id (EXACT connectivity for the
+    * constant-corpus case), distinct-signature representatives are
+    * chunk-paired with fan-out ≤ maxBucket, and everything links to the
+    * bucket anchor for verification reachability.
     *
-    * Star semantics preserve what dedup consumes: in a genuinely
-    * duplicative oversized bucket every non-anchor member still reaches
-    * exact verification via its anchor pair, so [[dedupWinners]] losers
-    * and [[duplicateClusters]] connectivity are unchanged (min-id wins
-    * either way); what a capped bucket gives up is only the exhaustive
-    * PAIR LISTING among its members — the output no large-scale run
-    * wants from an m-member duplicate pile anyway.
+    * Recall caveat (accurate, not aspirational): inside an OVERSIZED
+    * bucket, a mutual near-dup pair (B, C) with DIFFERENT signatures is
+    * listed only if B and C share a sub-chunk (~maxBucket/G chance) or
+    * both verify against an anchor — so [[dedupWinners]] and
+    * [[duplicateClusters]] can differ from the uncapped result when an
+    * anchor is not itself a near-duplicate of such members. The band
+    * hash space is 2^64, so uniform corpora never produce oversized
+    * buckets — only true duplicate piles (where identical-signature
+    * grouping carries the connectivity) and adversarial skew do. A
+    * warning with the affected row fraction is logged whenever a bucket
+    * is capped.
     */
   def candidatePairsFromSignatures(sigs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val banded = bandedFromSignatures(sigs, cfg)
-    // per-bucket size + anchor: partial-agg on the same 8-byte keys the
-    // candidate join shuffles on — one extra co-partitioned pass
-    val stats = banded.groupBy("band", "band_hash")
-      .agg(count(lit(1)).as("__n"), min("doc_id").as("__anchor"))
-    val tagged = banded.join(stats, Seq("band", "band_hash"))
-    val small = tagged.filter(col("__n") <= cfg.maxBucket)
-    val allPairs = small.as("a")
-      .join(small.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-    val starPairs = tagged
-      .filter(col("__n") > cfg.maxBucket && col("doc_id") =!= col("__anchor"))
-      .select(col("__anchor").as("i"), col("doc_id").as("j"))
-    allPairs.unionByName(starPairs).distinct()
+    val members = sigs
+      .select(col("doc_id").as("id"), xxhash64(col("sig")).as("sigh"),
+        explode(array(bandStructs(cfg): _*)).as("bb"))
+      .select(col("id"), col("sigh"), col("bb.band").as("band"), col("bb.band_hash").as("bucket"))
+    graft.ops.BucketedPairs.cappedCandidatePairs(members, cfg.maxBucket)
+      .distinct()
   }
 
   /** Distinct candidate pairs (i < j) sharing at least one LSH bucket. */

@@ -128,59 +128,90 @@ object Ann {
       .orderBy("i", "j")
   }
 
+  /** Banding parameters for a target recall at the decision threshold:
+    * enough planes per band that a uniform corpus's expected bucket size
+    * stays ≤ `targetBucket` (nPlanes ≥ log2(N / targetBucket), floor 4),
+    * then enough bands that recall 1-(1-p^nPlanes)^nBands at cosine
+    * `simThreshold` (p = 1-acos(s)/π) meets `targetRecall`. This is the
+    * knob the 4×16 default silently got wrong beyond ~65k vectors: more
+    * corpus needs MORE planes (smaller buckets) and correspondingly more
+    * bands (recall), not a tighter cap.
+    */
+  def recommendBanding(
+      corpusSize: Long,
+      simThreshold: Double,
+      targetRecall: Double = 0.93,
+      targetBucket: Long = 4096L): (Int, Int) = {
+    require(targetRecall > 0 && targetRecall < 1, s"targetRecall=$targetRecall")
+    val ratio = math.max(1.0, corpusSize.toDouble / targetBucket)
+    val nPlanes = math.min(62, math.max(4, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, simThreshold))) / math.Pi
+    val pr = math.pow(p, nPlanes)
+    val nBands =
+      if (pr >= 1.0) 1
+      else math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pr)).toInt)
+    (nPlanes, nBands)
+  }
+
   /** Banded sign-LSH near-dup candidates — the high-recall scale path
     * for [[allPairsAbove]]. `nBands` independent `nPlanes`-bit bucket
     * tables; a pair is a candidate if it collides in ANY band (the
     * OR-of-ANDs construction, exactly MinHash banding but for cosine).
     * Candidates are re-scored exactly, so precision is 1.0 and recall at
-    * cosine s is 1-(1-p^nPlanes)^nBands with p = 1-acos(s)/π — the
-    * default 4×16 gives ≥0.93 at s=0.4 and ≥0.999 at s=0.7.
+    * cosine s is 1-(1-p^nPlanes)^nBands with p = 1-acos(s)/π.
+    *
+    * `nPlanes`/`nBands` default to 0 = derive from the corpus size and
+    * `threshold` via [[recommendBanding]] (4×16 at ≤65k vectors and
+    * s=0.4 — the old fixed default — growing with log₂N so expected
+    * bucket sizes stay bounded instead of the cap silently strangling
+    * recall). `maxBucket` defaults to 0 = 8× the uniform expected bucket
+    * load (floor 4096): under that cap only genuinely skewed buckets
+    * degrade, and [[graft.ops.BucketedPairs.cappedCandidatePairs]] logs
+    * the affected fraction whenever one does. Oversized buckets keep
+    * identical-sign-signature members exactly connected and sample
+    * distinct-signature pairs (see the helper's accuracy contract);
+    * small buckets are exhaustive.
     *
     * Scale shape: the band table is map-side (vec_id, band, bucket — no
     * embeddings), candidates meet only inside (band, bucket) buckets,
-    * and embeddings are joined back just for the few candidates.
+    * and embeddings are joined back just for the few candidates. Costs
+    * one `count()` job when any parameter is auto-derived.
     */
   def bandedPairsAbove(
       embeddings: DataFrame,
       threshold: Double,
-      nPlanes: Int = 4,
-      nBands: Int = 16,
+      nPlanes: Int = 0,
+      nBands: Int = 0,
       seed: Long = 42L,
-      maxBucket: Int = 4096): DataFrame = {
-    val planes = hyperplanes(nPlanes * nBands, dimOf(embeddings), seed)
-    val bandCols = (0 until nBands).map { bd =>
-      val bucket = (0 until nPlanes)
-        .map(j => when(dot(col("embedding"), typedLit(planes(bd * nPlanes + j))) >= 0,
+      maxBucket: Int = 0): DataFrame = {
+    val corpusSize: Long =
+      if (nPlanes > 0 && nBands > 0 && maxBucket > 0) -1L else embeddings.count()
+    val (np, nb) =
+      if (nPlanes > 0 && nBands > 0) (nPlanes, nBands)
+      else recommendBanding(corpusSize, threshold)
+    val cap =
+      if (maxBucket > 0) maxBucket
+      else math.min(Int.MaxValue.toLong, math.max(4096L, 8L * (corpusSize >> np))).toInt
+    val planes = hyperplanes(np * nb, dimOf(embeddings), seed)
+    val bandCols = (0 until nb).map { bd =>
+      val bucket = (0 until np)
+        .map(j => when(dot(col("embedding"), typedLit(planes(bd * np + j))) >= 0,
           lit(1L << j)).otherwise(0L))
         .reduce((a, b) => a.bitwiseOR(b))
       struct(lit(bd).as("band"), bucket.as("bucket"))
     }
-    val bb = embeddings
-      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // hot-bucket skew defense (same construction as MinHashDedup
-    // .candidatePairsFromSignatures): a near-constant corpus collapses
-    // every vector into one (band, bucket) key whose self-join is
-    // O(m²); oversized buckets degrade to star-to-anchor pairs — a
-    // projection with linear candidate mass that still links every
-    // member to the bucket's min vec_id for verification/clustering.
-    val stats = bb.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("__n"), min("vec_id").as("__anchor"))
-    val tagged = bb.join(stats, Seq("band", "bucket"))
-    val small = tagged.filter(col("__n") <= maxBucket)
-    val cand = small.as("a")
-      .join(small.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
-      .unionByName(tagged
-        .filter(col("__n") > maxBucket && col("vec_id") =!= col("__anchor"))
-        .select(col("__anchor").as("i"), col("vec_id").as("j")))
+    // the full sign pattern across all bands is the vector's signature:
+    // identical vectors (and only near-identical ones, w.h.p.) share it,
+    // which is what the oversized-bucket defense groups by
+    val members = embeddings
+      .select(col("vec_id").as("id"), array(bandCols: _*).as("__sig"))
+      .select(col("id"), xxhash64(col("__sig")).as("sigh"), explode(col("__sig")).as("bb"))
+      .select(col("id"), col("sigh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     // score BEFORE dedup: a pair colliding in k bands is scored k times
     // (the dot is a cheap codegen'd kernel) but the expensive shuffle —
     // the distinct — then runs on the few pairs that beat the
     // threshold, not on the full candidate mass
-    cand
+    graft.ops.BucketedPairs.cappedCandidatePairs(members, cap)
       .join(embeddings.select(col("vec_id").as("i"), col("embedding").as("ea")), Seq("i"))
       .join(embeddings.select(col("vec_id").as("j"), col("embedding").as("eb")), Seq("j"))
       .withColumn("dp", dot(col("ea"), col("eb")))

@@ -34,6 +34,20 @@ class DotProductRewriteSpec extends SparkSpec {
     assert(Canonical.hash16(df) == Contract.hash01("F07"))
   }
 
+  test("rule does not fire on a NULL seed (fold is semantically NULL)") {
+    import spark.implicits._
+    Seq((1L, Array(1f, 2f), Array(3f, 4f))).toDF("id", "a", "b")
+      .createOrReplaceTempView("dot_null_seed")
+    val df = spark.sql(
+      """SELECT id, aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)),
+        |CAST(NULL AS DOUBLE), (s, x) -> s + x) AS d FROM dot_null_seed""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("graft_dot"),
+      s"null-seed fold wrongly rewritten to DotProduct:\n$optimized")
+    val rows = df.collect()
+    assert(rows.length == 1 && rows(0).isNullAt(1), "null seed must fold to NULL")
+  }
+
   test("rewritten and interpreted forms agree on nulls, ragged and null-element arrays") {
     import spark.implicits._
     val df = Seq(

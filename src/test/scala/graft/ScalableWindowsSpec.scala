@@ -63,6 +63,18 @@ class ScalableWindowsSpec extends SparkSpec {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("rangeCountNear is exact for order values near Long.MaxValue (no sequence wrap)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val m = Long.MaxValue
+    val df = Seq(m, m, m - 1, m - 3, 10L).toDF("v")
+    val got = ScalableWindows.rangeCountNear(df, "v", preceding = 2L)
+      .groupBy("v").agg(max("cnt_near").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // frame [v-2, v]: m sees {m,m,m-1}; m-1 sees {m-1,m-3}; m-3 sees {m-3}; 10 sees {10}
+    assert(got == Map(m -> 3L, (m - 1) -> 2L, (m - 3) -> 1L, 10L -> 1L), s"got $got")
+  }
+
   test("global row number works on a STRING first order key (sampled literal boundaries)") {
     val df = ScalableWindows.withGlobalRowNumber(
       cat.customer, Seq("c_name", "c_custkey"), out = "g_rn", numPartitions = 7)

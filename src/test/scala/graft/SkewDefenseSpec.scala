@@ -8,11 +8,52 @@ import graft.vector.Ann
 /** LSH hot-bucket skew defense: a degenerate near-constant corpus sends
   * every document/vector to one (band, bucket) key. Without the cap the
   * candidate self-join is O(m²) in mass and lands on one reducer; with
-  * it, oversized buckets emit star-to-anchor pairs — linear, join-free —
-  * while preserving what dedup consumes (every member still reaches
-  * exact verification through its anchor, min-id still wins).
+  * it, oversized buckets degrade to linear candidates: identical-
+  * signature groups star to their min id (EXACT for the constant-corpus
+  * case), distinct-signature representatives chunk-pair with bounded
+  * fan-out, and everything links to the bucket anchor for verification
+  * reachability (min-id still wins).
   */
 class SkewDefenseSpec extends SparkSpec {
+
+  test("capped pairs: mixed oversized bucket stays linear, identical-sig members stay connected") {
+    import spark.implicits._
+    // one bucket of 100: ids 0–49 share a signature, 50–99 are distinct
+    val members = (0L until 100L)
+      .map(id => (id, if (id < 50) 7L else 1000L + id, 0, 11L))
+      .toDF("id", "sigh", "band", "bucket")
+    val pairs = graft.ops.BucketedPairs.cappedCandidatePairs(members, cap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all-pairs would be 4 950; linear bound: (m−G) + G·cap/2 + G with G=51
+    assert(pairs.size < 1000, s"candidate mass must stay linear, got ${pairs.size}")
+    assert(pairs.forall(p => p._1 < p._2), "pairs must be ordered i < j")
+    // tier 1: every identical-signature member pairs with the group min
+    assert((1L until 50L).forall(j => pairs.contains((0L, j))),
+      "identical-signature members must all connect to their group anchor")
+    // tier 3: every id is reachable (appears in some pair)
+    val touched = pairs.flatMap(p => Seq(p._1, p._2))
+    assert(touched == (0L until 100L).toSet, "every member must reach verification")
+  }
+
+  test("capped pairs: small buckets stay exhaustive") {
+    import spark.implicits._
+    val members = (0L until 5L).map(id => (id, 100L + id, 0, 3L)).toDF("id", "sigh", "band", "bucket")
+    val pairs = graft.ops.BucketedPairs.cappedCandidatePairs(members, cap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (for { i <- 0L until 5L; j <- i + 1 until 5L } yield (i, j)).toSet)
+  }
+
+  test("recommendBanding grows planes with corpus size and meets the recall target") {
+    val (p1, b1) = Ann.recommendBanding(500L, 0.4)
+    assert((p1, b1) == (4, 16), s"small corpus must reproduce the 4x16 default, got ($p1,$b1)")
+    val (p2, b2) = Ann.recommendBanding(1000000000L, 0.7)
+    assert(p2 > p1, "a 1B corpus needs more planes per band")
+    val prob = 1.0 - math.acos(0.7) / math.Pi
+    val recall = 1.0 - math.pow(1.0 - math.pow(prob, p2), b2)
+    assert(recall >= 0.93, s"theoretical recall $recall below target")
+    // expected bucket size at 1B stays bounded
+    assert(1000000000L >> p2 <= 4096L, s"expected bucket ${1000000000L >> p2} exceeds target")
+  }
 
   test("minhash: near-constant corpus keeps candidates linear and winners exact") {
     import spark.implicits._
