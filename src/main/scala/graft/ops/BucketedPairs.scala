@@ -48,22 +48,23 @@ object BucketedPairs {
     * are NOT guaranteed. Small buckets lose nothing.
     *
     * Cost: candidates per oversized bucket ≤ (m−G) + G·cap/2 + G —
-    * linear in m for fixed cap. The per-bucket stats and the tagged
-    * member table are localCheckpoint'ed: the (usually expensive)
-    * signature lineage upstream of `members` is computed ONCE instead of
-    * once per self-join side, and the capped fraction becomes a free
-    * driver-side diagnostic. A warning is logged whenever any bucket is
-    * capped, with the affected row fraction, so recall loss is never
-    * silent.
+    * linear in m for fixed cap. The member table is localCheckpoint'ed
+    * ONCE: the (usually expensive) signature lineage upstream of
+    * `members` runs exactly one pass, and every downstream consumer
+    * (bucket stats, the capped-fraction diagnostic, both self-join
+    * sides) reads the materialized rows — at 8-byte-key × bands scale,
+    * far smaller than the corpus. A warning is logged whenever any
+    * bucket is capped, with the affected row fraction, so recall loss is
+    * never silent.
     *
     * Output may contain the same (i, j) via several bands — callers
     * dedup after (or after scoring, whichever is cheaper).
     */
   def cappedCandidatePairs(members: DataFrame, cap: Int): DataFrame = {
     require(cap >= 2, s"cap=$cap must allow at least one pair")
-    val stats = members.groupBy("band", "bucket")
+    val m = members.localCheckpoint(true)
+    val stats = m.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n"), min("id").as("__banchor"))
-      .localCheckpoint(true)
     val diag = stats.agg(
       coalesce(sum(when(col("__n") > cap, col("__n"))), lit(0L)).as("capped"),
       coalesce(sum(col("__n")), lit(0L)).as("total")).first()
@@ -74,7 +75,10 @@ object BucketedPairs {
         "and degrade from exhaustive to linear candidate generation — distinct-signature " +
         "pair recall in those buckets is reduced; raise the cap or the number of planes/bands " +
         "if this fraction is large")
-    val tagged = members.join(stats, Seq("band", "bucket")).localCheckpoint(true)
+    // tagged is read by both self-join sides and all three oversized
+    // tiers — materialize it once (cheap: m is already local) rather
+    // than re-running the stats join per consumer
+    val tagged = m.join(stats, Seq("band", "bucket")).localCheckpoint(true)
 
     val small = tagged.filter(col("__n") <= cap)
     val smallPairs = small.as("a")

@@ -161,8 +161,12 @@ object MinHashDedup {
       .select(col("doc_id").as("id"), xxhash64(col("sig")).as("sigh"),
         explode(array(bandStructs(cfg): _*)).as("bb"))
       .select(col("id"), col("sigh"), col("bb.band").as("band"), col("bb.band_hash").as("bucket"))
+    // the distinct pair set is consumed several times downstream
+    // (candidate-id extraction for both sides + the verification join);
+    // materialize it so the banded self-join runs once, not per consumer
     graft.ops.BucketedPairs.cappedCandidatePairs(members, cfg.maxBucket)
       .distinct()
+      .localCheckpoint(true)
   }
 
   /** Distinct candidate pairs (i < j) sharing at least one LSH bucket. */
