@@ -9,15 +9,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.sources.Tables
 import graft.streaming.StreamOps
 
-/** Batch ≡ incremental equivalence (SURVEY §5.3): replay the events
-  * table as a file-source stream in event-time order, run the streaming
-  * forms of T01/T02/T03 with a 30-minute watermark in append mode, and
-  * require the emitted result set to equal the batch result. Plus the
-  * late-data case: rows injected behind the watermark must be dropped.
+/** Batch ≡ incremental equivalence (SURVEY §5.3) at sf0.1: replay the
+  * 100k-row events table as a file-source stream in event-time order
+  * across SIX micro-batch triggers, run the streaming forms of
+  * T01/T02/T03 with a 30-minute watermark in append mode, and require
+  * the emitted result set to equal the batch result. The tumbling AND
+  * session paths additionally get late rows injected behind the
+  * watermark mid-replay, which must be dropped (batch equality then
+  * proves the drop, since the batch side never sees them).
   */
 class StreamingSpec extends SparkSpec {
 
-  private lazy val events = Tables.load(spark, sf001, "events")
+  private lazy val events = Tables.load(spark, sf1, "events")
   private lazy val maxTs = events.agg(max("ts")).collect()(0).getInstant(0)
 
   /** Write `df` as a single parquet file named `name` inside `dstDir`. */
@@ -28,16 +31,15 @@ class StreamingSpec extends SparkSpec {
     Files.copy(part, dstDir.resolve(s"$name.parquet"))
   }
 
-  /** Event-time-ordered thirds of the events table. */
-  private def chunks: Seq[DataFrame] = {
+  /** Event-time-ordered n-ths of the events table. */
+  private def chunks(n: Int): Seq[DataFrame] = {
     val ts = events.select("ts").orderBy("ts").collect().map(_.getInstant(0))
-    val c1 = ts(ts.length / 3)
-    val c2 = ts(2 * ts.length / 3)
-    Seq(
-      events.filter(col("ts") <= lit(java.sql.Timestamp.from(c1))),
-      events.filter(col("ts") > lit(java.sql.Timestamp.from(c1)) &&
-        col("ts") <= lit(java.sql.Timestamp.from(c2))),
-      events.filter(col("ts") > lit(java.sql.Timestamp.from(c2))))
+    val cuts = (1 until n).map(i => java.sql.Timestamp.from(ts(i * ts.length / n)))
+    (0 until n).map { i =>
+      val lower = if (i == 0) lit(true) else col("ts") > lit(cuts(i - 1))
+      val upper = if (i == n - 1) lit(true) else col("ts") <= lit(cuts(i))
+      events.filter(lower && upper)
+    }
   }
 
   /** A watermark-advancing control row 4 h past the stream's end.
@@ -56,14 +58,18 @@ class StreamingSpec extends SparkSpec {
       lit(0.0).as("value"),
       lit("{}").as("props"))
 
-  /** Run a streaming transform over the replayed chunks (+ optional
-    * late-data injection after the first chunk), returning the append-
-    * mode output after the sentinel finalizes every window.
+  /** Run a streaming transform over `nChunks` replayed event-time-ordered
+    * chunks (+ optional late-data injection after the first chunk),
+    * returning the append-mode output after the sentinel finalizes every
+    * window. With six chunks the first covers ~1/6 of a multi-day span,
+    * so rows cloned from the stream's earliest hours are far behind the
+    * 30-minute watermark when injected.
     */
   private def runReplay(
       name: String,
       transform: DataFrame => DataFrame,
-      late: Option[DataFrame] = None): Array[Row] = {
+      late: Option[DataFrame] = None,
+      nChunks: Int = 6): Array[Row] = {
     val srcDir = Files.createTempDirectory(s"graft-stream-$name")
     val stream = transform(StreamOps.eventsStream(spark, srcDir.toString))
     val query: StreamingQuery = stream.writeStream
@@ -72,7 +78,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append")
       .start()
     try {
-      chunks.zipWithIndex.foreach { case (c, i) =>
+      chunks(nChunks).zipWithIndex.foreach { case (c, i) =>
         writeChunk(c, srcDir, s"chunk$i")
         query.processAllAvailable()
         late.foreach { l =>
@@ -94,6 +100,13 @@ class StreamingSpec extends SparkSpec {
       spark.table(name).collect()
     } finally query.stop()
   }
+
+  /** Clones of the stream's earliest rows passing `filter`, with fresh
+    * ids — behind the watermark once chunk 0 has been processed.
+    */
+  private def lateClones(filter: org.apache.spark.sql.Column, n: Int): DataFrame =
+    events.filter(filter).orderBy("ts").limit(n)
+      .withColumn("event_id", col("event_id") + 1000000L)
 
   test("stateful streaming dedup: exactly one winner per fingerprint across micro-batches") {
     val docs = Tables.load(spark, sf1, "documents") // sf0.1 has 8 duplicate groups
@@ -128,14 +141,10 @@ class StreamingSpec extends SparkSpec {
     assert(batchWinners == l02Winners)
   }
 
-  test("tumbling window stream ≡ batch T01, late rows dropped") {
-    // late rows: clones of the 5 earliest events with fresh ids — their
-    // hour windows are far behind the watermark after chunk 0
-    val lateRows = events.orderBy("ts").limit(5)
-      .withColumn("event_id", col("event_id") + 1000000L)
+  test("tumbling window stream ≡ batch T01 form at sf0.1 over 6 triggers, late rows dropped") {
     val got = runReplay("t01_stream",
       StreamOps.tumblingHourly(_, rowFilter = col("user_id") < 50),
-      late = Some(lateRows))
+      late = Some(lateClones(col("user_id") < 50, 5)))
       .map(r => (r.getInstant(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     val want = events.filter(col("user_id") < 50)
       .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
@@ -146,24 +155,25 @@ class StreamingSpec extends SparkSpec {
       s"stream≠batch: missing=${want -- got}, extra=${got -- want}")
   }
 
-  test("sliding window stream ≡ batch T02 formulation") {
+  test("sliding window stream ≡ batch T02 formulation at sf0.1 over 6 triggers") {
     val got = runReplay("t02_stream",
       StreamOps.slidingHourly(_, rowFilter = col("user_id") < 20))
       .map(r => (r.getInstant(0), r.getLong(1), r.getDouble(2))).toSet
-    val want = ops.TemporalQueries.queries("T02")(ops.Catalog(spark, sf001))
+    val want = ops.TemporalQueries.queries("T02")(ops.Catalog(spark, sf1))
       .collect()
       .map(r => (r.getInstant(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == want,
       s"stream≠batch: missing=${want -- got}, extra=${got -- want}")
   }
 
-  test("session window stream ≡ batch T03 gaps-and-islands") {
+  test("session window stream ≡ batch T03 gaps-and-islands at sf0.1, late session rows dropped") {
     val got = runReplay("t03_stream",
-      StreamOps.userSessions(_, rowFilter = col("user_id") < 10))
+      StreamOps.userSessions(_, rowFilter = col("user_id") < 10),
+      late = Some(lateClones(col("user_id") < 10, 5)))
       .map(r => (r.getLong(0), r.getInstant(1), r.getInstant(2), r.getLong(3), r.getDouble(4)))
       .toSet
     // batch T03 keyed by session ordinal; re-key by (start, end) bounds
-    val want = ops.TemporalQueries.queries("T03")(ops.Catalog(spark, sf001))
+    val want = ops.TemporalQueries.queries("T03")(ops.Catalog(spark, sf1))
       .select("user_id", "s_start", "s_end", "n", "v")
       .collect()
       .map(r => (r.getLong(0), r.getInstant(1), r.getInstant(2), r.getLong(3), r.getDouble(4)))
