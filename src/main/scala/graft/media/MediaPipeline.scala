@@ -26,19 +26,22 @@ final case class DecodedMedia(
   * Media travels as a `binary` column beside a metadata struct;
   * decode/feature-extract run per partition (mapPartitions) so codec
   * state amortizes across a batch, exactly like a Python `mapInPandas`
-  * batch UDF. The codec is REAL: payloads are PNG images encoded and
-  * decoded with the JDK's javax.imageio (no external libraries), so
-  * `width`/`height`/`features` are true decoded values, not fakes.
-  * Swapping in a different format only changes the two pure functions
-  * [[synthesizePng]] (ingest stand-in) and [[decodeImage]].
+  * batch UDF. The codecs are REAL: payloads are PNG or JPEG images
+  * encoded and decoded with the JDK's javax.imageio (no external
+  * libraries), so `width`/`height`/`features` are true decoded values,
+  * not fakes. The format is sniffed from the payload's magic bytes
+  * ([[sniffKind]]) and cross-checked against the declared metadata —
+  * a mislabeled payload fails fast instead of silently decoding as the
+  * wrong type.
   */
 object MediaPipeline {
 
-  /** Deterministic PNG stand-in for a real ingest payload: dimensions
+  /** Deterministic image stand-in for a real ingest payload: dimensions
     * derive from doc_id, pixel content from the text hash, so the decode
-    * side can be verified against ground truth.
+    * side can be verified against ground truth. Even doc_ids encode as
+    * PNG, odd as JPEG, exercising both codecs in one table.
     */
-  private[media] def synthesizePng(docId: Long, text: String): Array[Byte] = {
+  private[media] def synthesizeImage(docId: Long, text: String): Array[Byte] = {
     val w = 8 + (docId % 32).toInt
     val h = 8 + ((docId * 3) % 24).toInt
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -52,7 +55,7 @@ object MediaPipeline {
       }
       y += 1
     }
-    encodePng(img)
+    if (docId % 2 == 0) encodePng(img) else encodeJpeg(img)
   }
 
   def encodePng(img: BufferedImage): Array[Byte] = {
@@ -61,16 +64,36 @@ object MediaPipeline {
     out.toByteArray
   }
 
-  /** Real PNG decode (JDK ImageIO). Fails fast on undecodable bytes —
-    * a corrupt payload must surface, not produce a plausible fake.
+  def encodeJpeg(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** MIME type from the payload's magic bytes — the payload itself is
+    * the source of truth for its format, never the file name or caller-
+    * supplied metadata. Fails fast on unknown formats.
+    */
+  def sniffKind(bytes: Array[Byte]): String =
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') "image/png"
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) "image/jpeg"
+    else throw new IllegalArgumentException(
+      s"unrecognized media payload (${bytes.length} bytes) — supported: PNG, JPEG")
+
+  /** Real image decode (JDK ImageIO; PNG or JPEG, dispatched on the
+    * payload's magic bytes). Fails fast on undecodable bytes — a
+    * corrupt payload must surface, not produce a plausible fake.
     */
   def decodeImage(bytes: Array[Byte]): BufferedImage = {
+    sniffKind(bytes) // reject unknown formats with a clear message
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, s"undecodable media payload (${bytes.length} bytes)")
     img
   }
 
-  /** Decoded (width, height) of a PNG payload. */
+  /** Decoded (width, height) of a PNG/JPEG payload. */
   def decodeDims(bytes: Array[Byte]): (Int, Int) = {
     val img = decodeImage(bytes)
     (img.getWidth, img.getHeight)
@@ -99,8 +122,8 @@ object MediaPipeline {
   }
 
   /** Synthesize an opaque media column from the documents table: one
-    * real PNG per document; `meta` carries the typed metadata a real
-    * ingest would attach. Encoding runs per partition on executors.
+    * real PNG or JPEG per document; `meta` carries the typed metadata a
+    * real ingest would attach. Encoding runs per partition on executors.
     */
   def toMediaTable(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
@@ -110,8 +133,8 @@ object MediaPipeline {
       .as[(Long, String, String)]
       .mapPartitions { batch =>
         batch.map { case (id, text, lang) =>
-          val png = synthesizePng(id, text)
-          (id, png, "image/png", png.length, lang)
+          val img = synthesizeImage(id, text)
+          (id, img, sniffKind(img), img.length, lang)
         }
       }
       .toDF("doc_id", "media", "kind", "n_bytes", "origin")
@@ -132,6 +155,9 @@ object MediaPipeline {
         // per-partition: ImageIO codec lookup state is JVM-wide; a
         // native codec would be initialized here once per batch
         batch.map { case (id, bytes, kind) =>
+          val sniffed = sniffKind(bytes)
+          require(sniffed == kind,
+            s"doc $id: payload is $sniffed but metadata declares $kind")
           val img = decodeImage(bytes)
           DecodedMedia(id, kind, bytes.length,
             img.getWidth, img.getHeight, lumaHistogram(img))

@@ -98,7 +98,7 @@ class ExtrasSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below 0.9 (found ${banded.size} of ${exact.size})")
   }
 
-  test("media pipeline: real PNG decode recovers true dimensions, batch shape, determinism") {
+  test("media pipeline: real PNG+JPEG decode recovers true dimensions, batch shape, determinism") {
     val media = MediaPipeline.toMediaTable(cat.documents)
     assert(media.schema("media").dataType.typeName == "binary")
     val decoded = MediaPipeline.decodeAndFeaturize(media).collect()
@@ -106,12 +106,16 @@ class ExtrasSpec extends SparkSpec {
     decoded.foreach { d =>
       assert(d.features.length == 16)
       assert(math.abs(d.features.sum - 1.0f) < 1e-3, s"histogram not normalized: ${d.doc_id}")
-      // width/height are DECODED from the PNG bytes; they must equal the
-      // known synthesis dimensions — proves the codec read real pixels
+      // width/height are DECODED from the payload bytes; they must equal
+      // the known synthesis dimensions — proves the codec read real pixels
       assert(d.width == 8 + (d.doc_id % 32).toInt, s"width mismatch for ${d.doc_id}")
       assert(d.height == 8 + ((d.doc_id * 3) % 24).toInt, s"height mismatch for ${d.doc_id}")
-      assert(d.n_bytes > 8, "PNG payload must be non-trivial")
+      assert(d.n_bytes > 8, "payload must be non-trivial")
+      // even ids are PNG, odd JPEG — the kind comes from magic-byte sniffing
+      assert(d.kind == (if (d.doc_id % 2 == 0) "image/png" else "image/jpeg"),
+        s"kind mismatch for ${d.doc_id}: ${d.kind}")
     }
+    assert(decoded.count(_.kind == "image/jpeg") > 0, "JPEG half must be present")
     // repartitioning must not change results (mapPartitions is per-row pure)
     val repart = MediaPipeline.decodeAndFeaturize(
       MediaPipeline.toMediaTable(cat.documents.repartition(7))).collect()
@@ -122,12 +126,25 @@ class ExtrasSpec extends SparkSpec {
     val img = new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
     img.setRGB(4, 2, 0xabcdef)
     val bytes = MediaPipeline.encodePng(img)
+    assert(MediaPipeline.sniffKind(bytes) == "image/png")
     assert(MediaPipeline.decodeDims(bytes) == ((5, 3)))
     val back = MediaPipeline.decodeImage(bytes)
     assert((back.getRGB(4, 2) & 0xffffff) == 0xabcdef, "decoded pixel must round-trip")
     intercept[IllegalArgumentException] {
       MediaPipeline.decodeDims(Array[Byte](1, 2, 3))
     }
+  }
+
+  test("JPEG decode returns true dimensions and near-lossless gray levels") {
+    val img = new java.awt.image.BufferedImage(7, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 7) img.setRGB(x, y, 0x808080) // flat gray
+    val bytes = MediaPipeline.encodeJpeg(img)
+    assert(MediaPipeline.sniffKind(bytes) == "image/jpeg")
+    assert(MediaPipeline.decodeDims(bytes) == ((7, 4)))
+    // JPEG is lossy: require the decoded pixel to be CLOSE, not equal
+    val back = MediaPipeline.decodeImage(bytes)
+    val px = back.getRGB(3, 2)
+    assert(math.abs(((px >> 16) & 0xff) - 0x80) < 8, f"decoded gray drifted: $px%06x")
   }
 
   test("winnowing fingerprints: exact duplicates score 1.0, sets are stable and guaranteed-overlap holds") {
