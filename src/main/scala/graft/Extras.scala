@@ -146,7 +146,20 @@ object Extras {
     // + SparkPlan) — the EXACT plan that serves J10, additionally
     // oracle-checked here against DuckDB's native ASOF (one builder, no
     // copy that could drift)
-    "X20_asof_native" -> q(c => graft.ops.RelationalQueries.queries("J10")(c))
+    "X20_asof_native" -> q(c => graft.ops.RelationalQueries.queries("J10")(c)),
+    // BPE-ish pre-token counts vs whitespace counts per language
+    // (oracle-checked: the regex is valid with identical semantics in
+    // Java regex and DuckDB's RE2)
+    "X24_bpe_token_stats" -> q(c => TextAnalysis.tokenCountComparison(c.documents)),
+    // decode → resize → re-featurize: every payload (PNG or JPEG)
+    // normalized to a 16x16 thumbnail, then featurized like X10
+    // (rows-only; dims pinned in ExtrasSpec)
+    "X25_media_resize" -> q(c =>
+      MediaPipeline.decodeAndFeaturize(
+        MediaPipeline.resizedMedia(MediaPipeline.toMediaTable(c.documents), 16, 16))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("width"), col("height"))
+        .orderBy("doc_id").limit(200))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -240,6 +253,15 @@ ORDER BY p_partkey, attr
          | CAST(MIN($c) AS VARCHAR) AS mn, CAST(MAX($c) AS VARCHAR) AS mx
          | FROM documents""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
+    "X24_bpe_token_stats" -> """
+WITH t AS (SELECT lang,
+  CAST(len(list_filter(str_split(text, ' '), w -> w <> '')) AS BIGINT) AS ws,
+  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS BIGINT) AS bpe
+FROM documents)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens, ROUND(AVG(bpe), 4) AS avg_bpe_tokens
+FROM t GROUP BY lang ORDER BY lang
+""".trim,
     "X13_tfidf_top3" -> """
 WITH toks AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS w FROM documents),
 tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),

@@ -165,6 +165,43 @@ object MediaPipeline {
       }
   }
 
+  /** Bilinear resize — the standard pre-featurization normalization
+    * step (thumbnails, fixed-size model inputs).
+    */
+  def resizeImage(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
+  }
+
+  /** Resize every payload to `w`×`h` and re-encode as PNG (lossless, so
+    * downstream decodes see exactly the resized pixels regardless of the
+    * source format). Same per-partition batch shape as
+    * [[decodeAndFeaturize]]; partitioning preserved, no shuffle.
+    */
+  def resizedMedia(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media"), col("meta.origin").as("origin"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes, origin) =>
+          val png = encodePng(resizeImage(decodeImage(bytes), w, h))
+          (id, png, "image/png", png.length, origin)
+        }
+      }
+      .toDF("doc_id", "media", "kind", "n_bytes", "origin")
+      .select(col("doc_id"), col("media"),
+        struct(col("kind"), col("n_bytes"), col("origin")).as("meta"))
+  }
+
   /** Flat feature frame for downstream relational use. */
   def mediaFeatures(spark: SparkSession, documents: DataFrame): DataFrame =
     decodeAndFeaturize(toMediaTable(documents))

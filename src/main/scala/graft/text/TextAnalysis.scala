@@ -33,6 +33,40 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** GPT-2-style pre-tokenization regex (ASCII-simplified): English
+    * contraction suffixes, space-prefixed letter runs, space-prefixed
+    * digit runs, space-prefixed punctuation runs, residual whitespace.
+    * The count of these pre-tokens is the standard cheap proxy for a
+    * BPE tokenizer's token count (each pre-token splits into ≥1 BPE
+    * unit, and short common pre-tokens are single units). The pattern
+    * is valid in both Java regex (Spark codegen) and RE2 (DuckDB), with
+    * identical leftmost-first alternation semantics — parity verified
+    * token-for-token in the oracle check.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** BPE-ish pre-token count of `text` — map-side, codegen'd. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+
+  /** Whitespace vs BPE-ish token counts per language — the budgeting
+    * signal a training pipeline needs before paying a real tokenizer
+    * pass (map-side counting, one shuffle on lang).
+    */
+  def tokenCountComparison(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("ws"),
+        bpeTokenCount(col("text")).as("bpe"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("ws").cast("bigint").as("ws_tokens"),
+        sum("bpe").cast("bigint").as("bpe_tokens"),
+        round(avg("bpe"), 4).as("avg_bpe_tokens"))
+      .orderBy("lang")
+
   /** Per-language token statistics (map-side token counting, one
     * shuffle on lang).
     */

@@ -135,6 +135,33 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("resize normalizes every payload to the target dims with a valid histogram") {
+    val resized = MediaPipeline.decodeAndFeaturize(
+      MediaPipeline.resizedMedia(
+        MediaPipeline.toMediaTable(cat.documents.limit(40)), 16, 16)).collect()
+    assert(resized.length == 40)
+    resized.foreach { d =>
+      assert(d.width == 16 && d.height == 16, s"doc ${d.doc_id} not resized: ${d.width}x${d.height}")
+      assert(d.kind == "image/png", "resized payloads are re-encoded PNG")
+      assert(math.abs(d.features.sum - 1.0f) < 1e-3)
+    }
+  }
+
+  test("BPE-ish pre-token count matches hand-tokenization") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    val df = Seq(
+      (1L, "it's 42 cats!"), // it | 's | ' 42' | ' cats' | !
+      (2L, "hello   world"), // hello | '   ' is ws+... ' world'? leading spaces: ' ?[A-Za-z]+' takes ONE space
+      (3L, "")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.bpeTokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 5L, s"got ${got(1L)}")
+    // "hello" + "  " (residual ws) + " world" = 3
+    assert(got(2L) == 3L, s"got ${got(2L)}")
+    assert(got(3L) == 0L)
+  }
+
   test("JPEG decode returns true dimensions and near-lossless gray levels") {
     val img = new java.awt.image.BufferedImage(7, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until 4; x <- 0 until 7) img.setRGB(x, y, 0x808080) // flat gray
