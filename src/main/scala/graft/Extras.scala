@@ -159,7 +159,17 @@ object Extras {
         MediaPipeline.resizedMedia(MediaPipeline.toMediaTable(c.documents), 16, 16))
         .toDF()
         .select(col("doc_id"), col("kind"), col("width"), col("height"))
-        .orderBy("doc_id").limit(200))
+        .orderBy("doc_id").limit(200)),
+    // real WAV decode (JDK javax.sound): true sample counts/rates plus
+    // RMS and zero-crossing signal features (rows-only; the synthesized
+    // tone's ground truth is pinned in ExtrasSpec)
+    "X26_audio_features" -> q(c =>
+      graft.media.AudioPipeline.audioFeatures(c.documents).limit(200)),
+    // frame-sampled clip features: demux the GFTV frame container,
+    // decode every 2nd frame with the real PNG codec (rows-only;
+    // container round-trip and sampling pinned in ExtrasSpec)
+    "X27_clip_frames" -> q(c =>
+      graft.media.ClipPipeline.frameFeatures(c.documents.limit(100), everyK = 2))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token

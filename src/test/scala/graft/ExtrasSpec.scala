@@ -162,6 +162,49 @@ class ExtrasSpec extends SparkSpec {
     assert(got(3L) == 0L)
   }
 
+  test("WAV audio decode recovers true sample counts and sine signal features") {
+    import graft.media.AudioPipeline
+    val decoded = AudioPipeline.decodeAndFeaturize(
+      AudioPipeline.toAudioTable(cat.documents.limit(50))).collect()
+    assert(decoded.length == 50)
+    decoded.foreach { d =>
+      // true decoded sample count must equal the synthesis ground truth
+      assert(d.n_samples == 400 + (d.doc_id % 32) * 25, s"doc ${d.doc_id}: ${d.n_samples}")
+      assert(d.sample_rate == 8000)
+      assert(d.duration_ms == d.n_samples * 1000 / 8000)
+      // RMS of a full-scale sine A*sin: A/sqrt(2); A = 12000/32768
+      val expectedRms = 12000.0 / 32768.0 / math.sqrt(2.0)
+      assert(math.abs(d.rms - expectedRms) < 0.01, s"doc ${d.doc_id}: rms ${d.rms}")
+      // zero crossings ≈ 2 * freq * duration
+      val freq = 100.0 + (d.doc_id % 7) * 50.0
+      val expectedZc = 2.0 * freq * d.n_samples / 8000.0
+      assert(math.abs(d.zero_crossings - expectedZc) <= 2, s"doc ${d.doc_id}: zc ${d.zero_crossings}")
+    }
+  }
+
+  test("clip container round-trips and stride sampling decodes only every k-th frame") {
+    import graft.media.ClipPipeline
+    // container round-trip
+    val f0 = Array[Byte](1, 2, 3)
+    val f1 = Array[Byte](4)
+    assert(ClipPipeline.frames(ClipPipeline.encodeClip(Seq(f0, f1))).map(_.toSeq)
+      == Seq(f0.toSeq, f1.toSeq))
+    intercept[IllegalArgumentException] { ClipPipeline.frames(Array[Byte](9, 9, 9, 9, 0, 0, 0, 0)) }
+    // distributed sampling: frame count ground truth + stride + real dims
+    val sampled = ClipPipeline.sampleFrames(
+      ClipPipeline.toClipTable(cat.documents.limit(30)), everyK = 2).collect()
+    sampled.foreach { s =>
+      assert(s.n_frames == 2 + (s.doc_id % 5), s"doc ${s.doc_id}: ${s.n_frames}")
+      assert(s.frame_idx % 2 == 0, "stride sampling must keep only even frames")
+      assert(s.width == 12 && s.height == 12)
+    }
+    val byDoc = sampled.groupBy(_.doc_id)
+    assert(byDoc.size == 30)
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.length == (fs.head.n_frames + 1) / 2, s"doc $id sampled ${fs.length}")
+    }
+  }
+
   test("JPEG decode returns true dimensions and near-lossless gray levels") {
     val img = new java.awt.image.BufferedImage(7, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until 4; x <- 0 until 7) img.setRGB(x, y, 0x808080) // flat gray
