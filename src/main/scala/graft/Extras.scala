@@ -169,7 +169,13 @@ object Extras {
     // decode every 2nd frame with the real PNG codec (rows-only;
     // container round-trip and sampling pinned in ExtrasSpec)
     "X27_clip_frames" -> q(c =>
-      graft.media.ClipPipeline.frameFeatures(c.documents.limit(100), everyK = 2))
+      graft.media.ClipPipeline.frameFeatures(c.documents.limit(100), everyK = 2)),
+    // int8-quantized candidate scan + exact re-rank: the margin covers
+    // the quantization error bound, so the result is value-identical to
+    // the exact X06 pairs — same oracle, but the wide scan reads a 4x
+    // smaller table at 100 TB
+    "X28_quantized_neardup" -> q(c =>
+      graft.vector.Quantize.quantizedPairsAbove(c.embeddings, 0.4))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -224,6 +230,16 @@ WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.6
 ORDER BY i, j
 """.trim,
     "X06_embed_neardup" -> """
+SELECT a.vec_id AS i, b.vec_id AS j,
+  ROUND(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4
+ORDER BY i, j
+""".trim,
+    // X28 is value-identical to X06 by construction (quantized candidate
+    // superset + exact re-score) — it shares the exact-pairs oracle
+    "X28_quantized_neardup" -> """
 SELECT a.vec_id AS i, b.vec_id AS j,
   ROUND(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
 FROM embeddings a, embeddings b

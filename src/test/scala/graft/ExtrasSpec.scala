@@ -162,6 +162,30 @@ class ExtrasSpec extends SparkSpec {
     assert(got(3L) == 0L)
   }
 
+  test("int8 quantization: bounded reconstruction error and exact pair recovery") {
+    import graft.vector.Quantize
+    val qt = Quantize.quantize(cat.embeddings)
+    assert(qt.schema("q").dataType.simpleString == "array<tinyint>")
+    // per-element reconstruction error ≤ scale/2 (+ float fuzz),
+    // checked per vector against its own scale
+    val scales = qt.select(col("vec_id"), col("scale")).collect()
+      .map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    val errs = Quantize.dequantize(qt).as("d")
+      .join(cat.embeddings.as("e"), col("d.vec_id") === col("e.vec_id"))
+      .select(col("d.vec_id"),
+        array_max(zip_with(col("d.embedding"), col("e.embedding"), (a, b) => abs(a - b))))
+      .collect().map(r => r.getLong(0) -> r.getFloat(1))
+    errs.foreach { case (id, err) =>
+      assert(err <= scales(id) / 2 + 1e-6, s"vec $id err $err > ${scales(id) / 2}")
+    }
+    // two-stage quantized scan + exact re-rank ≡ exact all-pairs
+    val exact = Ann.allPairsAbove(cat.embeddings, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaQ = Quantize.quantizedPairsAbove(cat.embeddings, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaQ == exact, s"missing=${exact -- viaQ}, extra=${viaQ -- exact}")
+  }
+
   test("WAV audio decode recovers true sample counts and sine signal features") {
     import graft.media.AudioPipeline
     val decoded = AudioPipeline.decodeAndFeaturize(
