@@ -101,6 +101,40 @@ object StreamOps {
           })
   }
 
+  /** [[streamingExactDedup]] with a processing-time TTL on each
+    * fingerprint's state — the unbounded-corpus variant: state stays
+    * bounded by the arrival rate × `ttlMs` window instead of growing
+    * with the all-time distinct count. Semantics trade: a duplicate
+    * arriving more than `ttlMs` after its fingerprint was last seen is
+    * re-admitted (and refreshes the TTL). That is the standard dedup
+    * contract for infinite streams (Kafka-connect/Beam deduplicate have
+    * the same shape); exact all-time dedup is [[streamingExactDedup]].
+    */
+  def streamingDedupWithTtl(documents: DataFrame, ttlMs: Long): Dataset[DedupWinner] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id"), xxhash64(col("text")).as("fp"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (fp: Long, rows: Iterator[(Long, Long)], state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) {
+            // expired fingerprint: forget it; this invocation carries no
+            // rows (timeout-only call), so emit nothing
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            state.setTimeoutDuration(ttlMs) // refresh the TTL on re-sight
+            Iterator.empty
+          } else {
+            state.update(true)
+            state.setTimeoutDuration(ttlMs)
+            Iterator.single(DedupWinner(rows.map(_._1).min, fp))
+          }
+        })
+  }
+
   /** Session windows with a 30-minute gap per user — streaming form of
     * T03 (merging session state instead of gaps-and-islands windows).
     */

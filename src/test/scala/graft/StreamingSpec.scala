@@ -141,6 +141,90 @@ class StreamingSpec extends SparkSpec {
     assert(batchWinners == l02Winners)
   }
 
+  test("TTL dedup: expired fingerprints are forgotten and re-admitted; live ones stay suppressed") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-stream-ttl")
+    def doc(id: Long, text: String): DataFrame =
+      Seq((id, text, "en", "s", text.length.toLong)).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .select(Tables.schemas("documents").fields.map(f => col(f.name).cast(f.dataType)): _*)
+    val stream = StreamOps.streamingDedupWithTtl(
+      StreamOps.documentsStream(spark, srcDir.toString), ttlMs = 10L)
+    val query = stream.writeStream
+      .format("memory").queryName("ttl_dedup").outputMode("append").start()
+    // ProcessingTimeTimeout makes the engine re-run micro-batches on its
+    // own clock, so processAllAvailable can block indefinitely — poll
+    // the sink with a deadline instead
+    def awaitWinners(n: Int): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (spark.table("ttl_dedup").count() < n && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      assert(spark.table("ttl_dedup").count() >= n,
+        s"sink never reached $n winners: ${spark.table("ttl_dedup").collect().toSeq}")
+    }
+    try {
+      writeChunk(doc(1L, "alpha"), srcDir, "c0") // first sight: winner
+      awaitWinners(1)
+      Thread.sleep(200) // let the 10 ms TTL expire
+      // an unrelated batch guarantees a timeout sweep removes fp(alpha)
+      writeChunk(doc(99L, "other"), srcDir, "c1")
+      awaitWinners(2)
+      writeChunk(doc(2L, "alpha"), srcDir, "c2") // re-admitted after expiry
+      awaitWinners(3)
+      val winners = spark.table("ttl_dedup").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(winners.map(_._1).sorted.toSeq == Seq(1L, 2L, 99L),
+        s"expected 1 (first), 99 (other), 2 (re-admitted), got ${winners.toSeq}")
+    } finally query.stop()
+
+    // suppression under a LIVE fingerprint needs a TTL far longer than
+    // the test (no expiry race): a re-sent text must not win again
+    val srcDir2 = Files.createTempDirectory("graft-stream-ttl-live")
+    val query2 = StreamOps.streamingDedupWithTtl(
+      StreamOps.documentsStream(spark, srcDir2.toString), ttlMs = 600000L)
+      .writeStream.format("memory").queryName("ttl_dedup_live").outputMode("append").start()
+    try {
+      writeChunk(doc(1L, "alpha"), srcDir2, "c0")
+      writeChunk(doc(2L, "alpha").unionByName(doc(3L, "beta")), srcDir2, "c1")
+      val deadline = System.currentTimeMillis + 60000
+      while (spark.table("ttl_dedup_live").count() < 2 && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      val ids = spark.table("ttl_dedup_live").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L) || ids == Set(2L, 3L) && !ids.contains(1L),
+        s"exactly one alpha winner + beta expected, got $ids")
+      assert(!(ids.contains(1L) && ids.contains(2L)), s"alpha won twice: $ids")
+    } finally query2.stop()
+  }
+
+  test("checkpointed dedup restart: state survives, output stays exactly-once") {
+    val srcDir = Files.createTempDirectory("graft-stream-ckpt-src")
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val outDir = Files.createTempDirectory("graft-stream-ckpt-out")
+    val docs = Tables.load(spark, sf1, "documents").limit(60).cache()
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs // includes every half1 doc again → all dups on restart
+    def startQuery() = StreamOps.streamingExactDedup(
+      StreamOps.documentsStream(spark, srcDir.toString))
+      .toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .start()
+    writeChunk(half1, srcDir, "c0")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // restart from the checkpoint; the second half re-sends every doc of
+    // the first half (same text → same fingerprint) plus the odd docs
+    writeChunk(half2, srcDir, "c1")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(outDir.toString).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._2).distinct.length == out.length,
+      "a fingerprint won twice across the restart — state was not restored")
+    val expectFps = docs.select(xxhash64(col("text"))).distinct().count()
+    assert(out.length.toLong == expectFps, s"got ${out.length} winners, want $expectFps")
+  }
+
   test("tumbling window stream ≡ batch T01 form at sf0.1 over 6 triggers, late rows dropped") {
     val got = runReplay("t01_stream",
       StreamOps.tumblingHourly(_, rowFilter = col("user_id") < 50),
