@@ -46,6 +46,23 @@ object Engine {
     configure(b.getOrCreate())
   }
 
+  /** Switch stateful streaming onto the RocksDB state store — the
+    * 100 TB state backend (SURVEY.md §5 scale notes): state spills to
+    * local SSD instead of living on the JVM heap, changelog
+    * checkpointing bounds per-commit upload cost, and unbounded
+    * dedup/session state stops being an executor-memory ceiling. A SQL
+    * conf, so it applies to queries STARTED afterwards (a running query
+    * keeps the provider it started with). Verified end-to-end by
+    * StreamingSpec's RocksDB dedup test.
+    */
+  def useRocksDbStateStore(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    spark
+  }
+
   /** Apply the graft-required runtime confs to an externally created
     * session (e.g. the driver's Verify/Bench sessions). All three are
     * runtime-settable SQL confs in Spark 4. Also injects the

@@ -57,6 +57,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!x18.contains("Exchange SinglePartition"), s"X18 must not single-partition:\n$x18")
   }
 
+  test("quantized scan and BPE counting stay codegen'd — no UDFs, no extra shuffles") {
+    val q = graft.vector.Quantize.quantize(cat.embeddings)
+      .queryExecution.executedPlan.toString
+    assert(!q.contains("BatchEvalPython") && !q.contains("ScalaUDF"),
+      s"quantize must be declarative transform/aggregate:\n$q")
+    assert(!q.contains("Exchange"), s"quantize must be map-side only:\n$q")
+    val bpe = graft.text.TextAnalysis.tokenCountComparison(cat.documents)
+      .queryExecution.executedPlan.toString
+    assert(!bpe.contains("ScalaUDF"), s"BPE counting must be built-in regexp:\n$bpe")
+    // one shuffle for the lang aggregation, partial agg below it
+    assert(bpe.lastIndexOf("HashAggregate") > bpe.indexOf("Exchange"),
+      s"BPE stats must combine map-side:\n$bpe")
+  }
+
+  test("media pipelines preserve partitioning — no shuffle in decode/resize/sample paths") {
+    val docs = cat.documents.limit(50)
+    Seq(
+      graft.media.MediaPipeline.decodeAndFeaturize(
+        graft.media.MediaPipeline.toMediaTable(docs)).toDF(),
+      graft.media.MediaPipeline.decodeAndFeaturize(
+        graft.media.MediaPipeline.resizedMedia(
+          graft.media.MediaPipeline.toMediaTable(docs), 8, 8)).toDF(),
+      graft.media.AudioPipeline.decodeAndFeaturize(
+        graft.media.AudioPipeline.toAudioTable(docs)).toDF(),
+      graft.media.ClipPipeline.sampleFrames(
+        graft.media.ClipPipeline.toClipTable(docs), 2).toDF()).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      // limit(50) itself plans one single-partition exchange upstream of
+      // the codec stages; the decode/featurize chain must not add any
+      assert(plan.split("Exchange").length - 1 <= 1,
+        s"media decode chain must not shuffle:\n$plan")
+    }
+  }
+
   test("no contract plan contains an unpartitioned (global) window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
     val offenders = Contract.all.map(_.id).filter { id =>

@@ -194,6 +194,36 @@ class StreamingSpec extends SparkSpec {
     } finally query2.stop()
   }
 
+  test("stateful dedup runs on the RocksDB state store with identical results") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    graft.core.Engine.useRocksDbStateStore(spark)
+    try {
+      val docs = Tables.load(spark, sf1, "documents").limit(100)
+      val srcDir = Files.createTempDirectory("graft-stream-rocksdb")
+      Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+        .zipWithIndex.foreach { case (c, i) => writeChunk(c, srcDir, s"chunk$i") }
+      val query = StreamOps.streamingExactDedup(
+        StreamOps.documentsStream(spark, srcDir.toString))
+        .writeStream.format("memory").queryName("rocksdb_dedup").outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      // provider actually engaged: RocksDB surfaces its own custom
+      // metrics (rocksdbGet*, rocksdbPut*, ...) on the state operator
+      val ops = query.lastProgress.stateOperators
+      assert(ops.nonEmpty)
+      val metricKeys = ops.head.customMetrics.keySet()
+      assert(metricKeys.toString.toLowerCase.contains("rocksdb"),
+        s"state operator does not report RocksDB metrics: $metricKeys")
+      val winners = spark.table("rocksdb_dedup").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(winners.map(_._2).distinct.length == winners.length, "duplicate fp emitted")
+      val batchDistinct = docs.select(xxhash64(col("text"))).distinct().count()
+      assert(winners.length.toLong == batchDistinct,
+        s"RocksDB-backed dedup winners ${winners.length} != $batchDistinct distinct fps")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("checkpointed dedup restart: state survives, output stays exactly-once") {
     val srcDir = Files.createTempDirectory("graft-stream-ckpt-src")
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
