@@ -175,7 +175,14 @@ object Extras {
     // the exact X06 pairs — same oracle, but the wide scan reads a 4x
     // smaller table at 100 TB
     "X28_quantized_neardup" -> q(c =>
-      graft.vector.Quantize.quantizedPairsAbove(c.embeddings, 0.4))
+      graft.vector.Quantize.quantizedPairsAbove(c.embeddings, 0.4)),
+    // large-star/small-star connected components — the general-graph
+    // O(log n)-round twin of X16 (spec-pinned equal to label propagation
+    // and to union-find; converges on chain graphs where propagation
+    // needs O(n) rounds)
+    "X29_dup_clusters_stars" -> q(c =>
+      graft.ops.ConnectedComponents.components(
+        MinHashDedup.verifiedPairs(c.documents, sigs = Some(sigTable(c)))))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
