@@ -69,15 +69,19 @@ object ConnectedComponents {
       .filter(col("a") =!= col("b"))
       .distinct()
     var edges = all.localCheckpoint(true)
+    var count = edges.count()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // fixed point: the edge SET is unchanged (both directions checked
-      // via symmetric except — each side is metadata-cheap on star
-      // graphs, where |edges| ≈ |nodes|)
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      val nextCount = next.count()
+      // fixed point: the edge SET is unchanged. Both sides are distinct
+      // sets, so equal counts + one empty difference proves equality —
+      // the count is near-free on the checkpointed frame and skips the
+      // except entirely while the graph is still shrinking
+      converged = nextCount == count && next.exceptAll(edges).isEmpty
       edges = next
+      count = nextCount
       round += 1
     }
     require(converged,
