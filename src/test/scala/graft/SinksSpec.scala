@@ -26,6 +26,22 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("orc sink round-trips every table exactly (incl. partitioned)") {
+    Tables.names.foreach { name =>
+      val src = Tables.load(spark, sf001, name)
+      val dir = Files.createTempDirectory(s"sink-orc-$name").toString
+      Sinks.orc(src, dir)
+      val back = Sinks.readOrc(spark, dir)
+      assert(hashSorted(back) == hashSorted(src), s"orc round-trip drift for $name")
+    }
+    val src = Tables.load(spark, sf001, "orders")
+    val dir = Files.createTempDirectory("sink-orc-part").toString
+    Sinks.orc(src, dir, partitionBy = Seq("o_orderstatus"))
+    val back = Sinks.readOrc(spark, dir)
+      .select(src.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    assert(hashSorted(back) == hashSorted(src))
+  }
+
   test("partitioned parquet sink preserves content") {
     val src = Tables.load(spark, sf001, "orders")
     val dir = Files.createTempDirectory("sink-part").toString
