@@ -169,7 +169,8 @@ object Extras {
     // decode every 2nd frame with the real PNG codec (rows-only;
     // container round-trip and sampling pinned in ExtrasSpec)
     "X27_clip_frames" -> q(c =>
-      graft.media.ClipPipeline.frameFeatures(c.documents.limit(100), everyK = 2)),
+      graft.media.ClipPipeline.frameFeatures(
+        c.documents.orderBy("doc_id").limit(100), everyK = 2)),
     // int8-quantized candidate scan + exact re-rank: the margin covers
     // the quantization error bound, so the result is value-identical to
     // the exact X06 pairs — same oracle, but the wide scan reads a 4x

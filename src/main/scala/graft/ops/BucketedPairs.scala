@@ -34,7 +34,9 @@ object BucketedPairs {
     *   2. group representatives (one per distinct signature, G of them)
     *      are chunked by id hash into ⌈G/cap⌉ sub-chunks and all-paired
     *      within each chunk — the chunked self-join spreads the hot
-    *      bucket over many reducers instead of one;
+    *      bucket over many reducers instead of one. Chunk sizes are
+    *      hash-balanced, so ~cap in EXPECTATION with O(√(cap·log G))
+    *      fluctuation, not a hard bound;
     *   3. every representative is linked to the bucket's min id, so each
     *      member still reaches exact verification through at most two
     *      hops (its group anchor, then the bucket anchor).
@@ -47,8 +49,13 @@ object BucketedPairs {
     * and exact transitive connectivity among distinct-signature members
     * are NOT guaranteed. Small buckets lose nothing.
     *
-    * Cost: candidates per oversized bucket ≤ (m−G) + G·cap/2 + G —
-    * linear in m for fixed cap. The member table is localCheckpoint'ed
+    * Cost: candidates per oversized bucket ≈ (m−G) + G·cap/2 + G —
+    * linear in m for fixed cap (the middle term is an expectation, per
+    * the chunking note above). EAGER: this function runs jobs at
+    * DataFrame-CONSTRUCTION time (the checkpoints below plus one
+    * diagnostic aggregate) — callers timing only the action on the
+    * returned frame under-count; time the whole builder+action.
+    * The member table is localCheckpoint'ed
     * ONCE: the (usually expensive) signature lineage upstream of
     * `members` runs exactly one pass, and every downstream consumer
     * (bucket stats, the capped-fraction diagnostic, both self-join

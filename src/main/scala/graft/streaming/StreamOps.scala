@@ -104,11 +104,18 @@ object StreamOps {
   /** [[streamingExactDedup]] with a processing-time TTL on each
     * fingerprint's state — the unbounded-corpus variant: state stays
     * bounded by the arrival rate × `ttlMs` window instead of growing
-    * with the all-time distinct count. Semantics trade: a duplicate
-    * arriving more than `ttlMs` after its fingerprint was last seen is
-    * re-admitted (and refreshes the TTL). That is the standard dedup
-    * contract for infinite streams (Kafka-connect/Beam deduplicate have
-    * the same shape); exact all-time dedup is [[streamingExactDedup]].
+    * with the all-time distinct count.
+    *
+    * Semantics trade, stated precisely: a duplicate is re-admitted only
+    * if its fingerprint's state was REMOVED before the batch carrying
+    * the duplicate — and Spark fires the timeout sweep that removes it
+    * only during some batch AFTER the deadline passes. A duplicate that
+    * is itself the first activity following expiry arrives in a batch
+    * where the state still exists (data is processed before timeouts),
+    * so it is suppressed and refreshes the TTL. Eviction is therefore
+    * lazy — "at least ttlMs of suppression", not "exactly ttlMs" — the
+    * same contract as every batch-driven TTL store. Exact all-time
+    * dedup is [[streamingExactDedup]].
     */
   def streamingDedupWithTtl(documents: DataFrame, ttlMs: Long): Dataset[DedupWinner] = {
     val spark = documents.sparkSession

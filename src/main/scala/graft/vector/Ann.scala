@@ -137,20 +137,60 @@ object Ann {
     * corpus needs MORE planes (smaller buckets) and correspondingly more
     * bands (recall), not a tighter cap.
     */
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Bands needed for `targetRecall` at cosine `simThreshold` with
+    * `nPlanes` planes per band (1-(1-p^nPlanes)^nBands ≥ target,
+    * p = 1-acos(s)/π), uncapped.
+    */
+  def bandsFor(nPlanes: Int, simThreshold: Double, targetRecall: Double): Int = {
+    require(targetRecall > 0 && targetRecall < 1, s"targetRecall=$targetRecall")
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, simThreshold))) / math.Pi
+    val pr = math.pow(p, nPlanes)
+    if (pr >= 1.0) 1
+    else math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pr)).toInt)
+  }
+
+  /** Planes per band for bounded expected bucket sizes at `corpusSize`:
+    * 2^nPlanes ≥ corpus/targetBucket, floor 4.
+    */
+  def planesFor(corpusSize: Long, targetBucket: Long = 4096L): Int = {
+    val ratio = math.max(1.0, corpusSize.toDouble / targetBucket)
+    math.min(62, math.max(4, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+  }
+
+  /** [[bandsFor]] capped at `maxBands`, with a LOUD warning stating the
+    * achieved theoretical recall when the cap bites — low thresholds at
+    * huge corpus sizes genuinely need enormous band counts (that IS the
+    * LSH cost curve); capping the compute must never silently plan a
+    * petabyte member table NOR silently keep the advertised recall.
+    */
+  private def cappedBandsFor(
+      nPlanes: Int,
+      simThreshold: Double,
+      targetRecall: Double,
+      maxBands: Int): Int = {
+    val wanted = bandsFor(nPlanes, simThreshold, targetRecall)
+    val nBands = math.min(maxBands, wanted)
+    if (nBands < wanted) {
+      val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, simThreshold))) / math.Pi
+      val achieved = 1.0 - math.pow(1.0 - math.pow(p, nPlanes), nBands)
+      log.warn(f"capped nBands $wanted -> $nBands (nPlanes=$nPlanes, " +
+        f"threshold=$simThreshold); theoretical recall drops to $achieved%.3f " +
+        f"(target $targetRecall) — pass explicit parameters or raise maxBands " +
+        "to trade compute for recall")
+    }
+    nBands
+  }
+
   def recommendBanding(
       corpusSize: Long,
       simThreshold: Double,
       targetRecall: Double = 0.93,
-      targetBucket: Long = 4096L): (Int, Int) = {
-    require(targetRecall > 0 && targetRecall < 1, s"targetRecall=$targetRecall")
-    val ratio = math.max(1.0, corpusSize.toDouble / targetBucket)
-    val nPlanes = math.min(62, math.max(4, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
-    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, simThreshold))) / math.Pi
-    val pr = math.pow(p, nPlanes)
-    val nBands =
-      if (pr >= 1.0) 1
-      else math.max(1, math.ceil(math.log1p(-targetRecall) / math.log1p(-pr)).toInt)
-    (nPlanes, nBands)
+      targetBucket: Long = 4096L,
+      maxBands: Int = 512): (Int, Int) = {
+    val nPlanes = planesFor(corpusSize, targetBucket)
+    (nPlanes, cappedBandsFor(nPlanes, simThreshold, targetRecall, maxBands))
   }
 
   /** Banded sign-LSH near-dup candidates — the high-recall scale path
@@ -186,9 +226,16 @@ object Ann {
       maxBucket: Int = 0): DataFrame = {
     val corpusSize: Long =
       if (nPlanes > 0 && nBands > 0 && maxBucket > 0) -1L else embeddings.count()
-    val (np, nb) =
-      if (nPlanes > 0 && nBands > 0) (nPlanes, nBands)
-      else recommendBanding(corpusSize, threshold)
+    // derive ONLY what the caller left at 0 — an explicit nPlanes or
+    // nBands is always honored (a persisted index built with it depends
+    // on the exact geometry)
+    val np = if (nPlanes > 0) nPlanes else planesFor(corpusSize)
+    val nb =
+      if (nBands > 0) nBands
+      else cappedBandsFor(np, threshold, targetRecall = 0.93, maxBands = 512)
+    if (nPlanes == 0 || nBands == 0)
+      log.info(s"bandedPairsAbove: derived nPlanes=$np nBands=$nb for corpus=$corpusSize " +
+        s"threshold=$threshold")
     val cap =
       if (maxBucket > 0) maxBucket
       else math.min(Int.MaxValue.toLong, math.max(4096L, 8L * (corpusSize >> np))).toInt

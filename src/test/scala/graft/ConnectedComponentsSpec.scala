@@ -15,19 +15,6 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   lazy val cat: Catalog = Catalog(spark, sf1)
 
-  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    parent.keys.map(k => k -> find(k)).toMap
-  }
-
   test("star CC ≡ label-propagation clusters on the sf0.1 near-dup graph") {
     val pairs = MinHashDedup.verifiedPairs(cat.documents)
     val viaStars = ConnectedComponents.components(pairs)
@@ -53,7 +40,7 @@ class ConnectedComponentsSpec extends SparkSpec {
       .filter(p => p._1 != p._2)
     val got = ConnectedComponents.components(pairs.toDF("i", "j"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val want = unionFind(pairs)
+    val want = TestGraphs.unionFind(pairs)
     assert(got == want, s"diff=${got.toSet -- want.toSet} / ${want.toSet -- got.toSet}")
   }
 }

@@ -86,16 +86,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val pairs = MinHashDedup.verifiedPairs(cat.documents)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.nonEmpty)
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val want = parent.keys.map(k => k -> find(k)).toMap
+    val want = TestGraphs.unionFind(pairs.toSeq)
     val gotReal = MinHashDedup.duplicateClusters(
       MinHashDedup.verifiedPairs(cat.documents))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

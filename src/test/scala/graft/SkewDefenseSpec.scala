@@ -55,6 +55,15 @@ class SkewDefenseSpec extends SparkSpec {
     assert(1000000000L >> p2 <= 4096L, s"expected bucket ${1000000000L >> p2} exceeds target")
   }
 
+  test("recommendBanding caps the band count instead of planning unbounded compute") {
+    // 1B corpus at a LOW threshold wants thousands of bands — the cap
+    // must bound it (with the warning carrying the achieved recall)
+    val (p, b) = Ann.recommendBanding(1000000000L, 0.4)
+    assert(b <= 512, s"nBands $b must be capped")
+    val (_, b2) = Ann.recommendBanding(1000000000L, 0.4, maxBands = 64)
+    assert(b2 == 64)
+  }
+
   test("minhash: near-constant corpus keeps candidates linear and winners exact") {
     import spark.implicits._
     val txt = Seq.fill(12)("the quick brown fox jumps over the lazy dog").mkString(" ")

@@ -195,10 +195,14 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stateful dedup runs on the RocksDB state store with identical results") {
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevChangelog = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
     graft.core.Engine.useRocksDbStateStore(spark)
     try {
-      val docs = Tables.load(spark, sf1, "documents").limit(100)
+      // cache: an unordered limit re-evaluated across jobs may pick a
+      // different subset, desyncing the chunks from batchDistinct
+      val docs = Tables.load(spark, sf1, "documents").limit(100).cache()
       val srcDir = Files.createTempDirectory("graft-stream-rocksdb")
       Seq(docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
         .zipWithIndex.foreach { case (c, i) => writeChunk(c, srcDir, s"chunk$i") }
@@ -218,9 +222,14 @@ class StreamingSpec extends SparkSpec {
       val batchDistinct = docs.select(xxhash64(col("text"))).distinct().count()
       assert(winners.length.toLong == batchDistinct,
         s"RocksDB-backed dedup winners ${winners.length} != $batchDistinct distinct fps")
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } finally {
+      Seq(
+        "spark.sql.streaming.stateStore.providerClass" -> prevProvider,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> prevChangelog)
+        .foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
     }
   }
 
