@@ -183,7 +183,16 @@ object Extras {
     // needs O(n) rounds)
     "X29_dup_clusters_stars" -> q(c =>
       graft.ops.ConnectedComponents.components(
-        MinHashDedup.verifiedPairs(c.documents, sigs = Some(sigTable(c)))))
+        MinHashDedup.verifiedPairs(c.documents, sigs = Some(sigTable(c))))),
+    // benchmark decontamination: 5-gram overlap of every corpus doc
+    // against the held-out src0 set (oracle-checked)
+    "X30_decontaminate" -> q(c =>
+      TextAnalysis.contaminationScores(
+        c.documents.filter(col("source") =!= "src0"),
+        c.documents.filter(col("source") === "src0"), n = 5)),
+    // per-source PII totals over both-engine-valid patterns
+    // (oracle-checked; detection itself is spec-pinned on synthetic PII)
+    "X31_pii_stats" -> q(c => TextAnalysis.piiStats(c.documents))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -244,6 +253,29 @@ FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4
 ORDER BY i, j
+""".trim,
+    "X30_decontaminate" -> """
+WITH t AS (SELECT doc_id, source, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, source, s FROM (
+  SELECT doc_id, source, unnest(list_transform(generate_series(1, len(toks) - 4),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+  FROM t WHERE len(toks) >= 5) u),
+bs AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+cs AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cs GROUP BY doc_id),
+hit AS (SELECT doc_id, COUNT(*) AS n_overlap FROM cs JOIN bs USING (s) GROUP BY doc_id)
+SELECT tot.doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+  CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+  ROUND(CAST(COALESCE(n_overlap, 0) AS DOUBLE) / n_shingles, 6) AS overlap_frac
+FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id ORDER BY tot.doc_id
+""".trim,
+    "X31_pii_stats" -> """
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_email,
+  CAST(SUM(len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%?=&#-]+'))) AS BIGINT) AS n_url,
+  CAST(SUM(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}'))) AS BIGINT) AS n_ipv4,
+  CAST(SUM(len(regexp_extract_all(text, '\+[0-9][0-9()\-. ]{7,}[0-9]'))) AS BIGINT) AS n_phone
+FROM documents GROUP BY source ORDER BY source
 """.trim,
     // X28 is value-identical to X06 by construction (quantized candidate
     // superset + exact re-score) — it shares the exact-pairs oracle

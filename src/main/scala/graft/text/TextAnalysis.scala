@@ -67,6 +67,71 @@ object TextAnalysis {
         round(avg("bpe"), 4).as("avg_bpe_tokens"))
       .orderBy("lang")
 
+  /** Benchmark decontamination — the training-pipeline gate that keeps
+    * evaluation data out of the training corpus: for every corpus
+    * document, the fraction of its distinct word n-grams that also
+    * appear ANYWHERE in the benchmark set. Docs above a threshold are
+    * contaminated and get dropped upstream.
+    *
+    * Scale shape: one shingle-keyed equi join — the benchmark side is
+    * deduplicated to distinct shingles (benchmarks are tiny next to the
+    * corpus, so Spark broadcasts it), and the corpus side is the same
+    * map-side shingle explode every dedup pass uses. String shingle
+    * keys keep this DuckDB-oracle-checkable (X30); at petabyte scale
+    * swap in [[graft.functions.ShingleHash]] 8-byte keys exactly as the
+    * MinHash pipeline does.
+    */
+  def contaminationScores(corpus: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    val cs = corpus.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), n))).as("s"))
+    val bs = benchmark.select(explode(array_distinct(shingles(col("text"), n))).as("s"))
+      .distinct()
+    val tot = cs.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hit = cs.join(bs, Seq("s")).groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double"), 6).as("overlap_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** PII detector patterns — simple character classes only, valid with
+    * identical semantics in Java regex (Spark codegen) and RE2 (DuckDB),
+    * so the scan is oracle-checkable. Heuristic by design: a production
+    * pass would add locale-specific validators AFTER this cheap
+    * distributed pre-filter.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "url" -> "https?://[A-Za-z0-9./_%?=&#-]+",
+    "ipv4" -> "([0-9]{1,3}\\.){3}[0-9]{1,3}",
+    "phone" -> "\\+[0-9][0-9()\\-. ]{7,}[0-9]")
+
+  /** Per-source PII hit totals (map-side regexp counting, one shuffle). */
+  def piiStats(documents: DataFrame): DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as(s"c_$name")
+    }
+    documents
+      .select(col("source") +: counts: _*)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        PiiPatterns.map { case (name, _) =>
+          sum(col(s"c_$name")).cast("bigint").as(s"n_$name")
+        }: _*)
+      .orderBy("source")
+  }
+
+  /** Redact every PII match with a typed placeholder — the map-side
+    * scrub pass run before training-data export.
+    */
+  def piiRedact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"[${name.toUpperCase}]")
+    }
+
   /** Per-language token statistics (map-side token counting, one
     * shuffle on lang).
     */

@@ -162,6 +162,43 @@ class ExtrasSpec extends SparkSpec {
     assert(got(3L) == 0L)
   }
 
+  test("contamination: a doc copied from the benchmark scores 1.0, disjoint text scores 0.0") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    val bench = Seq((100L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight"), // verbatim copy
+      (2L, "totally different words with no shared grams at all here"),
+      (3L, "zz one two three four five qq rr ss tt")) // partial overlap
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationScores(corpus, bench, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) == 1.0, s"verbatim copy must be fully contaminated: $got")
+    assert(got(2L) == 0.0, s"disjoint doc must be clean: $got")
+    // doc 3: 6 distinct 5-grams, exactly one ("one two three four five") in bench
+    assert(math.abs(got(3L) - 1.0 / 6.0) < 1e-6, s"partial overlap wrong: $got")
+  }
+
+  test("PII scan finds and redacts planted emails, urls, ips and phones") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    val df = Seq(
+      (1L, "contact a.user@example.com or https://example.com/x?y=1 now", "s1"),
+      (2L, "server at 10.0.255.7 rang +1 (415) 555-0199 yesterday", "s1"),
+      (3L, "nothing sensitive here", "s2"))
+      .toDF("doc_id", "text", "source")
+    val stats = TextAnalysis.piiStats(df.withColumn("lang", lit("en")))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(stats("s1") == ((1L, 1L, 1L, 1L)), s"s1 must have one of each: $stats")
+    assert(stats("s2") == ((0L, 0L, 0L, 0L)))
+    val red = df.select(col("doc_id"), TextAnalysis.piiRedact(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "contact [EMAIL] or [URL] now", red(1L))
+    assert(red(2L).contains("[IPV4]") && red(2L).contains("[PHONE]"), red(2L))
+    assert(red(3L) == "nothing sensitive here")
+  }
+
   test("int8 quantization: bounded reconstruction error and exact pair recovery") {
     import graft.vector.Quantize
     val qt = Quantize.quantize(cat.embeddings)
