@@ -73,6 +73,41 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def dedupFromSignatures(path: String): DataFrame =
     graft.text.MinHashDedup.dedupWinners(tables.documents,
       sigs = Some(graft.text.MinHashDedup.readSignatures(spark, path)))
+
+  // ---- training-data pipeline surface -------------------------------
+
+  /** Transitive duplicate clusters over the verified near-dup graph
+    * (large-star/small-star — O(log n) rounds on any topology).
+    */
+  def dedupClusters(): DataFrame =
+    graft.ops.ConnectedComponents.components(
+      graft.text.MinHashDedup.verifiedPairs(tables.documents))
+
+  /** Per-doc n-gram overlap against a held-out benchmark set — drop
+    * rows above your contamination threshold before training.
+    */
+  def decontaminate(benchmark: DataFrame, n: Int = 5): DataFrame =
+    graft.text.TextAnalysis.contaminationScores(tables.documents, benchmark, n)
+
+  /** Per-source PII hit totals (email/url/ipv4/phone). */
+  def piiStats(): DataFrame = graft.text.TextAnalysis.piiStats(tables.documents)
+
+  /** int8-quantized embedding table (4× smaller; see
+    * [[graft.vector.Quantize]] for the error-bounded two-stage scan).
+    */
+  def quantizeEmbeddings(): DataFrame =
+    graft.vector.Quantize.quantize(tables.embeddings)
+
+  /** Decode + featurize media payloads (PNG/JPEG), audio (WAV) and
+    * frame containers synthesized from the documents table — the
+    * multimodal plumbing entry points.
+    */
+  def mediaFeatures(): DataFrame =
+    graft.media.MediaPipeline.mediaFeatures(spark, tables.documents)
+  def audioFeatures(): DataFrame =
+    graft.media.AudioPipeline.audioFeatures(tables.documents)
+  def clipFrameFeatures(everyK: Int = 2): DataFrame =
+    graft.media.ClipPipeline.frameFeatures(tables.documents, everyK)
 }
 
 object GraftEngine {

@@ -26,6 +26,20 @@ class GraftEngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](engine.ops("NOPE"))
   }
 
+  test("facade pipeline surface: dedup clusters, decontamination, PII, quantization, media") {
+    import org.apache.spark.sql.functions._
+    val clusters = engine.dedupClusters()
+    assert(clusters.columns.toSeq == Seq("doc_id", "cluster_id"))
+    val bench = engine.tables.documents.filter(col("source") === "src0")
+    val cont = engine.decontaminate(bench)
+    assert(cont.filter(col("overlap_frac") > 1.0).isEmpty, "fractions must be <= 1")
+    assert(engine.piiStats().count() == 20) // one row per source
+    val qt = engine.quantizeEmbeddings()
+    assert(qt.schema("q").dataType.simpleString == "array<tinyint>")
+    assert(engine.audioFeatures().limit(5).count() == 5)
+    assert(engine.clipFrameFeatures().limit(5).count() == 5)
+  }
+
   test("facade index surface: build once, probe and dedup from the artifacts") {
     val root = java.nio.file.Files.createTempDirectory("graft_engine_idx").toString
     engine.buildIvfIndex(s"$root/ivf", nLists = 8)
