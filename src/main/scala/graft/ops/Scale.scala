@@ -109,6 +109,32 @@ object Scale {
     df.filter(keep)
   }
 
+  /** Deterministic train/val/test split on a key column: bucket =
+    * pmod(xxhash64(key, seed), 10^6) compared against cumulative weight
+    * cutoffs. A pure function of (key, seed) — stable across runs,
+    * partition layouts and engines, and a given key always lands in the
+    * same split even as the corpus grows (the property that matters for
+    * leakage-free incremental training sets). Returns the input plus a
+    * `split` column with the given names.
+    */
+  def hashSplit(
+      df: DataFrame,
+      key: String,
+      weights: Seq[(String, Double)],
+      seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), s"bad weights: $weights")
+    val total = weights.map(_._2).sum
+    val m = 1000000L
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(f => math.round(f * m))
+    val bucket = pmod(xxhash64(col(key), lit(seed)), lit(m))
+    val expr = weights.map(_._1).zip(cuts).reverse
+      .foldLeft(lit(weights.last._1)) { case (acc, (name, cut)) =>
+        when(bucket < cut, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
+
   /** Distributed approximate percentiles via the percentile_approx
     * sketch: mergeable across partitions, bounded memory per group —
     * the scale path where an exact percentile would need a full sort.

@@ -83,6 +83,27 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("hashSplit: complete, weight-proportional, layout-invariant and growth-stable") {
+    import org.apache.spark.sql.functions._
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val split = graft.ops.Scale.hashSplit(cat.documents, "doc_id", weights)
+    val byName = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = cat.documents.count().toDouble
+    assert(byName.values.sum.toDouble == n, "every row must get exactly one split")
+    assert(math.abs(byName("train") / n - 0.8) < 0.06, s"train share off: $byName")
+    // layout-invariant: repartitioning must not move any key
+    val a = split.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = graft.ops.Scale.hashSplit(cat.documents.repartition(7), "doc_id", weights)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // growth-stable: the same key keeps its split in a half-sized corpus
+    val half = graft.ops.Scale.hashSplit(
+      cat.documents.filter(col("doc_id") < 250), "doc_id", weights)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.forall { case (k, v) => a(k) == v }, "a key's split must not depend on corpus size")
+  }
+
   test("clusterBy preserves content and produces range-sorted partitions") {
     val src = cat.orders.select("o_orderkey", "o_custkey")
     val clustered = Scale.clusterBy(src, 8, col("o_orderkey"))
