@@ -96,15 +96,23 @@ object Scale {
     * indeterminate-shuffle hazard [[saltedAggregate]] guards against).
     * Deterministic for fixed data + seed under any partition layout.
     */
+  /** Shared deterministic content-hash bucket in [0, 10^6): the one
+    * idiom behind [[stratifiedSample]] and [[hashSplit]] — change the
+    * granularity or the hash here, in one place, or the sample and
+    * split semantics silently diverge.
+    */
+  private val HashBuckets = 1000000L
+  private def hashBucket(cols: Seq[Column], seed: Long): Column =
+    pmod(xxhash64(cols :+ lit(seed): _*), lit(HashBuckets))
+
   def stratifiedSample(
       df: DataFrame,
       key: String,
       fractions: Map[Any, Double],
       seed: Long = 42L): DataFrame = {
-    val m = 1000000L
-    val bucket = pmod(xxhash64(df.columns.map(col) :+ lit(seed): _*), lit(m))
+    val bucket = hashBucket(df.columns.map(col).toSeq, seed)
     val keep = fractions.foldLeft(lit(false)) { case (acc, (k, f)) =>
-      acc || (col(key) === lit(k) && bucket < lit(math.round(f * m)))
+      acc || (col(key) === lit(k) && bucket < lit(math.round(f * HashBuckets)))
     }
     df.filter(keep)
   }
@@ -124,10 +132,9 @@ object Scale {
       seed: Long = 42L): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), s"bad weights: $weights")
     val total = weights.map(_._2).sum
-    val m = 1000000L
     val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
-      .tail.map(f => math.round(f * m))
-    val bucket = pmod(xxhash64(col(key), lit(seed)), lit(m))
+      .tail.map(f => math.round(f * HashBuckets))
+    val bucket = hashBucket(Seq(col(key)), seed)
     val expr = weights.map(_._1).zip(cuts).reverse
       .foldLeft(lit(weights.last._1)) { case (acc, (name, cut)) =>
         when(bucket < cut, lit(name)).otherwise(acc)

@@ -86,12 +86,16 @@ object TextAnalysis {
       explode(array_distinct(shingles(col("text"), n))).as("s"))
     val bs = benchmark.select(explode(array_distinct(shingles(col("text"), n))).as("s"))
       .distinct()
-    val tot = cs.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hit = cs.join(bs, Seq("s")).groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-    tot.join(hit, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+    // ONE pass over the corpus shingles: a left join against the deduped
+    // benchmark (≤1 match per shingle, no fan-out) marks hits, and both
+    // counts come out of the same doc_id aggregation — two separate
+    // consumers of the explode would re-run the dominant map-side
+    // shingle work per consumer (no shared exchange to reuse)
+    cs.join(bs.withColumn("__hit", lit(1)), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        round(col("n_overlap").cast("double") /
           col("n_shingles").cast("double"), 6).as("overlap_frac"))
       .orderBy("doc_id")
   }
@@ -125,12 +129,19 @@ object TextAnalysis {
   }
 
   /** Redact every PII match with a typed placeholder — the map-side
-    * scrub pass run before training-data export.
+    * scrub pass run before training-data export. Phone runs BEFORE
+    * ipv4: the ipv4 pattern would otherwise eat the middle of a
+    * dot-separated phone number ("+1.415.555.0199" → "+[IPV4]9"),
+    * leaking digits instead of emitting [PHONE]; an IP never starts
+    * with '+', so the swap cannot regress IP redaction.
     */
-  def piiRedact(text: Column): Column =
-    PiiPatterns.foldLeft(text) { case (c, (name, pat)) =>
-      regexp_replace(c, pat, s"[${name.toUpperCase}]")
+  def piiRedact(text: Column): Column = {
+    val byName = PiiPatterns.toMap
+    Seq("email", "url", "phone", "ipv4").foldLeft(text) { case (c, name) =>
+      // Locale.ROOT: a tr_TR default locale would uppercase to [İPV4]
+      regexp_replace(c, byName(name), s"[${name.toUpperCase(java.util.Locale.ROOT)}]")
     }
+  }
 
   /** Per-language token statistics (map-side token counting, one
     * shuffle on lang).
