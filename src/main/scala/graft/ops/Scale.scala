@@ -142,6 +142,28 @@ object Scale {
     df.withColumn("split", expr)
   }
 
+  /** Exact heavy hitters with bounded memory: values of `target`
+    * occurring in MORE than `support` fraction of rows. Two phases —
+    * `freqItems` (a distributed Misra–Gries sketch: ≤ 1/support
+    * candidate values per partition, merged; no false negatives) prunes
+    * to a metadata-sized candidate list, then one exact count over just
+    * those candidates removes the sketch's false positives. The full
+    * value domain is never aggregated, so a high-cardinality column
+    * (vocab building over tokens) costs a candidate-filtered count, not
+    * a domain-wide shuffle.
+    */
+  def heavyHitters(df: DataFrame, target: String, support: Double = 0.01): DataFrame = {
+    require(support > 0 && support < 1, s"support=$support must be in (0, 1)")
+    val cands = df.stat.freqItems(Array(target), support)
+      .collect()(0).getSeq[Any](0)
+    val n = df.count()
+    df.filter(col(target).isin(cands: _*))
+      .groupBy(target)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > support * n)
+      .orderBy(col("cnt").desc, col(target))
+  }
+
   /** Distributed approximate percentiles via the percentile_approx
     * sketch: mergeable across partitions, bounded memory per group —
     * the scale path where an exact percentile would need a full sort.

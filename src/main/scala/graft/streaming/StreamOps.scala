@@ -142,6 +142,44 @@ object StreamOps {
         })
   }
 
+  /** Run a windowed streaming aggregation in UPDATE mode into a
+    * partitioned parquet table via foreachBatch + dynamic partition
+    * overwrite — the standard lakehouse upsert shape when no
+    * merge-capable table format is available: every micro-batch
+    * REPLACES exactly the window partitions it touched (update mode
+    * emits only changed groups), so re-running a batch after a failure
+    * rewrites the same partitions instead of duplicating rows —
+    * idempotent by construction, and downstream readers always see the
+    * latest value per window.
+    *
+    * CORRECTNESS CONSTRAINT: `partitionKeys` must cover the
+    * aggregation's ENTIRE group key (e.g. `Seq("w", "event_type")` for
+    * [[tumblingHourly]]) — a partition is replaced wholesale with the
+    * batch's rows for it, so a coarser partitioning (say `w` alone)
+    * would drop the window's other groups whenever only one of them
+    * changed. Returns the started query; the caller owns its lifecycle.
+    */
+  def upsertToParquet(
+      aggregated: DataFrame,
+      path: String,
+      checkpoint: String,
+      partitionKeys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(partitionKeys.nonEmpty, "partitionKeys must cover the aggregation group key")
+    val spark = aggregated.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    aggregated.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          batch.write
+            .mode("overwrite") // dynamic: only the touched partitions
+            .partitionBy(partitionKeys: _*)
+            .parquet(path)
+      }
+      .start()
+  }
+
   /** Session windows with a 30-minute gap per user — streaming form of
     * T03 (merging session state instead of gaps-and-islands windows).
     */

@@ -83,6 +83,22 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters equals the exact over-support set on a skewed token stream") {
+    import org.apache.spark.sql.functions._
+    // skewed domain: 'hot' 40%, 'warm' 15%, the rest spread thin
+    import spark.implicits._
+    val rows = Seq.fill(400)("hot") ++ Seq.fill(150)("warm") ++
+      (0 until 450).map(i => s"cold$i")
+    val df = rows.toDF("w")
+    val got = graft.ops.Scale.heavyHitters(df, "w", support = 0.1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("hot" -> 400L, "warm" -> 150L), s"got $got")
+    // exact reference: same answer from a full groupBy
+    val exact = df.groupBy("w").count().filter(col("count") > 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact)
+  }
+
   test("hashSplit: complete, weight-proportional, layout-invariant and growth-stable") {
     import org.apache.spark.sql.functions._
     val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)

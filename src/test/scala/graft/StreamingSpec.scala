@@ -264,6 +264,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.length.toLong == expectFps, s"got ${out.length} winners, want $expectFps")
   }
 
+  test("foreachBatch upsert sink: final parquet state equals the batch aggregation") {
+    val srcDir = Files.createTempDirectory("graft-stream-upsert-src")
+    val outDir = Files.createTempDirectory("graft-stream-upsert-out")
+    val ckpt = Files.createTempDirectory("graft-stream-upsert-ckpt")
+    val agg = StreamOps.tumblingHourly(
+      StreamOps.eventsStream(spark, srcDir.toString), rowFilter = col("user_id") < 20)
+    val query = StreamOps.upsertToParquet(
+      agg, outDir.toString, ckpt.toString, partitionKeys = Seq("w", "event_type"))
+    try {
+      // three event-time-ordered chunks; windows spanning chunk borders
+      // are emitted twice in update mode — the overwrite must keep only
+      // the latest value
+      chunks(3).zipWithIndex.foreach { case (c, i) =>
+        writeChunk(c, srcDir, s"chunk$i")
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val got = spark.read.parquet(outDir.toString)
+      .select(col("w").cast("timestamp").cast("string"), col("event_type"), col("n"), col("s"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = events.filter(col("user_id") < 20)
+      .groupBy(date_trunc("hour", col("ts")).cast("string").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want,
+      s"upsert sink≠batch: missing=${(want -- got).take(3)}, extra=${(got -- want).take(3)}")
+  }
+
   test("tumbling window stream ≡ batch T01 form at sf0.1 over 6 triggers, late rows dropped") {
     val got = runReplay("t01_stream",
       StreamOps.tumblingHourly(_, rowFilter = col("user_id") < 50),
