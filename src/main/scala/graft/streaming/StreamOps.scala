@@ -142,6 +142,36 @@ object StreamOps {
         })
   }
 
+  /** Watermarked stream-stream inner join: pair every `typeA` event
+    * with the same user's `typeB` events that follow within `within` —
+    * the attribution/correlation query (click → purchase) as a real
+    * stream-stream join. Both sides carry watermarks and the join
+    * condition bounds `b_ts` to [a_ts, a_ts + within], so Spark can
+    * evict buffered state once the watermark passes a row's join range
+    * — state is O(arrival rate × (within + delay)), not unbounded.
+    * Inner-join matches emit as soon as both sides arrive (append
+    * mode), so an in-order replay is batch-equivalent (StreamingSpec
+    * pins it).
+    */
+  def correlatedEvents(
+      events: DataFrame,
+      typeA: String,
+      typeB: String,
+      within: String = "1 hour",
+      delay: String = "30 minutes"): DataFrame = {
+    val a = events.filter(col("event_type") === typeA)
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
+    val b = events.filter(col("event_type") === typeB)
+      .withWatermark("ts", delay)
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("event_id").as("b_id"))
+    a.join(b,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("a_id"), col("a_ts"), col("b_id"), col("b_ts"))
+  }
+
   /** Run a windowed streaming aggregation in UPDATE mode into a
     * partitioned parquet table via foreachBatch + dynamic partition
     * overwrite — the standard lakehouse upsert shape when no

@@ -264,6 +264,35 @@ class StreamingSpec extends SparkSpec {
     assert(out.length.toLong == expectFps, s"got ${out.length} winners, want $expectFps")
   }
 
+  test("stream-stream join: click→purchase correlation equals the batch join") {
+    val srcDir = Files.createTempDirectory("graft-stream-ssjoin")
+    val joined = StreamOps.correlatedEvents(
+      StreamOps.eventsStream(spark, srcDir.toString), "click", "purchase")
+      .filter(col("user_id") < 15) // keep the match set small
+    val query = joined.writeStream
+      .format("memory").queryName("ss_join").outputMode("append").start()
+    try {
+      chunks(4).zipWithIndex.foreach { case (c, i) =>
+        writeChunk(c, srcDir, s"chunk$i")
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val got = spark.table("ss_join")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clicks = events.filter(col("event_type") === "click" && col("user_id") < 15)
+      .select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("event_id").as("b_id"))
+    val want = clicks.join(purchases,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 hour"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "fixture must produce at least one correlated pair")
+    assert(got == want,
+      s"stream-stream join≠batch: missing=${(want -- got).take(3)}, extra=${(got -- want).take(3)}")
+  }
+
   test("foreachBatch upsert sink: final parquet state equals the batch aggregation") {
     val srcDir = Files.createTempDirectory("graft-stream-upsert-src")
     val outDir = Files.createTempDirectory("graft-stream-upsert-out")
