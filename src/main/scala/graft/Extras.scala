@@ -1,11 +1,12 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, round, sum}
 
 import graft.core.Engine
+import graft.functions.ZOrderValue
 import graft.media.MediaPipeline
-import graft.ops.Catalog
+import graft.ops.{Catalog, Profile, Scale}
 import graft.text.{MinHashDedup, SimHash, TextAnalysis}
 import graft.vector.Ann
 
@@ -192,7 +193,53 @@ object Extras {
         c.documents.filter(col("source") === "src0"), n = 5)),
     // per-source PII totals over both-engine-valid patterns
     // (oracle-checked; detection itself is spec-pinned on synthetic PII)
-    "X31_pii_stats" -> q(c => TextAnalysis.piiStats(c.documents))
+    "X31_pii_stats" -> q(c => TextAnalysis.piiStats(c.documents)),
+    // deterministic train/val/test split with the PORTABLE md5 coin —
+    // fully oracle-checked (any md5-bearing engine reproduces the
+    // assignment); the xxhash64 production twin is spec-pinned to the
+    // same weight/growth-stability contract in ScaleSpec
+    "X32_hash_split" -> q(c =>
+      Scale.md5Split(c.documents, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("total_chars"))
+        .orderBy("split")),
+    // per-language deterministic Bernoulli sample, same portable coin
+    "X33_stratified_sample" -> q(c =>
+      Scale.md5StratifiedSample(c.documents, "doc_id", "lang",
+          Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.125))
+        .select("doc_id", "lang").orderBy("doc_id")),
+    // exact per-group percentiles (PERCENTILE_CONT linear interpolation
+    // — the cross-engine definition, oracle-checked); the sketch-based
+    // scale twin is Scale.approxPercentiles, accuracy-pinned in spec
+    "X34_percentiles" -> q(c =>
+      Profile.groupPercentiles(c.documents, "lang", col("n_chars"),
+        Seq(0.25, 0.5, 0.75, 0.9))),
+    // bloom-prefiltered semi join: result EXACTLY equals the plain semi
+    // join (no false negatives), so it shares that oracle — the bloom
+    // image only cuts shuffle volume before the exact join
+    "X35_bloom_semijoin" -> q(c =>
+      Scale.bloomSemiJoin(c.orders, "o_custkey",
+          c.customer.filter(col("c_acctbal") > 9000), "c_custkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("total"))
+        .orderBy("o_orderpriority")),
+    // native codegen'd Morton (Z-order) key — the write-side layout
+    // primitive behind Scale.zorderCluster; oracle-checked against the
+    // same mask-and-shift arithmetic spelled out in portable SQL
+    "X36_zorder" -> q(c =>
+      c.part.select(col("p_partkey"), col("p_size"),
+          ZOrderValue(col("p_partkey").cast("long"), col("p_size").cast("long")).as("z"))
+        .orderBy("z", "p_partkey").limit(200)),
+    // persisted-sketch distinct counts: per-source HLL images plus the
+    // lossless union rollup (rows-only: sketch estimates are
+    // DataSketches-specific; error + union≡direct pinned in ScaleSpec)
+    "X37_hll_distinct" -> q(c =>
+      Scale.hllEstimates(
+        Scale.hllSketches(c.documents, "source", col("text")), "source"))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -327,6 +374,49 @@ FROM documents)
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS ws_tokens,
        CAST(SUM(bpe) AS BIGINT) AS bpe_tokens, ROUND(AVG(bpe), 4) AS avg_bpe_tokens
 FROM t GROUP BY lang ORDER BY lang
+""".trim,
+    "X32_hash_split" -> s"""
+WITH t AS (SELECT CASE
+    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.8)}' THEN 'train'
+    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.9)}' THEN 'val'
+    ELSE 'test' END AS split, n_chars
+  FROM documents)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM t GROUP BY split ORDER BY split
+""".trim,
+    "X33_stratified_sample" -> s"""
+SELECT doc_id, lang FROM documents
+WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.5)}')
+   OR (lang = 'fr' AND substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.25)}')
+   OR (lang = 'de' AND substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.125)}')
+ORDER BY doc_id
+""".trim,
+    "X34_percentiles" -> """
+SELECT lang,
+  quantile_cont(n_chars, 0.25) AS p25,
+  quantile_cont(n_chars, 0.5) AS p50,
+  quantile_cont(n_chars, 0.75) AS p75,
+  quantile_cont(n_chars, 0.9) AS p90
+FROM documents GROUP BY lang ORDER BY lang
+""".trim,
+    "X35_bloom_semijoin" -> """
+SELECT o_orderpriority, COUNT(*) AS n,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+FROM orders
+WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal > 9000)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""".trim,
+    // the same mask-and-shift bit-spread the native expression computes,
+    // spelled out in portable SQL (decimal mask literals: DuckDB 1.0
+    // parses 0x literals as 0)
+    "X36_zorder" -> """
+WITH b AS (SELECT p_partkey, p_size, CAST(p_partkey AS BIGINT) AS x, CAST(p_size AS BIGINT) AS y FROM part),
+s1 AS (SELECT p_partkey, p_size, (x | (x << 16)) & 281470681808895 AS x, (y | (y << 16)) & 281470681808895 AS y FROM b),
+s2 AS (SELECT p_partkey, p_size, (x | (x << 8)) & 71777214294589695 AS x, (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+s3 AS (SELECT p_partkey, p_size, (x | (x << 4)) & 1085102592571150095 AS x, (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+s4 AS (SELECT p_partkey, p_size, (x | (x << 2)) & 3689348814741910323 AS x, (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+s5 AS (SELECT p_partkey, p_size, (x | (x << 1)) & 6148914691236517205 AS x, (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
+SELECT p_partkey, p_size, x | (y << 1) AS z FROM s5 ORDER BY z, p_partkey LIMIT 200
 """.trim,
     "X13_tfidf_top3" -> """
 WITH toks AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS w FROM documents),

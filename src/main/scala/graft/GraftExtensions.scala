@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "graft_dot(a, b) takes two array<float> args")
         DotProduct(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[graft.functions.ZOrderValue].getName, "graft_zorder"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_zorder(x, y) takes two bigint args")
+        graft.functions.ZOrderValue(exprs.head, exprs(1))
+      }))
     // SQL-dialect aggregate(zip_with(...)) folds → codegen'd DotProduct
     ext.injectOptimizerRule(_ => DotProductRewrite)
     // native merge-based as-of join (AsOfJoinPlan → AsOfJoinExec)

@@ -107,5 +107,12 @@ object VectorFunctions {
         require(exprs.length == 2, "graft_dot(a, b) takes two array<float> args")
         DotProduct(exprs.head, exprs(1))
       })
+    registry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrderValue].getName, "graft_zorder"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_zorder(x, y) takes two bigint args")
+        ZOrderValue(exprs.head, exprs(1))
+      })
   }
 }

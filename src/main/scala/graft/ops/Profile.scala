@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the data-quality first look every ingest runs:
@@ -39,5 +39,31 @@ object Profile {
     row.select(explode(array(perCol: _*)).as("p"))
       .select("p.*")
       .orderBy("column")
+  }
+
+  /** Exact per-group percentiles (linear interpolation between closest
+    * ranks — the PERCENTILE_CONT definition, so any ANSI engine agrees
+    * on the value). One `percentile` aggregate computes every requested
+    * probability in a single pass; per-group sort state is bounded by
+    * the group's row count. The exact twin of
+    * [[Scale.approxPercentiles]] — use the sketch form when a group is
+    * itself 100 TB-scale; this form when groups fit a task (the usual
+    * per-language / per-source profiling shape).
+    */
+  def groupPercentiles(
+      df: DataFrame,
+      key: String,
+      target: Column,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1), s"bad probs: $probs")
+    val named = probs.map(p => ((p * 100).round.toInt, p))
+    require(named.map(_._1).distinct.size == named.size,
+      s"probs $probs collide after whole-percent naming")
+    df.groupBy(key)
+      .agg(percentile(target, array(probs.map(lit): _*)).as("__pcts"))
+      .select(col(key) +: named.zipWithIndex.map { case ((n, _), i) =>
+        element_at(col("__pcts"), i + 1).as(s"p$n")
+      }: _*)
+      .orderBy(key)
   }
 }

@@ -178,4 +178,145 @@ object Scale {
       accuracy: Int = 10000): DataFrame =
     df.agg(percentile_approx(
       target, array(probs.map(lit): _*), lit(accuracy)).as("pcts"))
+
+  // --- oracle-portable deterministic coin (md5 twin of hashBucket) ---
+
+  /** 8-hex-digit cutoff for fraction `f` of the 2^32 coin space —
+    * `md5Coin < hexCutoff(f)` keeps an `f`-fraction of keys. Hex digits
+    * sort lexicographically in numeric order, so the comparison is a
+    * plain string compare in ANY engine with md5 — that portability is
+    * the whole point of this variant.
+    */
+  def hexCutoff(f: Double): String = {
+    require(f >= 0 && f <= 1, s"fraction $f outside [0, 1]")
+    f"${math.min((f * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
+  }
+
+  /** First 8 hex chars of md5(key ':' seed): a uniform 32-bit coin that
+    * any md5-bearing engine reproduces byte-for-byte. The cross-engine
+    * twin of [[hashBucket]] — xxhash64 stays the production default
+    * (8-byte math vs a 32-byte hex string per row); this form exists so
+    * split/sample semantics are oracle-checkable end to end, and as the
+    * stable interchange definition when several engines must agree on
+    * one split.
+    */
+  private def md5Coin(key: Column, seed: Long): Column =
+    substring(md5(concat_ws(":", key.cast("string"), lit(seed.toString))
+      .cast("binary")), 1, 8)
+
+  /** [[hashSplit]] with the portable md5 coin: deterministic
+    * train/val/test assignment reproducible in any engine. Same
+    * growth-stability contract — a key's split never changes as the
+    * corpus grows.
+    */
+  def md5Split(
+      df: DataFrame,
+      key: String,
+      weights: Seq[(String, Double)],
+      seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), s"bad weights: $weights")
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(hexCutoff)
+    val coin = md5Coin(col(key), seed)
+    val expr = weights.map(_._1).zip(cuts).reverse
+      .foldLeft(lit(weights.last._1)) { case (acc, (name, cut)) =>
+        when(coin < lit(cut), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
+
+  /** [[stratifiedSample]] with the portable md5 coin, keyed on an id
+    * column (content-stable: a row's fate depends only on its key +
+    * seed, not on partition layout or corpus size).
+    */
+  def md5StratifiedSample(
+      df: DataFrame,
+      key: String,
+      strata: String,
+      fractions: Map[String, Double],
+      seed: Long = 42L): DataFrame = {
+    val coin = md5Coin(col(key), seed)
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (k, f)) =>
+      acc || (col(strata) === lit(k) && coin < lit(hexCutoff(f)))
+    }
+    df.filter(keep)
+  }
+
+  // --- runtime pre-filters and sketches ---
+
+  /** Bloom-prefiltered left-semi join: build a bloom filter over the
+    * right side's keys (one pass, mergeable partial sketches), ship it
+    * to every scan task, and drop non-matching `big` rows BEFORE the
+    * shuffle; the surviving (few) rows then run the exact semi join.
+    * Bloom filters have no false negatives, so the result is EXACTLY
+    * `big SEMI JOIN small` — the filter only cuts shuffle volume. The
+    * manual form of Spark's runtime row-level filtering, for when the
+    * selective side is too big to broadcast as a hash relation but its
+    * ~1.2 bytes/key bloom image still fits: at 100 TB a 1% matching
+    * fraction means ~99% of the shuffle never leaves the scan stage.
+    *
+    * Keys must be integral (the one non-test `.collect()`-class step is
+    * `small.count()` + `stat.bloomFilter`, both metadata-sized: the
+    * bloom image, not the data, comes to the driver).
+    */
+  def bloomSemiJoin(
+      big: DataFrame,
+      bigKey: String,
+      small: DataFrame,
+      smallKey: String,
+      fpp: Double = 0.01): DataFrame = {
+    val keys = small.select(col(smallKey).cast("long").as(smallKey))
+    val bloom = keys.stat.bloomFilter(smallKey, math.max(keys.count(), 1L), fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    big.filter(mightContain(col(bigKey).cast("long")))
+      .join(small, big(bigKey) === small(smallKey), "left_semi")
+  }
+
+  /** Per-group HyperLogLog sketches (Apache DataSketches HLL): the
+    * persistable, MERGEABLE distinct-count surface — sketch each
+    * partition/group once, store the binary images, union them later
+    * for any rollup without rescanning the data. Union is lossless
+    * (estimate of the union == estimate over the combined input), so a
+    * 100 TB corpus pays one sketch pass and every subsequent
+    * cross-group distinct query is metadata-sized.
+    */
+  def hllSketches(df: DataFrame, groupKey: String, target: Column): DataFrame =
+    df.groupBy(groupKey).agg(hll_sketch_agg(target).as("sketch"))
+
+  /** Estimates from a sketch table: one row per group plus an `ALL` row
+    * from the union of the group sketches — the rollup that never
+    * touches the raw data again.
+    */
+  def hllEstimates(sketches: DataFrame, groupKey: String): DataFrame = {
+    val per = sketches.select(col(groupKey).cast("string").as(groupKey),
+      hll_sketch_estimate(col("sketch")).as("n_distinct_est"))
+    val all = sketches.agg(hll_union_agg(col("sketch")).as("u"))
+      .select(lit("ALL").as(groupKey),
+        hll_sketch_estimate(col("u")).as("n_distinct_est"))
+    per.unionByName(all).orderBy(groupKey)
+  }
+
+  /** Z-order clustered layout: repartition by range of the interleaved
+    * [[graft.functions.ZOrderValue]] key and sort within partitions, so
+    * BOTH dimensions' parquet min/max footers are tight and range
+    * predicates on either key prune files. Write-side only (the range
+    * boundaries are sampled, so partition contents are not bit-stable
+    * across jobs — fine for a layout, never for hash-gated output; see
+    * [[clusterBy]]).
+    */
+  def zorderCluster(
+      df: DataFrame,
+      xKey: String,
+      yKey: String,
+      numPartitions: Int): DataFrame = {
+    val z = graft.functions.ZOrderValue(
+      col(xKey).cast("long"), col(yKey).cast("long"))
+    df.withColumn("__z", z)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
 }
