@@ -189,7 +189,12 @@ object Scale {
     */
   def hexCutoff(f: Double): String = {
     require(f >= 0 && f <= 1, s"fraction $f outside [0, 1]")
-    f"${math.min((f * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
+    // f = 1.0 must admit the ENTIRE coin space: "g" sorts after every
+    // 8-hex-digit coin, so `coin < "g"` is true for all 2^32 values.
+    // Clamping to "ffffffff" instead would exclude the max coin — a
+    // "100%" stratum silently missing 2^-32 of its rows.
+    if (f >= 1.0) "g"
+    else f"${(f * 4294967296.0).toLong}%08x"
   }
 
   /** First 8 hex chars of md5(key ':' seed): a uniform 32-bit coin that
@@ -256,9 +261,13 @@ object Scale {
     * ~1.2 bytes/key bloom image still fits: at 100 TB a 1% matching
     * fraction means ~99% of the shuffle never leaves the scan stage.
     *
-    * Keys must be integral (the one non-test `.collect()`-class step is
-    * `small.count()` + `stat.bloomFilter`, both metadata-sized: the
-    * bloom image, not the data, comes to the driver).
+    * Keys MUST be integral, and this is enforced up front: the bloom
+    * prefilter hashes `cast(key as long)`, and with ANSI off a
+    * non-integral key would cast to NULL and silently drop matching
+    * rows — violating the exactness contract — so a non-integral key
+    * type fails fast here instead. (The one non-test `.collect()`-class
+    * step is `small.count()` + `stat.bloomFilter`, both metadata-sized:
+    * the bloom image, not the data, comes to the driver.)
     */
   def bloomSemiJoin(
       big: DataFrame,
@@ -266,6 +275,16 @@ object Scale {
       small: DataFrame,
       smallKey: String,
       fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def requireIntegral(df: DataFrame, key: String, side: String): Unit = {
+      val dt = df.schema(key).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"bloomSemiJoin $side key '$key' must be integral (byte/short/int/long), " +
+          s"got ${dt.simpleString}: a lossy cast to long would turn the exact " +
+          "semi join into a silent row-dropper")
+    }
+    requireIntegral(big, bigKey, "big")
+    requireIntegral(small, smallKey, "small")
     val keys = small.select(col(smallKey).cast("long").as(smallKey))
     val bloom = keys.stat.bloomFilter(smallKey, math.max(keys.count(), 1L), fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bloom)

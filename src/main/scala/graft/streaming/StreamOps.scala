@@ -195,15 +195,18 @@ object StreamOps {
       checkpoint: String,
       partitionKeys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery = {
     require(partitionKeys.nonEmpty, "partitionKeys must cover the aggregation group key")
-    val spark = aggregated.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     aggregated.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty)
           batch.write
-            .mode("overwrite") // dynamic: only the touched partitions
+            .mode("overwrite")
+            // per-write dynamic overwrite: only the touched partitions are
+            // replaced, WITHOUT mutating the shared session conf (which
+            // would silently turn every later mode("overwrite") in the app
+            // into a partial overwrite)
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partitionKeys: _*)
             .parquet(path)
       }

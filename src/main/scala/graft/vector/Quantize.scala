@@ -43,25 +43,52 @@ object Quantize {
       transform(col("q"), x => (x.cast("float") * col("scale")).cast("float"))
         .as("embedding"))
 
-  /** Approximate all-pairs cosine ≥ `threshold − margin` on the
-    * QUANTIZED table, exact-rescored on the float table — the two-stage
-    * shape: the wide candidate scan reads 1/4 the bytes, the exact pass
-    * touches only survivors. `margin` must cover the quantization error
-    * bound so no true pair is lost (the property test pins recall = 1
-    * against [[Ann.allPairsAbove]]): for unit vectors of dimension d the
-    * dot error is ≤ 2·(1/254)·√d + d/254² — 0.064 at d = 64 — so the
-    * 0.08 default is safe through d ≈ 100; raise it for wider vectors.
+  /** Approximate all-pairs cosine ≥ `threshold` with the candidate scan
+    * on the QUANTIZED table, exact-rescored on the float table — the
+    * two-stage shape where the wide O(n²) stage genuinely reads the 4×
+    * smaller representation: the candidate dot is an exact int64 dot of
+    * the int8 arrays scaled by `sa·sb`, never a dequantized float array.
+    *
+    * No fixed margin to mis-tune: each pair is admitted iff
+    * `sa·sb·(q·p) > threshold − bound(pair) − extraMargin` where the
+    * PER-PAIR bound provably covers the reconstruction error for
+    * ARBITRARY vectors (unit-norm or not, any dimension). With
+    * v = sa·q + e (|e_i| ≤ sa/2) and w = sb·p + f (|f_i| ≤ sb/2):
+    *   |v·w − sa·sb·(q·p)| = |sa·(q·f) + sb·(p·e) + e·f|
+    *                       ≤ (sa·sb/2)·(Σ|q_i| + Σ|p_i| + d/2)
+    * so no true pair can fall below the candidate cut and the exact
+    * re-rank makes the result VALUE-IDENTICAL to [[Ann.allPairsAbove]]
+    * (recall = 1 by construction, pinned by the property test; at unit
+    * d = 64 the bound evaluates to ≈ 0.064, the old flat default's
+    * intent). `extraMargin` only widens the net further (e.g. to absorb
+    * float rounding of upstream pipelines); it is never needed for
+    * correctness here.
     */
   def quantizedPairsAbove(
       embeddings: DataFrame,
       threshold: Double,
-      margin: Double = 0.08): DataFrame = {
+      extraMargin: Double = 0.0): DataFrame = {
+    require(extraMargin >= 0, s"extraMargin $extraMargin must be >= 0")
     val qt = quantize(embeddings)
-    val qa = dequantize(qt).select(col("vec_id").as("i"), col("embedding").as("qa"))
-    val qb = dequantize(qt).select(col("vec_id").as("j"), col("embedding").as("qb"))
+    // per-row Σ|q_i| feeds the per-pair error bound; computed once per
+    // vector, 8 bytes carried through the cross join
+    val withAbs = qt.withColumn("qabs",
+      aggregate(col("q"), lit(0L), (s, x) => s + abs(x.cast("long"))))
+    val qa = withAbs.select(col("vec_id").as("i"), col("q").as("qa"),
+      col("scale").as("sa"), col("qabs").as("aa"))
+    val qb = withAbs.select(col("vec_id").as("j"), col("q").as("qb"),
+      col("scale").as("sb"), col("qabs").as("ab"))
+    // exact integer dot on the int8 arrays (no float rounding in the
+    // candidate stage at all)
+    val qdot = aggregate(
+      zip_with(col("qa"), col("qb"), (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (s, x) => s + x).cast("double")
+    val ss = col("sa").cast("double") * col("sb").cast("double")
+    val bound = ss / 2.0 *
+      (col("aa") + col("ab") + size(col("qa")).cast("double") / 2.0)
     val cand = qa.crossJoin(qb)
       .filter(col("i") < col("j"))
-      .filter(dot(col("qa"), col("qb")) > threshold - margin)
+      .filter(ss * qdot > lit(threshold) - bound - lit(extraMargin))
       .select("i", "j")
     cand
       .join(embeddings.select(col("vec_id").as("i"), col("embedding").as("ea")), Seq("i"))

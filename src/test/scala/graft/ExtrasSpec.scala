@@ -221,6 +221,19 @@ class ExtrasSpec extends SparkSpec {
     val viaQ = Quantize.quantizedPairsAbove(cat.embeddings, 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(viaQ == exact, s"missing=${exact -- viaQ}, extra=${viaQ -- exact}")
+    // the per-pair error bound must hold for ARBITRARY vectors, not just
+    // unit-norm: scale every vector by an id-dependent factor (norms now
+    // range up to 4) and the two-stage result must STILL equal exact
+    val scaled = cat.embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        x => (x * (lit(1.0f) + (col("vec_id") % 4).cast("float"))).cast("float"))
+        .as("embedding"))
+    val exactS = Ann.allPairsAbove(scaled, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaQS = Quantize.quantizedPairsAbove(scaled, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaQS == exactS,
+      s"non-unit recall broken: missing=${exactS -- viaQS}, extra=${viaQS -- exactS}")
   }
 
   test("WAV audio decode recovers true sample counts and sine signal features") {

@@ -83,6 +83,35 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("hexCutoff(1.0) admits the entire coin space; 100% stratum is complete") {
+    // coins are 8 lowercase hex digits, max "ffffffff"; a 1.0 cutoff
+    // must sort strictly above ALL of them or the max coin is excluded
+    // (a 2^-32 silent row drop in a supposedly complete stratum)
+    assert(Scale.hexCutoff(1.0) > "ffffffff", Scale.hexCutoff(1.0))
+    assert(Scale.hexCutoff(0.5) == "80000000")
+    assert(Scale.hexCutoff(0.0) == "00000000")
+    val en = cat.documents.filter(col("lang") === "en")
+    val kept = Scale.md5StratifiedSample(
+      cat.documents, "doc_id", "lang", Map("en" -> 1.0))
+    assert(kept.count() == en.count(), "fraction-1.0 stratum must keep every row")
+  }
+
+  test("bloomSemiJoin fails fast on non-integral keys instead of dropping rows") {
+    import spark.implicits._
+    val big = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val small = Seq("a").toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      Scale.bloomSemiJoin(big, "k", small, "k")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // integral byte/int keys of different widths still work
+    val bigI = Seq((1, "x"), (2, "y"), (3, "z")).toDF("id", "p")
+    val smallI = Seq(2L, 3L).toDF("id")
+    val got = Scale.bloomSemiJoin(bigI, "id", smallI, "id")
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(got == Set(2, 3))
+  }
+
   test("heavyHitters equals the exact over-support set on a skewed token stream") {
     import org.apache.spark.sql.functions._
     // skewed domain: 'hot' 40%, 'warm' 15%, the rest spread thin

@@ -299,6 +299,7 @@ class StreamingSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("graft-stream-upsert-ckpt")
     val agg = StreamOps.tumblingHourly(
       StreamOps.eventsStream(spark, srcDir.toString), rowFilter = col("user_id") < 20)
+    val overwriteModeBefore = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     val query = StreamOps.upsertToParquet(
       agg, outDir.toString, ckpt.toString, partitionKeys = Seq("w", "event_type"))
     try {
@@ -319,6 +320,20 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got == want,
       s"upsert sink≠batch: missing=${(want -- got).take(3)}, extra=${(got -- want).take(3)}")
+    // the dynamic overwrite must be a PER-WRITE option: mutating the
+    // shared session conf would silently break every later full
+    // overwrite in the app (stale partitions would survive)
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") == overwriteModeBefore,
+      "upsertToParquet must not mutate the session partitionOverwriteMode")
+    val staticDir = Files.createTempDirectory("graft-stream-upsert-static")
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(staticDir.toString)
+    Seq((3, "a")).toDF("v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(staticDir.toString)
+    assert(spark.read.parquet(staticDir.toString).select("p").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("a"),
+      "a full overwrite after the upsert sink must still truncate the whole table")
   }
 
   test("tumbling window stream ≡ batch T01 form at sf0.1 over 6 triggers, late rows dropped") {
