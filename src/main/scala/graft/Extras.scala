@@ -64,6 +64,26 @@ object Extras {
     }
   }
 
+  /** Per-corpus persisted banded member table (same stamp/rebuild scheme
+    * as [[sigTable]]; built FROM the cached signature table so a cold
+    * cache pays the signature pass once, not twice). Repeat dedup runs
+    * read (id, sigh, band, bucket) straight off parquet.
+    */
+  private def bandedTable(c: Catalog): DataFrame = {
+    val cfg = graft.text.MinHashConfig()
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_minhash_banded_" + stamp(c.dir, "documents",
+        s"mhb:v${MinHashDedup.SignatureVersion}:${cfg.shingleSize}:${cfg.numHashes}:${cfg.bands}")).toString
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      MinHashDedup.writeBandedIndex(sigTable(c), dir, cfg)
+    try MinHashDedup.readBandedIndex(c.spark, dir, cfg)
+    catch {
+      case _: IllegalArgumentException =>
+        MinHashDedup.writeBandedIndex(sigTable(c), dir, cfg)
+        MinHashDedup.readBandedIndex(c.spark, dir, cfg)
+    }
+  }
+
   /** Per-corpus persisted IVF index, built once (same stamp scheme as
     * [[sigTable]]) — X14 then measures the partition-pruned PROBE its
     * name advertises, not a rebuild.
@@ -119,6 +139,11 @@ object Extras {
     // and ExtrasSpec pins from-signatures ≡ direct.
     "X15_minhash_from_sigs" -> q(c =>
       MinHashDedup.dedupWinners(c.documents, sigs = Some(sigTable(c)))),
+    // dedup from the persisted BANDED index: the cheapest repeat-run
+    // entry — skips the shingle+sign pass AND the banding shuffle;
+    // ExtrasSpec pins from-banded ≡ direct
+    "X38_minhash_from_banded" -> q(c =>
+      MinHashDedup.dedupWinnersFromBanded(c.documents, bandedTable(c))),
     // transitive duplicate clusters over the verified near-dup graph
     // (property-tested against driver-side union-find in ExtrasSpec);
     // candidates come from the shared persisted signature table

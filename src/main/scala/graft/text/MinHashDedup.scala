@@ -156,18 +156,70 @@ object MinHashDedup {
     * warning with the affected row fraction is logged whenever a bucket
     * is capped.
     */
-  def candidatePairsFromSignatures(sigs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
-    val members = sigs
+  /** (id, sigh, band, bucket) — the candidate-join member table: one row
+    * per (document, band), `sigh` the whole-signature hash that the
+    * oversized-bucket defense groups identical signatures by.
+    */
+  private def memberTable(sigs: DataFrame, cfg: MinHashConfig): DataFrame =
+    sigs
       .select(col("doc_id").as("id"), xxhash64(col("sig")).as("sigh"),
         explode(array(bandStructs(cfg): _*)).as("bb"))
       .select(col("id"), col("sigh"), col("bb.band").as("band"), col("bb.band_hash").as("bucket"))
+
+  def candidatePairsFromSignatures(sigs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame =
     // the distinct pair set is consumed several times downstream
     // (candidate-id extraction for both sides + the verification join);
     // materialize it so the banded self-join runs once, not per consumer
-    graft.ops.BucketedPairs.cappedCandidatePairs(members, cfg.maxBucket)
+    graft.ops.BucketedPairs.cappedCandidatePairs(memberTable(sigs, cfg), cfg.maxBucket)
       .distinct()
       .localCheckpoint(true)
+
+  /** Persist the BANDED member table (id, sigh, band, bucket) beside the
+    * signature table — the second index artifact of the 100 TB dedup
+    * workflow: a repeat dedup run reads this and skips not only the
+    * shingle+minhash pass (what [[writeSignatures]] buys) but the
+    * banding explode/shuffle as well — candidates come straight off a
+    * parquet scan of 8-byte keys into the bucket self-join.
+    *
+    * Band hashes are a function of the FULL banding config, not just the
+    * hash scheme, so the artifact pins (sig_v, bands, rows_per_band) and
+    * [[readBandedIndex]] refuses any mismatch — a 16-band table silently
+    * reused for a 32-band run would never collide where it should.
+    */
+  def writeBandedIndex(
+      sigs: DataFrame,
+      path: String,
+      cfg: MinHashConfig = MinHashConfig()): Unit =
+    memberTable(sigs, cfg)
+      .withColumn("sig_v", lit(SignatureVersion))
+      .withColumn("cfg_bands", lit(cfg.bands))
+      .withColumn("cfg_rows", lit(cfg.rowsPerBand))
+      .write.mode("overwrite").parquet(path)
+
+  def readBandedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(Seq("sig_v", "cfg_bands", "cfg_rows").forall(df.columns.contains),
+      s"banded index at $path has no version/config columns — written by an incompatible build")
+    val head = df.select("sig_v", "cfg_bands", "cfg_rows").limit(1).collect().headOption
+    require(head.nonEmpty, s"banded index at $path is empty — corrupt or partial write; rebuild it")
+    val (v, b, r) = (head.get.getInt(0), head.get.getInt(1), head.get.getInt(2))
+    require(v == SignatureVersion && b == cfg.bands && r == cfg.rowsPerBand,
+      s"banded index at $path was built as scheme v$v/${b}x$r, this run expects " +
+        s"v$SignatureVersion/${cfg.bands}x${cfg.rowsPerBand} — rebuild it")
+    df.select("id", "sigh", "band", "bucket")
   }
+
+  /** Candidate pairs straight from a persisted banded index — no
+    * shingling, no signing, no banding; the same hot-bucket defense as
+    * [[candidatePairsFromSignatures]].
+    */
+  def candidatePairsFromBanded(banded: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    graft.ops.BucketedPairs.cappedCandidatePairs(banded, cfg.maxBucket)
+      .distinct()
+      .localCheckpoint(true)
 
   /** Distinct candidate pairs (i < j) sharing at least one LSH bucket. */
   def candidatePairs(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame =
@@ -191,6 +243,26 @@ object MinHashDedup {
       case Some(s) => candidatePairsFromSignatures(s, cfg)
       case None => candidatePairs(documents, cfg)
     }
+    verifyCandidates(documents, cand, cfg)
+  }
+
+  /** [[verifiedPairs]] fed from a persisted banded index — the cheapest
+    * repeat-run entry point (parquet scan → bucket join → exact verify
+    * of the few candidates).
+    */
+  def verifiedPairsFromBanded(
+      documents: DataFrame,
+      banded: DataFrame,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    verifyCandidates(documents, candidatePairsFromBanded(banded, cfg), cfg)
+
+  /** Exact shingle-Jaccard re-score of a candidate pair set; shingles
+    * only the documents that appear in some pair.
+    */
+  private def verifyCandidates(
+      documents: DataFrame,
+      cand: DataFrame,
+      cfg: MinHashConfig): DataFrame = {
     val candIds = cand.select(col("i").as("doc_id"))
       .union(cand.select(col("j").as("doc_id"))).distinct()
     val sh = shingleRows(documents.join(candIds, Seq("doc_id"), "left_semi"), cfg)
@@ -216,8 +288,18 @@ object MinHashDedup {
   def dedupWinners(
       documents: DataFrame,
       cfg: MinHashConfig = MinHashConfig(),
-      sigs: Option[DataFrame] = None): DataFrame = {
-    val losers = verifiedPairs(documents, cfg, sigs).select(col("j").as("doc_id")).distinct()
+      sigs: Option[DataFrame] = None): DataFrame =
+    winnersFrom(documents, verifiedPairs(documents, cfg, sigs))
+
+  /** [[dedupWinners]] from a persisted banded index. */
+  def dedupWinnersFromBanded(
+      documents: DataFrame,
+      banded: DataFrame,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    winnersFrom(documents, verifiedPairsFromBanded(documents, banded, cfg))
+
+  private def winnersFrom(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = pairs.select(col("j").as("doc_id")).distinct()
     documents.join(losers, Seq("doc_id"), "left_anti")
       .select("doc_id")
       .orderBy("doc_id")

@@ -74,6 +74,34 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("persisted banded index: dedup from it equals direct; mismatches refused") {
+    val sigDir = java.nio.file.Files.createTempDirectory("graft_banded_sig").toString
+    val bandDir = java.nio.file.Files.createTempDirectory("graft_banded_idx").toString
+    MinHashDedup.writeSignatures(cat.documents, sigDir)
+    val sigs = MinHashDedup.readSignatures(spark, sigDir)
+    MinHashDedup.writeBandedIndex(sigs, bandDir)
+    val banded = MinHashDedup.readBandedIndex(spark, bandDir)
+    // repeat-run entry (no shingle/sign/band pass) ≡ the direct pipeline
+    val direct = MinHashDedup.dedupWinners(cat.documents)
+      .collect().map(_.getLong(0)).toSeq
+    val viaBanded = MinHashDedup.dedupWinnersFromBanded(cat.documents, banded)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaBanded == direct)
+    // a config mismatch (different banding) must be refused loudly — the
+    // band hashes would simply never collide where they should
+    val other = graft.text.MinHashConfig(bands = 32)
+    val e = intercept[IllegalArgumentException] {
+      MinHashDedup.readBandedIndex(spark, bandDir, other)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    // an unversioned table (pre-scheme build) must be refused too
+    val legacy = java.nio.file.Files.createTempDirectory("graft_banded_legacy").toString
+    banded.write.mode("overwrite").parquet(legacy)
+    intercept[IllegalArgumentException] {
+      MinHashDedup.readBandedIndex(spark, legacy)
+    }
+  }
+
   test("duplicate clusters equal driver-side union-find (incl. a transitive chain)") {
     import spark.implicits._
     // synthetic chain 1-2, 2-3 plus separate pair 10-11: clusters must
