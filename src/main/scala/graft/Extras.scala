@@ -102,6 +102,11 @@ object Extras {
     "X02_quality" -> q(c =>
       TextAnalysis.qualityFeatures(c.documents).orderBy("doc_id").limit(200)),
     "X03_langid" -> q(c => TextAnalysis.langIdConfusion(c.documents)),
+    // Gopher-style repetition filters (oracle-checked)
+    "X39_repetition" -> q(c => TextAnalysis.repetitionStats(c.documents)),
+    // corpus-wide segment (line/paragraph) dedup, CCNet shape
+    // (oracle-checked; multi-segment behavior pinned in ExtrasSpec)
+    "X40_segment_dedup" -> q(c => TextAnalysis.segmentDedup(c.documents)),
     // -- dedup (oracle-checked) --
     "X04_fingerprint_dedup" -> q(c =>
       TextAnalysis.fingerprintDedupWinners(c.documents)),
@@ -284,6 +289,33 @@ SELECT doc_id, n_chars, len(toks) AS n_tokens,
        ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uniq_ratio,
        ROUND(CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks), 4) AS avg_tok_len
 FROM t ORDER BY doc_id LIMIT 200
+""".trim,
+    "X39_repetition" -> """
+WITH wl AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS words FROM documents),
+w AS (SELECT doc_id, unnest(words) AS w FROM wl),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+wa AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, COUNT(*) AS n_uniq, MAX(c) AS top FROM wc GROUP BY doc_id),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS bg FROM wl),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+ba AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, COUNT(*) AS nbu FROM bc GROUP BY doc_id)
+SELECT wa.doc_id, wa.n_words,
+  ROUND((wa.n_words - wa.n_uniq) / CAST(wa.n_words AS DOUBLE), 6) AS dup_word_frac,
+  ROUND(wa.top / CAST(wa.n_words AS DOUBLE), 6) AS top_word_frac,
+  ROUND(COALESCE((ba.nb - ba.nbu) / CAST(ba.nb AS DOUBLE), 0.0), 6) AS dup_bigram_frac
+FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id ORDER BY wa.doc_id
+""".trim,
+    "X40_segment_dedup" -> """
+WITH s AS (
+  SELECT doc_id, unnest(str_split(text, chr(10))) AS seg,
+         generate_subscripts(str_split(text, chr(10)), 1) AS idx
+  FROM documents
+), r AS (
+  SELECT doc_id, idx, seg,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+  FROM s
+)
+SELECT doc_id, COUNT(*) AS n_kept, string_agg(seg, chr(10) ORDER BY idx) AS text_deduped
+FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
 """.trim,
     "X03_langid" -> """
 WITH t AS (SELECT lang, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM documents),

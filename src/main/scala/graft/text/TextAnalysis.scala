@@ -175,6 +175,79 @@ object TextAnalysis {
         round((col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens"), 4).as("avg_tok_len"))
   }
 
+  /** Gopher-style repetition signals per document — the standard
+    * pre-training repetition filters: duplicate-word fraction,
+    * top-word fraction, duplicate-bigram fraction. A document whose
+    * mass concentrates in few words/bigrams is boilerplate or spam.
+    *
+    * Scale shape: two two-phase aggregations (word counts, bigram
+    * counts) with map-side partials, joined on doc_id — no windows, no
+    * full-array aggregation of a document's tokens on one reducer.
+    */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val words = documents.select(col("doc_id"), explode(toks).as("w"))
+    val wordAgg = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").cast("bigint").as("n_words"),
+        count(lit(1)).as("n_uniq"),
+        max("c").as("top"))
+    // adjacent-word bigrams via two shifted slices; a 1-word document
+    // has no bigrams and its fraction is defined as 0
+    val bigrams = documents.select(col("doc_id"),
+      explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val biAgg = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").cast("bigint").as("nb"),
+        count(lit(1)).as("nbu"))
+    wordAgg.join(biAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_words"),
+        round((col("n_words") - col("n_uniq")) / col("n_words").cast("double"), 6)
+          .as("dup_word_frac"),
+        round(col("top") / col("n_words").cast("double"), 6).as("top_word_frac"),
+        round(coalesce((col("nb") - col("nbu")) / col("nb").cast("double"), lit(0.0)), 6)
+          .as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Segment-level (line/paragraph) dedup across the WHOLE corpus —
+    * the CCNet shape: split every document on `sep`, keep each distinct
+    * segment only at its first occurrence (smallest (doc_id, position)),
+    * and reconstruct documents from their surviving segments in order.
+    * Boilerplate lines shared by thousands of pages survive exactly
+    * once, in the earliest document. A document whose every segment is
+    * seen earlier disappears entirely (no output row), matching the
+    * min-id-wins contract of the document-level dedups.
+    *
+    * Scale shape: the first-occurrence winner is a groupBy(segment) with
+    * a partial MIN of the (doc_id, idx) struct — map-side combine, no
+    * window over the segment key, so a boilerplate segment occurring a
+    * billion times costs one reducer one min, not a sort. Reconstruction
+    * aggregates only the KEPT rows per document.
+    */
+  def segmentDedup(documents: DataFrame, sep: String = "\n"): DataFrame = {
+    val segs = documents
+      .select(col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep))))
+      .toDF("doc_id", "idx", "seg")
+    val first = segs.groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+      .select(col("seg").as("fseg"), col("f.doc_id").as("fdoc"), col("f.idx").as("fidx"))
+    val kept = segs.join(first,
+      col("seg") === col("fseg") && col("doc_id") === col("fdoc") && col("idx") === col("fidx"))
+      .select("doc_id", "idx", "seg")
+    kept.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("seg")))),
+            s => s.getField("seg")), sep).as("text_deduped"))
+      .orderBy("doc_id")
+  }
+
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. On real corpora these would be frequent function words
     * per language; the synthetic corpus shares one vocabulary, so the

@@ -313,6 +313,41 @@ class ExtrasSpec extends SparkSpec {
     assert(a.values.forall(_.nonEmpty))
   }
 
+  test("segment dedup keeps each segment at its first occurrence, drops all-dup docs") {
+    import spark.implicits._
+    // doc 1: boilerplate B twice (intra-doc dup kept once) + unique u1
+    // doc 2: boilerplate B + unique u2 — B removed (doc 1 owns it)
+    // doc 3: ONLY boilerplate — every segment seen earlier: doc vanishes
+    val docs = Seq(
+      (1L, "B\nu1\nB"),
+      (2L, "B\nu2"),
+      (3L, "B")).toDF("doc_id", "text")
+    val got = TextAnalysis.segmentDedup(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 2L, "B\nu1"), (2L, 1L, "u2")), got.toSeq)
+    // layout invariance: first-occurrence winners depend on (doc_id, idx)
+    // only, never on partitioning
+    val a = TextAnalysis.segmentDedup(cat.documents).collect().toSeq
+    val b = TextAnalysis.segmentDedup(cat.documents.repartition(13)).collect().toSeq
+    assert(a == b)
+  }
+
+  test("repetition stats match hand computation and flag a degenerate doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),         // 5 words, 2 uniq; top 'a'=3; bigrams: ab,ba,ab,ba -> 4, 2 uniq
+      (2L, "x y z w"),           // no repetition
+      (3L, "spam spam spam")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (1L, 5L, 0.6, 0.6, 0.5),
+      (2L, 4L, 0.0, 0.25, 0.0),
+      (3L, 3L, round6(2.0 / 3), 1.0, 0.5)), got)
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
   test("dedup winners are stable under repartitioning (idempotent re-run)") {
     val direct = MinHashDedup.dedupWinners(cat.documents)
       .collect().map(_.getLong(0)).toSeq
