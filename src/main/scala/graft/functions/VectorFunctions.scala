@@ -94,6 +94,13 @@ object VectorFunctions {
   /** Cosine similarity: dot product over unit-normalized vectors. */
   def cosine(a: Column, b: Column): Column = dot(a, b)
 
+  /** Exact int64 dot product of two int8-array columns — the quantized
+    * candidate-scan kernel.
+    */
+  def byteDot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      ByteDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** Register `graft_dot` with a session's function registry so the SQL
     * front end (E1) can use it too. Idempotent.
     */

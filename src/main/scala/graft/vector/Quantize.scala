@@ -79,10 +79,11 @@ object Quantize {
     val qb = withAbs.select(col("vec_id").as("j"), col("q").as("qb"),
       col("scale").as("sb"), col("qabs").as("ab"))
     // exact integer dot on the int8 arrays (no float rounding in the
-    // candidate stage at all)
-    val qdot = aggregate(
-      zip_with(col("qa"), col("qb"), (x, y) => x.cast("long") * y.cast("long")),
-      lit(0L), (s, x) => s + x).cast("double")
+    // candidate stage at all) — the native codegen'd ByteDot kernel, NOT
+    // the zip_with/aggregate HOF form: interpreted per-element lambdas
+    // inside the O(n²) cross join measured 10× slower
+    val qdot = graft.functions.VectorFunctions
+      .byteDot(col("qa"), col("qb")).cast("double")
     val ss = col("sa").cast("double") * col("sb").cast("double")
     val bound = ss / 2.0 *
       (col("aa") + col("ab") + size(col("qa")).cast("double") / 2.0)
