@@ -102,6 +102,10 @@ object Extras {
     "X02_quality" -> q(c =>
       TextAnalysis.qualityFeatures(c.documents).orderBy("doc_id").limit(200)),
     "X03_langid" -> q(c => TextAnalysis.langIdConfusion(c.documents)),
+    // conversion funnel + cohort retention over events (oracle-checked)
+    "X41_funnel" -> q(c =>
+      graft.ops.EventAnalytics.funnel(c.events, Seq("signup", "click", "purchase"))),
+    "X42_retention" -> q(c => graft.ops.EventAnalytics.hourlyRetention(c.events)),
     // Gopher-style repetition filters (oracle-checked)
     "X39_repetition" -> q(c => TextAnalysis.repetitionStats(c.documents)),
     // corpus-wide segment (line/paragraph) dedup, CCNet shape
@@ -289,6 +293,24 @@ SELECT doc_id, n_chars, len(toks) AS n_tokens,
        ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uniq_ratio,
        ROUND(CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks), 4) AS avg_tok_len
 FROM t ORDER BY doc_id LIMIT 200
+""".trim,
+    "X41_funnel" -> """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT stage, n_users FROM (
+  SELECT '1_signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM s3) f
+ORDER BY stage
+""".trim,
+    "X42_retention" -> """
+WITH a AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events)
+SELECT a.h, CAST(COUNT(*) AS BIGINT) AS active, CAST(COUNT(b.user_id) AS BIGINT) AS retained
+FROM a LEFT JOIN a b ON b.user_id = a.user_id AND b.h = a.h + INTERVAL 1 HOUR
+GROUP BY a.h ORDER BY a.h
 """.trim,
     "X39_repetition" -> """
 WITH wl AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS words FROM documents),

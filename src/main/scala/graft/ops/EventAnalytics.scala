@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the events table — the classic product
+  * questions (conversion funnels, cohort retention) expressed as
+  * ordinary equi-joins + aggregations so Catalyst plans them with
+  * co-partitioned shuffles on user_id; no per-user collect_list of full
+  * event histories, no windows over a global ordering.
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel: stage k counts users whose FIRST
+    * qualifying stage-k event is at/after their first qualifying
+    * stage-(k−1) event (the strict sequential-completion semantics).
+    * Output (stage "1_<name>"…, n_users), one row per stage.
+    *
+    * Scale shape: one filtered scan + user_id groupBy per stage, joined
+    * user_id-to-user_id — every shuffle is on the user key, partials
+    * combine map-side, and the per-stage frontier is one (user, ts) row
+    * per surviving user, never an event history.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val frontiers = stages.zipWithIndex.foldLeft(List.empty[(String, DataFrame)]) {
+      case (acc, (st, i)) =>
+        val filtered = events.filter(col("event_type") === st)
+        val reached = acc match {
+          case Nil =>
+            filtered.groupBy("user_id").agg(min("ts").as("t"))
+          case (_, prev) :: _ =>
+            filtered
+              .join(prev.select(col("user_id").as("pu"), col("t").as("pt")),
+                col("user_id") === col("pu") && col("ts") >= col("pt"))
+              .groupBy("user_id").agg(min("ts").as("t"))
+        }
+        (s"${i + 1}_$st", reached) :: acc
+    }
+    frontiers.reverse.map { case (name, df) =>
+      df.agg(count(lit(1)).cast("bigint").as("n_users"))
+        .select(lit(name).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy("stage")
+  }
+
+  /** Hour-over-hour cohort retention: per activity hour, how many
+    * distinct users were active and how many of them were also active
+    * in the NEXT hour. One distinct (hour, user) pass, then a
+    * self-equi-join on (user, shifted hour) — both shuffles on the user
+    * key, no window over the timeline.
+    */
+  def hourlyRetention(events: DataFrame): DataFrame = {
+    val a = events.select(date_trunc("hour", col("ts")).as("h"), col("user_id")).distinct()
+    a.as("a").join(a.as("b"),
+        col("b.user_id") === col("a.user_id") &&
+          col("b.h") === col("a.h") + expr("INTERVAL 1 HOUR"), "left")
+      .groupBy(col("a.h").as("h"))
+      .agg(
+        count(lit(1)).cast("bigint").as("active"),
+        count(col("b.user_id")).cast("bigint").as("retained"))
+      .orderBy("h")
+  }
+}

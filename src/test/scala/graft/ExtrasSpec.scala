@@ -348,6 +348,33 @@ class ExtrasSpec extends SparkSpec {
 
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 
+  test("funnel enforces event ORDER, not mere presence; retention matches fixture") {
+    import spark.implicits._
+    import graft.ops.EventAnalytics
+    def t(m: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + m * 60000L)
+    val ev = Seq(
+      (1L, t(0), "signup"), (1L, t(5), "click"), (1L, t(10), "purchase"), // completes
+      (2L, t(0), "signup"), (2L, t(5), "click"), // stalls before purchase
+      (3L, t(5), "click"), (3L, t(10), "purchase"), // never signed up
+      // click BEFORE signup must NOT count as stage 2
+      (4L, t(5), "signup"), (4L, t(0), "click"), (4L, t(10), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnel(ev, Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("1_signup" -> 3L, "2_click" -> 2L, "3_purchase" -> 1L), got)
+    // retention: hour 0 actives {1, 2}, hour 1 active {1}
+    val ev2 = Seq((1L, t(0)), (2L, t(30)), (1L, t(70)))
+      .toDF("user_id", "ts")
+    val ret = EventAnalytics.hourlyRetention(ev2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(ret == Seq((2L, 1L), (1L, 0L)), ret)
+    // monotone on the real corpus
+    val real = EventAnalytics.funnel(cat.events, Seq("signup", "click", "purchase"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(real.size == 3 && real == real.sorted.reverse && real.head > 0, real)
+  }
+
   test("dedup winners are stable under repartitioning (idempotent re-run)") {
     val direct = MinHashDedup.dedupWinners(cat.documents)
       .collect().map(_.getLong(0)).toSeq

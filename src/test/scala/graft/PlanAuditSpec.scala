@@ -63,6 +63,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!q.contains("BatchEvalPython") && !q.contains("ScalaUDF"),
       s"quantize must be declarative transform/aggregate:\n$q")
     assert(!q.contains("Exchange"), s"quantize must be map-side only:\n$q")
+    // the O(n²) quantized candidate stage must run on the native codegen
+    // ByteDot kernel, never an interpreted zip_with/aggregate lambda
+    // (measured 10× slower inside the cross join)
+    val qp = graft.vector.Quantize.quantizedPairsAbove(cat.embeddings, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(qp.contains("graft_bytedot"), s"candidate stage must use ByteDot:\n$qp")
+    assert(!qp.contains("zip_with"), s"no HOF lambda in the candidate cross join:\n$qp")
     val bpe = graft.text.TextAnalysis.tokenCountComparison(cat.documents)
       .queryExecution.executedPlan.toString
     assert(!bpe.contains("ScalaUDF"), s"BPE counting must be built-in regexp:\n$bpe")
