@@ -213,6 +213,21 @@ object StreamOps {
       .start()
   }
 
+  /** Engine-managed event-time-bounded dedup of an at-least-once event
+    * feed: duplicate deliveries of the same event_id within the
+    * watermark delay are dropped by the built-in
+    * `dropDuplicatesWithinWatermark` operator. Its per-key state is
+    * evicted as the EVENT-TIME watermark passes — state is bounded by
+    * the in-flight window, not the all-time distinct count, and no
+    * processing-time clock is involved (contrast
+    * [[streamingDedupWithTtl]], whose TTL runs on the wall clock and
+    * whose eviction sweep depends on batch cadence). First occurrences
+    * emit immediately in append mode, so the operator composes in front
+    * of any downstream aggregation as an exactly-once ingest filter.
+    */
+  def dedupEventsWithinWatermark(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   /** Session windows with a 30-minute gap per user — streaming form of
     * T03 (merging session state instead of gaps-and-islands windows).
     */

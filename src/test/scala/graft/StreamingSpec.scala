@@ -293,6 +293,33 @@ class StreamingSpec extends SparkSpec {
       s"stream-stream join≠batch: missing=${(want -- got).take(3)}, extra=${(got -- want).take(3)}")
   }
 
+  test("dropDuplicatesWithinWatermark suppresses redelivered events across triggers") {
+    val srcDir = Files.createTempDirectory("graft-stream-wmdedup")
+    val query = StreamOps.dedupEventsWithinWatermark(
+      StreamOps.eventsStream(spark, srcDir.toString))
+      .writeStream.format("memory").queryName("wm_dedup").outputMode("append").start()
+    try {
+      val cs = chunks(3)
+      writeChunk(cs(0), srcDir, "c0")
+      query.processAllAvailable()
+      // at-least-once source: redeliver the 500 newest chunk-0 events in
+      // the next trigger (ids already emitted; ts nudged but still ahead
+      // of the watermark, so suppression comes from STATE, not late-drop)
+      val redelivered = cs(0).orderBy(col("ts").desc).limit(500)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 SECOND"))
+      writeChunk(cs(1).unionByName(redelivered), srcDir, "c1")
+      query.processAllAvailable()
+      writeChunk(cs(2), srcDir, "c2")
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("wm_dedup").select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.size == got.distinct.size, "every event_id must emit exactly once")
+    val want = events.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got.toSet == want,
+      s"missing=${(want -- got.toSet).take(3)}, extra=${(got.toSet -- want).take(3)}")
+  }
+
   test("foreachBatch upsert sink: final parquet state equals the batch aggregation") {
     val srcDir = Files.createTempDirectory("graft-stream-upsert-src")
     val outDir = Files.createTempDirectory("graft-stream-upsert-out")
