@@ -158,7 +158,7 @@ object Extras {
     // candidates come from the shared persisted signature table
     "X16_dup_clusters" -> q(c =>
       MinHashDedup.duplicateClusters(
-        MinHashDedup.verifiedPairs(c.documents, sigs = Some(sigTable(c))))),
+        MinHashDedup.verifiedPairsFromBanded(c.documents, bandedTable(c)))),
     // rolling-hash winnowing fingerprint near-dup pairs (property-tested:
     // exact duplicates score 1.0; stable under repartitioning)
     "X17_winnow_pairs" -> q(c => TextAnalysis.winnowPairs(c.documents, threshold = 0.5)),
@@ -218,7 +218,7 @@ object Extras {
     // needs O(n) rounds)
     "X29_dup_clusters_stars" -> q(c =>
       graft.ops.ConnectedComponents.components(
-        MinHashDedup.verifiedPairs(c.documents, sigs = Some(sigTable(c))))),
+        MinHashDedup.verifiedPairsFromBanded(c.documents, bandedTable(c)))),
     // benchmark decontamination: 5-gram overlap of every corpus doc
     // against the held-out src0 set (oracle-checked)
     "X30_decontaminate" -> q(c =>

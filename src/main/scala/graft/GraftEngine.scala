@@ -74,6 +74,18 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
     graft.text.MinHashDedup.dedupWinners(tables.documents,
       sigs = Some(graft.text.MinHashDedup.readSignatures(spark, path)))
 
+  /** Persist the banded member table from a signature table — repeat
+    * dedup runs then skip the banding pass too.
+    */
+  def buildBandedIndex(sigPath: String, bandedPath: String): Unit =
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.readSignatures(spark, sigPath), bandedPath)
+
+  /** Near-dup dedup winners straight from a persisted banded index. */
+  def dedupFromBandedIndex(path: String): DataFrame =
+    graft.text.MinHashDedup.dedupWinnersFromBanded(tables.documents,
+      graft.text.MinHashDedup.readBandedIndex(spark, path))
+
   // ---- training-data pipeline surface -------------------------------
 
   /** Transitive duplicate clusters over the verified near-dup graph

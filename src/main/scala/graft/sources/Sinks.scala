@@ -42,6 +42,43 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
+  /** Size-targeted parquet writer — the small-files defense for a
+    * 100 TB lake: a shuffle-heavy plan ending in 10⁴–10⁵ tasks would
+    * otherwise write that many files, and every later scan pays
+    * per-file open/footer/scheduling cost. The file count derives from
+    * Catalyst's own size estimate for the plan (for file sources, the
+    * sum of input file sizes) over `targetFileBytes` — an ESTIMATE of
+    * the in-memory size, so on-disk parquet files come out smaller by
+    * roughly the encoder's compression ratio; pick the target
+    * accordingly (the default 128 MB estimate ≈ 30–60 MB files, a sane
+    * scan granule).
+    *
+    * With `partitionBy`, rows are instead repartitioned BY the
+    * partition columns so each output directory is written by exactly
+    * one task — one file per partition value instead of
+    * (tasks × values) fragments, the classic dynamic-partition
+    * compaction shape.
+    */
+  def parquetCompacted(
+      df: DataFrame,
+      path: String,
+      targetFileBytes: Long = 128L << 20,
+      partitionBy: Seq[String] = Nil): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    if (partitionBy.isEmpty) {
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val nFiles = ((est + targetFileBytes - 1) / targetFileBytes)
+        .max(BigInt(1)).min(BigInt(1 << 20)).toInt
+      df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(path)
+    } else {
+      import org.apache.spark.sql.functions.col
+      df.repartition(partitionBy.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionBy: _*)
+        .parquet(path)
+    }
+  }
+
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 

@@ -74,6 +74,32 @@ class SinksSpec extends SparkSpec {
     assert(hashSorted(back) == hashSorted(src))
   }
 
+  test("compacted parquet writer bounds file count and keeps one file per partition dir") {
+    import org.apache.spark.sql.functions.col
+    val src = Tables.load(spark, sf001, "lineitem").repartition(24) // many upstream tasks
+    val est = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = (est / 4 + 1).toLong // expect exactly 4 files from the estimate
+    val dir = Files.createTempDirectory("sink-compact").toString
+    Sinks.parquetCompacted(src, dir, targetFileBytes = target)
+    def partFiles(d: String): Seq[java.io.File] =
+      new java.io.File(d).listFiles((_, n) => n.endsWith(".parquet")).toSeq
+    assert(partFiles(dir).size == 4,
+      s"expected 4 part files, got ${partFiles(dir).size} (est=$est target=$target)")
+    assert(hashSorted(Sinks.readParquet(spark, dir)) == hashSorted(src))
+    // partitioned: 24 upstream tasks x 5 langs would fragment into up to
+    // 120 files; the compacted writer must leave ONE file per lang dir
+    val docs = Tables.load(spark, sf001, "documents").repartition(24)
+    val pdir = Files.createTempDirectory("sink-compact-part").toString
+    Sinks.parquetCompacted(docs, pdir, partitionBy = Seq("lang"))
+    val langDirs = new java.io.File(pdir).listFiles((f: java.io.File) => f.isDirectory).toSeq
+    assert(langDirs.nonEmpty)
+    langDirs.foreach { d =>
+      assert(partFiles(d.toString).size == 1, s"${d.getName}: ${partFiles(d.toString).size} files")
+    }
+    assert(hashSorted(Sinks.readParquet(spark, pdir).select(docs.columns.map(col).toSeq: _*))
+      == hashSorted(docs))
+  }
+
   test("schema inference recovers types and content for csv and json") {
     val src = Tables.load(spark, sf001, "nation") // int keys + strings
     val csvDir = Files.createTempDirectory("sink-csv-inf").toString
