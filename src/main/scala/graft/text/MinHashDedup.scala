@@ -373,10 +373,31 @@ object MinHashDedup {
       newDocs: DataFrame,
       existingDocs: DataFrame,
       existingSigs: DataFrame,
-      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+      cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    incrementalCore(newDocs, existingDocs, bandedFromSignatures(existingSigs, cfg), cfg)
+
+  /** [[incrementalDedupWinners]] with the corpus side fed from a
+    * persisted BANDED index ([[writeBandedIndex]]) — the steady-state
+    * ingest shape: the existing corpus contributes a parquet scan of
+    * 8-byte keys, paying neither a signature nor a banding pass.
+    */
+  def incrementalDedupWinnersFromBanded(
+      newDocs: DataFrame,
+      existingDocs: DataFrame,
+      existingBanded: DataFrame,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    incrementalCore(newDocs, existingDocs,
+      existingBanded.select(
+        col("id").as("doc_id"), col("band"), col("bucket").as("band_hash")),
+      cfg)
+
+  private def incrementalCore(
+      newDocs: DataFrame,
+      existingDocs: DataFrame,
+      bandedOld: DataFrame,
+      cfg: MinHashConfig): DataFrame = {
     val newSigs = signatures(newDocs, cfg)
     val bandedNew = bandedFromSignatures(newSigs, cfg)
-    val bandedOld = bandedFromSignatures(existingSigs, cfg)
     // candidates: new-vs-existing (any band collision) ...
     val candOld = bandedNew.as("a")
       .join(bandedOld.as("b"),

@@ -31,6 +31,23 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(newDocs.count() > 0 && inc.nonEmpty)
   }
 
+  test("incremental admit from a persisted banded index equals the from-signatures path") {
+    val cut = 400L
+    val existing = cat.documents.filter(col("doc_id") < cut)
+    val newDocs = cat.documents.filter(col("doc_id") >= cut)
+    val sigDir = java.nio.file.Files.createTempDirectory("graft_inc_sig").toString
+    val bandDir = java.nio.file.Files.createTempDirectory("graft_inc_band").toString
+    MinHashDedup.writeSignatures(existing, sigDir)
+    val sigs = MinHashDedup.readSignatures(spark, sigDir)
+    MinHashDedup.writeBandedIndex(sigs, bandDir)
+    val viaSigs = MinHashDedup.incrementalDedupWinners(newDocs, existing, sigs)
+      .collect().map(_.getLong(0)).toSeq
+    val viaBanded = MinHashDedup.incrementalDedupWinnersFromBanded(
+      newDocs, existing, MinHashDedup.readBandedIndex(spark, bandDir))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaBanded == viaSigs)
+  }
+
   test("incremental dedup with an empty existing corpus equals batch dedup of the new docs") {
     val empty = cat.documents.filter(col("doc_id") < 0)
     val sigs = MinHashDedup.signatures(empty)
