@@ -106,6 +106,8 @@ object Extras {
     "X41_funnel" -> q(c =>
       graft.ops.EventAnalytics.funnel(c.events, Seq("signup", "click", "purchase"))),
     "X42_retention" -> q(c => graft.ops.EventAnalytics.hourlyRetention(c.events)),
+    "X43_time_to_convert" -> q(c =>
+      graft.ops.EventAnalytics.timeToConvert(c.events, "signup", "purchase")),
     // Gopher-style repetition filters (oracle-checked)
     "X39_repetition" -> q(c => TextAnalysis.repetitionStats(c.documents)),
     // corpus-wide segment (line/paragraph) dedup, CCNet shape
@@ -311,6 +313,18 @@ WITH a AS (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events)
 SELECT a.h, CAST(COUNT(*) AS BIGINT) AS active, CAST(COUNT(b.user_id) AS BIGINT) AS retained
 FROM a LEFT JOIN a b ON b.user_id = a.user_id AND b.h = a.h + INTERVAL 1 HOUR
 GROUP BY a.h ORDER BY a.h
+""".trim,
+    "X43_time_to_convert" -> """
+WITH f AS (SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t1, MIN(f.t0) AS t0 FROM events e JOIN f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= f.t0 GROUP BY e.user_id),
+m AS (SELECT date_diff('second', t0, t1) / 60.0 AS m FROM c)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+  ROUND(MIN(m), 4) AS min_minutes,
+  ROUND(quantile_cont(m, 0.5), 4) AS p50_minutes,
+  ROUND(quantile_cont(m, 0.9), 4) AS p90_minutes,
+  ROUND(MAX(m), 4) AS max_minutes
+FROM m
 """.trim,
     "X39_repetition" -> """
 WITH wl AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS words FROM documents),

@@ -104,6 +104,24 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   /** Per-source PII hit totals (email/url/ipv4/phone). */
   def piiStats(): DataFrame = graft.text.TextAnalysis.piiStats(tables.documents)
 
+  /** Corpus-wide segment (line/paragraph) dedup — boilerplate segments
+    * survive only at their first (doc_id, position) occurrence.
+    */
+  def segmentDedup(sep: String = "\n"): DataFrame =
+    graft.text.TextAnalysis.segmentDedup(tables.documents, sep)
+
+  /** Gopher-style repetition quality signals per document. */
+  def repetitionStats(): DataFrame =
+    graft.text.TextAnalysis.repetitionStats(tables.documents)
+
+  /** Ordered conversion funnel / hour-over-hour cohort retention over
+    * the events table.
+    */
+  def funnel(stages: Seq[String]): DataFrame =
+    graft.ops.EventAnalytics.funnel(tables.events, stages)
+  def retention(): DataFrame =
+    graft.ops.EventAnalytics.hourlyRetention(tables.events)
+
   /** int8-quantized embedding table (4× smaller; see
     * [[graft.vector.Quantize]] for the error-bounded two-stage scan).
     */

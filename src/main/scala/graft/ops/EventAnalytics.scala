@@ -43,6 +43,28 @@ object EventAnalytics {
     }.reduce(_ unionByName _).orderBy("stage")
   }
 
+  /** Time-to-convert distribution: minutes from each user's first
+    * `from` event to their first `to` event at/after it, summarized as
+    * exact quantiles. Same join discipline as [[funnel]] — one (user,
+    * ts) frontier row per user through every stage, shuffles on the
+    * user key only; the final exact-percentile aggregate runs over one
+    * small row per CONVERTED user, not over events.
+    */
+  def timeToConvert(events: DataFrame, from: String, to: String): DataFrame = {
+    val f = events.filter(col("event_type") === from)
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    val minutes = events.filter(col("event_type") === to)
+      .join(f, Seq("user_id")).filter(col("ts") >= col("t0"))
+      .groupBy("user_id").agg(min("ts").as("t1"), min("t0").as("t0"))
+      .select(((unix_timestamp(col("t1")) - unix_timestamp(col("t0"))) / 60.0).as("m"))
+    minutes.agg(
+      count(lit(1)).cast("bigint").as("n_converted"),
+      round(min("m"), 4).as("min_minutes"),
+      round(expr("percentile(m, 0.5)"), 4).as("p50_minutes"),
+      round(expr("percentile(m, 0.9)"), 4).as("p90_minutes"),
+      round(max("m"), 4).as("max_minutes"))
+  }
+
   /** Hour-over-hour cohort retention: per activity hour, how many
     * distinct users were active and how many of them were also active
     * in the NEXT hour. One distinct (hour, user) pass, then a
