@@ -9,6 +9,12 @@ import graft.sources.Tables
 /** First-seen winner of one content fingerprint in the dedup stream. */
 final case class DedupWinner(doc_id: Long, fp: Long)
 
+/** First-seen occurrence of one SEGMENT in the streaming segment-dedup
+  * stream: the segment survives at (doc_id, idx); `fp` is its content
+  * hash.
+  */
+final case class SegmentWinner(doc_id: Long, idx: Int, fp: Long)
+
 /** Structured Streaming operators over the events stream (E3,
   * SURVEY.md §3): the same DataFrame algebra as the batch contract
   * queries, executed incrementally with watermark-driven state
@@ -98,6 +104,41 @@ object StreamOps {
           else {
             state.update(true)
             Iterator.single(DedupWinner(rows.map(_._1).min, fp))
+          })
+  }
+
+  /** Streaming form of [[graft.text.TextAnalysis.segmentDedup]]: every
+    * incoming document explodes into (doc_id, idx, segment-hash) rows,
+    * keyed state holds ONE boolean per distinct segment hash, and each
+    * segment is emitted exactly once — at its first occurrence ON THE
+    * STREAM (min (doc_id, idx) within the arrival batch; across batches,
+    * arrival order decides, so replaying a corpus in doc_id order
+    * reproduces the batch operator's winners — StreamingSpec pins this).
+    * Downstream reconstruction joins winners back to text by doc_id.
+    *
+    * Scale shape: state is a boolean per distinct segment (the segment
+    * STRING never enters state), hash-partitioned across executors —
+    * boilerplate arriving a billion times costs one state lookup per
+    * occurrence, not storage.
+    */
+  def streamingSegmentDedup(
+      documents: DataFrame, sep: String = "\n"): Dataset[SegmentWinner] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep))))
+      .toDF("doc_id", "idx", "seg")
+      .select(col("doc_id"), col("idx"), xxhash64(col("seg")).as("fp"))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (fp: Long, rows: Iterator[(Long, Int, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val (d, i, _) = rows.minBy(r => (r._1, r._2))
+            Iterator.single(SegmentWinner(d, i, fp))
           })
   }
 

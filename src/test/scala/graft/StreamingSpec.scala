@@ -141,6 +141,52 @@ class StreamingSpec extends SparkSpec {
     assert(batchWinners == l02Winners)
   }
 
+  test("streaming segment dedup replayed in id order equals the batch operator") {
+    import spark.implicits._
+    val base = Tables.load(spark, sf1, "documents")
+    // the synthetic corpus has no newlines, so plant multi-segment docs
+    // (with shared boilerplate B) at ids above the corpus
+    val planted = Seq(
+      (1000001L, "B\nu1\nB"), (1000002L, "B\nu2"), (1000003L, "B"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("planted"))
+      .withColumn("n_chars", length(col("text")))
+      .select(base.columns.map(col).toSeq: _*)
+    val docsAll = base.unionByName(planted)
+    val maxId = base.agg(max("doc_id")).collect()(0).getLong(0)
+    val srcDir = Files.createTempDirectory("graft-stream-segdedup")
+    val query = StreamOps.streamingSegmentDedup(
+      StreamOps.documentsStream(spark, srcDir.toString))
+      .writeStream.format("memory").queryName("seg_dedup").outputMode("append").start()
+    try {
+      // id-ordered replay: first-seen-on-stream then equals min (doc_id, idx)
+      Seq(docsAll.filter(col("doc_id") <= maxId / 3),
+        docsAll.filter(col("doc_id") > maxId / 3 && col("doc_id") <= 2 * maxId / 3),
+        docsAll.filter(col("doc_id") > 2 * maxId / 3))
+        .zipWithIndex.foreach { case (c, i) =>
+          writeChunk(c, srcDir, s"chunk$i")
+          query.processAllAvailable()
+        }
+    } finally query.stop()
+    // reconstruct surviving documents from the emitted winners and
+    // compare with the batch operator, full equality
+    val segs = docsAll
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .toDF("doc_id", "idx", "seg")
+    val got = segs.join(spark.table("seg_dedup").select("doc_id", "idx"), Seq("doc_id", "idx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("idx"), col("seg")))),
+          s => s.getField("seg")), "\n").as("text_deduped"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = graft.text.TextAnalysis.segmentDedup(docsAll)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want,
+      s"stream≠batch: missing=${(want -- got).take(3)}, extra=${(got -- want).take(3)}")
+    // the planted all-boilerplate doc must vanish in BOTH
+    assert(!got.exists(_._1 == 1000003L))
+  }
+
   test("TTL dedup: expired fingerprints are forgotten and re-admitted; live ones stay suppressed") {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("graft-stream-ttl")
