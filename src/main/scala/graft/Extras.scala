@@ -110,6 +110,10 @@ object Extras {
       graft.ops.EventAnalytics.timeToConvert(c.events, "signup", "purchase")),
     // Gopher-style repetition filters (oracle-checked)
     "X39_repetition" -> q(c => TextAnalysis.repetitionStats(c.documents)),
+    // per-rule quality verdict pass + corpus-unigram fluency score
+    // (oracle-checked)
+    "X44_filter_verdicts" -> q(c => TextAnalysis.filterVerdicts(c.documents)),
+    "X45_unigram_logprob" -> q(c => TextAnalysis.unigramLogProb(c.documents)),
     // corpus-wide segment (line/paragraph) dedup, CCNet shape
     // (oracle-checked; multi-segment behavior pinned in ExtrasSpec)
     "X40_segment_dedup" -> q(c => TextAnalysis.segmentDedup(c.documents)),
@@ -339,6 +343,28 @@ SELECT wa.doc_id, wa.n_words,
   ROUND(wa.top / CAST(wa.n_words AS DOUBLE), 6) AS top_word_frac,
   ROUND(COALESCE((ba.nb - ba.nbu) / CAST(ba.nb AS DOUBLE), 0.0), 6) AS dup_bigram_frac
 FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id ORDER BY wa.doc_id
+""".trim,
+    "X44_filter_verdicts" -> """
+WITH wl AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS words FROM documents),
+w AS (SELECT doc_id, unnest(words) AS w FROM wl),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+wa AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, COUNT(*) AS n_uniq, MAX(c) AS top FROM wc GROUP BY doc_id),
+v AS (SELECT doc_id,
+  (n_words >= 10 AND n_words <= 100000) AS ok_len,
+  (ROUND((n_words - n_uniq) / CAST(n_words AS DOUBLE), 6) <= 0.9) AS ok_dup,
+  (ROUND(top / CAST(n_words AS DOUBLE), 6) <= 0.3) AS ok_top
+FROM wa)
+SELECT doc_id, ok_len, ok_dup, ok_top, (ok_len AND ok_dup AND ok_top) AS keep
+FROM v ORDER BY doc_id
+""".trim,
+    "X45_unigram_logprob" -> """
+WITH w AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w FROM documents),
+m AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+t AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM m)
+SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  ROUND(AVG(log10(m.c / t.total)), 6) AS mean_logp
+FROM w JOIN m USING (w) CROSS JOIN t
+GROUP BY w.doc_id ORDER BY w.doc_id
 """.trim,
     "X40_segment_dedup" -> """
 WITH s AS (

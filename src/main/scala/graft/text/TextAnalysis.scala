@@ -248,6 +248,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Composable quality-filter verdict pass — the Dolma/CCNet
+    * "attributes" shape: evaluate every rule per document as an
+    * explicit boolean column (auditable, re-aggregatable), then AND
+    * them into `keep`. Rules: token count in [minWords, maxWords],
+    * duplicate-word fraction ≤ maxDupWordFrac, top-word fraction ≤
+    * maxTopWordFrac, mean token length in [3, 12]. Entirely map-side
+    * except the repetition aggregates (two-phase).
+    *
+    * Keeping per-rule flags instead of a bare filter matters
+    * operationally at 100 TB: one attributes pass supports ANY
+    * downstream threshold sweep without rescanning the corpus.
+    */
+  def filterVerdicts(
+      documents: DataFrame,
+      minWords: Long = 10L,
+      maxWords: Long = 100000L,
+      maxDupWordFrac: Double = 0.9,
+      maxTopWordFrac: Double = 0.3): DataFrame = {
+    val rep = repetitionStats(documents)
+    rep.select(
+      col("doc_id"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords).as("ok_len"),
+      (col("dup_word_frac") <= maxDupWordFrac).as("ok_dup"),
+      (col("top_word_frac") <= maxTopWordFrac).as("ok_top"))
+      .select(col("doc_id"), col("ok_len"), col("ok_dup"), col("ok_top"),
+        (col("ok_len") && col("ok_dup") && col("ok_top")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Unigram log-probability scoring — the cheap corpus-level fluency /
+    * outlier signal (a perplexity proxy without an external LM): token
+    * probabilities are the corpus's OWN unigram frequencies, and each
+    * document scores the mean log10 probability of its tokens. Gibberish
+    * and vocabulary-outlier documents score far below the mode.
+    *
+    * Two passes, both shuffle-light: a (token → count) aggregate with
+    * map-side combine builds the model (vocabulary-sized, NOT
+    * corpus-sized); scoring re-joins tokens to it on the token key. At
+    * 100 TB the model table is broadcastable for any real vocabulary.
+    */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val words = documents.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val model = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = model.agg(sum("c")).first().getLong(0).toDouble
+    words
+      .join(broadcast(model), Seq("w"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_tokens"),
+        round(avg(log(10.0, col("c") / total)), 6).as("mean_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. On real corpora these would be frequent function words
     * per language; the synthetic corpus shares one vocabulary, so the

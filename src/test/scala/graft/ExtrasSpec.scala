@@ -348,6 +348,32 @@ class ExtrasSpec extends SparkSpec {
 
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 
+  test("filter verdicts flag the right rule; unigram logprob ranks gibberish lowest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ("the quick brown fox " * 5).trim), // 20 words but top 'the'=5/20 <= 0.3? 5/20=0.25 ok
+      (2L, "too short"),                       // fails ok_len
+      (3L, ("spam " * 40).trim))               // fails ok_dup (39/40) and ok_top (1.0)
+      .toDF("doc_id", "text")
+    val v = TextAnalysis.filterVerdicts(docs)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(v(1L) == ((true, true, true, true)), v(1L))
+    assert(v(2L) == ((false, true, false, false)), v(2L)) // 2 words: top 1/2 > 0.3 too
+    assert(v(3L) == ((true, false, false, false)), v(3L))
+    // a vocabulary-outlier doc must score strictly below one made of the
+    // corpus's most common words
+    val real = cat.documents.limit(100)
+      .unionByName(Seq((777777L, "zzqj xvwk qqpl mmzx bbvv")).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")))
+        .select(cat.documents.columns.map(col).toSeq: _*))
+    val lp = TextAnalysis.unigramLogProb(real)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val others = lp.removed(777777L).values
+    assert(lp(777777L) < others.min,
+      s"gibberish ${lp(777777L)} must rank below all real docs (min ${others.min})")
+  }
+
   test("funnel enforces event ORDER, not mere presence; retention matches fixture") {
     import spark.implicits._
     import graft.ops.EventAnalytics
