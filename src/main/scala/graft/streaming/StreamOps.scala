@@ -42,6 +42,18 @@ object StreamOps {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
 
+  /** Mark `ts` as event time unless an upstream operator already did —
+    * a multi-stateful pipeline (e.g. [[dedupEventsWithinWatermark]] →
+    * [[tumblingHourly]]) must define the watermark ONCE; redefining it
+    * is an AnalysisException in Spark 4. Detection reads the watermark
+    * metadata Spark stamps on the event-time attribute.
+    */
+  private def ensureWatermark(events: DataFrame, delay: String): DataFrame = {
+    val marked = events.queryExecution.analyzed.output
+      .exists(_.metadata.contains("spark.watermarkDelayMs"))
+    if (marked) events else events.withWatermark("ts", delay)
+  }
+
   /** Tumbling 1-hour counts/sums per event type — streaming form of
     * T01. Note: even though `rowFilter` sits after `withWatermark`,
     * Catalyst pushes deterministic predicates below the watermark node
@@ -51,8 +63,7 @@ object StreamOps {
     */
   def tumblingHourly(events: DataFrame, delay: String = "30 minutes",
       rowFilter: Column = lit(true)): DataFrame =
-    events
-      .withWatermark("ts", delay)
+    ensureWatermark(events, delay)
       .filter(rowFilter)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
@@ -61,8 +72,7 @@ object StreamOps {
   /** Sliding 1-hour/30-minute window — streaming form of T02. */
   def slidingHourly(events: DataFrame, delay: String = "30 minutes",
       rowFilter: Column = lit(true)): DataFrame =
-    events
-      .withWatermark("ts", delay)
+    ensureWatermark(events, delay)
       .filter(rowFilter)
       .groupBy(window(col("ts"), "1 hour", "30 minutes"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))

@@ -409,6 +409,41 @@ class StreamingSpec extends SparkSpec {
       "a full overwrite after the upsert sink must still truncate the whole table")
   }
 
+  test("composed pipeline: watermark dedup -> tumbling agg -> upsert sink equals batch") {
+    val srcDir = Files.createTempDirectory("graft-stream-pipeline-src")
+    val outDir = Files.createTempDirectory("graft-stream-pipeline-out")
+    val ckpt = Files.createTempDirectory("graft-stream-pipeline-ckpt")
+    // operators must COMPOSE: exactly-once ingest filter, then the
+    // windowed aggregation, then the idempotent partition upsert
+    val agg = StreamOps.tumblingHourly(
+      StreamOps.dedupEventsWithinWatermark(
+        StreamOps.eventsStream(spark, srcDir.toString)),
+      rowFilter = col("user_id") < 20)
+    val query = StreamOps.upsertToParquet(
+      agg, outDir.toString, ckpt.toString, partitionKeys = Seq("w", "event_type"))
+    try {
+      val cs = chunks(3)
+      writeChunk(cs(0), srcDir, "c0")
+      query.processAllAvailable()
+      // redeliver 500 fresh chunk-0 events alongside chunk 1 — the dedup
+      // stage must stop them from double-counting in the aggregate
+      val redelivered = cs(0).orderBy(col("ts").desc).limit(500)
+      writeChunk(cs(1).unionByName(redelivered), srcDir, "c1")
+      query.processAllAvailable()
+      writeChunk(cs(2), srcDir, "c2")
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.read.parquet(outDir.toString)
+      .select(col("w").cast("timestamp").cast("string"), col("event_type"), col("n"), col("s"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = events.filter(col("user_id") < 20)
+      .groupBy(date_trunc("hour", col("ts")).cast("string").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want,
+      s"composed pipeline≠batch: missing=${(want -- got).take(3)}, extra=${(got -- want).take(3)}")
+  }
+
   test("tumbling window stream ≡ batch T01 form at sf0.1 over 6 triggers, late rows dropped") {
     val got = runReplay("t01_stream",
       StreamOps.tumblingHourly(_, rowFilter = col("user_id") < 50),
