@@ -113,6 +113,14 @@ object Extras {
     // per-rule quality verdict pass + corpus-unigram fluency score
     // (oracle-checked)
     "X44_filter_verdicts" -> q(c => TextAnalysis.filterVerdicts(c.documents)),
+    // near-dup benchmark decontamination: LSH-candidate + exact-verified
+    // pairs between corpus and the held-out src0 set (rows-only; spec
+    // pins planted near-copy detection and the self-agreement property)
+    "X46_neardup_decontaminate" -> q(c =>
+      MinHashDedup.crossNearDups(
+        c.documents.filter(col("source") =!= "src0"),
+        c.documents.filter(col("source") === "src0"),
+        graft.text.MinHashConfig(threshold = 0.5))),
     "X45_unigram_logprob" -> q(c => TextAnalysis.unigramLogProb(c.documents)),
     // corpus-wide segment (line/paragraph) dedup, CCNet shape
     // (oracle-checked; multi-segment behavior pinned in ExtrasSpec)

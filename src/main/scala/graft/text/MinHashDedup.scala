@@ -353,6 +353,51 @@ object MinHashDedup {
       .orderBy("doc_id")
   }
 
+  /** Verified near-duplicate pairs ACROSS two corpora — near-dup
+    * benchmark decontamination at scale (the fuzzy complement of the
+    * exact n-gram overlap in
+    * [[graft.text.TextAnalysis.contaminationScores]]): LSH candidates
+    * between `corpus` and `benchmark` (band-hash equi join, never
+    * all-pairs), exact shingle-Jaccard verification of only the
+    * candidate documents. Returns (corpus_id, bench_id, jac ≥
+    * threshold). The two sides keep separate shingle tables, so
+    * overlapping doc_id spaces are fine.
+    *
+    * Cost shape: each side pays one signature pass; the cross join is
+    * band-bucket keyed; verification shingles only candidate docs.
+    */
+  def crossNearDups(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val bandedC = bandedSignatures(corpus, cfg)
+    val bandedB = bandedSignatures(benchmark, cfg)
+    val cand = bandedC.as("a")
+      .join(bandedB.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+      .localCheckpoint(true)
+    val shC = shingleRows(
+      corpus.join(cand.select(col("i").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"), cfg)
+    val shB = shingleRows(
+      benchmark.join(cand.select(col("j").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"), cfg)
+    val sizesC = shC.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(shC.as("sa"), col("i") === col("sa.doc_id"))
+      .join(shB.as("sb"), col("j") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") / (col("za.sz") + col("zb.sz") - col("c"))
+    inter
+      .join(sizesC.as("za"), col("i") === col("za.doc_id"))
+      .join(sizesB.as("zb"), col("j") === col("zb.doc_id"))
+      .filter(jac >= cfg.threshold)
+      .select(col("i"), col("j"), round(jac, 6).as("jac"))
+      .orderBy("i", "j")
+  }
+
   /** Incremental dedup — the 100 TB ingest workflow: admit a NEW batch
     * of documents against an EXISTING corpus using only the corpus's
     * persisted signature table. A new document loses if it near-

@@ -401,6 +401,36 @@ class ExtrasSpec extends SparkSpec {
     assert(real.size == 3 && real == real.sorted.reverse && real.head > 0, real)
   }
 
+  test("cross-corpus near-dups catch planted near-copies of benchmark docs") {
+    import spark.implicits._
+    val bench = cat.documents.filter(col("doc_id") < 20)
+      .select("doc_id", "text")
+    // corpus: disjoint real docs + a planted NEAR-copy (first 5 words
+    // dropped) of benchmark doc 3 — exact-overlap tools can miss
+    // truncations; near-dup matching must not
+    val nearCopy = bench.filter(col("doc_id") === 3)
+      .select(lit(900001L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 6, 100000), " ").as("text"))
+    val corpus = cat.documents.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select("doc_id", "text").unionByName(nearCopy)
+    val got = MinHashDedup.crossNearDups(corpus, bench,
+      graft.text.MinHashConfig(threshold = 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.exists(p => p._1 == 900001L && p._2 == 3L && p._3 >= 0.5),
+      s"planted near-copy not caught: ${got.toSeq}")
+    // self-agreement: crossNearDups(X, X) must contain every
+    // within-corpus verified pair (both orientations + self at jac 1)
+    val self = MinHashDedup.crossNearDups(bench, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val within = MinHashDedup.verifiedPairs(bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    within.foreach { case (i, j) =>
+      assert(self.contains((i, j)) && self.contains((j, i)), s"missing ($i,$j)")
+    }
+    assert(bench.collect().map(_.getLong(0)).forall(id => self.contains((id, id))),
+      "every doc must match itself at jac 1.0")
+  }
+
   test("dedup winners are stable under repartitioning (idempotent re-run)") {
     val direct = MinHashDedup.dedupWinners(cat.documents)
       .collect().map(_.getLong(0)).toSeq
