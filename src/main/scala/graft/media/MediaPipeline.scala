@@ -70,6 +70,16 @@ object MediaPipeline {
     out.toByteArray
   }
 
+  /** GIF (palette-quantized by the encoder — dims are exact, colors are
+    * not; the dimension/shape plumbing is what the decode contract
+    * pins).
+    */
+  def encodeGif(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "gif", out)
+    out.toByteArray
+  }
+
   /** MIME type from the payload's magic bytes — the payload itself is
     * the source of truth for its format, never the file name or caller-
     * supplied metadata. Fails fast on unknown formats.
@@ -79,8 +89,10 @@ object MediaPipeline {
       bytes(2) == 'N' && bytes(3) == 'G') "image/png"
     else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) "image/jpeg"
+    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8') "image/gif"
     else throw new IllegalArgumentException(
-      s"unrecognized media payload (${bytes.length} bytes) — supported: PNG, JPEG")
+      s"unrecognized media payload (${bytes.length} bytes) — supported: PNG, JPEG, GIF")
 
   /** Real image decode (JDK ImageIO; PNG or JPEG, dispatched on the
     * payload's magic bytes). Fails fast on undecodable bytes — a

@@ -133,6 +133,11 @@ class ExtrasSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MediaPipeline.decodeDims(Array[Byte](1, 2, 3))
     }
+    // GIF: dims exact through the real codec; colors are palette-
+    // quantized so only shape is pinned
+    val gif = MediaPipeline.encodeGif(img)
+    assert(MediaPipeline.sniffKind(gif) == "image/gif")
+    assert(MediaPipeline.decodeDims(gif) == ((5, 3)))
   }
 
   test("resize normalizes every payload to the target dims with a valid histogram") {
