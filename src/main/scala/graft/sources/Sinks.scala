@@ -85,6 +85,16 @@ object Sinks {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Schema-evolution read: merge the footers of every file generation
+    * under `path` (columns added over time surface as nullable; rows
+    * from older files carry nulls there). Costs a footer pass per file —
+    * the default read trusts one footer — so this is the ingest-time
+    * reader for directories written across schema versions, not the
+    * steady-state hot path.
+    */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def readText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 

@@ -100,6 +100,24 @@ class SinksSpec extends SparkSpec {
       == hashSorted(docs))
   }
 
+  test("merged-schema read unions columns across parquet file generations") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("sink-evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/gen=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.parquet(s"$dir/gen=2")
+    val merged = Sinks.readParquetMerged(spark, dir)
+    assert(merged.columns.sorted.toSeq == Seq("gen", "id", "v1", "v2"))
+    val rows = merged.select("id", "v1", "v2").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", Some(9.5))),
+      s"old-generation rows must carry nulls in new columns: ${rows.mkString(",")}")
+    // the default single-footer read would MISS v2 depending on which
+    // footer wins — the merged read is the contract for evolved dirs
+    assert(Sinks.readParquetMerged(spark, dir).filter(col("v2").isNotNull).count() == 1)
+  }
+
   test("schema inference recovers types and content for csv and json") {
     val src = Tables.load(spark, sf001, "nation") // int keys + strings
     val csvDir = Files.createTempDirectory("sink-csv-inf").toString
