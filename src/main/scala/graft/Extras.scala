@@ -258,6 +258,20 @@ object Extras {
       Scale.md5StratifiedSample(c.documents, "doc_id", "lang",
           Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.125))
         .select("doc_id", "lang").orderBy("doc_id")),
+    // deterministic pseudo-random TRAINING ORDER (corpus shuffle):
+    // portable md5 coin + the two-pass bucketed global row number — no
+    // single-partition window anywhere; fully oracle-checked
+    "X47_shuffle_order" -> q(c =>
+      Scale.shuffleOrder(c.documents.select("doc_id"), "doc_id")
+        .orderBy("shuffle_pos")),
+    // target-mixture resampling (language re-balancing): the largest
+    // no-upsampling corpus matching the target ratios, portable-coin
+    // deterministic — counts and cutoffs are metadata-sized, the corpus
+    // itself is one map-side filter; fully oracle-checked
+    "X48_mixture_resample" -> q(c =>
+      Scale.mixtureResample(c.documents.select("doc_id", "lang"), "doc_id", "lang",
+          Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))
+        .orderBy("doc_id")),
     // exact per-group percentiles (PERCENTILE_CONT linear interpolation
     // — the cross-engine definition, oracle-checked); the sketch-based
     // scale twin is Scale.approxPercentiles, accuracy-pinned in spec
@@ -517,6 +531,25 @@ WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '${
    OR (lang = 'fr' AND substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.25)}')
    OR (lang = 'de' AND substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.125)}')
 ORDER BY doc_id
+""".trim,
+    "X47_shuffle_order" -> """
+SELECT doc_id, row_number() OVER (
+  ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 8), doc_id) AS shuffle_pos
+FROM documents ORDER BY shuffle_pos
+""".trim,
+    "X48_mixture_resample" -> """
+WITH tgt(lang, t) AS (VALUES
+  ('de', CAST(0.15 AS DOUBLE)), ('en', CAST(0.4 AS DOUBLE)), ('es', CAST(0.15 AS DOUBLE)),
+  ('fr', CAST(0.15 AS DOUBLE)), ('zh', CAST(0.15 AS DOUBLE))),
+counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+j AS (SELECT c.lang, c.n, tgt.t FROM counts c JOIN tgt USING (lang)),
+tm AS (SELECT MIN(n / t) AS tmax FROM j),
+fr AS (SELECT lang, CASE WHEN tmax * t / n >= 1.0 THEN 'g'
+         ELSE printf('%08x', CAST(floor(tmax * t / n * 4294967296) AS BIGINT)) END AS cut
+       FROM j CROSS JOIN tm)
+SELECT d.doc_id, d.lang FROM documents d JOIN fr USING (lang)
+WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || ':' || '42'), 1, 8) < fr.cut
+ORDER BY d.doc_id
 """.trim,
     "X34_percentiles" -> """
 SELECT lang,

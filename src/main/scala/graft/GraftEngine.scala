@@ -86,7 +86,33 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
     graft.text.MinHashDedup.dedupWinnersFromBanded(tables.documents,
       graft.text.MinHashDedup.readBandedIndex(spark, path))
 
+  /** Persist the banded member table as a BUCKETED catalog table —
+    * repeat dedup runs plan candidate generation with zero shuffle
+    * exchanges (the table is bucketed+sorted on the join key).
+    */
+  def buildBandedIndexTable(sigPath: String, tableName: String, numBuckets: Int = 32): Unit =
+    graft.text.MinHashDedup.writeBandedIndexTable(
+      graft.text.MinHashDedup.readSignatures(spark, sigPath), tableName, numBuckets)
+
+  /** Near-dup dedup winners off a bucketed banded-index table. */
+  def dedupFromBandedIndexTable(tableName: String): DataFrame =
+    graft.text.MinHashDedup.dedupWinnersFromBucketed(tables.documents,
+      graft.text.MinHashDedup.readBandedIndexTable(spark, tableName))
+
   // ---- training-data pipeline surface -------------------------------
+
+  /** Deterministic pseudo-random training order (corpus shuffle):
+    * every document's 1-based position, stable across runs/engines.
+    */
+  def shuffleOrder(seed: Long = 42L): DataFrame =
+    graft.ops.Scale.shuffleOrder(tables.documents, "doc_id", seed)
+
+  /** Resample the corpus to a target language/domain mixture (largest
+    * no-upsampling subset matching the ratios).
+    */
+  def mixtureResample(strata: String, targets: Map[String, Double],
+      seed: Long = 42L): DataFrame =
+    graft.ops.Scale.mixtureResample(tables.documents, "doc_id", strata, targets, seed)
 
   /** Transitive duplicate clusters over the verified near-dup graph
     * (large-star/small-star — O(log n) rounds on any topology).

@@ -67,9 +67,24 @@ object BucketedPairs {
     * Output may contain the same (i, j) via several bands — callers
     * dedup after (or after scoring, whichever is cheaper).
     */
-  def cappedCandidatePairs(members: DataFrame, cap: Int): DataFrame = {
+  /** @param preMaterialized the caller guarantees `members` is already
+    *   a cheap materialized scan (a persisted parquet/bucketed table,
+    *   NOT an expensive live lineage). Skips both localCheckpoints so
+    *   the scan's physical properties survive into planning — a table
+    *   bucketed by (band, bucket) then feeds the stats aggregate, the
+    *   tag join and BOTH self-join sides with zero shuffle exchanges
+    *   (hash-partitioning on (band, bucket) satisfies every clustered
+    *   distribution below, including the (band, bucket, sigh) and
+    *   chunked-representative groupings). A checkpoint here would erase
+    *   the bucketing (RDD scans carry no partitioning info) and
+    *   re-introduce four exchanges.
+    */
+  def cappedCandidatePairs(
+      members: DataFrame,
+      cap: Int,
+      preMaterialized: Boolean = false): DataFrame = {
     require(cap >= 2, s"cap=$cap must allow at least one pair")
-    val m = members.localCheckpoint(true)
+    val m = if (preMaterialized) members else members.localCheckpoint(true)
     val stats = m.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n"), min("id").as("__banchor"))
     val diag = stats.agg(
@@ -84,8 +99,11 @@ object BucketedPairs {
         "if this fraction is large")
     // tagged is read by both self-join sides and all three oversized
     // tiers — materialize it once (cheap: m is already local) rather
-    // than re-running the stats join per consumer
-    val tagged = m.join(stats, Seq("band", "bucket")).localCheckpoint(true)
+    // than re-running the stats join per consumer; in preMaterialized
+    // mode re-reading the cheap scan per consumer is the better trade
+    // (the checkpoint would drop the bucketed partitioning)
+    val taggedRaw = m.join(stats, Seq("band", "bucket"))
+    val tagged = if (preMaterialized) taggedRaw else taggedRaw.localCheckpoint(true)
 
     val small = tagged.filter(col("__n") <= cap)
     val smallPairs = small.as("a")

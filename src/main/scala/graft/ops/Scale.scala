@@ -231,6 +231,68 @@ object Scale {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic global training order ("corpus shuffle"): adds
+    * `out` = the row's 1-based position in a pseudo-random total order
+    * (md5 coin of `key`, then `key` as tiebreaker). A pure function of
+    * (key, seed) — stable across runs, engines and partition layouts,
+    * so a training job can resume mid-epoch and data loaders on
+    * different machines agree on the order with no coordination.
+    *
+    * Scale shape: the order materializes through the two-pass bucketed
+    * global row number ([[ScalableWindows.withGlobalRowNumber]]) — no
+    * single-partition window anywhere; coin-range buckets, per-bucket
+    * local numbering, metadata-sized bucket offsets. Shuffling 100 TB
+    * into training order is ONE range exchange.
+    */
+  def shuffleOrder(
+      df: DataFrame,
+      key: String,
+      seed: Long = 42L,
+      out: String = "shuffle_pos"): DataFrame = {
+    val coined = df.withColumn("__coin", md5Coin(col(key), seed))
+    ScalableWindows.withGlobalRowNumber(coined, Seq("__coin", key), out)
+      .drop("__coin")
+  }
+
+  /** Resample a corpus to a TARGET mixture over `strata` — the domain/
+    * language-balancing step of a training-data pipeline: find the
+    * largest total size admitting the mixture WITHOUT upsampling
+    * (T = min over target strata of n_g / t_g), then keep each stratum
+    * at fraction f_g = T·t_g / n_g via the portable md5 coin. The
+    * binding stratum keeps every row (its cutoff is the full-coin-space
+    * sentinel); strata absent from `targets` are dropped. `targets`
+    * needs only RATIOS, not normalized fractions — scaling every t_g by
+    * a constant cancels out of f_g exactly, so no driver-side float
+    * normalization can diverge from an external re-computation.
+    *
+    * Deterministic per (key, seed) and engine-portable (every
+    * arithmetic step is plain IEEE double + md5, reproducible in any
+    * SQL engine). Cost shape: one metadata-sized count aggregation, a
+    * broadcast of one cutoff row per stratum, one map-side filter — the
+    * corpus is scanned once and never shuffled.
+    */
+  def mixtureResample(
+      df: DataFrame,
+      key: String,
+      strata: String,
+      targets: Map[String, Double],
+      seed: Long = 42L): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0), s"bad targets: $targets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toSeq.sorted.toDF(strata, "__t")
+    val counts = df.groupBy(strata).agg(count(lit(1)).as("__n")).join(tgt, strata)
+    val tmax = counts.agg(min(col("__n") / col("__t")).as("__tmax"))
+    val cuts = counts.crossJoin(tmax)
+      .withColumn("__f", col("__tmax") * col("__t") / col("__n"))
+      .withColumn("__cut", when(col("__f") >= 1.0, lit("g"))
+        .otherwise(format_string("%08x", floor(col("__f") * lit(4294967296.0)))))
+      .select(col(strata), col("__cut"))
+    df.join(broadcast(cuts), Seq(strata))
+      .filter(md5Coin(col(key), seed) < col("__cut"))
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** [[stratifiedSample]] with the portable md5 coin, keyed on an id
     * column (content-stable: a row's fate depends only on its key +
     * seed, not on partition layout or corpus size).

@@ -223,6 +223,23 @@ object StreamOps {
       .select(col("user_id"), col("a_id"), col("a_ts"), col("b_id"), col("b_ts"))
   }
 
+  /** Stream-static broadcast enrichment: join each micro-batch of the
+    * event stream against a BATCH dimension table. Stream-static inner
+    * joins are STATELESS (each micro-batch joins the dim as of that
+    * batch — no watermark, no state store), and broadcasting the dim
+    * keeps the stream side shuffle-free: at 100 TB/day of events the
+    * enrichment adds zero exchanges and zero state, just a dim
+    * broadcast per batch. Emits in append mode and composes in front
+    * of any downstream stateful operator; an in-order replay is
+    * batch-equivalent by construction (StreamingSpec pins it).
+    */
+  def enrichEvents(
+      events: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey))
+
   /** Run a windowed streaming aggregation in UPDATE mode into a
     * partitioned parquet table via foreachBatch + dynamic partition
     * overwrite — the standard lakehouse upsert shape when no

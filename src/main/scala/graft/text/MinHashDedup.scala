@@ -221,6 +221,78 @@ object MinHashDedup {
       .distinct()
       .localCheckpoint(true)
 
+  /** [[writeBandedIndex]] as a BUCKETED catalog table: the member rows
+    * hash-bucketed AND sorted by (band, bucket) — the join key of every
+    * downstream consumer. A repeat dedup run reading this table plans
+    * the bucket-size stats aggregate, the tag join and the candidate
+    * self-join with ZERO shuffle exchanges (each side's required
+    * clustered distribution is satisfied by the table's bucketing;
+    * BucketedIndexSpec pins exchange-free plans) — at 100 TB the
+    * re-dedup pays parquet scans and in-task sorts only, where the
+    * plain-parquet index still shuffles the member table four times.
+    *
+    * Same version/config pinning as [[writeBandedIndex]]: a table built
+    * under a different hash scheme or banding config is refused, never
+    * silently reused.
+    */
+  def writeBandedIndexTable(
+      sigs: DataFrame,
+      tableName: String,
+      numBuckets: Int = 32,
+      cfg: MinHashConfig = MinHashConfig()): Unit =
+    memberTable(sigs, cfg)
+      .withColumn("sig_v", lit(SignatureVersion))
+      .withColumn("cfg_bands", lit(cfg.bands))
+      .withColumn("cfg_rows", lit(cfg.rowsPerBand))
+      .write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, "band", "bucket")
+      .sortBy("band", "bucket")
+      .saveAsTable(tableName)
+
+  def readBandedIndexTable(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val df = spark.table(tableName)
+    require(Seq("sig_v", "cfg_bands", "cfg_rows").forall(df.columns.contains),
+      s"banded index table $tableName has no version/config columns — written by an incompatible build")
+    val head = df.select("sig_v", "cfg_bands", "cfg_rows").limit(1).collect().headOption
+    require(head.nonEmpty, s"banded index table $tableName is empty — corrupt or partial write; rebuild it")
+    val (v, b, r) = (head.get.getInt(0), head.get.getInt(1), head.get.getInt(2))
+    require(v == SignatureVersion && b == cfg.bands && r == cfg.rowsPerBand,
+      s"banded index table $tableName was built as scheme v$v/${b}x$r, this run expects " +
+        s"v$SignatureVersion/${cfg.bands}x${cfg.rowsPerBand} — rebuild it")
+    df.select("id", "sigh", "band", "bucket")
+  }
+
+  /** Candidate pairs off a BUCKETED banded-index table
+    * ([[writeBandedIndexTable]]): identical output to
+    * [[candidatePairsFromBanded]], but the pair generation itself is
+    * exchange-free — the table scan already clusters by (band, bucket),
+    * so `preMaterialized` planning keeps its distribution instead of
+    * checkpointing it away. Only the final cross-band pair dedup
+    * shuffles (on the small (i, j) set, unavoidable and cheap).
+    */
+  def candidatePairsFromBucketed(banded: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    graft.ops.BucketedPairs.cappedCandidatePairs(banded, cfg.maxBucket, preMaterialized = true)
+      .distinct()
+      .localCheckpoint(true)
+
+  /** [[verifiedPairsFromBanded]] over a bucketed index table. */
+  def verifiedPairsFromBucketed(
+      documents: DataFrame,
+      banded: DataFrame,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    verifyCandidates(documents, candidatePairsFromBucketed(banded, cfg), cfg)
+
+  /** [[dedupWinnersFromBanded]] over a bucketed index table. */
+  def dedupWinnersFromBucketed(
+      documents: DataFrame,
+      banded: DataFrame,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    winnersFrom(documents, verifiedPairsFromBucketed(documents, banded, cfg))
+
   /** Distinct candidate pairs (i < j) sharing at least one LSH bucket. */
   def candidatePairs(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame =
     candidatePairsFromSignatures(signatures(documents, cfg), cfg)

@@ -149,6 +149,71 @@ class ScaleSpec extends SparkSpec {
     assert(half.forall { case (k, v) => a(k) == v }, "a key's split must not depend on corpus size")
   }
 
+  test("shuffleOrder: exact pseudo-random total order, scalable plan, layout-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = cat.documents.select("doc_id")
+    val got = Scale.shuffleOrder(docs, "doc_id")
+    // reference: the same order through a single-partition window
+    val ref = docs
+      .withColumn("__c", expr(
+        "substring(md5(cast(concat_ws(':', cast(doc_id as string), '42') as binary)), 1, 8)"))
+      .withColumn("shuffle_pos",
+        row_number().over(Window.orderBy("__c", "doc_id")).cast("long"))
+      .select("doc_id", "shuffle_pos")
+    val a = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = ref.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "scalable order must equal the windowed reference exactly")
+    // positions are a complete permutation of 1..N
+    assert(a.values.toSeq.sorted == (1L to a.size.toLong).toList)
+    // the order must NOT be doc_id order (it is a shuffle)
+    assert(a.toSeq.sortBy(_._1).map(_._2) != (1L to a.size.toLong).toList)
+    // no single-partition window in the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"shuffleOrder must not plan a single-partition exchange:\n$plan")
+    // deterministic under partition layout
+    val c = Scale.shuffleOrder(docs.repartition(7), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == a)
+    // a different seed produces a different permutation
+    val d = Scale.shuffleOrder(docs, "doc_id", seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d != a)
+  }
+
+  test("mixtureResample: hits the target mixture, keeps the binding stratum, ratio-scale invariant") {
+    val targets = Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+    val docs = cat.documents.select("doc_id", "lang")
+    val kept = Scale.mixtureResample(docs, "doc_id", "lang", targets)
+    val keptRows = kept.collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = keptRows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the binding stratum (min n_g / t_g) keeps every row
+    val binding = targets.keys.minBy(g => n(g) / targets(g))
+    assert(byLang(binding) == n(binding),
+      s"binding stratum $binding must keep all ${n(binding)} rows, kept ${byLang(binding)}")
+    // every kept stratum is within coin-granularity noise of T * t_g
+    val tMax = n(binding) / targets(binding)
+    targets.foreach { case (g, t) =>
+      val want = math.min(n(g).toDouble, tMax * t)
+      assert(math.abs(byLang.getOrElse(g, 0L) - want) <= math.max(6.0, want * 0.12),
+        s"stratum $g kept ${byLang.getOrElse(g, 0L)}, wanted ~$want")
+    }
+    // result is a subset of the input
+    val all = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(keptRows.forall(all.contains))
+    // targets are RATIOS: scaling them all by 7 changes nothing
+    val scaled = Scale.mixtureResample(docs, "doc_id", "lang",
+      targets.view.mapValues(_ * 7).toMap)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(scaled.toSet == keptRows.toSet)
+    // strata outside the target map are dropped entirely
+    val sub = Scale.mixtureResample(docs, "doc_id", "lang", Map("en" -> 1.0))
+    assert(sub.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
+    assert(sub.count() == n("en"), "a single-stratum target keeps that stratum whole")
+  }
+
   test("clusterBy preserves content and produces range-sorted partitions") {
     val src = cat.orders.select("o_orderkey", "o_custkey")
     val clustered = Scale.clusterBy(src, 8, col("o_orderkey"))

@@ -484,4 +484,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == want,
       s"stream≠batch: missing=${want -- got}, extra=${got -- want}")
   }
+
+  test("stream-static broadcast enrichment ≡ batch join, stateless, broadcast in plan") {
+    val dim = Tables.load(spark, sf1, "customer").select("c_custkey", "c_mktsegment")
+    val srcDir = Files.createTempDirectory("graft-stream-enrich")
+    val stream = StreamOps
+      .enrichEvents(StreamOps.eventsStream(spark, srcDir.toString), dim, "user_id", "c_custkey")
+      .select("event_id", "user_id", "c_mktsegment")
+    val query = stream.writeStream
+      .format("memory").queryName("enrich_stream").outputMode("append").start()
+    try {
+      chunks(3).zipWithIndex.foreach { case (c, i) =>
+        writeChunk(c, srcDir, s"chunk$i")
+        query.processAllAvailable()
+      }
+      val got = spark.table("enrich_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val want = StreamOps.enrichEvents(events, dim, "user_id", "c_custkey")
+        .select("event_id", "user_id", "c_mktsegment")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(want.nonEmpty && got == want,
+        s"stream≠batch: missing=${(want -- got).size}, extra=${(got -- want).size}")
+      // stateless: a stream-static inner join carries no state operator
+      assert(query.lastProgress == null || query.lastProgress.stateOperators.isEmpty,
+        "stream-static enrichment must not allocate a state store")
+    } finally query.stop()
+    // the batch twin broadcasts the dim — the stream side stays shuffle-free
+    val plan = StreamOps.enrichEvents(events, dim, "user_id", "c_custkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"enrichment must broadcast the dimension:\n$plan")
+  }
 }
