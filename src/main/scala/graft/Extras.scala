@@ -272,6 +272,13 @@ object Extras {
       Scale.mixtureResample(c.documents.select("doc_id", "lang"), "doc_id", "lang",
           Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))
         .orderBy("doc_id")),
+    // fixed-SIZE per-stratum eval sample (25 docs per language, smallest
+    // coins win): the coin-cutoff prune makes the per-stratum sort touch
+    // ~k rows instead of the whole stratum; fully oracle-checked against
+    // the naive full-corpus window definition
+    "X49_eval_sample" -> q(c =>
+      Scale.stratifiedTopK(c.documents.select("doc_id", "lang"), "doc_id", "lang", k = 25)
+        .orderBy("doc_id")),
     // exact per-group percentiles (PERCENTILE_CONT linear interpolation
     // — the cross-engine definition, oracle-checked); the sketch-based
     // scale twin is Scale.approxPercentiles, accuracy-pinned in spec
@@ -550,6 +557,14 @@ fr AS (SELECT lang, CASE WHEN tmax * t / n >= 1.0 THEN 'g'
 SELECT d.doc_id, d.lang FROM documents d JOIN fr USING (lang)
 WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || ':' || '42'), 1, 8) < fr.cut
 ORDER BY d.doc_id
+""".trim,
+    "X49_eval_sample" -> """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 8), doc_id) AS rk
+  FROM documents) t
+WHERE rk <= 25 ORDER BY doc_id
 """.trim,
     "X34_percentiles" -> """
 SELECT lang,

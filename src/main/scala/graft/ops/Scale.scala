@@ -293,6 +293,64 @@ object Scale {
       .select(df.columns.map(col).toSeq: _*)
   }
 
+  /** Fixed-SIZE deterministic per-stratum sample: the `k` rows of each
+    * stratum with the smallest md5 coins (ties broken by key) — the
+    * eval/holdout-set construction step ("25 docs per language").
+    * Exact, engine-portable, and a pure function of (key, seed): the
+    * result equals `ROW_NUMBER() OVER (PARTITION BY strata ORDER BY
+    * coin, key) <= k` computed over the full corpus.
+    *
+    * Scale shape: the naive window sorts WHOLE strata (one task per
+    * language ≈ terabytes — the straggler this module's utilities
+    * exist to avoid). Instead, the coin's uniformity admits a
+    * per-stratum cutoff keeping ~k + 6√k + 16 expected survivors; one
+    * metadata-sized aggregate confirms every stratum admitted at least
+    * min(k, n_g) rows (doubling the slack on the astronomically
+    * unlikely shortfall), and the EXACT window then runs on the tiny
+    * survivor set. The corpus pays one map-side broadcast-join filter;
+    * the sort touches ~k rows per stratum.
+    */
+  def stratifiedTopK(
+      df: DataFrame,
+      key: String,
+      strata: String,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k=$k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val coin = md5Coin(col(key), seed)
+    val countsDf = df.groupBy(strata).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // metadata-sized: one row per stratum
+    var slack = 6.0 * math.sqrt(k.toDouble) + 16.0
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 16, "stratifiedTopK cutoff search did not converge — impossible " +
+        "unless the coin is non-uniform; check the key column for degenerate values")
+      val cutsDf = countsDf
+        .withColumn("__f", least(lit(1.0), (lit(k.toDouble) + lit(slack)) / col("__n")))
+        .withColumn("__cut", when(col("__f") >= 1.0, lit("g"))
+          .otherwise(format_string("%08x", floor(col("__f") * lit(4294967296.0)))))
+        .select(col(strata), col("__n"), col("__cut"))
+      val survivors = df.join(broadcast(cutsDf), Seq(strata))
+        .filter(coin < col("__cut"))
+      val admitted = survivors.groupBy(strata)
+        .agg(count(lit(1)).as("__a"), first("__n").as("__n"))
+        .collect()
+      val complete = countsDf.count() == admitted.length &&
+        admitted.forall(r => r.getLong(1) >= math.min(k.toLong, r.getLong(2)))
+      if (complete) {
+        val w = Window.partitionBy(strata).orderBy(coin, col(key))
+        return survivors
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= k)
+          .select(df.columns.map(col).toSeq: _*)
+      }
+      slack *= 2
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** [[stratifiedSample]] with the portable md5 coin, keyed on an id
     * column (content-stable: a row's fate depends only on its key +
     * seed, not on partition layout or corpus size).

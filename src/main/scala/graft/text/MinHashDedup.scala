@@ -297,6 +297,66 @@ object MinHashDedup {
   def candidatePairs(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame =
     candidatePairsFromSignatures(signatures(documents, cfg), cfg)
 
+  /** Candidate pairs with their LSH collision STRENGTH: (i, j, n_bands)
+    * — in how many of the `cfg.bands` bands the pair collided. Band
+    * collision probability is s^rowsPerBand for Jaccard s, so the
+    * collision count is monotone evidence of similarity — the natural
+    * priority when exact verification must be rationed
+    * ([[budgetedVerifiedPairs]]).
+    */
+  def candidatePairsWithStrength(
+      sigs: DataFrame,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    graft.ops.BucketedPairs.cappedCandidatePairs(memberTable(sigs, cfg), cfg.maxBucket)
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n_bands"))
+      .localCheckpoint(true)
+
+  /** [[verifiedPairs]] under a PER-DOCUMENT exact-verification budget —
+    * the defense for adversarial duplicate piles (STATUS r4): a
+    * document buried in a spam pile of near-identical copies otherwise
+    * drags every one of its (linear-bounded, but still numerous)
+    * candidates through exact shingle-Jaccard. Here each document
+    * verifies only its `maxPairsPerDoc` STRONGEST candidates per pair
+    * side (most band collisions first, smaller partner id as the
+    * deterministic tiebreak), so per-doc verification work is a hard
+    * constant and total work is ≤ 2·budget·docs regardless of pile
+    * shape.
+    *
+    * Recall contract (explicit, not aspirational): pairs are dropped
+    * ONLY around documents whose candidate degree exceeds the budget,
+    * and the dropped ones are that document's weakest-evidence pairs.
+    * With `maxPairsPerDoc` ≥ every document's candidate degree the
+    * result EXACTLY equals [[verifiedPairs]] (spec-pinned). Under a
+    * TIGHT budget a large duplicate pile is only partially deduped —
+    * each member keeps its `maxPairsPerDoc` strongest links, so the
+    * pair graph covers ~budget·members edges of the pile, not its full
+    * clique/star — that partial recall IS the trade being bought;
+    * callers wanting full pile recall at bounded cost should dedup
+    * EXACT duplicates first (L02/X04 hash dedup is O(n)) so piles
+    * collapse before LSH ever sees them.
+    */
+  def budgetedVerifiedPairs(
+      documents: DataFrame,
+      sigs: DataFrame,
+      maxPairsPerDoc: Int,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    require(maxPairsPerDoc >= 1, s"maxPairsPerDoc=$maxPairsPerDoc must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val strength = candidatePairsWithStrength(sigs, cfg)
+    // per-doc windows over the candidate set: keys are single doc ids
+    // (fine-grained, degree already linear-bounded by the bucket cap),
+    // never corpus-sized partitions
+    val wI = Window.partitionBy("i").orderBy(col("n_bands").desc, col("j").asc)
+    val wJ = Window.partitionBy("j").orderBy(col("n_bands").desc, col("i").asc)
+    val budgeted = strength
+      .withColumn("__ri", row_number().over(wI))
+      .withColumn("__rj", row_number().over(wJ))
+      .filter(col("__ri") <= maxPairsPerDoc && col("__rj") <= maxPairsPerDoc)
+      .select("i", "j")
+    verifyCandidates(documents, budgeted, cfg)
+  }
+
   /** Candidate pairs re-scored with exact shingle Jaccard, keeping only
     * true near-duplicates (≥ cfg.threshold).
     *

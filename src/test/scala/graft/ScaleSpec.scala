@@ -214,6 +214,35 @@ class ScaleSpec extends SparkSpec {
     assert(sub.count() == n("en"), "a single-stratum target keeps that stratum whole")
   }
 
+  test("stratifiedTopK: equals the naive per-stratum window, exact sizes, k > stratum keeps all") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = cat.documents.select("doc_id", "lang")
+    val k = 25
+    val got = Scale.stratifiedTopK(docs, "doc_id", "lang", k)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // naive definition: full-corpus window, k smallest coins per stratum
+    val naive = docs
+      .withColumn("__c", expr(
+        "substring(md5(cast(concat_ws(':', cast(doc_id as string), '42') as binary)), 1, 8)"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("lang").orderBy("__c", "doc_id")))
+      .filter(col("__rk") <= k)
+      .select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == naive, "pruned top-k must equal the full-window definition exactly")
+    // exact per-stratum sizes: min(k, n_g)
+    val n = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    n.foreach { case (g, ng) => assert(sizes(g) == math.min(k.toLong, ng)) }
+    // k larger than every stratum returns the whole corpus
+    val all = Scale.stratifiedTopK(docs, "doc_id", "lang", 100000)
+    assert(all.count() == docs.count())
+    // layout-invariant
+    val reparted = Scale.stratifiedTopK(docs.repartition(7), "doc_id", "lang", k)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(reparted == got)
+  }
+
   test("clusterBy preserves content and produces range-sorted partitions") {
     val src = cat.orders.select("o_orderkey", "o_custkey")
     val clustered = Scale.clusterBy(src, 8, col("o_orderkey"))

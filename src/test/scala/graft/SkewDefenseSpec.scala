@@ -92,6 +92,33 @@ class SkewDefenseSpec extends SparkSpec {
       s"expected doc 0 + the 20 uniques, got $winners")
   }
 
+  test("budgeted verification: generous budget ≡ exact, tight budget bounds per-doc degree") {
+    val cat = graft.ops.Catalog(spark, sf001)
+    val cfg = MinHashConfig()
+    val sigs = MinHashDedup.signatures(cat.documents, cfg).localCheckpoint(true)
+    val exact = MinHashDedup.verifiedPairs(cat.documents, cfg, Some(sigs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture sanity: the corpus must contain near-dups")
+    // a budget above every candidate degree reproduces the exact result
+    val generous = MinHashDedup.budgetedVerifiedPairs(
+      cat.documents, sigs, maxPairsPerDoc = 1 << 20, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(generous == exact, "an unconstraining budget must change nothing")
+    // a tight budget returns a subset, with per-doc degree ≤ 2·budget
+    // (≤ budget appearances per pair side)
+    val b = 1
+    val tight = MinHashDedup.budgetedVerifiedPairs(cat.documents, sigs, b, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(exact), "budgeting must never invent pairs")
+    val asI = tight.groupBy(_._1).view.mapValues(_.size).toMap
+    val asJ = tight.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(asI.values.forall(_ <= b) && asJ.values.forall(_ <= b),
+      s"per-side degree must respect the budget: i=${asI.values.max}, j=${asJ.values.max}")
+    // the strongest evidence survives: every doc that had any verified
+    // pair and sits under budget on both sides keeps at least one pair
+    assert(tight.nonEmpty, "a budget of 1 must still verify the strongest links")
+  }
+
   test("banded sign-LSH: near-constant embeddings stay bounded, every member reaches its anchor") {
     import spark.implicits._
     val v = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
