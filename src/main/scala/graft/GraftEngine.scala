@@ -162,6 +162,12 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
     graft.media.MediaPipeline.mediaFeatures(spark, tables.documents)
   def audioFeatures(): DataFrame =
     graft.media.AudioPipeline.audioFeatures(tables.documents)
+  /** Ingest a directory of raw media files (binaryFile source) into the
+    * (doc_id, media, meta) shape the decode pipeline consumes.
+    */
+  def ingestMediaDir(dir: String, glob: String = "*"): DataFrame =
+    graft.media.MediaPipeline.ingestBinaryDir(spark, dir, glob)
+
   def clipFrameFeatures(everyK: Int = 2): DataFrame =
     graft.media.ClipPipeline.frameFeatures(tables.documents, everyK)
 }

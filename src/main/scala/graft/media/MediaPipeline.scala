@@ -154,6 +154,34 @@ object MediaPipeline {
         struct(col("kind"), col("n_bytes"), col("origin")).as("meta"))
   }
 
+  /** Ingest a DIRECTORY of raw media files via Spark's built-in
+    * `binaryFile` source — the front door for real multimodal ingest:
+    * executors read file bytes directly (no driver involvement, no
+    * decode at scan time), `pathGlobFilter` prunes at listing time, and
+    * `spark.sql.files.maxPartitionBytes` sizes partitions as for any
+    * file scan. Output matches [[toMediaTable]]'s (doc_id, media, meta)
+    * schema, so [[decodeAndFeaturize]] / [[resizedMedia]] compose
+    * unchanged on real files: doc_id = xxhash64(path) (deterministic),
+    * kind sniffed from the payload's magic bytes on the executor,
+    * origin = the source path.
+    */
+  def ingestBinaryDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(xxhash64(col("path")).as("doc_id"), col("path"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, p, bytes) =>
+          (id, bytes, sniffKind(bytes), bytes.length, p)
+        }
+      }
+      .toDF("doc_id", "media", "kind", "n_bytes", "origin")
+      .select(col("doc_id"), col("media"),
+        struct(col("kind"), col("n_bytes"), col("origin")).as("meta"))
+  }
+
   /** Decode + featurize in partition-sized batches. Returns a typed
     * Dataset; partitioning of the input is preserved (no shuffle).
     */

@@ -122,6 +122,33 @@ class ExtrasSpec extends SparkSpec {
     assert(repart.map(_.doc_id).sorted.sameElements(decoded.map(_.doc_id).sorted))
   }
 
+  test("binaryFile ingest: a directory of real image files feeds the decode pipeline unchanged") {
+    import java.awt.image.BufferedImage
+    val dir = java.nio.file.Files.createTempDirectory("graft-media-ingest")
+    def img(w: Int, h: Int): BufferedImage = {
+      val i = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      i.setRGB(0, 0, 0x123456); i
+    }
+    java.nio.file.Files.write(dir.resolve("a.png"), MediaPipeline.encodePng(img(5, 3)))
+    java.nio.file.Files.write(dir.resolve("b.png"), MediaPipeline.encodePng(img(7, 2)))
+    java.nio.file.Files.write(dir.resolve("c.jpg"), MediaPipeline.encodeJpeg(img(4, 4)))
+    java.nio.file.Files.write(dir.resolve("d.gif"), MediaPipeline.encodeGif(img(6, 5)))
+    java.nio.file.Files.write(dir.resolve("skip.txt"), "not an image".getBytes("UTF-8"))
+    val media = MediaPipeline.ingestBinaryDir(spark, dir.toString, glob = "*.{png,jpg,gif}")
+    // the glob pruned the decoy at listing time
+    assert(media.count() == 4)
+    // schema-compatible with the synthetic media table → decode composes
+    val decoded = MediaPipeline.decodeAndFeaturize(media).collect()
+    assert(decoded.map(d => (d.width, d.height)).toSet ==
+      Set((5, 3), (7, 2), (4, 4), (6, 5)), "decoded dims must match the written files")
+    assert(decoded.map(_.kind).sorted.toSeq ==
+      Seq("image/gif", "image/jpeg", "image/png", "image/png"))
+    // ids are a pure function of the path: re-ingest reproduces them
+    val again = MediaPipeline.ingestBinaryDir(spark, dir.toString, glob = "*.{png,jpg,gif}")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(media.select("doc_id").collect().map(_.getLong(0)).sorted))
+  }
+
   test("PNG decode returns the true dimensions of a known image") {
     val img = new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
     img.setRGB(4, 2, 0xabcdef)
