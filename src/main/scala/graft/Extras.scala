@@ -279,6 +279,10 @@ object Extras {
     "X49_eval_sample" -> q(c =>
       Scale.stratifiedTopK(c.documents.select("doc_id", "lang"), "doc_id", "lang", k = 25)
         .orderBy("doc_id")),
+    // sliding context-window chunker (64-token chunks, stride 48):
+    // map-side HOFs only, zero shuffles; fully oracle-checked
+    "X50_chunking" -> q(c =>
+      TextAnalysis.chunkDocuments(c.documents, maxTokens = 64, stride = 48)),
     // exact per-group percentiles (PERCENTILE_CONT linear interpolation
     // — the cross-engine definition, oracle-checked); the sketch-based
     // scale twin is Scale.approxPercentiles, accuracy-pinned in spec
@@ -565,6 +569,16 @@ SELECT doc_id, lang FROM (
     ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 8), doc_id) AS rk
   FROM documents) t
 WHERE rk <= 25 ORDER BY doc_id
+""".trim,
+    "X50_chunking" -> """
+WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS words FROM documents),
+s AS (SELECT doc_id, words, len(words) AS n,
+             unnest(range(0, greatest(len(words), 1), 48)) AS st FROM t)
+SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_idx,
+  CAST(len(words[st+1 : st+64]) AS BIGINT) AS n_tokens,
+  array_to_string(words[st+1 : st+64], ' ') AS chunk
+FROM s WHERE st = 0 OR st + 16 < n
+ORDER BY doc_id, chunk_idx
 """.trim,
     "X34_percentiles" -> """
 SELECT lang,

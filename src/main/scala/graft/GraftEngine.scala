@@ -140,6 +140,10 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def repetitionStats(): DataFrame =
     graft.text.TextAnalysis.repetitionStats(tables.documents)
 
+  /** Sliding context-window chunks (overlapping when stride < maxTokens). */
+  def chunkDocuments(maxTokens: Int, stride: Int): DataFrame =
+    graft.text.TextAnalysis.chunkDocuments(tables.documents, maxTokens, stride)
+
   /** Ordered conversion funnel / hour-over-hour cohort retention over
     * the events table.
     */

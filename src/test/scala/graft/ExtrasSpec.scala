@@ -122,6 +122,38 @@ class ExtrasSpec extends SparkSpec {
     assert(repart.map(_.doc_id).sorted.sameElements(decoded.map(_.doc_id).sorted))
   }
 
+  test("chunkDocuments: overlap coverage, redundant-tail drop, map-side plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // starts 0,48; 96 is fully covered
+      (2L, (1 to 64).map(i => s"t$i").mkString(" ")),  // exactly one window
+      (3L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, maxTokens = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).length == 2 && byDoc(2L).length == 1 && byDoc(3L).length == 1,
+      s"chunk counts wrong: ${out.map(c => (c._1, c._2)).mkString(",")}")
+    // doc 1: [w1..w64] then [w49..w100]; the start-96 chunk (w97..w100)
+    // is inside chunk 1 and must be dropped
+    val d1 = byDoc(1L).sortBy(_._2)
+    assert(d1(0)._4 == (1 to 64).map(i => s"w$i").mkString(" ") && d1(0)._3 == 64L)
+    assert(d1(1)._4 == (49 to 100).map(i => s"w$i").mkString(" ") && d1(1)._3 == 52L)
+    // every token of every doc appears in some chunk (coverage)
+    assert(byDoc(1L).flatMap(_._4.split(" ")).toSet == (1 to 100).map(i => s"w$i").toSet)
+    assert(byDoc(2L).head._4 == (1 to 64).map(i => s"t$i").mkString(" "))
+    assert(byDoc(3L).head._4 == "a b c" && byDoc(3L).head._3 == 3L)
+    // stride > maxTokens would silently drop tokens — refused
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(docs, maxTokens = 10, stride = 11)
+    }
+    // plan: chunking shuffles nothing; the only exchange is the final
+    // presentational sort
+    val plan = TextAnalysis.chunkDocuments(cat.documents, 64, 48)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Exchange SinglePartition"),
+      s"chunking must stay map-side:\n$plan")
+  }
+
   test("binaryFile ingest: a directory of real image files feeds the decode pipeline unchanged") {
     import java.awt.image.BufferedImage
     val dir = java.nio.file.Files.createTempDirectory("graft-media-ingest")
