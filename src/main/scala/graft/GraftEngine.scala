@@ -144,6 +144,17 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def chunkDocuments(maxTokens: Int, stride: Int): DataFrame =
     graft.text.TextAnalysis.chunkDocuments(tables.documents, maxTokens, stride)
 
+  /** End-to-end training-set build (quality gate → exact dedup → near
+    * dedup → decontamination → mixture → deterministic order) with
+    * per-stage row accounting; [[graft.pipeline.TrainingSet.writeChunks]]
+    * materializes the result as training-order chunk files.
+    */
+  def buildTrainingSet(
+      benchmark: Option[DataFrame] = None,
+      cfg: graft.pipeline.TrainingSetConfig = graft.pipeline.TrainingSetConfig())
+      : graft.pipeline.TrainingSetResult =
+    graft.pipeline.TrainingSet.build(tables.documents, benchmark, cfg)
+
   /** Ordered conversion funnel / hour-over-hour cohort retention over
     * the events table.
     */

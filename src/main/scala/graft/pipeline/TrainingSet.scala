@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Scale
+import graft.text.{MinHashConfig, MinHashDedup, TextAnalysis}
+
+/** Knobs for the end-to-end corpus → training-set pipeline. Every
+  * threshold mirrors the underlying operator's default; `mixture` and
+  * `benchmark`-based decontamination are opt-in stages.
+  */
+final case class TrainingSetConfig(
+    minWords: Long = 10L,
+    maxWords: Long = 100000L,
+    maxDupWordFrac: Double = 0.9,
+    maxTopWordFrac: Double = 0.3,
+    dedup: MinHashConfig = MinHashConfig(),
+    contaminationNgram: Int = 5,
+    maxOverlapFrac: Double = 0.2,
+    mixtureStrata: String = "lang",
+    mixture: Option[Map[String, Double]] = None,
+    seed: Long = 42L)
+
+/** The filtered/deduped corpus plus the per-stage row accounting. */
+final case class TrainingSetResult(docs: DataFrame, audit: Seq[(String, Long)])
+
+/** The end-to-end training-set workflow — the composition proof that
+  * the engine's pipeline operators chain into the shape a real 100 TB
+  * data build runs, in the canonical order (cheap map-side filters
+  * first, the expensive near-dup pass on the already-shrunk corpus):
+  *
+  *   1. quality gate    — Gopher-style repetition/length verdicts
+  *   2. exact dedup     — min-doc_id winner per content fingerprint
+  *   3. near dedup      — MinHash LSH + exact Jaccard verification
+  *   4. decontaminate   — n-gram overlap vs a held-out benchmark (opt)
+  *   5. mixture         — language/domain re-balancing (opt)
+  *   6. ordering        — deterministic pseudo-random training order
+  *
+  * Every stage is doc_id-set algebra over the one corpus table
+  * (left-semi joins against checkpointed id sets, so no stage
+  * re-executes an earlier stage's work), and the whole build is a pure
+  * function of (corpus, benchmark, config) — re-running it reproduces
+  * the same set in the same order on any partition layout.
+  */
+object TrainingSet {
+
+  /** Run stages 1–6; `audit` holds surviving-doc counts per stage (the
+    * id sets are localCheckpoint'ed, so the counts are metadata reads,
+    * not pipeline re-runs).
+    */
+  def build(
+      documents: DataFrame,
+      benchmark: Option[DataFrame] = None,
+      cfg: TrainingSetConfig = TrainingSetConfig()): TrainingSetResult = {
+
+    def ids(df: DataFrame): DataFrame =
+      df.select("doc_id").localCheckpoint(true)
+    def keep(stage: DataFrame, keptIds: DataFrame): DataFrame =
+      stage.join(keptIds, Seq("doc_id"), "left_semi")
+
+    // 1. quality verdicts (map-side + two-phase aggregates)
+    val quality = keep(documents, ids(
+      TextAnalysis.filterVerdicts(
+        documents, cfg.minWords, cfg.maxWords, cfg.maxDupWordFrac, cfg.maxTopWordFrac)
+        .filter(col("keep"))))
+
+    // 2. exact dedup: one 8-byte-key aggregation
+    val exact = keep(quality, ids(
+      quality.select(col("doc_id"), xxhash64(col("text")).as("__fp"))
+        .groupBy("__fp").agg(min("doc_id").as("doc_id"))))
+
+    // 3. near dedup on the shrunk corpus (LSH candidates + exact verify)
+    val near = keep(exact, ids(MinHashDedup.dedupWinners(exact, cfg.dedup)))
+
+    // 4. benchmark decontamination (exact n-gram overlap)
+    val clean = benchmark match {
+      case Some(b) =>
+        keep(near, ids(
+          TextAnalysis.contaminationScores(near, b, cfg.contaminationNgram)
+            .filter(col("overlap_frac") <= cfg.maxOverlapFrac)))
+      case None => near
+    }
+
+    // 5. optional mixture re-balancing
+    val mixed = cfg.mixture match {
+      case Some(t) => keep(clean,
+        ids(Scale.mixtureResample(clean, "doc_id", cfg.mixtureStrata, t, cfg.seed)))
+      case None => clean
+    }
+
+    // 6. deterministic training order
+    val ordered = Scale.shuffleOrder(mixed, "doc_id", cfg.seed)
+
+    val audit = Seq(
+      "0_input" -> documents.count(),
+      "1_quality" -> quality.count(),
+      "2_exact_dedup" -> exact.count(),
+      "3_near_dedup" -> near.count(),
+      "4_decontaminated" -> clean.count(),
+      "5_mixture" -> mixed.count(),
+      "6_ordered" -> ordered.count())
+    TrainingSetResult(ordered, audit)
+  }
+
+  /** Materialize a built training set as size-targeted parquet of
+    * sliding-window chunks in TRAINING ORDER: chunk the surviving docs
+    * ([[TextAnalysis.chunkDocuments]]), attach each doc's shuffle
+    * position, and range-cluster by (shuffle_pos, chunk_idx) into
+    * ~`targetFileBytes` files — ascending range partitions map to
+    * ascending part-file names, so a reader streaming files in name
+    * order replays the deterministic shuffle, and `shuffle_pos` rides
+    * along for mid-epoch resume. [[graft.sources.Sinks.parquetCompacted]]
+    * is NOT reused here: its round-robin repartition balances sizes but
+    * would destroy the order this writer exists to preserve (its size
+    * estimate idiom — Catalyst plan stats over the byte target — is).
+    */
+  def writeChunks(
+      result: TrainingSetResult,
+      outDir: String,
+      maxTokens: Int = 2048,
+      stride: Int = 2048,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val chunks = TextAnalysis
+      .chunkDocuments(result.docs.select("doc_id", "text"), maxTokens, stride)
+      .join(result.docs.select("doc_id", "shuffle_pos"), Seq("doc_id"))
+    val est = chunks.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = ((est + targetFileBytes - 1) / targetFileBytes)
+      .max(BigInt(1)).min(BigInt(1 << 20)).toInt
+    Scale.clusterBy(chunks, nFiles, col("shuffle_pos"), col("chunk_idx"))
+      .write.mode("overwrite").parquet(outDir)
+  }
+}

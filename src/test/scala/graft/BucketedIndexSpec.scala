@@ -67,6 +67,25 @@ class BucketedIndexSpec extends SparkSpec {
         MinHashDedup.readBandedIndexTable(spark, tbl, other)
       }
       assert(e.getMessage.contains("rebuild"))
+
+      // 4. steady-state ingest: the incremental path accepts the
+      // bucketed table directly as its corpus side (same columns) and
+      // matches the flat-index result
+      import org.apache.spark.sql.functions.col
+      val newBatch = cat.documents.filter(col("doc_id") >= 400)
+      val corpus = cat.documents.filter(col("doc_id") < 400)
+      val corpusSigs = MinHashDedup.signatures(corpus, cfg).localCheckpoint(true)
+      val tbl2 = "graft_banded_idx_spec_corpus"
+      MinHashDedup.writeBandedIndexTable(corpusSigs, tbl2, numBuckets = 8, cfg = cfg)
+      try {
+        val incB = MinHashDedup.incrementalDedupWinnersFromBanded(
+          newBatch, corpus, MinHashDedup.readBandedIndexTable(spark, tbl2, cfg), cfg)
+          .collect().map(_.getLong(0)).toSeq
+        val incF = MinHashDedup.incrementalDedupWinners(
+          newBatch, corpus, corpusSigs, cfg)
+          .collect().map(_.getLong(0)).toSeq
+        assert(incB == incF, "incremental ingest off the bucketed table must match the flat path")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tbl2")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Catalog
+import graft.pipeline.{TrainingSet, TrainingSetConfig}
+
+/** End-to-end training-set build: the pipeline operators must COMPOSE —
+  * quality gate → exact dedup → near dedup → decontamination → mixture
+  * → deterministic order — with per-stage row accounting, and the
+  * chunk writer must materialize files whose NAME order replays the
+  * training order.
+  */
+class TrainingSetSpec extends SparkSpec {
+
+  lazy val cat: Catalog = Catalog(spark, sf001)
+
+  private val mixture = Map(
+    "en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+
+  test("build: monotone stage accounting, contamination removed, permutation order, layout-invariant") {
+    // benchmark drawn FROM the corpus: any of its docs that survive to
+    // stage 4 carry 100% shingle overlap and must drop there
+    val bench = cat.documents.filter(col("doc_id") % 97 === 0)
+    val cfg = TrainingSetConfig(mixture = Some(mixture))
+    val r = TrainingSet.build(cat.documents, Some(bench), cfg)
+
+    val counts = r.audit.map(_._2)
+    assert(r.audit.head._1 == "0_input" && counts.head == cat.documents.count())
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"stage counts must be non-increasing: ${r.audit}")
+    assert(counts.last > 0, "the pipeline must not empty the corpus")
+    assert(r.audit.toMap.apply("6_ordered") == r.audit.toMap.apply("5_mixture"),
+      "ordering must not change membership")
+
+    val survivors = r.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val benchIds = bench.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.intersect(benchIds).isEmpty,
+      "corpus copies of benchmark docs must be decontaminated")
+
+    // shuffle_pos is a 1..n permutation over the survivors
+    val pos = r.docs.select("shuffle_pos").collect().map(_.getLong(0)).sorted
+    assert(pos.sameElements(1L to pos.length.toLong),
+      "training order must be a complete permutation")
+
+    // pure function of (corpus, benchmark, config): layout never matters
+    val r2 = TrainingSet.build(cat.documents.repartition(7), Some(bench), cfg)
+    val a = r.docs.select("doc_id", "shuffle_pos").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val b = r2.docs.select("doc_id", "shuffle_pos").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(a == b, "the build must be deterministic under partition layout")
+
+    // optional stages off → pass-through accounting
+    val plain = TrainingSet.build(cat.documents, None, TrainingSetConfig())
+    val pm = plain.audit.toMap
+    assert(pm("4_decontaminated") == pm("3_near_dedup"))
+    assert(pm("5_mixture") == pm("4_decontaminated"))
+  }
+
+  test("writeChunks: part-file name order replays the deterministic training order") {
+    val r = TrainingSet.build(cat.documents.limit(120), None, TrainingSetConfig())
+    val out = java.nio.file.Files.createTempDirectory("graft-trainset").toString
+    TrainingSet.writeChunks(r, out, maxTokens = 64, stride = 64,
+      targetFileBytes = 64L << 10)
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getPath).sorted
+    assert(parts.length >= 2, s"expected several part files, got ${parts.length}")
+    // concatenating files in name order must yield ascending
+    // (shuffle_pos, chunk_idx) — i.e. the training order
+    val seq = parts.flatMap { p =>
+      spark.read.parquet(p).select("shuffle_pos", "chunk_idx")
+        .collect().map(x => (x.getLong(0), x.getLong(1)))
+    }
+    assert(seq.sameElements(seq.sorted), "file name order must equal training order")
+    // chunk coverage: every surviving doc appears
+    val docIds = spark.read.parquet(out).select("doc_id").distinct().count()
+    assert(docIds == r.docs.count(), "every surviving doc must be chunked")
+  }
+}
