@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+import org.apache.spark.sql.functions.{col, count, length, lit, round, sum}
 
 import graft.core.Engine
 import graft.functions.ZOrderValue
@@ -312,7 +312,17 @@ object Extras {
     // DataSketches-specific; error + union≡direct pinned in ScaleSpec)
     "X37_hll_distinct" -> q(c =>
       Scale.hllEstimates(
-        Scale.hllSketches(c.documents, "source", col("text")), "source"))
+        Scale.hllSketches(c.documents, "source", col("text")), "source")),
+    // N-ary (3-key) Morton key — multi-dimensional data-skipping layout;
+    // oracle-checked against the same round-robin bit interleave
+    // spelled out in portable SQL (20 bits per dimension)
+    "X51_zorder3" -> q(c =>
+      c.part.select(col("p_partkey"), col("p_size"),
+          length(col("p_name")).cast("long").as("name_len"),
+          graft.functions.ZOrderValueN(
+            col("p_partkey").cast("long"), col("p_size").cast("long"),
+            length(col("p_name")).cast("long")).as("z3"))
+        .orderBy("z3", "p_partkey").limit(200))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -606,6 +616,15 @@ s3 AS (SELECT p_partkey, p_size, (x | (x << 4)) & 1085102592571150095 AS x, (y |
 s4 AS (SELECT p_partkey, p_size, (x | (x << 2)) & 3689348814741910323 AS x, (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
 s5 AS (SELECT p_partkey, p_size, (x | (x << 1)) & 6148914691236517205 AS x, (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
 SELECT p_partkey, p_size, x | (y << 1) AS z FROM s5 ORDER BY z, p_partkey LIMIT 200
+""".trim,
+    "X51_zorder3" -> """
+SELECT p_partkey, p_size, CAST(length(p_name) AS BIGINT) AS name_len,
+  CAST(
+    list_sum(list_transform(range(0, 20), i -> ((CAST(p_partkey AS BIGINT) >> i) & 1) << (3*i))) +
+    list_sum(list_transform(range(0, 20), i -> ((CAST(p_size    AS BIGINT) >> i) & 1) << (3*i + 1))) +
+    list_sum(list_transform(range(0, 20), i -> ((CAST(length(p_name) AS BIGINT) >> i) & 1) << (3*i + 2)))
+  AS BIGINT) AS z3
+FROM part ORDER BY z3, p_partkey LIMIT 200
 """.trim,
     "X13_tfidf_top3" -> """
 WITH toks AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS w FROM documents),

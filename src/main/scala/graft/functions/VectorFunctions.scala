@@ -121,5 +121,9 @@ object VectorFunctions {
         require(exprs.length == 2, "graft_zorder(x, y) takes two bigint args")
         ZOrderValue(exprs.head, exprs(1))
       })
+    registry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_zorder_n"),
+      new ExpressionInfo(classOf[ZOrderValueN].getName, "graft_zorder_n"),
+      (exprs: Seq[Expression]) => ZOrderValueN(exprs))
   }
 }

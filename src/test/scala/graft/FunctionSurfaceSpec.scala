@@ -69,4 +69,42 @@ class FunctionSurfaceSpec extends SparkSpec {
   test("SparkSessionExtensions hook applies cleanly") {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
+
+  test("graft_zorder_n: 2-ary equals graft_zorder bit-for-bit; 3-ary locality, range and null contracts") {
+    import graft.functions.{ZOrderValue, ZOrderValueN}
+    graft.functions.VectorFunctions.register(spark)
+    // the N-ary layout reproduces the certified 2-ary one exactly
+    val both = cat.part.select(
+      ZOrderValue(col("p_partkey").cast("long"), col("p_size").cast("long")).as("z2"),
+      ZOrderValueN(col("p_partkey").cast("long"), col("p_size").cast("long")).as("zn"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // SQL registration agrees with the interpreted helper
+    val viaSql = spark.sql("SELECT graft_zorder_n(3L, 5L, 7L)").collect()(0).getLong(0)
+    assert(viaSql == ZOrderValueN.interleaveN(Array(3L, 5L, 7L), 20))
+    // 3-ary locality: sorting a 16^3 grid by z3 and cutting it into 64
+    // runs must give runs whose span in EVERY dimension is the 4-cell
+    // Morton block, not the 16-cell domain
+    import spark.implicits._
+    val grid = (for { x <- 0 until 16; y <- 0 until 16; z <- 0 until 16 }
+      yield (x.toLong, y.toLong, z.toLong)).toDF("x", "y", "z")
+    val sorted = grid
+      .withColumn("m", ZOrderValueN(col("x"), col("y"), col("z")))
+      .orderBy("m")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    sorted.grouped(64).foreach { run =>
+      Seq(run.map(_._1), run.map(_._2), run.map(_._3)).foreach { d =>
+        assert(d.max - d.min <= 3,
+          s"a 64-row Morton run must span one 4x4x4 block, got span ${d.max - d.min}")
+      }
+    }
+    // out-of-range inputs error rather than silently masking
+    intercept[Exception] {
+      spark.range(1).select(ZOrderValueN(lit(1L << 21).cast("long"),
+        lit(0L), lit(0L))).collect()
+    }
+    // nulls propagate
+    val n = spark.sql("SELECT graft_zorder_n(CAST(NULL AS BIGINT), 1L, 2L)").collect()(0)
+    assert(n.isNullAt(0))
+  }
 }
