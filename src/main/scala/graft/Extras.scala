@@ -322,7 +322,13 @@ object Extras {
           graft.functions.ZOrderValueN(
             col("p_partkey").cast("long"), col("p_size").cast("long"),
             length(col("p_name")).cast("long")).as("z3"))
-        .orderBy("z3", "p_partkey").limit(200))
+        .orderBy("z3", "p_partkey").limit(200)),
+    // batched exact kNN JOIN (every 50th vector as the query batch):
+    // broadcast queries, ONE corpus scan, per-query top-5 on the
+    // rounded score — the oracle twin of the LSH-bucketed annKnnJoin
+    // (probe-all ≡ this, VectorIndexSpec-pinned)
+    "X52_knn_join" -> q(c =>
+      Ann.knnJoin(c.embeddings.filter(col("vec_id") % 50 === 0), c.embeddings, k = 5))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -625,6 +631,16 @@ SELECT p_partkey, p_size, CAST(length(p_name) AS BIGINT) AS name_len,
     list_sum(list_transform(range(0, 20), i -> ((CAST(length(p_name) AS BIGINT) >> i) & 1) << (3*i + 2)))
   AS BIGINT) AS z3
 FROM part ORDER BY z3, p_partkey LIMIT 200
+""".trim,
+    "X52_knn_join" -> """
+WITH s AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+    ROUND(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id % 50 = 0 AND b.vec_id <> a.vec_id),
+r AS (SELECT qid, vec_id, cos,
+  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM s)
+SELECT qid, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY qid, rk
 """.trim,
     "X13_tfidf_top3" -> """
 WITH toks AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS w FROM documents),

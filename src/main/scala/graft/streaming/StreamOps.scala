@@ -193,6 +193,37 @@ object StreamOps {
         })
   }
 
+  /** Streaming quality gate — the Dolma-style "attributes run" as a
+    * streaming job: score every arriving document with the batch
+    * quality verdicts ([[graft.text.TextAnalysis.filterVerdicts]])
+    * inside foreachBatch and append the per-rule boolean attributes to
+    * a parquet table. Every rule is per-document (repetition fractions,
+    * length bounds — no cross-document state), so micro-batch scoring
+    * IS the batch operator applied incrementally: replaying a corpus
+    * through this sink produces exactly the batch attributes table
+    * (StreamingSpec pins it). Downstream threshold sweeps then read
+    * the attributes table instead of rescanning text — the same
+    * operational contract as the batch form.
+    */
+  def scoreDocumentsStream(
+      documents: DataFrame,
+      path: String,
+      checkpoint: String,
+      minWords: Long = 10L,
+      maxWords: Long = 100000L,
+      maxDupWordFrac: Double = 0.9,
+      maxTopWordFrac: Double = 0.3): org.apache.spark.sql.streaming.StreamingQuery =
+    documents.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.text.TextAnalysis
+            .filterVerdicts(batch, minWords, maxWords, maxDupWordFrac, maxTopWordFrac)
+            .write.mode("append").parquet(path)
+      }
+      .start()
+
   /** Watermarked stream-stream inner join: pair every `typeA` event
     * with the same user's `typeB` events that follow within `within` —
     * the attribution/correlation query (click → purchase) as a real

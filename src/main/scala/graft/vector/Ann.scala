@@ -282,6 +282,74 @@ object Ann {
     withBucket(embeddings, hyperplanes(nPlanes, dimOf(embeddings), seed))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/vectors")
 
+  /** Exact batched kNN JOIN: for EVERY query row, its `k` nearest
+    * corpus rows by cosine. The query side broadcasts, scores compute
+    * map-side over ONE corpus scan, and the per-query top-k window
+    * partitions by query id (fine-grained keys). Cost is
+    * |queries|·|corpus| scored rows — right for a query BATCH against
+    * the corpus (eval sets, retrieval training pairs); corpus×corpus
+    * similarity is [[allPairsAbove]]/[[bandedPairsAbove]]'s job, and
+    * the bucketed scale path for large query sets is [[annKnnJoin]].
+    *
+    * Ranking uses the ROUNDED score (6 dp, vec_id tiebreak) so the
+    * result is reproducible across engines — float-noise ties cannot
+    * flip membership. Oracle-checked as X52.
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    topKPerQuery(
+      corpus.join(q, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(dot(col("qv"), col("embedding")), 6).as("cos")), k)
+  }
+
+  /** LSH-accelerated batched kNN join — the scale path for large query
+    * sets: bucket BOTH sides with the same hyperplanes, expand each
+    * query to its multi-probe bucket set (an explode over the literal
+    * XOR-mask array — no driver round trip per query), equi-join on the
+    * bucket key so candidates only ever meet inside a probed bucket,
+    * then score exactly and keep the per-query top-k. Each (query,
+    * candidate) pair meets at most once (probe buckets are distinct).
+    * `probeRadius = nPlanes` probes every bucket and reproduces
+    * [[knnJoin]] exactly — the property VectorIndexSpec pins.
+    */
+  def annKnnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nPlanes: Int = 8,
+      probeRadius: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nPlanes, dimOf(corpus), seed)
+    val masks = bucketsWithin(0L, nPlanes, probeRadius)
+    val qb = broadcast(
+      withBucket(queries, planes)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          explode(typedLit(masks)).as("__m"),
+          col("bucket").as("__qb"))
+        .select(col("qid"), col("qv"),
+          col("__qb").bitwiseXOR(col("__m")).as("__probe")))
+    topKPerQuery(
+      withBucket(corpus, planes)
+        .join(qb, col("bucket") === col("__probe") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(dot(col("qv"), col("embedding")), 6).as("cos")), k)
+  }
+
+  /** Per-query top-k of a scored (qid, vec_id, cos) frame: rounded-score
+    * order, vec_id tiebreak, window partitioned by the query id.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** The probe vector's bucket, computed driver-side with the exact
     * arithmetic of [[withBucket]] (left-to-right double accumulation).
     */

@@ -485,6 +485,32 @@ class StreamingSpec extends SparkSpec {
       s"stream≠batch: missing=${want -- got}, extra=${got -- want}")
   }
 
+  test("streaming quality gate: replayed corpus produces exactly the batch attributes table") {
+    val docs = Tables.load(spark, sf1, "documents")
+    val srcDir = Files.createTempDirectory("graft-stream-score")
+    val outDir = Files.createTempDirectory("graft-stream-score-out").toString + "/attrs"
+    val ckpt = Files.createTempDirectory("graft-stream-score-ckpt").toString
+    val query = StreamOps.scoreDocumentsStream(
+      StreamOps.documentsStream(spark, srcDir.toString), outDir, ckpt)
+    try {
+      // replay in three chunks by doc_id range
+      Seq(col("doc_id") < 1500,
+        col("doc_id") >= 1500 && col("doc_id") < 3500,
+        col("doc_id") >= 3500).zipWithIndex.foreach { case (f, i) =>
+        writeChunk(docs.filter(f), srcDir, s"chunk$i")
+        query.processAllAvailable()
+      }
+      val got = spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+        .toSet
+      val want = graft.text.TextAnalysis.filterVerdicts(docs).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+        .toSet
+      assert(want.nonEmpty && got == want,
+        s"stream≠batch attributes: missing=${(want -- got).size}, extra=${(got -- want).size}")
+    } finally query.stop()
+  }
+
   test("stream-static broadcast enrichment ≡ batch join, stateless, broadcast in plan") {
     val dim = Tables.load(spark, sf1, "customer").select("c_custkey", "c_mktsegment")
     val srcDir = Files.createTempDirectory("graft-stream-enrich")

@@ -110,4 +110,26 @@ class VectorIndexSpec extends SparkSpec {
     assert(refined >= base, s"refined recall $refined < hash-sampled $base")
     assert(refined >= 0.75, s"refined recall $refined too low on separable clusters")
   }
+
+  test("batched kNN join: k rows per query, probe-all ANN ≡ exact, bucketed probe keeps recall") {
+    val corpus = cat.embeddings
+    val queries = corpus.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0)
+    val exact = Ann.knnJoin(queries, corpus, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val nQueries = queries.count()
+    assert(exact.size == nQueries * 5, "every query must get exactly k neighbors")
+    assert(exact.groupBy(_._1).keySet.size == nQueries)
+    // probing every bucket degenerates to the exact join, bit for bit
+    val probeAll = Ann.annKnnJoin(queries, corpus, k = 5,
+      nPlanes = 8, probeRadius = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(probeAll == exact, "probe-all ANN kNN join must equal the exact join")
+    // a real probe radius keeps most of the true top-k
+    val ann = Ann.annKnnJoin(queries, corpus, k = 5,
+      nPlanes = 8, probeRadius = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map(t => (t._1, t._2))
+    val recall = (ann & exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"radius-3 recall $recall collapsed — bucketing broken")
+  }
 }
