@@ -163,6 +163,12 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def retention(): DataFrame =
     graft.ops.EventAnalytics.hourlyRetention(tables.events)
 
+  /** Top-k corpus neighbors for every row of a query embedding table
+    * (exact; the LSH-bucketed scale path is `Ann.annKnnJoin`).
+    */
+  def knnJoin(queries: DataFrame, k: Int): DataFrame =
+    graft.vector.Ann.knnJoin(queries, tables.embeddings, k)
+
   /** int8-quantized embedding table (4× smaller; see
     * [[graft.vector.Quantize]] for the error-bounded two-stage scan).
     */
