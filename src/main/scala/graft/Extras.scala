@@ -328,7 +328,11 @@ object Extras {
     // rounded score — the oracle twin of the LSH-bucketed annKnnJoin
     // (probe-all ≡ this, VectorIndexSpec-pinned)
     "X52_knn_join" -> q(c =>
-      Ann.knnJoin(c.embeddings.filter(col("vec_id") % 50 === 0), c.embeddings, k = 5))
+      Ann.knnJoin(c.embeddings.filter(col("vec_id") % 50 === 0), c.embeddings, k = 5)),
+    // vocabulary coverage curve (top 500 words + cumulative token
+    // share): vocab-sized table, global rank + prefix sum through the
+    // bucketed two-pass machinery; fully oracle-checked
+    "X53_vocab_coverage" -> q(c => TextAnalysis.vocabCoverage(c.documents, topV = 500))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -641,6 +645,16 @@ WITH s AS (
 r AS (SELECT qid, vec_id, cos,
   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM s)
 SELECT qid, vec_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY qid, rk
+""".trim,
+    "X53_vocab_coverage" -> """
+WITH toks AS (SELECT unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS w FROM documents),
+c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w),
+t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM c),
+r AS (SELECT w, cnt,
+  row_number() OVER (ORDER BY cnt DESC, w) AS rk,
+  SUM(cnt) OVER (ORDER BY cnt DESC, w ROWS UNBOUNDED PRECEDING) AS run FROM c)
+SELECT CAST(rk AS BIGINT) AS rk, w, cnt, ROUND(run / tot, 6) AS coverage
+FROM r, t WHERE rk <= 500 ORDER BY rk
 """.trim,
     "X13_tfidf_top3" -> """
 WITH toks AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS w FROM documents),

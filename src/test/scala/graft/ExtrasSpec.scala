@@ -122,6 +122,41 @@ class ExtrasSpec extends SparkSpec {
     assert(repart.map(_.doc_id).sorted.sameElements(decoded.map(_.doc_id).sorted))
   }
 
+  test("vocabCoverage: equals the naive windowed curve, monotone, no single-partition window") {
+    import org.apache.spark.sql.expressions.Window
+    val got = TextAnalysis.vocabCoverage(cat.documents, topV = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // naive single-partition reference
+    val counts = cat.documents
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt")).collect()(0).getLong(0).toDouble
+    val w = Window.orderBy(col("cnt").desc, col("w"))
+    val ref = counts
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("run", sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rk") <= 100)
+      .select(col("rk"), col("w"), col("cnt"),
+        round(col("run") / tot, 6).as("coverage"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.sortBy(_._1).sameElements(ref.sortBy(_._1)),
+      "scalable coverage curve must equal the windowed reference")
+    // curve shape: counts non-increasing, coverage strictly increasing to <= 1
+    val curve = got.sortBy(_._1)
+    assert(curve.map(_._3).zip(curve.map(_._3).tail).forall { case (a, b) => b <= a })
+    assert(curve.map(_._4).zip(curve.map(_._4).tail).forall { case (a, b) => b > a })
+    assert(curve.last._4 <= 1.0)
+    // every window is partitioned by the literal-boundary bucket; the
+    // only SinglePartition exchange allowed is the scalar vocab-total
+    // aggregate (one-row metadata merge, same class as A08)
+    val plan = TextAnalysis.vocabCoverage(cat.documents, 100)
+      .queryExecution.executedPlan.toString
+    val windows = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val bucketed = "windowspecdefinition\\(__b".r.findAllIn(plan).size
+    assert(windows > 0 && windows == bucketed,
+      s"every window must partition by the bucket ($bucketed/$windows):\n$plan")
+  }
+
   test("chunkDocuments: overlap coverage, redundant-tail drop, map-side plan") {
     import spark.implicits._
     val docs = Seq(
