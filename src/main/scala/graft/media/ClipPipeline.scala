@@ -91,6 +91,30 @@ object ClipPipeline {
     * batches, one output row per SAMPLED frame; skipped frames are
     * never decoded (the demux only slices byte ranges).
     */
+  /** [[sampleFrames]] for ANIMATED GIF payloads — the same stride-
+    * sampling shape over a real interchange format
+    * ([[MediaPipeline.gifFrames]], the JDK's GIF sequence reader).
+    * Unlike GFTV there is no frame index table, so the reader walks
+    * frames to reach a sample — the inherent cost of index-less
+    * containers, stated rather than hidden.
+    */
+  def sampleGifFrames(clips: DataFrame, everyK: Int): Dataset[SampledFrame] = {
+    require(everyK >= 1, s"everyK=$everyK")
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val fs = MediaPipeline.gifFrames(bytes)
+        fs.indices.collect {
+          case i if i % everyK == 0 =>
+            SampledFrame(id, i, fs.length, fs(i).getWidth, fs(i).getHeight,
+              MediaPipeline.lumaHistogram(fs(i))(0))
+        }
+      })
+  }
+
   def sampleFrames(clips: DataFrame, everyK: Int): Dataset[SampledFrame] = {
     require(everyK >= 1, s"everyK=$everyK")
     val spark = clips.sparkSession

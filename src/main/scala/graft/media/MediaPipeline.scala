@@ -80,6 +80,50 @@ object MediaPipeline {
     out.toByteArray
   }
 
+  /** Animated GIF: encode `frames` as one multi-frame GIF via the
+    * JDK's real GIF sequence writer. Every frame is written FULL
+    * (no delta optimization), so [[gifFrames]] returns ready frames
+    * with no composition step.
+    */
+  def encodeAnimatedGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "an animated GIF needs at least one frame")
+    val out = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** Demux an animated GIF into its frames with the JDK's real GIF
+    * reader. Frames are returned AS STORED: GIFs written by a
+    * delta-optimizing encoder carry partial frames that would need
+    * compositing for playback — [[encodeAnimatedGif]] writes full
+    * frames, and a production pipeline would hand delta GIFs to a
+    * native decoder at exactly this seam.
+    */
+  def gifFrames(bytes: Array[Byte]): Seq[BufferedImage] = {
+    require(sniffKind(bytes) == "image/gif", "payload is not a GIF")
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n).map(reader.read)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
   /** MIME type from the payload's magic bytes — the payload itself is
     * the source of truth for its format, never the file name or caller-
     * supplied metadata. Fails fast on unknown formats.

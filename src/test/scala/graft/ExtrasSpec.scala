@@ -216,6 +216,32 @@ class ExtrasSpec extends SparkSpec {
     assert(again.sameElements(media.select("doc_id").collect().map(_.getLong(0)).sorted))
   }
 
+  test("animated GIF: sequence round-trip, stride sampling decodes the right frames") {
+    import java.awt.image.BufferedImage
+    import spark.implicits._
+    def frame(w: Int, h: Int, shade: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, shade)))
+      img
+    }
+    // doc 1: four 6x4 frames; doc 2: five 8x3 frames
+    val gif1 = MediaPipeline.encodeAnimatedGif(
+      (0 until 4).map(i => frame(6, 4, i * 0x202020)))
+    val gif2 = MediaPipeline.encodeAnimatedGif(
+      (0 until 5).map(i => frame(8, 3, 0xffffff - i * 0x101010)))
+    assert(MediaPipeline.sniffKind(gif1) == "image/gif")
+    assert(MediaPipeline.gifFrames(gif1).length == 4)
+    assert(MediaPipeline.gifFrames(gif2).map(f => (f.getWidth, f.getHeight))
+      .forall(_ == ((8, 3))))
+    val clips = Seq((1L, gif1), (2L, gif2)).toDF("doc_id", "media")
+    val sampled = graft.media.ClipPipeline.sampleGifFrames(clips, everyK = 2)
+      .collect().map(s => (s.doc_id, s.frame_idx, s.n_frames, s.width, s.height))
+    assert(sampled.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(0, 2))
+    assert(sampled.filter(_._1 == 2L).map(_._2).sorted.toSeq == Seq(0, 2, 4))
+    assert(sampled.forall(s => if (s._1 == 1L) s._3 == 4 && s._4 == 6 && s._5 == 4
+                               else s._3 == 5 && s._4 == 8 && s._5 == 3))
+  }
+
   test("PNG decode returns the true dimensions of a known image") {
     val img = new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
     img.setRGB(4, 2, 0xabcdef)
