@@ -183,4 +183,47 @@ object Ivf {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Batched kNN join against a persisted index — the IVF twin of
+    * [[graft.vector.Ann.annKnnJoin]] for a query TABLE: every query
+    * scores the (tiny) centroids file map-side, a per-query window
+    * keeps its `nProbe` best lists, the union of probed list ids
+    * (metadata-sized, ≤ nLists — the partition-pruning values) narrows
+    * the vectors scan, and candidates meet queries with a broadcast
+    * equi-join on list_id. `nProbe = nLists` searches every list and
+    * reproduces the exact [[Ann.knnJoin]] over the indexed corpus
+    * (VectorIndexSpec pins it).
+    */
+  def ivfKnnJoin(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val lw = Window.partitionBy("qid")
+      .orderBy(col("__cs").desc, col("centroid_id"))
+    val qLists = q.crossJoin(cents)
+      .withColumn("__cs", dot(col("qv"), col("centroid")))
+      .withColumn("__r", row_number().over(lw))
+      .filter(col("__r") <= nProbe)
+      .select(col("qid"), col("qv"), col("centroid_id").as("list_id"))
+    // union of probed lists — metadata-sized partition-pruning values
+    val probed = qLists.select("list_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cand = spark.read.parquet(s"$path/vectors")
+      .filter(col("list_id").isin(probed: _*)) // → PartitionFilters
+    val kw = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(broadcast(qLists), Seq("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("embedding")), 6).as("cos"))
+      .withColumn("rk", row_number().over(kw))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rk").cast("long").as("rk"))
+      .orderBy("qid", "rk")
+  }
 }

@@ -111,6 +111,30 @@ class VectorIndexSpec extends SparkSpec {
     assert(refined >= 0.75, s"refined recall $refined too low on separable clusters")
   }
 
+  test("IVF batched kNN join: probe-all ≡ exact join, pruned probe keeps recall and prunes partitions") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-knnjoin").toString
+    Ivf.writeIndex(cat.embeddings, path, nLists = 16)
+    val queries = cat.embeddings.filter(col("vec_id") % 50 === 0)
+    val exact = Ann.knnJoin(queries, cat.embeddings, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // searching every list reproduces the exact join bit for bit
+    val all = Ivf.ivfKnnJoin(spark, path, queries, k = 5, nProbe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(all == exact, "probe-all IVF kNN join must equal the exact join")
+    // a pruned probe keeps most of the true neighbors...
+    val pruned = Ivf.ivfKnnJoin(spark, path, queries, k = 5, nProbe = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map(t => (t._1, t._2))
+    val recall = (pruned & exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"nProbe=6 recall $recall collapsed")
+    // ...and the vectors scan is partition-pruned on list_id
+    val plan = Ivf.ivfKnnJoin(spark, path, queries, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("list_id"),
+      s"IVF kNN join must prune list partitions:\n$plan")
+  }
+
   test("batched kNN join: k rows per query, probe-all ANN ≡ exact, bucketed probe keeps recall") {
     val corpus = cat.embeddings
     val queries = corpus.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0)
