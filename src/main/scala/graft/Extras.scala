@@ -332,7 +332,18 @@ object Extras {
     // vocabulary coverage curve (top 500 words + cumulative token
     // share): vocab-sized table, global rank + prefix sum through the
     // bucketed two-pass machinery; fully oracle-checked
-    "X53_vocab_coverage" -> q(c => TextAnalysis.vocabCoverage(c.documents, topV = 500))
+    "X53_vocab_coverage" -> q(c => TextAnalysis.vocabCoverage(c.documents, topV = 500)),
+    // corpus snapshot diff (simulated v2: docs 0-49 dropped, 450+ kept,
+    // every 7th overlapping doc uppercased): per-doc added/removed/
+    // changed from a fingerprint full outer join; fully oracle-checked
+    "X54_corpus_diff" -> q(c =>
+      TextAnalysis.corpusDiff(
+        c.documents.filter(col("doc_id") < 450),
+        c.documents.filter(col("doc_id") >= 50)
+          .withColumn("text",
+            org.apache.spark.sql.functions.when(col("doc_id") % 7 === 0,
+              org.apache.spark.sql.functions.upper(col("text")))
+              .otherwise(col("text")))))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -655,6 +666,18 @@ r AS (SELECT w, cnt,
   SUM(cnt) OVER (ORDER BY cnt DESC, w ROWS UNBOUNDED PRECEDING) AS run FROM c)
 SELECT CAST(rk AS BIGINT) AS rk, w, cnt, ROUND(run / tot, 6) AS coverage
 FROM r, t WHERE rk <= 500 ORDER BY rk
+""".trim,
+    "X54_corpus_diff" -> """
+WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id < 450),
+n AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+      FROM documents WHERE doc_id >= 50),
+j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        CASE WHEN n.doc_id IS NULL THEN 'removed'
+             WHEN o.doc_id IS NULL THEN 'added'
+             WHEN o.text <> n.text THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id
 """.trim,
     "X13_tfidf_top3" -> """
 WITH toks AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS w FROM documents),

@@ -472,6 +472,29 @@ object TextAnalysis {
       xxhash64(normalized(col("text"))).as("norm_fp"))
       .orderBy("doc_id")
 
+  /** Corpus snapshot diff — the dataset-versioning audit between two
+    * corpus versions: per-document status (`added` / `removed` /
+    * `changed`) from a full outer join of content FINGERPRINTS keyed by
+    * doc_id — document text never shuffles, only (id, 8-byte hash)
+    * rows, and `unchanged` docs (the overwhelming majority between
+    * adjacent 100 TB snapshots) are dropped from the output. Hashes are
+    * only ever compared within one engine, so hash equality stands in
+    * for text equality on both sides of the oracle. Oracle-checked as
+    * X54.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id").as("__oid"), xxhash64(col("text")).as("__of"))
+    val n = newDocs.select(col("doc_id").as("__nid"), xxhash64(col("text")).as("__nf"))
+    o.join(n, col("__oid") === col("__nid"), "full_outer")
+      .select(coalesce(col("__oid"), col("__nid")).as("doc_id"),
+        when(col("__nid").isNull, "removed")
+          .when(col("__oid").isNull, "added")
+          .when(col("__of") =!= col("__nf"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary coverage curve — the tokenizer-sizing diagnostic: the
     * top-V corpus words by frequency, each with its prefix's cumulative
     * share of ALL token occurrences ("the top 1000 words cover 83% of
