@@ -193,6 +193,88 @@ object StreamOps {
         })
   }
 
+  /** Streaming near-dup INGEST against a persisted banded LSH index —
+    * the 100 TB steady-state composed end to end: each micro-batch of
+    * new documents dedups against (existing corpus ∪ everything
+    * accepted in earlier batches) via
+    * [[graft.text.MinHashDedup.incrementalDedupWinnersFromBanded]] —
+    * the corpus side is parquet index scans, never a re-shingle — and
+    * the batch's survivors are appended BOTH to the accepted-documents
+    * table AND, as a banded-index DELTA, to the index itself, so batch
+    * N+1 dedups against batch N's accepted docs at index cost.
+    *
+    * Idempotent under micro-batch replay: every batch writes its
+    * accepted docs and its index delta to batch-keyed directories with
+    * overwrite, so a crash-and-retry rewrites the same directories
+    * instead of duplicating rows. Requires append-only ingest (new
+    * doc_ids above all existing ids — the
+    * [[graft.text.MinHashDedup.incrementalDedupWinners]] contract);
+    * under that contract the accepted set provably equals batch-mode
+    * [[graft.text.MinHashDedup.dedupWinners]] over (corpus ∪ all new
+    * docs) restricted to the new ids (StreamingSpec pins it).
+    *
+    * Delta discovery lists the local delta directory (production on an
+    * object store would use `FileSystem.listStatus` — same shape, one
+    * metadata call per batch).
+    */
+  def ingestDedupStream(
+      newDocs: DataFrame,
+      corpusDocs: DataFrame,
+      corpusIndexPath: String,
+      outDir: String,
+      checkpoint: String,
+      cfg: graft.text.MinHashConfig = graft.text.MinHashConfig())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val acceptedRoot = s"$outDir/accepted"
+    val deltaRoot = s"$outDir/index_delta"
+    def deltaDirs(): Seq[String] = {
+      val root = new java.io.File(deltaRoot)
+      if (!root.isDirectory) Nil
+      else root.listFiles.toSeq
+        .filter(d => d.isDirectory && new java.io.File(d, "_SUCCESS").exists())
+        .map(_.getPath).sorted
+    }
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val b = batch.localCheckpoint(true)
+          // corpus side: base index + every earlier batch's delta
+          val banded = deltaDirs().foldLeft(
+            graft.text.MinHashDedup.readBandedIndex(spark, corpusIndexPath, cfg)) {
+            (acc, d) => acc.unionByName(
+              graft.text.MinHashDedup.readBandedIndex(spark, d, cfg))
+          }
+          // texts of earlier acceptances, for exact verification of the
+          // (few) candidate pairs
+          val priorAccepted =
+            if (new java.io.File(acceptedRoot).isDirectory)
+              // batch subdirs are b<N>, not key=value partitions
+              spark.read.option("recursiveFileLookup", "true").parquet(acceptedRoot)
+                .select(b.columns.map(col(_)).toSeq: _*)
+            else b.limit(0)
+          val existing = corpusDocs.select(b.columns.map(col(_)).toSeq: _*)
+            .unionByName(priorAccepted)
+          val winners = graft.text.MinHashDedup
+            .incrementalDedupWinnersFromBanded(b, existing, banded, cfg)
+          val accepted = b.join(winners, Seq("doc_id"), "left_semi")
+            .localCheckpoint(true)
+          // batch-keyed overwrite → replaying this batch is a no-op; an
+          // all-rejected batch writes nothing (readBandedIndex refuses
+          // empty tables by design)
+          if (!accepted.isEmpty) {
+            accepted.write.mode("overwrite").parquet(s"$acceptedRoot/b$batchId")
+            graft.text.MinHashDedup.writeBandedIndex(
+              graft.text.MinHashDedup.signatures(accepted, cfg),
+              s"$deltaRoot/b$batchId", cfg)
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming quality gate — the Dolma-style "attributes run" as a
     * streaming job: score every arriving document with the batch
     * quality verdicts ([[graft.text.TextAnalysis.filterVerdicts]])

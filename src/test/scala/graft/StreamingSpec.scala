@@ -485,6 +485,59 @@ class StreamingSpec extends SparkSpec {
       s"stream≠batch: missing=${want -- got}, extra=${got -- want}")
   }
 
+  test("streaming dedup ingest: batches dedup against corpus + prior acceptances via index deltas") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf001, "documents")
+    def textOf(id: Long): String =
+      docs.filter(col("doc_id") === id).select("text").collect()(0).getString(0)
+    def mk(id: Long, text: String): DataFrame =
+      Seq((id, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .select(Tables.schemas("documents").fields.map(f => col(f.name).cast(f.dataType)): _*)
+    val corpus = docs.filter(col("doc_id") < 300)
+    val idxDir = Files.createTempDirectory("graft-ingest-idx").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(corpus), idxDir)
+    // batch 0: two fresh docs, a clone of corpus doc 10, an intra-batch
+    // duplicate pair; batch 1: a clone of batch-0's accepted 1001, one
+    // fresh doc
+    val fresh = docs.filter(col("doc_id") >= 300 && col("doc_id") < 302)
+    val batch0 = fresh
+      .unionByName(mk(1000L, textOf(10L)))
+      .unionByName(mk(1001L, "zeta eta theta iota kappa lambda unique first"))
+      .unionByName(mk(1002L, "zeta eta theta iota kappa lambda unique first"))
+    val batch1 = mk(1100L, "zeta eta theta iota kappa lambda unique first")
+      .unionByName(mk(1101L, "omicron pi rho sigma tau genuinely new content"))
+    val srcDir = Files.createTempDirectory("graft-ingest-src")
+    val outDir = Files.createTempDirectory("graft-ingest-out").toString
+    val ckpt = Files.createTempDirectory("graft-ingest-ckpt").toString
+    val query = StreamOps.ingestDedupStream(
+      StreamOps.documentsStream(spark, srcDir.toString), corpus, idxDir, outDir, ckpt)
+    try {
+      writeChunk(batch0, srcDir, "chunk0")
+      query.processAllAvailable()
+      writeChunk(batch1, srcDir, "chunk1")
+      query.processAllAvailable()
+    } finally query.stop()
+    val accepted = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$outDir/accepted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the corpus clone loses, the intra-batch dup keeps its min id, the
+    // cross-BATCH clone (1100, vs batch 0's accepted 1001) loses even
+    // though it never met 1001 in one batch — the index delta carried it
+    assert(accepted == Set(300L, 301L, 1001L, 1101L),
+      s"accepted set wrong: $accepted")
+    // equivalence with the batch-mode contract: dedupWinners over
+    // (corpus ∪ all new docs), restricted to the new ids
+    val allNew = batch0.unionByName(batch1)
+    val batchMode = graft.text.MinHashDedup
+      .dedupWinners(corpus.unionByName(allNew))
+      .collect().map(_.getLong(0)).toSet
+    val newIds = allNew.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted == (batchMode & newIds),
+      "streaming ingest must equal batch-mode incremental dedup")
+  }
+
   test("streaming quality gate: replayed corpus produces exactly the batch attributes table") {
     val docs = Tables.load(spark, sf1, "documents")
     val srcDir = Files.createTempDirectory("graft-stream-score")
