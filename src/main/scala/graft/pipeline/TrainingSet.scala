@@ -115,6 +115,31 @@ object TrainingSet {
     * would destroy the order this writer exists to preserve (its size
     * estimate idiom — Catalyst plan stats over the byte target — is).
     */
+  /** The training-order chunk stream with MODEL-BATCH bin ids: the
+    * chunks, ordered by (shuffle_pos, chunk_idx), are cut into bins of
+    * `binTokens` via the distributed prefix sum — a chunk belongs to
+    * the bin where it STARTS (the same packing contract as the X18
+    * sequence packer, at chunk granularity), so a data loader pulling
+    * bin b reads a contiguous training-order slice totalling at most
+    * binTokens + maxTokens − 1 tokens. No single-partition window
+    * anywhere ([[graft.ops.ScalableWindows.withGlobalRunningSum]]).
+    */
+  def binnedChunks(
+      result: TrainingSetResult,
+      maxTokens: Int = 2048,
+      stride: Int = 2048,
+      binTokens: Long = 1 << 20): DataFrame = {
+    require(binTokens >= maxTokens,
+      s"binTokens=$binTokens must be at least maxTokens=$maxTokens")
+    val chunks = TextAnalysis
+      .chunkDocuments(result.docs.select("doc_id", "text"), maxTokens, stride)
+      .join(result.docs.select("doc_id", "shuffle_pos"), Seq("doc_id"))
+    graft.ops.ScalableWindows
+      .withGlobalRunningSum(chunks, Seq("shuffle_pos", "chunk_idx"), "n_tokens", "__run")
+      .withColumn("bin", floor((col("__run") - col("n_tokens")) / binTokens).cast("long"))
+      .drop("__run")
+  }
+
   def writeChunks(
       result: TrainingSetResult,
       outDir: String,

@@ -58,6 +58,41 @@ class TrainingSetSpec extends SparkSpec {
     assert(pm("5_mixture") == pm("4_decontaminated"))
   }
 
+  test("binnedChunks: bins are contiguous training-order slices within the token budget") {
+    val r = TrainingSet.build(cat.documents.limit(150), None, TrainingSetConfig())
+    val maxTokens = 64
+    val binTokens = 500L
+    val rows = TrainingSet.binnedChunks(r, maxTokens, stride = 64, binTokens)
+      .collect()
+      .map(x => (x.getAs[Long]("shuffle_pos"), x.getAs[Long]("chunk_idx"),
+        x.getAs[Long]("n_tokens"), x.getAs[Long]("bin")))
+      .sortBy(t => (t._1, t._2))
+    // bins are non-decreasing in training order and start at 0,
+    // with no gaps
+    assert(rows.head._4 == 0L)
+    assert(rows.map(_._4).zip(rows.map(_._4).tail).forall { case (a, b) =>
+      b == a || b == a + 1
+    }, "bin ids must be contiguous and non-decreasing in training order")
+    // each bin's token total respects the start-assignment budget
+    rows.groupBy(_._4).foreach { case (bin, rs) =>
+      val tokens = rs.map(_._3).sum
+      assert(tokens <= binTokens + maxTokens - 1,
+        s"bin $bin holds $tokens tokens > budget")
+    }
+    // deterministic under layout
+    val again = TrainingSet.binnedChunks(
+      TrainingSet.build(cat.documents.limit(150).repartition(7), None, TrainingSetConfig()),
+      maxTokens, 64, binTokens)
+      .collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("chunk_idx"), x.getAs[Long]("bin")))
+      .toSet
+    val base = TrainingSet.binnedChunks(r, maxTokens, 64, binTokens)
+      .collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("chunk_idx"), x.getAs[Long]("bin")))
+      .toSet
+    assert(again == base, "bin assignment must be layout-invariant")
+  }
+
   test("writeChunks: part-file name order replays the deterministic training order") {
     val r = TrainingSet.build(cat.documents.limit(120), None, TrainingSetConfig())
     val out = java.nio.file.Files.createTempDirectory("graft-trainset").toString
