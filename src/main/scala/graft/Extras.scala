@@ -333,6 +333,12 @@ object Extras {
     // share): vocab-sized table, global rank + prefix sum through the
     // bucketed two-pass machinery; fully oracle-checked
     "X53_vocab_coverage" -> q(c => TextAnalysis.vocabCoverage(c.documents, topV = 500)),
+    // MapReduce secondary sort, instantiated: per-user event-gap stats
+    // needing time-ordered values — repartition by key + ONE in-task
+    // external sort + an O(1)-per-group streaming fold (flatMapGroups
+    // would buffer whole groups); exact µs gaps, fully oracle-checked
+    "X55_event_gaps" -> q(c =>
+      graft.ops.TypedReduce.eventGapStats(c.events, gapThresholdSec = 3600L)),
     // corpus snapshot diff (simulated v2: docs 0-49 dropped, 450+ kept,
     // every 7th overlapping doc uppercased): per-doc added/removed/
     // changed from a fingerprint full outer join; fully oracle-checked
@@ -678,6 +684,15 @@ j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
              ELSE 'unchanged' END AS status
       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
 SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id
+""".trim,
+    "X55_event_gaps" -> """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+d AS (SELECT user_id,
+        us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap FROM e)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us,
+  CAST(COALESCE(SUM(CASE WHEN gap > 3600000000 THEN 1 END), 0) AS BIGINT) AS n_long_gaps
+FROM d GROUP BY user_id ORDER BY user_id
 """.trim,
     "X13_tfidf_top3" -> """
 WITH toks AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS w FROM documents),
