@@ -17,6 +17,24 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Inline pipeline observability via Spark's Observation API: attach
+    * named metric expressions (counts, sums, null tallies) to a frame
+    * so the ONE action that materializes results also computes the
+    * data-quality metrics — no second scan, the MR-counters idiom at
+    * the declarative layer (and unlike accumulators, exactly-once under
+    * task retries). Read `observation.get` AFTER an action on the
+    * returned frame.
+    */
+  def observed(
+      df: DataFrame,
+      name: String,
+      metrics: Seq[(String, Column)]): (DataFrame, org.apache.spark.sql.Observation) = {
+    require(metrics.nonEmpty, "at least one metric expression is required")
+    val obs = org.apache.spark.sql.Observation(name)
+    val named = metrics.map { case (n, c) => c.as(n) }
+    (df.observe(obs, named.head, named.tail: _*), obs)
+  }
+
   def profile(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
     val aggs = cols.flatMap { c =>

@@ -116,6 +116,39 @@ object Sinks {
     * prefer the pinned-schema readers for production reads; these exist
     * for ad-hoc ingest of files without a known schema.
     */
+  /** Audited CSV read: PERMISSIVE parsing with the raw text of every
+    * malformed line captured in `_corrupt_record` — the ingest-time
+    * posture for untrusted feeds at scale (FAILFAST kills a 100 TB job
+    * on one bad line; silent DROPMALFORMED loses data unaccountably;
+    * this keeps the good rows AND a queryable audit of the bad ones).
+    * Pair with [[badRecords]] to route rejects to a quarantine sink.
+    */
+  def readCsvAudited(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .csv(path)
+
+  /** The malformed rows of an audited read (raw line text only).
+    * Spark disallows queries that reference ONLY the internal corrupt
+    * column against the raw source scan, so the batch is materialized
+    * first — fine for an audit query; a production ingest routes
+    * rejects in the SAME pass that consumes the good rows (split
+    * inside foreachBatch) and never pays this.
+    */
+  def badRecords(audited: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    audited.localCheckpoint(true)
+      .filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record")
+  }
+
   def readCsvInferred(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("header", "true")

@@ -118,6 +118,31 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readParquetMerged(spark, dir).filter(col("v2").isNotNull).count() == 1)
   }
 
+  test("audited csv read keeps good rows and captures malformed lines; observe() meters the same pass") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("sink-csv-audit")
+    Files.writeString(dir.resolve("feed.csv"),
+      "doc_id,n_chars\n1,10\n2,notanumber\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_chars", LongType)))
+    val audited = Sinks.readCsvAudited(spark, dir.toString, schema)
+    val (observedDf, obs) = graft.ops.Profile.observed(audited, "ingest_audit", Seq(
+      "rows" -> count(lit(1)),
+      "bad" -> count(col("_corrupt_record")),
+      "chars" -> sum("n_chars")))
+    val all = observedDf.collect()
+    assert(all.length == 3, "PERMISSIVE must keep every line as a row")
+    // the metrics rode along on the SAME action — no second scan
+    val m = obs.get
+    assert(m("rows") == 3L && m("bad") == 1L && m("chars") == 40L, s"metrics: $m")
+    val bad = Sinks.badRecords(audited).collect().map(_.getString(0))
+    assert(bad.toSeq == Seq("2,notanumber"), s"bad lines: ${bad.mkString("|")}")
+    val good = audited.filter(col("_corrupt_record").isNull).select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(good == Set((1L, 10L), (3L, 30L)))
+  }
+
   test("schema inference recovers types and content for csv and json") {
     val src = Tables.load(spark, sf001, "nation") // int keys + strings
     val csvDir = Files.createTempDirectory("sink-csv-inf").toString
