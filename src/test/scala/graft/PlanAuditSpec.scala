@@ -47,6 +47,36 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("EVERY extras plan: one-partition merges and NL joins only where semantics demand them") {
+    // one-row global merges: table profile, global HLL union, funnel
+    // stage counts, exact-percentile final, scalar idf / vocab totals,
+    // the mixture resampler's min(n/t) over per-stratum counts
+    val spAllowed = Set(
+      "X13_tfidf_top3", "X19_profile", "X37_hll_distinct",
+      "X41_funnel", "X43_time_to_convert", "X48_mixture_resample",
+      "X53_vocab_coverage")
+    // one-row broadcast scalars (probe vectors, totals, thresholds) or
+    // candidate stages that ARE cross joins by design (exact oracle
+    // twins, quantized candidate scan, batched kNN against broadcast
+    // queries)
+    val nlAllowed = Set(
+      "X05_ngram_jaccard", "X06_embed_neardup", "X09_ann_top5",
+      "X11_ivf_top5", "X13_tfidf_top3", "X14_ivf_index_probe",
+      "X28_quantized_neardup", "X48_mixture_resample", "X52_knn_join",
+      "X53_vocab_coverage")
+    val sf001Dir = "/root/testdata/sf0.001"
+    val offenders = Extras.queries.toSeq.sortBy(_._1).flatMap { case (id, fn) =>
+      val plan = fn(spark, sf001Dir).queryExecution.executedPlan.toString
+      Seq(
+        (!spAllowed(id) && plan.contains("Exchange SinglePartition")) -> "SinglePartition",
+        (!nlAllowed(id) && (plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin"))) -> "NL-join")
+        .collect { case (true, what) => s"$id:$what" }
+    }
+    assert(offenders.isEmpty,
+      s"unexpected plan shapes (justify and allowlist, or fix): ${offenders.mkString(", ")}")
+  }
+
   test("extras plans: tf-idf windows on doc_id, packing never funnels to one partition") {
     val x13 = graft.text.TextAnalysis.tfIdfTopTerms(cat.documents, 3)
       .queryExecution.executedPlan.toString
