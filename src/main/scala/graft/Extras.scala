@@ -592,8 +592,9 @@ WITH tgt(lang, t) AS (VALUES
 counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
 j AS (SELECT c.lang, c.n, tgt.t FROM counts c JOIN tgt USING (lang)),
 tm AS (SELECT MIN(n / t) AS tmax FROM j),
-fr AS (SELECT lang, CASE WHEN tmax * t / n >= 1.0 THEN 'g'
-         ELSE printf('%08x', CAST(floor(tmax * t / n * 4294967296) AS BIGINT)) END AS cut
+fr AS (SELECT lang, CASE WHEN n / t = tmax THEN 'g'
+         WHEN tmax * t / n >= 1.0 THEN 'g'
+         ELSE printf('%08x', CAST(least(floor(tmax * t / n * 4294967296), 4294967295) AS BIGINT)) END AS cut
        FROM j CROSS JOIN tm)
 SELECT d.doc_id, d.lang FROM documents d JOIN fr USING (lang)
 WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || ':' || '42'), 1, 8) < fr.cut

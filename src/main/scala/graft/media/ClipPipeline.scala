@@ -85,12 +85,6 @@ object ClipPipeline {
         struct(col("kind"), col("n_bytes")).as("meta"))
   }
 
-  /** Demux every clip and decode every `everyK`-th frame (frame 0
-    * always included) — the standard stride sampling a video feature
-    * pipeline runs before the expensive per-frame model. Per-partition
-    * batches, one output row per SAMPLED frame; skipped frames are
-    * never decoded (the demux only slices byte ranges).
-    */
   /** [[sampleFrames]] for ANIMATED GIF payloads — the same stride-
     * sampling shape over a real interchange format
     * ([[MediaPipeline.gifFrames]], the JDK's GIF sequence reader).
@@ -106,15 +100,22 @@ object ClipPipeline {
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        val fs = MediaPipeline.gifFrames(bytes)
-        fs.indices.collect {
-          case i if i % everyK == 0 =>
-            SampledFrame(id, i, fs.length, fs(i).getWidth, fs(i).getHeight,
-              MediaPipeline.lumaHistogram(fs(i))(0))
+        // skipped frames are never decoded or retained — the same
+        // contract as the GFTV path's byte-range slicing
+        val (n, sampled) = MediaPipeline.gifSelectFrames(bytes, _ % everyK == 0)
+        sampled.map { case (i, img) =>
+          SampledFrame(id, i, n, img.getWidth, img.getHeight,
+            MediaPipeline.lumaHistogram(img)(0))
         }
       })
   }
 
+  /** Demux every clip and decode every `everyK`-th frame (frame 0
+    * always included) — the standard stride sampling a video feature
+    * pipeline runs before the expensive per-frame model. Per-partition
+    * batches, one output row per SAMPLED frame; skipped frames are
+    * never decoded (the demux only slices byte ranges).
+    */
   def sampleFrames(clips: DataFrame, everyK: Int): Dataset[SampledFrame] = {
     require(everyK >= 1, s"everyK=$everyK")
     val spark = clips.sparkSession

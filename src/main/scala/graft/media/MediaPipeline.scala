@@ -111,13 +111,27 @@ object MediaPipeline {
     * native decoder at exactly this seam.
     */
   def gifFrames(bytes: Array[Byte]): Seq[BufferedImage] = {
+    val (n, frames) = gifSelectFrames(bytes, _ => true)
+    require(frames.length == n, "internal: full demux must decode every frame")
+    frames.map(_._2)
+  }
+
+  /** Demux a GIF decoding ONLY the frames whose index passes `keep` —
+    * the stride-sampling primitive: skipped frames are never decoded or
+    * retained (a 1000-frame clip sampled at stride 10 decodes 100
+    * images, not 1000). Returns (total frame count, kept (idx, frame)
+    * pairs).
+    */
+  def gifSelectFrames(
+      bytes: Array[Byte],
+      keep: Int => Boolean): (Int, Seq[(Int, BufferedImage)]) = {
     require(sniffKind(bytes) == "image/gif", "payload is not a GIF")
     val reader = ImageIO.getImageReadersByFormatName("gif").next()
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
       reader.setInput(iis)
       val n = reader.getNumImages(true)
-      (0 until n).map(reader.read)
+      (n, (0 until n).collect { case i if keep(i) => (i, reader.read(i)) })
     } finally {
       reader.dispose()
       iis.close()

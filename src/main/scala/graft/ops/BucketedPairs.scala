@@ -66,8 +66,8 @@ object BucketedPairs {
     *
     * Output may contain the same (i, j) via several bands — callers
     * dedup after (or after scoring, whichever is cheaper).
-    */
-  /** @param preMaterialized the caller guarantees `members` is already
+    *
+    * @param preMaterialized the caller guarantees `members` is already
     *   a cheap materialized scan (a persisted parquet/bucketed table,
     *   NOT an expensive live lineage). Skips both localCheckpoints so
     *   the scan's physical properties survive into planning — a table

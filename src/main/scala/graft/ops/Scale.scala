@@ -283,10 +283,25 @@ object Scale {
     val tgt = targets.toSeq.sorted.toDF(strata, "__t")
     val counts = df.groupBy(strata).agg(count(lit(1)).as("__n")).join(tgt, strata)
     val tmax = counts.agg(min(col("__n") / col("__t")).as("__tmax"))
+    // binding-stratum and rounding guards, in order of subtlety:
+    //  1. the binding stratum is detected by VALUE (its n/t equals the
+    //     min of the same computed doubles — exact), not by f >= 1.0:
+    //     f = (n/t)·t/n re-rounds and can land at 1 − 2⁻⁵³, which would
+    //     demote the "keep everything" sentinel to an 'ffffffff' cutoff
+    //     that drops coin = ffffffff rows;
+    //  2. f·2³² for f just below 1.0 can ROUND UP to exactly 2³²,
+    //     whose hex is the 9-char "100000000" — lexicographically that
+    //     keeps only coins starting with '0' (1/16 of the space), so
+    //     the floored value is capped at the 8-hex maximum.
+    // The X48 oracle SQL and the PipelineSqlSpec twin mirror all three
+    // branches verbatim.
     val cuts = counts.crossJoin(tmax)
       .withColumn("__f", col("__tmax") * col("__t") / col("__n"))
-      .withColumn("__cut", when(col("__f") >= 1.0, lit("g"))
-        .otherwise(format_string("%08x", floor(col("__f") * lit(4294967296.0)))))
+      .withColumn("__cut",
+        when(col("__n") / col("__t") === col("__tmax"), lit("g"))
+          .when(col("__f") >= 1.0, lit("g"))
+          .otherwise(format_string("%08x",
+            least(floor(col("__f") * lit(4294967296.0)), lit(4294967295L)))))
       .select(col(strata), col("__cut"))
     df.join(broadcast(cuts), Seq(strata))
       .filter(md5Coin(col(key), seed) < col("__cut"))

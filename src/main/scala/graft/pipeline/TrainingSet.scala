@@ -60,46 +60,54 @@ object TrainingSet {
       stage.join(keptIds, Seq("doc_id"), "left_semi")
 
     // 1. quality verdicts (map-side + two-phase aggregates)
-    val quality = keep(documents, ids(
+    val qualityIds = ids(
       TextAnalysis.filterVerdicts(
         documents, cfg.minWords, cfg.maxWords, cfg.maxDupWordFrac, cfg.maxTopWordFrac)
-        .filter(col("keep"))))
+        .filter(col("keep")))
+    val quality = keep(documents, qualityIds)
 
     // 2. exact dedup: one 8-byte-key aggregation
-    val exact = keep(quality, ids(
+    val exactIds = ids(
       quality.select(col("doc_id"), xxhash64(col("text")).as("__fp"))
-        .groupBy("__fp").agg(min("doc_id").as("doc_id"))))
+        .groupBy("__fp").agg(min("doc_id").as("doc_id")))
+    val exact = keep(quality, exactIds)
 
     // 3. near dedup on the shrunk corpus (LSH candidates + exact verify)
-    val near = keep(exact, ids(MinHashDedup.dedupWinners(exact, cfg.dedup)))
+    val nearIds = ids(MinHashDedup.dedupWinners(exact, cfg.dedup))
+    val near = keep(exact, nearIds)
 
     // 4. benchmark decontamination (exact n-gram overlap)
-    val clean = benchmark match {
-      case Some(b) =>
-        keep(near, ids(
-          TextAnalysis.contaminationScores(near, b, cfg.contaminationNgram)
-            .filter(col("overlap_frac") <= cfg.maxOverlapFrac)))
-      case None => near
+    val cleanIds = benchmark match {
+      case Some(b) => ids(
+        TextAnalysis.contaminationScores(near, b, cfg.contaminationNgram)
+          .filter(col("overlap_frac") <= cfg.maxOverlapFrac))
+      case None => nearIds
     }
+    val clean = keep(near, cleanIds)
 
     // 5. optional mixture re-balancing
-    val mixed = cfg.mixture match {
-      case Some(t) => keep(clean,
-        ids(Scale.mixtureResample(clean, "doc_id", cfg.mixtureStrata, t, cfg.seed)))
-      case None => clean
+    val mixedIds = cfg.mixture match {
+      case Some(t) => ids(
+        Scale.mixtureResample(clean, "doc_id", cfg.mixtureStrata, t, cfg.seed))
+      case None => cleanIds
     }
+    val mixed = keep(clean, mixedIds)
 
     // 6. deterministic training order
     val ordered = Scale.shuffleOrder(mixed, "doc_id", cfg.seed)
 
+    // audit counts read the CHECKPOINTED id sets (no stage re-runs its
+    // pipeline for its count); ordering only adds a column, so its
+    // membership count is stage 5's by construction
+    val mixedCount = mixedIds.count()
     val audit = Seq(
       "0_input" -> documents.count(),
-      "1_quality" -> quality.count(),
-      "2_exact_dedup" -> exact.count(),
-      "3_near_dedup" -> near.count(),
-      "4_decontaminated" -> clean.count(),
-      "5_mixture" -> mixed.count(),
-      "6_ordered" -> ordered.count())
+      "1_quality" -> qualityIds.count(),
+      "2_exact_dedup" -> exactIds.count(),
+      "3_near_dedup" -> nearIds.count(),
+      "4_decontaminated" -> cleanIds.count(),
+      "5_mixture" -> mixedCount,
+      "6_ordered" -> mixedCount)
     TrainingSetResult(ordered, audit)
   }
 
@@ -112,8 +120,7 @@ object TrainingSet {
     * order replays the deterministic shuffle, and `shuffle_pos` rides
     * along for mid-epoch resume. [[graft.sources.Sinks.parquetCompacted]]
     * is NOT reused here: its round-robin repartition balances sizes but
-    * would destroy the order this writer exists to preserve (its size
-    * estimate idiom — Catalyst plan stats over the byte target — is).
+    * would destroy the order this writer exists to preserve.
     */
   /** The training-order chunk stream with MODEL-BATCH bin ids: the
     * chunks, ordered by (shuffle_pos, chunk_idx), are cut into bins of
@@ -150,9 +157,18 @@ object TrainingSet {
     val chunks = TextAnalysis
       .chunkDocuments(result.docs.select("doc_id", "text"), maxTokens, stride)
       .join(result.docs.select("doc_id", "shuffle_pos"), Seq("doc_id"))
-    val est = chunks.queryExecution.optimizedPlan.stats.sizeInBytes
+      .localCheckpoint(true)
+    // EXACT content size from one aggregate over the materialized
+    // chunks — Catalyst's estimate for a join is the PRODUCT of its
+    // children's sizes, which would peg nFiles at the cap and write a
+    // million near-empty files regardless of the byte target
+    val stats = chunks
+      .agg(count(lit(1)).as("rows"),
+        coalesce(sum(length(col("chunk"))), lit(0L)).as("bytes"))
+      .first()
+    val est = stats.getLong(1) + stats.getLong(0) * 64L // per-row id/pos overhead
     val nFiles = ((est + targetFileBytes - 1) / targetFileBytes)
-      .max(BigInt(1)).min(BigInt(1 << 20)).toInt
+      .max(1L).min(1L << 20).toInt
     Scale.clusterBy(chunks, nFiles, col("shuffle_pos"), col("chunk_idx"))
       .write.mode("overwrite").parquet(outDir)
   }

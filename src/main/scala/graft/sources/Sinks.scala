@@ -111,11 +111,6 @@ object Sinks {
       .schema(schema)
       .json(path)
 
-  /** Schema-INFERRED readers (SURVEY §1.3: inference is only needed for
-    * CSV/JSON sources). Inference costs an extra pass over the data —
-    * prefer the pinned-schema readers for production reads; these exist
-    * for ad-hoc ingest of files without a known schema.
-    */
   /** Audited CSV read: PERMISSIVE parsing with the raw text of every
     * malformed line captured in `_corrupt_record` — the ingest-time
     * posture for untrusted feeds at scale (FAILFAST kills a 100 TB job
@@ -149,6 +144,11 @@ object Sinks {
       .select("_corrupt_record")
   }
 
+  /** Schema-INFERRED readers (SURVEY §1.3: inference is only needed for
+    * CSV/JSON sources). Inference costs an extra pass over the data —
+    * prefer the pinned-schema readers for production reads; these exist
+    * for ad-hoc ingest of files without a known schema.
+    */
   def readCsvInferred(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("header", "true")

@@ -227,11 +227,17 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val acceptedRoot = s"$outDir/accepted"
     val deltaRoot = s"$outDir/index_delta"
-    def deltaDirs(): Seq[String] = {
-      val root = new java.io.File(deltaRoot)
-      if (!root.isDirectory) Nil
-      else root.listFiles.toSeq
-        .filter(d => d.isDirectory && new java.io.File(d, "_SUCCESS").exists())
+    // COMPLETE batch directories only (_SUCCESS present), excluding the
+    // batch currently being (re)processed: a replayed batch must never
+    // see its own earlier partial or complete write as "prior corpus" —
+    // its docs would collide with themselves at Jaccard 1.0 and the
+    // whole batch would silently self-reject
+    def batchDirs(root: String, excludeBatch: Long): Seq[String] = {
+      val r = new java.io.File(root)
+      if (!r.isDirectory) Nil
+      else r.listFiles.toSeq
+        .filter(d => d.isDirectory && d.getName != s"b$excludeBatch" &&
+          new java.io.File(d, "_SUCCESS").exists())
         .map(_.getPath).sorted
     }
     newDocs.writeStream
@@ -241,20 +247,20 @@ object StreamOps {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val b = batch.localCheckpoint(true)
-          // corpus side: base index + every earlier batch's delta
-          val banded = deltaDirs().foldLeft(
+          // corpus side: base index + every COMPLETE earlier batch's delta
+          val banded = batchDirs(deltaRoot, batchId).foldLeft(
             graft.text.MinHashDedup.readBandedIndex(spark, corpusIndexPath, cfg)) {
             (acc, d) => acc.unionByName(
               graft.text.MinHashDedup.readBandedIndex(spark, d, cfg))
           }
-          // texts of earlier acceptances, for exact verification of the
-          // (few) candidate pairs
+          // texts of earlier COMPLETE acceptances, for exact verification
+          // of the (few) candidate pairs
+          val acceptedPrior = batchDirs(acceptedRoot, batchId)
           val priorAccepted =
-            if (new java.io.File(acceptedRoot).isDirectory)
-              // batch subdirs are b<N>, not key=value partitions
-              spark.read.option("recursiveFileLookup", "true").parquet(acceptedRoot)
-                .select(b.columns.map(col(_)).toSeq: _*)
-            else b.limit(0)
+            if (acceptedPrior.isEmpty) b.limit(0)
+            else acceptedPrior.map(spark.read.parquet(_))
+              .reduce(_ unionByName _)
+              .select(b.columns.map(col(_)).toSeq: _*)
           val existing = corpusDocs.select(b.columns.map(col(_)).toSeq: _*)
             .unionByName(priorAccepted)
           val winners = graft.text.MinHashDedup
@@ -298,11 +304,16 @@ object StreamOps {
     documents.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           graft.text.TextAnalysis
             .filterVerdicts(batch, minWords, maxWords, maxDupWordFrac, maxTopWordFrac)
-            .write.mode("append").parquet(path)
+            // batch-keyed overwrite, NOT a bare append: a micro-batch
+            // replayed after a crash-between-commit-and-checkpoint
+            // rewrites its own directory instead of double-appending
+            // the same verdict rows (readers scan the root with
+            // recursiveFileLookup)
+            .write.mode("overwrite").parquet(s"$path/b$batchId")
       }
       .start()
 
@@ -351,7 +362,11 @@ object StreamOps {
       dim: DataFrame,
       streamKey: String,
       dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(streamKey) === col(dimKey))
+    // side-qualified keys: a dim whose key shares the stream column's
+    // name (user_id = user_id, the common case) would otherwise be an
+    // AMBIGUOUS_REFERENCE analysis error
+    events.as("__s").join(broadcast(dim.as("__d")),
+      col(s"__s.$streamKey") === col(s"__d.$dimKey"))
 
   /** Run a windowed streaming aggregation in UPDATE mode into a
     * partitioned parquet table via foreachBatch + dynamic partition

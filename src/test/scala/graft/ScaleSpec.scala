@@ -214,6 +214,25 @@ class ScaleSpec extends SparkSpec {
     assert(sub.count() == n("en"), "a single-stratum target keeps that stratum whole")
   }
 
+  test("mixtureResample: binding stratum survives the float re-rounding edge") {
+    import spark.implicits._
+    // n=3, t=0.15: n/t = 19.999999999999996, and (n/t)*t/n re-rounds to
+    // just UNDER 1.0 — a >= 1.0 sentinel test would demote the binding
+    // stratum's cutoff and drop rows; binding-by-VALUE must keep all 3
+    val docs = ((1L to 3L).map(i => (i, "aa")) ++ (11L to 27L).map(i => (i, "bb")))
+      .toDF("doc_id", "lang")
+    val kept = Scale.mixtureResample(docs, "doc_id", "lang",
+      Map("aa" -> 0.15, "bb" -> 0.85))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    val binding = Seq("aa" -> (3.0 / 0.15), "bb" -> (17.0 / 0.85)).minBy(_._2)._1
+    val full = Map("aa" -> 3, "bb" -> 17)
+    assert(byLang(binding) == full(binding),
+      s"binding stratum $binding must keep all ${full(binding)} rows, kept ${byLang.get(binding)}")
+    // and no cutoff may ever be the 9-char overflow that keeps 1/16
+    assert(kept.nonEmpty && byLang.values.forall(_ > 0))
+  }
+
   test("stratifiedTopK: equals the naive per-stratum window, exact sizes, k > stratum keeps all") {
     import org.apache.spark.sql.expressions.Window
     val docs = cat.documents.select("doc_id", "lang")

@@ -553,7 +553,9 @@ class StreamingSpec extends SparkSpec {
         writeChunk(docs.filter(f), srcDir, s"chunk$i")
         query.processAllAvailable()
       }
-      val got = spark.read.parquet(outDir).collect()
+      // per-batch subdirectories (idempotent replay) → recursive read
+      val got = spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+        .collect()
         .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
         .toSet
       val want = graft.text.TextAnalysis.filterVerdicts(docs).collect()
@@ -593,5 +595,11 @@ class StreamingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"enrichment must broadcast the dimension:\n$plan")
+    // a dim key sharing the stream column's name (the common case) must
+    // not be an ambiguous reference
+    val sameName = StreamOps.enrichEvents(
+      events, dim.withColumnRenamed("c_custkey", "user_id"), "user_id", "user_id")
+    assert(sameName.count() == events.join(dim,
+      events("user_id") === dim("c_custkey")).count())
   }
 }

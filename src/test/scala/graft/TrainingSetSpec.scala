@@ -97,7 +97,7 @@ class TrainingSetSpec extends SparkSpec {
     val r = TrainingSet.build(cat.documents.limit(120), None, TrainingSetConfig())
     val out = java.nio.file.Files.createTempDirectory("graft-trainset").toString
     TrainingSet.writeChunks(r, out, maxTokens = 64, stride = 64,
-      targetFileBytes = 64L << 10)
+      targetFileBytes = 16L << 10)
     val parts = new java.io.File(out).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .map(_.getPath).sorted
