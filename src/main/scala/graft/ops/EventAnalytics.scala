@@ -37,10 +37,13 @@ object EventAnalytics {
         }
         (s"${i + 1}_$st", reached) :: acc
     }
-    frontiers.reverse.map { case (name, df) =>
+    frontiers.reverse.zipWithIndex.map { case ((name, df), idx) =>
       df.agg(count(lit(1)).cast("bigint").as("n_users"))
-        .select(lit(name).as("stage"), col("n_users"))
-    }.reduce(_ unionByName _).orderBy("stage")
+        // order by the stage ORDINAL, not the label: "10_x" sorts
+        // lexically before "1_y", which would interleave a >=10-stage
+        // funnel out of sequence
+        .select(lit(name).as("stage"), col("n_users"), lit(idx).as("__ord"))
+    }.reduce(_ unionByName _).orderBy("__ord").drop("__ord")
   }
 
   /** Time-to-convert distribution: minutes from each user's first

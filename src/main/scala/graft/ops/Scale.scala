@@ -194,7 +194,11 @@ object Scale {
     // Clamping to "ffffffff" instead would exclude the max coin — a
     // "100%" stratum silently missing 2^-32 of its rows.
     if (f >= 1.0) "g"
-    else f"${(f * 4294967296.0).toLong}%08x"
+    // f one ulp below 1.0: f·2³² can ROUND UP to exactly 2³², whose
+    // hex is the 9-char "100000000" — lexicographically smaller than
+    // most coins, silently keeping ~1/16 of the stratum. Clamp to the
+    // 8-hex maximum (mixtureResample carries the same guard).
+    else f"${math.min((f * 4294967296.0).toLong, 4294967295L)}%08x"
   }
 
   /** First 8 hex chars of md5(key ':' seed): a uniform 32-bit coin that

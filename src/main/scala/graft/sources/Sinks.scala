@@ -66,7 +66,15 @@ object Sinks {
       partitionBy: Seq[String] = Nil): Unit = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     if (partitionBy.isEmpty) {
-      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val est0 = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      // Catalyst's size estimate for a JOIN is the product of its
+      // children's — astronomically wrong, and it would peg the file
+      // count at the cap (a million near-empty files). Treat any
+      // petabyte-plus estimate as corrupt and fall back to exact
+      // rows x schema default row size (one count job).
+      val est =
+        if (est0 < BigInt(1L << 50)) est0
+        else BigInt(df.count()) * df.schema.defaultSize
       val nFiles = ((est + targetFileBytes - 1) / targetFileBytes)
         .max(BigInt(1)).min(BigInt(1 << 20)).toInt
       df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(path)

@@ -98,22 +98,36 @@ object MinHashDedup {
       cfg: MinHashConfig = MinHashConfig()): Unit =
     signatures(documents, cfg)
       .withColumn("sig_v", lit(SignatureVersion))
+      .withColumn("cfg_shingle", lit(cfg.shingleSize))
+      .withColumn("cfg_hashes", lit(cfg.numHashes))
       .write.mode("overwrite").parquet(path)
 
-  def readSignatures(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+  /** Reads refuse any scheme OR config mismatch: signatures built with
+    * a different shingle size verify candidates against a different
+    * n-gram definition, and a different numHashes makes the banding
+    * slice positions meaningless (an out-of-range slice is empty, its
+    * hash constant, and EVERY document collides in those bands) — both
+    * would corrupt dedup silently, so they fail loudly instead (the
+    * same contract as [[readBandedIndex]]).
+    */
+  def readSignatures(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val df = spark.read.parquet(path)
-    require(df.columns.contains("sig_v"),
-      s"signature table at $path has no version column — written by an incompatible build")
+    require(Seq("sig_v", "cfg_shingle", "cfg_hashes").forall(df.columns.contains),
+      s"signature table at $path has no version/config columns — written by an incompatible build")
     // an empty table is as unusable as a wrong-version one; surface both
     // as IllegalArgumentException so cache layers (Extras.sigTable) can
     // treat "refused" uniformly and rebuild
-    val vRow = df.select("sig_v").limit(1).collect().headOption
-    require(vRow.nonEmpty,
+    val head = df.select("sig_v", "cfg_shingle", "cfg_hashes").limit(1).collect().headOption
+    require(head.nonEmpty,
       s"signature table at $path is empty — corrupt or partial write; rebuild it")
-    val v = vRow.get.getInt(0)
-    require(v == SignatureVersion,
-      s"signature table at $path is version $v, this build expects $SignatureVersion — rebuild it")
-    df.drop("sig_v")
+    val (v, sh, nh) = (head.get.getInt(0), head.get.getInt(1), head.get.getInt(2))
+    require(v == SignatureVersion && sh == cfg.shingleSize && nh == cfg.numHashes,
+      s"signature table at $path was built as scheme v$v shingle=$sh hashes=$nh, this run " +
+        s"expects v$SignatureVersion shingle=${cfg.shingleSize} hashes=${cfg.numHashes} — rebuild it")
+    df.select("doc_id", "sig")
   }
 
   private def bandStructs(cfg: MinHashConfig) = (0 until cfg.bands).map { b =>
@@ -388,6 +402,36 @@ object MinHashDedup {
       cfg: MinHashConfig = MinHashConfig()): DataFrame =
     verifyCandidates(documents, candidatePairsFromBanded(banded, cfg), cfg)
 
+  /** Exact shingle-Jaccard scoring of a candidate pair set against
+    * per-side shingle tables — THE shared verification kernel behind
+    * the single-corpus, cross-corpus and incremental paths:
+    * intersection counts from one (pairs ⋈ shingles ⋈ shingles) join,
+    * per-doc sizes joined back, jac = c / (szI + szJ − c), thresholded.
+    * One definition, so a threshold/rounding/join fix lands in every
+    * consumer at once.
+    */
+  private def jaccardAbove(
+      cand: DataFrame,
+      shI: DataFrame,
+      shJ: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizesI = shI.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sizesJ =
+      if (shJ eq shI) sizesI
+      else shJ.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(shI.as("sa"), col("i") === col("sa.doc_id"))
+      .join(shJ.as("sb"), col("j") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") / (col("za.sz") + col("zb.sz") - col("c"))
+    inter
+      .join(sizesI.as("za"), col("i") === col("za.doc_id"))
+      .join(sizesJ.as("zb"), col("j") === col("zb.doc_id"))
+      .filter(jac >= threshold)
+      .select(col("i"), col("j"), round(jac, 6).as("jac"))
+  }
+
   /** Exact shingle-Jaccard re-score of a candidate pair set; shingles
     * only the documents that appear in some pair.
     */
@@ -398,19 +442,7 @@ object MinHashDedup {
     val candIds = cand.select(col("i").as("doc_id"))
       .union(cand.select(col("j").as("doc_id"))).distinct()
     val sh = shingleRows(documents.join(candIds, Seq("doc_id"), "left_semi"), cfg)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // exact intersection sizes for candidate pairs only
-    val inter = cand
-      .join(sh.as("sa"), col("i") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("j") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("c"))
-    val jac = col("c").cast("double") / (col("za.sz") + col("zb.sz") - col("c"))
-    inter
-      .join(sizes.as("za"), col("i") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("j") === col("zb.doc_id"))
-      .filter(jac >= cfg.threshold)
-      .select(col("i"), col("j"), round(jac, 6).as("jac"))
+    jaccardAbove(cand, sh, sh, cfg.threshold)
   }
 
   /** Deduplicated corpus: every document except non-minimal members of
@@ -514,19 +546,7 @@ object MinHashDedup {
       corpus.join(cand.select(col("i").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"), cfg)
     val shB = shingleRows(
       benchmark.join(cand.select(col("j").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"), cfg)
-    val sizesC = shC.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(shC.as("sa"), col("i") === col("sa.doc_id"))
-      .join(shB.as("sb"), col("j") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("c"))
-    val jac = col("c").cast("double") / (col("za.sz") + col("zb.sz") - col("c"))
-    inter
-      .join(sizesC.as("za"), col("i") === col("za.doc_id"))
-      .join(sizesB.as("zb"), col("j") === col("zb.doc_id"))
-      .filter(jac >= cfg.threshold)
-      .select(col("i"), col("j"), round(jac, 6).as("jac"))
+    jaccardAbove(cand, shC, shB, cfg.threshold)
       .orderBy("i", "j")
   }
 
@@ -573,7 +593,10 @@ object MinHashDedup {
       existingDocs: DataFrame,
       bandedOld: DataFrame,
       cfg: MinHashConfig): DataFrame = {
-    val newSigs = signatures(newDocs, cfg)
+    // the shingle+sign pass over the new batch feeds BOTH candidate
+    // joins — materialize it once (fixed-size signature rows), same
+    // discipline as candidatePairsFromSignatures
+    val newSigs = signatures(newDocs, cfg).localCheckpoint(true)
     val bandedNew = bandedFromSignatures(newSigs, cfg)
     // candidates: new-vs-existing (any band collision) ...
     val candOld = bandedNew.as("a")
@@ -588,7 +611,9 @@ object MinHashDedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    val cand = candOld.union(candNew).distinct()
+    // the (small) distinct pair set feeds the id extraction AND the
+    // verification join — materialize it, matching the sibling paths
+    val cand = candOld.union(candNew).distinct().localCheckpoint(true)
     // exact verification shingles ONLY docs (old OR new) that appear in
     // a candidate pair — a large ingest batch with few candidates never
     // pays a full string-shingle pass
@@ -598,17 +623,7 @@ object MinHashDedup {
       .unionByName(newDocs.select(existingDocs.columns.map(col): _*))
       .join(candIds, Seq("doc_id"), "left_semi")
     val sh = shingleRows(involved, cfg)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.as("sa"), col("i") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("j") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("c"))
-    val jac = col("c").cast("double") / (col("za.sz") + col("zb.sz") - col("c"))
-    val losers = inter
-      .join(sizes.as("za"), col("i") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("j") === col("zb.doc_id"))
-      .filter(jac >= cfg.threshold)
+    val losers = jaccardAbove(cand, sh, sh, cfg.threshold)
       .select(col("j").as("doc_id"))
       .distinct()
     newDocs.join(losers, Seq("doc_id"), "left_anti")

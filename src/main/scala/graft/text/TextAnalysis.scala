@@ -170,9 +170,13 @@ object TextAnalysis {
         size(array_distinct(toks)).as("n_uniq"))
       .select(
         col("doc_id"), col("n_chars"), col("n_tokens"),
-        round(col("n_uniq") / col("n_tokens"), 6).as("uniq_ratio"),
+        // zero-token (blank) documents: NULL ratios, not an ANSI
+        // divide-by-zero that kills the whole job on one bad row
+        round(when(col("n_tokens") > 0,
+          col("n_uniq") / col("n_tokens")), 6).as("uniq_ratio"),
         // chars minus the n_tokens-1 separating spaces, per token
-        round((col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens"), 4).as("avg_tok_len"))
+        round(when(col("n_tokens") > 0,
+          (col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens")), 4).as("avg_tok_len"))
   }
 
   /** Gopher-style repetition signals per document — the standard

@@ -210,6 +210,9 @@ object Ivf {
       .withColumn("__r", row_number().over(lw))
       .filter(col("__r") <= nProbe)
       .select(col("qid"), col("qv"), col("centroid_id").as("list_id"))
+      // consumed twice (the pruning-values collect and the join) —
+      // materialize so the centroid scoring pass runs once
+      .localCheckpoint(true)
     // union of probed lists — metadata-sized partition-pruning values
     val probed = qLists.select("list_id").distinct()
       .collect().map(_.getLong(0)).toSeq
