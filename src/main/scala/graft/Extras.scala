@@ -333,6 +333,17 @@ object Extras {
     // share): vocab-sized table, global rank + prefix sum through the
     // bucketed two-pass machinery; fully oracle-checked
     "X53_vocab_coverage" -> q(c => TextAnalysis.vocabCoverage(c.documents, topV = 500)),
+    // padding-efficient length-bucketed batches over the chunk stream:
+    // one bucket per batch bounds within-batch length spread (and
+    // padding waste) below bucketWidth; per-bucket shuffle via ONE
+    // global two-pass row number, never a window over the few coarse
+    // bucket keys; fully oracle-checked
+    "X56_length_batches" -> q(c =>
+      graft.pipeline.TrainingSet.lengthBucketedBatches(
+          TextAnalysis.chunkDocuments(c.documents, maxTokens = 64, stride = 48)
+            .select("doc_id", "chunk_idx", "n_tokens"),
+          bucketWidth = 16, batchSize = 8)
+        .orderBy("doc_id", "chunk_idx")),
     // MapReduce secondary sort, instantiated: per-user event-gap stats
     // needing time-ordered values — repartition by key + ONE in-task
     // external sort + an O(1)-per-group streaming fold (flatMapGroups
@@ -685,6 +696,24 @@ j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
              ELSE 'unchanged' END AS status
       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
 SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id
+""".trim,
+    "X56_length_batches" -> """
+WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS words FROM documents),
+s AS (SELECT doc_id, words, len(words) AS n,
+             unnest(range(0, greatest(len(words), 1), 48)) AS st FROM t),
+ch AS (SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_idx,
+         CAST(len(words[st+1 : st+64]) AS BIGINT) AS n_tokens
+       FROM s WHERE st = 0 OR st + 16 < n),
+k AS (SELECT *, n_tokens // 16 AS bucket,
+        substring(md5(CAST(doc_id AS VARCHAR) || '_' || CAST(chunk_idx AS VARCHAR) || ':' || '42'), 1, 8) AS coin
+      FROM ch),
+r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY coin, doc_id, chunk_idx) AS brn FROM k),
+bo AS (SELECT bucket, CAST(ceil(COUNT(*) / CAST(8 AS DOUBLE)) AS BIGINT) AS nb FROM k GROUP BY bucket),
+o AS (SELECT bucket, COALESCE(SUM(nb) OVER (ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boff FROM bo)
+SELECT r.doc_id, r.chunk_idx, r.n_tokens,
+  CAST(o.boff + (r.brn - 1) // 8 AS BIGINT) AS batch_id
+FROM r JOIN o USING (bucket) ORDER BY r.doc_id, r.chunk_idx
 """.trim,
     "X55_event_gaps" -> """
 WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),

@@ -111,6 +111,58 @@ object TrainingSet {
     TrainingSetResult(ordered, audit)
   }
 
+  /** Padding-efficient BATCH construction over a chunk table — the
+    * dynamic-batching staple: sequences padded to their batch maximum
+    * waste compute proportional to the within-batch length spread, so
+    * chunks are grouped into `n_tokens / bucketWidth` length buckets,
+    * pseudo-randomly shuffled WITHIN their bucket (portable md5 coin),
+    * and cut into batches of `batchSize` — every batch draws from one
+    * bucket, bounding its length spread (and padding waste) below
+    * `bucketWidth`. Batch ids are flat and contiguous (0..), assigned
+    * bucket-by-bucket. Deterministic per seed; oracle-checked as X56.
+    *
+    * Scale shape: the per-bucket shuffle order comes from ONE global
+    * two-pass row number over (bucket, coin) — per-bucket positions
+    * derive by subtracting each bucket's cumulative row offset
+    * (metadata-sized, like the batch-count offsets) — so no window
+    * ever partitions by the HANDFUL of coarse bucket keys (the
+    * straggler a naive PARTITION BY bucket would plan).
+    */
+  def lengthBucketedBatches(
+      chunks: DataFrame,
+      bucketWidth: Int,
+      batchSize: Int,
+      seed: Long = 42L): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth=$bucketWidth")
+    require(batchSize >= 1, s"batchSize=$batchSize")
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val keyed = chunks
+      .withColumn("__bucket", floor(col("n_tokens") / bucketWidth).cast("long"))
+      .withColumn("__coin", substring(md5(concat_ws(":",
+        concat_ws("_", col("doc_id"), col("chunk_idx")),
+        lit(seed.toString)).cast("binary")), 1, 8))
+    val ranked = graft.ops.ScalableWindows.withGlobalRowNumber(
+      keyed, Seq("__bucket", "__coin", "doc_id", "chunk_idx"), "__rn")
+    // per-bucket row and batch offsets — one row per length bucket
+    val counts = keyed.groupBy("__bucket").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var rowOff = 0L
+    var batchOff = 0L
+    val offs = counts.map { case (b, n) =>
+      val row = (b, rowOff, batchOff)
+      rowOff += n
+      batchOff += (n + batchSize - 1) / batchSize
+      row
+    }
+    val offsDf = broadcast(offs.toSeq.toDF("__bucket", "__roff", "__boff"))
+    ranked.join(offsDf, Seq("__bucket"))
+      .withColumn("batch_id",
+        (col("__boff") +
+          floor((col("__rn") - 1 - col("__roff")) / batchSize)).cast("long"))
+      .select(chunks.columns.map(col).toSeq :+ col("batch_id"): _*)
+  }
+
   /** Materialize a built training set as size-targeted parquet of
     * sliding-window chunks in TRAINING ORDER: chunk the surviving docs
     * ([[TextAnalysis.chunkDocuments]]), attach each doc's shuffle

@@ -93,6 +93,34 @@ class TrainingSetSpec extends SparkSpec {
     assert(again == base, "bin assignment must be layout-invariant")
   }
 
+  test("lengthBucketedBatches: batch size and length-spread bounds, contiguous ids, layout-invariant") {
+    val chunks = graft.text.TextAnalysis
+      .chunkDocuments(cat.documents, maxTokens = 64, stride = 48)
+      .select("doc_id", "chunk_idx", "n_tokens")
+    val out = TrainingSet.lengthBucketedBatches(chunks, bucketWidth = 16, batchSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.length == chunks.count(), "every chunk gets a batch")
+    val byBatch = out.groupBy(_._4)
+    byBatch.foreach { case (b, rows) =>
+      assert(rows.length <= 8, s"batch $b has ${rows.length} > 8 chunks")
+      val lens = rows.map(_._3)
+      assert(lens.max - lens.min < 16,
+        s"batch $b spans ${lens.max - lens.min} >= bucketWidth tokens of padding")
+    }
+    // flat contiguous batch ids starting at 0
+    val idsSorted = byBatch.keys.toSeq.sorted
+    assert(idsSorted == (0L until idsSorted.length.toLong))
+    // at most one under-filled batch per length bucket
+    val under = byBatch.values.count(_.length < 8)
+    val nBuckets = out.map(_._3 / 16).distinct.length
+    assert(under <= nBuckets, s"$under underfilled batches for $nBuckets buckets")
+    // deterministic under partition layout
+    val again = TrainingSet.lengthBucketedBatches(
+      chunks.repartition(7), bucketWidth = 16, batchSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(again == out.map(t => (t._1, t._2, t._4)).toSet)
+  }
+
   test("writeChunks: part-file name order replays the deterministic training order") {
     val r = TrainingSet.build(cat.documents.limit(120), None, TrainingSetConfig())
     val out = java.nio.file.Files.createTempDirectory("graft-trainset").toString
