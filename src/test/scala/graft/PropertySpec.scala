@@ -70,6 +70,30 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("hexCutoff law: 8-hex or sentinel, monotone, and admits ~f of the coin space") {
+    check("hexCutoff", Prop.forAll(Gen.choose(0.0, 1.0)) { f =>
+      val cut = graft.ops.Scale.hexCutoff(f)
+      // never the 9-char overflow ("100000000") that keeps 1/16 of rows
+      val wellFormed = cut == "g" || (cut.length == 8 && cut.forall(c =>
+        c.isDigit || (c >= 'a' && c <= 'f')))
+      // admitted fraction ≈ f (coin space is uniform 8-hex strings)
+      val admitted =
+        if (cut == "g") 1.0
+        else java.lang.Long.parseLong(cut, 16).toDouble / 4294967296.0
+      wellFormed && math.abs(admitted - f) < 1e-6
+    })
+    // monotone: a larger fraction never admits fewer coins
+    check("hexCutoff-monotone", Prop.forAll(
+      Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val (cl, ch) = (graft.ops.Scale.hexCutoff(lo), graft.ops.Scale.hexCutoff(hi))
+      ch == "g" || (cl != "g" && cl <= ch)
+    })
+    // the one-ulp-below-1.0 edge stays clamped to the 8-hex maximum
+    assert(graft.ops.Scale.hexCutoff(0.9999999999999999) == "ffffffff")
+    assert(graft.ops.Scale.hexCutoff(1.0) == "g")
+  }
+
   test("Morton out-of-range inputs are refused for every dimension count") {
     (2 to 6).foreach { nDims =>
       val bits = 62 / nDims
