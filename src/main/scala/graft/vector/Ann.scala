@@ -193,6 +193,60 @@ object Ann {
     (nPlanes, cappedBandsFor(nPlanes, simThreshold, targetRecall, maxBands))
   }
 
+  /** Resolve (nPlanes, nBands, maxBucket) for a banded self-join,
+    * deriving ONLY the parameters the caller left at 0 (an explicit
+    * value is always honored — a persisted index built with it depends
+    * on the exact geometry). Costs one `count()` job iff anything is
+    * derived. Shared by [[bandedPairsAbove]] and
+    * [[Quantize.bandedQuantizedPairsAbove]].
+    */
+  private[vector] def resolveBanding(
+      embeddings: DataFrame,
+      threshold: Double,
+      nPlanes: Int,
+      nBands: Int,
+      maxBucket: Int,
+      targetRecall: Double = 0.93): (Int, Int, Int) = {
+    val corpusSize: Long =
+      if (nPlanes > 0 && nBands > 0 && maxBucket > 0) -1L else embeddings.count()
+    val np = if (nPlanes > 0) nPlanes else planesFor(corpusSize)
+    val nb =
+      if (nBands > 0) nBands
+      else cappedBandsFor(np, threshold, targetRecall, maxBands = 512)
+    if (nPlanes == 0 || nBands == 0)
+      log.info(s"resolveBanding: derived nPlanes=$np nBands=$nb for corpus=$corpusSize " +
+        s"threshold=$threshold targetRecall=$targetRecall")
+    val cap =
+      if (maxBucket > 0) maxBucket
+      else math.min(Int.MaxValue.toLong, math.max(4096L, 8L * (corpusSize >> np))).toInt
+    (np, nb, cap)
+  }
+
+  /** Banded sign-LSH member table (id, sigh, band, bucket) — one row per
+    * (vector, band); `sigh` hashes the FULL cross-band signature (the
+    * oversized-bucket defense groups by it). Map-side only: no
+    * embeddings in the output, so the downstream bucket self-join
+    * shuffles 8-byte keys, never vectors. All buckets come from ONE
+    * [[graft.functions.SignBuckets]] kernel call per row — a projection
+    * of nPlanes×nBands stacked dot expressions blows the JVM method
+    * limit past ~250 planes and de-compiles the whole signature pass.
+    */
+  private[vector] def bandedMembers(
+      embeddings: DataFrame,
+      nPlanes: Int,
+      nBands: Int,
+      seed: Long): DataFrame = {
+    val planes = hyperplanes(nPlanes * nBands, dimOf(embeddings), seed)
+    // the full sign pattern across all bands is the vector's signature:
+    // identical vectors (and only near-identical ones, w.h.p.) share it,
+    // which is what the oversized-bucket defense groups by
+    embeddings
+      .select(col("vec_id").as("id"),
+        graft.functions.SignBuckets.signBuckets(col("embedding"), planes, nPlanes).as("__sig"))
+      .select(col("id"), xxhash64(col("__sig")).as("sigh"),
+        posexplode(col("__sig")).as(Seq("band", "bucket")))
+  }
+
   /** Banded sign-LSH near-dup candidates — the high-recall scale path
     * for [[allPairsAbove]]. `nBands` independent `nPlanes`-bit bucket
     * tables; a pair is a candidate if it collides in ANY band (the
@@ -224,36 +278,8 @@ object Ann {
       nBands: Int = 0,
       seed: Long = 42L,
       maxBucket: Int = 0): DataFrame = {
-    val corpusSize: Long =
-      if (nPlanes > 0 && nBands > 0 && maxBucket > 0) -1L else embeddings.count()
-    // derive ONLY what the caller left at 0 — an explicit nPlanes or
-    // nBands is always honored (a persisted index built with it depends
-    // on the exact geometry)
-    val np = if (nPlanes > 0) nPlanes else planesFor(corpusSize)
-    val nb =
-      if (nBands > 0) nBands
-      else cappedBandsFor(np, threshold, targetRecall = 0.93, maxBands = 512)
-    if (nPlanes == 0 || nBands == 0)
-      log.info(s"bandedPairsAbove: derived nPlanes=$np nBands=$nb for corpus=$corpusSize " +
-        s"threshold=$threshold")
-    val cap =
-      if (maxBucket > 0) maxBucket
-      else math.min(Int.MaxValue.toLong, math.max(4096L, 8L * (corpusSize >> np))).toInt
-    val planes = hyperplanes(np * nb, dimOf(embeddings), seed)
-    val bandCols = (0 until nb).map { bd =>
-      val bucket = (0 until np)
-        .map(j => when(dot(col("embedding"), typedLit(planes(bd * np + j))) >= 0,
-          lit(1L << j)).otherwise(0L))
-        .reduce((a, b) => a.bitwiseOR(b))
-      struct(lit(bd).as("band"), bucket.as("bucket"))
-    }
-    // the full sign pattern across all bands is the vector's signature:
-    // identical vectors (and only near-identical ones, w.h.p.) share it,
-    // which is what the oversized-bucket defense groups by
-    val members = embeddings
-      .select(col("vec_id").as("id"), array(bandCols: _*).as("__sig"))
-      .select(col("id"), xxhash64(col("__sig")).as("sigh"), explode(col("__sig")).as("bb"))
-      .select(col("id"), col("sigh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val (np, nb, cap) = resolveBanding(embeddings, threshold, nPlanes, nBands, maxBucket)
+    val members = bandedMembers(embeddings, np, nb, seed)
     // score BEFORE dedup: a pair colliding in k bands is scored k times
     // (the dot is a cheap codegen'd kernel) but the expensive shuffle —
     // the distinct — then runs on the few pairs that beat the

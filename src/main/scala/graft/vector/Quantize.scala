@@ -63,34 +63,111 @@ object Quantize {
     * intent). `extraMargin` only widens the net further (e.g. to absorb
     * float rounding of upstream pipelines); it is never needed for
     * correctness here.
+    *
+    * This is the EXACT BASELINE (recall-1 documentation twin, like
+    * [[Ann.allPairsAbove]]): the candidate stage is still O(n²) pairs,
+    * just on the 4× smaller representation. The production scale path
+    * is [[bandedQuantizedPairsAbove]], which generates candidates
+    * inside sign-LSH buckets instead of the cartesian.
     */
   def quantizedPairsAbove(
       embeddings: DataFrame,
       threshold: Double,
       extraMargin: Double = 0.0): DataFrame = {
     require(extraMargin >= 0, s"extraMargin $extraMargin must be >= 0")
-    val qt = quantize(embeddings)
-    // per-row Σ|q_i| feeds the per-pair error bound; computed once per
-    // vector, 8 bytes carried through the cross join
-    val withAbs = qt.withColumn("qabs",
+    val (qa, qb, admit) = quantizedSides(embeddings, threshold, extraMargin)
+    val cand = qa.crossJoin(qb)
+      .filter(col("i") < col("j"))
+      .filter(admit)
+      .select("i", "j")
+    exactRerank(cand, embeddings, threshold)
+  }
+
+  /** The scale form of [[quantizedPairsAbove]]: candidates meet inside
+    * banded sign-LSH buckets ([[Ann.bandedMembers]] geometry — pairs
+    * colliding in ANY of `nBands` `nPlanes`-bit bucket tables), the int8
+    * bound-filter prunes them WITHOUT touching float vectors, and only
+    * the survivors are exact-rescored on the full-precision table. Never
+    * plans a cartesian: candidate mass is Σ over (band, bucket) of
+    * m²/2, linear in the corpus for bounded buckets (`maxBucket` cap via
+    * [[graft.ops.BucketedPairs.cappedCandidatePairs]], with the same
+    * oversized-bucket accuracy contract).
+    *
+    * Accuracy: precision 1 (exact re-rank); within a shared bucket the
+    * int8 bound admits every true pair (the [[quantizedPairsAbove]]
+    * proof), so recall equals the BANDING recall 1-(1-p^nPlanes)^nBands
+    * with p = 1-acos(û·ŵ)/π — a function of the pair's ANGLE (the
+    * normalized cosine û·ŵ), because sign buckets are invariant under
+    * positive per-vector scaling. On a unit-norm corpus the angle IS the
+    * thresholded dot, so recall at the threshold is the formula at s =
+    * threshold — choose `nBands` for the miss rate the pipeline
+    * tolerates (defaults derive from `targetRecall`). On a corpus with
+    * wildly varying norms a pair can clear the raw-dot threshold through
+    * norm alone while its angle (hence collision probability) stays
+    * small — LSH cannot see norms; normalize first, or use the exact
+    * [[quantizedPairsAbove]] when raw-dot semantics over non-unit
+    * vectors are required (the spec pins exactly this split).
+    */
+  def bandedQuantizedPairsAbove(
+      embeddings: DataFrame,
+      threshold: Double,
+      nPlanes: Int = 0,
+      nBands: Int = 0,
+      seed: Long = 42L,
+      maxBucket: Int = 0,
+      targetRecall: Double = 0.9999,
+      extraMargin: Double = 0.0): DataFrame = {
+    require(extraMargin >= 0, s"extraMargin $extraMargin must be >= 0")
+    val (np, nb, cap) =
+      Ann.resolveBanding(embeddings, threshold, nPlanes, nBands, maxBucket, targetRecall)
+    val members = Ann.bandedMembers(embeddings, np, nb, seed)
+    val (qa, qb, admit) = quantizedSides(embeddings, threshold, extraMargin)
+    // int8-filter BEFORE dedup: a pair colliding in k bands is bound-
+    // checked k times (cheap codegen'd ByteDot), and the distinct — the
+    // expensive shuffle — runs on the few admitted pairs only
+    val cand = graft.ops.BucketedPairs.cappedCandidatePairs(members, cap)
+      .join(qa, Seq("i"))
+      .join(qb, Seq("j"))
+      .filter(admit)
+      .select("i", "j")
+      .distinct()
+    exactRerank(cand, embeddings, threshold)
+  }
+
+  /** Both sides of a quantized pair scan plus the admission predicate
+    * `sa·sb·(q·p) > threshold − bound − extraMargin` (per-pair provable
+    * bound — see [[quantizedPairsAbove]]). The per-row Σ|q_i| feeding
+    * the bound is computed once per vector, 8 bytes carried through the
+    * join. The candidate dot is the native codegen'd ByteDot kernel, NOT
+    * the zip_with/aggregate HOF form: interpreted per-element lambdas
+    * inside the wide stage measured 10× slower.
+    */
+  private def quantizedSides(
+      embeddings: DataFrame,
+      threshold: Double,
+      extraMargin: Double): (DataFrame, DataFrame, org.apache.spark.sql.Column) = {
+    val withAbs = quantize(embeddings).withColumn("qabs",
       aggregate(col("q"), lit(0L), (s, x) => s + abs(x.cast("long"))))
     val qa = withAbs.select(col("vec_id").as("i"), col("q").as("qa"),
       col("scale").as("sa"), col("qabs").as("aa"))
     val qb = withAbs.select(col("vec_id").as("j"), col("q").as("qb"),
       col("scale").as("sb"), col("qabs").as("ab"))
-    // exact integer dot on the int8 arrays (no float rounding in the
-    // candidate stage at all) — the native codegen'd ByteDot kernel, NOT
-    // the zip_with/aggregate HOF form: interpreted per-element lambdas
-    // inside the O(n²) cross join measured 10× slower
     val qdot = graft.functions.VectorFunctions
       .byteDot(col("qa"), col("qb")).cast("double")
     val ss = col("sa").cast("double") * col("sb").cast("double")
     val bound = ss / 2.0 *
       (col("aa") + col("ab") + size(col("qa")).cast("double") / 2.0)
-    val cand = qa.crossJoin(qb)
-      .filter(col("i") < col("j"))
-      .filter(ss * qdot > lit(threshold) - bound - lit(extraMargin))
-      .select("i", "j")
+    (qa, qb, ss * qdot > lit(threshold) - bound - lit(extraMargin))
+  }
+
+  /** Exact re-rank of candidate (i, j) pairs on the full-precision
+    * table: join embeddings back for the candidates only, keep pairs
+    * whose true dot beats `threshold`.
+    */
+  private def exactRerank(
+      cand: DataFrame,
+      embeddings: DataFrame,
+      threshold: Double): DataFrame =
     cand
       .join(embeddings.select(col("vec_id").as("i"), col("embedding").as("ea")), Seq("i"))
       .join(embeddings.select(col("vec_id").as("j"), col("embedding").as("eb")), Seq("j"))
@@ -98,5 +175,4 @@ object Quantize {
       .filter(col("dp") > threshold)
       .select(col("i"), col("j"), round(col("dp"), 6).as("cos"))
       .orderBy("i", "j")
-  }
 }

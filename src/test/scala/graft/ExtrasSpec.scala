@@ -359,6 +359,26 @@ class ExtrasSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(viaQS == exactS,
       s"non-unit recall broken: missing=${exactS -- viaQS}, extra=${viaQS -- exactS}")
+    // the banded scale path (the X28 production form) must reproduce the
+    // exact output on the fixture: banding recall at 4x80 leaves the
+    // expected miss count ~1e-3, and the seed is fixed, so this equality
+    // is deterministic, not flaky
+    val viaB = Quantize.bandedQuantizedPairsAbove(
+        cat.embeddings, 0.4, nPlanes = 4, nBands = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaB == exact, s"banded missing=${exact -- viaB}, extra=${viaB -- exact}")
+    // on NON-UNIT vectors the banded path's recall is angular (sign
+    // buckets can't see norms — scaladoc contract): precision must stay
+    // 1 (exact re-rank), and every pair whose ANGLE also qualifies
+    // (unit-cosine > 0.4 ⇒ collision miss ~1e-6/pair at 4x80) must
+    // appear; pairs qualifying on raw dot through norm alone may not
+    val viaBS = Quantize.bandedQuantizedPairsAbove(
+        scaled, 0.4, nPlanes = 4, nBands = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert((viaBS -- exactS).isEmpty, s"banded non-unit precision: extra=${viaBS -- exactS}")
+    val angularQualified = exactS.filter { case (i, j, _) => exact.exists(p => p._1 == i && p._2 == j) }
+    assert((angularQualified -- viaBS).isEmpty,
+      s"banded non-unit angular recall: missing=${angularQualified -- viaBS}")
   }
 
   test("WAV audio decode recovers true sample counts and sine signal features") {

@@ -57,12 +57,12 @@ class PlanAuditSpec extends SparkSpec {
       "X53_vocab_coverage")
     // one-row broadcast scalars (probe vectors, totals, thresholds) or
     // candidate stages that ARE cross joins by design (exact oracle
-    // twins, quantized candidate scan, batched kNN against broadcast
-    // queries)
+    // twins, batched kNN against broadcast queries); X28 is NOT here:
+    // its banded form must never plan a cartesian
     val nlAllowed = Set(
       "X05_ngram_jaccard", "X06_embed_neardup", "X09_ann_top5",
       "X11_ivf_top5", "X13_tfidf_top3", "X14_ivf_index_probe",
-      "X28_quantized_neardup", "X48_mixture_resample", "X52_knn_join",
+      "X48_mixture_resample", "X52_knn_join",
       "X53_vocab_coverage")
     val sf001Dir = "/root/testdata/sf0.001"
     val offenders = Extras.queries.toSeq.sortBy(_._1).flatMap { case (id, fn) =>
@@ -100,6 +100,15 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(qp.contains("graft_bytedot"), s"candidate stage must use ByteDot:\n$qp")
     assert(!qp.contains("zip_with"), s"no HOF lambda in the candidate cross join:\n$qp")
+    // the banded scale form (X28 production path) keeps the ByteDot
+    // kernel AND never plans a cartesian: candidates meet inside
+    // (band, bucket) equi-join buckets only
+    val bqp = graft.vector.Quantize.bandedQuantizedPairsAbove(
+        cat.embeddings, 0.4, nPlanes = 4, nBands = 80)
+      .queryExecution.executedPlan.toString
+    assert(bqp.contains("graft_bytedot"), s"banded int8 filter must use ByteDot:\n$bqp")
+    assert(!bqp.contains("CartesianProduct") && !bqp.contains("BroadcastNestedLoopJoin"),
+      s"banded quantized scan must not plan a cartesian:\n$bqp")
     val bpe = graft.text.TextAnalysis.tokenCountComparison(cat.documents)
       .queryExecution.executedPlan.toString
     assert(!bpe.contains("ScalaUDF"), s"BPE counting must be built-in regexp:\n$bpe")
