@@ -97,6 +97,21 @@ object BucketedPairs {
         "and degrade from exhaustive to linear candidate generation — distinct-signature " +
         "pair recall in those buckets is reduced; raise the cap or the number of planes/bands " +
         "if this fraction is large")
+    // the common case — NO bucket over the cap — doesn't need the stats
+    // join or the three oversized tiers at all: they'd contribute zero
+    // rows but still cost their full plan, codegen, and exchanges on
+    // every invocation (measured: the majority of a banded query's cold
+    // wall-clock at fixture scale). The diagnostic above already ran
+    // eagerly, so this is a data-driven plan choice, not a guess; the
+    // result is identical because `small` would equal `m` and every
+    // oversized tier would filter to empty.
+    if (cappedRows == 0) {
+      return m.as("a")
+        .join(m.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("i"), col("b.id").as("j"))
+    }
     // tagged is read by both self-join sides and all three oversized
     // tiers — materialize it once (cheap: m is already local) rather
     // than re-running the stats join per consumer; in preMaterialized

@@ -122,15 +122,17 @@ object Quantize {
       Ann.resolveBanding(embeddings, threshold, nPlanes, nBands, maxBucket, targetRecall)
     val members = Ann.bandedMembers(embeddings, np, nb, seed)
     val (qa, qb, admit) = quantizedSides(embeddings, threshold, extraMargin)
-    // int8-filter BEFORE dedup: a pair colliding in k bands is bound-
-    // checked k times (cheap codegen'd ByteDot), and the distinct — the
-    // expensive shuffle — runs on the few admitted pairs only
+    // dedup the bare (i, j) ids BEFORE attaching int8 arrays: a pair
+    // colliding in k bands appears k times, and at permissive thresholds
+    // k is large — deduping 16-byte id rows costs one narrow exchange,
+    // while carrying the q arrays through the multiplicity would ~k×
+    // the bytes and ByteDot work of the filter stage
     val cand = graft.ops.BucketedPairs.cappedCandidatePairs(members, cap)
+      .distinct()
       .join(qa, Seq("i"))
       .join(qb, Seq("j"))
       .filter(admit)
       .select("i", "j")
-      .distinct()
     exactRerank(cand, embeddings, threshold)
   }
 

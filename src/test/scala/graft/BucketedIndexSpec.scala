@@ -33,18 +33,26 @@ class BucketedIndexSpec extends SparkSpec {
 
       // 1. plan shape: the capped pair generation over the bucketed scan
       // carries NO shuffle exchange of the member table; the flat
-      // parquet path must shuffle for the same joins/aggregates
-      val bucketedPlan = BucketedPairs
-        .cappedCandidatePairs(bucketed, cfg.maxBucket, preMaterialized = true)
-        .queryExecution.executedPlan.toString
+      // parquet path must shuffle for the same joins/aggregates. Both
+      // plans are compared with auto-broadcast OFF: at 100 TB neither
+      // side of the self-join fits a broadcast, and the claim pinned
+      // here is that BUCKETING (not a fixture-sized broadcast) removes
+      // the exchanges — with broadcast on, the tiny test index would
+      // hide the flat path's at-scale shuffle behind a BroadcastExchange
+      val (bucketedPlan, flatPlan) = try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (BucketedPairs
+          .cappedCandidatePairs(bucketed, cfg.maxBucket, preMaterialized = true)
+          .queryExecution.executedPlan.toString,
+         BucketedPairs
+          .cappedCandidatePairs(flat, cfg.maxBucket, preMaterialized = true)
+          .queryExecution.executedPlan.toString)
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
         "Exchange SinglePartition").foreach { x =>
         assert(!bucketedPlan.contains(x),
           s"bucketed candidate generation must be exchange-free ($x):\n$bucketedPlan")
       }
-      val flatPlan = BucketedPairs
-        .cappedCandidatePairs(flat, cfg.maxBucket, preMaterialized = true)
-        .queryExecution.executedPlan.toString
       assert(flatPlan.contains("Exchange hashpartitioning"),
         "sanity: the un-bucketed index is expected to shuffle — if it stops, " +
           "the bucketed variant no longer buys anything and should be retired")
