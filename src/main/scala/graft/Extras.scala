@@ -14,11 +14,18 @@ import graft.vector.Ann
   * (dedup, similarity search, text analysis, multimodal plumbing)
   * mandated by BASELINE.json's north star.
   *
-  * X01–X06 are deterministic and DuckDB-expressible → full oracle
-  * check. X07–X10 depend on engine-specific hashing (xxhash64), typed
-  * mapPartitions, or LSH bucketing → the driver's rows-only check, with
-  * semantics pinned by ExtrasSpec property tests instead (recall vs
-  * exact, fingerprint stability, probe-all ≡ brute-force).
+  * Most extras are oracle-checked (100 of 111 driver queries): either
+  * directly DuckDB-expressible, or — for the index-backed paths
+  * X11/X14/X15/X16/X29/X38 — checked against the MIRRORED persisted
+  * index parquet: the signature/centroid generation is engine-specific
+  * (xxhash64), but the bucket self-join, exact-Jaccard verify,
+  * winner/cluster algebra and centroid probe downstream of the
+  * persisted files are plain SQL. The remaining rows-only queries
+  * (X07–X10, X12, X17, X25–X27, X37, X46) are inherently
+  * un-oracle-checkable — end-to-end engine hashing, probabilistic LSH
+  * with no persisted artifact, JPEG-lossy media, sketch unions — and
+  * are pinned by ExtrasSpec property tests instead (recall vs exact,
+  * fingerprint stability, probe-all ≡ brute-force).
   */
 object Extras {
 
@@ -38,6 +45,49 @@ object Extras {
     val s = s"v2:$config:$dir:${f.length}:${f.lastModified}"
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Root of the STABLE-path mirrors of the per-corpus index artifacts.
+    * The DuckDB oracle SQL is static text, so it cannot chase the
+    * stamped cache directories — index-backed queries mirror their
+    * artifact here (one fixed name per artifact kind) and the oracle
+    * reads these files with `read_parquet`. The mirror carries the same
+    * content stamp as its source and is refreshed whenever the stamp
+    * changes, so an oracle run always sees the artifact of the corpus
+    * the queries just ran on (the driver runs Verify, THEN DuckDB).
+    */
+  private val oracleIdxRoot =
+    new java.io.File(sys.props("java.io.tmpdir"), "graft_oracle_idx").toString
+
+  /** Mirror a (small, local) artifact directory to the stable oracle
+    * path `oracleIdxRoot/name`, skipping the copy when the stamp marker
+    * already matches. Plain recursive file copy: layout (including
+    * partition directories) is preserved exactly.
+    */
+  private def mirrorStable(src: String, name: String, stampValue: String): String = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val dst = Paths.get(oracleIdxRoot, name)
+    val marker = dst.resolve("_GRAFT_STAMP")
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == stampValue
+    if (!fresh) {
+      def rmTree(p: Path): Unit = if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.delete(f))
+      }
+      rmTree(dst)
+      val srcPath = Paths.get(src)
+      Files.walk(srcPath).forEach { p =>
+        val rel = dst.resolve(srcPath.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(rel)
+        else {
+          Files.createDirectories(rel.getParent)
+          Files.copy(p, rel, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+      Files.write(marker, stampValue.getBytes("UTF-8"))
+    }
+    dst.toString
   }
 
   /** Per-corpus persisted MinHash signature table (written once to the
@@ -71,17 +121,24 @@ object Extras {
     */
   private def bandedTable(c: Catalog): DataFrame = {
     val cfg = graft.text.MinHashConfig()
+    val st = stamp(c.dir, "documents",
+      s"mhb:v${MinHashDedup.SignatureVersion}:${cfg.shingleSize}:${cfg.numHashes}:${cfg.bands}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_minhash_banded_" + stamp(c.dir, "documents",
-        s"mhb:v${MinHashDedup.SignatureVersion}:${cfg.shingleSize}:${cfg.numHashes}:${cfg.bands}")).toString
+      "graft_minhash_banded_" + st).toString
     if (!new java.io.File(dir, "_SUCCESS").exists())
       MinHashDedup.writeBandedIndex(sigTable(c), dir, cfg)
-    try MinHashDedup.readBandedIndex(c.spark, dir, cfg)
-    catch {
-      case _: IllegalArgumentException =>
-        MinHashDedup.writeBandedIndex(sigTable(c), dir, cfg)
-        MinHashDedup.readBandedIndex(c.spark, dir, cfg)
-    }
+    val banded =
+      try MinHashDedup.readBandedIndex(c.spark, dir, cfg)
+      catch {
+        case _: IllegalArgumentException =>
+          MinHashDedup.writeBandedIndex(sigTable(c), dir, cfg)
+          MinHashDedup.readBandedIndex(c.spark, dir, cfg)
+      }
+    // the X15/X16/X29/X38 oracles read the SAME banded member rows the
+    // Spark path consumes — the bucket self-join + exact-Jaccard verify
+    // downstream is plain SQL once the index is parquet
+    mirrorStable(dir, "minhash_banded", st)
+    banded
   }
 
   /** Per-corpus persisted IVF index, built once (same stamp scheme as
@@ -89,10 +146,15 @@ object Extras {
     * name advertises, not a rebuild.
     */
   private def ivfIndexDir(c: Catalog): String = {
+    val st = stamp(c.dir, "embeddings", "ivf:16")
     val idx = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivf_index_" + stamp(c.dir, "embeddings", "ivf:16")).toString
+      "graft_ivf_index_" + st).toString
     if (!new java.io.File(s"$idx/vectors", "_SUCCESS").exists())
       graft.vector.Ivf.writeIndex(c.embeddings, idx, nLists = 16)
+    // the X11/X14 oracles probe the SAME persisted centroids/vectors the
+    // Spark path reads (and that X11's inline centroid choice matches by
+    // construction — writeIndex derives them deterministically)
+    mirrorStable(idx, "ivf", st)
     idx
   }
 
@@ -137,8 +199,13 @@ object Extras {
     "X08_simhash" -> q(c => SimHash.fingerprints(c.documents).orderBy("doc_id")),
     "X09_ann_top5" -> q(c =>
       Ann.annTopK(c.embeddings, probeId = 0, k = 5, nPlanes = 8, probeRadius = 2)),
-    "X11_ivf_top5" -> q(c =>
-      graft.vector.Ivf.ivfTopK(c.embeddings, probeId = 0, k = 5, nLists = 16, nProbe = 4)),
+    "X11_ivf_top5" -> q(c => {
+      // the oracle reads the mirrored centroids (identical to the
+      // inline choice by construction) — make sure they exist even when
+      // X11 runs before X14
+      ivfIndexDir(c)
+      graft.vector.Ivf.ivfTopK(c.embeddings, probeId = 0, k = 5, nLists = 16, nProbe = 4)
+    }),
     "X10_media_features" -> q(c =>
       MediaPipeline.mediaFeatures(c.spark, c.documents).limit(200)),
     // tf-idf on top of the L04 document-frequency block (oracle-checked)
@@ -160,8 +227,14 @@ object Extras {
     // dominant dedup cost) is paid once per corpus; repeat calls reuse
     // it. Deterministic (signatures are a pure function of the corpus),
     // and ExtrasSpec pins from-signatures ≡ direct.
-    "X15_minhash_from_sigs" -> q(c =>
-      MinHashDedup.dedupWinners(c.documents, sigs = Some(sigTable(c)))),
+    "X15_minhash_from_sigs" -> q(c => {
+      // the oracle reads the mirrored BANDED table (same candidates by
+      // construction — banding is a pure function of the signatures,
+      // and from-sigs ≡ from-banded is spec-pinned); ensure the mirror
+      // exists even when X15 runs before X38
+      bandedTable(c)
+      MinHashDedup.dedupWinners(c.documents, sigs = Some(sigTable(c)))
+    }),
     // dedup from the persisted BANDED index: the cheapest repeat-run
     // entry — skips the shingle+sign pass AND the banding shuffle;
     // ExtrasSpec pins from-banded ≡ direct
@@ -371,7 +444,123 @@ object Extras {
     * expressions mirror TextAnalysis exactly: whitespace split, empties
     * dropped, 1-based n-gram shingles.
     */
+  /** Shared CTE chain: LSH candidate pairs off the MIRRORED banded
+    * member table (plain bucket self-join — no capping term: the band
+    * hash space is 2^64, so test corpora never produce an oversized
+    * bucket and the Spark path's capped generation is exhaustive too),
+    * exact-verified by 3-shingle Jaccard ≥ 0.8 over the SAME documents
+    * table — the DuckDB restatement of candidatePairsFromBanded +
+    * verifyCandidates. Used by the X15/X16/X29/X38 oracles.
+    */
+  private def bandedVerifiedCtes: String = {
+    val b = s"$oracleIdxRoot/minhash_banded/*.parquet"
+    s"""cand AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM read_parquet('$b') a
+  JOIN read_parquet('$b') b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+cids AS (SELECT i AS doc_id FROM cand UNION SELECT j FROM cand),
+t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM cids)),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM t WHERE len(toks) >= 3) u),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT cand.i, cand.j, COUNT(*) AS c
+          FROM cand JOIN sh a ON cand.i = a.doc_id
+                    JOIN sh b ON cand.j = b.doc_id AND a.s = b.s
+          GROUP BY 1, 2),
+verified AS (SELECT inter.i, inter.j FROM inter
+  JOIN sz sa ON inter.i = sa.doc_id JOIN sz sb ON inter.j = sb.doc_id
+  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8)"""
+  }
+
+  /** Winners = every document except verified-pair losers (min doc_id
+    * wins) — winnersFrom in SQL.
+    */
+  private def bandedWinnersSql: String =
+    s"""WITH $bandedVerifiedCtes
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT j FROM verified)
+ORDER BY doc_id""".trim
+
+  /** Connected components over the verified pairs via transitive
+    * closure (component id = min reachable doc_id) — the SQL
+    * restatement of BOTH min-label propagation (X16) and
+    * large-star/small-star (X29), which the specs pin equal.
+    */
+  private def bandedClustersSql: String =
+    s"""WITH RECURSIVE $bandedVerifiedCtes,
+edges AS (SELECT i AS a, j AS b FROM verified UNION SELECT j, i FROM verified),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, re.r AS r FROM edges e JOIN reach re ON e.b = re.node)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node ORDER BY doc_id""".trim
+
+  /** The persisted-IVF probe in SQL: nProbe nearest centroids by dot
+    * product (unrounded, centroid_id tiebreak — Ivf.probeIndex's exact
+    * arithmetic), partition-style list pruning, exact re-score rounded
+    * to 6 dp. `k` then `keep` mirror the Spark form's limit(k) →
+    * filter(≠probe) → limit(keep).
+    */
+  private def ivfProbeSql(k: Int, keep: Int): String = {
+    val cents = s"$oracleIdxRoot/ivf/centroids/*.parquet"
+    val vecs = s"$oracleIdxRoot/ivf/vectors/*/*.parquet"
+    s"""WITH probe AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+lists AS (SELECT centroid_id
+  FROM read_parquet('$cents'), probe
+  ORDER BY list_inner_product(centroid::DOUBLE[], probe.embedding::DOUBLE[]) DESC, centroid_id
+  LIMIT 4),
+topk AS (SELECT v.vec_id,
+                ROUND(list_inner_product(v.embedding::DOUBLE[], p.embedding::DOUBLE[]), 6) AS cos
+         FROM read_parquet('$vecs', hive_partitioning = true) v, probe p
+         WHERE v.list_id IN (SELECT centroid_id FROM lists)
+         ORDER BY cos DESC, vec_id
+         LIMIT $k)
+SELECT vec_id, cos FROM topk WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT $keep""".trim
+  }
+
+  /** The inline IVF query in SQL: assignment recomputed from the
+    * MIRRORED centroids (identical to X11's inline centroid choice —
+    * writeIndex derives them deterministically from the corpus), argmax
+    * by (dot DESC, centroid_id) exactly like Ivf.assign's struct max.
+    */
+  private def ivfInlineSql: String = {
+    val cents = s"$oracleIdxRoot/ivf/centroids/*.parquet"
+    s"""WITH probe AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+cents AS (SELECT centroid_id, centroid FROM read_parquet('$cents')),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS list_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                      c.centroid_id) AS rk
+    FROM embeddings e CROSS JOIN cents c) z
+  WHERE rk = 1),
+lists AS (SELECT centroid_id FROM cents, probe
+  ORDER BY list_inner_product(probe.embedding::DOUBLE[], centroid::DOUBLE[]) DESC, centroid_id
+  LIMIT 4)
+SELECT a.vec_id, ROUND(list_inner_product(p.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) AS cos
+FROM assigned a, probe p
+WHERE a.list_id IN (SELECT centroid_id FROM lists) AND a.vec_id <> 0
+ORDER BY cos DESC, vec_id LIMIT 5""".trim
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // -- index-backed extras, oracle-checked against the MIRRORED
+    // persisted artifacts (VERDICT r5 item 3): the signature/centroid
+    // GENERATION is engine-specific (xxhash64), but everything
+    // downstream of the persisted parquet — bucket self-join, exact
+    // Jaccard verify, winner/cluster algebra, centroid probe — is plain
+    // SQL DuckDB runs on the same files --
+    "X15_minhash_from_sigs" -> bandedWinnersSql,
+    "X38_minhash_from_banded" -> bandedWinnersSql,
+    "X16_dup_clusters" -> bandedClustersSql,
+    "X29_dup_clusters_stars" -> bandedClustersSql,
+    "X11_ivf_top5" -> ivfInlineSql,
+    "X14_ivf_index_probe" -> ivfProbeSql(k = 6, keep = 5),
     "X01_token_stats" -> """
 WITH t AS (SELECT lang, len(list_filter(str_split(text, ' '), w -> w <> '')) AS tok FROM documents)
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens,
