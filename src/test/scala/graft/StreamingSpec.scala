@@ -538,6 +538,86 @@ class StreamingSpec extends SparkSpec {
       "streaming ingest must equal batch-mode incremental dedup")
   }
 
+  test("crash recovery: ingest stopped mid-stream restarts from the checkpoint and equals the uninterrupted run") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf001, "documents")
+    def textOf(id: Long): String =
+      docs.filter(col("doc_id") === id).select("text").collect()(0).getString(0)
+    def mk(id: Long, text: String): DataFrame =
+      Seq((id, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .select(Tables.schemas("documents").fields.map(f => col(f.name).cast(f.dataType)): _*)
+    val corpus = docs.filter(col("doc_id") < 300)
+    val idxDir = Files.createTempDirectory("graft-crash-idx").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(corpus), idxDir)
+    // batch 0 runs BEFORE the crash; batches 1 and 2 arrive during the
+    // outage. 1101 clones a PRE-crash acceptance (1001) — restart must
+    // reject it off the pre-crash index delta; 1100 clones corpus doc
+    // 10; 1200 clones post-restart acceptance 1102 (cross-batch after
+    // the restart)
+    val batch0 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 302)
+      .unionByName(mk(1001L, "zeta eta theta iota kappa lambda unique first"))
+    val batch1 = mk(1100L, textOf(10L))
+      .unionByName(mk(1101L, "zeta eta theta iota kappa lambda unique first"))
+      .unionByName(mk(1102L, "omicron pi rho sigma tau genuinely new content"))
+    val batch2 = mk(1200L, "omicron pi rho sigma tau genuinely new content")
+      .unionByName(mk(1201L, "upsilon phi chi psi omega entirely different words"))
+
+    def acceptedOf(outDir: String): Set[Long] =
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$outDir/accepted")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // interrupted run: q1 sees only batch 0, stops (the "crash"); the
+    // remaining files land while no query runs; q2 resumes from the SAME
+    // checkpoint and must process exactly the backlog (never batch 0
+    // again — its batch-keyed dirs would be rewritten identically, but
+    // re-seeing its rows as NEW input would self-reject the clones)
+    val srcDir = Files.createTempDirectory("graft-crash-src")
+    val outDir = Files.createTempDirectory("graft-crash-out").toString
+    val ckpt = Files.createTempDirectory("graft-crash-ckpt").toString
+    def startIngest() = StreamOps.ingestDedupStream(
+      StreamOps.documentsStream(spark, srcDir.toString), corpus, idxDir, outDir, ckpt)
+    writeChunk(batch0, srcDir, "chunk0")
+    val q1 = startIngest()
+    try q1.processAllAvailable() finally q1.stop()
+    val preCrash = acceptedOf(outDir)
+    assert(preCrash == Set(300L, 301L, 1001L), s"pre-crash acceptances wrong: $preCrash")
+    writeChunk(batch1, srcDir, "chunk1")
+    writeChunk(batch2, srcDir, "chunk2")
+    val q2 = startIngest()
+    try q2.processAllAvailable() finally q2.stop()
+    val interrupted = acceptedOf(outDir)
+
+    // uninterrupted reference: same inputs, one query, fresh state
+    val srcDir2 = Files.createTempDirectory("graft-crash-src2")
+    val outDir2 = Files.createTempDirectory("graft-crash-out2").toString
+    val ckpt2 = Files.createTempDirectory("graft-crash-ckpt2").toString
+    val q3 = StreamOps.ingestDedupStream(
+      StreamOps.documentsStream(spark, srcDir2.toString), corpus, idxDir, outDir2, ckpt2)
+    try {
+      Seq(batch0, batch1, batch2).zipWithIndex.foreach { case (b, i) =>
+        writeChunk(b, srcDir2, s"chunk$i")
+        q3.processAllAvailable()
+      }
+    } finally q3.stop()
+    val uninterrupted = acceptedOf(outDir2)
+
+    assert(interrupted == uninterrupted,
+      s"restart diverged from the uninterrupted run: interrupted=$interrupted uninterrupted=$uninterrupted")
+    assert(interrupted == Set(300L, 301L, 1001L, 1102L, 1201L),
+      s"accepted set wrong: $interrupted")
+    // and both equal the batch-mode contract over (corpus ∪ all new)
+    val allNew = batch0.unionByName(batch1).unionByName(batch2)
+    val newIds = allNew.select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchMode = graft.text.MinHashDedup
+      .dedupWinners(corpus.unionByName(allNew))
+      .collect().map(_.getLong(0)).toSet
+    assert(interrupted == (batchMode & newIds),
+      "crash-recovered ingest must equal batch-mode incremental dedup")
+  }
+
   test("streaming quality gate: replayed corpus produces exactly the batch attributes table") {
     val docs = Tables.load(spark, sf1, "documents")
     val srcDir = Files.createTempDirectory("graft-stream-score")
