@@ -413,8 +413,9 @@ object Extras {
     // padding-efficient length-bucketed batches over the chunk stream:
     // one bucket per batch bounds within-batch length spread (and
     // padding waste) below bucketWidth; per-bucket shuffle via ONE
-    // global two-pass row number, never a window over the few coarse
-    // bucket keys; fully oracle-checked
+    // global two-pass row number over a composite (bucket-hex ++ coin)
+    // key that splits WITHIN a length bucket — never a window
+    // partitioned by the few coarse bucket keys; fully oracle-checked
     "X56_length_batches" -> q(c =>
       graft.pipeline.TrainingSet.lengthBucketedBatches(
           TextAnalysis.chunkDocuments(c.documents, maxTokens = 64, stride = 48)

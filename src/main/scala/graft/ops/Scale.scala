@@ -286,6 +286,19 @@ object Scale {
     import spark.implicits._
     val tgt = targets.toSeq.sorted.toDF(strata, "__t")
     val counts = df.groupBy(strata).agg(count(lit(1)).as("__n")).join(tgt, strata)
+    // fail loudly on target strata ABSENT from the corpus (the join
+    // above would silently drop them and the returned mixture would
+    // violate the requested ratios) — same posture as readSignatures /
+    // readBandedIndex refusing mismatched artifacts. Strata present in
+    // the corpus but absent from `targets` are dropped BY CONTRACT (the
+    // mixture defines the output composition); absence in the corpus is
+    // an impossibility, not a choice. Metadata-sized collect.
+    val present = counts.select(strata).collect().map(_.getString(0)).toSet
+    val absent = targets.keySet -- present
+    require(absent.isEmpty,
+      s"mixtureResample: target strata absent from the corpus: " +
+        s"${absent.toSeq.sorted.mkString(", ")} — no subset can meet the requested " +
+        "ratios; remove them from targets or fix the corpus")
     val tmax = counts.agg(min(col("__n") / col("__t")).as("__tmax"))
     // binding-stratum and rounding guards, in order of subtlety:
     //  1. the binding stratum is detected by VALUE (its n/t equals the
@@ -348,8 +361,14 @@ object Scale {
         "unless the coin is non-uniform; check the key column for degenerate values")
       val cutsDf = countsDf
         .withColumn("__f", least(lit(1.0), (lit(k.toDouble) + lit(slack)) / col("__n")))
+        // the least(..., 2^32−1) clamp mirrors hexCutoff/mixtureResample:
+        // for __f one ulp below 1.0 the product can round to exactly 2^32,
+        // whose hex is the 9-char '100000000' — lexicographically that
+        // admits only coins starting with '0' (1/16 of the stratum) and
+        // costs a redundant completeness-retry pass
         .withColumn("__cut", when(col("__f") >= 1.0, lit("g"))
-          .otherwise(format_string("%08x", floor(col("__f") * lit(4294967296.0)))))
+          .otherwise(format_string("%08x",
+            least(floor(col("__f") * lit(4294967296.0)), lit(4294967295L)))))
         .select(col(strata), col("__n"), col("__cut"))
       val survivors = df.join(broadcast(cutsDf), Seq(strata))
         .filter(coin < col("__cut"))

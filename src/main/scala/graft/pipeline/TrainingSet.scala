@@ -126,7 +126,11 @@ object TrainingSet {
     * derive by subtracting each bucket's cumulative row offset
     * (metadata-sized, like the batch-count offsets) — so no window
     * ever partitions by the HANDFUL of coarse bucket keys (the
-    * straggler a naive PARTITION BY bucket would plan).
+    * straggler a naive PARTITION BY bucket would plan). The row number
+    * orders by a composite (bucket-hex ++ coin) STRING key so the
+    * boundary bucketing can split inside a length bucket: bucketing on
+    * the raw bucket id would glue each length bucket to one window
+    * partition and quietly rebuild the same straggler.
     */
   def lengthBucketedBatches(
       chunks: DataFrame,
@@ -142,8 +146,18 @@ object TrainingSet {
       .withColumn("__coin", substring(md5(concat_ws(":",
         concat_ws("_", col("doc_id"), col("chunk_idx")),
         lit(seed.toString)).cast("binary")), 1, 8))
+      // bucket-major composite ORDER key that still varies WITHIN a
+      // length bucket: boundary bucketing can never split equal
+      // first-key values, so ordering by the raw __bucket (a handful of
+      // distinct values) would degenerate the local window to one
+      // partition per length bucket — exactly the coarse-key straggler
+      // this two-pass shape exists to avoid. The fixed-width hex prefix
+      // makes the string order identical to (__bucket ASC, __coin ASC),
+      // so the global row number (and every batch id) is unchanged.
+      .withColumn("__key",
+        concat(format_string("%016x", col("__bucket")), col("__coin")))
     val ranked = graft.ops.ScalableWindows.withGlobalRowNumber(
-      keyed, Seq("__bucket", "__coin", "doc_id", "chunk_idx"), "__rn")
+      keyed, Seq("__key", "doc_id", "chunk_idx"), "__rn")
     // per-bucket row and batch offsets — one row per length bucket
     val counts = keyed.groupBy("__bucket").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
@@ -163,17 +177,6 @@ object TrainingSet {
       .select(chunks.columns.map(col).toSeq :+ col("batch_id"): _*)
   }
 
-  /** Materialize a built training set as size-targeted parquet of
-    * sliding-window chunks in TRAINING ORDER: chunk the surviving docs
-    * ([[TextAnalysis.chunkDocuments]]), attach each doc's shuffle
-    * position, and range-cluster by (shuffle_pos, chunk_idx) into
-    * ~`targetFileBytes` files — ascending range partitions map to
-    * ascending part-file names, so a reader streaming files in name
-    * order replays the deterministic shuffle, and `shuffle_pos` rides
-    * along for mid-epoch resume. [[graft.sources.Sinks.parquetCompacted]]
-    * is NOT reused here: its round-robin repartition balances sizes but
-    * would destroy the order this writer exists to preserve.
-    */
   /** The training-order chunk stream with MODEL-BATCH bin ids: the
     * chunks, ordered by (shuffle_pos, chunk_idx), are cut into bins of
     * `binTokens` via the distributed prefix sum — a chunk belongs to
@@ -199,6 +202,17 @@ object TrainingSet {
       .drop("__run")
   }
 
+  /** Materialize a built training set as size-targeted parquet of
+    * sliding-window chunks in TRAINING ORDER: chunk the surviving docs
+    * ([[TextAnalysis.chunkDocuments]]), attach each doc's shuffle
+    * position, and range-cluster by (shuffle_pos, chunk_idx) into
+    * ~`targetFileBytes` files — ascending range partitions map to
+    * ascending part-file names, so a reader streaming files in name
+    * order replays the deterministic shuffle, and `shuffle_pos` rides
+    * along for mid-epoch resume. [[graft.sources.Sinks.parquetCompacted]]
+    * is NOT reused here: its round-robin repartition balances sizes but
+    * would destroy the order this writer exists to preserve.
+    */
   def writeChunks(
       result: TrainingSetResult,
       outDir: String,

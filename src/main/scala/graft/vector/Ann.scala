@@ -320,12 +320,24 @@ object Ann {
     * Ranking uses the ROUNDED score (6 dp, vec_id tiebreak) so the
     * result is reproducible across engines — float-noise ties cannot
     * flip membership. Oracle-checked as X52.
+    *
+    * `excludeSelf` (default true) drops the corpus row whose vec_id
+    * EQUALS the query's — correct when queries are drawn from the
+    * corpus id space (the same-table shape every caller here uses).
+    * Pass false for a query table with INDEPENDENT ids, where an
+    * unrelated corpus vector could collide with a query id and be
+    * silently dropped.
     */
-  def knnJoin(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def knnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(
       queries.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    val keep = if (excludeSelf) col("vec_id") =!= col("qid") else lit(true)
     topKPerQuery(
-      corpus.join(q, col("vec_id") =!= col("qid"))
+      corpus.join(q, keep)
         .select(col("qid"), col("vec_id"),
           round(dot(col("qv"), col("embedding")), 6).as("cos")), k)
   }
@@ -339,6 +351,7 @@ object Ann {
     * candidate) pair meets at most once (probe buckets are distinct).
     * `probeRadius = nPlanes` probes every bucket and reproduces
     * [[knnJoin]] exactly — the property VectorIndexSpec pins.
+    * `excludeSelf` has the [[knnJoin]] shared-id-space contract.
     */
   def annKnnJoin(
       queries: DataFrame,
@@ -346,7 +359,8 @@ object Ann {
       k: Int,
       nPlanes: Int = 8,
       probeRadius: Int = 2,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      excludeSelf: Boolean = true): DataFrame = {
     val planes = hyperplanes(nPlanes, dimOf(corpus), seed)
     val masks = bucketsWithin(0L, nPlanes, probeRadius)
     val qb = broadcast(
@@ -356,9 +370,10 @@ object Ann {
           col("bucket").as("__qb"))
         .select(col("qid"), col("qv"),
           col("__qb").bitwiseXOR(col("__m")).as("__probe")))
+    val keep = if (excludeSelf) col("vec_id") =!= col("qid") else lit(true)
     topKPerQuery(
       withBucket(corpus, planes)
-        .join(qb, col("bucket") === col("__probe") && col("vec_id") =!= col("qid"))
+        .join(qb, col("bucket") === col("__probe") && keep)
         .select(col("qid"), col("vec_id"),
           round(dot(col("qv"), col("embedding")), 6).as("cos")), k)
   }

@@ -192,14 +192,17 @@ object Ivf {
     * the vectors scan, and candidates meet queries with a broadcast
     * equi-join on list_id. `nProbe = nLists` searches every list and
     * reproduces the exact [[Ann.knnJoin]] over the indexed corpus
-    * (VectorIndexSpec pins it).
+    * (VectorIndexSpec pins it). `excludeSelf` has [[Ann.knnJoin]]'s
+    * shared-id-space contract: default true assumes queries are drawn
+    * from the corpus id space; pass false for independent query ids.
     */
   def ivfKnnJoin(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       queries: DataFrame,
       k: Int,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = broadcast(spark.read.parquet(s"$path/centroids"))
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -221,7 +224,7 @@ object Ivf {
     val kw = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     cand
       .join(broadcast(qLists), Seq("list_id"))
-      .filter(col("vec_id") =!= col("qid"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("qid") else lit(true))
       .select(col("qid"), col("vec_id"),
         round(dot(col("qv"), col("embedding")), 6).as("cos"))
       .withColumn("rk", row_number().over(kw))

@@ -233,6 +233,17 @@ class ScaleSpec extends SparkSpec {
     assert(kept.nonEmpty && byLang.values.forall(_ > 0))
   }
 
+  test("mixtureResample: a target stratum absent from the corpus fails loudly") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, "en")).toDF("doc_id", "lang")
+    // the counts⋈targets join would silently drop 'xx' and return a
+    // corpus violating the requested mixture — refuse instead
+    val e = intercept[IllegalArgumentException] {
+      Scale.mixtureResample(docs, "doc_id", "lang", Map("en" -> 0.5, "xx" -> 0.5))
+    }
+    assert(e.getMessage.contains("absent from the corpus") && e.getMessage.contains("xx"))
+  }
+
   test("stratifiedTopK: equals the naive per-stratum window, exact sizes, k > stratum keeps all") {
     import org.apache.spark.sql.expressions.Window
     val docs = cat.documents.select("doc_id", "lang")

@@ -119,6 +119,18 @@ class TrainingSetSpec extends SparkSpec {
       chunks.repartition(7), bucketWidth = 16, batchSize = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     assert(again == out.map(t => (t._1, t._2, t._4)).toSet)
+    // the global row number must order by the composite (bucket-hex ++
+    // coin) key, never the raw coarse bucket: boundary bucketing cannot
+    // split equal first-key values, so a window keyed on __bucket (a
+    // handful of distinct lengths) would degenerate to one partition
+    // per length bucket — the straggler the two-pass shape exists to kill
+    val plan = TrainingSet.lengthBucketedBatches(chunks, bucketWidth = 16, batchSize = 8)
+      .queryExecution.executedPlan.toString
+    val winSpec = plan.linesIterator.filter(_.contains("windowspecdefinition")).mkString("\n")
+    assert(winSpec.contains("__key"),
+      s"row-number window must order by the composite __key:\n$winSpec")
+    assert(!winSpec.contains("__bucket#"),
+      s"row-number window must not touch the coarse __bucket key:\n$winSpec")
   }
 
   test("writeChunks: part-file name order replays the deterministic training order") {

@@ -135,6 +135,24 @@ class VectorIndexSpec extends SparkSpec {
       s"IVF kNN join must prune list partitions:\n$plan")
   }
 
+  test("kNN join excludeSelf: id-colliding corpus rows are kept for independent query ids") {
+    import org.apache.spark.sql.functions.col
+    val corpus = cat.embeddings.filter(col("vec_id") < 50)
+    // a query whose id COLLIDES with corpus vec 7 but whose vector is
+    // vec 3's: under the shared-id-space default the corpus row 7 is
+    // (correctly, for same-table use) excluded; with excludeSelf=false
+    // — independent query ids — it must be scored like any other row
+    val queries = corpus.filter(col("vec_id") === 3)
+      .select(org.apache.spark.sql.functions.lit(7L).as("vec_id"), col("embedding"))
+    val k = 60 // > |corpus|, so the result enumerates every scored row
+    val withExcl = Ann.knnJoin(queries, corpus, k).collect().map(_.getLong(1)).toSet
+    val without = Ann.knnJoin(queries, corpus, k, excludeSelf = false)
+      .collect().map(_.getLong(1)).toSet
+    assert(!withExcl.contains(7L) && without.contains(7L),
+      s"excludeSelf flag must gate the id-collision drop: with=$withExcl")
+    assert(without == withExcl + 7L, "the flag must change nothing else")
+  }
+
   test("batched kNN join: k rows per query, probe-all ANN ≡ exact, bucketed probe keeps recall") {
     val corpus = cat.embeddings
     val queries = corpus.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0)
