@@ -294,6 +294,67 @@ object Ann {
       .orderBy("i", "j")
   }
 
+  /** [[bandedPairsAbove]] under a PER-VECTOR exact-scoring budget — the
+    * embedding twin of
+    * [[graft.text.MinHashDedup.budgetedVerifiedPairs]], and the defense
+    * against a vector spam pile: a vector buried among thousands of
+    * near-identical embeddings otherwise drags every one of its
+    * (linear-bounded, but still numerous) candidates through exact
+    * scoring. Each vector scores only its `maxPairsPerVec` STRONGEST
+    * candidates per pair side — band-collision count as the monotone
+    * evidence (a band collides with probability p^nPlanes, p monotone
+    * in the pair's cosine), partner id as the deterministic tiebreak —
+    * so per-vector scoring work is a hard constant and total work is
+    * ≤ 2·budget·vectors regardless of pile shape.
+    *
+    * Recall contract (the text twin's, verbatim): pairs are dropped
+    * ONLY around vectors whose candidate degree exceeds the budget, and
+    * the dropped ones are that vector's weakest-evidence pairs. With
+    * `maxPairsPerVec` ≥ every vector's candidate degree the result
+    * EXACTLY equals [[bandedPairsAbove]] (spec-pinned). Under a tight
+    * budget a large near-dup pile is only partially connected — each
+    * member keeps its strongest links; callers wanting full pile
+    * recall at bounded cost should drop EXACT duplicate vectors first
+    * (hash the quantized bytes — O(n)) so piles collapse before LSH
+    * sees them.
+    */
+  def budgetedBandedPairsAbove(
+      embeddings: DataFrame,
+      threshold: Double,
+      maxPairsPerVec: Int,
+      nPlanes: Int = 0,
+      nBands: Int = 0,
+      seed: Long = 42L,
+      maxBucket: Int = 0): DataFrame = {
+    require(maxPairsPerVec >= 1, s"maxPairsPerVec=$maxPairsPerVec must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val (np, nb, cap) = resolveBanding(embeddings, threshold, nPlanes, nBands, maxBucket)
+    // collision strength replaces bandedPairsAbove's score-then-distinct:
+    // the per-pair band count is the ranking evidence, so the dedup and
+    // the strength aggregate are the same groupBy
+    val strength = graft.ops.BucketedPairs
+      .cappedCandidatePairs(bandedMembers(embeddings, np, nb, seed), cap)
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n_bands"))
+      .localCheckpoint(true)
+    // per-vector windows: keys are single vector ids (degree already
+    // linear-bounded by the bucket cap), never corpus-sized partitions
+    val wI = Window.partitionBy("i").orderBy(col("n_bands").desc, col("j").asc)
+    val wJ = Window.partitionBy("j").orderBy(col("n_bands").desc, col("i").asc)
+    val budgeted = strength
+      .withColumn("__ri", row_number().over(wI))
+      .withColumn("__rj", row_number().over(wJ))
+      .filter(col("__ri") <= maxPairsPerVec && col("__rj") <= maxPairsPerVec)
+      .select("i", "j")
+    budgeted
+      .join(embeddings.select(col("vec_id").as("i"), col("embedding").as("ea")), Seq("i"))
+      .join(embeddings.select(col("vec_id").as("j"), col("embedding").as("eb")), Seq("j"))
+      .withColumn("dp", dot(col("ea"), col("eb")))
+      .filter(col("dp") > threshold)
+      .select(col("i"), col("j"), round(col("dp"), 6).as("cos"))
+      .orderBy("i", "j")
+  }
+
   // ---- persisted index ----------------------------------------------
 
   /** Persist the LSH-bucketed corpus partitioned by `bucket`, so probes

@@ -119,6 +119,49 @@ class SkewDefenseSpec extends SparkSpec {
     assert(tight.nonEmpty, "a budget of 1 must still verify the strongest links")
   }
 
+  test("budgeted embedding pairs: generous budget ≡ banded exact, tight budget bounds per-vector degree") {
+    val cat = graft.ops.Catalog(spark, sf001)
+    // fixed banding so the budgeted and unbudgeted runs share geometry
+    val (np, nb) = (4, 16)
+    val exact = Ann.bandedPairsAbove(cat.embeddings, 0.4, nPlanes = np, nBands = nb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture sanity: the corpus must contain near-dup vectors")
+    // a budget above every candidate degree reproduces the banded result
+    val generous = Ann.budgetedBandedPairsAbove(
+      cat.embeddings, 0.4, maxPairsPerVec = 1 << 20, nPlanes = np, nBands = nb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(generous == exact, "an unconstraining budget must change nothing")
+    // a tight budget returns a subset with per-side degree ≤ budget
+    val b = 1
+    val tight = Ann.budgetedBandedPairsAbove(
+      cat.embeddings, 0.4, maxPairsPerVec = b, nPlanes = np, nBands = nb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(exact), "budgeting must never invent pairs")
+    assert(tight.nonEmpty, "a budget of 1 must still score the strongest links")
+    val asI = tight.groupBy(_._1).view.mapValues(_.size).toMap
+    val asJ = tight.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(asI.values.forall(_ <= b) && asJ.values.forall(_ <= b),
+      s"per-side degree must respect the budget: i=${asI.values.max}, j=${asJ.values.max}")
+  }
+
+  test("budgeted embedding pairs: a vector spam pile's scoring work stays constant per member") {
+    import spark.implicits._
+    // 200 identical vectors — the adversarial pile; all-pairs scoring
+    // would be 19 900 exact dots
+    val v = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
+    val vecs = (0L until 200L).map(id => (id, v)).toDF("vec_id", "embedding")
+    val b = 2
+    val pairs = Ann.budgetedBandedPairsAbove(
+      vecs, 0.9, maxPairsPerVec = b, nPlanes = 4, nBands = 8, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "the pile's strongest links must survive the budget")
+    val asI = pairs.groupBy(_._1).view.mapValues(_.size).toMap
+    val asJ = pairs.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(asI.values.forall(_ <= b) && asJ.values.forall(_ <= b),
+      s"per-side degree must respect the budget on the pile: " +
+        s"i=${asI.values.max}, j=${asJ.values.max}")
+  }
+
   test("banded sign-LSH: near-constant embeddings stay bounded, every member reaches its anchor") {
     import spark.implicits._
     val v = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
