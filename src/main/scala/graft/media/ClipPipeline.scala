@@ -110,6 +110,31 @@ object ClipPipeline {
       })
   }
 
+  /** [[sampleGifFrames]] for DELTA-OPTIMIZED GIFs
+    * ([[MediaPipeline.encodeAnimatedGifDelta]] or any external delta
+    * encoder): stored frames run through the disposal-method state
+    * machine, so each sampled row carries the FULL playback frame even
+    * when the file stores a partial delta. Every stored frame up to
+    * the last sample must still be decoded — frame i's pixels depend
+    * on frames 0..i-1 by construction — so the stride saves retention
+    * and downstream feature cost, not decode.
+    */
+  def sampleGifFramesComposed(clips: DataFrame, everyK: Int): Dataset[SampledFrame] = {
+    require(everyK >= 1, s"everyK=$everyK")
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val (n, sampled) = MediaPipeline.gifComposedSelectFrames(bytes, _ % everyK == 0)
+        sampled.map { case (i, img) =>
+          SampledFrame(id, i, n, img.getWidth, img.getHeight,
+            MediaPipeline.lumaHistogram(img)(0))
+        }
+      })
+  }
+
   /** Demux every clip and decode every `everyK`-th frame (frame 0
     * always included) — the standard stride sampling a video feature
     * pipeline runs before the expensive per-frame model. Per-partition

@@ -4,6 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
+import javax.imageio.metadata.IIOMetadataNode
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -105,15 +106,231 @@ object MediaPipeline {
 
   /** Demux an animated GIF into its frames with the JDK's real GIF
     * reader. Frames are returned AS STORED: GIFs written by a
-    * delta-optimizing encoder carry partial frames that would need
-    * compositing for playback — [[encodeAnimatedGif]] writes full
-    * frames, and a production pipeline would hand delta GIFs to a
-    * native decoder at exactly this seam.
+    * delta-optimizing encoder carry partial frames — use
+    * [[gifComposedFrames]] to run the disposal-method state machine and
+    * get full playback frames; [[encodeAnimatedGif]] writes full frames
+    * so its output needs no composition.
     */
   def gifFrames(bytes: Array[Byte]): Seq[BufferedImage] = {
     val (n, frames) = gifSelectFrames(bytes, _ => true)
     require(frames.length == n, "internal: full demux must decode every frame")
     frames.map(_._2)
+  }
+
+  /** Animated GIF, delta-optimized: frame 0 is stored full; each later
+    * frame stores only the bounding box of pixels that changed vs the
+    * previous frame, placed at its (left, top) offset with disposal
+    * `doNotDispose` — the classic GIF size optimization. An unchanged
+    * frame stores a 1×1 box (GIF has no zero-size frames). All input
+    * frames must share one canvas size. [[gifFrames]] on this output
+    * returns the PARTIAL stored frames; [[gifComposedFrames]]
+    * reconstructs playback.
+    */
+  def encodeAnimatedGifDelta(frames: Seq[BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "an animated GIF needs at least one frame")
+    val (w, h) = (frames.head.getWidth, frames.head.getHeight)
+    require(frames.forall(f => f.getWidth == w && f.getHeight == h),
+      "delta encoding requires a constant canvas size across frames")
+    val out = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var prev: BufferedImage = null
+      frames.foreach { f =>
+        val box =
+          if (prev == null) new java.awt.Rectangle(0, 0, w, h)
+          else {
+            var (x0, y0, x1, y1) = (w, h, -1, -1)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                if (f.getRGB(x, y) != prev.getRGB(x, y)) {
+                  if (x < x0) x0 = x
+                  if (y < y0) y0 = y
+                  if (x > x1) x1 = x
+                  if (y > y1) y1 = y
+                }
+                x += 1
+              }
+              y += 1
+            }
+            if (x1 < 0) new java.awt.Rectangle(0, 0, 1, 1) // identical frame
+            else new java.awt.Rectangle(x0, y0, x1 - x0 + 1, y1 - y0 + 1)
+          }
+        val sub = copyRegion(f, box)
+        val meta = writer.getDefaultImageMetadata(
+          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(sub), null)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        // the default tree carries a GENERIC 256-entry LocalColorTable
+        // (not the image's palette); supplying it would override the
+        // image's color model and scramble colors — drop it so the
+        // writer derives the palette from the image, as the
+        // null-metadata path does
+        val lct = root.getElementsByTagName("LocalColorTable")
+        (0 until lct.getLength).reverse.foreach(i => root.removeChild(lct.item(i)))
+        val desc = root.getElementsByTagName("ImageDescriptor").item(0)
+          .asInstanceOf[IIOMetadataNode]
+        desc.setAttribute("imageLeftPosition", box.x.toString)
+        desc.setAttribute("imageTopPosition", box.y.toString)
+        desc.setAttribute("interlaceFlag", "FALSE")
+        val gce = {
+          val existing = root.getElementsByTagName("GraphicControlExtension")
+          if (existing.getLength > 0) existing.item(0).asInstanceOf[IIOMetadataNode]
+          else { // DTD order puts GCE after ImageDescriptor/LocalColorTable
+            val n = new IIOMetadataNode("GraphicControlExtension")
+            root.appendChild(n)
+            n
+          }
+        }
+        gce.setAttribute("disposalMethod", "doNotDispose")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(sub, null, meta), null)
+        prev = f
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** Compose an animated GIF into full playback frames by running the
+    * disposal-method state machine over the stored (possibly partial)
+    * frames: each frame draws at its (left, top) offset over the
+    * canvas, then its disposal applies — `none`/`doNotDispose` keeps
+    * the canvas, `restoreToBackgroundColor` clears the frame's
+    * rectangle, `restoreToPrevious` reverts the canvas to its
+    * pre-frame state. Full-frame GIFs compose to their stored frames
+    * unchanged.
+    */
+  def gifComposedFrames(bytes: Array[Byte]): Seq[BufferedImage] = {
+    val (n, frames) = gifComposedSelectFrames(bytes, _ => true)
+    require(frames.length == n, "internal: full composition must emit every frame")
+    frames.map(_._2)
+  }
+
+  /** [[gifComposedFrames]] retaining only the frames whose index passes
+    * `keep`. Unlike [[gifSelectFrames]], every stored frame up to the
+    * LAST kept index must still be decoded — frame i's pixels depend on
+    * frames 0..i-1 by construction of delta encoding — so sampling
+    * saves retention and downstream feature cost, not decode. Returns
+    * (total frame count, kept (idx, full frame) pairs).
+    */
+  def gifComposedSelectFrames(
+      bytes: Array[Byte],
+      keep: Int => Boolean): (Int, Seq[(Int, BufferedImage)]) = {
+    require(sniffKind(bytes) == "image/gif", "payload is not a GIF")
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      val lastKept = (n - 1 to 0 by -1).find(keep).getOrElse(-1)
+      if (lastKept < 0) (n, Seq.empty)
+      else {
+        val metas = (0 to lastKept).map(i => gifFrameMeta(reader, i))
+        // canvas = logical screen, or the frame extents if the LSD is
+        // absent/undersized (encoders disagree; playback uses the max)
+        val canvasW = math.max(gifScreenDims(reader)._1, metas.map(m => m.x + m.w).max)
+        val canvasH = math.max(gifScreenDims(reader)._2, metas.map(m => m.y + m.h).max)
+        val canvas = new BufferedImage(canvasW, canvasH, BufferedImage.TYPE_INT_ARGB)
+        val g = canvas.createGraphics()
+        val out = Seq.newBuilder[(Int, BufferedImage)]
+        var i = 0
+        while (i <= lastKept) {
+          val m = metas(i)
+          val saved = if (m.disposal == "restoreToPrevious") copyRegion(
+            canvas, new java.awt.Rectangle(0, 0, canvasW, canvasH)) else null
+          g.drawImage(reader.read(i), m.x, m.y, null)
+          if (keep(i)) out += ((i, copyRegion(
+            canvas, new java.awt.Rectangle(0, 0, canvasW, canvasH))))
+          m.disposal match {
+            case "restoreToBackgroundColor" =>
+              val comp = g.getComposite
+              g.setComposite(java.awt.AlphaComposite.Clear)
+              g.fillRect(m.x, m.y, m.w, m.h)
+              g.setComposite(comp)
+            case "restoreToPrevious" =>
+              val comp = g.getComposite
+              g.setComposite(java.awt.AlphaComposite.Src)
+              g.drawImage(saved, 0, 0, null)
+              g.setComposite(comp)
+            case _ => // none / doNotDispose: canvas persists
+          }
+          i += 1
+        }
+        g.dispose()
+        (n, out.result())
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** Placement + disposal of one stored frame, from the GIF's real
+    * per-frame metadata (`javax_imageio_gif_image_1.0`).
+    */
+  private final case class GifFrameMeta(
+      x: Int, y: Int, w: Int, h: Int, disposal: String)
+
+  private def gifFrameMeta(
+      reader: javax.imageio.ImageReader, i: Int): GifFrameMeta = {
+    val root = reader.getImageMetadata(i)
+      .getAsTree("javax_imageio_gif_image_1.0").asInstanceOf[IIOMetadataNode]
+    def first(name: String): Option[IIOMetadataNode] = {
+      val kids = root.getElementsByTagName(name)
+      if (kids.getLength > 0) Some(kids.item(0).asInstanceOf[IIOMetadataNode]) else None
+    }
+    val desc = first("ImageDescriptor").getOrElse(throw new IllegalArgumentException(
+      s"GIF frame $i carries no ImageDescriptor"))
+    GifFrameMeta(
+      desc.getAttribute("imageLeftPosition").toInt,
+      desc.getAttribute("imageTopPosition").toInt,
+      desc.getAttribute("imageWidth").toInt,
+      desc.getAttribute("imageHeight").toInt,
+      first("GraphicControlExtension").map(_.getAttribute("disposalMethod"))
+        .filter(_.nonEmpty).getOrElse("none"))
+  }
+
+  /** Logical screen size from the GIF stream metadata; (0, 0) when the
+    * descriptor is absent (the caller falls back to frame extents).
+    */
+  private def gifScreenDims(reader: javax.imageio.ImageReader): (Int, Int) = {
+    val root = reader.getStreamMetadata
+      .getAsTree("javax_imageio_gif_stream_1.0").asInstanceOf[IIOMetadataNode]
+    val lsd = root.getElementsByTagName("LogicalScreenDescriptor")
+    if (lsd.getLength == 0) (0, 0)
+    else {
+      val d = lsd.item(0).asInstanceOf[IIOMetadataNode]
+      def dim(a: String) = d.getAttribute(a) match {
+        case s if s.nonEmpty && s.forall(_.isDigit) => s.toInt
+        case _ => 0
+      }
+      (dim("logicalScreenWidth"), dim("logicalScreenHeight"))
+    }
+  }
+
+  /** Deep-copy a rectangle of `src` into a fresh image of the same
+    * color model — safe to hand to codecs (no shared raster, no
+    * translated origin).
+    */
+  private def copyRegion(src: BufferedImage, r: java.awt.Rectangle): BufferedImage = {
+    val out = new BufferedImage(
+      src.getColorModel,
+      src.getRaster.createCompatibleWritableRaster(r.width, r.height),
+      src.isAlphaPremultiplied, null)
+    out.setData(src.getData(r).createTranslatedChild(0, 0))
+    out
   }
 
   /** Demux a GIF decoding ONLY the frames whose index passes `keep` —

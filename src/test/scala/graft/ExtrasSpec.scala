@@ -242,6 +242,57 @@ class ExtrasSpec extends SparkSpec {
                                else s._3 == 5 && s._4 == 8 && s._5 == 3))
   }
 
+  test("delta GIF: partial stored frames, composition reproduces playback exactly") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    import spark.implicits._
+    // explicit palette → the GIF codec round-trips colors exactly
+    // (RGB input would be palette-quantized and defeat pixel equality)
+    val palette = Array(0x336699, 0xff8800, 0x11cc22, 0x000000)
+    val icm = new IndexColorModel(8, palette.length,
+      palette.map(c => ((c >> 16) & 0xff).toByte),
+      palette.map(c => ((c >> 8) & 0xff).toByte),
+      palette.map(c => (c & 0xff).toByte))
+    def frame(step: Int): BufferedImage = {
+      val img = new BufferedImage(16, 10, BufferedImage.TYPE_BYTE_INDEXED, icm)
+      (0 until 10).foreach(y => (0 until 16).foreach(x => img.setRGB(x, y, palette(0))))
+      // a 3x2 block that walks right each step, plus a fixed corner dot
+      (0 until 2).foreach(y => (0 until 3).foreach(x =>
+        img.setRGB(2 + 3 * step + x, 4 + y, palette(1))))
+      img.setRGB(15, 9, palette(2))
+      img
+    }
+    val frames = (0 until 4).map(frame)
+    val delta = graft.media.MediaPipeline.encodeAnimatedGifDelta(frames)
+    // stored: frame 0 full, every later frame a partial bounding box
+    val stored = graft.media.MediaPipeline.gifFrames(delta)
+    assert(stored.head.getWidth == 16 && stored.head.getHeight == 10)
+    assert(stored.tail.forall(f => f.getWidth < 16),
+      "delta encoding must store partial frames for localized change")
+    // composed: full playback frames, pixel-identical to the originals
+    val composed = graft.media.MediaPipeline.gifComposedFrames(delta)
+    assert(composed.length == 4)
+    composed.zip(frames).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(got.getWidth == 16 && got.getHeight == 10, s"frame $i dims")
+      (0 until 10).foreach(y => (0 until 16).foreach(x =>
+        assert((got.getRGB(x, y) & 0xffffff) == (want.getRGB(x, y) & 0xffffff),
+          s"frame $i pixel ($x,$y)")))
+    }
+    // a full-frame GIF composes to its stored frames unchanged
+    val full = graft.media.MediaPipeline.encodeAnimatedGif(frames)
+    val fullStored = graft.media.MediaPipeline.gifFrames(full)
+    graft.media.MediaPipeline.gifComposedFrames(full).zip(fullStored).foreach {
+      case (got, want) =>
+        (0 until 10).foreach(y => (0 until 16).foreach(x =>
+          assert((got.getRGB(x, y) & 0xffffff) == (want.getRGB(x, y) & 0xffffff))))
+    }
+    // composed stride sampling over a clips DF: full canvas dims on
+    // every sampled row even though the stored frames are partial
+    val clips = Seq((1L, delta)).toDF("doc_id", "media")
+    val sampled = graft.media.ClipPipeline.sampleGifFramesComposed(clips, everyK = 2)
+      .collect().map(s => (s.frame_idx, s.n_frames, s.width, s.height)).sorted
+    assert(sampled.toSeq == Seq((0, 4, 16, 10), (2, 4, 16, 10)))
+  }
+
   test("PNG decode returns the true dimensions of a known image") {
     val img = new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
     img.setRGB(4, 2, 0xabcdef)
