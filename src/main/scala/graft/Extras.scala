@@ -63,29 +63,53 @@ object Extras {
     * path `oracleIdxRoot/name`, skipping the copy when the stamp marker
     * already matches. Plain recursive file copy: layout (including
     * partition directories) is preserved exactly.
+    *
+    * Refresh is STAGED + renamed: the tree is copied to a sibling temp
+    * dir (marker written last) and swapped in with two renames, so a
+    * concurrent reader never observes a half-copied mirror. The fixed
+    * name is last-writer-wins by design — the oracle SQL is static text
+    * per the driver contract (it cannot chase stamped paths), and the
+    * supported flow is sequential: Verify writes the mirror, THEN
+    * DuckDB reads it. Interleaving Verify runs for DIFFERENT corpora
+    * with one deferred oracle pass is outside the contract.
+    *
+    * `precondition` runs once per refresh (never on a fresh-stamp hit)
+    * BEFORE the mirror becomes visible — index-backed oracles use it to
+    * fail loudly when the corpus violates an assumption baked into
+    * their static SQL, instead of silently diverging.
     */
-  private def mirrorStable(src: String, name: String, stampValue: String): String = {
+  private def mirrorStable(
+      src: String,
+      name: String,
+      stampValue: String,
+      precondition: () => Unit = () => ()): String = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     val dst = Paths.get(oracleIdxRoot, name)
     val marker = dst.resolve("_GRAFT_STAMP")
     val fresh = Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == stampValue
     if (!fresh) {
+      precondition()
       def rmTree(p: Path): Unit = if (Files.exists(p)) {
         Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
           .forEach(f => Files.delete(f))
       }
-      rmTree(dst)
+      Files.createDirectories(dst.getParent)
+      val stage = Files.createTempDirectory(dst.getParent, s".$name-stage")
       val srcPath = Paths.get(src)
       Files.walk(srcPath).forEach { p =>
-        val rel = dst.resolve(srcPath.relativize(p).toString)
+        val rel = stage.resolve(srcPath.relativize(p).toString)
         if (Files.isDirectory(p)) Files.createDirectories(rel)
         else {
           Files.createDirectories(rel.getParent)
           Files.copy(p, rel, StandardCopyOption.REPLACE_EXISTING)
         }
       }
-      Files.write(marker, stampValue.getBytes("UTF-8"))
+      Files.write(stage.resolve("_GRAFT_STAMP"), stampValue.getBytes("UTF-8"))
+      val old = dst.resolveSibling(s".$name-old-${System.nanoTime}")
+      if (Files.exists(dst)) Files.move(dst, old)
+      Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
+      rmTree(old)
     }
     dst.toString
   }
@@ -136,8 +160,22 @@ object Extras {
       }
     // the X15/X16/X29/X38 oracles read the SAME banded member rows the
     // Spark path consumes — the bucket self-join + exact-Jaccard verify
-    // downstream is plain SQL once the index is parquet
-    mirrorStable(dir, "minhash_banded", st)
+    // downstream is plain SQL once the index is parquet. Their static
+    // SQL enumerates buckets UNCAPPED, while the Spark paths degrade
+    // oversized buckets (> cfg.maxBucket) to linear star/chunk
+    // candidates — so the oracle is only declared for corpora without
+    // such piles; the precondition turns that assumption into a loud
+    // failure instead of a silent hash mismatch. Checked once per
+    // corpus stamp (the banded table is 8-byte keys, metadata-cheap).
+    mirrorStable(dir, "minhash_banded", st, precondition = () => {
+      val over = banded.groupBy("band", "bucket").count()
+        .filter(col("count") > cfg.maxBucket).count()
+      require(over == 0,
+        s"index-backed oracle precondition violated: $over banded buckets exceed " +
+          s"maxBucket=${cfg.maxBucket}; the capped Spark dedup and the uncapped " +
+          "SQL oracle would diverge on this corpus — raise maxBucket or demote " +
+          "X15/X16/X29/X38 to rows-only for it")
+    })
     banded
   }
 
@@ -300,9 +338,11 @@ object Extras {
     // banding puts the expected miss count at ~1e-3 across all test SFs
     // (verified value-identical at sf0.001/0.01/0.1, seed 42), and the
     // spec pins equality with the exact output at fixture scale
+    // maxBucket explicit so plan construction derives nothing (a
+    // 0 cap would cost a corpus count() per invocation just to size it)
     "X28_quantized_neardup" -> q(c =>
       graft.vector.Quantize.bandedQuantizedPairsAbove(
-        c.embeddings, 0.4, nPlanes = 4, nBands = 80)),
+        c.embeddings, 0.4, nPlanes = 4, nBands = 80, maxBucket = 4096)),
     // large-star/small-star connected components — the general-graph
     // O(log n)-round twin of X16 (spec-pinned equal to label propagation
     // and to union-find; converges on chain graphs where propagation

@@ -66,7 +66,10 @@ case class SignBuckets(
         var s = 0.0
         var i = 0
         while (i < dim) { s += arr.getFloat(i).toDouble * p(i).toDouble; i += 1 }
-        if (s >= 0) buckets(b / nPlanes) |= 1L << (b % nPlanes)
+        // NaN sets the bit: Spark's >= orders NaN above everything
+        // (nanSafeCompareDoubles), unlike Java's — required for the
+        // bit-identical-to-stacked-Columns contract on NaN embeddings
+        if (s >= 0 || java.lang.Double.isNaN(s)) buckets(b / nPlanes) |= 1L << (b % nPlanes)
         b += 1
       }
     }

@@ -92,23 +92,10 @@ object ClipPipeline {
     * frames to reach a sample — the inherent cost of index-less
     * containers, stated rather than hidden.
     */
-  def sampleGifFrames(clips: DataFrame, everyK: Int): Dataset[SampledFrame] = {
-    require(everyK >= 1, s"everyK=$everyK")
-    val spark = clips.sparkSession
-    import spark.implicits._
-    clips
-      .select(col("doc_id"), col("media"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
-        // skipped frames are never decoded or retained — the same
-        // contract as the GFTV path's byte-range slicing
-        val (n, sampled) = MediaPipeline.gifSelectFrames(bytes, _ % everyK == 0)
-        sampled.map { case (i, img) =>
-          SampledFrame(id, i, n, img.getWidth, img.getHeight,
-            MediaPipeline.lumaHistogram(img)(0))
-        }
-      })
-  }
+  def sampleGifFrames(clips: DataFrame, everyK: Int): Dataset[SampledFrame] =
+    // skipped frames are never decoded or retained — the same
+    // contract as the GFTV path's byte-range slicing
+    sampleGifFramesWith(clips, everyK, MediaPipeline.gifSelectFrames)
 
   /** [[sampleGifFrames]] for DELTA-OPTIMIZED GIFs
     * ([[MediaPipeline.encodeAnimatedGifDelta]] or any external delta
@@ -119,7 +106,17 @@ object ClipPipeline {
     * on frames 0..i-1 by construction — so the stride saves retention
     * and downstream feature cost, not decode.
     */
-  def sampleGifFramesComposed(clips: DataFrame, everyK: Int): Dataset[SampledFrame] = {
+  def sampleGifFramesComposed(clips: DataFrame, everyK: Int): Dataset[SampledFrame] =
+    sampleGifFramesWith(clips, everyK, MediaPipeline.gifComposedSelectFrames)
+
+  /** Shared row shape of the two GIF samplers: only the frame-selection
+    * kernel (stored vs composed) differs.
+    */
+  private def sampleGifFramesWith(
+      clips: DataFrame,
+      everyK: Int,
+      select: (Array[Byte], Int => Boolean) => (Int, Seq[(Int, java.awt.image.BufferedImage)]))
+      : Dataset[SampledFrame] = {
     require(everyK >= 1, s"everyK=$everyK")
     val spark = clips.sparkSession
     import spark.implicits._
@@ -127,7 +124,7 @@ object ClipPipeline {
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        val (n, sampled) = MediaPipeline.gifComposedSelectFrames(bytes, _ % everyK == 0)
+        val (n, sampled) = select(bytes, _ % everyK == 0)
         sampled.map { case (i, img) =>
           SampledFrame(id, i, n, img.getWidth, img.getHeight,
             MediaPipeline.lumaHistogram(img)(0))

@@ -285,21 +285,29 @@ object Scale {
     val spark = df.sparkSession
     import spark.implicits._
     val tgt = targets.toSeq.sorted.toDF(strata, "__t")
+    // ONE metadata-sized aggregation (a row per target stratum),
+    // collected once; the presence check, binding stratum, and cutoffs
+    // all derive driver-side from those few rows, so the corpus is
+    // scanned exactly once more — by the final filter join below.
+    // Every arithmetic step is the same IEEE double op in the same
+    // order as the X48 oracle SQL / PipelineSqlSpec twin; only the
+    // evaluation site moved to the driver.
     val counts = df.groupBy(strata).agg(count(lit(1)).as("__n")).join(tgt, strata)
+      .select(col(strata), col("__n"), col("__t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     // fail loudly on target strata ABSENT from the corpus (the join
-    // above would silently drop them and the returned mixture would
-    // violate the requested ratios) — same posture as readSignatures /
+    // above silently drops them and the returned mixture would violate
+    // the requested ratios) — same posture as readSignatures /
     // readBandedIndex refusing mismatched artifacts. Strata present in
     // the corpus but absent from `targets` are dropped BY CONTRACT (the
     // mixture defines the output composition); absence in the corpus is
-    // an impossibility, not a choice. Metadata-sized collect.
-    val present = counts.select(strata).collect().map(_.getString(0)).toSet
-    val absent = targets.keySet -- present
+    // an impossibility, not a choice.
+    val absent = targets.keySet -- counts.map(_._1)
     require(absent.isEmpty,
       s"mixtureResample: target strata absent from the corpus: " +
         s"${absent.toSeq.sorted.mkString(", ")} — no subset can meet the requested " +
         "ratios; remove them from targets or fix the corpus")
-    val tmax = counts.agg(min(col("__n") / col("__t")).as("__tmax"))
+    val tmax = counts.map { case (_, n, t) => n.toDouble / t }.min
     // binding-stratum and rounding guards, in order of subtlety:
     //  1. the binding stratum is detected by VALUE (its n/t equals the
     //     min of the same computed doubles — exact), not by f >= 1.0:
@@ -312,14 +320,15 @@ object Scale {
     //     the floored value is capped at the 8-hex maximum.
     // The X48 oracle SQL and the PipelineSqlSpec twin mirror all three
     // branches verbatim.
-    val cuts = counts.crossJoin(tmax)
-      .withColumn("__f", col("__tmax") * col("__t") / col("__n"))
-      .withColumn("__cut",
-        when(col("__n") / col("__t") === col("__tmax"), lit("g"))
-          .when(col("__f") >= 1.0, lit("g"))
-          .otherwise(format_string("%08x",
-            least(floor(col("__f") * lit(4294967296.0)), lit(4294967295L)))))
-      .select(col(strata), col("__cut"))
+    val cuts = counts.toSeq.map { case (g, n, t) =>
+      val f = tmax * t / n.toDouble
+      val cut =
+        if (n.toDouble / t == tmax) "g"
+        else if (f >= 1.0) "g"
+        else "%08x".format(
+          math.min(math.floor(f * 4294967296.0).toLong, 4294967295L))
+      (g, cut)
+    }.toDF(strata, "__cut")
     df.join(broadcast(cuts), Seq(strata))
       .filter(md5Coin(col(key), seed) < col("__cut"))
       .select(df.columns.map(col).toSeq: _*)

@@ -87,6 +87,38 @@ class ExtrasSpec extends SparkSpec {
     assert(bucketed.subsetOf(exact))
   }
 
+  test("SignBuckets kernel ≡ stacked Column form, including NaN and degenerate inputs") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.dot
+    // 2 planes × 2 bands; vectors exercise each convention branch:
+    // NaN dot (Spark's >= orders NaN above everything → bit SET),
+    // null vector / dim mismatch / null element → all-zero buckets
+    val planes = Array(
+      Array(1.0f, 0.0f), Array(0.0f, -1.0f),
+      Array(1.0f, 1.0f), Array(-1.0f, 1.0f))
+    val vecs = Seq(
+      (1L, Array(0.5f, 0.25f)),
+      (2L, Array(Float.NaN, 1.0f)),
+      (3L, Array(-0.5f, 0.0f)),
+      (4L, null.asInstanceOf[Array[Float]]),
+      (5L, Array(1.0f))).toDF("vec_id", "embedding")
+    def stackedBand(bd: Int) =
+      (0 until 2).map { j =>
+        when(dot(col("embedding"), typedLit(planes(bd * 2 + j))) >= 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val stacked = vecs
+      .select(col("vec_id"), array(stackedBand(0), stackedBand(1)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val kernel = vecs
+      .select(col("vec_id"),
+        graft.functions.SignBuckets.signBuckets(col("embedding"), planes, 2).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kernel == stacked, s"kernel $kernel vs stacked $stacked")
+    assert(kernel(2L).exists(_ != 0L), "NaN dots must SET bits (Spark NaN ordering)")
+    assert(kernel(4L) == Seq(0L, 0L) && kernel(5L) == Seq(0L, 0L))
+  }
+
   test("banded sign-LSH near-dup (X12) recall >= 0.9 vs exact X06 pairs, precision 1.0") {
     val exact = Ann.allPairsAbove(cat.embeddings, 0.4)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
