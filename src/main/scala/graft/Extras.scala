@@ -468,6 +468,19 @@ object Extras {
     // would buffer whole groups); exact µs gaps, fully oracle-checked
     "X55_event_gaps" -> q(c =>
       graft.ops.TypedReduce.eventGapStats(c.events, gapThresholdSec = 3600L)),
+    // distributed BPE merge training: corpus scanned once for the word
+    // vocab, then each merge step is a vocab-sized pair count + a
+    // 1-row argmax + a vocab-sized merge map (rows-only: K sequential
+    // argmax steps are not expressible as one static SQL; BpeSpec pins
+    // exact equality with a driver-side reference implementation)
+    "X57_bpe_merges" -> q(c =>
+      graft.text.Bpe.learnMerges(c.documents, numMerges = 12)),
+    // corpus token stats under the learned merges: the VOCAB is
+    // encoded (merge replay over distinct words), then joined back —
+    // each distinct word pays the replay once, not once per occurrence
+    "X58_bpe_encode_stats" -> q(c =>
+      graft.text.Bpe.encodeStats(
+        c.documents, graft.text.Bpe.learnMerges(c.documents, numMerges = 12))),
     // corpus snapshot diff (simulated v2: docs 0-49 dropped, 450+ kept,
     // every 7th overlapping doc uppercased): per-doc added/removed/
     // changed from a fingerprint full outer join; fully oracle-checked

@@ -1,0 +1,173 @@
+package graft.text
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) merge training — the tokenizer-
+  * construction step of a training-data pipeline, Spark-first.
+  *
+  * Scale shape (the whole point of doing this distributed):
+  *
+  *  - the CORPUS is scanned exactly once, to build the (word, freq)
+  *    vocabulary — every subsequent step runs over the vocab table,
+  *    which is Heaps-law sized (≪ corpus) and carries each distinct
+  *    word once with its frequency;
+  *  - each merge step is one vocab-sized aggregation (pair counts,
+  *    weighted by word freq) + a metadata-sized argmax collect (ONE
+  *    row) + one vocab-sized map applying the merge;
+  *  - the vocab is `localCheckpoint`ed per step, so lineage stays flat
+  *    across iterations instead of doubling (the classic iterative-
+  *    algorithm trap on Spark);
+  *  - a production trainer bounds `numMerges` (vocab size budget) and
+  *    usually samples the corpus first — compose with
+  *    [[graft.ops.Scale.hashSplit]] / stratified sampling for that.
+  *
+  * Determinism: ties on pair count break lexicographically on
+  * (left, right), so the learned merge table is a pure function of the
+  * corpus — reruns and engine ports reproduce it exactly.
+  *
+  * Convention notes (self-consistent, pinned by BpeSpec's driver-side
+  * reference implementation): words are whitespace tokens; initial
+  * symbols are single characters (no end-of-word marker); pair counts
+  * include overlapping occurrences ("aaa" counts (a,a) twice); a merge
+  * replaces occurrences left-to-right greedily ("aaa" → [aa, a]).
+  */
+object Bpe {
+
+  /** Learn `numMerges` BPE merges from `documents(textCol)`.
+    *
+    * Returns one row per merge: (step, left, right, pair_count),
+    * ordered by step — step 1 is the first (highest-count) merge.
+    * Stops early when no pair reaches `minPairCount`.
+    */
+  def learnMerges(
+      documents: DataFrame,
+      numMerges: Int,
+      minPairCount: Long = 2L,
+      textCol: String = "text"): DataFrame = {
+    require(numMerges >= 1, s"numMerges=$numMerges")
+    require(minPairCount >= 1, s"minPairCount=$minPairCount")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    var vocab = wordVocab(documents, textCol)
+      .select(charSyms(col("w")).as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val merges = ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val top = vocab
+        .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.a"), col("p.b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, a, b, cnt))
+        val prev = vocab
+        vocab = vocab
+          .select(mergeFold(col("syms"), a, b).as("syms"), col("freq"))
+          .localCheckpoint(true)
+        prev.unpersist()
+        step += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("step", "left", "right", "pair_count")
+  }
+
+  /** Corpus token statistics under a learned merge table: encode the
+    * VOCAB once (numMerges folds over the Heaps-law-sized word table,
+    * never the corpus), then join words back to the corpus — the corpus
+    * is scanned once and each distinct word pays the merge replay once,
+    * not once per occurrence.
+    *
+    * Output (one row): corpus words, corpus BPE tokens, tokens/word,
+    * and the character compression ratio chars/token.
+    */
+  def encodeStats(
+      documents: DataFrame,
+      merges: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val spark = documents.sparkSession
+    // merges are metadata-sized BY CONSTRUCTION (numMerges rows)
+    val ms = merges.select("step", "left", "right")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val encoded = encodeVocab(wordVocab(documents, textCol), ms.map(m => (m._2, m._3)))
+    encoded
+      .select(
+        col("freq"),
+        (size(col("syms")) * col("freq")).as("toks"),
+        (length(col("w")) * col("freq")).as("chars"))
+      .agg(
+        sum(col("freq")).cast("long").as("n_words"),
+        sum(col("toks")).cast("long").as("n_tokens"),
+        round(sum(col("toks")) / sum(col("freq")), 6).as("tokens_per_word"),
+        round(sum(col("chars")) / sum(col("toks")), 6).as("chars_per_token"))
+  }
+
+  /** (w, freq) for every whitespace word of the corpus — the single
+    * corpus-wide scan everything else iterates on top of.
+    */
+  private def wordVocab(documents: DataFrame, textCol: String): DataFrame =
+    documents
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+
+  /** Replay `merges` (in learned order) over the vocab's symbol arrays.
+    * Each merge is one vocab-sized map; lineage is checkpointed every
+    * few steps so the plan stays bounded at any merge count.
+    */
+  private def encodeVocab(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    var v = vocab.select(col("w"), col("freq"), charSyms(col("w")).as("syms"))
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      v = v.withColumn("syms", mergeFold(col("syms"), a, b))
+      if ((i + 1) % 8 == 0) v = v.localCheckpoint(true)
+    }
+    v
+  }
+
+  /** Single-character symbol array of a word. `split(w, "")` runs with
+    * Java's limit -1, which KEEPS the trailing empty match — filtered
+    * here so a 3-char word is exactly 3 symbols.
+    */
+  private def charSyms(w: Column): Column =
+    filter(split(w, ""), _ =!= lit(""))
+
+  /** All adjacent symbol pairs of `syms` as struct(a, b) — overlapping
+    * occurrences included (zip of the array with its own tail).
+    */
+  private def adjacentPairs(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      (x, y) => struct(x.as("a"), y.as("b")))
+
+  /** Left-to-right greedy merge of adjacent (a, b) into the single
+    * symbol a+b — the standard BPE replacement, as one codegen-friendly
+    * fold: append each symbol unless the accumulator ends with `a` and
+    * the symbol is `b`, in which case the tail is replaced by the
+    * merged token (so "aaa" merging (a,a) yields [aa, a], and the
+    * freshly merged token never participates in another merge within
+    * the same step).
+    */
+  private def mergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(
+            slice(acc, lit(1), size(acc) - 1),
+            array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Bpe
+
+/** Pins the distributed BPE trainer against a driver-side reference
+  * implementation of the SAME conventions (whitespace words, char
+  * symbols, overlapping pair counts, left-to-right greedy merge,
+  * lexicographic tiebreak) — the rows-only X57/X58 correctness
+  * anchor — plus the trainer's monotonicity law.
+  */
+class BpeSpec extends SparkSpec {
+
+  /** Reference BPE on a word-frequency map, pure Scala. */
+  private def refMerges(
+      wordFreq: Map[String, Long],
+      k: Int,
+      minCnt: Long): Seq[(Int, String, String, Long)] = {
+    var vocab = wordFreq.toSeq.map { case (w, f) => (w.split("").toVector.filter(_.nonEmpty), f) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= k && !done) {
+      val counts = vocab
+        .flatMap { case (syms, f) => syms.zip(syms.tail).map(p => p -> f) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.head
+        if (cnt < minCnt) done = true
+        else {
+          out += ((step, a, b, cnt))
+          vocab = vocab.map { case (syms, f) =>
+            val acc = Vector.newBuilder[String]
+            var last: String = null
+            syms.foreach { s =>
+              if (last == a && s == b) last = a + b
+              else { if (last != null) acc += last; last = s }
+            }
+            if (last != null) acc += last
+            (acc.result(), f)
+          }
+          step += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def refEncode(
+      wordFreq: Map[String, Long],
+      merges: Seq[(String, String)]): Map[String, Vector[String]] =
+    wordFreq.keysIterator.map { w =>
+      var syms = w.split("").toVector.filter(_.nonEmpty)
+      merges.foreach { case (a, b) =>
+        val acc = Vector.newBuilder[String]
+        var last: String = null
+        syms.foreach { s =>
+          if (last == a && s == b) last = a + b
+          else { if (last != null) acc += last; last = s }
+        }
+        if (last != null) acc += last
+        syms = acc.result()
+      }
+      w -> syms
+    }.toMap
+
+  private def wordFreq(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+
+  private val fixture = Seq(
+    "the theme of the thesis is the same theme",
+    "low lower lowest low low slower slow",
+    "aaa aaaa aa a banana bandana",
+    "the slow theme sang a low song")
+
+  test("learnMerges ≡ driver-side reference on the fixture, including tiebreaks and counts") {
+    import spark.implicits._
+    val docs = fixture.toDF("text")
+    val got = Bpe.learnMerges(docs, numMerges = 10, minPairCount = 2L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val want = refMerges(wordFreq(fixture), k = 10, minCnt = 2L)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    assert(got.nonEmpty && got.head._1 == 1)
+    // overlap convention visible in the data: "aaa"/"aaaa" count (a,a)
+    // with overlaps, and the greedy merge never double-consumes a char
+    val aa = got.find(m => m._2 == "a" && m._3 == "a")
+    assert(aa.nonEmpty, "the (a,a) merge must be learned from the aaa pile")
+  }
+
+  test("max pair count is non-increasing across merge steps (law)") {
+    import spark.implicits._
+    val docs = fixture.toDF("text")
+    val steps = Bpe.learnMerges(docs, numMerges = 10, minPairCount = 1L)
+      .orderBy("step").collect().map(_.getLong(3))
+    assert(steps.zip(steps.tail).forall { case (x, y) => x >= y },
+      s"counts must be non-increasing: ${steps.toSeq}")
+  }
+
+  test("learnMerges on the documents corpus is deterministic and respects minPairCount") {
+    val cat = graft.ops.Catalog(spark, sf001)
+    val a = Bpe.learnMerges(cat.documents, numMerges = 6).collect().map(_.toSeq).toSeq
+    val b = Bpe.learnMerges(cat.documents, numMerges = 6).collect().map(_.toSeq).toSeq
+    assert(a == b, "relearning must reproduce the merge table exactly")
+    assert(a.nonEmpty && a.forall(_.last.asInstanceOf[Long] >= 2L))
+  }
+
+  test("encodeStats ≡ reference encode; zero merges means one token per char") {
+    import spark.implicits._
+    val docs = fixture.toDF("text")
+    val wf = wordFreq(fixture)
+    val merges = Bpe.learnMerges(docs, numMerges = 8, minPairCount = 2L)
+    val ms = merges.orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = refEncode(wf, ms)
+    val wantTokens = wf.map { case (w, f) => enc(w).size * f }.sum
+    val wantWords = wf.values.sum
+    val wantChars = wf.map { case (w, f) => w.length * f }.sum
+    val row = Bpe.encodeStats(docs, merges).collect()(0)
+    assert(row.getLong(0) == wantWords && row.getLong(1) == wantTokens)
+    assert(row.getDouble(2) ==
+      BigDecimal(wantTokens.toDouble / wantWords).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(row.getDouble(3) ==
+      BigDecimal(wantChars.toDouble / wantTokens).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // zero merges: the encoding is the char split, so chars == tokens
+    val none = Bpe.encodeStats(docs, merges.limit(0)).collect()(0)
+    assert(none.getLong(1) == wantChars && none.getDouble(3) == 1.0)
+    // merges strictly compress the fixture (the theme/low piles repeat)
+    assert(row.getLong(1) < wantChars)
+  }
+}

@@ -50,11 +50,12 @@ class PlanAuditSpec extends SparkSpec {
   test("EVERY extras plan: one-partition merges and NL joins only where semantics demand them") {
     // one-row global merges: table profile, global HLL union, funnel
     // stage counts, exact-percentile final, scalar idf / vocab totals,
-    // the mixture resampler's min(n/t) over per-stratum counts
+    // the mixture resampler's min(n/t) over per-stratum counts, the
+    // BPE encoder's one-row corpus stats
     val spAllowed = Set(
       "X13_tfidf_top3", "X19_profile", "X37_hll_distinct",
       "X41_funnel", "X43_time_to_convert", "X48_mixture_resample",
-      "X53_vocab_coverage")
+      "X53_vocab_coverage", "X58_bpe_encode_stats")
     // one-row broadcast scalars (probe vectors, totals, thresholds) or
     // candidate stages that ARE cross joins by design (exact oracle
     // twins, batched kNN against broadcast queries); X28 is NOT here:
