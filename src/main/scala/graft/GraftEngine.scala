@@ -144,6 +144,16 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def chunkDocuments(maxTokens: Int, stride: Int): DataFrame =
     graft.text.TextAnalysis.chunkDocuments(tables.documents, maxTokens, stride)
 
+  /** Learn a deterministic BPE merge table from the corpus (one corpus
+    * scan; iteration is vocab-sized — [[graft.text.Bpe.learnMerges]]).
+    */
+  def learnBpeMerges(numMerges: Int, minPairCount: Long = 2L): DataFrame =
+    graft.text.Bpe.learnMerges(tables.documents, numMerges, minPairCount)
+
+  /** Corpus token statistics under a learned merge table. */
+  def bpeEncodeStats(merges: DataFrame): DataFrame =
+    graft.text.Bpe.encodeStats(tables.documents, merges)
+
   /** End-to-end training-set build (quality gate → exact dedup → near
     * dedup → decontamination → mixture → deterministic order) with
     * per-stage row accounting; [[graft.pipeline.TrainingSet.writeChunks]]

@@ -145,6 +145,22 @@ object Sinks {
     * rejects in the SAME pass that consumes the good rows (split
     * inside foreachBatch) and never pays this.
     */
+  /** Audited JSONL read — [[readCsvAudited]]'s posture for the
+    * line-delimited JSON interchange format training corpora actually
+    * arrive in: PERMISSIVE parsing, malformed lines preserved verbatim
+    * in `_corrupt_record`, good rows kept. Pair with [[badRecords]].
+    */
+  def readJsonAudited(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .json(path)
+
   def badRecords(audited: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     audited.localCheckpoint(true)

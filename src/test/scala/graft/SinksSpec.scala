@@ -143,6 +143,27 @@ class SinksSpec extends SparkSpec {
     assert(good == Set((1L, 10L), (3L, 30L)))
   }
 
+  test("audited jsonl read keeps good rows and captures malformed lines") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("sink-jsonl-audit")
+    Files.writeString(dir.resolve("feed.jsonl"),
+      """{"doc_id":1,"text":"alpha"}
+        |{"doc_id":2,"text":   <-- truncated line
+        |{"doc_id":3,"text":"gamma"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val audited = Sinks.readJsonAudited(spark, dir.toString, schema)
+    assert(audited.count() == 3, "PERMISSIVE must keep every line as a row")
+    val bad = Sinks.badRecords(audited).collect().map(_.getString(0))
+    assert(bad.length == 1 && bad(0).contains("truncated"),
+      s"bad lines: ${bad.mkString("|")}")
+    val good = audited.filter(col("_corrupt_record").isNull).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(good == Set((1L, "alpha"), (3L, "gamma")))
+  }
+
   test("schema inference recovers types and content for csv and json") {
     val src = Tables.load(spark, sf001, "nation") // int keys + strings
     val csvDir = Files.createTempDirectory("sink-csv-inf").toString
