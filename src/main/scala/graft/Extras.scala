@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, length, lit, round, sum}
+import org.apache.spark.sql.functions.{asc, col, count, desc, length, lit, round, sum}
 
 import graft.core.Engine
 import graft.functions.ZOrderValue
@@ -481,6 +481,15 @@ object Extras {
     "X58_bpe_encode_stats" -> q(c =>
       graft.text.Bpe.encodeStats(
         c.documents, graft.text.Bpe.learnMerges(c.documents, numMerges = 12))),
+    // one-pass corpus encode (rank-greedy apply, per-partition word
+    // memo) → top-20 token frequencies; spec-pinned ≡ sequential replay
+    "X59_bpe_token_freq" -> q { c =>
+      import org.apache.spark.sql.functions.{count => cnt}
+      graft.text.Bpe
+        .encodeDocuments(c.documents, graft.text.Bpe.learnMerges(c.documents, numMerges = 12))
+        .groupBy("token").agg(cnt(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("token")).limit(20)
+    },
     // corpus snapshot diff (simulated v2: docs 0-49 dropped, 450+ kept,
     // every 7th overlapping doc uppercased): per-doc added/removed/
     // changed from a fingerprint full outer join; fully oracle-checked

@@ -154,6 +154,12 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def bpeEncodeStats(merges: DataFrame): DataFrame =
     graft.text.Bpe.encodeStats(tables.documents, merges)
 
+  /** One-pass corpus encode under a learned merge table:
+    * (doc_id, pos, token) rows ([[graft.text.Bpe.encodeDocuments]]).
+    */
+  def bpeEncode(merges: DataFrame): DataFrame =
+    graft.text.Bpe.encodeDocuments(tables.documents, merges)
+
   /** End-to-end training-set build (quality gate → exact dedup → near
     * dedup → decontamination → mixture → deterministic order) with
     * per-stage row accounting; [[graft.pipeline.TrainingSet.writeChunks]]

@@ -112,6 +112,84 @@ object Bpe {
         round(sum(col("chars")) / sum(col("toks")), 6).as("chars_per_token"))
   }
 
+  /** Encode every document under a learned merge table in ONE corpus
+    * pass — the shape a production tokenizer runs at 100 TB: per word,
+    * rank-greedy BPE application (repeatedly merge the present pair
+    * with the lowest learned rank), memoized per partition so each
+    * distinct word in a partition pays the replay once (Zipf: the memo
+    * hit rate is the corpus repetition rate). No K-fold replay over
+    * the corpus, no join back through the vocab.
+    *
+    * Rank-greedy application equals the sequential merge replay for
+    * SELF-CONSISTENT learned tables (a learned pair's operand tokens
+    * always predate it, so a later merge can never create an earlier
+    * pair) — BpeSpec pins the equivalence on the learned table.
+    *
+    * Output: (doc_id, pos, token) — one row per token OCCURRENCE with
+    * its position in the document, the substrate for token frequency /
+    * vocab coverage / sequence-reconstruction queries.
+    */
+  def encodeDocuments(
+      documents: DataFrame,
+      merges: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // metadata-sized by construction (numMerges rows)
+    val ranks: Map[(String, String), Int] = merges.select("step", "left", "right")
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    documents
+      .select(col("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Array[String]]()
+        it.flatMap { case (id, text) =>
+          var pos = -1L
+          text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+            var toks = memo.get(w)
+            if (toks == null) {
+              toks = encodeWord(w, ranks)
+              if (memo.size < (1 << 16)) memo.put(w, toks)
+            }
+            toks.iterator.map { t => pos += 1; (id, pos, t) }
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "token")
+  }
+
+  /** Rank-greedy BPE application to one word: repeatedly find the
+    * adjacent pair with the lowest learned rank and merge ALL its
+    * occurrences left-to-right, until no learned pair remains.
+    */
+  private def encodeWord(w: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = w.split("").filter(_.nonEmpty)
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else {
+        val (a, b) = (syms(bi), syms(bi + 1))
+        val out = Array.newBuilder[String]
+        var last: String = null
+        syms.foreach { s =>
+          if (last == a && s == b) last = a + b
+          else { if (last != null) out += last; last = s }
+        }
+        if (last != null) out += last
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
   /** (w, freq) for every whitespace word of the corpus — the single
     * corpus-wide scan everything else iterates on top of.
     */

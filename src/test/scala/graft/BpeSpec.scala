@@ -107,6 +107,32 @@ class BpeSpec extends SparkSpec {
     assert(a.nonEmpty && a.forall(_.last.asInstanceOf[Long] >= 2L))
   }
 
+  test("rank-greedy one-pass encode ≡ sequential merge replay on the learned table") {
+    import spark.implicits._
+    val docs = fixture.toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val merges = Bpe.learnMerges(docs, numMerges = 10, minPairCount = 2L)
+    val ms = merges.orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = refEncode(wordFreq(fixture), ms) // sequential replay reference
+    // every (doc, token) occurrence of the one-pass encoder must equal
+    // the replayed encoding of the doc's words, in order
+    val got = Bpe.encodeDocuments(docs, merges)
+      .orderBy("doc_id", "pos")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.sortBy(_.getLong(1)).map(_.getString(2)).toSeq }
+    val want = docs.select("doc_id", "text").collect().map { r =>
+      r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => enc(w)).toSeq
+    }.toMap
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    // corpus-scale smoke: token counts under both paths agree
+    val cat = graft.ops.Catalog(spark, sf001)
+    val m2 = Bpe.learnMerges(cat.documents, numMerges = 6)
+    val onePass = Bpe.encodeDocuments(cat.documents, m2).count()
+    val viaStats = Bpe.encodeStats(cat.documents, m2).collect()(0).getLong(1)
+    assert(onePass == viaStats,
+      s"one-pass token count $onePass must equal vocab-replay count $viaStats")
+  }
+
   test("encodeStats ≡ reference encode; zero merges means one token per char") {
     import spark.implicits._
     val docs = fixture.toDF("text")
