@@ -95,21 +95,31 @@ object Extras {
           .forEach(f => Files.delete(f))
       }
       Files.createDirectories(dst.getParent)
-      val stage = Files.createTempDirectory(dst.getParent, s".$name-stage")
-      val srcPath = Paths.get(src)
-      Files.walk(srcPath).forEach { p =>
-        val rel = stage.resolve(srcPath.relativize(p).toString)
-        if (Files.isDirectory(p)) Files.createDirectories(rel)
-        else {
-          Files.createDirectories(rel.getParent)
-          Files.copy(p, rel, StandardCopyOption.REPLACE_EXISTING)
-        }
+      // sweep debris of earlier failed refreshes (a crash between the
+      // two moves or mid-copy leaves .stage/.old trees behind)
+      Files.list(dst.getParent).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(s".$name-stage") || n.startsWith(s".$name-old-")) rmTree(p)
       }
-      Files.write(stage.resolve("_GRAFT_STAMP"), stampValue.getBytes("UTF-8"))
-      val old = dst.resolveSibling(s".$name-old-${System.nanoTime}")
-      if (Files.exists(dst)) Files.move(dst, old)
-      Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
-      rmTree(old)
+      val stage = Files.createTempDirectory(dst.getParent, s".$name-stage")
+      try {
+        val srcPath = Paths.get(src)
+        Files.walk(srcPath).forEach { p =>
+          val rel = stage.resolve(srcPath.relativize(p).toString)
+          if (Files.isDirectory(p)) Files.createDirectories(rel)
+          else {
+            Files.createDirectories(rel.getParent)
+            Files.copy(p, rel, StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+        Files.write(stage.resolve("_GRAFT_STAMP"), stampValue.getBytes("UTF-8"))
+        val old = dst.resolveSibling(s".$name-old-${System.nanoTime}")
+        if (Files.exists(dst)) Files.move(dst, old)
+        Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
+        rmTree(old)
+      } catch {
+        case t: Throwable => rmTree(stage); throw t
+      }
     }
     dst.toString
   }
@@ -167,15 +177,19 @@ object Extras {
     // such piles; the precondition turns that assumption into a loud
     // failure instead of a silent hash mismatch. Checked once per
     // corpus stamp (the banded table is 8-byte keys, metadata-cheap).
-    mirrorStable(dir, "minhash_banded", st, precondition = () => {
-      val over = banded.groupBy("band", "bucket").count()
-        .filter(col("count") > cfg.maxBucket).count()
-      require(over == 0,
-        s"index-backed oracle precondition violated: $over banded buckets exceed " +
-          s"maxBucket=${cfg.maxBucket}; the capped Spark dedup and the uncapped " +
-          "SQL oracle would diverge on this corpus — raise maxBucket or demote " +
-          "X15/X16/X29/X38 to rows-only for it")
-    })
+    // the MIRROR stamp extends the artifact stamp with the cap and a
+    // guard version: pre-guard mirrors and cap changes must re-run the
+    // precondition, not ride a stale fresh-stamp hit
+    mirrorStable(dir, "minhash_banded", s"$st:cap${cfg.maxBucket}:guard1",
+      precondition = () => {
+        val over = banded.groupBy("band", "bucket").count()
+          .filter(col("count") > cfg.maxBucket).count()
+        require(over == 0,
+          s"index-backed oracle precondition violated: $over banded buckets exceed " +
+            s"maxBucket=${cfg.maxBucket}; the capped Spark dedup and the uncapped " +
+            "SQL oracle would diverge on this corpus — raise maxBucket or demote " +
+            "X15/X16/X29/X38 to rows-only for it")
+      })
     banded
   }
 
@@ -194,6 +208,26 @@ object Extras {
     // construction — writeIndex derives them deterministically)
     mirrorStable(idx, "ivf", st)
     idx
+  }
+
+  /** Per-corpus learned BPE merge table, trained once per (corpus,
+    * config) and replayed from an in-JVM cache thereafter. Sound
+    * because the table is a pure deterministic function of the corpus
+    * (lexicographic tiebreaks) and numMerges rows small — without the
+    * cache X57/X58/X59 would each re-run the iterative trainer on the
+    * same corpus for byte-identical output.
+    */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, String, String, Long)]]()
+
+  private def bpeMerges(c: Catalog, numMerges: Int): DataFrame = {
+    val key = stamp(c.dir, "documents", s"bpe:$numMerges")
+    val rows = bpeCache.computeIfAbsent(key, _ =>
+      graft.text.Bpe.learnMerges(c.documents, numMerges)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))))
+    val spark = c.spark
+    import spark.implicits._
+    rows.toSeq.toDF("step", "left", "right", "pair_count")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -473,20 +507,18 @@ object Extras {
     // 1-row argmax + a vocab-sized merge map (rows-only: K sequential
     // argmax steps are not expressible as one static SQL; BpeSpec pins
     // exact equality with a driver-side reference implementation)
-    "X57_bpe_merges" -> q(c =>
-      graft.text.Bpe.learnMerges(c.documents, numMerges = 12)),
+    "X57_bpe_merges" -> q(c => bpeMerges(c, 12)),
     // corpus token stats under the learned merges: the VOCAB is
     // encoded (merge replay over distinct words), then joined back —
     // each distinct word pays the replay once, not once per occurrence
     "X58_bpe_encode_stats" -> q(c =>
-      graft.text.Bpe.encodeStats(
-        c.documents, graft.text.Bpe.learnMerges(c.documents, numMerges = 12))),
+      graft.text.Bpe.encodeStats(c.documents, bpeMerges(c, 12))),
     // one-pass corpus encode (rank-greedy apply, per-partition word
     // memo) → top-20 token frequencies; spec-pinned ≡ sequential replay
     "X59_bpe_token_freq" -> q { c =>
       import org.apache.spark.sql.functions.{count => cnt}
       graft.text.Bpe
-        .encodeDocuments(c.documents, graft.text.Bpe.learnMerges(c.documents, numMerges = 12))
+        .encodeDocuments(c.documents, bpeMerges(c, 12))
         .groupBy("token").agg(cnt(lit(1)).as("freq"))
         .orderBy(desc("freq"), asc("token")).limit(20)
     },

@@ -237,7 +237,12 @@ object MediaPipeline {
       val lastKept = (n - 1 to 0 by -1).find(keep).getOrElse(-1)
       if (lastKept < 0) (n, Seq.empty)
       else {
-        val metas = (0 to lastKept).map(i => gifFrameMeta(reader, i))
+        // metadata for ALL n frames (cheap — no pixel decode): the
+        // canvas must not depend on which frames the stride keeps, or
+        // the same clip would report different dimensions at different
+        // strides whenever the LSD is absent/undersized. Pixel decode
+        // below remains bounded by lastKept.
+        val metas = (0 until n).map(i => gifFrameMeta(reader, i))
         // canvas = logical screen, or the frame extents if the LSD is
         // absent/undersized (encoders disagree; playback uses the max)
         val canvasW = math.max(gifScreenDims(reader)._1, metas.map(m => m.x + m.w).max)

@@ -138,13 +138,6 @@ object Sinks {
       .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
       .csv(path)
 
-  /** The malformed rows of an audited read (raw line text only).
-    * Spark disallows queries that reference ONLY the internal corrupt
-    * column against the raw source scan, so the batch is materialized
-    * first — fine for an audit query; a production ingest routes
-    * rejects in the SAME pass that consumes the good rows (split
-    * inside foreachBatch) and never pays this.
-    */
   /** Audited JSONL read — [[readCsvAudited]]'s posture for the
     * line-delimited JSON interchange format training corpora actually
     * arrive in: PERMISSIVE parsing, malformed lines preserved verbatim
@@ -161,6 +154,13 @@ object Sinks {
       .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
       .json(path)
 
+  /** The malformed rows of an audited read (raw line text only).
+    * Spark disallows queries that reference ONLY the internal corrupt
+    * column against the raw source scan, so the batch is materialized
+    * first — fine for an audit query; a production ingest routes
+    * rejects in the SAME pass that consumes the good rows (split
+    * inside foreachBatch) and never pays this.
+    */
   def badRecords(audited: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     audited.localCheckpoint(true)

@@ -94,7 +94,6 @@ object Bpe {
       documents: DataFrame,
       merges: DataFrame,
       textCol: String = "text"): DataFrame = {
-    val spark = documents.sparkSession
     // merges are metadata-sized BY CONSTRUCTION (numMerges rows)
     val ms = merges.select("step", "left", "right")
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
@@ -140,6 +139,10 @@ object Bpe {
       .collect().map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
     documents
       .select(col("doc_id"), col(textCol).as("text"))
+      // null rows (e.g. the quarantined lines of an audited ingest)
+      // carry no tokens — dropped, matching the vocab path where
+      // explode(split(NULL)) drops them
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .as[(Long, String)]
       .mapPartitions { it =>
         val memo = new java.util.HashMap[String, Array[String]]()
@@ -161,9 +164,14 @@ object Bpe {
   /** Rank-greedy BPE application to one word: repeatedly find the
     * adjacent pair with the lowest learned rank and merge ALL its
     * occurrences left-to-right, until no learned pair remains.
+    *
+    * Symbols are CODEPOINTS, matching the trainer's Spark-side
+    * `split(w, "")` (UTF8/codepoint-aware) — Java's `String.split("")`
+    * would shatter surrogate pairs into lone halves and desynchronize
+    * the encoder from the learned table on non-BMP text.
     */
   private def encodeWord(w: String, ranks: Map[(String, String), Int]): Array[String] = {
-    var syms = w.split("").filter(_.nonEmpty)
+    var syms = w.codePoints.toArray.map(cp => new String(Character.toChars(cp)))
     var done = false
     while (!done && syms.length > 1) {
       var best = Int.MaxValue

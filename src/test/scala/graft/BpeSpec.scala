@@ -12,12 +12,33 @@ import graft.text.Bpe
   */
 class BpeSpec extends SparkSpec {
 
+  /** Codepoint-lexicographic string order — the reference must break
+    * ties exactly like the engine, whose `asc(...)` compares UTF8
+    * bytes = codepoint order. Java String's compareTo orders by UTF-16
+    * code UNIT, which disagrees for supplementary characters vs
+    * U+E000–U+FFFF; same reason char counts below use codePointCount
+    * (Spark `length()` counts codepoints, String.length counts units).
+    */
+  private val cpOrder: Ordering[String] = (s: String, t: String) =>
+    Ordering.Implicits.seqOrdering[Seq, Int](Ordering.Int)
+      .compare(s.codePoints.toArray.toSeq, t.codePoints.toArray.toSeq)
+
+  private def cpCount(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  /** Codepoint symbol split. Java's `split("")` cuts BETWEEN UTF-16
+    * units, shattering surrogate pairs into lone halves; Spark's
+    * `split(w, "")` is UTF8/codepoint-aware — the reference must match
+    * the engine, not Java's quirk.
+    */
+  private def cpSyms(w: String): Vector[String] =
+    w.codePoints.toArray.toVector.map(cp => new String(Character.toChars(cp)))
+
   /** Reference BPE on a word-frequency map, pure Scala. */
   private def refMerges(
       wordFreq: Map[String, Long],
       k: Int,
       minCnt: Long): Seq[(Int, String, String, Long)] = {
-    var vocab = wordFreq.toSeq.map { case (w, f) => (w.split("").toVector.filter(_.nonEmpty), f) }
+    var vocab = wordFreq.toSeq.map { case (w, f) => (cpSyms(w), f) }
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var done = false
@@ -27,7 +48,10 @@ class BpeSpec extends SparkSpec {
         .groupMapReduce(_._1)(_._2)(_ + _)
       if (counts.isEmpty) done = true
       else {
-        val ((a, b), cnt) = counts.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.head
+        implicit val ord: Ordering[String] = cpOrder
+        val ((a, b), cnt) = counts.toSeq
+          .sortBy { case ((x, y), c) => (-c, x, y) }(
+            Ordering.Tuple3(Ordering.Long, ord, ord)).head
         if (cnt < minCnt) done = true
         else {
           out += ((step, a, b, cnt))
@@ -52,7 +76,7 @@ class BpeSpec extends SparkSpec {
       wordFreq: Map[String, Long],
       merges: Seq[(String, String)]): Map[String, Vector[String]] =
     wordFreq.keysIterator.map { w =>
-      var syms = w.split("").toVector.filter(_.nonEmpty)
+      var syms = cpSyms(w)
       merges.foreach { case (a, b) =>
         val acc = Vector.newBuilder[String]
         var last: String = null
@@ -74,7 +98,11 @@ class BpeSpec extends SparkSpec {
     "the theme of the thesis is the same theme",
     "low lower lowest low low slower slow",
     "aaa aaaa aa a banana bandana",
-    "the slow theme sang a low song")
+    "the slow theme sang a low song",
+    // supplementary-plane codepoints: exercises codepoint symbol
+    // splitting and codepoint char counts (a 2-codepoint word is 4
+    // UTF-16 units — String.length would get this wrong)
+    "𝕒𝕒 𝕒𝕒 ☃x ☃x")
 
   test("learnMerges ≡ driver-side reference on the fixture, including tiebreaks and counts") {
     import spark.implicits._
@@ -131,6 +159,11 @@ class BpeSpec extends SparkSpec {
     val viaStats = Bpe.encodeStats(cat.documents, m2).collect()(0).getLong(1)
     assert(onePass == viaStats,
       s"one-pass token count $onePass must equal vocab-replay count $viaStats")
+    // null rows (audited-ingest quarantine lines) carry no tokens and
+    // must not kill the job
+    val withNulls = docs.select("doc_id", "text")
+      .unionByName(Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    assert(Bpe.encodeDocuments(withNulls, merges).filter(col("doc_id") === 99L).count() == 0)
   }
 
   test("encodeStats ≡ reference encode; zero merges means one token per char") {
@@ -142,7 +175,7 @@ class BpeSpec extends SparkSpec {
     val enc = refEncode(wf, ms)
     val wantTokens = wf.map { case (w, f) => enc(w).size * f }.sum
     val wantWords = wf.values.sum
-    val wantChars = wf.map { case (w, f) => w.length * f }.sum
+    val wantChars = wf.map { case (w, f) => cpCount(w) * f }.sum
     val row = Bpe.encodeStats(docs, merges).collect()(0)
     assert(row.getLong(0) == wantWords && row.getLong(1) == wantTokens)
     assert(row.getDouble(2) ==
