@@ -210,6 +210,32 @@ object Extras {
     idx
   }
 
+  /** Per-corpus persisted k-means centroids (8 lists, 4 Lloyd
+    * iterations over the hash-sampled start — [[graft.vector.Ivf
+    * .refineCentroids]]), built once per corpus stamp and MIRRORED for
+    * the X60/X61 oracles. Persisting matters beyond caching: float
+    * summation order inside Lloyd's mean is not canonical across
+    * partitionings, so the persisted file IS the clustering's identity —
+    * both engines (and repeat Spark runs) read the same bytes, and
+    * everything downstream (assignment argmax, profile, dedup verdict)
+    * is exactly reproducible SQL over them.
+    */
+  private def kmeansCentroidsDir(c: Catalog): String = {
+    val st = stamp(c.dir, "embeddings", "kmeans:8:4")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_kmeans_" + st).toString
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val emb = c.embeddings
+      val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+        .first().getInt(0)
+      graft.vector.Ivf
+        .refineCentroids(emb, graft.vector.Ivf.centroids(emb, 8), iters = 4, dim = dim)
+        .write.mode("overwrite").parquet(dir)
+    }
+    mirrorStable(dir, "kmeans", st)
+    dir
+  }
+
   /** Per-corpus learned BPE merge table, trained once per (corpus,
     * config) and replayed from an in-JVM cache thereafter. Sound
     * because the table is a pure deterministic function of the corpus
@@ -522,6 +548,27 @@ object Extras {
         .groupBy("token").agg(cnt(lit(1)).as("freq"))
         .orderBy(desc("freq"), asc("token")).limit(20)
     },
+    // k-means cluster health profile over the PERSISTED centroids
+    // (membership + member→centroid cosine distribution; oracle-checked
+    // against the mirrored centroid parquet — assignment argmax and the
+    // aggregate are plain SQL downstream of the persisted file)
+    "X60_kmeans_clusters" -> q(c =>
+      graft.vector.SemDedup.clusterProfile(
+        c.embeddings, c.spark.read.parquet(kmeansCentroidsDir(c)))),
+    // SemDeDup cluster-blocked semantic near-dup dedup: pairwise cosine
+    // only WITHIN a k-means cluster, lowest id kept per neighborhood
+    // (oracle-checked over the same mirrored centroids)
+    "X61_semantic_dedup" -> q(c =>
+      graft.vector.SemDedup.semanticDedup(
+        c.embeddings, c.spark.read.parquet(kmeansCentroidsDir(c)), threshold = 0.4)),
+    // DSIR importance weights: target = the held-out src0 seed set,
+    // raw = the rest of the corpus; add-one unigram log-likelihood
+    // ratio per doc (fully oracle-checked — two count aggregates, a
+    // vocab join and a per-doc mean are portable SQL)
+    "X62_importance_weights" -> q(c =>
+      graft.text.Dsir.importanceWeights(
+        c.documents.filter(col("source") =!= "src0"),
+        c.documents.filter(col("source") === "src0"))),
     // corpus snapshot diff (simulated v2: docs 0-49 dropped, 450+ kept,
     // every 7th overlapping doc uppercased): per-doc added/removed/
     // changed from a fingerprint full outer join; fully oracle-checked
@@ -643,6 +690,25 @@ WHERE a.list_id IN (SELECT centroid_id FROM lists) AND a.vec_id <> 0
 ORDER BY cos DESC, vec_id LIMIT 5""".trim
   }
 
+  /** Shared CTE for the X60/X61 oracles: nearest-centroid assignment
+    * over the MIRRORED k-means centroid parquet — the same argmax
+    * (score desc, centroid_id asc) as [[graft.vector.SemDedup
+    * .assignWithScore]], in portable SQL.
+    */
+  private def kmeansAssignedCte: String = {
+    val cents = s"$oracleIdxRoot/kmeans/*.parquet"
+    s"""cents AS (SELECT centroid_id, centroid FROM read_parquet('$cents')),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS list_id, sc FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           list_inner_product(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) AS sc,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                      c.centroid_id) AS rk
+    FROM embeddings e CROSS JOIN cents c) z
+  WHERE rk = 1)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     // -- index-backed extras, oracle-checked against the MIRRORED
     // persisted artifacts (VERDICT r5 item 3): the signature/centroid
@@ -656,6 +722,46 @@ ORDER BY cos DESC, vec_id LIMIT 5""".trim
     "X29_dup_clusters_stars" -> bandedClustersSql,
     "X11_ivf_top5" -> ivfInlineSql,
     "X14_ivf_index_probe" -> ivfProbeSql(k = 6, keep = 5),
+    "X60_kmeans_clusters" -> s"""
+WITH $kmeansAssignedCte
+SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(sc), 6) AS avg_cos,
+       ROUND(MIN(sc), 6) AS min_cos,
+       ROUND(MAX(sc), 6) AS max_cos
+FROM assigned GROUP BY list_id ORDER BY list_id
+""".trim,
+    "X61_semantic_dedup" -> s"""
+WITH $kmeansAssignedCte,
+hits AS (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS dp
+  FROM assigned a JOIN assigned b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4),
+k AS (SELECT j, MIN(i) AS kept_by FROM hits GROUP BY j)
+SELECT k.j AS vec_id, k.kept_by, ROUND(h.dp, 6) AS cos
+FROM k JOIN hits h ON h.j = k.j AND h.i = k.kept_by
+ORDER BY vec_id
+""".trim,
+    "X62_importance_weights" -> """
+WITH rw AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w
+            FROM documents WHERE source <> 'src0'),
+tw AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w
+       FROM documents WHERE source = 'src0'),
+cr AS (SELECT w, COUNT(*) AS cr FROM rw GROUP BY w),
+ct AS (SELECT w, COUNT(*) AS ct FROM tw GROUP BY w),
+vocab AS (SELECT COALESCE(cr.w, ct.w) AS w,
+                 COALESCE(cr.cr, 0) AS cr, COALESCE(ct.ct, 0) AS ct
+          FROM cr FULL OUTER JOIN ct ON cr.w = ct.w),
+tot AS (SELECT COUNT(*) AS v, SUM(cr) AS r, SUM(ct) AS t FROM vocab),
+lr AS (SELECT w,
+              ln(CAST(ct + 1 AS DOUBLE) / (t + v)) - ln(CAST(cr + 1 AS DOUBLE) / (r + v)) AS lr
+       FROM vocab CROSS JOIN tot)
+SELECT rw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(lr.lr), 6) AS dsir_weight
+FROM rw JOIN lr ON rw.w = lr.w
+GROUP BY rw.doc_id ORDER BY rw.doc_id
+""".trim,
     "X01_token_stats" -> """
 WITH t AS (SELECT lang, len(list_filter(str_split(text, ' '), w -> w <> '')) AS tok FROM documents)
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens,

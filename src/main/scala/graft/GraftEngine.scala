@@ -191,6 +191,36 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def quantizeEmbeddings(): DataFrame =
     graft.vector.Quantize.quantize(tables.embeddings)
 
+  /** k-means centroids over the embedding corpus (hash-sampled start +
+    * Lloyd refinement). Persist the result and pass THAT table to the
+    * methods below — the persisted file is the clustering's identity.
+    */
+  def trainKmeans(nClusters: Int, iters: Int): DataFrame = {
+    val emb = tables.embeddings
+    val dim = emb.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("embedding"))).first().getInt(0)
+    graft.vector.Ivf.refineCentroids(
+      emb, graft.vector.Ivf.centroids(emb, nClusters), iters, dim)
+  }
+
+  /** Per-cluster membership + coherence profile for a trained
+    * clustering (see [[graft.vector.SemDedup.clusterProfile]]).
+    */
+  def clusterProfile(cents: DataFrame): DataFrame =
+    graft.vector.SemDedup.clusterProfile(tables.embeddings, cents)
+
+  /** SemDeDup cluster-blocked semantic near-duplicates (see
+    * [[graft.vector.SemDedup.semanticDedup]]).
+    */
+  def semanticDedup(cents: DataFrame, threshold: Double): DataFrame =
+    graft.vector.SemDedup.semanticDedup(tables.embeddings, cents, threshold)
+
+  /** DSIR importance weights of every corpus document against a target
+    * seed corpus (see [[graft.text.Dsir.importanceWeights]]).
+    */
+  def importanceWeights(target: DataFrame): DataFrame =
+    graft.text.Dsir.importanceWeights(tables.documents, target)
+
   /** Decode + featurize media payloads (PNG/JPEG), audio (WAV) and
     * frame containers synthesized from the documents table — the
     * multimodal plumbing entry points.
