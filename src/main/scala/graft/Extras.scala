@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{asc, col, count, desc, length, lit, round, sum}
+import org.apache.spark.sql.functions.{asc, col, count, desc, length, lit, round, size, sum}
 
 import graft.core.Engine
 import graft.functions.ZOrderValue
@@ -245,6 +245,29 @@ object Extras {
     */
   private val bpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, String, String, Long)]]()
+
+  /** The X63 literal query: mid/high-df corpus words so idf spread,
+    * length normalization and multi-term accumulation all exercise.
+    * One definition feeds both the Spark builder and the SQL oracle.
+    */
+  private val bm25QueryTerms = Seq("hash", "join", "vector")
+
+  /** Per-corpus trained quality-classifier model (hashed-BoW logistic
+    * regression, target = src0 seed vs raw rest), trained once per
+    * corpus stamp. Cached like [[bpeCache]]: the GD loop is
+    * deterministic per JVM given the cached featurized layout, and
+    * X65 must not re-run 20 training jobs per Verify invocation.
+    */
+  private val lrCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.text.QualityClassifier.Model]()
+
+  private def lrModel(c: Catalog): graft.text.QualityClassifier.Model = {
+    val key = stamp(c.dir, "documents", "logreg:512:20")
+    lrCache.computeIfAbsent(key, _ =>
+      graft.text.QualityClassifier.train(
+        c.documents.filter(col("source") === "src0"),
+        c.documents.filter(col("source") =!= "src0")))
+  }
 
   private def bpeMerges(c: Catalog, numMerges: Int): DataFrame = {
     val key = stamp(c.dir, "documents", s"bpe:$numMerges")
@@ -569,6 +592,30 @@ object Extras {
       graft.text.Dsir.importanceWeights(
         c.documents.filter(col("source") =!= "src0"),
         c.documents.filter(col("source") === "src0"))),
+    // BM25 ranked retrieval for a literal query — the retrieval half
+    // of targeted decontamination / seed-set expansion; fully
+    // oracle-checked (fixed-order scalar arithmetic, integer corpus
+    // sums, both engines bit-identical)
+    "X63_bm25_topk" -> q(c =>
+      graft.text.Bm25.topK(c.documents, bm25QueryTerms, k = 20)),
+    // Efraimidis–Spirakis weighted sample without replacement (weights
+    // = token counts): fixed-size importance sampling in one scan via
+    // the portable md5 coin — fully oracle-checked
+    "X64_weighted_sample" -> q(c =>
+      Scale.weightedSample(
+        c.documents.select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n_tokens")),
+        "doc_id", col("n_tokens"), k = 50)),
+    // fastText/CCNet-style LEARNED quality filter: hashed-BoW logistic
+    // regression (target = src0 seed vs raw rest), every raw doc
+    // scored, 20 most target-like kept. Rows-only by construction:
+    // distributed float gradient sums are layout-deterministic only to
+    // last-ulp, so cross-engine byte equality is not defined;
+    // QualityClassifierSpec pins separation quality + loss descent
+    "X65_quality_classifier" -> q(c =>
+      graft.text.QualityClassifier
+        .score(c.documents.filter(col("source") =!= "src0"), lrModel(c))
+        .orderBy(desc("p_target"), asc("doc_id")).limit(20)),
     // corpus snapshot diff (simulated v2: docs 0-49 dropped, 450+ kept,
     // every 7th overlapping doc uppercased): per-doc added/removed/
     // changed from a fingerprint full outer join; fully oracle-checked
@@ -761,6 +808,16 @@ SELECT rw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        ROUND(AVG(lr.lr), 6) AS dsir_weight
 FROM rw JOIN lr ON rw.w = lr.w
 GROUP BY rw.doc_id ORDER BY rw.doc_id
+""".trim,
+    "X63_bm25_topk" -> graft.text.Bm25.topKSql(bm25QueryTerms, k = 20),
+    "X64_weighted_sample" -> """
+WITH t AS (SELECT doc_id, len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_tokens
+           FROM documents)
+SELECT doc_id, n_tokens,
+       ROUND(ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 8))::UBIGINT + 0.5)
+                / 4294967296.0)
+             / CAST(n_tokens AS DOUBLE), 6) AS es_key
+FROM t ORDER BY es_key DESC, doc_id LIMIT 50
 """.trim,
     "X01_token_stats" -> """
 WITH t AS (SELECT lang, len(list_filter(str_split(text, ' '), w -> w <> '')) AS tok FROM documents)

@@ -221,6 +221,35 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def importanceWeights(target: DataFrame): DataFrame =
     graft.text.Dsir.importanceWeights(tables.documents, target)
 
+  /** BM25 top-k retrieval over the corpus for a literal term query
+    * (see [[graft.text.Bm25.topK]]).
+    */
+  def bm25TopK(terms: Seq[String], k: Int): DataFrame =
+    graft.text.Bm25.topK(tables.documents, terms, k)
+
+  /** Fixed-size weighted sample without replacement, weights from any
+    * per-doc column expression (see [[graft.ops.Scale.weightedSample]]).
+    */
+  def weightedSample(weight: org.apache.spark.sql.Column, k: Int,
+      seed: Long = 42L): DataFrame =
+    graft.ops.Scale.weightedSample(tables.documents, "doc_id", weight, k, seed)
+
+  /** Train the hashed-BoW logistic quality classifier: corpus docs
+    * matching `targetFilter` are the positive seed, the rest the raw
+    * negatives (see [[graft.text.QualityClassifier.train]]).
+    */
+  def trainQualityClassifier(targetFilter: org.apache.spark.sql.Column,
+      dim: Int = 512, iters: Int = 20): graft.text.QualityClassifier.Model =
+    graft.text.QualityClassifier.train(
+      tables.documents.filter(targetFilter),
+      tables.documents.filter(!targetFilter), dim, iters)
+
+  /** Score every corpus document with a trained quality model (see
+    * [[graft.text.QualityClassifier.score]]).
+    */
+  def scoreQuality(model: graft.text.QualityClassifier.Model): DataFrame =
+    graft.text.QualityClassifier.score(tables.documents, model)
+
   /** Decode + featurize media payloads (PNG/JPEG), audio (WAV) and
     * frame containers synthesized from the documents table — the
     * multimodal plumbing entry points.

@@ -258,6 +258,52 @@ object Scale {
       .drop("__coin")
   }
 
+  /** Weighted sample WITHOUT replacement of `k` rows — the
+    * Efraimidis–Spirakis A-ES one-pass reduction (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir",
+    * public): each row draws a uniform coin u and the k LARGEST values
+    * of ln(u)/w win, which is distributed exactly as sequential
+    * weighted draws without replacement. The pipeline use is sampling
+    * a fixed-size training subset proportional to per-document
+    * importance (DSIR weights, quality scores, token counts) in one
+    * scan with no sequential state.
+    *
+    * Deterministic per (key, seed) and engine-portable: u derives from
+    * the md5 coin's 32-bit integer value (u = (c + 0.5) / 2^32, never
+    * 0 or 1), and ln(u)/w is one fixed-order scalar expression — any
+    * md5-bearing SQL engine reproduces the sample. Ranking uses the
+    * 6-dp rounded ES key with the row key as tiebreaker, so a
+    * last-ulp ln divergence between engines cannot reorder.
+    *
+    * Scale shape: map-side key computation + TakeOrdered(k) — no
+    * shuffle of the corpus, no window. Weights must be strictly
+    * positive (fail-loud: a zero/negative/null weight is a caller bug,
+    * not a row to silently drop).
+    */
+  def weightedSample(
+      df: DataFrame,
+      key: String,
+      weight: Column,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val u = (conv(md5Coin(col(key), seed), 16, 10).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val esKey = log(u) / assertPositiveWeight(weight.cast("double"))
+    df.withColumn("es_key", round(esKey, 6))
+      .orderBy(desc("es_key"), asc(key))
+      .limit(k)
+  }
+
+  /** `w` with the strictly-positive precondition enforced per row —
+    * raise_error (not filter): a non-positive weight makes ln(u)/w
+    * meaningless, and silently dropping rows would skew the sample.
+    */
+  private def assertPositiveWeight(w: Column): Column =
+    when(w.isNull || w <= 0.0,
+      raise_error(concat(lit("weightedSample: non-positive weight "), w.cast("string"))))
+      .otherwise(w)
+
   /** Resample a corpus to a TARGET mixture over `strata` — the domain/
     * language-balancing step of a training-data pipeline: find the
     * largest total size admitting the mixture WITHOUT upsampling

@@ -1,0 +1,115 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval (Robertson/Spärck Jones probabilistic model,
+  * Okapi BM25 with the Lucene `ln(1 + ...)` idf that never goes
+  * negative — both public: Robertson & Zaragoza 2009, "The
+  * Probabilistic Relevance Framework"). In a training-data pipeline
+  * this is the retrieval half of targeted decontamination and seed-set
+  * expansion: "find the corpus documents most similar to this query /
+  * benchmark prompt" without any embedding model.
+  *
+  * Scale shape: ONE corpus scan. Per-term tf is a map-side
+  * `filter(tokens, _ = term)` count (the query is a small literal list,
+  * so tf/df per term are fixed COLUMNS, not a joined terms table —
+  * nothing shuffles per-token); corpus stats (N, Σdl, per-term df)
+  * ride a single 1-row aggregate broadcast back over the scoring scan,
+  * and the top-k is a TakeOrdered. For ad-hoc many-term queries you'd
+  * flip to the inverted (doc_id, term) join form; for the k-term
+  * literal-query shape this column form is strictly cheaper (no
+  * explode, no shuffle before the final k-row sort).
+  *
+  * Cross-engine determinism (the oracle contract): every floating step
+  * is a FIXED-ORDER scalar expression — avgdl comes from exact integer
+  * sums (Σdl / N, divided once as doubles), per-term idf/tf factors
+  * combine in query order — so DuckDB reproduces the score
+  * bit-for-bit; ties on the 6-dp rounded score break by doc_id.
+  */
+object Bm25 {
+
+  /** Top-`k` documents by BM25 score for the literal query `terms`.
+    * Output: (doc_id, score) — score rounded to 6 dp, descending, ties
+    * by doc_id; documents matching no term (score 0) are excluded.
+    * `k1` saturates tf; `b` scales length normalization (standard
+    * defaults 1.2 / 0.75).
+    */
+  def topK(
+      docs: DataFrame,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+
+    val toked = docs.select(
+      col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val withTf = terms.zipWithIndex.foldLeft(
+      toked.withColumn("dl", size(col("toks")))) { case (d, (t, i)) =>
+        d.withColumn(s"tf$i", size(filter(col("toks"), x => x === lit(t))))
+      }.drop("toks")
+
+    // one metadata-sized row: corpus size, total length (exact integer
+    // sums — no float-accumulation order to diverge), df per term
+    val stats = withTf.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("bigint")).as("sum_dl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+
+    val scored = withTf.crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val termScore: Int => Column = i => {
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    }
+    val score = terms.indices.map(termScore).reduce(_ + _)
+
+    scored
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** The DuckDB restatement of [[topK]] over a `documents` table —
+    * structurally identical arithmetic so the float results agree
+    * bit-for-bit (same division and addition order, integer corpus
+    * sums).
+    */
+  def topKSql(
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
+    }.mkString(",\n            ")
+    val dfCols = terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val scoreExpr = terms.indices.map { i =>
+      s"""ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
+     * (CAST(tf$i AS DOUBLE) * ${k1 + 1.0}) /
+       (CAST(tf$i AS DOUBLE) + $k1 * ((1.0 - $b) + $b * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
+    }.mkString("\n   + ")
+    s"""WITH t AS (
+  SELECT doc_id, dl, ${terms.indices.map(i => s"tf$i").mkString(", ")}
+  FROM (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM documents) d
+  CROSS JOIN LATERAL (SELECT len(toks) AS dl,
+            ${tfCols}) f),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(CAST(dl AS BIGINT)) AS sum_dl, $dfCols FROM t),
+scored AS (
+  SELECT doc_id,
+         ROUND($scoreExpr, 6) AS score
+  FROM t CROSS JOIN stats)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT $k""".trim
+  }
+}

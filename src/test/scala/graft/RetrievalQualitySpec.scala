@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Catalog, Scale}
+import graft.text.{Bm25, QualityClassifier}
+
+/** Pins for the retrieval + learned-quality surface: BM25 equals a
+  * driver-side reference (same fixed-order arithmetic), the weighted
+  * sample equals an exact Efraimidis–Spirakis reference over the same
+  * md5 coins, and the logistic quality classifier separates a planted
+  * two-vocabulary fixture.
+  */
+class RetrievalQualitySpec extends SparkSpec {
+
+  lazy val cat: Catalog = Catalog(spark, sf001)
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ---------------------------------------------------------------- BM25
+
+  private val terms = Seq("hash", "join", "vector")
+
+  /** Driver-side BM25 with the exact expression order of [[Bm25.topK]]:
+    * idf * (tf * (k1+1)) / (tf + k1 * ((1-b) + b * (dl / avgdl))),
+    * summed left-to-right over query terms.
+    */
+  private def refBm25(k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    val docs = cat.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).filter(_.nonEmpty)))
+    val n = docs.length.toDouble
+    val sumDl = docs.map(_._2.length.toLong).sum
+    val avgdl = sumDl.toDouble / n
+    val dfs = terms.map(t => docs.count(_._2.contains(t)).toDouble)
+    docs.map { case (id, toks) =>
+      val dl = toks.length.toDouble
+      val score = terms.zip(dfs).map { case (t, df) =>
+        val tf = toks.count(_ == t).toDouble
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+      }.reduce(_ + _)
+      id -> score
+    }.toMap
+  }
+
+  test("bm25 topK equals the driver-side reference, top-20") {
+    val expect = refBm25().toSeq
+      .map { case (id, s) => (id, round6(s)) }
+      .filter(_._2 > 0)
+      .sortBy { case (id, s) => (-s, id) }
+      .take(20)
+    val got = Bm25.topK(cat.documents, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("bm25 is monotone in tf: adding a query term occurrence raises the score") {
+    val s = spark
+    import s.implicits._
+    // same length, one more 'hash' occurrence in doc 2 — score must rise
+    val docs = Seq(
+      (1L, "hash join scan filter"),
+      (2L, "hash join hash filter"),
+      (3L, "scan sort agg merge")).toDF("doc_id", "text")
+    val scores = Bm25.topK(docs, Seq("hash"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(scores(2L) > scores(1L))
+    assert(!scores.contains(3L), "no-match doc must be excluded")
+  }
+
+  test("bm25 rejects duplicate and empty queries") {
+    intercept[IllegalArgumentException](Bm25.topK(cat.documents, Seq.empty, 5))
+    intercept[IllegalArgumentException](Bm25.topK(cat.documents, Seq("a", "a"), 5))
+  }
+
+  // ------------------------------------------- weighted sample (A-ES)
+
+  /** Exact driver-side Efraimidis–Spirakis reference sharing the
+    * engine's coin arithmetic: u = (int(md5hex8) + 0.5) / 2^32,
+    * key = ln(u)/w rounded to 6 dp, top-k by (key desc, doc_id).
+    */
+  private def refWeighted(k: Int, seed: Long): Seq[(Long, Long, Double)] = {
+    val docs = cat.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).count(_.nonEmpty).toLong))
+    docs.map { case (id, w) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$seed".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      (id, w, round6(math.log(u) / w.toDouble))
+    }.sortBy { case (id, _, key) => (-key, id) }.take(k)
+  }
+
+  test("weightedSample equals the exact A-ES reference") {
+    val got = Scale.weightedSample(
+      cat.documents.select(col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("bigint").as("n_tokens")),
+      "doc_id", col("n_tokens"), k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == refWeighted(50, seed = 42L))
+  }
+
+  test("weightedSample fails loudly on a non-positive weight") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq((1L, 3.0), (2L, 0.0)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      Scale.weightedSample(bad, "doc_id", col("w"), k = 1).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("weightedSample favors heavy rows: inclusion rate grows with weight") {
+    val s = spark
+    import s.implicits._
+    // 100 rows, weight 100 for ids < 10, weight 1 otherwise; sample 20
+    // across 20 seeds — heavy ids must be sampled at a far higher rate
+    val rows = (0L until 100L).map(i => (i, if (i < 10) 100.0 else 1.0))
+    val df = rows.toDF("doc_id", "w")
+    val (heavy, light) = (0 until 20).map { seed =>
+      val picked = Scale.weightedSample(df, "doc_id", col("w"), k = 20, seed = seed.toLong)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      (picked.count(_ < 10), picked.count(_ >= 10))
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    // heavy ids are 10/100 rows but ~52% of total weight: expect them
+    // picked at several times the light per-row rate
+    val heavyRate = heavy / 10.0
+    val lightRate = light / 90.0
+    assert(heavyRate > 3.0 * lightRate, s"heavy=$heavy light=$light")
+  }
+
+  // --------------------------------------- learned quality classifier
+
+  /** Planted fixture: target docs draw from a "clean" vocabulary, raw
+    * docs from a "spam" one, with shared filler words — linearly
+    * separable in hashed-BoW space.
+    */
+  private def plantedFixture = {
+    val s = spark
+    import s.implicits._
+    val clean = Array("theorem", "proof", "lemma", "corollary", "axiom", "integral")
+    val spam = Array("casino", "winner", "prize", "click", "free", "bonus")
+    val filler = Array("the", "a", "of", "and")
+    def doc(id: Long, vocab: Array[String]): (Long, String) = {
+      val rnd = new scala.util.Random(id)
+      val words = (0 until 30).map { _ =>
+        if (rnd.nextDouble() < 0.3) filler(rnd.nextInt(filler.length))
+        else vocab(rnd.nextInt(vocab.length))
+      }
+      (id, words.mkString(" "))
+    }
+    val target = (0L until 40L).map(doc(_, clean)).toDF("doc_id", "text")
+    val raw = (100L until 140L).map(doc(_, spam)).toDF("doc_id", "text")
+    (target, raw)
+  }
+
+  test("quality classifier separates the planted fixture (training accuracy >= 95%)") {
+    val (target, raw) = plantedFixture
+    val model = QualityClassifier.train(target, raw, dim = 64, iters = 40, lr = 2.0)
+    val scored = QualityClassifier.score(target.unionByName(raw), model)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val correct = scored.count { case (id, p) => if (id < 100L) p > 0.5 else p < 0.5 }
+    assert(correct >= 76, s"only $correct/80 correctly classified") // 95%
+  }
+
+  test("training reduces log-loss from the zero-weight start") {
+    val (target, raw) = plantedFixture
+    val labeled = QualityClassifier.featurizeLabeled(target, raw, dim = 64)
+    val before = QualityClassifier.logLoss(labeled, Array.fill(65)(0.0))
+    val model = QualityClassifier.train(target, raw, dim = 64, iters = 40, lr = 2.0)
+    val after = QualityClassifier.logLoss(labeled, model.weights)
+    assert(math.abs(before - math.log(2.0)) <= 1e-12) // σ(0) = 0.5 exactly
+    assert(after < 0.5 * before, s"loss $before -> $after")
+  }
+
+  test("empty documents are dropped, not scored") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "theorem proof"), (2L, ""), (3L, "  ")).toDF("doc_id", "text")
+    val feats = QualityClassifier.featurize(docs, dim = 16)
+    assert(feats.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+}
