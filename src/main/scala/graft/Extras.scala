@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{asc, col, count, desc, length, lit, round, size, sum}
+import org.apache.spark.sql.functions.{asc, col, count, desc, length, lit, round, size, slice, sum}
 
 import graft.core.Engine
 import graft.functions.ZOrderValue
@@ -606,6 +606,17 @@ object Extras {
         c.documents.select(col("doc_id"),
           size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n_tokens")),
         "doc_id", col("n_tokens"), k = 50)),
+    // batched BM25 over a query TABLE (queries = first 5 tokens of
+    // docs 0-2): the inverted-index join form — postings built once,
+    // per-query top-5 through a query-partitioned window; fully
+    // oracle-checked
+    "X66_bm25_join" -> q(c =>
+      graft.text.Bm25.knnJoin(
+        c.documents,
+        c.documents.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"),
+            slice(TextAnalysis.tokens(col("text")), 1, 5).as("terms")),
+        k = 5)),
     // fastText/CCNet-style LEARNED quality filter: hashed-BoW logistic
     // regression (target = src0 seed vs raw rest), every raw doc
     // scored, 20 most target-like kept. Rows-only by construction:
@@ -810,6 +821,32 @@ FROM rw JOIN lr ON rw.w = lr.w
 GROUP BY rw.doc_id ORDER BY rw.doc_id
 """.trim,
     "X63_bm25_topk" -> graft.text.Bm25.topKSql(bm25QueryTerms, k = 20),
+    "X66_bm25_join" -> """
+WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+postings AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+             FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) u
+             GROUP BY term, doc_id, dl),
+dfx AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM postings GROUP BY term),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(CAST(dl AS BIGINT)) AS sum_dl FROM d),
+q AS (SELECT DISTINCT query_id, term FROM (
+        SELECT doc_id AS query_id, unnest(toks[1:5]) AS term FROM t WHERE doc_id < 3) z),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         ROUND(SUM(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE)
+                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))), 6) AS score
+  FROM q JOIN postings p ON q.term = p.term
+         JOIN dfx ON q.term = dfx.term
+         CROSS JOIN stats
+  GROUP BY q.query_id, p.doc_id),
+rk AS (SELECT query_id, doc_id, score,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r
+       FROM scored)
+SELECT query_id, doc_id, score FROM rk WHERE r <= 5
+ORDER BY query_id, score DESC, doc_id
+""".trim,
     "X64_weighted_sample" -> """
 WITH t AS (SELECT doc_id, len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_tokens
            FROM documents)

@@ -227,6 +227,12 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def bm25TopK(terms: Seq[String], k: Int): DataFrame =
     graft.text.Bm25.topK(tables.documents, terms, k)
 
+  /** Batched BM25 for a (query_id, terms) query table — the
+    * inverted-index join form (see [[graft.text.Bm25.knnJoin]]).
+    */
+  def bm25Join(queries: DataFrame, k: Int): DataFrame =
+    graft.text.Bm25.knnJoin(tables.documents, queries, k)
+
   /** Fixed-size weighted sample without replacement, weights from any
     * per-doc column expression (see [[graft.ops.Scale.weightedSample]]).
     */

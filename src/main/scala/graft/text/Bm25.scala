@@ -79,6 +79,73 @@ object Bm25 {
       .limit(k)
   }
 
+  /** Batched BM25 retrieval for a query TABLE — the inverted-index
+    * join form that scales where [[topK]]'s literal-column form cannot
+    * (thousands of ad-hoc queries, arbitrary term counts): build the
+    * postings list (term, doc_id, tf) ONCE, equi-join it with the
+    * exploded query terms, and take the per-query top-k through a
+    * query-partitioned window. Queries: (query_id, terms); duplicate
+    * terms within a query are collapsed (set semantics, the common
+    * convention). Output: (query_id, doc_id, score) — top `k` docs per
+    * query by 6-dp rounded score, ties by doc_id.
+    *
+    * Scale shape: one corpus scan into postings (shuffle on term — the
+    * inverted index build), corpus-level stats as a broadcast 1-row
+    * aggregate, the postings⋈query join shuffles only posting rows for
+    * terms some query mentions (Catalyst pushes the semi-join of query
+    * terms into the postings side via the join itself), and the final
+    * window partitions by query_id — never a global sort. Per-pair
+    * score contributions sum through a hash aggregate; the float
+    * accumulation order over a query's ≤|terms| matches is the one
+    * non-canonical step (same contract as every distributed float agg
+    * here — 6-dp rounding absorbs it).
+    */
+  def knnJoin(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val toked = docs.select(
+      col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    // postings: (term, doc_id, tf, dl) — the inverted index
+    val postings = toked
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = postings.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val stats = toked.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("bigint")).as("sum_dl"))
+    val qterms = queries
+      .select(col("query_id"), explode(col("terms")).as("term"))
+      .distinct()
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+
+    val pairScores = qterms
+      .join(postings, Seq("term"))
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), contrib.as("c"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("c")), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    pairScores
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+      .orderBy(asc("query_id"), desc("score"), asc("doc_id"))
+  }
+
   /** The DuckDB restatement of [[topK]] over a `documents` table —
     * structurally identical arithmetic so the float results agree
     * bit-for-bit (same division and addition order, integer corpus

@@ -59,7 +59,7 @@ class PlanAuditSpec extends SparkSpec {
       "X41_funnel", "X43_time_to_convert", "X48_mixture_resample",
       "X53_vocab_coverage", "X58_bpe_encode_stats",
       "X60_kmeans_clusters", "X61_semantic_dedup",
-      "X62_importance_weights", "X63_bm25_topk")
+      "X62_importance_weights", "X63_bm25_topk", "X66_bm25_join")
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against
@@ -70,7 +70,7 @@ class PlanAuditSpec extends SparkSpec {
       "X11_ivf_top5", "X13_tfidf_top3", "X14_ivf_index_probe",
       "X48_mixture_resample", "X52_knn_join",
       "X53_vocab_coverage", "X60_kmeans_clusters", "X61_semantic_dedup",
-      "X62_importance_weights", "X63_bm25_topk")
+      "X62_importance_weights", "X63_bm25_topk", "X66_bm25_join")
     val sf001Dir = "/root/testdata/sf0.001"
     val offenders = Extras.queries.toSeq.sortBy(_._1).flatMap { case (id, fn) =>
       val plan = fn(spark, sf001Dir).queryExecution.executedPlan.toString

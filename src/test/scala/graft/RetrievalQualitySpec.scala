@@ -69,6 +69,40 @@ class RetrievalQualitySpec extends SparkSpec {
     assert(!scores.contains(3L), "no-match doc must be excluded")
   }
 
+  test("bm25 knnJoin equals the literal-column form for matching queries") {
+    val s = spark
+    import s.implicits._
+    // one query per literal-query term set: the join form must agree
+    // with topK on the docs each query matches
+    val queries = Seq((7L, terms)).toDF("query_id", "terms")
+    val joined = graft.text.Bm25.knnJoin(cat.documents, queries, k = 20)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val direct = Bm25.topK(cat.documents, terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(joined == direct)
+  }
+
+  test("bm25 knnJoin: per-query top-k, duplicate query terms collapse") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "hash join scan"),
+      (2L, "hash hash filter"),
+      (3L, "sort merge agg")).toDF("doc_id", "text")
+    val queries = Seq(
+      (10L, Seq("hash", "hash")), // duplicate term must count once
+      (11L, Seq("sort")),
+      (12L, Seq("nomatch"))).toDF("query_id", "terms")
+    val got = graft.text.Bm25.knnJoin(docs, queries, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val single = graft.text.Bm25.knnJoin(docs,
+      Seq((10L, Seq("hash"))).toDF("query_id", "terms"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got.filter(_._1 == 10L).map(_._2) == single.map(_._2))
+    assert(got.filter(_._1 == 11L).map(_._2) == List(3L))
+    assert(!got.exists(_._1 == 12L), "no-match query yields no rows")
+  }
+
   test("bm25 rejects duplicate and empty queries") {
     intercept[IllegalArgumentException](Bm25.topK(cat.documents, Seq.empty, 5))
     intercept[IllegalArgumentException](Bm25.topK(cat.documents, Seq("a", "a"), 5))
