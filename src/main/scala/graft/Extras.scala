@@ -263,10 +263,13 @@ object Extras {
 
   private def lrModel(c: Catalog): graft.text.QualityClassifier.Model = {
     val key = stamp(c.dir, "documents", "logreg:512:20")
+    // dim/iters passed explicitly so the stamp string cannot drift
+    // from the trainer's defaults
     lrCache.computeIfAbsent(key, _ =>
       graft.text.QualityClassifier.train(
         c.documents.filter(col("source") === "src0"),
-        c.documents.filter(col("source") =!= "src0")))
+        c.documents.filter(col("source") =!= "src0"),
+        dim = 512, iters = 20))
   }
 
   private def bpeMerges(c: Catalog, numMerges: Int): DataFrame = {
@@ -606,6 +609,13 @@ object Extras {
         c.documents.select(col("doc_id"),
           size(TextAnalysis.tokens(col("text"))).cast("bigint").as("n_tokens")),
         "doc_id", col("n_tokens"), k = 50)),
+    // cross-document duplicated 5-gram coverage (exact-substring dedup
+    // signal, Lee et al. 2021): per-doc fraction of tokens covered by
+    // an n-gram shared with another doc; span union is a per-doc
+    // integer fold — fully oracle-checked (the oracle explodes spans
+    // instead; same integers)
+    "X67_dup_ngram_coverage" -> q(c =>
+      TextAnalysis.crossDocDupCoverage(c.documents, n = 5)),
     // batched BM25 over a query TABLE (queries = first 5 tokens of
     // docs 0-2): the inverted-index join form — postings built once,
     // per-query top-5 through a query-partitioned window; fully
@@ -855,6 +865,25 @@ SELECT doc_id, n_tokens,
                 / 4294967296.0)
              / CAST(n_tokens AS DOUBLE), 6) AS es_key
 FROM t ORDER BY es_key DESC, doc_id LIMIT 50
+""".trim,
+    "X67_dup_ngram_coverage" -> """
+WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks FROM documents),
+sh AS (SELECT doc_id, i AS pos,
+              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS s
+       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             FROM t WHERE len(toks) >= 5) u),
+shared AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM sh JOIN shared USING (s)),
+sp AS (SELECT doc_id, COUNT(*) AS shared_pos FROM hits GROUP BY doc_id),
+cov AS (SELECT doc_id, COUNT(DISTINCT p) AS covered FROM (
+          SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p FROM hits) z
+        GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(sp.shared_pos, 0) AS BIGINT) AS shared_pos,
+       CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+       ROUND(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / CAST(len(t.toks) AS DOUBLE), 6) AS dup_frac
+FROM t LEFT JOIN sp ON t.doc_id = sp.doc_id LEFT JOIN cov ON t.doc_id = cov.doc_id
+ORDER BY t.doc_id
 """.trim,
     "X01_token_stats" -> """
 WITH t AS (SELECT lang, len(list_filter(str_split(text, ' '), w -> w <> '')) AS tok FROM documents)

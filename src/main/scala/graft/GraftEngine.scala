@@ -221,6 +221,13 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def importanceWeights(target: DataFrame): DataFrame =
     graft.text.Dsir.importanceWeights(tables.documents, target)
 
+  /** Per-doc cross-document duplicated n-gram coverage — the exact
+    * substring dedup signal (see
+    * [[graft.text.TextAnalysis.crossDocDupCoverage]]).
+    */
+  def dupNgramCoverage(n: Int = 5): DataFrame =
+    graft.text.TextAnalysis.crossDocDupCoverage(tables.documents, n)
+
   /** BM25 top-k retrieval over the corpus for a literal term query
     * (see [[graft.text.Bm25.topK]]).
     */

@@ -287,6 +287,8 @@ object Scale {
       k: Int,
       seed: Long = 42L): DataFrame = {
     require(k > 0, s"sample size must be positive: $k")
+    require(!df.columns.contains("es_key"),
+      "weightedSample adds an `es_key` column; input already has one")
     val u = (conv(md5Coin(col(key), seed), 16, 10).cast("double") + lit(0.5)) /
       lit(4294967296.0)
     val esKey = log(u) / assertPositiveWeight(weight.cast("double"))

@@ -115,7 +115,7 @@ object Bm25 {
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).cast("double").as("tf"))
-    val df = postings.groupBy("term")
+    val docFreq = postings.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     val stats = toked.agg(
       count(lit(1)).as("n_docs"),
@@ -132,7 +132,7 @@ object Bm25 {
 
     val pairScores = qterms
       .join(postings, Seq("term"))
-      .join(df, Seq("term"))
+      .join(docFreq, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"), contrib.as("c"))
       .groupBy("query_id", "doc_id")
@@ -156,6 +156,8 @@ object Bm25 {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): String = {
+    require(terms.forall(t => !t.contains("'")),
+      s"query terms must not contain single quotes (SQL literal embedding): $terms")
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
     }.mkString(",\n            ")

@@ -585,6 +585,63 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Cross-document duplicated n-gram coverage — the exact-substring
+    * dedup signal (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499, public): for every
+    * document, the fraction of its tokens covered by an n-gram that
+    * also appears in at least one OTHER document. Cross-doc verbatim
+    * overlap, complementing [[repetitionStats]] (within-doc, Gopher)
+    * and the probabilistic MinHash path (whole-doc similarity) —
+    * high-coverage docs are boilerplate/mirror candidates the
+    * similarity sketch can miss when the rest of the doc differs.
+    *
+    * Output per document: (doc_id, n_tokens, shared_pos = positions
+    * starting a cross-doc-shared n-gram, covered_tokens = size of the
+    * union of their n-token spans, dup_frac = covered/n_tokens to
+    * 6 dp). Docs shorter than n tokens report zero coverage.
+    *
+    * Scale shape: shingles shuffle once to find the shared set
+    * (HAVING ≥ 2 distinct docs), hit positions come back through a
+    * semi-join, and the span-union is a PER-DOC sorted fold (an
+    * `aggregate` HOF over the doc's own hit list — state is one
+    * (lastEnd, covered) pair, list size is bounded by doc length):
+    * the n-fold position blow-up a naive explode-the-spans plan pays
+    * never materializes. All-integer arithmetic plus one final
+    * division ⇒ bit-exact in any engine (the oracle uses the naive
+    * explode — same integers, different plan).
+    */
+  def crossDocDupCoverage(documents: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2: $n")
+    val sh = documents
+      .select(col("doc_id"), posexplode(shingles(col("text"), n)).as(Seq("pos", "s")))
+    val shared = sh.groupBy("s")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("s")
+    val hits = sh.join(shared, Seq("s"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    // fold: acc = (lastEnd, covered); each hit at p covers [p, p+n)
+    val folded = hits.select(
+      col("doc_id"),
+      size(col("ps")).cast("bigint").as("shared_pos"),
+      aggregate(col("ps"),
+        struct(lit(-1).cast("int").as("e"), lit(0).cast("int").as("c")),
+        (acc, p) => struct(
+          greatest(acc("e"), p + lit(n)).as("e"),
+          (acc("c") + (p + lit(n) - greatest(acc("e"), p))).as("c")),
+        acc => acc("c")).cast("bigint").as("covered_tokens"))
+    documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .join(folded, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("shared_pos"), lit(0L)).as("shared_pos"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** tf-idf scoring on top of the document-frequency building block
     * (L04): score(d, w) = tf(d, w) · ln(N / df(w)), top-`k` terms per
     * document. The per-corpus constants (N, and df via one shuffle on

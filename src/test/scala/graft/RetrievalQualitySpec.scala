@@ -106,6 +106,8 @@ class RetrievalQualitySpec extends SparkSpec {
   test("bm25 rejects duplicate and empty queries") {
     intercept[IllegalArgumentException](Bm25.topK(cat.documents, Seq.empty, 5))
     intercept[IllegalArgumentException](Bm25.topK(cat.documents, Seq("a", "a"), 5))
+    // a quoted term would corrupt the embedded SQL literal — refuse
+    intercept[IllegalArgumentException](Bm25.topKSql(Seq("o'brien"), 5))
   }
 
   // ------------------------------------------- weighted sample (A-ES)
@@ -145,6 +147,14 @@ class RetrievalQualitySpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("weightedSample refuses an input that already has es_key") {
+    val s = spark
+    import s.implicits._
+    val taken = Seq((1L, 2.0, 9.9)).toDF("doc_id", "w", "es_key")
+    intercept[IllegalArgumentException](
+      Scale.weightedSample(taken, "doc_id", col("w"), k = 1))
+  }
+
   test("weightedSample favors heavy rows: inclusion rate grows with weight") {
     val s = spark
     import s.implicits._
@@ -162,6 +172,39 @@ class RetrievalQualitySpec extends SparkSpec {
     val heavyRate = heavy / 10.0
     val lightRate = light / 90.0
     assert(heavyRate > 3.0 * lightRate, s"heavy=$heavy light=$light")
+  }
+
+  // ------------------------------- cross-doc duplicated n-gram spans
+
+  test("crossDocDupCoverage: planted shared span, union of overlaps, zero case") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),            // shares "a b c d e" with doc 2
+      (2L, "x x a b c d e y y y"),
+      (3L, "p q r s t u"),                // no cross-doc n-gram
+      (4L, "m n o m n o m n o m n o"),    // full verbatim twin of doc 5:
+      (5L, "m n o m n o m n o m n o")     // every span shared, unions to 1.0
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.crossDocDupCoverage(docs, n = 5)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) == ((8L, 1L, 5L, 0.625)))
+    assert(got(2L) == ((10L, 1L, 5L, 0.5)))
+    assert(got(3L) == ((6L, 0L, 0L, 0.0)))
+    assert(got(4L) == ((12L, 8L, 12L, 1.0)), "overlapping spans must union, not sum")
+    assert(got(5L) == ((12L, 8L, 12L, 1.0)))
+  }
+
+  test("crossDocDupCoverage: docs shorter than n report zero, not a phantom shingle") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d e"), (4L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.crossDocDupCoverage(docs, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got(1L) == 0L && got(2L) == 0L)
+    assert(got(3L) == 5L && got(4L) == 5L)
   }
 
   // --------------------------------------- learned quality classifier
