@@ -616,6 +616,11 @@ object Extras {
     // instead; same integers)
     "X67_dup_ngram_coverage" -> q(c =>
       TextAnalysis.crossDocDupCoverage(c.documents, n = 5)),
+    // the transform half of exact-substring dedup: rewrite docs with
+    // cross-doc-shared 5-gram spans cut out (map-side range fold per
+    // doc); fully oracle-checked — exact string equality
+    "X68_remove_shared_spans" -> q(c =>
+      TextAnalysis.removeSharedSpans(c.documents, n = 5)),
     // batched BM25 over a query TABLE (queries = first 5 tokens of
     // docs 0-2): the inverted-index join form — postings built once,
     // per-query top-5 through a query-partitioned window; fully
@@ -883,6 +888,29 @@ SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
        CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
        ROUND(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / CAST(len(t.toks) AS DOUBLE), 6) AS dup_frac
 FROM t LEFT JOIN sp ON t.doc_id = sp.doc_id LEFT JOIN cov ON t.doc_id = cov.doc_id
+ORDER BY t.doc_id
+""".trim,
+    "X68_remove_shared_spans" -> """
+WITH t AS (SELECT doc_id, text, list_filter(str_split(text, ' '), x -> x <> '') AS toks FROM documents),
+sh AS (SELECT doc_id, i AS pos,
+              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS s
+       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             FROM t WHERE len(toks) >= 5) u),
+shared AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM sh JOIN shared USING (s)),
+cov AS (SELECT DISTINCT doc_id, p FROM (
+          SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p FROM hits) z),
+tokpos AS (SELECT doc_id, p, toks[p] AS tok
+           FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS p FROM t) u),
+kept AS (SELECT tokpos.doc_id, string_agg(tokpos.tok, ' ' ORDER BY tokpos.p) AS ct
+         FROM tokpos LEFT JOIN cov ON tokpos.doc_id = cov.doc_id AND tokpos.p = cov.p
+         WHERE cov.p IS NULL
+         GROUP BY tokpos.doc_id)
+SELECT t.doc_id,
+       CASE WHEN h.doc_id IS NULL THEN t.text ELSE COALESCE(k.ct, '') END AS text
+FROM t
+LEFT JOIN (SELECT DISTINCT doc_id FROM hits) h ON t.doc_id = h.doc_id
+LEFT JOIN kept k ON t.doc_id = k.doc_id
 ORDER BY t.doc_id
 """.trim,
     "X01_token_stats" -> """

@@ -228,6 +228,13 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def dupNgramCoverage(n: Int = 5): DataFrame =
     graft.text.TextAnalysis.crossDocDupCoverage(tables.documents, n)
 
+  /** Rewrite corpus docs with cross-doc-shared n-gram spans removed —
+    * the exact-substring dedup transform (see
+    * [[graft.text.TextAnalysis.removeSharedSpans]]).
+    */
+  def removeSharedSpans(n: Int = 5): DataFrame =
+    graft.text.TextAnalysis.removeSharedSpans(tables.documents, n)
+
   /** BM25 top-k retrieval over the corpus for a literal term query
     * (see [[graft.text.Bm25.topK]]).
     */

@@ -610,17 +610,30 @@ object TextAnalysis {
     * division ⇒ bit-exact in any engine (the oracle uses the naive
     * explode — same integers, different plan).
     */
-  def crossDocDupCoverage(documents: DataFrame, n: Int = 5): DataFrame = {
-    require(n >= 2, s"n-gram order must be >= 2: $n")
+  /** Per-doc sorted 0-based positions of n-grams shared with at least
+    * one OTHER document: (doc_id, ps) — only docs with a hit appear.
+    * The shared machinery of [[crossDocDupCoverage]] and
+    * [[removeSharedSpans]]. "Appears in ≥2 distinct docs" is tested as
+    * min(doc_id) ≠ max(doc_id): one partial-aggregated pass, no
+    * COUNT(DISTINCT) Expand of the shingle stream (the residual cost
+    * is the string-shingle exchange itself, which exactness requires —
+    * hashing the shingle key would admit cross-doc collisions).
+    */
+  private def crossDocHitLists(documents: DataFrame, n: Int): DataFrame = {
     val sh = documents
       .select(col("doc_id"), posexplode(shingles(col("text"), n)).as(Seq("pos", "s")))
     val shared = sh.groupBy("s")
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
       .select("s")
-    val hits = sh.join(shared, Seq("s"), "left_semi")
+    sh.join(shared, Seq("s"), "left_semi")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
+  }
+
+  def crossDocDupCoverage(documents: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2: $n")
+    val hits = crossDocHitLists(documents, n)
     // fold: acc = (lastEnd, covered); each hit at p covers [p, p+n)
     val folded = hits.select(
       col("doc_id"),
@@ -639,6 +652,46 @@ object TextAnalysis {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
         round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
           col("n_tokens").cast("double"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Rewrite every document with its cross-document-shared n-gram
+    * spans REMOVED — the transform half of exact-substring dedup (Lee
+    * et al. 2021 §4: cut the duplicated span, keep the unique
+    * remainder, rather than dropping whole documents). Output:
+    * (doc_id, text) for every input doc; docs with no shared span pass
+    * through verbatim; a fully-covered doc becomes the empty string
+    * (callers typically drop empties next).
+    *
+    * Scale shape: the hit lists come from [[crossDocHitLists]] (one
+    * shingle shuffle); the rewrite itself is a MAP-SIDE per-doc fold
+    * over the sorted hit positions emitting the uncovered token
+    * RANGES — O(len + hits) per doc, never the O(len·hits) a
+    * position-wise exists() scan would pay, and the corpus token
+    * stream never shuffles.
+    */
+  def removeSharedSpans(documents: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2: $n")
+    val hits = crossDocHitLists(documents, n)
+    val toks = tokens(col("text"))
+    // fold state: cur = count of leading tokens already resolved
+    // (0-based index of the next candidate token), parts = kept ranges
+    val cleaned = aggregate(
+      col("ps"),
+      struct(lit(0).as("cur"), array().cast("array<string>").as("parts")),
+      (acc, p) => struct(
+        greatest(acc("cur"), p + lit(n)).as("cur"),
+        when(p > acc("cur"),
+          concat(acc("parts"), slice(toks, acc("cur") + 1, p - acc("cur"))))
+          .otherwise(acc("parts")).as("parts")),
+      acc => array_join(
+        concat(acc("parts"),
+          slice(toks, acc("cur") + 1, greatest(size(toks) - acc("cur"), lit(0)))),
+        " "))
+    documents
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("ps").isNull, col("text")).otherwise(cleaned).as("text"))
       .orderBy("doc_id")
   }
 

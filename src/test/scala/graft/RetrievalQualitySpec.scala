@@ -207,6 +207,39 @@ class RetrievalQualitySpec extends SparkSpec {
     assert(got(3L) == 5L && got(4L) == 5L)
   }
 
+  test("removeSharedSpans cuts exactly the shared spans, keeps unique remainder") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "u1 u2 a b c d e u3 u4"),     // shared span in the middle
+      (2L, "a b c d e w1 w2 w3 w4 w5"),  // shared span at the start
+      (3L, "p q r s t u"),               // untouched — passes through verbatim
+      (4L, "m m m m m m"),               // full twin of doc 5 → empty
+      (5L, "m m m m m m")
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.removeSharedSpans(docs, n = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "u1 u2 u3 u4")
+    assert(got(2L) == "w1 w2 w3 w4 w5")
+    assert(got(3L) == "p q r s t u")
+    assert(got(4L) == "" && got(5L) == "")
+  }
+
+  test("removeSharedSpans: overlapping shared spans cut as one range") {
+    val s = spark
+    import s.implicits._
+    // docs 1 and 2 share overlapping 5-grams "a b c d e" and "b c d e f";
+    // the union [a..f] must be cut once, not doubly counted or split
+    val docs = Seq(
+      (1L, "x1 a b c d e f x2"),
+      (2L, "y1 y2 a b c d e f")
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.removeSharedSpans(docs, n = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "x1 x2")
+    assert(got(2L) == "y1 y2")
+  }
+
   // --------------------------------------- learned quality classifier
 
   /** Planted fixture: target docs draw from a "clean" vocabulary, raw
