@@ -616,6 +616,12 @@ object Extras {
     // instead; same integers)
     "X67_dup_ngram_coverage" -> q(c =>
       TextAnalysis.crossDocDupCoverage(c.documents, n = 5)),
+    // compression-ratio quality signal (MassiveText-style): DEFLATE
+    // length over raw length, per doc, via the codegen'd native
+    // expression — rows-only (no portable SQL zlib; spec pins the
+    // monotonicity law and determinism)
+    "X69_compression_ratio" -> q(c =>
+      TextAnalysis.compressionStats(c.documents)),
     // the transform half of exact-substring dedup: rewrite docs with
     // cross-doc-shared 5-gram spans cut out (map-side range fold per
     // doc); fully oracle-checked — exact string equality

@@ -221,6 +221,12 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def importanceWeights(target: DataFrame): DataFrame =
     graft.text.Dsir.importanceWeights(tables.documents, target)
 
+  /** Per-doc DEFLATE compression-ratio quality signal (see
+    * [[graft.text.TextAnalysis.compressionStats]]).
+    */
+  def compressionStats(): DataFrame =
+    graft.text.TextAnalysis.compressionStats(tables.documents)
+
   /** Per-doc cross-document duplicated n-gram coverage — the exact
     * substring dedup signal (see
     * [[graft.text.TextAnalysis.crossDocDupCoverage]]).

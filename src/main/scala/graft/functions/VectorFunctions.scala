@@ -125,5 +125,16 @@ object VectorFunctions {
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_zorder_n"),
       new ExpressionInfo(classOf[ZOrderValueN].getName, "graft_zorder_n"),
       (exprs: Seq[Expression]) => ZOrderValueN(exprs))
+    registry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_deflate_len(s) takes one string arg")
+        DeflateLen(exprs.head)
+      })
   }
+
+  /** Column form of [[DeflateLen]]. */
+  def deflateLen(s: Column): Column =
+    GraftColumnBridge.column(DeflateLen(GraftColumnBridge.expression(s)))
 }

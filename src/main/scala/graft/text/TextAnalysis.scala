@@ -655,6 +655,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Compression-ratio quality signal: per doc, the DEFLATE-compressed
+    * length of the UTF-8 text over its raw byte length. Highly
+    * templated or repetitive text compresses far below typical prose —
+    * the cheap corpus-free complement to the n-gram repetition
+    * heuristics ([[repetitionStats]]); public pipelines gate on it
+    * (e.g. the MassiveText filters, Rae et al. 2021). Pure map-side
+    * over a codegen'd native expression
+    * ([[graft.functions.DeflateLen]]) — no shuffle, no UDF.
+    *
+    * Rows-only by construction: no portable SQL engine exposes zlib as
+    * a scalar, so the pin is the spec's monotonicity law (repetitive ≪
+    * prose ≪ high-entropy) plus byte-exact determinism, not a DuckDB
+    * hash.
+    */
+  def compressionStats(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      octet_length(col("text")).as("raw_bytes"),
+      graft.functions.VectorFunctions.deflateLen(col("text")).as("deflate_bytes"))
+      .withColumn("compression_ratio",
+        round(col("deflate_bytes").cast("double") /
+          greatest(col("raw_bytes"), lit(1)).cast("double"), 6))
+      .orderBy("doc_id")
+
   /** Rewrite every document with its cross-document-shared n-gram
     * spans REMOVED — the transform half of exact-substring dedup (Lee
     * et al. 2021 §4: cut the duplicated span, keep the unique

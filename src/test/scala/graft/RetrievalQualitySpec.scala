@@ -240,6 +240,48 @@ class RetrievalQualitySpec extends SparkSpec {
     assert(got(2L) == "y1 y2")
   }
 
+  // ------------------------------------ compression-ratio quality signal
+
+  test("compressionStats: repetitive << prose << high-entropy; exact vs JVM reference") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val repetitive = ("spam " * 200).trim
+    val prose = (0 until 200).map(_ => Seq("scan", "join", "filter", "merge",
+      "sort", "window", "agg", "table")(rnd.nextInt(8))).mkString(" ")
+    val entropy = (0 until 1000).map(_ => rnd.nextPrintableChar()).mkString
+    val docs = Seq((1L, repetitive), (2L, prose), (3L, entropy)).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.compressionStats(docs)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(got(1L)._3 < got(2L)._3 && got(2L)._3 < got(3L)._3,
+      s"monotonicity violated: $got")
+    // byte-exact against a direct JVM deflate of the same UTF-8 bytes
+    def ref(t: String): Int = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+      d.setInput(t.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    assert(got(1L)._2 == ref(repetitive))
+    assert(got(3L)._2 == ref(entropy))
+    assert(got(2L)._1 == prose.getBytes("UTF-8").length)
+  }
+
+  test("graft_deflate_len registers for SQL and matches the Column form") {
+    val s = spark
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    Seq((1L, "a b a b a b")).toDF("doc_id", "text").createOrReplaceTempView("cmp_t")
+    val sqlLen = s.sql("SELECT graft_deflate_len(text) AS l FROM cmp_t")
+      .first().getInt(0)
+    val colLen = graft.text.TextAnalysis.compressionStats(
+      Seq((1L, "a b a b a b")).toDF("doc_id", "text"))
+      .first().getInt(2)
+    assert(sqlLen == colLen && sqlLen > 0)
+  }
+
   // --------------------------------------- learned quality classifier
 
   /** Planted fixture: target docs draw from a "clean" vocabulary, raw
