@@ -14,18 +14,20 @@ import graft.vector.Ann
   * (dedup, similarity search, text analysis, multimodal plumbing)
   * mandated by BASELINE.json's north star.
   *
-  * Most extras are oracle-checked (100 of 111 driver queries): either
+  * Most extras are oracle-checked (108 of 124 driver queries): either
   * directly DuckDB-expressible, or — for the index-backed paths
-  * X11/X14/X15/X16/X29/X38 — checked against the MIRRORED persisted
-  * index parquet: the signature/centroid generation is engine-specific
-  * (xxhash64), but the bucket self-join, exact-Jaccard verify,
-  * winner/cluster algebra and centroid probe downstream of the
-  * persisted files are plain SQL. The remaining rows-only queries
-  * (X07–X10, X12, X17, X25–X27, X37, X46) are inherently
-  * un-oracle-checkable — end-to-end engine hashing, probabilistic LSH
-  * with no persisted artifact, JPEG-lossy media, sketch unions — and
-  * are pinned by ExtrasSpec property tests instead (recall vs exact,
-  * fingerprint stability, probe-all ≡ brute-force).
+  * X11/X14/X15/X16/X29/X38/X60/X61 — checked against the MIRRORED
+  * persisted artifact parquet: the signature/centroid generation is
+  * engine-specific (xxhash64 / non-canonical float sums), but the
+  * bucket self-join, exact-Jaccard verify, winner/cluster algebra and
+  * centroid probe downstream of the persisted files are plain SQL.
+  * The remaining rows-only queries (X07–X10, X12, X17, X25–X27, X37,
+  * X46, X57–X59, X65, X69) are inherently un-oracle-checkable —
+  * end-to-end engine hashing, probabilistic LSH with no persisted
+  * artifact, JPEG-lossy media, sketch unions, iterative argmax/GD
+  * training, no portable zlib — and are pinned by property tests
+  * instead (recall vs exact, fingerprint stability, probe-all ≡
+  * brute-force, driver-side reference implementations).
   */
 object Extras {
 

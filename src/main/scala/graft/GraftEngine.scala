@@ -276,6 +276,15 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def scoreQuality(model: graft.text.QualityClassifier.Model): DataFrame =
     graft.text.QualityClassifier.score(tables.documents, model)
 
+  /** Persist / reload a trained quality model (see
+    * [[graft.text.QualityClassifier.saveModel]]) — the persisted file
+    * is the model's identity, like the IVF/banded index artifacts.
+    */
+  def saveQualityModel(model: graft.text.QualityClassifier.Model, path: String): Unit =
+    graft.text.QualityClassifier.saveModel(spark, model, path)
+  def loadQualityModel(path: String): graft.text.QualityClassifier.Model =
+    graft.text.QualityClassifier.loadModel(spark, path)
+
   /** Decode + featurize media payloads (PNG/JPEG), audio (WAV) and
     * frame containers synthesized from the documents table — the
     * multimodal plumbing entry points.

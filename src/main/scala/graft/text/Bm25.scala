@@ -43,6 +43,7 @@ object Bm25 {
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
     require(terms.distinct == terms, s"duplicate query terms: $terms")
+    require(k > 0, s"k must be positive: $k")
 
     val toked = docs.select(
       col("doc_id"),

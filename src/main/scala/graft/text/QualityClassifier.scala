@@ -136,4 +136,38 @@ object QualityClassifier {
   def score(docs: DataFrame, model: Model): DataFrame =
     featurize(docs, model.dim)
       .select(col("doc_id"), round(sigmoid(margin(model.weights)), 6).as("p_target"))
+
+  /** Persist a trained model as (f, weight) parquet — the same
+    * persisted-artifact contract as the IVF/banded indexes: training is
+    * layout-deterministic only to last-ulp, so the persisted file IS
+    * the model's identity; every scorer reading it produces identical
+    * verdicts.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    import spark.implicits._
+    model.weights.zipWithIndex.map { case (wt, f) => (f, wt) }.toSeq
+      .toDF("f", "weight")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[saveModel]]; fails loudly on a sparse
+    * or oversized weight table rather than zero-filling silently.
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path).select("f", "weight").collect()
+    val dim = rows.length - 1
+    require(dim >= 1, s"model at $path has ${rows.length} weights; expected >= 2")
+    val w = new Array[Double](rows.length)
+    val seen = new Array[Boolean](rows.length)
+    rows.foreach { r =>
+      val f = r.getInt(0)
+      require(f >= 0 && f < rows.length, s"model at $path has feature id $f out of [0, ${rows.length})")
+      require(!seen(f), s"model at $path has duplicate feature id $f")
+      seen(f) = true
+      w(f) = r.getDouble(1)
+    }
+    Model(w, dim)
+  }
 }

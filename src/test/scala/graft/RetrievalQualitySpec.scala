@@ -326,6 +326,19 @@ class RetrievalQualitySpec extends SparkSpec {
     assert(after < 0.5 * before, s"loss $before -> $after")
   }
 
+  test("model save/load round-trips and reproduces scores exactly") {
+    val (target, raw) = plantedFixture
+    val model = QualityClassifier.train(target, raw, dim = 32, iters = 10)
+    val path = java.nio.file.Files.createTempDirectory("graft_lr_model").toString + "/m"
+    QualityClassifier.saveModel(spark, model, path)
+    val back = QualityClassifier.loadModel(spark, path)
+    assert(back.dim == model.dim)
+    assert(back.weights.toSeq == model.weights.toSeq)
+    val a = QualityClassifier.score(target, model).collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = QualityClassifier.score(target, back).collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(a == b)
+  }
+
   test("empty documents are dropped, not scored") {
     val s = spark
     import s.implicits._
