@@ -264,7 +264,8 @@ object Extras {
     new java.util.concurrent.ConcurrentHashMap[String, graft.text.QualityClassifier.Model]()
 
   private def lrModel(c: Catalog): graft.text.QualityClassifier.Model = {
-    val key = stamp(c.dir, "documents", "logreg:512:20")
+    // the stamp carries EVERY training hyperparameter the call fixes
+    val key = stamp(c.dir, "documents", "logreg:512:20:lr2.0:l2=1e-6")
     // dim/iters passed explicitly so the stamp string cannot drift
     // from the trainer's defaults
     lrCache.computeIfAbsent(key, _ =>

@@ -174,7 +174,28 @@ class RetrievalQualitySpec extends SparkSpec {
     assert(heavyRate > 3.0 * lightRate, s"heavy=$heavy light=$light")
   }
 
+  test("bm25 and weightedSample are layout-invariant (fixed-order float claims)") {
+    val docs7 = cat.documents.repartition(7)
+    val a1 = Bm25.topK(cat.documents, terms, k = 20).collect().toSeq
+    val a2 = Bm25.topK(docs7, terms, k = 20).collect().toSeq
+    assert(a1 == a2, "BM25 must not depend on partition layout")
+    def ws(d: org.apache.spark.sql.DataFrame) = Scale.weightedSample(
+      d.select(col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("bigint").as("n_tokens")),
+      "doc_id", col("n_tokens"), k = 50).collect().toSeq
+    assert(ws(cat.documents) == ws(docs7), "A-ES sample must not depend on layout")
+  }
+
   // ------------------------------- cross-doc duplicated n-gram spans
+
+  test("crossDocDupCoverage is layout-invariant") {
+    val a = graft.text.TextAnalysis.crossDocDupCoverage(cat.documents, n = 5)
+      .collect().toSeq
+    val b = graft.text.TextAnalysis.crossDocDupCoverage(cat.documents.repartition(7), n = 5)
+      .collect().toSeq
+    assert(a == b)
+  }
+
 
   test("crossDocDupCoverage: planted shared span, union of overlaps, zero case") {
     val s = spark
