@@ -167,9 +167,13 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
     */
   def buildTrainingSet(
       benchmark: Option[DataFrame] = None,
-      cfg: graft.pipeline.TrainingSetConfig = graft.pipeline.TrainingSetConfig())
+      cfg: graft.pipeline.TrainingSetConfig = graft.pipeline.TrainingSetConfig(),
+      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None,
+      spanRemovalN: Option[Int] = None,
+      importanceSample: Option[(DataFrame, Int)] = None)
       : graft.pipeline.TrainingSetResult =
-    graft.pipeline.TrainingSet.build(tables.documents, benchmark, cfg)
+    graft.pipeline.TrainingSet.build(tables.documents, benchmark, cfg,
+      qualityModel, spanRemovalN, importanceSample)
 
   /** Ordered conversion funnel / hour-over-hour cohort retention over
     * the events table.

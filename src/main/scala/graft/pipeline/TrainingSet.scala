@@ -45,14 +45,32 @@ final case class TrainingSetResult(docs: DataFrame, audit: Seq[(String, Long)])
   */
 object TrainingSet {
 
-  /** Run stages 1–6; `audit` holds surviving-doc counts per stage (the
-    * id sets are localCheckpoint'ed, so the counts are metadata reads,
-    * not pipeline re-runs).
+  /** Run stages 1–6 (plus the opt-in 1b/2b/5b below); `audit` holds
+    * surviving-doc counts per stage (the id sets are
+    * localCheckpoint'ed, so the counts are metadata reads, not
+    * pipeline re-runs).
+    *
+    * Opt-in stages composing the learned/substring operators into the
+    * canonical flow:
+    *   1b. model quality gate  — keep docs the trained hashed-BoW
+    *       classifier scores ≥ threshold (the fastText/CCNet filter,
+    *       after the cheap rule gate so the model scores fewer docs)
+    *   2b. shared-span removal — REWRITES text cutting cross-doc
+    *       verbatim spans (exact-substring dedup), then re-applies the
+    *       min-length floor: every later stage (near-dup shingling,
+    *       decontamination, ordering) sees the cleaned text
+    *   5b. importance sampling — fixed-size weighted sample without
+    *       replacement, weight = exp(DSIR log-ratio vs `target`) —
+    *       the "select like the seed corpus" step, after mixture so
+    *       quotas bind before sampling
     */
   def build(
       documents: DataFrame,
       benchmark: Option[DataFrame] = None,
-      cfg: TrainingSetConfig = TrainingSetConfig()): TrainingSetResult = {
+      cfg: TrainingSetConfig = TrainingSetConfig(),
+      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None,
+      spanRemovalN: Option[Int] = None,
+      importanceSample: Option[(DataFrame, Int)] = None): TrainingSetResult = {
 
     def ids(df: DataFrame): DataFrame =
       df.select("doc_id").localCheckpoint(true)
@@ -66,15 +84,41 @@ object TrainingSet {
         .filter(col("keep")))
     val quality = keep(documents, qualityIds)
 
+    // 1b. optional learned quality gate on the rule-gated survivors
+    val (modelGated, modelIds) = qualityModel match {
+      case Some((m, thr)) =>
+        val kept = ids(
+          graft.text.QualityClassifier.score(quality, m)
+            .filter(col("p_target") >= thr))
+        (keep(quality, kept), kept)
+      case None => (quality, qualityIds)
+    }
+
     // 2. exact dedup: one 8-byte-key aggregation
     val exactIds = ids(
-      quality.select(col("doc_id"), xxhash64(col("text")).as("__fp"))
+      modelGated.select(col("doc_id"), xxhash64(col("text")).as("__fp"))
         .groupBy("__fp").agg(min("doc_id").as("doc_id")))
-    val exact = keep(quality, exactIds)
+    val exact = keep(modelGated, exactIds)
+
+    // 2b. optional exact-substring dedup: REWRITE text (not id algebra
+    // — downstream shingling must see the cleaned text), re-apply the
+    // min-length floor, and checkpoint the rewritten corpus so later
+    // stages don't re-run the shingle shuffle
+    val (spanned, spanIds) = spanRemovalN match {
+      case Some(n) =>
+        val rewritten = TextAnalysis.removeSharedSpans(exact, n)
+          .filter(size(TextAnalysis.tokens(col("text"))) >= cfg.minWords)
+          .localCheckpoint(true)
+        // carry every non-text column through from the exact stage
+        val restored = exact.drop("text")
+          .join(rewritten, Seq("doc_id"))
+        (restored, ids(rewritten))
+      case None => (exact, exactIds)
+    }
 
     // 3. near dedup on the shrunk corpus (LSH candidates + exact verify)
-    val nearIds = ids(MinHashDedup.dedupWinners(exact, cfg.dedup))
-    val near = keep(exact, nearIds)
+    val nearIds = ids(MinHashDedup.dedupWinners(spanned, cfg.dedup))
+    val near = keep(spanned, nearIds)
 
     // 4. benchmark decontamination (exact n-gram overlap)
     val cleanIds = benchmark match {
@@ -93,21 +137,40 @@ object TrainingSet {
     }
     val mixed = keep(clean, mixedIds)
 
+    // 5b. optional importance sampling toward a target seed corpus:
+    // DSIR log-ratio per doc, A-ES weighted sample with w = exp(ratio)
+    // (strictly positive by construction)
+    val (sampled, sampledIds) = importanceSample match {
+      case Some((target, k)) =>
+        val weights = graft.text.Dsir.importanceWeights(mixed, target)
+          .select(col("doc_id"), exp(col("dsir_weight")).as("__w"))
+        val kept = ids(
+          Scale.weightedSample(
+            mixed.select("doc_id").join(weights, Seq("doc_id")),
+            "doc_id", col("__w"), k, cfg.seed))
+        (keep(mixed, kept), kept)
+      case None => (mixed, mixedIds)
+    }
+
     // 6. deterministic training order
-    val ordered = Scale.shuffleOrder(mixed, "doc_id", cfg.seed)
+    val ordered = Scale.shuffleOrder(sampled, "doc_id", cfg.seed)
 
     // audit counts read the CHECKPOINTED id sets (no stage re-runs its
     // pipeline for its count); ordering only adds a column, so its
-    // membership count is stage 5's by construction
-    val mixedCount = mixedIds.count()
+    // membership count is stage 5b's by construction
+    val sampledCount = sampledIds.count()
     val audit = Seq(
       "0_input" -> documents.count(),
-      "1_quality" -> qualityIds.count(),
-      "2_exact_dedup" -> exactIds.count(),
-      "3_near_dedup" -> nearIds.count(),
-      "4_decontaminated" -> cleanIds.count(),
-      "5_mixture" -> mixedCount,
-      "6_ordered" -> mixedCount)
+      "1_quality" -> qualityIds.count()) ++
+      (if (qualityModel.isDefined) Seq("1b_model_quality" -> modelIds.count()) else Nil) ++
+      Seq("2_exact_dedup" -> exactIds.count()) ++
+      (if (spanRemovalN.isDefined) Seq("2b_span_removal" -> spanIds.count()) else Nil) ++
+      Seq(
+        "3_near_dedup" -> nearIds.count(),
+        "4_decontaminated" -> cleanIds.count(),
+        "5_mixture" -> mixedIds.count()) ++
+      (if (importanceSample.isDefined) Seq("5b_importance_sample" -> sampledCount) else Nil) ++
+      Seq("6_ordered" -> sampledCount)
     TrainingSetResult(ordered, audit)
   }
 

@@ -58,6 +58,64 @@ class TrainingSetSpec extends SparkSpec {
     assert(pm("5_mixture") == pm("4_decontaminated"))
   }
 
+  test("build with 1b/2b/5b: model gate, span removal and importance sampling compose") {
+    val s = spark
+    import s.implicits._
+    // planted fixture: math-prose target docs, spam docs the model must
+    // gate out, and a pair sharing a verbatim 6-gram boilerplate span.
+    // Vocabularies are wide enough (12 words over 40 draws) that the
+    // RULE gate (top-word/dup-word fractions) passes everything — each
+    // later stage's effect is then attributable to that stage alone.
+    val clean = Array("theorem", "proof", "lemma", "axiom", "integral",
+      "derivative", "matrix", "tensor", "manifold", "functor", "kernel", "basis")
+    val spamV = Array("casino", "winner", "prize", "click", "free",
+      "bonus", "jackpot", "deal", "offer", "discount", "buy", "now")
+    def doc(id: Long, vocab: Array[String], extra: String = ""): (Long, String, String) = {
+      val rnd = new scala.util.Random(id)
+      val words = (0 until 40).map(_ => vocab(rnd.nextInt(vocab.length)))
+      (id, (words.mkString(" ") + extra), "en")
+    }
+    val boiler = " subscribe to our newsletter for updates today"
+    val target = (0L until 30L).map(doc(_, clean)).toDF("doc_id", "text", "lang")
+    val corpus = (
+      (100L until 130L).map(doc(_, clean)) ++          // target-like keepers
+      (200L until 220L).map(doc(_, spamV)) ++          // spam: model gate
+      Seq(doc(300L, clean, boiler), doc(301L, clean, boiler)) // shared span
+    ).toDF("doc_id", "text", "lang")
+
+    val model = graft.text.QualityClassifier.train(target, corpus.filter(col("doc_id") >= 200 && col("doc_id") < 220), dim = 64, iters = 40)
+    val r = TrainingSet.build(
+      corpus,
+      benchmark = None,
+      cfg = TrainingSetConfig(minWords = 5),
+      qualityModel = Some((model, 0.5)),
+      spanRemovalN = Some(6),
+      importanceSample = Some((target, 25)))
+
+    val a = r.audit.toMap
+    assert(a.contains("1b_model_quality") && a.contains("2b_span_removal") &&
+      a.contains("5b_importance_sample"), s"missing stage rows: ${r.audit}")
+    // the rule gate is neutral on this fixture — attribution is clean
+    assert(a("1_quality") == 52, s"rule gate should pass all: ${r.audit}")
+    // model gate: all 20 spam docs (and only them) drop
+    assert(a("1b_model_quality") == 32, s"spam must be gated: ${r.audit}")
+    // importance sample: exactly 25 (k) survivors reach the ordering
+    assert(a("5b_importance_sample") == 25 && a("6_ordered") == 25)
+    // no spam doc reaches the final set
+    val finalIds = r.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(finalIds.forall(id => id < 200L || id >= 220L), s"spam survived: $finalIds")
+    // span removal: the boilerplate 6-gram is cut from surviving texts
+    val texts = r.docs.select("doc_id", "text").collect()
+      .map(rr => (rr.getLong(0), rr.getString(1))).toMap
+    texts.filterKeys(k => k == 300L || k == 301L).values.foreach { t =>
+      assert(!t.contains("subscribe to our newsletter for updates today"),
+        s"shared span must be removed: $t")
+    }
+    // the counts stay monotone through the optional stages too
+    val counts = r.audit.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (x, y) => y <= x }, s"${r.audit}")
+  }
+
   test("binnedChunks: bins are contiguous training-order slices within the token budget") {
     val r = TrainingSet.build(cat.documents.limit(150), None, TrainingSetConfig())
     val maxTokens = 64
