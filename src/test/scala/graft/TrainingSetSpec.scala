@@ -107,7 +107,7 @@ class TrainingSetSpec extends SparkSpec {
     // span removal: the boilerplate 6-gram is cut from surviving texts
     val texts = r.docs.select("doc_id", "text").collect()
       .map(rr => (rr.getLong(0), rr.getString(1))).toMap
-    texts.filterKeys(k => k == 300L || k == 301L).values.foreach { t =>
+    texts.filter { case (k, _) => k == 300L || k == 301L }.values.foreach { t =>
       assert(!t.contains("subscribe to our newsletter for updates today"),
         s"shared span must be removed: $t")
     }
