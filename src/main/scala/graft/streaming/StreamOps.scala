@@ -317,6 +317,33 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming twin of the LEARNED quality gate: score every arriving
+    * document with a TRAINED hashed-BoW logistic model (the
+    * fastText/CCNet filter) and sink (doc_id, p_target) — the online
+    * half of [[graft.text.QualityClassifier]]. The model is a frozen
+    * artifact (weights baked into the plan as a broadcast literal —
+    * scoring is stateless and map-side per micro-batch, no state
+    * store), so stream and batch verdicts agree EXACTLY for the same
+    * model bytes: train once, persist
+    * ([[graft.text.QualityClassifier.saveModel]]), score everywhere.
+    * Batch-keyed overwrite sink — same idempotent-replay contract as
+    * [[scoreDocumentsStream]].
+    */
+  def scoreQualityStream(
+      documents: DataFrame,
+      model: graft.text.QualityClassifier.Model,
+      path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    documents.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.text.QualityClassifier.score(batch, model)
+            .write.mode("overwrite").parquet(s"$path/b$batchId")
+      }
+      .start()
+
   /** Watermarked stream-stream inner join: pair every `typeA` event
     * with the same user's `typeB` events that follow within `within` —
     * the attribution/correlation query (click → purchase) as a real

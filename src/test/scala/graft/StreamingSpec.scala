@@ -618,6 +618,33 @@ class StreamingSpec extends SparkSpec {
       "crash-recovered ingest must equal batch-mode incremental dedup")
   }
 
+  test("streaming LEARNED quality gate: stream scores equal batch scores for the same model") {
+    val docs = Tables.load(spark, sf1, "documents")
+    val model = graft.text.QualityClassifier.train(
+      docs.filter(col("source") === "src0"),
+      docs.filter(col("source") =!= "src0"),
+      dim = 64, iters = 5)
+    val srcDir = Files.createTempDirectory("graft-stream-lr")
+    val outDir = Files.createTempDirectory("graft-stream-lr-out").toString + "/scores"
+    val ckpt = Files.createTempDirectory("graft-stream-lr-ckpt").toString
+    val query = StreamOps.scoreQualityStream(
+      StreamOps.documentsStream(spark, srcDir.toString), model, outDir, ckpt)
+    try {
+      Seq(col("doc_id") < 1500,
+        col("doc_id") >= 1500 && col("doc_id") < 3500,
+        col("doc_id") >= 3500).zipWithIndex.foreach { case (f, i) =>
+        writeChunk(docs.filter(f), srcDir, s"chunk$i")
+        query.processAllAvailable()
+      }
+      val got = spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val want = graft.text.QualityClassifier.score(docs, model)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(want.nonEmpty && got == want,
+        s"stream≠batch scores: missing=${(want -- got).size}, extra=${(got -- want).size}")
+    } finally query.stop()
+  }
+
   test("streaming quality gate: replayed corpus produces exactly the batch attributes table") {
     val docs = Tables.load(spark, sf1, "documents")
     val srcDir = Files.createTempDirectory("graft-stream-score")
