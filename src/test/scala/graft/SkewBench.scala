@@ -178,6 +178,16 @@ object SkewBench {
         graft.text.MinHashConfig(maxBucket = 4096)).count())
     println(f"RESULT x07: candidates=$cand (${tCand}%.2fs) winners=$winners (${tWin}%.2fs)")
 
+    // 5. X67 dup-coverage over the pile: the viral shingles (each
+    // shared by the whole 30% pile) reach the shared-set test through
+    // a partial-aggregated min/max — no per-shingle occurrence list is
+    // ever buffered — and hit lists stay doc-bounded, so the pile
+    // costs its own size, not its square
+    val (cov, tCov) = timed(
+      graft.text.TextAnalysis.crossDocDupCoverage(docs, n = 5)
+        .filter(col("dup_frac") >= 0.999).count())
+    println(f"RESULT x67: fully_covered=$cov t=$tCov%.2fs")
+
     // 4. J10 as-of path driven by the skewed events (hot user on both
     // sides): the merge holds one candidate row per stream, so the hot
     // key streams through one task without any pair/state blowup
