@@ -651,6 +651,28 @@ object Extras {
       graft.text.QualityClassifier
         .score(c.documents.filter(col("source") =!= "src0"), lrModel(c))
         .orderBy(desc("p_target"), asc("doc_id")).limit(20)),
+    // bigram-LM fluency score (the CCNet LM-filter shape): mean
+    // add-one-smoothed conditional log10 p(w2|w1) per doc under the
+    // corpus's own bigram model — fully oracle-checked (integer counts,
+    // fixed-order scalar arithmetic, 6-dp round like X45)
+    "X70_bigram_logprob" -> q(c =>
+      TextAnalysis.bigramLogProb(c.documents)),
+    // full-corpus PII redaction rewrite (the scrub pass before
+    // training-data export): typed placeholders over the both-engine
+    // PII patterns, phone before ipv4 — fully oracle-checked by exact
+    // string equality
+    "X71_pii_redact" -> q(c =>
+      c.documents
+        .select(col("doc_id"), TextAnalysis.piiRedact(col("text")).as("text"))
+        .orderBy("doc_id")),
+    // surgical benchmark decontamination: CUT the 5-gram spans a doc
+    // shares with the benchmark (src0), keep the remainder — the
+    // span-level complement of X30's doc-level drop; fully
+    // oracle-checked by exact string equality
+    "X72_scrub_benchmark" -> q(c =>
+      TextAnalysis.scrubBenchmarkSpans(
+        c.documents.filter(col("source") =!= "src0"),
+        c.documents.filter(col("source") === "src0"), n = 5)),
     // corpus snapshot diff (simulated v2: docs 0-49 dropped, 450+ kept,
     // every 7th overlapping doc uppercased): per-doc added/removed/
     // changed from a fingerprint full outer join; fully oracle-checked
@@ -921,6 +943,60 @@ FROM t
 LEFT JOIN (SELECT DISTINCT doc_id FROM hits) h ON t.doc_id = h.doc_id
 LEFT JOIN kept k ON t.doc_id = k.doc_id
 ORDER BY t.doc_id
+""".trim,
+    "X70_bigram_logprob" -> """
+WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks FROM documents),
+bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+             FROM t WHERE len(toks) >= 2) u),
+m AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+cx AS (SELECT w1, SUM(c12) AS c1 FROM m GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM t) z)
+SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(AVG(log10(CAST(m.c12 + 1 AS DOUBLE) / CAST(cx.c1 + v.v AS DOUBLE))), 6) AS mean_logp
+FROM bg JOIN m USING (w1, w2) JOIN cx USING (w1) CROSS JOIN v
+GROUP BY bg.doc_id ORDER BY bg.doc_id
+""".trim,
+    "X71_pii_redact" -> {
+      // generated from the SAME PiiPatterns constant the engine uses
+      // (and the same email→url→phone→ipv4 order), so the two sides
+      // cannot drift; the patterns are both-engine-valid by the X31
+      // contract and contain no SQL-quoting metacharacters
+      val byName = TextAnalysis.PiiPatterns.toMap
+      val redacted = Seq("email", "url", "phone", "ipv4").foldLeft("text") {
+        case (acc, name) =>
+          val tag = s"[${name.toUpperCase(java.util.Locale.ROOT)}]"
+          s"regexp_replace($acc, '${byName(name)}', '$tag', 'g')"
+      }
+      s"SELECT doc_id, $redacted AS text FROM documents ORDER BY doc_id"
+    },
+    "X72_scrub_benchmark" -> """
+WITH c AS (SELECT doc_id, text, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+           FROM documents WHERE source <> 'src0'),
+b AS (SELECT list_filter(str_split(text, ' '), x -> x <> '') AS toks
+      FROM documents WHERE source = 'src0'),
+bs AS (SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS s
+       FROM (SELECT toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             FROM b WHERE len(toks) >= 5) u),
+sh AS (SELECT doc_id, i AS pos,
+              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS s
+       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             FROM c WHERE len(toks) >= 5) u),
+hits AS (SELECT doc_id, pos FROM sh JOIN bs USING (s)),
+cov AS (SELECT DISTINCT doc_id, p FROM (
+          SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p FROM hits) z),
+tokpos AS (SELECT doc_id, p, toks[p] AS tok
+           FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS p FROM c) u),
+kept AS (SELECT tokpos.doc_id, string_agg(tokpos.tok, ' ' ORDER BY tokpos.p) AS ct
+         FROM tokpos LEFT JOIN cov ON tokpos.doc_id = cov.doc_id AND tokpos.p = cov.p
+         WHERE cov.p IS NULL
+         GROUP BY tokpos.doc_id)
+SELECT c.doc_id,
+       CASE WHEN h.doc_id IS NULL THEN c.text ELSE COALESCE(k.ct, '') END AS text
+FROM c
+LEFT JOIN (SELECT DISTINCT doc_id FROM hits) h ON c.doc_id = h.doc_id
+LEFT JOIN kept k ON c.doc_id = k.doc_id
+ORDER BY c.doc_id
 """.trim,
     "X01_token_stats" -> """
 WITH t AS (SELECT lang, len(list_filter(str_split(text, ' '), w -> w <> '')) AS tok FROM documents)

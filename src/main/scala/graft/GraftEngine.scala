@@ -245,6 +245,19 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def removeSharedSpans(n: Int = 5): DataFrame =
     graft.text.TextAnalysis.removeSharedSpans(tables.documents, n)
 
+  /** Rewrite corpus docs with benchmark-overlapping n-gram spans cut —
+    * surgical decontamination (see
+    * [[graft.text.TextAnalysis.scrubBenchmarkSpans]]).
+    */
+  def scrubBenchmarkSpans(benchmark: DataFrame, n: Int = 5): DataFrame =
+    graft.text.TextAnalysis.scrubBenchmarkSpans(tables.documents, benchmark, n)
+
+  /** Per-doc bigram-LM fluency score under the corpus's own bigram
+    * model (see [[graft.text.TextAnalysis.bigramLogProb]]).
+    */
+  def bigramLogProb(): DataFrame =
+    graft.text.TextAnalysis.bigramLogProb(tables.documents)
+
   /** BM25 top-k retrieval over the corpus for a literal term query
     * (see [[graft.text.Bm25.topK]]).
     */

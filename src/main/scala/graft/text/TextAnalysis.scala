@@ -305,6 +305,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model fluency score — the step from
+    * [[unigramLogProb]] toward a CCNet-style LM filter: the corpus's
+    * own adjacent-word bigram counts form the model, context counts
+    * derive from the model itself (c(w1) = Σ_w2 c(w1,w2)), and each
+    * document scores the mean add-one-smoothed conditional
+    * log-probability log10((c(w1,w2)+1) / (c(w1)+V)) over its bigrams,
+    * with V the corpus word-type count. Word-salad documents score far
+    * below fluent prose even when every unigram is individually
+    * common — exactly the signal the unigram score cannot see.
+    *
+    * Scale shape: the model is ONE (w1, w2) count aggregate with
+    * map-side combine (bigram-type-bounded, far below corpus size);
+    * context counts re-aggregate the MODEL, not the corpus; V is a
+    * vocabulary-sized distinct count riding the same 1-row
+    * broadcast-cross-join idiom as A10/X62/X63. Scoring equi-joins doc
+    * bigrams to the model on the (w1, w2) key — AQE broadcasts the
+    * model when it fits, hash-joins otherwise — so the corpus text is
+    * scanned twice (bigrams, vocab) and its token stream never
+    * shuffles; only (doc_id, bigram) pairs move. Docs with fewer than
+    * 2 tokens have no bigrams and drop out (callers score them with
+    * [[unigramLogProb]] instead).
+    */
+  def bigramLogProb(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val bgs = documents.select(col("doc_id"),
+      explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val model = bgs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // context counts fold the model, so model+context is one join of
+    // two model-sized sides, prepared BEFORE the corpus-sized probe
+    val withCtx = model.join(
+      model.groupBy("w1").agg(sum("c12").as("c1")), Seq("w1"))
+    val vocab = documents.select(explode(toks).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    bgs.join(withCtx, Seq("w1", "w2"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_bigrams"),
+        round(avg(log(10.0,
+          (col("c12") + lit(1)).cast("double") /
+            (col("c1") + col("v")).cast("double"))), 6).as("mean_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. On real corpora these would be frequent function words
     * per language; the synthetic corpus shares one vocabulary, so the
@@ -696,7 +743,50 @@ object TextAnalysis {
     */
   def removeSharedSpans(documents: DataFrame, n: Int = 5): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2: $n")
-    val hits = crossDocHitLists(documents, n)
+    rewriteWithoutSpans(documents, crossDocHitLists(documents, n), n)
+  }
+
+  /** Surgical benchmark decontamination — the span-level complement of
+    * the doc-level [[contaminationScores]] gate (X30): instead of
+    * DROPPING a document whose n-gram overlap with the benchmark
+    * crosses a threshold, CUT exactly the overlapping spans and keep
+    * the unique remainder (the [[removeSharedSpans]] rewrite, with the
+    * hit set coming from the benchmark instead of from cross-document
+    * sharing). The pipeline use: a long document quoting one benchmark
+    * question keeps its other 99% instead of being discarded.
+    *
+    * Scale shape: the benchmark side deduplicates to distinct shingles
+    * (benchmarks are tiny next to the corpus — Spark broadcasts the
+    * semi-join side), the corpus pays the same map-side positional
+    * shingle explode as every dedup pass, and the rewrite is the
+    * map-side O(len + hits) range fold. The corpus token stream never
+    * shuffles.
+    */
+  def scrubBenchmarkSpans(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 5): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2: $n")
+    val sh = corpus
+      .select(col("doc_id"), posexplode(shingles(col("text"), n)).as(Seq("pos", "s")))
+    val bs = benchmark
+      .select(explode(array_distinct(shingles(col("text"), n))).as("s"))
+      .distinct()
+    val hits = sh.join(bs, Seq("s"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    rewriteWithoutSpans(corpus, hits, n)
+  }
+
+  /** Shared rewrite of [[removeSharedSpans]] / [[scrubBenchmarkSpans]]:
+    * given per-doc sorted hit positions `ps` (each hit at p covers
+    * tokens [p, p+n)), emit every doc with the covered spans cut —
+    * docs absent from `hits` pass through verbatim.
+    */
+  private def rewriteWithoutSpans(
+      documents: DataFrame,
+      hits: DataFrame,
+      n: Int): DataFrame = {
     val toks = tokens(col("text"))
     // fold state: cur = count of leading tokens already resolved
     // (0-based index of the next candidate token), parts = kept ranges

@@ -53,13 +53,15 @@ class PlanAuditSpec extends SparkSpec {
     // the mixture resampler's min(n/t) over per-stratum counts, the
     // BPE encoder's one-row corpus stats, the k-means assign's
     // centroid-array collapse (global agg of an nLists-sized table),
-    // the DSIR (V, R, T) totals row, BM25's (N, Σdl, df…) stats row
+    // the DSIR (V, R, T) totals row, BM25's (N, Σdl, df…) stats row,
+    // the bigram LM's 1-row vocabulary-size count
     val spAllowed = Set(
       "X13_tfidf_top3", "X19_profile", "X37_hll_distinct",
       "X41_funnel", "X43_time_to_convert", "X48_mixture_resample",
       "X53_vocab_coverage", "X58_bpe_encode_stats",
       "X60_kmeans_clusters", "X61_semantic_dedup",
-      "X62_importance_weights", "X63_bm25_topk", "X66_bm25_join")
+      "X62_importance_weights", "X63_bm25_topk", "X66_bm25_join",
+      "X70_bigram_logprob")
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against
@@ -70,7 +72,8 @@ class PlanAuditSpec extends SparkSpec {
       "X11_ivf_top5", "X13_tfidf_top3", "X14_ivf_index_probe",
       "X48_mixture_resample", "X52_knn_join",
       "X53_vocab_coverage", "X60_kmeans_clusters", "X61_semantic_dedup",
-      "X62_importance_weights", "X63_bm25_topk", "X66_bm25_join")
+      "X62_importance_weights", "X63_bm25_topk", "X66_bm25_join",
+      "X70_bigram_logprob")
     val sf001Dir = "/root/testdata/sf0.001"
     val offenders = Extras.queries.toSeq.sortBy(_._1).flatMap { case (id, fn) =>
       val plan = fn(spark, sf001Dir).queryExecution.executedPlan.toString

@@ -261,6 +261,68 @@ class RetrievalQualitySpec extends SparkSpec {
     assert(got(2L) == "y1 y2")
   }
 
+  test("scrubBenchmarkSpans cuts only benchmark-overlapping spans") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "u1 u2 a b c d e u3"),   // one benchmark 5-gram in the middle
+      (2L, "x y z w v"),            // no overlap — verbatim
+      (3L, "a b c d e f"),          // covers both benchmark 5-grams → empty
+      (4L, "q r s t u v w"),        // corpus-internal twins: NOT cut —
+      (5L, "q r s t u v w"),        // the hit set is benchmark-driven
+      (6L, "a b c")                 // shorter than n — verbatim
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.scrubBenchmarkSpans(corpus, bench, n = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(1L) == "u1 u2 u3")
+    assert(got(2L) == "x y z w v")
+    assert(got(3L) == "")
+    assert(got(4L) == "q r s t u v w" && got(5L) == "q r s t u v w",
+      "corpus-internal duplication must not trigger a benchmark scrub")
+    assert(got(6L) == "a b c")
+  }
+
+  test("bigramLogProb equals a driver-side add-one-smoothed reference") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a c"),
+      (3L, "z")   // no bigrams: drops out, but its token widens V
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.bigramLogProb(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+
+    val toks = Map(1L -> Seq("a", "b", "a", "b"), 2L -> Seq("a", "c"), 3L -> Seq("z"))
+    val bgs = toks.view.mapValues(t => t.zip(t.drop(1))).toMap
+    val model = bgs.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val ctx = model.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = toks.values.flatten.toSet.size
+    def score(id: Long): Double = round6(
+      bgs(id).map { bg =>
+        math.log10((model(bg) + 1).toDouble / (ctx(bg._1) + v).toDouble)
+      }.sum / bgs(id).size)
+
+    assert(got.keySet == Set(1L, 2L), "a bigram-less doc must drop out")
+    assert(got(1L) == ((3L, score(1L))))
+    assert(got(2L) == ((1L, score(2L))))
+  }
+
+  test("bigramLogProb ranks word salad below fluent repetition") {
+    val s = spark
+    import s.implicits._
+    // doc 1 repeats one high-probability transition; doc 2 is the same
+    // vocabulary shuffled into transitions the corpus never repeats
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat on the mat the cat sat on the mat"),
+      (2L, "mat the on cat sat the mat on sat cat the mat sat on the cat on mat")
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.bigramLogProb(docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got(2L) < got(1L), s"salad must score below fluent text: $got")
+  }
+
   // ------------------------------------ compression-ratio quality signal
 
   test("compressionStats: repetitive << prose << high-entropy; exact vs JVM reference") {
