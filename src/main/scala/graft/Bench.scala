@@ -70,6 +70,20 @@ object Bench {
         s4.stop()
         t
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","local4_contract_sec":$local4,"failed_queries":$failedJson,"n_failed":${failed.size},"extras_sec":$extrasTotal,"queries":$qs,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","cpus":"$cpus","local4_contract_sec":$local4,"failed_queries":$failedJson,"n_failed":${failed.size},"extras_sec":$extrasTotal,"queries":$qs,"sf":"$sfDir"}"""
+    // The driver tail-captures ~1.5 KB of stdout; the full line with every
+    // extra's timing outgrew that window in round 6 and the headline (which
+    // leads the line) was truncated away. So: persist the full record to a
+    // file, then print a compact headline-only line LAST — contract queries
+    // only, millisecond precision — guaranteed to fit the tail window.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    println(fullJson)
+    def r3(d: Double): String = f"$d%.3f"
+    val qsShort = contract.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(r3).getOrElse("-1.0")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpus":"$cpus","local4_contract_sec":${r3(local4)},"n_failed":${failed.size},"extras_sec":${r3(extrasTotal)},"queries":$qsShort,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
   }
 }

@@ -7,10 +7,13 @@ import org.apache.spark.sql.types._
   * (TESTDATA.md / FIXTURES.md). Schemas are pinned and asserted on load:
   * schema drift fails fast instead of silently corrupting a hash check.
   *
-  * `events` needs the H1 recipe (SURVEY.md §0.4): the file stores
-  * TIMESTAMP(NANOS), read as Long via `nanosAsLong`, converted to a
-  * microsecond timestamp. No sub-microsecond components exist in the
-  * data, so the conversion is lossless and agrees with DuckDB exactly.
+  * `events` needs the H1 recipe (SURVEY.md §0.4): the stored `ts` encoding
+  * has drifted across testdata generations — Parquet TIMESTAMP(NANOS)
+  * (read as Long under `nanosAsLong`), then TIMESTAMP(MICROS,
+  * isAdjustedToUTC=false) (read as TIMESTAMP_NTZ). The loader dispatches
+  * on the type Spark actually reports and converts to the pinned
+  * session-timestamp type; the session runs in UTC, so every route
+  * renders the same instants and agrees with DuckDB exactly.
   */
 object Tables {
 
@@ -112,12 +115,20 @@ object Tables {
   private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     val df =
-      if (name == "events")
+      if (name == "events") {
+        // Dispatch on what Spark reports for `ts` — testdata encodings have
+        // drifted between generations, and each route must land on the same
+        // pinned TimestampType rendering the same UTC instants.
+        val tsExpr = raw.schema("ts").dataType match {
+          case LongType         => "timestamp_micros(ts DIV 1000) AS ts" // nanos-as-long
+          case TimestampNTZType => "CAST(ts AS TIMESTAMP) AS ts"         // NTZ micros, UTC session
+          case TimestampType    => "ts"                                  // already session-tz
+          case other => throw new IllegalStateException(
+            s"events.ts arrived as unsupported type $other")
+        }
         raw.selectExpr(
-          "event_id",
-          "timestamp_micros(ts DIV 1000) AS ts",
-          "user_id", "event_type", "value", "props")
-      else raw
+          "event_id", tsExpr, "user_id", "event_type", "value", "props")
+      } else raw
     val got = normalize(df.schema)
     val want = normalize(schemas(name))
     require(got == want,
