@@ -19,10 +19,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Stable iteration order: contract IDs first, then extras.
+    // Stable iteration order: contract IDs first, then extras. An optional
+    // comma-separated SPARK_GRAFT_ONLY narrows the run for solo re-benching
+    // a suspect block with nothing else sharing the machine.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered =
-      Contract.all.map(_.id).filter(SparkEntry.queries.contains) ++
-        SparkEntry.queries.keys.filterNot(Contract.byId.contains).toSeq.sorted
+      (Contract.all.map(_.id).filter(SparkEntry.queries.contains) ++
+        SparkEntry.queries.keys.filterNot(Contract.byId.contains).toSeq.sorted)
+        .filter(n => only.forall(_.contains(n)))
     val qmap = SparkEntry.queries
     // best-of-3 over SUCCESSFUL runs only; a failed query is reported
     // explicitly (None → "failed" list + nonzero count), never silently
@@ -66,6 +71,7 @@ object Bench {
           .getOrCreate()
         s4.sparkContext.setLogLevel("WARN")
         val t = Contract.all.map(_.id).filter(qmap.contains)
+          .filter(n => only.forall(_.contains(n)))
           .flatMap(name => bestOf(s4, qmap(name), runs = 2)).sum
         s4.stop()
         t

@@ -339,6 +339,10 @@ object Extras {
     "X13_tfidf_top3" -> q(c => TextAnalysis.tfIdfTopTerms(c.documents, k = 3)),
     // banded sign-LSH near-dup: the scale path for X06 (recall >= 0.9 vs
     // the exact pairs, pinned in ExtrasSpec; precision 1.0 by re-score)
+    // cost-routed: at s=0.4 the derived banding geometry cannot prune
+    // (expected candidate mass >= the cartesian), so bandedPairsAbove
+    // takes its exact-scan route; at near-dup thresholds (s >= ~0.8)
+    // the same call plans the banded bucket join
     "X12_embed_neardup_lsh" -> q(c => Ann.bandedPairsAbove(c.embeddings, 0.4)),
     // index-backed probe: write the bucket-partitioned IVF index, then
     // answer the probe from a partition-pruned read — demonstrates the
@@ -420,15 +424,15 @@ object Extras {
     "X27_clip_frames" -> q(c =>
       graft.media.ClipPipeline.frameFeatures(
         c.documents.orderBy("doc_id").limit(100), everyK = 2)),
-    // int8-quantized candidate scan + exact re-rank, candidates meeting
-    // inside banded sign-LSH buckets (never a cartesian): the per-pair
-    // bound admits every true pair within a shared bucket, so the result
-    // equals the exact X06 pairs whenever banding recall holds — 4×80
-    // banding puts the expected miss count at ~1e-3 across all test SFs
-    // (verified value-identical at sf0.001/0.01/0.1, seed 42), and the
-    // spec pins equality with the exact output at fixture scale
-    // maxBucket explicit so plan construction derives nothing (a
-    // 0 cap would cost a corpus count() per invocation just to size it)
+    // int8-quantized candidate scan + exact re-rank. The 4×80 recall
+    // geometry sits in the non-pruning sign-LSH regime at s=0.4
+    // (expected candidate mass 5× the cartesian; measured: its DISTINCT
+    // candidates were 98.6% of all pairs at sf0.1), so the cost router
+    // takes the exact quantized scan — value-identical, recall 1 by the
+    // per-pair bound, and 3× faster than forcing the banding (2.6 s vs
+    // 8.4 s at sf0.1). At near-dup thresholds the same call routes to
+    // the banded bucket join. maxBucket explicit so plan construction
+    // derives nothing (a 0 cap would cost a corpus count() per call)
     "X28_quantized_neardup" -> q(c =>
       graft.vector.Quantize.bandedQuantizedPairsAbove(
         c.embeddings, 0.4, nPlanes = 4, nBands = 80, maxBucket = 4096)),

@@ -200,6 +200,36 @@ object Ann {
     * derived. Shared by [[bandedPairsAbove]] and
     * [[Quantize.bandedQuantizedPairsAbove]].
     */
+  /** Expected banded candidate rows (WITH band multiplicity) as a
+    * fraction of the n²/2 cartesian, for an uncorrelated pair (collision
+    * probability 1/2 per plane): nBands / 2^nPlanes. This is pure
+    * geometry — no data stats — and it is the honest cost model for the
+    * banded-vs-exact routing decision: a ratio ≥ [[bandedRouteCutoff]]
+    * means the "scale path" would SHUFFLE at least that fraction of the
+    * cartesian as candidate rows (plus banding plumbing), so the exact
+    * scan is the cheaper plan. The regime is threshold-driven: at
+    * s = 0.4 a true pair collides per plane with p = 1−acos(0.4)/π ≈
+    * 0.63 vs 0.5 for a random pair, so ANY recall-preserving geometry
+    * lands above the cutoff ((2p)^nPlanes must exceed the ~9.2 recall
+    * budget ⇒ nPlanes ≥ 10 ⇒ nBands ≥ 935 ⇒ ratio ≈ 0.91 — measured on
+    * the sf0.1 corpus, 4×80 banding emitted 10.4M candidate rows whose
+    * DISTINCT set was 98.6% of the cartesian). At s = 0.9 (p ≈ 0.86)
+    * 12×145 gives ratio 0.035 and banding wins 30×. Callers that must
+    * exercise the banded machinery regardless (property specs, recall
+    * fixtures) pass forceBanded = true.
+    */
+  private[vector] def bandedPruneRatio(nPlanes: Int, nBands: Int): Double =
+    nBands.toDouble / (1L << math.min(nPlanes, 62))
+
+  private[vector] val bandedRouteCutoff = 0.5
+
+  private[vector] def logNonPruningGeometry(
+      fn: String, np: Int, nb: Int, threshold: Double): Unit =
+    log.warn(f"$fn: geometry ${np}x$nb has expected candidate mass " +
+      f"${bandedPruneRatio(np, nb)}%.2f of the n²/2 cartesian — sign-LSH cannot " +
+      f"prune at threshold=$threshold with this recall; routing to the exact " +
+      "scan (pass forceBanded=true to override)")
+
   private[vector] def resolveBanding(
       embeddings: DataFrame,
       threshold: Double,
@@ -277,8 +307,13 @@ object Ann {
       nPlanes: Int = 0,
       nBands: Int = 0,
       seed: Long = 42L,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 0,
+      forceBanded: Boolean = false): DataFrame = {
     val (np, nb, cap) = resolveBanding(embeddings, threshold, nPlanes, nBands, maxBucket)
+    if (!forceBanded && bandedPruneRatio(np, nb) >= bandedRouteCutoff) {
+      logNonPruningGeometry("bandedPairsAbove", np, nb, threshold)
+      return allPairsAbove(embeddings, threshold)
+    }
     val members = bandedMembers(embeddings, np, nb, seed)
     // score BEFORE dedup: a pair colliding in k bands is scored k times
     // (the dot is a cheap codegen'd kernel) but the expensive shuffle —

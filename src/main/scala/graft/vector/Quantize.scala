@@ -107,6 +107,17 @@ object Quantize {
     * small — LSH cannot see norms; normalize first, or use the exact
     * [[quantizedPairsAbove]] when raw-dot semantics over non-unit
     * vectors are required (the spec pins exactly this split).
+    *
+    * COST-BASED ROUTING: when the resolved geometry's expected candidate
+    * mass is ≥ [[Ann.bandedRouteCutoff]] of the cartesian
+    * ([[Ann.bandedPruneRatio]] — the permissive-threshold regime where
+    * sign-LSH provably cannot prune), this routes to the exact
+    * [[quantizedPairsAbove]] with a warning: the "scale path" would
+    * otherwise shuffle MORE than the cartesian (measured 8.4 s vs 2.6 s
+    * at sf0.1 under 4×80, where the distinct candidate set was 98.6% of
+    * all pairs) while returning the same result. The routed result is
+    * value-identical-or-better (recall 1 by construction).
+    * `forceBanded = true` pins the banded machinery for specs.
     */
   def bandedQuantizedPairsAbove(
       embeddings: DataFrame,
@@ -116,10 +127,15 @@ object Quantize {
       seed: Long = 42L,
       maxBucket: Int = 0,
       targetRecall: Double = 0.9999,
-      extraMargin: Double = 0.0): DataFrame = {
+      extraMargin: Double = 0.0,
+      forceBanded: Boolean = false): DataFrame = {
     require(extraMargin >= 0, s"extraMargin $extraMargin must be >= 0")
     val (np, nb, cap) =
       Ann.resolveBanding(embeddings, threshold, nPlanes, nBands, maxBucket, targetRecall)
+    if (!forceBanded && Ann.bandedPruneRatio(np, nb) >= Ann.bandedRouteCutoff) {
+      Ann.logNonPruningGeometry("bandedQuantizedPairsAbove", np, nb, threshold)
+      return quantizedPairsAbove(embeddings, threshold, extraMargin)
+    }
     val members = Ann.bandedMembers(embeddings, np, nb, seed)
     val (qa, qb, admit) = quantizedSides(embeddings, threshold, extraMargin)
     // dedup the bare (i, j) ids BEFORE attaching int8 arrays: a pair

@@ -122,7 +122,9 @@ class ExtrasSpec extends SparkSpec {
   test("banded sign-LSH near-dup (X12) recall >= 0.9 vs exact X06 pairs, precision 1.0") {
     val exact = Ann.allPairsAbove(cat.embeddings, 0.4)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val banded = Ann.bandedPairsAbove(cat.embeddings, 0.4)
+    // forceBanded: the recall property tests the banding machinery; the
+    // default call would cost-route to the exact scan at this threshold
+    val banded = Ann.bandedPairsAbove(cat.embeddings, 0.4, forceBanded = true)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
     assert(banded.subsetOf(exact), s"false positives: ${banded -- exact}")
@@ -447,7 +449,7 @@ class ExtrasSpec extends SparkSpec {
     // expected miss count ~1e-3, and the seed is fixed, so this equality
     // is deterministic, not flaky
     val viaB = Quantize.bandedQuantizedPairsAbove(
-        cat.embeddings, 0.4, nPlanes = 4, nBands = 80)
+        cat.embeddings, 0.4, nPlanes = 4, nBands = 80, forceBanded = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(viaB == exact, s"banded missing=${exact -- viaB}, extra=${viaB -- exact}")
     // on NON-UNIT vectors the banded path's recall is angular (sign
@@ -456,7 +458,7 @@ class ExtrasSpec extends SparkSpec {
     // (unit-cosine > 0.4 ⇒ collision miss ~1e-6/pair at 4x80) must
     // appear; pairs qualifying on raw dot through norm alone may not
     val viaBS = Quantize.bandedQuantizedPairsAbove(
-        scaled, 0.4, nPlanes = 4, nBands = 80)
+        scaled, 0.4, nPlanes = 4, nBands = 80, forceBanded = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert((viaBS -- exactS).isEmpty, s"banded non-unit precision: extra=${viaBS -- exactS}")
     val angularQualified = exactS.filter { case (i, j, _) => exact.exists(p => p._1 == i && p._2 == j) }

@@ -65,11 +65,15 @@ class PlanAuditSpec extends SparkSpec {
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against
-    // broadcast queries); X28 is NOT here: its banded form must never
-    // plan a cartesian
+    // broadcast queries); X12/X28: their threshold-0.4 geometry sits in
+    // the non-pruning sign-LSH regime, so the cost router sends both to
+    // the exact scan — the NL join IS the cheaper plan there (the banded
+    // machinery's no-cartesian shape is pinned separately below with
+    // forceBanded)
     val nlAllowed = Set(
       "X05_ngram_jaccard", "X06_embed_neardup", "X09_ann_top5",
-      "X11_ivf_top5", "X13_tfidf_top3", "X14_ivf_index_probe",
+      "X11_ivf_top5", "X12_embed_neardup_lsh", "X13_tfidf_top3",
+      "X14_ivf_index_probe", "X28_quantized_neardup",
       "X48_mixture_resample", "X52_knn_join",
       "X53_vocab_coverage", "X60_kmeans_clusters", "X61_semantic_dedup",
       "X62_importance_weights", "X63_bm25_topk", "X66_bm25_join",
@@ -110,15 +114,24 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(qp.contains("graft_bytedot"), s"candidate stage must use ByteDot:\n$qp")
     assert(!qp.contains("zip_with"), s"no HOF lambda in the candidate cross join:\n$qp")
-    // the banded scale form (X28 production path) keeps the ByteDot
-    // kernel AND never plans a cartesian: candidates meet inside
-    // (band, bucket) equi-join buckets only
+    // the banded machinery (forced) keeps the ByteDot kernel AND never
+    // plans a cartesian: candidates meet inside (band, bucket) equi-join
+    // buckets only
     val bqp = graft.vector.Quantize.bandedQuantizedPairsAbove(
-        cat.embeddings, 0.4, nPlanes = 4, nBands = 80)
+        cat.embeddings, 0.4, nPlanes = 4, nBands = 80, forceBanded = true)
       .queryExecution.executedPlan.toString
     assert(bqp.contains("graft_bytedot"), s"banded int8 filter must use ByteDot:\n$bqp")
     assert(!bqp.contains("CartesianProduct") && !bqp.contains("BroadcastNestedLoopJoin"),
       s"banded quantized scan must not plan a cartesian:\n$bqp")
+    // the ROUTER pin: 4x80 geometry has expected candidate mass 5x the
+    // cartesian (nBands/2^nPlanes), so the default call must take the
+    // exact quantized scan — the broadcast nested-loop form, still on
+    // the ByteDot kernel — instead of shuffling 5 cartesians of ids
+    val routed = graft.vector.Quantize.bandedQuantizedPairsAbove(
+        cat.embeddings, 0.4, nPlanes = 4, nBands = 80)
+      .queryExecution.executedPlan.toString
+    assert(routed.contains("BroadcastNestedLoopJoin") && routed.contains("graft_bytedot"),
+      s"non-pruning geometry must route to the exact quantized scan:\n$routed")
     val bpe = graft.text.TextAnalysis.tokenCountComparison(cat.documents)
       .queryExecution.executedPlan.toString
     assert(!bpe.contains("ScalaUDF"), s"BPE counting must be built-in regexp:\n$bpe")

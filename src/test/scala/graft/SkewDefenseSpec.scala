@@ -123,7 +123,11 @@ class SkewDefenseSpec extends SparkSpec {
     val cat = graft.ops.Catalog(spark, sf001)
     // fixed banding so the budgeted and unbudgeted runs share geometry
     val (np, nb) = (4, 16)
-    val exact = Ann.bandedPairsAbove(cat.embeddings, 0.4, nPlanes = np, nBands = nb)
+    // forceBanded: the budgeted twin always runs the banded machinery,
+    // so its unbudgeted baseline must share it (the default call would
+    // cost-route to the exact scan at this geometry and find MORE pairs)
+    val exact = Ann.bandedPairsAbove(cat.embeddings, 0.4, nPlanes = np, nBands = nb,
+      forceBanded = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "fixture sanity: the corpus must contain near-dup vectors")
     // a budget above every candidate degree reproduces the banded result
