@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{asc, col, count, desc, length, lit, round, size, slice, sum}
+import org.apache.spark.sql.functions.{asc, broadcast, col, count, desc, exp, explode, length, lit, round, size, slice, sum}
 
 import graft.core.Engine
 import graft.functions.ZOrderValue
@@ -22,12 +22,14 @@ import graft.vector.Ann
   * bucket self-join, exact-Jaccard verify, winner/cluster algebra and
   * centroid probe downstream of the persisted files are plain SQL.
   * The remaining rows-only queries (X07–X10, X12, X17, X25–X27, X37,
-  * X46, X57–X59, X65, X69) are inherently un-oracle-checkable —
+  * X46, X57–X59, X69) are inherently un-oracle-checkable —
   * end-to-end engine hashing, probabilistic LSH with no persisted
-  * artifact, JPEG-lossy media, sketch unions, iterative argmax/GD
-  * training, no portable zlib — and are pinned by property tests
-  * instead (recall vs exact, fingerprint stability, probe-all ≡
-  * brute-force, driver-side reference implementations).
+  * artifact, JPEG-lossy media, sketch unions, iterative BPE training,
+  * no portable zlib — and are pinned by property tests instead
+  * (recall vs exact, fingerprint stability, probe-all ≡ brute-force,
+  * driver-side reference implementations). X65's TRAINING is in that
+  * family too, but its scoring half persists the weight/feature
+  * parquet and is oracle-checked downstream of those files.
   */
 object Extras {
 
@@ -273,6 +275,32 @@ object Extras {
         c.documents.filter(col("source") === "src0"),
         c.documents.filter(col("source") =!= "src0"),
         dim = 512, iters = 20))
+  }
+
+  /** Persisted scoring artifacts for X65 (VERDICT r6 item 5): the
+    * trained weight vector AND the featurized raw corpus, both parquet,
+    * both mirrored for the oracle. The split of responsibilities is the
+    * same as the MinHash/IVF/k-means artifacts: training (distributed
+    * float gradient sums — layout-deterministic only to last-ulp) and
+    * featurization (Spark xxhash64) are engine-specific GENERATION;
+    * everything downstream — Σ v·w per doc, the sigmoid, the 6-dp
+    * round, the top-20 — is fixed scalar SQL both engines run over the
+    * same persisted bytes.
+    */
+  private def lrScoringDir(c: Catalog): String = {
+    val st = stamp(c.dir, "documents", "logreg:512:20:lr2.0:l2=1e-6:score")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_lr_" + st).toString
+    if (!new java.io.File(s"$dir/feats", "_SUCCESS").exists()) {
+      graft.text.QualityClassifier.saveModel(c.spark, lrModel(c), s"$dir/weights")
+      graft.text.QualityClassifier
+        .featurize(c.documents.filter(col("source") =!= "src0"), dim = 512)
+        .select(col("doc_id"), explode(col("feats")).as("s"))
+        .select(col("doc_id"), col("s.f").as("f"), col("s.v").as("v"))
+        .write.mode("overwrite").parquet(s"$dir/feats")
+    }
+    mirrorStable(dir, "lr", st)
+    dir
   }
 
   private def bpeMerges(c: Catalog, numMerges: Int): DataFrame = {
@@ -647,14 +675,21 @@ object Extras {
         k = 5)),
     // fastText/CCNet-style LEARNED quality filter: hashed-BoW logistic
     // regression (target = src0 seed vs raw rest), every raw doc
-    // scored, 20 most target-like kept. Rows-only by construction:
-    // distributed float gradient sums are layout-deterministic only to
-    // last-ulp, so cross-engine byte equality is not defined;
-    // QualityClassifierSpec pins separation quality + loss descent
-    "X65_quality_classifier" -> q(c =>
-      graft.text.QualityClassifier
-        .score(c.documents.filter(col("source") =!= "src0"), lrModel(c))
-        .orderBy(desc("p_target"), asc("doc_id")).limit(20)),
+    // scored, 20 most target-like kept. Training stays rows-only by
+    // construction (distributed float gradient sums), but SCORING runs
+    // downstream of the persisted weight + feature parquet and is
+    // oracle-checked: both engines compute σ(Σ v·w) over the same bytes
+    // (QualityClassifierSpec still pins separation quality + descent)
+    "X65_quality_classifier" -> q(c => {
+      val base = lrScoringDir(c)
+      val feats = c.spark.read.parquet(s"$base/feats")
+      val wts = c.spark.read.parquet(s"$base/weights")
+      feats.join(broadcast(wts), Seq("f"))
+        .groupBy("doc_id")
+        .agg(round(lit(1.0) / (lit(1.0) +
+          exp(-sum(col("v") * col("weight")))), 6).as("p_target"))
+        .orderBy(desc("p_target"), asc("doc_id")).limit(20)
+    }),
     // bigram-LM fluency score (the CCNet LM-filter shape): mean
     // add-one-smoothed conditional log10 p(w2|w1) per doc under the
     // corpus's own bigram model — fully oracle-checked (integer counts,
@@ -826,6 +861,16 @@ assigned AS (
     // SQL DuckDB runs on the same files --
     "X15_minhash_from_sigs" -> bandedWinnersSql,
     "X38_minhash_from_banded" -> bandedWinnersSql,
+    // learned-quality SCORING from the mirrored weight + feature
+    // parquet: σ(Σ v·w) per doc, 6-dp round, top-20 — fixed scalar SQL
+    // downstream of the persisted artifacts (training itself stays
+    // engine-specific and is spec-pinned)
+    "X65_quality_classifier" -> s"""
+WITH w AS (SELECT f, weight FROM read_parquet('$oracleIdxRoot/lr/weights/*.parquet')),
+x AS (SELECT doc_id, f, v FROM read_parquet('$oracleIdxRoot/lr/feats/*.parquet')),
+m AS (SELECT doc_id, SUM(v * weight) AS mg FROM x JOIN w USING (f) GROUP BY doc_id)
+SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-mg)), 6) AS p_target
+FROM m ORDER BY p_target DESC, doc_id LIMIT 20""".trim,
     "X16_dup_clusters" -> bandedClustersSql,
     "X29_dup_clusters_stars" -> bandedClustersSql,
     "X11_ivf_top5" -> ivfInlineSql,

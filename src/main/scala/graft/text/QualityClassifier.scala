@@ -145,9 +145,14 @@ object QualityClassifier {
     */
   def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
       path: String): Unit = {
-    import spark.implicits._
-    model.weights.zipWithIndex.map { case (wt, f) => (f, wt) }.toSeq
-      .toDF("f", "weight")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    // explicit schema (no product-encoder reflection): callable from any
+    // environment, including the REPL where toDF's TypeTag derivation breaks
+    val rows = model.weights.zipWithIndex.map { case (wt, f) => Row(f, wt) }
+    spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("f", IntegerType), StructField("weight", DoubleType))))
       .repartition(1)
       .write.mode("overwrite").parquet(path)
   }
