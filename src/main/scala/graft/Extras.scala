@@ -583,6 +583,19 @@ object Extras {
             .select("doc_id", "chunk_idx", "n_tokens"),
           bucketWidth = 16, batchSize = 8)
         .orderBy("doc_id", "chunk_idx")),
+    // token-budget sequence packing of the training-order chunk stream
+    // (the X50+X18 composition, VERDICT r6 item 7): each chunk assigned
+    // the pack where its token run starts, plus its in-pack offset —
+    // integer-only prefix-sum arithmetic, fully oracle-checked
+    "X73_token_packing" -> q(c =>
+      graft.pipeline.TrainingSet.packChunks(
+          TextAnalysis.chunkDocuments(c.documents, maxTokens = 64, stride = 48)
+            .select("doc_id", "chunk_idx", "n_tokens")
+            .join(graft.ops.Scale.shuffleOrder(
+              c.documents.select("doc_id"), "doc_id"), Seq("doc_id")),
+          packTokens = 256L)
+        .select("doc_id", "chunk_idx", "n_tokens", "shuffle_pos", "pack_id", "pack_off")
+        .orderBy("doc_id", "chunk_idx")),
     // MapReduce secondary sort, instantiated: per-user event-gap stats
     // needing time-ordered values — repartition by key + ONE in-task
     // external sort + an O(1)-per-group streaming fold (flatMapGroups
@@ -1396,6 +1409,25 @@ o AS (SELECT bucket, COALESCE(SUM(nb) OVER (ORDER BY bucket
 SELECT r.doc_id, r.chunk_idx, r.n_tokens,
   CAST(o.boff + (r.brn - 1) // 8 AS BIGINT) AS batch_id
 FROM r JOIN o USING (bucket) ORDER BY r.doc_id, r.chunk_idx
+""".trim,
+    "X73_token_packing" -> """
+WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS words FROM documents),
+s AS (SELECT doc_id, words, len(words) AS n,
+             unnest(range(0, greatest(len(words), 1), 48)) AS st FROM t),
+ch AS (SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_idx,
+         CAST(len(words[st+1 : st+64]) AS BIGINT) AS n_tokens
+       FROM s WHERE st = 0 OR st + 16 < n),
+sp AS (SELECT doc_id, row_number() OVER (
+         ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 8), doc_id) AS shuffle_pos
+       FROM documents),
+r AS (SELECT ch.*, sp.shuffle_pos,
+        SUM(ch.n_tokens) OVER (ORDER BY sp.shuffle_pos, ch.chunk_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM ch JOIN sp USING (doc_id))
+SELECT doc_id, chunk_idx, n_tokens, CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
+  CAST((run - n_tokens) // 256 AS BIGINT) AS pack_id,
+  CAST((run - n_tokens) - ((run - n_tokens) // 256) * 256 AS BIGINT) AS pack_off
+FROM r ORDER BY doc_id, chunk_idx
 """.trim,
     "X55_event_gaps" -> """
 WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),

@@ -114,8 +114,7 @@ object ScalableWindows {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
       .init.zip(counts).map { case ((_, off), (b, _)) => (b, off) }
-    import spark.implicits._
-    val offsetsDf = offsets.toSeq.toDF("__b", "__offset")
+    val offsetsDf = offsetsFrame(spark, offsets)
     val localWin = Window.partitionBy("__b").orderBy(order.map(col): _*)
     staged
       .withColumn("__local_rn", row_number().over(localWin))
@@ -151,8 +150,7 @@ object ScalableWindows {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
       .init.zip(totals).map { case ((_, off), (b, _)) => (b, off) }
-    import spark.implicits._
-    val offsetsDf = offsets.toSeq.toDF("__b", "__offset")
+    val offsetsDf = offsetsFrame(spark, offsets)
     val localWin = Window.partitionBy("__b").orderBy(order.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     staged
@@ -161,6 +159,20 @@ object ScalableWindows {
       .withColumn(out, (col("__offset") + col("__local")).cast("long"))
       .drop("__b", "__local", "__offset")
   }
+
+  /** The (bucket, offset) broadcast frame via an explicit schema — no
+    * product-encoder TypeTag derivation, so the two-pass windows also
+    * work in environments where runtime reflection is restricted
+    * (e.g. the sbt REPL's prohibited-package classloader).
+    */
+  private def offsetsFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      offsets: Seq[(Int, Long)]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        offsets.map { case (b, o) => org.apache.spark.sql.Row(b, o) }: _*),
+      StructType(Seq(
+        StructField("__b", IntegerType), StructField("__offset", LongType))))
 
   /** Spark-exact NTILE(buckets) from a global row number and the total
     * row count: the first (N mod buckets) buckets get ceil(N/buckets)

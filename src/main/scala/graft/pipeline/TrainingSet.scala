@@ -265,6 +265,39 @@ object TrainingSet {
       .drop("__run")
   }
 
+  /** Token-budget packing of a training-order chunk stream — the
+    * X50 + X18 composition: consecutive chunks (in `order`, normally
+    * the deterministic training order (shuffle_pos, chunk_idx)) are
+    * grouped into packs of `packTokens`, each chunk assigned the pack
+    * where its token run STARTS (the X18 prefix-sum contract at chunk
+    * granularity), plus `pack_off` — the token offset of the chunk's
+    * start inside its pack (∈ [0, packTokens) by construction).
+    *
+    * This is the sequence-packing step of an LLM pretraining loader: a
+    * reader materializing pack p concatenates its chunks in order at
+    * their offsets; a pack totals at most packTokens + maxChunk − 1
+    * tokens (only the chunk that starts inside the budget may overflow
+    * it), so fixed-size training sequences cut from the pack stream
+    * waste no padding between documents. Deterministic, integer-only
+    * (oracle-checked as X73), and computed with the distributed prefix
+    * sum — no single-partition window, no per-pack shuffle: pack ids
+    * are monotone in the training order, so downstream range-clustered
+    * writes keep packs contiguous for free.
+    */
+  def packChunks(
+      chunks: DataFrame,
+      packTokens: Long,
+      order: Seq[String] = Seq("shuffle_pos", "chunk_idx")): DataFrame = {
+    require(packTokens >= 1, s"packTokens=$packTokens must be positive")
+    graft.ops.ScalableWindows
+      .withGlobalRunningSum(chunks, order, "n_tokens", "__run")
+      .withColumn("pack_id",
+        floor((col("__run") - col("n_tokens")) / packTokens).cast("long"))
+      .withColumn("pack_off",
+        (col("__run") - col("n_tokens") - col("pack_id") * packTokens).cast("long"))
+      .drop("__run")
+  }
+
   /** Materialize a built training set as size-targeted parquet of
     * sliding-window chunks in TRAINING ORDER: chunk the surviving docs
     * ([[TextAnalysis.chunkDocuments]]), attach each doc's shuffle
@@ -281,12 +314,17 @@ object TrainingSet {
       outDir: String,
       maxTokens: Int = 2048,
       stride: Int = 2048,
-      targetFileBytes: Long = 128L << 20): Unit = {
+      targetFileBytes: Long = 128L << 20,
+      packTokens: Option[Long] = None): Unit = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val chunks = TextAnalysis
+    val raw = TextAnalysis
       .chunkDocuments(result.docs.select("doc_id", "text"), maxTokens, stride)
       .join(result.docs.select("doc_id", "shuffle_pos"), Seq("doc_id"))
-      .localCheckpoint(true)
+    // opt-in token-budget packing: pack ids are monotone in the
+    // training order, so the range-cluster below keeps every pack's
+    // chunks contiguous within (and across) part files — the written
+    // stream is directly consumable as packed training sequences
+    val chunks = packTokens.fold(raw)(packChunks(raw, _)).localCheckpoint(true)
     // EXACT content size from one aggregate over the materialized
     // chunks — Catalyst's estimate for a join is the PRODUCT of its
     // children's sizes, which would peg nFiles at the cap and write a

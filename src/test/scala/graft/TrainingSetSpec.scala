@@ -211,4 +211,61 @@ class TrainingSetSpec extends SparkSpec {
     val docIds = spark.read.parquet(out).select("doc_id").distinct().count()
     assert(docIds == r.docs.count(), "every surviving doc must be chunked")
   }
+
+  test("packChunks: X18 contract at chunk granularity — offsets in range, packs contiguous and budget-bounded") {
+    val r = TrainingSet.build(cat.documents.limit(120), None, TrainingSetConfig())
+    val maxTokens = 64
+    val packTokens = 192L
+    val chunks = graft.text.TextAnalysis
+      .chunkDocuments(r.docs.select("doc_id", "text"), maxTokens, stride = 64)
+      .join(r.docs.select("doc_id", "shuffle_pos"), Seq("doc_id"))
+    val packed = TrainingSet.packChunks(chunks, packTokens)
+      .select("doc_id", "chunk_idx", "n_tokens", "shuffle_pos", "pack_id", "pack_off")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+      .sortBy(t => (t._4, t._2)) // training order
+    assert(packed.nonEmpty)
+    // pack ids: start at 0, contiguous, monotone non-decreasing in
+    // training order (packs ARE training-order slices)
+    val ids = packed.map(_._5)
+    assert(ids.head == 0L && ids.zip(ids.tail).forall { case (a, b) => b == a || b == a + 1 },
+      "pack ids must be contiguous and monotone in training order")
+    // in-pack offsets: first chunk of the stream starts at 0; every
+    // offset in [0, packTokens); consecutive chunks within a pack are
+    // token-contiguous (off_next = off + n_tokens)
+    assert(packed.head._6 == 0L)
+    assert(packed.forall(t => t._6 >= 0 && t._6 < packTokens),
+      "pack_off must lie in [0, packTokens)")
+    packed.zip(packed.tail).foreach { case (a, b) =>
+      if (a._5 == b._5)
+        assert(b._6 == a._6 + a._3,
+          s"within a pack chunks must be token-contiguous: $a -> $b")
+    }
+    // budget: a pack totals at most packTokens + maxChunk - 1 (only the
+    // chunk STARTING inside the budget may overflow), and every pack
+    // except possibly the last is filled past packTokens - maxChunk
+    val totals = packed.groupBy(_._5).view.mapValues(_.map(_._3).sum).toMap
+    assert(totals.values.forall(_ <= packTokens + maxTokens - 1),
+      s"pack overflow bound violated: ${totals.filter(_._2 > packTokens + maxTokens - 1)}")
+    val lastPack = totals.keys.max
+    assert(totals.filter(_._1 != lastPack).values.forall(_ >= packTokens - maxTokens + 1),
+      "non-final packs must be filled to within one chunk of the budget")
+    // the writeChunks composition: packed write keeps name-order =
+    // training order AND pack contiguity across part files
+    val out = java.nio.file.Files.createTempDirectory("graft-packed").toString
+    TrainingSet.writeChunks(r, out, maxTokens = 64, stride = 64,
+      targetFileBytes = 16L << 10, packTokens = Some(packTokens))
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getPath).sorted
+    val seq = parts.flatMap { p =>
+      spark.read.parquet(p).select("shuffle_pos", "chunk_idx", "pack_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    }
+    assert(seq.map(t => (t._1, t._2)).sameElements(seq.map(t => (t._1, t._2)).sorted),
+      "packed write must keep file name order = training order")
+    val packSeq = seq.map(_._3)
+    assert(packSeq.zip(packSeq.tail).forall { case (a, b) => b == a || b == a + 1 },
+      "packs must stay contiguous across the written stream")
+  }
 }
