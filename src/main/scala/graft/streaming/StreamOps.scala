@@ -224,7 +224,87 @@ object StreamOps {
       outDir: String,
       checkpoint: String,
       cfg: graft.text.MinHashConfig = graft.text.MinHashConfig())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processIngestBatch(batch, batchId, corpusDocs, corpusIndexPath,
+          outDir, cfg, gate = identity, exactDedup = false)
+      }
+      .start()
+
+  /** The streaming twin of [[graft.pipeline.TrainingSet.build]] stages
+    * 1 → 3, composed into ONE ingest stream: each micro-batch passes the
+    * Gopher-style rule gate (1), the optional trained-classifier gate
+    * (1b — the frozen-model contract of [[scoreQualityStream]]), an
+    * exact-fingerprint dedup against (corpus ∪ prior accepted ∪ the
+    * batch itself, min doc_id wins) (2), and finally the incremental
+    * near-dup ingest against the persisted banded index (3) — survivors
+    * append to the accepted table and to the index as a delta, exactly
+    * like [[ingestDedupStream]], with the same batch-keyed idempotent
+    * replay contract.
+    *
+    * Equivalence (StreamingSpec pins it): under the append-only-ids
+    * contract and a corpus that already passed the same gates (the
+    * steady state — the corpus WAS built by this pipeline), the
+    * accepted set equals the batch composition quality-gate →
+    * dedup-winners over (corpus ∪ all new docs) restricted to the new
+    * ids. The exact stage never changes the final set (an exact copy is
+    * a Jaccard-1.0 near-dup), it only shrinks what the shingle pass
+    * must scan — the same cheap-stages-first ordering as the batch
+    * pipeline.
+    */
+  def ingestPipelineStream(
+      newDocs: DataFrame,
+      corpusDocs: DataFrame,
+      corpusIndexPath: String,
+      outDir: String,
+      checkpoint: String,
+      cfg: graft.text.MinHashConfig = graft.text.MinHashConfig(),
+      minWords: Long = 10L,
+      maxWords: Long = 100000L,
+      maxDupWordFrac: Double = 0.9,
+      maxTopWordFrac: Double = 0.3,
+      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    def gate(batch: DataFrame): DataFrame = {
+      val ruleKept = graft.text.TextAnalysis
+        .filterVerdicts(batch, minWords, maxWords, maxDupWordFrac, maxTopWordFrac)
+        .filter(col("keep")).select("doc_id")
+      val ruled = batch.join(ruleKept, Seq("doc_id"), "left_semi")
+      qualityModel.fold(ruled) { case (m, thr) =>
+        ruled.join(
+          graft.text.QualityClassifier.score(ruled, m)
+            .filter(col("p_target") >= thr).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      }
+    }
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processIngestBatch(batch, batchId, corpusDocs, corpusIndexPath,
+          outDir, cfg, gate, exactDedup = true)
+      }
+      .start()
+  }
+
+  /** Shared micro-batch body of [[ingestDedupStream]] /
+    * [[ingestPipelineStream]]: apply `gate` (per-doc, stateless),
+    * optionally exact-dedup the gated batch against every prior text
+    * and itself, near-dup the survivors against base index + COMPLETE
+    * deltas, and write accepted docs + the index delta batch-keyed.
+    */
+  private def processIngestBatch(
+      batch: Dataset[org.apache.spark.sql.Row],
+      batchId: Long,
+      corpusDocs: DataFrame,
+      corpusIndexPath: String,
+      outDir: String,
+      cfg: graft.text.MinHashConfig,
+      gate: DataFrame => DataFrame,
+      exactDedup: Boolean): Unit = {
     val acceptedRoot = s"$outDir/accepted"
     val deltaRoot = s"$outDir/index_delta"
     // COMPLETE batch directories only (_SUCCESS present), excluding the
@@ -240,45 +320,56 @@ object StreamOps {
           new java.io.File(d, "_SUCCESS").exists())
         .map(_.getPath).sorted
     }
-    newDocs.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val b = batch.localCheckpoint(true)
-          // corpus side: base index + every COMPLETE earlier batch's delta
-          val banded = batchDirs(deltaRoot, batchId).foldLeft(
-            graft.text.MinHashDedup.readBandedIndex(spark, corpusIndexPath, cfg)) {
-            (acc, d) => acc.unionByName(
-              graft.text.MinHashDedup.readBandedIndex(spark, d, cfg))
-          }
-          // texts of earlier COMPLETE acceptances, for exact verification
-          // of the (few) candidate pairs
-          val acceptedPrior = batchDirs(acceptedRoot, batchId)
-          val priorAccepted =
-            if (acceptedPrior.isEmpty) b.limit(0)
-            else acceptedPrior.map(spark.read.parquet(_))
-              .reduce(_ unionByName _)
-              .select(b.columns.map(col(_)).toSeq: _*)
-          val existing = corpusDocs.select(b.columns.map(col(_)).toSeq: _*)
-            .unionByName(priorAccepted)
-          val winners = graft.text.MinHashDedup
-            .incrementalDedupWinnersFromBanded(b, existing, banded, cfg)
-          val accepted = b.join(winners, Seq("doc_id"), "left_semi")
-            .localCheckpoint(true)
-          // batch-keyed overwrite → replaying this batch is a no-op; an
-          // all-rejected batch writes nothing (readBandedIndex refuses
-          // empty tables by design)
-          if (!accepted.isEmpty) {
-            accepted.write.mode("overwrite").parquet(s"$acceptedRoot/b$batchId")
-            graft.text.MinHashDedup.writeBandedIndex(
-              graft.text.MinHashDedup.signatures(accepted, cfg),
-              s"$deltaRoot/b$batchId", cfg)
-          }
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val b0 = gate(batch.localCheckpoint(true))
+      if (!b0.isEmpty) {
+        val b1 = b0.localCheckpoint(true)
+        // corpus side: base index + every COMPLETE earlier batch's delta
+        val banded = batchDirs(deltaRoot, batchId).foldLeft(
+          graft.text.MinHashDedup.readBandedIndex(spark, corpusIndexPath, cfg)) {
+          (acc, d) => acc.unionByName(
+            graft.text.MinHashDedup.readBandedIndex(spark, d, cfg))
+        }
+        // texts of earlier COMPLETE acceptances, for exact verification
+        // of the (few) candidate pairs
+        val acceptedPrior = batchDirs(acceptedRoot, batchId)
+        val priorAccepted =
+          if (acceptedPrior.isEmpty) b1.limit(0)
+          else acceptedPrior.map(spark.read.parquet(_))
+            .reduce(_ unionByName _)
+            .select(b1.columns.map(col(_)).toSeq: _*)
+        val existing = corpusDocs.select(b1.columns.map(col(_)).toSeq: _*)
+          .unionByName(priorAccepted)
+        // stage 2: one 8-byte-key aggregation — min doc_id wins within
+        // the batch; any fingerprint already in (corpus ∪ prior
+        // accepted) rejects its batch copies outright (existing ids are
+        // all smaller under the append-only contract)
+        val b = if (!exactDedup) b1 else {
+          val withinWinners = b1
+            .select(col("doc_id"), xxhash64(col("text")).as("__fp"))
+            .groupBy("__fp").agg(org.apache.spark.sql.functions.min("doc_id").as("doc_id"))
+          val existingFp = existing
+            .select(xxhash64(col("text")).as("__fp")).distinct()
+          b1.join(
+            withinWinners.join(existingFp, Seq("__fp"), "left_anti").select("doc_id"),
+            Seq("doc_id"), "left_semi")
+        }
+        val winners = graft.text.MinHashDedup
+          .incrementalDedupWinnersFromBanded(b, existing, banded, cfg)
+        val accepted = b.join(winners, Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        // batch-keyed overwrite → replaying this batch is a no-op; an
+        // all-rejected batch writes nothing (readBandedIndex refuses
+        // empty tables by design)
+        if (!accepted.isEmpty) {
+          accepted.write.mode("overwrite").parquet(s"$acceptedRoot/b$batchId")
+          graft.text.MinHashDedup.writeBandedIndex(
+            graft.text.MinHashDedup.signatures(accepted, cfg),
+            s"$deltaRoot/b$batchId", cfg)
         }
       }
-      .start()
+    }
   }
 
   /** Streaming quality gate — the Dolma-style "attributes run" as a

@@ -538,6 +538,74 @@ class StreamingSpec extends SparkSpec {
       "streaming ingest must equal batch-mode incremental dedup")
   }
 
+  test("streaming pipeline ingest: rule gate + exact dedup + near-dup ingest ≡ the batch stage-1→3 composition") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf001, "documents")
+    def textOf(id: Long): String =
+      docs.filter(col("doc_id") === id).select("text").collect()(0).getString(0)
+    def mk(id: Long, text: String): DataFrame =
+      Seq((id, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .select(Tables.schemas("documents").fields.map(f => col(f.name).cast(f.dataType)): _*)
+    def gateIds(d: DataFrame): DataFrame =
+      graft.text.TextAnalysis.filterVerdicts(d, 10L, 100000L, 0.9, 0.3)
+        .filter(col("keep")).select("doc_id")
+    // steady-state assumption: the corpus already passed the same gates
+    // (it WAS built by this pipeline) — gate it before indexing
+    val corpus = docs.filter(col("doc_id") < 300)
+      .join(gateIds(docs.filter(col("doc_id") < 300)), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val idxDir = Files.createTempDirectory("graft-pipe-idx").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(corpus), idxDir)
+    val longA = "zeta eta theta iota kappa lambda unique first extra words beyond floor"
+    val longB = "omicron pi rho sigma tau upsilon genuinely new content well past minimum"
+    // batch 0: fresh docs, a rule-gate reject (too short), a corpus
+    // clone (near-dup reject), an intra-batch EXACT duplicate pair;
+    // batch 1: a cross-batch exact clone of batch-0's accepted 1001
+    // (must lose via the index delta + prior-accepted fingerprints),
+    // one fresh doc
+    val fresh = docs.filter(col("doc_id") >= 300 && col("doc_id") < 302)
+      .join(gateIds(docs.filter(col("doc_id") >= 300 && col("doc_id") < 302)),
+        Seq("doc_id"), "left_semi")
+    val batch0 = fresh
+      .unionByName(mk(1000L, "too short"))
+      .unionByName(mk(1001L, longA))
+      .unionByName(mk(1002L, longA))
+      .unionByName(mk(1003L, textOf(10L)))
+    val batch1 = mk(1100L, longA)
+      .unionByName(mk(1101L, longB))
+    val srcDir = Files.createTempDirectory("graft-pipe-src")
+    val outDir = Files.createTempDirectory("graft-pipe-out").toString
+    val ckpt = Files.createTempDirectory("graft-pipe-ckpt").toString
+    val query = StreamOps.ingestPipelineStream(
+      StreamOps.documentsStream(spark, srcDir.toString), corpus, idxDir, outDir, ckpt)
+    try {
+      writeChunk(batch0, srcDir, "chunk0")
+      query.processAllAvailable()
+      writeChunk(batch1, srcDir, "chunk1")
+      query.processAllAvailable()
+    } finally query.stop()
+    val accepted = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$outDir/accepted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // gate reject 1000 gone, corpus clone 1003 gone, exact-dup 1002
+    // loses to 1001, cross-batch clone 1100 loses to the delta
+    val freshIds = fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted == freshIds ++ Set(1001L, 1101L),
+      s"accepted set wrong: $accepted")
+    // equivalence with the batch composition: rule gate over
+    // (corpus ∪ all new), then dedupWinners, restricted to the new ids
+    val allNew = batch0.unionByName(batch1)
+    val all = corpus.unionByName(allNew)
+    val gatedAll = all.join(gateIds(all), Seq("doc_id"), "left_semi")
+    val batchMode = graft.text.MinHashDedup.dedupWinners(gatedAll)
+      .collect().map(_.getLong(0)).toSet
+    val newIds = allNew.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted == (batchMode & newIds),
+      "streaming pipeline must equal the batch stage-1→3 composition")
+  }
+
   test("crash recovery: ingest stopped mid-stream restarts from the checkpoint and equals the uninterrupted run") {
     import spark.implicits._
     val docs = Tables.load(spark, sf001, "documents")
