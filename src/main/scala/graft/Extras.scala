@@ -22,7 +22,7 @@ import graft.vector.Ann
   * bucket self-join, exact-Jaccard verify, winner/cluster algebra and
   * centroid probe downstream of the persisted files are plain SQL.
   * The remaining rows-only queries (X07–X10, X12, X17, X25–X27, X37,
-  * X46, X57–X59, X69) are inherently un-oracle-checkable —
+  * X57–X59, X69) are inherently un-oracle-checkable —
   * end-to-end engine hashing, probabilistic LSH with no persisted
   * artifact, JPEG-lossy media, sketch unions, iterative BPE training,
   * no portable zlib — and are pinned by property tests instead
@@ -330,13 +330,17 @@ object Extras {
     // per-rule quality verdict pass + corpus-unigram fluency score
     // (oracle-checked)
     "X44_filter_verdicts" -> q(c => TextAnalysis.filterVerdicts(c.documents)),
-    // near-dup benchmark decontamination: LSH-candidate + exact-verified
-    // pairs between corpus and the held-out src0 set (rows-only; spec
-    // pins planted near-copy detection and the self-agreement property)
+    // near-dup benchmark decontamination: LSH candidates from the
+    // persisted banded index (side split by source — a doc's signature
+    // doesn't depend on its side), exact-verified at 0.5. Downstream of
+    // the mirrored parquet, so fully oracle-checked; the spec still
+    // pins planted near-copy detection + agreement with the
+    // from-scratch crossNearDups
     "X46_neardup_decontaminate" -> q(c =>
-      MinHashDedup.crossNearDups(
+      MinHashDedup.crossNearDupsFromBanded(
         c.documents.filter(col("source") =!= "src0"),
         c.documents.filter(col("source") === "src0"),
+        bandedTable(c),
         graft.text.MinHashConfig(threshold = 0.5))),
     "X45_unigram_logprob" -> q(c => TextAnalysis.unigramLogProb(c.documents)),
     // corpus-wide segment (line/paragraph) dedup, CCNet shape
@@ -886,6 +890,37 @@ SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-mg)), 6) AS p_target
 FROM m ORDER BY p_target DESC, doc_id LIMIT 20""".trim,
     "X16_dup_clusters" -> bandedClustersSql,
     "X29_dup_clusters_stars" -> bandedClustersSql,
+    // cross-corpus near-dup decontamination from the same mirrored
+    // banded index: corpus-side vs src0-side candidates on
+    // (band, bucket), exact 3-gram shingle Jaccard >= 0.5
+    "X46_neardup_decontaminate" -> {
+      val b = s"$oracleIdxRoot/minhash_banded/*.parquet"
+      s"""
+WITH cand AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM read_parquet('$b') a
+  JOIN read_parquet('$b') b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id IN (SELECT doc_id FROM documents WHERE source <> 'src0')
+    AND b.id IN (SELECT doc_id FROM documents WHERE source = 'src0')),
+cids AS (SELECT i AS doc_id FROM cand UNION SELECT j FROM cand),
+t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM cids)),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM t WHERE len(toks) >= 3) u),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT cand.i, cand.j, COUNT(*) AS c
+          FROM cand JOIN sh a ON cand.i = a.doc_id
+                    JOIN sh b ON cand.j = b.doc_id AND a.s = b.s
+          GROUP BY 1, 2)
+SELECT inter.i, inter.j,
+       ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jac
+FROM inter
+JOIN sz sa ON inter.i = sa.doc_id JOIN sz sb ON inter.j = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
+ORDER BY i, j""".trim
+    },
     "X11_ivf_top5" -> ivfInlineSql,
     "X14_ivf_index_probe" -> ivfProbeSql(k = 6, keep = 5),
     "X60_kmeans_clusters" -> s"""

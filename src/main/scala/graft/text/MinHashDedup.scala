@@ -550,6 +550,40 @@ object MinHashDedup {
       .orderBy("i", "j")
   }
 
+  /** [[crossNearDups]] with BOTH sides' candidates drawn from one
+    * persisted banded member table covering corpus ∪ benchmark (the
+    * signature of a document does not depend on which side it sits on,
+    * so the shared index serves both): side membership is a semi-join
+    * on ids, candidates meet on (band, bucket) across sides, and only
+    * candidate documents are shingled for the exact-Jaccard verify.
+    * Because `bucket` IS the full band hash, the candidate set — and
+    * therefore the output — exactly equals [[crossNearDups]] at the
+    * same config; everything downstream of the persisted parquet is
+    * portable SQL, which makes this form oracle-checkable (X46).
+    */
+  def crossNearDupsFromBanded(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      banded: DataFrame,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val bc = banded.join(
+      corpus.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+    val bb = banded.join(
+      benchmark.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+    val cand = bc.as("a")
+      .join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+      .localCheckpoint(true)
+    val shC = shingleRows(
+      corpus.join(cand.select(col("i").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"), cfg)
+    val shB = shingleRows(
+      benchmark.join(cand.select(col("j").as("doc_id")).distinct(), Seq("doc_id"), "left_semi"), cfg)
+    jaccardAbove(cand, shC, shB, cfg.threshold)
+      .orderBy("i", "j")
+  }
+
   /** Incremental dedup — the 100 TB ingest workflow: admit a NEW batch
     * of documents against an EXISTING corpus using only the corpus's
     * persisted signature table. A new document loses if it near-

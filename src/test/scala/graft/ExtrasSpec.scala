@@ -659,6 +659,18 @@ class ExtrasSpec extends SparkSpec {
     }
     assert(bench.collect().map(_.getLong(0)).forall(id => self.contains((id, id))),
       "every doc must match itself at jac 1.0")
+    // the persisted-index form (the X46 production path) is candidate-
+    // identical by construction (bucket IS the band hash): same pairs,
+    // same jaccards, from one shared index over corpus ∪ bench
+    val cfg = graft.text.MinHashConfig(threshold = 0.5)
+    val banded = MinHashDedup.bandedSignatures(corpus.unionByName(bench), cfg)
+      .select(col("doc_id").as("id"), col("band"), col("band_hash").as("bucket"))
+    val viaIdx = MinHashDedup.crossNearDupsFromBanded(corpus, bench, banded, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = MinHashDedup.crossNearDups(corpus, bench, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIdx == direct,
+      s"index form ≠ from-scratch: missing=${direct -- viaIdx}, extra=${viaIdx -- direct}")
   }
 
   test("dedup winners are stable under repartitioning (idempotent re-run)") {
