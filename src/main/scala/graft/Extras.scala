@@ -21,7 +21,7 @@ import graft.vector.Ann
   * engine-specific (xxhash64 / non-canonical float sums), but the
   * bucket self-join, exact-Jaccard verify, winner/cluster algebra and
   * centroid probe downstream of the persisted files are plain SQL.
-  * The remaining rows-only queries (X07–X10, X12, X17, X25–X27, X37,
+  * The remaining rows-only queries (X07–X10, X12, X25–X27, X37,
   * X57–X59, X69) are inherently un-oracle-checkable —
   * end-to-end engine hashing, probabilistic LSH with no persisted
   * artifact, JPEG-lossy media, sketch unions, iterative BPE training,
@@ -277,6 +277,24 @@ object Extras {
         dim = 512, iters = 20))
   }
 
+  /** Per-corpus persisted winnowing fingerprint table — the DISTINCT
+    * (doc_id, f) rows of the k=12/w=4 native rolling-hash kernel,
+    * mirrored for the X17 oracle (same generation-vs-downstream split
+    * as the MinHash/IVF/k-means/LR artifacts).
+    */
+  private def winnowFpDir(c: Catalog): String = {
+    val st = stamp(c.dir, "documents", "winnow:12:4")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_winnow_" + st).toString
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      TextAnalysis.winnowFingerprints(c.documents, k = 12, w = 4)
+        .select(col("doc_id"), explode(col("fps")).as("f"))
+        .distinct()
+        .write.mode("overwrite").parquet(dir)
+    mirrorStable(dir, "winnow", st)
+    dir
+  }
+
   /** Persisted scoring artifacts for X65 (VERDICT r6 item 5): the
     * trained weight vector AND the featurized raw corpus, both parquet,
     * both mirrored for the oracle. The split of responsibilities is the
@@ -409,9 +427,14 @@ object Extras {
     "X16_dup_clusters" -> q(c =>
       MinHashDedup.duplicateClusters(
         MinHashDedup.verifiedPairsFromBanded(c.documents, bandedTable(c)))),
-    // rolling-hash winnowing fingerprint near-dup pairs (property-tested:
-    // exact duplicates score 1.0; stable under repartitioning)
-    "X17_winnow_pairs" -> q(c => TextAnalysis.winnowPairs(c.documents, threshold = 0.5)),
+    // rolling-hash winnowing fingerprint near-dup pairs, the pair stage
+    // downstream of the persisted fingerprint parquet (generation is the
+    // engine-specific native kernel; df-filter + self-join + Jaccard are
+    // integer SQL) — fully oracle-checked; property specs additionally
+    // pin exact-dup 1.0 scoring and layout invariance
+    "X17_winnow_pairs" -> q(c =>
+      TextAnalysis.winnowPairsFromFingerprints(
+        c.spark.read.parquet(winnowFpDir(c)), threshold = 0.5)),
     // sequence packing into 4096-token bins (oracle-checked)
     "X18_packing" -> q(c => TextAnalysis.packIntoBins(c.documents, maxTokens = 4096L)),
     // one-pass table profile (oracle-checked)
@@ -890,6 +913,26 @@ SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-mg)), 6) AS p_target
 FROM m ORDER BY p_target DESC, doc_id LIMIT 20""".trim,
     "X16_dup_clusters" -> bandedClustersSql,
     "X29_dup_clusters_stars" -> bandedClustersSql,
+    // winnowing pairs from the mirrored fingerprint parquet: df stop
+    // filter (<= 50 docs), fingerprint equi self-join, exact set
+    // Jaccard >= 0.5 — integer-only arithmetic
+    "X17_winnow_pairs" -> {
+      val f = s"$oracleIdxRoot/winnow/*.parquet"
+      s"""
+WITH fp0 AS (SELECT doc_id, f FROM read_parquet('$f')),
+rare AS (SELECT f FROM fp0 GROUP BY f HAVING COUNT(*) <= 50),
+fp AS (SELECT doc_id, f FROM fp0 WHERE f IN (SELECT f FROM rare)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM fp GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+          FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT inter.i, inter.j,
+       ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jac
+FROM inter
+JOIN sz sa ON inter.i = sa.doc_id JOIN sz sb ON inter.j = sb.doc_id
+WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5
+ORDER BY i, j""".trim
+    },
     // cross-corpus near-dup decontamination from the same mirrored
     // banded index: corpus-side vs src0-side candidates on
     // (band, bucket), exact 3-gram shingle Jaccard >= 0.5

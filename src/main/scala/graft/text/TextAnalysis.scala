@@ -482,10 +482,25 @@ object TextAnalysis {
       k: Int = 12,
       w: Int = 4,
       threshold: Double = 0.5,
+      maxDf: Int = 50): DataFrame =
+    winnowPairsFromFingerprints(
+      winnowFingerprints(documents, k, w)
+        .select(col("doc_id"), explode(col("fps")).as("f"))
+        .distinct(),
+      threshold, maxDf)
+
+  /** The pair stage of [[winnowPairs]] from a precomputed DISTINCT
+    * (doc_id, f) fingerprint table — fingerprint GENERATION is the
+    * engine-specific half (the native rolling-hash kernel); everything
+    * here (document-frequency stop filter, the fingerprint equi
+    * self-join, exact set Jaccard) is integer-only relational algebra
+    * both engines reproduce bit-for-bit, which makes the persisted-
+    * fingerprint form oracle-checkable (X17).
+    */
+  def winnowPairsFromFingerprints(
+      fpAll: DataFrame,
+      threshold: Double = 0.5,
       maxDf: Int = 50): DataFrame = {
-    val fpAll = winnowFingerprints(documents, k, w)
-      .select(col("doc_id"), explode(col("fps")).as("f"))
-      .distinct()
     val rare = fpAll.groupBy("f").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("f")
