@@ -21,7 +21,7 @@ import graft.vector.Ann
   * engine-specific (xxhash64 / non-canonical float sums), but the
   * bucket self-join, exact-Jaccard verify, winner/cluster algebra and
   * centroid probe downstream of the persisted files are plain SQL.
-  * The remaining rows-only queries (X07–X10, X12, X25–X27, X37,
+  * The remaining rows-only queries (X07, X09, X10, X25–X27, X37,
   * X57–X59, X69) are inherently un-oracle-checkable —
   * end-to-end engine hashing, probabilistic LSH with no persisted
   * artifact, JPEG-lossy media, sketch unions, iterative BPE training,
@@ -295,6 +295,21 @@ object Extras {
     dir
   }
 
+  /** Per-corpus persisted simhash token-hash table — (doc_id, h), one
+    * row per token INSTANCE, mirrored for the X08 oracle (same
+    * generation-vs-downstream split as the other index artifacts).
+    */
+  private def simhashTokDir(c: Catalog): String = {
+    val st = stamp(c.dir, "documents", "simhashtok:v1")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_simhashtok_" + st).toString
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      SimHash.tokenHashes(c.documents)
+        .write.mode("overwrite").parquet(dir)
+    mirrorStable(dir, "simhash_tok", st)
+    dir
+  }
+
   /** Persisted scoring artifacts for X65 (VERDICT r6 item 5): the
     * trained weight vector AND the featurized raw corpus, both parquet,
     * both mirrored for the oracle. The split of responsibilities is the
@@ -373,7 +388,13 @@ object Extras {
     "X06_embed_neardup" -> q(c => Ann.allPairsAbove(c.embeddings, 0.4)),
     // -- scale paths (rows-only; property-tested in ExtrasSpec) --
     "X07_minhash_dedup" -> q(c => MinHashDedup.dedupWinners(c.documents)),
-    "X08_simhash" -> q(c => SimHash.fingerprints(c.documents).orderBy("doc_id")),
+    // simhash fingerprints, the bit-majority fold downstream of the
+    // persisted token-hash parquet (hashing is engine-specific; the
+    // ±1 bit sums and sign packing are integer SQL) — fully
+    // oracle-checked
+    "X08_simhash" -> q(c =>
+      SimHash.fingerprintsFromHashes(
+        c.spark.read.parquet(simhashTokDir(c))).orderBy("doc_id")),
     "X09_ann_top5" -> q(c =>
       Ann.annTopK(c.embeddings, probeId = 0, k = 5, nPlanes = 8, probeRadius = 2)),
     "X11_ivf_top5" -> q(c => {
@@ -913,6 +934,26 @@ SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-mg)), 6) AS p_target
 FROM m ORDER BY p_target DESC, doc_id LIMIT 20""".trim,
     "X16_dup_clusters" -> bandedClustersSql,
     "X29_dup_clusters_stars" -> bandedClustersSql,
+    // simhash from the mirrored token-hash parquet: per-bit ±1 majority
+    // vote, sign vector packed into one BIGINT (bit 63 via the
+    // Long.MinValue literal — DuckDB's 1<<63 promotes to INT128);
+    // disjoint bit values make SUM equal the bitwise OR exactly
+    "X08_simhash" -> {
+      val f = s"$oracleIdxRoot/simhash_tok/*.parquet"
+      s"""
+WITH th AS (SELECT doc_id, h FROM read_parquet('$f')),
+bits AS (
+  SELECT doc_id, g.i,
+         SUM(CASE WHEN ((h >> g.i) & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+  GROUP BY doc_id, g.i)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s >= 0 THEN
+    CASE WHEN i = 63 THEN (-9223372036854775807::BIGINT - 1)
+         ELSE (1::BIGINT << CAST(i AS INTEGER)) END
+    ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id""".trim
+    },
     // winnowing pairs from the mirrored fingerprint parquet: df stop
     // filter (<= 50 docs), fingerprint equi self-join, exact set
     // Jaccard >= 0.5 — integer-only arithmetic
@@ -1264,6 +1305,19 @@ WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.6
 ORDER BY i, j
 """.trim,
     "X06_embed_neardup" -> """
+SELECT a.vec_id AS i, b.vec_id AS j,
+  ROUND(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.4
+ORDER BY i, j
+""".trim,
+    // X12's threshold-0.4 call sits in the non-pruning sign-LSH regime,
+    // so the cost router takes the exact all-pairs scan — the result is
+    // deterministically X06's, and the shared oracle pins the ROUTER's
+    // decision too: if a geometry change ever sent X12 back down the
+    // probabilistic banded path, this hash check would fail loudly
+    "X12_embed_neardup_lsh" -> """
 SELECT a.vec_id AS i, b.vec_id AS j,
   ROUND(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
 FROM embeddings a, embeddings b
