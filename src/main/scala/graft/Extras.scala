@@ -21,13 +21,11 @@ import graft.vector.Ann
   * engine-specific (xxhash64 / non-canonical float sums), but the
   * bucket self-join, exact-Jaccard verify, winner/cluster algebra and
   * centroid probe downstream of the persisted files are plain SQL.
-  * The remaining rows-only queries (X07, X09, X10, X25–X27, X37,
-  * X57–X59, X69) are inherently un-oracle-checkable —
-  * end-to-end engine hashing, probabilistic LSH with no persisted
-  * artifact, JPEG-lossy media, sketch unions, iterative BPE training,
-  * no portable zlib — and are pinned by property tests instead
-  * (recall vs exact, fingerprint stability, probe-all ≡ brute-force,
-  * driver-side reference implementations). X65's TRAINING is in that
+  * The remaining rows-only queries (X10, X25–X27, X37, X57–X59, X69)
+  * are inherently un-oracle-checkable — JPEG-lossy media, sketch
+  * unions, iterative BPE training, no portable zlib — and are pinned
+  * by property tests instead (recall vs exact, fingerprint stability,
+  * probe-all ≡ brute-force, driver-side reference implementations). X65's TRAINING is in that
   * family too, but its scoring half persists the weight/feature
   * parquet and is oracle-checked downstream of those files.
   */
@@ -295,6 +293,20 @@ object Extras {
     dir
   }
 
+  /** Per-corpus persisted sign-LSH (hyperplane) ANN index — the
+    * bucket-partitioned corpus of [[graft.vector.Ann.writeIndex]] at
+    * nPlanes=8/seed=42, mirrored for the X09 oracle.
+    */
+  private def annIndexDir(c: Catalog): String = {
+    val st = stamp(c.dir, "embeddings", "annlsh:8:42")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_annlsh_" + st).toString
+    if (!new java.io.File(s"$dir/vectors", "_SUCCESS").exists())
+      Ann.writeIndex(c.embeddings, dir, nPlanes = 8, seed = 42L)
+    mirrorStable(dir, "annlsh", st)
+    dir
+  }
+
   /** Per-corpus persisted simhash token-hash table — (doc_id, h), one
     * row per token INSTANCE, mirrored for the X08 oracle (same
     * generation-vs-downstream split as the other index artifacts).
@@ -387,7 +399,17 @@ object Extras {
     // -- embedding near-dup (oracle-checked) --
     "X06_embed_neardup" -> q(c => Ann.allPairsAbove(c.embeddings, 0.4)),
     // -- scale paths (rows-only; property-tested in ExtrasSpec) --
-    "X07_minhash_dedup" -> q(c => MinHashDedup.dedupWinners(c.documents)),
+    // end-to-end minhash dedup, signatures computed from scratch. Its
+    // result deterministically equals the from-sigs X15 form (signatures
+    // are a pure function of the corpus), so it shares the banded-index
+    // oracle — which then also pins that the from-scratch signature pass
+    // agrees with the persisted artifact scheme. bandedTable is touched
+    // ONLY to refresh the oracle mirror for this corpus (the dedup
+    // itself re-derives everything from text)
+    "X07_minhash_dedup" -> q(c => {
+      bandedTable(c)
+      MinHashDedup.dedupWinners(c.documents)
+    }),
     // simhash fingerprints, the bit-majority fold downstream of the
     // persisted token-hash parquet (hashing is engine-specific; the
     // ±1 bit sums and sign packing are integer SQL) — fully
@@ -395,8 +417,19 @@ object Extras {
     "X08_simhash" -> q(c =>
       SimHash.fingerprintsFromHashes(
         c.spark.read.parquet(simhashTokDir(c))).orderBy("doc_id")),
-    "X09_ann_top5" -> q(c =>
-      Ann.annTopK(c.embeddings, probeId = 0, k = 5, nPlanes = 8, probeRadius = 2)),
+    // ANN top-5 probed from the PERSISTED sign-LSH index (the X14 move
+    // for the hyperplane path): the bucketed corpus is a mirrored
+    // parquet artifact, the probe reads only the Hamming-ball
+    // partitions, and everything downstream — popcount pruning, exact
+    // rescore, rounded ranking — is SQL both engines run on the same
+    // bytes. k=6/keep=5 mirrors X14's self-exclusion contract
+    "X09_ann_top5" -> q(c => {
+      val idx = annIndexDir(c)
+      val probeVec = c.embeddings.filter(col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0).toArray
+      Ann.probeIndex(c.spark, idx, probeVec, k = 6, nPlanes = 8, probeRadius = 2)
+        .filter(col("vec_id") =!= 0).limit(5)
+    }),
     "X11_ivf_top5" -> q(c => {
       // the oracle reads the mirrored centroids (identical to the
       // inline choice by construction) — make sure they exist even when
@@ -920,8 +953,26 @@ assigned AS (
     // downstream of the persisted parquet — bucket self-join, exact
     // Jaccard verify, winner/cluster algebra, centroid probe — is plain
     // SQL DuckDB runs on the same files --
+    "X07_minhash_dedup" -> bandedWinnersSql,
     "X15_minhash_from_sigs" -> bandedWinnersSql,
     "X38_minhash_from_banded" -> bandedWinnersSql,
+    // sign-LSH ANN probe over the mirrored bucket-partitioned index:
+    // probe bucket = vec 0's own partition, candidates = partitions
+    // within Hamming radius 2, exact rescore, k=6 then self-exclusion
+    // to 5 (X14's contract)
+    "X09_ann_top5" -> {
+      val vecs = s"$oracleIdxRoot/annlsh/vectors/*/*.parquet"
+      s"""
+WITH v AS (SELECT vec_id, embedding, CAST(bucket AS BIGINT) AS bucket
+           FROM read_parquet('$vecs', hive_partitioning = true)),
+probe AS (SELECT embedding AS pe, bucket AS pb FROM v WHERE vec_id = 0),
+topk AS (SELECT v.vec_id,
+                ROUND(list_inner_product(v.embedding::DOUBLE[], p.pe::DOUBLE[]), 6) AS cos
+         FROM v, probe p
+         WHERE bit_count(xor(v.bucket, p.pb)) <= 2
+         ORDER BY cos DESC, vec_id LIMIT 6)
+SELECT vec_id, cos FROM topk WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 5""".trim
+    },
     // learned-quality SCORING from the mirrored weight + feature
     // parquet: σ(Σ v·w) per doc, 6-dp round, top-20 — fixed scalar SQL
     // downstream of the persisted artifacts (training itself stays
