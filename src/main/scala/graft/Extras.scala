@@ -591,6 +591,15 @@ object Extras {
       Scale.mixtureResample(c.documents.select("doc_id", "lang"), "doc_id", "lang",
           Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))
         .orderBy("doc_id")),
+    // temperature-flattened mixture (exponential smoothing, n^0.5 per
+    // language — lang is the corpus's uneven stratum): the standard
+    // multilingual up-weighting of small strata without upsampling —
+    // fully oracle-checked (the oracle recomputes pow from the same
+    // integer counts)
+    "X74_temperature_mixture" -> q(c =>
+      Scale.temperatureResample(c.documents.select("doc_id", "lang"),
+          "doc_id", "lang", alpha = 0.5)
+        .orderBy("doc_id")),
     // fixed-SIZE per-stratum eval sample (25 docs per language, smallest
     // coins win): the coin-cutoff prune makes the per-stratum sort touch
     // ~k rows instead of the whole stratum; fully oracle-checked against
@@ -1480,6 +1489,18 @@ WITH tgt(lang, t) AS (VALUES
   ('fr', CAST(0.15 AS DOUBLE)), ('zh', CAST(0.15 AS DOUBLE))),
 counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
 j AS (SELECT c.lang, c.n, tgt.t FROM counts c JOIN tgt USING (lang)),
+tm AS (SELECT MIN(n / t) AS tmax FROM j),
+fr AS (SELECT lang, CASE WHEN n / t = tmax THEN 'g'
+         WHEN tmax * t / n >= 1.0 THEN 'g'
+         ELSE printf('%08x', CAST(least(floor(tmax * t / n * 4294967296), 4294967295) AS BIGINT)) END AS cut
+       FROM j CROSS JOIN tm)
+SELECT d.doc_id, d.lang FROM documents d JOIN fr USING (lang)
+WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || ':' || '42'), 1, 8) < fr.cut
+ORDER BY d.doc_id
+""".trim,
+    "X74_temperature_mixture" -> """
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+j AS (SELECT lang, n, pow(n, 0.5) AS t FROM counts),
 tm AS (SELECT MIN(n / t) AS tmax FROM j),
 fr AS (SELECT lang, CASE WHEN n / t = tmax THEN 'g'
          WHEN tmax * t / n >= 1.0 THEN 'g'

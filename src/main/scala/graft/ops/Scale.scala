@@ -382,6 +382,38 @@ object Scale {
       .select(df.columns.map(col).toSeq: _*)
   }
 
+  /** Temperature-flattened mixture resample — the standard multi-
+    * domain/multilingual data-recipe move (exponentially smoothed
+    * sampling, e.g. Conneau & Lample 2019 XLM, arXiv:1901.07291; Xue
+    * et al. 2020 mT5, arXiv:2010.11934 — both public): resample to
+    * target ratios t_g = n_g^alpha over the NATURAL stratum counts.
+    * alpha = 1 keeps the natural mixture (identity — every stratum is
+    * binding, nothing is dropped); alpha → 0 approaches the uniform
+    * mixture; intermediate alpha up-weights small strata relative to
+    * large ones, all under [[mixtureResample]]'s no-upsampling
+    * contract (the largest feasible subset admitting the ratios).
+    *
+    * Since mixtureResample needs only RATIOS, the n^alpha values feed
+    * it unnormalized; pow is the single float op added on top of the
+    * X48 arithmetic (the same libm call in either engine — the X74
+    * oracle recomputes it from the same integer counts). One extra
+    * metadata-sized count aggregate; the corpus scan/filter shape is
+    * unchanged.
+    */
+  def temperatureResample(
+      df: DataFrame,
+      key: String,
+      strata: String,
+      alpha: Double,
+      seed: Long = 42L): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha must be in (0, 1]")
+    val counts = df.groupBy(strata).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.nonEmpty, "temperatureResample: empty corpus")
+    mixtureResample(df, key, strata,
+      counts.map { case (g, n) => g -> math.pow(n.toDouble, alpha) }.toMap, seed)
+  }
+
   /** Fixed-SIZE deterministic per-stratum sample: the `k` rows of each
     * stratum with the smallest md5 coins (ties broken by key) — the
     * eval/holdout-set construction step ("25 docs per language").

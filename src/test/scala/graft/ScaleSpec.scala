@@ -214,6 +214,44 @@ class ScaleSpec extends SparkSpec {
     assert(sub.count() == n("en"), "a single-stratum target keeps that stratum whole")
   }
 
+  test("temperatureResample: alpha=1 is the identity, smaller alpha flattens the mixture") {
+    val docs = cat.documents.select("doc_id", "lang")
+    val n = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n.values.max > n.values.min, "fixture must have an uneven lang mixture")
+    // alpha = 1: t_g = n_g, every stratum binding — nothing dropped
+    val id = Scale.temperatureResample(docs, "doc_id", "lang", alpha = 1.0)
+    assert(id.count() == docs.count(), "alpha=1 must keep the natural mixture whole")
+    // flattening: alpha<1 subsamples large strata (small ones bind)
+    def keptBy(alpha: Double): Map[String, Long] =
+      Scale.temperatureResample(docs, "doc_id", "lang", alpha)
+        .groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the kept MIXTURE approaches uniform: at smaller alpha the
+    // largest/smallest kept-count ratio shrinks
+    def imbalance(kept: Map[String, Long]): Double = {
+      val v = kept.values.map(_.toDouble)
+      v.max / v.min
+    }
+    val natural = n.values.max.toDouble / n.values.min
+    val (i05, i02) = (imbalance(keptBy(0.5)), imbalance(keptBy(0.2)))
+    assert(i05 < natural && i02 < i05,
+      s"imbalance must shrink with alpha: natural=$natural a0.5=$i05 a0.2=$i02")
+    // the smallest stratum binds (alpha<1 ⇒ argmin n/n^a = min n): it
+    // keeps every row while the largest is genuinely subsampled
+    val smallest = n.minBy(_._2)._1
+    val largest = n.maxBy(_._2)._1
+    val k05 = keptBy(0.5)
+    assert(k05(smallest) == n(smallest), "smallest stratum must bind and keep all rows")
+    assert(k05(largest) < n(largest), "largest stratum must be subsampled")
+    // deterministic under repartitioning
+    val a = Scale.temperatureResample(docs, "doc_id", "lang", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val b = Scale.temperatureResample(docs.repartition(13), "doc_id", "lang", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("mixtureResample: binding stratum survives the float re-rounding edge") {
     import spark.implicits._
     // n=3, t=0.15: n/t = 19.999999999999996, and (n/t)*t/n re-rounds to
