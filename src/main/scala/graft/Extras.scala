@@ -293,6 +293,17 @@ object Extras {
     dir
   }
 
+  /** The shared X73/X75 packed-chunk stream: 64/48 chunking, the X47
+    * shuffle order, 256-token packs.
+    */
+  private def packedChunks(c: Catalog): DataFrame =
+    graft.pipeline.TrainingSet.packChunks(
+      TextAnalysis.chunkDocuments(c.documents, maxTokens = 64, stride = 48)
+        .select("doc_id", "chunk_idx", "n_tokens")
+        .join(graft.ops.Scale.shuffleOrder(
+          c.documents.select("doc_id"), "doc_id"), Seq("doc_id")),
+      packTokens = 256L)
+
   /** Per-corpus persisted sign-LSH (hyperplane) ANN index — the
     * bucket-partitioned corpus of [[graft.vector.Ann.writeIndex]] at
     * nPlanes=8/seed=42, mirrored for the X09 oracle.
@@ -678,14 +689,14 @@ object Extras {
     // the pack where its token run starts, plus its in-pack offset —
     // integer-only prefix-sum arithmetic, fully oracle-checked
     "X73_token_packing" -> q(c =>
-      graft.pipeline.TrainingSet.packChunks(
-          TextAnalysis.chunkDocuments(c.documents, maxTokens = 64, stride = 48)
-            .select("doc_id", "chunk_idx", "n_tokens")
-            .join(graft.ops.Scale.shuffleOrder(
-              c.documents.select("doc_id"), "doc_id"), Seq("doc_id")),
-          packTokens = 256L)
+      packedChunks(c)
         .select("doc_id", "chunk_idx", "n_tokens", "shuffle_pos", "pack_id", "pack_off")
         .orderBy("doc_id", "chunk_idx")),
+    // per-pack padding-efficiency audit of the same packed stream:
+    // chunk count, fill and pad tokens per pack (overflow packs pad 0)
+    // — the measurement that justifies packing; fully oracle-checked
+    "X75_pack_stats" -> q(c =>
+      graft.pipeline.TrainingSet.packStats(packedChunks(c), packTokens = 256L)),
     // MapReduce secondary sort, instantiated: per-user event-gap stats
     // needing time-ordered values — repartition by key + ONE in-task
     // external sort + an O(1)-per-group streaming fold (flatMapGroups
@@ -1632,6 +1643,26 @@ SELECT doc_id, chunk_idx, n_tokens, CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
   CAST((run - n_tokens) // 256 AS BIGINT) AS pack_id,
   CAST((run - n_tokens) - ((run - n_tokens) // 256) * 256 AS BIGINT) AS pack_off
 FROM r ORDER BY doc_id, chunk_idx
+""".trim,
+    "X75_pack_stats" -> """
+WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS words FROM documents),
+s AS (SELECT doc_id, words, len(words) AS n,
+             unnest(range(0, greatest(len(words), 1), 48)) AS st FROM t),
+ch AS (SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_idx,
+         CAST(len(words[st+1 : st+64]) AS BIGINT) AS n_tokens
+       FROM s WHERE st = 0 OR st + 16 < n),
+sp AS (SELECT doc_id, row_number() OVER (
+         ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 8), doc_id) AS shuffle_pos
+       FROM documents),
+r AS (SELECT ch.*, sp.shuffle_pos,
+        SUM(ch.n_tokens) OVER (ORDER BY sp.shuffle_pos, ch.chunk_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM ch JOIN sp USING (doc_id))
+SELECT CAST((run - n_tokens) // 256 AS BIGINT) AS pack_id,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(SUM(n_tokens) AS BIGINT) AS fill_tokens,
+  CAST(greatest(0, 256 - SUM(n_tokens)) AS BIGINT) AS pad_tokens
+FROM r GROUP BY 1 ORDER BY pack_id
 """.trim,
     "X55_event_gaps" -> """
 WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),

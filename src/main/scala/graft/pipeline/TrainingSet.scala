@@ -298,6 +298,19 @@ object TrainingSet {
       .drop("__run")
   }
 
+  /** Per-pack audit of a [[packChunks]] stream — the padding-efficiency
+    * measurement that motivates packing: chunk count, fill tokens, and
+    * pad tokens (budget − fill, floored at 0 — an overflowing pack pads
+    * nothing). One nPacks-sized aggregate; oracle-checked as X75.
+    */
+  def packStats(packed: DataFrame, packTokens: Long): DataFrame =
+    packed.groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("n_tokens").as("fill_tokens"),
+        greatest(lit(0L), lit(packTokens) - sum("n_tokens")).cast("long").as("pad_tokens"))
+      .orderBy("pack_id")
+
   /** Materialize a built training set as size-targeted parquet of
     * sliding-window chunks in TRAINING ORDER: chunk the surviving docs
     * ([[TextAnalysis.chunkDocuments]]), attach each doc's shuffle
