@@ -164,8 +164,17 @@ object Quantize {
       embeddings: DataFrame,
       threshold: Double,
       extraMargin: Double): (DataFrame, DataFrame, org.apache.spark.sql.Column) = {
+    // MATERIALIZE the quantized table before any pair stage: left live,
+    // CollapseProject inlines the quantize/qabs higher-order-function
+    // expressions into the per-PAIR admit predicate above the join —
+    // interpreted lambdas evaluated O(n²) times instead of O(n)
+    // (measured 3.7× on the sf0.1 candidate stage: 3.15 s live vs
+    // 0.84 s materialized). The checkpoint is one corpus-sized pass —
+    // exactly the pass a production deployment persists as the stored
+    // int8 artifact (the 4× bandwidth lever this module documents).
     val withAbs = quantize(embeddings).withColumn("qabs",
       aggregate(col("q"), lit(0L), (s, x) => s + abs(x.cast("long"))))
+      .localCheckpoint(true)
     val qa = withAbs.select(col("vec_id").as("i"), col("q").as("qa"),
       col("scale").as("sa"), col("qabs").as("aa"))
     val qb = withAbs.select(col("vec_id").as("j"), col("q").as("qb"),
