@@ -787,6 +787,19 @@ object Extras {
           .select(col("doc_id").as("query_id"),
             slice(TextAnalysis.tokens(col("text")), 1, 5).as("terms")),
         k = 5)),
+    // hard-negative mining for retrieval training: per positive doc
+    // (docs 0-2), top-5 BM25 docs over the positive's FULL token set,
+    // excluding the positive itself and its verified near-dups (banded
+    // candidates + exact Jaccard >= 0.5 from the persisted index) —
+    // the DPR/ANCE negatives recipe with the false-negative guard;
+    // fully oracle-checked
+    "X76_hard_negatives" -> q(c => {
+      val qdocs = c.documents.filter(col("doc_id") < 3).select("doc_id", "text")
+      val nd = MinHashDedup.crossNearDupsFromBanded(
+        c.documents, qdocs, bandedTable(c),
+        graft.text.MinHashConfig(threshold = 0.5))
+      graft.text.Bm25.hardNegatives(c.documents, qdocs, nd, k = 5)
+    }),
     // fastText/CCNet-style LEARNED quality filter: hashed-BoW logistic
     // regression (target = src0 seed vs raw rest), every raw doc
     // scored, 20 most target-like kept. Training stays rows-only by
@@ -1145,6 +1158,57 @@ rk AS (SELECT query_id, doc_id, score,
 SELECT query_id, doc_id, score FROM rk WHERE r <= 5
 ORDER BY query_id, score DESC, doc_id
 """.trim,
+    "X76_hard_negatives" -> {
+      val bnd = s"$oracleIdxRoot/minhash_banded/*.parquet"
+      s"""
+WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+postings AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+             FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) u
+             GROUP BY term, doc_id, dl),
+dfx AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM postings GROUP BY term),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(CAST(dl AS BIGINT)) AS sum_dl FROM d),
+q AS (SELECT DISTINCT query_id, term FROM (
+        SELECT doc_id AS query_id, unnest(toks) AS term FROM t WHERE doc_id < 3) z),
+cand AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM read_parquet('$bnd') a
+  JOIN read_parquet('$bnd') b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE b.id < 3),
+cids AS (SELECT i AS doc_id FROM cand UNION SELECT j FROM cand),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM t WHERE len(toks) >= 3 AND doc_id IN (SELECT doc_id FROM cids)) u),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT cand.i, cand.j, COUNT(*) AS c
+          FROM cand JOIN sh a ON cand.i = a.doc_id
+                    JOIN sh b ON cand.j = b.doc_id AND a.s = b.s
+          GROUP BY 1, 2),
+nd AS (SELECT inter.i, inter.j FROM inter
+  JOIN sz sa ON inter.i = sa.doc_id JOIN sz sb ON inter.j = sb.doc_id
+  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         ROUND(SUM(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE)
+                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))), 6) AS score
+  FROM q JOIN postings p ON q.term = p.term
+         JOIN dfx ON q.term = dfx.term
+         CROSS JOIN stats
+  GROUP BY q.query_id, p.doc_id),
+kept AS (
+  SELECT s.query_id, s.doc_id, s.score FROM scored s
+  WHERE s.doc_id <> s.query_id
+    AND NOT EXISTS (SELECT 1 FROM nd
+                    WHERE nd.j = s.query_id AND nd.i = s.doc_id)),
+rk AS (SELECT query_id, doc_id, score,
+              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r
+       FROM kept)
+SELECT query_id, doc_id, score FROM rk WHERE r <= 5
+ORDER BY query_id, score DESC, doc_id""".trim
+    },
     "X64_weighted_sample" -> """
 WITH t AS (SELECT doc_id, len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_tokens
            FROM documents)

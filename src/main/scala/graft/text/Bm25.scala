@@ -108,6 +108,18 @@ object Bm25 {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    topKPerQuery(pairScores(docs, queries, k1, b), k)
+  }
+
+  /** (query_id, doc_id, score): every query×doc BM25 score with at
+    * least one matching term — the inverted-index join shared by
+    * [[knnJoin]] and [[hardNegatives]].
+    */
+  private def pairScores(
+      docs: DataFrame,
+      queries: DataFrame,
+      k1: Double,
+      b: Double): DataFrame = {
     val toked = docs.select(
       col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")))
@@ -131,20 +143,62 @@ object Bm25 {
     val contrib = idf * (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
 
-    val pairScores = qterms
+    qterms
       .join(postings, Seq("term"))
       .join(docFreq, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"), contrib.as("c"))
       .groupBy("query_id", "doc_id")
       .agg(round(sum(col("c")), 6).as("score"))
+  }
+
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
-    pairScores
+    scored
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .drop("__rk")
       .orderBy(asc("query_id"), desc("score"), asc("doc_id"))
+  }
+
+  /** Hard-negative mining for retrieval training (the DPR/ANCE recipe,
+    * Karpukhin et al. 2020 arXiv:2004.04906, Xiong et al. 2020
+    * arXiv:2007.00808 — both public): for each POSITIVE document, the
+    * top-k BM25-scored corpus documents that are lexically close but
+    * NOT the positive itself and NOT a verified near-duplicate of it —
+    * the strongest confusable non-matches, which is exactly what a
+    * dense retriever needs as negatives. Near-dup exclusion matters:
+    * without it the "negatives" include exact/near copies of the
+    * positive and training collapses (false negatives).
+    *
+    * `queryDocs` (doc_id, text) are the positives, drawn from the
+    * corpus id space; `nearDupPairs` (i, j, …) lists corpus doc i as a
+    * verified near-dup of positive j (the
+    * [[MinHashDedup.crossNearDupsFromBanded]] output — candidates from
+    * the persisted banded index, exact-Jaccard verified). Exclusions
+    * are anti-joined BEFORE the top-k window, so a positive buried in
+    * near-copies still yields k genuine negatives. Output:
+    * (query_id, doc_id, score), k rows per query.
+    */
+  def hardNegatives(
+      docs: DataFrame,
+      queryDocs: DataFrame,
+      nearDupPairs: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val queries = queryDocs.select(col("doc_id").as("query_id"),
+      TextAnalysis.tokens(col("text")).as("terms"))
+    val excluded = nearDupPairs
+      .select(col("j").as("query_id"), col("i").as("doc_id"))
+      .unionByName(queryDocs.select(col("doc_id").as("query_id"),
+        col("doc_id")))
+    topKPerQuery(
+      pairScores(docs, queries, k1, b)
+        .join(excluded, Seq("query_id", "doc_id"), "left_anti"),
+      k)
   }
 
   /** The DuckDB restatement of [[topK]] over a `documents` table —

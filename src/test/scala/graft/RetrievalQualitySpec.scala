@@ -103,6 +103,44 @@ class RetrievalQualitySpec extends SparkSpec {
     assert(!got.exists(_._1 == 12L), "no-match query yields no rows")
   }
 
+  test("hardNegatives: self and planted near-copies excluded, k genuine negatives survive") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // positive = corpus doc 3; plant a near-copy of it (first 4 words
+    // dropped) at 900001 — the lexically CLOSEST doc, which plain BM25
+    // retrieval would rank first and a dense retriever must never see
+    // as a negative
+    val bench = cat.documents.filter(col("doc_id") === 3).select("doc_id", "text")
+    val nearCopy = bench.select(lit(900001L).as("doc_id"),
+      array_join(slice(split(col("text"), " "), 5, 100000), " ").as("text"))
+    val corpus = cat.documents.filter(col("doc_id") < 200).select("doc_id", "text")
+      .unionByName(nearCopy)
+    val banded = graft.text.MinHashDedup
+      .bandedSignatures(corpus, graft.text.MinHashConfig(threshold = 0.5))
+      .select(col("doc_id").as("id"), col("band"), col("band_hash").as("bucket"))
+    val nd = graft.text.MinHashDedup.crossNearDupsFromBanded(
+      corpus, bench, banded, graft.text.MinHashConfig(threshold = 0.5))
+    // sanity: the planted copy IS detected as a near-dup of the positive
+    val ndPairs = nd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ndPairs.contains((900001L, 3L)), s"planted near-copy undetected: $ndPairs")
+    val k = 5
+    val neg = graft.text.Bm25.hardNegatives(corpus, bench, nd, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(neg.size == k, s"expected $k negatives, got ${neg.size}")
+    assert(neg.forall(_._1 == 3L))
+    assert(!neg.exists(_._2 == 3L), "the positive itself must be excluded")
+    assert(!neg.exists(_._2 == 900001L), "the near-copy must be excluded (false negative)")
+    // WITHOUT the guard, the near-copy dominates the ranking — the
+    // exclusion is doing real work, not vacuously passing
+    val unguarded = graft.text.Bm25.knnJoin(corpus,
+      bench.select(col("doc_id").as("query_id"),
+        graft.text.TextAnalysis.tokens(col("text")).as("terms")), k)
+      .collect().map(_.getLong(1)).toList
+    assert(unguarded.contains(900001L) || unguarded.contains(3L),
+      "fixture sanity: plain BM25 must rank the copy/self in the top k")
+  }
+
   test("bm25 rejects duplicate and empty queries") {
     intercept[IllegalArgumentException](Bm25.topK(cat.documents, Seq.empty, 5))
     intercept[IllegalArgumentException](Bm25.topK(cat.documents, Seq("a", "a"), 5))
