@@ -61,7 +61,7 @@ class PlanAuditSpec extends SparkSpec {
       "X53_vocab_coverage", "X58_bpe_encode_stats",
       "X60_kmeans_clusters", "X61_semantic_dedup",
       "X62_importance_weights", "X63_bm25_topk", "X66_bm25_join",
-      "X70_bigram_logprob")
+      "X70_bigram_logprob", "X76_hard_negatives")
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against
@@ -77,7 +77,10 @@ class PlanAuditSpec extends SparkSpec {
       "X48_mixture_resample", "X52_knn_join",
       "X53_vocab_coverage", "X60_kmeans_clusters", "X61_semantic_dedup",
       "X62_importance_weights", "X63_bm25_topk", "X66_bm25_join",
-      "X70_bigram_logprob")
+      "X70_bigram_logprob",
+      // X76 = X66's BM25 join shapes (1-row corpus-stats broadcast
+      // cross join + its single-row aggregate exchange)
+      "X76_hard_negatives")
     val sf001Dir = "/root/testdata/sf0.001"
     val offenders = Extras.queries.toSeq.sortBy(_._1).flatMap { case (id, fn) =>
       val plan = fn(spark, sf001Dir).queryExecution.executedPlan.toString
