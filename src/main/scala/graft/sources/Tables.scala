@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Table registry over the driver-generated parquet star schema
@@ -129,11 +130,28 @@ object Tables {
         raw.selectExpr(
           "event_id", tsExpr, "user_id", "event_type", "value", "props")
       } else raw
-    val got = normalize(df.schema)
-    val want = normalize(schemas(name))
+    // Generalized timestamp-flavor normalization (the events lesson,
+    // applied to every table): a regenerated file can flip a pinned
+    // TIMESTAMP_NTZ column (orders.o_orderdate, lineitem.l_shipdate) to
+    // session-tz TIMESTAMP or back. Under the UTC session the rendered
+    // instants are identical either way, so cast to the pinned flavor
+    // instead of failing; any OTHER mismatch still fails loudly below.
+    val pinned = schemas(name)
+    val tsFlavors: Set[DataType] = Set(TimestampType, TimestampNTZType)
+    val normalized = df.select(df.schema.fields.map { f =>
+      val want = pinned.fields.find(_.name == f.name).map(_.dataType)
+      want match {
+        case Some(w) if w != f.dataType &&
+            tsFlavors(w) && tsFlavors(f.dataType) =>
+          col(f.name).cast(w).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
+    val got = normalize(normalized.schema)
+    val want = normalize(pinned)
     require(got == want,
       s"schema drift for $name:\n  got  $got\n  want $want")
-    df
+    normalized
   }
 
   /** Compare names + types only (nullability/metadata are load-path noise). */

@@ -87,6 +87,30 @@ class SchemaDriftSpec extends SparkSpec {
       assert(rows == refRows, s"$enc renders differently from $refEnc")
   }
 
+  test("pinned NTZ columns tolerate the session-tz timestamp flavor (orders drift)") {
+    val dir = Files.createTempDirectory("graft-drift-orders-").toString
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      // pinned as TimestampNTZType; deliver session-tz TIMESTAMP instead
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))
+    val ts = new Timestamp(1704067200000L) // 2024-01-01T00:00:00Z
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, 10L, "O", 100.5, ts, "1-URGENT"))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val df = Tables.load(spark, dir, "orders")
+    assert(df.schema("o_orderdate").dataType == TimestampNTZType,
+      "drifted flavor must be cast back to the pinned NTZ type")
+    val rendered = df.selectExpr("date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')")
+      .first().getString(0)
+    assert(rendered == "2024-01-01 00:00:00",
+      s"UTC session must keep the instant identical, got $rendered")
+  }
+
   test("events loader rejects an unsupported ts encoding with a readable message") {
     val dir = writeEvents(micros.map(m => Row((m / 1000000L).toString)), StringType)
     val e = intercept[IllegalStateException](Tables.load(spark, dir, "events"))
