@@ -576,6 +576,14 @@ object Extras {
     // fully oracle-checked (any md5-bearing engine reproduces the
     // assignment); the xxhash64 production twin is spec-pinned to the
     // same weight/growth-stability contract in ScaleSpec
+    // split-leakage report: verified near-dup pairs (persisted banded
+    // index, exact Jaccard >= 0.8) crossing the 80/10/10 md5 split —
+    // the eval-contamination audit a split must pass; fully
+    // oracle-checked
+    "X77_split_leakage" -> q(c =>
+      graft.pipeline.TrainingSet.splitLeakage(
+        c.documents, bandedTable(c),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
     "X32_hash_split" -> q(c =>
       Scale.md5Split(c.documents, "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -1537,6 +1545,42 @@ SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS ws_tokens,
        CAST(SUM(bpe) AS BIGINT) AS bpe_tokens, ROUND(AVG(bpe), 4) AS avg_bpe_tokens
 FROM t GROUP BY lang ORDER BY lang
 """.trim,
+    "X77_split_leakage" -> {
+      val b = s"$oracleIdxRoot/minhash_banded/*.parquet"
+      s"""
+WITH cand AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM read_parquet('$b') a
+  JOIN read_parquet('$b') b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+cids AS (SELECT i AS doc_id FROM cand UNION SELECT j FROM cand),
+t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM cids)),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM t WHERE len(toks) >= 3) u),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT cand.i, cand.j, COUNT(*) AS c
+          FROM cand JOIN sh a ON cand.i = a.doc_id
+                    JOIN sh b ON cand.j = b.doc_id AND a.s = b.s
+          GROUP BY 1, 2),
+verified AS (SELECT inter.i, inter.j,
+    ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jac
+  FROM inter
+  JOIN sz sa ON inter.i = sa.doc_id JOIN sz sb ON inter.j = sb.doc_id
+  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8),
+sp AS (SELECT doc_id, CASE
+    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.8)}' THEN 'train'
+    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.9)}' THEN 'val'
+    ELSE 'test' END AS split
+  FROM documents)
+SELECT v.i, v.j, v.jac, si.split AS split_i, sj.split AS split_j
+FROM verified v
+JOIN sp si ON v.i = si.doc_id JOIN sp sj ON v.j = sj.doc_id
+WHERE si.split <> sj.split
+ORDER BY i, j""".trim
+    },
     "X32_hash_split" -> s"""
 WITH t AS (SELECT CASE
     WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.8)}' THEN 'train'

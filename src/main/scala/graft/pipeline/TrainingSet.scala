@@ -298,6 +298,34 @@ object TrainingSet {
       .drop("__run")
   }
 
+  /** Split-leakage report — the classic eval-contamination bug: a
+    * val/test document that near-duplicates a train document leaks the
+    * answer across the split boundary, and a random (hash) split sends
+    * ~(1−Σw²) of every near-dup pair's mass across boundaries by
+    * construction. Returns the verified near-duplicate pairs (from the
+    * persisted banded index — the same candidates + exact-Jaccard
+    * machinery as the dedup paths) whose members landed in DIFFERENT
+    * splits of the deterministic md5 split: (i, j, jac, split_i,
+    * split_j), i < j, cross-split only. Empty output = the split is
+    * leak-free; the standard fix is splitting AFTER dedup (the
+    * [[build]] ordering) or group-splitting by dup-cluster id
+    * ([[graft.ops.ConnectedComponents]] over the same pairs).
+    */
+  def splitLeakage(
+      documents: DataFrame,
+      banded: DataFrame,
+      weights: Seq[(String, Double)],
+      cfg: MinHashConfig = MinHashConfig(),
+      seed: Long = 42L): DataFrame = {
+    val split = Scale.md5Split(documents.select("doc_id"), "doc_id", weights, seed)
+    MinHashDedup.verifiedPairsFromBanded(documents, banded, cfg)
+      .join(split.select(col("doc_id").as("i"), col("split").as("split_i")), Seq("i"))
+      .join(split.select(col("doc_id").as("j"), col("split").as("split_j")), Seq("j"))
+      .filter(col("split_i") =!= col("split_j"))
+      .select("i", "j", "jac", "split_i", "split_j")
+      .orderBy("i", "j")
+  }
+
   /** Per-pack audit of a [[packChunks]] stream — the padding-efficiency
     * measurement that motivates packing: chunk count, fill tokens, and
     * pad tokens (budget − fill, floored at 0 — an overflowing pack pads

@@ -212,6 +212,28 @@ class TrainingSetSpec extends SparkSpec {
     assert(docIds == r.docs.count(), "every surviving doc must be chunked")
   }
 
+  test("splitLeakage: raw corpus leaks near-dup pairs across splits, deduped corpus is leak-free") {
+    import org.apache.spark.sql.functions._
+    val docs = cat.documents.select("doc_id", "text")
+    val banded = graft.text.MinHashDedup.bandedSignatures(docs)
+      .select(col("doc_id").as("id"), col("band"), col("band_hash").as("bucket"))
+      .localCheckpoint(true)
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val raw = TrainingSet.splitLeakage(docs, banded, weights)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4)))
+    // fixture sanity: the corpus HAS near-dups, and a hash split sends
+    // ~1 - (0.8² + 0.1² + 0.1²) = 34% of pair mass across boundaries
+    assert(raw.nonEmpty, "raw corpus must show split leakage")
+    assert(raw.forall(p => p._3 != p._4), "only cross-split pairs are leaks")
+    // the documented fix — split AFTER dedup — yields zero leakage:
+    // every verified pair's non-minimal member was removed, so no
+    // verified pair survives among the winners
+    val deduped = docs.join(
+      graft.text.MinHashDedup.dedupWinners(docs), Seq("doc_id"), "left_semi")
+    val clean = TrainingSet.splitLeakage(deduped, banded, weights).count()
+    assert(clean == 0L, s"deduped corpus must be leak-free, found $clean pairs")
+  }
+
   test("packChunks: X18 contract at chunk granularity — offsets in range, packs contiguous and budget-bounded") {
     val r = TrainingSet.build(cat.documents.limit(120), None, TrainingSetConfig())
     val maxTokens = 64
