@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as JSON; sbt's trailing
+// "[success] Total time: ..." line was landing after Bench's headline and
+// defeating that parse (BENCH_r07.json "parsed": null). Suppress both the
+// success banner and the timing so the program's own final println wins.
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
+// Forked run output goes RAW to stdout (no "[info] " logger prefix) so the
+// headline JSON is parseable exactly as printed, whatever way sbt is invoked.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -82,8 +82,12 @@ object Bench {
     // leads the line) was truncated away. So: persist the full record to a
     // file, then print a compact headline-only line LAST — contract queries
     // only, millisecond precision — guaranteed to fit the tail window.
+    // Path is overridable / cwd-relative so a checkout elsewhere still
+    // lands the durable copy next to the build (ADVICE r7).
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      new java.io.File(sys.props("user.dir"), "BENCH_FULL.json").getPath)
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes("UTF-8"))
     println(fullJson)
     def r3(d: Double): String = f"$d%.3f"
