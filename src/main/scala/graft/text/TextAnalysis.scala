@@ -417,20 +417,34 @@ object TextAnalysis {
   /** Exact n-gram Jaccard similarity ≥ `threshold` between all document
     * pairs, computed relationally: distinct shingles per doc, a
     * shingle-keyed equi-join for intersection sizes, set sizes joined
-    * back. The shingle key keeps the join sparse (near-identical docs
-    * are the only heavy keys); the MinHash module replaces the exact
-    * intersection with banded signatures at 100 TB.
+    * back.
+    *
+    * Hot-key control (same stop-fingerprint move as [[winnowPairsFromFingerprints]]):
+    * shingles present in more than `maxDf` documents are dropped BEFORE
+    * the self-join. Without the cap the join is quadratic in each
+    * shingle's document frequency — a boilerplate 3-gram shared by 10⁶
+    * docs is a 10¹²-row join key at corpus scale. A shingle that common
+    * carries no pairwise-similarity signal, so dropping it bounds the
+    * join at ≤ maxDf²/2 rows per key while leaving near-dup pairs
+    * intact; Jaccard is computed over the retained sets on BOTH sides,
+    * so exact duplicates still score exactly 1.0. The MinHash module
+    * replaces the exact intersection with banded signatures at 100 TB.
     */
-  def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double): DataFrame = {
+  def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double,
+      maxDf: Int = 50): DataFrame = {
     // array_distinct dedups map-side; the DISTINCT after the explode is
     // then a semantic no-op, but it materializes ONE shuffled exchange
-    // that all three consumers below (both join sides + sizes) share via
-    // ReuseExchange — without it the whole shingle pipeline re-executes
-    // per consumer (measured 3.5× slower at sf0.1)
-    val sh = documents
+    // that all consumers below (the df filter, both join sides, sizes)
+    // share via ReuseExchange — without it the whole shingle pipeline
+    // re-executes per consumer (measured 3.5× slower at sf0.1)
+    val shAll = documents
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("text"), n))).as("s"))
       .distinct()
+    val rare = shAll.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("s")
+    val sh = shAll.join(rare, Seq("s"), "left_semi")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -49,6 +49,24 @@ object Scale10TextBench {
     println(f"SCALE10TEXT remove_shared_spans (X68)  $tRem%8.2f s  chars=$rem")
     val (wp, tWp) = timed(TextAnalysis.winnowPairs(docs10, threshold = 0.5).count())
     println(f"SCALE10TEXT winnow_pairs (X17 path)    $tWp%8.2f s  rows=$wp")
+    // X05 exact n-gram Jaccard with the maxDf=50 stop-shingle cap: on the
+    // 10x flood every shingle's df is 10x'd, so keys with original df >= 6
+    // are dropped pre-join. Candidate mass = sum over retained keys of
+    // C(df,2) — report it capped vs uncapped to show the bound the cap buys.
+    val sh10 = docs10
+      .select(col("doc_id"), explode(array_distinct(
+        TextAnalysis.shingles(col("text"), 3))).as("s"))
+      .distinct()
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    val Array(mUncap, mCap) = sh10
+      .agg(sum(col("df") * (col("df") - 1) / 2),
+        sum(when(col("df") <= 50, col("df") * (col("df") - 1) / 2).otherwise(0)))
+      .first() match { case r => Array(r.getLong(0), r.getLong(1)) }
+    val (xj, tXj) = timed(
+      TextAnalysis.ngramJaccardPairs(docs10, n = 3, threshold = 0.6).count())
+    println(f"SCALE10TEXT ngram_jaccard (X05 path)   $tXj%8.2f s  rows=$xj  candidate_mass=$mCap%,d (uncapped would be $mUncap%,d)")
+    require(mCap < mUncap / 4,
+      s"maxDf cap should prune the flood's candidate mass (capped=$mCap uncapped=$mUncap)")
     val (dw, tDw) = timed(MinHashDedup.dedupWinners(docs10).count())
     println(f"SCALE10TEXT minhash_dedup (X07 path)   $tDw%8.2f s  rows=$dw")
     // every text appears 10x ⇒ winners = exactly the single-corpus
