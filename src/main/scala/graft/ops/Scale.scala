@@ -532,12 +532,33 @@ object Scale {
     }
     requireIntegral(big, bigKey, "big")
     requireIntegral(small, smallKey, "small")
-    val keys = small.select(col(smallKey).cast("long").as(smallKey))
-    val bloom = keys.stat.bloomFilter(smallKey, math.max(keys.count(), 1L), fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bc.value.mightContainLong(k))
-    big.filter(mightContain(col(bigKey).cast("long")))
+    // Build + probe with Catalyst's native bloom pair — the same
+    // BloomFilterAggregate / BloomFilterMightContain expressions Spark's
+    // runtime row-level filtering injects — instead of a Scala UDF probe.
+    // The probe is codegen'd, so the scan-side prefilter (the one place a
+    // 100 TB prefilter lives) stays inside WholeStageCodegen; a UDF there
+    // broke the codegen span for the whole scan stage. Both sides hash
+    // `cast(key as long)` through XxHash64, mirroring the planner's own
+    // filter-creation/application wiring, so no-false-negatives holds and
+    // the exact semi join below makes the result EXACTLY the semi join.
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.sql.GraftColumnBridge.{column => ccol, expression => cexpr}
+    val n = math.max(small.count(), 1L)
+    // optimal bit count for the requested fpp: m = -n·ln(p)/ln²2
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(cexpr(col(smallKey).cast("long")))),
+      Literal(n), Literal(numBits)).toAggregateExpression()
+    // one binary bloom image to the driver (metadata-sized, ~1.2 B/key) —
+    // shipped back out as a foldable literal the probe expression embeds
+    val bloomBytes = small.select(ccol(agg).as("bf")).head().getAs[Array[Byte]](0)
+    val probe = ccol(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      new XxHash64(Seq(cexpr(col(bigKey).cast("long"))))))
+    big.filter(probe)
       .join(small, big(bigKey) === small(smallKey), "left_semi")
   }
 

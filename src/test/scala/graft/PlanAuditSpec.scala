@@ -143,6 +143,24 @@ class PlanAuditSpec extends SparkSpec {
       s"BPE stats must combine map-side:\n$bpe")
   }
 
+  test("bloom semi-join probe is the native codegen'd expression, applied before the join") {
+    val plan = graft.ops.Scale.bloomSemiJoin(
+        cat.orders, "o_custkey",
+        cat.customer.filter(org.apache.spark.sql.functions.col("c_acctbal") > 9000),
+        "c_custkey")
+      .queryExecution.executedPlan.toString
+    // the prefilter lives on the big-side SCAN — a Scala UDF there would
+    // break WholeStageCodegen exactly where a 100 TB prefilter matters most
+    assert(!plan.contains("ScalaUDF"), s"bloom probe must not be a Scala UDF:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"probe must be the native BloomFilterMightContain expression:\n$plan")
+    // the probe filter must sit below the semi join (scan-side), not above it
+    val probeAt = plan.indexOf("might_contain")
+    val joinAt = plan.indexOf("LeftSemi")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"probe filter should be under the semi join in the plan tree:\n$plan")
+  }
+
   test("media pipelines preserve partitioning — no shuffle in decode/resize/sample paths") {
     val docs = cat.documents.limit(50)
     Seq(
