@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{asc, broadcast, col, count, desc, exp, explode, length, lit, round, size, slice, sum}
+import org.apache.spark.sql.functions.{asc, broadcast, col, count, desc, element_at, exp, explode, length, lit, max, min, round, size, slice, sum, transform}
 
 import graft.core.Engine
 import graft.functions.ZOrderValue
@@ -21,13 +21,16 @@ import graft.vector.Ann
   * engine-specific (xxhash64 / non-canonical float sums), but the
   * bucket self-join, exact-Jaccard verify, winner/cluster algebra and
   * centroid probe downstream of the persisted files are plain SQL.
-  * The remaining rows-only queries (X10, X25–X27, X37, X57–X59, X69)
-  * are inherently un-oracle-checkable — JPEG-lossy media, sketch
-  * unions, iterative BPE training, no portable zlib — and are pinned
-  * by property tests instead (recall vs exact, fingerprint stability,
-  * probe-all ≡ brute-force, driver-side reference implementations). X65's TRAINING is in that
-  * family too, but its scoring half persists the weight/feature
-  * parquet and is oracle-checked downstream of those files.
+  * Since r8 the media stats (X10, X25–X27) join that family: decode
+  * runs once into mirrored micro-int feature parquet and the declared
+  * queries are the exact-integer relational downstreams. The remaining
+  * rows-only queries (X37, X57–X58, X69) are inherently
+  * un-oracle-checkable — sketch unions, iterative BPE training, no
+  * portable zlib — and are pinned by property tests instead (recall vs
+  * exact, fingerprint stability, probe-all ≡ brute-force, driver-side
+  * reference implementations). X65's TRAINING is in that family too,
+  * but its scoring half persists the weight/feature parquet and is
+  * oracle-checked downstream of those files.
   */
 object Extras {
 
@@ -333,6 +336,81 @@ object Extras {
     dir
   }
 
+  /** Persisted decoded-media feature artifacts for X10/X25 (VERDICT r7
+    * item 3 — the X65/X08/X09 artifact split applied to media): the
+    * DECODE half (javax.imageio over the synthesized payloads, bilinear
+    * resize, luma histograms) is engine-specific GENERATION, run once
+    * per corpus and persisted; the luma histogram is stored as
+    * micro-unit BIGINTs (round(f×10⁶)) so every declared downstream
+    * aggregate is exact integer math both engines reproduce
+    * bit-for-bit. Layout: `$dir/feat` = original payload features,
+    * `$dir/resized` = features of the 16×16 thumbnails re-decoded
+    * through the same codec path.
+    */
+  private def mediaFeatDir(c: Catalog): String = {
+    val st = stamp(c.dir, "documents", "mediafeat:v1:16x16")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_mediafeat_" + st).toString
+    if (!new java.io.File(s"$dir/feat", "_SUCCESS").exists() ||
+        !new java.io.File(s"$dir/resized", "_SUCCESS").exists()) {
+      val media = MediaPipeline.toMediaTable(c.documents)
+      def micro(d: org.apache.spark.sql.Dataset[graft.media.DecodedMedia]): DataFrame =
+        d.toDF().select(col("doc_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"),
+          transform(col("features"),
+            f => round(f.cast("double") * lit(1e6)).cast("long")).as("f_micro"))
+      micro(MediaPipeline.decodeAndFeaturize(media))
+        .write.mode("overwrite").parquet(s"$dir/feat")
+      micro(MediaPipeline.decodeAndFeaturize(MediaPipeline.resizedMedia(media, 16, 16)))
+        .write.mode("overwrite").parquet(s"$dir/resized")
+    }
+    mirrorStable(dir, "media", st)
+    dir
+  }
+
+  /** Persisted decoded-audio features for X26 (same artifact split):
+    * javax.sound WAV decode + RMS/zero-crossing extraction persisted
+    * once, RMS as micro-unit BIGINT; the declared query is the
+    * relational stats downstream.
+    */
+  private def audioFeatDir(c: Catalog): String = {
+    val st = stamp(c.dir, "documents", "audiofeat:v1")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_audiofeat_" + st).toString
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      graft.media.AudioPipeline
+        .decodeAndFeaturize(graft.media.AudioPipeline.toAudioTable(c.documents))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
+          col("n_samples"), col("duration_ms"),
+          round(col("rms") * lit(1e6)).cast("long").as("rms_micro"),
+          col("zero_crossings"))
+        .write.mode("overwrite").parquet(dir)
+    mirrorStable(dir, "audio_feat", st)
+    dir
+  }
+
+  /** Persisted sampled clip frames for X27 (same artifact split): GFTV
+    * demux + every-2nd-frame PNG decode persisted once over the first
+    * 100 docs, frame luma as micro-unit BIGINT.
+    */
+  private def clipFrameDir(c: Catalog): String = {
+    val st = stamp(c.dir, "documents", "clipframes:v1:k2:first100")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_clipframes_" + st).toString
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      graft.media.ClipPipeline
+        .sampleFrames(graft.media.ClipPipeline.toClipTable(
+          c.documents.orderBy("doc_id").limit(100)), everyK = 2)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+          col("width"), col("height"),
+          round(col("f0").cast("double") * lit(1e6)).cast("long").as("f0_micro"))
+        .write.mode("overwrite").parquet(dir)
+    mirrorStable(dir, "clip_frames", st)
+    dir
+  }
+
   /** Persisted scoring artifacts for X65 (VERDICT r6 item 5): the
     * trained weight vector AND the featurized raw corpus, both parquet,
     * both mirrored for the oracle. The split of responsibilities is the
@@ -356,6 +434,24 @@ object Extras {
         .write.mode("overwrite").parquet(s"$dir/feats")
     }
     mirrorStable(dir, "lr", st)
+    dir
+  }
+
+  /** Persisted BPE-encoded corpus for X59 (VERDICT r7 item 6): the
+    * iterative trainer + rank-greedy encode are the engine-specific
+    * GENERATION half (spec-pinned vs a driver-side sequential replay);
+    * the persisted (doc_id, pos, token) parquet is relational bytes,
+    * and the declared query — token frequencies — is plain SQL both
+    * engines run over the same file.
+    */
+  private def bpeEncodedDir(c: Catalog): String = {
+    val st = stamp(c.dir, "documents", "bpeenc:v1:m12")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_bpeenc_" + st).toString
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      graft.text.Bpe.encodeDocuments(c.documents, bpeMerges(c, 12))
+        .write.mode("overwrite").parquet(dir)
+    mirrorStable(dir, "bpe_encoded", st)
     dir
   }
 
@@ -438,8 +534,13 @@ object Extras {
       val idx = annIndexDir(c)
       val probeVec = c.embeddings.filter(col("vec_id") === 0)
         .select("embedding").first().getSeq[Float](0).toArray
+      // re-sort explicitly after the self-exclusion filter: the
+      // order-sensitive oracle hash must not depend on Spark preserving
+      // intra-partition order through Filter/GlobalLimit (ADVICE r7)
       Ann.probeIndex(c.spark, idx, probeVec, k = 6, nPlanes = 8, probeRadius = 2)
-        .filter(col("vec_id") =!= 0).limit(5)
+        .filter(col("vec_id") =!= 0)
+        .orderBy(desc("cos"), col("vec_id"))
+        .limit(5)
     }),
     "X11_ivf_top5" -> q(c => {
       // the oracle reads the mirrored centroids (identical to the
@@ -448,8 +549,20 @@ object Extras {
       ivfIndexDir(c)
       graft.vector.Ivf.ivfTopK(c.embeddings, probeId = 0, k = 5, nLists = 16, nProbe = 4)
     }),
+    // per-kind stats over the PERSISTED decoded-media features (decode
+    // runs once into the mirrored parquet; the declared query is the
+    // exact-integer relational downstream both engines run) — fully
+    // oracle-checked since r8
     "X10_media_features" -> q(c =>
-      MediaPipeline.mediaFeatures(c.spark, c.documents).limit(200)),
+      c.spark.read.parquet(s"${mediaFeatDir(c)}/feat")
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bytes").as("total_bytes"),
+          min("width").as("min_w"), max("width").as("max_w"),
+          min("height").as("min_h"), max("height").as("max_h"),
+          round(sum(element_at(col("f_micro"), 1)).cast("double") /
+            count(lit(1)) / lit(1e6), 6).as("avg_f0"))
+        .orderBy("kind")),
     // tf-idf on top of the L04 document-frequency block (oracle-checked)
     "X13_tfidf_top3" -> q(c => TextAnalysis.tfIdfTopTerms(c.documents, k = 3)),
     // banded sign-LSH near-dup: the scale path for X06 (recall >= 0.9 vs
@@ -524,26 +637,48 @@ object Extras {
     // (oracle-checked: the regex is valid with identical semantics in
     // Java regex and DuckDB's RE2)
     "X24_bpe_token_stats" -> q(c => TextAnalysis.tokenCountComparison(c.documents)),
-    // decode → resize → re-featurize: every payload (PNG or JPEG)
-    // normalized to a 16x16 thumbnail, then featurized like X10
-    // (rows-only; dims pinned in ExtrasSpec)
-    "X25_media_resize" -> q(c =>
-      MediaPipeline.decodeAndFeaturize(
-        MediaPipeline.resizedMedia(MediaPipeline.toMediaTable(c.documents), 16, 16))
-        .toDF()
-        .select(col("doc_id"), col("kind"), col("width"), col("height"))
-        .orderBy("doc_id").limit(200)),
-    // real WAV decode (JDK javax.sound): true sample counts/rates plus
-    // RMS and zero-crossing signal features (rows-only; the synthesized
-    // tone's ground truth is pinned in ExtrasSpec)
+    // decode → resize → re-featurize, from the SAME persisted artifact
+    // pair: per-doc luma shift of the 16x16 thumbnail vs the original
+    // (exact micro-int subtraction; dims/batch shape still pinned in
+    // ExtrasSpec) — fully oracle-checked since r8
+    "X25_media_resize" -> q(c => {
+      val d = mediaFeatDir(c)
+      val orig = c.spark.read.parquet(s"$d/feat")
+        .select(col("doc_id"), col("kind").as("src_kind"),
+          element_at(col("f_micro"), 1).as("f0a"))
+      val rs = c.spark.read.parquet(s"$d/resized")
+        .select(col("doc_id"), col("width"), col("height"),
+          element_at(col("f_micro"), 1).as("f0b"))
+      orig.join(rs, Seq("doc_id"))
+        .select(col("doc_id"), col("src_kind"), col("width"), col("height"),
+          round((col("f0b") - col("f0a")).cast("double") / lit(1e6), 6).as("f0_shift"))
+        .orderBy("doc_id")
+    }),
+    // real WAV decode (JDK javax.sound) persisted once; the declared
+    // query groups the true decoded sample counts / rates and the
+    // micro-int RMS — fully oracle-checked since r8 (tone ground truth
+    // still pinned in ExtrasSpec)
     "X26_audio_features" -> q(c =>
-      graft.media.AudioPipeline.audioFeatures(c.documents).limit(200)),
-    // frame-sampled clip features: demux the GFTV frame container,
-    // decode every 2nd frame with the real PNG codec (rows-only;
-    // container round-trip and sampling pinned in ExtrasSpec)
+      c.spark.read.parquet(audioFeatDir(c))
+        .groupBy("sample_rate", "n_samples")
+        .agg(count(lit(1)).as("n_docs"),
+          max("duration_ms").as("duration_ms"),
+          round(sum("rms_micro").cast("double") / count(lit(1)) / lit(1e6), 6)
+            .as("avg_rms"),
+          sum("zero_crossings").as("total_zc"))
+        .orderBy("sample_rate", "n_samples")),
+    // frame-sampled clip features from the persisted demux+decode pass:
+    // per-doc frame counts and mean sampled-frame luma (exact micro-int
+    // aggregates) — fully oracle-checked since r8 (container round-trip
+    // and sampling still pinned in ExtrasSpec)
     "X27_clip_frames" -> q(c =>
-      graft.media.ClipPipeline.frameFeatures(
-        c.documents.orderBy("doc_id").limit(100), everyK = 2)),
+      c.spark.read.parquet(clipFrameDir(c))
+        .groupBy("doc_id")
+        .agg(max("n_frames").as("n_frames"), count(lit(1)).as("n_sampled"),
+          min("width").as("w"), min("height").as("h"),
+          round(sum("f0_micro").cast("double") / count(lit(1)) / lit(1e6), 6)
+            .as("avg_f0"))
+        .orderBy("doc_id")),
     // int8-quantized candidate scan + exact re-rank. The 4×80 recall
     // geometry sits in the non-pruning sign-LSH regime at s=0.4
     // (expected candidate mass 5× the cartesian; measured: its DISTINCT
@@ -723,12 +858,13 @@ object Extras {
     "X58_bpe_encode_stats" -> q(c =>
       graft.text.Bpe.encodeStats(c.documents, bpeMerges(c, 12))),
     // one-pass corpus encode (rank-greedy apply, per-partition word
-    // memo) → top-20 token frequencies; spec-pinned ≡ sequential replay
+    // memo) persisted once per corpus; the declared query is the
+    // top-20 token frequency SQL downstream of that parquet — fully
+    // oracle-checked since r8 (encode itself stays spec-pinned ≡
+    // sequential replay)
     "X59_bpe_token_freq" -> q { c =>
-      import org.apache.spark.sql.functions.{count => cnt}
-      graft.text.Bpe
-        .encodeDocuments(c.documents, bpeMerges(c, 12))
-        .groupBy("token").agg(cnt(lit(1)).as("freq"))
+      c.spark.read.parquet(bpeEncodedDir(c))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
         .orderBy(desc("freq"), asc("token")).limit(20)
     },
     // k-means cluster health profile over the PERSISTED centroids
@@ -1435,10 +1571,12 @@ WHERE n > 1 ORDER BY keep_id
 """.trim,
     "X05_ngram_jaccard" -> """
 WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM documents),
-sh AS (SELECT DISTINCT doc_id, s FROM (
+sha AS (SELECT DISTINCT doc_id, s FROM (
   SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
                                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
   FROM t WHERE len(toks) >= 3) u),
+rare AS (SELECT s FROM sha GROUP BY s HAVING COUNT(*) <= 50),
+sh AS (SELECT sha.doc_id, sha.s FROM sha JOIN rare USING (s)),
 sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -1544,6 +1682,43 @@ FROM documents)
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS ws_tokens,
        CAST(SUM(bpe) AS BIGINT) AS bpe_tokens, ROUND(AVG(bpe), 4) AS avg_bpe_tokens
 FROM t GROUP BY lang ORDER BY lang
+""".trim,
+    "X59_bpe_token_freq" -> s"""
+SELECT token, COUNT(*) AS freq
+FROM read_parquet('$oracleIdxRoot/bpe_encoded/*.parquet')
+GROUP BY token ORDER BY freq DESC, token LIMIT 20
+""".trim,
+    // media/audio/clip stats read the SAME mirrored feature parquet the
+    // Spark queries just produced — decode is generation, these are the
+    // portable exact-integer downstreams (micro-unit BIGINT features)
+    "X10_media_features" -> s"""
+SELECT kind, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+  MIN(width) AS min_w, MAX(width) AS max_w, MIN(height) AS min_h, MAX(height) AS max_h,
+  ROUND(CAST(SUM(f_micro[1]) AS DOUBLE) / COUNT(*) / 1e6, 6) AS avg_f0
+FROM read_parquet('$oracleIdxRoot/media/feat/*.parquet')
+GROUP BY kind ORDER BY kind
+""".trim,
+    "X25_media_resize" -> s"""
+SELECT a.doc_id, a.kind AS src_kind, b.width, b.height,
+  ROUND(CAST(b.f_micro[1] - a.f_micro[1] AS DOUBLE) / 1e6, 6) AS f0_shift
+FROM read_parquet('$oracleIdxRoot/media/feat/*.parquet') a
+JOIN read_parquet('$oracleIdxRoot/media/resized/*.parquet') b USING (doc_id)
+ORDER BY a.doc_id
+""".trim,
+    "X26_audio_features" -> s"""
+SELECT sample_rate, n_samples, COUNT(*) AS n_docs,
+  CAST(MAX(duration_ms) AS BIGINT) AS duration_ms,
+  ROUND(CAST(SUM(rms_micro) AS DOUBLE) / COUNT(*) / 1e6, 6) AS avg_rms,
+  CAST(SUM(zero_crossings) AS BIGINT) AS total_zc
+FROM read_parquet('$oracleIdxRoot/audio_feat/*.parquet')
+GROUP BY sample_rate, n_samples ORDER BY sample_rate, n_samples
+""".trim,
+    "X27_clip_frames" -> s"""
+SELECT doc_id, MAX(n_frames) AS n_frames, COUNT(*) AS n_sampled,
+  MIN(width) AS w, MIN(height) AS h,
+  ROUND(CAST(SUM(f0_micro) AS DOUBLE) / COUNT(*) / 1e6, 6) AS avg_f0
+FROM read_parquet('$oracleIdxRoot/clip_frames/*.parquet')
+GROUP BY doc_id ORDER BY doc_id
 """.trim,
     "X77_split_leakage" -> {
       val b = s"$oracleIdxRoot/minhash_banded/*.parquet"
