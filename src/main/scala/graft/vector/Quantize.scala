@@ -172,9 +172,14 @@ object Quantize {
     // 0.84 s materialized). The checkpoint is one corpus-sized pass —
     // exactly the pass a production deployment persists as the stored
     // int8 artifact (the 4× bandwidth lever this module documents).
+    // LAZY checkpoint (ADVICE r7): the plan cut (LogicalRDD) happens at
+    // construction either way — which is all the CollapseProject defense
+    // needs — but eager=false defers the corpus pass to the first
+    // action, so plan-only callers (queryExecution inspection, router
+    // probes) never trigger a Spark job just by building the DataFrame.
     val withAbs = quantize(embeddings).withColumn("qabs",
       aggregate(col("q"), lit(0L), (s, x) => s + abs(x.cast("long"))))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val qa = withAbs.select(col("vec_id").as("i"), col("q").as("qa"),
       col("scale").as("sa"), col("qabs").as("aa"))
     val qb = withAbs.select(col("vec_id").as("j"), col("q").as("qb"),

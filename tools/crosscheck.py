@@ -27,7 +27,10 @@ for name in sorted(oracle_sql):
     spark_files = glob.glob(f"{out_dir}/{name}/part*.parquet")
     if not spark_files:
         print(f"FAIL {name}: no spark dump"); fail += 1; continue
-    s = pd.read_parquet(spark_files[0])
+    # concat ALL part files in sorted filename order — part-00000 alone
+    # would silently truncate a multi-part dump (ADVICE r7)
+    s = pd.concat(
+        [pd.read_parquet(f) for f in sorted(spark_files)], ignore_index=True)
     try:
         o = con.sql(oracle_sql[name]).df()
     except Exception as e:
