@@ -58,9 +58,9 @@ object Scale10TextBench {
         TextAnalysis.shingles(col("text"), 3))).as("s"))
       .distinct()
       .groupBy("s").agg(count(lit(1)).as("df"))
+    val pairsOf = (col("df") * (col("df") - 1) / 2).cast("long")
     val Array(mUncap, mCap) = sh10
-      .agg(sum(col("df") * (col("df") - 1) / 2),
-        sum(when(col("df") <= 50, col("df") * (col("df") - 1) / 2).otherwise(0)))
+      .agg(sum(pairsOf), sum(when(col("df") <= 50, pairsOf).otherwise(0L)))
       .first() match { case r => Array(r.getLong(0), r.getLong(1)) }
     val (xj, tXj) = timed(
       TextAnalysis.ngramJaccardPairs(docs10, n = 3, threshold = 0.6).count())

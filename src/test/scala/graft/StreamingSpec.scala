@@ -445,17 +445,27 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("tumbling window stream ≡ batch T01 form at sf0.1 over 6 triggers, late rows dropped") {
+    val late = lateClones(col("user_id") < 50, 5)
     val got = runReplay("t01_stream",
       StreamOps.tumblingHourly(_, rowFilter = col("user_id") < 50),
-      late = Some(lateClones(col("user_id") < 50, 5)))
+      late = Some(late))
       .map(r => (r.getInstant(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
-    val want = events.filter(col("user_id") < 50)
-      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
-      .collect()
-      .map(r => (r.getInstant(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    def agg(src: DataFrame): Set[(java.time.Instant, String, Long, Double)] =
+      src.filter(col("user_id") < 50)
+        .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
+        .collect()
+        .map(r => (r.getInstant(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = agg(events)
     assert(got == want,
       s"stream≠batch: missing=${want -- got}, extra=${got -- want}")
+    // the EXPLICIT drop pin (SURVEY §5.3 second clause): the injected
+    // rows are aggregate-visible — a batch over stream+late gives a
+    // DIFFERENT result — so the equality above holds only because the
+    // watermark dropped them, not because they were invisible no-ops
+    val wantWithLate = agg(events.unionByName(late))
+    assert(wantWithLate != want,
+      "late clones must change the batch aggregate, else this spec is vacuous")
   }
 
   test("sliding window stream ≡ batch T02 formulation at sf0.1 over 6 triggers") {
