@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{asc, broadcast, col, count, desc, element_at, exp, explode, length, lit, max, min, round, size, slice, sum, transform}
+import org.apache.spark.sql.functions.{asc, broadcast, col, count, desc, element_at, exp, explode, greatest, length, lit, max, min, octet_length, round, size, slice, sum, transform}
 
 import graft.core.Engine
 import graft.functions.ZOrderValue
@@ -21,12 +21,14 @@ import graft.vector.Ann
   * engine-specific (xxhash64 / non-canonical float sums), but the
   * bucket self-join, exact-Jaccard verify, winner/cluster algebra and
   * centroid probe downstream of the persisted files are plain SQL.
-  * Since r8 the media stats (X10, X25–X27) join that family: decode
-  * runs once into mirrored micro-int feature parquet and the declared
-  * queries are the exact-integer relational downstreams. The remaining
-  * rows-only queries (X37, X57–X58, X69) are inherently
-  * un-oracle-checkable — sketch unions, iterative BPE training, no
-  * portable zlib — and are pinned by property tests instead (recall vs
+  * Since r8 the media stats (X10, X25–X27), the BPE token frequencies
+  * (X59) and the compression signal (X69) join that family: the
+  * engine-specific pass (decode / encode / native deflate) runs once
+  * into mirrored parquet and the declared queries are the
+  * exact-integer relational downstreams. The remaining rows-only
+  * queries (X37, X57–X58) are inherently un-oracle-checkable — sketch
+  * unions, iterative BPE training — and are pinned by property tests
+  * instead (recall vs
   * exact, fingerprint stability, probe-all ≡ brute-force, driver-side
   * reference implementations). X65's TRAINING is in that family too,
   * but its scoring half persists the weight/feature parquet and is
@@ -452,6 +454,25 @@ object Extras {
       graft.text.Bpe.encodeDocuments(c.documents, bpeMerges(c, 12))
         .write.mode("overwrite").parquet(dir)
     mirrorStable(dir, "bpe_encoded", st)
+    dir
+  }
+
+  /** Persisted DEFLATE lengths for X69 (same artifact split): the
+    * native codegen'd deflate expression is the engine-specific half
+    * (no portable SQL zlib); the persisted per-doc byte counts are
+    * plain integers, and the declared ratio query is one exact division
+    * both engines run over the same file.
+    */
+  private def deflateDir(c: Catalog): String = {
+    val st = stamp(c.dir, "documents", "deflate:v1")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_deflate_" + st).toString
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      c.documents.select(col("doc_id"),
+        octet_length(col("text")).as("raw_bytes"),
+        graft.functions.VectorFunctions.deflateLen(col("text")).as("deflate_bytes"))
+        .write.mode("overwrite").parquet(dir)
+    mirrorStable(dir, "deflate", st)
     dir
   }
 
@@ -910,11 +931,17 @@ object Extras {
     "X67_dup_ngram_coverage" -> q(c =>
       TextAnalysis.crossDocDupCoverage(c.documents, n = 5)),
     // compression-ratio quality signal (MassiveText-style): DEFLATE
-    // length over raw length, per doc, via the codegen'd native
-    // expression — rows-only (no portable SQL zlib; spec pins the
-    // monotonicity law and determinism)
+    // length over raw length, per doc. The codegen'd native deflate
+    // expression runs once into the persisted artifact (no portable
+    // SQL zlib); the declared ratio is exact integer division both
+    // engines run over the same bytes — fully oracle-checked since r8
+    // (monotonicity law and determinism still spec-pinned)
     "X69_compression_ratio" -> q(c =>
-      TextAnalysis.compressionStats(c.documents)),
+      c.spark.read.parquet(deflateDir(c))
+        .withColumn("compression_ratio",
+          round(col("deflate_bytes").cast("double") /
+            greatest(col("raw_bytes"), lit(1)).cast("double"), 6))
+        .orderBy("doc_id")),
     // the transform half of exact-substring dedup: rewrite docs with
     // cross-doc-shared 5-gram spans cut out (map-side range fold per
     // doc); fully oracle-checked — exact string equality
@@ -1682,6 +1709,11 @@ FROM documents)
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS ws_tokens,
        CAST(SUM(bpe) AS BIGINT) AS bpe_tokens, ROUND(AVG(bpe), 4) AS avg_bpe_tokens
 FROM t GROUP BY lang ORDER BY lang
+""".trim,
+    "X69_compression_ratio" -> s"""
+SELECT doc_id, raw_bytes, deflate_bytes,
+  ROUND(CAST(deflate_bytes AS DOUBLE) / GREATEST(raw_bytes, 1), 6) AS compression_ratio
+FROM read_parquet('$oracleIdxRoot/deflate/*.parquet') ORDER BY doc_id
 """.trim,
     "X59_bpe_token_freq" -> s"""
 SELECT token, COUNT(*) AS freq
