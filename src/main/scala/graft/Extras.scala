@@ -14,7 +14,7 @@ import graft.vector.Ann
   * (dedup, similarity search, text analysis, multimodal plumbing)
   * mandated by BASELINE.json's north star.
   *
-  * Most extras are oracle-checked (108 of 124 driver queries): either
+  * Nearly every extra is oracle-checked (131 of 134 driver queries): either
   * directly DuckDB-expressible, or — for the index-backed paths
   * X11/X14/X15/X16/X29/X38/X60/X61 — checked against the MIRRORED
   * persisted artifact parquet: the signature/centroid generation is
@@ -626,6 +626,15 @@ object Extras {
     "X16_dup_clusters" -> q(c =>
       MinHashDedup.duplicateClusters(
         MinHashDedup.verifiedPairsFromBanded(c.documents, bandedTable(c)))),
+    // quality-aware winner per X16 cluster: keep the most-informative
+    // member (max distinct tokens, min doc_id tie) instead of min-id —
+    // the production starring rule when near-dup copies differ in
+    // completeness; fully oracle-checked (recursive-CTE clusters +
+    // the same window in both engines)
+    "X78_quality_winners" -> q(c =>
+      MinHashDedup.qualityAwareWinners(c.documents,
+        MinHashDedup.duplicateClusters(
+          MinHashDedup.verifiedPairsFromBanded(c.documents, bandedTable(c))))),
     // rolling-hash winnowing fingerprint near-dup pairs, the pair stage
     // downstream of the persisted fingerprint parquet (generation is the
     // engine-specific native kernel; df-filter + self-join + Jaccard are
@@ -775,6 +784,16 @@ object Extras {
       Scale.temperatureResample(c.documents.select("doc_id", "lang"),
           "doc_id", "lang", alpha = 0.5)
         .orderBy("doc_id")),
+    // token-budget epoch plan (1 B tokens, alpha=0.5 over source): the
+    // data-planning table reading "which stratum repeats how often to
+    // fill its temperature-flattened budget share" — fully
+    // oracle-checked (same integer token sums, same pow/division order).
+    // (TextAnalysis.domainStats, the CC-style per-domain URL audit, is
+    // library+spec only: this corpus contains zero URLs, so a declared
+    // query over it would be permanently empty — vacuous as an oracle.)
+    "X79_epoch_plan" -> q(c =>
+      graft.pipeline.TrainingSet.epochPlan(c.documents, "source",
+        budgetTokens = 1000000000L, alpha = 0.5)),
     // fixed-SIZE per-stratum eval sample (25 docs per language, smallest
     // coins win): the coin-cutoff prune makes the per-stratum sort touch
     // ~k rows instead of the whole stratum; fully oracle-checked against
@@ -1709,6 +1728,33 @@ FROM documents)
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS ws_tokens,
        CAST(SUM(bpe) AS BIGINT) AS bpe_tokens, ROUND(AVG(bpe), 4) AS avg_bpe_tokens
 FROM t GROUP BY lang ORDER BY lang
+""".trim,
+    // quality-aware winners: the X16 recursive-closure clusters joined
+    // with the distinct-token mass, same (n_uniq DESC, doc_id) window
+    "X78_quality_winners" -> s"""WITH RECURSIVE $bandedVerifiedCtes,
+edges AS (SELECT i AS a, j AS b FROM verified UNION SELECT j, i FROM verified),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, re.r AS r FROM edges e JOIN reach re ON e.b = re.node),
+clus AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+qual AS (SELECT doc_id,
+  CAST(len(list_distinct(list_filter(str_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_uniq
+  FROM documents),
+m AS (SELECT clus.cluster_id, clus.doc_id, qual.n_uniq FROM clus JOIN qual USING (doc_id)),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_uniq DESC, doc_id) AS rk FROM m),
+n AS (SELECT cluster_id, COUNT(*) AS n_members FROM m GROUP BY cluster_id)
+SELECT r.cluster_id, r.doc_id AS keep_id, r.n_uniq, n.n_members
+FROM r JOIN n USING (cluster_id) WHERE rk = 1 ORDER BY r.cluster_id""".trim,
+    "X79_epoch_plan" -> """
+WITH t AS (SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(len(list_filter(str_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+z AS (SELECT SUM(POW(CAST(n_tokens AS DOUBLE), 0.5)) AS z FROM t)
+SELECT source, n_docs, n_tokens,
+  ROUND(POW(CAST(n_tokens AS DOUBLE), 0.5) / z, 6) AS weight,
+  ROUND(CAST(1000000000 AS DOUBLE) * POW(CAST(n_tokens AS DOUBLE), 0.5) / z / CAST(n_tokens AS DOUBLE), 4) AS epochs
+FROM t, z ORDER BY source
 """.trim,
     "X69_compression_ratio" -> s"""
 SELECT doc_id, raw_bytes, deflate_bytes,

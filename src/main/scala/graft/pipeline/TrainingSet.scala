@@ -311,6 +311,45 @@ object TrainingSet {
     * [[build]] ordering) or group-splitting by dup-cluster id
     * ([[graft.ops.ConnectedComponents]] over the same pairs).
     */
+  /** Token-budget epoch plan — the data-planning table every training
+    * run starts from: given a total token budget and a temperature
+    * exponent `alpha` (the n^α smoothing of the X74 mixture, Conneau &
+    * Lample 2019 / Xue et al. 2020), compute per-stratum available
+    * tokens, the flattened budget share w_g = n_g^α / Σ n^α, and the
+    * EPOCH COUNT each stratum must repeat to fill its share:
+    * epochs_g = budget·w_g / n_g. alpha = 1 gives the natural mixture
+    * (every stratum runs the same epoch count = budget / Σn); smaller
+    * alpha up-weights small strata into multi-epoch repetition — this
+    * table is exactly where a data recipe reads "src3 repeats 4.2×"
+    * and decides whether that exceeds its repetition tolerance.
+    *
+    * Scale shape: one corpus scan for the per-stratum token sums
+    * (map-side size(tokens)), then all arithmetic happens on the
+    * stratum-count-sized aggregate; the 1-row normalizer joins back by
+    * broadcast. Nothing corpus-sized shuffles.
+    */
+  def epochPlan(
+      documents: DataFrame,
+      strata: String,
+      budgetTokens: Long,
+      alpha: Double): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha must be in (0, 1]")
+    val counts = documents.groupBy(strata)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"))
+    val z = counts.agg(
+      sum(pow(col("n_tokens").cast("double"), alpha)).as("__z"))
+    counts.crossJoin(broadcast(z))
+      .select(col(strata), col("n_docs"), col("n_tokens"),
+        round(pow(col("n_tokens").cast("double"), alpha) / col("__z"), 6)
+          .as("weight"),
+        round(lit(budgetTokens.toDouble) *
+          pow(col("n_tokens").cast("double"), alpha) / col("__z") /
+          col("n_tokens").cast("double"), 4).as("epochs"))
+      .orderBy(strata)
+  }
+
   def splitLeakage(
       documents: DataFrame,
       banded: DataFrame,

@@ -517,6 +517,34 @@ object MinHashDedup {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware duplicate-cluster winner selection — the production
+    * alternative to min-id starring when near-dup copies differ in
+    * completeness (truncations, boilerplate-injected mirrors): within
+    * each cluster keep the member with the most DISTINCT tokens
+    * (information mass), ties broken by lowest doc_id. Input `clusters`
+    * is [[duplicateClusters]]' (doc_id, cluster_id) table; output one
+    * row per cluster: (cluster_id, keep_id, n_uniq, n_members).
+    *
+    * Scale shape: the distinct-token count is map-side per doc; the
+    * winner window partitions BY CLUSTER over only the clustered docs
+    * (the tiny near-dup subset, never the corpus), and the member count
+    * is a second aggregate over the same rows — no corpus shuffle.
+    */
+  def qualityAwareWinners(documents: DataFrame, clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = documents.select(col("doc_id"),
+      size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long").as("n_uniq"))
+    val members = clusters.join(q, Seq("doc_id"))
+    val counts = members.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("n_uniq").desc, col("doc_id").asc)
+    members.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"), col("n_uniq"))
+      .join(counts, Seq("cluster_id"))
+      .select("cluster_id", "keep_id", "n_uniq", "n_members")
+      .orderBy("cluster_id")
+  }
+
   /** Verified near-duplicate pairs ACROSS two corpora — near-dup
     * benchmark decontamination at scale (the fuzzy complement of the
     * exact n-gram overlap in

@@ -128,6 +128,27 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Per-domain URL statistics — the domain-level audit table of a
+    * CC-style ingest (domain blocklists, host-concentration review):
+    * extract every URL with the shared PII url pattern, take the
+    * lowercased authority (host[:port] — the chars before the first
+    * path slash), count URL hits and distinct citing documents per
+    * domain. Map-side regexp + one shuffle on the domain key; top-`k`
+    * by (n_urls DESC, domain) keeps the output stable and bounded.
+    */
+  def domainStats(documents: DataFrame, k: Int = 50): DataFrame = {
+    val urlPat = PiiPatterns.toMap.apply("url")
+    documents
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(urlPat), lit(0))).as("url"))
+      .select(col("doc_id"),
+        lower(regexp_extract(col("url"), "^https?://([^/]+)", 1)).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"), countDistinct("doc_id").as("n_docs"))
+      .orderBy(desc("n_urls"), asc("domain"))
+      .limit(k)
+  }
+
   /** Redact every PII match with a typed placeholder — the map-side
     * scrub pass run before training-data export. Phone runs BEFORE
     * ipv4: the ipv4 pattern would otherwise eat the middle of a

@@ -700,4 +700,75 @@ class ExtrasSpec extends SparkSpec {
       ids.zip(h2).foreach { case (id, h) => assert(h == Contract.hash01(id), id) }
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("qualityAwareWinners keeps the most-informative cluster member, min-id on ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),          // 3 distinct
+      (2L, "a b c d e"),      // 5 distinct — the informative copy, NOT min-id
+      (3L, "a b"),            // truncated copy
+      (10L, "x y z"),         // tie cluster: 3 distinct...
+      (11L, "x y z z z"),     // ...3 distinct too (dup tokens don't count)
+      (99L, "unclustered")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val got = MinHashDedup.qualityAwareWinners(docs, clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 5L, 3L), (10L, 10L, 3L, 2L)))
+  }
+
+  test("qualityAwareWinners on the sf0.01 clusters: one winner per cluster, member counts add up") {
+    val clusters = MinHashDedup.duplicateClusters(
+      MinHashDedup.verifiedPairs(cat.documents))
+    val winners = MinHashDedup.qualityAwareWinners(cat.documents, clusters)
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    assert(winners.count() == nClusters && nClusters > 0)
+    assert(winners.agg(sum("n_members")).first().getLong(0) == clusters.count())
+    // every winner is a member of its own cluster (aliased right side —
+    // an unaliased cluster_id equality would resolve trivially true)
+    val membership = clusters
+      .select(col("doc_id").as("m_doc"), col("cluster_id").as("m_cluster"))
+    assert(winners.join(membership,
+      winners("keep_id") === membership("m_doc") &&
+        winners("cluster_id") === membership("m_cluster")).count() == nClusters)
+  }
+
+  test("domainStats: lowercased authority, hit + distinct-doc counts, top-k order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "see https://Example.com/page and https://example.com/x?q=1 too"),
+      (2L, "mirror at http://example.com/y plus http://other.org/z"),
+      (3L, "no urls here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.domainStats(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("example.com", 3L, 2L), ("other.org", 1L, 1L)))
+    // zero-URL corpora (like the synthetic testdata) yield an empty audit
+    assert(TextAnalysis.domainStats(cat.documents).count() == 0)
+  }
+
+  test("epochPlan: weights sum to 1; alpha=1 runs every stratum the same epoch count") {
+    val plan = graft.pipeline.TrainingSet
+      .epochPlan(cat.documents, "source", budgetTokens = 1000000000L, alpha = 0.5)
+      .collect()
+    assert(plan.nonEmpty)
+    assert(math.abs(plan.map(_.getDouble(3)).sum - 1.0) < 1e-6)
+    // alpha=0.5 up-weights small strata: weight ratio compresses vs the
+    // natural token-share ratio between the largest and smallest stratum
+    val byTokens = plan.sortBy(_.getLong(2))
+    val (small, large) = (byTokens.head, byTokens.last)
+    if (small.getLong(2) < large.getLong(2)) {
+      val natural = large.getLong(2).toDouble / small.getLong(2)
+      val flattened = large.getDouble(3) / small.getDouble(3)
+      assert(flattened < natural)
+    }
+    // alpha=1 → natural mixture: every stratum repeats budget/Σtokens times
+    val nat = graft.pipeline.TrainingSet
+      .epochPlan(cat.documents, "source", budgetTokens = 1000000000L, alpha = 1.0)
+      .collect()
+    val total = nat.map(_.getLong(2)).sum.toDouble
+    nat.foreach { r =>
+      assert(math.abs(r.getDouble(4) - 1000000000L / total) < 0.001,
+        s"${r.getString(0)}: ${r.getDouble(4)} vs ${1000000000L / total}")
+    }
+  }
 }
