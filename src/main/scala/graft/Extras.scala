@@ -794,6 +794,13 @@ object Extras {
     "X79_epoch_plan" -> q(c =>
       graft.pipeline.TrainingSet.epochPlan(c.documents, "source",
         budgetTokens = 1000000000L, alpha = 0.5)),
+    // budget-cut corpus snapshot (5 000 tokens in shuffle order): which
+    // documents a fixed token budget sees, frozen deterministically
+    // BEFORE packing/batching — distributed prefix sum over the
+    // portable-coin order, no single-partition window; fully
+    // oracle-checked
+    "X80_budget_cut" -> q(c =>
+      graft.pipeline.TrainingSet.budgetCut(c.documents, budgetTokens = 5000L)),
     // fixed-SIZE per-stratum eval sample (25 docs per language, smallest
     // coins win): the coin-cutoff prune makes the per-stratum sort touch
     // ~k rows instead of the whole stratum; fully oracle-checked against
@@ -1746,6 +1753,17 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_uniq DESC,
 n AS (SELECT cluster_id, COUNT(*) AS n_members FROM m GROUP BY cluster_id)
 SELECT r.cluster_id, r.doc_id AS keep_id, r.n_uniq, n.n_members
 FROM r JOIN n USING (cluster_id) WHERE rk = 1 ORDER BY r.cluster_id""".trim,
+    "X80_budget_cut" -> """
+WITH t AS (SELECT doc_id,
+  len(list_filter(str_split(text, ' '), w -> w <> '')) AS n_tokens
+  FROM documents),
+o AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, row_number() OVER (
+    ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 8), doc_id) AS shuffle_pos
+  FROM t),
+c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY shuffle_pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM o)
+SELECT doc_id, shuffle_pos, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens - n_tokens < 5000 ORDER BY shuffle_pos
+""".trim,
     "X79_epoch_plan" -> """
 WITH t AS (SELECT source, COUNT(*) AS n_docs,
   CAST(SUM(len(list_filter(str_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_tokens

@@ -298,6 +298,37 @@ object TrainingSet {
       .drop("__run")
   }
 
+  /** Budget-cut corpus snapshot — "take documents in the deterministic
+    * shuffle order until the token budget is spent": the corpus-freeze
+    * step of a data build that fixes WHICH documents a `budgetTokens`
+    * run will see, before packing/batching shape them. A document is
+    * kept iff its token run STARTS inside the budget (the X18/X73
+    * prefix-sum contract at document granularity — only the last kept
+    * document may overflow, exactly how a loader cuts sequences), so
+    * the selection is a pure function of (doc_id, seed, budget):
+    * growing the corpus reshuffles nothing retroactively and any
+    * engine reproduces the same snapshot.
+    *
+    * Scale shape: one map-side token count, the [[graft.ops.Scale
+    * .shuffleOrder]] coin ranking, and the distributed prefix sum —
+    * no single-partition window anywhere; the filter is map-side on
+    * the summed column.
+    */
+  def budgetCut(
+      documents: DataFrame,
+      budgetTokens: Long,
+      seed: Long = 42L): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens=$budgetTokens must be positive")
+    val toks = documents.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val ordered = Scale.shuffleOrder(toks, "doc_id", seed)
+    graft.ops.ScalableWindows
+      .withGlobalRunningSum(ordered, Seq("shuffle_pos"), "n_tokens", "cum_tokens")
+      .filter(col("cum_tokens") - col("n_tokens") < budgetTokens)
+      .select("doc_id", "shuffle_pos", "n_tokens", "cum_tokens")
+      .orderBy("shuffle_pos")
+  }
+
   /** Split-leakage report — the classic eval-contamination bug: a
     * val/test document that near-duplicates a train document leaks the
     * answer across the split boundary, and a random (hash) split sends

@@ -746,6 +746,37 @@ class ExtrasSpec extends SparkSpec {
     assert(TextAnalysis.domainStats(cat.documents).count() == 0)
   }
 
+  test("budgetCut: start-inside-budget contract, growth stability, ≡ the naive window") {
+    import graft.pipeline.TrainingSet
+    val cut = TrainingSet.budgetCut(cat.documents, budgetTokens = 5000L).collect()
+    assert(cut.nonEmpty && cut.length < cat.documents.count())
+    // every kept doc STARTS inside the budget; only the last may overflow
+    cut.foreach(r => assert(r.getLong(3) - r.getLong(2) < 5000L))
+    assert(cut.init.forall(_.getLong(3) < 5000L + cut.map(_.getLong(2)).max))
+    assert(cut.last.getLong(3) >= 5000L, "the cut must exhaust the budget")
+    // ≡ the naive single-window definition
+    import org.apache.spark.sql.expressions.Window
+    val naive = graft.ops.Scale
+      .shuffleOrder(cat.documents.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+      .withColumn("cum_tokens",
+        sum("n_tokens").over(Window.orderBy("shuffle_pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") - col("n_tokens") < 5000L)
+      .select("doc_id", "shuffle_pos", "n_tokens", "cum_tokens")
+      .orderBy("shuffle_pos").collect()
+    assert(cut.map(_.toSeq).toSeq == naive.map(_.toSeq).toSeq)
+    // growth stability: the cut over a PREFIX-grown corpus keeps the
+    // selection a pure function of (doc_id, seed) — removing unrelated
+    // docs that were NOT selected cannot change the selected set's
+    // relative order (coin ranks are per-doc)
+    val selected = cut.map(_.getLong(0)).toSet
+    val shrunk = TrainingSet.budgetCut(
+      cat.documents.filter(col("doc_id").isin(selected.toSeq.map(java.lang.Long.valueOf): _*)),
+      budgetTokens = 5000L).collect()
+    assert(shrunk.map(_.getLong(0)).toSeq == cut.map(_.getLong(0)).toSeq)
+  }
+
   test("epochPlan: weights sum to 1; alpha=1 runs every stratum the same epoch count") {
     val plan = graft.pipeline.TrainingSet
       .epochPlan(cat.documents, "source", budgetTokens = 1000000000L, alpha = 0.5)

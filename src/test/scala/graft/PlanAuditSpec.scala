@@ -102,6 +102,11 @@ class PlanAuditSpec extends SparkSpec {
     val x18 = graft.text.TextAnalysis.packIntoBins(cat.documents, 4096L)
       .queryExecution.executedPlan.toString
     assert(!x18.contains("Exchange SinglePartition"), s"X18 must not single-partition:\n$x18")
+    // the budget cut rides the same distributed prefix sum — the corpus
+    // must never funnel through one partition
+    val x80 = graft.pipeline.TrainingSet.budgetCut(cat.documents, 5000L)
+      .queryExecution.executedPlan.toString
+    assert(!x80.contains("Exchange SinglePartition"), s"X80 must not single-partition:\n$x80")
   }
 
   test("quantized scan and BPE counting stay codegen'd — no UDFs, no extra shuffles") {
