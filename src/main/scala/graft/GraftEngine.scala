@@ -121,6 +121,28 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
     graft.ops.ConnectedComponents.components(
       graft.text.MinHashDedup.verifiedPairs(tables.documents))
 
+  /** Quality-aware winner per duplicate cluster: keep the member with
+    * the most distinct tokens (min doc_id tie) instead of min-id.
+    */
+  def qualityAwareWinners(clusters: DataFrame): DataFrame =
+    graft.text.MinHashDedup.qualityAwareWinners(tables.documents, clusters)
+
+  /** Per-domain URL audit: hit + distinct-citing-doc counts, top-k. */
+  def domainStats(k: Int = 50): DataFrame =
+    graft.text.TextAnalysis.domainStats(tables.documents, k)
+
+  /** Token-budget epoch plan: per-stratum temperature-flattened budget
+    * shares and the epoch count each stratum repeats to fill them.
+    */
+  def epochPlan(strata: String, budgetTokens: Long, alpha: Double): DataFrame =
+    graft.pipeline.TrainingSet.epochPlan(tables.documents, strata, budgetTokens, alpha)
+
+  /** Budget-cut snapshot: the documents a fixed token budget sees, in
+    * deterministic shuffle order (distributed prefix sum).
+    */
+  def budgetCut(budgetTokens: Long, seed: Long = 42L): DataFrame =
+    graft.pipeline.TrainingSet.budgetCut(tables.documents, budgetTokens, seed)
+
   /** Per-doc n-gram overlap against a held-out benchmark set — drop
     * rows above your contamination threshold before training.
     */

@@ -38,6 +38,14 @@ class GraftEngineSpec extends SparkSpec {
     assert(qt.schema("q").dataType.simpleString == "array<tinyint>")
     assert(engine.audioFeatures().limit(5).count() == 5)
     assert(engine.clipFrameFeatures().limit(5).count() == 5)
+    val winners = engine.qualityAwareWinners(clusters)
+    assert(winners.columns.toSeq == Seq("cluster_id", "keep_id", "n_uniq", "n_members"))
+    assert(winners.count() == clusters.select("cluster_id").distinct().count())
+    assert(engine.domainStats().isEmpty) // zero-URL synthetic corpus
+    val plan = engine.epochPlan("source", budgetTokens = 1000000L, alpha = 0.5)
+    assert(plan.count() == 20 && plan.columns.contains("epochs"))
+    val cut = engine.budgetCut(budgetTokens = 5000L)
+    assert(cut.count() > 0 && cut.agg(max("cum_tokens")).first().getLong(0) >= 5000L)
   }
 
   test("facade index surface: build once, probe and dedup from the artifacts") {
