@@ -1020,6 +1020,11 @@ object Extras {
     // fixed-order scalar arithmetic, 6-dp round like X45)
     "X70_bigram_logprob" -> q(c =>
       TextAnalysis.bigramLogProb(c.documents)),
+    // CCNet head/middle/tail: tertile buckets over the bigram-LM rank
+    // (distributed global row number, exact integer bucket math) —
+    // fully oracle-checked
+    "X81_perplexity_buckets" -> q(c =>
+      TextAnalysis.perplexityBuckets(c.documents, nBuckets = 3)),
     // full-corpus PII redaction rewrite (the scrub pass before
     // training-data export): typed placeholders over the both-engine
     // PII patterns, phone before ipv4 — fully oracle-checked by exact
@@ -1469,6 +1474,25 @@ SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
   ROUND(AVG(log10(CAST(m.c12 + 1 AS DOUBLE) / CAST(cx.c1 + v.v AS DOUBLE))), 6) AS mean_logp
 FROM bg JOIN m USING (w1, w2) JOIN cx USING (w1) CROSS JOIN v
 GROUP BY bg.doc_id ORDER BY bg.doc_id
+""".trim,
+    "X81_perplexity_buckets" -> """
+WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks FROM documents),
+bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+             FROM t WHERE len(toks) >= 2) u),
+m AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+cx AS (SELECT w1, SUM(c12) AS c1 FROM m GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM t) z),
+s AS (SELECT bg.doc_id,
+        ROUND(AVG(log10(CAST(m.c12 + 1 AS DOUBLE) / CAST(cx.c1 + v.v AS DOUBLE))), 6) AS mean_logp
+      FROM bg JOIN m USING (w1, w2) JOIN cx USING (w1) CROSS JOIN v
+      GROUP BY bg.doc_id),
+r AS (SELECT doc_id, mean_logp,
+        ROW_NUMBER() OVER (ORDER BY mean_logp DESC, doc_id) AS rank FROM s),
+n AS (SELECT COUNT(*) AS n FROM s)
+SELECT r.doc_id, r.mean_logp, r.rank,
+  CAST(FLOOR(CAST((r.rank - 1) * 3 AS DOUBLE) / n.n) AS BIGINT) AS bucket
+FROM r, n ORDER BY r.rank
 """.trim,
     "X71_pii_redact" -> {
       // generated from the SAME PiiPatterns constant the engine uses

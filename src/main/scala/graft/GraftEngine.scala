@@ -143,6 +143,10 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def budgetCut(budgetTokens: Long, seed: Long = 42L): DataFrame =
     graft.pipeline.TrainingSet.budgetCut(tables.documents, budgetTokens, seed)
 
+  /** CCNet-style head/middle/tail buckets over the bigram-LM rank. */
+  def perplexityBuckets(nBuckets: Int = 3): DataFrame =
+    graft.text.TextAnalysis.perplexityBuckets(tables.documents, nBuckets)
+
   /** Per-doc n-gram overlap against a held-out benchmark set — drop
     * rows above your contamination threshold before training.
     */

@@ -373,6 +373,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style LM-score bucketing (Wenzek et al. 2020, CCNet —
+    * public): rank every scored document by the corpus bigram-LM
+    * fluency score ([[bigramLogProb]]) and split the ranking into
+    * `nBuckets` equal-mass buckets — bucket 0 = head (most fluent),
+    * last = tail. The standard head/middle/tail filter keeps or
+    * re-weights BUCKETS rather than hard-thresholding a score whose
+    * scale drifts per corpus and language. Documents with fewer than
+    * two tokens carry no bigram and are absent, matching the scorer.
+    *
+    * bucket = floor((rank−1)·nBuckets / n): exact integer arithmetic
+    * over the ROUNDED score's (mean_logp DESC, doc_id) rank, so rank
+    * and bucket are engine-portable; the rank comes from the
+    * distributed global row number — no single-partition window.
+    */
+  def perplexityBuckets(documents: DataFrame, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
+    val scores = bigramLogProb(documents).select("doc_id", "mean_logp")
+    val ranked = graft.ops.ScalableWindows.withGlobalRowNumber(
+        scores.withColumn("__neg", -col("mean_logp")),
+        Seq("__neg", "doc_id"), "rank")
+      .drop("__neg")
+    val n = scores.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket",
+        floor((col("rank") - 1).cast("double") * nBuckets / col("__n"))
+          .cast("long"))
+      .select("doc_id", "mean_logp", "rank", "bucket")
+      .orderBy("rank")
+  }
+
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. On real corpora these would be frequent function words
     * per language; the synthetic corpus shares one vocabulary, so the

@@ -777,6 +777,23 @@ class ExtrasSpec extends SparkSpec {
     assert(shrunk.map(_.getLong(0)).toSeq == cut.map(_.getLong(0)).toSeq)
   }
 
+  test("perplexityBuckets: equal-mass tertiles, fluency-monotone, scorer-consistent") {
+    val b = TextAnalysis.perplexityBuckets(cat.documents, nBuckets = 3).collect()
+    val scored = TextAnalysis.bigramLogProb(cat.documents).count()
+    assert(b.length == scored, "one bucket row per scored document")
+    // equal mass: floor((rank-1)k/n) sizes differ by at most 1
+    val sizes = b.groupBy(_.getLong(3)).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L))
+    assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced: $sizes")
+    // monotone: the head's scores are never below the tail's (ties at a
+    // boundary may equal — rank breaks them by doc_id)
+    val headMin = b.filter(_.getLong(3) == 0L).map(_.getDouble(1)).min
+    val tailMax = b.filter(_.getLong(3) == 2L).map(_.getDouble(1)).max
+    assert(headMin >= tailMax)
+    // rank is a permutation of 1..n consistent with (score DESC, doc_id)
+    assert(b.map(_.getLong(2)).sorted.toSeq == (1L to scored).toSeq)
+  }
+
   test("epochPlan: weights sum to 1; alpha=1 runs every stratum the same epoch count") {
     val plan = graft.pipeline.TrainingSet
       .epochPlan(cat.documents, "source", budgetTokens = 1000000000L, alpha = 0.5)
