@@ -927,6 +927,13 @@ object Extras {
     "X61_semantic_dedup" -> q(c =>
       graft.vector.SemDedup.semanticDedup(
         c.embeddings, c.spark.read.parquet(kmeansCentroidsDir(c)), threshold = 0.4)),
+    // cluster-stratified diversity sample (10 per k-means cluster,
+    // smallest portable coins win): semantic-coverage subset selection,
+    // the complement of X61's redundancy removal — fully oracle-checked
+    // over the same mirrored centroids
+    "X82_diversity_sample" -> q(c =>
+      graft.vector.SemDedup.diversitySample(
+        c.embeddings, c.spark.read.parquet(kmeansCentroidsDir(c)), k = 10)),
     // DSIR importance weights: target = the held-out src0 seed set,
     // raw = the rest of the corpus; add-one unigram log-likelihood
     // ratio per doc (fully oracle-checked — two count aggregates, a
@@ -1313,6 +1320,14 @@ k AS (SELECT j, MIN(i) AS kept_by FROM hits GROUP BY j)
 SELECT k.j AS vec_id, k.kept_by, ROUND(h.dp, 6) AS cos
 FROM k JOIN hits h ON h.j = k.j AND h.i = k.kept_by
 ORDER BY vec_id
+""".trim,
+    "X82_diversity_sample" -> s"""
+WITH $kmeansAssignedCte
+SELECT vec_id, list_id FROM (
+  SELECT vec_id, list_id, row_number() OVER (PARTITION BY list_id
+    ORDER BY substring(md5(CAST(vec_id AS VARCHAR) || ':' || '42'), 1, 8), vec_id) AS rk
+  FROM assigned) t
+WHERE rk <= 10 ORDER BY list_id, vec_id
 """.trim,
     "X62_importance_weights" -> """
 WITH rw AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w

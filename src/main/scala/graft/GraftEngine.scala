@@ -147,6 +147,12 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def perplexityBuckets(nBuckets: Int = 3): DataFrame =
     graft.text.TextAnalysis.perplexityBuckets(tables.documents, nBuckets)
 
+  /** Cluster-stratified diversity sample: k vectors per k-means
+    * cluster, smallest portable coins win (semantic-coverage subset).
+    */
+  def diversitySample(cents: DataFrame, k: Int, seed: Long = 42L): DataFrame =
+    graft.vector.SemDedup.diversitySample(tables.embeddings, cents, k, seed)
+
   /** Per-doc n-gram overlap against a held-out benchmark set — drop
     * rows above your contamination threshold before training.
     */

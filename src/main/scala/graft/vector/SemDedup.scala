@@ -63,6 +63,31 @@ object SemDedup {
         round(max(col("ccos")), 6).as("max_cos"))
       .orderBy("list_id")
 
+  /** Cluster-stratified diversity sample — semantic-COVERAGE subset
+    * selection, the complement of [[semanticDedup]]'s redundancy
+    * removal: assign every vector to its k-means cluster and keep the
+    * `k` smallest-coin members of EACH cluster (portable md5 coin,
+    * deterministic per seed). Uniform-per-cluster selection flattens
+    * semantic density — dense topics stop dominating the sample,
+    * sparse topics keep representation — the standard move when
+    * curating a small, diverse calibration/eval subset from a huge
+    * corpus.
+    *
+    * Scale shape: [[Ivf.assign]] is map-side (centroid broadcast), and
+    * the per-cluster selection is [[graft.ops.Scale.stratifiedTopK]] —
+    * a coin-cutoff prune so the exact window touches ~k rows per
+    * cluster, never the whole cluster.
+    */
+  def diversitySample(
+      embeddings: DataFrame,
+      cents: DataFrame,
+      k: Int,
+      seed: Long = 42L): DataFrame =
+    graft.ops.Scale.stratifiedTopK(
+      Ivf.assign(embeddings, cents).select(col("vec_id"), col("list_id")),
+      "vec_id", "list_id", k, seed)
+      .orderBy("list_id", "vec_id")
+
   /** Semantic near-duplicates: for every vector that has a same-cluster
     * partner with cosine > `threshold` and a SMALLER id, emit one row
     * (vec_id, kept_by, cos) naming the smallest such partner — the

@@ -777,6 +777,22 @@ class ExtrasSpec extends SparkSpec {
     assert(shrunk.map(_.getLong(0)).toSeq == cut.map(_.getLong(0)).toSeq)
   }
 
+  test("diversitySample: min(k, cluster size) per cluster, subset of the assignment, deterministic") {
+    val cents = graft.vector.Ivf.centroids(cat.embeddings, 8)
+    val assigned = graft.vector.Ivf.assign(cat.embeddings, cents)
+      .select("vec_id", "list_id")
+    val sample = graft.vector.SemDedup.diversitySample(cat.embeddings, cents, k = 10)
+    val want = assigned.groupBy("list_id").count().collect()
+      .map(r => r.get(0) -> math.min(10L, r.getLong(1))).toMap
+    val got = sample.groupBy("list_id").count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    assert(got == want, s"per-cluster sizes: got $got want $want")
+    assert(sample.join(assigned, Seq("vec_id", "list_id"), "left_anti").isEmpty,
+      "every sampled vector must carry its own cluster id")
+    val again = graft.vector.SemDedup.diversitySample(cat.embeddings, cents, k = 10)
+    assert(sample.collect().map(_.toSeq).toSeq == again.collect().map(_.toSeq).toSeq)
+  }
+
   test("perplexityBuckets: equal-mass tertiles, fluency-monotone, scorer-consistent") {
     val b = TextAnalysis.perplexityBuckets(cat.documents, nBuckets = 3).collect()
     val scored = TextAnalysis.bigramLogProb(cat.documents).count()
