@@ -61,7 +61,10 @@ class PlanAuditSpec extends SparkSpec {
       "X53_vocab_coverage", "X58_bpe_encode_stats",
       "X60_kmeans_clusters", "X61_semantic_dedup",
       "X62_importance_weights", "X63_bm25_topk", "X66_bm25_join",
-      "X70_bigram_logprob", "X76_hard_negatives")
+      "X70_bigram_logprob", "X76_hard_negatives",
+      // X79/X81: the 1-row normalizer aggregate (Σ n^α / corpus count);
+      // X82: the centroid-array collapse inside Ivf.assign (X60's shape)
+      "X79_epoch_plan", "X81_perplexity_buckets", "X82_diversity_sample")
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against
@@ -80,7 +83,11 @@ class PlanAuditSpec extends SparkSpec {
       "X70_bigram_logprob",
       // X76 = X66's BM25 join shapes (1-row corpus-stats broadcast
       // cross join + its single-row aggregate exchange)
-      "X76_hard_negatives")
+      "X76_hard_negatives",
+      // X79/X81 broadcast their 1-row normalizer across the stratum /
+      // rank table (the A10/X62 idiom); X82 rides Ivf.assign's 1-row
+      // collapsed-centroid-array broadcast (X60's shape)
+      "X79_epoch_plan", "X81_perplexity_buckets", "X82_diversity_sample")
     val sf001Dir = "/root/testdata/sf0.001"
     val offenders = Extras.queries.toSeq.sortBy(_._1).flatMap { case (id, fn) =>
       val plan = fn(spark, sf001Dir).queryExecution.executedPlan.toString
