@@ -626,6 +626,15 @@ object Extras {
     "X16_dup_clusters" -> q(c =>
       MinHashDedup.duplicateClusters(
         MinHashDedup.verifiedPairsFromBanded(c.documents, bandedTable(c)))),
+    // dedup audit report (one row per duplicate-cluster size: cluster
+    // count, docs the min-id rule removes, character mass removed) —
+    // the summary table every dedup run publishes; fully oracle-checked
+    // (recursive-CTE clusters + the same two aggregates)
+    "X84_dedup_report" -> q(c =>
+      MinHashDedup.dedupReport(
+        c.documents,
+        MinHashDedup.duplicateClusters(
+          MinHashDedup.verifiedPairsFromBanded(c.documents, bandedTable(c))))),
     // quality-aware winner per X16 cluster: keep the most-informative
     // member (max distinct tokens, min doc_id tie) instead of min-id —
     // the production starring rule when near-dup copies differ in
@@ -914,6 +923,13 @@ object Extras {
         .groupBy("token").agg(count(lit(1)).as("freq"))
         .orderBy(desc("freq"), asc("token")).limit(20)
     },
+    // tokenizer fertility by language (tokens/word, chars/token) over
+    // the SAME persisted encoded corpus — the multilingual tokenizer
+    // health table; fully oracle-checked (count aggregates + an exact
+    // double division downstream of the mirrored parquet)
+    "X83_tokenizer_fertility" -> q(c =>
+      graft.text.Bpe.fertilityByLang(
+        c.spark.read.parquet(bpeEncodedDir(c)), c.documents)),
     // k-means cluster health profile over the PERSISTED centroids
     // (membership + member→centroid cosine distribution; oracle-checked
     // against the mirrored centroid parquet — assignment argmax and the
@@ -934,6 +950,13 @@ object Extras {
     "X82_diversity_sample" -> q(c =>
       graft.vector.SemDedup.diversitySample(
         c.embeddings, c.spark.read.parquet(kmeansCentroidsDir(c)), k = 10)),
+    // semantic-outlier prune: vectors whose cosine to their ASSIGNED
+    // centroid is below the floor — the embedding-space junk audit run
+    // before the corpus feeds training; map-side assignment + filter,
+    // fully oracle-checked over the same mirrored centroids
+    "X85_semantic_outliers" -> q(c =>
+      graft.vector.SemDedup.outliers(
+        c.embeddings, c.spark.read.parquet(kmeansCentroidsDir(c)), minCos = 0.3)),
     // DSIR importance weights: target = the held-out src0 seed set,
     // raw = the rest of the corpus; add-one unigram log-likelihood
     // ratio per doc (fully oracle-checked — two count aggregates, a
@@ -1227,6 +1250,23 @@ SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-mg)), 6) AS p_target
 FROM m ORDER BY p_target DESC, doc_id LIMIT 20""".trim,
     "X16_dup_clusters" -> bandedClustersSql,
     "X29_dup_clusters_stars" -> bandedClustersSql,
+    "X84_dedup_report" -> s"""
+WITH RECURSIVE $bandedVerifiedCtes,
+edges AS (SELECT i AS a, j AS b FROM verified UNION SELECT j, i FROM verified),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, re.r AS r FROM edges e JOIN reach re ON e.b = re.node),
+cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+per AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size,
+         SUM(d.n_chars) - arg_min(d.n_chars, d.doc_id) AS chars_lost
+  FROM cl JOIN documents d USING (doc_id) GROUP BY cluster_id)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_removed,
+  CAST(SUM(chars_lost) AS BIGINT) AS chars_removed
+FROM per GROUP BY cluster_size ORDER BY cluster_size
+""".trim,
     // simhash from the mirrored token-hash parquet: per-bit ±1 majority
     // vote, sign vector packed into one BIGINT (bit 63 via the
     // Long.MinValue literal — DuckDB's 1<<63 promotes to INT128);
@@ -1328,6 +1368,11 @@ SELECT vec_id, list_id FROM (
     ORDER BY substring(md5(CAST(vec_id AS VARCHAR) || ':' || '42'), 1, 8), vec_id) AS rk
   FROM assigned) t
 WHERE rk <= 10 ORDER BY list_id, vec_id
+""".trim,
+    "X85_semantic_outliers" -> s"""
+WITH $kmeansAssignedCte
+SELECT vec_id, list_id, ROUND(sc, 6) AS cos
+FROM assigned WHERE sc < 0.3 ORDER BY vec_id
 """.trim,
     "X62_importance_weights" -> """
 WITH rw AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w
@@ -1822,6 +1867,23 @@ FROM read_parquet('$oracleIdxRoot/deflate/*.parquet') ORDER BY doc_id
 SELECT token, COUNT(*) AS freq
 FROM read_parquet('$oracleIdxRoot/bpe_encoded/*.parquet')
 GROUP BY token ORDER BY freq DESC, token LIMIT 20
+""".trim,
+    "X83_tokenizer_fertility" -> s"""
+WITH toks AS (
+  SELECT doc_id, COUNT(*) AS n_tokens
+  FROM read_parquet('$oracleIdxRoot/bpe_encoded/*.parquet') GROUP BY doc_id),
+w AS (
+  SELECT doc_id, lang, n_chars,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_words
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(n_words) AS BIGINT) AS total_words,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words), 6) AS tokens_per_word,
+  ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 6) AS chars_per_token
+FROM w JOIN toks USING (doc_id)
+GROUP BY lang ORDER BY lang
 """.trim,
     // media/audio/clip stats read the SAME mirrored feature parquet the
     // Spark queries just produced — decode is generation, these are the

@@ -251,6 +251,24 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def semanticDedup(cents: DataFrame, threshold: Double): DataFrame =
     graft.vector.SemDedup.semanticDedup(tables.embeddings, cents, threshold)
 
+  /** Embedding-space outlier audit: vectors below `minCos` to their
+    * assigned centroid (see [[graft.vector.SemDedup.outliers]]).
+    */
+  def semanticOutliers(cents: DataFrame, minCos: Double): DataFrame =
+    graft.vector.SemDedup.outliers(tables.embeddings, cents, minCos)
+
+  /** Dedup audit report over a duplicate-cluster table (see
+    * [[graft.text.MinHashDedup.dedupReport]]).
+    */
+  def dedupReport(clusters: DataFrame): DataFrame =
+    graft.text.MinHashDedup.dedupReport(tables.documents, clusters)
+
+  /** Tokenizer fertility by language over an encoded corpus (see
+    * [[graft.text.Bpe.fertilityByLang]]).
+    */
+  def tokenizerFertility(encoded: DataFrame): DataFrame =
+    graft.text.Bpe.fertilityByLang(encoded, tables.documents)
+
   /** DSIR importance weights of every corpus document against a target
     * seed corpus (see [[graft.text.Dsir.importanceWeights]]).
     */

@@ -161,6 +161,44 @@ object Bpe {
       .toDF("doc_id", "pos", "token")
   }
 
+  /** Tokenizer fertility by language — the multilingual tokenizer
+    * health metric (tokens per word / chars per token per language):
+    * a language whose fertility is far above the corpus mean pays
+    * proportionally more sequence length for the same text, which
+    * skews both the compute bill and the effective mixture — the
+    * standard table consulted before fixing a vocab or a temperature
+    * schedule. `encoded` is [[encodeDocuments]]' (doc_id, pos, token)
+    * output (in production the PERSISTED encoded-corpus parquet — the
+    * encode runs once, this audit is a cheap relational downstream).
+    *
+    * Word/char denominators come from the raw corpus with the same
+    * whitespace tokenization the encoder used, so the ratio is
+    * internally consistent. Docs the encoder dropped (null/empty
+    * text → zero tokens) drop out of BOTH sides via the inner join.
+    *
+    * Scale shape: one count-per-doc aggregate over the encoded table
+    * (shuffle on doc_id), a map-side word count on the corpus, an
+    * equi-join on doc_id, and a languages-sized final aggregate.
+    */
+  def fertilityByLang(encoded: DataFrame, documents: DataFrame): DataFrame = {
+    val toks = encoded.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val words = documents.select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      size(filter(split(col("text"), "\\s+"), w => w =!= "")).cast("long").as("n_words"))
+    words.join(toks, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_tokens").cast("bigint").as("total_tokens"),
+        sum("n_words").cast("bigint").as("total_words"),
+        sum("n_chars").cast("bigint").as("total_chars"))
+      .withColumn("tokens_per_word",
+        round(col("total_tokens").cast("double") / col("total_words"), 6))
+      .withColumn("chars_per_token",
+        round(col("total_chars").cast("double") / col("total_tokens"), 6))
+      .orderBy("lang")
+  }
+
   /** Rank-greedy BPE application to one word: repeatedly find the
     * adjacent pair with the lowest learned rank and merge ALL its
     * occurrences left-to-right, until no learned pair remains.

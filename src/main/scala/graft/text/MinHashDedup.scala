@@ -545,6 +545,41 @@ object MinHashDedup {
       .orderBy("cluster_id")
   }
 
+  /** Dedup audit report — the summary table every large-scale dedup run
+    * publishes alongside its winner list: one row per duplicate-cluster
+    * SIZE with how many clusters have that size, how many documents the
+    * min-id starring rule removes ((size−1) per cluster), and the
+    * character mass those losers carry. Reviewers read this before
+    * accepting a dedup pass: a long tail of huge clusters means
+    * boilerplate mirrors; removed-mass vs corpus-mass is the headline
+    * dedup rate.
+    *
+    * Input `clusters` is [[duplicateClusters]]' (doc_id, cluster_id)
+    * table — only docs in some verified near-dup cluster, so every join
+    * here touches the tiny clustered subset, never the corpus; the
+    * report itself is at most #distinct-sizes rows.
+    */
+  def dedupReport(documents: DataFrame, clusters: DataFrame): DataFrame = {
+    val members = clusters.join(
+      documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    members
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        // losers = everyone but the min-id winner: total chars minus
+        // the winner's chars, in one aggregate (min over (id, chars)
+        // structs pins the winner deterministically)
+        (sum(col("n_chars")) -
+          min(struct(col("doc_id"), col("n_chars"))).getField("n_chars"))
+          .as("chars_lost"))
+      .groupBy("cluster_size")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_clusters"),
+        (sum(col("cluster_size") - 1)).cast("bigint").as("docs_removed"),
+        sum(col("chars_lost")).cast("bigint").as("chars_removed"))
+      .orderBy("cluster_size")
+  }
+
   /** Verified near-duplicate pairs ACROSS two corpora — near-dup
     * benchmark decontamination at scale (the fuzzy complement of the
     * exact n-gram overlap in

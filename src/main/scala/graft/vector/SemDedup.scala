@@ -88,6 +88,30 @@ object SemDedup {
       "vec_id", "list_id", k, seed)
       .orderBy("list_id", "vec_id")
 
+  /** Semantic-outlier prune — the complement health check to
+    * [[clusterProfile]]: flag every vector whose cosine to its ASSIGNED
+    * centroid falls below `minCos`. Far-from-every-centroid points are
+    * the classic embedding-space junk signature (mojibake, binary
+    * spill, off-distribution noise) — the standard curation step is to
+    * audit or drop them before the corpus feeds training (the outlier
+    * half of the SemDeDup/DataComp cluster-based filtering recipe).
+    * Output: (vec_id, list_id, cos) for flagged rows, ordered by
+    * vec_id; `cos` rounded to 6 dp for display, the FILTER runs on the
+    * unrounded double (deterministic — same IEEE sum both engines).
+    *
+    * Scale shape: strictly map-side over the corpus (broadcast-argmax
+    * assignment, then a filter) — no shuffle at all until the final
+    * presentation sort over the tiny flagged subset.
+    */
+  def outliers(
+      embeddings: DataFrame,
+      cents: DataFrame,
+      minCos: Double): DataFrame =
+    assignWithScore(embeddings, cents)
+      .filter(col("ccos") < minCos)
+      .select(col("vec_id"), col("list_id"), round(col("ccos"), 6).as("cos"))
+      .orderBy("vec_id")
+
   /** Semantic near-duplicates: for every vector that has a same-cluster
     * partner with cosine > `threshold` and a SMALLER id, emit one row
     * (vec_id, kept_by, cos) naming the smallest such partner — the

@@ -793,6 +793,76 @@ class ExtrasSpec extends SparkSpec {
     assert(sample.collect().map(_.toSeq).toSeq == again.collect().map(_.toSeq).toSeq)
   }
 
+  test("dedupReport: per-size histogram, min-id winner's chars survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 100L), (2L, 40L), (3L, 7L),  // cluster 1: size 3, winner=1
+      (10L, 5L), (11L, 9L),             // cluster 10: size 2, winner=10
+      (20L, 3L), (21L, 8L),             // cluster 20: size 2, winner=20
+      (99L, 1000L))                     // unclustered — must not appear
+      .toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L)).toDF("doc_id", "cluster_id")
+    val got = MinHashDedup.dedupReport(docs, clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // size 2: clusters {10,20}, losers {11, 21} → chars 9+8; size 3:
+    // cluster {1}, losers {2,3} → chars 40+7
+    assert(got.toSeq == Seq((2L, 2L, 2L, 17L), (3L, 1L, 2L, 47L)))
+  }
+
+  test("dedupReport on sf0.01: masses reconcile with the cluster table") {
+    val clusters = MinHashDedup.duplicateClusters(
+      MinHashDedup.verifiedPairs(cat.documents))
+    val report = MinHashDedup.dedupReport(cat.documents, clusters).collect()
+    assert(report.nonEmpty)
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    val nMembers = clusters.count()
+    assert(report.map(_.getLong(1)).sum == nClusters)
+    // every non-winner is removed exactly once
+    assert(report.map(_.getLong(2)).sum == nMembers - nClusters)
+    // removed mass is positive and strictly below the clustered docs' total
+    val clusteredChars = clusters.join(cat.documents, Seq("doc_id"))
+      .agg(sum("n_chars")).first().getLong(0)
+    val removed = report.map(_.getLong(3)).sum
+    assert(removed > 0 && removed < clusteredChars)
+  }
+
+  test("fertilityByLang: exact ratios on a fixture, encoder-dropped docs drop out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb", "en", 5L),
+      (2L, "cc", "en", 2L),
+      (3L, "dd ee ff", "fr", 8L),
+      (4L, "", "fr", 0L))  // empty text — encoder emits no tokens
+      .toDF("doc_id", "text", "lang", "n_chars")
+    // hand-built encoded table: doc1 → 3 tokens, doc2 → 1, doc3 → 6
+    val encoded = ((0 until 3).map(p => (1L, p.toLong, "t")) ++
+      Seq((2L, 0L, "t")) ++ (0 until 6).map(p => (3L, p.toLong, "t")))
+      .toDF("doc_id", "pos", "token")
+    val got = graft.text.Bpe.fertilityByLang(encoded, docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      ("en", 2L, 4L, 3L, 7L, round6(4.0 / 3), round6(7.0 / 4)),
+      ("fr", 1L, 6L, 3L, 8L, 2.0, round6(8.0 / 6))))
+  }
+
+  test("semantic outliers: exactly the below-floor slice of the assignment") {
+    val cents = graft.vector.Ivf.refineCentroids(
+      cat.embeddings, graft.vector.Ivf.centroids(cat.embeddings, 8), iters = 4,
+      dim = cat.embeddings.select(size(col("embedding"))).first().getInt(0))
+    val assigned = graft.vector.SemDedup.assignWithScore(cat.embeddings, cents)
+      .select("vec_id", "list_id", "ccos").collect()
+    val floor = 0.3
+    val want = assigned.filter(_.getDouble(2) < floor)
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val got = graft.vector.SemDedup.outliers(cat.embeddings, cents, floor)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.size < assigned.length,
+      s"floor=$floor should flag a strict, non-empty subset (got ${got.size}/${assigned.length})")
+  }
+
   test("perplexityBuckets: equal-mass tertiles, fluency-monotone, scorer-consistent") {
     val b = TextAnalysis.perplexityBuckets(cat.documents, nBuckets = 3).collect()
     val scored = TextAnalysis.bigramLogProb(cat.documents).count()

@@ -63,8 +63,10 @@ class PlanAuditSpec extends SparkSpec {
       "X62_importance_weights", "X63_bm25_topk", "X66_bm25_join",
       "X70_bigram_logprob", "X76_hard_negatives",
       // X79/X81: the 1-row normalizer aggregate (Σ n^α / corpus count);
-      // X82: the centroid-array collapse inside Ivf.assign (X60's shape)
-      "X79_epoch_plan", "X81_perplexity_buckets", "X82_diversity_sample")
+      // X82/X85: the centroid-array collapse inside the assignment
+      // (X60's shape)
+      "X79_epoch_plan", "X81_perplexity_buckets", "X82_diversity_sample",
+      "X85_semantic_outliers")
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against
@@ -85,9 +87,10 @@ class PlanAuditSpec extends SparkSpec {
       // cross join + its single-row aggregate exchange)
       "X76_hard_negatives",
       // X79/X81 broadcast their 1-row normalizer across the stratum /
-      // rank table (the A10/X62 idiom); X82 rides Ivf.assign's 1-row
-      // collapsed-centroid-array broadcast (X60's shape)
-      "X79_epoch_plan", "X81_perplexity_buckets", "X82_diversity_sample")
+      // rank table (the A10/X62 idiom); X82/X85 ride the assignment's
+      // 1-row collapsed-centroid-array broadcast (X60's shape)
+      "X79_epoch_plan", "X81_perplexity_buckets", "X82_diversity_sample",
+      "X85_semantic_outliers")
     val sf001Dir = "/root/testdata/sf0.001"
     val offenders = Extras.queries.toSeq.sortBy(_._1).flatMap { case (id, fn) =>
       val plan = fn(spark, sf001Dir).queryExecution.executedPlan.toString
