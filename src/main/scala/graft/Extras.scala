@@ -523,7 +523,8 @@ object Extras {
     "X04_fingerprint_dedup" -> q(c =>
       TextAnalysis.fingerprintDedupWinners(c.documents)),
     "X05_ngram_jaccard" -> q(c =>
-      TextAnalysis.ngramJaccardPairs(c.documents, n = 3, threshold = 0.6)),
+      TextAnalysis.ngramJaccardPairs(c.documents, n = 3, threshold = 0.6,
+        maxDf = 50)),
     // -- embedding near-dup (oracle-checked) --
     "X06_embed_neardup" -> q(c => Ann.allPairsAbove(c.embeddings, 0.4)),
     // -- scale paths (rows-only; property-tested in ExtrasSpec) --
@@ -1851,7 +1852,7 @@ FROM c WHERE cum_tokens - n_tokens < 5000 ORDER BY shuffle_pos
     "X79_epoch_plan" -> """
 WITH t AS (SELECT source, COUNT(*) AS n_docs,
   CAST(SUM(len(list_filter(str_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY source),
+  FROM documents GROUP BY source HAVING n_tokens > 0),
 z AS (SELECT SUM(POW(CAST(n_tokens AS DOUBLE), 0.5)) AS z FROM t)
 SELECT source, n_docs, n_tokens,
   ROUND(POW(CAST(n_tokens AS DOUBLE), 0.5) / z, 6) AS weight,

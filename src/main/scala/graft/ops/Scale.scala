@@ -552,9 +552,31 @@ object Scale {
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(cexpr(col(smallKey).cast("long")))),
       Literal(n), Literal(numBits)).toAggregateExpression()
+    // BloomFilterAggregate SILENTLY clamps both estimatedNumItems and
+    // numBits to spark.sql.optimizer.runtime.bloomFilter.maxNumItems /
+    // maxNumBits (defaults 4M items / 67M bits — sized for Spark's own
+    // injected runtime filters, not for an explicit prefilter over a
+    // large build side). An unnoticed clamp would keep the requested
+    // fpp=0.01 label on a filter whose real fpp is near 1 — the scan
+    // would pay the probe and prune nothing. Raise the caps to the
+    // computed size around the build action (the aggregate reads the
+    // session conf lazily at eval), then restore.
+    val sess = small.sparkSession
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevItems = sess.conf.get(itemsKey)
+    val prevBits = sess.conf.get(bitsKey)
     // one binary bloom image to the driver (metadata-sized, ~1.2 B/key) —
     // shipped back out as a foldable literal the probe expression embeds
-    val bloomBytes = small.select(ccol(agg).as("bf")).head().getAs[Array[Byte]](0)
+    val bloomBytes =
+      try {
+        sess.conf.set(itemsKey, math.max(prevItems.toLong, n))
+        sess.conf.set(bitsKey, math.max(prevBits.toLong, numBits))
+        small.select(ccol(agg).as("bf")).head().getAs[Array[Byte]](0)
+      } finally {
+        sess.conf.set(itemsKey, prevItems)
+        sess.conf.set(bitsKey, prevBits)
+      }
     val probe = ccol(BloomFilterMightContain(
       Literal(bloomBytes, BinaryType),
       new XxHash64(Seq(cexpr(col(bigKey).cast("long"))))))

@@ -369,6 +369,11 @@ object TrainingSet {
     val counts = documents.groupBy(strata)
       .agg(count(lit(1)).as("n_docs"),
         sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"))
+      // a stratum with zero tokens has nothing to repeat: it carries
+      // zero temperature weight anyway, but its epochs column would be
+      // 0/0 = NaN — drop it from the plan instead of shipping NaN rows
+      // (mirrored in the X79 oracle SQL)
+      .filter(col("n_tokens") > 0)
     val z = counts.agg(
       sum(pow(col("n_tokens").cast("double"), alpha)).as("__z"))
     counts.crossJoin(broadcast(z))

@@ -488,9 +488,16 @@ object TextAnalysis {
     * intact; Jaccard is computed over the retained sets on BOTH sides,
     * so exact duplicates still score exactly 1.0. The MinHash module
     * replaces the exact intersection with banded signatures at 100 TB.
+    *
+    * The default is UNCAPPED (exact Jaccard over the full shingle
+    * sets): the MinHash/winnow specs use this form as their exact
+    * ground truth, and a silently capped baseline would shrink what
+    * "recall vs exact" measures. Production callers and the declared
+    * X05 query pass an explicit `maxDf` (the oracle SQL mirrors the
+    * same literal cap).
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double,
-      maxDf: Int = 50): DataFrame = {
+      maxDf: Int = Int.MaxValue): DataFrame = {
     // array_distinct dedups map-side; the DISTINCT after the explode is
     // then a semantic no-op, but it materializes ONE shuffled exchange
     // that all consumers below (the df filter, both join sides, sizes)

@@ -56,9 +56,22 @@ object Scale10RelationalBench {
           d.withColumn(k, col(k) + lit(r * KeyOff)))
       }.reduce(_ unionByName _)
 
-    if (!new java.io.File(s"$dst/lineitem.parquet", "_SUCCESS").exists()) {
+    // regenerate unless EVERY written table committed (_SUCCESS per
+    // table) AND the fixture scheme marker matches — a crash after the
+    // first write, or a fixture left by an older dup scheme, must not
+    // be silently reused (it would invalidate the exact-10× requires)
+    val allTables = Seq("lineitem", "orders", "events", "part",
+      "region", "nation", "customer", "supplier", "documents", "embeddings")
+    val marker = new java.io.File(dst, "_GRAFT_FIXTURE")
+    val scheme = s"rel10:v1:$KeyOff:" +
+      new java.io.File(src, "lineitem.parquet").lastModified
+    val fresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == scheme &&
+      allTables.forall(t => new java.io.File(s"$dst/$t.parquet", "_SUCCESS").exists())
+    if (!fresh) {
       def write(name: String, df: DataFrame): Unit =
         df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      if (marker.exists()) marker.delete()
       // facts 10× with per-replica key shifts; dims 1× verbatim
       write("lineitem", dup10(Tables.load(spark, src, "lineitem"), Seq("l_orderkey")))
       write("orders", dup10(Tables.load(spark, src, "orders"), Seq("o_orderkey")))
@@ -66,6 +79,7 @@ object Scale10RelationalBench {
       write("part", dup10(Tables.load(spark, src, "part"), Seq("p_partkey")))
       Seq("region", "nation", "customer", "supplier", "documents", "embeddings")
         .foreach(t => write(t, Tables.load(spark, src, t)))
+      java.nio.file.Files.write(marker.toPath, scheme.getBytes("UTF-8"))
     }
 
     val cat1 = Catalog(spark, src)

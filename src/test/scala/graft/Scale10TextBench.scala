@@ -63,7 +63,8 @@ object Scale10TextBench {
       .agg(sum(pairsOf), sum(when(col("df") <= 50, pairsOf).otherwise(0L)))
       .first() match { case r => Array(r.getLong(0), r.getLong(1)) }
     val (xj, tXj) = timed(
-      TextAnalysis.ngramJaccardPairs(docs10, n = 3, threshold = 0.6).count())
+      TextAnalysis.ngramJaccardPairs(docs10, n = 3, threshold = 0.6,
+        maxDf = 50).count())
     println(f"SCALE10TEXT ngram_jaccard (X05 path)   $tXj%8.2f s  rows=$xj  candidate_mass=$mCap%,d (uncapped would be $mUncap%,d)")
     require(mCap < mUncap / 4,
       s"maxDf cap should prune the flood's candidate mass (capped=$mCap uncapped=$mUncap)")
