@@ -31,9 +31,10 @@ object Scale10TextBench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
-      .select("doc_id", "text")
+      .select("doc_id", "text", "n_chars")
     val docs10 = (0 until 10)
-      .map(r => docs.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"), col("text")))
+      .map(r => docs.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+        col("text"), col("n_chars")))
       .reduce(_ unionByName _)
       .repartition(32)
       .localCheckpoint(true)
@@ -75,6 +76,30 @@ object Scale10TextBench {
     val singleWinners = MinHashDedup.dedupWinners(docs).count()
     require(dw == singleWinners,
       s"10x-duplicated corpus must dedup to the single-corpus winners ($singleWinners), got $dw")
+
+    // X84 dedup report on the flood: every text is present 10×, so each
+    // doc's replica group is a clique of verified pairs — every cluster
+    // in the report must have size ≥ 10 (near-dup originals merge
+    // groups into multiples), and the removed-doc mass must reconcile
+    // exactly with the cluster table (members − clusters)
+    val (rep, tRep) = timed {
+      val pairs10 = MinHashDedup.verifiedPairs(docs10)
+      val clusters = MinHashDedup.duplicateClusters(pairs10)
+        .localCheckpoint(true)
+      val report = MinHashDedup.dedupReport(docs10, clusters).collect()
+      val nClusters = clusters.select("cluster_id").distinct().count()
+      val nMembers = clusters.count()
+      (report, nClusters, nMembers)
+    }
+    val (report, nClusters, nMembers) = rep
+    val removed = report.map(_.getLong(2)).sum
+    println(f"SCALE10TEXT dedup_report (X84 path)    $tRep%8.2f s  " +
+      s"clusters=$nClusters removed=$removed sizes=${report.map(_.getLong(0)).mkString(",")}")
+    require(report.forall(_.getLong(0) >= 10),
+      s"every replica group must land in a >=10 cluster, got sizes " +
+        report.map(_.getLong(0)).mkString(","))
+    require(removed == nMembers - nClusters,
+      s"docs_removed ($removed) must equal members-clusters (${nMembers - nClusters})")
 
     val qdocs = docs10.filter(col("doc_id") < 3)
     val banded = MinHashDedup
