@@ -525,23 +525,22 @@ object MinHashDedup {
     * is [[duplicateClusters]]' (doc_id, cluster_id) table; output one
     * row per cluster: (cluster_id, keep_id, n_uniq, n_members).
     *
-    * Scale shape: the distinct-token count is map-side per doc; the
-    * winner window partitions BY CLUSTER over only the clustered docs
-    * (the tiny near-dup subset, never the corpus), and the member count
-    * is a second aggregate over the same rows — no corpus shuffle.
+    * Scale shape: the distinct-token count is map-side per doc, and the
+    * winner plus the member count come from ONE aggregate over only the
+    * clustered docs (the tiny near-dup subset, never the corpus) — a
+    * max over (n_uniq, −doc_id) structs picks "most informative, min-id
+    * on ties" without a window pass or a second join.
     */
   def qualityAwareWinners(documents: DataFrame, clusters: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = documents.select(col("doc_id"),
       size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long").as("n_uniq"))
-    val members = clusters.join(q, Seq("doc_id"))
-    val counts = members.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
-    val w = Window.partitionBy("cluster_id").orderBy(col("n_uniq").desc, col("doc_id").asc)
-    members.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col("cluster_id"), col("doc_id").as("keep_id"), col("n_uniq"))
-      .join(counts, Seq("cluster_id"))
-      .select("cluster_id", "keep_id", "n_uniq", "n_members")
+    clusters.join(q, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(
+        max(struct(col("n_uniq"), (-col("doc_id")).as("neg_id"))).as("w"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("w.neg_id")).as("keep_id"),
+        col("w.n_uniq").as("n_uniq"), col("n_members"))
       .orderBy("cluster_id")
   }
 
