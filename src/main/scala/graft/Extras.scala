@@ -14,7 +14,7 @@ import graft.vector.Ann
   * (dedup, similarity search, text analysis, multimodal plumbing)
   * mandated by BASELINE.json's north star.
   *
-  * Nearly every extra is oracle-checked (131 of 134 driver queries): either
+  * Nearly every extra is oracle-checked (137 of 140 driver queries): either
   * directly DuckDB-expressible, or — for the index-backed paths
   * X11/X14/X15/X16/X29/X38/X60/X61 — checked against the MIRRORED
   * persisted artifact parquet: the signature/centroid generation is
