@@ -306,7 +306,11 @@ object Extras {
       TextAnalysis.chunkDocuments(c.documents, maxTokens = 64, stride = 48)
         .select("doc_id", "chunk_idx", "n_tokens")
         .join(graft.ops.Scale.shuffleOrder(
-          c.documents.select("doc_id"), "doc_id"), Seq("doc_id")),
+          c.documents.select("doc_id"), "doc_id"), Seq("doc_id"))
+        // LAZY checkpoint: the prefix-sum machinery drives its input
+        // through three jobs — without this the explode-heavy chunker
+        // re-runs per job (the X81/X53 fix applied here)
+        .localCheckpoint(false),
       packTokens = 256L)
 
   /** Per-corpus persisted sign-LSH (hyperplane) ANN index — the

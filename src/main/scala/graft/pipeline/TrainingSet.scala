@@ -321,7 +321,10 @@ object TrainingSet {
     require(budgetTokens >= 1, s"budgetTokens=$budgetTokens must be positive")
     val toks = documents.select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-    val ordered = Scale.shuffleOrder(toks, "doc_id", seed)
+    // LAZY checkpoint: three narrow columns per doc, consumed by the
+    // prefix-sum machinery's three jobs — without it the token count +
+    // coin order re-run per job
+    val ordered = Scale.shuffleOrder(toks, "doc_id", seed).localCheckpoint(false)
     graft.ops.ScalableWindows
       .withGlobalRunningSum(ordered, Seq("shuffle_pos"), "n_tokens", "cum_tokens")
       .filter(col("cum_tokens") - col("n_tokens") < budgetTokens)
