@@ -65,6 +65,46 @@ r AS (SELECT w, cnt,
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM c)
 SELECT CAST(rk AS BIGINT) AS rk, w, cnt, ROUND(run / tot, 6) AS coverage
 FROM r CROSS JOIN t WHERE rk <= 500 ORDER BY rk
+""",
+    // X48's cut algebra with the n^0.5 temperature targets computed in
+    // SQL (pow is java.lang.Math.pow in both engines)
+    "X74_temperature_mixture" -> s"""
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+j AS (SELECT lang, n, pow(n, 0.5) AS t FROM counts),
+tm AS (SELECT MIN(n / t) AS tmax FROM j),
+fr AS (SELECT lang, CASE WHEN n / t = tmax THEN 'g'
+         WHEN tmax * t / n >= 1.0 THEN 'g'
+         ELSE format_string('%08x', CAST(least(floor(tmax * t / n * 4294967296), 4294967295) AS BIGINT)) END AS cut
+       FROM j CROSS JOIN tm)
+SELECT d.doc_id, d.lang FROM documents d JOIN fr USING (lang)
+WHERE ${coin.replace("doc_id", "d.doc_id")} < fr.cut
+ORDER BY d.doc_id
+""",
+    "X79_epoch_plan" -> """
+WITH t AS (SELECT source, COUNT(*) AS n_docs,
+    CAST(SUM(size(filter(split(text, ' '), w -> w != ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+  HAVING CAST(SUM(size(filter(split(text, ' '), w -> w != ''))) AS BIGINT) > 0),
+z AS (SELECT SUM(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS z FROM t)
+SELECT source, n_docs, n_tokens,
+  ROUND(pow(CAST(n_tokens AS DOUBLE), 0.5) / z, 6) AS weight,
+  ROUND(CAST(1000000000 AS DOUBLE) * pow(CAST(n_tokens AS DOUBLE), 0.5) / z
+        / CAST(n_tokens AS DOUBLE), 4) AS epochs
+FROM t CROSS JOIN z ORDER BY source
+""",
+    // the single-window semantic twin of the distributed prefix sum
+    "X80_budget_cut" -> s"""
+WITH t AS (SELECT doc_id,
+    CAST(size(filter(split(text, ' '), w -> w != '')) AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (SELECT doc_id, n_tokens,
+    row_number() OVER (ORDER BY $coin, doc_id) AS shuffle_pos FROM t),
+c AS (SELECT doc_id, shuffle_pos, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY shuffle_pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM o)
+SELECT doc_id, shuffle_pos, n_tokens, cum_tokens FROM c
+WHERE cum_tokens - n_tokens < 5000 ORDER BY shuffle_pos
 """)
 
   test("pipeline extras: Spark-SQL twins hash-equal to the DataFrame builders") {
@@ -76,5 +116,59 @@ FROM r CROSS JOIN t WHERE rk <= 500 ORDER BY rk
       assert(viaSql == viaBuilder,
         s"$id: SQL twin hash $viaSql != builder hash $viaBuilder")
     }
+  }
+
+  test("X83/X85: SQL twins over shared inputs hash-equal to the builders") {
+    graft.core.Engine.configure(spark)
+    Tables.registerAll(spark, sf001)
+    val docs = Tables.load(spark, sf001, "documents")
+    val emb = Tables.load(spark, sf001, "embeddings")
+    // X83 over a shared encoded corpus (BPE encode is deterministic
+    // integer/string output, so in-spec generation is exact)
+    val enc = graft.text.Bpe.encodeDocuments(
+      docs, graft.text.Bpe.learnMerges(docs, numMerges = 12))
+    enc.createOrReplaceTempView("bpe_encoded")
+    val x83Sql = spark.sql("""
+WITH toks AS (SELECT doc_id, COUNT(*) AS n_tokens FROM bpe_encoded GROUP BY doc_id),
+w AS (SELECT doc_id, lang, n_chars,
+    CAST(size(filter(split(text, '\\s+'), x -> x != '')) AS BIGINT) AS n_words
+  FROM documents),
+g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(SUM(n_words) AS BIGINT) AS total_words,
+    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM w JOIN toks USING (doc_id) GROUP BY lang)
+SELECT lang, n_docs, total_tokens, total_words, total_chars,
+  ROUND(CAST(total_tokens AS DOUBLE) / total_words, 6) AS tokens_per_word,
+  ROUND(CAST(total_chars AS DOUBLE) / total_tokens, 6) AS chars_per_token
+FROM g ORDER BY lang
+""".trim)
+    assert(Canonical.hash16(x83Sql) ==
+      Canonical.hash16(graft.text.Bpe.fertilityByLang(enc, docs)),
+      "X83 SQL twin diverges from fertilityByLang")
+    // X85 over FROZEN shared centroids (Lloyd float sums are not
+    // canonical, so both forms must consume the same table — the same
+    // contract the persisted artifact gives the declared query)
+    val dim = emb.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("embedding"))).first().getInt(0)
+    val cents = graft.vector.Ivf.refineCentroids(
+      emb, graft.vector.Ivf.centroids(emb, 8), iters = 4, dim = dim)
+      .localCheckpoint(true)
+    cents.createOrReplaceTempView("cents")
+    val x85Sql = spark.sql("""
+WITH assigned AS (
+  SELECT vec_id, centroid_id AS list_id, sc FROM (
+    SELECT e.vec_id, c.centroid_id,
+      graft_dot(e.embedding, c.centroid) AS sc,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY graft_dot(e.embedding, c.centroid) DESC, c.centroid_id) AS rk
+    FROM embeddings e CROSS JOIN cents c) z
+  WHERE rk = 1)
+SELECT vec_id, list_id, ROUND(sc, 6) AS cos
+FROM assigned WHERE sc < 0.3 ORDER BY vec_id
+""".trim)
+    assert(Canonical.hash16(x85Sql) ==
+      Canonical.hash16(graft.vector.SemDedup.outliers(emb, cents, minCos = 0.3)),
+      "X85 SQL twin diverges from outliers")
   }
 }
