@@ -171,4 +171,47 @@ FROM assigned WHERE sc < 0.3 ORDER BY vec_id
       Canonical.hash16(graft.vector.SemDedup.outliers(emb, cents, minCos = 0.3)),
       "X85 SQL twin diverges from outliers")
   }
+
+  test("X78/X84: cluster-downstream SQL twins hash-equal to the builders") {
+    // the cluster table itself is iterative label propagation (no
+    // recursive CTE in Spark SQL) — it is the SHARED input here, and the
+    // twins pin the winner/report algebra downstream of it, exactly as
+    // the DuckDB oracles do with their recursive-CTE clusters
+    graft.core.Engine.configure(spark)
+    val docs = Tables.load(spark, sf01, "documents")
+    docs.createOrReplaceTempView("documents")
+    val clusters = graft.text.MinHashDedup.duplicateClusters(
+      graft.text.MinHashDedup.verifiedPairs(docs)).localCheckpoint(true)
+    assert(clusters.count() > 0, "sf0.01 must contain near-dup clusters")
+    clusters.createOrReplaceTempView("clusters")
+    val x78Sql = spark.sql("""
+WITH q AS (SELECT doc_id,
+    CAST(size(array_distinct(filter(split(text, ' '), w -> w != ''))) AS BIGINT) AS n_uniq
+  FROM documents),
+m AS (SELECT c.cluster_id, c.doc_id, q.n_uniq FROM clusters c JOIN q USING (doc_id)),
+r AS (SELECT cluster_id, doc_id, n_uniq,
+    row_number() OVER (PARTITION BY cluster_id ORDER BY n_uniq DESC, doc_id) AS rk,
+    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM m)
+SELECT cluster_id, doc_id AS keep_id, n_uniq, n_members
+FROM r WHERE rk = 1 ORDER BY cluster_id
+""".trim)
+    assert(Canonical.hash16(x78Sql) ==
+      Canonical.hash16(graft.text.MinHashDedup.qualityAwareWinners(docs, clusters)),
+      "X78 SQL twin diverges from qualityAwareWinners")
+    val x84Sql = spark.sql("""
+WITH m AS (SELECT c.cluster_id, d.doc_id, d.n_chars
+  FROM clusters c JOIN documents d USING (doc_id)),
+per AS (SELECT cluster_id, COUNT(*) AS cluster_size,
+    SUM(n_chars) - min_by(n_chars, doc_id) AS chars_lost
+  FROM m GROUP BY cluster_id)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_removed,
+  CAST(SUM(chars_lost) AS BIGINT) AS chars_removed
+FROM per GROUP BY cluster_size ORDER BY cluster_size
+""".trim)
+    assert(Canonical.hash16(x84Sql) ==
+      Canonical.hash16(graft.text.MinHashDedup.dedupReport(docs, clusters)),
+      "X84 SQL twin diverges from dedupReport")
+  }
 }
