@@ -170,6 +170,24 @@ FROM assigned WHERE sc < 0.3 ORDER BY vec_id
     assert(Canonical.hash16(x85Sql) ==
       Canonical.hash16(graft.vector.SemDedup.outliers(emb, cents, minCos = 0.3)),
       "X85 SQL twin diverges from outliers")
+    // X82 rides the same argmax assignment + the X49 coin-window shape
+    val x82Sql = spark.sql(s"""
+WITH assigned AS (
+  SELECT vec_id, centroid_id AS list_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY graft_dot(e.embedding, c.centroid) DESC, c.centroid_id) AS rk
+    FROM embeddings e CROSS JOIN cents c) z
+  WHERE rk = 1)
+SELECT vec_id, list_id FROM (
+  SELECT vec_id, list_id, row_number() OVER (PARTITION BY list_id
+    ORDER BY ${coin.replace("doc_id", "vec_id")}, vec_id) AS rk2
+  FROM assigned) t
+WHERE rk2 <= 10 ORDER BY list_id, vec_id
+""".trim)
+    assert(Canonical.hash16(x82Sql) ==
+      Canonical.hash16(graft.vector.SemDedup.diversitySample(emb, cents, k = 10)),
+      "X82 SQL twin diverges from diversitySample")
   }
 
   test("X78/X84: cluster-downstream SQL twins hash-equal to the builders") {
