@@ -232,4 +232,35 @@ FROM per GROUP BY cluster_size ORDER BY cluster_size
       Canonical.hash16(graft.text.MinHashDedup.dedupReport(docs, clusters)),
       "X84 SQL twin diverges from dedupReport")
   }
+
+  test("X81: perplexity-bucket SQL twin hash-equal to the builder") {
+    graft.core.Engine.configure(spark)
+    Tables.registerAll(spark, sf001)
+    // the full chain in one SQL text: add-one bigram LM score, global
+    // fluency rank (single-window semantic twin of the bucketed
+    // two-pass), equal-mass floor bucketing
+    val x81Sql = spark.sql("""
+WITH t AS (SELECT doc_id, filter(split(text, ' '), w -> w != '') AS ws FROM documents),
+bgs AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+  SELECT doc_id, explode(zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+                                  (a, b) -> named_struct('w1', a, 'w2', b))) AS bg FROM t) x),
+model AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgs GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(c12) AS c1 FROM model GROUP BY w1),
+m AS (SELECT model.w1, model.w2, c12, c1 FROM model JOIN ctx USING (w1)),
+v AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT explode(ws) AS w FROM t)),
+scores AS (
+  SELECT doc_id,
+    ROUND(AVG(LOG(10.0, CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))), 6) AS mean_logp
+  FROM bgs JOIN m USING (w1, w2) CROSS JOIN v GROUP BY doc_id),
+n AS (SELECT COUNT(*) AS n FROM scores),
+r AS (SELECT doc_id, mean_logp,
+  row_number() OVER (ORDER BY mean_logp DESC, doc_id) AS rank FROM scores)
+SELECT doc_id, mean_logp, CAST(rank AS BIGINT) AS rank,
+  CAST(floor(CAST(rank - 1 AS DOUBLE) * 3 / n) AS BIGINT) AS bucket
+FROM r CROSS JOIN n ORDER BY rank
+""".trim)
+    assert(Canonical.hash16(x81Sql) ==
+      Canonical.hash16(Extras.queries("X81_perplexity_buckets")(spark, sf001)),
+      "X81 SQL twin diverges from perplexityBuckets")
+  }
 }
