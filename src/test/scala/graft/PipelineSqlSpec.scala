@@ -197,7 +197,10 @@ WHERE rk2 <= 10 ORDER BY list_id, vec_id
     // the DuckDB oracles do with their recursive-CTE clusters
     graft.core.Engine.configure(spark)
     val docs = Tables.load(spark, sf01, "documents")
-    docs.createOrReplaceTempView("documents")
+    // a DISTINCT view name: clobbering the shared `documents` view
+    // would poison later tests (Tables.registerAll memoizes per dir
+    // and would not re-register it)
+    docs.createOrReplaceTempView("documents_sf01")
     val clusters = graft.text.MinHashDedup.duplicateClusters(
       graft.text.MinHashDedup.verifiedPairs(docs)).localCheckpoint(true)
     assert(clusters.count() > 0, "sf0.01 must contain near-dup clusters")
@@ -205,7 +208,7 @@ WHERE rk2 <= 10 ORDER BY list_id, vec_id
     val x78Sql = spark.sql("""
 WITH q AS (SELECT doc_id,
     CAST(size(array_distinct(filter(split(text, ' '), w -> w != ''))) AS BIGINT) AS n_uniq
-  FROM documents),
+  FROM documents_sf01),
 m AS (SELECT c.cluster_id, c.doc_id, q.n_uniq FROM clusters c JOIN q USING (doc_id)),
 r AS (SELECT cluster_id, doc_id, n_uniq,
     row_number() OVER (PARTITION BY cluster_id ORDER BY n_uniq DESC, doc_id) AS rk,
@@ -219,7 +222,7 @@ FROM r WHERE rk = 1 ORDER BY cluster_id
       "X78 SQL twin diverges from qualityAwareWinners")
     val x84Sql = spark.sql("""
 WITH m AS (SELECT c.cluster_id, d.doc_id, d.n_chars
-  FROM clusters c JOIN documents d USING (doc_id)),
+  FROM clusters c JOIN documents_sf01 d USING (doc_id)),
 per AS (SELECT cluster_id, COUNT(*) AS cluster_size,
     SUM(n_chars) - min_by(n_chars, doc_id) AS chars_lost
   FROM m GROUP BY cluster_id)
