@@ -532,54 +532,39 @@ object Scale {
     }
     requireIntegral(big, bigKey, "big")
     requireIntegral(small, smallKey, "small")
-    // Build + probe with Catalyst's native bloom pair — the same
-    // BloomFilterAggregate / BloomFilterMightContain expressions Spark's
-    // runtime row-level filtering injects — instead of a Scala UDF probe.
-    // The probe is codegen'd, so the scan-side prefilter (the one place a
-    // 100 TB prefilter lives) stays inside WholeStageCodegen; a UDF there
-    // broke the codegen span for the whole scan stage. Both sides hash
-    // `cast(key as long)` through XxHash64, mirroring the planner's own
-    // filter-creation/application wiring, so no-false-negatives holds and
-    // the exact semi join below makes the result EXACTLY the semi join.
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // Build with the sketch library directly (`stat.bloomFilter` →
+    // BloomFilterImpl.create(n, fpp), a distributed treeAggregate over
+    // the build side), probe with Catalyst's native codegen'd
+    // BloomFilterMightContain — the same expression Spark's runtime
+    // row-level filtering injects. The probe is codegen'd, so the
+    // scan-side prefilter (the one place a 100 TB prefilter lives)
+    // stays inside WholeStageCodegen; a UDF there broke the codegen
+    // span for the whole scan stage. The library build is chosen over
+    // BloomFilterAggregate deliberately: the aggregate SILENTLY clamps
+    // its size to the session's runtime.bloomFilter.maxNumItems /
+    // maxNumBits confs (defaults 4M items / 67M bits — sized for
+    // Spark's own injected filters, not an explicit prefilter), so an
+    // honest fpp required mutating shared session conf around the build
+    // action — a cross-query race. BloomFilterImpl takes (n, fpp)
+    // directly, no conf read, no mutation. Both sides operate on
+    // `cast(key as long)`: the build putLong()s each key, the probe
+    // mightContainLong()s it through the same BloomFilterImpl hashing,
+    // so no-false-negatives holds and the exact semi join below makes
+    // the result EXACTLY the semi join.
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.types.BinaryType
     import org.apache.spark.sql.GraftColumnBridge.{column => ccol, expression => cexpr}
     val n = math.max(small.count(), 1L)
-    // optimal bit count for the requested fpp: m = -n·ln(p)/ln²2
-    val numBits = math.max(64L,
-      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val agg = new BloomFilterAggregate(
-      new XxHash64(Seq(cexpr(col(smallKey).cast("long")))),
-      Literal(n), Literal(numBits)).toAggregateExpression()
-    // BloomFilterAggregate SILENTLY clamps both estimatedNumItems and
-    // numBits to spark.sql.optimizer.runtime.bloomFilter.maxNumItems /
-    // maxNumBits (defaults 4M items / 67M bits — sized for Spark's own
-    // injected runtime filters, not for an explicit prefilter over a
-    // large build side). An unnoticed clamp would keep the requested
-    // fpp=0.01 label on a filter whose real fpp is near 1 — the scan
-    // would pay the probe and prune nothing. Raise the caps to the
-    // computed size around the build action (the aggregate reads the
-    // session conf lazily at eval), then restore.
-    val sess = small.sparkSession
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val prevItems = sess.conf.get(itemsKey)
-    val prevBits = sess.conf.get(bitsKey)
     // one binary bloom image to the driver (metadata-sized, ~1.2 B/key) —
     // shipped back out as a foldable literal the probe expression embeds
-    val bloomBytes =
-      try {
-        sess.conf.set(itemsKey, math.max(prevItems.toLong, n))
-        sess.conf.set(bitsKey, math.max(prevBits.toLong, numBits))
-        small.select(ccol(agg).as("bf")).head().getAs[Array[Byte]](0)
-      } finally {
-        sess.conf.set(itemsKey, prevItems)
-        sess.conf.set(bitsKey, prevBits)
-      }
+    val bf = small.select(col(smallKey).cast("long").as("__k"))
+      .stat.bloomFilter("__k", n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bloomBytes = bos.toByteArray
     val probe = ccol(BloomFilterMightContain(
       Literal(bloomBytes, BinaryType),
-      new XxHash64(Seq(cexpr(col(bigKey).cast("long"))))))
+      cexpr(col(bigKey).cast("long"))))
     big.filter(probe)
       .join(small, big(bigKey) === small(smallKey), "left_semi")
   }

@@ -332,19 +332,6 @@ object TrainingSet {
       .orderBy("shuffle_pos")
   }
 
-  /** Split-leakage report — the classic eval-contamination bug: a
-    * val/test document that near-duplicates a train document leaks the
-    * answer across the split boundary, and a random (hash) split sends
-    * ~(1−Σw²) of every near-dup pair's mass across boundaries by
-    * construction. Returns the verified near-duplicate pairs (from the
-    * persisted banded index — the same candidates + exact-Jaccard
-    * machinery as the dedup paths) whose members landed in DIFFERENT
-    * splits of the deterministic md5 split: (i, j, jac, split_i,
-    * split_j), i < j, cross-split only. Empty output = the split is
-    * leak-free; the standard fix is splitting AFTER dedup (the
-    * [[build]] ordering) or group-splitting by dup-cluster id
-    * ([[graft.ops.ConnectedComponents]] over the same pairs).
-    */
   /** Token-budget epoch plan — the data-planning table every training
     * run starts from: given a total token budget and a temperature
     * exponent `alpha` (the n^α smoothing of the X74 mixture, Conneau &
@@ -389,6 +376,19 @@ object TrainingSet {
       .orderBy(strata)
   }
 
+  /** Split-leakage report — the classic eval-contamination bug: a
+    * val/test document that near-duplicates a train document leaks the
+    * answer across the split boundary, and a random (hash) split sends
+    * ~(1−Σw²) of every near-dup pair's mass across boundaries by
+    * construction. Returns the verified near-duplicate pairs (from the
+    * persisted banded index — the same candidates + exact-Jaccard
+    * machinery as the dedup paths) whose members landed in DIFFERENT
+    * splits of the deterministic md5 split: (i, j, jac, split_i,
+    * split_j), i < j, cross-split only. Empty output = the split is
+    * leak-free; the standard fix is splitting AFTER dedup (the
+    * [[build]] ordering) or group-splitting by dup-cluster id
+    * ([[graft.ops.ConnectedComponents]] over the same pairs).
+    */
   def splitLeakage(
       documents: DataFrame,
       banded: DataFrame,

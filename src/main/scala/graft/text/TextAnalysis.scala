@@ -14,6 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Plan-estimate threshold above which an UNCAPPED exact-Jaccard call
+    * warns: ~32 MB of source text is ~10⁵ typical documents, the point
+    * where a hot shingle's df² join mass starts to dominate. The check
+    * reads Catalyst's optimized-plan size estimate — no job is run.
+    */
+  private[graft] val UncappedJaccardWarnBytes: Long = 32L * 1024 * 1024
+
+  /** True when [[ngramJaccardPairs]] should announce its quadratic
+    * footgun: the caller left `maxDf` uncapped AND the input's
+    * estimated size exceeds [[UncappedJaccardWarnBytes]]. Split out so
+    * the gate is unit-testable without log capture.
+    */
+  private[graft] def uncappedJaccardWarnNeeded(documents: DataFrame, maxDf: Int): Boolean =
+    maxDf == Int.MaxValue &&
+      documents.queryExecution.optimizedPlan.stats.sizeInBytes > UncappedJaccardWarnBytes
+
   /** Whitespace tokens with empties dropped (consistent with L03/L04). */
   def tokens(text: Column): Column =
     filter(split(text, " "), w => w =!= "")
@@ -494,10 +512,20 @@ object TextAnalysis {
     * ground truth, and a silently capped baseline would shrink what
     * "recall vs exact" measures. Production callers and the declared
     * X05 query pass an explicit `maxDf` (the oracle SQL mirrors the
-    * same literal cap).
+    * same literal cap). An uncapped call over an input whose plan-
+    * estimated size exceeds ~32 MB (≈10⁵ typical documents) logs a
+    * WARN so the footgun announces itself — pass any finite `maxDf`
+    * (or run on a small fixture) to stay silent.
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double,
       maxDf: Int = Int.MaxValue): DataFrame = {
+    if (uncappedJaccardWarnNeeded(documents, maxDf))
+      logger.warn(
+        s"ngramJaccardPairs called UNCAPPED (maxDf=Int.MaxValue) on an input " +
+        s"estimated at ${documents.queryExecution.optimizedPlan.stats.sizeInBytes} bytes " +
+        s"(> $UncappedJaccardWarnBytes): the shingle self-join is quadratic in each " +
+        s"hot shingle's document frequency. Pass maxDf (e.g. 50) to bound the join, " +
+        s"or use MinHashDedup for corpus-scale near-dup detection.")
     // array_distinct dedups map-side; the DISTINCT after the explode is
     // then a semantic no-op, but it materializes ONE shuffled exchange
     // that all consumers below (the df filter, both join sides, sizes)

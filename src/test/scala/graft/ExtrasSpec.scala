@@ -29,6 +29,17 @@ class ExtrasSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below 0.9 (found ${lsh.size} of ${exact.size})")
   }
 
+  test("uncapped ngramJaccardPairs warn gate: fires only for large inputs with maxDf unset") {
+    // small fixture, uncapped: silent (this is the ground-truth spec usage)
+    assert(!TextAnalysis.uncappedJaccardWarnNeeded(cat.documents, Int.MaxValue))
+    // large estimated input, uncapped: the quadratic footgun announces itself
+    val big = spark.range(10L * 1000 * 1000).selectExpr(
+      "id as doc_id", "repeat('x ', 8) as text")
+    assert(TextAnalysis.uncappedJaccardWarnNeeded(big, Int.MaxValue))
+    // large input but ANY finite cap: silent — the caller made the choice
+    assert(!TextAnalysis.uncappedJaccardWarnNeeded(big, 50))
+  }
+
   test("MinHash dedup winners = all docs minus exact-Jaccard losers") {
     val losers = TextAnalysis.ngramJaccardPairs(cat.documents, 3, 0.8)
       .select("j").distinct().collect().map(_.getLong(0)).toSet
