@@ -237,7 +237,9 @@ object StreamOps {
   /** The streaming twin of [[graft.pipeline.TrainingSet.build]] stages
     * 1 → 3, composed into ONE ingest stream: each micro-batch passes the
     * Gopher-style rule gate (1), the optional trained-classifier gate
-    * (1b — the frozen-model contract of [[scoreQualityStream]]), an
+    * (1b — the frozen-model contract of [[scoreQualityStream]]), the
+    * optional frozen perplexity gate (1c — the CCNet bucket filter of
+    * [[perplexityGateStream]], keeping buckets ≤ maxBucket), an
     * exact-fingerprint dedup against (corpus ∪ prior accepted ∪ the
     * batch itself, min doc_id wins) (2), and finally the incremental
     * near-dup ingest against the persisted banded index (3) — survivors
@@ -266,17 +268,27 @@ object StreamOps {
       maxWords: Long = 100000L,
       maxDupWordFrac: Double = 0.9,
       maxTopWordFrac: Double = 0.3,
-      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None)
+      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None,
+      perplexityGate: Option[(graft.text.PerplexityGate.Model, Long)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     def gate(batch: DataFrame): DataFrame = {
       val ruleKept = graft.text.TextAnalysis
         .filterVerdicts(batch, minWords, maxWords, maxDupWordFrac, maxTopWordFrac)
         .filter(col("keep")).select("doc_id")
       val ruled = batch.join(ruleKept, Seq("doc_id"), "left_semi")
-      qualityModel.fold(ruled) { case (m, thr) =>
+      val qualed = qualityModel.fold(ruled) { case (m, thr) =>
         ruled.join(
           graft.text.QualityClassifier.score(ruled, m)
             .filter(col("p_target") >= thr).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      }
+      // 1c: CCNet perplexity filter as a frozen artifact — keep only
+      // documents the frozen bigram-LM gate puts in bucket ≤ maxBucket
+      // (head/middle); stateless per batch like the other gate stages
+      perplexityGate.fold(qualed) { case (m, maxBucket) =>
+        qualed.join(
+          graft.text.PerplexityGate.assign(qualed, m)
+            .filter(col("bucket") <= maxBucket).select("doc_id"),
           Seq("doc_id"), "left_semi")
       }
     }
@@ -431,6 +443,34 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           graft.text.QualityClassifier.score(batch, model)
+            .write.mode("overwrite").parquet(s"$path/b$batchId")
+      }
+      .start()
+
+  /** Streaming twin of the CCNet perplexity filter (batch X81): score
+    * and bucket every arriving document against a FROZEN bigram-LM
+    * gate ([[graft.text.PerplexityGate]] — count tables, vocab size,
+    * and bucket boundaries trained once on a reference corpus) and
+    * sink (doc_id, mean_logp, bucket). Like [[scoreQualityStream]],
+    * the artifact is frozen so stream and batch verdicts agree for the
+    * same model: replaying the reference corpus reproduces the batch
+    * head/middle/tail buckets EXACTLY (StreamingSpec pins it). The
+    * per-batch work is two joins against model-sized tables plus a
+    * codegen'd boundary when-chain — stateless, no state store, no
+    * global rank at serve time. Batch-keyed overwrite sink — same
+    * idempotent-replay contract as [[scoreDocumentsStream]].
+    */
+  def perplexityGateStream(
+      documents: DataFrame,
+      model: graft.text.PerplexityGate.Model,
+      path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    documents.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.text.PerplexityGate.assign(batch, model)
             .write.mode("overwrite").parquet(s"$path/b$batchId")
       }
       .start()

@@ -723,6 +723,83 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming perplexity gate: replayed corpus reproduces the batch X81 buckets exactly") {
+    val docs = Tables.load(spark, sf1, "documents")
+    // train on the corpus, round-trip through the persisted artifact —
+    // the serve path reads what [[save]] wrote, like production would
+    val modelDir = Files.createTempDirectory("graft-ppl-model").toString
+    graft.text.PerplexityGate.save(graft.text.PerplexityGate.train(docs, 3), modelDir)
+    val model = graft.text.PerplexityGate.load(spark, modelDir)
+    val srcDir = Files.createTempDirectory("graft-ppl-src")
+    val outDir = Files.createTempDirectory("graft-ppl-out").toString + "/buckets"
+    val ckpt = Files.createTempDirectory("graft-ppl-ckpt").toString
+    val query = StreamOps.perplexityGateStream(
+      StreamOps.documentsStream(spark, srcDir.toString), model, outDir, ckpt)
+    try {
+      Seq(col("doc_id") < 1500,
+        col("doc_id") >= 1500 && col("doc_id") < 3500,
+        col("doc_id") >= 3500).zipWithIndex.foreach { case (f, i) =>
+        writeChunk(docs.filter(f), srcDir, s"chunk$i")
+        query.processAllAvailable()
+      }
+      val got = spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+        .select("doc_id", "mean_logp", "bucket")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      val want = graft.text.TextAnalysis.perplexityBuckets(docs, 3)
+        .select("doc_id", "mean_logp", "bucket")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(want.nonEmpty && got == want,
+        s"stream≠batch buckets: missing=${(want -- got).size}, extra=${(got -- want).size}")
+      // non-vacuous: all three buckets actually occur
+      assert(got.map(_._3) == Set(0L, 1L, 2L), "expected head/middle/tail all present")
+    } finally query.stop()
+  }
+
+  test("pipeline ingest with frozen perplexity gate drops tail-bucket docs before dedup") {
+    val docs = Tables.load(spark, sf001, "documents")
+    def gateIds(d: DataFrame): DataFrame =
+      graft.text.TextAnalysis.filterVerdicts(d, 10L, 100000L, 0.9, 0.3)
+        .filter(col("keep")).select("doc_id")
+    val corpus = docs.filter(col("doc_id") < 300)
+      .join(gateIds(docs.filter(col("doc_id") < 300)), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val model = graft.text.PerplexityGate.train(corpus, 3)
+    val idxDir = Files.createTempDirectory("graft-pplpipe-idx").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(corpus), idxDir)
+    // new docs: fresh, rule-gated, never near-dups of the corpus
+    val fresh = docs.filter(col("doc_id") >= 300 && col("doc_id") < 320)
+      .join(gateIds(docs.filter(col("doc_id") >= 300 && col("doc_id") < 320)),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val srcDir = Files.createTempDirectory("graft-pplpipe-src")
+    val outDir = Files.createTempDirectory("graft-pplpipe-out").toString
+    val ckpt = Files.createTempDirectory("graft-pplpipe-ckpt").toString
+    val query = StreamOps.ingestPipelineStream(
+      StreamOps.documentsStream(spark, srcDir.toString), corpus, idxDir, outDir, ckpt,
+      perplexityGate = Some((model, 1L)))
+    try {
+      writeChunk(fresh, srcDir, "chunk0")
+      query.processAllAvailable()
+    } finally query.stop()
+    val accepted = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$outDir/accepted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch composition: fresh docs whose frozen-gate bucket ≤ 1, then
+    // dedup-winners over (corpus ∪ kept) restricted to the new ids
+    val keptIds = graft.text.PerplexityGate.assign(fresh, model)
+      .filter(col("bucket") <= 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val freshIds = fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty && keptIds != freshIds,
+      s"fixture must split on the gate: kept ${keptIds.size} of ${freshIds.size}")
+    val keptDf = fresh.filter(col("doc_id").isInCollection(keptIds))
+    val batchMode = graft.text.MinHashDedup.dedupWinners(corpus.unionByName(keptDf))
+      .collect().map(_.getLong(0)).toSet
+    assert(accepted == (batchMode & freshIds),
+      s"streaming pipeline with perplexity gate must equal the batch composition: $accepted")
+  }
+
   test("streaming quality gate: replayed corpus produces exactly the batch attributes table") {
     val docs = Tables.load(spark, sf1, "documents")
     val srcDir = Files.createTempDirectory("graft-stream-score")
