@@ -63,8 +63,11 @@ object Scale10RelationalBench {
     val allTables = Seq("lineitem", "orders", "events", "part",
       "region", "nation", "customer", "supplier", "documents", "embeddings")
     val marker = new java.io.File(dst, "_GRAFT_FIXTURE")
+    // freshness covers EVERY source table's mtime, not just lineitem's:
+    // regenerating the sf source without touching lineitem must not
+    // silently reuse a stale fixture (ADVICE r8)
     val scheme = s"rel10:v1:$KeyOff:" +
-      new java.io.File(src, "lineitem.parquet").lastModified
+      allTables.map(t => new java.io.File(src, s"$t.parquet").lastModified).max
     val fresh = marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == scheme &&
       allTables.forall(t => new java.io.File(s"$dst/$t.parquet", "_SUCCESS").exists())

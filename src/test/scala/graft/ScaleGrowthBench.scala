@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.{MinHashDedup, TextAnalysis}
+
+/** Two-point scale-GROWTH probe (VERDICT r8 items 1 and 6): measure the
+  * costliest text chains and the one super-linear-by-semantics spine
+  * query at 10× AND 30× the sf0.1 corpus and fit wall ∝ N^k, so the
+  * single-point "sub-linear at 10×" evidence becomes an extrapolation
+  * that covers the 100 TB design point.
+  *
+  * Fixture shape matters: the flood fixture ([[Scale10TextBench]],
+  * every text duplicated r×) makes DUP-PAIR OUTPUT inherently quadratic
+  * in r — the right adversarial stress, the wrong growth model (a real
+  * 10× corpus is not the same corpus 10 times). Growth fitting uses a
+  * BLOCK-DIAGONAL replica instead: replica i appends a fixed-width
+  * `rNN` tag to every token, so replicas share no shingles, no
+  * fingerprints and no vocabulary — the corpus grows by adding NEW
+  * content whose internal duplication rate is constant, which is how a
+  * real corpus grows. Every path's output then scales EXACTLY linearly
+  * (required below, per factor), and wall ∝ N^k is meaningful to fit.
+  *
+  * J08 (theta join, brand groups unshifted) is the exception documented
+  * rather than bounded: its pair mass grows ∝ r² BY SEMANTICS, so the
+  * probe fits wall against the measured pair mass, not against N — the
+  * expected-growth formula a reader needs to not misread 17.9× wall at
+  * 10× as a plan regression.
+  *
+  * Run: sbt "Test/runMain graft.ScaleGrowthBench [factors...]"
+  */
+object ScaleGrowthBench {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime
+    val r = f
+    (r, (System.nanoTime - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.Engine.session(
+      master = "local[32]", shufflePartitions = 32, appName = "scalegrowth")
+    spark.sparkContext.setLogLevel("ERROR")
+    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 30)
+
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text", "n_chars")
+
+    // block-diagonal replica i: disjoint doc_ids and a fixed-width
+    // per-token tag (all tags 3 chars, so per-replica char counts are
+    // identical and char-sum invariants stay exact)
+    def corpus(factor: Int): DataFrame =
+      (0 until factor).map { i =>
+        val tag = f"$i%02d"
+        base.select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1r$tag").as("text"),
+          col("n_chars"))
+      }.reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+
+    // each path returns (outputMeasure, linearInFactor): the measure of
+    // the r-factor run must equal r × the 1-factor run when linear
+    val paths: Seq[(String, DataFrame => Long, Boolean)] = Seq(
+      ("X05_jaccard_capped",
+        d => TextAnalysis.ngramJaccardPairs(d, n = 3, threshold = 0.6, maxDf = 50).count(),
+        true),
+      ("X07_minhash_dedup", d => MinHashDedup.dedupWinners(d).count(), true),
+      ("X67_dup_coverage",
+        d => TextAnalysis.crossDocDupCoverage(d, n = 5)
+          .agg(sum("covered_tokens")).first().getLong(0),
+        true),
+      ("X68_remove_spans",
+        d => TextAnalysis.removeSharedSpans(d, n = 5)
+          .agg(sum(length(col("text")))).first().getLong(0),
+        true),
+      ("X84_dedup_report",
+        d => {
+          val clusters = MinHashDedup
+            .duplicateClusters(MinHashDedup.verifiedPairs(d))
+            .localCheckpoint(true)
+          val report = MinHashDedup.dedupReport(d, clusters).collect()
+          val removed = report.map(_.getLong(2)).sum
+          val nClusters = clusters.select("cluster_id").distinct().count()
+          require(removed == clusters.count() - nClusters,
+            s"X84 removed ($removed) must reconcile with members-clusters")
+          nClusters
+        },
+        true))
+
+    // results(path) = Seq((factor, wallSec, measure))
+    val results = scala.collection.mutable.Map[String, Vector[(Int, Double, Long)]]()
+      .withDefaultValue(Vector.empty)
+    factors.foreach { f =>
+      val docs = corpus(f)
+      println(s"SCALEGROWTH corpus factor=$f rows=${docs.count()}")
+      paths.foreach { case (name, run, _) =>
+        val (m, t) = timed(run(docs))
+        results(name) :+= ((f, t, m))
+        println(f"SCALEGROWTH $name%-20s factor=$f%2d  $t%8.2f s  measure=$m%,d")
+      }
+      docs.unpersist()
+    }
+
+    // exact linearity of every output measure + fitted growth exponent
+    // between the two largest factors
+    println("SCALEGROWTH ===== fitted exponents (wall ∝ N^k) =====")
+    paths.foreach { case (name, _, linear) =>
+      val rs = results(name).sortBy(_._1)
+      val (f1, _, m1) = rs.head
+      if (linear) rs.tail.foreach { case (f, _, m) =>
+        require(m.toDouble * f1 == m1.toDouble * f,
+          s"$name output must scale exactly linearly: factor $f1→$m1, factor $f→$m")
+      }
+      if (rs.size >= 2) {
+        val (fa, ta, _) = rs(rs.size - 2)
+        val (fb, tb, _) = rs.last
+        val k = math.log(tb / ta) / math.log(fb.toDouble / fa)
+        println(f"SCALEGROWTH $name%-20s k=${k}%.2f  (${fa}x ${ta}%.2f s → ${fb}x ${tb}%.2f s)")
+      }
+    }
+
+    // J08: pair mass is quadratic by semantics — replicate part with
+    // p_partkey shifted and p_brand UNSHIFTED (the rel10 growth model:
+    // 10× more parts per brand), measure wall vs pair mass, and check
+    // the predicted-growth formula pairMass(r) = r² × pairMass(1)
+    val part = Tables.load(spark, "/root/testdata/sf0.1", "part")
+    def part10(factor: Int): DataFrame =
+      (0 until factor).map(i =>
+        part.withColumn("p_partkey", col("p_partkey") + lit(i * 100000000L)))
+        .reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+    val j08 = factors.map { f =>
+      val p = part10(f)
+      def run(): (Long, Long) = {
+        val p1 = p.as("p1"); val p2 = p.as("p2")
+        val out = p1.join(p2,
+            col("p1.p_brand") === col("p2.p_brand") &&
+              col("p1.p_size") < col("p2.p_size"))
+          .groupBy(col("p1.p_brand").as("p_brand"))
+          .agg(count(lit(1)).as("n"))
+        (out.count(), out.agg(sum("n")).first().getLong(0))
+      }
+      val ((groups, mass), t) = timed(run())
+      println(f"SCALEGROWTH J08_theta factor=$f%2d  $t%8.2f s  pair_mass=$mass%,d groups=$groups")
+      p.unpersist()
+      (f, t, mass)
+    }
+    val (f1, _, m1) = j08.head
+    j08.tail.foreach { case (f, _, m) =>
+      require(m.toDouble * f1 * f1 == m1.toDouble * f * f,
+        s"J08 pair mass must scale exactly quadratically: $f1→$m1, $f→$m")
+    }
+    if (j08.size >= 2) {
+      val (fa, ta, ma) = j08(j08.size - 2)
+      val (fb, tb, mb) = j08.last
+      val costRatio = (tb / mb) / (ta / ma)
+      println(f"SCALEGROWTH J08_theta wall ratio ${tb / ta}%.1fx for pair-mass ratio " +
+        f"${mb.toDouble / ma}%.1fx (${fa}x→${fb}x): per-pair cost ratio $costRatio%.2fx " +
+        "— wall is join-output bound when this stays near 1")
+    }
+
+    spark.stop()
+  }
+}
