@@ -475,6 +475,72 @@ object StreamOps {
       }
       .start()
 
+  /** COMPLETE (_SUCCESS-committed) batch-keyed subdirectories of
+    * `root`, excluding `excludeBatch` — the shared bookkeeping of every
+    * batch-keyed idempotent sink: a replayed batch must never read its
+    * own earlier partial or complete write as prior state.
+    */
+  private def completedBatchDirs(root: String, excludeBatch: Long): Seq[String] = {
+    val r = new java.io.File(root)
+    if (!r.isDirectory) Nil
+    else r.listFiles.toSeq
+      .filter(d => d.isDirectory && d.getName != s"b$excludeBatch" &&
+        new java.io.File(d, "_SUCCESS").exists())
+      .map(_.getPath).sorted
+  }
+
+  /** Streaming twin of the token-budget cut (batch X80,
+    * [[graft.pipeline.TrainingSet.budgetCut]]): MONOTONE ADMISSION —
+    * admit each arriving document while the cumulative admitted token
+    * count stays under `budgetTokens`, then never again. The only
+    * cross-batch state is one number (tokens consumed by prior
+    * batches), recovered from the COMPLETE prior batch outputs
+    * themselves — no state store, and a replayed batch recomputes
+    * against exactly the prior batches it saw first time (same
+    * batch-keyed idempotent contract as the ingest sinks).
+    *
+    * Within a batch, documents are ordered by the SAME deterministic
+    * portable coin as the batch operator ([[graft.ops.Scale.shuffleOrder]]
+    * on (md5-coin, doc_id)); the coin is per-document, so any subset
+    * orders consistently with the global order. Replaying the corpus in
+    * global coin order therefore reproduces the batch X80 admitted set
+    * EXACTLY (StreamingSpec pins it, including the partially-admitted
+    * boundary batch); an out-of-order arrival admits greedily in
+    * arrival order — the inherent streaming semantics of a monotone
+    * budget.
+    */
+  def budgetAdmissionStream(
+      documents: DataFrame,
+      budgetTokens: Long,
+      path: String,
+      checkpoint: String,
+      seed: Long = 42L): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(budgetTokens >= 1, s"budgetTokens=$budgetTokens must be positive")
+    documents.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val priorDirs = completedBatchDirs(path, batchId)
+          val prior =
+            if (priorDirs.isEmpty) 0L
+            else spark.read.parquet(priorDirs: _*)
+              .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+          val toks = batch.select(col("doc_id"),
+            size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+          val ordered = graft.ops.Scale.shuffleOrder(toks, "doc_id", seed)
+            .localCheckpoint(false)
+          graft.ops.ScalableWindows
+            .withGlobalRunningSum(ordered, Seq("shuffle_pos"), "n_tokens", "cum_tokens")
+            .filter(lit(prior) + col("cum_tokens") - col("n_tokens") < budgetTokens)
+            .select("doc_id", "n_tokens")
+            .write.mode("overwrite").parquet(s"$path/b$batchId")
+        }
+      }
+      .start()
+  }
+
   /** Watermarked stream-stream inner join: pair every `typeA` event
     * with the same user's `typeB` events that follow within `within` —
     * the attribution/correlation query (click → purchase) as a real

@@ -92,6 +92,15 @@ class PlanAuditSpec extends SparkSpec {
       "X79_epoch_plan", "X81_perplexity_buckets", "X82_diversity_sample",
       "X85_semantic_outliers")
     val sf001Dir = "/root/testdata/sf0.001"
+    // AUDIT BLIND SPOT (ADVICE r8, accepted): queries that lazily
+    // localCheckpoint an expensive prefix (X53, X80, X81) truncate
+    // their logical plan at an ExistingRDD once the checkpoint
+    // materializes, so this executedPlan string only covers the
+    // post-checkpoint suffix on a re-audit after execution. The
+    // pre-checkpoint stages are audited through their underlying
+    // operators' own plan tests (the prefix-sum/no-SinglePartition pins
+    // below and in ScalableWindowsSpec), and this sweep sees the full
+    // plan on first (unexecuted) construction — which is what runs here.
     val offenders = Extras.queries.toSeq.sortBy(_._1).flatMap { case (id, fn) =>
       val plan = fn(spark, sf001Dir).queryExecution.executedPlan.toString
       Seq(

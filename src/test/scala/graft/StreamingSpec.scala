@@ -800,6 +800,44 @@ class StreamingSpec extends SparkSpec {
       s"streaming pipeline with perplexity gate must equal the batch composition: $accepted")
   }
 
+  test("streaming budget admission replayed in coin order equals the batch X80 cut") {
+    val docs = Tables.load(spark, sf1, "documents")
+    val totalTokens = docs
+      .agg(sum(size(graft.text.TextAnalysis.tokens(col("text"))).cast("long")))
+      .head().getLong(0)
+    val budget = totalTokens / 2
+    val want = graft.pipeline.TrainingSet.budgetCut(docs, budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // replay in global coin order: three contiguous chunks of the
+    // deterministic shuffle order — chunk 0 fully inside the budget,
+    // chunk 1 straddling the boundary, chunk 2 fully past it
+    val byPos = graft.ops.Scale.shuffleOrder(docs.select("doc_id"), "doc_id")
+      .orderBy("shuffle_pos").collect().map(_.getLong(0))
+    val chunkIds = byPos.grouped((byPos.length + 2) / 3).toSeq.map(_.toSet)
+    val srcDir = Files.createTempDirectory("graft-budget-src")
+    val outDir = Files.createTempDirectory("graft-budget-out").toString + "/admitted"
+    val ckpt = Files.createTempDirectory("graft-budget-ckpt").toString
+    val query = StreamOps.budgetAdmissionStream(
+      StreamOps.documentsStream(spark, srcDir.toString), budget, outDir, ckpt)
+    try {
+      chunkIds.zipWithIndex.foreach { case (ids, i) =>
+        writeChunk(docs.filter(col("doc_id").isInCollection(ids)), srcDir, s"chunk$i")
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val got = spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream≠batch admitted set: missing=${(want -- got).size}, extra=${(got -- want).size}")
+    // the boundary really lands mid-replay: chunk 0 all in, chunk 1
+    // partially admitted, chunk 2 fully rejected
+    assert(chunkIds(0).subsetOf(got), "first chunk must be fully admitted")
+    val mid = got & chunkIds(1)
+    assert(mid.nonEmpty && mid != chunkIds(1),
+      s"boundary chunk must be partially admitted (got ${mid.size} of ${chunkIds(1).size})")
+    assert((got & chunkIds(2)).isEmpty, "post-budget chunk must admit nothing")
+  }
+
   test("streaming quality gate: replayed corpus produces exactly the batch attributes table") {
     val docs = Tables.load(spark, sf1, "documents")
     val srcDir = Files.createTempDirectory("graft-stream-score")
