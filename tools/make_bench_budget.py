@@ -6,9 +6,15 @@ recommendation), floored at 0.75 s so sub-100 ms queries don't trip on
 scheduler jitter. The budget is tied to the (sf, cpus) configuration it
 was measured in; Bench.scala only applies it when both match.
 
+If the destination already exists (same sf and cpus), budgets RATCHET:
+each query keeps the tighter of its existing budget and the new run's
+3x, so the committed budget always reflects the best recorded run
+across rounds, not just the latest one.
+
 Usage: python3 tools/make_bench_budget.py [BENCH_FULL.json] [BENCH_BUDGET.json]
 """
 import json
+import os
 import sys
 
 src = sys.argv[1] if len(sys.argv) > 1 else "BENCH_FULL.json"
@@ -22,6 +28,12 @@ budgets = {
     for q, t in full["queries"].items()
     if t is not None and t >= 0
 }
+if os.path.exists(dst):
+    prev = json.load(open(dst))
+    if prev.get("sf") == full["sf"] and prev.get("cpus") == full["cpus"]:
+        for q, b in prev.get("budgets_sec", {}).items():
+            if q in budgets:
+                budgets[q] = min(budgets[q], b)
 out = {
     "sf": full["sf"],
     "cpus": full["cpus"],
