@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.vector.{Ann, Ivf}
+
+/** Two-point scale-growth probe for the VECTOR spine — the embedding
+  * counterpart of [[ScaleGrowthBench]]'s text table. Fixture: replica i
+  * multiplies every embedding elementwise by a deterministic ±1 sign
+  * pattern — an ORTHOGONAL transform, so within-replica geometry
+  * (every cosine) is EXACTLY preserved while cross-replica cosines
+  * collapse to ~N(0, 1/dim) noise (σ = 1/8 at dim 64): the corpus
+  * grows by adding new content whose internal similarity structure is
+  * constant, the same block-diagonal growth model as the text bench.
+  *
+  * Three scale laws, each with its own invariant:
+  *  - X06 exact all-pairs scan is QUADRATIC BY SEMANTICS (like J08):
+  *    dot mass = C(n,2) exactly; the engine number is the per-dot cost,
+  *    which must stay flat. Threshold 0.95 (> any within-replica cosine
+  *    in this corpus, max 0.60; cross-replica would need 7.6σ) keeps
+  *    the output EXACTLY empty so the wall is pure kernel+scan.
+  *  - X52 brute kNN join is LINEAR (one corpus scan per query batch):
+  *    fixed replica-0 queries, k rows per query at every factor, and
+  *    each query's k-th-best cosine is MONOTONE in the factor (top-k
+  *    over a superset can only improve) — required exactly.
+  *  - IVF probe is ~FLAT: with the nLists ∝ N sizing contract the
+  *    probed fraction is nProbe/nLists ∝ 1/N, so the pruned scan stays
+  *    constant-size while the corpus grows 30× — the property that
+  *    makes a persisted index the 100 TB serve path. Required: scanned
+  *    candidate rows grow ≤ 3× while the corpus grows 30×.
+  *
+  * Run: sbt "Test/runMain graft.ScaleGrowthVectorBench [factors...]"
+  */
+object ScaleGrowthVectorBench {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime
+    val r = f
+    (r, (System.nanoTime - t0) / 1e9)
+  }
+
+  /** Deterministic ±1 sign for (replica, dimension) — replica 0 is the
+    * identity so the base corpus is bit-identical to the source.
+    */
+  private def sign(replica: Int, d: Int): Float =
+    if (replica == 0) 1f
+    else {
+      val h = scala.util.hashing.MurmurHash3.productHash((replica, d))
+      if ((h & 1) == 0) 1f else -1f
+    }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.Engine.session(
+      master = "local[32]", shufflePartitions = 32, appName = "scalegrowthvec")
+    spark.sparkContext.setLogLevel("ERROR")
+    val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 30)
+
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select("vec_id", "embedding")
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+
+    def corpus(factor: Int): DataFrame =
+      (0 until factor).map { i =>
+        val signs = (0 until dim).map(d => sign(i, d))
+        base.select(
+          (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+          zip_with(col("embedding"), typedLit(signs), (a, b) => a * b).as("embedding"))
+      }.reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+
+    // (factor, wall, measure) per probe
+    val x06 = scala.collection.mutable.ArrayBuffer[(Int, Double, Long)]()
+    val x52 = scala.collection.mutable.ArrayBuffer[(Int, Double, Map[Long, Double])]()
+    val ivf = scala.collection.mutable.ArrayBuffer[(Int, Double, Long)]()
+    val probeVec = base.filter(col("vec_id") === 7L)
+      .head().getSeq[Float](1).toArray
+
+    factors.foreach { f =>
+      val emb = corpus(f)
+      val n = emb.count()
+      println(s"SCALEGROWTHVEC corpus factor=$f rows=$n dim=$dim")
+
+      // X06 exact scan: output must be exactly empty, wall = pure scan
+      val (pairs, tScan) = timed(Ann.allPairsAbove(emb, 0.95).count())
+      require(pairs == 0L,
+        s"threshold 0.95 must be above every cosine (got $pairs pairs at factor $f)")
+      val dots = n * (n - 1) / 2
+      x06 += ((f, tScan, dots))
+      println(f"SCALEGROWTHVEC X06_exact_scan  factor=$f%2d  $tScan%8.2f s  " +
+        f"dot_mass=$dots%,d  (${tScan / (dots / 1e9)}%.1f s per 10⁹ dots)")
+
+      // X52 brute kNN: fixed replica-0 queries against the grown corpus
+      val queries = emb.filter(col("vec_id") < 1000000L && col("vec_id") % 50 === 0)
+      val (knn, tKnn) = timed(
+        Ann.knnJoin(queries, emb, k = 5).collect())
+      val kth = knn.groupBy(_.getLong(0)).map { case (q, rows) =>
+        require(rows.length == 5, s"query $q must get exactly 5 rows, got ${rows.length}")
+        q -> rows.map(_.getDouble(2)).min
+      }
+      x52 += ((f, tKnn, kth))
+      println(f"SCALEGROWTHVEC X52_brute_knn   factor=$f%2d  $tKnn%8.2f s  " +
+        s"queries=${kth.size} rows=${knn.length}")
+
+      // IVF: build with nLists ∝ N, then probe — the pruned scan must
+      // stay constant-size as the corpus grows
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_vec_idx_$f").toString
+      val (_, tBuild) = timed(Ivf.writeIndex(emb, idxDir, nLists = 16 * f))
+      val lists = spark.read.parquet(s"$idxDir/centroids")
+        .select(col("centroid_id"),
+          graft.functions.VectorFunctions.dot(typedLit(probeVec), col("centroid")).as("cs"))
+        .orderBy(col("cs").desc, col("centroid_id"))
+        .limit(4).collect().map(_.getLong(0)).toSeq
+      val scanned = spark.read.parquet(s"$idxDir/vectors")
+        .filter(col("list_id").isin(lists: _*)).count()
+      val (top, tProbe) = timed(
+        Ivf.probeIndex(spark, idxDir, probeVec, k = 5, nProbe = 4).collect())
+      require(top.length == 5, s"probe must return 5 rows, got ${top.length}")
+      ivf += ((f, tProbe, scanned))
+      println(f"SCALEGROWTHVEC IVF_probe       factor=$f%2d  $tProbe%8.2f s  " +
+        f"scanned=$scanned%,d of $n%,d rows  (build $tBuild%.2f s, nLists=${16 * f})")
+
+      emb.unpersist()
+    }
+
+    println("SCALEGROWTHVEC ===== scale laws =====")
+    if (x06.size >= 2) {
+      val (fa, ta, ma) = x06(x06.size - 2)
+      val (fb, tb, mb) = x06.last
+      val costRatio = (tb / mb) / (ta / ma)
+      println(f"SCALEGROWTHVEC X06_exact_scan wall ${tb / ta}%.1fx for dot-mass " +
+        f"${mb.toDouble / ma}%.1fx (${fa}x→${fb}x): per-dot cost ratio $costRatio%.2fx " +
+        "— quadratic by semantics, engine cost flat when this stays near 1")
+    }
+    if (x52.size >= 2) {
+      val (fa, ta, _) = x52(x52.size - 2)
+      val (fb, tb, _) = x52.last
+      val k = math.log(tb / ta) / math.log(fb.toDouble / fa)
+      println(f"SCALEGROWTHVEC X52_brute_knn k=$k%.2f (${fa}x $ta%.2f s → ${fb}x $tb%.2f s)")
+      // monotone improvement: each query's 5th-best cosine never drops
+      // as the corpus grows (top-k over a superset)
+      val (f1, _, kth1) = x52.head
+      x52.tail.foreach { case (f, _, kthR) =>
+        kth1.foreach { case (q, c1) =>
+          require(kthR(q) >= c1 - 1e-9,
+            s"query $q 5th-best cosine dropped from $c1 (factor $f1) to ${kthR(q)} (factor $f)")
+        }
+      }
+    }
+    if (ivf.size >= 2) {
+      val (f1, t1, s1) = ivf.head
+      val (fb, tb, sb) = ivf.last
+      require(sb <= 3 * s1,
+        s"IVF pruned scan must stay ~constant: factor $f1 scanned $s1, factor $fb scanned $sb")
+      println(f"SCALEGROWTHVEC IVF_probe scanned $s1%,d → $sb%,d rows and wall " +
+        f"$t1%.2f s → $tb%.2f s across ${fb / f1}× corpus growth — the index absorbs N")
+    }
+
+    spark.stop()
+  }
+}
