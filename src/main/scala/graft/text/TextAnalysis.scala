@@ -239,7 +239,8 @@ object TextAnalysis {
     // has no bigrams and its fraction is defined as 0
     val bigrams = documents.select(col("doc_id"),
       explode(zip_with(
-        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (a, b) => concat_ws(" ", a, b))).as("bg"))
     val biAgg = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
@@ -370,7 +371,8 @@ object TextAnalysis {
     val toks = tokens(col("text"))
     val bgs = documents.select(col("doc_id"),
       explode(zip_with(
-        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val model = bgs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))

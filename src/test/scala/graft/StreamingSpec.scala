@@ -838,6 +838,42 @@ class StreamingSpec extends SparkSpec {
     assert((got & chunkIds(2)).isEmpty, "post-budget chunk must admit nothing")
   }
 
+  test("budget admission crash recovery: restart from checkpoint equals the uninterrupted run") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val totalTokens = docs
+      .agg(sum(size(graft.text.TextAnalysis.tokens(col("text"))).cast("long")))
+      .head().getLong(0)
+    val budget = totalTokens / 2
+    val byPos = graft.ops.Scale.shuffleOrder(docs.select("doc_id"), "doc_id")
+      .orderBy("shuffle_pos").collect().map(_.getLong(0))
+    val chunkIds = byPos.grouped((byPos.length + 2) / 3).toSeq.map(_.toSet)
+    def admittedOf(out: String): Set[Long] =
+      spark.read.option("recursiveFileLookup", "true").parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // interrupted: chunk 0, stop (crash), restart on the SAME
+    // checkpoint + sink for chunks 1–2 — the prior-tokens state must
+    // come back from the committed batch outputs
+    val srcDir = Files.createTempDirectory("graft-budget-crash-src")
+    val outDir = Files.createTempDirectory("graft-budget-crash-out").toString + "/admitted"
+    val ckpt = Files.createTempDirectory("graft-budget-crash-ckpt").toString
+    def start() = StreamOps.budgetAdmissionStream(
+      StreamOps.documentsStream(spark, srcDir.toString), budget, outDir, ckpt)
+    writeChunk(docs.filter(col("doc_id").isInCollection(chunkIds(0))), srcDir, "chunk0")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    writeChunk(docs.filter(col("doc_id").isInCollection(chunkIds(1))), srcDir, "chunk1")
+    writeChunk(docs.filter(col("doc_id").isInCollection(chunkIds(2))), srcDir, "chunk2")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val interrupted = admittedOf(outDir)
+    // both the uninterrupted-run contract AND the batch X80 contract
+    val want = graft.pipeline.TrainingSet.budgetCut(docs, budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty && interrupted == want,
+      s"crash-recovered admission ≠ batch cut: missing=${(want -- interrupted).size}, " +
+        s"extra=${(interrupted -- want).size}")
+  }
+
   test("streaming quality gate: replayed corpus produces exactly the batch attributes table") {
     val docs = Tables.load(spark, sf1, "documents")
     val srcDir = Files.createTempDirectory("graft-stream-score")
