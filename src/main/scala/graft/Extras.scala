@@ -1086,7 +1086,27 @@ object Extras {
           .withColumn("text",
             org.apache.spark.sql.functions.when(col("doc_id") % 7 === 0,
               org.apache.spark.sql.functions.upper(col("text")))
-              .otherwise(col("text")))))
+              .otherwise(col("text"))))),
+    // vocabulary-novelty curve over 20 equal-count corpus buckets:
+    // new word types per bucket + cumulative vocab — all-integer, fully
+    // oracle-checked
+    "X86_novelty_curve" -> q(c =>
+      TextAnalysis.noveltyCurve(c.documents, nBuckets = 20)),
+    // distribution-shift audit: pairwise KL + total variation between
+    // the train/val/test unigram distributions of the X32 md5 split —
+    // fully oracle-checked (6-dp rounded float aggregates)
+    "X87_split_divergence" -> q(c =>
+      TextAnalysis.splitDivergence(c.documents,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+    // embedding-space eval contamination: eval vectors (10% md5 slice)
+    // whose nearest train neighbor clears the L07 similarity bar —
+    // the semantic complement of X30/X46/X77; fully oracle-checked
+    "X88_semantic_leakage" -> q(c =>
+      graft.vector.Ann.semanticLeakage(c.embeddings,
+        evalFrac = 0.1, threshold = 0.35)),
+    // Zipf rank-frequency fit over the top-500 word types: OLS slope /
+    // intercept / r² of ln(cnt) on ln(rk) — fully oracle-checked
+    "X89_zipf_fit" -> q(c => TextAnalysis.zipfFit(c.documents, topV = 500))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -2168,6 +2188,86 @@ s AS (SELECT doc_id, tf.w AS w, tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUB
 r AS (SELECT doc_id, w, tfidf,
       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn FROM s)
 SELECT doc_id, rn, w, ROUND(tfidf, 6) AS score FROM r WHERE rn <= 3 ORDER BY doc_id, rn
+""".trim,
+    "X86_novelty_curve" -> """
+WITH d AS (SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS rn FROM documents),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+b AS (SELECT CAST(((rn - 1) * 20) // n AS BIGINT) AS bucket, text FROM d, nd),
+tk AS (SELECT bucket, unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS w FROM b),
+fs AS (SELECT w, MIN(bucket) AS bucket FROM tk GROUP BY w),
+nt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types FROM fs GROUP BY bucket),
+pb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(str_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_tokens
+       FROM b GROUP BY bucket)
+SELECT pb.bucket, pb.n_docs, pb.n_tokens,
+  CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types,
+  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY pb.bucket
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM pb LEFT JOIN nt USING (bucket) ORDER BY bucket
+""".trim,
+    "X87_split_divergence" -> s"""
+WITH sp AS (SELECT CASE
+    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.8)}' THEN 'train'
+    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.9)}' THEN 'val'
+    ELSE 'test' END AS split, text FROM documents),
+tk AS (SELECT split, unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS w FROM sp),
+c AS (SELECT w,
+        SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c_train,
+        SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS c_val,
+        SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS c_test
+      FROM tk GROUP BY w),
+t AS (SELECT SUM(c_train) AS n_train, SUM(c_val) AS n_val,
+        SUM(c_test) AS n_test, COUNT(*) AS v FROM c),
+p AS (SELECT CAST(c_train + 1 AS DOUBLE) / CAST(n_train + v AS DOUBLE) AS p_train,
+        CAST(c_val + 1 AS DOUBLE) / CAST(n_val + v AS DOUBLE) AS p_val,
+        CAST(c_test + 1 AS DOUBLE) / CAST(n_test + v AS DOUBLE) AS p_test
+      FROM c, t),
+one AS (SELECT
+  ROUND(SUM(p_train * ln(p_train / p_val)), 6) AS kl_train_val,
+  ROUND(SUM(ABS(p_train - p_val)) / 2, 6) AS tv_train_val,
+  ROUND(SUM(p_train * ln(p_train / p_test)), 6) AS kl_train_test,
+  ROUND(SUM(ABS(p_train - p_test)) / 2, 6) AS tv_train_test,
+  ROUND(SUM(p_val * ln(p_val / p_train)), 6) AS kl_val_train,
+  ROUND(SUM(ABS(p_val - p_train)) / 2, 6) AS tv_val_train,
+  ROUND(SUM(p_val * ln(p_val / p_test)), 6) AS kl_val_test,
+  ROUND(SUM(ABS(p_val - p_test)) / 2, 6) AS tv_val_test,
+  ROUND(SUM(p_test * ln(p_test / p_train)), 6) AS kl_test_train,
+  ROUND(SUM(ABS(p_test - p_train)) / 2, 6) AS tv_test_train,
+  ROUND(SUM(p_test * ln(p_test / p_val)), 6) AS kl_test_val,
+  ROUND(SUM(ABS(p_test - p_val)) / 2, 6) AS tv_test_val
+  FROM p)
+SELECT split_a, split_b, kl, tv FROM (
+  SELECT 'train' AS split_a, 'val' AS split_b, kl_train_val AS kl, tv_train_val AS tv FROM one
+  UNION ALL SELECT 'train', 'test', kl_train_test, tv_train_test FROM one
+  UNION ALL SELECT 'val', 'train', kl_val_train, tv_val_train FROM one
+  UNION ALL SELECT 'val', 'test', kl_val_test, tv_val_test FROM one
+  UNION ALL SELECT 'test', 'train', kl_test_train, tv_test_train FROM one
+  UNION ALL SELECT 'test', 'val', kl_test_val, tv_test_val FROM one)
+ORDER BY split_a, split_b
+""".trim,
+    "X88_semantic_leakage" -> s"""
+WITH sp AS (SELECT vec_id, embedding,
+    CASE WHEN substr(md5(CAST(vec_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.9)}'
+      THEN 'train' ELSE 'eval' END AS split FROM embeddings),
+s AS (SELECT a.vec_id AS eval_id, b.vec_id AS train_id,
+    ROUND(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+  FROM sp a, sp b WHERE a.split = 'eval' AND b.split = 'train'),
+r AS (SELECT eval_id, train_id, cos,
+    row_number() OVER (PARTITION BY eval_id ORDER BY cos DESC, train_id) AS rk FROM s)
+SELECT eval_id, train_id, cos, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 1 AND cos >= 0.35 ORDER BY eval_id, rk
+""".trim,
+    "X89_zipf_fit" -> """
+WITH toks AS (SELECT unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS w FROM documents),
+c AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rk FROM c),
+xy AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+       FROM r WHERE rk <= 500)
+SELECT CAST(COUNT(*) AS BIGINT) AS top_v,
+  ROUND(regr_slope(y, x), 6) AS slope,
+  ROUND(regr_intercept(y, x), 6) AS intercept,
+  ROUND(regr_r2(y, x), 6) AS r2
+FROM xy
 """.trim
   )
 }

@@ -308,6 +308,32 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def bigramLogProb(): DataFrame =
     graft.text.TextAnalysis.bigramLogProb(tables.documents)
 
+  /** Vocabulary-novelty curve over equal-count corpus buckets (see
+    * [[graft.text.TextAnalysis.noveltyCurve]]).
+    */
+  def noveltyCurve(nBuckets: Int = 20): DataFrame =
+    graft.text.TextAnalysis.noveltyCurve(tables.documents, nBuckets)
+
+  /** Pairwise unigram KL / total-variation between hash-split slices
+    * (see [[graft.text.TextAnalysis.splitDivergence]]).
+    */
+  def splitDivergence(weights: Seq[(String, Double)],
+      seed: Long = 42L): DataFrame =
+    graft.text.TextAnalysis.splitDivergence(tables.documents, weights, seed)
+
+  /** Zipf rank-frequency OLS fit over the top-`topV` word types (see
+    * [[graft.text.TextAnalysis.zipfFit]]).
+    */
+  def zipfFit(topV: Int = 500): DataFrame =
+    graft.text.TextAnalysis.zipfFit(tables.documents, topV)
+
+  /** Embedding-space eval-contamination audit over the md5 split (see
+    * [[graft.vector.Ann.semanticLeakage]]).
+    */
+  def semanticLeakage(evalFrac: Double, threshold: Double,
+      k: Int = 1): DataFrame =
+    graft.vector.Ann.semanticLeakage(tables.embeddings, evalFrac, threshold, k)
+
   /** BM25 top-k retrieval over the corpus for a literal term query
     * (see [[graft.text.Bm25.topK]]).
     */

@@ -960,4 +960,134 @@ object TextAnalysis {
       .select(col("doc_id"), col("rn"), col("w"), round(col("tfidf"), 6).as("score"))
       .orderBy("doc_id", "rn")
   }
+
+  /** Vocabulary-novelty curve: cut the corpus (in `doc_id` order) into
+    * `nBuckets` equal-count buckets and report, per bucket, how many
+    * NEW word types first appear there plus the cumulative vocabulary —
+    * the classic "is fresh data still teaching the model new words"
+    * corpus audit. Compose with [[graft.ops.Scale.shuffleOrder]] first
+    * to measure novelty along an actual training order.
+    *
+    * Output: (bucket, n_docs, n_tokens, new_types, cum_vocab), all
+    * exact integers (fully oracle-checkable, no float paths).
+    *
+    * Scale shape: the global row number and the bucket-order prefix sum
+    * both go through the bucketed two-pass machinery (no
+    * SinglePartition window); first-occurrence is ONE (w → min bucket)
+    * aggregation with map-side partials — a word count; everything
+    * after is nBuckets-sized. The only 1-row piece is the corpus count
+    * broadcast for the bucket arithmetic.
+    */
+  def noveltyCurve(documents: DataFrame, nBuckets: Int = 20): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
+    val nDocs = documents.agg(count(lit(1)).as("__nd"))
+    val ranked = graft.ops.ScalableWindows.withGlobalRowNumber(
+      documents.select("doc_id", "text"), Seq("doc_id"), "__rn")
+    // integer bucket arithmetic (DIV, not /) so the oracle reproduces
+    // the cut exactly; (rn-1)*nBuckets stays far below 2^63 at any SF
+    val bucketed = ranked.crossJoin(broadcast(nDocs))
+      .withColumn("bucket",
+        expr(s"CAST(((__rn - 1) * $nBuckets) DIV __nd AS BIGINT)"))
+      .select(col("bucket"), col("text"))
+    val perBucket = bucketed
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val firstSeen = bucketed
+      .select(col("bucket"), explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    // nBuckets-sized; checkpointed so the running sum's metadata pass
+    // and the final action don't each re-run the corpus chain (the
+    // X73/X75/X80 prefix-sum-input pattern)
+    val joined = perBucket.join(firstSeen, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .localCheckpoint(false)
+    graft.ops.ScalableWindows.withGlobalRunningSum(
+        joined, Seq("bucket"), "new_types", "cum_vocab")
+      .select("bucket", "n_docs", "n_tokens", "new_types", "cum_vocab")
+      .orderBy("bucket")
+  }
+
+  /** Distribution-shift audit across a deterministic hash split:
+    * add-one-smoothed unigram distributions per split over the shared
+    * corpus vocabulary, then pairwise KL divergence and total-variation
+    * distance — "did the val/test cut land on the same language as
+    * train". Splits come from [[graft.ops.Scale.md5Split]] (the
+    * portable coin), so any engine reproduces the assignment.
+    *
+    * Output: one row per ORDERED split pair (KL is asymmetric):
+    * (split_a, split_b, kl, tv), kl = Σ_w p_a ln(p_a/p_b),
+    * tv = ½ Σ_w |p_a − p_b|, p_s(w) = (c_s(w)+1)/(N_s+V), both rounded
+    * to 6 dp (the engine-vs-oracle float-sum contract every rounded
+    * aggregate here uses).
+    *
+    * Scale shape: ONE (split, word) aggregation over the token stream —
+    * conditional sums per split, so the word shuffle happens once
+    * regardless of split count; totals and V are a 1-row broadcast; the
+    * divergence itself is a single pass over the vocab-sized count
+    * table producing one row, unpivoted driver-free via stack().
+    */
+  def splitDivergence(
+      documents: DataFrame,
+      weights: Seq[(String, Double)],
+      seed: Long = 42L): DataFrame = {
+    require(weights.size >= 2, s"need >= 2 splits, got $weights")
+    val names = weights.map(_._1)
+    val toks = graft.ops.Scale.md5Split(documents, "doc_id", weights, seed)
+      .select(col("split"), explode(tokens(col("text"))).as("w"))
+    val countCols = names.map(s =>
+      sum(when(col("split") === s, 1L).otherwise(0L)).as(s"c_$s"))
+    // consumed by the totals broadcast AND the divergence pass — one
+    // token shuffle, not two (vocabCoverage's checkpoint idiom)
+    val counts = toks.groupBy("w").agg(countCols.head, countCols.tail: _*)
+      .localCheckpoint(true)
+    val totalCols = names.map(s => sum(col(s"c_$s")).as(s"n_$s")) :+
+      count(lit(1)).as("__v")
+    val totals = counts.agg(totalCols.head, totalCols.tail: _*)
+    def p(s: String): Column =
+      (col(s"c_$s") + 1).cast("double") /
+        (col(s"n_$s") + col("__v")).cast("double")
+    val pairs = for { a <- names; b <- names if a != b } yield (a, b)
+    val aggs = pairs.flatMap { case (a, b) => Seq(
+      round(sum(p(a) * log(p(a) / p(b))), 6).as(s"kl_${a}_$b"),
+      round(sum(abs(p(a) - p(b))) / 2, 6).as(s"tv_${a}_$b")) }
+    val one = counts.crossJoin(broadcast(totals)).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a', '$b', kl_${a}_$b, tv_${a}_$b" }.mkString(", ")
+    one.selectExpr(
+        s"stack(${pairs.size}, $stackArgs) AS (split_a, split_b, kl, tv)")
+      .orderBy("split_a", "split_b")
+  }
+
+  /** Zipf-law fit over the rank-frequency curve: OLS regression of
+    * ln(count) on ln(rank) for the top `topV` word types — slope near
+    * −1 is the natural-language signature, so a drifting slope (or a
+    * collapsing r²) flags synthetic/boilerplate-heavy corpora. One row:
+    * (top_v, slope, intercept, r2), floats rounded to 6 dp.
+    *
+    * Scale shape: [[vocabCoverage]]'s machinery — one word-count
+    * aggregation, the global rank through the bucketed two-pass row
+    * number, then a topV-sized regression aggregate (Spark's regr_*
+    * run as one partial-aggregable pass).
+    */
+  def zipfFit(documents: DataFrame, topV: Int = 500): DataFrame = {
+    require(topV >= 2, s"topV=$topV needs >= 2 points to fit")
+    // consumed by the rank machinery's metadata pass and the regression
+    // action — one token shuffle, not two (vocabCoverage's idiom)
+    val counts = documents
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("__neg", -col("cnt"))
+      .localCheckpoint(true)
+    val ranked = graft.ops.ScalableWindows.withGlobalRowNumber(
+      counts, Seq("__neg", "w"), "rk")
+    ranked.filter(col("rk") <= topV)
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+      .agg(count(lit(1)).as("top_v"),
+        round(regr_slope(col("y"), col("x")), 6).as("slope"),
+        round(regr_intercept(col("y"), col("x")), 6).as("intercept"),
+        round(regr_r2(col("y"), col("x")), 6).as("r2"))
+  }
 }

@@ -527,4 +527,40 @@ object Ann {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Semantic eval-contamination audit: split the embedding table with
+    * the portable md5 coin ([[graft.ops.Scale.md5Split]] on `vec_id`)
+    * into an `evalName` slice and everything else ("train"), and report
+    * every eval vector whose nearest TRAIN neighbor scores
+    * cos ≥ `threshold` — the embedding-space complement of the n-gram
+    * (X30) and MinHash (X46/X77) decontamination audits: a paraphrase
+    * leaks no shingles but lands next to its source in embedding space.
+    *
+    * Output: (eval_id, train_id, cos, rk) for the top-`k` qualifying
+    * train neighbors per contaminated eval vector, [[knnJoin]]'s
+    * rounded-score/vec_id-tiebreak ranking, so the threshold compare is
+    * boundary-exact against any oracle that rounds the same way.
+    *
+    * Scale shape: the eval slice is small by construction (a split
+    * fraction), so [[knnJoin]]'s broadcast-queries plan is the right
+    * one at this shape; for a large eval set swap in [[annKnnJoin]] —
+    * same contract, LSH-bucketed candidates.
+    */
+  def semanticLeakage(
+      embeddings: DataFrame,
+      evalFrac: Double,
+      threshold: Double,
+      k: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    require(evalFrac > 0 && evalFrac < 1, s"evalFrac=$evalFrac must be in (0,1)")
+    val sp = graft.ops.Scale.md5Split(embeddings, "vec_id",
+      Seq("train" -> (1.0 - evalFrac), "eval" -> evalFrac), seed)
+    val ev = sp.filter(col("split") === "eval").select("vec_id", "embedding")
+    val tr = sp.filter(col("split") === "train").select("vec_id", "embedding")
+    knnJoin(ev, tr, k, excludeSelf = false)
+      .filter(col("cos") >= threshold)
+      .select(col("qid").as("eval_id"), col("vec_id").as("train_id"),
+        col("cos"), col("rk"))
+      .orderBy("eval_id", "rk")
+  }
 }

@@ -916,4 +916,132 @@ class ExtrasSpec extends SparkSpec {
         s"${r.getString(0)}: ${r.getDouble(4)} vs ${1000000000L / total}")
     }
   }
+
+  test("noveltyCurve: hand fixture buckets, cumulative vocab is total distinct words") {
+    import spark.implicits._
+    // rn 1..4, nBuckets=2 → docs 1,2 in bucket 0; docs 3,4 in bucket 1
+    val docs = Seq(
+      (1L, "a b"), (2L, "a c"), (3L, "c d"), (4L, "d e a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyCurve(docs, nBuckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // bucket 0: a,b + a,c → 4 tokens, first-seen {a,b,c}; bucket 1:
+    // c,d + d,e,a → 5 tokens, first-seen {d,e}
+    assert(got == Seq((0L, 2L, 4L, 3L, 3L), (1L, 2L, 5L, 2L, 5L)), got)
+    // corpus: cum_vocab is monotone and ends at the distinct word count
+    val curve = TextAnalysis.noveltyCurve(cat.documents, nBuckets = 10).collect()
+    val cum = curve.map(_.getLong(4)).toSeq
+    assert(cum == cum.sorted, s"cum_vocab not monotone: $cum")
+    val vocab = cat.documents
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .agg(countDistinct("w")).head().getLong(0)
+    assert(cum.last == vocab, s"${cum.last} vs $vocab")
+    assert(curve.map(_.getLong(3)).sum == vocab)
+  }
+
+  test("splitDivergence: matches a driver-side reference; KL >= 0, TV symmetric in [0,1)") {
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = TextAnalysis.splitDivergence(cat.documents, weights)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.size == 6)
+    // driver-side reference over the same md5 assignment
+    val toks = graft.ops.Scale.md5Split(cat.documents, "doc_id", weights)
+      .select(col("split"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val vocab = toks.map(_._2).distinct
+    val v = vocab.length
+    val bySplit = toks.groupBy(_._1).map { case (s, ts) =>
+      s -> ts.groupBy(_._2).map { case (w, o) => w -> o.length.toLong } }
+    def p(s: String, w: String): Double = {
+      val c = bySplit(s).getOrElse(w, 0L)
+      val n = bySplit(s).values.sum
+      (c + 1).toDouble / (n + v).toDouble
+    }
+    for { a <- weights.map(_._1); b <- weights.map(_._1) if a != b } {
+      val kl = vocab.map(w => p(a, w) * math.log(p(a, w) / p(b, w))).sum
+      val tv = vocab.map(w => math.abs(p(a, w) - p(b, w))).sum / 2
+      val (gkl, gtv) = got((a, b))
+      assert(math.abs(gkl - kl) < 2e-6, s"kl($a,$b): $gkl vs $kl")
+      assert(math.abs(gtv - tv) < 2e-6, s"tv($a,$b): $gtv vs $tv")
+      assert(gkl >= 0, s"KL($a||$b) negative: $gkl")
+      assert(gtv >= 0 && gtv < 1, s"TV($a,$b) out of range: $gtv")
+      assert(got((a, b))._2 == got((b, a))._2, s"TV not symmetric for ($a,$b)")
+    }
+  }
+
+  test("semanticLeakage: matches brute-force top-1; a planted cross-split clone is caught") {
+    import spark.implicits._
+    val threshold = 0.35
+    val got = Ann.semanticLeakage(cat.embeddings, evalFrac = 0.1,
+        threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // driver-side brute force over the same md5 split, same rounding
+    val sp = graft.ops.Scale.md5Split(cat.embeddings, "vec_id",
+        Seq("train" -> 0.9, "eval" -> 0.1))
+      .select("vec_id", "embedding", "split")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getString(2)))
+    val tr = sp.filter(_._3 == "train")
+    val ev = sp.filter(_._3 == "eval")
+    def dot6(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      math.rint(s * 1e6) / 1e6
+    }
+    val want = ev.flatMap { case (eid, evec, _) =>
+      val best = tr.map { case (tid, tvec, _) => (tid, dot6(evec, tvec)) }
+        .minBy { case (tid, c) => (-c, tid) }
+      if (best._2 >= threshold) Some((eid, best._1, best._2)) else None
+    }.sortBy(_._1).toSeq
+    assert(got == want, s"got=$got want=$want")
+    // plant: clone one eval vector into a fresh TRAIN row → caught at
+    // |v|² = 1.0 (the fixture embeddings are unit-norm, so the clone
+    // strictly dominates every honest neighbor). Id 999998's md5 coin
+    // ('beaa1bfa' < the 0.9 cutoff) is train — the portable coin makes
+    // that a permanent fact of the fixture, not an accident of seed.
+    val evec = ev.head
+    val selfDot = dot6(evec._2, evec._2)
+    assert(selfDot >= threshold, s"fixture not unit-norm? selfDot=$selfDot")
+    val planted = cat.embeddings.unionByName(
+      Seq((999998L, evec._2, 0)).toDF("vec_id", "embedding", "label"))
+    val leaks = Ann.semanticLeakage(planted, 0.1, threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val clonePair = leaks.find(l => l._1 == evec._1 && l._2 == 999998L)
+    assert(clonePair.nonEmpty,
+      s"clone not caught (selfDot=$selfDot): ${leaks.toSeq}")
+    assert(clonePair.get._3 == selfDot)
+  }
+
+  test("zipfFit: OLS on a hand fixture matches the closed-form regression; corpus slope < 0") {
+    import spark.implicits._
+    // frequencies 8,4,2,1 for a,b,c,d → ranks 1..4
+    val words = Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.zipfFit(docs, topV = 500).head()
+    assert(got.getLong(0) == 4L)
+    val xy = Seq((1, 8), (2, 4), (3, 2), (4, 1))
+      .map { case (rk, c) => (math.log(rk.toDouble), math.log(c.toDouble)) }
+    val mx = xy.map(_._1).sum / 4; val my = xy.map(_._2).sum / 4
+    val cov = xy.map { case (x, y) => (x - mx) * (y - my) }.sum / 4
+    val vx = xy.map { case (x, _) => (x - mx) * (x - mx) }.sum / 4
+    val vy = xy.map { case (_, y) => (y - my) * (y - my) }.sum / 4
+    val slope = cov / vx
+    assert(math.abs(got.getDouble(1) - slope) < 2e-6, s"${got.getDouble(1)} vs $slope")
+    assert(math.abs(got.getDouble(2) - (my - slope * mx)) < 2e-6)
+    assert(math.abs(got.getDouble(3) - cov * cov / (vx * vy)) < 2e-6)
+    // corpus: the synthetic fixture draws ~31 word types near-uniformly,
+    // so the fit correctly reports a SHALLOW slope and a poor r² — the
+    // "this corpus is not natural language" verdict the operator exists
+    // to give. top_v clamps to the actual vocab when topV exceeds it.
+    val vocab = cat.documents
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .agg(countDistinct("w")).head().getLong(0)
+    val corpus = TextAnalysis.zipfFit(cat.documents, topV = 500).head()
+    assert(corpus.getLong(0) == vocab, s"${corpus.getLong(0)} vs $vocab")
+    assert(corpus.getDouble(1) < 0, s"slope ${corpus.getDouble(1)}")
+    assert(corpus.getDouble(1) > -0.5 && corpus.getDouble(3) < 0.3,
+      s"uniform fixture should fit Zipf poorly: $corpus")
+  }
 }

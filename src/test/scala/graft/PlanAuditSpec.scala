@@ -66,7 +66,10 @@ class PlanAuditSpec extends SparkSpec {
       // X82/X85: the centroid-array collapse inside the assignment
       // (X60's shape)
       "X79_epoch_plan", "X81_perplexity_buckets", "X82_diversity_sample",
-      "X85_semantic_outliers")
+      "X85_semantic_outliers",
+      // X86/X87: the 1-row corpus-count / split-totals aggregate;
+      // X89: the final topV-sized regression collapses to one row
+      "X86_novelty_curve", "X87_split_divergence", "X89_zipf_fit")
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against
@@ -90,7 +93,11 @@ class PlanAuditSpec extends SparkSpec {
       // rank table (the A10/X62 idiom); X82/X85 ride the assignment's
       // 1-row collapsed-centroid-array broadcast (X60's shape)
       "X79_epoch_plan", "X81_perplexity_buckets", "X82_diversity_sample",
-      "X85_semantic_outliers")
+      "X85_semantic_outliers",
+      // X86/X87 broadcast their 1-row count/totals across the bucketed /
+      // vocab-sized table (the X53 idiom); X88 rides knnJoin's
+      // broadcast-queries join (X52's shape)
+      "X86_novelty_curve", "X87_split_divergence", "X88_semantic_leakage")
     val sf001Dir = "/root/testdata/sf0.001"
     // AUDIT BLIND SPOT (ADVICE r8, accepted): queries that lazily
     // localCheckpoint an expensive prefix (X53, X80, X81) truncate
