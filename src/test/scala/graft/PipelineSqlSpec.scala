@@ -105,6 +105,89 @@ c AS (SELECT doc_id, shuffle_pos, n_tokens,
   FROM o)
 SELECT doc_id, shuffle_pos, n_tokens, cum_tokens FROM c
 WHERE cum_tokens - n_tokens < 5000 ORDER BY shuffle_pos
+""",
+    // the single-window semantic twin of the bucketed two-pass rank +
+    // prefix sum the builder uses
+    "X86_novelty_curve" -> """
+WITH d AS (SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS rn FROM documents),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+b AS (SELECT CAST(((rn - 1) * 20) DIV n AS BIGINT) AS bucket, text FROM d CROSS JOIN nd),
+tk AS (SELECT bucket, explode(filter(split(text, ' '), w -> w != '')) AS w FROM b),
+fs AS (SELECT w, MIN(bucket) AS bucket FROM tk GROUP BY w),
+nt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types FROM fs GROUP BY bucket),
+pb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(size(filter(split(text, ' '), w -> w != ''))) AS BIGINT) AS n_tokens
+       FROM b GROUP BY bucket)
+SELECT pb.bucket, pb.n_docs, pb.n_tokens,
+  CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types,
+  CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY pb.bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+FROM pb LEFT JOIN nt ON pb.bucket = nt.bucket ORDER BY pb.bucket
+""",
+    "X87_split_divergence" -> s"""
+WITH sp AS (SELECT CASE
+    WHEN $coin < '${graft.ops.Scale.hexCutoff(0.8)}' THEN 'train'
+    WHEN $coin < '${graft.ops.Scale.hexCutoff(0.9)}' THEN 'val'
+    ELSE 'test' END AS split, text FROM documents),
+tk AS (SELECT split, explode(filter(split(text, ' '), w -> w != '')) AS w FROM sp),
+c AS (SELECT w,
+        SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c_train,
+        SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS c_val,
+        SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS c_test
+      FROM tk GROUP BY w),
+t AS (SELECT SUM(c_train) AS n_train, SUM(c_val) AS n_val,
+        SUM(c_test) AS n_test, COUNT(*) AS v FROM c),
+p AS (SELECT CAST(c_train + 1 AS DOUBLE) / CAST(n_train + v AS DOUBLE) AS p_train,
+        CAST(c_val + 1 AS DOUBLE) / CAST(n_val + v AS DOUBLE) AS p_val,
+        CAST(c_test + 1 AS DOUBLE) / CAST(n_test + v AS DOUBLE) AS p_test
+      FROM c CROSS JOIN t),
+one AS (SELECT
+  ROUND(SUM(p_train * ln(p_train / p_val)), 6) AS kl_train_val,
+  ROUND(SUM(ABS(p_train - p_val)) / 2, 6) AS tv_train_val,
+  ROUND(SUM(p_train * ln(p_train / p_test)), 6) AS kl_train_test,
+  ROUND(SUM(ABS(p_train - p_test)) / 2, 6) AS tv_train_test,
+  ROUND(SUM(p_val * ln(p_val / p_train)), 6) AS kl_val_train,
+  ROUND(SUM(ABS(p_val - p_train)) / 2, 6) AS tv_val_train,
+  ROUND(SUM(p_val * ln(p_val / p_test)), 6) AS kl_val_test,
+  ROUND(SUM(ABS(p_val - p_test)) / 2, 6) AS tv_val_test,
+  ROUND(SUM(p_test * ln(p_test / p_train)), 6) AS kl_test_train,
+  ROUND(SUM(ABS(p_test - p_train)) / 2, 6) AS tv_test_train,
+  ROUND(SUM(p_test * ln(p_test / p_val)), 6) AS kl_test_val,
+  ROUND(SUM(ABS(p_test - p_val)) / 2, 6) AS tv_test_val
+  FROM p)
+SELECT split_a, split_b, kl, tv FROM (
+  SELECT 'train' AS split_a, 'val' AS split_b, kl_train_val AS kl, tv_train_val AS tv FROM one
+  UNION ALL SELECT 'train', 'test', kl_train_test, tv_train_test FROM one
+  UNION ALL SELECT 'val', 'train', kl_val_train, tv_val_train FROM one
+  UNION ALL SELECT 'val', 'test', kl_val_test, tv_val_test FROM one
+  UNION ALL SELECT 'test', 'train', kl_test_train, tv_test_train FROM one
+  UNION ALL SELECT 'test', 'val', kl_test_val, tv_test_val FROM one)
+ORDER BY split_a, split_b
+""",
+    // graft_dot is the registered codegen'd dot — the X82/X85 twin idiom
+    "X88_semantic_leakage" -> s"""
+WITH sp AS (SELECT vec_id, embedding,
+    CASE WHEN ${coin.replace("doc_id", "vec_id")} < '${graft.ops.Scale.hexCutoff(0.9)}'
+      THEN 'train' ELSE 'eval' END AS split FROM embeddings),
+s AS (SELECT a.vec_id AS eval_id, b.vec_id AS train_id,
+    ROUND(graft_dot(a.embedding, b.embedding), 6) AS cos
+  FROM sp a CROSS JOIN sp b WHERE a.split = 'eval' AND b.split = 'train'),
+r AS (SELECT eval_id, train_id, cos,
+    row_number() OVER (PARTITION BY eval_id ORDER BY cos DESC, train_id) AS rk FROM s)
+SELECT eval_id, train_id, cos, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 1 AND cos >= 0.35 ORDER BY eval_id, rk
+""",
+    "X89_zipf_fit" -> """
+WITH toks AS (SELECT explode(filter(split(text, ' '), w -> w != '')) AS w FROM documents),
+c AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rk FROM c),
+xy AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+       FROM r WHERE rk <= 500)
+SELECT CAST(COUNT(*) AS BIGINT) AS top_v,
+  ROUND(regr_slope(y, x), 6) AS slope,
+  ROUND(regr_intercept(y, x), 6) AS intercept,
+  ROUND(regr_r2(y, x), 6) AS r2
+FROM xy
 """)
 
   test("pipeline extras: Spark-SQL twins hash-equal to the DataFrame builders") {
