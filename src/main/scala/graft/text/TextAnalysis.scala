@@ -790,8 +790,15 @@ object TextAnalysis {
     * COUNT(DISTINCT) Expand of the shingle stream (the residual cost
     * is the string-shingle exchange itself, which exactness requires —
     * hashing the shingle key would admit cross-doc collisions).
+    *
+    * Public because the hit lists are the natural PERSISTED
+    * intermediate of an exact-substring dedup pass: compute once,
+    * store (doc_id, ps), then derive both the coverage audit
+    * ([[crossDocDupCoverageFrom]]) and the rewrite
+    * ([[removeSharedSpansFrom]]) without re-paying the shingle
+    * shuffle — the X67/X68 declared queries share one such artifact.
     */
-  private def crossDocHitLists(documents: DataFrame, n: Int): DataFrame = {
+  def crossDocHitLists(documents: DataFrame, n: Int): DataFrame = {
     val sh = documents
       .select(col("doc_id"), posexplode(shingles(col("text"), n)).as(Seq("pos", "s")))
     val shared = sh.groupBy("s")
@@ -805,7 +812,17 @@ object TextAnalysis {
 
   def crossDocDupCoverage(documents: DataFrame, n: Int = 5): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2: $n")
-    val hits = crossDocHitLists(documents, n)
+    crossDocDupCoverageFrom(documents, crossDocHitLists(documents, n), n)
+  }
+
+  /** [[crossDocDupCoverage]] downstream of a precomputed/persisted
+    * (doc_id, ps) hit-list artifact ([[crossDocHitLists]]).
+    */
+  def crossDocDupCoverageFrom(
+      documents: DataFrame,
+      hits: DataFrame,
+      n: Int): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2: $n")
     // fold: acc = (lastEnd, covered); each hit at p covers [p, p+n)
     val folded = hits.select(
       col("doc_id"),
@@ -869,6 +886,17 @@ object TextAnalysis {
   def removeSharedSpans(documents: DataFrame, n: Int = 5): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2: $n")
     rewriteWithoutSpans(documents, crossDocHitLists(documents, n), n)
+  }
+
+  /** [[removeSharedSpans]] downstream of a precomputed/persisted
+    * (doc_id, ps) hit-list artifact ([[crossDocHitLists]]).
+    */
+  def removeSharedSpansFrom(
+      documents: DataFrame,
+      hits: DataFrame,
+      n: Int): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2: $n")
+    rewriteWithoutSpans(documents, hits, n)
   }
 
   /** Surgical benchmark decontamination — the span-level complement of

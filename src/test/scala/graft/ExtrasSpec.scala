@@ -917,6 +917,19 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("X67/X68 declared queries (persisted hit-list artifact) ≡ from-scratch builders") {
+    val h67 = graft.core.Canonical.hash16(
+      Extras.queries("X67_dup_ngram_coverage")(spark, sf01))
+    val d67 = graft.core.Canonical.hash16(
+      TextAnalysis.crossDocDupCoverage(cat.documents, n = 5))
+    assert(h67 == d67, s"X67 artifact path $h67 != direct $d67")
+    val h68 = graft.core.Canonical.hash16(
+      Extras.queries("X68_remove_shared_spans")(spark, sf01))
+    val d68 = graft.core.Canonical.hash16(
+      TextAnalysis.removeSharedSpans(cat.documents, n = 5))
+    assert(h68 == d68, s"X68 artifact path $h68 != direct $d68")
+  }
+
   test("noveltyCurve: hand fixture buckets, cumulative vocab is total distinct words") {
     import spark.implicits._
     // rn 1..4, nBuckets=2 → docs 1,2 in bucket 0; docs 3,4 in bucket 1
