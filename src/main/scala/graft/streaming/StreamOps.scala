@@ -541,6 +541,63 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming twin of the vocabulary-novelty curve (batch X86,
+    * [[graft.text.TextAnalysis.noveltyCurve]]): each micro-batch
+    * persists exactly the word types NOT seen in any COMPLETED prior
+    * batch — the live ingest monitor for "is fresh data still adding
+    * vocabulary". Cross-batch state is the seen-vocab set, recovered
+    * from the prior batch outputs themselves (no state store): batch
+    * b's sink dir IS the set of words b introduced, so the union of
+    * completed dirs is the seen set, and the batch-keyed overwrite
+    * makes replays idempotent (the ingestDedupStream contract — a
+    * replayed batch anti-joins against exactly the prior batches it
+    * saw first time).
+    *
+    * Scale shape: the per-batch distinct and the anti-join are both
+    * WORD-keyed — vocab-sized by Heaps' law, never corpus-sized — and
+    * the seen set grows sub-linearly in ingested tokens for natural
+    * text. Output per batch: dir `b<id>` of (w) rows; derive the curve
+    * with [[noveltySummary]].
+    */
+  def vocabNoveltyStream(
+      documents: DataFrame,
+      path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    documents.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val words = batch
+            .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("w"))
+            .distinct()
+          val priorDirs = completedBatchDirs(path, batchId)
+          val fresh =
+            if (priorDirs.isEmpty) words
+            else words.join(
+              spark.read.parquet(priorDirs: _*).select("w"), Seq("w"), "left_anti")
+          fresh.write.mode("overwrite").parquet(s"$path/b$batchId")
+        }
+      }
+      .start()
+  }
+
+  /** The (batch_id, new_types, cum_vocab) curve over a
+    * [[vocabNoveltyStream]] sink: one vocab-sized count per completed
+    * batch dir, merged driver-side (batch count is metadata-sized).
+    */
+  def noveltySummary(
+      spark: SparkSession,
+      path: String): Seq[(Long, Long, Long)] = {
+    val dirs = completedBatchDirs(path, excludeBatch = -1L)
+      .map(d => (new java.io.File(d).getName.drop(1).toLong, d)).sortBy(_._1)
+    val counts = dirs.map { case (id, d) => (id, spark.read.parquet(d).count()) }
+    counts.scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n)) =>
+      (id, n, cum + n)
+    }.tail
+  }
+
   /** Watermarked stream-stream inner join: pair every `typeA` event
     * with the same user's `typeB` events that follow within `within` —
     * the attribution/correlation query (click → purchase) as a real

@@ -938,4 +938,45 @@ class StreamingSpec extends SparkSpec {
     assert(sameName.count() == events.join(dim,
       events("user_id") === dim("c_custkey")).count())
   }
+
+  test("streaming vocab novelty: replayed corpus reproduces the batch X86 curve at matching cuts") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val n = docs.count().toInt
+    val b = 5
+    assert(n % b == 0, s"fixture premise: $b must divide the $n-doc corpus")
+    // batch X86 at nBuckets=b cuts exactly every n/b docs in doc_id
+    // order — replaying the same contiguous slices as micro-batches
+    // must reproduce the curve
+    val want = graft.text.TextAnalysis.noveltyCurve(docs, nBuckets = b)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    val ids = docs.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    val slices = ids.grouped(n / b).toSeq
+    val srcDir = Files.createTempDirectory("graft-novelty-src")
+    val outDir = Files.createTempDirectory("graft-novelty-out").toString + "/vocab"
+    val ckpt = Files.createTempDirectory("graft-novelty-ckpt").toString
+    val query = StreamOps.vocabNoveltyStream(
+      StreamOps.documentsStream(spark, srcDir.toString), outDir, ckpt)
+    try {
+      slices.zipWithIndex.foreach { case (s, i) =>
+        writeChunk(docs.filter(col("doc_id").isInCollection(s.toSet)), srcDir, s"chunk$i")
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val got = StreamOps.noveltySummary(spark, outDir)
+      .zipWithIndex.map { case ((_, nt, cum), i) => (i.toLong, nt, cum) }
+    assert(got == want, s"stream curve $got != batch curve $want")
+    // the persisted union IS the corpus vocabulary (novel-words sink
+    // doubles as the seen-set state — pin it directly)
+    val vocabGot = spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+      .select("w").distinct().count()
+    val vocabAll = spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+      .count()
+    val vocabWant = docs
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("w"))
+      .distinct().count()
+    assert(vocabGot == vocabWant && vocabAll == vocabWant,
+      s"sink union must be the exact vocab once each: $vocabGot/$vocabAll vs $vocabWant")
+  }
 }
