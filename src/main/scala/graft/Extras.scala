@@ -1124,7 +1124,16 @@ object Extras {
         evalFrac = 0.1, threshold = 0.35)),
     // Zipf rank-frequency fit over the top-500 word types: OLS slope /
     // intercept / r² of ln(cnt) on ln(rk) — fully oracle-checked
-    "X89_zipf_fit" -> q(c => TextAnalysis.zipfFit(c.documents, topV = 500))
+    "X89_zipf_fit" -> q(c => TextAnalysis.zipfFit(c.documents, topV = 500)),
+    // unified per-doc contamination verdict: verbatim n-gram (X30) +
+    // MinHash near-dup off the banded mirror (X46) + embedding cosine
+    // (X88) in one release-gate report — fully oracle-checked
+    "X90_decontamination_report" -> q(c =>
+      graft.pipeline.TrainingSet.decontaminationReport(
+        c.documents.filter(col("source") =!= "src0"),
+        c.documents.filter(col("source") === "src0"),
+        bandedTable(c),
+        c.embeddings))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -2286,6 +2295,67 @@ SELECT CAST(COUNT(*) AS BIGINT) AS top_v,
   ROUND(regr_intercept(y, x), 6) AS intercept,
   ROUND(regr_r2(y, x), 6) AS r2
 FROM xy
+""".trim,
+    "X90_decontamination_report" -> {
+      val b = s"$oracleIdxRoot/minhash_banded/*.parquet"
+      s"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+bench AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+ct AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM corpus),
+csh AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+  FROM ct WHERE len(toks) >= 5) u),
+bt AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM bench),
+bsh AS (SELECT DISTINCT s FROM (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 4),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+  FROM bt WHERE len(toks) >= 5) u),
+ng AS (SELECT csh.doc_id,
+         ROUND(CAST(COUNT(bsh.s) AS DOUBLE) / COUNT(*), 6) AS ngram_frac
+       FROM csh LEFT JOIN bsh ON csh.s = bsh.s GROUP BY csh.doc_id),
+cand AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM read_parquet('$b') a
+  JOIN read_parquet('$b') b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id IN (SELECT doc_id FROM corpus)
+    AND b.id IN (SELECT doc_id FROM bench)),
+cids AS (SELECT i AS doc_id FROM cand UNION SELECT j FROM cand),
+t3 AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks
+       FROM documents WHERE doc_id IN (SELECT doc_id FROM cids)),
+sh3 AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM t3 WHERE len(toks) >= 3) u),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh3 GROUP BY doc_id),
+inter AS (SELECT cand.i, cand.j, COUNT(*) AS c
+          FROM cand JOIN sh3 a ON cand.i = a.doc_id
+                    JOIN sh3 b ON cand.j = b.doc_id AND a.s = b.s
+          GROUP BY 1, 2),
+nd AS (SELECT DISTINCT inter.i AS doc_id
+       FROM inter JOIN sz sa ON inter.i = sa.doc_id
+                  JOIN sz sb ON inter.j = sb.doc_id
+       WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
+cemb AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id IN (SELECT doc_id FROM corpus)),
+bemb AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id IN (SELECT doc_id FROM bench)),
+sem AS (SELECT c.vec_id AS doc_id,
+          ROUND(MAX(list_inner_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS semantic_cos
+        FROM cemb c CROSS JOIN bemb b GROUP BY c.vec_id)
+SELECT c.doc_id,
+  COALESCE(ng.ngram_frac, CAST(0 AS DOUBLE)) AS ngram_frac,
+  (nd.doc_id IS NOT NULL) AS near_dup,
+  sem.semantic_cos,
+  CASE WHEN COALESCE(ng.ngram_frac, CAST(0 AS DOUBLE)) >= 0.2
+         OR nd.doc_id IS NOT NULL
+         OR sem.semantic_cos >= 0.35 THEN 'drop' ELSE 'keep' END AS verdict
+FROM corpus c
+LEFT JOIN ng ON c.doc_id = ng.doc_id
+LEFT JOIN nd ON c.doc_id = nd.doc_id
+LEFT JOIN sem ON c.doc_id = sem.doc_id
+ORDER BY c.doc_id
 """.trim
+    }
   )
 }

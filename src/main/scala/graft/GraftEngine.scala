@@ -159,6 +159,16 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def decontaminate(benchmark: DataFrame, n: Int = 5): DataFrame =
     graft.text.TextAnalysis.contaminationScores(tables.documents, benchmark, n)
 
+  /** Unified three-channel contamination verdict (verbatim n-gram +
+    * MinHash near-dup + embedding cosine) against a benchmark, given
+    * the persisted banded index (see
+    * [[graft.pipeline.TrainingSet.decontaminationReport]]).
+    */
+  def decontaminationReport(benchmark: DataFrame,
+      banded: DataFrame): DataFrame =
+    graft.pipeline.TrainingSet.decontaminationReport(
+      tables.documents, benchmark, banded, tables.embeddings)
+
   /** Per-source PII hit totals (email/url/ipv4/phone). */
   def piiStats(): DataFrame = graft.text.TextAnalysis.piiStats(tables.documents)
 

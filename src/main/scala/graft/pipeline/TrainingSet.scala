@@ -458,4 +458,69 @@ object TrainingSet {
     Scale.clusterBy(chunks, nFiles, col("shuffle_pos"), col("chunk_idx"))
       .write.mode("overwrite").parquet(outDir)
   }
+
+  /** Unified per-document eval-contamination verdict combining the
+    * engine's three decontamination channels against one benchmark —
+    * the audit a release gate actually reads, instead of three
+    * separate reports:
+    *
+    *  1. verbatim: fraction of the doc's distinct n-grams appearing in
+    *     the benchmark ([[graft.text.TextAnalysis.contaminationScores]],
+    *     the X30 channel);
+    *  2. near-duplicate: a MinHash-verified benchmark near-dup exists
+    *     ([[graft.text.MinHashDedup.crossNearDupsFromBanded]] off the
+    *     persisted banded index, the X46 channel);
+    *  3. semantic: max cosine to any benchmark embedding clears
+    *     `cosThreshold` ([[graft.vector.SemDedup.assignWithScore]] with
+    *     the benchmark vectors as the broadcast "centroids", the X88
+    *     channel — catches paraphrases that share no shingle).
+    *
+    * Output: (doc_id, ngram_frac, near_dup, semantic_cos, verdict),
+    * verdict = 'drop' iff ANY channel fires; `semantic_cos` is null
+    * for docs without an embedding row and a null channel never fires
+    * (SQL three-valued OR — identical in any engine, so the whole
+    * report is oracle-checkable).
+    *
+    * Scale shape: channel 1 is one corpus shingle pass against the
+    * deduped broadcast-sized benchmark set; channel 2 touches only
+    * banded-candidate docs (index-bounded); channel 3 is a map-side
+    * broadcast-argmax (benchmarks are tiny — the X60 assignment
+    * idiom); the final assembly is three left joins on doc_id.
+    */
+  def decontaminationReport(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      banded: DataFrame,
+      embeddings: DataFrame,
+      n: Int = 5,
+      ngramThreshold: Double = 0.2,
+      dedup: MinHashConfig = MinHashConfig(threshold = 0.5),
+      cosThreshold: Double = 0.35): DataFrame = {
+    val ngram = TextAnalysis.contaminationScores(corpus, benchmark, n)
+      .select(col("doc_id"), col("overlap_frac"))
+    val nd = MinHashDedup.crossNearDupsFromBanded(corpus, benchmark, banded, dedup)
+      .select(col("i").as("doc_id")).distinct()
+      .withColumn("__nd", lit(true))
+    val cemb = embeddings.join(
+      corpus.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val bemb = embeddings.join(
+      benchmark.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val sem = graft.vector.SemDedup.assignWithScore(cemb, bemb)
+      .select(col("vec_id").as("doc_id"),
+        round(col("ccos"), 6).as("semantic_cos"))
+    corpus.select("doc_id")
+      .join(ngram, Seq("doc_id"), "left")
+      .join(nd, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("overlap_frac"), lit(0.0)).as("ngram_frac"),
+        coalesce(col("__nd"), lit(false)).as("near_dup"),
+        col("semantic_cos"),
+        when(coalesce(col("overlap_frac"), lit(0.0)) >= ngramThreshold ||
+            coalesce(col("__nd"), lit(false)) ||
+            col("semantic_cos") >= cosThreshold, "drop")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
 }

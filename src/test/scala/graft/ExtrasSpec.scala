@@ -930,6 +930,40 @@ class ExtrasSpec extends SparkSpec {
     assert(h68 == d68, s"X68 artifact path $h68 != direct $d68")
   }
 
+  test("decontaminationReport: channels reconcile with X30/X46/driver-side cosine; verdict algebra holds") {
+    import spark.implicits._
+    val rep = Extras.queries("X90_decontamination_report")(spark, sf01)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getString(4))).toMap
+    val corpus = cat.documents.filter(col("source") =!= "src0")
+    val bench = cat.documents.filter(col("source") === "src0")
+    assert(rep.size == corpus.count())
+    // channel 1 ≡ X30 scores (absent rows are zero-shingle docs)
+    val x30 = TextAnalysis.contaminationScores(corpus, bench, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    rep.foreach { case (id, (ng, _, _, _)) =>
+      assert(ng == x30.getOrElse(id, 0.0), s"doc $id ngram_frac $ng != X30") }
+    // channel 2 ≡ X46's corpus-side id set
+    val x46 = Extras.queries("X46_neardup_decontaminate")(spark, sf01)
+      .select("i").collect().map(_.getLong(0)).toSet
+    assert(rep.filter(_._2._2).keySet == x46)
+    // channel 3 ≡ driver-side max dot over benchmark embeddings
+    val bids = bench.select("doc_id").collect().map(_.getLong(0)).toSet
+    val vecs = cat.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val bvecs = vecs.filter(kv => bids(kv._1)).values.toArray
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+    rep.foreach { case (id, (ng, nd, sc, verdict)) =>
+      val want = vecs.get(id).filterNot(_ => bvecs.isEmpty)
+        .map(v => math.rint(bvecs.map(b => dot(v, b)).max * 1e6) / 1e6)
+      assert(sc == want, s"doc $id semantic_cos $sc != $want")
+      val fires = ng >= 0.2 || nd || sc.exists(_ >= 0.35)
+      assert(verdict == (if (fires) "drop" else "keep"), s"doc $id verdict")
+    }
+  }
+
   test("noveltyCurve: hand fixture buckets, cumulative vocab is total distinct words") {
     import spark.implicits._
     // rn 1..4, nBuckets=2 → docs 1,2 in bucket 0; docs 3,4 in bucket 1

@@ -68,8 +68,10 @@ class PlanAuditSpec extends SparkSpec {
       "X79_epoch_plan", "X81_perplexity_buckets", "X82_diversity_sample",
       "X85_semantic_outliers",
       // X86/X87: the 1-row corpus-count / split-totals aggregate;
-      // X89: the final topV-sized regression collapses to one row
-      "X86_novelty_curve", "X87_split_divergence", "X89_zipf_fit")
+      // X89: the final topV-sized regression collapses to one row;
+      // X90: the benchmark-embedding array collapse (X60's shape)
+      "X86_novelty_curve", "X87_split_divergence", "X89_zipf_fit",
+      "X90_decontamination_report")
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against
@@ -96,8 +98,10 @@ class PlanAuditSpec extends SparkSpec {
       "X85_semantic_outliers",
       // X86/X87 broadcast their 1-row count/totals across the bucketed /
       // vocab-sized table (the X53 idiom); X88 rides knnJoin's
-      // broadcast-queries join (X52's shape)
-      "X86_novelty_curve", "X87_split_divergence", "X88_semantic_leakage")
+      // broadcast-queries join (X52's shape); X90 broadcasts the 1-row
+      // benchmark-embedding array (X60/X82's shape)
+      "X86_novelty_curve", "X87_split_divergence", "X88_semantic_leakage",
+      "X90_decontamination_report")
     val sf001Dir = "/root/testdata/sf0.001"
     // AUDIT BLIND SPOT (ADVICE r8, accepted): queries that lazily
     // localCheckpoint an expensive prefix (X53, X80, X81) truncate
