@@ -201,6 +201,86 @@ FROM xy
     }
   }
 
+  test("X90: decontamination-report SQL twin over a shared banded index hash-equal to the builder") {
+    graft.core.Engine.configure(spark)
+    Tables.registerAll(spark, sf001)
+    val docs = Tables.load(spark, sf001, "documents")
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val corpus = docs.filter(org.apache.spark.sql.functions.col("source") =!= "src0")
+    val bench = docs.filter(org.apache.spark.sql.functions.col("source") === "src0")
+    // both forms consume the SAME banded rows (the persisted-artifact
+    // contract the declared query rides)
+    val dir = java.nio.file.Files.createTempDirectory("graft-x90-banded").toString
+    val cfg = graft.text.MinHashConfig(threshold = 0.5)
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(docs, cfg), dir, cfg)
+    val banded = graft.text.MinHashDedup.readBandedIndex(spark, dir, cfg)
+    banded.createOrReplaceTempView("x90_banded")
+    val viaBuilder = Canonical.hash16(
+      graft.pipeline.TrainingSet.decontaminationReport(corpus, bench, banded, emb))
+    // Spark SQL is 0-based on array indexing (DuckDB's oracle is
+    // 1-based) — the i-1 offsets below are that dialect shift
+    val viaSql = Canonical.hash16(spark.sql("""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE source != 'src0'),
+bench AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+ct AS (SELECT doc_id, filter(split(text, ' '), w -> w != '') AS toks FROM corpus),
+csh AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, explode(transform(sequence(1, size(toks) - 4),
+    i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2], toks[i+3]))) AS s
+  FROM ct WHERE size(toks) >= 5) u),
+bt AS (SELECT doc_id, filter(split(text, ' '), w -> w != '') AS toks FROM bench),
+bsh AS (SELECT DISTINCT s FROM (
+  SELECT explode(transform(sequence(1, size(toks) - 4),
+    i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2], toks[i+3]))) AS s
+  FROM bt WHERE size(toks) >= 5) u),
+ng AS (SELECT csh.doc_id,
+         ROUND(CAST(COUNT(bsh.s) AS DOUBLE) / COUNT(*), 6) AS ngram_frac
+       FROM csh LEFT JOIN bsh ON csh.s = bsh.s GROUP BY csh.doc_id),
+cand AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM x90_banded a JOIN x90_banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id IN (SELECT doc_id FROM corpus)
+    AND b.id IN (SELECT doc_id FROM bench)),
+cids AS (SELECT i AS doc_id FROM cand UNION SELECT j FROM cand),
+t3 AS (SELECT doc_id, filter(split(text, ' '), w -> w != '') AS toks
+       FROM documents WHERE doc_id IN (SELECT doc_id FROM cids)),
+sh3 AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, explode(transform(sequence(1, size(toks) - 2),
+    i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))) AS s
+  FROM t3 WHERE size(toks) >= 3) u),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh3 GROUP BY doc_id),
+inter AS (SELECT cand.i, cand.j, COUNT(*) AS c
+          FROM cand JOIN sh3 a ON cand.i = a.doc_id
+                    JOIN sh3 b ON cand.j = b.doc_id AND a.s = b.s
+          GROUP BY 1, 2),
+nd AS (SELECT DISTINCT inter.i AS doc_id
+       FROM inter JOIN sz sa ON inter.i = sa.doc_id
+                  JOIN sz sb ON inter.j = sb.doc_id
+       WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
+cemb AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id IN (SELECT doc_id FROM corpus)),
+bemb AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id IN (SELECT doc_id FROM bench)),
+sem AS (SELECT c.vec_id AS doc_id,
+          ROUND(MAX(graft_dot(c.embedding, b.embedding)), 6) AS semantic_cos
+        FROM cemb c CROSS JOIN bemb b GROUP BY c.vec_id)
+SELECT c.doc_id,
+  COALESCE(ng.ngram_frac, CAST(0 AS DOUBLE)) AS ngram_frac,
+  (nd.doc_id IS NOT NULL) AS near_dup,
+  sem.semantic_cos,
+  CASE WHEN COALESCE(ng.ngram_frac, CAST(0 AS DOUBLE)) >= 0.2
+         OR nd.doc_id IS NOT NULL
+         OR sem.semantic_cos >= 0.35 THEN 'drop' ELSE 'keep' END AS verdict
+FROM corpus c
+LEFT JOIN ng ON c.doc_id = ng.doc_id
+LEFT JOIN nd ON c.doc_id = nd.doc_id
+LEFT JOIN sem ON c.doc_id = sem.doc_id
+ORDER BY c.doc_id
+""".trim))
+    assert(viaSql == viaBuilder,
+      s"X90 SQL twin hash $viaSql != builder hash $viaBuilder")
+  }
+
   test("X83/X85: SQL twins over shared inputs hash-equal to the builders") {
     graft.core.Engine.configure(spark)
     Tables.registerAll(spark, sf001)

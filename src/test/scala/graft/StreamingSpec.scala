@@ -979,4 +979,40 @@ class StreamingSpec extends SparkSpec {
     assert(vocabGot == vocabWant && vocabAll == vocabWant,
       s"sink union must be the exact vocab once each: $vocabGot/$vocabAll vs $vocabWant")
   }
+
+  test("vocab novelty crash recovery: restart from checkpoint equals the uninterrupted curve") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val slices = ids.grouped((ids.length + 2) / 3).toSeq
+    val srcDir = Files.createTempDirectory("graft-novelty-crash-src")
+    val outDir = Files.createTempDirectory("graft-novelty-crash-out").toString + "/vocab"
+    val ckpt = Files.createTempDirectory("graft-novelty-crash-ckpt").toString
+    def start() = StreamOps.vocabNoveltyStream(
+      StreamOps.documentsStream(spark, srcDir.toString), outDir, ckpt)
+    // slice 0, stop (crash), restart on the SAME checkpoint + sink for
+    // slices 1–2: the seen-vocab state must come back from the
+    // committed batch outputs alone
+    writeChunk(docs.filter(col("doc_id").isInCollection(slices(0).toSet)), srcDir, "chunk0")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    writeChunk(docs.filter(col("doc_id").isInCollection(slices(1).toSet)), srcDir, "chunk1")
+    writeChunk(docs.filter(col("doc_id").isInCollection(slices(2).toSet)), srcDir, "chunk2")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // per-slice novel counts must equal a batch-side replay of the same
+    // cuts, and the union must be the exact vocabulary once each
+    val seen = scala.collection.mutable.Set[String]()
+    val want = slices.map { s =>
+      val ws = docs.filter(col("doc_id").isInCollection(s.toSet))
+        .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("w"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val fresh = ws diff seen
+      seen ++= fresh
+      fresh.size.toLong
+    }
+    val got = StreamOps.noveltySummary(spark, outDir).map(_._2)
+    assert(got == want, s"crash-recovered curve $got != batch-cut curve $want")
+    val union = spark.read.option("recursiveFileLookup", "true").parquet(outDir).count()
+    assert(union == seen.size.toLong, s"sink union $union != vocab ${seen.size}")
+  }
 }
