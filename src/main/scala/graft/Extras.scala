@@ -208,12 +208,15 @@ object Extras {
     * the artifact is stored, both consumers read it). All-integer
     * content — persisting it cannot perturb either oracle.
     */
-  private def hitListsTable(c: Catalog): DataFrame = {
-    val st = stamp(c.dir, "documents", "hitlists:5")
+  private def hitListsTable(c: Catalog, n: Int = 5): DataFrame = {
+    // v1 guards the artifact against shingle/tokenizer semantic changes
+    // (the sigTable SignatureVersion idiom); n rides the stamp so a
+    // call-site order change can never read a stale-order artifact
+    val st = stamp(c.dir, "documents", s"hitlists:v1:$n")
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_hitlists_" + st).toString
     if (!new java.io.File(dir, "_SUCCESS").exists())
-      TextAnalysis.crossDocHitLists(c.documents, n = 5)
+      TextAnalysis.crossDocHitLists(c.documents, n)
         .write.mode("overwrite").parquet(dir)
     c.spark.read.parquet(dir)
   }
@@ -1007,8 +1010,10 @@ object Extras {
     // an n-gram shared with another doc; span union is a per-doc
     // integer fold — fully oracle-checked (the oracle explodes spans
     // instead; same integers)
-    "X67_dup_ngram_coverage" -> q(c =>
-      TextAnalysis.crossDocDupCoverageFrom(c.documents, hitListsTable(c), n = 5)),
+    "X67_dup_ngram_coverage" -> q(c => {
+      val n = 5 // one binding feeds artifact and fold — they cannot drift
+      TextAnalysis.crossDocDupCoverageFrom(c.documents, hitListsTable(c, n), n)
+    }),
     // compression-ratio quality signal (MassiveText-style): DEFLATE
     // length over raw length, per doc. The codegen'd native deflate
     // expression runs once into the persisted artifact (no portable
@@ -1024,8 +1029,10 @@ object Extras {
     // the transform half of exact-substring dedup: rewrite docs with
     // cross-doc-shared 5-gram spans cut out (map-side range fold per
     // doc); fully oracle-checked — exact string equality
-    "X68_remove_shared_spans" -> q(c =>
-      TextAnalysis.removeSharedSpansFrom(c.documents, hitListsTable(c), n = 5)),
+    "X68_remove_shared_spans" -> q(c => {
+      val n = 5
+      TextAnalysis.removeSharedSpansFrom(c.documents, hitListsTable(c, n), n)
+    }),
     // batched BM25 over a query TABLE (queries = first 5 tokens of
     // docs 0-2): the inverted-index join form — postings built once,
     // per-query top-5 through a query-partitioned window; fully

@@ -577,25 +577,35 @@ object StreamOps {
             if (priorDirs.isEmpty) words
             else words.join(
               spark.read.parquet(priorDirs: _*).select("w"), Seq("w"), "left_anti")
-          fresh.write.mode("overwrite").parquet(s"$path/b$batchId")
+          fresh.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$path/b$batchId")
         }
       }
       .start()
   }
 
   /** The (batch_id, new_types, cum_vocab) curve over a
-    * [[vocabNoveltyStream]] sink: one vocab-sized count per completed
-    * batch dir, merged driver-side (batch count is metadata-sized).
+    * [[vocabNoveltyStream]] sink: ONE job counts every completed batch
+    * at once (grouped on the persisted batch_id column — a thousand
+    * micro-batches is one scan, not a thousand serial jobs); dirs whose
+    * batch added zero words still appear as zero-count rows via the
+    * directory listing.
     */
   def noveltySummary(
       spark: SparkSession,
       path: String): Seq[(Long, Long, Long)] = {
     val dirs = completedBatchDirs(path, excludeBatch = -1L)
-      .map(d => (new java.io.File(d).getName.drop(1).toLong, d)).sortBy(_._1)
-    val counts = dirs.map { case (id, d) => (id, spark.read.parquet(d).count()) }
-    counts.scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n)) =>
-      (id, n, cum + n)
-    }.tail
+    if (dirs.isEmpty) Nil
+    else {
+      val ids = dirs.map(d => new java.io.File(d).getName.drop(1).toLong).sorted
+      val counted = spark.read.parquet(dirs: _*)
+        .groupBy("batch_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ids.map(id => (id, counted.getOrElse(id, 0L)))
+        .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n)) =>
+          (id, n, cum + n)
+        }.tail
+    }
   }
 
   /** Watermarked stream-stream inner join: pair every `typeA` event

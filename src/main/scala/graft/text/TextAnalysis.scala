@@ -1062,6 +1062,13 @@ object TextAnalysis {
       seed: Long = 42L): DataFrame = {
     require(weights.size >= 2, s"need >= 2 splits, got $weights")
     val names = weights.map(_._1)
+    // names are embedded in derived column names and a stack() SQL
+    // text: restrict to bare alphanumeric identifiers so a hyphenated
+    // name can't parse as subtraction and underscore-composed names
+    // can't collide (kl_a_b_c is ambiguous between (a,b_c) and (a_b,c))
+    require(names.forall(_.matches("[A-Za-z][A-Za-z0-9]*")),
+      s"split names must be alphanumeric ([A-Za-z][A-Za-z0-9]*): $names")
+    require(names.distinct.size == names.size, s"duplicate split names: $names")
     val toks = graft.ops.Scale.md5Split(documents, "doc_id", weights, seed)
       .select(col("split"), explode(tokens(col("text"))).as("w"))
     val countCols = names.map(s =>

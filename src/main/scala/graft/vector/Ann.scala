@@ -530,7 +530,7 @@ object Ann {
 
   /** Semantic eval-contamination audit: split the embedding table with
     * the portable md5 coin ([[graft.ops.Scale.md5Split]] on `vec_id`)
-    * into an `evalName` slice and everything else ("train"), and report
+    * into an `evalFrac`-weighted "eval" slice and a "train" rest, and report
     * every eval vector whose nearest TRAIN neighbor scores
     * cos ≥ `threshold` — the embedding-space complement of the n-gram
     * (X30) and MinHash (X46/X77) decontamination audits: a paraphrase

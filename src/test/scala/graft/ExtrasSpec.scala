@@ -988,6 +988,16 @@ class ExtrasSpec extends SparkSpec {
   }
 
   test("splitDivergence: matches a driver-side reference; KL >= 0, TV symmetric in [0,1)") {
+    // names are embedded in derived columns + stack() SQL — non-identifier
+    // and colliding names must refuse loudly, not misparse
+    intercept[IllegalArgumentException] {
+      graft.text.TextAnalysis.splitDivergence(cat.documents,
+        Seq("held-out" -> 0.5, "train" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      graft.text.TextAnalysis.splitDivergence(cat.documents,
+        Seq("train" -> 0.5, "train" -> 0.5))
+    }
     val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val got = TextAnalysis.splitDivergence(cat.documents, weights)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
