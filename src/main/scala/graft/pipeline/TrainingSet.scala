@@ -495,10 +495,21 @@ object TrainingSet {
       n: Int = 5,
       ngramThreshold: Double = 0.2,
       dedup: MinHashConfig = MinHashConfig(threshold = 0.5),
-      cosThreshold: Double = 0.35): DataFrame = {
-    val ngram = TextAnalysis.contaminationScores(corpus, benchmark, n)
+      cosThreshold: Double = 0.35,
+      nearDupPairs: Option[DataFrame] = None,
+      ngramScores: Option[DataFrame] = None): DataFrame = {
+    // channel 1 likewise accepts a persisted contaminationScores table
+    // (the X30 report) — one corpus shingle pass feeds both audits
+    val ngram = ngramScores
+      .getOrElse(TextAnalysis.contaminationScores(corpus, benchmark, n))
       .select(col("doc_id"), col("overlap_frac"))
-    val nd = MinHashDedup.crossNearDupsFromBanded(corpus, benchmark, banded, dedup)
+    // channel 2 accepts the already-verified (i, j) pair table when the
+    // caller persisted it (the X46 report IS this artifact — a release
+    // gate runs both, so recomputing the banded verify here would pay
+    // the same candidate chain twice)
+    val nd = nearDupPairs
+      .getOrElse(
+        MinHashDedup.crossNearDupsFromBanded(corpus, benchmark, banded, dedup))
       .select(col("i").as("doc_id")).distinct()
       .withColumn("__nd", lit(true))
     val cemb = embeddings.join(
