@@ -584,6 +584,80 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming twin of the unified decontamination report (batch X90,
+    * [[graft.pipeline.TrainingSet.decontaminationReport]]): gate every
+    * arriving document against a FROZEN benchmark at ingest time,
+    * before it ever enters the corpus. All three channels run against
+    * static benchmark artifacts, so the stage is fully STATELESS per
+    * micro-batch — no cross-batch state, no state store, and the
+    * batch-keyed sink replays idempotently:
+    *
+    *  1. verbatim n-gram overlap vs the benchmark's shingle set;
+    *  2. MinHash near-dup via [[graft.text.MinHashDedup
+    *     .crossNearDupsAgainstBanded]] — the batch signs itself, the
+    *     benchmark contributes only its persisted banded keys;
+    *  3. embedding cosine IF the stream carries an `embedding` column
+    *     (broadcast benchmark vectors, map-side argmax); absent column
+    *     → null channel, which never fires (same three-valued-OR
+    *     contract as the batch report).
+    *
+    * A replayed corpus reproduces the batch X90 report EXACTLY
+    * (StreamingSpec pins it) — channel semantics are per-document vs
+    * the frozen benchmark, so batch boundaries cannot change verdicts.
+    */
+  def decontaminationGateStream(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      benchBanded: DataFrame,
+      benchEmbeddings: DataFrame,
+      path: String,
+      checkpoint: String,
+      n: Int = 5,
+      ngramThreshold: Double = 0.2,
+      dedup: graft.text.MinHashConfig =
+        graft.text.MinHashConfig(threshold = 0.5),
+      cosThreshold: Double = 0.35): org.apache.spark.sql.streaming.StreamingQuery = {
+    documents.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val ngram = graft.text.TextAnalysis
+            .contaminationScores(batch.toDF(), benchmark, n)
+            .select(col("doc_id"), col("overlap_frac"))
+          val nd = graft.text.MinHashDedup
+            .crossNearDupsAgainstBanded(batch.toDF(), benchmark, benchBanded, dedup)
+            .select(col("i").as("doc_id")).distinct()
+            .withColumn("__nd", lit(true))
+          val sem =
+            if (!batch.columns.contains("embedding")) None
+            else Some(graft.vector.SemDedup.assignWithScore(
+                batch.select(col("doc_id").as("vec_id"), col("embedding")),
+                benchEmbeddings.select(col("vec_id").as("centroid_id"),
+                  col("embedding").as("centroid")))
+              .select(col("vec_id").as("doc_id"),
+                round(col("ccos"), 6).as("semantic_cos")))
+          val joined = batch.select("doc_id")
+            .join(ngram, Seq("doc_id"), "left")
+            .join(nd, Seq("doc_id"), "left")
+          val withSem = sem.fold(
+            joined.withColumn("semantic_cos", lit(null).cast("double")))(
+            s => joined.join(s, Seq("doc_id"), "left"))
+          withSem
+            .select(col("doc_id"),
+              coalesce(col("overlap_frac"), lit(0.0)).as("ngram_frac"),
+              coalesce(col("__nd"), lit(false)).as("near_dup"),
+              col("semantic_cos"),
+              when(coalesce(col("overlap_frac"), lit(0.0)) >= ngramThreshold ||
+                  coalesce(col("__nd"), lit(false)) ||
+                  col("semantic_cos") >= cosThreshold, "drop")
+                .otherwise("keep").as("verdict"))
+            .write.mode("overwrite").parquet(s"$path/b$batchId")
+        }
+      }
+      .start()
+  }
+
   /** The (batch_id, new_types, cum_vocab) curve over a
     * [[vocabNoveltyStream]] sink: ONE job counts every completed batch
     * at once (grouped on the persisted batch_id column — a thousand

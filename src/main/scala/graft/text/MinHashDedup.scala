@@ -646,6 +646,37 @@ object MinHashDedup {
       .orderBy("i", "j")
   }
 
+  /** Benchmark near-dups for a FRESH batch of documents against a
+    * PERSISTED banded index of the benchmark — the ingest-time
+    * decontamination probe: the batch is shingled + signed in place
+    * (signatures are pure functions of the text, so the result equals
+    * [[crossNearDupsFromBanded]] run with the batch already in the
+    * index), the benchmark contributes only its 8-byte banded keys
+    * plus the texts of the few candidate docs for exact re-score.
+    * Returns (i, j, jac): i = batch doc, j = benchmark doc, exact
+    * shingle Jaccard ≥ cfg.threshold.
+    */
+  def crossNearDupsAgainstBanded(
+      newDocs: DataFrame,
+      benchmark: DataFrame,
+      benchBanded: DataFrame,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val bandedNew = bandedFromSignatures(signatures(newDocs, cfg), cfg)
+    val cand = bandedNew.as("a")
+      .join(benchBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.bucket"))
+      .select(col("a.doc_id").as("i"), col("b.id").as("j"))
+      .distinct()
+      .localCheckpoint(true)
+    val shN = shingleRows(
+      newDocs.join(cand.select(col("i").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"), cfg)
+    val shB = shingleRows(
+      benchmark.join(cand.select(col("j").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"), cfg)
+    jaccardAbove(cand, shN, shB, cfg.threshold).orderBy("i", "j")
+  }
+
   /** Incremental dedup — the 100 TB ingest workflow: admit a NEW batch
     * of documents against an EXISTING corpus using only the corpus's
     * persisted signature table. A new document loses if it near-

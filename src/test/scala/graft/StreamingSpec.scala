@@ -980,6 +980,61 @@ class StreamingSpec extends SparkSpec {
       s"sink union must be the exact vocab once each: $vocabGot/$vocabAll vs $vocabWant")
   }
 
+  test("streaming decontamination gate: replayed corpus reproduces the batch X90 report exactly") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    val cfg = graft.text.MinHashConfig(threshold = 0.5)
+    // frozen benchmark-side artifacts (what an ingest gate ships with)
+    val bdir = Files.createTempDirectory("graft-gate-bbanded").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(bench, cfg), bdir, cfg)
+    val benchBanded = graft.text.MinHashDedup.readBandedIndex(spark, bdir, cfg)
+    val benchEmb = emb.join(
+      bench.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    // batch-side truth: the X90 report with a full both-sides index —
+    // signatures are pure functions of text, so the gate's
+    // sign-the-batch-in-place probe must reproduce it exactly
+    val adir = Files.createTempDirectory("graft-gate-abanded").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(docs, cfg), adir, cfg)
+    val want = graft.pipeline.TrainingSet.decontaminationReport(
+        corpus, bench, graft.text.MinHashDedup.readBandedIndex(spark, adir, cfg),
+        emb, dedup = cfg)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getString(4))).toSeq
+    // replay the corpus (embedding column attached) in three slices
+    val enriched = corpus.join(
+      emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"), "left")
+    val ids = corpus.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val slices = ids.grouped((ids.length + 2) / 3).toSeq
+    val srcDir = Files.createTempDirectory("graft-gate-src")
+    val outDir = Files.createTempDirectory("graft-gate-out").toString + "/verdicts"
+    val ckpt = Files.createTempDirectory("graft-gate-ckpt").toString
+    val schema = Tables.schemas("documents").add("embedding",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val query = StreamOps.decontaminationGateStream(
+      stream, bench, benchBanded, benchEmb, outDir, ckpt, dedup = cfg)
+    try {
+      slices.zipWithIndex.foreach { case (s, i) =>
+        writeChunk(enriched.filter(col("doc_id").isInCollection(s.toSet)), srcDir, s"chunk$i")
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val got = spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getString(4))).toSeq
+    assert(got == want,
+      s"stream gate ≠ batch X90: first diff ${got.zip(want).find(p => p._1 != p._2)}")
+    // non-vacuous: the replay must exercise both verdicts
+    assert(got.exists(_._5 == "drop") && got.exists(_._5 == "keep"),
+      s"fixture must produce both verdicts: ${got.map(_._5).distinct}")
+  }
+
   test("vocab novelty crash recovery: restart from checkpoint equals the uninterrupted curve") {
     val docs = Tables.load(spark, sf001, "documents")
     val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
