@@ -257,6 +257,22 @@ object StreamOps {
     * must scan — the same cheap-stages-first ordering as the batch
     * pipeline.
     */
+  /** Frozen benchmark-decontamination stage config for
+    * [[ingestPipelineStream]] (stage 1d): drop arriving docs whose
+    * verbatim n-gram overlap with `benchmark` reaches `ngramThreshold`
+    * OR that MinHash-near-dup a benchmark doc via the persisted
+    * `benchBanded` keys — the text channels of the X90 report at
+    * ingest time (the standalone [[decontaminationGateStream]] adds
+    * the embedding channel when the stream carries vectors).
+    */
+  final case class BenchmarkGate(
+      benchmark: DataFrame,
+      benchBanded: DataFrame,
+      n: Int = 5,
+      ngramThreshold: Double = 0.2,
+      dedup: graft.text.MinHashConfig =
+        graft.text.MinHashConfig(threshold = 0.5))
+
   def ingestPipelineStream(
       newDocs: DataFrame,
       corpusDocs: DataFrame,
@@ -269,7 +285,8 @@ object StreamOps {
       maxDupWordFrac: Double = 0.9,
       maxTopWordFrac: Double = 0.3,
       qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None,
-      perplexityGate: Option[(graft.text.PerplexityGate.Model, Long)] = None)
+      perplexityGate: Option[(graft.text.PerplexityGate.Model, Long)] = None,
+      benchmarkGate: Option[BenchmarkGate] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     def gate(batch: DataFrame): DataFrame = {
       val ruleKept = graft.text.TextAnalysis
@@ -285,11 +302,24 @@ object StreamOps {
       // 1c: CCNet perplexity filter as a frozen artifact — keep only
       // documents the frozen bigram-LM gate puts in bucket ≤ maxBucket
       // (head/middle); stateless per batch like the other gate stages
-      perplexityGate.fold(qualed) { case (m, maxBucket) =>
+      val perpled = perplexityGate.fold(qualed) { case (m, maxBucket) =>
         qualed.join(
           graft.text.PerplexityGate.assign(qualed, m)
             .filter(col("bucket") <= maxBucket).select("doc_id"),
           Seq("doc_id"), "left_semi")
+      }
+      // 1d: frozen benchmark decontamination — the X90 text channels
+      // at ingest time (stateless: both channels are per-doc vs the
+      // static benchmark artifacts)
+      benchmarkGate.fold(perpled) { bg =>
+        val ng = graft.text.TextAnalysis
+          .contaminationScores(perpled, bg.benchmark, bg.n)
+          .filter(col("overlap_frac") >= bg.ngramThreshold)
+          .select("doc_id")
+        val nd = graft.text.MinHashDedup
+          .crossNearDupsAgainstBanded(perpled, bg.benchmark, bg.benchBanded, bg.dedup)
+          .select(col("i").as("doc_id")).distinct()
+        perpled.join(ng.unionByName(nd).distinct(), Seq("doc_id"), "left_anti")
       }
     }
     newDocs.writeStream

@@ -800,6 +800,71 @@ class StreamingSpec extends SparkSpec {
       s"streaming pipeline with perplexity gate must equal the batch composition: $accepted")
   }
 
+  test("pipeline ingest with frozen benchmark gate rejects contaminated arrivals before dedup") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf001, "documents")
+    def gateIds(d: DataFrame): DataFrame =
+      graft.text.TextAnalysis.filterVerdicts(d, 10L, 100000L, 0.9, 0.3)
+        .filter(col("keep")).select("doc_id")
+    val corpus = docs.filter(col("doc_id") < 300)
+      .join(gateIds(docs.filter(col("doc_id") < 300)), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val bench = docs.filter(col("doc_id") >= 450).select("doc_id", "text")
+      .localCheckpoint(true)
+    val gcfg = graft.text.MinHashConfig(threshold = 0.5)
+    val bbDir = Files.createTempDirectory("graft-bgate-bidx").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(bench, gcfg), bbDir, gcfg)
+    val benchBanded = graft.text.MinHashDedup.readBandedIndex(spark, bbDir, gcfg)
+    val idxDir = Files.createTempDirectory("graft-bgate-idx").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(corpus), idxDir)
+    // arrivals: clean rule-gated docs + a planted near-copy of a
+    // benchmark doc (id 900 — a leaked eval question quoting doc 450)
+    val benchText = bench.filter(col("doc_id") === 450).select("text")
+      .head().getString(0)
+    val planted = Seq((900L, benchText + " tail")).toDF("doc_id", "text")
+    val clean = docs.filter(col("doc_id") >= 300 && col("doc_id") < 320)
+      .join(gateIds(docs.filter(col("doc_id") >= 300 && col("doc_id") < 320)),
+        Seq("doc_id"), "left_semi")
+      .select("doc_id", "text")
+    val fresh = clean.unionByName(planted).localCheckpoint(true)
+    val srcDir = Files.createTempDirectory("graft-bgate-src")
+    val outDir = Files.createTempDirectory("graft-bgate-out").toString
+    val ckpt = Files.createTempDirectory("graft-bgate-ckpt").toString
+    val query = StreamOps.ingestPipelineStream(
+      spark.readStream.schema(fresh.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString),
+      corpus, idxDir, outDir, ckpt,
+      benchmarkGate = Some(StreamOps.BenchmarkGate(bench, benchBanded, dedup = gcfg)))
+    try {
+      writeChunk(fresh, srcDir, "chunk0")
+      query.processAllAvailable()
+    } finally query.stop()
+    val accepted = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$outDir/accepted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the leaked near-copy must be stopped at the gate; clean docs flow
+    assert(!accepted.contains(900L), "planted benchmark near-copy must be rejected")
+    assert(accepted.nonEmpty, "clean arrivals must pass the gate")
+    // exact batch composition: contaminated = either text channel fires;
+    // survivors then dedup against corpus ∪ themselves
+    val freshIds = fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ngIds = graft.text.TextAnalysis.contaminationScores(fresh, bench, 5)
+      .filter(col("overlap_frac") >= 0.2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val ndIds = graft.text.MinHashDedup
+      .crossNearDupsAgainstBanded(fresh, bench, benchBanded, gcfg)
+      .select("i").collect().map(_.getLong(0)).toSet
+    assert((ngIds ++ ndIds).contains(900L), "fixture premise: the plant must be contaminated")
+    val keptDf = fresh.filter(!col("doc_id").isInCollection(ngIds ++ ndIds))
+    val batchMode = graft.text.MinHashDedup
+      .dedupWinners(corpus.select("doc_id", "text").unionByName(keptDf))
+      .collect().map(_.getLong(0)).toSet
+    assert(accepted == (batchMode & freshIds),
+      s"streaming pipeline with benchmark gate must equal the batch composition: $accepted")
+  }
+
   test("streaming budget admission replayed in coin order equals the batch X80 cut") {
     val docs = Tables.load(spark, sf1, "documents")
     val totalTokens = docs
