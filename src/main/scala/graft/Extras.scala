@@ -1165,6 +1165,19 @@ object Extras {
     // unified per-doc contamination verdict: verbatim n-gram (X30) +
     // MinHash near-dup off the banded mirror (X46) + embedding cosine
     // (X88) in one release-gate report — fully oracle-checked
+    // held-out bigram-LM fluency: the model is trained on the md5
+    // train slice ONLY and scores every doc — the leakage-free eval
+    // discipline (X70's self-trained twin rewards memorized dups);
+    // fully oracle-checked
+    "X91_heldout_logprob" -> q(c => {
+      val sp = Scale.md5Split(c.documents, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      TextAnalysis.bigramLogProbFrom(
+          sp.filter(col("split") === "train"), c.documents)
+        .join(sp.select("doc_id", "split"), Seq("doc_id"))
+        .select("doc_id", "split", "n_bigrams", "mean_logp")
+        .orderBy("doc_id")
+    }),
     // bandedTable(c) stays on the call: it refreshes the banded ORACLE
     // mirror X90's SQL candidate CTE reads, even though the Spark path
     // rides the persisted pair artifact
@@ -2337,6 +2350,27 @@ SELECT CAST(COUNT(*) AS BIGINT) AS top_v,
   ROUND(regr_intercept(y, x), 6) AS intercept,
   ROUND(regr_r2(y, x), 6) AS r2
 FROM xy
+""".trim,
+    "X91_heldout_logprob" -> s"""
+WITH sp AS (SELECT doc_id, text, CASE
+    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.8)}' THEN 'train'
+    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.9)}' THEN 'val'
+    ELSE 'test' END AS split FROM documents),
+t AS (SELECT doc_id, split, list_filter(str_split(text, ' '), x -> x <> '') AS toks FROM sp),
+bg AS (SELECT doc_id, split, toks[i] AS w1, toks[i+1] AS w2
+       FROM (SELECT doc_id, split, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+             FROM t WHERE len(toks) >= 2) u),
+m AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg WHERE split = 'train' GROUP BY w1, w2),
+cx AS (SELECT w1, SUM(c12) AS c1 FROM m GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w) AS v
+      FROM (SELECT unnest(toks) AS w FROM t WHERE split = 'train') z)
+SELECT bg.doc_id, bg.split, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(AVG(log10(CAST(COALESCE(m.c12, 0) + 1 AS DOUBLE) /
+                  CAST(COALESCE(cx.c1, 0) + v.v AS DOUBLE))), 6) AS mean_logp
+FROM bg LEFT JOIN m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+        LEFT JOIN cx ON bg.w1 = cx.w1
+        CROSS JOIN v
+GROUP BY bg.doc_id, bg.split ORDER BY bg.doc_id
 """.trim,
     "X90_decontamination_report" -> {
       val b = s"$oracleIdxRoot/minhash_banded/*.parquet"

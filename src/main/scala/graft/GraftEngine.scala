@@ -318,6 +318,13 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def bigramLogProb(): DataFrame =
     graft.text.TextAnalysis.bigramLogProb(tables.documents)
 
+  /** Held-out bigram-LM fluency: train on `trainDocs`, score the
+    * corpus — leakage-free, unlike the self-trained [[bigramLogProb]]
+    * (see [[graft.text.TextAnalysis.bigramLogProbFrom]]).
+    */
+  def heldoutLogProb(trainDocs: DataFrame): DataFrame =
+    graft.text.TextAnalysis.bigramLogProbFrom(trainDocs, tables.documents)
+
   /** Vocabulary-novelty curve over equal-count corpus buckets (see
     * [[graft.text.TextAnalysis.noveltyCurve]]).
     */

@@ -393,6 +393,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[bigramLogProb]] under a model trained on a SEPARATE training
+    * corpus — the leakage-free held-out scoring discipline: a
+    * self-trained score (X70) rewards memorized duplicates because
+    * every document contributes its own bigrams to the model it is
+    * scored by, while a held-out model measures fluency the scored
+    * text never influenced. Add-one smoothing extends off the training
+    * support: an unseen bigram over a seen context scores
+    * (0+1)/(c1+V), an unseen context the uniform (0+1)/(0+V).
+    * Output: (doc_id, n_bigrams, mean_logp) for every scored doc with
+    * ≥ 2 tokens — [[bigramLogProb]]'s schema, so the bucketing and
+    * gate machinery downstream compose unchanged.
+    *
+    * Scale shape: X70's — the model/context/vocab sides are
+    * training-corpus aggregates prepared once; scoring is one
+    * (doc_id, bigram) explode probed through two model-sized left
+    * joins and the 1-row vocab broadcast. Nothing corpus-sized
+    * shuffles except the bigram pairs themselves.
+    */
+  def bigramLogProbFrom(
+      trainDocs: DataFrame,
+      scoreDocs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    def bigramsOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val model = bigramsOf(trainDocs)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = model.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = trainDocs.select(explode(toks).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    bigramsOf(scoreDocs)
+      .join(model, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_bigrams"),
+        round(avg(log(10.0,
+          (coalesce(col("c12"), lit(0L)) + lit(1)).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))), 6)
+          .as("mean_logp"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style LM-score bucketing (Wenzek et al. 2020, CCNet —
     * public): rank every scored document by the corpus bigram-LM
     * fluency score ([[bigramLogProb]]) and split the ranking into

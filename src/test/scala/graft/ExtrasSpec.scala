@@ -964,6 +964,29 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("bigramLogProbFrom: hand-fixture floors for unseen bigrams/contexts; dups can't inflate held-out scores") {
+    import spark.implicits._
+    // train "a b a c": c12(ab)=1, c12(ba)=1, c12(ac)=1; c1(a)=2, c1(b)=1; V=3
+    val train = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (2L, "a b d"), // ab seen: (1+1)/(2+3)=0.4; bd unseen bigram, seen... b ctx: (0+1)/(1+3)=0.25
+      (3L, "x y"))   // unseen context: (0+1)/(0+3)=1/3
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProbFrom(train, score)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // log10(0.4)+log10(0.25) = log10(0.1) = -1 exactly → mean −0.5
+    assert(got == Seq(
+      (2L, 2L, -0.5),
+      (3L, 1L, math.rint(math.log10(1.0 / 3) * 1e6) / 1e6)), got)
+    // a doc duplicated into the SCORED set cannot raise its held-out
+    // score (the self-trained X70 failure mode this operator removes)
+    val dup = score.unionByName(Seq((4L, "a b d")).toDF("doc_id", "text"))
+    val dupped = TextAnalysis.bigramLogProbFrom(train, dup)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(dupped(2L) == -0.5 && dupped(4L) == -0.5,
+      s"held-out score must not move when the scored set gains a duplicate: $dupped")
+  }
+
   test("noveltyCurve: hand fixture buckets, cumulative vocab is total distinct words") {
     import spark.implicits._
     // rn 1..4, nBuckets=2 → docs 1,2 in bucket 0; docs 3,4 in bucket 1

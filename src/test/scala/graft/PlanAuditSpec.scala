@@ -71,7 +71,9 @@ class PlanAuditSpec extends SparkSpec {
       // X89: the final topV-sized regression collapses to one row;
       // X90: the benchmark-embedding array collapse (X60's shape)
       "X86_novelty_curve", "X87_split_divergence", "X89_zipf_fit",
-      "X90_decontamination_report")
+      // X90: the benchmark-embedding array collapse; X91: the 1-row
+      // train-vocab count (X70's shape)
+      "X90_decontamination_report", "X91_heldout_logprob")
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against
@@ -101,7 +103,8 @@ class PlanAuditSpec extends SparkSpec {
       // broadcast-queries join (X52's shape); X90 broadcasts the 1-row
       // benchmark-embedding array (X60/X82's shape)
       "X86_novelty_curve", "X87_split_divergence", "X88_semantic_leakage",
-      "X90_decontamination_report")
+      // X91 broadcasts the 1-row train-vocab count (X70's shape)
+      "X90_decontamination_report", "X91_heldout_logprob")
     val sf001Dir = "/root/testdata/sf0.001"
     // AUDIT BLIND SPOT (ADVICE r8, accepted): queries that lazily
     // localCheckpoint an expensive prefix (X53, X80, X81) truncate
