@@ -177,6 +177,27 @@ r AS (SELECT eval_id, train_id, cos,
 SELECT eval_id, train_id, cos, CAST(rk AS BIGINT) AS rk
 FROM r WHERE rk <= 1 AND cos >= 0.35 ORDER BY eval_id, rk
 """,
+    "X91_heldout_logprob" -> s"""
+WITH sp AS (SELECT doc_id, text, CASE
+    WHEN $coin < '${graft.ops.Scale.hexCutoff(0.8)}' THEN 'train'
+    WHEN $coin < '${graft.ops.Scale.hexCutoff(0.9)}' THEN 'val'
+    ELSE 'test' END AS split FROM documents),
+t AS (SELECT doc_id, split, filter(split(text, ' '), x -> x != '') AS toks FROM sp),
+bg AS (SELECT doc_id, split, toks[i-1] AS w1, toks[i] AS w2
+       FROM (SELECT doc_id, split, toks, explode(sequence(1, size(toks) - 1)) AS i
+             FROM t WHERE size(toks) >= 2) u),
+m AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg WHERE split = 'train' GROUP BY w1, w2),
+cx AS (SELECT w1, SUM(c12) AS c1 FROM m GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w) AS v
+      FROM (SELECT explode(toks) AS w FROM t WHERE split = 'train') z)
+SELECT bg.doc_id, bg.split, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(AVG(log10(CAST(COALESCE(m.c12, 0) + 1 AS DOUBLE) /
+                  CAST(COALESCE(cx.c1, 0) + v.v AS DOUBLE))), 6) AS mean_logp
+FROM bg LEFT JOIN m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+        LEFT JOIN cx ON bg.w1 = cx.w1
+        CROSS JOIN v
+GROUP BY bg.doc_id, bg.split ORDER BY bg.doc_id
+""",
     "X89_zipf_fit" -> """
 WITH toks AS (SELECT explode(filter(split(text, ' '), w -> w != '')) AS w FROM documents),
 c AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),

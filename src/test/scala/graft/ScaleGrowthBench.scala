@@ -47,6 +47,7 @@ object ScaleGrowthBench {
 
     val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
       .select("doc_id", "text", "n_chars")
+    val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
 
     // block-diagonal replica i: disjoint doc_ids and a fixed-width
     // per-token tag (all tags 3 chars, so per-replica char counts are
@@ -87,6 +88,41 @@ object ScaleGrowthBench {
             s"X84 removed ($removed) must reconcile with members-clusters")
           nClusters
         },
+        true),
+      // X90 against a FIXED benchmark (the realistic model: the corpus
+      // grows, the eval set does not): benchmark = replica 0's first
+      // 250 docs, corpus = the rest. Report rows cover every corpus
+      // doc (required in-closure); the drop count is required CONSTANT
+      // across growth below — replicas ≥ 1 share no shingles or
+      // embeddings with the benchmark, so only replica 0 can fire.
+      ("X90_decontamination",
+        d => {
+          val bench = d.filter(col("doc_id") < 250).select("doc_id", "text")
+          val cor = d.filter(col("doc_id") >= 250).select("doc_id", "text")
+          val cfg = graft.text.MinHashConfig(threshold = 0.5)
+          val bdir = java.nio.file.Files
+            .createTempDirectory("growth-x90-bench").toString
+          MinHashDedup.writeBandedIndex(
+            MinHashDedup.signatures(bench, cfg), bdir, cfg)
+          val rep = graft.pipeline.TrainingSet.decontaminationReport(
+            cor, bench, MinHashDedup.readBandedIndex(spark, bdir, cfg),
+            emb, dedup = cfg).localCheckpoint(true)
+          require(rep.count() == d.count() - 250,
+            "X90 report must cover every corpus doc")
+          rep.filter(col("verdict") === "drop").count()
+        },
+        false),
+      // X91 held-out LM: train on the md5 train slice of the grown
+      // corpus, score everything — bigram totals are a per-doc pure
+      // function, so the measure is exactly linear
+      ("X91_heldout_lm",
+        d => {
+          val sp = graft.ops.Scale.md5Split(d, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          TextAnalysis.bigramLogProbFrom(
+              sp.filter(col("split") === "train"), d)
+            .agg(sum("n_bigrams")).first().getLong(0)
+        },
         true))
 
     // results(path) = Seq((factor, wallSec, measure))
@@ -120,6 +156,13 @@ object ScaleGrowthBench {
         println(f"SCALEGROWTH $name%-20s k=${k}%.2f  (${fa}x ${ta}%.2f s → ${fb}x ${tb}%.2f s)")
       }
     }
+
+    // X90's fixed-benchmark invariant: growth adds content that cannot
+    // be contaminated, so the drop count must not move at all
+    val x90Drops = results("X90_decontamination").map(_._3)
+    require(x90Drops.distinct.size == 1,
+      s"fixed-benchmark drop count must be constant across growth: $x90Drops")
+    println(s"SCALEGROWTH X90 drop count constant at ${x90Drops.head} across factors $factors")
 
     // J08: pair mass is quadratic by semantics — replicate part with
     // p_partkey shifted and p_brand UNSHIFTED (the rel10 growth model:
