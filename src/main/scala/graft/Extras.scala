@@ -200,63 +200,65 @@ object Extras {
     banded
   }
 
+  /** Shared write-once/read-forever scheme for derived-report
+    * artifacts (the production shape: a heavy report is computed once
+    * per corpus and every downstream consumer reads the stored rows).
+    * `key` must carry an algorithm version plus every parameter the
+    * build depends on — a call-site change must never ride a stale
+    * artifact.
+    */
+  private def stampedArtifact(c: Catalog, prefix: String, key: String)(
+      build: => DataFrame): DataFrame = {
+    val st = stamp(c.dir, "documents", key)
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${prefix}_" + st).toString
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      build.write.mode("overwrite").parquet(dir)
+    c.spark.read.parquet(dir)
+  }
+
   /** Per-corpus persisted cross-doc 5-gram hit lists (doc_id, ps) —
     * the exact-substring-dedup intermediate
     * ([[TextAnalysis.crossDocHitLists]]), computed once per corpus
     * stamp so the X67 coverage audit and the X68 rewrite share ONE
-    * shingle shuffle instead of paying it twice (the production shape:
-    * the artifact is stored, both consumers read it). All-integer
-    * content — persisting it cannot perturb either oracle.
+    * shingle shuffle instead of paying it twice. All-integer content —
+    * persisting it cannot perturb either oracle. v1 guards against
+    * shingle/tokenizer semantic changes (the sigTable SignatureVersion
+    * idiom); n rides the stamp so a call-site order change can never
+    * read a stale-order artifact.
     */
-  private def hitListsTable(c: Catalog, n: Int = 5): DataFrame = {
-    // v1 guards the artifact against shingle/tokenizer semantic changes
-    // (the sigTable SignatureVersion idiom); n rides the stamp so a
-    // call-site order change can never read a stale-order artifact
-    val st = stamp(c.dir, "documents", s"hitlists:v1:$n")
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_hitlists_" + st).toString
-    if (!new java.io.File(dir, "_SUCCESS").exists())
+  private def hitListsTable(c: Catalog, n: Int = 5): DataFrame =
+    stampedArtifact(c, "hitlists", s"hitlists:v1:$n") {
       TextAnalysis.crossDocHitLists(c.documents, n)
-        .write.mode("overwrite").parquet(dir)
-    c.spark.read.parquet(dir)
-  }
+    }
 
   /** Per-corpus persisted benchmark n-gram contamination scores — the
     * X30 report as a stored artifact; the X30 declared query and X90's
     * verbatim channel share one corpus shingle pass.
     */
-  private def contaminationTable(c: Catalog): DataFrame = {
-    val st = stamp(c.dir, "documents", "contamination:v1:5")
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_contamination_" + st).toString
-    if (!new java.io.File(dir, "_SUCCESS").exists())
+  private def contaminationTable(c: Catalog): DataFrame =
+    stampedArtifact(c, "contamination", "contamination:v1:5") {
       TextAnalysis.contaminationScores(
         c.documents.filter(col("source") =!= "src0"),
         c.documents.filter(col("source") === "src0"), n = 5)
-        .write.mode("overwrite").parquet(dir)
-    c.spark.read.parquet(dir).orderBy("doc_id")
-  }
+    }.orderBy("doc_id")
 
   /** Per-corpus persisted benchmark near-dup pairs — the X46 report as
-    * a stored artifact (the hit-list idiom): the banded candidate +
-    * exact-verify chain runs once per corpus, and both the X46 declared
-    * query and X90's near-dup channel read the same rows. Values are
-    * unchanged (the read re-applies the (i, j) order the hash expects).
+    * a stored artifact: the banded candidate + exact-verify chain runs
+    * once per corpus, and both the X46 declared query and X90's
+    * near-dup channel read the same rows. Values are unchanged (the
+    * read re-applies the (i, j) order the hash expects).
     */
   private def crossNearDupsTable(c: Catalog): DataFrame = {
     val cfg = graft.text.MinHashConfig(threshold = 0.5)
-    val st = stamp(c.dir, "documents",
+    stampedArtifact(c, "xnd",
       s"xnd:v${MinHashDedup.SignatureVersion}:${cfg.shingleSize}:" +
-        s"${cfg.numHashes}:${cfg.bands}:${cfg.threshold}")
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_xnd_" + st).toString
-    if (!new java.io.File(dir, "_SUCCESS").exists())
+        s"${cfg.numHashes}:${cfg.bands}:${cfg.threshold}") {
       MinHashDedup.crossNearDupsFromBanded(
         c.documents.filter(col("source") =!= "src0"),
         c.documents.filter(col("source") === "src0"),
         bandedTable(c), cfg)
-        .write.mode("overwrite").parquet(dir)
-    c.spark.read.parquet(dir).orderBy("i", "j")
+    }.orderBy("i", "j")
   }
 
   /** Per-corpus persisted IVF index, built once (same stamp scheme as
@@ -1165,6 +1167,11 @@ object Extras {
     // unified per-doc contamination verdict: verbatim n-gram (X30) +
     // MinHash near-dup off the banded mirror (X46) + embedding cosine
     // (X88) in one release-gate report — fully oracle-checked
+    // source-affinity LM matrix: each source's docs scored under every
+    // source's bigram LM — the linguistic-distance signal mixture
+    // design reads; fully oracle-checked
+    "X92_source_lm_matrix" -> q(c =>
+      TextAnalysis.sourceLmMatrix(c.documents)),
     // held-out bigram-LM fluency: the model is trained on the md5
     // train slice ONLY and scores every doc — the leakage-free eval
     // discipline (X70's self-trained twin rewards memorized dups);
@@ -2350,6 +2357,26 @@ SELECT CAST(COUNT(*) AS BIGINT) AS top_v,
   ROUND(regr_intercept(y, x), 6) AS intercept,
   ROUND(regr_r2(y, x), 6) AS r2
 FROM xy
+""".trim,
+    "X92_source_lm_matrix" -> """
+WITH t AS (SELECT doc_id, source, list_filter(str_split(text, ' '), x -> x <> '') AS toks FROM documents),
+bg AS (SELECT doc_id, source, toks[i] AS w1, toks[i+1] AS w2
+       FROM (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+             FROM t WHERE len(toks) >= 2) u),
+m AS (SELECT source AS model_source, w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2, 3),
+cx AS (SELECT model_source, w1, SUM(c12) AS c1 FROM m GROUP BY 1, 2),
+v AS (SELECT source AS model_source, COUNT(DISTINCT w) AS v
+      FROM (SELECT source, unnest(toks) AS w FROM t) z GROUP BY 1),
+pd AS (SELECT bg.doc_id, bg.source, v.model_source,
+         AVG(log10(CAST(COALESCE(m.c12, 0) + 1 AS DOUBLE) /
+                   CAST(COALESCE(cx.c1, 0) + v.v AS DOUBLE))) AS logp
+       FROM bg CROSS JOIN v
+       LEFT JOIN m ON v.model_source = m.model_source AND bg.w1 = m.w1 AND bg.w2 = m.w2
+       LEFT JOIN cx ON v.model_source = cx.model_source AND bg.w1 = cx.w1
+       GROUP BY 1, 2, 3)
+SELECT source AS scored_source, model_source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs, ROUND(AVG(logp), 6) AS avg_logp
+FROM pd GROUP BY 1, 2 ORDER BY scored_source, model_source
 """.trim,
     "X91_heldout_logprob" -> s"""
 WITH sp AS (SELECT doc_id, text, CASE

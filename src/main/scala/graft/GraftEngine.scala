@@ -325,6 +325,13 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def heldoutLogProb(trainDocs: DataFrame): DataFrame =
     graft.text.TextAnalysis.bigramLogProbFrom(trainDocs, tables.documents)
 
+  /** Source-affinity LM matrix: every source's docs scored under every
+    * source's bigram LM (see
+    * [[graft.text.TextAnalysis.sourceLmMatrix]]).
+    */
+  def sourceLmMatrix(): DataFrame =
+    graft.text.TextAnalysis.sourceLmMatrix(tables.documents)
+
   /** Vocabulary-novelty curve over equal-count corpus buckets (see
     * [[graft.text.TextAnalysis.noveltyCurve]]).
     */

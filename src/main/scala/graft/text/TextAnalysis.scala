@@ -440,6 +440,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Source-affinity LM matrix: for every ordered (scored source,
+    * model source) pair, the mean over the scored source's documents
+    * of their per-doc mean bigram log-probability under the model
+    * source's add-one bigram LM ([[bigramLogProbFrom]]'s smoothing,
+    * per source) — "which sources speak the same language". The
+    * diagonal is each source's self-fluency; a LOW off-diagonal cell
+    * says the two sources are linguistically far, the signal mixture
+    * design (X48/X74/X79) wants before weighting sources as
+    * interchangeable.
+    *
+    * Output: (scored_source, model_source, n_docs, avg_logp), one row
+    * per ordered source pair, avg_logp rounded 6 dp.
+    *
+    * Scale shape: ALL per-source models come out of ONE
+    * (source, bigram) aggregation (adding a grouping key, not a pass);
+    * the probe crosses the bigram stream with the SOURCES-sized
+    * broadcast (|S| is a small constant — the stream grows |S|-fold,
+    * linear in corpus × sources) and left-joins the two model-sized
+    * sides; everything after the per-doc aggregate is |S|²-sized.
+    */
+  def sourceLmMatrix(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val bgs = documents.select(col("doc_id"), col("source"),
+      explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("source"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // consumed by the model aggregation AND the |S|-fold probe — one
+      // tokenize/explode pass, not two (the X81 lazy-checkpoint idiom)
+      .localCheckpoint(false)
+    val model = bgs.groupBy("source", "w1", "w2").agg(count(lit(1)).as("c12"))
+      .withColumnRenamed("source", "model_source")
+    val ctx = model.groupBy("model_source", "w1").agg(sum("c12").as("c1"))
+    val vocab = documents
+      .select(col("source").as("model_source"), explode(toks).as("w"))
+      .groupBy("model_source").agg(count_distinct(col("w")).as("v"))
+    val perDoc = bgs
+      .crossJoin(broadcast(vocab))
+      .join(model, Seq("model_source", "w1", "w2"), "left")
+      .join(ctx, Seq("model_source", "w1"), "left")
+      .groupBy("doc_id", "source", "model_source")
+      .agg(avg(log(10.0,
+        (coalesce(col("c12"), lit(0L)) + lit(1)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))).as("logp"))
+    perDoc.groupBy(col("source").as("scored_source"), col("model_source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        round(avg(col("logp")), 6).as("avg_logp"))
+      .orderBy("scored_source", "model_source")
+  }
+
   /** CCNet-style LM-score bucketing (Wenzek et al. 2020, CCNet —
     * public): rank every scored document by the corpus bigram-LM
     * fluency score ([[bigramLogProb]]) and split the ranking into

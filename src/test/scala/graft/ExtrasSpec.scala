@@ -987,6 +987,35 @@ class ExtrasSpec extends SparkSpec {
       s"held-out score must not move when the scored set gains a duplicate: $dupped")
   }
 
+  test("sourceLmMatrix: distinct sources separate on the diagonal; matches a driver-side cell") {
+    import spark.implicits._
+    // srcA speaks "a b", srcB speaks "x y" — no shared vocabulary
+    val docs = Seq(
+      (1L, "a b a b a", "A"), (2L, "b a b a", "A"),
+      (3L, "x y x y x", "B"), (4L, "y x y x", "B"))
+      .toDF("doc_id", "text", "source")
+    val m = TextAnalysis.sourceLmMatrix(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(m.size == 4)
+    assert(m(("A", "A"))._1 == 2L && m(("B", "B"))._1 == 2L)
+    // self-model fluency must strictly dominate the foreign model when
+    // vocabularies are disjoint (margins are modest here — add-one
+    // smoothing over a 2-word vocab keeps every probability near 1/2)
+    assert(m(("A", "A"))._2 > m(("A", "B"))._2, m.toString)
+    assert(m(("B", "B"))._2 > m(("B", "A"))._2, m.toString)
+    // driver-side reference for one cross cell: every A bigram is
+    // unseen under B's model with unseen context (disjoint vocab), so
+    // each scores (0+1)/(0+V_B) with V_B = 2 → per-doc mean is
+    // log10(1/2), and the A-row average equals it exactly
+    val want = math.rint(math.log10(0.5) * 1e6) / 1e6
+    assert(m(("A", "B"))._2 == want, s"${m(("A", "B"))._2} vs $want")
+    // corpus sanity: |S|² rows, every source present both ways
+    val corpus = TextAnalysis.sourceLmMatrix(cat.documents).collect()
+    val srcs = cat.documents.select("source").distinct().count()
+    assert(corpus.length == srcs * srcs)
+  }
+
   test("noveltyCurve: hand fixture buckets, cumulative vocab is total distinct words") {
     import spark.implicits._
     // rn 1..4, nBuckets=2 → docs 1,2 in bucket 0; docs 3,4 in bucket 1

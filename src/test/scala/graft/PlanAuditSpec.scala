@@ -72,8 +72,10 @@ class PlanAuditSpec extends SparkSpec {
       // X90: the benchmark-embedding array collapse (X60's shape)
       "X86_novelty_curve", "X87_split_divergence", "X89_zipf_fit",
       // X90: the benchmark-embedding array collapse; X91: the 1-row
-      // train-vocab count (X70's shape)
-      "X90_decontamination_report", "X91_heldout_logprob")
+      // train-vocab count (X70's shape); X92: none expected but the
+      // per-source vocab broadcast rides a sources-sized aggregate
+      "X90_decontamination_report", "X91_heldout_logprob",
+      "X92_source_lm_matrix")
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against
@@ -103,8 +105,11 @@ class PlanAuditSpec extends SparkSpec {
       // broadcast-queries join (X52's shape); X90 broadcasts the 1-row
       // benchmark-embedding array (X60/X82's shape)
       "X86_novelty_curve", "X87_split_divergence", "X88_semantic_leakage",
-      // X91 broadcasts the 1-row train-vocab count (X70's shape)
-      "X90_decontamination_report", "X91_heldout_logprob")
+      // X91 broadcasts the 1-row train-vocab count (X70's shape);
+      // X92 crosses the bigram stream with the sources-sized vocab
+      // broadcast — the |S|-fold probe IS the algorithm
+      "X90_decontamination_report", "X91_heldout_logprob",
+      "X92_source_lm_matrix")
     val sf001Dir = "/root/testdata/sf0.001"
     // AUDIT BLIND SPOT (ADVICE r8, accepted): queries that lazily
     // localCheckpoint an expensive prefix (X53, X80, X81) truncate
