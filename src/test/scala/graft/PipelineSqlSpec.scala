@@ -177,6 +177,26 @@ r AS (SELECT eval_id, train_id, cos,
 SELECT eval_id, train_id, cos, CAST(rk AS BIGINT) AS rk
 FROM r WHERE rk <= 1 AND cos >= 0.35 ORDER BY eval_id, rk
 """,
+    "X92_source_lm_matrix" -> """
+WITH t AS (SELECT doc_id, source, filter(split(text, ' '), x -> x != '') AS toks FROM documents),
+bg AS (SELECT doc_id, source, toks[i-1] AS w1, toks[i] AS w2
+       FROM (SELECT doc_id, source, toks, explode(sequence(1, size(toks) - 1)) AS i
+             FROM t WHERE size(toks) >= 2) u),
+m AS (SELECT source AS model_source, w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2, 3),
+cx AS (SELECT model_source, w1, SUM(c12) AS c1 FROM m GROUP BY 1, 2),
+v AS (SELECT source AS model_source, COUNT(DISTINCT w) AS v
+      FROM (SELECT source, explode(toks) AS w FROM t) z GROUP BY 1),
+pd AS (SELECT bg.doc_id, bg.source, v.model_source,
+         AVG(log10(CAST(COALESCE(m.c12, 0) + 1 AS DOUBLE) /
+                   CAST(COALESCE(cx.c1, 0) + v.v AS DOUBLE))) AS logp
+       FROM bg CROSS JOIN v
+       LEFT JOIN m ON v.model_source = m.model_source AND bg.w1 = m.w1 AND bg.w2 = m.w2
+       LEFT JOIN cx ON v.model_source = cx.model_source AND bg.w1 = cx.w1
+       GROUP BY 1, 2, 3)
+SELECT source AS scored_source, model_source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs, ROUND(AVG(logp), 6) AS avg_logp
+FROM pd GROUP BY 1, 2 ORDER BY scored_source, model_source
+""",
     "X91_heldout_logprob" -> s"""
 WITH sp AS (SELECT doc_id, text, CASE
     WHEN $coin < '${graft.ops.Scale.hexCutoff(0.8)}' THEN 'train'
