@@ -214,7 +214,15 @@ object Extras {
       s"graft_${prefix}_" + st).toString
     if (!new java.io.File(dir, "_SUCCESS").exists())
       build.write.mode("overwrite").parquet(dir)
-    c.spark.read.parquet(dir)
+    // corrupt-cache fallback (the sigTable/bandedTable idiom): a
+    // half-written dir whose _SUCCESS survived an interleaved writer
+    // rebuilds once instead of poisoning every later run
+    try c.spark.read.parquet(dir)
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        build.write.mode("overwrite").parquet(dir)
+        c.spark.read.parquet(dir)
+    }
   }
 
   /** Per-corpus persisted cross-doc 5-gram hit lists (doc_id, ps) —
@@ -236,11 +244,11 @@ object Extras {
     * X30 report as a stored artifact; the X30 declared query and X90's
     * verbatim channel share one corpus shingle pass.
     */
-  private def contaminationTable(c: Catalog): DataFrame =
-    stampedArtifact(c, "contamination", "contamination:v1:5") {
+  private def contaminationTable(c: Catalog, n: Int = 5): DataFrame =
+    stampedArtifact(c, "contamination", s"contamination:v1:$n") {
       TextAnalysis.contaminationScores(
         c.documents.filter(col("source") =!= "src0"),
-        c.documents.filter(col("source") === "src0"), n = 5)
+        c.documents.filter(col("source") === "src0"), n)
     }.orderBy("doc_id")
 
   /** Per-corpus persisted benchmark near-dup pairs — the X46 report as

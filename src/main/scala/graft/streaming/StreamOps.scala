@@ -234,12 +234,30 @@ object StreamOps {
       }
       .start()
 
+  /** Frozen benchmark-decontamination stage config for
+    * [[ingestPipelineStream]] (stage 1d): drop arriving docs whose
+    * verbatim n-gram overlap with `benchmark` reaches `ngramThreshold`
+    * OR that MinHash-near-dup a benchmark doc via the persisted
+    * `benchBanded` keys — the text channels of the X90 report at
+    * ingest time (the standalone [[decontaminationGateStream]] adds
+    * the embedding channel when the stream carries vectors).
+    */
+  final case class BenchmarkGate(
+      benchmark: DataFrame,
+      benchBanded: DataFrame,
+      n: Int = 5,
+      ngramThreshold: Double = 0.2,
+      dedup: graft.text.MinHashConfig =
+        graft.text.MinHashConfig(threshold = 0.5))
+
   /** The streaming twin of [[graft.pipeline.TrainingSet.build]] stages
     * 1 → 3, composed into ONE ingest stream: each micro-batch passes the
     * Gopher-style rule gate (1), the optional trained-classifier gate
     * (1b — the frozen-model contract of [[scoreQualityStream]]), the
     * optional frozen perplexity gate (1c — the CCNet bucket filter of
-    * [[perplexityGateStream]], keeping buckets ≤ maxBucket), an
+    * [[perplexityGateStream]], keeping buckets ≤ maxBucket), the
+    * optional frozen benchmark-decontamination gate (1d —
+    * [[BenchmarkGate]]), an
     * exact-fingerprint dedup against (corpus ∪ prior accepted ∪ the
     * batch itself, min doc_id wins) (2), and finally the incremental
     * near-dup ingest against the persisted banded index (3) — survivors
@@ -257,22 +275,6 @@ object StreamOps {
     * must scan — the same cheap-stages-first ordering as the batch
     * pipeline.
     */
-  /** Frozen benchmark-decontamination stage config for
-    * [[ingestPipelineStream]] (stage 1d): drop arriving docs whose
-    * verbatim n-gram overlap with `benchmark` reaches `ngramThreshold`
-    * OR that MinHash-near-dup a benchmark doc via the persisted
-    * `benchBanded` keys — the text channels of the X90 report at
-    * ingest time (the standalone [[decontaminationGateStream]] adds
-    * the embedding channel when the stream carries vectors).
-    */
-  final case class BenchmarkGate(
-      benchmark: DataFrame,
-      benchBanded: DataFrame,
-      n: Int = 5,
-      ngramThreshold: Double = 0.2,
-      dedup: graft.text.MinHashConfig =
-        graft.text.MinHashConfig(threshold = 0.5))
-
   def ingestPipelineStream(
       newDocs: DataFrame,
       corpusDocs: DataFrame,
@@ -288,6 +290,15 @@ object StreamOps {
       perplexityGate: Option[(graft.text.PerplexityGate.Model, Long)] = None,
       benchmarkGate: Option[BenchmarkGate] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // freeze the benchmark-side artifacts ONCE at stream construction —
+    // re-shingling the static benchmark inside every micro-batch would
+    // pay its scan thousands of times over a long-lived ingest
+    val frozenBench = benchmarkGate.map { bg =>
+      (graft.text.TextAnalysis.benchmarkShingleSet(bg.benchmark, bg.n)
+          .localCheckpoint(true),
+        bg.benchmark.localCheckpoint(true),
+        bg.benchBanded.localCheckpoint(true))
+    }
     def gate(batch: DataFrame): DataFrame = {
       val ruleKept = graft.text.TextAnalysis
         .filterVerdicts(batch, minWords, maxWords, maxDupWordFrac, maxTopWordFrac)
@@ -310,14 +321,15 @@ object StreamOps {
       }
       // 1d: frozen benchmark decontamination — the X90 text channels
       // at ingest time (stateless: both channels are per-doc vs the
-      // static benchmark artifacts)
+      // construction-time-frozen benchmark artifacts)
       benchmarkGate.fold(perpled) { bg =>
+        val (shingleSet, benchDocs, banded) = frozenBench.get
         val ng = graft.text.TextAnalysis
-          .contaminationScores(perpled, bg.benchmark, bg.n)
+          .contaminationScoresAgainst(perpled, shingleSet, bg.n)
           .filter(col("overlap_frac") >= bg.ngramThreshold)
           .select("doc_id")
         val nd = graft.text.MinHashDedup
-          .crossNearDupsAgainstBanded(perpled, bg.benchmark, bg.benchBanded, bg.dedup)
+          .crossNearDupsAgainstBanded(perpled, benchDocs, banded, bg.dedup)
           .select(col("i").as("doc_id")).distinct()
         perpled.join(ng.unionByName(nd).distinct(), Seq("doc_id"), "left_anti")
       }
@@ -647,24 +659,32 @@ object StreamOps {
       dedup: graft.text.MinHashConfig =
         graft.text.MinHashConfig(threshold = 0.5),
       cosThreshold: Double = 0.35): org.apache.spark.sql.streaming.StreamingQuery = {
+    // freeze every benchmark-side artifact once — the stage's whole
+    // point is that these never change between micro-batches
+    val shingleSet = graft.text.TextAnalysis
+      .benchmarkShingleSet(benchmark, n).localCheckpoint(true)
+    val benchDocs = benchmark.localCheckpoint(true)
+    val banded = benchBanded.localCheckpoint(true)
+    val cents = benchEmbeddings
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      .localCheckpoint(true)
     documents.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val ngram = graft.text.TextAnalysis
-            .contaminationScores(batch.toDF(), benchmark, n)
+            .contaminationScoresAgainst(batch.toDF(), shingleSet, n)
             .select(col("doc_id"), col("overlap_frac"))
           val nd = graft.text.MinHashDedup
-            .crossNearDupsAgainstBanded(batch.toDF(), benchmark, benchBanded, dedup)
+            .crossNearDupsAgainstBanded(batch.toDF(), benchDocs, banded, dedup)
             .select(col("i").as("doc_id")).distinct()
             .withColumn("__nd", lit(true))
           val sem =
             if (!batch.columns.contains("embedding")) None
             else Some(graft.vector.SemDedup.assignWithScore(
                 batch.select(col("doc_id").as("vec_id"), col("embedding")),
-                benchEmbeddings.select(col("vec_id").as("centroid_id"),
-                  col("embedding").as("centroid")))
+                cents)
               .select(col("vec_id").as("doc_id"),
                 round(col("ccos"), 6).as("semantic_cos")))
           val joined = batch.select("doc_id")

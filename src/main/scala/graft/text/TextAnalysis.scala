@@ -99,17 +99,33 @@ object TextAnalysis {
     * swap in [[graft.functions.ShingleHash]] 8-byte keys exactly as the
     * MinHash pipeline does.
     */
-  def contaminationScores(corpus: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+  def contaminationScores(corpus: DataFrame, benchmark: DataFrame, n: Int): DataFrame =
+    contaminationScoresAgainst(corpus, benchmarkShingleSet(benchmark, n), n)
+
+  /** The deduped benchmark n-gram set [[contaminationScores]] probes —
+    * exposed so a long-lived consumer (the streaming gates) can compute
+    * it ONCE and reuse it across micro-batches instead of re-shingling
+    * the frozen benchmark per batch.
+    */
+  def benchmarkShingleSet(benchmark: DataFrame, n: Int): DataFrame =
+    benchmark
+      .select(explode(array_distinct(shingles(col("text"), n))).as("s"))
+      .distinct()
+
+  /** [[contaminationScores]] against a precomputed
+    * [[benchmarkShingleSet]]. */
+  def contaminationScoresAgainst(
+      corpus: DataFrame,
+      benchShingles: DataFrame,
+      n: Int): DataFrame = {
     val cs = corpus.select(col("doc_id"),
       explode(array_distinct(shingles(col("text"), n))).as("s"))
-    val bs = benchmark.select(explode(array_distinct(shingles(col("text"), n))).as("s"))
-      .distinct()
     // ONE pass over the corpus shingles: a left join against the deduped
     // benchmark (≤1 match per shingle, no fan-out) marks hits, and both
     // counts come out of the same doc_id aggregation — two separate
     // consumers of the explode would re-run the dominant map-side
     // shingle work per consumer (no shared exchange to reuse)
-    cs.join(bs.withColumn("__hit", lit(1)), Seq("s"), "left")
+    cs.join(benchShingles.withColumn("__hit", lit(1)), Seq("s"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_overlap"))
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
@@ -367,14 +383,25 @@ object TextAnalysis {
     * 2 tokens have no bigrams and drop out (callers score them with
     * [[unigramLogProb]] instead).
     */
+  /** (keys..., w1, w2) bigram stream — the ONE explode definition
+    * behind the self-trained (X70), held-out (X91) and per-source
+    * (X92) LMs, so a slicing fix lands in all three at once (the
+    * zero-token slice guard here has been patched before).
+    */
+  private def bigramRows(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val toks = tokens(col("text"))
+    df.select(keys.map(col) :+
+        explode(zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"): _*)
+      .select(keys.map(col) :+ col("bg.w1").as("w1") :+
+        col("bg.w2").as("w2"): _*)
+  }
+
   def bigramLogProb(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val bgs = documents.select(col("doc_id"),
-      explode(zip_with(
-        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgs = bigramRows(documents, Seq("doc_id"))
     val model = bgs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     // context counts fold the model, so model+context is one join of
     // two model-sized sides, prepared BEFORE the corpus-sized probe
@@ -414,19 +441,12 @@ object TextAnalysis {
   def bigramLogProbFrom(
       trainDocs: DataFrame,
       scoreDocs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    def bigramsOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
-      explode(zip_with(
-        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val model = bigramsOf(trainDocs)
+    val model = bigramRows(trainDocs, Seq("doc_id"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val ctx = model.groupBy("w1").agg(sum("c12").as("c1"))
-    val vocab = trainDocs.select(explode(toks).as("w"))
+    val vocab = trainDocs.select(explode(tokens(col("text"))).as("w"))
       .agg(count_distinct(col("w")).as("v"))
-    bigramsOf(scoreDocs)
+    bigramRows(scoreDocs, Seq("doc_id"))
       .join(model, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
@@ -462,15 +482,9 @@ object TextAnalysis {
     */
   def sourceLmMatrix(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val bgs = documents.select(col("doc_id"), col("source"),
-      explode(zip_with(
-        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("source"),
-        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      // consumed by the model aggregation AND the |S|-fold probe — one
-      // tokenize/explode pass, not two (the X81 lazy-checkpoint idiom)
+    // consumed by the model aggregation AND the |S|-fold probe — one
+    // tokenize/explode pass, not two (the X81 lazy-checkpoint idiom)
+    val bgs = bigramRows(documents, Seq("doc_id", "source"))
       .localCheckpoint(false)
     val model = bgs.groupBy("source", "w1", "w2").agg(count(lit(1)).as("c12"))
       .withColumnRenamed("source", "model_source")

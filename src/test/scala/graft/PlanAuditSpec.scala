@@ -72,10 +72,10 @@ class PlanAuditSpec extends SparkSpec {
       // X90: the benchmark-embedding array collapse (X60's shape)
       "X86_novelty_curve", "X87_split_divergence", "X89_zipf_fit",
       // X90: the benchmark-embedding array collapse; X91: the 1-row
-      // train-vocab count (X70's shape); X92: none expected but the
-      // per-source vocab broadcast rides a sources-sized aggregate
-      "X90_decontamination_report", "X91_heldout_logprob",
-      "X92_source_lm_matrix")
+      // train-vocab count (X70's shape). X92 is deliberately NOT here:
+      // its vocab aggregate is hash-partitioned by model_source, so
+      // the audit must keep guarding it
+      "X90_decontamination_report", "X91_heldout_logprob")
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against

@@ -104,9 +104,16 @@ object ScaleGrowthBench {
             .createTempDirectory("growth-x90-bench").toString
           MinHashDedup.writeBandedIndex(
             MinHashDedup.signatures(bench, cfg), bdir, cfg)
+          // the benchmark-only index pairs with the sign-in-place probe
+          // (crossNearDupsAgainstBanded) — passing it to the default
+          // from-banded channel would semi-join it against CORPUS ids
+          // and silently empty the near-dup channel
+          val benchBanded = MinHashDedup.readBandedIndex(spark, bdir, cfg)
           val rep = graft.pipeline.TrainingSet.decontaminationReport(
-            cor, bench, MinHashDedup.readBandedIndex(spark, bdir, cfg),
-            emb, dedup = cfg).localCheckpoint(true)
+            cor, bench, benchBanded, emb, dedup = cfg,
+            nearDupPairs = Some(MinHashDedup
+              .crossNearDupsAgainstBanded(cor, bench, benchBanded, cfg)))
+            .localCheckpoint(true)
           require(rep.count() == d.count() - 250,
             "X90 report must cover every corpus doc")
           rep.filter(col("verdict") === "drop").count()
