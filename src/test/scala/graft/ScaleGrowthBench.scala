@@ -132,13 +132,19 @@ object ScaleGrowthBench {
         },
         true))
 
+    // SCALEGROWTH_ONLY=name,name limits the sweep — the way to push the
+    // sub-linear chains to 100× without paying the quadratic-by-
+    // semantics paths (X05 candidate mass, J08 pair mass) at that scale
+    val only = sys.env.get("SCALEGROWTH_ONLY").map(_.split(",").map(_.trim).toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
+
     // results(path) = Seq((factor, wallSec, measure))
     val results = scala.collection.mutable.Map[String, Vector[(Int, Double, Long)]]()
       .withDefaultValue(Vector.empty)
     factors.foreach { f =>
       val docs = corpus(f)
       println(s"SCALEGROWTH corpus factor=$f rows=${docs.count()}")
-      paths.foreach { case (name, run, _) =>
+      paths.filter(p => keep(p._1)).foreach { case (name, run, _) =>
         val (m, t) = timed(run(docs))
         results(name) :+= ((f, t, m))
         println(f"SCALEGROWTH $name%-20s factor=$f%2d  $t%8.2f s  measure=$m%,d")
@@ -149,7 +155,7 @@ object ScaleGrowthBench {
     // exact linearity of every output measure + fitted growth exponent
     // between the two largest factors
     println("SCALEGROWTH ===== fitted exponents (wall ∝ N^k) =====")
-    paths.foreach { case (name, _, linear) =>
+    paths.filter(p => keep(p._1)).foreach { case (name, _, linear) =>
       val rs = results(name).sortBy(_._1)
       val (f1, _, m1) = rs.head
       if (linear) rs.tail.foreach { case (f, _, m) =>
@@ -166,15 +172,18 @@ object ScaleGrowthBench {
 
     // X90's fixed-benchmark invariant: growth adds content that cannot
     // be contaminated, so the drop count must not move at all
-    val x90Drops = results("X90_decontamination").map(_._3)
-    require(x90Drops.distinct.size == 1,
-      s"fixed-benchmark drop count must be constant across growth: $x90Drops")
-    println(s"SCALEGROWTH X90 drop count constant at ${x90Drops.head} across factors $factors")
+    if (keep("X90_decontamination")) {
+      val x90Drops = results("X90_decontamination").map(_._3)
+      require(x90Drops.distinct.size == 1,
+        s"fixed-benchmark drop count must be constant across growth: $x90Drops")
+      println(s"SCALEGROWTH X90 drop count constant at ${x90Drops.head} across factors $factors")
+    }
 
     // J08: pair mass is quadratic by semantics — replicate part with
     // p_partkey shifted and p_brand UNSHIFTED (the rel10 growth model:
     // 10× more parts per brand), measure wall vs pair mass, and check
     // the predicted-growth formula pairMass(r) = r² × pairMass(1)
+    if (keep("J08_theta")) {
     val part = Tables.load(spark, "/root/testdata/sf0.1", "part")
     def part10(factor: Int): DataFrame =
       (0 until factor).map(i =>
@@ -208,6 +217,7 @@ object ScaleGrowthBench {
       println(f"SCALEGROWTH J08_theta wall ratio ${tb / ta}%.1fx for pair-mass ratio " +
         f"${mb.toDouble / ma}%.1fx (${fa}x→${fb}x): per-pair cost ratio $costRatio%.2fx " +
         "— wall is join-output bound when this stays near 1")
+    }
     }
 
     spark.stop()
