@@ -56,6 +56,11 @@ object ScaleGrowthVectorBench {
       master = "local[32]", shufflePartitions = 32, appName = "scalegrowthvec")
     spark.sparkContext.setLogLevel("ERROR")
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 30)
+    // SCALEGROWTH_ONLY=name,name limits the sweep (the text bench's
+    // contract) — the way to push the linear/flat probes to 100x
+    // without paying the quadratic-by-semantics exact scan there
+    val only = sys.env.get("SCALEGROWTH_ONLY").map(_.split(",").map(_.trim).toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
 
     val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
       .select("vec_id", "embedding")
@@ -82,6 +87,7 @@ object ScaleGrowthVectorBench {
       println(s"SCALEGROWTHVEC corpus factor=$f rows=$n dim=$dim")
 
       // X06 exact scan: output must be exactly empty, wall = pure scan
+      if (keep("X06_exact_scan")) {
       val (pairs, tScan) = timed(Ann.allPairsAbove(emb, 0.95).count())
       require(pairs == 0L,
         s"threshold 0.95 must be above every cosine (got $pairs pairs at factor $f)")
@@ -89,8 +95,10 @@ object ScaleGrowthVectorBench {
       x06 += ((f, tScan, dots))
       println(f"SCALEGROWTHVEC X06_exact_scan  factor=$f%2d  $tScan%8.2f s  " +
         f"dot_mass=$dots%,d  (${tScan / (dots / 1e9)}%.1f s per 10⁹ dots)")
+      }
 
       // X52 brute kNN: fixed replica-0 queries against the grown corpus
+      if (keep("X52_brute_knn")) {
       val queries = emb.filter(col("vec_id") < 1000000L && col("vec_id") % 50 === 0)
       val (knn, tKnn) = timed(
         Ann.knnJoin(queries, emb, k = 5).collect())
@@ -101,9 +109,11 @@ object ScaleGrowthVectorBench {
       x52 += ((f, tKnn, kth))
       println(f"SCALEGROWTHVEC X52_brute_knn   factor=$f%2d  $tKnn%8.2f s  " +
         s"queries=${kth.size} rows=${knn.length}")
+      }
 
       // IVF: build with nLists ∝ N, then probe — the pruned scan must
       // stay constant-size as the corpus grows
+      if (keep("IVF_probe")) {
       val idxDir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_vec_idx_$f").toString
       val (_, tBuild) = timed(Ivf.writeIndex(emb, idxDir, nLists = 16 * f))
       val lists = spark.read.parquet(s"$idxDir/centroids")
@@ -119,6 +129,7 @@ object ScaleGrowthVectorBench {
       ivf += ((f, tProbe, scanned))
       println(f"SCALEGROWTHVEC IVF_probe       factor=$f%2d  $tProbe%8.2f s  " +
         f"scanned=$scanned%,d of $n%,d rows  (build $tBuild%.2f s, nLists=${16 * f})")
+      }
 
       emb.unpersist()
     }
