@@ -1172,9 +1172,6 @@ object Extras {
     // Zipf rank-frequency fit over the top-500 word types: OLS slope /
     // intercept / r² of ln(cnt) on ln(rk) — fully oracle-checked
     "X89_zipf_fit" -> q(c => TextAnalysis.zipfFit(c.documents, topV = 500)),
-    // unified per-doc contamination verdict: verbatim n-gram (X30) +
-    // MinHash near-dup off the banded mirror (X46) + embedding cosine
-    // (X88) in one release-gate report — fully oracle-checked
     // source-affinity LM matrix: each source's docs scored under every
     // source's bigram LM — the linguistic-distance signal mixture
     // design reads; fully oracle-checked
@@ -1193,6 +1190,9 @@ object Extras {
         .select("doc_id", "split", "n_bigrams", "mean_logp")
         .orderBy("doc_id")
     }),
+    // unified per-doc contamination verdict: verbatim n-gram (X30) +
+    // MinHash near-dup off the banded mirror (X46) + embedding cosine
+    // (X88) in one release-gate report — fully oracle-checked.
     // bandedTable(c) stays on the call: it refreshes the banded ORACLE
     // mirror X90's SQL candidate CTE reads, even though the Spark path
     // rides the persisted pair artifact

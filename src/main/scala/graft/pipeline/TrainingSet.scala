@@ -506,10 +506,33 @@ object TrainingSet {
     // channel 2 accepts the already-verified (i, j) pair table when the
     // caller persisted it (the X46 report IS this artifact — a release
     // gate runs both, so recomputing the banded verify here would pay
-    // the same candidate chain twice)
+    // the same candidate chain twice). The default path semi-joins
+    // `banded` against BOTH sides' ids, so the index must cover
+    // corpus ∪ benchmark: a benchmark-only index (the streaming gate's
+    // artifact shape) would silently empty the corpus side and report
+    // near_dup = false everywhere. Guard: if the corpus has any doc
+    // with a shingle-bearing text, its banded rows must be non-empty —
+    // callers holding a benchmark-only index should pass
+    // nearDupPairs = Some(crossNearDupsAgainstBanded(...)) instead
+    // (the sign-in-place probe; see the streaming gate).
     val nd = nearDupPairs
-      .getOrElse(
-        MinHashDedup.crossNearDupsFromBanded(corpus, benchmark, banded, dedup))
+      .getOrElse {
+        val corpusSide = banded.join(
+          corpus.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+        if (corpusSide.isEmpty) {
+          val corpusHasSignable = !corpus
+            .filter(size(TextAnalysis.tokens(col("text"))) >= dedup.shingleSize)
+            .isEmpty
+          require(!corpusHasSignable,
+            "decontaminationReport: the banded index contains no corpus-side " +
+              "rows but the corpus has shingle-bearing documents — the index " +
+              "must cover corpus ∪ benchmark for the default near-dup channel. " +
+              "For a benchmark-only index, pass nearDupPairs = " +
+              "Some(MinHashDedup.crossNearDupsAgainstBanded(corpus, benchmark, " +
+              "benchBanded, dedup)) (the sign-in-place probe) instead.")
+        }
+        MinHashDedup.crossNearDupsFromBanded(corpus, benchmark, banded, dedup)
+      }
       .select(col("i").as("doc_id")).distinct()
       .withColumn("__nd", lit(true))
     val cemb = embeddings.join(
@@ -520,18 +543,36 @@ object TrainingSet {
     val sem = graft.vector.SemDedup.assignWithScore(cemb, bemb)
       .select(col("vec_id").as("doc_id"),
         round(col("ccos"), 6).as("semantic_cos"))
-    corpus.select("doc_id")
-      .join(ngram, Seq("doc_id"), "left")
-      .join(nd, Seq("doc_id"), "left")
-      .join(sem, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("overlap_frac"), lit(0.0)).as("ngram_frac"),
-        coalesce(col("__nd"), lit(false)).as("near_dup"),
-        col("semantic_cos"),
-        when(coalesce(col("overlap_frac"), lit(0.0)) >= ngramThreshold ||
-            coalesce(col("__nd"), lit(false)) ||
-            col("semantic_cos") >= cosThreshold, "drop")
-          .otherwise("keep").as("verdict"))
+    assembleDecontaminationVerdict(
+      corpus.select("doc_id")
+        .join(ngram, Seq("doc_id"), "left")
+        .join(nd, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left"),
+      ngramThreshold, cosThreshold)
       .orderBy("doc_id")
   }
+
+  /** THE five-column assembly + three-valued-OR verdict of the unified
+    * decontamination report — shared by the batch report above and the
+    * streaming gate ([[graft.streaming.StreamOps
+    * .decontaminationGateStream]]), so a threshold or column change
+    * lands in both at once (they are pinned hash-equal by
+    * StreamingSpec; this helper makes the equality true by
+    * construction, not by discipline). Input: doc_id plus the three
+    * nullable channel columns `overlap_frac`, `__nd`, `semantic_cos`;
+    * a null channel never fires (SQL three-valued OR), so docs a
+    * channel never saw stay 'keep'-able — identical in any engine.
+    */
+  private[graft] def assembleDecontaminationVerdict(
+      joined: DataFrame,
+      ngramThreshold: Double,
+      cosThreshold: Double): DataFrame =
+    joined.select(col("doc_id"),
+      coalesce(col("overlap_frac"), lit(0.0)).as("ngram_frac"),
+      coalesce(col("__nd"), lit(false)).as("near_dup"),
+      col("semantic_cos"),
+      when(coalesce(col("overlap_frac"), lit(0.0)) >= ngramThreshold ||
+          coalesce(col("__nd"), lit(false)) ||
+          col("semantic_cos") >= cosThreshold, "drop")
+        .otherwise("keep").as("verdict"))
 }

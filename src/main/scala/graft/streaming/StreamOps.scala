@@ -693,15 +693,11 @@ object StreamOps {
           val withSem = sem.fold(
             joined.withColumn("semantic_cos", lit(null).cast("double")))(
             s => joined.join(s, Seq("doc_id"), "left"))
-          withSem
-            .select(col("doc_id"),
-              coalesce(col("overlap_frac"), lit(0.0)).as("ngram_frac"),
-              coalesce(col("__nd"), lit(false)).as("near_dup"),
-              col("semantic_cos"),
-              when(coalesce(col("overlap_frac"), lit(0.0)) >= ngramThreshold ||
-                  coalesce(col("__nd"), lit(false)) ||
-                  col("semantic_cos") >= cosThreshold, "drop")
-                .otherwise("keep").as("verdict"))
+          // the five-column assembly + verdict expression is the batch
+          // report's own helper — the streaming gate cannot drift from
+          // the batch X90 semantics by construction
+          graft.pipeline.TrainingSet
+            .assembleDecontaminationVerdict(withSem, ngramThreshold, cosThreshold)
             .write.mode("overwrite").parquet(s"$path/b$batchId")
         }
       }

@@ -135,9 +135,10 @@ object Ivf {
   // Probes above recompute centroid choice + assignment per call — fine
   // for a one-shot query, wasteful for a query workload. The persisted
   // form pays the assignment pass ONCE at build time and stores the
-  // corpus partitioned by list_id, so every probe is a partition-pruned
-  // read (plan shows PartitionFilters on list_id) of nProbe/nLists of
-  // the data plus a tiny centroids file.
+  // corpus partitioned by list_id, so every probe reads nProbe/nLists
+  // of the data plus a tiny centroids file — via DIRECT list-dir paths
+  // (probedVectors below), so even the LISTING cost is O(nProbe), not
+  // O(nLists).
 
   /** Build and persist the IVF index: `path/centroids` (nLists rows) and
     * `path/vectors` parquet partitioned by `list_id`.
@@ -158,10 +159,41 @@ object Ivf {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/vectors")
   }
 
+  /** The probed slice of a persisted index's vectors table, read by
+    * DIRECT list-directory paths instead of a filter over the whole
+    * partitioned layout. Both plans prune to the same files, but the
+    * filter form must LIST every `list_id=` directory before pruning —
+    * with nLists ∝ N that listing grows linearly in the corpus (4 800
+    * dirs at the bench's 100× point made probe wall 0.43 → 2.81 s with
+    * CONSTANT data scanned), and on an object store each dir is a
+    * round-trip. The probe knows its nProbe list ids up front, so the
+    * read is constructed from exactly those paths (`basePath` keeps
+    * list_id as a column): listing cost is O(nProbe) — independent of
+    * nLists — which is what lets the nLists ∝ N sizing contract hold
+    * at 100 TB. Lists emptied by k-means refinement have no directory;
+    * they contribute no candidates either way, so they are skipped by
+    * an O(nProbe) existence check rather than failing the read.
+    */
+  private def probedVectors(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      lists: Seq[Long]): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = lists.map(id => new org.apache.hadoop.fs.Path(base, s"list_id=$id"))
+      .filter(fs.exists).map(_.toString)
+    if (dirs.isEmpty)
+      spark.read.parquet(s"$path/vectors").filter(lit(false))
+    else
+      spark.read.option("basePath", s"$path/vectors").parquet(dirs: _*)
+  }
+
   /** Top-k by cosine against a persisted index. Centroid scoring runs on
-    * the (tiny) centroids file; the chosen list ids become LITERAL
-    * partition predicates, so the vectors scan reads only the probed
-    * list directories — the index is what makes repeated probes cheap.
+    * the (tiny) centroids file; the chosen list ids select their list
+    * directories DIRECTLY ([[probedVectors]]), so the vectors read
+    * lists and scans only the probed lists — the index is what makes
+    * repeated probes cheap, and the direct-path read keeps the
+    * metadata cost flat as nLists grows with the corpus.
     */
   def probeIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -177,8 +209,7 @@ object Ivf {
       .orderBy(col("cs").desc, col("centroid_id"))
       .limit(nProbe)
       .collect().map(_.getLong(0)).toSeq
-    spark.read.parquet(s"$path/vectors")
-      .filter(col("list_id").isin(lists: _*)) // → PartitionFilters
+    probedVectors(spark, path, lists)
       .select(col("vec_id"), round(dot(probe, col("embedding")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
@@ -216,11 +247,12 @@ object Ivf {
       // consumed twice (the pruning-values collect and the join) —
       // materialize so the centroid scoring pass runs once
       .localCheckpoint(true)
-    // union of probed lists — metadata-sized partition-pruning values
+    // union of probed lists — metadata-sized partition-pruning values,
+    // read by direct list-directory paths (listing O(|probed|), flat
+    // in nLists — see probedVectors)
     val probed = qLists.select("list_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cand = spark.read.parquet(s"$path/vectors")
-      .filter(col("list_id").isin(probed: _*)) // → PartitionFilters
+    val cand = probedVectors(spark, path, probed)
     val kw = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     cand
       .join(broadcast(qLists), Seq("list_id"))

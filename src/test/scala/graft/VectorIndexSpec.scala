@@ -52,10 +52,14 @@ class VectorIndexSpec extends SparkSpec {
     val got = probed.collect().map(_.getLong(0)).filter(_ != 0L).take(5).toSeq
     val want = Ann.bruteForceTopK(cat.embeddings, 0, 5).collect().map(_.getLong(0)).toSeq
     assert(got == want)
-    val plan = Ivf.probeIndex(spark, path, probeVecOf(0), k = 5, nProbe = 4)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") && plan.contains("list_id"),
-      s"probe must prune list partitions:\n$plan")
+    // direct-path pruning: the probe's vectors scan must touch at most
+    // nProbe list directories (listing O(nProbe), flat in nLists — the
+    // 100 TB metadata contract), and list_id must survive as a column
+    val probe4 = Ivf.probeIndex(spark, path, probeVecOf(0), k = 5, nProbe = 4)
+    val listDirs = probe4.inputFiles
+      .flatMap(_.split("/").find(_.startsWith("list_id="))).distinct
+    assert(listDirs.nonEmpty && listDirs.length <= 4,
+      s"nProbe=4 probe must read at most 4 list dirs, got ${listDirs.toSeq}")
   }
 
   test("ANN persisted index: full-radius probe equals brute force, plan partition-prunes") {
@@ -128,11 +132,14 @@ class VectorIndexSpec extends SparkSpec {
     val exactPairs = exact.map(t => (t._1, t._2))
     val recall = (pruned & exactPairs).size.toDouble / exactPairs.size
     assert(recall >= 0.5, s"nProbe=6 recall $recall collapsed")
-    // ...and the vectors scan is partition-pruned on list_id
-    val plan = Ivf.ivfKnnJoin(spark, path, queries, k = 5, nProbe = 2)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") && plan.contains("list_id"),
-      s"IVF kNN join must prune list partitions:\n$plan")
+    // ...and the vectors read touches ONLY the probed lists' dirs
+    // (direct-path construction — listing flat in nLists)
+    val join2 = Ivf.ivfKnnJoin(spark, path, queries, k = 5, nProbe = 2)
+    val listDirs = join2.inputFiles
+      .filter(_.contains("/vectors/"))
+      .flatMap(_.split("/").find(_.startsWith("list_id="))).distinct
+    assert(listDirs.nonEmpty && listDirs.length < 16,
+      s"nProbe=2 kNN join must read a strict subset of the 16 list dirs, got ${listDirs.length}")
   }
 
   test("kNN join excludeSelf: id-colliding corpus rows are kept for independent query ids") {
