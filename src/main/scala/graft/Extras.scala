@@ -1203,6 +1203,21 @@ object Extras {
         bandedTable(c),
         c.embeddings,
         nearDupPairs = Some(crossNearDupsTable(c)),
+        ngramScores = Some(contaminationTable(c)))),
+    // the COMPOSED batch curation manifest: the X90 release gate, X78
+    // near-dup starring, X81 perplexity gate and X74 temperature
+    // mixture chained SEQUENTIALLY (each stage over the previous
+    // stage's survivors), one verdict row per corpus doc — the "why is
+    // doc X in the training set" table; fully oracle-checked (every
+    // stage is an oracle-green operator and the composition is doc_id
+    // set algebra). Rides the same persisted X30/X46 artifacts as X90.
+    "X93_curation_manifest" -> q(c =>
+      graft.pipeline.TrainingSet.curationManifest(
+        c.documents.filter(col("source") =!= "src0"),
+        c.documents.filter(col("source") === "src0"),
+        bandedTable(c),
+        c.embeddings,
+        nearDupPairs = Some(crossNearDupsTable(c)),
         ngramScores = Some(contaminationTable(c))))
   )
 
@@ -2466,6 +2481,157 @@ LEFT JOIN ng ON c.doc_id = ng.doc_id
 LEFT JOIN nd ON c.doc_id = nd.doc_id
 LEFT JOIN sem ON c.doc_id = sem.doc_id
 ORDER BY c.doc_id
+""".trim
+    },
+    // the composed curation manifest: stage 1 is the X90 oracle chain
+    // verbatim; stage 2 restricts the X78 banded/recursive-CTE chain
+    // to stage-1 survivors; stage 3 is the X81 LM chain over stage-2
+    // survivors; stage 4 the X74 temperature-mixture arithmetic over
+    // stage-3 survivors (alpha 0.5, lang strata, seed-42 coin)
+    "X93_curation_manifest" -> {
+      val b = s"$oracleIdxRoot/minhash_banded/*.parquet"
+      s"""
+WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+bench AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+ct AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM corpus),
+csh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+  FROM ct WHERE len(toks) >= 5) u),
+bt AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM bench),
+bsh AS MATERIALIZED (SELECT DISTINCT s FROM (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 4),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+  FROM bt WHERE len(toks) >= 5) u),
+ng AS MATERIALIZED (SELECT csh.doc_id,
+         ROUND(CAST(COUNT(bsh.s) AS DOUBLE) / COUNT(*), 6) AS ngram_frac
+       FROM csh LEFT JOIN bsh ON csh.s = bsh.s GROUP BY csh.doc_id),
+cand AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM read_parquet('$b') a
+  JOIN read_parquet('$b') b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id IN (SELECT doc_id FROM corpus)
+    AND b.id IN (SELECT doc_id FROM bench)),
+cids AS (SELECT i AS doc_id FROM cand UNION SELECT j FROM cand),
+tt AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks
+       FROM documents WHERE doc_id IN (SELECT doc_id FROM cids)),
+sh05 AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM tt WHERE len(toks) >= 3) u),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh05 GROUP BY doc_id),
+inter AS (SELECT cand.i, cand.j, COUNT(*) AS c
+          FROM cand JOIN sh05 a ON cand.i = a.doc_id
+                    JOIN sh05 b ON cand.j = b.doc_id AND a.s = b.s
+          GROUP BY 1, 2),
+nd AS (SELECT DISTINCT inter.i AS doc_id
+       FROM inter JOIN sz sa ON inter.i = sa.doc_id
+                  JOIN sz sb ON inter.j = sb.doc_id
+       WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
+cemb AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id IN (SELECT doc_id FROM corpus)),
+bemb AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id IN (SELECT doc_id FROM bench)),
+sem AS (SELECT c.vec_id AS doc_id,
+          ROUND(MAX(list_inner_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS semantic_cos
+        FROM cemb c CROSS JOIN bemb b GROUP BY c.vec_id),
+m0 AS MATERIALIZED (SELECT c.doc_id,
+  COALESCE(ng.ngram_frac, CAST(0 AS DOUBLE)) AS ngram_frac,
+  (nd.doc_id IS NOT NULL) AS near_dup,
+  sem.semantic_cos,
+  CASE WHEN COALESCE(ng.ngram_frac, CAST(0 AS DOUBLE)) >= 0.2
+         OR nd.doc_id IS NOT NULL
+         OR sem.semantic_cos >= 0.35 THEN 'drop' ELSE 'keep' END AS decon_verdict
+  FROM corpus c
+  LEFT JOIN ng ON c.doc_id = ng.doc_id
+  LEFT JOIN nd ON c.doc_id = nd.doc_id
+  LEFT JOIN sem ON c.doc_id = sem.doc_id),
+s1 AS MATERIALIZED (SELECT doc_id FROM m0 WHERE decon_verdict = 'keep'),
+cand8 AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM read_parquet('$b') a
+  JOIN read_parquet('$b') b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+  WHERE a.id IN (SELECT doc_id FROM s1) AND b.id IN (SELECT doc_id FROM s1)),
+cid8 AS (SELECT i AS doc_id FROM cand8 UNION SELECT j FROM cand8),
+sh8 AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM cid8)) t
+  WHERE len(toks) >= 3) u),
+sz8 AS (SELECT doc_id, COUNT(*) AS sz FROM sh8 GROUP BY doc_id),
+ix8 AS (SELECT cand8.i, cand8.j, COUNT(*) AS c
+         FROM cand8 JOIN sh8 a ON cand8.i = a.doc_id
+                    JOIN sh8 b ON cand8.j = b.doc_id AND a.s = b.s
+         GROUP BY 1, 2),
+ver8 AS (SELECT ix8.i, ix8.j FROM ix8
+  JOIN sz8 sa ON ix8.i = sa.doc_id JOIN sz8 sb ON ix8.j = sb.doc_id
+  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8),
+edges AS (SELECT i AS a, j AS b FROM ver8 UNION SELECT j, i FROM ver8),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, re.r AS r FROM edges e JOIN reach re ON e.b = re.node),
+clus AS MATERIALIZED (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+qual AS (SELECT doc_id,
+  CAST(len(list_distinct(list_filter(str_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_uniq
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM s1)),
+mm AS (SELECT clus.cluster_id, clus.doc_id, qual.n_uniq FROM clus JOIN qual USING (doc_id)),
+rw AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_uniq DESC, doc_id) AS rk FROM mm),
+win AS (SELECT doc_id FROM rw WHERE rk = 1),
+ded AS MATERIALIZED (SELECT s1.doc_id,
+  (cl.doc_id IS NULL OR w.doc_id IS NOT NULL) AS dedup_keep
+  FROM s1 LEFT JOIN (SELECT DISTINCT doc_id FROM clus) cl ON s1.doc_id = cl.doc_id
+          LEFT JOIN win w ON s1.doc_id = w.doc_id),
+s3ids AS MATERIALIZED (SELECT doc_id FROM ded WHERE dedup_keep),
+tp AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+       FROM documents WHERE doc_id IN (SELECT doc_id FROM s3ids)),
+bgp AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM tp WHERE len(toks) >= 2) u),
+mp AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgp GROUP BY w1, w2),
+cxp AS (SELECT w1, SUM(c12) AS c1 FROM mp GROUP BY w1),
+vp AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM tp) z),
+sp AS MATERIALIZED (SELECT bgp.doc_id,
+         ROUND(AVG(log10(CAST(mp.c12 + 1 AS DOUBLE) / CAST(cxp.c1 + vp.v AS DOUBLE))), 6) AS mean_logp
+       FROM bgp JOIN mp USING (w1, w2) JOIN cxp USING (w1) CROSS JOIN vp
+       GROUP BY bgp.doc_id),
+rp AS (SELECT doc_id, mean_logp,
+         ROW_NUMBER() OVER (ORDER BY mean_logp DESC, doc_id) AS rank FROM sp),
+np AS (SELECT COUNT(*) AS n FROM sp),
+ppl AS (SELECT rp.doc_id,
+          CAST(FLOOR(CAST((rp.rank - 1) * 3 AS DOUBLE) / np.n) AS BIGINT) AS ppl_bucket
+        FROM rp, np),
+pplv AS MATERIALIZED (SELECT s3ids.doc_id, ppl.ppl_bucket,
+           COALESCE(ppl.ppl_bucket < 2, FALSE) AS ppl_keep
+         FROM s3ids LEFT JOIN ppl ON s3ids.doc_id = ppl.doc_id),
+s4ids AS MATERIALIZED (SELECT doc_id FROM pplv WHERE ppl_keep),
+cnt4 AS (SELECT d.lang, COUNT(*) AS n
+         FROM documents d JOIN s4ids ON d.doc_id = s4ids.doc_id GROUP BY d.lang),
+j4 AS (SELECT lang, n, pow(n, 0.5) AS t FROM cnt4),
+tm4 AS (SELECT MIN(n / t) AS tmax FROM j4),
+fr4 AS (SELECT lang, CASE WHEN n / t = tmax THEN 'g'
+          WHEN tmax * t / n >= 1.0 THEN 'g'
+          ELSE printf('%08x', CAST(least(floor(tmax * t / n * 4294967296), 4294967295) AS BIGINT)) END AS cut
+        FROM j4 CROSS JOIN tm4),
+mix AS (SELECT d.doc_id FROM documents d
+        JOIN s4ids ON d.doc_id = s4ids.doc_id
+        JOIN fr4 ON d.lang = fr4.lang
+        WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || ':' || '42'), 1, 8) < fr4.cut),
+mixv AS MATERIALIZED (SELECT s4ids.doc_id, (mix.doc_id IS NOT NULL) AS mixture_keep
+         FROM s4ids LEFT JOIN mix ON s4ids.doc_id = mix.doc_id)
+SELECT m0.doc_id, m0.ngram_frac, m0.near_dup, m0.semantic_cos, m0.decon_verdict,
+  CASE WHEN ded.dedup_keep THEN 'keep' WHEN NOT ded.dedup_keep THEN 'drop' END AS dedup_verdict,
+  pplv.ppl_bucket,
+  CASE WHEN pplv.ppl_keep THEN 'keep' WHEN NOT pplv.ppl_keep THEN 'drop' END AS ppl_verdict,
+  CASE WHEN mixv.mixture_keep THEN 'keep' WHEN NOT mixv.mixture_keep THEN 'drop' END AS mixture_verdict,
+  COALESCE(mixv.mixture_keep, FALSE) AS keep
+FROM m0
+LEFT JOIN ded ON m0.doc_id = ded.doc_id
+LEFT JOIN pplv ON m0.doc_id = pplv.doc_id
+LEFT JOIN mixv ON m0.doc_id = mixv.doc_id
+ORDER BY m0.doc_id
 """.trim
     }
   )

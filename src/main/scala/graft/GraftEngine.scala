@@ -169,6 +169,25 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
     graft.pipeline.TrainingSet.decontaminationReport(
       tables.documents, benchmark, banded, tables.embeddings)
 
+  /** Per-document manifest of the composed batch curation pipeline
+    * (decontaminate → near-dup star → perplexity gate → mixture; see
+    * [[graft.pipeline.TrainingSet.curationManifest]]).
+    */
+  def curationManifest(corpus: DataFrame, benchmark: DataFrame,
+      banded: DataFrame): DataFrame =
+    graft.pipeline.TrainingSet.curationManifest(
+      corpus, benchmark, banded, tables.embeddings)
+
+  /** The one-call batch curation driver: materialized manifest + audit
+    * counts + survivors in training order, ready for
+    * [[graft.pipeline.TrainingSet.writeChunks]] (see
+    * [[graft.pipeline.TrainingSet.curateCorpus]]).
+    */
+  def curateCorpus(corpus: DataFrame, benchmark: DataFrame,
+      banded: DataFrame): graft.pipeline.CurationResult =
+    graft.pipeline.TrainingSet.curateCorpus(
+      corpus, benchmark, banded, tables.embeddings)
+
   /** Per-source PII hit totals (email/url/ipv4/phone). */
   def piiStats(): DataFrame = graft.text.TextAnalysis.piiStats(tables.documents)
 

@@ -25,6 +25,12 @@ final case class TrainingSetConfig(
 /** The filtered/deduped corpus plus the per-stage row accounting. */
 final case class TrainingSetResult(docs: DataFrame, audit: Seq[(String, Long)])
 
+/** [[TrainingSet.curateCorpus]]'s output: the per-doc stage manifest
+  * (materialized) plus the surviving docs in training order with the
+  * audit counts — ready for [[TrainingSet.writeChunks]].
+  */
+final case class CurationResult(manifest: DataFrame, result: TrainingSetResult)
+
 /** The end-to-end training-set workflow — the composition proof that
   * the engine's pipeline operators chain into the shape a real 100 TB
   * data build runs, in the canonical order (cheap map-side filters
@@ -550,6 +556,208 @@ object TrainingSet {
         .join(sem, Seq("doc_id"), "left"),
       ngramThreshold, cosThreshold)
       .orderBy("doc_id")
+  }
+
+  /** Per-document manifest of the COMPOSED batch curation pipeline —
+    * the one table a real corpus-release run reads to answer "why is
+    * doc X in (or out of) the training set". The stages chain in the
+    * canonical release order, each computed over the SURVIVORS of the
+    * previous one (quotas and buckets bind on what actually remains,
+    * exactly like [[build]]):
+    *
+    *   1. decontaminate — the unified three-channel X90 verdict
+    *      against the benchmark ([[decontaminationReport]], accepting
+    *      the same persisted artifacts so the release gate never pays
+    *      a channel twice);
+    *   1b. (opt) frozen learned quality gate — keep docs the trained
+    *      hashed-BoW classifier scores ≥ threshold (the X65 model);
+    *   2. near-dup starring — X78 quality-aware winners over the
+    *      banded-index clusters of the surviving corpus: a doc keeps
+    *      iff it is not in any verified near-dup cluster or is its
+    *      cluster's most-informative member;
+    *   3. perplexity gate — X81 CCNet buckets over the deduped
+    *      survivors; the TAIL bucket drops. Docs the bigram LM cannot
+    *      score (< 2 tokens) are unscored (null bucket) and DROP — a
+    *      doc with no bigram is degenerate by the gate's own measure;
+    *   4. mixture — X74 temperature-flattened resample (n^alpha over
+    *      `mixtureStrata`) of everything still standing.
+    *
+    * Output, one row per corpus doc: the X90 channel columns +
+    * decon_verdict, then three-valued per-stage verdicts —
+    * `dedup_verdict`, `ppl_bucket`/`ppl_verdict`, `mixture_verdict`
+    * ('keep' / 'drop' / null = the doc never reached that stage),
+    * optional `quality_p` when a model is passed — and the final
+    * `keep` boolean (true iff every stage kept it; equals mixture
+    * survival with nulls as false, since only full survivors reach
+    * the mixture). Fully deterministic, every stage is an
+    * oracle-checked operator, so the whole manifest is
+    * oracle-checkable (X93).
+    *
+    * Scale shape: each stage is its operator's own audited shape (X90
+    * channels, banded candidates + exact verify, LM score + two-pass
+    * global rank, metadata-sized mixture cutoffs); the composition
+    * adds only doc_id-keyed semi/left joins, and survivor id sets ride
+    * lazy checkpoints so no stage re-runs an earlier stage's heavy
+    * chain.
+    */
+  def curationManifest(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      banded: DataFrame,
+      embeddings: DataFrame,
+      n: Int = 5,
+      ngramThreshold: Double = 0.2,
+      deconDedup: MinHashConfig = MinHashConfig(threshold = 0.5),
+      cosThreshold: Double = 0.35,
+      corpusDedup: MinHashConfig = MinHashConfig(),
+      pplBuckets: Int = 3,
+      mixtureStrata: String = "lang",
+      mixtureAlpha: Double = 0.5,
+      seed: Long = 42L,
+      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None,
+      nearDupPairs: Option[DataFrame] = None,
+      ngramScores: Option[DataFrame] = None): DataFrame = {
+    require(pplBuckets >= 2, s"pplBuckets=$pplBuckets needs a droppable tail")
+
+    // stage 1 — release-gate decontamination over EVERY corpus doc.
+    // Lazy checkpoint: the three channels feed both the survivor
+    // filter and the final assembly.
+    val decon = decontaminationReport(corpus, benchmark, banded, embeddings,
+        n, ngramThreshold, deconDedup, cosThreshold, nearDupPairs, ngramScores)
+      .withColumnRenamed("verdict", "decon_verdict")
+      .localCheckpoint(false)
+    val s1 = corpus.join(
+      decon.filter(col("decon_verdict") === "keep").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+    // stage 1b — optional frozen learned quality gate (X65 model)
+    val qualityScores = qualityModel.map { case (m, _) =>
+      graft.text.QualityClassifier.score(s1, m)
+        .select(col("doc_id"), col("p_target").as("quality_p"))
+        .localCheckpoint(false)
+    }
+    val s2 = qualityModel match {
+      case Some((_, thr)) => s1.join(
+        qualityScores.get.filter(col("quality_p") >= thr).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      case None => s1
+    }
+
+    // stage 2 — near-dup starring among the survivors: verified pairs
+    // off the persisted banded index (pairs touching a dropped doc
+    // vanish in verification — only survivor texts are shingled), X16
+    // clusters, X78 most-informative winner per cluster
+    val clusters = MinHashDedup.duplicateClusters(
+        MinHashDedup.verifiedPairsFromBanded(s2, banded, corpusDedup))
+      .localCheckpoint(false)
+    val winners = MinHashDedup.qualityAwareWinners(s2, clusters)
+    val dedupVerdict = s2.select("doc_id")
+      .join(clusters.select(col("doc_id"), lit(true).as("__cl")), Seq("doc_id"), "left")
+      .join(winners.select(col("keep_id").as("doc_id"), lit(true).as("__win")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__win"), col("__cl").isNull).as("dedup_keep"))
+      .localCheckpoint(false)
+    val s3 = s2.join(dedupVerdict.filter(col("dedup_keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+    // stage 3 — CCNet perplexity gate over the deduped survivors: the
+    // bucket boundaries are computed on exactly what remains
+    val ppl = TextAnalysis.perplexityBuckets(s3, pplBuckets)
+      .select(col("doc_id"), col("bucket").as("ppl_bucket"))
+    val pplVerdict = s3.select("doc_id")
+      .join(ppl, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ppl_bucket"),
+        coalesce(col("ppl_bucket") < (pplBuckets - 1), lit(false)).as("ppl_keep"))
+      .localCheckpoint(false)
+    val s4 = s3.join(pplVerdict.filter(col("ppl_keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+    // stage 4 — temperature-flattened mixture of everything standing.
+    // An earlier stage may legitimately drop EVERYTHING (a fully
+    // contaminated or degenerate slice); the mixture of nothing is
+    // nothing, not an error — the manifest then reports keep = false
+    // everywhere instead of refusing to exist.
+    val mixtureVerdict =
+      if (s4.isEmpty) s4.select("doc_id").withColumn("mixture_keep", lit(false))
+      else s4.select("doc_id")
+        .join(Scale.temperatureResample(
+            s4.select(col("doc_id"), col(mixtureStrata)),
+            "doc_id", mixtureStrata, mixtureAlpha, seed)
+          .select(col("doc_id"), lit(true).as("__mx")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("__mx"), lit(false)).as("mixture_keep"))
+
+    // assembly — left joins on doc_id; a null stage verdict means the
+    // doc never reached that stage. Stage verdicts are three-valued
+    // STRINGS ('keep' / 'drop' / null), not nullable booleans: null
+    // booleans render as None vs NaN across engines/dataframe bridges
+    // (a representation hazard, not a value difference), while null
+    // strings are null everywhere. keep = mixture survival with
+    // null→false: only a doc that survived every earlier stage has a
+    // mixture verdict at all.
+    def verdictOf(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(b === true, "keep").when(b === false, "drop")
+    val withQuality = qualityScores.fold(decon)(qs => decon.join(qs, Seq("doc_id"), "left"))
+    withQuality
+      .join(dedupVerdict, Seq("doc_id"), "left")
+      .join(pplVerdict, Seq("doc_id"), "left")
+      .join(mixtureVerdict, Seq("doc_id"), "left")
+      .withColumn("keep", coalesce(col("mixture_keep"), lit(false)))
+      .withColumn("dedup_verdict", verdictOf(col("dedup_keep")))
+      .withColumn("ppl_verdict", verdictOf(col("ppl_keep")))
+      .withColumn("mixture_verdict", verdictOf(col("mixture_keep")))
+      .drop("dedup_keep", "ppl_keep", "mixture_keep")
+      .orderBy("doc_id")
+  }
+
+  /** The composed batch curation DRIVER — [[curationManifest]] plus
+    * everything a release run does with it: the manifest is
+    * materialized once (eager checkpoint — the audit, the survivor
+    * selection and any writer all read it without re-running the stage
+    * chains), the per-stage audit counts come from ONE aggregate over
+    * the manifest (never a stage re-run), and the surviving docs get
+    * the deterministic X47 training order, returned as a
+    * [[TrainingSetResult]] so [[writeChunks]] / [[binnedChunks]] /
+    * [[packChunks]] compose unchanged — curate → order → chunk → pack
+    * → write in one call chain.
+    */
+  def curateCorpus(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      banded: DataFrame,
+      embeddings: DataFrame,
+      n: Int = 5,
+      ngramThreshold: Double = 0.2,
+      deconDedup: MinHashConfig = MinHashConfig(threshold = 0.5),
+      cosThreshold: Double = 0.35,
+      corpusDedup: MinHashConfig = MinHashConfig(),
+      pplBuckets: Int = 3,
+      mixtureStrata: String = "lang",
+      mixtureAlpha: Double = 0.5,
+      seed: Long = 42L,
+      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None,
+      nearDupPairs: Option[DataFrame] = None,
+      ngramScores: Option[DataFrame] = None): CurationResult = {
+    val manifest = curationManifest(corpus, benchmark, banded, embeddings,
+      n, ngramThreshold, deconDedup, cosThreshold, corpusDedup, pplBuckets,
+      mixtureStrata, mixtureAlpha, seed, qualityModel, nearDupPairs, ngramScores)
+      .localCheckpoint(true)
+    // the audit is one pass over the (already materialized) manifest:
+    // conditional counts, not stage re-runs
+    val a = manifest.agg(
+      count(lit(1)).as("input"),
+      count(when(col("decon_verdict") === "keep", 1)).as("decon"),
+      count(when(col("dedup_verdict") === "keep", 1)).as("dedup"),
+      count(when(col("ppl_verdict") === "keep", 1)).as("ppl"),
+      count(when(col("keep"), 1)).as("kept")).first()
+    val audit = Seq(
+      "0_input" -> a.getLong(0), "1_decontaminated" -> a.getLong(1),
+      "2_near_dedup" -> a.getLong(2), "3_perplexity_gate" -> a.getLong(3),
+      "4_mixture" -> a.getLong(4))
+    val survivors = corpus.join(
+      manifest.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    CurationResult(manifest,
+      TrainingSetResult(Scale.shuffleOrder(survivors, "doc_id", seed), audit))
   }
 
   /** THE five-column assembly + three-valued-OR verdict of the unified

@@ -1,0 +1,175 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Catalog, Scale}
+import graft.pipeline.TrainingSet
+import graft.text.{MinHashConfig, MinHashDedup, TextAnalysis}
+
+/** The composed batch curation driver (X93):
+  *   - the manifest EXACTLY equals composing the four stages by hand
+  *     (decontaminate → near-dup star → perplexity gate → mixture),
+  *     stage columns included — the composition is its parts, with
+  *     each stage computed over the previous stage's survivors;
+  *   - every stage verdict is non-vacuous on the test corpus;
+  *   - the optional frozen quality model gates BETWEEN decontamination
+  *     and dedup (scores only decon survivors, downstream stages see
+  *     only model-kept docs);
+  *   - curateCorpus's audit equals the manifest's own aggregates and
+  *     its result composes with the chunk writer machinery
+  *     (training-order docs with shuffle_pos).
+  */
+class CurationSpec extends SparkSpec {
+
+  lazy val cat: Catalog = Catalog(spark, sf001)
+  private lazy val corpus = cat.documents.filter(col("source") =!= "src0")
+  private lazy val bench = cat.documents.filter(col("source") === "src0")
+
+  // one banded index over the full documents table (corpus ∪ benchmark
+  // — the decontaminationReport coverage contract), built once
+  private lazy val banded: DataFrame = {
+    val dir = Files.createTempDirectory("graft-curation-banded").toString
+    val cfg = MinHashConfig()
+    MinHashDedup.writeBandedIndex(MinHashDedup.signatures(cat.documents, cfg), dir, cfg)
+    MinHashDedup.readBandedIndex(spark, dir, cfg).localCheckpoint(true)
+  }
+
+  test("curation manifest equals the hand-composed stage chain, column by column") {
+    val manifest = TrainingSet.curationManifest(corpus, bench, banded, cat.embeddings)
+      .localCheckpoint(true)
+
+    // --- hand-compose the same pipeline from the public operators ---
+    val decon = TrainingSet.decontaminationReport(corpus, bench, banded, cat.embeddings)
+      .localCheckpoint(true)
+    val s1 = corpus.join(decon.filter(col("verdict") === "keep").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val clusters = MinHashDedup.duplicateClusters(
+      MinHashDedup.verifiedPairsFromBanded(s1, banded)).localCheckpoint(true)
+    val winners = MinHashDedup.qualityAwareWinners(s1, clusters)
+      .select(col("keep_id").as("doc_id"))
+    val losers = clusters.join(winners, Seq("doc_id"), "left_anti").select("doc_id")
+    val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
+    val ppl = TextAnalysis.perplexityBuckets(s2, 3).localCheckpoint(true)
+    val s3 = s2.join(ppl.filter(col("bucket") < 2).select("doc_id"), Seq("doc_id"), "left_semi")
+    val mixed = Scale.temperatureResample(
+      s3.select(col("doc_id"), col("lang")), "doc_id", "lang", alpha = 0.5)
+
+    // final keep set = the hand-chain's survivors
+    val wantKeep = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotKeep = manifest.filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotKeep == wantKeep, "manifest keep set must equal the hand-composed chain")
+
+    // stage columns: decon verdicts verbatim; dedup/ppl/mixture
+    // verdicts match the hand-built stage sets (null = never reached)
+    val deconMap = decon.select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s1Ids = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val loserIds = losers.collect().map(_.getLong(0)).toSet
+    val s2Ids = s2.select("doc_id").collect().map(_.getLong(0)).toSet
+    val pplKeepIds = ppl.filter(col("bucket") < 2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s3Ids = s3.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = manifest.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      assert(r.getString(r.fieldIndex("decon_verdict")) == deconMap(id))
+      def v(cn: String): Option[String] = {
+        val i = r.fieldIndex(cn)
+        if (r.isNullAt(i)) None else Some(r.getString(i))
+      }
+      val wantDedup =
+        if (!s1Ids(id)) None else Some(if (loserIds(id)) "drop" else "keep")
+      assert(v("dedup_verdict") == wantDedup, s"dedup_verdict for $id")
+      val wantPpl =
+        if (!s2Ids(id)) None else Some(if (pplKeepIds(id)) "keep" else "drop")
+      assert(v("ppl_verdict") == wantPpl, s"ppl_verdict for $id")
+      val wantMix =
+        if (!s3Ids(id)) None else Some(if (wantKeep(id)) "keep" else "drop")
+      assert(v("mixture_verdict") == wantMix, s"mixture_verdict for $id")
+      assert(r.getBoolean(r.fieldIndex("keep")) == wantKeep(id))
+    }
+
+    // non-vacuous: every stage must actually fire on this corpus
+    def count(cn: String, value: String): Long =
+      rows.count(r => !r.isNullAt(r.fieldIndex(cn)) &&
+        r.getString(r.fieldIndex(cn)) == value).toLong
+    assert(count("decon_verdict", "drop") > 0, "decon stage vacuous")
+    assert(count("dedup_verdict", "drop") > 0, "dedup stage vacuous")
+    assert(count("ppl_verdict", "drop") > 0, "ppl stage vacuous")
+    assert(count("mixture_verdict", "drop") > 0, "mixture stage vacuous")
+  }
+
+  test("quality model gates between decontamination and dedup") {
+    // frozen model trained on the corpus's own split — the gate's
+    // mechanics are under test, not the model's quality
+    val model = graft.text.QualityClassifier.train(
+      corpus.filter(col("lang") === "en"),
+      corpus.filter(col("lang") =!= "en"), dim = 64, iters = 5)
+    val decon = TrainingSet.decontaminationReport(corpus, bench, banded, cat.embeddings)
+    val s1 = corpus.join(decon.filter(col("verdict") === "keep").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val scored = graft.text.QualityClassifier.score(s1, model)
+      .select(col("doc_id"), col("p_target")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // threshold at the score median: the gate fires on ~half the
+    // survivors regardless of the tiny model's calibration
+    val thr = scored.values.toSeq.sorted.apply(scored.size / 2)
+    val manifest = TrainingSet.curationManifest(
+      corpus, bench, banded, cat.embeddings, qualityModel = Some((model, thr)))
+      .localCheckpoint(true)
+    assert(manifest.columns.contains("quality_p"))
+    val rows = manifest.collect()
+    var gatedOut = 0
+    rows.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      val qi = r.fieldIndex("quality_p")
+      if (scored.contains(id)) {
+        assert(!r.isNullAt(qi) && r.getDouble(qi) == scored(id),
+          s"quality_p for decon survivor $id")
+        // a doc the model rejects must never reach the dedup stage
+        if (scored(id) < thr) {
+          assert(r.isNullAt(r.fieldIndex("dedup_verdict")),
+            s"model-rejected doc $id reached dedup")
+          assert(!r.getBoolean(r.fieldIndex("keep")))
+          gatedOut += 1
+        }
+      } else {
+        // decon-dropped docs are never scored
+        assert(r.isNullAt(qi), s"decon-dropped doc $id has a quality score")
+      }
+    }
+    assert(gatedOut > 0, "quality gate vacuous — pick a different threshold")
+  }
+
+  test("curateCorpus: audit equals manifest aggregates, result is writer-ready") {
+    val cur = TrainingSet.curateCorpus(corpus, bench, banded, cat.embeddings)
+    val m = cur.manifest
+    val audit = cur.result.audit.toMap
+    assert(audit("0_input") == m.count())
+    assert(audit("1_decontaminated") ==
+      m.filter(col("decon_verdict") === "keep").count())
+    assert(audit("2_near_dedup") == m.filter(col("dedup_verdict") === "keep").count())
+    assert(audit("3_perplexity_gate") == m.filter(col("ppl_verdict") === "keep").count())
+    assert(audit("4_mixture") == m.filter(col("keep")).count())
+    // survivors carry the deterministic training order: exactly the
+    // keep set, with shuffle_pos a 1..n permutation matching the
+    // standalone X47 ordering of the same ids
+    val docs = cur.result.docs.localCheckpoint(true)
+    val keepIds = m.filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = docs.select("doc_id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.map(_._1).toSet == keepIds)
+    assert(got.map(_._2).sorted.toSeq == (1L to keepIds.size).toSeq)
+    val want = Scale.shuffleOrder(
+      corpus.join(m.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi"),
+      "doc_id", 42L)
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, pos) => assert(want(id) == pos) }
+  }
+}

@@ -75,7 +75,10 @@ class PlanAuditSpec extends SparkSpec {
       // train-vocab count (X70's shape). X92 is deliberately NOT here:
       // its vocab aggregate is hash-partitioned by model_source, so
       // the audit must keep guarding it
-      "X90_decontamination_report", "X91_heldout_logprob")
+      "X90_decontamination_report", "X91_heldout_logprob",
+      // X93 composes X90 + X81 + the mixture: it inherits the
+      // benchmark-embedding array collapse and the 1-row LM normalizer
+      "X93_curation_manifest")
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against
@@ -109,7 +112,9 @@ class PlanAuditSpec extends SparkSpec {
       // X92 crosses the bigram stream with the sources-sized vocab
       // broadcast — the |S|-fold probe IS the algorithm
       "X90_decontamination_report", "X91_heldout_logprob",
-      "X92_source_lm_matrix")
+      "X92_source_lm_matrix",
+      // X93 rides X90's broadcast-argmax embedding channel
+      "X93_curation_manifest")
     val sf001Dir = "/root/testdata/sf0.001"
     // AUDIT BLIND SPOT (ADVICE r8, accepted): queries that lazily
     // localCheckpoint an expensive prefix (X53, X80, X81) truncate
