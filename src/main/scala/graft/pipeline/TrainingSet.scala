@@ -558,6 +558,50 @@ object TrainingSet {
       .orderBy("doc_id")
   }
 
+  /** Materialize a built training set as MODEL-READY batch files: the
+    * [[binnedChunks]] stream (training-order chunks cut into
+    * `binTokens` token-budget bins by the distributed prefix sum)
+    * written `partitionBy("bin")` — the layout a data loader actually
+    * consumes: pulling model batch b is ONE directory read
+    * (`bin=b/`), containing a contiguous training-order slice of at
+    * most binTokens + maxTokens − 1 tokens, with `shuffle_pos`
+    * /`chunk_idx` riding along for in-bin ordering and mid-epoch
+    * resume.
+    *
+    * Write fan-out: the chunk stream is range-clustered on
+    * (shuffle_pos, chunk_idx) into ~`targetFileBytes` tasks BEFORE the
+    * partitionBy, and bin ids are MONOTONE in that order, so each task
+    * covers a contiguous bin run and each bin dir receives its rows
+    * from at most two tasks — total files ≤ nBins + nTasks (every task
+    * boundary splits one bin), never the nBins × nTasks shuffle-spray
+    * a hash layout would produce. File NAME order inside a bin dir is
+    * task order = training order, so a name-order reader replays the
+    * deterministic shuffle without sorting.
+    */
+  def writeBinnedChunks(
+      result: TrainingSetResult,
+      outDir: String,
+      maxTokens: Int = 2048,
+      stride: Int = 2048,
+      binTokens: Long = 1 << 20,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val chunks = binnedChunks(result, maxTokens, stride, binTokens)
+      .localCheckpoint(true)
+    // exact content size from one aggregate over the materialized
+    // chunks (the writeChunks sizing discipline — Catalyst's join
+    // estimate would peg nFiles at the cap)
+    val stats = chunks
+      .agg(count(lit(1)).as("rows"),
+        coalesce(sum(length(col("chunk"))), lit(0L)).as("bytes"))
+      .first()
+    val est = stats.getLong(1) + stats.getLong(0) * 64L
+    val nFiles = ((est + targetFileBytes - 1) / targetFileBytes)
+      .max(1L).min(1L << 20).toInt
+    Scale.clusterBy(chunks, nFiles, col("shuffle_pos"), col("chunk_idx"))
+      .write.mode("overwrite").partitionBy("bin").parquet(outDir)
+  }
+
   /** Per-document manifest of the COMPOSED batch curation pipeline —
     * the one table a real corpus-release run reads to answer "why is
     * doc X in (or out of) the training set". The stages chain in the

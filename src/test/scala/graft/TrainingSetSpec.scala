@@ -212,6 +212,60 @@ class TrainingSetSpec extends SparkSpec {
     assert(docIds == r.docs.count(), "every surviving doc must be chunked")
   }
 
+  test("writeBinnedChunks: bin-partitioned layout round-trips, one bin per file, bounded fan-out") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val r = TrainingSet.build(cat.documents.limit(120), None, TrainingSetConfig())
+    val out = java.nio.file.Files.createTempDirectory("graft-binned").toString
+    val maxTokens = 64
+    val binTokens = 500L
+    val targetFileBytes = 16L << 10
+    TrainingSet.writeBinnedChunks(r, out, maxTokens, stride = 64,
+      binTokens = binTokens, targetFileBytes = targetFileBytes)
+    // round-trip: the written rows ARE binnedChunks' output (bin rides
+    // as the partition directory)
+    def key(x: org.apache.spark.sql.Row) =
+      (x.getAs[Long]("doc_id"), x.getAs[Long]("chunk_idx"),
+        x.getAs[Long]("n_tokens"), x.getAs[Long]("shuffle_pos"), x.getAs[Long]("bin"))
+    val want = TrainingSet.binnedChunks(r, maxTokens, 64, binTokens)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("shuffle_pos"), col("bin")).collect().map(key).toSet
+    val back = spark.read.parquet(out)
+    val got = back
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("shuffle_pos"), col("bin").cast("long").as("bin")).collect().map(key).toSet
+    assert(got == want, "written layout must round-trip binnedChunks exactly")
+    // per-file batch invariant: every physical file belongs to exactly
+    // one bin directory, and within a bin dir the file NAME order
+    // replays the training order (a name-order reader needs no sort)
+    val binDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bin="))
+    assert(binDirs.length == want.map(_._5).toSet.size,
+      s"one directory per bin expected, got ${binDirs.length}")
+    var totalFiles = 0
+    binDirs.foreach { d =>
+      val parts = d.listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .map(_.getPath).sorted
+      totalFiles += parts.length
+      val seq = parts.flatMap { p =>
+        spark.read.parquet(p).select("shuffle_pos", "chunk_idx")
+          .collect().map(x => (x.getLong(0), x.getLong(1)))
+      }
+      assert(seq.sameElements(seq.sorted),
+        s"file name order inside ${d.getName} must equal training order")
+    }
+    // fan-out bound: ≤ nBins + nTasks files (each range-task boundary
+    // splits at most one bin) — never the nBins × nTasks spray
+    val nBins = want.map(_._5).toSet.size
+    val est = TrainingSet.binnedChunks(r, maxTokens, 64, binTokens)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(col("chunk"))).cast("long"))
+      .first().getLong(0) + want.size * 64L
+    val nTasks = ((est + targetFileBytes - 1) / targetFileBytes).max(1L).toInt
+    assert(totalFiles <= nBins + nTasks,
+      s"fan-out $totalFiles files exceeds nBins=$nBins + nTasks=$nTasks")
+  }
+
   test("splitLeakage: raw corpus leaks near-dup pairs across splits, deduped corpus is leak-free") {
     import org.apache.spark.sql.functions._
     val docs = cat.documents.select("doc_id", "text")
