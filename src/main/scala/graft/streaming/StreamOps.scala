@@ -344,6 +344,59 @@ object StreamOps {
       .start()
   }
 
+  /** [[ingestDedupStream]] with Spark's NATIVE
+    * `dropDuplicatesWithinWatermark` exact-dedup stage composed
+    * UPSTREAM of the near-dup foreachBatch — the two streaming dedup
+    * mechanisms in one pipeline, each doing what it is cheapest at:
+    *
+    *  - the native operator holds per-fingerprint state in the state
+    *    store (RocksDB at scale) bounded by the event-time watermark,
+    *    so an exact redelivery/duplicate within the horizon is dropped
+    *    by ONE state lookup — before it pays gating, signing, or the
+    *    shingle verify;
+    *  - the foreachBatch stage is the unchanged incremental near-dup
+    *    ingest (exact min-id dedup vs corpus ∪ prior accepted ∪ batch,
+    *    then banded-index candidates + exact-Jaccard verify).
+    *
+    * The accepted set is IDENTICAL with or without the native stage
+    * (StreamingSpec pins it against batch-mode dedupWinners): an exact
+    * duplicate the state drops would have lost downstream anyway — to
+    * its original via the exact stage if accepted, or at Jaccard 1.0
+    * via the verify if not — and a duplicate arriving after its
+    * fingerprint expired from the watermark horizon passes through to
+    * be caught by exactly those stages. The native stage is a WORK
+    * filter, not a correctness stage; that is what makes the
+    * composition safe.
+    *
+    * `newDocs` must carry an event-time `ts` column for the watermark
+    * (the state-size bound: fingerprints older than `delay` are
+    * evicted). Requires append-only ascending doc_ids across batches,
+    * like every incremental-ingest entry point.
+    */
+  def watermarkedIngestDedupStream(
+      newDocs: DataFrame,
+      corpusDocs: DataFrame,
+      corpusIndexPath: String,
+      outDir: String,
+      checkpoint: String,
+      delay: String = "1 hour",
+      cfg: graft.text.MinHashConfig = graft.text.MinHashConfig())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val exactDeduped = newDocs
+      .withColumn("__fp", xxhash64(col("text")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+    exactDeduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processIngestBatch(batch.drop("ts"), batchId, corpusDocs,
+          corpusIndexPath, outDir, cfg, gate = identity, exactDedup = true)
+      }
+      .start()
+  }
+
   /** Shared micro-batch body of [[ingestDedupStream]] /
     * [[ingestPipelineStream]]: apply `gate` (per-doc, stateless),
     * optionally exact-dedup the gated batch against every prior text

@@ -548,6 +548,76 @@ class StreamingSpec extends SparkSpec {
       "streaming ingest must equal batch-mode incremental dedup")
   }
 
+  test("watermarked ingest: native dropDuplicatesWithinWatermark composes with near-dup ingest, set unchanged") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf001, "documents")
+    def textOf(id: Long): String =
+      docs.filter(col("doc_id") === id).select("text").collect()(0).getString(0)
+    def mk(id: Long, text: String): DataFrame =
+      Seq((id, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .select(Tables.schemas("documents").fields.map(f => col(f.name).cast(f.dataType)): _*)
+    val corpus = docs.filter(col("doc_id") < 300)
+    val idxDir = Files.createTempDirectory("graft-wmingest-idx").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(corpus), idxDir)
+    // same adversarial mix as the plain ingest test: corpus clone,
+    // intra-batch dup pair, cross-batch exact clone of an accepted doc
+    val fresh = docs.filter(col("doc_id") >= 300 && col("doc_id") < 302)
+    val batch0 = fresh
+      .unionByName(mk(1000L, textOf(10L)))
+      .unionByName(mk(1001L, "zeta eta theta iota kappa lambda unique first"))
+      .unionByName(mk(1002L, "zeta eta theta iota kappa lambda unique first"))
+    val batch1 = mk(1100L, "zeta eta theta iota kappa lambda unique first")
+      .unionByName(mk(1101L, "omicron pi rho sigma tau genuinely new content"))
+    val srcDir = Files.createTempDirectory("graft-wmingest-src")
+    val outDir = Files.createTempDirectory("graft-wmingest-out").toString
+    val ckpt = Files.createTempDirectory("graft-wmingest-ckpt").toString
+    // event time monotone in doc_id (append-only ingest): nothing
+    // expires under a 1 h delay at 1 s spacing, so every cross-batch
+    // fingerprint is still in state when its duplicate arrives
+    val stream = StreamOps.documentsStream(spark, srcDir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(
+        lit(1700000000L) + col("doc_id")))
+    val query = StreamOps.watermarkedIngestDedupStream(
+      stream, corpus, idxDir, outDir, ckpt)
+    try {
+      writeChunk(batch0, srcDir, "chunk0")
+      query.processAllAvailable()
+      writeChunk(batch1, srcDir, "chunk1")
+      query.processAllAvailable()
+      // the NATIVE dedup operator is live and holding fingerprint state
+      val ops = query.lastProgress.stateOperators
+      assert(ops.nonEmpty && ops.exists(_.numRowsTotal > 0),
+        s"dropDuplicatesWithinWatermark state missing: ${query.lastProgress}")
+    } finally query.stop()
+    val accepted = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$outDir/accepted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // identical accepted set to the un-watermarked ingest and to the
+    // batch-mode contract: the native stage only pre-drops rows the
+    // downstream stages would reject anyway
+    assert(accepted == Set(300L, 301L, 1001L, 1101L), s"accepted set wrong: $accepted")
+    val allNew = batch0.unionByName(batch1)
+    val batchMode = graft.text.MinHashDedup
+      .dedupWinners(corpus.unionByName(allNew))
+      .collect().map(_.getLong(0)).toSet
+    val newIds = allNew.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted == (batchMode & newIds),
+      "watermarked streaming ingest must equal batch-mode incremental dedup")
+    // the cross-batch exact clone (1100) was dropped by the STATE
+    // lookup before the file machinery ever saw it: the second chunk's
+    // accepted dir (batch ids shift under the stateful operator's
+    // watermark-advance batches, so locate it by content) holds only
+    // 1101 — 1100 reached no batch at all
+    val byBatch = new java.io.File(s"$outDir/accepted").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("b"))
+      .map(d => d.getName -> spark.read.parquet(d.getPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSet).toMap
+    val chunk1Accepted = byBatch.values.find(_.contains(1101L)).get
+    assert(chunk1Accepted == Set(1101L), s"chunk-1 accepted: $byBatch")
+  }
+
   test("streaming pipeline ingest: rule gate + exact dedup + near-dup ingest ≡ the batch stage-1→3 composition") {
     import spark.implicits._
     val docs = Tables.load(spark, sf001, "documents")
