@@ -479,8 +479,25 @@ object TextAnalysis {
     * broadcast (|S| is a small constant — the stream grows |S|-fold,
     * linear in corpus × sources) and left-joins the two model-sized
     * sides; everything after the per-doc aggregate is |S|²-sized.
+    *
+    * `minVocabOverlap` > 0 scores only source PAIRS whose word-type
+    * sets have Jaccard overlap ≥ the floor — the large-|S| escape
+    * hatch: with 100+ sources the full |S|²-fold probe is mostly cells
+    * between sources that share no vocabulary (whose score is the
+    * uninformative smoothing floor anyway), so a mixture designer
+    * prunes those pairs BEFORE the probe pays for them. The overlap
+    * test is one vocab-sized (source, word) self-join producing an
+    * |S|²-bounded pair table; the probe stream then grows only
+    * |kept pairs|-fold instead of |S|-fold. The diagonal (overlap 1)
+    * always survives, and the kept cells equal the full matrix's cells
+    * EXACTLY (the filter selects pairs, it never changes a model —
+    * spec-pinned). Default 0.0 = the full matrix, no extra pass.
     */
-  def sourceLmMatrix(documents: DataFrame): DataFrame = {
+  def sourceLmMatrix(
+      documents: DataFrame,
+      minVocabOverlap: Double = 0.0): DataFrame = {
+    require(minVocabOverlap >= 0.0 && minVocabOverlap <= 1.0,
+      s"minVocabOverlap=$minVocabOverlap must be in [0, 1]")
     val toks = tokens(col("text"))
     // consumed by the model aggregation AND the |S|-fold probe — one
     // tokenize/explode pass, not two (the X81 lazy-checkpoint idiom)
@@ -492,8 +509,30 @@ object TextAnalysis {
     val vocab = documents
       .select(col("source").as("model_source"), explode(toks).as("w"))
       .groupBy("model_source").agg(count_distinct(col("w")).as("v"))
+    // the |S|-fold fan-out table: every (model_source, v) row fans the
+    // bigram stream once; with a pair floor, only kept pairs fan out
+    val fanout =
+      if (minVocabOverlap <= 0.0)
+        documents.select("source").distinct().crossJoin(vocab)
+      else {
+        val sv = documents.select(col("source"), explode(toks).as("w")).distinct()
+          .localCheckpoint(false)
+        val sizes = sv.groupBy("source").agg(count(lit(1)).as("nv"))
+        val inter = sv.as("a")
+          .join(sv.as("b"), Seq("w"))
+          .groupBy(col("a.source").as("source"), col("b.source").as("model_source"))
+          .agg(count(lit(1)).as("ni"))
+        inter
+          .join(sizes.select(col("source"), col("nv").as("nva")), Seq("source"))
+          .join(sizes.select(col("source").as("model_source"), col("nv").as("nvb")),
+            Seq("model_source"))
+          .filter(col("ni").cast("double") / (col("nva") + col("nvb") - col("ni"))
+            >= minVocabOverlap)
+          .join(vocab, Seq("model_source"))
+          .select("source", "model_source", "v")
+      }
     val perDoc = bgs
-      .crossJoin(broadcast(vocab))
+      .join(broadcast(fanout), Seq("source"))
       .join(model, Seq("model_source", "w1", "w2"), "left")
       .join(ctx, Seq("model_source", "w1"), "left")
       .groupBy("doc_id", "source", "model_source")

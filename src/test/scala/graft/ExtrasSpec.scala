@@ -1016,6 +1016,34 @@ class ExtrasSpec extends SparkSpec {
     assert(corpus.length == srcs * srcs)
   }
 
+  test("sourceLmMatrix pair filter: kept cells equal the full matrix, disjoint pairs pruned") {
+    import spark.implicits._
+    // A and B share half their vocabulary (jaccard 1/3); C is disjoint
+    // from both — a 0.2 floor keeps {A,B}×{A,B} plus the diagonal,
+    // pruning every C cross cell
+    val docs = Seq(
+      (1L, "a b a b c", "A"), (2L, "b a c a", "A"),
+      (3L, "c d c d c", "B"), (4L, "d c d d", "B"),
+      (5L, "x y x y x", "C"), (6L, "y x y y", "C"))
+      .toDF("doc_id", "text", "source")
+    def cells(m: Array[org.apache.spark.sql.Row]) =
+      m.map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val full = cells(TextAnalysis.sourceLmMatrix(docs).collect())
+    val filtered = cells(TextAnalysis.sourceLmMatrix(docs, minVocabOverlap = 0.2).collect())
+    assert(full.size == 9)
+    // exactly the expected pairs survive: the filter selects pairs,
+    // never changes a model
+    val wantKept = Set(("A","A"), ("A","B"), ("B","A"), ("B","B"), ("C","C"))
+    assert(filtered.keySet == wantKept, s"kept: ${filtered.keySet}")
+    filtered.foreach { case (k, v) =>
+      assert(full(k) == v, s"filtered cell $k diverged: $v vs ${full(k)}")
+    }
+    // floor above every off-diagonal overlap → the diagonal alone
+    val diag = cells(TextAnalysis.sourceLmMatrix(docs, minVocabOverlap = 0.9).collect())
+    assert(diag.keySet == Set(("A","A"), ("B","B"), ("C","C")), s"${diag.keySet}")
+    diag.foreach { case (k, v) => assert(full(k) == v) }
+  }
+
   test("noveltyCurve: hand fixture buckets, cumulative vocab is total distinct words") {
     import spark.implicits._
     // rn 1..4, nBuckets=2 → docs 1,2 in bucket 0; docs 3,4 in bucket 1
