@@ -61,11 +61,29 @@ object ScaleGrowthBench {
           col("n_chars"))
       }.reduce(_ unionByName _).repartition(32).localCheckpoint(true)
 
+    // X05's wall is candidate-mass bound, not N-bound: record the
+    // capped candidate mass (Σ C(df,2) over shingles with df ≤ maxDf —
+    // exactly the join's row count) per factor so the fit section can
+    // PREDICT the top-factor wall from mass growth and compare with
+    // the measurement (the cap-certification evidence: per-candidate
+    // cost flat ⇒ the maxDf cap, not the corpus size, governs cost)
+    val x05Mass = scala.collection.mutable.Map[Int, Long]()
+    var curFactor = 0
+
     // each path returns (outputMeasure, linearInFactor): the measure of
     // the r-factor run must equal r × the 1-factor run when linear
     val paths: Seq[(String, DataFrame => Long, Boolean)] = Seq(
       ("X05_jaccard_capped",
-        d => TextAnalysis.ngramJaccardPairs(d, n = 3, threshold = 0.6, maxDf = 50).count(),
+        d => {
+          val sh = d.select(col("doc_id"),
+              explode(array_distinct(TextAnalysis.shingles(col("text"), 3))).as("s"))
+            .distinct()
+          x05Mass(curFactor) = sh.groupBy("s").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= 50)
+            .agg(coalesce(sum((col("df") * (col("df") - 1) / 2).cast("long")), lit(0L)))
+            .first().getLong(0)
+          TextAnalysis.ngramJaccardPairs(d, n = 3, threshold = 0.6, maxDf = 50).count()
+        },
         true),
       ("X07_minhash_dedup", d => MinHashDedup.dedupWinners(d).count(), true),
       ("X67_dup_coverage",
@@ -142,6 +160,7 @@ object ScaleGrowthBench {
     val results = scala.collection.mutable.Map[String, Vector[(Int, Double, Long)]]()
       .withDefaultValue(Vector.empty)
     factors.foreach { f =>
+      curFactor = f
       val docs = corpus(f)
       println(s"SCALEGROWTH corpus factor=$f rows=${docs.count()}")
       paths.filter(p => keep(p._1)).foreach { case (name, run, _) =>
@@ -149,6 +168,8 @@ object ScaleGrowthBench {
         results(name) :+= ((f, t, m))
         println(f"SCALEGROWTH $name%-20s factor=$f%2d  $t%8.2f s  measure=$m%,d")
       }
+      x05Mass.get(f).foreach(mass =>
+        println(f"SCALEGROWTH X05 candidate mass  factor=$f%2d  $mass%,d"))
       docs.unpersist()
     }
 
@@ -168,6 +189,20 @@ object ScaleGrowthBench {
         val k = math.log(tb / ta) / math.log(fb.toDouble / fa)
         println(f"SCALEGROWTH $name%-20s k=${k}%.2f  (${fa}x ${ta}%.2f s → ${fb}x ${tb}%.2f s)")
       }
+    }
+
+    // X05 cap certification: per-candidate cost must be flat — the
+    // wall predicted from candidate-mass growth alone should land on
+    // the measured wall (the cap, not N, governs cost at scale)
+    if (keep("X05_jaccard_capped") && results("X05_jaccard_capped").size >= 2) {
+      val rs = results("X05_jaccard_capped").sortBy(_._1)
+      val (fa, ta, _) = rs(rs.size - 2)
+      val (fb, tb, _) = rs.last
+      val predicted = ta * x05Mass(fb).toDouble / x05Mass(fa)
+      println(f"SCALEGROWTH X05 cap certification: mass ${x05Mass(fa)}%,d → " +
+        f"${x05Mass(fb)}%,d (${fa}x→${fb}x), predicted wall $predicted%.2f s, " +
+        f"measured $tb%.2f s, ratio ${tb / predicted}%.2f " +
+        "(≈1 ⇒ candidate-mass bound — the maxDf cap governs cost)")
     }
 
     // X90's fixed-benchmark invariant: growth adds content that cannot
