@@ -269,6 +269,27 @@ object Extras {
     }.orderBy("i", "j")
   }
 
+  /** Per-corpus persisted VERIFIED near-dup pair table — the central
+    * artifact a production dedup run publishes (banded candidates +
+    * exact-Jaccard verify, paid once per corpus stamp): the X29 star
+    * clustering, X78 winner starring, X84 report and X93's curation
+    * dedup stage all read the same rows instead of re-paying the
+    * verify chain per query. X16 deliberately stays on the from-
+    * scratch chain (label propagation over freshly verified pairs), so
+    * one declared cluster query still exercises the full pipeline, and
+    * X07/X15/X38 keep benching the verify chain itself. Values are
+    * unchanged by persistence (the pair table is deterministic; the
+    * oracles recompute it from the banded mirror and stay green).
+    */
+  private def vpairsTable(c: Catalog): DataFrame = {
+    val cfg = graft.text.MinHashConfig()
+    stampedArtifact(c, "vpairs",
+      s"vpairs:v${MinHashDedup.SignatureVersion}:${cfg.shingleSize}:" +
+        s"${cfg.numHashes}:${cfg.bands}:${cfg.threshold}:${cfg.maxBucket}") {
+      MinHashDedup.verifiedPairsFromBanded(c.documents, bandedTable(c), cfg)
+    }.orderBy("i", "j")
+  }
+
   /** Per-corpus persisted IVF index, built once (same stamp scheme as
     * [[sigTable]]) — X14 then measures the partition-pruned PROBE its
     * name advertises, not a rebuild.
@@ -699,20 +720,24 @@ object Extras {
     // count, docs the min-id rule removes, character mass removed) —
     // the summary table every dedup run publishes; fully oracle-checked
     // (recursive-CTE clusters + the same two aggregates)
-    "X84_dedup_report" -> q(c =>
+    "X84_dedup_report" -> q(c => {
+      // bandedTable(c) refreshes the oracle mirror the recursive-CTE
+      // oracle reads; the Spark path rides the persisted pair artifact
+      bandedTable(c)
       MinHashDedup.dedupReport(
         c.documents,
-        MinHashDedup.duplicateClusters(
-          MinHashDedup.verifiedPairsFromBanded(c.documents, bandedTable(c))))),
+        MinHashDedup.duplicateClusters(vpairsTable(c)))
+    }),
     // quality-aware winner per X16 cluster: keep the most-informative
     // member (max distinct tokens, min doc_id tie) instead of min-id —
     // the production starring rule when near-dup copies differ in
     // completeness; fully oracle-checked (recursive-CTE clusters +
     // the same window in both engines)
-    "X78_quality_winners" -> q(c =>
+    "X78_quality_winners" -> q(c => {
+      bandedTable(c) // refreshes the oracle mirror (X84's idiom)
       MinHashDedup.qualityAwareWinners(c.documents,
-        MinHashDedup.duplicateClusters(
-          MinHashDedup.verifiedPairsFromBanded(c.documents, bandedTable(c))))),
+        MinHashDedup.duplicateClusters(vpairsTable(c)))
+    }),
     // rolling-hash winnowing fingerprint near-dup pairs, the pair stage
     // downstream of the persisted fingerprint parquet (generation is the
     // engine-specific native kernel; df-filter + self-join + Jaccard are
@@ -803,9 +828,10 @@ object Extras {
     // O(log n)-round twin of X16 (spec-pinned equal to label propagation
     // and to union-find; converges on chain graphs where propagation
     // needs O(n) rounds)
-    "X29_dup_clusters_stars" -> q(c =>
-      graft.ops.ConnectedComponents.components(
-        MinHashDedup.verifiedPairsFromBanded(c.documents, bandedTable(c)))),
+    "X29_dup_clusters_stars" -> q(c => {
+      bandedTable(c) // refreshes the oracle mirror (X84's idiom)
+      graft.ops.ConnectedComponents.components(vpairsTable(c))
+    }),
     // benchmark decontamination: 5-gram overlap of every corpus doc
     // against the held-out src0 set (oracle-checked)
     "X30_decontaminate" -> q(c => contaminationTable(c)),
@@ -1218,7 +1244,8 @@ object Extras {
         bandedTable(c),
         c.embeddings,
         nearDupPairs = Some(crossNearDupsTable(c)),
-        ngramScores = Some(contaminationTable(c))))
+        ngramScores = Some(contaminationTable(c)),
+        corpusPairs = Some(vpairsTable(c))))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token

@@ -660,7 +660,8 @@ object TrainingSet {
       seed: Long = 42L,
       qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None,
       nearDupPairs: Option[DataFrame] = None,
-      ngramScores: Option[DataFrame] = None): DataFrame = {
+      ngramScores: Option[DataFrame] = None,
+      corpusPairs: Option[DataFrame] = None): DataFrame = {
     require(pplBuckets >= 2, s"pplBuckets=$pplBuckets needs a droppable tail")
 
     // stage 1 — release-gate decontamination over EVERY corpus doc.
@@ -690,9 +691,22 @@ object TrainingSet {
     // stage 2 — near-dup starring among the survivors: verified pairs
     // off the persisted banded index (pairs touching a dropped doc
     // vanish in verification — only survivor texts are shingled), X16
-    // clusters, X78 most-informative winner per cluster
-    val clusters = MinHashDedup.duplicateClusters(
-        MinHashDedup.verifiedPairsFromBanded(s2, banded, corpusDedup))
+    // clusters, X78 most-informative winner per cluster.
+    // `corpusPairs` accepts the FULL-corpus verified pair table (the
+    // dedup run's persisted artifact) instead: restricting it to
+    // survivor pairs is EXACTLY the from-scratch computation, because
+    // banded candidates restricted to survivor ids are the survivor
+    // candidates and a pair's Jaccard depends only on its two texts —
+    // so the release gate reads the stored rows instead of re-paying
+    // the verify chain (spec-pinned equal).
+    val pairs = corpusPairs match {
+      case Some(p) =>
+        val ids = s2.select("doc_id")
+        p.join(ids.select(col("doc_id").as("i")), Seq("i"), "left_semi")
+          .join(ids.select(col("doc_id").as("j")), Seq("j"), "left_semi")
+      case None => MinHashDedup.verifiedPairsFromBanded(s2, banded, corpusDedup)
+    }
+    val clusters = MinHashDedup.duplicateClusters(pairs)
       .localCheckpoint(false)
     val winners = MinHashDedup.qualityAwareWinners(s2, clusters)
     val dedupVerdict = s2.select("doc_id")
@@ -781,10 +795,12 @@ object TrainingSet {
       seed: Long = 42L,
       qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None,
       nearDupPairs: Option[DataFrame] = None,
-      ngramScores: Option[DataFrame] = None): CurationResult = {
+      ngramScores: Option[DataFrame] = None,
+      corpusPairs: Option[DataFrame] = None): CurationResult = {
     val manifest = curationManifest(corpus, benchmark, banded, embeddings,
       n, ngramThreshold, deconDedup, cosThreshold, corpusDedup, pplBuckets,
-      mixtureStrata, mixtureAlpha, seed, qualityModel, nearDupPairs, ngramScores)
+      mixtureStrata, mixtureAlpha, seed, qualityModel, nearDupPairs, ngramScores,
+      corpusPairs)
       .localCheckpoint(true)
     // the audit is one pass over the (already materialized) manifest:
     // conditional counts, not stage re-runs

@@ -146,6 +146,21 @@ class CurationSpec extends SparkSpec {
     assert(gatedOut > 0, "quality gate vacuous — pick a different threshold")
   }
 
+  test("corpusPairs artifact path: manifest equals the from-scratch chain exactly") {
+    // the FULL-corpus verified pair table (what a dedup run persists)
+    val fullPairs = MinHashDedup
+      .verifiedPairsFromBanded(cat.documents, banded)
+      .localCheckpoint(true)
+    val fromArtifact = TrainingSet.curationManifest(
+      corpus, bench, banded, cat.embeddings, corpusPairs = Some(fullPairs))
+      .collect().map(_.toSeq).toSeq
+    val fromScratch = TrainingSet.curationManifest(
+      corpus, bench, banded, cat.embeddings)
+      .collect().map(_.toSeq).toSeq
+    assert(fromArtifact == fromScratch,
+      "restricting the persisted full-corpus pair table to survivors must equal re-verifying")
+  }
+
   test("curateCorpus: audit equals manifest aggregates, result is writer-ready") {
     val cur = TrainingSet.curateCorpus(corpus, bench, banded, cat.embeddings)
     val m = cur.manifest
