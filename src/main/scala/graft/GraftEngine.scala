@@ -188,6 +188,26 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
     graft.pipeline.TrainingSet.curateCorpus(
       corpus, benchmark, banded, tables.embeddings)
 
+  /** Corpus in, training batches out — the full release pipeline in
+    * one call: [[curateCorpus]] (decontaminate → near-dup star →
+    * perplexity gate → mixture), then the bin-partitioned model-batch
+    * writer ([[graft.pipeline.TrainingSet.writeBinnedChunks]]) over
+    * the survivors in deterministic training order. Writes the per-doc
+    * manifest alongside the batches (`outDir/manifest`) — the "why is
+    * doc X in the training set" record ships with the data. Returns
+    * the curation result (manifest + audit).
+    */
+  def curateAndWrite(corpus: DataFrame, benchmark: DataFrame,
+      banded: DataFrame, outDir: String,
+      maxTokens: Int = 2048, stride: Int = 2048,
+      binTokens: Long = 1 << 20): graft.pipeline.CurationResult = {
+    val cur = curateCorpus(corpus, benchmark, banded)
+    graft.pipeline.TrainingSet.writeBinnedChunks(
+      cur.result, s"$outDir/batches", maxTokens, stride, binTokens)
+    cur.manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
+    cur
+  }
+
   /** Per-source PII hit totals (email/url/ipv4/phone). */
   def piiStats(): DataFrame = graft.text.TextAnalysis.piiStats(tables.documents)
 

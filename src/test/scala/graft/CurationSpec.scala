@@ -161,6 +161,27 @@ class CurationSpec extends SparkSpec {
       "restricting the persisted full-corpus pair table to survivors must equal re-verifying")
   }
 
+  test("curateAndWrite: corpus in, bin-partitioned batches + manifest out") {
+    val eng = GraftEngine(spark, sf001)
+    val out = Files.createTempDirectory("graft-curate-write").toString
+    val cur = eng.curateAndWrite(corpus, bench, banded, out,
+      maxTokens = 64, stride = 64, binTokens = 500L)
+    // the shipped manifest is the curation manifest, byte for byte
+    val shipped = spark.read.parquet(s"$out/manifest")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(shipped == cur.manifest.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    // the batches cover exactly the keep set, bin-partitioned
+    val batches = spark.read.parquet(s"$out/batches")
+    val batchDocs = batches.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val keepIds = cur.manifest.filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(batchDocs == keepIds, "batches must cover exactly the kept docs")
+    assert(batches.columns.contains("bin"))
+    assert(new java.io.File(s"$out/batches").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("bin=")))
+  }
+
   test("curateCorpus: audit equals manifest aggregates, result is writer-ready") {
     val cur = TrainingSet.curateCorpus(corpus, bench, banded, cat.embeddings)
     val m = cur.manifest
