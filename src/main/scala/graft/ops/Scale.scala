@@ -409,8 +409,12 @@ object Scale {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha must be in (0, 1]")
     val counts = df.groupBy(strata).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    require(counts.nonEmpty, "temperatureResample: empty corpus")
-    mixtureResample(df, key, strata,
+    // the temperature mixture of NOTHING is nothing, not an error: an
+    // upstream gate may legitimately drop every row (the curation
+    // pipeline's contract), and every composer would otherwise have to
+    // pre-test emptiness with an extra action
+    if (counts.isEmpty) df.filter(lit(false))
+    else mixtureResample(df, key, strata,
       counts.map { case (g, n) => g -> math.pow(n.toDouble, alpha) }.toMap, seed)
   }
 

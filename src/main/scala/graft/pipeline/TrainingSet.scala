@@ -523,20 +523,11 @@ object TrainingSet {
     // (the sign-in-place probe; see the streaming gate).
     val nd = nearDupPairs
       .getOrElse {
-        val corpusSide = banded.join(
-          corpus.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-        if (corpusSide.isEmpty) {
-          val corpusHasSignable = !corpus
-            .filter(size(TextAnalysis.tokens(col("text"))) >= dedup.shingleSize)
-            .isEmpty
-          require(!corpusHasSignable,
-            "decontaminationReport: the banded index contains no corpus-side " +
-              "rows but the corpus has shingle-bearing documents — the index " +
-              "must cover corpus ∪ benchmark for the default near-dup channel. " +
-              "For a benchmark-only index, pass nearDupPairs = " +
-              "Some(MinHashDedup.crossNearDupsAgainstBanded(corpus, benchmark, " +
-              "benchBanded, dedup)) (the sign-in-place probe) instead.")
-        }
+        requireBandedCoversCorpus(corpus, banded, dedup.shingleSize,
+          "decontaminationReport",
+          "For a benchmark-only index, pass nearDupPairs = " +
+            "Some(MinHashDedup.crossNearDupsAgainstBanded(corpus, benchmark, " +
+            "benchBanded, dedup)) (the sign-in-place probe) instead.")
         MinHashDedup.crossNearDupsFromBanded(corpus, benchmark, banded, dedup)
       }
       .select(col("i").as("doc_id")).distinct()
@@ -704,7 +695,15 @@ object TrainingSet {
         val ids = s2.select("doc_id")
         p.join(ids.select(col("doc_id").as("i")), Seq("i"), "left_semi")
           .join(ids.select(col("doc_id").as("j")), Seq("j"), "left_semi")
-      case None => MinHashDedup.verifiedPairsFromBanded(s2, banded, corpusDedup)
+      case None =>
+        // same silent-empty hazard as the decon channel: a benchmark-
+        // only index yields zero corpus pairs and every near-dup copy
+        // would ship with dedup_verdict = 'keep'
+        requireBandedCoversCorpus(corpus, banded, corpusDedup.shingleSize,
+          "curationManifest stage 2",
+          "Pass corpusPairs = Some(<the persisted full-corpus verified " +
+            "pair table>) when the banded index does not cover the corpus.")
+        MinHashDedup.verifiedPairsFromBanded(s2, banded, corpusDedup)
     }
     val clusters = MinHashDedup.duplicateClusters(pairs)
       .localCheckpoint(false)
@@ -731,19 +730,16 @@ object TrainingSet {
     val s4 = s3.join(pplVerdict.filter(col("ppl_keep")).select("doc_id"),
       Seq("doc_id"), "left_semi")
 
-    // stage 4 — temperature-flattened mixture of everything standing.
-    // An earlier stage may legitimately drop EVERYTHING (a fully
-    // contaminated or degenerate slice); the mixture of nothing is
-    // nothing, not an error — the manifest then reports keep = false
-    // everywhere instead of refusing to exist.
-    val mixtureVerdict =
-      if (s4.isEmpty) s4.select("doc_id").withColumn("mixture_keep", lit(false))
-      else s4.select("doc_id")
-        .join(Scale.temperatureResample(
-            s4.select(col("doc_id"), col(mixtureStrata)),
-            "doc_id", mixtureStrata, mixtureAlpha, seed)
-          .select(col("doc_id"), lit(true).as("__mx")), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("__mx"), lit(false)).as("mixture_keep"))
+    // stage 4 — temperature-flattened mixture of everything standing
+    // (an earlier stage may legitimately drop EVERYTHING — a fully
+    // contaminated slice; temperatureResample of nothing is nothing,
+    // so the manifest then reports keep = false everywhere)
+    val mixtureVerdict = s4.select("doc_id")
+      .join(Scale.temperatureResample(
+          s4.select(col("doc_id"), col(mixtureStrata)),
+          "doc_id", mixtureStrata, mixtureAlpha, seed)
+        .select(col("doc_id"), lit(true).as("__mx")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__mx"), lit(false)).as("mixture_keep"))
 
     // assembly — left joins on doc_id; a null stage verdict means the
     // doc never reached that stage. Stage verdicts are three-valued
@@ -756,15 +752,22 @@ object TrainingSet {
     def verdictOf(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(b === true, "keep").when(b === false, "drop")
     val withQuality = qualityScores.fold(decon)(qs => decon.join(qs, Seq("doc_id"), "left"))
+    // explicit positional schema, matching the X93 oracle column for
+    // column (quality_p slots after decon_verdict when a model ran)
+    val cols =
+      Seq(col("doc_id"), col("ngram_frac"), col("near_dup"),
+        col("semantic_cos"), col("decon_verdict")) ++
+      (if (qualityScores.isDefined) Seq(col("quality_p")) else Nil) ++
+      Seq(verdictOf(col("dedup_keep")).as("dedup_verdict"),
+        col("ppl_bucket"),
+        verdictOf(col("ppl_keep")).as("ppl_verdict"),
+        verdictOf(col("mixture_keep")).as("mixture_verdict"),
+        coalesce(col("mixture_keep"), lit(false)).as("keep"))
     withQuality
       .join(dedupVerdict, Seq("doc_id"), "left")
       .join(pplVerdict, Seq("doc_id"), "left")
       .join(mixtureVerdict, Seq("doc_id"), "left")
-      .withColumn("keep", coalesce(col("mixture_keep"), lit(false)))
-      .withColumn("dedup_verdict", verdictOf(col("dedup_keep")))
-      .withColumn("ppl_verdict", verdictOf(col("ppl_keep")))
-      .withColumn("mixture_verdict", verdictOf(col("mixture_keep")))
-      .drop("dedup_keep", "ppl_keep", "mixture_keep")
+      .select(cols: _*)
       .orderBy("doc_id")
   }
 
@@ -804,20 +807,55 @@ object TrainingSet {
       .localCheckpoint(true)
     // the audit is one pass over the (already materialized) manifest:
     // conditional counts, not stage re-runs
+    // docs with a non-null dedup verdict are exactly the docs that
+    // reached stage 2 — i.e. the model gate's survivors when a model
+    // ran (the [[build]] audit's 1b row; without it the model's drops
+    // would read as near-dup losers)
     val a = manifest.agg(
       count(lit(1)).as("input"),
       count(when(col("decon_verdict") === "keep", 1)).as("decon"),
+      count(col("dedup_verdict")).as("reached_dedup"),
       count(when(col("dedup_verdict") === "keep", 1)).as("dedup"),
       count(when(col("ppl_verdict") === "keep", 1)).as("ppl"),
       count(when(col("keep"), 1)).as("kept")).first()
     val audit = Seq(
-      "0_input" -> a.getLong(0), "1_decontaminated" -> a.getLong(1),
-      "2_near_dedup" -> a.getLong(2), "3_perplexity_gate" -> a.getLong(3),
-      "4_mixture" -> a.getLong(4))
+      "0_input" -> a.getLong(0), "1_decontaminated" -> a.getLong(1)) ++
+      (if (qualityModel.isDefined) Seq("1b_model_quality" -> a.getLong(2)) else Nil) ++
+      Seq(
+        "2_near_dedup" -> a.getLong(3),
+        "3_perplexity_gate" -> a.getLong(4),
+        "4_mixture" -> a.getLong(5))
     val survivors = corpus.join(
       manifest.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
     CurationResult(manifest,
       TrainingSetResult(Scale.shuffleOrder(survivors, "doc_id", seed), audit))
+  }
+
+  /** Fail-loud coverage check shared by every consumer that semi-joins
+    * a banded index against corpus ids: a benchmark-only index (the
+    * streaming gate's artifact shape) silently empties the corpus side
+    * — every doc would read as pair-free with no error. If the corpus
+    * has any shingle-bearing document, its banded rows must be
+    * non-empty; `remedy` tells the caller the artifact-param escape
+    * hatch for their entry point. One limit-1-shaped action.
+    */
+  private def requireBandedCoversCorpus(
+      corpus: DataFrame,
+      banded: DataFrame,
+      shingleSize: Int,
+      context: String,
+      remedy: String): Unit = {
+    val corpusSide = banded.join(
+      corpus.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+    if (corpusSide.isEmpty) {
+      val corpusHasSignable = !corpus
+        .filter(size(TextAnalysis.tokens(col("text"))) >= shingleSize)
+        .isEmpty
+      require(!corpusHasSignable,
+        s"$context: the banded index contains no corpus-side rows but the " +
+          s"corpus has shingle-bearing documents — the index must cover the " +
+          s"corpus for this path. $remedy")
+    }
   }
 
   /** THE five-column assembly + three-valued-OR verdict of the unified

@@ -358,15 +358,25 @@ object StreamOps {
     *    ingest (exact min-id dedup vs corpus ∪ prior accepted ∪ batch,
     *    then banded-index candidates + exact-Jaccard verify).
     *
-    * The accepted set is IDENTICAL with or without the native stage
-    * (StreamingSpec pins it against batch-mode dedupWinners): an exact
-    * duplicate the state drops would have lost downstream anyway — to
-    * its original via the exact stage if accepted, or at Jaccard 1.0
-    * via the verify if not — and a duplicate arriving after its
-    * fingerprint expired from the watermark horizon passes through to
-    * be caught by exactly those stages. The native stage is a WORK
-    * filter, not a correctness stage; that is what makes the
-    * composition safe.
+    * The accepted TEXT set is IDENTICAL with or without the native
+    * stage (StreamingSpec pins the id set against batch-mode
+    * dedupWinners): an exact duplicate the state drops would have lost
+    * downstream anyway — to its original via the exact stage if
+    * accepted, or at Jaccard 1.0 via the verify if not — and a
+    * duplicate arriving after its fingerprint expired from the
+    * watermark horizon passes through to be caught by exactly those
+    * stages. The native stage is a WORK filter, not a correctness
+    * stage; that is what makes the composition safe.
+    *
+    * One id-level caveat the composition trades for the state-store
+    * shortcut: WITHIN a micro-batch, `dropDuplicatesWithinWatermark`
+    * keeps an arbitrary copy per fingerprint (shuffle arrival order),
+    * so when exact duplicates co-arrive in ONE batch the surviving
+    * doc_id may differ from batch mode's min-id — same text, same
+    * count, different id. Cross-batch the append-only contract makes
+    * the state's first-seen copy the min-id copy, and callers needing
+    * strict min-id inside a batch use [[ingestDedupStream]] (its
+    * exact stage picks min-id deterministically).
     *
     * `newDocs` must carry an event-time `ts` column for the watermark
     * (the state-size bound: fingerprints older than `delay` are

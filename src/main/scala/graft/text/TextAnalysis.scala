@@ -522,14 +522,16 @@ object TextAnalysis {
           .join(sv.as("b"), Seq("w"))
           .groupBy(col("a.source").as("source"), col("b.source").as("model_source"))
           .agg(count(lit(1)).as("ni"))
+        // nvb IS the model source's distinct-word count — the same
+        // number `vocab` computes — so the smoothing V rides the size
+        // table instead of paying a second tokenize+explode corpus pass
         inter
           .join(sizes.select(col("source"), col("nv").as("nva")), Seq("source"))
           .join(sizes.select(col("source").as("model_source"), col("nv").as("nvb")),
             Seq("model_source"))
           .filter(col("ni").cast("double") / (col("nva") + col("nvb") - col("ni"))
             >= minVocabOverlap)
-          .join(vocab, Seq("model_source"))
-          .select("source", "model_source", "v")
+          .select(col("source"), col("model_source"), col("nvb").as("v"))
       }
     val perDoc = bgs
       .join(broadcast(fanout), Seq("source"))

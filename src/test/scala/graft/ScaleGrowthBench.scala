@@ -46,19 +46,21 @@ object ScaleGrowthBench {
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 30)
 
     val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
-      .select("doc_id", "text", "n_chars")
+      .select("doc_id", "text", "n_chars", "lang")
     val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
 
     // block-diagonal replica i: disjoint doc_ids and a fixed-width
     // per-token tag (all tags 3 chars, so per-replica char counts are
-    // identical and char-sum invariants stay exact)
+    // identical and char-sum invariants stay exact); lang rides along
+    // for the curation path's mixture stage (per-replica proportions
+    // identical by construction)
     def corpus(factor: Int): DataFrame =
       (0 until factor).map { i =>
         val tag = f"$i%02d"
         base.select(
           (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
           regexp_replace(col("text"), "(\\S+)", s"$$1r$tag").as("text"),
-          col("n_chars"))
+          col("n_chars"), col("lang"))
       }.reduce(_ unionByName _).repartition(32).localCheckpoint(true)
 
     // X05's wall is candidate-mass bound, not N-bound: record the
@@ -68,6 +70,8 @@ object ScaleGrowthBench {
     // the measurement (the cap-certification evidence: per-candidate
     // cost flat ⇒ the maxDf cap, not the corpus size, governs cost)
     val x05Mass = scala.collection.mutable.Map[Int, Long]()
+    // (deconDrops, dedupDrops) per factor for the curation invariants
+    val x93Stats = scala.collection.mutable.Map[Int, (Long, Long)]()
     var curFactor = 0
 
     // each path returns (outputMeasure, linearInFactor): the measure of
@@ -137,6 +141,49 @@ object ScaleGrowthBench {
           rep.filter(col("verdict") === "drop").count()
         },
         false),
+      // X93 composed curation against a FIXED benchmark (X90's growth
+      // model): the full release pipeline — decontaminate → near-dup
+      // star → perplexity gate → mixture — over the grown corpus, with
+      // the banded index built fresh per factor (the dedup run's own
+      // linear indexing pass; a production deployment amortizes it).
+      // Measure = manifest rows (exactly linear); stage invariants
+      // checked after the sweep: decon drops CONSTANT (replicas ≥ 1
+      // share nothing with the benchmark), dedup drops AFFINE in the
+      // factor (each added replica contributes replica 0's internal
+      // near-dup mass), ppl keeps equal the exact tertile formula.
+      ("X93_curation",
+        d => {
+          val cfg = graft.text.MinHashConfig()
+          val bench = d.filter(col("doc_id") < 250).select("doc_id", "text")
+          val cor = d.filter(col("doc_id") >= 250)
+            .select("doc_id", "text", "lang")
+          val bdir = java.nio.file.Files
+            .createTempDirectory("growth-x93-banded").toString
+          MinHashDedup.writeBandedIndex(
+            MinHashDedup.signatures(d.select("doc_id", "text"), cfg), bdir, cfg)
+          val banded = MinHashDedup.readBandedIndex(spark, bdir, cfg)
+          val m = graft.pipeline.TrainingSet
+            .curationManifest(cor, bench, banded, emb)
+            .localCheckpoint(true)
+          val rows = m.count()
+          require(rows == d.count() - 250, "manifest must cover every corpus doc")
+          val deconDrops = m.filter(col("decon_verdict") === "drop").count()
+          val dedupDrops = m.filter(col("dedup_verdict") === "drop").count()
+          val s2n = m.filter(col("dedup_verdict") === "keep").count()
+          val pplKeeps = m.filter(col("ppl_verdict") === "keep").count()
+          val wantPpl = (1L to s2n).count(r => (r - 1) * 3 < 2 * s2n).toLong
+          require(pplKeeps == wantPpl,
+            s"ppl gate must keep the exact head+middle tertiles: $pplKeeps vs $wantPpl")
+          val kept = m.filter(col("keep")).count()
+          x93Stats(curFactor) = (deconDrops, dedupDrops)
+          println(f"SCALEGROWTH X93 stages factor=$curFactor%2d  decon_drops=$deconDrops " +
+            f"dedup_drops=$dedupDrops ppl_keeps=$pplKeeps kept=$kept")
+          rows
+        },
+        // rows = corpus − the fixed 250-doc benchmark: AFFINE in the
+        // factor, not proportional — the in-closure cover-every-doc
+        // require plus the post-sweep stage invariants carry exactness
+        false),
       // X91 held-out LM: train on the md5 train slice of the grown
       // corpus, score everything — bigram totals are a per-doc pure
       // function, so the measure is exactly linear
@@ -203,6 +250,32 @@ object ScaleGrowthBench {
         f"${x05Mass(fb)}%,d (${fa}x→${fb}x), predicted wall $predicted%.2f s, " +
         f"measured $tb%.2f s, ratio ${tb / predicted}%.2f " +
         "(≈1 ⇒ candidate-mass bound — the maxDf cap governs cost)")
+    }
+
+    // X93 composed-pipeline invariants: the benchmark is fixed, so the
+    // decon drop count cannot move; every added replica contributes
+    // exactly replica 0's internal near-dup mass, so dedup drops are
+    // AFFINE in the factor (checked exactly across all three points)
+    if (keep("X93_curation") && x93Stats.size >= 2) {
+      val fs = x93Stats.keys.toSeq.sorted
+      val decons = fs.map(f => x93Stats(f)._1)
+      require(decons.distinct.size == 1,
+        s"fixed-benchmark decon drops must be constant: ${fs.zip(decons)}")
+      println(s"SCALEGROWTH X93 decon drops constant at ${decons.head} across factors $fs")
+      if (fs.size >= 3) {
+        val d = fs.map(f => f.toLong -> x93Stats(f)._2)
+        val (f1, d1) = d.head
+        val slopes = d.tail.map { case (f, dd) =>
+          // exact rational slope comparison: (dd-d1)/(f-f1) equal for all
+          (dd - d1, f - f1)
+        }
+        val (num0, den0) = slopes.head
+        slopes.tail.foreach { case (num, den) =>
+          require(num * den0 == num0 * den,
+            s"dedup drops must be affine in the factor: $d")
+        }
+        println(s"SCALEGROWTH X93 dedup drops affine: $d (slope ${num0.toDouble / den0}/replica)")
+      }
     }
 
     // X90's fixed-benchmark invariant: growth adds content that cannot

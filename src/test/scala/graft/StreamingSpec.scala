@@ -561,13 +561,16 @@ class StreamingSpec extends SparkSpec {
     val idxDir = Files.createTempDirectory("graft-wmingest-idx").toString
     graft.text.MinHashDedup.writeBandedIndex(
       graft.text.MinHashDedup.signatures(corpus), idxDir)
-    // same adversarial mix as the plain ingest test: corpus clone,
-    // intra-batch dup pair, cross-batch exact clone of an accepted doc
+    // the plain ingest test's mix MINUS the intra-batch exact pair:
+    // within one micro-batch dropDuplicatesWithinWatermark keeps an
+    // arbitrary copy (documented caveat), so this fixture exercises
+    // the deterministic cases — corpus clone, cross-batch exact clone
+    // of an accepted doc (the state-store drop), fresh docs — and the
+    // plain ingest test keeps covering intra-batch min-id
     val fresh = docs.filter(col("doc_id") >= 300 && col("doc_id") < 302)
     val batch0 = fresh
       .unionByName(mk(1000L, textOf(10L)))
       .unionByName(mk(1001L, "zeta eta theta iota kappa lambda unique first"))
-      .unionByName(mk(1002L, "zeta eta theta iota kappa lambda unique first"))
     val batch1 = mk(1100L, "zeta eta theta iota kappa lambda unique first")
       .unionByName(mk(1101L, "omicron pi rho sigma tau genuinely new content"))
     val srcDir = Files.createTempDirectory("graft-wmingest-src")
