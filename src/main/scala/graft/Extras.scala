@@ -1245,7 +1245,25 @@ object Extras {
         c.embeddings,
         nearDupPairs = Some(crossNearDupsTable(c)),
         ngramScores = Some(contaminationTable(c)),
-        corpusPairs = Some(vpairsTable(c))))
+        corpusPairs = Some(vpairsTable(c)))),
+    // the X79 epoch plan MATERIALIZED as the repeated training stream
+    // (1 M-token budget, n^0.5 temperature over source): each doc
+    // appears ⌊epochs⌋ times plus a coin-selected residual — expected
+    // per-stratum token mass equals the flattened budget share; fully
+    // oracle-checked (same plan arithmetic, same md5 coin)
+    "X94_epoch_expand" -> q(c =>
+      graft.pipeline.TrainingSet.epochExpand(
+        c.documents, "source", budgetTokens = 1000000L, alpha = 0.5)),
+    // leak-free split: md5 split keyed on the near-dup CLUSTER id
+    // (persisted pair artifact), so no verified pair ever crosses a
+    // split boundary — the fix for what X77 audits; fully
+    // oracle-checked (recursive-CTE clusters + the X32 cutoff chain)
+    "X95_leakfree_split" -> q(c => {
+      bandedTable(c) // refreshes the oracle mirror (X84's idiom)
+      graft.pipeline.TrainingSet.leakFreeSplit(
+        c.documents, vpairsTable(c),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    })
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -2660,6 +2678,49 @@ LEFT JOIN pplv ON m0.doc_id = pplv.doc_id
 LEFT JOIN mixv ON m0.doc_id = mixv.doc_id
 ORDER BY m0.doc_id
 """.trim
-    }
+    },
+    // X79's plan arithmetic at a 1 M budget, then the repetition
+    // explode: full epochs via generate_series, the residual via the
+    // hexCutoff printf idiom (the X74 oracle's guard) on the portable
+    // md5 coin
+    "X94_epoch_expand" -> """
+WITH t AS (SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(len(list_filter(str_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source HAVING n_tokens > 0),
+z AS (SELECT SUM(POW(CAST(n_tokens AS DOUBLE), 0.5)) AS z FROM t),
+e AS (SELECT source,
+  ROUND(CAST(1000000 AS DOUBLE) * POW(CAST(n_tokens AS DOUBLE), 0.5) / z / CAST(n_tokens AS DOUBLE), 4) AS epochs
+  FROM t, z),
+c AS (SELECT source, CAST(FLOOR(epochs) AS BIGINT) AS nfull,
+             epochs - FLOOR(epochs) AS frac FROM e),
+cut AS (SELECT source, nfull,
+  printf('%08x', CAST(least(floor(frac * 4294967296), 4294967295) AS BIGINT)) AS cut
+  FROM c)
+SELECT u.doc_id, u.source, CAST(u.e AS BIGINT) AS epoch FROM (
+  SELECT d.doc_id, d.source, unnest(list_concat(
+    CASE WHEN cut.nfull >= 1 THEN generate_series(0, cut.nfull - 1)
+         ELSE CAST([] AS BIGINT[]) END,
+    CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 8) < cut.cut
+         THEN [cut.nfull] ELSE CAST([] AS BIGINT[]) END)) AS e
+  FROM documents d JOIN cut USING (source)) u
+ORDER BY u.doc_id, epoch
+""".trim,
+    // near-dup clusters via the recursive closure over the banded
+    // mirror's verified pairs; split on COALESCE(cluster, doc) with
+    // the X32 cutoff chain
+    "X95_leakfree_split" -> s"""WITH RECURSIVE $bandedVerifiedCtes,
+edges AS (SELECT i AS a, j AS b FROM verified UNION SELECT j, i FROM verified),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, re.r AS r FROM edges e JOIN reach re ON e.b = re.node),
+clus AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+g AS (SELECT d.doc_id, COALESCE(clus.cluster_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN clus ON d.doc_id = clus.doc_id)
+SELECT doc_id, group_id, CASE
+  WHEN substr(md5(CAST(group_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.8)}' THEN 'train'
+  WHEN substr(md5(CAST(group_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.9)}' THEN 'val'
+  ELSE 'test' END AS split
+FROM g ORDER BY doc_id""".trim
   )
 }

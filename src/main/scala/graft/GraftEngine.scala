@@ -143,6 +143,24 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def budgetCut(budgetTokens: Long, seed: Long = 42L): DataFrame =
     graft.pipeline.TrainingSet.budgetCut(tables.documents, budgetTokens, seed)
 
+  /** The epoch plan MATERIALIZED as the repeated training stream:
+    * (doc_id, strata, epoch) rows, full repeats + coin-selected
+    * residual (see [[graft.pipeline.TrainingSet.epochExpand]]).
+    */
+  def epochExpand(strata: String, budgetTokens: Long, alpha: Double,
+      seed: Long = 42L): DataFrame =
+    graft.pipeline.TrainingSet.epochExpand(
+      tables.documents, strata, budgetTokens, alpha, seed)
+
+  /** Leak-free train/val/test split keyed on near-dup cluster ids —
+    * no verified pair ever crosses a boundary (see
+    * [[graft.pipeline.TrainingSet.leakFreeSplit]]).
+    */
+  def leakFreeSplit(pairs: DataFrame, weights: Seq[(String, Double)],
+      seed: Long = 42L): DataFrame =
+    graft.pipeline.TrainingSet.leakFreeSplit(
+      tables.documents, pairs, weights, seed)
+
   /** CCNet-style head/middle/tail buckets over the bigram-LM rank. */
   def perplexityBuckets(nBuckets: Int = 3): DataFrame =
     graft.text.TextAnalysis.perplexityBuckets(tables.documents, nBuckets)

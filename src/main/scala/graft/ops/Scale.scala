@@ -209,7 +209,7 @@ object Scale {
     * stable interchange definition when several engines must agree on
     * one split.
     */
-  private def md5Coin(key: Column, seed: Long): Column =
+  private[graft] def md5Coin(key: Column, seed: Long): Column =
     substring(md5(concat_ws(":", key.cast("string"), lit(seed.toString))
       .cast("binary")), 1, 8)
 

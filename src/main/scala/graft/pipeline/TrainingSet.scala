@@ -382,6 +382,84 @@ object TrainingSet {
       .orderBy(strata)
   }
 
+  /** Materialize the [[epochPlan]] as the REPEATED training stream a
+    * data loader actually consumes — the missing half of the plan
+    * table: stratum g's documents each appear ⌊epochs_g⌋ times in
+    * full, plus one more time for the deterministic
+    * (epochs_g − ⌊epochs_g⌋)-fraction of the stratum selected by the
+    * portable md5 coin — so the stream's expected token mass per
+    * stratum equals its temperature-flattened budget share exactly,
+    * and any engine reproduces the same repetitions row for row.
+    * Output: (doc_id, strata, epoch) with epoch ∈ [0, ⌈epochs_g⌉);
+    * feed it to [[graft.ops.Scale.shuffleOrder]] keyed on
+    * (doc_id, epoch) for the shuffled multi-epoch order.
+    *
+    * Scale shape: the plan is a stratum-count-sized broadcast carrying
+    * each stratum's (⌊epochs⌋, residual-fraction hex cutoff — the
+    * [[graft.ops.Scale.hexCutoff]] arithmetic); the expansion is one
+    * map-side explode of a per-row integer sequence. Output rows ≈
+    * budget / mean-doc-tokens, bounded by the budget regardless of
+    * corpus size. Zero-token strata drop with the plan's own contract.
+    */
+  def epochExpand(
+      documents: DataFrame,
+      strata: String,
+      budgetTokens: Long,
+      alpha: Double,
+      seed: Long = 42L): DataFrame = {
+    val cuts = epochPlan(documents, strata, budgetTokens, alpha)
+      .select(col(strata), col("epochs"))
+      .collect().map { r =>
+        val e = r.getDouble(1)
+        val full = math.floor(e).toLong
+        (r.getString(0), full, Scale.hexCutoff(e - full))
+      }
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val cutsDf = broadcast(cuts.toSeq.toDF(strata, "__full", "__cut"))
+    documents
+      .join(cutsDf, Seq(strata))
+      .withColumn("__reps",
+        concat(
+          when(col("__full") >= 1, sequence(lit(0L), col("__full") - 1))
+            .otherwise(array().cast("array<bigint>")),
+          when(Scale.md5Coin(col("doc_id"), seed) < col("__cut"),
+            array(col("__full"))).otherwise(array().cast("array<bigint>"))))
+      .select(col("doc_id"), col(strata), explode(col("__reps")).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  /** Leak-free train/val/test assignment — the FIX for what
+    * [[splitLeakage]] audits: a random per-document split sends
+    * ~(1−Σw²) of every near-dup pair across the boundary by
+    * construction, so the split key must be the duplicate GROUP, not
+    * the document. Every document is assigned its near-dup cluster id
+    * (connected components over the verified pairs; its own id when
+    * unclustered), and the portable md5 split runs on that group id —
+    * all members of a cluster land in the same split, so
+    * [[splitLeakage]] over the result is empty by construction.
+    * Output: (doc_id, group_id, split).
+    *
+    * Scale shape: clusters come from the O(log n) label propagation
+    * over the (tiny) verified-pair edge set — normally the dedup run's
+    * persisted pair artifact; the assignment is one left join + a
+    * map-side coin. The corpus never shuffles on anything but doc_id.
+    */
+  def leakFreeSplit(
+      documents: DataFrame,
+      pairs: DataFrame,
+      weights: Seq[(String, Double)],
+      seed: Long = 42L): DataFrame = {
+    val clusters = MinHashDedup.duplicateClusters(pairs)
+    val grouped = documents.select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+    Scale.md5Split(grouped, "group_id", weights, seed)
+      .select("doc_id", "group_id", "split")
+      .orderBy("doc_id")
+  }
+
   /** Split-leakage report — the classic eval-contamination bug: a
     * val/test document that near-duplicates a train document leaks the
     * answer across the split boundary, and a random (hash) split sends

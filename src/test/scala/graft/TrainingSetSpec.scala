@@ -288,6 +288,71 @@ class TrainingSetSpec extends SparkSpec {
     assert(clean == 0L, s"deduped corpus must be leak-free, found $clean pairs")
   }
 
+  test("epochExpand: per-doc multiplicity is floor(epochs) plus the exact coin-selected residual") {
+    val strata = "lang"
+    val budget = 200000L
+    val alpha = 0.5
+    val rows = TrainingSet.epochExpand(cat.documents, strata, budget, alpha)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // driver-side reference: the plan's rounded epochs, split into
+    // full repeats + the hexCutoff residual on the md5 coin
+    val plan = TrainingSet.epochPlan(cat.documents, strata, budget, alpha)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    def coin(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"$id:42".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    }
+    val byDoc = rows.groupBy(r => (r._1, r._2))
+    val docs = cat.documents.select("doc_id", strata).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(byDoc.keySet.subsetOf(docs.toSet), "expanded rows must come from corpus docs")
+    docs.foreach { case (id, g) =>
+      val e = plan(g)
+      val full = math.floor(e).toLong
+      val want = full + (if (coin(id) < graft.ops.Scale.hexCutoff(e - full)) 1L else 0L)
+      val got = byDoc.get((id, g)).map(_.length.toLong).getOrElse(0L)
+      assert(got == want, s"doc $id ($g, epochs=$e): $got reps, want $want")
+      // epochs are exactly 0..k-1 for the doc's k repetitions
+      byDoc.get((id, g)).foreach { rs =>
+        assert(rs.map(_._3).sorted.toSeq == (0L until got).toSeq)
+      }
+    }
+    // non-vacuous: at least one stratum repeats (full >= 1) and at
+    // least one residual coin fired somewhere
+    assert(rows.map(_._3).max >= 1, "budget too small — no stratum repeats")
+  }
+
+  test("leakFreeSplit: no verified pair crosses a split; the per-doc split provably would") {
+    import org.apache.spark.sql.functions._
+    val docs = cat.documents.select("doc_id", "text")
+    val pairs = graft.text.MinHashDedup.verifiedPairs(docs).localCheckpoint(true)
+    assert(pairs.count() > 0, "fixture must contain near-dup pairs")
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val split = TrainingSet.leakFreeSplit(docs, pairs, weights).localCheckpoint(true)
+    // complete: one row per doc; unclustered docs group under their own id
+    assert(split.count() == docs.count())
+    // the leak-free property, checked pair by pair
+    val m = split.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val ps = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    ps.foreach { case (i, j) =>
+      assert(m(i)._2 == m(j)._2, s"pair ($i,$j) split ${m(i)._2} vs ${m(j)._2}")
+      assert(m(i)._1 == m(j)._1, s"pair ($i,$j) must share a group id")
+    }
+    // non-vacuous: the naive per-doc md5 split DOES leak on this corpus
+    val naive = graft.ops.Scale.md5Split(docs.select("doc_id"), "doc_id", weights)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ps.exists { case (i, j) => naive(i) != naive(j) },
+      "fixture must show the per-doc split leaking (else the fix is untested)")
+    // and group-keyed coins change nothing for singletons
+    val clustered = ps.flatMap(p => Seq(p._1, p._2)).toSet
+    m.foreach { case (id, (g, s)) =>
+      if (!clustered(id)) assert(g == id && s == naive(id),
+        s"singleton $id must split exactly like the per-doc split")
+    }
+  }
+
   test("packChunks: X18 contract at chunk granularity — offsets in range, packs contiguous and budget-bounded") {
     val r = TrainingSet.build(cat.documents.limit(120), None, TrainingSetConfig())
     val maxTokens = 64
