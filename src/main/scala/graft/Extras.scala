@@ -1263,7 +1263,26 @@ object Extras {
       graft.pipeline.TrainingSet.leakFreeSplit(
         c.documents, vpairsTable(c),
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-    })
+    }),
+    // longest verbatim benchmark-overlap run per doc (GPT-3 appendix-C
+    // shape): the span-length complement of X30's overlap fraction —
+    // all-integer, fully oracle-checked
+    "X96_max_overlap_span" -> q(c =>
+      TextAnalysis.maxBenchmarkOverlapSpan(
+        c.documents.filter(col("source") =!= "src0"),
+        c.documents.filter(col("source") === "src0"))),
+    // source-pair near-duplication matrix off the persisted verified-
+    // pairs artifact — WHERE duplication lives, the mixture designer's
+    // double-count signal; fully oracle-checked
+    "X97_cross_source_dups" -> q(c => {
+      bandedTable(c) // refreshes the oracle mirror (X84's idiom)
+      MinHashDedup.crossSourceDupMatrix(c.documents, vpairsTable(c))
+    }),
+    // curriculum ordering: corpus ranked easiest-first by the X45
+    // fluency score and NTILE-cut into 4 stages via the two-pass
+    // global rank (no SinglePartition window); fully oracle-checked
+    "X98_curriculum" -> q(c =>
+      graft.pipeline.TrainingSet.curriculumOrder(c.documents, nStages = 4))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -1297,7 +1316,9 @@ inter AS (SELECT cand.i, cand.j, COUNT(*) AS c
           FROM cand JOIN sh a ON cand.i = a.doc_id
                     JOIN sh b ON cand.j = b.doc_id AND a.s = b.s
           GROUP BY 1, 2),
-verified AS (SELECT inter.i, inter.j FROM inter
+verified AS (SELECT inter.i, inter.j,
+    ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jac
+  FROM inter
   JOIN sz sa ON inter.i = sa.doc_id JOIN sz sb ON inter.j = sb.doc_id
   WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8)"""
   }
@@ -2721,6 +2742,52 @@ SELECT doc_id, group_id, CASE
   WHEN substr(md5(CAST(group_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.8)}' THEN 'train'
   WHEN substr(md5(CAST(group_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.9)}' THEN 'val'
   ELSE 'test' END AS split
-FROM g ORDER BY doc_id""".trim
+FROM g ORDER BY doc_id""".trim,
+    // gaps-and-islands restatement of the per-doc consecutive-run fold:
+    // island id = pos − row_number within the doc's sorted hit positions
+    "X96_max_overlap_span" -> """
+WITH t AS (SELECT doc_id, source, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM documents),
+sh AS (SELECT doc_id, source, i AS pos,
+              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS s
+       FROM (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             FROM t WHERE len(toks) >= 5) u),
+bs AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+hits AS (SELECT sh.doc_id, sh.pos FROM sh JOIN bs USING (s) WHERE sh.source <> 'src0'),
+runs AS (SELECT doc_id, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM hits),
+rl AS (SELECT doc_id, COUNT(*) AS run FROM runs GROUP BY doc_id, isl),
+mx AS (SELECT doc_id, MAX(run) AS max_run FROM rl GROUP BY doc_id),
+nh AS (SELECT doc_id, COUNT(*) AS n_hits FROM hits GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(mx.max_run + 4, 0) AS BIGINT) AS max_span_tokens
+FROM t LEFT JOIN nh ON t.doc_id = nh.doc_id LEFT JOIN mx ON t.doc_id = mx.doc_id
+WHERE t.source <> 'src0'
+ORDER BY t.doc_id
+""".trim,
+    // verified pairs off the banded mirror rolled up by unordered
+    // source pair
+    "X97_cross_source_dups" -> s"""WITH $bandedVerifiedCtes,
+src AS (SELECT doc_id, source FROM documents),
+lab AS (
+  SELECT CASE WHEN si.source <= sj.source THEN si.source ELSE sj.source END AS source_a,
+         CASE WHEN si.source <= sj.source THEN sj.source ELSE si.source END AS source_b,
+         v.jac
+  FROM verified v
+  JOIN src si ON v.i = si.doc_id JOIN src sj ON v.j = sj.doc_id)
+SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs, MAX(jac) AS max_jac
+FROM lab GROUP BY source_a, source_b ORDER BY source_a, source_b""".trim,
+    // X45 scoring + standard ROW_NUMBER/NTILE over (mean_logp DESC,
+    // doc_id) — the 6-dp rounded key makes the total order portable
+    "X98_curriculum" -> """
+WITH w AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w FROM documents),
+m AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+t AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM m),
+sc AS (SELECT w.doc_id, ROUND(AVG(log10(m.c / t.total)), 6) AS mean_logp
+       FROM w JOIN m USING (w) CROSS JOIN t GROUP BY w.doc_id)
+SELECT doc_id, mean_logp,
+       CAST(ROW_NUMBER() OVER (ORDER BY mean_logp DESC, doc_id) AS BIGINT) AS ord,
+       CAST(NTILE(4) OVER (ORDER BY mean_logp DESC, doc_id) AS BIGINT) AS stage
+FROM sc ORDER BY ord
+""".trim
   )
 }

@@ -460,6 +460,40 @@ object TrainingSet {
       .orderBy("doc_id")
   }
 
+  /** Curriculum ordering: the corpus ranked easiest-first by the
+    * corpus-unigram fluency score ([[graft.text.TextAnalysis
+    * .unigramLogProb]] — common-word documents score high, rare-vocab
+    * documents low) and cut into `nStages` contiguous stages
+    * (curriculum-learning schedules feed stage 1 before stage 2, …).
+    * Output: (doc_id, mean_logp, ord, stage) in training order; docs
+    * with no tokens carry no score and are excluded, matching the
+    * scorer. The rank key is (mean_logp DESC, doc_id) — mean_logp is
+    * 6-dp rounded, so the total order is engine-portable.
+    *
+    * Scale shape: the score is one broadcast-model join (X45's shape);
+    * the global rank is [[graft.ops.ScalableWindows
+    * .withGlobalRowNumber]]'s two-pass literal-boundary bucket rank —
+    * no SinglePartition window at any size; the stage cut is Spark's
+    * exact NTILE arithmetic over (rank, total), computed map-side from
+    * a 1-row broadcast total.
+    */
+  def curriculumOrder(documents: DataFrame, nStages: Int = 4): DataFrame = {
+    require(nStages >= 1, s"nStages must be >= 1: $nStages")
+    val scored = TextAnalysis.unigramLogProb(documents)
+      .select(col("doc_id"), col("mean_logp"))
+      .withColumn("__k", -col("mean_logp"))
+    val ranked = graft.ops.ScalableWindows
+      .withGlobalRowNumber(scored, Seq("__k", "doc_id"), out = "ord")
+    // one driver-side count (metadata-sized) — the NTILE cut needs the
+    // exact total, and a literal beats re-running the rank chain
+    val total = scored.count()
+    ranked
+      .select(col("doc_id"), col("mean_logp"), col("ord"),
+        graft.ops.ScalableWindows.ntileCol(col("ord"), lit(total), nStages)
+          .as("stage"))
+      .orderBy("ord")
+  }
+
   /** Split-leakage report — the classic eval-contamination bug: a
     * val/test document that near-duplicates a train document leaks the
     * answer across the split boundary, and a random (hash) split sends

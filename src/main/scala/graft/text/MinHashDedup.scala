@@ -579,6 +579,36 @@ object MinHashDedup {
       .orderBy("cluster_size")
   }
 
+  /** Source-pair near-duplication matrix: the verified near-dup pair
+    * table rolled up by the UNORDERED pair of source labels — the
+    * mixture-design signal of WHERE duplication lives. Heavy
+    * off-diagonal mass means two "independent" sources mirror each
+    * other and their mixture weights double-count the same text; heavy
+    * diagonal mass means a source self-duplicates and its effective
+    * size is below its row count. Output: (source_a ≤ source_b,
+    * n_pairs, max_jac).
+    *
+    * Scale shape: the pair table is already sparse (banded candidates,
+    * exact-verified — typically ≪ corpus size); it joins the
+    * metadata-thin (doc_id, source) projection twice and feeds one
+    * |sources|²-bounded aggregate. The corpus text is never touched —
+    * this is the natural SECOND consumer of a persisted verified-pairs
+    * artifact.
+    */
+  def crossSourceDupMatrix(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("i"), col("source").as("si")), Seq("i"))
+      .join(src.select(col("doc_id").as("j"), col("source").as("sj")), Seq("j"))
+      .select(
+        least(col("si"), col("sj")).as("source_a"),
+        greatest(col("si"), col("sj")).as("source_b"),
+        col("jac"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"), max(col("jac")).as("max_jac"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Verified near-duplicate pairs ACROSS two corpora — near-dup
     * benchmark decontamination at scale (the fuzzy complement of the
     * exact n-gram overlap in

@@ -134,6 +134,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Longest verbatim benchmark-overlap span per corpus document — the
+    * "longest contaminated run" decontamination metric, the span-length
+    * complement of [[contaminationScores]]'s overlap FRACTION (public
+    * eval-hygiene rules gate on exactly this shape — e.g. GPT-3
+    * appendix C's 13-gram rule: a document whose longest contiguous
+    * benchmark match exceeds a token bound is contaminated even when
+    * its overall overlap fraction is small). Output per corpus doc:
+    * token length, total benchmark-hit shingle positions, and the token
+    * length of the longest run of CONSECUTIVE hit positions (a run of r
+    * consecutive n-gram hits covers r + n − 1 tokens; 0 when clean).
+    *
+    * Scale shape: one positional corpus shingle explode, a left-semi
+    * probe of the deduped benchmark shingle set (benchmarks are tiny
+    * next to the corpus → broadcast), then a PER-DOC sorted fold over
+    * the doc's own hit list — the [[crossDocDupCoverageFrom]] idiom:
+    * state is (prevPos, curRun, bestRun), list size is bounded by doc
+    * length, no window, no SinglePartition. All-integer output ⇒
+    * bit-exact in any engine.
+    */
+  def maxBenchmarkOverlapSpan(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 5): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2: $n")
+    val bs = benchmarkShingleSet(benchmark, n)
+    val hits = corpus
+      .select(col("doc_id"), posexplode(shingles(col("text"), n)).as(Seq("pos", "s")))
+      .join(bs, Seq("s"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    // fold: acc = (prevPos, curRun, bestRun); a hit at p extends the
+    // run iff p == prevPos + 1 (positions are distinct and sorted)
+    val folded = hits.select(
+      col("doc_id"),
+      size(col("ps")).cast("bigint").as("n_hits"),
+      aggregate(col("ps"),
+        struct(lit(-2).cast("int").as("p"), lit(0).cast("int").as("r"),
+          lit(0).cast("int").as("b")),
+        (acc, p) => {
+          val run = when(p === acc("p") + 1, acc("r") + 1).otherwise(lit(1))
+          struct(p.as("p"), run.as("r"), greatest(acc("b"), run).as("b"))
+        },
+        acc => acc("b")).cast("bigint").as("max_run"))
+    corpus
+      .select(col("doc_id"), size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .join(folded, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("max_run") + (n - 1), lit(0L)).as("max_span_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** PII detector patterns — simple character classes only, valid with
     * identical semantics in Java regex (Spark codegen) and RE2 (DuckDB),
     * so the scan is oracle-checkable. Heuristic by design: a production

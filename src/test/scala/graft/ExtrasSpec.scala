@@ -1181,4 +1181,47 @@ class ExtrasSpec extends SparkSpec {
     assert(corpus.getDouble(1) > -0.5 && corpus.getDouble(3) < 0.3,
       s"uniform fixture should fit Zipf poorly: $corpus")
   }
+
+  test("maxBenchmarkOverlapSpan: hand fixture — consecutive runs merge, disjoint hits don't") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((100L, "b1 b2 b3 b4 b5 b6 b7 b8")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // 8-token verbatim copy → 4 consecutive 5-gram hits → span 4+4=8
+      (1L, "x1 x2 b1 b2 b3 b4 b5 b6 b7 b8 y1 y2"),
+      // two DISJOINT 5-gram hits (positions 0 and 10) → runs of 1 → span 5
+      (2L, "b1 b2 b3 b4 b5 z1 z2 z3 z4 z5 b4 b5 b6 b7 b8"),
+      // clean doc → 0 hits, 0 span
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      // sub-n doc → no shingles at all, still reported clean
+      (4L, "c1 c2")).toDF("doc_id", "text")
+    val got = TextAnalysis.maxBenchmarkOverlapSpan(corpus, bench, n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((12L, 4L, 8L)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((15L, 2L, 5L)), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ((10L, 0L, 0L)), s"doc 3: ${got(3L)}")
+    assert(got(4L) == ((2L, 0L, 0L)), s"doc 4: ${got(4L)}")
+    // corpus sanity at sf0.01: every span is bounded by its doc length,
+    // and span > 0 exactly when hits > 0
+    val rows = TextAnalysis.maxBenchmarkOverlapSpan(
+      cat.documents.filter(col("source") =!= "src0"),
+      cat.documents.filter(col("source") === "src0")).collect()
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(1)))
+    assert(rows.forall(r => (r.getLong(3) > 0) == (r.getLong(2) > 0)))
+  }
+
+  test("crossSourceDupMatrix: unordered source pairs aggregate pair count and max jaccard") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "a"), (5L, "c"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L, 0.9), (2L, 4L, 0.8), (2L, 3L, 0.85))
+      .toDF("i", "j", "jac")
+    val got = MinHashDedup.crossSourceDupMatrix(docs, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // (1,2) and (2,4) both land in the unordered (a,b) cell; (2,3) is
+    // the b-diagonal; source c has no pairs and no row
+    assert(got.toSeq == Seq(("a", "b", 2L, 0.9), ("b", "b", 1L, 0.85)), got.toSeq)
+  }
 }

@@ -409,4 +409,30 @@ class TrainingSetSpec extends SparkSpec {
     assert(packSeq.zip(packSeq.tail).forall { case (a, b) => b == a || b == a + 1 },
       "packs must stay contiguous across the written stream")
   }
+
+  test("curriculumOrder: rank equals the naive (mean_logp DESC, doc_id) order; NTILE cut is exact") {
+    val s = spark
+    import s.implicits._
+    // doc i carries i rare singleton tokens diluting the common-word
+    // mass — fluency (mean unigram logp) strictly DESCENDS with i, so
+    // the curriculum must emit doc 0 first and doc 9 last
+    val docs = (0L until 10L).map { i =>
+      val rare = (0 until i.toInt).map(k => s"rare_${i}_$k")
+      (i, (Seq.fill(20)("the") ++ rare).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TrainingSet.curriculumOrder(docs, nStages = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    // naive reference: the scorer's own output, sorted driver-side
+    val ref = graft.text.TextAnalysis.unigramLogProb(docs)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .sortBy { case (id, lp) => (-lp, id) }
+    assert(got.map(_._1).sameElements(ref.map(_._1)),
+      s"order ${got.map(_._1).toSeq} vs ${ref.map(_._1).toSeq}")
+    assert(got.map(_._1).toSeq == (0L until 10L).toSeq,
+      s"fluency must descend with doc id: ${got.map(_._1).toSeq}")
+    assert(got.map(_._3).toSeq == (1L to 10L).toSeq, "ord must be 1..N in output order")
+    // N=10, k=4: the first N mod k = 2 stages take ceil(10/4)=3 rows
+    assert(got.map(_._4).toSeq == Seq(1L, 1, 1, 2, 2, 2, 3, 3, 4, 4),
+      s"NTILE cut: ${got.map(_._4).toSeq}")
+  }
 }
