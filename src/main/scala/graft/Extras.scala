@@ -1282,7 +1282,13 @@ object Extras {
     // fluency score and NTILE-cut into 4 stages via the two-pass
     // global rank (no SinglePartition window); fully oracle-checked
     "X98_curriculum" -> q(c =>
-      graft.pipeline.TrainingSet.curriculumOrder(c.documents, nStages = 4))
+      graft.pipeline.TrainingSet.curriculumOrder(c.documents, nStages = 4)),
+    // asymmetric n-gram CONTAINMENT pairs (Broder): c/min(|A|,|B|) —
+    // catches a doc embedded in a larger one where symmetric Jaccard
+    // stays low; same capped kernel as X05; fully oracle-checked
+    "X99_ngram_containment" -> q(c =>
+      TextAnalysis.ngramContainmentPairs(c.documents, n = 3, threshold = 0.8,
+        maxDf = 50))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -2788,6 +2794,26 @@ SELECT doc_id, mean_logp,
        CAST(ROW_NUMBER() OVER (ORDER BY mean_logp DESC, doc_id) AS BIGINT) AS ord,
        CAST(NTILE(4) OVER (ORDER BY mean_logp DESC, doc_id) AS BIGINT) AS stage
 FROM sc ORDER BY ord
+""".trim,
+    // X05's capped kernel with the containment denominator; both
+    // measures emitted from the same counts
+    "X99_ngram_containment" -> """
+WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM documents),
+sha AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM t WHERE len(toks) >= 3) u),
+rare AS (SELECT s FROM sha GROUP BY s HAVING COUNT(*) <= 50),
+sh AS (SELECT sha.doc_id, sha.s FROM sha JOIN rare USING (s)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT i, j,
+  ROUND(CAST(c AS DOUBLE) / LEAST(sa.sz, sb.sz), 6) AS containment,
+  ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jac
+FROM inter JOIN sz sa ON inter.i = sa.doc_id JOIN sz sb ON inter.j = sb.doc_id
+WHERE CAST(c AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.8
+ORDER BY i, j
 """.trim
   )
 }

@@ -767,6 +767,39 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming twin of the max-overlap-span report (batch X96,
+    * [[graft.text.TextAnalysis.maxBenchmarkOverlapSpan]]): every
+    * arriving document's longest consecutive benchmark n-gram run,
+    * computed at ingest time against a FROZEN benchmark shingle set —
+    * the span-length channel (GPT-3's 13-gram-rule shape) running
+    * beside [[decontaminationGateStream]]'s fraction channel. The
+    * metric is per-document vs the static set, so the stage is fully
+    * STATELESS per micro-batch and the batch-keyed sink replays
+    * idempotently; a replayed corpus reproduces the batch report
+    * EXACTLY (StreamingSpec pins it).
+    */
+  def overlapSpanGateStream(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      path: String,
+      checkpoint: String,
+      n: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
+    // freeze the benchmark shingle set once — never re-shingled per batch
+    val shingleSet = graft.text.TextAnalysis
+      .benchmarkShingleSet(benchmark, n).localCheckpoint(true)
+    documents.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.text.TextAnalysis
+            .maxBenchmarkOverlapSpanAgainst(batch.toDF(), shingleSet, n)
+            .write.mode("overwrite").parquet(s"$path/b$batchId")
+        }
+      }
+      .start()
+  }
+
   /** The (batch_id, new_types, cum_vocab) curve over a
     * [[vocabNoveltyStream]] sink: ONE job counts every completed batch
     * at once (grouped on the persisted batch_id column — a thousand

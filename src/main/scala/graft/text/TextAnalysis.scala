@@ -156,9 +156,19 @@ object TextAnalysis {
   def maxBenchmarkOverlapSpan(
       corpus: DataFrame,
       benchmark: DataFrame,
-      n: Int = 5): DataFrame = {
+      n: Int = 5): DataFrame =
+    maxBenchmarkOverlapSpanAgainst(corpus, benchmarkShingleSet(benchmark, n), n)
+
+  /** [[maxBenchmarkOverlapSpan]] against a precomputed
+    * [[benchmarkShingleSet]] — the frozen-artifact entry point the
+    * streaming gate reuses across micro-batches (the
+    * [[contaminationScoresAgainst]] idiom).
+    */
+  def maxBenchmarkOverlapSpanAgainst(
+      corpus: DataFrame,
+      bs: DataFrame,
+      n: Int): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2: $n")
-    val bs = benchmarkShingleSet(benchmark, n)
     val hits = corpus
       .select(col("doc_id"), posexplode(shingles(col("text"), n)).as(Seq("pos", "s")))
       .join(bs, Seq("s"), "left_semi")
@@ -734,6 +744,22 @@ object TextAnalysis {
         s"(> $UncappedJaccardWarnBytes): the shingle self-join is quadratic in each " +
         s"hot shingle's document frequency. Pass maxDf (e.g. 50) to bound the join, " +
         s"or use MinHashDedup for corpus-scale near-dup detection.")
+    val counts = ngramPairCounts(documents, n, maxDf)
+    val jac = col("c").cast("double") / (col("sz_i") + col("sz_j") - col("c"))
+    counts
+      .filter(jac >= threshold)
+      .select(col("i"), col("j"), round(jac, 6).as("jac"))
+      .orderBy("i", "j")
+  }
+
+  /** Shared capped shingle-overlap kernel behind [[ngramJaccardPairs]]
+    * and [[ngramContainmentPairs]]: for every document pair sharing at
+    * least one retained shingle, the intersection count and both
+    * (post-cap) shingle-set sizes — (i < j, c, sz_i, sz_j). One
+    * definition, so the cap semantics and the ReuseExchange shape stay
+    * identical across every set-similarity measure derived from it.
+    */
+  private def ngramPairCounts(documents: DataFrame, n: Int, maxDf: Int): DataFrame = {
     // array_distinct dedups map-side; the DISTINCT after the explode is
     // then a semantic no-op, but it materializes ONE shuffled exchange
     // that all consumers below (the df filter, both join sides, sizes)
@@ -748,17 +774,47 @@ object TextAnalysis {
       .select("s")
     val sh = shAll.join(rare, Seq("s"), "left_semi")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
+    sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("c"))
-    val jac = col("c").cast("double") /
-      (col("sa.sz") + col("sb.sz") - col("c"))
-    inter
       .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
-      .filter(jac >= threshold)
-      .select(col("i"), col("j"), round(jac, 6).as("jac"))
+      .select(col("i"), col("j"), col("c"),
+        col("sa.sz").as("sz_i"), col("sb.sz").as("sz_j"))
+  }
+
+  /** Document pairs by n-gram set CONTAINMENT — Broder's asymmetric
+    * companion to [[ngramJaccardPairs]]: c / min(|S(A)|, |S(B)|), the
+    * measure that catches a document EMBEDDED in a larger one (a quoted
+    * article inside a long page, a chapter inside a book). Such a pair
+    * scores near 1.0 containment while its symmetric Jaccard —
+    * c / (|A| + |B| − c) — can sit arbitrarily low, so a Jaccard-only
+    * dedup pass keeps both copies. Output: (i < j, containment,
+    * jac) — both measures from the same counts, so downstream policy
+    * (drop vs trim) can branch on their gap.
+    *
+    * Same capped kernel and the same quadratic-footgun warn gate as the
+    * Jaccard path: shingles in more than `maxDf` docs are dropped
+    * before the self-join, and sizes are post-cap on BOTH sides, so
+    * exact duplicates still score exactly 1.0 on both measures.
+    */
+  def ngramContainmentPairs(documents: DataFrame, n: Int, threshold: Double,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    if (uncappedJaccardWarnNeeded(documents, maxDf))
+      logger.warn(
+        s"ngramContainmentPairs called UNCAPPED (maxDf=Int.MaxValue) on an input " +
+        s"estimated at ${documents.queryExecution.optimizedPlan.stats.sizeInBytes} bytes " +
+        s"(> $UncappedJaccardWarnBytes): the shingle self-join is quadratic in each " +
+        s"hot shingle's document frequency. Pass maxDf (e.g. 50) to bound the join, " +
+        s"or use MinHashDedup for corpus-scale near-dup detection.")
+    val counts = ngramPairCounts(documents, n, maxDf)
+    val cont = col("c").cast("double") / least(col("sz_i"), col("sz_j"))
+    val jac = col("c").cast("double") / (col("sz_i") + col("sz_j") - col("c"))
+    counts
+      .filter(cont >= threshold)
+      .select(col("i"), col("j"),
+        round(cont, 6).as("containment"), round(jac, 6).as("jac"))
       .orderBy("i", "j")
   }
 

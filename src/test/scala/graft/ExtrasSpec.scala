@@ -1224,4 +1224,24 @@ class ExtrasSpec extends SparkSpec {
     // the b-diagonal; source c has no pairs and no row
     assert(got.toSeq == Seq(("a", "b", 2L, 0.9), ("b", "b", 1L, 0.85)), got.toSeq)
   }
+
+  test("ngramContainmentPairs: embedded doc scores containment 1.0 while its jaccard stays dilute") {
+    val s = spark
+    import s.implicits._
+    val small = (1 to 5).map(k => s"w$k").mkString(" ")
+    val big = ((1 to 5).map(k => s"w$k") ++ (1 to 30).map(k => s"z$k")).mkString(" ")
+    val docs = Seq((1L, big), (2L, small), (3L, "q1 q2 q3 q4")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramContainmentPairs(docs, 3, 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    // the 5-token doc is verbatim inside the 35-token doc: all 3 of its
+    // shingles hit → containment 3/3 = 1.0, jaccard 3/33 ≈ 0.09 —
+    // exactly the pair a Jaccard-only pass never flags
+    assert(got.keySet == Set((1L, 2L)), got.keySet)
+    assert(got((1L, 2L))._1 == 1.0)
+    assert(got((1L, 2L))._2 == 0.090909, got((1L, 2L))._2.toString)
+    // exact duplicates: both measures exactly 1.0
+    val dup = Seq((1L, small), (2L, small)).toDF("doc_id", "text")
+    val d = TextAnalysis.ngramContainmentPairs(dup, 3, 0.5).head()
+    assert(d.getDouble(2) == 1.0 && d.getDouble(3) == 1.0)
+  }
 }

@@ -1173,6 +1173,35 @@ class StreamingSpec extends SparkSpec {
       s"fixture must produce both verdicts: ${got.map(_._5).distinct}")
   }
 
+  test("streaming overlap-span gate: replayed corpus reproduces the batch X96 report exactly") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    val want = graft.text.TextAnalysis.maxBenchmarkOverlapSpan(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val ids = corpus.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val slices = ids.grouped((ids.length + 2) / 3).toSeq
+    val srcDir = Files.createTempDirectory("graft-span-src")
+    val outDir = Files.createTempDirectory("graft-span-out").toString + "/spans"
+    val ckpt = Files.createTempDirectory("graft-span-ckpt").toString
+    val query = StreamOps.overlapSpanGateStream(
+      StreamOps.documentsStream(spark, srcDir.toString), bench, outDir, ckpt)
+    try {
+      slices.zipWithIndex.foreach { case (s, i) =>
+        writeChunk(corpus.filter(col("doc_id").isInCollection(s.toSet)), srcDir, s"chunk$i")
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val got = spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want,
+      s"stream span gate ≠ batch X96: first diff ${got.zip(want).find(p => p._1 != p._2)}")
+    // non-vacuous: the replay must see both contaminated and clean docs
+    assert(got.exists(_._4 > 0) && got.exists(_._4 == 0),
+      s"fixture must produce both span outcomes: ${got.map(_._4).distinct.take(5)}")
+  }
+
   test("vocab novelty crash recovery: restart from checkpoint equals the uninterrupted curve") {
     val docs = Tables.load(spark, sf001, "documents")
     val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
