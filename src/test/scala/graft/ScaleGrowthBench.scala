@@ -195,6 +195,36 @@ object ScaleGrowthBench {
               sp.filter(col("split") === "train"), d)
             .agg(sum("n_bigrams")).first().getLong(0)
         },
+        true),
+      // X96 span report against the FIXED benchmark (X90's growth
+      // model): replicas ≥ 1 share no shingles with the benchmark, so
+      // the total contaminated-span mass is CONSTANT across growth
+      // (required post-sweep) while the report covers every corpus doc
+      ("X96_overlap_span",
+        d => {
+          val bench = d.filter(col("doc_id") < 250).select("doc_id", "text")
+          val cor = d.filter(col("doc_id") >= 250).select("doc_id", "text")
+          val rep = TextAnalysis.maxBenchmarkOverlapSpan(cor, bench)
+            .localCheckpoint(true)
+          require(rep.count() == d.count() - 250,
+            "X96 report must cover every corpus doc")
+          rep.agg(sum("max_span_tokens")).first().getLong(0)
+        },
+        false),
+      // X98 curriculum: the two-pass global rank over the grown corpus —
+      // rows exactly linear, and ord must stay a 1..N permutation
+      ("X98_curriculum",
+        d => {
+          val cur = graft.pipeline.TrainingSet.curriculumOrder(d, nStages = 4)
+            .localCheckpoint(true)
+          val rows = cur.count()
+          val mm = cur.agg(min("ord"), max("ord"),
+            countDistinct("ord")).first()
+          require(mm.getLong(0) == 1L && mm.getLong(1) == rows &&
+            mm.getLong(2) == rows,
+            s"ord must be a 1..N permutation: $mm vs $rows")
+          rows
+        },
         true))
 
     // SCALEGROWTH_ONLY=name,name limits the sweep — the way to push the
@@ -276,6 +306,15 @@ object ScaleGrowthBench {
         }
         println(s"SCALEGROWTH X93 dedup drops affine: $d (slope ${num0.toDouble / den0}/replica)")
       }
+    }
+
+    // X96's fixed-benchmark invariant: replicas ≥ 1 cannot hit the
+    // benchmark, so the total contaminated-span mass must not move
+    if (keep("X96_overlap_span")) {
+      val spanMass = results("X96_overlap_span").map(_._3)
+      require(spanMass.distinct.size == 1,
+        s"fixed-benchmark span mass must be constant across growth: $spanMass")
+      println(s"SCALEGROWTH X96 span mass constant at ${spanMass.head} across factors $factors")
     }
 
     // X90's fixed-benchmark invariant: growth adds content that cannot
