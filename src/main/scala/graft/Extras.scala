@@ -1288,7 +1288,14 @@ object Extras {
     // stays low; same capped kernel as X05; fully oracle-checked
     "X99_ngram_containment" -> q(c =>
       TextAnalysis.ngramContainmentPairs(c.documents, n = 3, threshold = 0.8,
-        maxDf = 50))
+        maxDf = 50)),
+    // corpus-vs-reference distribution drift: smoothed unigram KL both
+    // ways + total variation (X87's kernel) against a frozen reference
+    // snapshot — the ingest drift monitor; fully oracle-checked
+    "X100_unigram_drift" -> q(c =>
+      TextAnalysis.unigramDrift(
+        c.documents.filter(col("source") =!= "src0"),
+        c.documents.filter(col("source") === "src0")))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -2814,6 +2821,31 @@ SELECT i, j,
 FROM inter JOIN sz sa ON inter.i = sa.doc_id JOIN sz sb ON inter.j = sb.doc_id
 WHERE CAST(c AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.8
 ORDER BY i, j
+""".trim,
+    // X87's smoothing over the union vocabulary, two sides, two rows
+    "X100_unigram_drift" -> """
+WITH tk AS (
+  SELECT CASE WHEN source = 'src0' THEN 'ref' ELSE 'cur' END AS split,
+         unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS w
+  FROM documents),
+c AS (SELECT w,
+        SUM(CASE WHEN split = 'cur' THEN 1 ELSE 0 END) AS c_cur,
+        SUM(CASE WHEN split = 'ref' THEN 1 ELSE 0 END) AS c_ref
+      FROM tk GROUP BY w),
+t AS (SELECT SUM(c_cur) AS n_cur, SUM(c_ref) AS n_ref, COUNT(*) AS v FROM c),
+p AS (SELECT CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + v AS DOUBLE) AS p_cur,
+             CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + v AS DOUBLE) AS p_ref
+      FROM c, t),
+one AS (SELECT
+  ROUND(SUM(p_cur * ln(p_cur / p_ref)), 6) AS kl_cur_ref,
+  ROUND(SUM(ABS(p_cur - p_ref)) / 2, 6) AS tv_cur_ref,
+  ROUND(SUM(p_ref * ln(p_ref / p_cur)), 6) AS kl_ref_cur,
+  ROUND(SUM(ABS(p_ref - p_cur)) / 2, 6) AS tv_ref_cur
+  FROM p)
+SELECT 'cur' AS side_a, 'ref' AS side_b, kl_cur_ref AS kl, tv_cur_ref AS tv FROM one
+UNION ALL
+SELECT 'ref', 'cur', kl_ref_cur, tv_ref_cur FROM one
+ORDER BY side_a, side_b
 """.trim
   )
 }

@@ -226,6 +226,38 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
     cur
   }
 
+  /** Longest consecutive benchmark n-gram run per doc — the GPT-3-style
+    * span rule (see [[graft.text.TextAnalysis.maxBenchmarkOverlapSpan]]).
+    */
+  def maxOverlapSpan(benchmark: DataFrame, n: Int = 5): DataFrame =
+    graft.text.TextAnalysis.maxBenchmarkOverlapSpan(tables.documents, benchmark, n)
+
+  /** Near-dup pair counts by unordered source pair — where duplication
+    * lives (see [[graft.text.MinHashDedup.crossSourceDupMatrix]]).
+    */
+  def crossSourceDupMatrix(pairs: DataFrame): DataFrame =
+    graft.text.MinHashDedup.crossSourceDupMatrix(tables.documents, pairs)
+
+  /** Easiest-first curriculum order with NTILE stage cuts (see
+    * [[graft.pipeline.TrainingSet.curriculumOrder]]).
+    */
+  def curriculumOrder(nStages: Int = 4): DataFrame =
+    graft.pipeline.TrainingSet.curriculumOrder(tables.documents, nStages)
+
+  /** Asymmetric n-gram containment pairs — a doc embedded in a larger
+    * one (see [[graft.text.TextAnalysis.ngramContainmentPairs]]).
+    */
+  def containmentPairs(n: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = 50): DataFrame =
+    graft.text.TextAnalysis.ngramContainmentPairs(
+      tables.documents, n, threshold, maxDf)
+
+  /** Smoothed unigram KL/TV drift vs a frozen reference snapshot (see
+    * [[graft.text.TextAnalysis.unigramDrift]]).
+    */
+  def unigramDrift(reference: DataFrame): DataFrame =
+    graft.text.TextAnalysis.unigramDrift(tables.documents, reference)
+
   /** Per-source PII hit totals (email/url/ipv4/phone). */
   def piiStats(): DataFrame = graft.text.TextAnalysis.piiStats(tables.documents)
 

@@ -479,13 +479,18 @@ object TrainingSet {
     */
   def curriculumOrder(documents: DataFrame, nStages: Int = 4): DataFrame = {
     require(nStages >= 1, s"nStages must be >= 1: $nStages")
+    // checkpoint the score table: the rank needs it three times
+    // (boundary quantiles, bucket counts, the ranked join) plus the
+    // total below — without this the corpus-scale scoring chain
+    // (explode + model join) re-executes per consumer
     val scored = TextAnalysis.unigramLogProb(documents)
       .select(col("doc_id"), col("mean_logp"))
       .withColumn("__k", -col("mean_logp"))
+      .localCheckpoint(true)
     val ranked = graft.ops.ScalableWindows
       .withGlobalRowNumber(scored, Seq("__k", "doc_id"), out = "ord")
-    // one driver-side count (metadata-sized) — the NTILE cut needs the
-    // exact total, and a literal beats re-running the rank chain
+    // one driver-side count (metadata-sized, reads the checkpoint) —
+    // the NTILE cut needs the exact total as a literal
     val total = scored.count()
     ranked
       .select(col("doc_id"), col("mean_logp"), col("ord"),

@@ -800,6 +800,38 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming distribution-drift monitor (batch twin:
+    * [[graft.text.TextAnalysis.unigramDrift]]): every micro-batch's
+    * smoothed unigram KL/TV against a FROZEN reference snapshot — the
+    * ingest-time alarm that an upstream source changed character (a
+    * KL/TV step fires long before any per-doc gate). The reference is
+    * tokenized ONCE ([[graft.text.TextAnalysis.referenceTokens]]);
+    * each batch's two-row report lands under its batch id, so the sink
+    * IS the drift time series and replays idempotently. Stateless per
+    * micro-batch; a replayed slice reproduces the batch report exactly
+    * (StreamingSpec pins it).
+    */
+  def driftMonitorStream(
+      documents: DataFrame,
+      reference: DataFrame,
+      path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val refToks = graft.text.TextAnalysis
+      .referenceTokens(reference).localCheckpoint(true)
+    documents.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.text.TextAnalysis
+            .unigramDriftAgainst(batch.toDF(), refToks)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$path/b$batchId")
+        }
+      }
+      .start()
+  }
+
   /** The (batch_id, new_types, cum_vocab) curve over a
     * [[vocabNoveltyStream]] sink: ONE job counts every completed batch
     * at once (grouped on the persisted batch_id column — a thousand

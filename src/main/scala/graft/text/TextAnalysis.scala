@@ -735,15 +735,22 @@ object TextAnalysis {
     * WARN so the footgun announces itself — pass any finite `maxDf`
     * (or run on a small fixture) to stay silent.
     */
-  def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double,
-      maxDf: Int = Int.MaxValue): DataFrame = {
+  /** The quadratic-footgun announcement shared by every consumer of
+    * [[ngramPairCounts]] — one copy, so the gate condition and the
+    * advice can never drift between the set-similarity measures.
+    */
+  private def warnIfUncapped(caller: String, documents: DataFrame, maxDf: Int): Unit =
     if (uncappedJaccardWarnNeeded(documents, maxDf))
       logger.warn(
-        s"ngramJaccardPairs called UNCAPPED (maxDf=Int.MaxValue) on an input " +
+        s"$caller called UNCAPPED (maxDf=Int.MaxValue) on an input " +
         s"estimated at ${documents.queryExecution.optimizedPlan.stats.sizeInBytes} bytes " +
         s"(> $UncappedJaccardWarnBytes): the shingle self-join is quadratic in each " +
         s"hot shingle's document frequency. Pass maxDf (e.g. 50) to bound the join, " +
         s"or use MinHashDedup for corpus-scale near-dup detection.")
+
+  def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    warnIfUncapped("ngramJaccardPairs", documents, maxDf)
     val counts = ngramPairCounts(documents, n, maxDf)
     val jac = col("c").cast("double") / (col("sz_i") + col("sz_j") - col("c"))
     counts
@@ -801,13 +808,7 @@ object TextAnalysis {
     */
   def ngramContainmentPairs(documents: DataFrame, n: Int, threshold: Double,
       maxDf: Int = Int.MaxValue): DataFrame = {
-    if (uncappedJaccardWarnNeeded(documents, maxDf))
-      logger.warn(
-        s"ngramContainmentPairs called UNCAPPED (maxDf=Int.MaxValue) on an input " +
-        s"estimated at ${documents.queryExecution.optimizedPlan.stats.sizeInBytes} bytes " +
-        s"(> $UncappedJaccardWarnBytes): the shingle self-join is quadratic in each " +
-        s"hot shingle's document frequency. Pass maxDf (e.g. 50) to bound the join, " +
-        s"or use MinHashDedup for corpus-scale near-dup detection.")
+    warnIfUncapped("ngramContainmentPairs", documents, maxDf)
     val counts = ngramPairCounts(documents, n, maxDf)
     val cont = col("c").cast("double") / least(col("sz_i"), col("sz_j"))
     val jac = col("c").cast("double") / (col("sz_i") + col("sz_j") - col("c"))
@@ -1333,6 +1334,15 @@ object TextAnalysis {
     require(names.distinct.size == names.size, s"duplicate split names: $names")
     val toks = graft.ops.Scale.md5Split(documents, "doc_id", weights, seed)
       .select(col("split"), explode(tokens(col("text"))).as("w"))
+    taggedDivergence(toks, names)
+  }
+
+  /** Pairwise smoothed-unigram divergence over a tagged token stream
+    * (split, w) — the shared kernel of [[splitDivergence]] and
+    * [[unigramDrift]]: add-one-smoothed distributions over the UNION
+    * vocabulary, KL both ways + total variation per ordered name pair.
+    */
+  private def taggedDivergence(toks: DataFrame, names: Seq[String]): DataFrame = {
     val countCols = names.map(s =>
       sum(when(col("split") === s, 1L).otherwise(0L)).as(s"c_$s"))
     // consumed by the totals broadcast AND the divergence pass — one
@@ -1355,6 +1365,39 @@ object TextAnalysis {
     one.selectExpr(
         s"stack(${pairs.size}, $stackArgs) AS (split_a, split_b, kl, tv)")
       .orderBy("split_a", "split_b")
+  }
+
+  /** The reference side of [[unigramDrift]] as a tagged token stream —
+    * exposed so a long-lived consumer (the streaming drift monitor)
+    * can tokenize the frozen reference ONCE and reuse it across
+    * micro-batches (the [[benchmarkShingleSet]] idiom).
+    */
+  def referenceTokens(reference: DataFrame): DataFrame =
+    reference.select(lit("ref").as("split"), explode(tokens(col("text"))).as("w"))
+
+  /** Corpus-drift report — the distribution monitor an ingest pipeline
+    * watches: smoothed unigram KL (both directions) and total
+    * variation between a corpus and a frozen REFERENCE snapshot (last
+    * release's corpus, a trusted seed set). A quality regression in an
+    * upstream source shows up here as a KL/TV step long before any
+    * per-doc gate fires. Output: two rows, (side_a, side_b, kl, tv)
+    * for (cur, ref) and (ref, cur) — [[splitDivergence]]'s kernel and
+    * smoothing, so the numbers are comparable across both audits.
+    */
+  def unigramDrift(corpus: DataFrame, reference: DataFrame): DataFrame =
+    unigramDriftAgainst(corpus, referenceTokens(reference))
+
+  /** [[unigramDrift]] against a precomputed [[referenceTokens]]
+    * stream — the frozen-artifact entry point the streaming monitor
+    * reuses across micro-batches.
+    */
+  def unigramDriftAgainst(corpus: DataFrame, refToks: DataFrame): DataFrame = {
+    val toks = corpus
+      .select(lit("cur").as("split"), explode(tokens(col("text"))).as("w"))
+      .unionByName(refToks)
+    taggedDivergence(toks, Seq("cur", "ref"))
+      .withColumnRenamed("split_a", "side_a")
+      .withColumnRenamed("split_b", "side_b")
   }
 
   /** Zipf-law fit over the rank-frequency curve: OLS regression of

@@ -1244,4 +1244,23 @@ class ExtrasSpec extends SparkSpec {
     val d = TextAnalysis.ngramContainmentPairs(dup, 3, 0.5).head()
     assert(d.getDouble(2) == 1.0 && d.getDouble(3) == 1.0)
   }
+
+  test("unigramDrift: hand-fixture KL/TV arithmetic; identical corpora score zero drift") {
+    val s = spark
+    import s.implicits._
+    // cur = "a a", ref = "a b": union vocab V=2, add-one smoothing →
+    // p_cur = (0.75, 0.25), p_ref = (0.5, 0.5)
+    val cur = Seq((1L, "a a")).toDF("doc_id", "text")
+    val ref = Seq((2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramDrift(cur, ref).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val klCR = BigDecimal(0.75 * math.log(1.5) + 0.25 * math.log(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val klRC = BigDecimal(0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(("cur", "ref", klCR, 0.25), ("ref", "cur", klRC, 0.25)), got)
+    // drift of a corpus against itself is exactly zero on all measures
+    val zero = TextAnalysis.unigramDrift(cur, cur).collect()
+    assert(zero.forall(r => r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0))
+  }
 }

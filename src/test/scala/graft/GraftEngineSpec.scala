@@ -46,6 +46,23 @@ class GraftEngineSpec extends SparkSpec {
     assert(plan.count() == 20 && plan.columns.contains("epochs"))
     val cut = engine.budgetCut(budgetTokens = 5000L)
     assert(cut.count() > 0 && cut.agg(max("cum_tokens")).first().getLong(0) >= 5000L)
+    // round-10 surface: span rule, source matrix, curriculum, containment
+    val span = engine.maxOverlapSpan(bench)
+    assert(span.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "n_hits", "max_span_tokens"))
+    assert(span.filter(col("max_span_tokens") > col("n_tokens")).isEmpty)
+    val mat = engine.crossSourceDupMatrix(
+      graft.text.MinHashDedup.verifiedPairs(engine.tables.documents))
+    assert(mat.filter(col("source_a") > col("source_b")).isEmpty,
+      "matrix keys must be unordered-normalized")
+    val cur = engine.curriculumOrder()
+    assert(cur.count() == 500 &&
+      cur.agg(countDistinct("stage")).first().getLong(0) == 4L)
+    assert(engine.containmentPairs().columns.toSeq ==
+      Seq("i", "j", "containment", "jac"))
+    val drift = engine.unigramDrift(bench)
+    assert(drift.count() == 2 &&
+      drift.filter(col("kl") <= 0.0 || col("tv") <= 0.0).isEmpty)
   }
 
   test("facade index surface: build once, probe and dedup from the artifacts") {

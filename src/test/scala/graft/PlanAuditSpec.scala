@@ -71,6 +71,8 @@ class PlanAuditSpec extends SparkSpec {
       // X89: the final topV-sized regression collapses to one row;
       // X90: the benchmark-embedding array collapse (X60's shape)
       "X86_novelty_curve", "X87_split_divergence", "X89_zipf_fit",
+      // X100: X87's kernel — the final KL/TV sums collapse to one row
+      "X100_unigram_drift",
       // X90: the benchmark-embedding array collapse; X91: the 1-row
       // train-vocab count (X70's shape). X92 is deliberately NOT here:
       // its vocab aggregate is hash-partitioned by model_source, so
@@ -108,6 +110,8 @@ class PlanAuditSpec extends SparkSpec {
       // broadcast-queries join (X52's shape); X90 broadcasts the 1-row
       // benchmark-embedding array (X60/X82's shape)
       "X86_novelty_curve", "X87_split_divergence", "X88_semantic_leakage",
+      // X100 broadcasts X87's 1-row totals row across the vocab table
+      "X100_unigram_drift",
       // X91 broadcasts the 1-row train-vocab count (X70's shape);
       // X92 crosses the bigram stream with the sources-sized vocab
       // broadcast — the |S|-fold probe IS the algorithm

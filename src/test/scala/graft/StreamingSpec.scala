@@ -1202,6 +1202,37 @@ class StreamingSpec extends SparkSpec {
       s"fixture must produce both span outcomes: ${got.map(_._4).distinct.take(5)}")
   }
 
+  test("streaming drift monitor: each micro-batch reproduces its slice's batch unigramDrift exactly") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    val ids = corpus.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val slices = ids.grouped((ids.length + 2) / 3).toSeq
+    val srcDir = Files.createTempDirectory("graft-drift-src")
+    val outDir = Files.createTempDirectory("graft-drift-out").toString + "/drift"
+    val ckpt = Files.createTempDirectory("graft-drift-ckpt").toString
+    val query = StreamOps.driftMonitorStream(
+      StreamOps.documentsStream(spark, srcDir.toString), bench, outDir, ckpt)
+    try {
+      slices.zipWithIndex.foreach { case (s, i) =>
+        writeChunk(corpus.filter(col("doc_id").isInCollection(s.toSet)), srcDir, s"chunk$i")
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("side_a", "side_b", "kl", "tv").orderBy("side_a")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSeq
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val want = rows(graft.text.TextAnalysis.unigramDrift(
+        corpus.filter(col("doc_id").isInCollection(s.toSet)), bench))
+      val got = rows(spark.read.parquet(s"$outDir/b$i"))
+      assert(got == want, s"batch $i drift ≠ batch twin: $got vs $want")
+      // non-vacuous: slices genuinely diverge from the benchmark
+      assert(want.forall(r => r._3 > 0 && r._4 > 0), s"fixture drift must be nonzero: $want")
+    }
+  }
+
   test("vocab novelty crash recovery: restart from checkpoint equals the uninterrupted curve") {
     val docs = Tables.load(spark, sf001, "documents")
     val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
