@@ -620,7 +620,8 @@ object TrainingSet {
       dedup: MinHashConfig = MinHashConfig(threshold = 0.5),
       cosThreshold: Double = 0.35,
       nearDupPairs: Option[DataFrame] = None,
-      ngramScores: Option[DataFrame] = None): DataFrame = {
+      ngramScores: Option[DataFrame] = None,
+      maxSpanTokens: Option[Int] = None): DataFrame = {
     // channel 1 likewise accepts a persisted contaminationScores table
     // (the X30 report) — one corpus shingle pass feeds both audits
     val ngram = ngramScores
@@ -657,12 +658,18 @@ object TrainingSet {
     val sem = graft.vector.SemDedup.assignWithScore(cemb, bemb)
       .select(col("vec_id").as("doc_id"),
         round(col("ccos"), 6).as("semantic_cos"))
+    // channel 4 (opt-in): the X96 span rule — pays its own positional
+    // shingle pass only when a threshold is requested
+    val joined = corpus.select("doc_id")
+      .join(ngram, Seq("doc_id"), "left")
+      .join(nd, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+    val withSpan = maxSpanTokens.fold(joined)(_ => joined.join(
+      TextAnalysis.maxBenchmarkOverlapSpan(corpus, benchmark, n)
+        .select(col("doc_id"), col("max_span_tokens").as("span_tokens")),
+      Seq("doc_id"), "left"))
     assembleDecontaminationVerdict(
-      corpus.select("doc_id")
-        .join(ngram, Seq("doc_id"), "left")
-        .join(nd, Seq("doc_id"), "left")
-        .join(sem, Seq("doc_id"), "left"),
-      ngramThreshold, cosThreshold)
+      withSpan, ngramThreshold, cosThreshold, maxSpanTokens)
       .orderBy("doc_id")
   }
 
@@ -989,13 +996,24 @@ object TrainingSet {
   private[graft] def assembleDecontaminationVerdict(
       joined: DataFrame,
       ngramThreshold: Double,
-      cosThreshold: Double): DataFrame =
-    joined.select(col("doc_id"),
+      cosThreshold: Double,
+      spanThreshold: Option[Int] = None): DataFrame = {
+    // channel 4 (opt-in): longest verbatim benchmark run — GPT-3's
+    // span rule. A false literal when disabled, so the three-channel
+    // three-valued-OR semantics (and the X90 oracle) are untouched.
+    val spanFires = spanThreshold
+      .map(t => coalesce(col("span_tokens"), lit(0L)) >= t)
+      .getOrElse(lit(false))
+    val cols = Seq(col("doc_id"),
       coalesce(col("overlap_frac"), lit(0.0)).as("ngram_frac"),
       coalesce(col("__nd"), lit(false)).as("near_dup"),
-      col("semantic_cos"),
+      col("semantic_cos")) ++
+      spanThreshold.map(_ =>
+        coalesce(col("span_tokens"), lit(0L)).as("span_tokens")).toSeq :+
       when(coalesce(col("overlap_frac"), lit(0.0)) >= ngramThreshold ||
           coalesce(col("__nd"), lit(false)) ||
-          col("semantic_cos") >= cosThreshold, "drop")
-        .otherwise("keep").as("verdict"))
+          col("semantic_cos") >= cosThreshold || spanFires, "drop")
+        .otherwise("keep").as("verdict")
+    joined.select(cols: _*)
+  }
 }
