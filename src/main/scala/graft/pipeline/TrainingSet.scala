@@ -957,11 +957,18 @@ object TrainingSet {
 
   /** Fail-loud coverage check shared by every consumer that semi-joins
     * a banded index against corpus ids: a benchmark-only index (the
-    * streaming gate's artifact shape) silently empties the corpus side
-    * — every doc would read as pair-free with no error. If the corpus
-    * has any shingle-bearing document, its banded rows must be
-    * non-empty; `remedy` tells the caller the artifact-param escape
-    * hatch for their entry point. One limit-1-shaped action.
+    * streaming gate's artifact shape) — or a STALE index built from a
+    * partial corpus snapshot — silently empties the corpus side for
+    * the uncovered docs, which then all read as pair-free (near_dup =
+    * false / dedup keep) with no error. This is a real COVERAGE check:
+    * every shingle-bearing corpus doc (≥ shingleSize tokens — exactly
+    * the docs the signing pass gives banded rows to) must appear in
+    * the index. Cost: one token-length pass over the corpus plus an
+    * anti-join against the index's 8-byte id column — a small constant
+    * factor on top of the full shingle-verify chain this guard sits in
+    * front of, and the anti-join's isEmpty action terminates on the
+    * first uncovered doc. `remedy` tells the caller the artifact-param
+    * escape hatch for their entry point.
     */
   private def requireBandedCoversCorpus(
       corpus: DataFrame,
@@ -969,16 +976,18 @@ object TrainingSet {
       shingleSize: Int,
       context: String,
       remedy: String): Unit = {
-    val corpusSide = banded.join(
-      corpus.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-    if (corpusSide.isEmpty) {
-      val corpusHasSignable = !corpus
-        .filter(size(TextAnalysis.tokens(col("text"))) >= shingleSize)
-        .isEmpty
-      require(!corpusHasSignable,
-        s"$context: the banded index contains no corpus-side rows but the " +
-          s"corpus has shingle-bearing documents — the index must cover the " +
-          s"corpus for this path. $remedy")
+    val uncovered = corpus
+      .filter(size(TextAnalysis.tokens(col("text"))) >= shingleSize)
+      .select("doc_id")
+      .join(banded.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+    if (!uncovered.isEmpty) {
+      val ex = uncovered.orderBy("doc_id").limit(3)
+        .collect().map(_.getLong(0)).mkString(", ")
+      throw new IllegalArgumentException(
+        s"$context: the banded index does not cover the corpus — " +
+          s"shingle-bearing documents (e.g. doc_id $ex) have no index rows, " +
+          s"so they would silently read as pair-free (near_dup = false / " +
+          s"dedup keep). Rebuild the index over the current corpus, or: $remedy")
     }
   }
 

@@ -172,7 +172,13 @@ object Ivf {
     * nLists — which is what lets the nLists ∝ N sizing contract hold
     * at 100 TB. Lists emptied by k-means refinement have no directory;
     * they contribute no candidates either way, so they are skipped by
-    * an O(nProbe) existence check rather than failing the read.
+    * an O(nProbe) existence check rather than failing the read. The
+    * check requires at least one DATA file, not mere directory
+    * existence: an interrupted rebuild can leave a list directory that
+    * exists but holds no parquet, and a read planned over only such
+    * dirs dies on schema inference instead of returning zero
+    * candidates — still O(nProbe) metadata calls (one listStatus per
+    * probed dir, which the scan would pay anyway).
     */
   private def probedVectors(
       spark: org.apache.spark.sql.SparkSession,
@@ -180,8 +186,13 @@ object Ivf {
       lists: Seq[Long]): DataFrame = {
     val base = new org.apache.hadoop.fs.Path(s"$path/vectors")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasData(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        s.isFile && s.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+      }
     val dirs = lists.map(id => new org.apache.hadoop.fs.Path(base, s"list_id=$id"))
-      .filter(fs.exists).map(_.toString)
+      .filter(hasData).map(_.toString)
     if (dirs.isEmpty)
       spark.read.parquet(s"$path/vectors").filter(lit(false))
     else

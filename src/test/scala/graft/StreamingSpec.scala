@@ -621,6 +621,72 @@ class StreamingSpec extends SparkSpec {
     assert(chunk1Accepted == Set(1101L), s"chunk-1 accepted: $byBatch")
   }
 
+  test("watermarked ingest, intra-batch exact duplicates: accepted TEXT set equals batch mode (documented id caveat pinned)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf001, "documents")
+    def mk(id: Long, text: String): DataFrame =
+      Seq((id, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .select(Tables.schemas("documents").fields.map(f => col(f.name).cast(f.dataType)): _*)
+    val corpus = docs.filter(col("doc_id") < 300)
+    val idxDir = Files.createTempDirectory("graft-wmdup-idx").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(corpus), idxDir)
+    // THE documented caveat case: three exact copies co-arriving in ONE
+    // micro-batch (dropDuplicatesWithinWatermark keeps an arbitrary one
+    // — shuffle arrival order — so the surviving doc_id is not
+    // guaranteed to be the min id), plus a fresh doc and a second
+    // intra-batch pair in a later batch to cover >1 fingerprint group
+    val dupText = "zeta eta theta iota kappa lambda unique first"
+    val dupText2 = "omicron pi rho sigma tau genuinely new content"
+    val batch0 = mk(1001L, dupText)
+      .unionByName(mk(1002L, dupText))
+      .unionByName(mk(1003L, dupText))
+      .unionByName(mk(1004L, "upsilon phi chi psi omega standalone text"))
+    val batch1 = mk(1100L, dupText2).unionByName(mk(1101L, dupText2))
+    val srcDir = Files.createTempDirectory("graft-wmdup-src")
+    val outDir = Files.createTempDirectory("graft-wmdup-out").toString
+    val ckpt = Files.createTempDirectory("graft-wmdup-ckpt").toString
+    val stream = StreamOps.documentsStream(spark, srcDir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(
+        lit(1700000000L) + col("doc_id")))
+    val query = StreamOps.watermarkedIngestDedupStream(
+      stream, corpus, idxDir, outDir, ckpt)
+    try {
+      writeChunk(batch0, srcDir, "chunk0")
+      query.processAllAvailable()
+      writeChunk(batch1, srcDir, "chunk1")
+      query.processAllAvailable()
+    } finally query.stop()
+    val acceptedRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$outDir/accepted")
+      .select("doc_id", "text").collect()
+    val allNew = batch0.unionByName(batch1)
+    val batchWinnerIds = graft.text.MinHashDedup
+      .dedupWinners(corpus.unionByName(allNew))
+      .collect().map(_.getLong(0)).toSet
+    val newIds = allNew.select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchAcceptedTexts = allNew
+      .filter(col("doc_id").isInCollection(batchWinnerIds & newIds))
+      .select("text").collect().map(_.getString(0)).toSet
+    // TEXT-level equivalence — the composition's actual contract when
+    // exact duplicates co-arrive: same accepted texts, one copy each
+    assert(acceptedRows.map(_.getString(1)).toSet == batchAcceptedTexts,
+      s"accepted texts diverge from batch mode: ${acceptedRows.mkString(", ")}")
+    assert(acceptedRows.length == batchAcceptedTexts.size,
+      s"duplicate texts in accepted output: ${acceptedRows.mkString(", ")}")
+    // the surviving id per text is SOME member of its arrival group
+    // (arbitrary-copy semantics — min-id is NOT guaranteed here; callers
+    // needing it use ingestDedupStream)
+    val groupOf = Map(dupText -> Set(1001L, 1002L, 1003L),
+      "upsilon phi chi psi omega standalone text" -> Set(1004L),
+      dupText2 -> Set(1100L, 1101L))
+    acceptedRows.foreach { r =>
+      assert(groupOf(r.getString(1)).contains(r.getLong(0)),
+        s"accepted id ${r.getLong(0)} not in its text's arrival group")
+    }
+  }
+
   test("streaming pipeline ingest: rule gate + exact dedup + near-dup ingest ≡ the batch stage-1→3 composition") {
     import spark.implicits._
     val docs = Tables.load(spark, sf001, "documents")
