@@ -776,14 +776,26 @@ object TrainingSet {
       qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None,
       nearDupPairs: Option[DataFrame] = None,
       ngramScores: Option[DataFrame] = None,
-      corpusPairs: Option[DataFrame] = None): DataFrame = {
+      corpusPairs: Option[DataFrame] = None,
+      // channel 4 (opt-in): the X96 span rule rides the decon stage —
+      // span_tokens slots into the manifest when set (same contract as
+      // decontaminationReport's own param)
+      maxSpanTokens: Option[Int] = None,
+      // stage-2 winner rule: default is the production quality-aware
+      // starring (X78); `true` switches to the pairwise min-id rule
+      // (dedupWinners' contract — a doc loses iff it is the larger
+      // side of some verified pair), which is what the INCREMENTAL
+      // streaming ingest realizes under append-only ids — the batch
+      // twin the streaming curation driver is pinned against
+      minIdDedupWinners: Boolean = false): DataFrame = {
     require(pplBuckets >= 2, s"pplBuckets=$pplBuckets needs a droppable tail")
 
     // stage 1 — release-gate decontamination over EVERY corpus doc.
     // Lazy checkpoint: the three channels feed both the survivor
     // filter and the final assembly.
     val decon = decontaminationReport(corpus, benchmark, banded, embeddings,
-        n, ngramThreshold, deconDedup, cosThreshold, nearDupPairs, ngramScores)
+        n, ngramThreshold, deconDedup, cosThreshold, nearDupPairs, ngramScores,
+        maxSpanTokens)
       .withColumnRenamed("verdict", "decon_verdict")
       .localCheckpoint(false)
     val s1 = corpus.join(
@@ -829,16 +841,25 @@ object TrainingSet {
             "pair table>) when the banded index does not cover the corpus.")
         MinHashDedup.verifiedPairsFromBanded(s2, banded, corpusDedup)
     }
-    val clusters = MinHashDedup.duplicateClusters(pairs)
-      .localCheckpoint(false)
-    val winners = MinHashDedup.qualityAwareWinners(s2, clusters)
-    val dedupVerdict = s2.select("doc_id")
-      .join(clusters.select(col("doc_id"), lit(true).as("__cl")), Seq("doc_id"), "left")
-      .join(winners.select(col("keep_id").as("doc_id"), lit(true).as("__win")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("__win"), col("__cl").isNull).as("dedup_keep"))
-      .localCheckpoint(false)
+    val dedupVerdict = (if (minIdDedupWinners) {
+      // pairwise min-id rule: a doc loses iff it is the j of some
+      // verified pair (dedupWinners/winnersFrom semantics — the rule
+      // the incremental streaming ingest realizes)
+      s2.select("doc_id")
+        .join(pairs.select(col("j").as("doc_id"), lit(true).as("__lose"))
+          .distinct(), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("__lose").isNull.as("dedup_keep"))
+    } else {
+      val clusters = MinHashDedup.duplicateClusters(pairs)
+        .localCheckpoint(false)
+      val winners = MinHashDedup.qualityAwareWinners(s2, clusters)
+      s2.select("doc_id")
+        .join(clusters.select(col("doc_id"), lit(true).as("__cl")), Seq("doc_id"), "left")
+        .join(winners.select(col("keep_id").as("doc_id"), lit(true).as("__win")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__win"), col("__cl").isNull).as("dedup_keep"))
+    }).localCheckpoint(false)
     val s3 = s2.join(dedupVerdict.filter(col("dedup_keep")).select("doc_id"),
       Seq("doc_id"), "left_semi")
 
@@ -880,7 +901,9 @@ object TrainingSet {
     // column (quality_p slots after decon_verdict when a model ran)
     val cols =
       Seq(col("doc_id"), col("ngram_frac"), col("near_dup"),
-        col("semantic_cos"), col("decon_verdict")) ++
+        col("semantic_cos")) ++
+      maxSpanTokens.map(_ => col("span_tokens")).toSeq ++
+      Seq(col("decon_verdict")) ++
       (if (qualityScores.isDefined) Seq(col("quality_p")) else Nil) ++
       Seq(verdictOf(col("dedup_keep")).as("dedup_verdict"),
         col("ppl_bucket"),

@@ -231,6 +231,7 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         processIngestBatch(batch, batchId, corpusDocs, corpusIndexPath,
           outDir, cfg, gate = identity, exactDedup = false)
+        ()
       }
       .start()
 
@@ -340,6 +341,7 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         processIngestBatch(batch, batchId, corpusDocs, corpusIndexPath,
           outDir, cfg, gate, exactDedup = true)
+        ()
       }
       .start()
   }
@@ -403,15 +405,19 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         processIngestBatch(batch.drop("ts"), batchId, corpusDocs,
           corpusIndexPath, outDir, cfg, gate = identity, exactDedup = true)
+        ()
       }
       .start()
   }
 
   /** Shared micro-batch body of [[ingestDedupStream]] /
-    * [[ingestPipelineStream]]: apply `gate` (per-doc, stateless),
-    * optionally exact-dedup the gated batch against every prior text
-    * and itself, near-dup the survivors against base index + COMPLETE
-    * deltas, and write accepted docs + the index delta batch-keyed.
+    * [[ingestPipelineStream]] / [[curationIngestStream]]: apply `gate`
+    * (per-doc, stateless), optionally exact-dedup the gated batch
+    * against every prior text and itself, near-dup the survivors
+    * against base index + COMPLETE deltas, and write accepted docs +
+    * the index delta batch-keyed. Returns the batch's ACCEPTED rows
+    * (materialized; empty frame when the batch or its gated remainder
+    * is empty) so composing callers can record per-doc verdicts.
     */
   private def processIngestBatch(
       batch: Dataset[org.apache.spark.sql.Row],
@@ -421,7 +427,7 @@ object StreamOps {
       outDir: String,
       cfg: graft.text.MinHashConfig,
       gate: DataFrame => DataFrame,
-      exactDedup: Boolean): Unit = {
+      exactDedup: Boolean): DataFrame = {
     val acceptedRoot = s"$outDir/accepted"
     val deltaRoot = s"$outDir/index_delta"
     // COMPLETE batch directories only (_SUCCESS present), excluding the
@@ -437,10 +443,12 @@ object StreamOps {
           new java.io.File(d, "_SUCCESS").exists())
         .map(_.getPath).sorted
     }
-    if (!batch.isEmpty) {
+    if (batch.isEmpty) batch.toDF().limit(0)
+    else {
       val spark = batch.sparkSession
       val b0 = gate(batch.localCheckpoint(true))
-      if (!b0.isEmpty) {
+      if (b0.isEmpty) b0.limit(0)
+      else {
         val b1 = b0.localCheckpoint(true)
         // corpus side: base index + every COMPLETE earlier batch's delta
         val banded = batchDirs(deltaRoot, batchId).foldLeft(
@@ -485,6 +493,7 @@ object StreamOps {
             graft.text.MinHashDedup.signatures(accepted, cfg),
             s"$deltaRoot/b$batchId", cfg)
         }
+        accepted
       }
     }
   }
@@ -827,6 +836,141 @@ object StreamOps {
             .unigramDriftAgainst(batch.toDF(), refToks)
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite").parquet(s"$path/b$batchId")
+        }
+      }
+      .start()
+  }
+
+  /** The composed streaming CURATION driver — the ingest-time twin of
+    * [[graft.pipeline.TrainingSet.curateCorpus]], chaining the four
+    * standing gates into ONE foreachBatch pipeline with a per-doc
+    * manifest (the "why is doc X in or out" table, exactly like the
+    * batch manifest):
+    *
+    *   1. decontamination — the X90 channels against construction-time
+    *      FROZEN benchmark artifacts (verbatim n-gram fraction, MinHash
+    *      near-dup via the persisted benchmark banded keys, embedding
+    *      cosine when the stream carries vectors, and — when
+    *      `maxSpanTokens` is set — the X96 longest-verbatim-span
+    *      channel), assembled by the batch report's own verdict helper
+    *      so the semantics cannot drift;
+    *   2. incremental near-dup dedup of the decon survivors against
+    *      corpus index + accepted deltas ([[ingestDedupStream]]'s exact
+    *      + banded machinery, batch-keyed and replay-idempotent);
+    *   3. drift monitor — each arriving batch's unigram KL/TV vs a
+    *      frozen reference snapshot, written as the side time series
+    *      (an alarm channel, not a per-doc verdict).
+    *
+    * Sinks under `outDir`: `manifest/b<id>` (doc_id, channel columns,
+    * decon_verdict, dedup_verdict, keep), `accepted/b<id>` +
+    * `index_delta/b<id>` (the ingest contract), `drift/b<id>` when a
+    * reference is given.
+    *
+    * Equivalence (StreamingSpec pins it): under the append-only-ids
+    * contract, a corpus whose seed already passed the same decon gate,
+    * and an event-time replay, the manifest's channel columns and
+    * decon/dedup verdicts equal the batch
+    * [[graft.pipeline.TrainingSet.curationManifest]] with
+    * `minIdDedupWinners = true` (the pairwise rule incremental ingest
+    * realizes) restricted to the new ids. The batch manifest's
+    * perplexity/mixture stages are corpus-GLOBAL (bucket boundaries
+    * and quota cutoffs over everything standing) and deliberately have
+    * no streaming twin here — a release run applies them over the
+    * accepted table, not per micro-batch.
+    */
+  def curationIngestStream(
+      newDocs: DataFrame,
+      corpusDocs: DataFrame,
+      corpusIndexPath: String,
+      benchmark: DataFrame,
+      benchBanded: DataFrame,
+      outDir: String,
+      checkpoint: String,
+      benchEmbeddings: Option[DataFrame] = None,
+      reference: Option[DataFrame] = None,
+      n: Int = 5,
+      ngramThreshold: Double = 0.2,
+      deconDedup: graft.text.MinHashConfig =
+        graft.text.MinHashConfig(threshold = 0.5),
+      cosThreshold: Double = 0.35,
+      maxSpanTokens: Option[Int] = None,
+      cfg: graft.text.MinHashConfig = graft.text.MinHashConfig())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // freeze every benchmark/reference-side artifact once at stream
+    // construction — never re-shingled / re-tokenized per micro-batch
+    val shingleSet = graft.text.TextAnalysis
+      .benchmarkShingleSet(benchmark, n).localCheckpoint(true)
+    val benchDocs = benchmark.localCheckpoint(true)
+    val banded = benchBanded.localCheckpoint(true)
+    val cents = benchEmbeddings.map(
+      _.select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+        .localCheckpoint(true))
+    val refToks = reference.map(
+      graft.text.TextAnalysis.referenceTokens(_).localCheckpoint(true))
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val bdf = batch.toDF().localCheckpoint(true)
+          // drift monitor over the WHOLE arriving batch (pre-gate: the
+          // alarm watches what the source sends, not what survives)
+          refToks.foreach { rt =>
+            graft.text.TextAnalysis.unigramDriftAgainst(bdf, rt)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").parquet(s"$outDir/drift/b$batchId")
+          }
+          // stage 1 — decon channels vs the frozen benchmark artifacts
+          val ngram = graft.text.TextAnalysis
+            .contaminationScoresAgainst(bdf, shingleSet, n)
+            .select(col("doc_id"), col("overlap_frac"))
+          val nd = graft.text.MinHashDedup
+            .crossNearDupsAgainstBanded(bdf, benchDocs, banded, deconDedup)
+            .select(col("i").as("doc_id")).distinct()
+            .withColumn("__nd", lit(true))
+          val sem = cents.filter(_ => bdf.columns.contains("embedding")).map(cc =>
+            graft.vector.SemDedup.assignWithScore(
+                bdf.select(col("doc_id").as("vec_id"), col("embedding")), cc)
+              .select(col("vec_id").as("doc_id"),
+                round(col("ccos"), 6).as("semantic_cos")))
+          val joined0 = bdf.select("doc_id")
+            .join(ngram, Seq("doc_id"), "left")
+            .join(nd, Seq("doc_id"), "left")
+          val joined1 = sem.fold(
+            joined0.withColumn("semantic_cos", lit(null).cast("double")))(
+            s => joined0.join(s, Seq("doc_id"), "left"))
+          val joined = maxSpanTokens.fold(joined1)(_ => joined1.join(
+            graft.text.TextAnalysis
+              .maxBenchmarkOverlapSpanAgainst(bdf, shingleSet, n)
+              .select(col("doc_id"), col("max_span_tokens").as("span_tokens")),
+            Seq("doc_id"), "left"))
+          val decon = graft.pipeline.TrainingSet
+            .assembleDecontaminationVerdict(
+              joined, ngramThreshold, cosThreshold, maxSpanTokens)
+            .withColumnRenamed("verdict", "decon_verdict")
+            .localCheckpoint(true)
+          // stage 2 — incremental near-dup ingest of the decon
+          // survivors (exact min-id + banded candidates + verify, with
+          // the batch-keyed accepted/delta writes)
+          val keepIds = decon.filter(col("decon_verdict") === "keep").select("doc_id")
+          val accepted = processIngestBatch(batch, batchId, corpusDocs,
+            corpusIndexPath, outDir, cfg,
+            gate = b => b.join(keepIds, Seq("doc_id"), "left_semi"),
+            exactDedup = true)
+          // per-doc manifest: channel columns + three-valued stage
+          // verdicts (null dedup verdict = never reached the stage),
+          // the batch manifest's exact column contract
+          decon
+            .join(accepted.select(col("doc_id"), lit(true).as("__acc")),
+              Seq("doc_id"), "left")
+            .select(decon.columns.map(col).toSeq :+
+              when(col("decon_verdict") =!= "keep", lit(null).cast("string"))
+                .when(coalesce(col("__acc"), lit(false)), "keep")
+                .otherwise("drop").as("dedup_verdict") :+
+              (col("decon_verdict") === "keep" &&
+                coalesce(col("__acc"), lit(false))).as("keep"): _*)
+            .orderBy("doc_id")
+            .write.mode("overwrite").parquet(s"$outDir/manifest/b$batchId")
         }
       }
       .start()

@@ -1239,6 +1239,126 @@ class StreamingSpec extends SparkSpec {
       s"fixture must produce both verdicts: ${got.map(_._5).distinct}")
   }
 
+  test("streaming curation driver: replayed ingest manifest equals the batch curationManifest verdict columns") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf001, "documents")
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val bench = docs.filter(col("source") === "src0")
+    val nonBench = docs.filter(col("source") =!= "src0")
+    val gcfg = graft.text.MinHashConfig(threshold = 0.5)
+    val spanT = 30
+    def mk(id: Long, text: String): DataFrame =
+      Seq((id, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .select(Tables.schemas("documents").fields.map(f => col(f.name).cast(f.dataType)): _*)
+    // frozen benchmark banded index (the gate's shipped artifact)
+    val bdir = Files.createTempDirectory("graft-cur-bbanded").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(bench, gcfg), bdir, gcfg)
+    val benchBanded = graft.text.MinHashDedup.readBandedIndex(spark, bdir, gcfg)
+    // seed corpus = docs < 200 that already PASS the decon gate (the
+    // steady state the streaming equivalence assumes — the corpus WAS
+    // built by this pipeline)
+    val seed0 = nonBench.filter(col("doc_id") < 200)
+    val emptyEmb = emb.limit(0)
+    val seedKeepIds = graft.pipeline.TrainingSet.decontaminationReport(
+        seed0, bench, benchBanded, emptyEmb, dedup = gcfg,
+        nearDupPairs = Some(graft.text.MinHashDedup
+          .crossNearDupsAgainstBanded(seed0, bench, benchBanded, gcfg)),
+        maxSpanTokens = Some(spanT))
+      .filter(col("verdict") === "keep").select("doc_id")
+    val corpus = seed0.join(seedKeepIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val idxDir = Files.createTempDirectory("graft-cur-idx").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(corpus), idxDir)
+    // arrivals: the natural id >= 200 docs plus three constructed tails
+    // forcing every verdict to occur — a near-clone of a kept seed doc
+    // (dedup drop), a verbatim benchmark copy (decon drop), and a fresh
+    // unique doc (keep)
+    val seedText = corpus.orderBy("doc_id").select("text").first().getString(0)
+    val benchText = bench.orderBy("doc_id").select("text").first().getString(0)
+    val natural = nonBench.filter(col("doc_id") >= 200)
+    val tail = mk(9000L, seedText)
+      .unionByName(mk(9001L, benchText))
+      .unionByName(mk(9002L, "totally fresh standalone ingest document nothing like others"))
+    val newAll = natural.unionByName(tail).localCheckpoint(true)
+    // replay in id order: three natural slices + the constructed tail
+    val ids = natural.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val slices = ids.grouped((ids.length + 2) / 3).toSeq
+    val srcDir = Files.createTempDirectory("graft-cur-src")
+    val outDir = Files.createTempDirectory("graft-cur-out").toString
+    val ckpt = Files.createTempDirectory("graft-cur-ckpt").toString
+    val query = StreamOps.curationIngestStream(
+      StreamOps.documentsStream(spark, srcDir.toString), corpus, idxDir,
+      bench, benchBanded, outDir, ckpt,
+      reference = Some(corpus), deconDedup = gcfg,
+      maxSpanTokens = Some(spanT))
+    try {
+      slices.zipWithIndex.foreach { case (s, i) =>
+        writeChunk(natural.filter(col("doc_id").isInCollection(s.toSet)), srcDir, s"chunk$i")
+        query.processAllAvailable()
+      }
+      writeChunk(tail, srcDir, "chunk3")
+      query.processAllAvailable()
+    } finally query.stop()
+    // batch twin: curationManifest over (seed survivors ∪ all new) with
+    // the pairwise min-id winner rule the incremental ingest realizes,
+    // decon near-dup channel from the same frozen benchmark index
+    val corpusAll = corpus.unionByName(newAll).localCheckpoint(true)
+    val adir = Files.createTempDirectory("graft-cur-abanded").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(corpusAll), adir)
+    val want = graft.pipeline.TrainingSet.curationManifest(
+        corpusAll, bench, graft.text.MinHashDedup.readBandedIndex(
+          spark, adir, graft.text.MinHashConfig()),
+        emptyEmb, deconDedup = gcfg,
+        nearDupPairs = Some(graft.text.MinHashDedup
+          .crossNearDupsAgainstBanded(corpusAll, bench, benchBanded, gcfg)),
+        maxSpanTokens = Some(spanT), minIdDedupWinners = true)
+      .filter(col("doc_id") >= 200)
+      .select("doc_id", "ngram_frac", "near_dup", "semantic_cos",
+        "span_tokens", "decon_verdict", "dedup_verdict")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4),
+        r.getString(5), Option(r.getString(6)))).toSeq
+    val manifest = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$outDir/manifest").orderBy("doc_id").localCheckpoint(true)
+    val got = manifest
+      .select("doc_id", "ngram_frac", "near_dup", "semantic_cos",
+        "span_tokens", "decon_verdict", "dedup_verdict")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4),
+        r.getString(5), Option(r.getString(6)))).toSeq
+    assert(got == want,
+      s"streaming manifest ≠ batch curationManifest: first diff " +
+        s"${got.zip(want).find(p => p._1 != p._2)} (sizes ${got.size}/${want.size})")
+    // keep == dedup survival (nulls false) — the manifest's own contract
+    val keeps = manifest.select("doc_id", "dedup_verdict", "keep").collect()
+    keeps.foreach { r =>
+      assert(r.getBoolean(2) == (r.getString(1) == "keep"),
+        s"keep must equal dedup_verdict=='keep': $r")
+    }
+    // non-vacuous: all three verdict shapes occurred among arrivals
+    val verdicts = got.map(t => (t._6, t._7)).toSet
+    assert(verdicts.exists(_._1 == "drop"), "no decon drop in fixture")
+    assert(verdicts.contains(("keep", Some("drop"))), "no dedup drop in fixture")
+    assert(verdicts.contains(("keep", Some("keep"))), "no kept doc in fixture")
+    // drift side channel: one report per micro-batch, batch 0 equal to
+    // the batch-mode drift of its slice (the shared kernel)
+    val refToks = graft.text.TextAnalysis.referenceTokens(corpus)
+    val wantDrift = graft.text.TextAnalysis.unigramDriftAgainst(
+        natural.filter(col("doc_id").isInCollection(slices.head.toSet)), refToks)
+      .select("side_a", "side_b", "kl", "tv")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSet
+    val gotDrift = spark.read.parquet(s"$outDir/drift/b0")
+      .select("side_a", "side_b", "kl", "tv")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(gotDrift == wantDrift, s"batch-0 drift ≠ batch mode: $gotDrift vs $wantDrift")
+    assert(new java.io.File(s"$outDir/drift").listFiles().count(_.isDirectory) == 4,
+      "one drift report per micro-batch expected")
+  }
+
   test("streaming overlap-span gate: replayed corpus reproduces the batch X96 report exactly") {
     val docs = Tables.load(spark, sf001, "documents")
     val corpus = docs.filter(col("source") =!= "src0")
