@@ -722,11 +722,15 @@ object Extras {
     // (recursive-CTE clusters + the same two aggregates)
     "X84_dedup_report" -> q(c => {
       // bandedTable(c) refreshes the oracle mirror the recursive-CTE
-      // oracle reads; the Spark path rides the persisted pair artifact
-      bandedTable(c)
+      // oracle reads; the Spark path rides the persisted pair artifact.
+      // The banded index also feeds the capped-bucket exposure columns
+      // (VERDICT r10 item 3): recall degradation surfaces as DATA in
+      // the published report, not just an executor-log WARN
+      val banded = bandedTable(c)
       MinHashDedup.dedupReport(
         c.documents,
-        MinHashDedup.duplicateClusters(vpairsTable(c)))
+        MinHashDedup.duplicateClusters(vpairsTable(c)),
+        banded = Some(banded))
     }),
     // quality-aware winner per X16 cluster: keep the most-informative
     // member (max distinct tokens, min doc_id tie) instead of min-id —
@@ -1477,11 +1481,22 @@ cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
 per AS (
   SELECT cluster_id, COUNT(*) AS cluster_size,
          SUM(d.n_chars) - arg_min(d.n_chars, d.doc_id) AS chars_lost
-  FROM cl JOIN documents d USING (doc_id) GROUP BY cluster_id)
+  FROM cl JOIN documents d USING (doc_id) GROUP BY cluster_id),
+bstats AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN n > 4096 THEN n END), 0) AS BIGINT) AS capped_member_rows,
+         CAST(COALESCE(SUM(n), 0) AS BIGINT) AS total_member_rows
+  FROM (SELECT COUNT(*) AS n
+        FROM read_parquet('$oracleIdxRoot/minhash_banded/*.parquet')
+        GROUP BY band, bucket))
 SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
   CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_removed,
-  CAST(SUM(chars_lost) AS BIGINT) AS chars_removed
-FROM per GROUP BY cluster_size ORDER BY cluster_size
+  CAST(SUM(chars_lost) AS BIGINT) AS chars_removed,
+  s.capped_member_rows, s.total_member_rows,
+  ROUND(CAST(s.capped_member_rows AS DOUBLE) /
+        GREATEST(s.total_member_rows, 1), 6) AS capped_member_frac
+FROM per CROSS JOIN bstats s
+GROUP BY cluster_size, s.capped_member_rows, s.total_member_rows
+ORDER BY cluster_size
 """.trim,
     // simhash from the mirrored token-hash parquet: per-bit ±1 majority
     // vote, sign vector packed into one BIGINT (bit 63 via the

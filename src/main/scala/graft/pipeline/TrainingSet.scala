@@ -965,13 +965,26 @@ object TrainingSet {
       count(when(col("dedup_verdict") === "keep", 1)).as("dedup"),
       count(when(col("ppl_verdict") === "keep", 1)).as("ppl"),
       count(when(col("keep"), 1)).as("kept")).first()
+    // index capped-bucket exposure (VERDICT r10 item 3): the X84
+    // report's recall-degradation columns, mirrored into the release
+    // audit so the manifest summary carries them too — one 8-byte-key
+    // aggregate over the banded index, zero when pair generation was
+    // fully exhaustive
+    val cap = corpusDedup.maxBucket
+    val bs = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+      .agg(
+        coalesce(sum(when(col("__n") > cap, col("__n"))), lit(0L)),
+        coalesce(sum(col("__n")), lit(0L)))
+      .first()
     val audit = Seq(
       "0_input" -> a.getLong(0), "1_decontaminated" -> a.getLong(1)) ++
       (if (qualityModel.isDefined) Seq("1b_model_quality" -> a.getLong(2)) else Nil) ++
       Seq(
         "2_near_dedup" -> a.getLong(3),
         "3_perplexity_gate" -> a.getLong(4),
-        "4_mixture" -> a.getLong(5))
+        "4_mixture" -> a.getLong(5),
+        "idx_capped_member_rows" -> bs.getLong(0),
+        "idx_member_rows" -> bs.getLong(1))
     val survivors = corpus.join(
       manifest.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
     CurationResult(manifest,

@@ -557,11 +557,27 @@ object MinHashDedup {
     * table — only docs in some verified near-dup cluster, so every join
     * here touches the tiny clustered subset, never the corpus; the
     * report itself is at most #distinct-sizes rows.
+    *
+    * Pass the `banded` member table the pair generation ran over to
+    * additionally surface the CAPPED-BUCKET exposure as data (not just
+    * the [[graft.ops.BucketedPairs]] WARN log): three constant columns
+    * — `capped_member_rows` (member rows sitting in (band, bucket)
+    * groups larger than `cap`, whose distinct-signature pair recall is
+    * degraded to the linear scheme), `total_member_rows`, and their
+    * ratio `capped_member_frac` — so a 100 TB operator reading the
+    * report artifact sees recall degradation in the table a human
+    * actually reviews, instead of needing executor logs. Zero means the
+    * pair listing was fully exhaustive. Cost: one 8-byte-key aggregate
+    * over the index, broadcast-joined onto the (tiny) report.
     */
-  def dedupReport(documents: DataFrame, clusters: DataFrame): DataFrame = {
+  def dedupReport(
+      documents: DataFrame,
+      clusters: DataFrame,
+      banded: Option[DataFrame] = None,
+      cap: Int = MinHashConfig().maxBucket): DataFrame = {
     val members = clusters.join(
       documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-    members
+    val base = members
       .groupBy("cluster_id")
       .agg(
         count(lit(1)).as("cluster_size"),
@@ -576,7 +592,18 @@ object MinHashDedup {
         count(lit(1)).cast("bigint").as("n_clusters"),
         (sum(col("cluster_size") - 1)).cast("bigint").as("docs_removed"),
         sum(col("chars_lost")).cast("bigint").as("chars_removed"))
-      .orderBy("cluster_size")
+    banded.fold(base.orderBy("cluster_size")) { b =>
+      val stats = b.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+        .agg(
+          coalesce(sum(when(col("__n") > cap, col("__n"))), lit(0L))
+            .cast("bigint").as("capped_member_rows"),
+          coalesce(sum(col("__n")), lit(0L))
+            .cast("bigint").as("total_member_rows"))
+        .withColumn("capped_member_frac",
+          round(col("capped_member_rows").cast("double") /
+            greatest(col("total_member_rows"), lit(1L)).cast("double"), 6))
+      base.crossJoin(broadcast(stats)).orderBy("cluster_size")
+    }
   }
 
   /** Source-pair near-duplication matrix: the verified near-dup pair

@@ -192,6 +192,13 @@ class CurationSpec extends SparkSpec {
     assert(audit("2_near_dedup") == m.filter(col("dedup_verdict") === "keep").count())
     assert(audit("3_perplexity_gate") == m.filter(col("ppl_verdict") === "keep").count())
     assert(audit("4_mixture") == m.filter(col("keep")).count())
+    // the index capped-bucket exposure rides the release audit (the
+    // X84 report columns' manifest-summary twin): this fixture's index
+    // has no oversized buckets, so exposure is zero over a positive
+    // member mass
+    assert(audit("idx_capped_member_rows") == 0L,
+      s"unexpected capped buckets in the fixture index: $audit")
+    assert(audit("idx_member_rows") > 0L)
     // survivors carry the deterministic training order: exactly the
     // keep set, with shuffle_pos a 1..n permutation matching the
     // standalone X47 ordering of the same ids

@@ -821,6 +821,31 @@ class ExtrasSpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 2L, 2L, 17L), (3L, 1L, 2L, 47L)))
   }
 
+  test("dedupReport: capped-bucket exposure surfaces as report columns") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    // banded member table: bucket (0,0) holds 5 rows (> cap=4), bucket
+    // (0,1) holds 2 — capped mass = 5 of 7
+    val banded = ((1L to 5L).map(i => (i, 0, 0L, i)) ++
+        Seq((6L, 0, 1L, 6L), (7L, 0, 1L, 7L)))
+      .toDF("id", "band", "bucket", "sigh")
+    val got = MinHashDedup.dedupReport(docs, clusters,
+        banded = Some(banded), cap = 4)
+      .select("cluster_size", "capped_member_rows", "total_member_rows",
+        "capped_member_frac")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((2L, 5L, 7L, 0.714286)), s"got ${got.toSeq}")
+    // exhaustive generation (no bucket over the cap) reports zero —
+    // and the no-banded form keeps the historical 4-column shape
+    val clean = MinHashDedup.dedupReport(docs, clusters,
+        banded = Some(banded), cap = 10)
+      .select("capped_member_rows", "capped_member_frac").first()
+    assert(clean.getLong(0) == 0L && clean.getDouble(1) == 0.0)
+    assert(MinHashDedup.dedupReport(docs, clusters).columns.toSeq ==
+      Seq("cluster_size", "n_clusters", "docs_removed", "chars_removed"))
+  }
+
   test("dedupReport on sf0.01: masses reconcile with the cluster table") {
     val clusters = MinHashDedup.duplicateClusters(
       MinHashDedup.verifiedPairs(cat.documents))
