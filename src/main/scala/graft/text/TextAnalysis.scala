@@ -751,7 +751,18 @@ object TextAnalysis {
   def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double,
       maxDf: Int = Int.MaxValue): DataFrame = {
     warnIfUncapped("ngramJaccardPairs", documents, maxDf)
-    val counts = ngramPairCounts(documents, n, maxDf)
+    ngramJaccardPairsFromCounts(ngramPairCounts(documents, n, maxDf), threshold)
+  }
+
+  /** [[ngramJaccardPairs]]' measure algebra over an already-computed
+    * (persisted) pair-counts table — the repeat-run entry: the counts
+    * are a pure deterministic function of (corpus, n, maxDf), so a
+    * release run pays the shingle self-join ONCE and every overlap
+    * measure / threshold sweep reads the stored (i, j, c, sz_i, sz_j)
+    * rows (the verified-pairs artifact idiom applied to the n-gram
+    * kernel).
+    */
+  def ngramJaccardPairsFromCounts(counts: DataFrame, threshold: Double): DataFrame = {
     val jac = col("c").cast("double") / (col("sz_i") + col("sz_j") - col("c"))
     counts
       .filter(jac >= threshold)
@@ -765,8 +776,10 @@ object TextAnalysis {
     * (post-cap) shingle-set sizes — (i < j, c, sz_i, sz_j). One
     * definition, so the cap semantics and the ReuseExchange shape stay
     * identical across every set-similarity measure derived from it.
+    * Public so callers can PERSIST the counts once and derive every
+    * measure via the `FromCounts` twins.
     */
-  private def ngramPairCounts(documents: DataFrame, n: Int, maxDf: Int): DataFrame = {
+  def ngramPairCounts(documents: DataFrame, n: Int, maxDf: Int): DataFrame = {
     // array_distinct dedups map-side; the DISTINCT after the explode is
     // then a semantic no-op, but it materializes ONE shuffled exchange
     // that all consumers below (the df filter, both join sides, sizes)
@@ -809,7 +822,12 @@ object TextAnalysis {
   def ngramContainmentPairs(documents: DataFrame, n: Int, threshold: Double,
       maxDf: Int = Int.MaxValue): DataFrame = {
     warnIfUncapped("ngramContainmentPairs", documents, maxDf)
-    val counts = ngramPairCounts(documents, n, maxDf)
+    ngramContainmentPairsFromCounts(ngramPairCounts(documents, n, maxDf), threshold)
+  }
+
+  /** [[ngramContainmentPairs]]' measure algebra over a persisted
+    * pair-counts table ([[ngramJaccardPairsFromCounts]]' twin). */
+  def ngramContainmentPairsFromCounts(counts: DataFrame, threshold: Double): DataFrame = {
     val cont = col("c").cast("double") / least(col("sz_i"), col("sz_j"))
     val jac = col("c").cast("double") / (col("sz_i") + col("sz_j") - col("c"))
     counts

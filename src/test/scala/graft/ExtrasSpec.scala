@@ -1270,6 +1270,25 @@ class ExtrasSpec extends SparkSpec {
     assert(d.getDouble(2) == 1.0 && d.getDouble(3) == 1.0)
   }
 
+  test("ngram measures from persisted pair counts ≡ direct computation") {
+    // the X05/X99 bench sharing contract: counts persisted once, each
+    // measure a filter over the stored rows — values must be identical
+    // to the from-scratch forms at the declared (n=3, maxDf=50) config
+    val docs = Catalog(spark, sf001).documents
+    val dir = java.nio.file.Files.createTempDirectory("graft-npc").toString
+    TextAnalysis.ngramPairCounts(docs, n = 3, maxDf = 50)
+      .write.mode("overwrite").parquet(dir)
+    val counts = spark.read.parquet(dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSeq
+    assert(rows(TextAnalysis.ngramJaccardPairsFromCounts(counts, 0.6)) ==
+      rows(TextAnalysis.ngramJaccardPairs(docs, 3, 0.6, maxDf = 50)),
+      "jaccard-from-counts diverges from direct")
+    assert(rows(TextAnalysis.ngramContainmentPairsFromCounts(counts, 0.8)) ==
+      rows(TextAnalysis.ngramContainmentPairs(docs, 3, 0.8, maxDf = 50)),
+      "containment-from-counts diverges from direct")
+  }
+
   test("unigramDrift: hand-fixture KL/TV arithmetic; identical corpora score zero drift") {
     val s = spark
     import s.implicits._
