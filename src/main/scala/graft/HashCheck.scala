@@ -39,12 +39,11 @@ object HashCheck {
     Tables.registerAll(spark, sfDir)
     val cat = Catalog(spark, sfDir)
     var bad = 0
-    def check(id: String, label: String, run: () => String): Unit = {
+    def check(id: String, label: String, want: String, run: () => String): Unit = {
       val t0 = System.nanoTime()
       val res =
         try {
           val h = run()
-          val want = expected(id)
           if (h == want) s"OK    $h"
           else { bad += 1; s"FAIL  got $h want $want" }
         } catch {
@@ -53,14 +52,27 @@ object HashCheck {
       val ms = (System.nanoTime() - t0) / 1e6
       println(f"$id%-4s $label%-4s $res  (${ms}%.0f ms)")
     }
-    ids.foreach { id =>
+    ids.filter(Contract.byId.contains).foreach { id =>
       if (mode != "--df")
-        check(id, "sql", () => Canonical.hash16(spark.sql(Contract.byId(id).sparkSql)))
+        check(id, "sql", expected(id),
+          () => Canonical.hash16(spark.sql(Contract.byId(id).sparkSql)))
       if (mode != "--sql")
         DfContract.all.get(id) match {
-          case Some(fn) => check(id, "df", () => Canonical.hash16(fn(cat)))
+          case Some(fn) => check(id, "df", expected(id), () => Canonical.hash16(fn(cat)))
           case None => println(f"$id%-4s df   MISSING"); bad += 1
         }
+    }
+    // the three no-oracle queries carry engine-pinned regression hashes
+    // (SelfPinned): checked as part of the standard gate, labeled
+    // `self`, so sketch/trainer drift announces itself like any
+    // contract hash mismatch
+    val selfIds =
+      if (ids0.nonEmpty) ids0.filter(SelfPinned.ids.contains) else SelfPinned.ids
+    SelfPinned.forDir(sfDir).foreach { pins =>
+      selfIds.foreach { id =>
+        check(id, "self", pins(id),
+          () => Canonical.hash16(SparkEntry.queries(id)(spark, sfDir)))
+      }
     }
     println(s"\n${if (bad == 0) "all matched" else s"$bad mismatches"}")
     spark.stop()

@@ -49,6 +49,27 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the three no-oracle queries: emit their engine-pinned regression
+    // verdicts (SelfPinned) beside the dumps, so the crosscheck reports
+    // them as checked-against-pinned rather than oracle-free. The hash
+    // is computed HERE (the engine both runs the query and knows the
+    // pin); the pin itself is a committed constant, so drift still
+    // fails the report.
+    SelfPinned.forDir(sfDir).foreach { pins =>
+      val entries = pins.toSeq.sortBy(_._1)
+        .filter { case (id, _) => only.forall(_.contains(id)) }
+        .map { case (id, want) =>
+          val got =
+            try graft.core.Canonical.hash16(SparkEntry.queries(id)(spark, sfDir))
+            catch { case e: Throwable =>
+              "ERROR:" + String.valueOf(e.getMessage).take(80) }
+          s"${q(id)}: {\"expected\": ${q(want)}, \"got\": ${q(got)}, " +
+            s""""self_pinned": true, "match": ${got == want}}"""
+        }
+      if (entries.nonEmpty)
+        Files.writeString(Paths.get(s"$outDir/self_pinned.json"),
+          entries.mkString("{", ",", "}"))
+    }
     spark.stop()
   }
 }

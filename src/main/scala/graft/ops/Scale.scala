@@ -587,13 +587,32 @@ object Scale {
   /** Estimates from a sketch table: one row per group plus an `ALL` row
     * from the union of the group sketches — the rollup that never
     * touches the raw data again.
+    *
+    * The ALL union folds the group sketches in SORTED-KEY order over a
+    * collected array rather than via `hll_union_agg`: DataSketches'
+    * union estimate is (slightly) merge-order-dependent, and the agg
+    * form merges in partition order — the one place partitioning could
+    * leak into this query's VALUES (observed ±2 counts across shuffle
+    * widths). The sketch table is one row per GROUP (metadata-sized —
+    * the raw data was already reduced), so collecting it into a single
+    * sorted array costs nothing at any corpus scale, and the fold makes
+    * the rollup a pure function of the group sketches — hash-gateable
+    * and partition-invariant like every other declared query.
     */
   def hllEstimates(sketches: DataFrame, groupKey: String): DataFrame = {
     val per = sketches.select(col(groupKey).cast("string").as(groupKey),
       hll_sketch_estimate(col("sketch")).as("n_distinct_est"))
-    val all = sketches.agg(hll_union_agg(col("sketch")).as("u"))
+    val all = sketches
+      .agg(sort_array(collect_list(struct(
+        col(groupKey).cast("string").as("k"), col("sketch")))).as("arr"))
       .select(lit("ALL").as(groupKey),
-        hll_sketch_estimate(col("u")).as("n_distinct_est"))
+        when(size(col("arr")) > 0,
+          hll_sketch_estimate(
+            aggregate(
+              expr("slice(arr, 2, greatest(size(arr) - 1, 0))"),
+              element_at(col("arr"), 1).getField("sketch"),
+              (acc, x) => hll_union(acc, x.getField("sketch")))))
+          .as("n_distinct_est"))
     per.unionByName(all).orderBy(groupKey)
   }
 

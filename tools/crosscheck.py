@@ -55,7 +55,22 @@ for name in sorted(oracle_sql):
         print(f"FAIL {name}: hash mismatch, first diff rows:\n{s2[diff.values].head(2)}\n{o2[diff.values].head(2)}")
         fail += 1; continue
     ok += 1
-print(f"RESULT {sf_dir}: {ok} OK, {fail} FAIL, {len(oracle_sql)} oracle queries")
+# self-pinned queries (no external oracle): Verify computed the current
+# canonical hash against the committed SelfPinned constant — report the
+# verdicts so these rows are checked-against-pinned, not oracle-free
+import os
+sp_path = f"{out_dir}/self_pinned.json"
+n_self = 0
+if os.path.exists(sp_path):
+    for name, v in sorted(json.load(open(sp_path)).items()):
+        n_self += 1
+        if v.get("match"):
+            ok += 1
+        else:
+            print(f"FAIL {name}: self-pinned hash {v.get('got')} != {v.get('expected')}")
+            fail += 1
+print(f"RESULT {sf_dir}: {ok} OK, {fail} FAIL, "
+      f"{len(oracle_sql)} oracle queries + {n_self} self-pinned")
 sys.exit(1 if fail else 0)
 
 # Sequential-flow contract: run `graft.Verify <sfdir> <outdir>` FIRST for
