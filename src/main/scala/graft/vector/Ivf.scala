@@ -159,6 +159,47 @@ object Ivf {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/vectors")
   }
 
+  /** Incrementally APPEND new vectors to a persisted index — the
+    * streaming-ingest maintenance path that removes the only linear
+    * step left on the vector spine (a full [[writeIndex]] rebuild):
+    * the new batch is assigned against the SAVED centroids (the
+    * build's own map-side broadcast argmax) and parquet-appended into
+    * the `list_id`-partitioned layout, so probes immediately see
+    * (old ∪ new) exactly.
+    *
+    * Centroids stay FROZEN: because [[assign]] is a pure per-row
+    * function of (vector, centroids), appending batch B to an index
+    * over A yields byte-equal list membership to assigning A ∪ B
+    * against the same centroids in one pass (IvfSpec pins it, plus
+    * probe-all ≡ brute force over the union). What append does NOT do
+    * is refresh centroid placement — under distribution drift list
+    * sizes skew and recall at fixed nProbe decays, so a production
+    * ingest appends per batch and schedules a full rebuild when the
+    * drift monitor (or list-size skew) says so.
+    *
+    * Cost: |batch| × nLists argmax + a write committing one file per
+    * TOUCHED list (≤ min(|batch|, nLists)) — independent of the
+    * indexed corpus size, which is the point; the rebuild it replaces
+    * scans and rewrites all N rows. Requires new vec_ids disjoint from
+    * the indexed ones (the append-only ingest contract shared with the
+    * text side).
+    */
+  def appendToIndex(newVectors: DataFrame, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    // cluster by list_id before the partitioned write so each touched
+    // list dir receives ONE new file from one task — for a
+    // production-size delta (rows ≥ nLists) this caps the append at
+    // nLists files instead of (tasks × nLists) fragments, and fragment
+    // count is what probes later pay per file-open. The wall cost of
+    // an append is the per-touched-dir commit (∝ min(|delta|, nLists),
+    // ~19 s for 2k rows into 1 600 lists locally), NOT the indexed
+    // corpus size — flat in N, which is the contract
+    assign(newVectors, cents)
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/vectors")
+  }
+
   /** The probed slice of a persisted index's vectors table, read by
     * DIRECT list-directory paths instead of a filter over the whole
     * partitioned layout. Both plans prune to the same files, but the

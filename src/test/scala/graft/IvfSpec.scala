@@ -35,4 +35,46 @@ class IvfSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(ids.contains(bruteTop))
   }
+
+  test("IVF append: frozen-centroid append equals a one-pass re-assign; probes see the union exactly") {
+    import org.apache.spark.sql.functions._
+    val emb = cat.embeddings
+    // build over the even half, append the odd half (disjoint ids —
+    // the append-only contract)
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    Ivf.writeIndex(a, dir, nLists = 16)
+    Ivf.appendToIndex(b, dir)
+    // list membership after append == assigning A ∪ B against the
+    // SAVED centroids in one pass (assign is a pure per-row function)
+    val saved = spark.read.parquet(s"$dir/centroids")
+    val want = Ivf.assign(a.unionByName(b), saved)
+      .select("vec_id", "list_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // list_id is a partition column on the read side — its inferred
+    // type is int; cast for the comparison
+    val got = spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), col("list_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"appended membership diverges: ${got.size}/${want.size} rows")
+    // probe-all over the appended index == exact brute force over the
+    // union (vec 0 is in the ORIGINAL half — the probe must now also
+    // see appended vectors)
+    val probeVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0).toArray
+    val brute = Ann.bruteForceTopK(emb, 0, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probed = Ivf.probeIndex(spark, dir, probeVec, k = 6, nProbe = 16)
+      .filter(col("vec_id") =!= 0)
+      .orderBy(desc("cos"), col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probed == brute,
+      s"probe-all over appended index must equal brute force: $probed vs $brute")
+    // appended rows land in EXISTING list dirs as extra files — no
+    // rebuild of prior files (the old files still serve their rows)
+    val nFromB = spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id") % 2 === 1).count()
+    assert(nFromB == b.count(), "every appended vector must be readable")
+  }
 }

@@ -78,6 +78,8 @@ object ScaleGrowthVectorBench {
     val x06 = scala.collection.mutable.ArrayBuffer[(Int, Double, Long)]()
     val x52 = scala.collection.mutable.ArrayBuffer[(Int, Double, Map[Long, Double])]()
     val ivf = scala.collection.mutable.ArrayBuffer[(Int, Double, Long)]()
+    // (factor, append wall, rebuild wall) — incremental index maintenance
+    val app = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
     val probeVec = base.filter(col("vec_id") === 7L)
       .head().getSeq[Float](1).toArray
 
@@ -129,6 +131,21 @@ object ScaleGrowthVectorBench {
       ivf += ((f, tProbe, scanned))
       println(f"SCALEGROWTHVEC IVF_probe       factor=$f%2d  $tProbe%8.2f s  " +
         f"scanned=$scanned%,d of $n%,d rows  (build $tBuild%.2f s, nLists=${16 * f})")
+
+      // incremental append: a FIXED-size delta (one base replica with
+      // fresh ids) assigned against the saved centroids and appended —
+      // the per-batch maintenance cost, vs tBuild = the full-rebuild
+      // cost it replaces. Cost model: |delta| × nLists argmax + one
+      // |delta|-row write — independent of the indexed corpus SIZE.
+      val delta = base.select(
+        (col("vec_id") + lit(900000000L)).as("vec_id"), col("embedding"))
+      val (_, tAppend) = timed(Ivf.appendToIndex(delta, idxDir))
+      val appended = spark.read.parquet(s"$idxDir/vectors").count()
+      require(appended == n + delta.count(),
+        s"append must add exactly the delta: $appended vs $n + ${delta.count()}")
+      app += ((f, tAppend, tBuild))
+      println(f"SCALEGROWTHVEC IVF_append      factor=$f%2d  $tAppend%8.2f s  " +
+        f"(delta=${delta.count()}%,d rows into nLists=${16 * f}; rebuild $tBuild%.2f s)")
       }
 
       emb.unpersist()
@@ -165,6 +182,17 @@ object ScaleGrowthVectorBench {
         s"IVF pruned scan must stay ~constant: factor $f1 scanned $s1, factor $fb scanned $sb")
       println(f"SCALEGROWTHVEC IVF_probe scanned $s1%,d → $sb%,d rows and wall " +
         f"$t1%.2f s → $tb%.2f s across ${fb / f1}× corpus growth — the index absorbs N")
+    }
+    if (app.size >= 2) {
+      val (f1, a1, _) = app.head
+      val (fb, ab, bb) = app.last
+      // the point of append: per-batch maintenance must not pay the
+      // rebuild — require a clear separation at the largest factor
+      require(ab < bb / 3,
+        s"append ($ab s) must be well below rebuild ($bb s) at factor $fb")
+      println(f"SCALEGROWTHVEC IVF_append wall $a1%.2f s (${f1}x) → $ab%.2f s (${fb}x) " +
+        f"vs rebuild $bb%.2f s at ${fb}x — fixed-size delta maintenance stays " +
+        "rebuild-free as the corpus grows")
     }
 
     spark.stop()
