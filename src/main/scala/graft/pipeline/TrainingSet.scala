@@ -946,11 +946,13 @@ object TrainingSet {
       qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None,
       nearDupPairs: Option[DataFrame] = None,
       ngramScores: Option[DataFrame] = None,
-      corpusPairs: Option[DataFrame] = None): CurationResult = {
+      corpusPairs: Option[DataFrame] = None,
+      maxSpanTokens: Option[Int] = None,
+      minIdDedupWinners: Boolean = false): CurationResult = {
     val manifest = curationManifest(corpus, benchmark, banded, embeddings,
       n, ngramThreshold, deconDedup, cosThreshold, corpusDedup, pplBuckets,
       mixtureStrata, mixtureAlpha, seed, qualityModel, nearDupPairs, ngramScores,
-      corpusPairs)
+      corpusPairs, maxSpanTokens, minIdDedupWinners)
       .localCheckpoint(true)
     // the audit is one pass over the (already materialized) manifest:
     // conditional counts, not stage re-runs

@@ -976,6 +976,41 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming VECTOR-index ingest — incremental maintenance of a
+    * persisted IVF index ([[graft.vector.Ivf.writeIndex]]) from an
+    * arriving embedding stream: each micro-batch is assigned against
+    * the SAVED centroids (map-side broadcast argmax) and written as a
+    * batch-keyed, `list_id`-partitioned DELTA under
+    * `indexPath/delta/b<id>` with overwrite — so a crash-and-replay
+    * rewrites the same directory instead of duplicating rows (the
+    * exactly-once discipline a raw parquet append cannot give).
+    * Probes during ingest use [[graft.vector.Ivf.probeIndexWithDeltas]]
+    * (base + completed deltas); a periodic
+    * [[graft.vector.Ivf.compactIndex]] folds deltas back into the base
+    * layout (pure row movement, no re-assignment) restoring the
+    * O(nProbe) listing cost. Centroids stay frozen — the drift monitor
+    * decides when a full rebuild refreshes placement, exactly like the
+    * batch [[graft.vector.Ivf.appendToIndex]] contract.
+    */
+  def vectorIngestStream(
+      newVectors: DataFrame,
+      indexPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newVectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val cents = spark.read.parquet(s"$indexPath/centroids")
+          graft.vector.Ivf.assign(batch.toDF(), cents)
+            .repartition(col("list_id"))
+            .write.mode("overwrite").partitionBy("list_id")
+            .parquet(s"$indexPath/delta/b$batchId")
+        }
+      }
+      .start()
+
   /** The (batch_id, new_types, cum_vocab) curve over a
     * [[vocabNoveltyStream]] sink: ONE job counts every completed batch
     * at once (grouped on the persisted batch_id column — a thousand

@@ -200,6 +200,108 @@ object Ivf {
       .write.mode("append").partitionBy("list_id").parquet(s"$path/vectors")
   }
 
+  /** COMPLETED streaming-ingest delta roots under `path/delta`
+    * (`_SUCCESS` present — the ingest discipline shared with the text
+    * side's batch-keyed dirs), sorted by name. One metadata listing.
+    */
+  private def completedDeltas(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/delta")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** [[probeIndex]] over base vectors PLUS the completed streaming
+    * deltas ([[graft.streaming.StreamOps.vectorIngestStream]]'s
+    * batch-keyed sink): the probed lists' direct dirs are read from
+    * the base layout and from every completed delta — listing cost
+    * O(nProbe × (1 + nDeltas)), which is why a long-lived ingest runs
+    * [[compactIndex]] periodically to fold deltas back to the
+    * O(nProbe) base-only probe.
+    */
+  def probeIndexWithDeltas(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      probeVec: Array[Float],
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val probe = typedLit(probeVec)
+    val lists = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id"), dot(probe, col("centroid")).as("cs"))
+      .orderBy(col("cs").desc, col("centroid_id"))
+      .limit(nProbe)
+      .collect().map(_.getLong(0)).toSeq
+    val cand = completedDeltas(spark, path)
+      .map(d => probedVectorsAt(spark, d, lists)
+        .select(col("vec_id"), col("embedding")))
+      .foldLeft(probedVectors(spark, path, lists)
+        .select(col("vec_id"), col("embedding")))(_ unionByName _)
+    cand
+      .select(col("vec_id"), round(dot(probe, col("embedding")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Fold the completed streaming deltas into the base vectors layout —
+    * pure ROW MOVEMENT (no re-assignment, no argmax: delta rows
+    * already carry their list_id), restoring the O(nProbe) base-only
+    * probe after a stretch of streaming ingest. Staged + two renames
+    * so a concurrent reader never sees a half-written base, with a
+    * `_FOLDED_DELTAS` manifest inside the new layout naming exactly
+    * the delta dirs it absorbed: a retry after a crash between the
+    * swap and the delta cleanup deletes the listed dirs instead of
+    * folding them twice.
+    */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def del(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(hp)) fs.delete(hp, true)
+    }
+    // crash-recovery half: a previous compaction swapped but died
+    // before cleanup — finish its deletions from the manifest
+    val manifest = new org.apache.hadoop.fs.Path(s"$path/vectors/_FOLDED_DELTAS")
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val folded = scala.io.Source.fromInputStream(in).getLines().toSeq
+      in.close()
+      folded.foreach(del)
+      fs.delete(manifest, false)
+    }
+    val deltas = completedDeltas(spark, path)
+    if (deltas.nonEmpty) {
+      val all = deltas
+        .map(d => spark.read.parquet(d)
+          .select(col("vec_id"), col("embedding"), col("list_id").cast("long").as("list_id")))
+        .foldLeft(spark.read.parquet(s"$path/vectors")
+          .select(col("vec_id"), col("embedding"), col("list_id").cast("long").as("list_id")))(
+          _ unionByName _)
+      all.repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$path/vectors.next")
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$path/vectors.next/_FOLDED_DELTAS"), true)
+      out.write((deltas.mkString("\n") + "\n").getBytes("UTF-8"))
+      out.close()
+      del(s"$path/vectors.old")
+      fs.rename(new org.apache.hadoop.fs.Path(s"$path/vectors"),
+        new org.apache.hadoop.fs.Path(s"$path/vectors.old"))
+      fs.rename(new org.apache.hadoop.fs.Path(s"$path/vectors.next"),
+        new org.apache.hadoop.fs.Path(s"$path/vectors"))
+      del(s"$path/vectors.old")
+      deltas.foreach(del)
+      fs.delete(manifest, false)
+    }
+  }
+
   /** The probed slice of a persisted index's vectors table, read by
     * DIRECT list-directory paths instead of a filter over the whole
     * partitioned layout. Both plans prune to the same files, but the
@@ -224,8 +326,18 @@ object Ivf {
   private def probedVectors(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
+      lists: Seq[Long]): DataFrame =
+    probedVectorsAt(spark, s"$path/vectors", lists)
+
+  /** [[probedVectors]] against an arbitrary `list_id=`-partitioned
+    * layout root — shared by the base index and the streaming-ingest
+    * delta directories ([[probeIndexWithDeltas]]).
+    */
+  private def probedVectorsAt(
+      spark: org.apache.spark.sql.SparkSession,
+      vectorsRoot: String,
       lists: Seq[Long]): DataFrame = {
-    val base = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val base = new org.apache.hadoop.fs.Path(vectorsRoot)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hasData(p: org.apache.hadoop.fs.Path): Boolean =
       fs.exists(p) && fs.listStatus(p).exists { s =>
@@ -235,9 +347,9 @@ object Ivf {
     val dirs = lists.map(id => new org.apache.hadoop.fs.Path(base, s"list_id=$id"))
       .filter(hasData).map(_.toString)
     if (dirs.isEmpty)
-      spark.read.parquet(s"$path/vectors").filter(lit(false))
+      spark.read.parquet(vectorsRoot).filter(lit(false))
     else
-      spark.read.option("basePath", s"$path/vectors").parquet(dirs: _*)
+      spark.read.option("basePath", vectorsRoot).parquet(dirs: _*)
   }
 
   /** Top-k by cosine against a persisted index. Centroid scoring runs on

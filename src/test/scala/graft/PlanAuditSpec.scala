@@ -80,7 +80,12 @@ class PlanAuditSpec extends SparkSpec {
       "X90_decontamination_report", "X91_heldout_logprob",
       // X93 composes X90 + X81 + the mixture: it inherits the
       // benchmark-embedding array collapse and the 1-row LM normalizer
-      "X93_curation_manifest")
+      "X93_curation_manifest",
+      // X84 (round 11): the capped-bucket exposure columns are a 1-row
+      // global aggregate over the banded index's (band, bucket) counts,
+      // broadcast-crossed onto the sizes-sized report (the X19/X37
+      // single-row-stats shape)
+      "X84_dedup_report")
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against
@@ -118,7 +123,10 @@ class PlanAuditSpec extends SparkSpec {
       "X90_decontamination_report", "X91_heldout_logprob",
       "X92_source_lm_matrix",
       // X93 rides X90's broadcast-argmax embedding channel
-      "X93_curation_manifest")
+      "X93_curation_manifest",
+      // X84 (round 11): 1-row capped-stats broadcast cross join onto
+      // the #distinct-sizes report rows (the X76 1-row-stats idiom)
+      "X84_dedup_report")
     val sf001Dir = "/root/testdata/sf0.001"
     // AUDIT BLIND SPOT (ADVICE r8, accepted): queries that lazily
     // localCheckpoint an expensive prefix (X53, X80, X81) truncate

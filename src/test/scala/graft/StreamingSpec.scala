@@ -1359,6 +1359,70 @@ class StreamingSpec extends SparkSpec {
       "one drift report per micro-batch expected")
   }
 
+  test("streaming vector-index ingest: deltas + compaction keep probes exactly equal to brute force") {
+    val emb = Tables.load(spark, sf01, "embeddings")
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val idx = Files.createTempDirectory("graft-vecingest-idx").toString
+    graft.vector.Ivf.writeIndex(a, idx, nLists = 16)
+    // replay the odd half as a 2-batch embedding stream into delta dirs
+    val srcDir = Files.createTempDirectory("graft-vecingest-src")
+    val ckpt = Files.createTempDirectory("graft-vecingest-ckpt").toString
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", org.apache.spark.sql.types.LongType)
+      .add("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val query = StreamOps.vectorIngestStream(stream, idx, ckpt)
+    try {
+      writeChunk(b.filter(col("vec_id") < 250).select("vec_id", "embedding"),
+        srcDir, "chunk0")
+      query.processAllAvailable()
+      writeChunk(b.filter(col("vec_id") >= 250).select("vec_id", "embedding"),
+        srcDir, "chunk1")
+      query.processAllAvailable()
+    } finally query.stop()
+    // probe-all over base + deltas == exact brute force over A ∪ B
+    val probeVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0).toArray
+    def top5(df: DataFrame): Seq[(Long, Double)] = df
+      .filter(col("vec_id") =!= 0)
+      .orderBy(desc("cos"), col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = graft.vector.Ann.bruteForceTopK(emb, 0, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val withDeltas = top5(graft.vector.Ivf.probeIndexWithDeltas(
+      spark, idx, probeVec, k = 6, nProbe = 16))
+    assert(withDeltas == brute,
+      s"probe-all over base+deltas must equal brute force: $withDeltas vs $brute")
+    assert(new java.io.File(s"$idx/delta").listFiles().count(_.isDirectory) == 2,
+      "two batch-keyed delta dirs expected")
+    // compaction folds deltas into the base layout: plain probeIndex
+    // then sees the union, deltas are gone, membership is exactly the
+    // one-pass re-assign over the saved centroids
+    graft.vector.Ivf.compactIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/delta").exists() ||
+      new java.io.File(s"$idx/delta").listFiles().isEmpty,
+      "compaction must remove folded deltas")
+    val afterCompact = top5(graft.vector.Ivf.probeIndex(
+      spark, idx, probeVec, k = 6, nProbe = 16))
+    assert(afterCompact == brute,
+      s"probe-all after compaction must equal brute force: $afterCompact vs $brute")
+    val saved = spark.read.parquet(s"$idx/centroids")
+    val want = graft.vector.Ivf.assign(a.unionByName(b), saved)
+      .select("vec_id", "list_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = spark.read.parquet(s"$idx/vectors")
+      .select(col("vec_id"), col("list_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "compacted membership must equal one-pass re-assign")
+    // compaction is idempotent when no deltas remain
+    graft.vector.Ivf.compactIndex(spark, idx)
+    assert(top5(graft.vector.Ivf.probeIndex(
+      spark, idx, probeVec, k = 6, nProbe = 16)) == brute)
+  }
+
   test("streaming overlap-span gate: replayed corpus reproduces the batch X96 report exactly") {
     val docs = Tables.load(spark, sf001, "documents")
     val corpus = docs.filter(col("source") =!= "src0")
