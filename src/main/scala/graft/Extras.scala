@@ -458,6 +458,35 @@ object Extras {
     * `$dir/resized` = features of the 16×16 thumbnails re-decoded
     * through the same codec path.
     */
+  /** Persisted perceptual-hash table for X103 (the media-artifact
+    * split): dHash64 over every original payload AND its 16×16
+    * resized/re-encoded twin, one row per (doc_id, variant). The
+    * decode+hash pass is engine-specific (Java2D bilinear resize) and
+    * runs once; the declared query — banded Hamming near-dup pairs —
+    * is exact integer math both engines reproduce over these 8-byte
+    * hashes.
+    */
+  private def phashDir(c: Catalog): String = {
+    val st = stamp(c.dir, "documents", "phash:v1:dhash8x8+rs16")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_phash_" + st).toString
+    if (!new java.io.File(s"$dir/hashes", "_SUCCESS").exists()) {
+      val media = MediaPipeline.toMediaTable(c.documents)
+      MediaPipeline.perceptualHashes(media)
+        .withColumn(
+          "variant", org.apache.spark.sql.functions.lit("orig"))
+        .unionByName(
+          MediaPipeline
+            .perceptualHashes(MediaPipeline.resizedMedia(media, 16, 16))
+            .withColumn(
+              "variant", org.apache.spark.sql.functions.lit("rs16")))
+        .select("doc_id", "variant", "kind", "phash")
+        .write.mode("overwrite").parquet(s"$dir/hashes")
+    }
+    mirrorStable(dir, "phash", st)
+    dir
+  }
+
   private def mediaFeatDir(c: Catalog): String = {
     val st = stamp(c.dir, "documents", "mediafeat:v1:16x16")
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
@@ -1314,7 +1343,44 @@ object Extras {
     "X100_unigram_drift" -> q(c =>
       TextAnalysis.unigramDrift(
         c.documents.filter(col("source") =!= "src0"),
-        c.documents.filter(col("source") === "src0")))
+        c.documents.filter(col("source") === "src0"))),
+    // hybrid BM25+cosine retrieval fused by reciprocal-rank (RRF):
+    // queries = docs 0-2 (first-5-token terms + their embedding);
+    // each channel's top-20 with self excluded, fused 1/(60+rank),
+    // fused top-10 — the production retrieval shape behind targeted
+    // decontamination; fully oracle-checked
+    "X101_hybrid_rrf" -> q(c =>
+      graft.text.HybridRetrieval.rrfTopK(
+        c.documents,
+        c.embeddings,
+        c.documents.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"),
+            slice(TextAnalysis.tokens(col("text")), 1, 5).as("terms"))
+          .join(c.embeddings.select(col("vec_id").as("query_id"),
+            col("embedding").as("qvec")), Seq("query_id")),
+        k = 10)),
+    // held-out LM scoring under interpolated ABSOLUTE-DISCOUNT
+    // (Kneser–Ney-style) smoothing — X91's leakage-free discipline
+    // with the production smoothing family (continuation-count
+    // interpolation, D = 0.75); fully oracle-checked
+    "X102_kn_heldout_logprob" -> q(c => {
+      val sp = Scale.md5Split(c.documents, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      TextAnalysis.bigramLogProbDiscounted(
+          sp.filter(col("split") === "train"), c.documents)
+        .join(sp.select("doc_id", "split"), Seq("doc_id"))
+        .select("doc_id", "split", "n_bigrams", "mean_logp")
+        .orderBy("doc_id")
+    }),
+    // perceptual-hash image near-dup: banded Hamming <= 7 over the
+    // PERSISTED dHash table (originals + 16x16 re-encoded twins) —
+    // exact by pigeonhole at 8 bands; the visual dedup channel; the
+    // declared query is integer math downstream of the artifact,
+    // fully oracle-checked
+    "X103_phash_neardup" -> q(c =>
+      MediaPipeline.phashNearDupPairs(
+        c.spark.read.parquet(s"${phashDir(c)}/hashes"),
+        maxHamming = 7))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -2876,6 +2942,102 @@ SELECT 'cur' AS side_a, 'ref' AS side_b, kl_cur_ref AS kl, tv_cur_ref AS tv FROM
 UNION ALL
 SELECT 'ref', 'cur', kl_ref_cur, tv_ref_cur FROM one
 ORDER BY side_a, side_b
+""".trim,
+    // X66's BM25 CTE chain (k=20, self excluded) + X52's cosine shape
+    // (queries vec_id<3, k=20) fused by reciprocal rank 1/(60+r)
+    "X101_hybrid_rrf" -> """
+WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks FROM documents),
+d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+postings AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+             FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) u
+             GROUP BY term, doc_id, dl),
+dfx AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM postings GROUP BY term),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(CAST(dl AS BIGINT)) AS sum_dl FROM d),
+qq AS (SELECT DISTINCT query_id, term FROM (
+        SELECT doc_id AS query_id, unnest(toks[1:5]) AS term FROM t WHERE doc_id < 3) z),
+scored AS (
+  SELECT qq.query_id, p.doc_id,
+         ROUND(SUM(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE)
+                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))), 6) AS score
+  FROM qq JOIN postings p ON qq.term = p.term
+         JOIN dfx ON qq.term = dfx.term
+         CROSS JOIN stats
+  WHERE p.doc_id <> qq.query_id
+  GROUP BY qq.query_id, p.doc_id),
+lex AS (SELECT query_id, doc_id, CAST(r AS BIGINT) AS r_lex FROM (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r
+  FROM scored) z WHERE r <= 20),
+sc AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+         ROUND(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+       FROM embeddings a, embeddings b
+       WHERE a.vec_id < 3 AND b.vec_id <> a.vec_id),
+sem AS (SELECT query_id, doc_id, CAST(r AS BIGINT) AS r_sem FROM (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS r
+  FROM sc) z WHERE r <= 20),
+fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         COALESCE(l.r_lex, 0) AS r_lex, COALESCE(s.r_sem, 0) AS r_sem
+  FROM lex l FULL OUTER JOIN sem s ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+rr AS (SELECT query_id, doc_id, r_lex, r_sem,
+  ROUND(CASE WHEN r_lex > 0 THEN CAST(1 AS DOUBLE) / (60 + r_lex) ELSE CAST(0 AS DOUBLE) END +
+        CASE WHEN r_sem > 0 THEN CAST(1 AS DOUBLE) / (60 + r_sem) ELSE CAST(0 AS DOUBLE) END, 6) AS rrf
+  FROM fused),
+rk AS (SELECT query_id, doc_id, rrf, r_lex, r_sem,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS r FROM rr)
+SELECT query_id, doc_id, rrf, r_lex, r_sem FROM rk WHERE r <= 10
+ORDER BY query_id, rrf DESC, doc_id
+""".trim,
+    // X91's split + bigram CTEs under absolute-discount interpolation:
+    // max(c12-D,0)/c1 + D*n1p/c1*Pcont, Pcont=(contc+1)/(B+V),
+    // unseen context backs off to Pcont entirely
+    "X102_kn_heldout_logprob" -> s"""
+WITH sp AS (SELECT doc_id, text, CASE
+    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.8)}' THEN 'train'
+    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '${graft.ops.Scale.hexCutoff(0.9)}' THEN 'val'
+    ELSE 'test' END AS split FROM documents),
+t AS (SELECT doc_id, split, list_filter(str_split(text, ' '), x -> x <> '') AS toks FROM sp),
+bg AS (SELECT doc_id, split, toks[i] AS w1, toks[i+1] AS w2
+       FROM (SELECT doc_id, split, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+             FROM t WHERE len(toks) >= 2) u),
+m AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg WHERE split = 'train' GROUP BY w1, w2),
+cx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p FROM m GROUP BY w1),
+co AS (SELECT w2, COUNT(*) AS contc FROM m GROUP BY w2),
+tot AS (SELECT (SELECT COUNT(*) FROM m) AS b,
+               (SELECT COUNT(DISTINCT w) FROM (
+                  SELECT unnest(toks) AS w FROM t WHERE split = 'train') z) AS v)
+SELECT bg.doc_id, bg.split, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(AVG(log10(
+    CASE WHEN cx.c1 IS NULL THEN
+      CAST(COALESCE(co.contc, 0) + 1 AS DOUBLE) / CAST(tot.b + tot.v AS DOUBLE)
+    ELSE
+      GREATEST(CAST(COALESCE(m.c12, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+        / CAST(cx.c1 AS DOUBLE)
+      + CAST(0.75 AS DOUBLE) * CAST(cx.n1p AS DOUBLE) / CAST(cx.c1 AS DOUBLE)
+        * (CAST(COALESCE(co.contc, 0) + 1 AS DOUBLE) / CAST(tot.b + tot.v AS DOUBLE))
+    END)), 6) AS mean_logp
+FROM bg LEFT JOIN m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+        LEFT JOIN cx ON bg.w1 = cx.w1
+        LEFT JOIN co ON bg.w2 = co.w2
+        CROSS JOIN tot
+GROUP BY bg.doc_id, bg.split ORDER BY bg.doc_id
+""".trim,
+    // all-pairs Hamming over the persisted dHash table — semantically
+    // identical to the banded Spark plan (exact by pigeonhole at <= 7
+    // of 8 bands); integer xor/popcount both engines share
+    "X103_phash_neardup" -> s"""
+WITH p AS (SELECT doc_id, variant, phash
+           FROM read_parquet('$oracleIdxRoot/phash/hashes/*.parquet'))
+SELECT a.doc_id AS i_doc, a.variant AS i_var, b.doc_id AS j_doc, b.variant AS j_var,
+  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM p a JOIN p b
+  ON (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.variant < b.variant))
+WHERE bit_count(xor(a.phash, b.phash)) <= 7
+ORDER BY i_doc, i_var, j_doc, j_var
 """.trim
   )
 }

@@ -414,6 +414,26 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def heldoutLogProb(trainDocs: DataFrame): DataFrame =
     graft.text.TextAnalysis.bigramLogProbFrom(trainDocs, tables.documents)
 
+  /** [[heldoutLogProb]] under interpolated absolute-discount
+    * (Kneser–Ney-style) smoothing — the production perplexity-filter
+    * smoothing family (see
+    * [[graft.text.TextAnalysis.bigramLogProbDiscounted]]).
+    */
+  def heldoutLogProbDiscounted(
+      trainDocs: DataFrame, discount: Double = 0.75): DataFrame =
+    graft.text.TextAnalysis.bigramLogProbDiscounted(
+      trainDocs, tables.documents, discount)
+
+  /** Hybrid BM25 + cosine retrieval fused by reciprocal rank (see
+    * [[graft.text.HybridRetrieval.rrfTopK]]); `queries` =
+    * (query_id, terms, qvec).
+    */
+  def hybridRetrieve(
+      embeddings: DataFrame, queries: DataFrame, k: Int,
+      kC: Int = 20, kRrf: Int = 60): DataFrame =
+    graft.text.HybridRetrieval.rrfTopK(
+      tables.documents, embeddings, queries, k, kC, kRrf)
+
   /** Source-affinity LM matrix: every source's docs scored under every
     * source's bigram LM (see
     * [[graft.text.TextAnalysis.sourceLmMatrix]]).
@@ -507,6 +527,20 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
 
   def clipFrameFeatures(everyK: Int = 2): DataFrame =
     graft.media.ClipPipeline.frameFeatures(tables.documents, everyK)
+
+  /** Perceptual-hash (dHash64) table over the synthesized media column
+    * (see [[graft.media.MediaPipeline.perceptualHashes]]).
+    */
+  def perceptualHashes(): DataFrame =
+    graft.media.MediaPipeline.perceptualHashes(
+      graft.media.MediaPipeline.toMediaTable(tables.documents))
+
+  /** Visual near-dup pairs by banded Hamming over a perceptual-hash
+    * table (see [[graft.media.MediaPipeline.phashNearDupPairs]]).
+    */
+  def imageNearDups(
+      hashes: DataFrame, maxHamming: Int = 7): DataFrame =
+    graft.media.MediaPipeline.phashNearDupPairs(hashes, maxHamming)
 }
 
 object GraftEngine {

@@ -413,6 +413,121 @@ object MediaPipeline {
     bins
   }
 
+  private def lumaAt(img: BufferedImage, x: Int, y: Int): Int = {
+    val rgb = img.getRGB(x, y)
+    (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+      (rgb & 0xff) * 114) / 1000
+  }
+
+  /** 64-bit difference hash (dHash, the standard perceptual image
+    * fingerprint: Krawetz's public "kind of like that" formulation) —
+    * bilinear-resize to 9×8, integer luma per pixel ([[lumaHistogram]]'s
+    * formula), bit (y·8+x) set when luma(x,y) < luma(x+1,y). Horizontal
+    * gradients survive re-encoding, resizing and small edits, so
+    * near-identical images land within a few bits of Hamming distance —
+    * the visual analogue of SimHash over text.
+    */
+  def dHash64(img: BufferedImage): Long = {
+    val s = resizeImage(img, 9, 8)
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lumaAt(s, x, y) < lumaAt(s, x + 1, y))
+          hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** (doc_id, kind, phash) perceptual-hash table over an opaque media
+    * column — the [[decodeAndFeaturize]] per-partition decode shape;
+    * the 8-byte hash is what downstream dedup shuffles, never pixels.
+    */
+  def perceptualHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media"), col("meta.kind").as("kind"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes, kind) =>
+          (id, kind, dHash64(decodeImage(bytes)))
+        }
+      }
+      .toDF("doc_id", "kind", "phash")
+  }
+
+  /** Image near-duplicate pairs by banded Hamming over a perceptual-
+    * hash table `(doc_id, variant, phash)` — the SimHash band trick on
+    * the visual fingerprint (Manku et al. 2007's simhash-table layout):
+    * split the 64-bit hash into `nBands` equal-width band keys,
+    * candidates meet ONLY inside a (band, key) bucket equi-join, then
+    * the exact Hamming distance filters to ≤ `maxHamming`. With
+    * maxHamming < nBands the banding is EXACT by pigeonhole
+    * (≤ maxHamming differing bits cannot touch every band, so some
+    * band key matches) — recall 1 with candidate mass bounded by
+    * bucket co-occupancy instead of n²/2.
+    *
+    * The bucket join rides
+    * [[graft.ops.BucketedPairs.cappedCandidatePairs]] — an 8-bit band
+    * key has only 256 values, so a LARGE corpus necessarily piles
+    * Θ(N/256) rows per bucket and the shared cap keeps each reducer's
+    * fan-out bounded (WARN + degraded-recall contract documented
+    * there). Below the cap the listing is exhaustive, i.e. exact.
+    *
+    * Output: (i_doc, i_var, j_doc, j_var, hamming), each unordered row
+    * pair once under (doc, variant) lexicographic order, hamming as
+    * BIGINT, sorted by all four keys.
+    */
+  def phashNearDupPairs(
+      hashes: DataFrame,
+      maxHamming: Int = 7,
+      nBands: Int = 8,
+      cap: Int = 4096): DataFrame = {
+    require(nBands > 0 && 64 % nBands == 0,
+      s"nBands must divide 64: $nBands")
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"banded candidates are exact only when maxHamming < nBands " +
+        s"(pigeonhole): maxHamming=$maxHamming nBands=$nBands")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    // variant-KIND-sized collect (a handful of strings): gives every
+    // (doc, variant) row a doc-major dense long id, so the kernel's
+    // i < j id order IS the output's lexicographic (doc, var) order
+    val variants = hashes.select("variant").distinct().orderBy("variant")
+      .collect().map(_.getString(0)).toSeq
+    val nv = variants.size.toLong
+    val vord = map(variants.zipWithIndex.flatMap { case (v, i) =>
+      Seq(lit(v), lit(i.toLong)) }: _*)
+    def withId(df: DataFrame) = df.withColumn("id",
+      col("doc_id") * nv + element_at(vord, col("variant")))
+    val members = withId(hashes)
+      .select(col("id"), col("phash").as("sigh"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bucket",
+        expr(s"shiftrightunsigned(sigh, band * $width)")
+          .bitwiseAND(lit(mask)))
+      .select("id", "band", "bucket", "sigh")
+    val pairs = graft.ops.BucketedPairs
+      .cappedCandidatePairs(members, cap)
+      .distinct()
+    val side = withId(hashes).select("id", "doc_id", "variant", "phash")
+    pairs
+      .join(side.select(col("id").as("i"), col("doc_id").as("i_doc"),
+        col("variant").as("i_var"), col("phash").as("i_hash")), Seq("i"))
+      .join(side.select(col("id").as("j"), col("doc_id").as("j_doc"),
+        col("variant").as("j_var"), col("phash").as("j_hash")), Seq("j"))
+      .withColumn("hamming",
+        bit_count(col("i_hash").bitwiseXOR(col("j_hash"))).cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select("i_doc", "i_var", "j_doc", "j_var", "hamming")
+      .orderBy("i_doc", "i_var", "j_doc", "j_var")
+  }
+
   /** Synthesize an opaque media column from the documents table: one
     * real PNG or JPEG per document; `meta` carries the typed metadata a
     * real ingest would attach. Encoding runs per partition on executors.

@@ -106,9 +106,16 @@ object Bm25 {
       queries: DataFrame,
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    topKPerQuery(pairScores(docs, queries, k1, b), k)
+    val scored = pairScores(docs, queries, k1, b)
+    // excludeSelf drops query_id==doc_id BEFORE the top-k (retrieval
+    // callers whose queries are corpus docs, e.g. the hybrid fusion:
+    // filtering after the window would under-fill the k)
+    topKPerQuery(
+      if (excludeSelf) scored.filter(col("query_id") =!= col("doc_id"))
+      else scored, k)
   }
 
   /** (query_id, doc_id, score): every query×doc BM25 score with at

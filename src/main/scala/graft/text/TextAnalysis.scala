@@ -522,6 +522,78 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[bigramLogProbFrom]] under interpolated ABSOLUTE-DISCOUNT
+    * smoothing (the Kneser–Ney family production perplexity filters
+    * use — CCNet's KenLM models are KN-smoothed) instead of add-one:
+    * a fixed discount D is subtracted from every seen bigram count and
+    * the freed mass is interpolated with the CONTINUATION distribution
+    * P_cont(w) ∝ |{v : c(v,w) > 0}| — "how many contexts does w
+    * complete", the novel-continuation signal that makes KN rank
+    * common-but-context-bound words (e.g. "Francisco") below genuinely
+    * productive ones. Add-one smoothing (X91) over-taxes frequent
+    * contexts and scores all unseen bigrams of a context identically;
+    * the discounted form is the shape whose perplexities track fluency
+    * closely enough to gate corpora on.
+    *
+    * Exact semantics (engine-portable, every term a train-side count):
+    *  - P_cont(w) = (N1p(·,w) + 1) / (B + V), B = distinct train
+    *    bigram types, V = distinct train unigrams — add-one extension
+    *    off the training support so unseen WORDS keep nonzero mass
+    *    (held-out scoring must never log(0); the same discipline X91's
+    *    unseen-context uniform uses).
+    *  - seen context v: P(w|v) = max(c(v,w)−D, 0)/c(v)
+    *      + (D·N1p(v,·)/c(v)) · P_cont(w)
+    *    (mass check: the interpolation weight is exactly the mass the
+    *    max(·−D,0) truncation removed, so Σ_w P(w|v) = 1 up to the
+    *    P_cont add-one extension).
+    *  - unseen context v: P(w|v) = P_cont(w) (back off entirely).
+    * Output: (doc_id, n_bigrams, mean_logp) — [[bigramLogProb]]'s
+    * schema; mean_logp = round(avg(log10 P), 6).
+    *
+    * Scale shape: X91's exactly — the model/context/continuation/total
+    * sides are TRAIN-corpus aggregates (model-sized, all derived from
+    * the one (w1,w2) count table, whose repeated subtree Catalyst
+    * de-duplicates via exchange reuse); scoring is one (doc_id,
+    * bigram) explode probed through three model-sized left joins and a
+    * 1-row broadcast. Nothing corpus-sized shuffles except the bigram
+    * pairs themselves.
+    */
+  def bigramLogProbDiscounted(
+      trainDocs: DataFrame,
+      scoreDocs: DataFrame,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0,1): $discount")
+    val model = bigramRows(trainDocs, Seq("doc_id"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // c1 = context total, n1p = distinct continuations of the context
+    val ctx = model.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1p"))
+    // contc = in how many distinct contexts does w2 appear
+    val cont = model.groupBy("w2").agg(count(lit(1)).as("contc"))
+    val totals = model.agg(count(lit(1)).as("b")).crossJoin(
+      trainDocs.select(explode(tokens(col("text"))).as("w"))
+        .agg(count_distinct(col("w")).as("v")))
+    val d = lit(discount)
+    val pcont = (coalesce(col("contc"), lit(0L)) + 1).cast("double") /
+      (col("b") + col("v")).cast("double")
+    val pSeen =
+      greatest(coalesce(col("c12"), lit(0L)).cast("double") - d, lit(0.0)) /
+        col("c1").cast("double") +
+      d * col("n1p").cast("double") / col("c1").cast("double") * pcont
+    val p = when(col("c1").isNull, pcont).otherwise(pSeen)
+    bigramRows(scoreDocs, Seq("doc_id"))
+      .join(model, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_bigrams"),
+        round(avg(log(10.0, p)), 6).as("mean_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Source-affinity LM matrix: for every ordered (scored source,
     * model source) pair, the mean over the scored source's documents
     * of their per-doc mean bigram log-probability under the model

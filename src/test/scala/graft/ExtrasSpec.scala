@@ -1307,4 +1307,137 @@ class ExtrasSpec extends SparkSpec {
     val zero = TextAnalysis.unigramDrift(cur, cur).collect()
     assert(zero.forall(r => r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0))
   }
+
+  test("bigramLogProbDiscounted: driver-side KN reference incl. all three smoothing branches") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((0L, "a b a b c"), (1L, "a b d")).toDF("doc_id", "text")
+    // 10: all-seen bigrams; 11: unseen context AND unseen word;
+    // 12: unseen context with a seen continuation word
+    val score = Seq((10L, "a b c"), (11L, "z q"), (12L, "c a"))
+      .toDF("doc_id", "text")
+    val d = 0.75
+    val trainToks = Seq(Seq("a", "b", "a", "b", "c"), Seq("a", "b", "d"))
+    val bgs = trainToks.flatMap(t => t.zip(t.tail))
+    val c12 = bgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val n1p = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size.toLong }
+    val contc = c12.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val b = c12.size.toLong
+    val v = trainToks.flatten.distinct.size.toLong
+    def pcont(w2: String) = (contc.getOrElse(w2, 0L) + 1).toDouble / (b + v)
+    def p(w1: String, w2: String): Double = c1.get(w1) match {
+      case None => pcont(w2)
+      case Some(cv) =>
+        math.max(c12.getOrElse((w1, w2), 0L).toDouble - d, 0.0) / cv +
+          d * n1p(w1).toDouble / cv * pcont(w2)
+    }
+    def ref(toks: Seq[String]): Double = {
+      val lps = toks.zip(toks.tail).map { case (x, y) => math.log10(p(x, y)) }
+      BigDecimal(lps.sum / lps.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = TextAnalysis.bigramLogProbDiscounted(train, score, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(
+      (10L, 2L, ref(Seq("a", "b", "c"))),
+      (11L, 1L, ref(Seq("z", "q"))),
+      (12L, 1L, ref(Seq("c", "a")))), got)
+    // mass conservation for a seen context: Σ_w P(w|v) over the train
+    // vocab plus the out-of-vocab continuation floor stays ≤ 1 + V·floor
+    val vocab = trainToks.flatten.distinct
+    val massA = vocab.map(w => p("a", w)).sum
+    assert(massA <= 1.0 + 1e-9, s"P(·|a) mass $massA exceeds 1")
+    // held-out discipline: duplicating a SCORED doc cannot move its
+    // score (the self-trained failure mode this smoothing family keeps)
+    val dup = TextAnalysis.bigramLogProbDiscounted(
+      train, score.unionByName(score.filter(col("doc_id") === 10L)), d)
+      .filter(col("doc_id") === 10L).collect()
+    assert(dup.forall(_.getDouble(2) == ref(Seq("a", "b", "c"))))
+  }
+
+  test("rrfTopK: equals driver-side fusion of the two standalone channels; self excluded") {
+    val s = spark
+    import s.implicits._
+    val emb = cat.spark.read.parquet(s"$sf01/embeddings.parquet")
+    val queries = cat.documents.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        slice(TextAnalysis.tokens(col("text")), 1, 5).as("terms"))
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qvec")), Seq("query_id"))
+    val got = graft.text.HybridRetrieval
+      .rrfTopK(cat.documents, emb, queries, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // reference: standalone channels, ranks and fusion recomputed here
+    val lex = graft.text.Bm25
+      .knnJoin(cat.documents, queries.select("query_id", "terms"), 20,
+        excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).zipWithIndex
+          .map { case ((_, doc, _), i) => (q, doc) -> (i + 1L) } }.toMap
+    val sem = graft.vector.Ann
+      .knnJoin(emb.filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding")), emb, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val fusedRef = (lex.keySet ++ sem.keySet).map { case (q, doc) =>
+      val rl = lex.getOrElse((q, doc), 0L)
+      val rs = sem.getOrElse((q, doc), 0L)
+      val rrf = (if (rl > 0) 1.0 / (60 + rl) else 0.0) +
+        (if (rs > 0) 1.0 / (60 + rs) else 0.0)
+      (q, doc, BigDecimal(rrf)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, rl, rs)
+    }.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.toSeq.sortBy(t => (-t._3, t._2)).take(10) }.toSet
+    assert(got.toSet == fusedRef,
+      s"missing=${fusedRef -- got.toSet} extra=${got.toSet -- fusedRef}")
+    assert(got.forall { case (q, doc, _, _, _) => q != doc },
+      "retrieval must not return the query doc")
+    // the fusion property RRF exists for: a both-channel candidate
+    // outranks a single-channel candidate of equal channel rank
+    assert(got.nonEmpty && got.exists { case (_, _, _, rl, rs) =>
+      rl > 0 && rs > 0 }, "fixture should fuse at least one candidate")
+  }
+
+  test("phash near-dup: banded pairs equal the all-pairs reference (pigeonhole-exact); resize twins found") {
+    val media = MediaPipeline.toMediaTable(
+      cat.documents.filter(col("doc_id") < 200))
+    val hashes = MediaPipeline.perceptualHashes(media)
+      .withColumn("variant", lit("orig"))
+      .unionByName(MediaPipeline
+        .perceptualHashes(MediaPipeline.resizedMedia(media, 16, 16))
+        .withColumn("variant", lit("rs16")))
+      .select("doc_id", "variant", "phash")
+      .localCheckpoint(true)
+    val got = MediaPipeline.phashNearDupPairs(hashes, maxHamming = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSet
+    // driver-side all-pairs reference over the same hashes
+    val rows = hashes.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ref = (for {
+      a @ (ad, av, ah) <- rows
+      b @ (bd, bv, bh) <- rows
+      if ad < bd || (ad == bd && av < bv)
+      h = java.lang.Long.bitCount(ah ^ bh).toLong
+      if h <= 7
+    } yield (ad, av, bd, bv, h)).toSet
+    assert(got == ref, s"missing=${ref -- got} extra=${got -- ref}")
+    // the designed signal: a doc's original and its 16×16 re-encode
+    // hash within the near-dup radius
+    assert(got.exists { case (i, iv, j, jv, _) =>
+      i == j && iv == "orig" && jv == "rs16" },
+      "no same-doc resize twin found within Hamming 7")
+    // dHash sensitivity floor: identical pixels hash identically
+    val img = MediaPipeline.decodeImage(
+      MediaPipeline.encodePng(MediaPipeline.resizeImage(
+        MediaPipeline.decodeImage(MediaPipeline.encodePng(
+          new java.awt.image.BufferedImage(
+            12, 10, java.awt.image.BufferedImage.TYPE_INT_RGB))), 9, 8)))
+    assert(MediaPipeline.dHash64(img) == MediaPipeline.dHash64(img))
+  }
 }

@@ -85,7 +85,10 @@ class PlanAuditSpec extends SparkSpec {
       // global aggregate over the banded index's (band, bucket) counts,
       // broadcast-crossed onto the sizes-sized report (the X19/X37
       // single-row-stats shape)
-      "X84_dedup_report")
+      "X84_dedup_report",
+      // X101 inherits X66's 1-row corpus-stats aggregate through its
+      // BM25 channel; X102 the 1-row (B, V) totals row (X91's shape)
+      "X101_hybrid_rrf", "X102_kn_heldout_logprob")
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against
@@ -126,7 +129,12 @@ class PlanAuditSpec extends SparkSpec {
       "X93_curation_manifest",
       // X84 (round 11): 1-row capped-stats broadcast cross join onto
       // the #distinct-sizes report rows (the X76 1-row-stats idiom)
-      "X84_dedup_report")
+      "X84_dedup_report",
+      // X101 = X66's 1-row BM25 corpus-stats broadcast cross join plus
+      // Ann.knnJoin's broadcast-queries join (X52's shape); X102
+      // broadcasts the 1-row (B, V) totals across the bigram probe
+      // (X91's shape)
+      "X101_hybrid_rrf", "X102_kn_heldout_logprob")
     val sf001Dir = "/root/testdata/sf0.001"
     // AUDIT BLIND SPOT (ADVICE r8, accepted): queries that lazily
     // localCheckpoint an expensive prefix (X53, X80, X81) truncate
