@@ -487,6 +487,39 @@ object Extras {
     dir
   }
 
+  /** Per-corpus persisted product-quantization index for X104/X105
+    * (m=8 subspaces × 16 centroids × 3 Lloyd iterations over the
+    * 64-dim embeddings — 8-byte codes, 32× below raw float32):
+    * `$dir/codebook` + `$dir/codes`, built once per corpus stamp and
+    * MIRRORED for the oracles. Persisting is identity, not caching —
+    * training float summation order is not canonical across
+    * partitionings, so both engines (and repeat runs) read the SAME
+    * codebook, and the declared ADC scan is reproducible double math
+    * over those bytes.
+    */
+  private def pqIndexDir(c: Catalog): String = {
+    val st = stamp(c.dir, "embeddings", "pq:8:16:3")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_pq_" + st).toString
+    if (!new java.io.File(s"$dir/codes", "_SUCCESS").exists()) {
+      val emb = c.embeddings
+      val dim = emb
+        .select(org.apache.spark.sql.functions.size(col("embedding")))
+        .first().getInt(0)
+      graft.vector.Pq.writeIndex(emb, dir, m = 8, ks = 16, iters = 3,
+        dim = dim)
+    }
+    mirrorStable(dir, "pq", st)
+    dir
+  }
+
+  /** The X104/X105 query side: corpus vectors 0–2 as
+    * (query_id, qvec) — the L06/X101 query-set convention.
+    */
+  private def pqQueries(c: Catalog): DataFrame =
+    c.embeddings.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
   private def mediaFeatDir(c: Catalog): String = {
     val st = stamp(c.dir, "documents", "mediafeat:v1:16x16")
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
@@ -1380,7 +1413,40 @@ object Extras {
     "X103_phash_neardup" -> q(c =>
       MediaPipeline.phashNearDupPairs(
         c.spark.read.parquet(s"${phashDir(c)}/hashes"),
-        maxHamming = 7))
+        maxHamming = 7)),
+    // product-quantized ADC top-5: 8-byte codes + per-query lookup
+    // tables over the PERSISTED codebook/codes artifact — the
+    // compressed-tier ANN scan (32x below raw float32); fully
+    // oracle-checked
+    "X104_pq_adc_top5" -> q(c => {
+      val idx = pqIndexDir(c)
+      graft.vector.Pq.adcTopK(
+        c.spark.read.parquet(s"$idx/codes"),
+        c.spark.read.parquet(s"$idx/codebook"),
+        pqQueries(c), k = 5, dsub = 8)
+    }),
+    // per-query recall@5 of the PQ ADC result against the exact-L2
+    // ground truth — the self-audit a 100 TB operator reads before
+    // trusting a compressed index tier; fully oracle-checked
+    "X105_pq_recall" -> q(c => {
+      val idx = pqIndexDir(c)
+      graft.vector.Pq.recallAtK(
+        graft.vector.Pq.adcTopK(
+          c.spark.read.parquet(s"$idx/codes"),
+          c.spark.read.parquet(s"$idx/codebook"),
+          pqQueries(c), k = 5, dsub = 8),
+        graft.vector.Pq.exactL2TopK(c.embeddings, pqQueries(c), k = 5),
+        k = 5)
+    }),
+    // ratio-margin pair mining between the label-0 and label-1
+    // embedding sets (the published bitext-mining criterion:
+    // neighborhood-normalized cosine, forward nn1 candidates); fully
+    // oracle-checked
+    "X106_margin_pairs" -> q(c =>
+      graft.vector.Ann.marginMinedPairs(
+        c.embeddings.filter(col("label") === 0),
+        c.embeddings.filter(col("label") === 1),
+        k = 4, threshold = 1.02))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -3038,6 +3104,103 @@ FROM p a JOIN p b
   ON (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.variant < b.variant))
 WHERE bit_count(xor(a.phash, b.phash)) <= 7
 ORDER BY i_doc, i_var, j_doc, j_var
+""".trim,
+    // X104/X105 restate the ADC fold over the MIRRORED codebook/codes:
+    // every lut entry is the same |q|^2 - 2 q.c + |c|^2 double
+    // expansion (list_inner_product = graft_dot's left-to-right
+    // accumulation over the identical float bytes), summed per
+    // (query, vector) and top-5'd on (rounded d2, vec_id)
+    "X104_pq_adc_top5" -> s"""
+WITH cb AS (SELECT sub, cid, centroid
+            FROM read_parquet('$oracleIdxRoot/pq/codebook/*.parquet')),
+co AS (SELECT vec_id, codes FROM read_parquet('$oracleIdxRoot/pq/codes/*.parquet')),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+lut AS (
+  SELECT q.query_id, cb.sub, cb.cid,
+    list_inner_product((q.embedding[cb.sub*8+1 : cb.sub*8+8])::DOUBLE[],
+                       (q.embedding[cb.sub*8+1 : cb.sub*8+8])::DOUBLE[])
+    - 2 * list_inner_product((q.embedding[cb.sub*8+1 : cb.sub*8+8])::DOUBLE[],
+                             cb.centroid::DOUBLE[])
+    + list_inner_product(cb.centroid::DOUBLE[], cb.centroid::DOUBLE[]) AS d2
+  FROM q, cb),
+ex AS (SELECT vec_id, unnest(codes) AS cid, generate_subscripts(codes, 1) AS i
+       FROM co),
+scan AS (
+  SELECT l.query_id, e.vec_id, SUM(l.d2) AS d2
+  FROM ex e JOIN lut l ON l.sub = e.i - 1 AND l.cid = e.cid
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2)
+SELECT query_id, vec_id, ROUND(d2, 6) AS adc_d2
+FROM scan
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY ROUND(d2, 6), vec_id) <= 5
+ORDER BY query_id, adc_d2, vec_id
+""".trim,
+    "X105_pq_recall" -> s"""
+WITH cb AS (SELECT sub, cid, centroid
+            FROM read_parquet('$oracleIdxRoot/pq/codebook/*.parquet')),
+co AS (SELECT vec_id, codes FROM read_parquet('$oracleIdxRoot/pq/codes/*.parquet')),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+lut AS (
+  SELECT q.query_id, cb.sub, cb.cid,
+    list_inner_product((q.embedding[cb.sub*8+1 : cb.sub*8+8])::DOUBLE[],
+                       (q.embedding[cb.sub*8+1 : cb.sub*8+8])::DOUBLE[])
+    - 2 * list_inner_product((q.embedding[cb.sub*8+1 : cb.sub*8+8])::DOUBLE[],
+                             cb.centroid::DOUBLE[])
+    + list_inner_product(cb.centroid::DOUBLE[], cb.centroid::DOUBLE[]) AS d2
+  FROM q, cb),
+ex AS (SELECT vec_id, unnest(codes) AS cid, generate_subscripts(codes, 1) AS i
+       FROM co),
+scan AS (
+  SELECT l.query_id, e.vec_id, SUM(l.d2) AS d2
+  FROM ex e JOIN lut l ON l.sub = e.i - 1 AND l.cid = e.cid
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2),
+approx AS (
+  SELECT query_id, vec_id FROM scan
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY ROUND(d2, 6), vec_id) <= 5),
+exact AS (
+  SELECT q.query_id, e.vec_id
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+  QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY
+    ROUND(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+      - 2 * list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+      + list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6),
+    e.vec_id) <= 5)
+SELECT x.query_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+  CAST(COUNT(*) AS BIGINT) AS n_exact,
+  ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM exact x LEFT JOIN approx a
+  ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+GROUP BY 1 ORDER BY 1
+""".trim,
+    // X106: the ratio-margin criterion — both kNN directions rank by
+    // the 6-dp-rounded cosine (knnJoin's contract) and the margin is
+    // rounded before the threshold compare, boundary-exact
+    "X106_margin_pairs" -> """
+WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+b AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+fr AS (
+  SELECT qid, vid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+  FROM (SELECT a.vec_id AS qid, b.vec_id AS vid,
+          ROUND(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        FROM a, b) f),
+br AS (
+  SELECT qid, vid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+  FROM (SELECT b.vec_id AS qid, a.vec_id AS vid,
+          ROUND(list_inner_product(b.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) AS cos
+        FROM b, a) g),
+da AS (SELECT qid, AVG(cos) AS avg_a FROM fr WHERE rk <= 4 GROUP BY qid),
+db AS (SELECT qid, AVG(cos) AS avg_b FROM br WHERE rk <= 4 GROUP BY qid)
+SELECT f.qid AS i, f.vid AS j, f.cos,
+  ROUND(f.cos / (da.avg_a / 2 + db.avg_b / 2), 6) AS margin
+FROM fr f JOIN da ON da.qid = f.qid JOIN db ON db.qid = f.vid
+WHERE f.rk = 1
+  AND ROUND(f.cos / (da.avg_a / 2 + db.avg_b / 2), 6) >= 1.02
+ORDER BY i, j
 """.trim
   )
 }

@@ -541,6 +541,45 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def imageNearDups(
       hashes: DataFrame, maxHamming: Int = 7): DataFrame =
     graft.media.MediaPipeline.phashNearDupPairs(hashes, maxHamming)
+
+  /** Build + persist a product-quantization index over the embeddings
+    * (see [[graft.vector.Pq.writeIndex]]) — codebook + m-byte codes,
+    * the compressed ANN tier.
+    */
+  def buildPqIndex(
+      path: String, m: Int = 8, ks: Int = 16, iters: Int = 3): Unit = {
+    val dim = tables.embeddings
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding")))
+      .first().getInt(0)
+    graft.vector.Pq.writeIndex(tables.embeddings, path, m, ks, iters, dim)
+  }
+
+  /** ADC top-k over a persisted PQ index (see
+    * [[graft.vector.Pq.adcTopK]]); `queries` = (query_id, qvec).
+    */
+  def pqSearch(indexPath: String, queries: DataFrame, k: Int,
+      dsub: Int = 8): DataFrame =
+    graft.vector.Pq.adcTopK(
+      spark.read.parquet(s"$indexPath/codes"),
+      spark.read.parquet(s"$indexPath/codebook"),
+      queries, k, dsub)
+
+  /** Per-query recall@k of a PQ search against the exact-L2 ground
+    * truth (see [[graft.vector.Pq.recallAtK]]).
+    */
+  def pqRecall(indexPath: String, queries: DataFrame, k: Int,
+      dsub: Int = 8): DataFrame =
+    graft.vector.Pq.recallAtK(
+      pqSearch(indexPath, queries, k, dsub),
+      graft.vector.Pq.exactL2TopK(tables.embeddings, queries, k), k)
+
+  /** Ratio-margin pair mining between two embedded sets (see
+    * [[graft.vector.Ann.marginMinedPairs]]).
+    */
+  def marginMinedPairs(a: DataFrame, b: DataFrame, k: Int = 4,
+      threshold: Double = 1.02): DataFrame =
+    graft.vector.Ann.marginMinedPairs(a, b, k, threshold)
 }
 
 object GraftEngine {

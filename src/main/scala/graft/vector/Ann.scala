@@ -563,4 +563,50 @@ object Ann {
         col("cos"), col("rk"))
       .orderBy("eval_id", "rk")
   }
+
+  /** Margin-based pair mining between two embedding sets — the
+    * published ratio-margin criterion for mining aligned pairs
+    * (bitext, paraphrases, caption↔image) from two independently
+    * embedded corpora: a raw cosine threshold over-mines in dense
+    * hubs and under-mines in sparse regions, so each candidate pair's
+    * score is NORMALIZED by its endpoints' neighborhood densities,
+    *
+    *   margin(x, y) = cos(x, y) / (avgK_B(x)/2 + avgK_A(y)/2)
+    *
+    * where avgK_B(x) is the mean cosine of x's k nearest neighbors in
+    * B (and symmetrically for y in A). Candidates are each x's single
+    * nearest y (the forward nn1); a pair is mined when its margin
+    * clears `threshold` (> 1 means "closer than the local average by
+    * that factor").
+    *
+    * Plan shape: two [[knnJoin]] scans (A-queries over B, B-queries
+    * over A) — linear in |A|·|B| with broadcast query sides at this
+    * declared shape; for large sides swap both scans for
+    * [[annKnnJoin]] (same contract, LSH-bucketed candidates). The
+    * per-side mean-cosine tables are |A|- and |B|-sized aggregates of
+    * those scans — nothing quadratic survives past the kNN.
+    *
+    * All cosines are [[knnJoin]]'s 6-dp rounded scores and the margin
+    * is rounded at 6 dp, so the threshold compare is boundary-exact
+    * against an oracle computing the same arithmetic.
+    */
+  def marginMinedPairs(
+      a: DataFrame,
+      b: DataFrame,
+      k: Int,
+      threshold: Double): DataFrame = {
+    val fwd = knnJoin(a, b, k, excludeSelf = false)
+    val bwd = knnJoin(b, a, k, excludeSelf = false)
+    val denomA = fwd.groupBy("qid").agg(avg(col("cos")).as("avg_a"))
+    val denomB = bwd.groupBy("qid").agg(avg(col("cos")).as("avg_b"))
+    fwd.filter(col("rk") === 1)
+      .select(col("qid").as("i"), col("vec_id").as("j"), col("cos"))
+      .join(denomA.select(col("qid").as("i"), col("avg_a")), Seq("i"))
+      .join(denomB.select(col("qid").as("j"), col("avg_b")), Seq("j"))
+      .select(col("i"), col("j"), col("cos"),
+        round(col("cos") / (col("avg_a") / 2 + col("avg_b") / 2), 6)
+          .as("margin"))
+      .filter(col("margin") >= threshold)
+      .orderBy("i", "j")
+  }
 }

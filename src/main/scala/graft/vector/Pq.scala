@@ -1,0 +1,332 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.dot
+
+/** Product quantization (PQ) for embedding search — the memory-side
+  * complement of the IVF list pruning in [[Ivf]]: each `dim`-float
+  * vector is stored as `m` small codes (one per contiguous subspace),
+  * and query-time distance is the table-lookup ADC (asymmetric
+  * distance computation) sum, so the scan touches `m` bytes per vector
+  * instead of `4·dim`. At 100 TB this is what makes an in-memory (or
+  * page-cache-resident) re-rank tier possible at all: 64 float dims =
+  * 256 B/vector raw vs 8 B/vector at m=8 — a 32× reduction that keeps
+  * the same linear, broadcast-only scan shape.
+  *
+  * All distances are squared Euclidean (the PQ-native metric). On the
+  * unit-normalized embeddings the L2 ordering equals the cosine
+  * ordering (|a-b|² = 2 - 2·cosθ), so PQ results are comparable to the
+  * cosine spine (L06/X09/X11) without a separate metric.
+  *
+  * Scale shape by stage:
+  *  - codebook TRAINING is per-subspace Lloyd over (vec_id, sub)
+  *    exploded rows — one m·ks-sized mean shuffle per iteration, and a
+  *    `sampleFraction` knob because centroid quality needs samples,
+  *    not the corpus (the [[Ivf.refineCentroids]] discipline);
+  *  - ENCODING is strictly map-side: the whole codebook collapses to
+  *    ONE broadcast row and each vector's m argmins are a single
+  *    projection — no shuffle touches the corpus;
+  *  - the ADC SCAN broadcasts the per-query lookup table (m·ks doubles
+  *    per query — metadata-sized) and folds it over each codes row
+  *    left-to-right; the only shuffle is the per-query top-k.
+  *
+  * The squared distance is always assembled as the inner-product
+  * expansion  |q|² − 2·q·c + |c|²  with [[dot]]'s left-to-right double
+  * accumulation, which is the exact arithmetic the DuckDB oracle
+  * reproduces with `list_inner_product` — codebooks and codes are
+  * persisted artifacts, so everything declared downstream of them is
+  * engine-portable math over the same bytes.
+  */
+object Pq {
+
+  /** Squared-L2 between two float vectors via the inner-product
+    * expansion — see the object doc for why this exact form.
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** (vec_id, sub, subvec) exploded view: subspace `s` owns the
+    * 1-based slice [s·dsub+1, (s+1)·dsub].
+    */
+  def subVectors(embeddings: DataFrame, m: Int, dsub: Int): DataFrame =
+    embeddings.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("embedding"), s * lit(dsub) + lit(1), lit(dsub)))))
+      .select(col("vec_id"), col("pos").as("sub"), col("col").as("subvec"))
+
+  /** One row per subspace holding that subspace's centroids sorted by
+    * cid — the broadcast side of every assign/encode below.
+    */
+  private def perSubArrays(codebook: DataFrame): DataFrame =
+    codebook.groupBy("sub")
+      .agg(sort_array(collect_list(struct(col("cid"), col("centroid"))))
+        .as("cents"))
+
+  /** Assign each (vec_id, sub, subvec) row to its nearest centroid of
+    * its OWN subspace (min squared-L2, cid ascending as tie-break).
+    * Broadcast-join on `sub` + per-row argmin — no corpus shuffle.
+    */
+  private def assignSub(subVecs: DataFrame, codebook: DataFrame): DataFrame =
+    subVecs.join(broadcast(perSubArrays(codebook)), Seq("sub"))
+      .withColumn("best",
+        array_min(transform(col("cents"), c =>
+          struct(sqDist(col("subvec"), c("centroid")).as("d2"),
+            c("cid").as("cid")))))
+      .select(col("vec_id"), col("sub"), col("subvec"),
+        col("best.cid").as("cid"))
+
+  /** Train per-subspace codebooks: deterministic hash-sampled init
+    * (the ks corpus vectors with the smallest xxhash64(vec_id), each
+    * contributing its m subvectors; cid = rank in that order) refined
+    * by `iters` rounds of plain-L2 Lloyd. Result: (sub, cid, centroid)
+    * with m·ks rows. Subspaces that lose all members in a round keep
+    * their previous centroid (the [[Ivf.refineCentroids]] rule).
+    *
+    * The seed-id collect is ks longs — metadata, not data.
+    */
+  def trainCodebooks(
+      embeddings: DataFrame,
+      m: Int,
+      ks: Int,
+      iters: Int,
+      dim: Int,
+      sampleFraction: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val spark = embeddings.sparkSession
+
+    // ks longs — metadata-sized, the deterministic seed choice
+    val seedIds = embeddings
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(ks)
+      .select("vec_id").collect().map(_.getLong(0))
+    val cidByVec = spark.createDataFrame(
+      java.util.Arrays.asList(seedIds.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(v, i)
+      }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType))))
+
+    val init = subVectors(
+        embeddings.join(broadcast(cidByVec), Seq("vec_id")), m, dsub)
+      .join(broadcast(cidByVec), Seq("vec_id"))
+      .select(col("sub"), col("cid"), col("subvec").as("centroid"))
+
+    val pool =
+      if (sampleFraction >= 1.0) embeddings
+      else embeddings.sample(withReplacement = false, sampleFraction, seed)
+    val poolSubs = subVectors(pool, m, dsub).localCheckpoint(false)
+
+    var cb = init
+    for (_ <- 0 until iters) {
+      val avgs = (0 until dsub)
+        .map(i => avg(element_at(col("subvec"), i + 1)).as(s"m$i"))
+      val means = assignSub(poolSubs, cb)
+        .groupBy("sub", "cid")
+        .agg(avgs.head, avgs.tail: _*)
+        .select(col("sub"), col("cid"),
+          array((0 until dsub).map(i => col(s"m$i").cast("float")): _*)
+            .as("next"))
+      cb = cb.select(col("sub"), col("cid"), col("centroid").as("prev"))
+        .join(means, Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"),
+          coalesce(col("next"), col("prev")).as("centroid"))
+        // m·ks rows — keeping the frame flat is cheaper than carrying
+        // an iters-deep broadcast-join lineage into the next round
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** Encode every vector as its m nearest-subspace-centroid ids.
+    * Strictly map-side: the codebook collapses into ONE broadcast row
+    * (array over subs of that subspace's sorted centroids) and the
+    * codes array is a single nested-HOF projection per vector.
+    */
+  def encode(embeddings: DataFrame, codebook: DataFrame, dsub: Int): DataFrame = {
+    val cbOne = perSubArrays(codebook)
+      .agg(sort_array(collect_list(struct(col("sub"), col("cents"))))
+        .as("cb"))
+    embeddings
+      .crossJoin(broadcast(cbOne))
+      .select(col("vec_id"),
+        transform(col("cb"), sc =>
+          array_min(transform(sc("cents"), c =>
+            struct(
+              sqDist(
+                slice(col("embedding"), sc("sub") * lit(dsub) + lit(1),
+                  lit(dsub)),
+                c("centroid")).as("d2"),
+              c("cid").as("cid"))))("cid"))
+          .as("codes"))
+  }
+
+  /** Per-query ADC lookup table: (query_id, sub, cid, d2) where d2 is
+    * the squared-L2 between the query's subvector and that centroid.
+    * Size m·ks rows per query — metadata.
+    */
+  def lookupTable(
+      queries: DataFrame, codebook: DataFrame, dsub: Int): DataFrame =
+    queries.crossJoin(broadcast(codebook))
+      .select(col("query_id"), col("sub"), col("cid"),
+        sqDist(
+          slice(col("qvec"), col("sub") * lit(dsub) + lit(1), lit(dsub)),
+          col("centroid")).as("d2"))
+
+  /** The per-query LUT reshaped for the map-side scan: one row per
+    * query, `luts` = array over subs of (array over cids of d2).
+    */
+  private def lutRows(lut: DataFrame): DataFrame =
+    lut.groupBy("query_id", "sub")
+      .agg(sort_array(collect_list(struct(col("cid"), col("d2"))))
+        .as("cd"))
+      .select(col("query_id"), col("sub"),
+        transform(col("cd"), x => x("d2")).as("ds"))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("sub"), col("ds"))))
+        .as("sd"))
+      .select(col("query_id"),
+        transform(col("sd"), x => x("ds")).as("luts"))
+
+  /** ADC top-k: approximate squared distance of every coded vector to
+    * every query as the left-to-right fold
+    * Σ_sub lut[sub][code[sub]], then the per-query (rounded-d2,
+    * vec_id) top-k. `queries` = (query_id, qvec); a query that is
+    * itself a corpus member is excluded from its own result.
+    *
+    * The scan is codes × (broadcast nq-row LUT) — linear in N·nq with
+    * no data-sized shuffle before the per-query top-k.
+    */
+  def adcTopK(
+      codes: DataFrame,
+      codebook: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dsub: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scan = codes
+      .crossJoin(broadcast(lutRows(lookupTable(queries, codebook, dsub))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(aggregate(
+          zip_with(col("codes"), col("luts"),
+            (cd, sl) => element_at(sl, cd + 1)),
+          lit(0.0), (s, x) => s + x), 6).as("adc_d2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_d2"), col("vec_id"))
+    scan.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc_d2"))
+      .orderBy("query_id", "adc_d2", "vec_id")
+  }
+
+  /** Exact squared-L2 top-k over the FULL vectors — the ground truth
+    * the PQ recall report compares against. Same broadcast-queries
+    * linear-scan shape as [[adcTopK]].
+    */
+  def exactL2TopK(
+      embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scan = embeddings
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(sqDist(col("qvec"), col("embedding")), 6).as("d2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2"), col("vec_id"))
+    scan.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("d2"))
+  }
+
+  /** Per-query recall@k of the ADC result against the exact-L2 ground
+    * truth — the quality number a 100 TB operator reads before trusting
+    * a compressed index tier. Both sides arrive as
+    * (query_id, vec_id, …) top-k tables; output one row per query.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = approx.select("query_id", "vec_id")
+      .join(exact.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_exact"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_exact"), 6)
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** IVF+PQ composition — the production pairing: coarse-quantize the
+    * corpus onto `cents` (the persisted IVF/k-means centroids), keep
+    * only codes whose list is among the query's `nProbe` nearest
+    * lists, ADC-rank the survivors. With nProbe = nLists this is
+    * exactly [[adcTopK]] (the property the spec pins); below that the
+    * scan cost drops to the probed fraction of N·m bytes.
+    */
+  def ivfAdcTopK(
+      embeddings: DataFrame,
+      codes: DataFrame,
+      codebook: DataFrame,
+      cents: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      dsub: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-query nProbe nearest lists by centroid L2 — queries × nLists
+    // rows, metadata-sized
+    val probed = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"),
+        col("centroid_id").as("list_id"),
+        sqDist(col("qvec"), col("centroid")).as("cd2"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cd2"), col("list_id"))))
+      .filter(col("rnk") <= nProbe)
+      .select("query_id", "list_id")
+    // corpus list assignment is the map-side Ivf.assign argmax
+    val listed = Ivf.assign(embeddings, cents).select("vec_id", "list_id")
+    val scan = codes.join(listed, Seq("vec_id"))
+      .crossJoin(broadcast(lutRows(lookupTable(queries, codebook, dsub))))
+      .join(broadcast(probed), Seq("query_id", "list_id"), "left_semi")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(aggregate(
+          zip_with(col("codes"), col("luts"),
+            (cd, sl) => element_at(sl, cd + 1)),
+          lit(0.0), (s, x) => s + x), 6).as("adc_d2"))
+    scan.withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_d2"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc_d2"))
+      .orderBy("query_id", "adc_d2", "vec_id")
+  }
+
+  /** Build + persist the PQ artifact: `$path/codebook` (sub, cid,
+    * centroid) and `$path/codes` (vec_id, codes). The persisted bytes
+    * are the index identity — training float summation order is not
+    * canonical across partitionings, so (like the IVF/k-means
+    * artifacts) both engines and every later run read the SAME
+    * codebook rather than re-deriving it.
+    */
+  def writeIndex(
+      embeddings: DataFrame,
+      path: String,
+      m: Int,
+      ks: Int,
+      iters: Int,
+      dim: Int): Unit = {
+    val cb = trainCodebooks(embeddings, m, ks, iters, dim)
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    val stored = embeddings.sparkSession.read.parquet(s"$path/codebook")
+    encode(embeddings, stored, dim / m)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+}

