@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.vector.{Ann, Ivf}
+import graft.vector.{Ann, Ivf, Pq}
 
 /** Two-point scale-growth probe for the VECTOR spine — the embedding
   * counterpart of [[ScaleGrowthBench]]'s text table. Fixture: replica i
@@ -80,8 +80,19 @@ object ScaleGrowthVectorBench {
     val ivf = scala.collection.mutable.ArrayBuffer[(Int, Double, Long)]()
     // (factor, append wall, rebuild wall) — incremental index maintenance
     val app = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
+    // (factor, encode wall, adc wall, per-query 5th-best ADC d2)
+    val pq = scala.collection.mutable.ArrayBuffer[(Int, Double, Double, Map[Long, Double])]()
     val probeVec = base.filter(col("vec_id") === 7L)
       .head().getSeq[Float](1).toArray
+
+    // PQ codebook: trained ONCE on the base corpus (the 100 TB
+    // discipline — codebook quality needs a sample, not the corpus;
+    // growth then exercises the two linear stages: map-side encode and
+    // the ADC scan)
+    lazy val pqCodebook = {
+      val cb = Pq.trainCodebooks(base, m = 8, ks = 16, iters = 2, dim = dim)
+      cb.localCheckpoint(true)
+    }
 
     factors.foreach { f =>
       val emb = corpus(f)
@@ -148,6 +159,37 @@ object ScaleGrowthVectorBench {
         f"(delta=${delta.count()}%,d rows into nLists=${16 * f}; rebuild $tBuild%.2f s)")
       }
 
+      // PQ: map-side encode (linear) + the ADC table-lookup scan
+      // (linear in N·nq with 8 B/vector touched instead of 4·dim) —
+      // the compressed re-rank tier. Invariants: every query gets
+      // exactly k rows at every factor, and each query's 5th-best ADC
+      // distance is monotone non-increasing as the corpus grows
+      // (top-k over a superset).
+      if (keep("PQ_adc")) {
+      val (codes, tEnc) = timed {
+        val c = Pq.encode(emb, pqCodebook, dsub = dim / 8)
+          .localCheckpoint(true)
+        c.count()
+        c
+      }
+      val queries = emb
+        .filter(col("vec_id") < 1000000L && col("vec_id") % 500 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val nq = queries.count()
+      val (adc, tAdc) = timed(
+        Pq.adcTopK(codes, pqCodebook, queries, k = 5, dsub = dim / 8)
+          .collect())
+      require(adc.length == nq * 5,
+        s"ADC must return 5 rows per query: got ${adc.length} for $nq queries")
+      val kth = adc.groupBy(_.getLong(0)).map { case (q, rows) =>
+        q -> rows.map(_.getDouble(2)).max
+      }
+      pq += ((f, tEnc, tAdc, kth))
+      println(f"SCALEGROWTHVEC PQ_adc          factor=$f%2d  encode $tEnc%6.2f s  " +
+        f"adc $tAdc%6.2f s  queries=$nq  bytes/vec: ${8} vs ${4 * dim} raw " +
+        f"(${4 * dim / 8}x compression)")
+      }
+
       emb.unpersist()
     }
 
@@ -182,6 +224,21 @@ object ScaleGrowthVectorBench {
         s"IVF pruned scan must stay ~constant: factor $f1 scanned $s1, factor $fb scanned $sb")
       println(f"SCALEGROWTHVEC IVF_probe scanned $s1%,d → $sb%,d rows and wall " +
         f"$t1%.2f s → $tb%.2f s across ${fb / f1}× corpus growth — the index absorbs N")
+    }
+    if (pq.size >= 2) {
+      val (fa, _, ta, _) = pq(pq.size - 2)
+      val (fb, _, tb, _) = pq.last
+      val k = math.log(tb / ta) / math.log(fb.toDouble / fa)
+      println(f"SCALEGROWTHVEC PQ_adc k=$k%.2f (${fa}x $ta%.2f s → ${fb}x $tb%.2f s) " +
+        "— linear scan by semantics, per-code cost flat when k stays near or below 1")
+      // 5th-best ADC distance monotone non-increasing per query
+      val (f1, _, _, k1) = pq.head
+      pq.tail.foreach { case (f, _, _, kR) =>
+        k1.foreach { case (q, d1) =>
+          require(kR(q) <= d1 + 1e-9,
+            s"query $q 5th-best ADC d2 rose from $d1 (factor $f1) to ${kR(q)} (factor $f)")
+        }
+      }
     }
     if (app.size >= 2) {
       val (f1, a1, _) = app.head
