@@ -1435,8 +1435,7 @@ object Extras {
           c.spark.read.parquet(s"$idx/codes"),
           c.spark.read.parquet(s"$idx/codebook"),
           pqQueries(c), k = 5, dsub = 8),
-        graft.vector.Pq.exactL2TopK(c.embeddings, pqQueries(c), k = 5),
-        k = 5)
+        graft.vector.Pq.exactL2TopK(c.embeddings, pqQueries(c), k = 5))
     }),
     // ratio-margin pair mining between the label-0 and label-1
     // embedding sets (the published bitext-mining criterion:
@@ -3020,7 +3019,11 @@ postings AS (SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
 dfx AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM postings GROUP BY term),
 stats AS (SELECT COUNT(*) AS n_docs, SUM(CAST(dl AS BIGINT)) AS sum_dl FROM d),
 qq AS (SELECT DISTINCT query_id, term FROM (
-        SELECT doc_id AS query_id, unnest(toks[1:5]) AS term FROM t WHERE doc_id < 3) z),
+        SELECT doc_id AS query_id, unnest(toks[1:5]) AS term FROM t
+        WHERE doc_id < 3
+          -- the Spark query frame is documents JOIN embeddings: a doc
+          -- without an embedding row is not a query in EITHER channel
+          AND doc_id IN (SELECT vec_id FROM embeddings)) z),
 scored AS (
   SELECT qq.query_id, p.doc_id,
          ROUND(SUM(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
@@ -3039,7 +3042,8 @@ lex AS (SELECT query_id, doc_id, CAST(r AS BIGINT) AS r_lex FROM (
 sc AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
          ROUND(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
        FROM embeddings a, embeddings b
-       WHERE a.vec_id < 3 AND b.vec_id <> a.vec_id),
+       WHERE a.vec_id < 3 AND b.vec_id <> a.vec_id
+         AND a.vec_id IN (SELECT doc_id FROM documents)),
 sem AS (SELECT query_id, doc_id, CAST(r AS BIGINT) AS r_sem FROM (
   SELECT query_id, doc_id,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS r

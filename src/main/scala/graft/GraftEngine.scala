@@ -572,7 +572,7 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
       dsub: Int = 8): DataFrame =
     graft.vector.Pq.recallAtK(
       pqSearch(indexPath, queries, k, dsub),
-      graft.vector.Pq.exactL2TopK(tables.embeddings, queries, k), k)
+      graft.vector.Pq.exactL2TopK(tables.embeddings, queries, k))
 
   /** Ratio-margin pair mining between two embedded sets (see
     * [[graft.vector.Ann.marginMinedPairs]]).

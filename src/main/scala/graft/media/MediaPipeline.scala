@@ -399,10 +399,7 @@ object MediaPipeline {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-          (rgb & 0xff) * 114) / 1000
-        bins(luma >>> 4) += 1f
+        bins(lumaAt(img, x, y) >>> 4) += 1f
         x += 1
       }
       y += 1
@@ -493,19 +490,25 @@ object MediaPipeline {
     require(maxHamming >= 0 && maxHamming < nBands,
       s"banded candidates are exact only when maxHamming < nBands " +
         s"(pigeonhole): maxHamming=$maxHamming nBands=$nBands")
+    // a single-variant table (e.g. [[perceptualHashes]]' direct output)
+    // has no `variant` column — give it one so the two engine methods
+    // compose without a caller-side withColumn
+    val hashes0 =
+      if (hashes.columns.contains("variant")) hashes
+      else hashes.withColumn("variant", lit("orig"))
     val width = 64 / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1
     // variant-KIND-sized collect (a handful of strings): gives every
     // (doc, variant) row a doc-major dense long id, so the kernel's
     // i < j id order IS the output's lexicographic (doc, var) order
-    val variants = hashes.select("variant").distinct().orderBy("variant")
+    val variants = hashes0.select("variant").distinct().orderBy("variant")
       .collect().map(_.getString(0)).toSeq
     val nv = variants.size.toLong
     val vord = map(variants.zipWithIndex.flatMap { case (v, i) =>
       Seq(lit(v), lit(i.toLong)) }: _*)
     def withId(df: DataFrame) = df.withColumn("id",
       col("doc_id") * nv + element_at(vord, col("variant")))
-    val members = withId(hashes)
+    val members = withId(hashes0)
       .select(col("id"), col("phash").as("sigh"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("bucket",
@@ -515,7 +518,7 @@ object MediaPipeline {
     val pairs = graft.ops.BucketedPairs
       .cappedCandidatePairs(members, cap)
       .distinct()
-    val side = withId(hashes).select("id", "doc_id", "variant", "phash")
+    val side = withId(hashes0).select("id", "doc_id", "variant", "phash")
     pairs
       .join(side.select(col("id").as("i"), col("doc_id").as("i_doc"),
         col("variant").as("i_var"), col("phash").as("i_hash")), Seq("i"))

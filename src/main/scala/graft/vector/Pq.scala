@@ -47,6 +47,20 @@ object Pq {
   private def sqDist(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
+  /** Fail loud when the caller's `dsub` disagrees with the codebook's
+    * stored centroid length. Without this the mismatch is SILENT
+    * garbage, not an error: [[dot]] returns NULL on length mismatch
+    * (its ragged-vector contract), NULL poisons every ADC sum, and the
+    * top-k window then ranks NULLs first — plausible-looking neighbors
+    * with null distances. The check is one `first()` on the m·ks-row
+    * codebook frame — metadata, not data.
+    */
+  private def requireDsub(codebook: DataFrame, dsub: Int): Unit = {
+    val stored = codebook.select(size(col("centroid"))).first().getInt(0)
+    require(stored == dsub,
+      s"dsub=$dsub does not match the codebook's centroid length $stored")
+  }
+
   /** (vec_id, sub, subvec) exploded view: subspace `s` owns the
     * 1-based slice [s·dsub+1, (s+1)·dsub].
     */
@@ -150,6 +164,7 @@ object Pq {
     * codes array is a single nested-HOF projection per vector.
     */
   def encode(embeddings: DataFrame, codebook: DataFrame, dsub: Int): DataFrame = {
+    requireDsub(codebook, dsub)
     val cbOne = perSubArrays(codebook)
       .agg(sort_array(collect_list(struct(col("sub"), col("cents"))))
         .as("cb"))
@@ -172,12 +187,14 @@ object Pq {
     * Size m·ks rows per query — metadata.
     */
   def lookupTable(
-      queries: DataFrame, codebook: DataFrame, dsub: Int): DataFrame =
+      queries: DataFrame, codebook: DataFrame, dsub: Int): DataFrame = {
+    requireDsub(codebook, dsub)
     queries.crossJoin(broadcast(codebook))
       .select(col("query_id"), col("sub"), col("cid"),
         sqDist(
           slice(col("qvec"), col("sub") * lit(dsub) + lit(1), lit(dsub)),
           col("centroid")).as("d2"))
+  }
 
   /** The per-query LUT reshaped for the map-side scan: one row per
     * query, `luts` = array over subs of (array over cids of d2).
@@ -245,12 +262,15 @@ object Pq {
       .select(col("query_id"), col("vec_id"), col("d2"))
   }
 
-  /** Per-query recall@k of the ADC result against the exact-L2 ground
+  /** Per-query recall of the ADC result against the exact-L2 ground
     * truth — the quality number a 100 TB operator reads before trusting
     * a compressed index tier. Both sides arrive as
-    * (query_id, vec_id, …) top-k tables; output one row per query.
+    * (query_id, vec_id, …) top-k tables; output one row per query,
+    * normalized by the EXACT side's row count (so the frames define k —
+    * there is deliberately no separate k parameter to disagree with
+    * them).
     */
-  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
     val hits = approx.select("query_id", "vec_id")
       .join(exact.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))

@@ -1439,5 +1439,15 @@ class ExtrasSpec extends SparkSpec {
           new java.awt.image.BufferedImage(
             12, 10, java.awt.image.BufferedImage.TYPE_INT_RGB))), 9, 8)))
     assert(MediaPipeline.dHash64(img) == MediaPipeline.dHash64(img))
+    // the engine-facade composition: a single-variant hash table (no
+    // `variant` column — perceptualHashes' direct output) is accepted
+    // as-is, equal to the same table explicitly tagged one-variant
+    val plain = MediaPipeline.perceptualHashes(media)
+    val viaDefault = MediaPipeline.phashNearDupPairs(plain, maxHamming = 7)
+      .select("i_doc", "j_doc", "hamming").collect().toSet
+    val viaTag = MediaPipeline.phashNearDupPairs(
+        plain.withColumn("variant", lit("orig")), maxHamming = 7)
+      .select("i_doc", "j_doc", "hamming").collect().toSet
+    assert(viaDefault == viaTag)
   }
 }

@@ -71,6 +71,23 @@ class PqSpec extends SparkSpec {
     (vecsDf(rows), rows.map { case (id, _) => id -> (id / per) }.toMap)
   }
 
+  /** Hand-built codebook: in every subspace, centroid `cid` is the
+    * standard basis vector e_cid — exact, trainer-independent ground
+    * truth for encode/ADC mechanics.
+    */
+  private def basisCodebook: DataFrame = {
+    val rows = for {
+      sub <- 0 until m
+      cid <- 0 until ks
+    } yield Row(sub, cid,
+      Array.tabulate(dsub)(i => if (i == cid) 1.0f else 0.0f))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("sub", IntegerType), StructField("cid", IntegerType),
+        StructField("centroid", ArrayType(FloatType)))))
+  }
+
   test("PQ encode: a vector equal to a centroid codes to it; self-ADC distance is 0") {
     val (df, _) = clustered(per = 5)
     val cb = Pq.trainCodebooks(df, m, ks, iters = 2, dim = dim)
@@ -80,13 +97,33 @@ class PqSpec extends SparkSpec {
     val bad = codes.filter(size(col("codes")) =!= m ||
       exists(col("codes"), c => c < 0 || c >= ks)).count()
     assert(bad == 0)
-    // a query that IS a stored vector: its ADC distance to itself-as-
-    // codes equals the quantization residual, and to a vector CODED
-    // IDENTICALLY the ADC distances are equal (table-lookup identity)
+    // a query that IS a stored vector returns every other vector
     val q = df.filter(col("vec_id") === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val top = Pq.adcTopK(codes, cb, q, k = 19, dsub = dsub).collect()
     assert(top.length == 19)
+
+    // the two advertised mechanics, pinned against the exact basis
+    // codebook: a vector assembled from subspace centroids (1,3,0,2)
+    // codes to EXACTLY those cids, and a query equal to that vector
+    // has ADC distance 0.0 to it (its own lut cells are all zero)
+    val pattern = Seq(1, 3, 0, 2)
+    val onCentroids = pattern.zipWithIndex.flatMap { case (cid, _) =>
+      Array.tabulate(dsub)(i => if (i == cid) 1.0f else 0.0f)
+    }.toArray
+    val one = vecsDf(Seq((999L, onCentroids)))
+    val cbBasis = basisCodebook
+    val got = Pq.encode(one, cbBasis, dsub)
+      .select("codes").first().getSeq[Int](0).toSeq
+    assert(got == pattern, s"centroid-equal vector coded $got, want $pattern")
+    val selfQ = spark.createDataFrame(
+      java.util.Arrays.asList(Row(-1L, onCentroids)),
+      StructType(Seq(StructField("query_id", LongType),
+        StructField("qvec", ArrayType(FloatType)))))
+    val d = Pq.adcTopK(Pq.encode(one, cbBasis, dsub), cbBasis, selfQ,
+      k = 1, dsub = dsub).first()
+    assert(d.getLong(1) == 999L && d.getDouble(2) == 0.0,
+      s"self-ADC distance must be exactly 0, got $d")
   }
 
   test("adcTopK equals a driver-side reference ADC over the same artifact") {
@@ -134,21 +171,13 @@ class PqSpec extends SparkSpec {
     // test pins ADC/recall MECHANICS, independent of trainer seeding;
     // trainer quality has its own tests above)
     val (df, _) = clustered(per = 6) // 24 vectors, 4 clean clusters
-    val cbRows = for {
-      sub <- 0 until m
-      cid <- 0 until ks
-    } yield Row(sub, cid, Array.tabulate(dsub)(i => if (i == cid) 1.0f else 0.0f))
-    val cb = spark.createDataFrame(
-      java.util.Arrays.asList(cbRows: _*),
-      StructType(Seq(
-        StructField("sub", IntegerType), StructField("cid", IntegerType),
-        StructField("centroid", ArrayType(FloatType)))))
+    val cb = basisCodebook
     val codes = Pq.encode(df, cb, dsub)
     val q = df.filter(col("vec_id").isin(0L, 6L, 12L, 18L))
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val approx = Pq.adcTopK(codes, cb, q, k = 4, dsub = dsub)
     val exact = Pq.exactL2TopK(df, q, k = 4)
-    val rec = Pq.recallAtK(approx, exact, k = 4).collect()
+    val rec = Pq.recallAtK(approx, exact).collect()
     assert(rec.length == 4)
     rec.foreach { r =>
       assert(r.getDouble(3) == 1.0,
@@ -172,7 +201,7 @@ class PqSpec extends SparkSpec {
     // stays 1.0 because the exact top-4 live in that cluster
     val narrow = Pq.ivfAdcTopK(df, codes, cb, cents, q, k = 4, nProbe = 1,
       dsub = dsub)
-    val hits = Pq.recallAtK(narrow, exact, k = 4).collect()
+    val hits = Pq.recallAtK(narrow, exact).collect()
     hits.foreach(r => assert(r.getDouble(3) == 1.0))
   }
 
@@ -184,7 +213,7 @@ class PqSpec extends SparkSpec {
           StructField("vec_id", LongType))))
     val exact = pairs(Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)))
     val approx = pairs(Seq((1L, 10L), (1L, 99L), (2L, 98L), (2L, 99L)))
-    val got = Pq.recallAtK(approx, exact, k = 2).collect()
+    val got = Pq.recallAtK(approx, exact).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSeq
     assert(got == Seq((1L, 1L, 2L, 0.5), (2L, 0L, 2L, 0.0)))
