@@ -229,6 +229,30 @@ SELECT CAST(COUNT(*) AS BIGINT) AS top_v,
   ROUND(regr_intercept(y, x), 6) AS intercept,
   ROUND(regr_r2(y, x), 6) AS r2
 FROM xy
+""",
+    // the ratio-margin criterion in one SQL text: both kNN directions
+    // rank by the 6-dp-rounded graft_dot cosine (knnJoin's contract),
+    // margins rounded before the threshold compare
+    "X106_margin_pairs" -> """
+WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+b AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+fr AS (SELECT qid, vid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+       FROM (SELECT a.vec_id AS qid, b.vec_id AS vid,
+               round(graft_dot(a.embedding, b.embedding), 6) AS cos
+             FROM a CROSS JOIN b) f),
+br AS (SELECT qid, vid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk
+       FROM (SELECT b.vec_id AS qid, a.vec_id AS vid,
+               round(graft_dot(b.embedding, a.embedding), 6) AS cos
+             FROM b CROSS JOIN a) g),
+da AS (SELECT qid, AVG(cos) AS avg_a FROM fr WHERE rk <= 4 GROUP BY qid),
+db AS (SELECT qid, AVG(cos) AS avg_b FROM br WHERE rk <= 4 GROUP BY qid)
+SELECT f.qid AS i, f.vid AS j, f.cos,
+  round(f.cos / (da.avg_a / 2 + db.avg_b / 2), 6) AS margin
+FROM fr f JOIN da ON da.qid = f.qid JOIN db ON db.qid = f.vid
+WHERE f.rk = 1 AND round(f.cos / (da.avg_a / 2 + db.avg_b / 2), 6) >= 1.02
+ORDER BY i, j
 """)
 
   test("pipeline extras: Spark-SQL twins hash-equal to the DataFrame builders") {
