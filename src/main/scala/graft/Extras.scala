@@ -1445,7 +1445,23 @@ object Extras {
       graft.vector.Ann.marginMinedPairs(
         c.embeddings.filter(col("label") === 0),
         c.embeddings.filter(col("label") === 1),
-        k = 4, threshold = 1.02))
+        k = 4, threshold = 1.02)),
+    // IVF+PQ — the production ANN pairing declared as one query:
+    // coarse-probe the 4 nearest of the persisted IVF centroids, keep
+    // only codes assigned to probed lists, ADC-rank the survivors;
+    // every stage (probe ranking, assign argmax, lut, fold, top-5)
+    // restated by the oracle over the two mirrored artifacts; fully
+    // oracle-checked
+    "X107_ivfpq_top5" -> q(c => {
+      val pq = pqIndexDir(c)
+      val ivf = ivfIndexDir(c)
+      graft.vector.Pq.ivfAdcTopK(
+        c.embeddings,
+        c.spark.read.parquet(s"$pq/codes"),
+        c.spark.read.parquet(s"$pq/codebook"),
+        c.spark.read.parquet(s"$ivf/centroids"),
+        pqQueries(c), k = 5, nProbe = 4, dsub = 8)
+    })
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -3205,6 +3221,58 @@ FROM fr f JOIN da ON da.qid = f.qid JOIN db ON db.qid = f.vid
 WHERE f.rk = 1
   AND ROUND(f.cos / (da.avg_a / 2 + db.avg_b / 2), 6) >= 1.02
 ORDER BY i, j
+""".trim,
+    // X107: X104's lut/fold/top-5 restricted to probed IVF lists — the
+    // coarse probe ranks centroids by the same |q|^2-2q.c+|c|^2
+    // expansion (tie: list id), the assign argmax mirrors Ivf.assign
+    // (max dot, tie: min centroid_id), both over the MIRRORED ivf
+    // centroids
+    "X107_ivfpq_top5" -> s"""
+WITH cb AS (SELECT sub, cid, centroid
+            FROM read_parquet('$oracleIdxRoot/pq/codebook/*.parquet')),
+co AS (SELECT vec_id, codes FROM read_parquet('$oracleIdxRoot/pq/codes/*.parquet')),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+cents AS (SELECT centroid_id, centroid
+          FROM read_parquet('$oracleIdxRoot/ivf/centroids/*.parquet')),
+probed AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.query_id, c.centroid_id AS list_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        - 2 * list_inner_product(q.embedding::DOUBLE[], c.centroid::DOUBLE[])
+        + list_inner_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[]),
+        c.centroid_id) AS rn
+    FROM q CROSS JOIN cents c) z WHERE rn <= 4),
+assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.centroid_id AS list_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        list_inner_product(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+        c.centroid_id) AS rk
+    FROM embeddings e CROSS JOIN cents c) z WHERE rk = 1),
+lut AS (
+  SELECT q.query_id, cb.sub, cb.cid,
+    list_inner_product((q.embedding[cb.sub*8+1 : cb.sub*8+8])::DOUBLE[],
+                       (q.embedding[cb.sub*8+1 : cb.sub*8+8])::DOUBLE[])
+    - 2 * list_inner_product((q.embedding[cb.sub*8+1 : cb.sub*8+8])::DOUBLE[],
+                             cb.centroid::DOUBLE[])
+    + list_inner_product(cb.centroid::DOUBLE[], cb.centroid::DOUBLE[]) AS d2
+  FROM q, cb),
+ex AS (SELECT vec_id, unnest(codes) AS cid, generate_subscripts(codes, 1) AS i
+       FROM co),
+scan AS (
+  SELECT l.query_id, e.vec_id, SUM(l.d2) AS d2
+  FROM ex e
+  JOIN lut l ON l.sub = e.i - 1 AND l.cid = e.cid
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN probed p ON p.query_id = l.query_id AND p.list_id = a.list_id
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2)
+SELECT query_id, vec_id, ROUND(d2, 6) AS adc_d2
+FROM scan
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY ROUND(d2, 6), vec_id) <= 5
+ORDER BY query_id, adc_d2, vec_id
 """.trim
   )
 }

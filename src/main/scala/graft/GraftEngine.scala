@@ -565,6 +565,20 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
       spark.read.parquet(s"$indexPath/codebook"),
       queries, k, dsub)
 
+  /** IVF+PQ search — the production pairing: coarse-probe the nProbe
+    * nearest lists of `ivfIndexPath`'s centroids, ADC-rank only codes
+    * in probed lists (see [[graft.vector.Pq.ivfAdcTopK]]).
+    */
+  def ivfPqSearch(pqIndexPath: String, ivfIndexPath: String,
+      queries: DataFrame, k: Int, nProbe: Int = 4,
+      dsub: Int = 8): DataFrame =
+    graft.vector.Pq.ivfAdcTopK(
+      tables.embeddings,
+      spark.read.parquet(s"$pqIndexPath/codes"),
+      spark.read.parquet(s"$pqIndexPath/codebook"),
+      spark.read.parquet(s"$ivfIndexPath/centroids"),
+      queries, k, nProbe, dsub)
+
   /** Per-query recall@k of a PQ search against the exact-L2 ground
     * truth (see [[graft.vector.Pq.recallAtK]]).
     */

@@ -88,7 +88,10 @@ class PlanAuditSpec extends SparkSpec {
       "X84_dedup_report",
       // X101 inherits X66's 1-row corpus-stats aggregate through its
       // BM25 channel; X102 the 1-row (B, V) totals row (X91's shape)
-      "X101_hybrid_rrf", "X102_kn_heldout_logprob")
+      "X101_hybrid_rrf", "X102_kn_heldout_logprob",
+      // X107 rides Ivf.assign's 1-row collapsed-centroid-array
+      // aggregate (X60's shape) for the coarse list assignment
+      "X107_ivfpq_top5")
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against
@@ -139,8 +142,10 @@ class PlanAuditSpec extends SparkSpec {
       // lookup-table frame (and X105's exact side is the broadcast-
       // queries scan) — the linear N·nq ADC semantics, never a
       // data×data cartesian; X106 is two knnJoin broadcast-queries
-      // scans (X52's shape)
-      "X104_pq_adc_top5", "X105_pq_recall", "X106_margin_pairs")
+      // scans (X52's shape); X107 adds Ivf.assign's collapsed-array
+      // broadcast (X60's shape) and the broadcast probed-lists semi
+      "X104_pq_adc_top5", "X105_pq_recall", "X106_margin_pairs",
+      "X107_ivfpq_top5")
     val sf001Dir = "/root/testdata/sf0.001"
     // AUDIT BLIND SPOT (ADVICE r8, accepted): queries that lazily
     // localCheckpoint an expensive prefix (X53, X80, X81) truncate
