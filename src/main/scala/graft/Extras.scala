@@ -807,7 +807,8 @@ object Extras {
       MinHashDedup.dedupReport(
         c.documents,
         MinHashDedup.duplicateClusters(vpairsTable(c)),
-        banded = Some(banded))
+        // the cap travels with the index it was built under
+        banded = Some((banded, graft.text.MinHashConfig().maxBucket)))
     }),
     // quality-aware winner per X16 cluster: keep the most-informative
     // member (max distinct tokens, min doc_id tie) instead of min-id —
@@ -3219,6 +3220,7 @@ SELECT f.qid AS i, f.vid AS j, f.cos,
   ROUND(f.cos / (da.avg_a / 2 + db.avg_b / 2), 6) AS margin
 FROM fr f JOIN da ON da.qid = f.qid JOIN db ON db.qid = f.vid
 WHERE f.rk = 1
+  AND (da.avg_a / 2 + db.avg_b / 2) > 0
   AND ROUND(f.cos / (da.avg_a / 2 + db.avg_b / 2), 6) >= 1.02
 ORDER BY i, j
 """.trim,

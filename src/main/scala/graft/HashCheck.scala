@@ -52,6 +52,12 @@ object HashCheck {
       val ms = (System.nanoTime() - t0) / 1e6
       println(f"$id%-4s $label%-4s $res  (${ms}%.0f ms)")
     }
+    // a requested id found in neither the contract map nor the
+    // self-pinned set is a typo or a removed query — fail loud rather
+    // than silently reporting "all matched" over the remainder
+    ids.filterNot(id =>
+        Contract.byId.contains(id) || SelfPinned.ids.contains(id))
+      .foreach { id => println(f"$id%-4s ???  FAIL unknown id"); bad += 1 }
     ids.filter(Contract.byId.contains).foreach { id =>
       if (mode != "--df")
         check(id, "sql", expected(id),

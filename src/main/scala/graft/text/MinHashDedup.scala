@@ -558,23 +558,26 @@ object MinHashDedup {
     * here touches the tiny clustered subset, never the corpus; the
     * report itself is at most #distinct-sizes rows.
     *
-    * Pass the `banded` member table the pair generation ran over to
+    * Pass the `banded` member table the pair generation ran over —
+    * WITH the `maxBucket` cap that generation actually used — to
     * additionally surface the CAPPED-BUCKET exposure as data (not just
     * the [[graft.ops.BucketedPairs]] WARN log): three constant columns
     * — `capped_member_rows` (member rows sitting in (band, bucket)
-    * groups larger than `cap`, whose distinct-signature pair recall is
-    * degraded to the linear scheme), `total_member_rows`, and their
+    * groups larger than the cap, whose distinct-signature pair recall
+    * is degraded to the linear scheme), `total_member_rows`, and their
     * ratio `capped_member_frac` — so a 100 TB operator reading the
     * report artifact sees recall degradation in the table a human
     * actually reviews, instead of needing executor logs. Zero means the
-    * pair listing was fully exhaustive. Cost: one 8-byte-key aggregate
-    * over the index, broadcast-joined onto the (tiny) report.
+    * pair listing was fully exhaustive. The cap travels in the tuple
+    * rather than defaulting to `MinHashConfig().maxBucket` so an index
+    * built under a custom config can never be audited against the
+    * wrong threshold. Cost: one 8-byte-key aggregate over the index,
+    * broadcast-joined onto the (tiny) report.
     */
   def dedupReport(
       documents: DataFrame,
       clusters: DataFrame,
-      banded: Option[DataFrame] = None,
-      cap: Int = MinHashConfig().maxBucket): DataFrame = {
+      banded: Option[(DataFrame, Int)] = None): DataFrame = {
     val members = clusters.join(
       documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
     val base = members
@@ -592,7 +595,7 @@ object MinHashDedup {
         count(lit(1)).cast("bigint").as("n_clusters"),
         (sum(col("cluster_size") - 1)).cast("bigint").as("docs_removed"),
         sum(col("chars_lost")).cast("bigint").as("chars_removed"))
-    banded.fold(base.orderBy("cluster_size")) { b =>
+    banded.fold(base.orderBy("cluster_size")) { case (b, cap) =>
       val stats = b.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
         .agg(
           coalesce(sum(when(col("__n") > cap, col("__n"))), lit(0L))

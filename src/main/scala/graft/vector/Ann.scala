@@ -589,6 +589,15 @@ object Ann {
     * All cosines are [[knnJoin]]'s 6-dp rounded scores and the margin
     * is rounded at 6 dp, so the threshold compare is boundary-exact
     * against an oracle computing the same arithmetic.
+    *
+    * The ratio is only meaningful over POSITIVE neighborhood
+    * similarity: a near-zero or negative denominator (both endpoints'
+    * k-NN means ≈ 0 — embeddings that are mutually near-orthogonal
+    * noise) would explode the margin or flip its sign, silently
+    * inverting the `>= threshold` semantics. Such candidates are
+    * FILTERED (denominator ≤ 0 mines nothing — there is no "locally
+    * closer than average" reading of a non-positive average), and the
+    * X106 oracle carries the same predicate.
     */
   def marginMinedPairs(
       a: DataFrame,
@@ -603,6 +612,7 @@ object Ann {
       .select(col("qid").as("i"), col("vec_id").as("j"), col("cos"))
       .join(denomA.select(col("qid").as("i"), col("avg_a")), Seq("i"))
       .join(denomB.select(col("qid").as("j"), col("avg_b")), Seq("j"))
+      .filter(col("avg_a") / 2 + col("avg_b") / 2 > 0)
       .select(col("i"), col("j"), col("cos"),
         round(col("cos") / (col("avg_a") / 2 + col("avg_b") / 2), 6)
           .as("margin"))

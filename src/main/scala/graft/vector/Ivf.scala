@@ -223,6 +223,14 @@ object Ivf {
     * O(nProbe × (1 + nDeltas)), which is why a long-lived ingest runs
     * [[compactIndex]] periodically to fold deltas back to the
     * O(nProbe) base-only probe.
+    *
+    * Compaction tolerance: a delta dir that a concurrent
+    * [[compactIndex]] deleted between this probe's listing and its
+    * planning is SKIPPED (the per-dir existence check in the probed
+    * read), and its rows are still served — from the freshly folded
+    * base. A delete landing mid-scan (after planning) fails the read;
+    * schedule compaction off the probe path or retry once — see the
+    * [[compactIndex]] concurrency note.
     */
   def probeIndexWithDeltas(
       spark: org.apache.spark.sql.SparkSession,
@@ -250,30 +258,72 @@ object Ivf {
   /** Fold the completed streaming deltas into the base vectors layout —
     * pure ROW MOVEMENT (no re-assignment, no argmax: delta rows
     * already carry their list_id), restoring the O(nProbe) base-only
-    * probe after a stretch of streaming ingest. Staged + two renames
-    * so a concurrent reader never sees a half-written base, with a
-    * `_FOLDED_DELTAS` manifest inside the new layout naming exactly
-    * the delta dirs it absorbed: a retry after a crash between the
-    * swap and the delta cleanup deletes the listed dirs instead of
-    * folding them twice.
+    * probe after a stretch of streaming ingest.
+    *
+    * Crash discipline: the folded layout is fully staged in
+    * `vectors.next` (with a `_FOLDED_DELTAS` manifest naming exactly
+    * the delta dirs it absorbed) before any rename touches `vectors`,
+    * and every crash window is re-runnable — a retry of compactIndex
+    * first RECOVERS whatever a previous run left behind:
+    *  - died mid-swap (base renamed away, `vectors.next` not yet
+    *    renamed in): the manifest'd `vectors.next` is completed into
+    *    place (fall back to `vectors.old` if it is somehow absent);
+    *  - died between the swap and the cleanup: the manifest inside the
+    *    live base names the already-folded delta dirs, which are
+    *    deleted instead of folded twice, along with the stale
+    *    `vectors.old`/`vectors.next`.
+    * IvfSpec injects a crash at each named window (`failpoint`) and
+    * pins probe-all ≡ brute force after the recovery run.
+    *
+    * Concurrency: renames are atomic per dir, but there is no base dir
+    * for the instant between the two swap renames — a probe planned in
+    * exactly that window can transiently fail (and retry); a
+    * concurrently INGESTING probe can also lose a delta dir to the
+    * cleanup mid-read ([[probeIndexWithDeltas]] skips dirs already
+    * vanished at plan time, not mid-scan). Run compaction from the
+    * maintenance schedule, not concurrently with probes, or wrap
+    * probes with one retry.
+    *
+    * `failpoint` is test-only crash injection: the named window throws
+    * after its preceding step completes.
     */
   def compactIndex(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String,
+      failpoint: String = ""): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def del(p: String): Unit = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      if (fs.exists(hp)) fs.delete(hp, true)
+    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+    def del(p: String): Unit = if (fs.exists(hp(p))) fs.delete(hp(p), true)
+    def crash(point: String): Unit =
+      if (failpoint == point)
+        throw new IllegalStateException(s"injected crash at $point")
+    val base = s"$path/vectors"
+    val next = s"$path/vectors.next"
+    val old = s"$path/vectors.old"
+    // recovery 1: a previous compaction died BETWEEN the two swap
+    // renames — no base dir. Complete the swap-in from the fully
+    // staged (manifest'd) vectors.next, or roll back to vectors.old.
+    if (!fs.exists(hp(base))) {
+      if (fs.exists(hp(s"$next/_FOLDED_DELTAS")))
+        fs.rename(hp(next), hp(base))
+      else if (fs.exists(hp(old)))
+        fs.rename(hp(old), hp(base))
+      else
+        throw new IllegalStateException(
+          s"$base missing and neither $next (manifest'd) nor $old exists — not a recoverable compaction crash")
     }
-    // crash-recovery half: a previous compaction swapped but died
-    // before cleanup — finish its deletions from the manifest
-    val manifest = new org.apache.hadoop.fs.Path(s"$path/vectors/_FOLDED_DELTAS")
+    // recovery 2: swapped but died before cleanup — the manifest inside
+    // the live base names the already-folded delta dirs: delete them
+    // (folding them twice would duplicate rows) plus the stale swap dirs
+    val manifest = hp(s"$base/_FOLDED_DELTAS")
     if (fs.exists(manifest)) {
       val in = fs.open(manifest)
       val folded = scala.io.Source.fromInputStream(in).getLines().toSeq
       in.close()
       folded.foreach(del)
+      del(old)
+      del(next)
       fs.delete(manifest, false)
     }
     val deltas = completedDeltas(spark, path)
@@ -281,22 +331,22 @@ object Ivf {
       val all = deltas
         .map(d => spark.read.parquet(d)
           .select(col("vec_id"), col("embedding"), col("list_id").cast("long").as("list_id")))
-        .foldLeft(spark.read.parquet(s"$path/vectors")
+        .foldLeft(spark.read.parquet(base)
           .select(col("vec_id"), col("embedding"), col("list_id").cast("long").as("list_id")))(
           _ unionByName _)
       all.repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id")
-        .parquet(s"$path/vectors.next")
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(s"$path/vectors.next/_FOLDED_DELTAS"), true)
+        .parquet(next)
+      val out = fs.create(hp(s"$next/_FOLDED_DELTAS"), true)
       out.write((deltas.mkString("\n") + "\n").getBytes("UTF-8"))
       out.close()
-      del(s"$path/vectors.old")
-      fs.rename(new org.apache.hadoop.fs.Path(s"$path/vectors"),
-        new org.apache.hadoop.fs.Path(s"$path/vectors.old"))
-      fs.rename(new org.apache.hadoop.fs.Path(s"$path/vectors.next"),
-        new org.apache.hadoop.fs.Path(s"$path/vectors"))
-      del(s"$path/vectors.old")
+      crash("after-stage")
+      del(old)
+      fs.rename(hp(base), hp(old))
+      crash("after-swap-out")
+      fs.rename(hp(next), hp(base))
+      crash("after-swap-in")
+      del(old)
       deltas.foreach(del)
       fs.delete(manifest, false)
     }

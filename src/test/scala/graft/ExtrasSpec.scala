@@ -831,7 +831,7 @@ class ExtrasSpec extends SparkSpec {
         Seq((6L, 0, 1L, 6L), (7L, 0, 1L, 7L)))
       .toDF("id", "band", "bucket", "sigh")
     val got = MinHashDedup.dedupReport(docs, clusters,
-        banded = Some(banded), cap = 4)
+        banded = Some((banded, 4)))
       .select("cluster_size", "capped_member_rows", "total_member_rows",
         "capped_member_frac")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
@@ -839,7 +839,7 @@ class ExtrasSpec extends SparkSpec {
     // exhaustive generation (no bucket over the cap) reports zero —
     // and the no-banded form keeps the historical 4-column shape
     val clean = MinHashDedup.dedupReport(docs, clusters,
-        banded = Some(banded), cap = 10)
+        banded = Some((banded, 10)))
       .select("capped_member_rows", "capped_member_frac").first()
     assert(clean.getLong(0) == 0L && clean.getDouble(1) == 0.0)
     assert(MinHashDedup.dedupReport(docs, clusters).columns.toSeq ==

@@ -77,4 +77,45 @@ class IvfSpec extends SparkSpec {
       .filter(col("vec_id") % 2 === 1).count()
     assert(nFromB == b.count(), "every appended vector must be readable")
   }
+
+  test("IVF compaction: a crash injected at every swap window recovers on retry — no lost or double-folded rows") {
+    import org.apache.spark.sql.functions._
+    val emb = cat.embeddings
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val probeVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0).toArray
+    val brute = Ann.bruteForceTopK(emb, 0, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    for (fp <- Seq("after-stage", "after-swap-out", "after-swap-in")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-ivf-crash-$fp").toString
+      Ivf.writeIndex(a, dir, nLists = 16)
+      val cents = spark.read.parquet(s"$dir/centroids")
+      Ivf.assign(b, cents).repartition(col("list_id"))
+        .write.partitionBy("list_id").parquet(s"$dir/delta/b0")
+      val ex = intercept[IllegalStateException] {
+        Ivf.compactIndex(spark, dir, failpoint = fp)
+      }
+      assert(ex.getMessage.contains(fp))
+      // the RETRY must self-recover: complete (or redo) the fold,
+      // absorb the delta exactly once, and clean every staging dir
+      Ivf.compactIndex(spark, dir)
+      for (leftover <- Seq("vectors.next", "vectors.old", "delta/b0",
+          "vectors/_FOLDED_DELTAS"))
+        assert(!new java.io.File(s"$dir/$leftover").exists(),
+          s"[$fp] $leftover must be gone after recovery")
+      // exactly once: row count equals the union, no duplicates
+      val folded = spark.read.parquet(s"$dir/vectors")
+      assert(folded.count() == emb.count(), s"[$fp] row count after recovery")
+      assert(folded.select("vec_id").distinct().count() == emb.count(),
+        s"[$fp] no vector may be folded twice")
+      // probe-all over the recovered base == brute force over the union
+      val probed = Ivf.probeIndex(spark, dir, probeVec, k = 6, nProbe = 16)
+        .filter(col("vec_id") =!= 0)
+        .orderBy(desc("cos"), col("vec_id")).limit(5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(probed == brute, s"[$fp] probe-all after recovery: $probed vs $brute")
+    }
+  }
 }

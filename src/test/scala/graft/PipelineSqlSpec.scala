@@ -251,7 +251,8 @@ db AS (SELECT qid, AVG(cos) AS avg_b FROM br WHERE rk <= 4 GROUP BY qid)
 SELECT f.qid AS i, f.vid AS j, f.cos,
   round(f.cos / (da.avg_a / 2 + db.avg_b / 2), 6) AS margin
 FROM fr f JOIN da ON da.qid = f.qid JOIN db ON db.qid = f.vid
-WHERE f.rk = 1 AND round(f.cos / (da.avg_a / 2 + db.avg_b / 2), 6) >= 1.02
+WHERE f.rk = 1 AND (da.avg_a / 2 + db.avg_b / 2) > 0
+  AND round(f.cos / (da.avg_a / 2 + db.avg_b / 2), 6) >= 1.02
 ORDER BY i, j
 """)
 
