@@ -520,6 +520,36 @@ object Extras {
     c.embeddings.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
 
+  /** Per-corpus persisted RESIDUAL PQ index for X108/X109 (IVFADC
+    * proper): the same m=8 × ks=16 × 3-Lloyd budget as the plain X104
+    * index, but trained/encoded on each vector's residual against its
+    * coarse centroid. The coarse quantizer is [[ivfIndexDir]]'s
+    * hash-sampled start REFINED by 4 spherical-k-means iterations
+    * (residual encoding is only as good as the variance the coarse
+    * quantizer explains — X110 surfaces exactly that ratio), persisted
+    * INSIDE the artifact as `$dir/cents` because every stored code is
+    * a residual against those exact floats. `$dir/cents` +
+    * `$dir/codebook` + `$dir/codes` (vec_id, list_id, codes), built
+    * once per corpus stamp and MIRRORED for the oracles.
+    */
+  private def pqrIndexDir(c: Catalog): String = {
+    val st = stamp(c.dir, "embeddings", "pqr:8:16:3:ivf16km4")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_pqr_" + st).toString
+    if (!new java.io.File(s"$dir/codes", "_SUCCESS").exists()) {
+      val base = c.spark.read.parquet(s"${ivfIndexDir(c)}/centroids")
+      val dim = c.embeddings
+        .select(org.apache.spark.sql.functions.size(col("embedding")))
+        .first().getInt(0)
+      val refined = graft.vector.Ivf.refineCentroids(
+        c.embeddings, base, iters = 4, dim = dim)
+      graft.vector.Pq.writeResidualIndex(c.embeddings, refined, dir,
+        m = 8, ks = 16, iters = 3, dim = dim)
+    }
+    mirrorStable(dir, "pqr", st)
+    dir
+  }
+
   private def mediaFeatDir(c: Catalog): String = {
     val st = stamp(c.dir, "documents", "mediafeat:v1:16x16")
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
@@ -1462,7 +1492,43 @@ object Extras {
         c.spark.read.parquet(s"$pq/codebook"),
         c.spark.read.parquet(s"$ivf/centroids"),
         pqQueries(c), k = 5, nProbe = 4, dsub = 8)
-    })
+    }),
+    // IVFADC proper — X107's composition with the RESIDUAL-encoded PQ
+    // tier (codes quantize v − c_list, the production recall fix): the
+    // per-(query, probed-list) residual lookup table restated by the
+    // oracle as the same |x|²−2x·y+|y|² double expansion over the
+    // mirrored codebook/codes/centroids; fully oracle-checked
+    "X108_ivfadc_top5" -> q(c => {
+      val pqr = pqrIndexDir(c)
+      graft.vector.Pq.ivfAdcResidualTopK(
+        c.spark.read.parquet(s"$pqr/codes"),
+        c.spark.read.parquet(s"$pqr/codebook"),
+        c.spark.read.parquet(s"$pqr/cents"),
+        pqQueries(c), k = 5, nProbe = 4, dsub = 8)
+    }),
+    // recall@5 of the residual IVFADC result vs exact-L2 ground truth,
+    // side by side with the plain-PQ X105 audit — the quality row that
+    // shows what residual encoding buys at equal m/ks budget; fully
+    // oracle-checked
+    "X109_ivfadc_recall" -> q(c => {
+      val pqr = pqrIndexDir(c)
+      graft.vector.Pq.recallAtK(
+        graft.vector.Pq.ivfAdcResidualTopK(
+          c.spark.read.parquet(s"$pqr/codes"),
+          c.spark.read.parquet(s"$pqr/codebook"),
+          c.spark.read.parquet(s"$pqr/cents"),
+          pqQueries(c), k = 5, nProbe = 16, dsub = 8),
+        graft.vector.Pq.exactL2TopK(c.embeddings, pqQueries(c), k = 5))
+    }),
+    // the residual-encoding go/no-go ratio: avg |v − c_assigned|² over
+    // avg |v|² against the refined coarse quantizer — < 1 means the
+    // residual tier can beat plain PQ at equal budget, ≥ 1 (this
+    // near-isotropic synthetic corpus) means keep the plain tier;
+    // fully oracle-checked
+    "X110_residual_gain" -> q(c =>
+      graft.vector.Pq.residualGain(
+        c.embeddings,
+        c.spark.read.parquet(s"${pqrIndexDir(c)}/cents")))
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -3275,6 +3341,140 @@ FROM scan
 QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY ROUND(d2, 6), vec_id) <= 5
 ORDER BY query_id, adc_d2, vec_id
+""".trim,
+    // X108: IVFADC proper — the residual-PQ composition. The coarse
+    // probe ranks centroids exactly like X107; the lookup table is
+    // per-(query, probed list) over the RESIDUAL query q − c_list
+    // (elementwise exact double subtraction), with the same
+    // |x|²−2x·y+|y|² expansion; codes carry their list_id from the
+    // mirrored residual index, so the lut join on list_id IS the
+    // probe pruning
+    "X108_ivfadc_top5" -> s"""
+WITH cb AS (SELECT sub, cid, centroid
+            FROM read_parquet('$oracleIdxRoot/pqr/codebook/*.parquet')),
+co AS (SELECT vec_id, list_id, codes
+       FROM read_parquet('$oracleIdxRoot/pqr/codes/*.parquet')),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+cents AS (SELECT centroid_id, centroid
+          FROM read_parquet('$oracleIdxRoot/pqr/cents/*.parquet')),
+probed AS (
+  SELECT query_id, list_id, qr FROM (
+    SELECT q.query_id, c.centroid_id AS list_id,
+      [q.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE
+       for i in range(1, len(q.embedding)+1)] AS qr,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        - 2 * list_inner_product(q.embedding::DOUBLE[], c.centroid::DOUBLE[])
+        + list_inner_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[]),
+        c.centroid_id) AS rn
+    FROM q CROSS JOIN cents c) z WHERE rn <= 4),
+lut AS (
+  SELECT p.query_id, p.list_id, cb.sub, cb.cid,
+    list_inner_product(p.qr[cb.sub*8+1 : cb.sub*8+8],
+                       p.qr[cb.sub*8+1 : cb.sub*8+8])
+    - 2 * list_inner_product(p.qr[cb.sub*8+1 : cb.sub*8+8],
+                             cb.centroid::DOUBLE[])
+    + list_inner_product(cb.centroid::DOUBLE[], cb.centroid::DOUBLE[]) AS d2
+  FROM probed p, cb),
+ex AS (SELECT vec_id, list_id, unnest(codes) AS cid,
+              generate_subscripts(codes, 1) AS i
+       FROM co),
+scan AS (
+  SELECT l.query_id, e.vec_id, SUM(l.d2) AS d2
+  FROM ex e
+  JOIN lut l ON l.list_id = e.list_id AND l.sub = e.i - 1 AND l.cid = e.cid
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2)
+SELECT query_id, vec_id, ROUND(d2, 6) AS adc_d2
+FROM scan
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY ROUND(d2, 6), vec_id) <= 5
+ORDER BY query_id, adc_d2, vec_id
+""".trim,
+    // X109: recall@5 of the full-probe residual IVFADC result against
+    // exact-L2 ground truth — X105's audit shape over the residual tier
+    "X109_ivfadc_recall" -> s"""
+WITH cb AS (SELECT sub, cid, centroid
+            FROM read_parquet('$oracleIdxRoot/pqr/codebook/*.parquet')),
+co AS (SELECT vec_id, list_id, codes
+       FROM read_parquet('$oracleIdxRoot/pqr/codes/*.parquet')),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+cents AS (SELECT centroid_id, centroid
+          FROM read_parquet('$oracleIdxRoot/pqr/cents/*.parquet')),
+probed AS (
+  SELECT query_id, list_id, qr FROM (
+    SELECT q.query_id, c.centroid_id AS list_id,
+      [q.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE
+       for i in range(1, len(q.embedding)+1)] AS qr,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        - 2 * list_inner_product(q.embedding::DOUBLE[], c.centroid::DOUBLE[])
+        + list_inner_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[]),
+        c.centroid_id) AS rn
+    FROM q CROSS JOIN cents c) z WHERE rn <= 16),
+lut AS (
+  SELECT p.query_id, p.list_id, cb.sub, cb.cid,
+    list_inner_product(p.qr[cb.sub*8+1 : cb.sub*8+8],
+                       p.qr[cb.sub*8+1 : cb.sub*8+8])
+    - 2 * list_inner_product(p.qr[cb.sub*8+1 : cb.sub*8+8],
+                             cb.centroid::DOUBLE[])
+    + list_inner_product(cb.centroid::DOUBLE[], cb.centroid::DOUBLE[]) AS d2
+  FROM probed p, cb),
+ex AS (SELECT vec_id, list_id, unnest(codes) AS cid,
+              generate_subscripts(codes, 1) AS i
+       FROM co),
+scan AS (
+  SELECT l.query_id, e.vec_id, SUM(l.d2) AS d2
+  FROM ex e
+  JOIN lut l ON l.list_id = e.list_id AND l.sub = e.i - 1 AND l.cid = e.cid
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2),
+approx AS (
+  SELECT query_id, vec_id FROM scan
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY ROUND(d2, 6), vec_id) <= 5),
+exact AS (
+  SELECT q.query_id, e.vec_id
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+  QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY
+    ROUND(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+      - 2 * list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+      + list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6),
+    e.vec_id) <= 5)
+SELECT x.query_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+  CAST(COUNT(*) AS BIGINT) AS n_exact,
+  ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM exact x LEFT JOIN approx a
+  ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+GROUP BY 1 ORDER BY 1
+""".trim,
+    // X110: the residual-encoding go/no-go — assign = Ivf.assign's
+    // argmax (max dot, tie: min centroid_id) over the mirrored refined
+    // coarse quantizer, then the corpus averages of |v|² and the
+    // |v|²−2v·c+|c|² residual expansion
+    "X110_residual_gain" -> s"""
+WITH cents AS (SELECT centroid_id, centroid
+               FROM read_parquet('$oracleIdxRoot/pqr/cents/*.parquet')),
+assigned AS (
+  SELECT vec_id, embedding, centroid FROM (
+    SELECT e.vec_id, e.embedding, c.centroid,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        list_inner_product(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+        c.centroid_id) AS rk
+    FROM embeddings e CROSS JOIN cents c) z WHERE rk = 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  ROUND(AVG(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+    AS avg_raw_d2,
+  ROUND(AVG(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])
+    - 2 * list_inner_product(embedding::DOUBLE[], centroid::DOUBLE[])
+    + list_inner_product(centroid::DOUBLE[], centroid::DOUBLE[])), 6)
+    AS avg_residual_d2,
+  ROUND(AVG(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])
+    - 2 * list_inner_product(embedding::DOUBLE[], centroid::DOUBLE[])
+    + list_inner_product(centroid::DOUBLE[], centroid::DOUBLE[]))
+    / AVG(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+    AS residual_gain
+FROM assigned
 """.trim
   )
 }

@@ -991,11 +991,25 @@ object StreamOps {
     * O(nProbe) listing cost. Centroids stay frozen — the drift monitor
     * decides when a full rebuild refreshes placement, exactly like the
     * batch [[graft.vector.Ivf.appendToIndex]] contract.
+    *
+    * `pqPath` keeps the compressed ADC tier current in the SAME
+    * foreachBatch: each batch is also encoded against that artifact's
+    * FROZEN codebook and lands as `$pqPath/codes_delta/b<id>` — the
+    * residual artifact ([[graft.vector.Pq.writeResidualIndex]],
+    * detected by its persisted `$pqPath/cents`) gets residual codes
+    * with their list_id, the plain one raw codes. Encode is a
+    * deterministic map over frozen floats, so the streamed codes are
+    * bit-identical to batch-encoding the same vectors and the ADC scan
+    * over [[graft.vector.Pq.codesWithDeltas]] equals the batch scan
+    * over the union corpus (StreamingSpec pins both flavors); a
+    * periodic [[graft.vector.Pq.compactCodes]] folds them down. The
+    * same overwrite-by-batchId discipline makes replays idempotent.
     */
   def vectorIngestStream(
       newVectors: DataFrame,
       indexPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      pqPath: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     newVectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -1007,6 +1021,20 @@ object StreamOps {
             .repartition(col("list_id"))
             .write.mode("overwrite").partitionBy("list_id")
             .parquet(s"$indexPath/delta/b$batchId")
+          pqPath.foreach { p =>
+            val codebook = spark.read.parquet(s"$p/codebook")
+            val dsub = codebook.select(size(col("centroid"))).first().getInt(0)
+            val centsPath = new org.apache.hadoop.fs.Path(s"$p/cents")
+            val fs = centsPath.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            val toEncode =
+              if (fs.exists(centsPath))
+                graft.vector.Pq.residualVectors(
+                  batch.toDF(), spark.read.parquet(s"$p/cents"))
+              else batch.toDF()
+            graft.vector.Pq.encode(toEncode, codebook, dsub)
+              .write.mode("overwrite").parquet(s"$p/codes_delta/b$batchId")
+          }
         }
       }
       .start()

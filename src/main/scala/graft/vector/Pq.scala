@@ -161,16 +161,51 @@ object Pq {
   /** Encode every vector as its m nearest-subspace-centroid ids.
     * Strictly map-side: the codebook collapses into ONE broadcast row
     * (array over subs of that subspace's sorted centroids) and the
-    * codes array is a single nested-HOF projection per vector.
+    * codes array is ONE codegen'd [[graft.functions.PqEncode]] kernel
+    * call per vector — the argmin fused into primitive loops, because
+    * encode is the dominant index-build cost at 100 TB and the
+    * interpreted nested-HOF twin below measured ~84 µs/vector. PqSpec
+    * pins kernel ≡ HOF on clustered and adversarial (ragged / null /
+    * empty-cents) fixtures, and X104/X107's certified hashes ride this
+    * path unchanged.
+    *
+    * Every input column except `embedding` passes through (so a
+    * residual frame's `list_id` rides along with its codes); the plain
+    * (vec_id, embedding) corpus yields the historical (vec_id, codes).
     */
   def encode(embeddings: DataFrame, codebook: DataFrame, dsub: Int): DataFrame = {
     requireDsub(codebook, dsub)
-    val cbOne = perSubArrays(codebook)
+    val keep = embeddings.columns.filterNot(_ == "embedding").map(col)
+    embeddings
+      .crossJoin(broadcast(collapsedCodebook(codebook)))
+      .select(keep :+
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.PqEncode(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
+            org.apache.spark.sql.GraftColumnBridge.expression(col("cb")),
+            dsub)).as("codes"): _*)
+  }
+
+  /** The ONE-row broadcast side of [[encode]]: array over subs (sorted)
+    * of (sub, that subspace's cid-sorted centroids).
+    */
+  private def collapsedCodebook(codebook: DataFrame): DataFrame =
+    perSubArrays(codebook)
       .agg(sort_array(collect_list(struct(col("sub"), col("cents"))))
         .as("cb"))
+
+  /** The certified nested-HOF twin of [[encode]]'s kernel — the
+    * engine-portable spelling of the same argmin (slice → sqDist →
+    * array_min with cid tie-break). Kept as the semantic reference
+    * PqSpec pins the native kernel against; not on any production path.
+    */
+  private[graft] def encodeHof(
+      embeddings: DataFrame, codebook: DataFrame, dsub: Int): DataFrame = {
+    requireDsub(codebook, dsub)
+    val keep = embeddings.columns.filterNot(_ == "embedding").map(col)
     embeddings
-      .crossJoin(broadcast(cbOne))
-      .select(col("vec_id"),
+      .crossJoin(broadcast(collapsedCodebook(codebook)))
+      .select(keep :+
         transform(col("cb"), sc =>
           array_min(transform(sc("cents"), c =>
             struct(
@@ -179,7 +214,7 @@ object Pq {
                   lit(dsub)),
                 c("centroid")).as("d2"),
               c("cid").as("cid"))))("cid"))
-          .as("codes"))
+          .as("codes"): _*)
   }
 
   /** Per-query ADC lookup table: (query_id, sub, cid, d2) where d2 is
@@ -349,4 +384,283 @@ object Pq {
     encode(embeddings, stored, dim / m)
       .write.mode("overwrite").parquet(s"$path/codes")
   }
+
+  // ---- residual encoding (IVFADC proper) ----------------------------
+  // Plain PQ quantizes RAW vectors, so the codebook's ks centroids must
+  // cover the whole corpus envelope — on hard (near-uniform) corpora
+  // that dynamic range starves per-cell resolution and recall collapses
+  // (X105 honestly measured 0–0.4). Production IVFADC (Jégou, Douze &
+  // Schmid 2011, "Product quantization for nearest neighbor search")
+  // quantizes each vector's RESIDUAL against its coarse IVF centroid:
+  // the residual cloud is centered and much tighter than the corpus, so
+  // the same m·ks codebook spends its cells on the part of the signal
+  // the coarse quantizer didn't already explain. Query-side distance is
+  // still table-lookup ADC, but the lookup table becomes per-(query,
+  // probed list): d²(q, c_L + r̂) = Σ_sub |(q − c_L)_sub − cb[sub][code]|²
+  // — the same |x|² − 2x·y + |y|² expansion over the RESIDUAL QUERY
+  // x = q − c_L, which is why the whole search stays engine-portable
+  // double math over persisted bytes.
+
+  /** Each vector's coarse assignment and float32 residual against its
+    * nearest of `cents`: (vec_id, list_id, embedding = v − c_list).
+    * Map-side ([[Ivf.assign]]'s broadcast argmax + one zip_with);
+    * float32 subtraction is exact IEEE and deterministic, and the
+    * residual frame is generation-side only — everything declared
+    * downstream reads the PERSISTED codes, not this computation.
+    */
+  def residualVectors(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    Ivf.assign(embeddings, cents)
+      .join(
+        broadcast(cents.select(
+          col("centroid_id").as("list_id"), col("centroid").as("__c"))),
+        Seq("list_id"))
+      .select(col("vec_id"), col("list_id"),
+        zip_with(col("embedding"), col("__c"),
+          (x, y) => (x - y).cast("float")).as("embedding"))
+
+  /** Train per-subspace codebooks over the RESIDUALS of `embeddings`
+    * against the coarse `cents` — same Lloyd discipline and knobs as
+    * [[trainCodebooks]], tighter input cloud.
+    */
+  def trainResidualCodebooks(
+      embeddings: DataFrame,
+      cents: DataFrame,
+      m: Int,
+      ks: Int,
+      iters: Int,
+      dim: Int,
+      sampleFraction: Double = 1.0,
+      seed: Long = 42L): DataFrame =
+    trainCodebooks(residualVectors(embeddings, cents), m, ks, iters, dim,
+      sampleFraction, seed)
+
+  /** The residual-query ADC lookup table reshaped for the scan: one row
+    * per (query, probed list), `luts` = array over subs of (array over
+    * cids of d2), where d2 = |(q − c_list)_sub|² − 2·(q − c_list)_sub ·
+    * cb + |cb|² — the double expansion over the DOUBLE residual query
+    * (elementwise exact subtraction), left-to-right accumulated like
+    * every other portable sum in this file. nq × nProbe × m × ks
+    * entries — metadata-sized.
+    */
+  private def residualLutRows(
+      queries: DataFrame,
+      cents: DataFrame,
+      codebook: DataFrame,
+      nProbe: Int,
+      dsub: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-query nProbe nearest lists by the SAME float-dot expansion
+    // the plain composition's coarse probe uses, carrying the residual
+    // query q − c_list as exact elementwise double subtraction
+    val probed = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"),
+        col("centroid_id").as("list_id"),
+        sqDist(col("qvec"), col("centroid")).as("cd2"),
+        zip_with(col("qvec"), col("centroid"),
+          (x, y) => x.cast("double") - y.cast("double")).as("qr"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cd2"), col("list_id"))))
+      .filter(col("rnk") <= nProbe)
+      .select("query_id", "list_id", "qr")
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val lut = probed.crossJoin(broadcast(codebook))
+      .select(col("query_id"), col("list_id"), col("sub"), col("cid"), {
+        val qrs = slice(col("qr"), col("sub") * lit(dsub) + lit(1), lit(dsub))
+        (dotD(qrs, qrs) - lit(2.0) * dotD(qrs, col("centroid")) +
+          dot(col("centroid"), col("centroid"))).as("d2")
+      })
+    lut.groupBy("query_id", "list_id", "sub")
+      .agg(sort_array(collect_list(struct(col("cid"), col("d2")))).as("cd"))
+      .select(col("query_id"), col("list_id"), col("sub"),
+        transform(col("cd"), x => x("d2")).as("ds"))
+      .groupBy("query_id", "list_id")
+      .agg(sort_array(collect_list(struct(col("sub"), col("ds")))).as("sd"))
+      .select(col("query_id"), col("list_id"),
+        transform(col("sd"), x => x("ds")).as("luts"))
+  }
+
+  /** IVFADC top-k over residual codes: `codes` = (vec_id, list_id,
+    * codes) from [[writeResidualIndex]], ranked by the per-(query,
+    * probed-list) residual lookup table. The broadcast LUT inner join
+    * on list_id IS the probe pruning — only codes in a query's probed
+    * lists are ever scored, so the scan cost is the probed fraction of
+    * N·m bytes and nothing data-sized shuffles before the per-query
+    * top-k. With a single zero coarse centroid this degenerates to
+    * exactly [[adcTopK]] (the property PqSpec pins).
+    */
+  def ivfAdcResidualTopK(
+      codes: DataFrame,
+      codebook: DataFrame,
+      cents: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      dsub: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scan = codes
+      .join(broadcast(residualLutRows(queries, cents, codebook, nProbe, dsub)),
+        Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(aggregate(
+          zip_with(col("codes"), col("luts"),
+            (cd, sl) => element_at(sl, cd + 1)),
+          lit(0.0), (s, x) => s + x), 6).as("adc_d2"))
+    scan.withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_d2"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc_d2"))
+      .orderBy("query_id", "adc_d2", "vec_id")
+  }
+
+  /** Build + persist the RESIDUAL PQ artifact against the given coarse
+    * centroids: `$path/cents` (the coarse quantizer — part of the
+    * index identity, since every stored code is a residual AGAINST
+    * these exact floats), `$path/codebook` (sub, cid, centroid —
+    * trained on residuals) and `$path/codes` (vec_id, list_id, codes).
+    * Same persisted-bytes discipline as [[writeIndex]]: downstream
+    * searches read the SAME cents/codebook bytes this build wrote.
+    */
+  def writeResidualIndex(
+      embeddings: DataFrame,
+      cents: DataFrame,
+      path: String,
+      m: Int,
+      ks: Int,
+      iters: Int,
+      dim: Int): Unit = {
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/cents")
+    val storedCents = embeddings.sparkSession.read.parquet(s"$path/cents")
+    val cb = trainResidualCodebooks(embeddings, storedCents, m, ks, iters, dim)
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    val stored = embeddings.sparkSession.read.parquet(s"$path/codebook")
+    encode(residualVectors(embeddings, storedCents), stored, dim / m)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** The residual-encoding GO/NO-GO diagnostic: how much of the
+    * corpus's squared mass the coarse quantizer explains. One row —
+    * avg |v|², avg |v − c_assigned|² (the [[sqDist]] expansion over
+    * the assigned centroid), and their ratio `residual_gain`. Residual
+    * PQ beats plain PQ at equal m·ks exactly when the ratio is < 1
+    * (the residual cloud is tighter than the raw corpus — PqSpec's
+    * off-origin-cluster fixture); on a near-isotropic corpus the ratio
+    * reads ≥ 1 and a production operator keeps the plain tier (or
+    * fixes the coarse quantizer) instead of shipping a residual index
+    * that cannot help. Cost: one map-side assign + one global
+    * aggregate.
+    */
+  // ---- streaming codes deltas ----------------------------------------
+  // The ADC tier's twin of Ivf's vector deltas: a long-lived ingest
+  // ([[graft.streaming.StreamOps.vectorIngestStream]] with a pqPath)
+  // encodes each arriving micro-batch against the FROZEN persisted
+  // codebook and lands it in `$path/codes_delta/b<batchId>` — encode is
+  // a deterministic per-row map over frozen floats, so a streamed code
+  // is bit-identical to the batch encode of the same vector, and the
+  // ADC scan over base ∪ deltas equals the batch scan over the union
+  // corpus (StreamingSpec pins it). Deltas fold back into the base
+  // codes file via [[compactCodes]], same crash discipline as
+  // [[Ivf.compactIndex]].
+
+  /** Completed (atomically committed) codes-delta dirs, sorted. */
+  private def completedCodesDeltas(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/codes_delta")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(s =>
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** The PQ artifact's codes — base plus every completed streaming
+    * delta. Same schema as `$path/codes` (the residual artifact's rows
+    * carry list_id); listing cost O(1 + nDeltas), which is why a
+    * long-lived ingest runs [[compactCodes]] periodically.
+    */
+  def codesWithDeltas(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    completedCodesDeltas(spark, path)
+      .map(spark.read.parquet(_))
+      .foldLeft(spark.read.parquet(s"$path/codes"))(_ unionByName _)
+
+  /** Fold completed codes deltas into the base codes file — pure row
+    * movement (codes are already encoded). Crash discipline mirrors
+    * [[Ivf.compactIndex]]: the union is fully staged in `codes.next`
+    * with a `_FOLDED_DELTAS` manifest before any rename; a retry
+    * recovers a base lost mid-swap (completing `codes.next`, falling
+    * back to `codes.old`) and a manifest inside the live base names the
+    * already-folded deltas so they are deleted, never folded twice.
+    * `failpoint` is test-only crash injection (PqSpec).
+    */
+  def compactCodes(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      failpoint: String = ""): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+    def del(p: String): Unit = if (fs.exists(hp(p))) fs.delete(hp(p), true)
+    def crash(point: String): Unit =
+      if (failpoint == point)
+        throw new IllegalStateException(s"injected crash at $point")
+    val base = s"$path/codes"
+    val next = s"$path/codes.next"
+    val old = s"$path/codes.old"
+    // recovery 1: died between the two swap renames — no base dir
+    if (!fs.exists(hp(base))) {
+      if (fs.exists(hp(s"$next/_FOLDED_DELTAS"))) fs.rename(hp(next), hp(base))
+      else if (fs.exists(hp(old))) fs.rename(hp(old), hp(base))
+      else throw new IllegalStateException(
+        s"$base missing and neither $next (manifest'd) nor $old exists — not a recoverable compaction crash")
+    }
+    // recovery 2: swapped but died before cleanup — delete the deltas
+    // the live base's manifest names (folding them twice duplicates
+    // rows) plus the stale swap dirs
+    val manifest = hp(s"$base/_FOLDED_DELTAS")
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val folded = scala.io.Source.fromInputStream(in).getLines().toSeq
+      in.close()
+      folded.foreach(del)
+      del(old)
+      del(next)
+      fs.delete(manifest, false)
+    }
+    val deltas = completedCodesDeltas(spark, path)
+    if (deltas.nonEmpty) {
+      deltas.map(spark.read.parquet(_))
+        .foldLeft(spark.read.parquet(base))(_ unionByName _)
+        .write.mode("overwrite").parquet(next)
+      val out = fs.create(hp(s"$next/_FOLDED_DELTAS"), true)
+      out.write((deltas.mkString("\n") + "\n").getBytes("UTF-8"))
+      out.close()
+      crash("after-stage")
+      del(old)
+      fs.rename(hp(base), hp(old))
+      crash("after-swap-out")
+      fs.rename(hp(next), hp(base))
+      crash("after-swap-in")
+      del(old)
+      deltas.foreach(del)
+      fs.delete(manifest, false)
+    }
+  }
+
+  def residualGain(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    Ivf.assign(embeddings, cents)
+      .join(
+        broadcast(cents.select(
+          col("centroid_id").as("list_id"), col("centroid").as("__c"))),
+        Seq("list_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_vectors"),
+        round(avg(dot(col("embedding"), col("embedding"))), 6)
+          .as("avg_raw_d2"),
+        round(avg(sqDist(col("embedding"), col("__c"))), 6)
+          .as("avg_residual_d2"),
+        round(avg(sqDist(col("embedding"), col("__c"))) /
+          avg(dot(col("embedding"), col("embedding"))), 6)
+          .as("residual_gain"))
 }

@@ -91,7 +91,11 @@ class PlanAuditSpec extends SparkSpec {
       "X101_hybrid_rrf", "X102_kn_heldout_logprob",
       // X107 rides Ivf.assign's 1-row collapsed-centroid-array
       // aggregate (X60's shape) for the coarse list assignment
-      "X107_ivfpq_top5")
+      "X107_ivfpq_top5",
+      // X110 (round 12): the residual-gain report IS a 1-row global
+      // aggregate (corpus averages of |v|² and |v−c|²), plus
+      // Ivf.assign's collapsed-centroid-array collapse (X60's shape)
+      "X110_residual_gain")
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against
@@ -145,7 +149,17 @@ class PlanAuditSpec extends SparkSpec {
       // scans (X52's shape); X107 adds Ivf.assign's collapsed-array
       // broadcast (X60's shape) and the broadcast probed-lists semi
       "X104_pq_adc_top5", "X105_pq_recall", "X106_margin_pairs",
-      "X107_ivfpq_top5")
+      "X107_ivfpq_top5",
+      // X108/X109 (round 12): the residual IVFADC scan joins codes
+      // against the broadcast (nq × nProbe)-row residual lookup-table
+      // frame — the LUT generation itself crosses the nq-row query set
+      // with the nLists centroid / m·ks codebook broadcasts, all
+      // metadata-sized (X104's shape, per probed list); X109's exact
+      // side is the broadcast-queries scan
+      "X108_ivfadc_top5", "X109_ivfadc_recall",
+      // X110 is one map-side Ivf.assign (collapsed-array broadcast)
+      // plus a global aggregate
+      "X110_residual_gain")
     val sf001Dir = "/root/testdata/sf0.001"
     // AUDIT BLIND SPOT (ADVICE r8, accepted): queries that lazily
     // localCheckpoint an expensive prefix (X53, X80, X81) truncate

@@ -126,6 +126,90 @@ class PqSpec extends SparkSpec {
       s"self-ADC distance must be exactly 0, got $d")
   }
 
+  test("native encode kernel ≡ certified HOF twin — trained, residual, ragged, null-element fixtures") {
+    def codesOf(enc: DataFrame): Map[Long, Seq[Any]] =
+      enc.select("vec_id", "codes").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[Any](1).toSeq)).toMap
+
+    // 1) the production shape: trained codebook over the clustered
+    //    corpus — bitwise-identical codes
+    val (df, _) = clustered(per = 5)
+    val cb = Pq.trainCodebooks(df, m, ks, iters = 2, dim = dim)
+    assert(codesOf(Pq.encode(df, cb, dsub)) ==
+      codesOf(Pq.encodeHof(df, cb, dsub)))
+
+    // 2) a residual frame: the extra list_id column passes through both
+    val cents = Ivf.centroids(df, nLists = 2)
+    val res = Pq.residualVectors(df, cents)
+    val kern = Pq.encode(res, cb, dsub)
+      .select("vec_id", "list_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Any](2).toSeq)).toSeq.sortBy(_._1)
+    val hof = Pq.encodeHof(res, cb, dsub)
+      .select("vec_id", "list_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Any](2).toSeq)).toSeq.sortBy(_._1)
+    assert(kern == hof)
+
+    // 3) adversarial shapes against the exact basis codebook: a ragged
+    //    embedding (last subspace's slice is short → every d2 NULL →
+    //    nulls-first argmin), a too-long embedding (extra tail ignored),
+    //    and a null ELEMENT (poisons its subspace's distances) — the
+    //    kernel must reproduce the HOF's null semantics exactly
+    val nullable = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val weird = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Seq.tabulate(13)(i => java.lang.Float.valueOf(i * 0.1f))),
+        Row(2L, Seq.tabulate(20)(i => java.lang.Float.valueOf(i * 0.1f))),
+        Row(3L, Seq.tabulate(dim)(i =>
+          if (i == 5) null else java.lang.Float.valueOf(i * 0.1f))),
+        Row(4L, Seq.empty[java.lang.Float]),
+        Row(5L, null)),
+      nullable)
+    val k3 = codesOf(Pq.encode(weird, basisCodebook, dsub))
+    val h3 = codesOf(Pq.encodeHof(weird, basisCodebook, dsub))
+    assert(k3 == h3, s"adversarial mismatch:\n$k3\nvs\n$h3")
+    // and the fixtures actually exercised the null paths: the ragged
+    // row's last code fell back to the nulls-first winner (cid 0)
+    assert(k3(1L).last == 0)
+  }
+
+  test("codes compaction: a crash injected at every swap window recovers on retry — no lost or double-folded codes") {
+    val (df, _) = clustered(per = 5)
+    val a = df.filter(col("vec_id") % 2 === 0)
+    val b = df.filter(col("vec_id") % 2 === 1)
+    val q = df.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    for (fp <- Seq("after-stage", "after-swap-out", "after-swap-in")) {
+      val dir = tmp(s"graft-pq-crash-$fp")
+      Pq.writeIndex(a, dir, m = m, ks = ks, iters = 2, dim = dim)
+      val cb = spark.read.parquet(s"$dir/codebook")
+      // one completed streaming-shaped delta: the odd half's codes
+      Pq.encode(b, cb, dsub).write.parquet(s"$dir/codes_delta/b0")
+      val want = Pq.adcTopK(
+          Pq.encode(df, cb, dsub), cb, q, k = 5, dsub = dsub)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val ex = intercept[IllegalStateException] {
+        Pq.compactCodes(spark, dir, failpoint = fp)
+      }
+      assert(ex.getMessage.contains(fp))
+      // the RETRY must self-recover: fold exactly once, clean staging
+      Pq.compactCodes(spark, dir)
+      for (leftover <- Seq("codes.next", "codes.old", "codes_delta/b0",
+          "codes/_FOLDED_DELTAS"))
+        assert(!new java.io.File(s"$dir/$leftover").exists(),
+          s"[$fp] $leftover must be gone after recovery")
+      val folded = spark.read.parquet(s"$dir/codes")
+      assert(folded.count() == df.count(), s"[$fp] row count after recovery")
+      assert(folded.select("vec_id").distinct().count() == df.count(),
+        s"[$fp] no codes row may be folded twice")
+      val got = Pq.adcTopK(folded, cb, q, k = 5, dsub = dsub)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == want, s"[$fp] ADC over recovered base diverged")
+    }
+  }
+
   test("adcTopK equals a driver-side reference ADC over the same artifact") {
     val (df, _) = clustered(per = 5)
     val cb = Pq.trainCodebooks(df, m, ks, iters = 2, dim = dim)
@@ -233,6 +317,89 @@ class PqSpec extends SparkSpec {
     val rows = Pq.adcTopK(codes, cb, q, k = 10, dsub = dsub)
       .collect().map(_.getDouble(2)).toSeq
     assert(rows.nonEmpty && rows == rows.sorted)
+  }
+
+  test("residual IVFADC with a single zero coarse centroid degenerates to plain ADC exactly") {
+    // residual against the origin IS the vector (float sub is exact),
+    // and the residual query q − 0 cast to double multiplies out to
+    // the same left-to-right products as the float-dot lut — so with
+    // one zero centroid the whole residual pipeline must reproduce
+    // adcTopK bit-for-bit (codes AND distances), pinned on the exact
+    // basis codebook so the property is trainer-independent
+    val (df, _) = clustered(per = 5)
+    val zeroCents = spark.createDataFrame(
+      java.util.Arrays.asList(Row(0L, Array.fill(dim)(0.0f))),
+      StructType(Seq(
+        StructField("centroid_id", LongType),
+        StructField("centroid", ArrayType(FloatType)))))
+    val cb = basisCodebook
+    val plainCodes = Pq.encode(df, cb, dsub)
+    val resCodes = Pq.encode(Pq.residualVectors(df, zeroCents), cb, dsub)
+    assert(resCodes.select("vec_id", "codes").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).sortBy(_._1).toSeq ==
+      plainCodes.select("vec_id", "codes").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).sortBy(_._1).toSeq,
+      "zero-centroid residual codes must equal plain codes")
+    val q = df.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val plain = Pq.adcTopK(plainCodes, cb, q, k = 5, dsub = dsub)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val res = Pq.ivfAdcResidualTopK(resCodes, cb, zeroCents, q, k = 5,
+        nProbe = 1, dsub = dsub)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(res == plain, s"degenerate residual ADC diverged:\n$res\nvs\n$plain")
+  }
+
+  test("residual encoding strictly improves recall on off-origin clusters at equal m/ks") {
+    // the IVFADC motivation made measurable: clusters whose CENTERS
+    // dominate the signal (norm ≫ intra-cluster spread). Plain PQ must
+    // spend its ks cells covering the center geometry and collapses
+    // same-cluster members onto one code (ADC can no longer rank
+    // within the cluster); residual PQ quantizes only the member
+    // spread after the coarse centroid explains the center — the same
+    // m·ks budget buys intra-cluster resolution.
+    val protos = (0 until 4).map { c =>
+      Array.tabulate(dim)(i => if (i % 4 == c) 10.0f else 0.0f)
+    }
+    val per = 6
+    val rows = for {
+      c <- 0 until 4
+      j <- 0 until per
+    } yield {
+      val id = (c * per + j).toLong
+      val v = protos(c).clone()
+      // deterministic member spread across SEVERAL dims so the exact
+      // within-cluster ranking is informative
+      (0 until dim).foreach(i => v(i) = v(i) + 0.05f * (((id + i) % 5) - 2))
+      (id, v)
+    }
+    val df = vecsDf(rows)
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(protos.zipWithIndex.map { case (p, c) =>
+        Row(c.toLong, p)
+      }: _*),
+      StructType(Seq(
+        StructField("centroid_id", LongType),
+        StructField("centroid", ArrayType(FloatType)))))
+    val q = df.filter(col("vec_id").isin(0L, 6L, 12L, 18L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Pq.exactL2TopK(df, q, k = 4)
+
+    val cbPlain = Pq.trainCodebooks(df, m, ks, iters = 3, dim = dim)
+    val plainRec = Pq.recallAtK(
+        Pq.adcTopK(Pq.encode(df, cbPlain, dsub), cbPlain, q, k = 4, dsub = dsub),
+        exact)
+      .agg(avg("recall")).first().getDouble(0)
+
+    val cbRes = Pq.trainResidualCodebooks(df, cents, m, ks, iters = 3, dim = dim)
+    val resCodes = Pq.encode(Pq.residualVectors(df, cents), cbRes, dsub)
+    val resRec = Pq.recallAtK(
+        Pq.ivfAdcResidualTopK(resCodes, cbRes, cents, q, k = 4, nProbe = 4,
+          dsub = dsub),
+        exact)
+      .agg(avg("recall")).first().getDouble(0)
+    assert(resRec > plainRec,
+      s"residual recall $resRec must strictly beat plain recall $plainRec at equal m/ks")
   }
 
   test("marginMinedPairs: mines the planted aligned pair, matches the driver reference") {

@@ -1423,6 +1423,91 @@ class StreamingSpec extends SparkSpec {
       spark, idx, probeVec, k = 6, nProbe = 16)) == brute)
   }
 
+  test("streaming PQ delta encode: ADC over base+deltas equals batch ADC over the union corpus (plain and residual)") {
+    val emb = Tables.load(spark, sf01, "embeddings")
+      .select("vec_id", "embedding")
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val m = 8
+    val dsub = dim / m
+    // base artifacts on the even half: IVF (the raw-vector channel) +
+    // plain PQ + residual PQ, codebooks frozen from here on
+    val idx = Files.createTempDirectory("graft-pqstream-idx").toString
+    graft.vector.Ivf.writeIndex(a, idx, nLists = 8)
+    val pq = Files.createTempDirectory("graft-pqstream-pq").toString
+    graft.vector.Pq.writeIndex(a, pq, m = m, ks = 16, iters = 2, dim = dim)
+    val pqr = Files.createTempDirectory("graft-pqstream-pqr").toString
+    graft.vector.Pq.writeResidualIndex(
+      a, graft.vector.Ivf.centroids(a, nLists = 8), pqr,
+      m = m, ks = 16, iters = 2, dim = dim)
+
+    def ingest(pqPath: String): Unit = {
+      val srcDir = Files.createTempDirectory("graft-pqstream-src")
+      val ckpt = Files.createTempDirectory("graft-pqstream-ckpt").toString
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("vec_id", org.apache.spark.sql.types.LongType)
+        .add("embedding", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      val query = StreamOps.vectorIngestStream(stream, idx, ckpt,
+        pqPath = Some(pqPath))
+      try {
+        writeChunk(b.filter(col("vec_id") < 250), srcDir, "chunk0")
+        query.processAllAvailable()
+        writeChunk(b.filter(col("vec_id") >= 250), srcDir, "chunk1")
+        query.processAllAvailable()
+      } finally query.stop()
+    }
+
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def rows(df: DataFrame): Seq[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // ---- plain tier: streamed codes ≡ batch encode of the union
+    ingest(pq)
+    assert(new java.io.File(s"$pq/codes_delta").listFiles()
+      .count(_.isDirectory) == 2, "two batch-keyed codes deltas expected")
+    val cb = spark.read.parquet(s"$pq/codebook")
+    val streamed = graft.vector.Pq.codesWithDeltas(spark, pq)
+    val unionCodes = graft.vector.Pq.encode(a.unionByName(b), cb, dsub)
+    val want = rows(graft.vector.Pq.adcTopK(unionCodes, cb, queries,
+      k = 5, dsub = dsub))
+    assert(rows(graft.vector.Pq.adcTopK(streamed, cb, queries,
+      k = 5, dsub = dsub)) == want,
+      "ADC over base+deltas must equal batch ADC over the union corpus")
+
+    // compaction folds the deltas; base-only ADC still equals batch
+    graft.vector.Pq.compactCodes(spark, pq)
+    assert(!new java.io.File(s"$pq/codes_delta").exists() ||
+      new java.io.File(s"$pq/codes_delta").listFiles().isEmpty,
+      "compaction must remove folded codes deltas")
+    assert(rows(graft.vector.Pq.adcTopK(
+      spark.read.parquet(s"$pq/codes"), cb, queries,
+      k = 5, dsub = dsub)) == want)
+    // idempotent with nothing to fold
+    graft.vector.Pq.compactCodes(spark, pq)
+    assert(rows(graft.vector.Pq.adcTopK(
+      spark.read.parquet(s"$pq/codes"), cb, queries,
+      k = 5, dsub = dsub)) == want)
+
+    // ---- residual tier: streamed residual codes ≡ batch residual
+    // encode of the union against the SAME frozen cents + codebook
+    ingest(pqr)
+    val cents = spark.read.parquet(s"$pqr/cents")
+    val cbr = spark.read.parquet(s"$pqr/codebook")
+    val unionRes = graft.vector.Pq.encode(
+      graft.vector.Pq.residualVectors(a.unionByName(b), cents), cbr, dsub)
+    val wantRes = rows(graft.vector.Pq.ivfAdcResidualTopK(unionRes, cbr,
+      cents, queries, k = 5, nProbe = 8, dsub = dsub))
+    assert(rows(graft.vector.Pq.ivfAdcResidualTopK(
+      graft.vector.Pq.codesWithDeltas(spark, pqr), cbr, cents, queries,
+      k = 5, nProbe = 8, dsub = dsub)) == wantRes,
+      "residual ADC over base+deltas must equal batch over the union")
+  }
+
   test("streaming overlap-span gate: replayed corpus reproduces the batch X96 report exactly") {
     val docs = Tables.load(spark, sf001, "documents")
     val corpus = docs.filter(col("source") =!= "src0")
