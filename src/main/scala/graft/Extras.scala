@@ -524,16 +524,17 @@ object Extras {
     * proper): the same m=8 × ks=16 × 3-Lloyd budget as the plain X104
     * index, but trained/encoded on each vector's residual against its
     * coarse centroid. The coarse quantizer is [[ivfIndexDir]]'s
-    * hash-sampled start REFINED by 4 spherical-k-means iterations
+    * hash-sampled start REFINED by 4 plain L2-Lloyd iterations
     * (residual encoding is only as good as the variance the coarse
-    * quantizer explains — X110 surfaces exactly that ratio), persisted
+    * quantizer explains — X110 surfaces exactly that ratio, and L2
+    * means with L2 assignment are what make it < 1), persisted
     * INSIDE the artifact as `$dir/cents` because every stored code is
     * a residual against those exact floats. `$dir/cents` +
     * `$dir/codebook` + `$dir/codes` (vec_id, list_id, codes), built
     * once per corpus stamp and MIRRORED for the oracles.
     */
   private def pqrIndexDir(c: Catalog): String = {
-    val st = stamp(c.dir, "embeddings", "pqr:8:16:3:ivf16km4")
+    val st = stamp(c.dir, "embeddings", "pqr:8:16:3:ivf16km4l2")
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_pqr_" + st).toString
     if (!new java.io.File(s"$dir/codes", "_SUCCESS").exists()) {
@@ -541,7 +542,9 @@ object Extras {
       val dim = c.embeddings
         .select(org.apache.spark.sql.functions.size(col("embedding")))
         .first().getInt(0)
-      val refined = graft.vector.Ivf.refineCentroids(
+      // L2-Lloyd means, NOT the spherical refinement: the residual
+      // tier's metric is squared-L2 end-to-end (see Pq.residualVectors)
+      val refined = graft.vector.Ivf.refineCentroidsL2(
         c.embeddings, base, iters = 4, dim = dim)
       graft.vector.Pq.writeResidualIndex(c.embeddings, refined, dir,
         m = 8, ks = 16, iters = 3, dim = dim)
@@ -3448,10 +3451,10 @@ FROM exact x LEFT JOIN approx a
   ON a.query_id = x.query_id AND a.vec_id = x.vec_id
 GROUP BY 1 ORDER BY 1
 """.trim,
-    // X110: the residual-encoding go/no-go — assign = Ivf.assign's
-    // argmax (max dot, tie: min centroid_id) over the mirrored refined
-    // coarse quantizer, then the corpus averages of |v|² and the
-    // |v|²−2v·c+|c|² residual expansion
+    // X110: the residual-encoding go/no-go — assign = Ivf.assignL2's
+    // argmin (min |v|²−2v·c+|c|², tie: min centroid_id) over the
+    // mirrored refined coarse quantizer, then the corpus averages of
+    // |v|² and the same residual expansion
     "X110_residual_gain" -> s"""
 WITH cents AS (SELECT centroid_id, centroid
                FROM read_parquet('$oracleIdxRoot/pqr/cents/*.parquet')),
@@ -3459,7 +3462,9 @@ assigned AS (
   SELECT vec_id, embedding, centroid FROM (
     SELECT e.vec_id, e.embedding, c.centroid,
       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-        list_inner_product(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+        list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+        - 2 * list_inner_product(e.embedding::DOUBLE[], c.centroid::DOUBLE[])
+        + list_inner_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[]),
         c.centroid_id) AS rk
     FROM embeddings e CROSS JOIN cents c) z WHERE rk = 1)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,

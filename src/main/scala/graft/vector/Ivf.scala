@@ -57,6 +57,65 @@ object Ivf {
       .select(col("vec_id"), col("embedding"), (-col("best.neg_id")).as("list_id"))
   }
 
+  /** Squared-L2 assignment: each vector to the centroid minimizing
+    * |v − c|² (the |v|² − 2·v·c + |c|² expansion, centroid_id ascending
+    * tie-break) — the coarse-quantizer semantics of the RESIDUAL PQ
+    * tier ([[Pq.residualVectors]]), whose codes, probe ranking and ADC
+    * tables are all squared-L2. [[assign]]'s max-dot is the cosine
+    * spine's argmax; the two genuinely differ on non-unit centroids
+    * (L2-Lloyd means), and mixing them costs residual recall — each
+    * tier uses its own. Same map-side collapsed-broadcast shape.
+    */
+  def assignL2(embeddings: DataFrame, cents: DataFrame): DataFrame = {
+    val centsArr = cents.agg(
+      sort_array(collect_list(struct(col("centroid_id"), col("centroid")))).as("cents"))
+    embeddings
+      .crossJoin(broadcast(centsArr))
+      .withColumn("best",
+        array_min(transform(col("cents"), c =>
+          struct(
+            (dot(col("embedding"), col("embedding")) -
+              lit(2.0) * dot(col("embedding"), c("centroid")) +
+              dot(c("centroid"), c("centroid"))).as("d2"),
+            c("centroid_id").as("cid")))))
+      .select(col("vec_id"), col("embedding"),
+        col("best.cid").cast("long").as("list_id"))
+  }
+
+  /** Plain (Euclidean) k-means refinement — [[assignL2]] then the
+    * per-list elementwise mean, NOT renormalized: the mean is the
+    * L2-optimal center, so each round can only shrink the within-list
+    * squared mass, which is exactly what the residual PQ tier
+    * quantizes ([[Pq.residualGain]] < 1 by construction once a
+    * global-mean-dominated start has been refined). Lists that go
+    * empty keep their previous centroid. Same per-round cost shape as
+    * [[refineCentroids]].
+    */
+  def refineCentroidsL2(
+      embeddings: DataFrame,
+      cents: DataFrame,
+      iters: Int,
+      dim: Int,
+      sampleFraction: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    val pool =
+      if (sampleFraction >= 1.0) embeddings
+      else embeddings.sample(withReplacement = false, sampleFraction, seed)
+    var cur = cents
+    for (_ <- 0 until iters) {
+      val avgs = (0 until dim).map(i => avg(element_at(col("embedding"), i + 1)).as(s"m$i"))
+      val means = assignL2(pool, cur)
+        .groupBy("list_id")
+        .agg(avgs.head, avgs.tail: _*)
+        .select(col("list_id").as("centroid_id"),
+          array((0 until dim).map(i => col(s"m$i").cast("float")): _*).as("next"))
+      cur = cur.select(col("centroid_id"), col("centroid").as("prev"))
+        .join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("next"), col("prev")).as("centroid"))
+    }
+    cur
+  }
+
   /** Spherical k-means (Lloyd) refinement of the hash-sampled centroids:
     * `iters` rounds of assign → per-list element-wise mean → renormalize
     * to the unit sphere (so the dot-product argmax stays a cosine

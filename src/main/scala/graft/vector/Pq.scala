@@ -402,14 +402,21 @@ object Pq {
   // double math over persisted bytes.
 
   /** Each vector's coarse assignment and float32 residual against its
-    * nearest of `cents`: (vec_id, list_id, embedding = v − c_list).
-    * Map-side ([[Ivf.assign]]'s broadcast argmax + one zip_with);
+    * L2-NEAREST of `cents`: (vec_id, list_id, embedding = v − c_list).
+    * Map-side ([[Ivf.assignL2]]'s broadcast argmin + one zip_with);
     * float32 subtraction is exact IEEE and deterministic, and the
     * residual frame is generation-side only — everything declared
     * downstream reads the PERSISTED codes, not this computation.
+    *
+    * L2, not max-dot, deliberately: the whole residual tier (codes,
+    * probe ranking, ADC tables) is squared-L2, and assigning by the
+    * cosine argmax against non-unit L2-Lloyd means puts vectors in
+    * lists the probe would not rank first — measured on the sf0.01
+    * corpus the mixed-metric form read residual_gain 1.33 (residuals
+    * WORSE than raw) where the L2-consistent form reads < 1.
     */
   def residualVectors(embeddings: DataFrame, cents: DataFrame): DataFrame =
-    Ivf.assign(embeddings, cents)
+    Ivf.assignL2(embeddings, cents)
       .join(
         broadcast(cents.select(
           col("centroid_id").as("list_id"), col("centroid").as("__c"))),
@@ -649,7 +656,7 @@ object Pq {
   }
 
   def residualGain(embeddings: DataFrame, cents: DataFrame): DataFrame =
-    Ivf.assign(embeddings, cents)
+    Ivf.assignL2(embeddings, cents)
       .join(
         broadcast(cents.select(
           col("centroid_id").as("list_id"), col("centroid").as("__c"))),

@@ -20,6 +20,48 @@ class IvfSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("assignL2 matches a driver-side L2 argmin; L2-Lloyd refinement drives residualGain below 1") {
+    import org.apache.spark.sql.functions._
+    val emb = cat.embeddings
+    val cents = Ivf.centroids(emb, 16)
+    // driver reference: same |v|²−2v·c+|c|² expansion, left-to-right
+    // double sums, min (d2, centroid_id)
+    val cRows = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var saa = 0.0; var sab = 0.0; var sbb = 0.0; var i = 0
+      while (i < a.length) {
+        saa += a(i).toDouble * a(i).toDouble
+        sab += a(i).toDouble * b(i).toDouble
+        sbb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      (saa - 2.0 * sab) + sbb
+    }
+    val want = emb.collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      r.getLong(0) -> cRows.toSeq.map { case (id, c) => (d2(v, c), id) }.min._2
+    }.toMap
+    val got = Ivf.assignL2(emb, cents)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "assignL2 must be the exact L2 argmin with centroid_id tie-break")
+
+    // the metric-consistency property the residual tier rides: L2-Lloyd
+    // means shrink the assigned residual mass each round, so the
+    // refined quantizer explains positive variance (gain < 1) where the
+    // spherical/max-dot pairing on this corpus measured gain > 1
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val refined = Ivf.refineCentroidsL2(emb, cents, iters = 4, dim = dim)
+    val gain = graft.vector.Pq.residualGain(emb, refined)
+      .first().getDouble(3)
+    assert(gain < 1.0, s"L2-refined residual gain must be < 1, got $gain")
+    // and refinement helped over the unrefined start
+    val gain0 = graft.vector.Pq.residualGain(emb, cents)
+      .first().getDouble(3)
+    assert(gain < gain0, s"refinement must tighten residuals: $gain vs $gain0")
+  }
+
   test("IVF assignment partitions the corpus") {
     val cents = Ivf.centroids(cat.embeddings, 16)
     assert(cents.count() == 16)
