@@ -1524,10 +1524,12 @@ object Extras {
         graft.vector.Pq.exactL2TopK(c.embeddings, pqQueries(c), k = 5))
     }),
     // the residual-encoding go/no-go ratio: avg |v − c_assigned|² over
-    // avg |v|² against the refined coarse quantizer — < 1 means the
-    // residual tier can beat plain PQ at equal budget, ≥ 1 (this
-    // near-isotropic synthetic corpus) means keep the plain tier;
-    // fully oracle-checked
+    // avg |v|² against the L2-refined coarse quantizer — well below 1
+    // means the residual tier beats plain PQ at equal budget; this
+    // near-isotropic synthetic corpus reads 0.887 (only ~11% of mass
+    // explained), honestly warning the tier buys little here, and the
+    // mixed-metric pairing this replaced read 1.33; fully
+    // oracle-checked
     "X110_residual_gain" -> q(c =>
       graft.vector.Pq.residualGain(
         c.embeddings,

@@ -47,6 +47,25 @@ object Pq {
   private def sqDist(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
+  /** The ADC fold — per (candidate, query) row, the sum of the lut
+    * cells the codes select — as the codegen'd
+    * [[graft.functions.AdcSum]] kernel: this runs once per scanned
+    * candidate row, the scan mass of the whole compressed tier. PqSpec
+    * pins it against [[adcFoldHof]] (the engine-portable spelling the
+    * oracle restates) on valid and adversarial fixtures.
+    */
+  private def adcFold(codes: Column, luts: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.AdcSum(
+        org.apache.spark.sql.GraftColumnBridge.expression(codes),
+        org.apache.spark.sql.GraftColumnBridge.expression(luts)))
+
+  /** The certified HOF twin of [[adcFold]] — semantic reference only. */
+  private[graft] def adcFoldHof(codes: Column, luts: Column): Column =
+    aggregate(
+      zip_with(codes, luts, (cd, sl) => element_at(sl, cd + 1)),
+      lit(0.0), (s, x) => s + x)
+
   /** Fail loud when the caller's `dsub` disagrees with the codebook's
     * stored centroid length. Without this the mismatch is SILENT
     * garbage, not an error: [[dot]] returns NULL on length mismatch
@@ -266,10 +285,7 @@ object Pq {
       .crossJoin(broadcast(lutRows(lookupTable(queries, codebook, dsub))))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(aggregate(
-          zip_with(col("codes"), col("luts"),
-            (cd, sl) => element_at(sl, cd + 1)),
-          lit(0.0), (s, x) => s + x), 6).as("adc_d2"))
+        round(adcFold(col("codes"), col("luts")), 6).as("adc_d2"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_d2"), col("vec_id"))
     scan.withColumn("rnk", row_number().over(w))
@@ -353,10 +369,7 @@ object Pq {
       .join(broadcast(probed), Seq("query_id", "list_id"), "left_semi")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(aggregate(
-          zip_with(col("codes"), col("luts"),
-            (cd, sl) => element_at(sl, cd + 1)),
-          lit(0.0), (s, x) => s + x), 6).as("adc_d2"))
+        round(adcFold(col("codes"), col("luts")), 6).as("adc_d2"))
     scan.withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adc_d2"), col("vec_id"))))
       .filter(col("rnk") <= k)
@@ -510,10 +523,7 @@ object Pq {
         Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(aggregate(
-          zip_with(col("codes"), col("luts"),
-            (cd, sl) => element_at(sl, cd + 1)),
-          lit(0.0), (s, x) => s + x), 6).as("adc_d2"))
+        round(adcFold(col("codes"), col("luts")), 6).as("adc_d2"))
     scan.withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adc_d2"), col("vec_id"))))
       .filter(col("rnk") <= k)
@@ -546,18 +556,6 @@ object Pq {
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
-  /** The residual-encoding GO/NO-GO diagnostic: how much of the
-    * corpus's squared mass the coarse quantizer explains. One row —
-    * avg |v|², avg |v − c_assigned|² (the [[sqDist]] expansion over
-    * the assigned centroid), and their ratio `residual_gain`. Residual
-    * PQ beats plain PQ at equal m·ks exactly when the ratio is < 1
-    * (the residual cloud is tighter than the raw corpus — PqSpec's
-    * off-origin-cluster fixture); on a near-isotropic corpus the ratio
-    * reads ≥ 1 and a production operator keeps the plain tier (or
-    * fixes the coarse quantizer) instead of shipping a residual index
-    * that cannot help. Cost: one map-side assign + one global
-    * aggregate.
-    */
   // ---- streaming codes deltas ----------------------------------------
   // The ADC tier's twin of Ivf's vector deltas: a long-lived ingest
   // ([[graft.streaming.StreamOps.vectorIngestStream]] with a pqPath)
@@ -655,6 +653,20 @@ object Pq {
     }
   }
 
+  /** The residual-encoding GO/NO-GO diagnostic: how much of the
+    * corpus's squared mass the coarse quantizer explains. One row —
+    * avg |v|², avg |v − c_assigned|² (the [[sqDist]] expansion over
+    * the L2-assigned centroid), and their ratio `residual_gain`.
+    * Residual PQ beats plain PQ at equal m·ks exactly when the ratio
+    * is well below 1 (the residual cloud is tighter than the raw
+    * corpus — PqSpec's off-origin-cluster fixture); a ratio NEAR 1
+    * (this near-isotropic synthetic corpus reads 0.887 — the
+    * L2-consistent quantizer explains only ~11%) warns that the
+    * residual tier buys little over plain PQ, and ≥ 1 would mean a
+    * broken (metric-mixed or unrefined) coarse quantizer — IvfSpec
+    * pins that L2-Lloyd refinement keeps it < 1. Cost: one map-side
+    * assign + one global aggregate.
+    */
   def residualGain(embeddings: DataFrame, cents: DataFrame): DataFrame =
     Ivf.assignL2(embeddings, cents)
       .join(

@@ -175,6 +175,53 @@ class PqSpec extends SparkSpec {
     assert(k3(1L).last == 0)
   }
 
+  test("native ADC fold kernel ≡ certified HOF twin — valid, ragged, null and negative-code fixtures") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("codes", ArrayType(IntegerType, containsNull = true)),
+      StructField("luts", ArrayType(
+        ArrayType(DoubleType, containsNull = true), containsNull = true))))
+    val lut2 = Seq(Seq(1.5, 2.5, 3.5), Seq(10.0, 20.0, 30.0))
+    val rows = java.util.Arrays.asList(
+      Row(1L, Seq(0, 2), lut2),                       // valid: 1.5 + 30.0
+      Row(2L, Seq(-2, -4), lut2),                     // negative codes: element_at from-end (idx −1→3.5, idx −3→10.0)
+      Row(3L, Seq(0, 2, 1), lut2),                    // codes longer: pad → null
+      Row(4L, Seq(0), lut2),                          // codes shorter: pad → null
+      Row(5L, Seq(null, 2), lut2),                    // null code → null
+      Row(6L, Seq(0, 2), Seq(Seq(1.5, null, 3.5), Seq(10.0, 20.0, 30.0))), // null cell untouched: still 1.5+30
+      Row(7L, Seq(1, 1), Seq(Seq(1.5, null, 3.5), Seq(10.0, 20.0, 30.0))), // null cell selected → null
+      Row(8L, null, lut2),                            // null codes → null
+      Row(9L, Seq(0, 2), null),                       // null luts → null
+      Row(10L, Seq(0, 2), Seq(null, Seq(10.0, 20.0, 30.0)))) // null lut row → null
+    val df = spark.createDataFrame(rows, schema)
+    val kern = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.AdcSum(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("codes")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("luts"))))
+    val got = df.select(col("id"), kern.as("v"),
+        Pq.adcFoldHof(col("codes"), col("luts")).as("w"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    got.foreach { case (id, v, w) =>
+      assert(v == w, s"row $id: kernel $v != HOF $w")
+    }
+    // the fixtures actually exercised both verdicts
+    val byId = got.map(t => t._1 -> t._2).toMap
+    assert(byId(1L) == 31.5 && byId(6L) == 31.5 && byId(2L) == 13.5)
+    assert(Seq(3L, 4L, 5L, 7L, 10L).forall(byId(_) == null))
+    // a code of -1 (element_at index 0) fails loudly in both forms
+    val bad = spark.createDataFrame(
+      java.util.Arrays.asList(Row(0L, Seq(-1, 0), lut2)), schema)
+    intercept[Exception] {
+      bad.select(kern).collect()
+    }
+    intercept[Exception] {
+      bad.select(Pq.adcFoldHof(col("codes"), col("luts"))).collect()
+    }
+  }
+
   test("codes compaction: a crash injected at every swap window recovers on retry — no lost or double-folded codes") {
     val (df, _) = clustered(per = 5)
     val a = df.filter(col("vec_id") % 2 === 0)

@@ -80,6 +80,10 @@ object ScaleGrowthVectorBench {
     val ivf = scala.collection.mutable.ArrayBuffer[(Int, Double, Long)]()
     // (factor, append wall, rebuild wall) — incremental index maintenance
     val app = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
+    // (factor, delta rows, µs/row big, µs/row tiny) — the
+    // PRODUCTION-size delta (10% of the corpus), where the per-append
+    // fixed cost (nLists dir commits) amortizes across the batch
+    val appBig = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
     // (factor, encode wall, adc wall, per-query 5th-best ADC d2)
     val pq = scala.collection.mutable.ArrayBuffer[(Int, Double, Double, Map[Long, Double])]()
     val probeVec = base.filter(col("vec_id") === 7L)
@@ -157,6 +161,26 @@ object ScaleGrowthVectorBench {
       app += ((f, tAppend, tBuild))
       println(f"SCALEGROWTHVEC IVF_append      factor=$f%2d  $tAppend%8.2f s  " +
         f"(delta=${delta.count()}%,d rows into nLists=${16 * f}; rebuild $tBuild%.2f s)")
+
+      // amortized row (round-12 brief item 6): a PRODUCTION-size delta —
+      // 10% of the corpus — through the same appendToIndex. The tiny
+      // delta above deliberately isolates the fixed cost (one file
+      // commit per touched list dir); this row shows that cost
+      // amortizing: per-row µs must FALL as the delta grows, because
+      // the dir-commit count is capped by nLists while rows scale.
+      val bigDelta = emb.filter(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + lit(950000000L)).as("vec_id"),
+          col("embedding"))
+      val nBig = bigDelta.count()
+      val (_, tBig) = timed(Ivf.appendToIndex(bigDelta, idxDir))
+      require(spark.read.parquet(s"$idxDir/vectors").count() ==
+        n + delta.count() + nBig, "10% append must add exactly its rows")
+      val usTiny = tAppend * 1e6 / delta.count()
+      val usBig = tBig * 1e6 / nBig
+      appBig += ((f, nBig, usBig, usTiny))
+      println(f"SCALEGROWTHVEC IVF_append10pct factor=$f%2d  $tBig%8.2f s  " +
+        f"(delta=$nBig%,d rows = 10%% of corpus; $usBig%.1f µs/row vs " +
+        f"$usTiny%.1f µs/row for the tiny delta)")
       }
 
       // PQ: map-side encode (linear) + the ADC table-lookup scan
@@ -250,6 +274,17 @@ object ScaleGrowthVectorBench {
       println(f"SCALEGROWTHVEC IVF_append wall $a1%.2f s (${f1}x) → $ab%.2f s (${fb}x) " +
         f"vs rebuild $bb%.2f s at ${fb}x — fixed-size delta maintenance stays " +
         "rebuild-free as the corpus grows")
+    }
+    if (appBig.nonEmpty) {
+      // amortization law: the production-size delta's per-row cost must
+      // sit clearly below the tiny delta's at the largest factor (the
+      // fixed dir-commit cost divided across 10%-of-corpus rows)
+      val (fb, nBig, usBig, usTiny) = appBig.last
+      require(usBig < usTiny,
+        s"10% delta must amortize below the tiny delta: $usBig vs $usTiny µs/row at ${fb}x")
+      println(f"SCALEGROWTHVEC IVF_append amortization at ${fb}x: " +
+        f"$usBig%.1f µs/row over the $nBig%,d-row (10%%) delta vs " +
+        f"$usTiny%.1f µs/row for the tiny delta — per-row cost falls with batch size")
     }
 
     spark.stop()
