@@ -588,6 +588,39 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
       pqSearch(indexPath, queries, k, dsub),
       graft.vector.Pq.exactL2TopK(tables.embeddings, queries, k))
 
+  /** Build + persist the RESIDUAL PQ artifact (IVFADC proper, see
+    * [[graft.vector.Pq.writeResidualIndex]]): the coarse quantizer is
+    * the hash-sampled start refined by `kmeansIters` rounds of plain
+    * L2-Lloyd ([[graft.vector.Ivf.refineCentroidsL2]] — the metric the
+    * residual tier quantizes), persisted inside the artifact.
+    */
+  def buildResidualPqIndex(
+      path: String, nLists: Int = 16, kmeansIters: Int = 4,
+      m: Int = 8, ks: Int = 16, iters: Int = 3): Unit = {
+    val dim = tables.embeddings
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding")))
+      .first().getInt(0)
+    val cents = graft.vector.Ivf.refineCentroidsL2(
+      tables.embeddings,
+      graft.vector.Ivf.centroids(tables.embeddings, nLists),
+      kmeansIters, dim)
+    graft.vector.Pq.writeResidualIndex(
+      tables.embeddings, cents, path, m, ks, iters, dim)
+  }
+
+  /** IVFADC search over a residual PQ artifact (see
+    * [[graft.vector.Pq.ivfAdcResidualTopK]]); recall audit = feed the
+    * result to [[graft.vector.Pq.recallAtK]] like [[pqRecall]].
+    */
+  def ivfAdcSearch(indexPath: String, queries: DataFrame, k: Int,
+      nProbe: Int = 4, dsub: Int = 8): DataFrame =
+    graft.vector.Pq.ivfAdcResidualTopK(
+      spark.read.parquet(s"$indexPath/codes"),
+      spark.read.parquet(s"$indexPath/codebook"),
+      spark.read.parquet(s"$indexPath/cents"),
+      queries, k, nProbe, dsub)
+
   /** Ratio-margin pair mining between two embedded sets (see
     * [[graft.vector.Ann.marginMinedPairs]]).
     */

@@ -75,5 +75,19 @@ class GraftEngineSpec extends SparkSpec {
     engine.buildMinHashSignatures(s"$root/sigs")
     val winners = engine.dedupFromSignatures(s"$root/sigs").count()
     assert(winners > 0 && winners <= engine.tables.documents.count())
+    // the residual (IVFADC) tier composes the same way: build once,
+    // search from the persisted artifact, full probe returns k rows
+    // per query with the query's own vector excluded
+    engine.buildResidualPqIndex(s"$root/pqr", nLists = 8, kmeansIters = 2)
+    val q = engine.tables.embeddings
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 2)
+      .select(
+        org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qvec"))
+    val hits = engine.ivfAdcSearch(s"$root/pqr", q, k = 3, nProbe = 8)
+    assert(hits.count() == 6)
+    assert(hits.filter(
+      org.apache.spark.sql.functions.col("query_id") ===
+        org.apache.spark.sql.functions.col("vec_id")).isEmpty)
   }
 }
