@@ -1533,7 +1533,38 @@ object Extras {
     "X110_residual_gain" -> q(c =>
       graft.vector.Pq.residualGain(
         c.embeddings,
-        c.spark.read.parquet(s"${pqrIndexDir(c)}/cents")))
+        c.spark.read.parquet(s"${pqrIndexDir(c)}/cents"))),
+    // the production two-stage serve: IVFADC nominates R=50 candidates
+    // per query (compressed bytes only), then the exact re-rank
+    // re-scores just those 50 with the raw vectors and keeps the true
+    // top-5 among them — how a deployment buys back the compressed
+    // tier's recall; fully oracle-checked
+    "X111_ivfadc_rerank_top5" -> q(c => {
+      val pqr = pqrIndexDir(c)
+      graft.vector.Pq.rerankExact(
+        graft.vector.Pq.ivfAdcResidualTopK(
+          c.spark.read.parquet(s"$pqr/codes"),
+          c.spark.read.parquet(s"$pqr/codebook"),
+          c.spark.read.parquet(s"$pqr/cents"),
+          pqQueries(c), k = 50, nProbe = 4, dsub = 8),
+        pqQueries(c), c.embeddings, k = 5)
+    }),
+    // recall@5 of the re-ranked two-stage result at X109's probe
+    // budget (nProbe = 16) — read next to X109: the delta between the
+    // two rows IS what the exact re-rank stage buys; fully
+    // oracle-checked
+    "X112_rerank_recall" -> q(c => {
+      val pqr = pqrIndexDir(c)
+      graft.vector.Pq.recallAtK(
+        graft.vector.Pq.rerankExact(
+          graft.vector.Pq.ivfAdcResidualTopK(
+            c.spark.read.parquet(s"$pqr/codes"),
+            c.spark.read.parquet(s"$pqr/codebook"),
+            c.spark.read.parquet(s"$pqr/cents"),
+            pqQueries(c), k = 50, nProbe = 16, dsub = 8),
+          pqQueries(c), c.embeddings, k = 5),
+        graft.vector.Pq.exactL2TopK(c.embeddings, pqQueries(c), k = 5))
+    })
   )
 
   /** DuckDB-dialect oracles for the deterministic extras. The token
@@ -3482,6 +3513,133 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
     / AVG(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
     AS residual_gain
 FROM assigned
+""".trim,
+    // X111: the two-stage serve — X108's IVFADC scan nominates the
+    // 50-candidate shortlist (ROUND-6 ADC ordering, vec_id tie-break),
+    // then the exact |q|²−2q·e+|e|² re-rank over the raw embeddings
+    // keeps the true top-5 among them (both stages' orderings restated
+    // exactly)
+    "X111_ivfadc_rerank_top5" -> s"""
+WITH cb AS (SELECT sub, cid, centroid
+            FROM read_parquet('$oracleIdxRoot/pqr/codebook/*.parquet')),
+co AS (SELECT vec_id, list_id, codes
+       FROM read_parquet('$oracleIdxRoot/pqr/codes/*.parquet')),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+cents AS (SELECT centroid_id, centroid
+          FROM read_parquet('$oracleIdxRoot/pqr/cents/*.parquet')),
+probed AS (
+  SELECT query_id, list_id, qr FROM (
+    SELECT q.query_id, c.centroid_id AS list_id,
+      [q.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE
+       for i in range(1, len(q.embedding)+1)] AS qr,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        - 2 * list_inner_product(q.embedding::DOUBLE[], c.centroid::DOUBLE[])
+        + list_inner_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[]),
+        c.centroid_id) AS rn
+    FROM q CROSS JOIN cents c) z WHERE rn <= 4),
+lut AS (
+  SELECT p.query_id, p.list_id, cb.sub, cb.cid,
+    list_inner_product(p.qr[cb.sub*8+1 : cb.sub*8+8],
+                       p.qr[cb.sub*8+1 : cb.sub*8+8])
+    - 2 * list_inner_product(p.qr[cb.sub*8+1 : cb.sub*8+8],
+                             cb.centroid::DOUBLE[])
+    + list_inner_product(cb.centroid::DOUBLE[], cb.centroid::DOUBLE[]) AS d2
+  FROM probed p, cb),
+ex AS (SELECT vec_id, list_id, unnest(codes) AS cid,
+              generate_subscripts(codes, 1) AS i
+       FROM co),
+scan AS (
+  SELECT l.query_id, e.vec_id, SUM(l.d2) AS d2
+  FROM ex e
+  JOIN lut l ON l.list_id = e.list_id AND l.sub = e.i - 1 AND l.cid = e.cid
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2),
+short AS (
+  SELECT query_id, vec_id FROM scan
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY ROUND(d2, 6), vec_id) <= 50),
+rr AS (
+  SELECT s.query_id, s.vec_id,
+    ROUND(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+      - 2 * list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+      + list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)
+      AS d2
+  FROM short s
+  JOIN q ON q.query_id = s.query_id
+  JOIN embeddings e ON e.vec_id = s.vec_id)
+SELECT query_id, vec_id, d2 FROM rr
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) <= 5
+ORDER BY query_id, d2, vec_id
+""".trim,
+    // X112: recall@5 of the re-ranked two-stage result at X109's probe
+    // budget (nProbe = 16, shortlist 50) vs exact-L2 ground truth
+    "X112_rerank_recall" -> s"""
+WITH cb AS (SELECT sub, cid, centroid
+            FROM read_parquet('$oracleIdxRoot/pqr/codebook/*.parquet')),
+co AS (SELECT vec_id, list_id, codes
+       FROM read_parquet('$oracleIdxRoot/pqr/codes/*.parquet')),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+cents AS (SELECT centroid_id, centroid
+          FROM read_parquet('$oracleIdxRoot/pqr/cents/*.parquet')),
+probed AS (
+  SELECT query_id, list_id, qr FROM (
+    SELECT q.query_id, c.centroid_id AS list_id,
+      [q.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE
+       for i in range(1, len(q.embedding)+1)] AS qr,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        - 2 * list_inner_product(q.embedding::DOUBLE[], c.centroid::DOUBLE[])
+        + list_inner_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[]),
+        c.centroid_id) AS rn
+    FROM q CROSS JOIN cents c) z WHERE rn <= 16),
+lut AS (
+  SELECT p.query_id, p.list_id, cb.sub, cb.cid,
+    list_inner_product(p.qr[cb.sub*8+1 : cb.sub*8+8],
+                       p.qr[cb.sub*8+1 : cb.sub*8+8])
+    - 2 * list_inner_product(p.qr[cb.sub*8+1 : cb.sub*8+8],
+                             cb.centroid::DOUBLE[])
+    + list_inner_product(cb.centroid::DOUBLE[], cb.centroid::DOUBLE[]) AS d2
+  FROM probed p, cb),
+ex AS (SELECT vec_id, list_id, unnest(codes) AS cid,
+              generate_subscripts(codes, 1) AS i
+       FROM co),
+scan AS (
+  SELECT l.query_id, e.vec_id, SUM(l.d2) AS d2
+  FROM ex e
+  JOIN lut l ON l.list_id = e.list_id AND l.sub = e.i - 1 AND l.cid = e.cid
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2),
+short AS (
+  SELECT query_id, vec_id FROM scan
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY ROUND(d2, 6), vec_id) <= 50),
+approx AS (
+  SELECT s.query_id, s.vec_id FROM (
+    SELECT s.query_id, s.vec_id,
+      ROUND(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        - 2 * list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+        + list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)
+        AS d2
+    FROM short s
+    JOIN q ON q.query_id = s.query_id
+    JOIN embeddings e ON e.vec_id = s.vec_id) s
+  QUALIFY row_number() OVER (PARTITION BY s.query_id
+                             ORDER BY s.d2, s.vec_id) <= 5),
+exact AS (
+  SELECT q.query_id, e.vec_id
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+  QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY
+    ROUND(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+      - 2 * list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+      + list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6),
+    e.vec_id) <= 5)
+SELECT x.query_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+  CAST(COUNT(*) AS BIGINT) AS n_exact,
+  ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM exact x LEFT JOIN approx a
+  ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+GROUP BY 1 ORDER BY 1
 """.trim
   )
 }

@@ -313,6 +313,43 @@ object Pq {
       .select(col("query_id"), col("vec_id"), col("d2"))
   }
 
+  /** Exact re-rank of ANY per-query candidate shortlist — the second
+    * stage of the production two-stage serve: a compressed/approximate
+    * first stage ([[adcTopK]] / [[ivfAdcTopK]] / [[ivfAdcResidualTopK]]
+    * / an LSH probe) nominates R candidates per query, and this stage
+    * re-scores exactly those with the RAW vectors and keeps the true
+    * top-k among them. This is how a production deployment buys back
+    * the compressed tier's recall: among any k-subset of the
+    * shortlist, the exact re-rank's overlap with the true top-k is
+    * maximal, so recall@k(rerank of R) ≥ recall@k(first stage's own
+    * head) and → 1 as R grows (PqSpec pins both, plus exact
+    * degeneration to [[exactL2TopK]] on an all-candidates shortlist).
+    *
+    * Scale shape: ONE raw-corpus scan hash-joined against the
+    * BROADCAST nq×R shortlist (no corpus shuffle), queries broadcast
+    * for the exact sqDist, then the per-query top-k window over nq×R
+    * rows — the raw bytes touched are the shortlist's, not the
+    * corpus's, which is the entire point of the pairing at 100 TB.
+    */
+  def rerankExact(
+      shortlist: DataFrame,
+      queries: DataFrame,
+      embeddings: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scan = embeddings
+      .join(broadcast(shortlist.select("query_id", "vec_id").distinct()),
+        Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(sqDist(col("qvec"), col("embedding")), 6).as("d2"))
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+    scan.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("d2"))
+      .orderBy("query_id", "d2", "vec_id")
+  }
+
   /** Per-query recall of the ADC result against the exact-L2 ground
     * truth — the quality number a 100 TB operator reads before trusting
     * a compressed index tier. Both sides arrive as

@@ -159,7 +159,13 @@ class PlanAuditSpec extends SparkSpec {
       "X108_ivfadc_top5", "X109_ivfadc_recall",
       // X110 is one map-side Ivf.assign (collapsed-array broadcast)
       // plus a global aggregate
-      "X110_residual_gain")
+      "X110_residual_gain",
+      // X111/X112 (round 12): the two-stage serve rides X108's scan
+      // shapes for its shortlist (broadcast LUT frame, nq-row query ×
+      // nLists-centroid broadcast cross); the re-rank itself is
+      // broadcast-HASH joins (shortlist on vec_id, queries on
+      // query_id), and X112's exact side is the broadcast-queries scan
+      "X111_ivfadc_rerank_top5", "X112_rerank_recall")
     val sf001Dir = "/root/testdata/sf0.001"
     // AUDIT BLIND SPOT (ADVICE r8, accepted): queries that lazily
     // localCheckpoint an expensive prefix (X53, X80, X81) truncate

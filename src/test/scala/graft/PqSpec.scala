@@ -175,6 +175,41 @@ class PqSpec extends SparkSpec {
     assert(k3(1L).last == 0)
   }
 
+  test("rerankExact: all-candidates shortlist degenerates to exactL2TopK; recall ≥ first stage and → 1 as R grows") {
+    val df = vecsDf((0L until 40L).map(i => (i, unitVec(i))))
+    val q = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Pq.exactL2TopK(df, q, k = 5)
+    def rows(d: DataFrame): Seq[(Long, Long, Double)] =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sortBy(t => (t._1, t._3, t._2))
+
+    // degeneration: shortlist = every (query, candidate) pair → the
+    // re-rank IS the exact scan
+    val all = q.select("query_id")
+      .crossJoin(df.select("vec_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+    assert(rows(Pq.rerankExact(all, q, df, k = 5)) == rows(exact))
+
+    // two-stage recall on the hard (unstructured) corpus: strictly not
+    // worse than the compressed first stage at every R, and the R=corpus
+    // shortlist reaches recall 1.0
+    val cb = Pq.trainCodebooks(df, m, ks, iters = 2, dim = dim)
+    val codes = Pq.encode(df, cb, dsub)
+    def avgRecall(approx: DataFrame): Double =
+      Pq.recallAtK(approx, exact).agg(avg("recall")).first().getDouble(0)
+    val stage1 = avgRecall(Pq.adcTopK(codes, cb, q, k = 5, dsub = dsub))
+    val rr10 = avgRecall(Pq.rerankExact(
+      Pq.adcTopK(codes, cb, q, k = 10, dsub = dsub), q, df, k = 5))
+    val rrAll = avgRecall(Pq.rerankExact(
+      Pq.adcTopK(codes, cb, q, k = 39, dsub = dsub), q, df, k = 5))
+    assert(rr10 >= stage1,
+      s"rerank of a 10-candidate shortlist ($rr10) must not lose to the ADC head ($stage1)")
+    assert(rrAll == 1.0, s"all-candidates rerank must reach recall 1.0, got $rrAll")
+    // non-vacuous on this corpus: the compressed stage alone is imperfect
+    assert(stage1 < 1.0, "fixture should have imperfect ADC recall")
+  }
+
   test("native ADC fold kernel ≡ certified HOF twin — valid, ragged, null and negative-code fixtures") {
     val schema = StructType(Seq(
       StructField("id", LongType),
