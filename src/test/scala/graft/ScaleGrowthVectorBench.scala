@@ -86,6 +86,8 @@ object ScaleGrowthVectorBench {
     val appBig = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
     // (factor, encode wall, adc wall, per-query 5th-best ADC d2)
     val pq = scala.collection.mutable.ArrayBuffer[(Int, Double, Double, Map[Long, Double])]()
+    // (factor, residual build wall, two-stage serve wall)
+    val ivfadc = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
     val probeVec = base.filter(col("vec_id") === 7L)
       .head().getSeq[Float](1).toArray
 
@@ -183,6 +185,43 @@ object ScaleGrowthVectorBench {
         f"$usTiny%.1f µs/row for the tiny delta)")
       }
 
+      // IVFADC + exact re-rank — the round-12 production serve path,
+      // end to end: build the residual artifact (L2-Lloyd coarse
+      // quantizer sized nLists ∝ N, residual-trained codebook, kernel
+      // encode), then serve fixed queries through the probed ADC scan
+      // and the 50-candidate exact re-rank. With nProbe/nLists ∝ 1/N
+      // the probed code mass is ~constant and the re-rank touches
+      // nq × 50 raw vectors regardless of N — the serve wall must stay
+      // ~flat while the corpus grows. Invariant: exactly k rows per
+      // query at every factor.
+      if (keep("IVFADC")) {
+      val rdir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_vec_pqr_$f").toString
+      val (_, tBuildR) = timed {
+        val cents = Ivf.refineCentroidsL2(
+          emb, Ivf.centroids(emb, 16 * f), iters = 2, dim = dim)
+        Pq.writeResidualIndex(emb, cents, rdir, m = 8, ks = 16,
+          iters = 2, dim = dim)
+      }
+      val queries = emb
+        .filter(col("vec_id") < 1000000L && col("vec_id") % 500 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val nq = queries.count()
+      val codesR = spark.read.parquet(s"$rdir/codes")
+      val cbR = spark.read.parquet(s"$rdir/codebook")
+      val centsR = spark.read.parquet(s"$rdir/cents")
+      val (served, tServe) = timed(
+        Pq.rerankExact(
+          Pq.ivfAdcResidualTopK(codesR, cbR, centsR, queries,
+            k = 50, nProbe = 4, dsub = dim / 8),
+          queries, emb, k = 5).collect())
+      require(served.length == nq * 5,
+        s"two-stage serve must return 5 rows per query: ${served.length} for $nq")
+      ivfadc += ((f, tBuildR, tServe))
+      println(f"SCALEGROWTHVEC IVFADC_serve    factor=$f%2d  build $tBuildR%6.2f s  " +
+        f"serve $tServe%6.2f s  (probe 4/${16 * f} lists + 50-candidate exact re-rank, queries=$nq)")
+      }
+
       // PQ: map-side encode (linear) + the ADC table-lookup scan
       // (linear in N·nq with 8 B/vector touched instead of 4·dim) —
       // the compressed re-rank tier. Invariants: every query gets
@@ -274,6 +313,13 @@ object ScaleGrowthVectorBench {
       println(f"SCALEGROWTHVEC IVF_append wall $a1%.2f s (${f1}x) → $ab%.2f s (${fb}x) " +
         f"vs rebuild $bb%.2f s at ${fb}x — fixed-size delta maintenance stays " +
         "rebuild-free as the corpus grows")
+    }
+    if (ivfadc.size >= 2) {
+      val (fa, _, ta) = ivfadc(ivfadc.size - 2)
+      val (fb, _, tb) = ivfadc.last
+      val k = math.log(tb / ta) / math.log(fb.toDouble / fa)
+      println(f"SCALEGROWTHVEC IVFADC_serve k=$k%.2f (${fa}x $ta%.2f s → ${fb}x $tb%.2f s) " +
+        "— probed fraction ∝ 1/N and a fixed-size re-rank: the serve wall must stay ~flat")
     }
     if (appBig.nonEmpty) {
       // amortization law: the production-size delta's per-row cost must
