@@ -118,6 +118,14 @@ object PqEncode {
     * SQL double ordering on every value this expansion can produce
     * (sums of squares never yield -0.0; NaN sorts last and equals
     * itself in both).
+    *
+    * Slice bounds follow Spark's `slice` exactly (the HOF twin's
+    * spelling): a NEGATIVE sub yields a from-the-end slice start (never
+    * an out-of-bounds read), start 0 fails loudly, and a start beyond
+    * either end yields the empty slice. A null cents ELEMENT is a
+    * candidate with null d2 AND null cid (the twin's transform maps it
+    * to struct(null, null), which wins the nulls-first argmin → NULL
+    * code) — not skipped.
     */
   def encodeArrays(emb: ArrayData, cb: ArrayData, dsub: Int): ArrayData = {
     val nSubs = cb.numElements()
@@ -130,11 +138,28 @@ object PqEncode {
       else {
         val se = cb.getStruct(si, 2)
         val subNull = se.isNullAt(0)
-        val off = if (subNull) 0 else se.getInt(0) * dsub
         if (se.isNullAt(1)) out(si) = null
         else {
           val cents = se.getArray(1)
           val nc = cents.numElements()
+          // Spark slice(embedding, sub*dsub+1, dsub) bounds: 1-based
+          // start, negative = from the end, 0 = error, out of range =
+          // empty. Only evaluated when the twin would evaluate it: the
+          // slice sits inside the per-centroid lambda (so an empty
+          // cents array never evaluates it) and a null embedding nulls
+          // it before start is inspected.
+          var begin = 0
+          var sliceLen = 0
+          if (!subNull && !embNull && nc > 0) {
+            val start = se.getInt(0) * dsub + 1
+            if (start == 0)
+              throw new IllegalStateException(
+                "graft_pq_encode: slice start 0 (SQL array indices start at 1 or end at -1)")
+            begin = if (start < 0) embLen + start else start - 1
+            sliceLen =
+              if (begin < 0 || begin >= embLen) 0
+              else math.min(dsub, embLen - begin)
+          }
           var haveBest = false
           var bestNull = false
           var bestD2 = 0.0
@@ -142,54 +167,52 @@ object PqEncode {
           var bestCid = 0
           var j = 0
           while (j < nc) {
-            // array_min skips null ELEMENTS entirely
-            if (!cents.isNullAt(j)) {
-              val ce = cents.getStruct(j, 2)
-              val cidNull = ce.isNullAt(0)
-              val cid = if (cidNull) 0 else ce.getInt(0)
-              // a null embedding nulls every slice, hence every d2
-              var d2Null = subNull || embNull
-              var d2 = 0.0
-              if (!d2Null) {
-                if (ce.isNullAt(1)) d2Null = true
+            val elemNull = cents.isNullAt(j)
+            val ce = if (elemNull) null else cents.getStruct(j, 2)
+            val cidNull = elemNull || ce.isNullAt(0)
+            val cid = if (cidNull) 0 else ce.getInt(0)
+            // a null embedding nulls every slice, hence every d2; a
+            // null cents element has null centroid, hence null d2
+            var d2Null = subNull || embNull || elemNull
+            var d2 = 0.0
+            if (!d2Null) {
+              if (ce.isNullAt(1)) d2Null = true
+              else {
+                val cvec = ce.getArray(1)
+                if (cvec.numElements() != sliceLen) d2Null = true
                 else {
-                  val cvec = ce.getArray(1)
-                  val sliceLen = math.max(0, math.min(dsub, embLen - off))
-                  if (cvec.numElements() != sliceLen) d2Null = true
-                  else {
-                    var saa = 0.0
-                    var sab = 0.0
-                    var sbb = 0.0
-                    var i = 0
-                    while (i < sliceLen && !d2Null) {
-                      if (emb.isNullAt(off + i) || cvec.isNullAt(i)) d2Null = true
-                      else {
-                        val a = emb.getFloat(off + i).toDouble
-                        val b = cvec.getFloat(i).toDouble
-                        saa += a * a
-                        sab += a * b
-                        sbb += b * b
-                      }
-                      i += 1
+                  var saa = 0.0
+                  var sab = 0.0
+                  var sbb = 0.0
+                  var i = 0
+                  while (i < sliceLen && !d2Null) {
+                    if (emb.isNullAt(begin + i) || cvec.isNullAt(i)) d2Null = true
+                    else {
+                      val a = emb.getFloat(begin + i).toDouble
+                      val b = cvec.getFloat(i).toDouble
+                      saa += a * a
+                      sab += a * b
+                      sbb += b * b
                     }
-                    if (!d2Null) d2 = (saa - 2.0 * sab) + sbb
+                    i += 1
                   }
+                  if (!d2Null) d2 = (saa - 2.0 * sab) + sbb
                 }
               }
-              val better =
-                if (!haveBest) true
-                else if (d2Null != bestNull) d2Null
-                else if (!d2Null) {
-                  val c = java.lang.Double.compare(d2, bestD2)
-                  c < 0 || (c == 0 && cmpCid(cidNull, cid, bestCidNull, bestCid) < 0)
-                } else cmpCid(cidNull, cid, bestCidNull, bestCid) < 0
-              if (better) {
-                haveBest = true
-                bestNull = d2Null
-                bestD2 = d2
-                bestCidNull = cidNull
-                bestCid = cid
-              }
+            }
+            val better =
+              if (!haveBest) true
+              else if (d2Null != bestNull) d2Null
+              else if (!d2Null) {
+                val c = java.lang.Double.compare(d2, bestD2)
+                c < 0 || (c == 0 && cmpCid(cidNull, cid, bestCidNull, bestCid) < 0)
+              } else cmpCid(cidNull, cid, bestCidNull, bestCid) < 0
+            if (better) {
+              haveBest = true
+              bestNull = d2Null
+              bestD2 = d2
+              bestCidNull = cidNull
+              bestCid = cid
             }
             j += 1
           }

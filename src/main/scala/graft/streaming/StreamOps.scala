@@ -1009,7 +1009,23 @@ object StreamOps {
       newVectors: DataFrame,
       indexPath: String,
       checkpoint: String,
-      pqPath: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      pqPath: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    // the PQ channel's identity is FROZEN for the stream's lifetime
+    // (that's what makes streamed codes ≡ batch codes), so resolve it
+    // ONCE here — dsub (a first() job), the residual-vs-plain flavor
+    // (an fs round-trip) and the two frame plans — instead of paying
+    // those per micro-batch inside foreachBatch
+    val spark = newVectors.sparkSession
+    val pqChannel = pqPath.map { p =>
+      val codebook = spark.read.parquet(s"$p/codebook")
+      val dsub = codebook.select(size(col("centroid"))).first().getInt(0)
+      val centsPath = new org.apache.hadoop.fs.Path(s"$p/cents")
+      val fs = centsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cents =
+        if (fs.exists(centsPath)) Some(spark.read.parquet(s"$p/cents"))
+        else None
+      (p, codebook, dsub, cents)
+    }
     newVectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -1021,23 +1037,17 @@ object StreamOps {
             .repartition(col("list_id"))
             .write.mode("overwrite").partitionBy("list_id")
             .parquet(s"$indexPath/delta/b$batchId")
-          pqPath.foreach { p =>
-            val codebook = spark.read.parquet(s"$p/codebook")
-            val dsub = codebook.select(size(col("centroid"))).first().getInt(0)
-            val centsPath = new org.apache.hadoop.fs.Path(s"$p/cents")
-            val fs = centsPath.getFileSystem(
-              spark.sparkContext.hadoopConfiguration)
-            val toEncode =
-              if (fs.exists(centsPath))
-                graft.vector.Pq.residualVectors(
-                  batch.toDF(), spark.read.parquet(s"$p/cents"))
-              else batch.toDF()
+          pqChannel.foreach { case (p, codebook, dsub, pqrCents) =>
+            val toEncode = pqrCents
+              .map(graft.vector.Pq.residualVectors(batch.toDF(), _))
+              .getOrElse(batch.toDF())
             graft.vector.Pq.encode(toEncode, codebook, dsub)
               .write.mode("overwrite").parquet(s"$p/codes_delta/b$batchId")
           }
         }
       }
       .start()
+  }
 
   /** The (batch_id, new_types, cum_vocab) curve over a
     * [[vocabNoveltyStream]] sink: ONE job counts every completed batch

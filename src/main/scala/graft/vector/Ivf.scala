@@ -349,25 +349,63 @@ object Ivf {
   def compactIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      failpoint: String = ""): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
+      failpoint: String = ""): Unit =
+    compactLayout(spark, s"$path/vectors",
+      () => completedDeltas(spark, path),
+      (deltas, next) => {
+        val all = deltas
+          .map(d => spark.read.parquet(d)
+            .select(col("vec_id"), col("embedding"), col("list_id").cast("long").as("list_id")))
+          .foldLeft(spark.read.parquet(s"$path/vectors")
+            .select(col("vec_id"), col("embedding"), col("list_id").cast("long").as("list_id")))(
+            _ unionByName _)
+        all.repartition(col("list_id"))
+          .write.mode("overwrite").partitionBy("list_id")
+          .parquet(next)
+      },
+      failpoint)
+
+  /** The staged-swap + `_FOLDED_DELTAS` manifest compaction state
+    * machine, shared by [[compactIndex]] (the `vectors` layout) and
+    * [[Pq.compactCodes]] (the `codes` layout): list the completed
+    * deltas, `stage(deltas, nextPath)` the folded layout, write the
+    * manifest INSIDE it, then swap `base → base.old → base` and clean
+    * up — with the two recovery passes (base lost mid-swap; swapped
+    * but died before cleanup) at the top so any crash window is
+    * re-runnable. Every rename is CHECKED: Hadoop FileSystem.rename
+    * reports most failures by returning false, and silently proceeding
+    * past a failed swap-in to the delta deletions would lose the
+    * folded rows forever — a false rename now aborts loudly with the
+    * layout still recoverable by a retry.
+    *
+    * `failpoint` crash-injects after the named step (the spec suites
+    * exercise every window on both layouts).
+    */
+  private[vector] def compactLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      base: String,
+      listDeltas: () => Seq[String],
+      stage: (Seq[String], String) => Unit,
+      failpoint: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hp(p: String) = new org.apache.hadoop.fs.Path(p)
     def del(p: String): Unit = if (fs.exists(hp(p))) fs.delete(hp(p), true)
+    def mv(src: String, dst: String): Unit =
+      if (!fs.rename(hp(src), hp(dst)))
+        throw new IllegalStateException(
+          s"rename $src -> $dst failed — compaction aborted before any delta deletion; retry recovers")
     def crash(point: String): Unit =
       if (failpoint == point)
         throw new IllegalStateException(s"injected crash at $point")
-    val base = s"$path/vectors"
-    val next = s"$path/vectors.next"
-    val old = s"$path/vectors.old"
+    val next = s"$base.next"
+    val old = s"$base.old"
     // recovery 1: a previous compaction died BETWEEN the two swap
     // renames — no base dir. Complete the swap-in from the fully
-    // staged (manifest'd) vectors.next, or roll back to vectors.old.
+    // staged (manifest'd) next, or roll back to old.
     if (!fs.exists(hp(base))) {
-      if (fs.exists(hp(s"$next/_FOLDED_DELTAS")))
-        fs.rename(hp(next), hp(base))
-      else if (fs.exists(hp(old)))
-        fs.rename(hp(old), hp(base))
+      if (fs.exists(hp(s"$next/_FOLDED_DELTAS"))) mv(next, base)
+      else if (fs.exists(hp(old))) mv(old, base)
       else
         throw new IllegalStateException(
           s"$base missing and neither $next (manifest'd) nor $old exists — not a recoverable compaction crash")
@@ -385,25 +423,17 @@ object Ivf {
       del(next)
       fs.delete(manifest, false)
     }
-    val deltas = completedDeltas(spark, path)
+    val deltas = listDeltas()
     if (deltas.nonEmpty) {
-      val all = deltas
-        .map(d => spark.read.parquet(d)
-          .select(col("vec_id"), col("embedding"), col("list_id").cast("long").as("list_id")))
-        .foldLeft(spark.read.parquet(base)
-          .select(col("vec_id"), col("embedding"), col("list_id").cast("long").as("list_id")))(
-          _ unionByName _)
-      all.repartition(col("list_id"))
-        .write.mode("overwrite").partitionBy("list_id")
-        .parquet(next)
+      stage(deltas, next)
       val out = fs.create(hp(s"$next/_FOLDED_DELTAS"), true)
       out.write((deltas.mkString("\n") + "\n").getBytes("UTF-8"))
       out.close()
       crash("after-stage")
       del(old)
-      fs.rename(hp(base), hp(old))
+      mv(base, old)
       crash("after-swap-out")
-      fs.rename(hp(next), hp(base))
+      mv(next, base)
       crash("after-swap-in")
       del(old)
       deltas.foreach(del)

@@ -194,6 +194,12 @@ object Pq {
     */
   def encode(embeddings: DataFrame, codebook: DataFrame, dsub: Int): DataFrame = {
     requireDsub(codebook, dsub)
+    // the pass-through select appends the kernel output as `codes` and
+    // crossJoins a broadcast column named `cb` — an input frame already
+    // carrying either name would produce ambiguous references downstream
+    require(!embeddings.columns.contains("codes") &&
+        !embeddings.columns.contains("cb"),
+      "encode input must not already have a 'codes' or 'cb' column")
     val keep = embeddings.columns.filterNot(_ == "embedding").map(col)
     embeddings
       .crossJoin(broadcast(collapsedCodebook(codebook)))
@@ -555,6 +561,9 @@ object Pq {
       nProbe: Int,
       dsub: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // same fail-loud guard as every other ADC entry point: a wrong dsub
+    // would NULL-poison every residual LUT cell and "rank" by vec_id
+    requireDsub(codebook, dsub)
     val scan = codes
       .join(broadcast(residualLutRows(queries, cents, codebook, nProbe, dsub)),
         Seq("list_id"))
@@ -628,67 +637,24 @@ object Pq {
       .foldLeft(spark.read.parquet(s"$path/codes"))(_ unionByName _)
 
   /** Fold completed codes deltas into the base codes file — pure row
-    * movement (codes are already encoded). Crash discipline mirrors
-    * [[Ivf.compactIndex]]: the union is fully staged in `codes.next`
-    * with a `_FOLDED_DELTAS` manifest before any rename; a retry
-    * recovers a base lost mid-swap (completing `codes.next`, falling
-    * back to `codes.old`) and a manifest inside the live base names the
-    * already-folded deltas so they are deleted, never folded twice.
-    * `failpoint` is test-only crash injection (PqSpec).
+    * movement (codes are already encoded). Runs on the SAME
+    * [[Ivf.compactLayout]] state machine as [[Ivf.compactIndex]]
+    * (staged `codes.next` + `_FOLDED_DELTAS` manifest, checked
+    * renames, both recovery passes), so the crash discipline cannot
+    * drift between the two layouts. `failpoint` is test-only crash
+    * injection (PqSpec exercises every window).
     */
   def compactCodes(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      failpoint: String = ""): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
-    def del(p: String): Unit = if (fs.exists(hp(p))) fs.delete(hp(p), true)
-    def crash(point: String): Unit =
-      if (failpoint == point)
-        throw new IllegalStateException(s"injected crash at $point")
-    val base = s"$path/codes"
-    val next = s"$path/codes.next"
-    val old = s"$path/codes.old"
-    // recovery 1: died between the two swap renames — no base dir
-    if (!fs.exists(hp(base))) {
-      if (fs.exists(hp(s"$next/_FOLDED_DELTAS"))) fs.rename(hp(next), hp(base))
-      else if (fs.exists(hp(old))) fs.rename(hp(old), hp(base))
-      else throw new IllegalStateException(
-        s"$base missing and neither $next (manifest'd) nor $old exists — not a recoverable compaction crash")
-    }
-    // recovery 2: swapped but died before cleanup — delete the deltas
-    // the live base's manifest names (folding them twice duplicates
-    // rows) plus the stale swap dirs
-    val manifest = hp(s"$base/_FOLDED_DELTAS")
-    if (fs.exists(manifest)) {
-      val in = fs.open(manifest)
-      val folded = scala.io.Source.fromInputStream(in).getLines().toSeq
-      in.close()
-      folded.foreach(del)
-      del(old)
-      del(next)
-      fs.delete(manifest, false)
-    }
-    val deltas = completedCodesDeltas(spark, path)
-    if (deltas.nonEmpty) {
-      deltas.map(spark.read.parquet(_))
-        .foldLeft(spark.read.parquet(base))(_ unionByName _)
-        .write.mode("overwrite").parquet(next)
-      val out = fs.create(hp(s"$next/_FOLDED_DELTAS"), true)
-      out.write((deltas.mkString("\n") + "\n").getBytes("UTF-8"))
-      out.close()
-      crash("after-stage")
-      del(old)
-      fs.rename(hp(base), hp(old))
-      crash("after-swap-out")
-      fs.rename(hp(next), hp(base))
-      crash("after-swap-in")
-      del(old)
-      deltas.foreach(del)
-      fs.delete(manifest, false)
-    }
-  }
+      failpoint: String = ""): Unit =
+    Ivf.compactLayout(spark, s"$path/codes",
+      () => completedCodesDeltas(spark, path),
+      (deltas, next) =>
+        deltas.map(spark.read.parquet(_))
+          .foldLeft(spark.read.parquet(s"$path/codes"))(_ unionByName _)
+          .write.mode("overwrite").parquet(next),
+      failpoint)
 
   /** The residual-encoding GO/NO-GO diagnostic: how much of the
     * corpus's squared mass the coarse quantizer explains. One row —

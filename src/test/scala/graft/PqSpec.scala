@@ -175,6 +175,68 @@ class PqSpec extends SparkSpec {
     assert(k3(1L).last == 0)
   }
 
+  test("encode kernel ≡ HOF on hand-built codebooks: negative sub (from-end slice), null cents element, start-0 parity") {
+    import graft.functions.VectorFunctions.dot
+    val d2 = 2 // dsub for these fixtures
+    val centsType = ArrayType(StructType(Seq(
+      StructField("cid", IntegerType),
+      StructField("centroid", ArrayType(FloatType)))), containsNull = true)
+    val cbType = ArrayType(StructType(Seq(
+      StructField("sub", IntegerType),
+      StructField("cents", centsType))), containsNull = true)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("cb", cbType)))
+    def cent(cid: Int, v: Float*) = Row(cid, v.toArray)
+    val emb = Array(1.0f, 2.0f, 3.0f, 4.0f)
+    val rows = java.util.Arrays.asList(
+      // sub 0 valid; sub -1 → slice start −1 = the LAST element, a
+      // length-1 slice matching the length-1 centroids — a REAL
+      // from-end argmin over non-null distances
+      Row(1L, emb, Seq(
+        Row(0, Seq(cent(0, 1.0f, 2.0f), cent(1, 9.0f, 9.0f))),
+        Row(-1, Seq(cent(0, 9.5f), cent(1, 4.25f))))),
+      // a NULL cents element: the HOF's transform maps it to
+      // struct(null, null), which wins the nulls-first argmin → NULL code
+      Row(2L, emb, Seq(
+        Row(0, Seq(null, cent(7, 1.0f, 2.0f))))),
+      // sub so negative the from-end start falls off the front → empty
+      // slice → every d2 null → nulls-first winner by cid
+      Row(3L, emb, Seq(
+        Row(-9, Seq(cent(3, 1.0f, 2.0f), cent(5, 0.0f, 0.0f))))))
+    val df = spark.createDataFrame(rows, schema)
+    def sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    def hofCol(ds: Int) = transform(col("cb"), sc =>
+      array_min(transform(sc("cents"), c =>
+        struct(
+          sq(slice(col("embedding"), sc("sub") * lit(ds) + lit(1), lit(ds)),
+            c("centroid")).as("d2"),
+          c("cid").as("cid"))))("cid"))
+    def kernCol(ds: Int) = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("cb")), ds))
+    val got = df.select(col("id"), kernCol(d2).as("k"), hofCol(d2).as("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).toSeq, r.getSeq[Any](2).toSeq))
+    got.foreach { case (id, k, h) =>
+      assert(k == h, s"row $id: kernel $k != HOF $h")
+    }
+    val byId = got.map(t => t._1 -> t._2).toMap
+    // the from-end slice [4.0] really ranked: 4.25 beats 9.5, and the
+    // length-2 centroid's null d2 did NOT win
+    assert(byId(1L) == Seq(0, 1), s"from-end argmin wrong: ${byId(1L)}")
+    assert(byId(2L) == Seq(null), "null cents element must win nulls-first → NULL code")
+    assert(byId(3L) == Seq(3), "off-the-front slice → all-null d2 → min cid")
+    // start 0 (dsub=1, sub=-1) fails loudly in BOTH forms (ANSI slice)
+    val zero = spark.createDataFrame(java.util.Arrays.asList(
+      Row(9L, emb, Seq(Row(-1, Seq(cent(0, 1.0f)))))), schema)
+    intercept[Exception] { zero.select(kernCol(1)).collect() }
+    intercept[Exception] { zero.select(hofCol(1)).collect() }
+  }
+
   test("rerankExact: all-candidates shortlist degenerates to exactL2TopK; recall ≥ first stage and → 1 as R grows") {
     val df = vecsDf((0L until 40L).map(i => (i, unitVec(i))))
     val q = df.filter(col("vec_id") < 3)
