@@ -37,24 +37,38 @@ object Ivf {
     *
     * Strictly map-side over the corpus: the (tiny) centroid table is
     * collapsed into ONE row holding an array of (centroid_id, centroid)
-    * structs, broadcast, and the per-row argmax is a single projection
-    * (transform + array_max over structs — score first, then negated id,
-    * so ties resolve to the smallest centroid_id). No shuffle and no
+    * structs, broadcast, and the per-row argmax is ONE codegen'd
+    * [[graft.functions.BestCentroid]] kernel call (semantics of the
+    * certified array_max-over-structs HOF — score first, then negated
+    * id, so ties resolve to the smallest centroid_id — without the
+    * nLists interpreted lambdas per row). No shuffle and no
     * window touch the corpus: at 100 TB the only data movement is the
     * centroid broadcast, vs. the previous crossJoin + row_number form
     * which exchanged nLists×N rows to rank them.
     */
-  def assign(embeddings: DataFrame, cents: DataFrame): DataFrame = {
+  def assign(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    withBest(embeddings, cents, l2 = false)
+      .select(col("vec_id"), col("embedding"), col("best.id").as("list_id"))
+
+  /** The shared assignment scaffold: collapse `cents` into ONE
+    * broadcast row and evaluate the codegen'd
+    * [[graft.functions.BestCentroid]] winner per corpus row — the
+    * argmax/argmin that used to be an interpreted nLists-struct HOF
+    * (the dominant index-BUILD cost at nLists ∝ N; IvfSpec pins the
+    * kernel ≡ the HOF twins on both metrics).
+    */
+  private[vector] def withBest(
+      embeddings: DataFrame, cents: DataFrame, l2: Boolean): DataFrame = {
     val centsArr = cents.agg(
       sort_array(collect_list(struct(col("centroid_id"), col("centroid")))).as("cents"))
     embeddings
       .crossJoin(broadcast(centsArr))
       .withColumn("best",
-        array_max(transform(col("cents"), c =>
-          struct(
-            dot(col("embedding"), c("centroid")).as("score"),
-            (-c("centroid_id")).as("neg_id")))))
-      .select(col("vec_id"), col("embedding"), (-col("best.neg_id")).as("list_id"))
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.BestCentroid(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
+            org.apache.spark.sql.GraftColumnBridge.expression(col("cents")),
+            l2)))
   }
 
   /** Squared-L2 assignment: each vector to the centroid minimizing
@@ -66,21 +80,9 @@ object Ivf {
     * (L2-Lloyd means), and mixing them costs residual recall — each
     * tier uses its own. Same map-side collapsed-broadcast shape.
     */
-  def assignL2(embeddings: DataFrame, cents: DataFrame): DataFrame = {
-    val centsArr = cents.agg(
-      sort_array(collect_list(struct(col("centroid_id"), col("centroid")))).as("cents"))
-    embeddings
-      .crossJoin(broadcast(centsArr))
-      .withColumn("best",
-        array_min(transform(col("cents"), c =>
-          struct(
-            (dot(col("embedding"), col("embedding")) -
-              lit(2.0) * dot(col("embedding"), c("centroid")) +
-              dot(c("centroid"), c("centroid"))).as("d2"),
-            c("centroid_id").as("cid")))))
-      .select(col("vec_id"), col("embedding"),
-        col("best.cid").cast("long").as("list_id"))
-  }
+  def assignL2(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    withBest(embeddings, cents, l2 = true)
+      .select(col("vec_id"), col("embedding"), col("best.id").as("list_id"))
 
   /** Plain (Euclidean) k-means refinement — [[assignL2]] then the
     * per-list elementwise mean, NOT renormalized: the mean is the

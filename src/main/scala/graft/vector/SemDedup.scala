@@ -33,19 +33,10 @@ object SemDedup {
     * list_id, ccos) with `ccos` the cosine to the assigned centroid.
     * Same broadcast-argmax shape — strictly map-side over the corpus.
     */
-  def assignWithScore(embeddings: DataFrame, cents: DataFrame): DataFrame = {
-    val centsArr = cents.agg(
-      sort_array(collect_list(struct(col("centroid_id"), col("centroid")))).as("cents"))
-    embeddings
-      .crossJoin(broadcast(centsArr))
-      .withColumn("best",
-        array_max(transform(col("cents"), c =>
-          struct(
-            dot(col("embedding"), c("centroid")).as("score"),
-            (-c("centroid_id")).as("neg_id")))))
+  def assignWithScore(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    Ivf.withBest(embeddings, cents, l2 = false)
       .select(col("vec_id"), col("embedding"),
-        (-col("best.neg_id")).as("list_id"), col("best.score").as("ccos"))
-  }
+        col("best.id").as("list_id"), col("best.score").as("ccos"))
 
   /** Per-cluster profile of a k-means clustering: membership count and
     * the distribution (avg/min/max) of member→centroid cosine — the

@@ -20,6 +20,84 @@ class IvfSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("BestCentroid kernel ≡ the certified HOF argmax/argmin twins — corpus and adversarial fixtures") {
+    import org.apache.spark.sql.{Column, DataFrame, Row}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.functions.VectorFunctions.dot
+
+    def kern(l2: Boolean): Column = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.BestCentroid(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("cents")), l2))
+    // the two certified HOF spellings, rebuilt to the kernel's
+    // (score, id) shape so rows compare directly
+    val hofDot: Column = {
+      val b = array_max(transform(col("cents"), c =>
+        struct(dot(col("embedding"), c("centroid")).as("score"),
+          (-c("centroid_id")).as("neg_id"))))
+      struct(b("score").as("score"), (-b("neg_id")).as("id"))
+    }
+    val hofL2: Column = {
+      val b = array_min(transform(col("cents"), c =>
+        struct((dot(col("embedding"), col("embedding")) -
+          lit(2.0) * dot(col("embedding"), c("centroid")) +
+          dot(c("centroid"), c("centroid"))).as("d2"),
+          c("centroid_id").as("cid"))))
+      struct(b("d2").as("score"), b("cid").as("id"))
+    }
+    // compare FIELDS, not struct nullity: the HOF twin applied to a
+    // null cents array yields struct(null, null) where the kernel
+    // yields a null struct — indistinguishable at every use site
+    // (callers only ever read best.score / best.id)
+    def compare(df: DataFrame, what: String): Unit =
+      Seq((kern(false), hofDot, "dot"), (kern(true), hofL2, "l2"))
+        .foreach { case (k, h, m) =>
+          val rows = df.select(col("vec_id"),
+            k("score"), k("id"), h("score"), h("id")).collect()
+          rows.foreach { r =>
+            def g(i: Int): Any = if (r.isNullAt(i)) null else r.get(i)
+            assert((g(1), g(2)) == (g(3), g(4)),
+              s"[$what/$m] vec ${r.getLong(0)}: kernel (${g(1)}, ${g(2)}) != HOF (${g(3)}, ${g(4)})")
+          }
+        }
+
+    // corpus rows against NON-UNIT (L2-Lloyd mean) centroids — the
+    // regime where the two metrics genuinely disagree with each other,
+    // so each kernel must track ITS OWN twin
+    val emb = cat.embeddings
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val refined = Ivf.refineCentroidsL2(
+      emb, Ivf.centroids(emb, 16), iters = 2, dim = dim)
+    val centsArr = refined.agg(sort_array(
+      collect_list(struct(col("centroid_id"), col("centroid")))).as("cents"))
+    compare(emb.limit(100).crossJoin(centsArr), "corpus")
+
+    // adversarial: ragged / null-element / null embeddings against a
+    // cents array with a null element, a null id and a null centroid
+    val centsType = ArrayType(StructType(Seq(
+      StructField("centroid_id", LongType),
+      StructField("centroid", ArrayType(FloatType)))), containsNull = true)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true)),
+      StructField("cents", centsType)))
+    val weirdCents = Seq(
+      Row(3L, Array(1.0f, 0.0f)),
+      null,
+      Row(null, Array(0.5f, 0.5f)),
+      Row(7L, null),
+      Row(9L, Array(0.0f, 1.0f)))
+    val weird = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, Seq(1.0f, 2.0f).map(java.lang.Float.valueOf), weirdCents),
+      Row(2L, Seq(java.lang.Float.valueOf(1.0f), null), weirdCents),
+      Row(3L, Seq(1.0f, 2.0f, 3.0f).map(java.lang.Float.valueOf), weirdCents),
+      Row(4L, null, weirdCents),
+      Row(5L, Seq(1.0f, 2.0f).map(java.lang.Float.valueOf), Seq.empty[Row]),
+      Row(6L, Seq(1.0f, 2.0f).map(java.lang.Float.valueOf), null)), schema)
+    compare(weird, "adversarial")
+  }
+
   test("assignL2 matches a driver-side L2 argmin; L2-Lloyd refinement drives residualGain below 1") {
     import org.apache.spark.sql.functions._
     val emb = cat.embeddings
