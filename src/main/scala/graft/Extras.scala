@@ -1564,6 +1564,33 @@ object Extras {
             pqQueries(c), k = 50, nProbe = 16, dsub = 8),
           pqQueries(c), c.embeddings, k = 5),
         graft.vector.Pq.exactL2TopK(c.embeddings, pqQueries(c), k = 5))
+    }),
+    // the probe-budget OPERATING CURVE: recall@5 of the full two-stage
+    // serve (IVFADC shortlist 50 → exact re-rank) at nProbe ∈
+    // {1,2,4,8,16} — the table an operator reads to pick the probe
+    // budget. On this corpus it reads 0.2→0.4→0.67→0.93→0.80: the DROP
+    // past nProbe=8 is real IVFADC shortlist pressure (more probed
+    // lists flood the fixed R=50 ADC shortlist with quantization-close
+    // but truly-far candidates), i.e. the curve also tells the operator
+    // when R must grow WITH nProbe. Five reruns of the X111 composition
+    // over the SAME persisted artifact, per-(nprobe, query) rows; fully
+    // oracle-checked
+    "X113_probe_recall_curve" -> q(c => {
+      val pqr = pqrIndexDir(c)
+      val codes = c.spark.read.parquet(s"$pqr/codes")
+      val cb = c.spark.read.parquet(s"$pqr/codebook")
+      val cents = c.spark.read.parquet(s"$pqr/cents")
+      val exact = graft.vector.Pq.exactL2TopK(c.embeddings, pqQueries(c), k = 5)
+      Seq(1, 2, 4, 8, 16).map { p =>
+        graft.vector.Pq.recallAtK(
+          graft.vector.Pq.rerankExact(
+            graft.vector.Pq.ivfAdcResidualTopK(codes, cb, cents,
+              pqQueries(c), k = 50, nProbe = p, dsub = 8),
+            pqQueries(c), c.embeddings, k = 5),
+          exact).withColumn("nprobe", lit(p))
+      }.reduce(_ unionByName _)
+        .select("nprobe", "query_id", "n_hit", "n_exact", "recall")
+        .orderBy("nprobe", "query_id")
     })
   )
 
@@ -3640,6 +3667,82 @@ SELECT x.query_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
 FROM exact x LEFT JOIN approx a
   ON a.query_id = x.query_id AND a.vec_id = x.vec_id
 GROUP BY 1 ORDER BY 1
+""".trim,
+    // X113: the probe-budget operating curve — the X111/X112 two-stage
+    // pipeline restated once, parameterized by an unnested probe-budget
+    // table (every CTE below carries the budget p through the window
+    // partitions), then recall per (nprobe, query)
+    "X113_probe_recall_curve" -> s"""
+WITH pr AS (SELECT unnest([1, 2, 4, 8, 16]) AS p),
+cb AS (SELECT sub, cid, centroid
+       FROM read_parquet('$oracleIdxRoot/pqr/codebook/*.parquet')),
+co AS (SELECT vec_id, list_id, codes
+       FROM read_parquet('$oracleIdxRoot/pqr/codes/*.parquet')),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+cents AS (SELECT centroid_id, centroid
+          FROM read_parquet('$oracleIdxRoot/pqr/cents/*.parquet')),
+ranked AS (
+  SELECT q.query_id, c.centroid_id AS list_id,
+    [q.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE
+     for i in range(1, len(q.embedding)+1)] AS qr,
+    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+      list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+      - 2 * list_inner_product(q.embedding::DOUBLE[], c.centroid::DOUBLE[])
+      + list_inner_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[]),
+      c.centroid_id) AS rn
+  FROM q CROSS JOIN cents c),
+probed AS (
+  SELECT pr.p, z.query_id, z.list_id, z.qr
+  FROM ranked z CROSS JOIN pr WHERE z.rn <= pr.p),
+lut AS (
+  SELECT p.p, p.query_id, p.list_id, cb.sub, cb.cid,
+    list_inner_product(p.qr[cb.sub*8+1 : cb.sub*8+8],
+                       p.qr[cb.sub*8+1 : cb.sub*8+8])
+    - 2 * list_inner_product(p.qr[cb.sub*8+1 : cb.sub*8+8],
+                             cb.centroid::DOUBLE[])
+    + list_inner_product(cb.centroid::DOUBLE[], cb.centroid::DOUBLE[]) AS d2
+  FROM probed p, cb),
+ex AS (SELECT vec_id, list_id, unnest(codes) AS cid,
+              generate_subscripts(codes, 1) AS i
+       FROM co),
+scan AS (
+  SELECT l.p, l.query_id, e.vec_id, SUM(l.d2) AS d2
+  FROM ex e
+  JOIN lut l ON l.list_id = e.list_id AND l.sub = e.i - 1 AND l.cid = e.cid
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2, 3),
+short AS (
+  SELECT p, query_id, vec_id FROM scan
+  QUALIFY row_number() OVER (PARTITION BY p, query_id
+                             ORDER BY ROUND(d2, 6), vec_id) <= 50),
+approx AS (
+  SELECT s.p, s.query_id, s.vec_id FROM (
+    SELECT s.p, s.query_id, s.vec_id,
+      ROUND(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        - 2 * list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+        + list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)
+        AS d2
+    FROM short s
+    JOIN q ON q.query_id = s.query_id
+    JOIN embeddings e ON e.vec_id = s.vec_id) s
+  QUALIFY row_number() OVER (PARTITION BY s.p, s.query_id
+                             ORDER BY s.d2, s.vec_id) <= 5),
+exact AS (
+  SELECT q.query_id, e.vec_id
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+  QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY
+    ROUND(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+      - 2 * list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+      + list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6),
+    e.vec_id) <= 5)
+SELECT pr.p AS nprobe, x.query_id,
+  CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+  CAST(COUNT(*) AS BIGINT) AS n_exact,
+  ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM pr CROSS JOIN exact x
+LEFT JOIN approx a
+  ON a.p = pr.p AND a.query_id = x.query_id AND a.vec_id = x.vec_id
+GROUP BY 1, 2 ORDER BY 1, 2
 """.trim
   )
 }

@@ -165,7 +165,9 @@ class PlanAuditSpec extends SparkSpec {
       // nLists-centroid broadcast cross); the re-rank itself is
       // broadcast-HASH joins (shortlist on vec_id, queries on
       // query_id), and X112's exact side is the broadcast-queries scan
-      "X111_ivfadc_rerank_top5", "X112_rerank_recall")
+      "X111_ivfadc_rerank_top5", "X112_rerank_recall",
+      // X113 is five probe-budget reruns of X111's shapes unioned
+      "X113_probe_recall_curve")
     val sf001Dir = "/root/testdata/sf0.001"
     // AUDIT BLIND SPOT (ADVICE r8, accepted): queries that lazily
     // localCheckpoint an expensive prefix (X53, X80, X81) truncate
