@@ -59,6 +59,13 @@ object Ivf {
     */
   private[vector] def withBest(
       embeddings: DataFrame, cents: DataFrame, l2: Boolean): DataFrame = {
+    // the scaffold introduces internal columns `cents` and `best`; an
+    // input frame already carrying either would make the references
+    // below ambiguous — fail loud instead (the Pq.encode discipline)
+    require(!embeddings.columns.contains("cents") &&
+        !embeddings.columns.contains("best"),
+      "assign input must not carry internal columns 'cents'/'best' — " +
+        "rename or drop them before calling")
     val centsArr = cents.agg(
       sort_array(collect_list(struct(col("centroid_id"), col("centroid")))).as("cents"))
     embeddings
@@ -287,11 +294,14 @@ object Ivf {
     *
     * Compaction tolerance: a delta dir that a concurrent
     * [[compactIndex]] deleted between this probe's listing and its
-    * planning is SKIPPED (the per-dir existence check in the probed
-    * read), and its rows are still served — from the freshly folded
-    * base. A delete landing mid-scan (after planning) fails the read;
-    * schedule compaction off the probe path or retry once — see the
-    * [[compactIndex]] concurrency note.
+    * planning is SKIPPED — both a vanished list dir (the per-dir
+    * existence check) and a vanished delta ROOT (the probed read falls
+    * back to an empty frame built from the BASE layout's schema, never
+    * schema-inferring against the deleted root) — and its rows are
+    * still served, from the freshly folded base. A delete landing
+    * mid-scan (after planning) fails the read; schedule compaction off
+    * the probe path or retry once — see the [[compactIndex]]
+    * concurrency note.
     */
   def probeIndexWithDeltas(
       spark: org.apache.spark.sql.SparkSession,
@@ -306,7 +316,8 @@ object Ivf {
       .limit(nProbe)
       .collect().map(_.getLong(0)).toSeq
     val cand = completedDeltas(spark, path)
-      .map(d => probedVectorsAt(spark, d, lists)
+      .map(d => probedVectorsAt(spark, d, lists,
+          schemaRoot = Some(s"$path/vectors"))
         .select(col("vec_id"), col("embedding")))
       .foldLeft(probedVectors(spark, path, lists)
         .select(col("vec_id"), col("embedding")))(_ unionByName _)
@@ -473,24 +484,36 @@ object Ivf {
   /** [[probedVectors]] against an arbitrary `list_id=`-partitioned
     * layout root — shared by the base index and the streaming-ingest
     * delta directories ([[probeIndexWithDeltas]]).
+    *
+    * `schemaRoot`: where to schema-infer the EMPTY fallback frame when
+    * no probed list dir holds data. Delta callers pass the BASE
+    * vectors layout: a delta root deleted by a concurrent compaction
+    * between listing and planning (or a committed-but-dataless delta)
+    * must yield zero candidates, not a schema-inference failure
+    * against the vanished root — the rows it held are served from the
+    * freshly folded base.
     */
   private def probedVectorsAt(
       spark: org.apache.spark.sql.SparkSession,
       vectorsRoot: String,
-      lists: Seq[Long]): DataFrame = {
+      lists: Seq[Long],
+      schemaRoot: Option[String] = None): DataFrame = {
     val base = new org.apache.hadoop.fs.Path(vectorsRoot)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hasData(p: org.apache.hadoop.fs.Path): Boolean =
-      fs.exists(p) && fs.listStatus(p).exists { s =>
-        val n = s.getPath.getName
-        s.isFile && s.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
-      }
-    val dirs = lists.map(id => new org.apache.hadoop.fs.Path(base, s"list_id=$id"))
-      .filter(hasData).map(_.toString)
-    if (dirs.isEmpty)
-      spark.read.parquet(vectorsRoot).filter(lit(false))
-    else
-      spark.read.option("basePath", vectorsRoot).parquet(dirs: _*)
+    def emptyFrame: DataFrame =
+      spark.read.parquet(schemaRoot.getOrElse(vectorsRoot)).filter(lit(false))
+    if (!fs.exists(base)) emptyFrame
+    else {
+      def hasData(p: org.apache.hadoop.fs.Path): Boolean =
+        fs.exists(p) && fs.listStatus(p).exists { s =>
+          val n = s.getPath.getName
+          s.isFile && s.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+        }
+      val dirs = lists.map(id => new org.apache.hadoop.fs.Path(base, s"list_id=$id"))
+        .filter(hasData).map(_.toString)
+      if (dirs.isEmpty) emptyFrame
+      else spark.read.option("basePath", vectorsRoot).parquet(dirs: _*)
+    }
   }
 
   /** Top-k by cosine against a persisted index. Centroid scoring runs on

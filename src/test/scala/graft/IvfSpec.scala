@@ -198,6 +198,31 @@ class IvfSpec extends SparkSpec {
     assert(nFromB == b.count(), "every appended vector must be readable")
   }
 
+  test("IVF delta probe: a committed-but-dataless delta yields zero candidates, not a schema failure") {
+    import org.apache.spark.sql.functions._
+    val emb = cat.embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-emptydelta").toString
+    Ivf.writeIndex(emb, dir, nLists = 16)
+    // a delta root holding ONLY its commit marker — the state a probe
+    // observes when a concurrent compaction (or a crashed ingest) has
+    // removed the data between the delta listing and the probed read.
+    // The old fallback schema-inferred against this root and threw;
+    // the probe must instead serve the base rows and skip the delta.
+    val empty = new java.io.File(s"$dir/delta/b0")
+    assert(empty.mkdirs())
+    assert(new java.io.File(empty, "_SUCCESS").createNewFile())
+    val probeVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0).toArray
+    val brute = Ann.bruteForceTopK(emb, 0, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probed = Ivf.probeIndexWithDeltas(spark, dir, probeVec, k = 6, nProbe = 16)
+      .filter(col("vec_id") =!= 0)
+      .orderBy(desc("cos"), col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probed == brute,
+      s"probe over base + dataless delta must equal brute force: $probed vs $brute")
+  }
+
   test("IVF compaction: a crash injected at every swap window recovers on retry — no lost or double-folded rows") {
     import org.apache.spark.sql.functions._
     val emb = cat.embeddings
