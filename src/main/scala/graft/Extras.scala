@@ -1565,32 +1565,48 @@ object Extras {
           pqQueries(c), c.embeddings, k = 5),
         graft.vector.Pq.exactL2TopK(c.embeddings, pqQueries(c), k = 5))
     }),
-    // the probe-budget OPERATING CURVE: recall@5 of the full two-stage
-    // serve (IVFADC shortlist 50 → exact re-rank) at nProbe ∈
-    // {1,2,4,8,16} — the table an operator reads to pick the probe
-    // budget. On this corpus it reads 0.2→0.4→0.67→0.93→0.80: the DROP
-    // past nProbe=8 is real IVFADC shortlist pressure (more probed
-    // lists flood the fixed R=50 ADC shortlist with quantization-close
-    // but truly-far candidates), i.e. the curve also tells the operator
-    // when R must grow WITH nProbe. Five reruns of the X111 composition
-    // over the SAME persisted artifact, per-(nprobe, query) rows; fully
+    // the probe-budget OPERATING CURVE, both shortlist policies side by
+    // side: recall@5 of the full two-stage serve at nProbe ∈
+    // {1,2,4,8,16} under (a) the naive FIXED R=50 shortlist and (b) the
+    // production ADAPTIVE policy R = max(50, 16·nProbe)
+    // (Pq.adaptiveShortlist, exercised through the deployable
+    // Pq.ivfAdcServe operator). On this corpus fixed50 reads
+    // 0.2→0.4→0.67→0.93→0.80 — the DROP past nProbe=8 is IVFADC
+    // shortlist pressure (more probed lists flood the fixed ADC head
+    // with quantization-close but truly-far candidates) — while auto
+    // reads 0.2→0.4→0.67→1.0→1.0, monotone non-decreasing: the table
+    // an operator reads to see both WHY R must grow with the probe
+    // budget and that the serve's policy actually delivers it (PqSpec
+    // additionally pins auto ≥ fixed at every budget). Per-(policy,
+    // nprobe, query) rows over the SAME persisted artifact; fully
     // oracle-checked
     "X113_probe_recall_curve" -> q(c => {
       val pqr = pqrIndexDir(c)
       val codes = c.spark.read.parquet(s"$pqr/codes")
       val cb = c.spark.read.parquet(s"$pqr/codebook")
       val cents = c.spark.read.parquet(s"$pqr/cents")
-      val exact = graft.vector.Pq.exactL2TopK(c.embeddings, pqQueries(c), k = 5)
-      Seq(1, 2, 4, 8, 16).map { p =>
-        graft.vector.Pq.recallAtK(
-          graft.vector.Pq.rerankExact(
-            graft.vector.Pq.ivfAdcResidualTopK(codes, cb, cents,
-              pqQueries(c), k = 50, nProbe = p, dsub = 8),
-            pqQueries(c), c.embeddings, k = 5),
-          exact).withColumn("nprobe", lit(p))
+      val qs = pqQueries(c)
+      val exact = graft.vector.Pq.exactL2TopK(c.embeddings, qs, k = 5)
+      Seq(1, 2, 4, 8, 16).flatMap { p =>
+        Seq(
+          ("fixed50", 50,
+            graft.vector.Pq.rerankExact(
+              graft.vector.Pq.ivfAdcResidualTopK(codes, cb, cents,
+                qs, k = 50, nProbe = p, dsub = 8),
+              qs, c.embeddings, k = 5)),
+          ("auto", graft.vector.Pq.adaptiveShortlist(p),
+            graft.vector.Pq.ivfAdcServe(codes, cb, cents,
+              qs, c.embeddings, k = 5, nProbe = p, dsub = 8)))
+          .map { case (pol, r, res) =>
+            graft.vector.Pq.recallAtK(res, exact)
+              .withColumn("policy", lit(pol))
+              .withColumn("nprobe", lit(p))
+              .withColumn("shortlist", lit(r))
+          }
       }.reduce(_ unionByName _)
-        .select("nprobe", "query_id", "n_hit", "n_exact", "recall")
-        .orderBy("nprobe", "query_id")
+        .select("policy", "nprobe", "shortlist", "query_id",
+          "n_hit", "n_exact", "recall")
+        .orderBy("policy", "nprobe", "query_id")
     })
   )
 
@@ -3668,12 +3684,20 @@ FROM exact x LEFT JOIN approx a
   ON a.query_id = x.query_id AND a.vec_id = x.vec_id
 GROUP BY 1 ORDER BY 1
 """.trim,
-    // X113: the probe-budget operating curve — the X111/X112 two-stage
-    // pipeline restated once, parameterized by an unnested probe-budget
-    // table (every CTE below carries the budget p through the window
-    // partitions), then recall per (nprobe, query)
+    // X113: the probe-budget operating curve under BOTH shortlist
+    // policies — the X111/X112 two-stage pipeline restated once,
+    // parameterized by an unnested (probe budget, policy) table whose
+    // shortlist bound is the CASE restatement of Pq.adaptiveShortlist
+    // (fixed50 → 50, auto → GREATEST(50, 16·p)); the ADC scan is keyed
+    // by p only (the policy reuses it), the shortlist QUALIFY carries
+    // (policy, p), then recall per (policy, nprobe, query)
     "X113_probe_recall_curve" -> s"""
-WITH pr AS (SELECT unnest([1, 2, 4, 8, 16]) AS p),
+WITH pr AS (
+  SELECT p, policy,
+    CASE WHEN policy = 'fixed50' THEN 50 ELSE GREATEST(50, 16 * p) END AS r
+  FROM (SELECT unnest([1, 2, 4, 8, 16]) AS p)
+  CROSS JOIN (SELECT unnest(['auto', 'fixed50']) AS policy)),
+ps AS (SELECT DISTINCT p FROM pr),
 cb AS (SELECT sub, cid, centroid
        FROM read_parquet('$oracleIdxRoot/pqr/codebook/*.parquet')),
 co AS (SELECT vec_id, list_id, codes
@@ -3692,8 +3716,8 @@ ranked AS (
       c.centroid_id) AS rn
   FROM q CROSS JOIN cents c),
 probed AS (
-  SELECT pr.p, z.query_id, z.list_id, z.qr
-  FROM ranked z CROSS JOIN pr WHERE z.rn <= pr.p),
+  SELECT ps.p, z.query_id, z.list_id, z.qr
+  FROM ranked z CROSS JOIN ps WHERE z.rn <= ps.p),
 lut AS (
   SELECT p.p, p.query_id, p.list_id, cb.sub, cb.cid,
     list_inner_product(p.qr[cb.sub*8+1 : cb.sub*8+8],
@@ -3712,12 +3736,13 @@ scan AS (
   WHERE e.vec_id <> l.query_id
   GROUP BY 1, 2, 3),
 short AS (
-  SELECT p, query_id, vec_id FROM scan
-  QUALIFY row_number() OVER (PARTITION BY p, query_id
-                             ORDER BY ROUND(d2, 6), vec_id) <= 50),
+  SELECT pr.policy, pr.p, pr.r, s.query_id, s.vec_id
+  FROM scan s JOIN pr ON pr.p = s.p
+  QUALIFY row_number() OVER (PARTITION BY pr.policy, pr.p, s.query_id
+                             ORDER BY ROUND(s.d2, 6), s.vec_id) <= pr.r),
 approx AS (
-  SELECT s.p, s.query_id, s.vec_id FROM (
-    SELECT s.p, s.query_id, s.vec_id,
+  SELECT s.policy, s.p, s.query_id, s.vec_id FROM (
+    SELECT s.policy, s.p, s.query_id, s.vec_id,
       ROUND(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
         - 2 * list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
         + list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)
@@ -3725,7 +3750,7 @@ approx AS (
     FROM short s
     JOIN q ON q.query_id = s.query_id
     JOIN embeddings e ON e.vec_id = s.vec_id) s
-  QUALIFY row_number() OVER (PARTITION BY s.p, s.query_id
+  QUALIFY row_number() OVER (PARTITION BY s.policy, s.p, s.query_id
                              ORDER BY s.d2, s.vec_id) <= 5),
 exact AS (
   SELECT q.query_id, e.vec_id
@@ -3735,14 +3760,15 @@ exact AS (
       - 2 * list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
       + list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6),
     e.vec_id) <= 5)
-SELECT pr.p AS nprobe, x.query_id,
+SELECT pr.policy, pr.p AS nprobe, pr.r AS shortlist, x.query_id,
   CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
   CAST(COUNT(*) AS BIGINT) AS n_exact,
   ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall
 FROM pr CROSS JOIN exact x
 LEFT JOIN approx a
-  ON a.p = pr.p AND a.query_id = x.query_id AND a.vec_id = x.vec_id
-GROUP BY 1, 2 ORDER BY 1, 2
+  ON a.policy = pr.policy AND a.p = pr.p
+  AND a.query_id = x.query_id AND a.vec_id = x.vec_id
+GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 4
 """.trim
   )
 }

@@ -621,6 +621,22 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
       spark.read.parquet(s"$indexPath/cents"),
       queries, k, nProbe, dsub)
 
+  /** The deployable two-stage read path over a residual PQ artifact:
+    * IVFADC nominates an ADAPTIVE per-query shortlist
+    * ([[graft.vector.Pq.adaptiveShortlist]] — R grows with nProbe so
+    * "probe more" is a safe recall knob), then the exact re-rank over
+    * the raw corpus vectors keeps the true top-k among them (see
+    * [[graft.vector.Pq.ivfAdcServe]]).
+    */
+  def ivfAdcServe(indexPath: String, queries: DataFrame, k: Int,
+      nProbe: Int = 4, dsub: Int = 8,
+      rPerProbe: Int = 16, rMin: Int = 50): DataFrame =
+    graft.vector.Pq.ivfAdcServe(
+      spark.read.parquet(s"$indexPath/codes"),
+      spark.read.parquet(s"$indexPath/codebook"),
+      spark.read.parquet(s"$indexPath/cents"),
+      queries, tables.embeddings, k, nProbe, dsub, rPerProbe, rMin)
+
   /** Ratio-margin pair mining between two embedded sets (see
     * [[graft.vector.Ann.marginMinedPairs]]).
     */

@@ -356,6 +356,54 @@ object Pq {
       .orderBy("query_id", "d2", "vec_id")
   }
 
+  /** Re-rank shortlist size for a probe budget — the serve-side policy
+    * that keeps the two-stage recall curve MONOTONE in nProbe. A FIXED
+    * shortlist quietly degrades as the probe budget grows: every extra
+    * probed list adds candidates whose quantized (ADC) distance
+    * UNDERESTIMATES their true distance, and past some budget those
+    * flood the fixed-R ADC head and evict true neighbors before the
+    * exact re-rank ever sees them — the round-12 operating curve (the
+    * X113 predecessor) measured recall@5 rising 0.2 → 0.93 through
+    * nProbe = 8 and then DROPPING to 0.80 at nProbe = 16 with R = 50.
+    * R = max(rMin, rPerProbe · nProbe) keeps the per-probed-list
+    * shortlist budget constant instead, so widening the probe can only
+    * add candidates, never displace an equally-deep slice of them:
+    * measured on the same corpus the curve reads 0.2 → 0.4 → 0.67 →
+    * 1.0 → 1.0 (X113, oracle-checked; PqSpec pins dominance over the
+    * fixed policy at every budget). Cost stays serve-shaped: the
+    * shortlist is nq × R driver/broadcast rows and the exact re-rank
+    * touches R raw vectors per query — both ∝ nProbe, never ∝ N.
+    */
+  def adaptiveShortlist(nProbe: Int, rPerProbe: Int = 16, rMin: Int = 50): Int = {
+    require(nProbe > 0 && rPerProbe > 0 && rMin > 0,
+      s"adaptiveShortlist arguments must be positive: nProbe=$nProbe rPerProbe=$rPerProbe rMin=$rMin")
+    math.max(rMin, rPerProbe * nProbe)
+  }
+
+  /** The production two-stage IVFADC serve: residual-ADC over the
+    * probed lists nominates [[adaptiveShortlist]] candidates per query
+    * (compressed bytes only), then [[rerankExact]] re-scores exactly
+    * those with the raw vectors and keeps the true top-k among them.
+    * One call = the whole deployable read path; the adaptive R is what
+    * makes "probe more" a safe knob (recall monotone non-decreasing in
+    * nProbe — see [[adaptiveShortlist]]).
+    */
+  def ivfAdcServe(
+      codes: DataFrame,
+      codebook: DataFrame,
+      cents: DataFrame,
+      queries: DataFrame,
+      embeddings: DataFrame,
+      k: Int,
+      nProbe: Int,
+      dsub: Int,
+      rPerProbe: Int = 16,
+      rMin: Int = 50): DataFrame =
+    rerankExact(
+      ivfAdcResidualTopK(codes, codebook, cents, queries,
+        adaptiveShortlist(nProbe, rPerProbe, rMin), nProbe, dsub),
+      queries, embeddings, k)
+
   /** Per-query recall of the ADC result against the exact-L2 ground
     * truth — the quality number a 100 TB operator reads before trusting
     * a compressed index tier. Both sides arrive as

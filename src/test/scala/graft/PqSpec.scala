@@ -546,6 +546,63 @@ class PqSpec extends SparkSpec {
       s"residual recall $resRec must strictly beat plain recall $plainRec at equal m/ks")
   }
 
+  test("ivfAdcServe: adaptive shortlist is monotone in nProbe and dominates fixed-R at every probe budget") {
+    // policy arithmetic (the exact values the X113 oracle restates as
+    // GREATEST(50, 16·p))
+    assert(Seq(1, 2, 4, 8, 16).map(Pq.adaptiveShortlist(_))
+      == Seq(50, 50, 64, 128, 256))
+    intercept[IllegalArgumentException](Pq.adaptiveShortlist(0))
+
+    // unstructured corpus — the regime where a fixed shortlist floods:
+    // every extra probed list contributes candidates whose ADC distance
+    // underestimates the truth, and with R fixed they evict true
+    // neighbors from the head before the exact re-rank sees them
+    val df = vecsDf((0L until 400L).map(i => (i, unitVec(i))))
+    val cents = Ivf.refineCentroidsL2(df, Ivf.centroids(df, 8), iters = 3, dim = dim)
+    val cb = Pq.trainResidualCodebooks(df, cents, m, ks, iters = 2, dim = dim)
+    val codes = Pq.encode(Pq.residualVectors(df, cents), cb, dsub)
+    val q = df.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Pq.exactL2TopK(df, q, k = 4)
+    def avgRecall(d: DataFrame): Double =
+      Pq.recallAtK(d, exact).agg(avg("recall")).first().getDouble(0)
+    // rMin/rPerProbe scaled to the 400-row fixture (the production 50/16
+    // defaults would cover most of it and make the comparison vacuous)
+    val budgets = Seq(1, 2, 4, 8)
+    val curve = budgets.map { p =>
+      val fixed = avgRecall(Pq.rerankExact(
+        Pq.ivfAdcResidualTopK(codes, cb, cents, q, k = 4, nProbe = p, dsub = dsub),
+        q, df, k = 4))
+      val auto = avgRecall(Pq.ivfAdcServe(codes, cb, cents, q, df,
+        k = 4, nProbe = p, dsub = dsub, rPerProbe = 4, rMin = 4))
+      (p, fixed, auto)
+    }
+    curve.foreach { case (p, fixed, auto) =>
+      assert(auto >= fixed,
+        s"auto shortlist must not lose to fixed at nProbe=$p: $auto vs $fixed")
+    }
+    curve.sliding(2).foreach { case Seq((p1, _, a1), (p2, _, a2)) =>
+      assert(a2 >= a1,
+        s"auto-policy recall must be monotone in nProbe: $a1@$p1 > $a2@$p2")
+    }
+    // non-vacuous: the fixed policy actually floods on this fixture
+    assert(curve.exists { case (_, fixed, auto) => auto > fixed },
+      "fixture must exhibit at least one budget where the adaptive policy strictly wins")
+
+    // composition identity: the serve facade IS
+    // rerank(ivfAdcResidualTopK(k = adaptiveShortlist)) bit-for-bit
+    def rows(d: DataFrame): Seq[(Long, Long, Double)] =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val p = 4
+    assert(rows(Pq.ivfAdcServe(codes, cb, cents, q, df,
+        k = 4, nProbe = p, dsub = dsub, rPerProbe = 4, rMin = 4))
+      == rows(Pq.rerankExact(
+        Pq.ivfAdcResidualTopK(codes, cb, cents, q,
+          k = Pq.adaptiveShortlist(p, rPerProbe = 4, rMin = 4),
+          nProbe = p, dsub = dsub),
+        q, df, k = 4)))
+  }
+
   test("marginMinedPairs: mines the planted aligned pair, matches the driver reference") {
     // side A: 1 vector aligned with a B vector + unaligned noise
     val aligned = unitVec(7L)
