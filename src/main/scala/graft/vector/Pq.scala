@@ -92,7 +92,7 @@ object Pq {
   /** One row per subspace holding that subspace's centroids sorted by
     * cid — the broadcast side of every assign/encode below.
     */
-  private def perSubArrays(codebook: DataFrame): DataFrame =
+  private[vector] def perSubArrays(codebook: DataFrame): DataFrame =
     codebook.groupBy("sub")
       .agg(sort_array(collect_list(struct(col("cid"), col("centroid"))))
         .as("cents"))
