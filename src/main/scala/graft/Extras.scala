@@ -418,6 +418,17 @@ object Extras {
         .localCheckpoint(false),
       packTokens = 256L)
 
+  /** The [[packedChunks]] stream EXACT-packed (chunk text kept — the
+    * pieces carry their token slices) — shared by X116 + X117.
+    */
+  private def exactPieces(c: Catalog): DataFrame =
+    graft.pipeline.TrainingSet.packExactChunks(
+      TextAnalysis.chunkDocuments(c.documents, maxTokens = 64, stride = 48)
+        .join(graft.ops.Scale.shuffleOrder(
+          c.documents.select("doc_id"), "doc_id"), Seq("doc_id"))
+        .localCheckpoint(false),
+      packTokens = 256L)
+
   /** Per-corpus persisted sign-LSH (hyperplane) ANN index — the
     * bucket-partitioned corpus of [[graft.vector.Ann.writeIndex]] at
     * nPlanes=8/seed=42, mirrored for the X09 oracle.
@@ -1136,6 +1147,25 @@ object Extras {
     // — the measurement that justifies packing; fully oracle-checked
     "X75_pack_stats" -> q(c =>
       graft.pipeline.TrainingSet.packStats(packedChunks(c), packTokens = 256L)),
+    // EXACT token-budget packing (the model-ready sink's layout,
+    // TrainingSet.writeExactPacks): the X73 stream with the straddling
+    // chunk SPLIT at the pack boundary — one row per piece with its
+    // pack, in-chunk index, in-pack offset and text; every non-final
+    // pack totals exactly 256 tokens and a chunk's pieces partition
+    // its tokens (TrainingSetSpec pins both); fully oracle-checked
+    // including the piece text
+    "X116_exact_packing" -> q(c =>
+      exactPieces(c)
+        .select("doc_id", "chunk_idx", "piece_idx", "pack_id", "pack_off",
+          "piece_tokens", "piece")
+        .orderBy("doc_id", "chunk_idx", "piece_idx")),
+    // the packed sink's per-pack manifest: piece/doc counts, token
+    // total (= the budget for every non-final pack — `exact` says so
+    // per row) and the training-order span, the table a loader reads
+    // to plan its pack ranges without scanning pieces; fully
+    // oracle-checked
+    "X117_pack_manifest" -> q(c =>
+      graft.pipeline.TrainingSet.packManifest(exactPieces(c), packTokens = 256L)),
     // MapReduce secondary sort, instantiated: per-user event-gap stats
     // needing time-ordered values — repartition by key + ONE in-task
     // external sort + an O(1)-per-group streaming fold (flatMapGroups
@@ -2771,6 +2801,75 @@ SELECT CAST((run - n_tokens) // 256 AS BIGINT) AS pack_id,
   CAST(SUM(n_tokens) AS BIGINT) AS fill_tokens,
   CAST(greatest(0, 256 - SUM(n_tokens)) AS BIGINT) AS pad_tokens
 FROM r GROUP BY 1 ORDER BY pack_id
+""".trim,
+    // X116/X117: the X73 prefix-sum stream with the straddling chunk
+    // SPLIT at the 256-token pack boundary — pieces = the chunk's token
+    // span clipped per pack (generate_series over the packs the span
+    // touches; a zero-token chunk lands as an empty piece in the pack
+    // where it starts), then the per-pack manifest aggregate
+    "X116_exact_packing" -> """
+WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS words FROM documents),
+s AS (SELECT doc_id, words, len(words) AS n,
+             unnest(range(0, greatest(len(words), 1), 48)) AS st FROM t),
+ch AS (SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_idx,
+         words[st+1 : st+64] AS cw,
+         CAST(len(words[st+1 : st+64]) AS BIGINT) AS n_tokens
+       FROM s WHERE st = 0 OR st + 16 < n),
+sp AS (SELECT doc_id, row_number() OVER (
+         ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 8), doc_id) AS shuffle_pos
+       FROM documents),
+r AS (SELECT ch.*, sp.shuffle_pos,
+        SUM(ch.n_tokens) OVER (ORDER BY sp.shuffle_pos, ch.chunk_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM ch JOIN sp USING (doc_id)),
+p AS (SELECT r.*, run - n_tokens AS strt,
+        CAST((run - n_tokens) // 256 AS BIGINT) AS b0,
+        CAST(CASE WHEN n_tokens = 0 THEN (run - n_tokens) // 256
+                  ELSE (run - 1) // 256 END AS BIGINT) AS b1
+      FROM r),
+pieces AS (SELECT p.*, unnest(generate_series(b0, b1)) AS pack_id FROM p)
+SELECT doc_id, chunk_idx,
+  CAST(pack_id - b0 AS BIGINT) AS piece_idx,
+  CAST(pack_id AS BIGINT) AS pack_id,
+  CAST(strt + greatest(0, pack_id*256 - strt) - pack_id*256 AS BIGINT) AS pack_off,
+  CAST(least(n_tokens, (pack_id+1)*256 - strt)
+       - greatest(0, pack_id*256 - strt) AS BIGINT) AS piece_tokens,
+  array_to_string(cw[greatest(0, pack_id*256 - strt)+1 :
+                     least(n_tokens, (pack_id+1)*256 - strt)], ' ') AS piece
+FROM pieces ORDER BY doc_id, chunk_idx, piece_idx
+""".trim,
+    "X117_pack_manifest" -> """
+WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS words FROM documents),
+s AS (SELECT doc_id, words, len(words) AS n,
+             unnest(range(0, greatest(len(words), 1), 48)) AS st FROM t),
+ch AS (SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_idx,
+         CAST(len(words[st+1 : st+64]) AS BIGINT) AS n_tokens
+       FROM s WHERE st = 0 OR st + 16 < n),
+sp AS (SELECT doc_id, row_number() OVER (
+         ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 8), doc_id) AS shuffle_pos
+       FROM documents),
+r AS (SELECT ch.*, sp.shuffle_pos,
+        SUM(ch.n_tokens) OVER (ORDER BY sp.shuffle_pos, ch.chunk_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM ch JOIN sp USING (doc_id)),
+p AS (SELECT r.*, run - n_tokens AS strt,
+        CAST((run - n_tokens) // 256 AS BIGINT) AS b0,
+        CAST(CASE WHEN n_tokens = 0 THEN (run - n_tokens) // 256
+                  ELSE (run - 1) // 256 END AS BIGINT) AS b1
+      FROM r),
+pieces AS (
+  SELECT p.doc_id, p.shuffle_pos, pk.pack_id,
+    least(p.n_tokens, (pk.pack_id+1)*256 - p.strt)
+      - greatest(0, pk.pack_id*256 - p.strt) AS piece_tokens
+  FROM p, LATERAL (SELECT unnest(generate_series(p.b0, p.b1)) AS pack_id) pk)
+SELECT CAST(pack_id AS BIGINT) AS pack_id,
+  CAST(COUNT(*) AS BIGINT) AS n_pieces,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(SUM(piece_tokens) AS BIGINT) AS n_tokens,
+  CAST(MIN(shuffle_pos) AS BIGINT) AS first_pos,
+  CAST(MAX(shuffle_pos) AS BIGINT) AS last_pos,
+  SUM(piece_tokens) = 256 AS exact
+FROM pieces GROUP BY 1 ORDER BY 1
 """.trim,
     "X55_event_gaps" -> """
 WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),

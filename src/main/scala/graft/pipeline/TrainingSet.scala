@@ -304,6 +304,128 @@ object TrainingSet {
       .drop("__run")
   }
 
+  /** EXACT token-budget packing — [[packChunks]]'s contract with the
+    * straddling chunk SPLIT at the pack boundary instead of
+    * overflowing: the training-order token stream is tiled into packs
+    * of EXACTLY `packTokens` tokens (only the final pack may be
+    * partial), which is the shape a model loader actually feeds —
+    * fixed-size sequences with zero padding and zero overflow, no
+    * post-hoc trimming.
+    *
+    * Input = a chunk stream carrying (`order` columns, n_tokens,
+    * chunk); output = one row per PIECE: the chunk's pass-through
+    * columns plus
+    *   - pack_id   — the pack this piece lands in,
+    *   - piece_idx — 0-based index of the piece within its chunk (a
+    *     chunk spans ⌈n_tokens / packTokens⌉ ≤ pieces, consecutive
+    *     packs by construction),
+    *   - pack_off  — token offset of the piece inside its pack,
+    *   - piece_tokens / piece — the piece's token count and text
+    *     (whitespace re-split of the chunk, the X50 token discipline).
+    * Pieces of one chunk partition its tokens exactly (count
+    * conservation) and per-pack piece_tokens sum to packTokens for
+    * every non-final pack (TrainingSetSpec pins both).
+    *
+    * Scale shape: the distributed prefix sum (no single-partition
+    * window), then strictly map-side piece arithmetic — the explode
+    * emits ⌈n_tokens/packTokens⌉ + 1 rows per chunk at most, and no
+    * data-sized shuffle happens at all (pack ids stay monotone in the
+    * training order, so downstream range-clustered writes keep packs
+    * contiguous for free, like [[packChunks]]).
+    */
+  def packExactChunks(
+      chunks: DataFrame,
+      packTokens: Long,
+      order: Seq[String] = Seq("shuffle_pos", "chunk_idx")): DataFrame = {
+    require(packTokens >= 1, s"packTokens=$packTokens must be positive")
+    val passThrough = chunks.columns.filterNot(_ == "chunk")
+    val run = graft.ops.ScalableWindows
+      .withGlobalRunningSum(chunks, order, "n_tokens", "__run")
+      .withColumn("__start", col("__run") - col("n_tokens"))
+    // a chunk's token span [__start, __run) touches packs
+    // floor(__start/B) .. floor((__run−1)/B); a zero-token chunk has an
+    // empty span and lands (as an empty piece) in the pack where it
+    // starts — the packChunks "starts-at" contract
+    val b0 = floor(col("__start") / packTokens).cast("long")
+    val b1 = when(col("n_tokens") === 0, floor(col("__start") / packTokens))
+      .otherwise(floor((col("__run") - 1) / packTokens)).cast("long")
+    run
+      .withColumn("__b0", b0)
+      .select(col("*"),
+        posexplode(sequence(col("__b0"), b1)).as(Seq("piece_idx", "pack_id")))
+      .withColumn("__from",
+        greatest(lit(0L), col("pack_id") * packTokens - col("__start")))
+      .withColumn("__to",
+        least(col("n_tokens"), (col("pack_id") + 1) * packTokens - col("__start")))
+      .withColumn("pack_off",
+        col("__start") + col("__from") - col("pack_id") * packTokens)
+      .withColumn("piece_tokens", col("__to") - col("__from"))
+      .withColumn("piece",
+        concat_ws(" ", slice(TextAnalysis.tokens(col("chunk")),
+          (col("__from") + 1).cast("int"), (col("__to") - col("__from")).cast("int"))))
+      .select((passThrough.map(col) ++ Seq(
+        col("piece_idx").cast("long").as("piece_idx"), col("pack_id"),
+        col("pack_off"), col("piece_tokens"), col("piece"))): _*)
+  }
+
+  /** Per-pack manifest of an exact-packed piece stream — the table a
+    * loader (or a release gate) reads to trust the layout without
+    * scanning pieces: piece/doc counts, the token total (= packTokens
+    * for every non-final pack — `exact` says so per row), and the
+    * training-order span the pack covers.
+    */
+  def packManifest(pieces: DataFrame, packTokens: Long): DataFrame =
+    pieces.groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_pieces"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("piece_tokens")).as("n_tokens"),
+        min(col("shuffle_pos")).as("first_pos"),
+        max(col("shuffle_pos")).as("last_pos"))
+      .withColumn("exact", col("n_tokens") === packTokens)
+      .orderBy("pack_id")
+
+  /** The model-ready packed SINK: chunk the curated corpus (X50),
+    * split the training-order token stream into EXACT `packTokens`
+    * packs ([[packExactChunks]]), and persist
+    *   - `$outDir/pieces`   — the piece stream, range-clustered by
+    *     (pack_id, pack_off) so each pack's pieces are contiguous
+    *     within (and across) part files in feed order;
+    *   - `$outDir/manifest` — the [[packManifest]] audit table.
+    * A loader reads manifest to plan, then streams pieces by pack
+    * range; every non-final pack is exactly `packTokens` tokens, so
+    * fixed-size training sequences map 1:1 onto packs with zero
+    * padding. Same exact-content-size file sizing as [[writeChunks]].
+    */
+  def writeExactPacks(
+      result: TrainingSetResult,
+      outDir: String,
+      maxTokens: Int = 2048,
+      stride: Int = 2048,
+      packTokens: Long = 1 << 20,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val raw = TextAnalysis
+      .chunkDocuments(result.docs.select("doc_id", "text"), maxTokens, stride)
+      .join(result.docs.select("doc_id", "shuffle_pos"), Seq("doc_id"))
+      // LAZY checkpoint: the prefix-sum machinery drives its input
+      // through three jobs — without it the explode-heavy chunker
+      // re-runs per job
+      .localCheckpoint(false)
+    val pieces = packExactChunks(raw, packTokens).localCheckpoint(true)
+    val stats = pieces
+      .agg(count(lit(1)).as("rows"),
+        coalesce(sum(length(col("piece"))), lit(0L)).as("bytes"))
+      .first()
+    val est = stats.getLong(1) + stats.getLong(0) * 64L
+    val nFiles = ((est + targetFileBytes - 1) / targetFileBytes)
+      .max(1L).min(1L << 20).toInt
+    Scale.clusterBy(pieces, nFiles, col("pack_id"), col("pack_off"))
+      .write.mode("overwrite").parquet(s"$outDir/pieces")
+    packManifest(pieces, packTokens)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+  }
+
   /** Budget-cut corpus snapshot — "take documents in the deterministic
     * shuffle order until the token budget is spent": the corpus-freeze
     * step of a data build that fixes WHICH documents a `budgetTokens`

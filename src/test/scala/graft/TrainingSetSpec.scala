@@ -410,6 +410,97 @@ class TrainingSetSpec extends SparkSpec {
       "packs must stay contiguous across the written stream")
   }
 
+  test("packExactChunks + writeExactPacks: pieces conserve chunk tokens, non-final packs are exactly the budget, sink and manifest round-trip") {
+    val r = TrainingSet.build(cat.documents.limit(120), None, TrainingSetConfig())
+    val maxTokens = 64
+    val packTokens = 192L
+    val chunks = graft.text.TextAnalysis
+      .chunkDocuments(r.docs.select("doc_id", "text"), maxTokens, stride = 64)
+      .join(r.docs.select("doc_id", "shuffle_pos"), Seq("doc_id"))
+    val chunkRows = chunks.select("doc_id", "chunk_idx", "n_tokens", "chunk")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getString(3)))
+      .toMap
+    val pieces = TrainingSet.packExactChunks(chunks, packTokens)
+    val rows = pieces
+      .select("doc_id", "chunk_idx", "piece_idx", "pack_id", "pack_off",
+        "piece_tokens", "piece")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getString(6)))
+    assert(rows.nonEmpty)
+
+    // count conservation + text reconstruction: a chunk's pieces
+    // partition its tokens exactly, in piece_idx order
+    rows.groupBy(t => (t._1, t._2)).foreach { case (key, ps) =>
+      val (nTokens, chunkText) = chunkRows(key)
+      val sorted = ps.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == sorted.indices.map(_.toLong),
+        s"$key: piece_idx must be dense from 0")
+      assert(sorted.map(_._6).sum == nTokens,
+        s"$key: piece tokens must sum to the chunk's n_tokens")
+      assert(sorted.map(_._7).filter(_.nonEmpty).mkString(" ") == chunkText,
+        s"$key: concatenated pieces must reproduce the chunk text")
+    }
+    // exact budget: every pack except the last totals exactly
+    // packTokens; in-pack offsets tile [0, packTokens) contiguously
+    val byPack = rows.groupBy(_._4)
+    val lastPack = byPack.keys.max
+    byPack.foreach { case (p, ps) =>
+      val total = ps.map(_._6).sum
+      if (p != lastPack)
+        assert(total == packTokens, s"pack $p must be exactly $packTokens, got $total")
+      else assert(total <= packTokens, s"final pack $p must not overflow: $total")
+      val inOrder = ps.sortBy(_._5)
+      assert(inOrder.head._5 == 0L, s"pack $p must start at offset 0")
+      inOrder.zip(inOrder.tail).foreach { case (a, b) =>
+        assert(b._5 == a._5 + a._6,
+          s"pack $p pieces must be token-contiguous: $a -> $b")
+      }
+    }
+    // pack ids contiguous from 0 (packs ARE training-order slices)
+    val packIds = byPack.keys.toSeq.sorted
+    assert(packIds == (0L to lastPack),
+      "pack ids must be dense from 0")
+
+    // the model-ready sink: pieces + manifest round-trip, manifest rows
+    // agree with a recomputation over the written pieces, and every
+    // non-final manifest row says exact
+    val out = java.nio.file.Files.createTempDirectory("graft-exactpacks").toString
+    TrainingSet.writeExactPacks(r, out, maxTokens = 64, stride = 64,
+      packTokens = packTokens, targetFileBytes = 16L << 10)
+    val back = spark.read.parquet(s"$out/pieces")
+    val manifest = spark.read.parquet(s"$out/manifest")
+      .collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(6)))
+      .toMap
+    val recomputed = back.groupBy("pack_id")
+      .agg(count(lit(1)).as("n_pieces"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("piece_tokens")).as("n_tokens"))
+      .collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(manifest.keySet == recomputed.keySet)
+    manifest.foreach { case (p, (np, nd, nt, exact)) =>
+      assert(recomputed(p) == ((np, nd, nt)),
+        s"manifest row for pack $p must match the written pieces")
+      assert(exact == (nt == packTokens), s"pack $p exact flag")
+      if (p != manifest.keys.max)
+        assert(exact, s"non-final pack $p must be exact in the written layout")
+    }
+    // file-name order replays the feed order (pack_id, pack_off)
+    val parts = new java.io.File(s"$out/pieces").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getPath).sorted
+    val seq = parts.flatMap { p =>
+      spark.read.parquet(p).select("pack_id", "pack_off")
+        .collect().map(x => (x.getLong(0), x.getLong(1)))
+    }
+    assert(seq.sameElements(seq.sorted),
+      "pieces must be written in feed order: part-file name order = (pack_id, pack_off)")
+  }
+
   test("curriculumOrder: rank equals the naive (mean_logp DESC, doc_id) order; NTILE cut is exact") {
     val s = spark
     import s.implicits._
