@@ -41,19 +41,47 @@ object Bpe {
     * Returns one row per merge: (step, left, right, pair_count),
     * ordered by step — step 1 is the first (highest-count) merge.
     * Stops early when no pair reaches `minPairCount`.
+    *
+    * Hybrid execution: the trainer's working set is the VOCAB, not the
+    * corpus, and the vocab is Heaps-law sized — on most corpora it fits
+    * in driver memory even when the corpus is 100 TB. When it does
+    * (≤ `driverVocabLimit` rows, probed with ONE bounded
+    * limit-pushdown collect), the merge loop runs as a driver-side
+    * incremental fold with pair counts maintained under an inverted
+    * pair→words index — IDENTICAL semantics (same overlap counting,
+    * same left-to-right greedy apply, same codepoint-lexicographic
+    * tie-break = Spark's UTF8-binary `asc`), ~2 Spark jobs total
+    * instead of two PER MERGE (a real 32k-merge tokenizer train was
+    * 64k sequential jobs — pure scheduler latency, since each job is
+    * vocab-sized anyway; BpeSpec pins path equality and the job-count
+    * win mechanically). A vocab over the limit falls back to the
+    * distributed per-merge loop unchanged; pass `driverVocabLimit = 0`
+    * to force it.
     */
   def learnMerges(
       documents: DataFrame,
       numMerges: Int,
       minPairCount: Long = 2L,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      driverVocabLimit: Int = 1 << 18): DataFrame = {
     require(numMerges >= 1, s"numMerges=$numMerges")
     require(minPairCount >= 1, s"minPairCount=$minPairCount")
     val spark = documents.sparkSession
     import spark.implicits._
-    var vocab = wordVocab(documents, textCol)
+    val vocabDf = wordVocab(documents, textCol)
       .select(charSyms(col("w")).as("syms"), col("freq"))
-      .localCheckpoint(true)
+    if (driverVocabLimit > 0) {
+      // bounded probe: limit pushdown caps the collect at limit+1 rows
+      // no matter the vocab size — if everything arrived, the vocab
+      // fits and the rows ARE the working set
+      val probe = vocabDf.limit(driverVocabLimit + 1).collect()
+      if (probe.length <= driverVocabLimit) {
+        val rows = probe.map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+        return driverMerges(rows, numMerges, minPairCount)
+          .toDF("step", "left", "right", "pair_count")
+      }
+    }
+    var vocab = vocabDf.localCheckpoint(true)
     val merges = ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var done = false
@@ -79,6 +107,129 @@ object Bpe {
     }
     vocab.unpersist()
     merges.toSeq.toDF("step", "left", "right", "pair_count")
+  }
+
+  /** Codepoint-lexicographic string comparison — identical to Spark's
+    * UTF8-binary `asc` ordering (UTF-8 byte order IS codepoint order;
+    * Java String.compareTo orders by UTF-16 code unit, which disagrees
+    * for supplementary-plane characters vs U+E000–U+FFFF).
+    */
+  private def cpCompare(s: String, t: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < s.length && j < t.length) {
+      val cs = s.codePointAt(i)
+      val ct = t.codePointAt(j)
+      if (cs != ct) return Integer.compare(cs, ct)
+      i += Character.charCount(cs)
+      j += Character.charCount(ct)
+    }
+    Integer.compare(s.length - i, t.length - j)
+  }
+
+  /** Left-to-right greedy merge of (a, b) in one symbol array — the
+    * driver-side twin of [[mergeFold]] (the freshly merged token never
+    * participates in another merge within the same step). Returns the
+    * input array unchanged (same reference) when the pair is absent.
+    */
+  private def greedyMergeWord(
+      syms: Array[String], a: String, b: String): Array[String] = {
+    var has = false
+    var i = 0
+    while (!has && i < syms.length - 1) {
+      if (syms(i) == a && syms(i + 1) == b) has = true
+      i += 1
+    }
+    if (!has) syms
+    else {
+      val out = Array.newBuilder[String]
+      var last: String = null
+      syms.foreach { s =>
+        if (last == a && s == b) last = a + b
+        else { if (last != null) out += last; last = s }
+      }
+      if (last != null) out += last
+      out.result()
+    }
+  }
+
+  /** The driver-side merge loop over a collected (syms, freq) vocab —
+    * pair counts maintained INCREMENTALLY under an inverted pair→words
+    * index, so each merge touches only the words that contain its pair
+    * instead of rescanning the vocab (the standard fast-BPE-trainer
+    * shape). Semantics are bit-identical to the distributed loop: the
+    * argmax comparison is the strict total order (count desc, left
+    * asc, right asc) under [[cpCompare]], so hash-pinned merge tables
+    * (X57) are unchanged by the path switch — BpeSpec pins both paths
+    * equal on the pinned corpus and on a supplementary-plane fixture.
+    */
+  private def driverMerges(
+      vocab: Array[(Array[String], Long)],
+      numMerges: Int,
+      minPairCount: Long): Seq[(Int, String, String, Long)] = {
+    val words = vocab.map(_._1)
+    val freqs = vocab.map(_._2)
+    val counts = new java.util.HashMap[(String, String), Long]()
+    val index = new java.util.HashMap[(String, String), java.util.HashSet[Integer]]()
+    def bump(p: (String, String), f: Long): Unit = {
+      val n = counts.merge(p, f, (x, y) => x + y)
+      if (n == 0L) counts.remove(p)
+    }
+    def enroll(wi: Int): Unit = {
+      val ws = words(wi)
+      var k = 0
+      while (k < ws.length - 1) {
+        val p = (ws(k), ws(k + 1))
+        bump(p, freqs(wi))
+        index.computeIfAbsent(p, _ => new java.util.HashSet[Integer]())
+          .add(wi)
+        k += 1
+      }
+    }
+    words.indices.foreach(enroll)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      // strict total order ⇒ map iteration order is irrelevant
+      var bestP: (String, String) = null
+      var bestC = 0L
+      counts.forEach { (p, c) =>
+        if (bestP == null || c > bestC ||
+          (c == bestC && {
+            val ca = cpCompare(p._1, bestP._1)
+            ca < 0 || (ca == 0 && cpCompare(p._2, bestP._2) < 0)
+          })) { bestP = p; bestC = c }
+      }
+      if (bestP == null || bestC < minPairCount) done = true
+      else {
+        val (a, b) = bestP
+        out += ((step, a, b, bestC))
+        val members = index.getOrDefault(bestP, new java.util.HashSet[Integer]())
+          .toArray(Array.empty[Integer])
+        members.foreach { wiBox =>
+          val wi = wiBox.intValue()
+          val oldSyms = words(wi)
+          val newSyms = greedyMergeWord(oldSyms, a, b)
+          if (!(newSyms eq oldSyms)) {
+            // exact recount of this word's contribution: retract every
+            // old adjacent pair, enroll every new one
+            var k = 0
+            while (k < oldSyms.length - 1) {
+              val p = (oldSyms(k), oldSyms(k + 1))
+              bump(p, -freqs(wi))
+              val s = index.get(p)
+              if (s != null) { s.remove(wiBox); if (s.isEmpty) index.remove(p) }
+              k += 1
+            }
+            words(wi) = newSyms
+            enroll(wi)
+          }
+        }
+        step += 1
+      }
+    }
+    out.result()
   }
 
   /** Corpus token statistics under a learned merge table: encode the

@@ -135,6 +135,54 @@ class BpeSpec extends SparkSpec {
     assert(a.nonEmpty && a.forall(_.last.asInstanceOf[Long] >= 2L))
   }
 
+  test("driver-fold trainer ≡ distributed trainer, at a fraction of the Spark jobs") {
+    import spark.implicits._
+    // path equality on the supplementary-plane fixture (tie-breaks and
+    // codepoint symbols are where the paths could drift) and on the
+    // real corpus
+    val docs = fixture.toDF("text")
+    def table(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.orderBy("step").collect().map(_.toSeq).toSeq
+    assert(
+      table(Bpe.learnMerges(docs, numMerges = 10, minPairCount = 1L)) ==
+        table(Bpe.learnMerges(docs, numMerges = 10, minPairCount = 1L,
+          driverVocabLimit = 0)),
+      "driver fold must reproduce the distributed trainer on the fixture")
+    val cat = graft.ops.Catalog(spark, sf001)
+    assert(
+      table(Bpe.learnMerges(cat.documents, numMerges = 6)) ==
+        table(Bpe.learnMerges(cat.documents, numMerges = 6,
+          driverVocabLimit = 0)),
+      "driver fold must reproduce the distributed trainer on the corpus")
+
+    // the point of the hybrid: a 64-merge train is O(1) jobs, not O(2
+    // per merge) — count jobs via a listener around each path
+    def countJobs(run: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      // drain the async listener bus before reading the counter —
+      // onJobStart events are delivered off the calling thread
+      try { run; Thread.sleep(500) }
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    val jobsDriver = countJobs {
+      Bpe.learnMerges(docs, numMerges = 64, minPairCount = 1L).collect()
+    }
+    val jobsDistributed = countJobs {
+      Bpe.learnMerges(docs, numMerges = 64, minPairCount = 1L,
+        driverVocabLimit = 0).collect()
+    }
+    assert(jobsDriver * 4 <= jobsDistributed,
+      s"driver fold must cut Spark jobs at least 4x at 64 merges: " +
+        s"$jobsDriver vs $jobsDistributed")
+  }
+
   test("rank-greedy one-pass encode ≡ sequential merge replay on the learned table") {
     import spark.implicits._
     val docs = fixture.toDF("text").withColumn("doc_id", monotonically_increasing_id())
