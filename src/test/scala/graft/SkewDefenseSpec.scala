@@ -43,6 +43,66 @@ class SkewDefenseSpec extends SparkSpec {
     assert(pairs == (for { i <- 0L until 5L; j <- i + 1 until 5L } yield (i, j)).toSet)
   }
 
+  test("capped pairs LAW (ScalaCheck): identical-signature connectivity, bucket reachability, linear mass, uncapped exactness") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // adversarial member-table generator: up to 60 members concentrated
+    // in 1–3 buckets with 1–4 distinct signatures (the near-constant /
+    // hash-collision regime the cap exists for), cap down to 2
+    val gen = for {
+      n <- Gen.choose(2, 60)
+      nSigs <- Gen.choose(1, 4)
+      nBuckets <- Gen.choose(1, 3)
+      sigOf <- Gen.listOfN(n, Gen.choose(0, nSigs - 1))
+      bucketOf <- Gen.listOfN(n, Gen.choose(0, nBuckets - 1))
+      cap <- Gen.choose(2, 8)
+    } yield (n, sigOf.toVector, bucketOf.toVector, cap)
+    val prop = Prop.forAll(gen) { case (n, sigOf, bucketOf, cap) =>
+      val members = (0 until n)
+        .map(id => (id.toLong, 1000L + sigOf(id), 0, bucketOf(id).toLong))
+        .toDF("id", "sigh", "band", "bucket")
+      val pairs = graft.ops.BucketedPairs.cappedCandidatePairs(members, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // union-find over the candidate graph
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      pairs.foreach { case (i, j) => parent(find(i.toInt)) = find(j.toInt) }
+      val byBucket = (0 until n).groupBy(bucketOf)
+      // LAW 1 (the recall floor the docs promise): same (bucket, sig)
+      // members always end up in one component, capped or not
+      val sigConnected = byBucket.values.forall(_.groupBy(sigOf(_)).values.forall { g =>
+        g.map(find).distinct.size == 1
+      })
+      // LAW 2: every member of a bucket with ≥2 members reaches the
+      // bucket anchor's component (verification reachability)
+      val bucketReachable = byBucket.values.filter(_.size >= 2).forall { g =>
+        g.map(find).distinct.size == 1
+      }
+      // LAW 3: candidate mass stays linear per bucket under the cap
+      val perBucketOk = byBucket.forall { case (b, g) =>
+        val nb = g.size
+        val got = pairs.count { case (i, j) => bucketOf(i.toInt) == b }
+        got <= nb * (cap + 2) + cap * cap
+      }
+      // LAW 4: no oversized bucket ⇒ exactly the exhaustive pair set
+      val maxBucket = byBucket.values.map(_.size).max
+      val exactWhenSmall = maxBucket > cap || {
+        val want = byBucket.values.flatMap { g =>
+          val ids = g.map(_.toLong).sorted
+          for { i <- ids; j <- ids if i < j } yield (i, j)
+        }.toSet
+        pairs == want
+      }
+      sigConnected && bucketReachable && perBucketOk && exactWhenSmall
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, s"capped-pairs law: $res")
+  }
+
   test("recommendBanding grows planes with corpus size and meets the recall target") {
     val (p1, b1) = Ann.recommendBanding(500L, 0.4)
     assert((p1, b1) == (4, 16), s"small corpus must reproduce the 4x16 default, got ($p1,$b1)")
