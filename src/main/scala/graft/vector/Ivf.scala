@@ -1,6 +1,6 @@
 package graft.vector
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.dot
@@ -77,6 +77,115 @@ object Ivf {
             org.apache.spark.sql.GraftColumnBridge.expression(col("cents")),
             l2)))
   }
+
+  /** nLists at which BUILD-side assignment switches to the two-level
+    * [[assignHierarchical]] path: with the nLists ∝ N sizing contract
+    * the exact per-vector argmax makes builds O(N · nLists) = O(N²/c),
+    * which stops being payable around a few thousand lists; the
+    * two-level path is O(N · √nLists · superProbe) — at nLists 16 384
+    * that is ~30× less arithmetic per vector.
+    */
+  val HierarchicalThreshold = 4096L
+
+  /** Two-level coarse assignment — the nLists ∝ N BUILD path at scale:
+    * a deterministic √nLists-sized sample of the centroid table (the
+    * [[centroids]] idiom applied to itself) becomes the SUPER level;
+    * each centroid belongs to its nearest super (one tiny exact
+    * argmax), and each corpus vector (a) ranks the supers, (b) gathers
+    * the member centroids of its `superProbe` nearest supers, and (c)
+    * runs the codegen'd exact argmax over just those candidates. Cost
+    * per vector O(√nLists · (1 + superProbe)) instead of O(nLists);
+    * strictly map-side — the only data movement is two metadata-sized
+    * broadcasts (supers, grouped members).
+    *
+    * Semantics: EXACT within the gathered candidate set, with
+    * [[assign]]'s (score, then id) tie-break; a vector whose true
+    * nearest centroid lives outside its `superProbe` nearest
+    * super-groups is assigned to a near-optimal list instead — the
+    * standard coarse-assignment approximation every production IVF
+    * build makes at this size (probes rank lists by the SAME centroid
+    * geometry, so near-boundary vectors sit in lists the probe ranks
+    * adjacent). With superProbe ≥ the super count the candidate set is
+    * the whole centroid table and the result equals [[assign]] /
+    * [[assignL2]] EXACTLY (IvfSpec pins it, plus the agreement rate of
+    * the approximate setting).
+    */
+  def assignHierarchical(
+      embeddings: DataFrame,
+      cents: DataFrame,
+      superProbe: Int = 4,
+      l2: Boolean = false): DataFrame = {
+    require(superProbe >= 1, s"superProbe=$superProbe must be positive")
+    require(Seq("sups", "groups", "best", "cents").forall(c => !embeddings.columns.contains(c)),
+      "assignHierarchical input must not carry internal columns sups/groups/best/cents")
+    import org.apache.spark.sql.expressions.Window
+    val nLists = cents.count()
+    val g = math.max(1, math.ceil(math.sqrt(nLists.toDouble)).toInt)
+    // super level: deterministic hash sample of the centroid table,
+    // re-keyed to a dense [0, g) position (the g-row window is
+    // metadata-sized — this is the centroid table, not the corpus)
+    val supers = cents
+      .orderBy(xxhash64(col("centroid_id")), col("centroid_id"))
+      .limit(g)
+      .withColumn("__pos",
+        (row_number().over(Window.orderBy("centroid_id")) - 1).cast("long"))
+      .select(col("__pos").as("centroid_id"), col("centroid"))
+    // each centroid to its single nearest super — the same codegen
+    // kernel, over the (tiny) centroid table
+    val centSuper = withBest(
+        cents.select(col("centroid_id").as("__cid"), col("centroid").as("embedding")),
+        supers, l2)
+      .select(col("__cid"), col("embedding"), col("best.id").as("__pos"))
+    // members per super as ONE broadcast row: array over dense super
+    // positions of that super's sorted (centroid_id, centroid) members
+    // (empty arrays for memberless supers keep positions aligned)
+    val memberType = "array<struct<centroid_id:bigint,centroid:array<float>>>"
+    val grouped = centSuper.groupBy("__pos")
+      .agg(sort_array(collect_list(struct(
+        col("__cid").as("centroid_id"),
+        col("embedding").as("centroid")))).as("__members"))
+    val groupsRow = supers.select(col("centroid_id").as("__pos"))
+      .join(grouped, Seq("__pos"), "left")
+      .select(struct(col("__pos"),
+        coalesce(col("__members"), array().cast(memberType)).as("m")).as("pm"))
+      .agg(sort_array(collect_list(col("pm"))).as("pms"))
+      .select(transform(col("pms"), x => x("m")).as("groups"))
+    val supsRow = supers.agg(
+      sort_array(collect_list(struct(col("centroid_id"), col("centroid")))).as("sups"))
+    // per vector: rank supers (ascending distance / descending dot,
+    // position as the tie-break), gather the superProbe nearest
+    // groups' members, exact codegen argmax over the candidates
+    val superScore: Column => Column = s =>
+      if (l2) dot(col("embedding"), col("embedding")) -
+        lit(2.0) * dot(col("embedding"), s("centroid")) +
+        dot(s("centroid"), s("centroid"))
+      else -dot(col("embedding"), s("centroid"))
+    embeddings
+      .crossJoin(broadcast(supsRow))
+      .crossJoin(broadcast(groupsRow))
+      .withColumn("__top",
+        slice(sort_array(transform(col("sups"), s =>
+          struct(superScore(s).as("d"), s("centroid_id").as("pid")))),
+          1, superProbe))
+      .withColumn("cents",
+        flatten(transform(col("__top"), t =>
+          element_at(col("groups"), (t("pid") + 1).cast("int")))))
+      .withColumn("best",
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.BestCentroid(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("embedding")),
+            org.apache.spark.sql.GraftColumnBridge.expression(col("cents")),
+            l2)))
+      .select(col("vec_id"), col("embedding"), col("best.id").as("list_id"))
+  }
+
+  /** Build-side assignment router: exact below [[HierarchicalThreshold]]
+    * lists, two-level above it.
+    */
+  private[vector] def assignForBuild(
+      embeddings: DataFrame, cents: DataFrame, nLists: Long): DataFrame =
+    if (nLists >= HierarchicalThreshold) assignHierarchical(embeddings, cents)
+    else assign(embeddings, cents)
 
   /** Squared-L2 assignment: each vector to the centroid minimizing
     * |v − c|² (the |v|² − 2·v·c + |c|² expansion, centroid_id ascending
@@ -223,7 +332,14 @@ object Ivf {
         dim = embeddings.select(size(col("embedding"))).first().getInt(0))
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     val saved = embeddings.sparkSession.read.parquet(s"$path/centroids")
-    assign(embeddings, saved)
+    // cluster by list_id before the partitioned write (the append-path
+    // discipline): without it every write task emits a file into every
+    // list dir it sees — at nLists ∝ N that is tasks × nLists fragments,
+    // and fragment count is what probes pay per file-open. Assignment
+    // routes through assignForBuild: exact argmax below
+    // HierarchicalThreshold lists, the two-level path above it.
+    assignForBuild(embeddings, saved, nLists.toLong)
+      .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/vectors")
   }
 
@@ -255,6 +371,7 @@ object Ivf {
   def appendToIndex(newVectors: DataFrame, path: String): Unit = {
     val spark = newVectors.sparkSession
     val cents = spark.read.parquet(s"$path/centroids")
+    val nLists = cents.count()
     // cluster by list_id before the partitioned write so each touched
     // list dir receives ONE new file from one task — for a
     // production-size delta (rows ≥ nLists) this caps the append at
@@ -262,8 +379,10 @@ object Ivf {
     // count is what probes later pay per file-open. The wall cost of
     // an append is the per-touched-dir commit (∝ min(|delta|, nLists),
     // ~19 s for 2k rows into 1 600 lists locally), NOT the indexed
-    // corpus size — flat in N, which is the contract
-    assign(newVectors, cents)
+    // corpus size — flat in N, which is the contract. Assignment
+    // routes through the same assignForBuild switch as writeIndex, so
+    // a delta into a huge-nLists index pays the two-level cost too.
+    assignForBuild(newVectors, cents, nLists)
       .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(s"$path/vectors")
   }
