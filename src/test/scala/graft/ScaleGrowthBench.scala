@@ -54,14 +54,19 @@ object ScaleGrowthBench {
     // identical and char-sum invariants stay exact); lang rides along
     // for the curation path's mixture stage (per-replica proportions
     // identical by construction)
+    // explode-form replication (identical strings to the historical
+    // union form — format_string("%02d", r) == f"$r%02d" at every
+    // replica count): a per-factor union builds an O(factor)-node plan
+    // that stops compiling in reasonable time at the 1000× point
     def corpus(factor: Int): DataFrame =
-      (0 until factor).map { i =>
-        val tag = f"$i%02d"
-        base.select(
-          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
-          regexp_replace(col("text"), "(\\S+)", s"$$1r$tag").as("text"),
+      base.select(col("doc_id"), col("text"), col("n_chars"), col("lang"),
+          explode(sequence(lit(0), lit(factor - 1))).as("__r"))
+        .select(
+          (col("doc_id") + col("__r").cast("long") * 1000000L).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1r"), format_string("%02d", col("__r")))).as("text"),
           col("n_chars"), col("lang"))
-      }.reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+        .repartition(32).localCheckpoint(true)
 
     // X05's wall is candidate-mass bound, not N-bound: record the
     // capped candidate mass (Σ C(df,2) over shingles with df ≤ maxDf —

@@ -66,13 +66,22 @@ object ScaleGrowthVectorBench {
       .select("vec_id", "embedding")
     val dim = base.select(size(col("embedding"))).head().getInt(0)
 
-    def corpus(factor: Int): DataFrame =
-      (0 until factor).map { i =>
-        val signs = (0 until dim).map(d => sign(i, d))
-        base.select(
-          (col("vec_id") + lit(i * 1000000L)).as("vec_id"),
-          zip_with(col("embedding"), typedLit(signs), (a, b) => a * b).as("embedding"))
-      }.reduce(_ unionByName _).repartition(32).localCheckpoint(true)
+    // explode-form replication (identical values to the historical
+    // union form): a per-factor union of `factor` branches builds an
+    // O(factor)-node plan that stops compiling in reasonable time at
+    // the 1000× point; one explode + a broadcast sign-matrix literal
+    // (factor × dim floats — 256 KB at 1000×) is O(1) plan nodes
+    def corpus(factor: Int): DataFrame = {
+      val signs = (0 until factor).map(i => (0 until dim).map(d => sign(i, d)))
+      base.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(factor - 1))).as("__r"))
+        .select(
+          (col("vec_id") + col("__r").cast("long") * 1000000L).as("vec_id"),
+          zip_with(col("embedding"),
+            element_at(typedLit(signs), col("__r") + 1),
+            (a, b) => a * b).as("embedding"))
+        .repartition(32).localCheckpoint(true)
+    }
 
     // (factor, wall, measure) per probe
     val x06 = scala.collection.mutable.ArrayBuffer[(Int, Double, Long)]()
