@@ -637,6 +637,33 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
       spark.read.parquet(s"$indexPath/cents"),
       queries, tables.embeddings, k, nProbe, dsub, rPerProbe, rMin)
 
+  /** Build + persist the OPQ artifact (learned-rotation PQ, Ge et al.
+    * CVPR 2013 — see [[graft.vector.Opq.writeIndex]]): rotation +
+    * codebook + codes at the same m·ks budget as [[pqSearch]]'s plain
+    * artifact.
+    */
+  def buildOpqIndex(path: String, m: Int = 8, ks: Int = 16,
+      iters: Int = 3, opqIters: Int = 3): Unit = {
+    val dim = tables.embeddings
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding")))
+      .first().getInt(0)
+    graft.vector.Opq.writeIndex(tables.embeddings, path, m, ks, iters,
+      dim, opqIters)
+  }
+
+  /** ADC top-k over an OPQ artifact — queries rotate through the
+    * persisted rotation, then the ordinary codegen'd ADC scan (see
+    * [[graft.vector.Opq.adcTopK]]).
+    */
+  def opqSearch(indexPath: String, queries: DataFrame, k: Int,
+      dsub: Int = 8): DataFrame =
+    graft.vector.Opq.adcTopK(
+      spark.read.parquet(s"$indexPath/codes"),
+      spark.read.parquet(s"$indexPath/codebook"),
+      spark.read.parquet(s"$indexPath/rotation"),
+      queries, k, dsub)
+
   /** Ratio-margin pair mining between two embedded sets (see
     * [[graft.vector.Ann.marginMinedPairs]]).
     */

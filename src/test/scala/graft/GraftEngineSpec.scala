@@ -89,5 +89,19 @@ class GraftEngineSpec extends SparkSpec {
     assert(hits.filter(
       org.apache.spark.sql.functions.col("query_id") ===
         org.apache.spark.sql.functions.col("vec_id")).isEmpty)
+    // the deployable two-stage serve over the same artifact: adaptive
+    // shortlist + exact re-rank, k rows per query, self excluded
+    val served = engine.ivfAdcServe(s"$root/pqr", q, k = 3, nProbe = 8)
+    assert(served.count() == 6)
+    assert(served.filter(
+      org.apache.spark.sql.functions.col("query_id") ===
+        org.apache.spark.sql.functions.col("vec_id")).isEmpty)
+    // OPQ: build once, search from the persisted rotation+codebook+codes
+    engine.buildOpqIndex(s"$root/opq", ks = 8, iters = 2, opqIters = 1)
+    val ohits = engine.opqSearch(s"$root/opq", q, k = 3)
+    assert(ohits.count() == 6)
+    assert(ohits.filter(
+      org.apache.spark.sql.functions.col("query_id") ===
+        org.apache.spark.sql.functions.col("vec_id")).isEmpty)
   }
 }
