@@ -1166,6 +1166,20 @@ object Extras {
     // oracle-checked
     "X117_pack_manifest" -> q(c =>
       graft.pipeline.TrainingSet.packManifest(exactPieces(c), packTokens = 256L)),
+    // exact substring-level dedup (Lee et al. ACL 2022, restated as
+    // stride-1 window fingerprinting): maximal duplicated token spans
+    // per doc, canonical first occurrence exempt; fully oracle-checked.
+    // The string-keyed oracle twin — the hashed scale path is pinned
+    // row-identical in SubstringDedupSpec
+    "X118_substring_dup_spans" -> q(c =>
+      graft.text.SubstringDedup.duplicatedSpans(c.documents, minTokens = 10)
+        .orderBy("doc_id", "span_start")),
+    // the span-cut corpus: uncovered tokens rejoined, per-doc token
+    // accounting (n_tokens − dup_tokens = tokens of clean_text,
+    // spec-pinned corpus-wide); fully oracle-checked incl. the text
+    "X119_substring_dedup_clean" -> q(c =>
+      graft.text.SubstringDedup.cleanCorpus(c.documents, minTokens = 10)
+        .orderBy("doc_id")),
     // MapReduce secondary sort, instantiated: per-user event-gap stats
     // needing time-ordered values — repartition by key + ONE in-task
     // external sort + an O(1)-per-group streaming fold (flatMapGroups
@@ -2870,6 +2884,58 @@ SELECT CAST(pack_id AS BIGINT) AS pack_id,
   CAST(MAX(shuffle_pos) AS BIGINT) AS last_pos,
   SUM(piece_tokens) = 256 AS exact
 FROM pieces GROUP BY 1 ORDER BY 1
+""".trim,
+    // X118/X119: exact substring dedup — stride-1 10-token windows, a
+    // key seen more than once marks all but its globally-first
+    // occurrence, covered positions merge into maximal spans
+    // (gaps-and-islands), X119 cuts them and rejoins the survivors
+    "X118_substring_dup_spans" -> """
+WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS words FROM documents),
+w AS (SELECT doc_id, unnest(generate_series(1, len(words) - 9)) AS p, words FROM t WHERE len(words) >= 10),
+k AS (SELECT doc_id, p, array_to_string(words[p : p+9], ' ') AS win FROM w),
+r AS (SELECT doc_id, p,
+        COUNT(*) OVER (PARTITION BY win) AS occ,
+        ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, p) AS rk
+      FROM k),
+h AS (SELECT doc_id, p, p + 9 AS e FROM r WHERE occ > 1 AND rk > 1),
+g AS (SELECT doc_id, p, e,
+        CASE WHEN p > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY p
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS ng
+      FROM h),
+gg AS (SELECT *, SUM(ng) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS grp FROM g)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(MIN(p) AS BIGINT) AS span_start,
+  CAST(MAX(e) AS BIGINT) AS span_end,
+  CAST(MAX(e) - MIN(p) + 1 AS BIGINT) AS span_tokens
+FROM gg GROUP BY doc_id, grp ORDER BY doc_id, span_start
+""".trim,
+    "X119_substring_dedup_clean" -> """
+WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS words FROM documents),
+w AS (SELECT doc_id, unnest(generate_series(1, len(words) - 9)) AS p, words FROM t WHERE len(words) >= 10),
+k AS (SELECT doc_id, p, array_to_string(words[p : p+9], ' ') AS win FROM w),
+r AS (SELECT doc_id, p,
+        COUNT(*) OVER (PARTITION BY win) AS occ,
+        ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, p) AS rk
+      FROM k),
+h AS (SELECT doc_id, p, p + 9 AS e FROM r WHERE occ > 1 AND rk > 1),
+g AS (SELECT doc_id, p, e,
+        CASE WHEN p > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY p
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS ng
+      FROM h),
+gg AS (SELECT *, SUM(ng) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS grp FROM g),
+sp AS (SELECT doc_id, MIN(p) AS s, MAX(e) AS e2 FROM gg GROUP BY doc_id, grp),
+pos AS (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS i FROM t WHERE len(words) >= 1),
+kept AS (SELECT pos.doc_id, pos.i, pos.words[pos.i] AS wtok
+         FROM pos LEFT JOIN sp ON pos.doc_id = sp.doc_id AND pos.i BETWEEN sp.s AND sp.e2
+         WHERE sp.doc_id IS NULL),
+agg AS (SELECT doc_id, COALESCE(string_agg(wtok, ' ' ORDER BY i), '') AS clean_text FROM kept GROUP BY doc_id),
+dup AS (SELECT doc_id, SUM(e2 - s + 1) AS dup_tokens FROM sp GROUP BY doc_id)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+  CAST(len(t.words) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(dup.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  COALESCE(agg.clean_text, '') AS clean_text
+FROM t LEFT JOIN dup ON t.doc_id = dup.doc_id LEFT JOIN agg ON t.doc_id = agg.doc_id
+ORDER BY doc_id
 """.trim,
     "X55_event_gaps" -> """
 WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),

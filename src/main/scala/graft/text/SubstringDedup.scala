@@ -1,0 +1,135 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring-level deduplication: find every maximal token span
+  * that occurs more than once across the corpus (or within one
+  * document) and keep only its FIRST occurrence — the span-granular
+  * complement of whole-document dedup (L01/L02) and near-dup clustering
+  * (X05/X07). The public algorithm family is Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better" (ACL 2022), which uses a
+  * suffix array on one machine; the shuffle-native equivalent used here
+  * is stride-1 fixed-width window fingerprinting:
+  *
+  *  1. per document, every `minTokens`-token window at every position
+  *     (map-side, one row per token — no suffix array, no global
+  *     structure);
+  *  2. a window key occurring more than once marks every occurrence
+  *     EXCEPT the globally first (min (doc_id, pos)) as duplicated —
+  *     one shuffle on the window key;
+  *  3. per document, covered token positions merge into maximal spans
+  *     (gaps-and-islands over the per-doc position stream — per-doc
+  *     window, bounded by document length).
+  *
+  * Any duplicated run of length >= minTokens is fully covered by its
+  * stride-1 windows, so the merged spans are exactly the maximal
+  * duplicated runs — the suffix-array answer at granularity minTokens.
+  *
+  * 100 TB posture: the only global shuffle is keyed by the window
+  * fingerprint. With `hashKeys=true` (the scale path) the key is a
+  * 64-bit xxhash64 computed map-side INSIDE the projection, so the
+  * shuffle carries (hash, doc_id, pos) — ~24 bytes per corpus token
+  * independent of minTokens — never the window text. The string-keyed
+  * twin exists because it is exactly restatable in portable SQL
+  * (X118/X119's DuckDB oracle); SubstringDedupSpec pins the two paths
+  * row-identical on the corpus. Collision exposure of the hashed path:
+  * a 64-bit collision can fabricate one false duplicated window
+  * (expected collisions ~ T²/2⁶⁵ for T distinct windows — at 10¹²
+  * windows, ~30 spurious L-token spans corpus-wide, each bounded by
+  * minTokens tokens lost). Boilerplate windows repeated millions of
+  * times concentrate on one reducer like an LSH hot bucket; WindowExec
+  * sorts and spills rather than buffering, and the hits they emit are
+  * position-sized, so the skew bounds task time, not memory.
+  */
+object SubstringDedup {
+
+  /** One row per stride-1 window: (doc_id, p, __key) with p the
+    * 1-based token position. Documents shorter than minTokens emit
+    * nothing (they cannot contain a duplicated run of that length).
+    */
+  private def windowHits(documents: DataFrame, minTokens: Int, hashKeys: Boolean): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be positive, got $minTokens")
+    val winText = concat_ws(" ", slice(col("__toks"), col("p"), lit(minTokens)))
+    documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      // sequence(1, k) runs DESCENDING for k < 1 — short docs must be
+      // dropped before the sequence, not patched after
+      .where(size(col("__toks")) >= minTokens)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("__toks")) - (minTokens - 1))).as("p"),
+        col("__toks"))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        (if (hashKeys) xxhash64(winText) else winText).as("__key"))
+  }
+
+  /** Non-canonical occurrences of duplicated windows: every (doc_id, p)
+    * whose window key occurs elsewhere too AND is not the globally
+    * first occurrence of that key (ORDER BY doc_id, p). Positions are
+    * unique per doc (one window per position), so downstream per-doc
+    * orderings are total.
+    */
+  private def duplicatedHits(documents: DataFrame, minTokens: Int, hashKeys: Boolean): DataFrame = {
+    val byKey = Window.partitionBy("__key")
+    val firstByKey = byKey.orderBy("doc_id", "p")
+    windowHits(documents, minTokens, hashKeys)
+      .select(col("doc_id"), col("p"),
+        count(lit(1)).over(byKey).as("__occ"),
+        row_number().over(firstByKey).as("__rk"))
+      .where(col("__occ") > 1 && col("__rk") > 1)
+      .select(col("doc_id"), col("p"), (col("p") + (minTokens - 1)).as("e"))
+  }
+
+  /** Maximal duplicated token spans per document, excluding each
+    * window's canonical first occurrence: (doc_id, span_start,
+    * span_end, span_tokens), positions 1-based inclusive. Overlapping
+    * and adjacent windows merge (covered positions form a set; spans
+    * are its maximal runs).
+    */
+  def duplicatedSpans(documents: DataFrame, minTokens: Int, hashKeys: Boolean = false): DataFrame = {
+    val perDoc = Window.partitionBy("doc_id").orderBy("p")
+    val prevMaxEnd = max("e").over(perDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val newIsland = when(col("p") > coalesce(prevMaxEnd, lit(-1L)) + 1, 1L).otherwise(0L)
+    duplicatedHits(documents, minTokens, hashKeys)
+      .select(col("doc_id"), col("p"), col("e"),
+        sum(newIsland).over(perDoc.rowsBetween(Window.unboundedPreceding, 0)).as("__grp"))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min("p").as("span_start"), max("e").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** The corpus with every duplicated span (except canonical first
+    * occurrences) cut out: (doc_id, n_tokens, dup_tokens, clean_text).
+    * clean_text is the uncovered tokens re-joined with single spaces —
+    * the same whitespace normalization both dedup paths and the oracle
+    * tokenize by. Docs with nothing duplicated pass through with
+    * dup_tokens = 0; a doc that is entirely a non-canonical duplicate
+    * comes out empty. The span join is per-doc metadata (a few spans),
+    * then everything is map-side higher-order functions — the token
+    * arrays never shuffle.
+    */
+  def cleanCorpus(documents: DataFrame, minTokens: Int, hashKeys: Boolean = false): DataFrame = {
+    val spans = duplicatedSpans(documents, minTokens, hashKeys)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"),
+        sum("span_tokens").as("__dup"))
+    val toks = col("__toks")
+    // sequence(1, 0) runs descending — empty docs need the guard
+    val positions = when(size(toks) >= 1, sequence(lit(1), size(toks)))
+      .otherwise(array().cast("array<int>"))
+    val covered = (i: Column) => coalesce(
+      exists(col("__spans"), s => i >= s("span_start") && i <= s("span_end")),
+      lit(false))
+    documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        coalesce(col("__dup"), lit(0L)).as("dup_tokens"),
+        concat_ws(" ",
+          transform(filter(positions, i => !covered(i)), i => element_at(toks, i)))
+          .as("clean_text"))
+  }
+}

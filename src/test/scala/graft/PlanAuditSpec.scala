@@ -95,7 +95,12 @@ class PlanAuditSpec extends SparkSpec {
       // X110 (round 12): the residual-gain report IS a 1-row global
       // aggregate (corpus averages of |v|² and |v−c|²), plus
       // Ivf.assign's collapsed-centroid-array collapse (X60's shape)
-      "X110_residual_gain")
+      "X110_residual_gain",
+      // X114/X115 (round 13): both collapse the dim×dim rotation
+      // matrix to a 1-row broadcast array (Opq.collectRotation's
+      // shape, = X60's collapsed-centroid idiom); X115's avg |Rx−y|²
+      // is additionally a per-variant global aggregate over 2 rows
+      "X114_opq_recall", "X115_opq_error")
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against
@@ -167,7 +172,13 @@ class PlanAuditSpec extends SparkSpec {
       // query_id), and X112's exact side is the broadcast-queries scan
       "X111_ivfadc_rerank_top5", "X112_rerank_recall",
       // X113 is five probe-budget reruns of X111's shapes unioned
-      "X113_probe_recall_curve")
+      "X113_probe_recall_curve",
+      // X114/X115 (round 13): the rotation applies through ONE
+      // broadcast dim-row cross (Opq.withRotated — X60's collapsed-
+      // array idiom), the reconstruction through ONE broadcast
+      // codebook row; X114's exact side is the broadcast-queries scan
+      // (X52's shape) and its ADC side X104's broadcast LUT frame
+      "X114_opq_recall", "X115_opq_error")
     val sf001Dir = "/root/testdata/sf0.001"
     // AUDIT BLIND SPOT (ADVICE r8, accepted): queries that lazily
     // localCheckpoint an expensive prefix (X53, X80, X81) truncate

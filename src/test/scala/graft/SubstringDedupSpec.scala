@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Catalog
+import graft.text.{SubstringDedup, TextAnalysis}
+
+/** Pins for exact substring-level dedup (X118/X119): planted-fixture
+  * exactness (canonical exemption, self-repetition, overlap merging),
+  * the hashed scale path ≡ the string-keyed oracle twin on the real
+  * corpus, and corpus-wide token-accounting invariants.
+  */
+class SubstringDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  lazy val cat: Catalog = Catalog(spark, sf01)
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def spansOf(df: DataFrame, l: Int): Set[(Long, Long, Long, Long)] =
+    SubstringDedup.duplicatedSpans(df, l).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("planted cross-doc passage: canonical first occurrence exempt, later one becomes a maximal span") {
+    val passage = "p1 p2 p3 p4 p5 p6 p7"
+    val fixture = docs(
+      1L -> s"u1 u2 $passage u3",       // canonical (min doc_id, pos): untouched
+      2L -> s"v1 $passage v2 v3",       // passage at tokens 2..8
+      3L -> "a1 a2 a3 a4 a5 a6 a7 a8")  // unique: no spans
+    // overlap merging is implicit: the 7-token passage is covered by
+    // three stride-1 5-token windows (pos 2,3,4 in doc 2) merging to one span
+    assert(spansOf(fixture, 5) === Set((2L, 2L, 8L, 7L)))
+
+    val clean = SubstringDedup.cleanCorpus(fixture, 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(clean(1L) === ((10L, 0L, s"u1 u2 $passage u3")))
+    assert(clean(2L) === ((10L, 7L, "v1 v2 v3")))
+    assert(clean(3L) === ((8L, 0L, "a1 a2 a3 a4 a5 a6 a7 a8")))
+  }
+
+  test("self-repetition within one doc: second copy removed, doc fully dup comes out empty") {
+    val fixture = docs(
+      1L -> "m1 m2 m3 m4 m5 m1 m2 m3 m4 m5", // repeat adjacent: only pos-6 window re-occurs
+      2L -> "m1 m2 m3 m4 m5")                // exactly the canonical passage again
+    assert(spansOf(fixture, 5) === Set((1L, 6L, 10L, 5L), (2L, 1L, 5L, 5L)))
+    val clean = SubstringDedup.cleanCorpus(fixture, 5).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(clean(1L) === "m1 m2 m3 m4 m5")
+    assert(clean(2L) === "") // entirely a non-canonical duplicate
+  }
+
+  test("distinct adjacent duplicated runs merge into one span; docs shorter than minTokens emit nothing") {
+    val fixture = docs(
+      1L -> "r1 r2 r3 r4 r5",                // canonical for R
+      2L -> "s1 s2 s3 s4 s5",                // canonical for S
+      3L -> "r1 r2 r3 r4 r5 s1 s2 s3 s4 s5", // R then S: adjacent coverage → ONE span
+      4L -> "r1 r2 r3")                      // < minTokens: no windows at all
+    assert(spansOf(fixture, 5) === Set((3L, 1L, 10L, 10L)))
+  }
+
+  test("hashed scale path is row-identical to the string-keyed oracle twin on the corpus") {
+    val l = 10
+    val str = SubstringDedup.duplicatedSpans(cat.documents, l)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    val hash = SubstringDedup.duplicatedSpans(cat.documents, l, hashKeys = true)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(str.nonEmpty, "corpus fixture should contain duplicated spans at sf0.01")
+    assert(str === hash)
+    val strClean = SubstringDedup.cleanCorpus(cat.documents, l)
+      .orderBy("doc_id").collect().toSeq
+    val hashClean = SubstringDedup.cleanCorpus(cat.documents, l, hashKeys = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(strClean === hashClean)
+  }
+
+  test("corpus-wide token accounting: n_tokens - dup_tokens = tokens(clean_text), every doc present") {
+    val clean = SubstringDedup.cleanCorpus(cat.documents, 10)
+    assert(clean.count() === cat.documents.count())
+    val broken = clean
+      .withColumn("recount", size(TextAnalysis.tokens(col("clean_text"))).cast("long"))
+      .where(col("n_tokens") - col("dup_tokens") =!= col("recount"))
+    assert(broken.isEmpty, s"token accounting broken: ${broken.collect().mkString(", ")}")
+  }
+
+  test("spans are maximal and disjoint: within a doc, gap >= 1 between consecutive spans") {
+    val rows = SubstringDedup.duplicatedSpans(cat.documents, 10)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.sliding(2).foreach {
+      case Array((d1, _, e1), (d2, s2, _)) if d1 == d2 =>
+        assert(s2 > e1 + 1, s"doc $d1 spans [$e1] and [$s2] should have merged")
+      case _ =>
+    }
+    rows.foreach { case (d, s, e) =>
+      assert(s >= 1 && e >= s, s"degenerate span ($d, $s, $e)")
+    }
+  }
+
+  test("minTokens must be positive") {
+    intercept[IllegalArgumentException] {
+      SubstringDedup.duplicatedSpans(cat.documents, 0)
+    }
+  }
+}
