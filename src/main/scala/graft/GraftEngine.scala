@@ -401,6 +401,21 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
   def scrubBenchmarkSpans(benchmark: DataFrame, n: Int = 5): DataFrame =
     graft.text.TextAnalysis.scrubBenchmarkSpans(tables.documents, benchmark, n)
 
+  /** Maximal duplicated token spans, each window's canonical first
+    * occurrence exempt (see [[graft.text.SubstringDedup]] — the
+    * keep-one-copy complement of [[removeSharedSpans]]). Defaults to
+    * the hashed shuffle key, the 100 TB path.
+    */
+  def substringDupSpans(minTokens: Int = 10, hashKeys: Boolean = true): DataFrame =
+    graft.text.SubstringDedup.duplicatedSpans(tables.documents, minTokens, hashKeys)
+
+  /** The corpus with duplicated spans cut, exactly one canonical copy
+    * of every repeated run kept (see
+    * [[graft.text.SubstringDedup.cleanCorpus]]).
+    */
+  def substringDedup(minTokens: Int = 10, hashKeys: Boolean = true): DataFrame =
+    graft.text.SubstringDedup.cleanCorpus(tables.documents, minTokens, hashKeys)
+
   /** Per-doc bigram-LM fluency score under the corpus's own bigram
     * model (see [[graft.text.TextAnalysis.bigramLogProb]]).
     */

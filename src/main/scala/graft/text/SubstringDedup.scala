@@ -8,7 +8,13 @@ import org.apache.spark.sql.functions._
   * that occurs more than once across the corpus (or within one
   * document) and keep only its FIRST occurrence — the span-granular
   * complement of whole-document dedup (L01/L02) and near-dup clustering
-  * (X05/X07). The public algorithm family is Lee et al., "Deduplicating
+  * (X05/X07). Distinct from [[TextAnalysis.removeSharedSpans]] (X68) by
+  * DESIGN, not by accident: X68 scrubs EVERY copy of cross-document
+  * shared content (the decontamination posture — nothing shared
+  * survives) and ignores within-document repetition; this operator
+  * keeps exactly ONE canonical copy (the training-set posture — remove
+  * redundancy, never information) and treats self-repetition as
+  * duplication too. The public algorithm family is Lee et al., "Deduplicating
   * Training Data Makes Language Models Better" (ACL 2022), which uses a
   * suffix array on one machine; the shuffle-native equivalent used here
   * is stride-1 fixed-width window fingerprinting:

@@ -63,6 +63,14 @@ class GraftEngineSpec extends SparkSpec {
     val drift = engine.unigramDrift(bench)
     assert(drift.count() == 2 &&
       drift.filter(col("kl") <= 0.0 || col("tv") <= 0.0).isEmpty)
+    // round-13 surface: substring dedup (facade default = hashed scale
+    // path, pinned ≡ the string-keyed oracle twin in SubstringDedupSpec)
+    val spans = engine.substringDupSpans()
+    assert(spans.columns.toSeq ==
+      Seq("doc_id", "span_start", "span_end", "span_tokens"))
+    val clean = engine.substringDedup()
+    assert(clean.count() == 500 &&
+      clean.filter(col("dup_tokens") > col("n_tokens")).isEmpty)
   }
 
   test("facade index surface: build once, probe and dedup from the artifacts") {

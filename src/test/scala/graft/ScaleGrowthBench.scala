@@ -103,6 +103,16 @@ object ScaleGrowthBench {
         d => TextAnalysis.removeSharedSpans(d, n = 5)
           .agg(sum(length(col("text")))).first().getLong(0),
         true),
+      // X118 substring dedup, hashed scale path: replicas share no
+      // windows (the per-token replica tag), so each contributes
+      // replica 0's internal duplicated-span mass — removed tokens
+      // exactly linear. Wall = ONE shuffle of (xxhash64, doc_id, pos)
+      // (~a row per corpus token) + the per-doc islands window
+      ("X118_substring_dedup",
+        d => graft.text.SubstringDedup
+          .duplicatedSpans(d, minTokens = 10, hashKeys = true)
+          .agg(coalesce(sum("span_tokens"), lit(0L))).first().getLong(0),
+        true),
       ("X84_dedup_report",
         d => {
           val clusters = MinHashDedup
