@@ -235,6 +235,82 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming SUBSTRING-level dedup ingest — the span-granular twin of
+    * [[ingestDedupStream]]: each micro-batch of new documents has every
+    * token span already present in (corpus ∪ everything ingested in
+    * earlier batches ∪ earlier in the batch itself) cut out via
+    * [[graft.text.SubstringDedup.incrementalCleanCorpus]], the
+    * span-cut docs land batch-keyed under `outDir/accepted/b<id>`, and
+    * the batch's ORIGINAL window fingerprints append as a key delta
+    * under `outDir/key_delta/b<id>` so batch N+1 dedups against batch
+    * N at 8-bytes-per-distinct-window cost. The delta carries the
+    * original windows (not the cleaned text's) because batch semantics
+    * mark a later occurrence against ANY earlier one, cut or kept.
+    *
+    * Corpus state = a [[graft.text.SubstringDedup.windowKeys]] parquet
+    * at `corpusKeysPath` (pass null/empty-dir handling to the caller:
+    * write the base once with windowKeys(corpus).write.parquet).
+    * Idempotent under micro-batch replay: batch-keyed overwrite, and a
+    * replayed batch excludes its OWN delta from the corpus side — its
+    * windows would otherwise self-collide and empty the batch. The
+    * contract covers Spark's actual replay model (only the LAST
+    * uncommitted batch reprocesses, so no later delta exists yet);
+    * re-running HISTORY from scratch over a populated outDir is out of
+    * contract — an early batch would see later batches' deltas as
+    * "earlier corpus". Requires
+    * append-only ingest (new doc_ids above all existing); under that
+    * contract the accepted table provably equals batch
+    * [[graft.text.SubstringDedup.cleanCorpus]] (hashKeys=true) over
+    * (corpus ∪ all new docs) restricted to the new ids
+    * (StreamingSpec pins it).
+    */
+  def ingestSubstringDedupStream(
+      newDocs: DataFrame,
+      corpusKeysPath: String,
+      outDir: String,
+      checkpoint: String,
+      minTokens: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val b = batch.toDF().localCheckpoint(true)
+          // COMPLETE earlier deltas only, never this batch's own
+          // (replay must not self-collide)
+          val deltas = completeBatchDirs(s"$outDir/key_delta", batchId)
+          val keys = deltas.foldLeft(spark.read.parquet(corpusKeysPath)) {
+            (acc, d) => acc.unionByName(spark.read.parquet(d))
+          }
+          val cleaned = graft.text.SubstringDedup
+            .incrementalCleanCorpus(b, keys, minTokens)
+            .localCheckpoint(true)
+          cleaned.write.mode("overwrite").parquet(s"$outDir/accepted/b$batchId")
+          val delta = graft.text.SubstringDedup.windowKeys(b, minTokens)
+          // a batch of all-short docs has no windows: write nothing,
+          // mirroring ingestDedupStream's all-rejected contract
+          if (!delta.isEmpty)
+            delta.write.mode("overwrite").parquet(s"$outDir/key_delta/b$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** COMPLETE batch directories (_SUCCESS present) under `root`,
+    * excluding the batch currently being (re)processed — shared
+    * delta-discovery shape of the ingest streams (production on an
+    * object store would use FileSystem.listStatus — same contract).
+    */
+  private def completeBatchDirs(root: String, excludeBatch: Long): Seq[String] = {
+    val r = new java.io.File(root)
+    if (!r.isDirectory) Nil
+    else r.listFiles.toSeq
+      .filter(d => d.isDirectory && d.getName != s"b$excludeBatch" &&
+        new java.io.File(d, "_SUCCESS").exists())
+      .map(_.getPath).sorted
+  }
+
   /** Frozen benchmark-decontamination stage config for
     * [[ingestPipelineStream]] (stage 1d): drop arriving docs whose
     * verbatim n-gram overlap with `benchmark` reaches `ngramThreshold`

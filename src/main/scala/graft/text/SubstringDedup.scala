@@ -87,17 +87,15 @@ object SubstringDedup {
       .select(col("doc_id"), col("p"), (col("p") + (minTokens - 1)).as("e"))
   }
 
-  /** Maximal duplicated token spans per document, excluding each
-    * window's canonical first occurrence: (doc_id, span_start,
-    * span_end, span_tokens), positions 1-based inclusive. Overlapping
-    * and adjacent windows merge (covered positions form a set; spans
-    * are its maximal runs).
+  /** Gaps-and-islands merge of per-doc hit intervals (doc_id, p, e)
+    * into maximal spans — covered positions form a set; spans are its
+    * maximal runs. Per-doc window, bounded by document length.
     */
-  def duplicatedSpans(documents: DataFrame, minTokens: Int, hashKeys: Boolean = false): DataFrame = {
+  private def mergeSpans(hits: DataFrame): DataFrame = {
     val perDoc = Window.partitionBy("doc_id").orderBy("p")
     val prevMaxEnd = max("e").over(perDoc.rowsBetween(Window.unboundedPreceding, -1))
     val newIsland = when(col("p") > coalesce(prevMaxEnd, lit(-1L)) + 1, 1L).otherwise(0L)
-    duplicatedHits(documents, minTokens, hashKeys)
+    hits
       .select(col("doc_id"), col("p"), col("e"),
         sum(newIsland).over(perDoc.rowsBetween(Window.unboundedPreceding, 0)).as("__grp"))
       .groupBy(col("doc_id"), col("__grp"))
@@ -105,6 +103,13 @@ object SubstringDedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
+
+  /** Maximal duplicated token spans per document, excluding each
+    * window's canonical first occurrence: (doc_id, span_start,
+    * span_end, span_tokens), positions 1-based inclusive.
+    */
+  def duplicatedSpans(documents: DataFrame, minTokens: Int, hashKeys: Boolean = false): DataFrame =
+    mergeSpans(duplicatedHits(documents, minTokens, hashKeys))
 
   /** The corpus with every duplicated span (except canonical first
     * occurrences) cut out: (doc_id, n_tokens, dup_tokens, clean_text).
@@ -116,8 +121,15 @@ object SubstringDedup {
     * then everything is map-side higher-order functions — the token
     * arrays never shuffle.
     */
-  def cleanCorpus(documents: DataFrame, minTokens: Int, hashKeys: Boolean = false): DataFrame = {
-    val spans = duplicatedSpans(documents, minTokens, hashKeys)
+  def cleanCorpus(documents: DataFrame, minTokens: Int, hashKeys: Boolean = false): DataFrame =
+    cleanFromSpans(documents, duplicatedSpans(documents, minTokens, hashKeys))
+
+  /** The rewrite half of [[cleanCorpus]], reusable over any span table
+    * (batch or incremental): cut `spans` out of `documents` and rejoin
+    * the uncovered tokens.
+    */
+  private def cleanFromSpans(documents: DataFrame, spansRaw: DataFrame): DataFrame = {
+    val spans = spansRaw
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"),
         sum("span_tokens").as("__dup"))
@@ -138,4 +150,48 @@ object SubstringDedup {
           transform(filter(positions, i => !covered(i)), i => element_at(toks, i)))
           .as("clean_text"))
   }
+
+  /** The DISTINCT 64-bit window fingerprints of `documents` — the
+    * persisted corpus state of incremental substring dedup: (key).
+    * Existence is all the hit test needs (every indexed occurrence
+    * precedes every new doc under the append-only contract), so the
+    * index stores 8 bytes per distinct window, not positions.
+    */
+  def windowKeys(documents: DataFrame, minTokens: Int): DataFrame =
+    windowHits(documents, minTokens, hashKeys = true)
+      .select(col("__key").as("key")).distinct()
+
+  /** Incremental duplicated spans for an ingest BATCH against an
+    * existing corpus known only by its [[windowKeys]] table: a batch
+    * window is a hit when its key exists in the corpus (every corpus
+    * occurrence precedes it) OR an earlier (doc_id, pos) of the batch
+    * itself carries the same key. Requires new doc_ids > all indexed
+    * doc_ids (append-only ingest) — under that contract the result
+    * equals batch [[duplicatedSpans]] (hashKeys=true) over
+    * (corpus ∪ batch) restricted to the batch ids (spec-pinned).
+    * Cost shape: only the batch is windowed; the corpus contributes
+    * one 8-byte-key semi-join scan — never a re-window.
+    */
+  def incrementalDuplicatedSpans(
+      newDocs: DataFrame, existingKeys: DataFrame, minTokens: Int): DataFrame = {
+    val wins = windowHits(newDocs, minTokens, hashKeys = true)
+    val firstInBatch = Window.partitionBy("__key").orderBy("doc_id", "p")
+    val marked = wins
+      .join(existingKeys.select(col("key").as("__key"), lit(true).as("__old"))
+        .distinct(), Seq("__key"), "left_outer")
+      .select(col("doc_id"), col("p"),
+        (coalesce(col("__old"), lit(false)) ||
+          row_number().over(firstInBatch) > 1).as("__hit"))
+    mergeSpans(marked.where(col("__hit"))
+      .select(col("doc_id"), col("p"), (col("p") + (minTokens - 1)).as("e")))
+  }
+
+  /** Incremental [[cleanCorpus]] for an ingest batch: the batch docs
+    * with every span already present in the corpus (or earlier in the
+    * batch) cut out — (doc_id, n_tokens, dup_tokens, clean_text).
+    */
+  def incrementalCleanCorpus(
+      newDocs: DataFrame, existingKeys: DataFrame, minTokens: Int): DataFrame =
+    cleanFromSpans(newDocs,
+      incrementalDuplicatedSpans(newDocs, existingKeys, minTokens))
 }

@@ -548,6 +548,62 @@ class StreamingSpec extends SparkSpec {
       "streaming ingest must equal batch-mode incremental dedup")
   }
 
+  test("substring-dedup ingest: stream over batches equals batch cleanCorpus restricted to the new ids") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val corpus = docs.filter(col("doc_id") < 300)
+    // fixture channels all occur naturally at sf0.001/minTokens=10:
+    // new-vs-corpus (doc 360's canonical is corpus doc 8), cross-BATCH
+    // (411's canonical 349 lives in batch 0), within-batch (498 vs 474)
+    val batch0 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val batch1 = docs.filter(col("doc_id") >= 400)
+    val keysDir = Files.createTempDirectory("graft-ssdedup-keys").toString
+    graft.text.SubstringDedup.windowKeys(corpus, 10)
+      .write.mode("overwrite").parquet(keysDir)
+    val srcDir = Files.createTempDirectory("graft-ssdedup-src")
+    val outDir = Files.createTempDirectory("graft-ssdedup-out").toString
+    val ckpt = Files.createTempDirectory("graft-ssdedup-ckpt").toString
+    val query = StreamOps.ingestSubstringDedupStream(
+      StreamOps.documentsStream(spark, srcDir.toString), keysDir, outDir, ckpt)
+    try {
+      writeChunk(batch0, srcDir, "chunk0")
+      query.processAllAvailable()
+    } finally query.stop()
+    // TRUE REPLAY of batch 0 (the crash-recovery model: the replayed
+    // batch's OWN delta is already on disk, no later batch exists yet):
+    // a fresh checkpoint reprocesses chunk0 as batch 0 — the
+    // exclude-own-delta guard must keep it from self-colliding (seeing
+    // its own windows as "corpus" would cut ALL its text)
+    val ckpt2 = Files.createTempDirectory("graft-ssdedup-ckpt2").toString
+    val q2 = StreamOps.ingestSubstringDedupStream(
+      StreamOps.documentsStream(spark, srcDir.toString), keysDir, outDir, ckpt2)
+    try {
+      q2.processAllAvailable()
+      writeChunk(batch1, srcDir, "chunk1")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val accepted = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$outDir/accepted")
+      .select("doc_id", "n_tokens", "dup_tokens", "clean_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    // batch-mode contract: cleanCorpus (hashed twin) over the ORIGINAL
+    // union, restricted to the new ids — the stream must reproduce it
+    // without ever re-windowing the corpus
+    val batchMode = graft.text.SubstringDedup
+      .cleanCorpus(docs, 10, hashKeys = true)
+      .filter(col("doc_id") >= 300)
+      .select("doc_id", "n_tokens", "dup_tokens", "clean_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(accepted.nonEmpty && accepted.exists(_._3 > 0),
+      "fixture should cut at least one span")
+    assert(accepted === batchMode,
+      "streaming substring dedup must equal batch cleanCorpus on the union")
+    // both batches left a key delta (every doc here has >= 10 tokens)
+    val deltas = new java.io.File(s"$outDir/key_delta").listFiles().map(_.getName).toSet
+    assert(deltas == Set("b0", "b1"), s"key deltas wrong: $deltas")
+  }
+
   test("watermarked ingest: native dropDuplicatesWithinWatermark composes with near-dup ingest, set unchanged") {
     import spark.implicits._
     val docs = Tables.load(spark, sf001, "documents")

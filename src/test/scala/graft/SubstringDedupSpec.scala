@@ -99,6 +99,24 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental against windowKeys equals batch over the union, restricted to the new ids") {
+    val corpus = cat.documents.filter(col("doc_id") < 300)
+    val fresh = cat.documents.filter(col("doc_id") >= 300)
+    val keys = SubstringDedup.windowKeys(corpus, 10)
+    val incSpans = SubstringDedup.incrementalDuplicatedSpans(fresh, keys, 10)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    val batchSpans = SubstringDedup.duplicatedSpans(cat.documents, 10, hashKeys = true)
+      .filter(col("doc_id") >= 300)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(batchSpans.nonEmpty, "fixture should produce spans among the new ids")
+    assert(incSpans === batchSpans)
+    val incClean = SubstringDedup.incrementalCleanCorpus(fresh, keys, 10)
+      .orderBy("doc_id").collect().toSeq
+    val batchClean = SubstringDedup.cleanCorpus(cat.documents, 10, hashKeys = true)
+      .filter(col("doc_id") >= 300).orderBy("doc_id").collect().toSeq
+    assert(incClean === batchClean)
+  }
+
   test("minTokens must be positive") {
     intercept[IllegalArgumentException] {
       SubstringDedup.duplicatedSpans(cat.documents, 0)
