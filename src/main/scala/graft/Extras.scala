@@ -1685,6 +1685,25 @@ object Extras {
           "n_hit", "n_exact", "recall")
         .orderBy("policy", "nprobe", "query_id")
     }),
+    // the recall-TARGETED serve calibration — X113's curve turned into
+    // the knob an operator actually has: for each recall target, the
+    // smallest probe budget whose MICRO-averaged calibrated recall
+    // (Σ hits / Σ exact over the sample — one integer division, so the
+    // number is engine-exact) meets it, with the largest calibrated
+    // budget as the honest fallback when none does. This is the
+    // decision table Pq.ivfAdcServeAtRecall reads (its one
+    // driver-side row); fully oracle-checked
+    "X120_serve_calibration" -> q(c => {
+      val pqr = pqrIndexDir(c)
+      graft.vector.Pq.chooseProbeBudget(
+        graft.vector.Pq.probeBudgetCurve(
+          c.spark.read.parquet(s"$pqr/codes"),
+          c.spark.read.parquet(s"$pqr/codebook"),
+          c.spark.read.parquet(s"$pqr/cents"),
+          pqQueries(c), c.embeddings, k = 5,
+          budgets = Seq(1, 2, 4, 8, 16), dsub = 8),
+        Seq(0.3, 0.6, 0.9, 0.99))
+    }),
     // OPQ vs plain PQ at EQUAL m·ks budget (Ge et al. 2013 — a learned
     // orthogonal rotation before the subspace split; graft.vector.Opq):
     // recall@5 per (variant, query) over 25 queries against the
@@ -1871,6 +1890,83 @@ assigned AS (
     FROM embeddings e CROSS JOIN cents c) z
   WHERE rk = 1)"""
   }
+
+  /** The X111/X112 two-stage pipeline parameterized by an unnested
+    * (probe budget, policy) table — the shared CTE chain of the X113
+    * operating curve and the X120 calibration wrapper (which
+    * aggregates the same chain instead of restating it). Ends at the
+    * `exact` ground-truth CTE; callers append their own final
+    * aggregation.
+    */
+  private def probeCurveCtes: String = s"""
+WITH pr AS (
+  SELECT p, policy,
+    CASE WHEN policy = 'fixed50' THEN 50 ELSE GREATEST(50, 16 * p) END AS r
+  FROM (SELECT unnest([1, 2, 4, 8, 16]) AS p)
+  CROSS JOIN (SELECT unnest(['auto', 'fixed50']) AS policy)),
+ps AS (SELECT DISTINCT p FROM pr),
+cb AS (SELECT sub, cid, centroid
+       FROM read_parquet('$oracleIdxRoot/pqr/codebook/*.parquet')),
+co AS (SELECT vec_id, list_id, codes
+       FROM read_parquet('$oracleIdxRoot/pqr/codes/*.parquet')),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+cents AS (SELECT centroid_id, centroid
+          FROM read_parquet('$oracleIdxRoot/pqr/cents/*.parquet')),
+ranked AS (
+  SELECT q.query_id, c.centroid_id AS list_id,
+    [q.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE
+     for i in range(1, len(q.embedding)+1)] AS qr,
+    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+      list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+      - 2 * list_inner_product(q.embedding::DOUBLE[], c.centroid::DOUBLE[])
+      + list_inner_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[]),
+      c.centroid_id) AS rn
+  FROM q CROSS JOIN cents c),
+probed AS (
+  SELECT ps.p, z.query_id, z.list_id, z.qr
+  FROM ranked z CROSS JOIN ps WHERE z.rn <= ps.p),
+lut AS (
+  SELECT p.p, p.query_id, p.list_id, cb.sub, cb.cid,
+    list_inner_product(p.qr[cb.sub*8+1 : cb.sub*8+8],
+                       p.qr[cb.sub*8+1 : cb.sub*8+8])
+    - 2 * list_inner_product(p.qr[cb.sub*8+1 : cb.sub*8+8],
+                             cb.centroid::DOUBLE[])
+    + list_inner_product(cb.centroid::DOUBLE[], cb.centroid::DOUBLE[]) AS d2
+  FROM probed p, cb),
+ex AS (SELECT vec_id, list_id, unnest(codes) AS cid,
+              generate_subscripts(codes, 1) AS i
+       FROM co),
+scan AS (
+  SELECT l.p, l.query_id, e.vec_id, SUM(l.d2) AS d2
+  FROM ex e
+  JOIN lut l ON l.list_id = e.list_id AND l.sub = e.i - 1 AND l.cid = e.cid
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2, 3),
+short AS (
+  SELECT pr.policy, pr.p, pr.r, s.query_id, s.vec_id
+  FROM scan s JOIN pr ON pr.p = s.p
+  QUALIFY row_number() OVER (PARTITION BY pr.policy, pr.p, s.query_id
+                             ORDER BY ROUND(s.d2, 6), s.vec_id) <= pr.r),
+approx AS (
+  SELECT s.policy, s.p, s.query_id, s.vec_id FROM (
+    SELECT s.policy, s.p, s.query_id, s.vec_id,
+      ROUND(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        - 2 * list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+        + list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)
+        AS d2
+    FROM short s
+    JOIN q ON q.query_id = s.query_id
+    JOIN embeddings e ON e.vec_id = s.vec_id) s
+  QUALIFY row_number() OVER (PARTITION BY s.policy, s.p, s.query_id
+                             ORDER BY s.d2, s.vec_id) <= 5),
+exact AS (
+  SELECT q.query_id, e.vec_id
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+  QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY
+    ROUND(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+      - 2 * list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+      + list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6),
+    e.vec_id) <= 5)""".trim
 
   val oracleSql: Map[String, String] = Map(
     // -- index-backed extras, oracle-checked against the MIRRORED
@@ -3946,74 +4042,7 @@ GROUP BY 1 ORDER BY 1
     // by p only (the policy reuses it), the shortlist QUALIFY carries
     // (policy, p), then recall per (policy, nprobe, query)
     "X113_probe_recall_curve" -> s"""
-WITH pr AS (
-  SELECT p, policy,
-    CASE WHEN policy = 'fixed50' THEN 50 ELSE GREATEST(50, 16 * p) END AS r
-  FROM (SELECT unnest([1, 2, 4, 8, 16]) AS p)
-  CROSS JOIN (SELECT unnest(['auto', 'fixed50']) AS policy)),
-ps AS (SELECT DISTINCT p FROM pr),
-cb AS (SELECT sub, cid, centroid
-       FROM read_parquet('$oracleIdxRoot/pqr/codebook/*.parquet')),
-co AS (SELECT vec_id, list_id, codes
-       FROM read_parquet('$oracleIdxRoot/pqr/codes/*.parquet')),
-q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
-cents AS (SELECT centroid_id, centroid
-          FROM read_parquet('$oracleIdxRoot/pqr/cents/*.parquet')),
-ranked AS (
-  SELECT q.query_id, c.centroid_id AS list_id,
-    [q.embedding[i]::DOUBLE - c.centroid[i]::DOUBLE
-     for i in range(1, len(q.embedding)+1)] AS qr,
-    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-      list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
-      - 2 * list_inner_product(q.embedding::DOUBLE[], c.centroid::DOUBLE[])
-      + list_inner_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[]),
-      c.centroid_id) AS rn
-  FROM q CROSS JOIN cents c),
-probed AS (
-  SELECT ps.p, z.query_id, z.list_id, z.qr
-  FROM ranked z CROSS JOIN ps WHERE z.rn <= ps.p),
-lut AS (
-  SELECT p.p, p.query_id, p.list_id, cb.sub, cb.cid,
-    list_inner_product(p.qr[cb.sub*8+1 : cb.sub*8+8],
-                       p.qr[cb.sub*8+1 : cb.sub*8+8])
-    - 2 * list_inner_product(p.qr[cb.sub*8+1 : cb.sub*8+8],
-                             cb.centroid::DOUBLE[])
-    + list_inner_product(cb.centroid::DOUBLE[], cb.centroid::DOUBLE[]) AS d2
-  FROM probed p, cb),
-ex AS (SELECT vec_id, list_id, unnest(codes) AS cid,
-              generate_subscripts(codes, 1) AS i
-       FROM co),
-scan AS (
-  SELECT l.p, l.query_id, e.vec_id, SUM(l.d2) AS d2
-  FROM ex e
-  JOIN lut l ON l.list_id = e.list_id AND l.sub = e.i - 1 AND l.cid = e.cid
-  WHERE e.vec_id <> l.query_id
-  GROUP BY 1, 2, 3),
-short AS (
-  SELECT pr.policy, pr.p, pr.r, s.query_id, s.vec_id
-  FROM scan s JOIN pr ON pr.p = s.p
-  QUALIFY row_number() OVER (PARTITION BY pr.policy, pr.p, s.query_id
-                             ORDER BY ROUND(s.d2, 6), s.vec_id) <= pr.r),
-approx AS (
-  SELECT s.policy, s.p, s.query_id, s.vec_id FROM (
-    SELECT s.policy, s.p, s.query_id, s.vec_id,
-      ROUND(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
-        - 2 * list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
-        + list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6)
-        AS d2
-    FROM short s
-    JOIN q ON q.query_id = s.query_id
-    JOIN embeddings e ON e.vec_id = s.vec_id) s
-  QUALIFY row_number() OVER (PARTITION BY s.policy, s.p, s.query_id
-                             ORDER BY s.d2, s.vec_id) <= 5),
-exact AS (
-  SELECT q.query_id, e.vec_id
-  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
-  QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY
-    ROUND(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
-      - 2 * list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
-      + list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6),
-    e.vec_id) <= 5)
+$probeCurveCtes
 SELECT pr.policy, pr.p AS nprobe, pr.r AS shortlist, x.query_id,
   CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
   CAST(COUNT(*) AS BIGINT) AS n_exact,
@@ -4023,6 +4052,38 @@ LEFT JOIN approx a
   ON a.policy = pr.policy AND a.p = pr.p
   AND a.query_id = x.query_id AND a.vec_id = x.vec_id
 GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 4
+""".trim,
+    // X120: recall-targeted serve calibration — the X113 chain's auto
+    // branch MICRO-aggregated per budget (Σ hits / Σ exact, one
+    // integer division — Pq.probeBudgetCurve's arithmetic), then per
+    // target the smallest budget meeting it, falling back to the
+    // largest calibrated budget (Pq.chooseProbeBudget's fallback)
+    "X120_serve_calibration" -> s"""
+$probeCurveCtes,
+hits AS (
+  SELECT pr.p, pr.r, x.query_id,
+    COUNT(a.vec_id) AS n_hit, COUNT(*) AS n_exact
+  FROM pr CROSS JOIN exact x
+  LEFT JOIN approx a
+    ON a.policy = pr.policy AND a.p = pr.p
+    AND a.query_id = x.query_id AND a.vec_id = x.vec_id
+  WHERE pr.policy = 'auto'
+  GROUP BY 1, 2, 3),
+micro AS (
+  SELECT p AS nprobe, r AS shortlist,
+    ROUND(CAST(SUM(n_hit) AS DOUBLE) / SUM(n_exact), 6) AS recall
+  FROM hits GROUP BY 1, 2),
+tg AS (SELECT CAST(unnest([0.3, 0.6, 0.9, 0.99]) AS DOUBLE) AS target),
+met AS (SELECT tg.target, MIN(m.nprobe) AS met_np
+        FROM tg LEFT JOIN micro m ON m.recall >= tg.target GROUP BY 1),
+fb AS (SELECT MAX(nprobe) AS fb_np FROM micro)
+SELECT met.target,
+  CAST(m.nprobe AS INT) AS nprobe,
+  CAST(m.shortlist AS INT) AS shortlist,
+  m.recall AS achieved_recall
+FROM met CROSS JOIN fb
+JOIN micro m ON m.nprobe = COALESCE(met.met_np, fb.fb_np)
+ORDER BY met.target
 """.trim,
     // X114: OPQ vs plain PQ recall@5 at equal m·ks over 25 queries —
     // the plain side is the X105 pipeline over the pq mirror; the OPQ

@@ -652,6 +652,25 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
       spark.read.parquet(s"$indexPath/cents"),
       queries, tables.embeddings, k, nProbe, dsub, rPerProbe, rMin)
 
+  /** The recall-TARGETED two-stage serve: calibrate the probe-budget
+    * operating curve on a labeled `sample`, pick the cheapest budget
+    * whose micro-averaged recall meets `target` (largest calibrated
+    * budget when none does), then serve `queries` at that budget — see
+    * [[graft.vector.Pq.ivfAdcServeAtRecall]]. Returns the chosen
+    * (nProbe, shortlist, expectedRecall) alongside the result so the
+    * operator can log what the calibration decided.
+    */
+  def ivfAdcServeAtRecall(indexPath: String, sample: DataFrame,
+      queries: DataFrame, k: Int, target: Double,
+      budgets: Seq[Int] = Seq(1, 2, 4, 8, 16), dsub: Int = 8,
+      rPerProbe: Int = 16, rMin: Int = 50): graft.vector.Pq.CalibratedServe =
+    graft.vector.Pq.ivfAdcServeAtRecall(
+      spark.read.parquet(s"$indexPath/codes"),
+      spark.read.parquet(s"$indexPath/codebook"),
+      spark.read.parquet(s"$indexPath/cents"),
+      sample, queries, tables.embeddings, k, target, budgets, dsub,
+      rPerProbe, rMin)
+
   /** Build + persist the OPQ artifact (learned-rotation PQ, Ge et al.
     * CVPR 2013 — see [[graft.vector.Opq.writeIndex]]): rotation +
     * codebook + codes at the same m·ks budget as [[pqSearch]]'s plain

@@ -404,6 +404,122 @@ object Pq {
         adaptiveShortlist(nProbe, rPerProbe, rMin), nProbe, dsub),
       queries, embeddings, k)
 
+  /** The serve's probe-budget operating curve MICRO-AVERAGED over a
+    * labeled calibration sample — one row per budget:
+    * (nprobe, shortlist, n_hit, n_exact, recall). Each budget runs the
+    * full two-stage [[ivfAdcServe]] on the sample queries and scores it
+    * against the exact ground truth; recall is the single integer ratio
+    * Σ n_hit / Σ n_exact (micro-average), rounded once — NOT a mean of
+    * per-query doubles, so the number is bit-reproducible across
+    * engines and addition orders (the X120 oracle restates exactly this
+    * division). Cost: |budgets| serve passes over a SAMPLE-sized query
+    * set — calibration is something an operator pays once per index
+    * build, and each pass is the serve's own corpus-size-independent
+    * shape (probed fraction ∝ 1/N, shortlist ∝ nProbe).
+    */
+  def probeBudgetCurve(
+      codes: DataFrame,
+      codebook: DataFrame,
+      cents: DataFrame,
+      sample: DataFrame,
+      embeddings: DataFrame,
+      k: Int,
+      budgets: Seq[Int],
+      dsub: Int,
+      rPerProbe: Int = 16,
+      rMin: Int = 50): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ > 0),
+      s"probeBudgetCurve needs at least one positive budget, got $budgets")
+    val exact = exactL2TopK(embeddings, sample, k).localCheckpoint(false)
+    budgets.distinct.sorted.map { p =>
+      recallAtK(
+        ivfAdcServe(codes, codebook, cents, sample, embeddings, k, p, dsub,
+          rPerProbe, rMin),
+        exact)
+        .agg(coalesce(sum("n_hit"), lit(0L)).as("n_hit"),
+          coalesce(sum("n_exact"), lit(0L)).as("n_exact"))
+        .select(lit(p).as("nprobe"),
+          lit(adaptiveShortlist(p, rPerProbe, rMin)).as("shortlist"),
+          col("n_hit"), col("n_exact"),
+          round(col("n_hit") / col("n_exact"), 6).as("recall"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
+  /** Pick the serve budget for each recall target off a measured
+    * [[probeBudgetCurve]]: the SMALLEST nprobe whose calibrated recall
+    * meets the target, falling back to the curve's largest budget when
+    * no measured point reaches it (the honest answer — serve at the
+    * best budget you calibrated, and the returned achieved_recall <
+    * target tells the operator the index itself is the limiter). Pure
+    * DataFrame algebra over the |budgets|-row curve, so the choice is
+    * oracle-checkable; output one row per target:
+    * (target, nprobe, shortlist, achieved_recall). Monotone by
+    * construction: a higher target can only choose an equal-or-larger
+    * budget, and under the adaptive-shortlist policy the curve itself
+    * is monotone (X113), so "raise the target" is a safe operator knob.
+    */
+  def chooseProbeBudget(curve: DataFrame, targets: Seq[Double]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(t => t >= 0.0 && t <= 1.0),
+      s"chooseProbeBudget targets must be in [0, 1], got $targets")
+    val spark = curve.sparkSession
+    import spark.implicits._
+    val tg = targets.distinct.sorted.toDF("target")
+    val met = tg.join(broadcast(curve), col("recall") >= col("target"), "left")
+      .groupBy("target").agg(min("nprobe").as("__met"))
+    val fb = curve.agg(max("nprobe").as("__fb"))
+    met.crossJoin(broadcast(fb))
+      .select(col("target"), coalesce(col("__met"), col("__fb")).as("nprobe"))
+      .join(broadcast(curve.select(col("nprobe"), col("shortlist"),
+        col("recall").as("achieved_recall"))), Seq("nprobe"))
+      .select(col("target"), col("nprobe"), col("shortlist"),
+        col("achieved_recall"))
+      .orderBy("target")
+  }
+
+  /** Calibrated result of [[ivfAdcServeAtRecall]]: the budget the
+    * calibration chose, the shortlist the adaptive policy gives it, the
+    * micro-averaged recall measured on the calibration sample at that
+    * budget, and the served top-k itself.
+    */
+  final case class CalibratedServe(
+      nProbe: Int,
+      shortlist: Int,
+      expectedRecall: Double,
+      result: DataFrame)
+
+  /** The recall-TARGETED two-stage serve — the knob an operator
+    * actually has ("give me ≥ 0.9 recall, spend as little as that
+    * costs") turned into the deployable one-call read path: measure the
+    * [[probeBudgetCurve]] on a labeled calibration sample, pick the
+    * cheapest budget meeting `target` ([[chooseProbeBudget]] — largest
+    * calibrated budget when none does), then [[ivfAdcServe]] the real
+    * queries at that budget. The only driver-side transfer is the ONE
+    * chosen (nprobe, shortlist, recall) row — metadata-sized by
+    * construction (the curve has |budgets| rows).
+    */
+  def ivfAdcServeAtRecall(
+      codes: DataFrame,
+      codebook: DataFrame,
+      cents: DataFrame,
+      sample: DataFrame,
+      queries: DataFrame,
+      embeddings: DataFrame,
+      k: Int,
+      target: Double,
+      budgets: Seq[Int] = Seq(1, 2, 4, 8, 16),
+      dsub: Int = 8,
+      rPerProbe: Int = 16,
+      rMin: Int = 50): CalibratedServe = {
+    val chosen = chooseProbeBudget(
+      probeBudgetCurve(codes, codebook, cents, sample, embeddings, k,
+        budgets, dsub, rPerProbe, rMin),
+      Seq(target)).first()
+    CalibratedServe(
+      chosen.getInt(1), chosen.getInt(2), chosen.getDouble(3),
+      ivfAdcServe(codes, codebook, cents, queries, embeddings, k,
+        chosen.getInt(1), dsub, rPerProbe, rMin))
+  }
+
   /** Per-query recall of the ADC result against the exact-L2 ground
     * truth — the quality number a 100 TB operator reads before trusting
     * a compressed index tier. Both sides arrive as

@@ -603,6 +603,85 @@ class PqSpec extends SparkSpec {
         q, df, k = 4)))
   }
 
+  test("recall-targeted serve: cheapest budget per target, honest fallback, serve ≡ composition at the chosen budget") {
+    // chooseProbeBudget on a hand-built curve — the pure decision rule
+    val curve = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1, 50, 3L, 15L, 0.2), Row(2, 50, 6L, 15L, 0.4),
+        Row(4, 64, 10L, 15L, 0.666667), Row(8, 128, 15L, 15L, 1.0)),
+      StructType(Seq(
+        StructField("nprobe", IntegerType),
+        StructField("shortlist", IntegerType),
+        StructField("n_hit", LongType),
+        StructField("n_exact", LongType),
+        StructField("recall", DoubleType))))
+    val picked = Pq.chooseProbeBudget(curve, Seq(0.1, 0.4, 0.5, 0.95))
+      .collect().map(r => (r.getDouble(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(picked.toSeq == Seq(
+      (0.1, 1, 50, 0.2),        // cheapest budget meets a low target
+      (0.4, 2, 50, 0.4),        // boundary: recall == target qualifies
+      (0.5, 4, 64, 0.666667),   // first budget past the target
+      (0.95, 8, 128, 1.0)))     // top of the curve
+    // fallback: an unreachable target serves at the LARGEST calibrated
+    // budget and reports the honest shortfall
+    val fb = Pq.chooseProbeBudget(
+      curve.filter(col("nprobe") <= 4), Seq(0.99)).first()
+    assert(fb.getInt(1) == 4 && fb.getDouble(3) == 0.666667)
+    // monotone: a higher target never chooses a smaller budget
+    val mono = Pq.chooseProbeBudget(curve, Seq(0.1, 0.3, 0.6, 0.9, 1.0))
+      .collect().map(_.getInt(1)).toSeq
+    assert(mono == mono.sorted, s"chosen budgets must be monotone: $mono")
+    intercept[IllegalArgumentException](Pq.chooseProbeBudget(curve, Seq(1.5)))
+    intercept[IllegalArgumentException](Pq.chooseProbeBudget(curve, Seq.empty))
+
+    // measured curve on the unstructured fixture: micro arithmetic is
+    // Σ hits / Σ exact of the per-budget recall report, one row per
+    // distinct budget, ascending
+    val df = vecsDf((0L until 400L).map(i => (i, unitVec(i))))
+    val cents = Ivf.refineCentroidsL2(df, Ivf.centroids(df, 8), iters = 3, dim = dim)
+    val cb2 = Pq.trainResidualCodebooks(df, cents, m, ks, iters = 2, dim = dim)
+    val codes = Pq.encode(Pq.residualVectors(df, cents), cb2, dsub)
+    val q = df.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val budgets = Seq(4, 1, 2, 4) // dup + unsorted on purpose
+    val measured = Pq.probeBudgetCurve(codes, cb2, cents, q, df, k = 4,
+      budgets, dsub = dsub, rPerProbe = 4, rMin = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(measured.map(_._1).toSeq == Seq(1, 2, 4))
+    val exact = Pq.exactL2TopK(df, q, k = 4)
+    measured.foreach { case (p, nHit, nExact, rec) =>
+      val rep = Pq.recallAtK(
+        Pq.ivfAdcServe(codes, cb2, cents, q, df, k = 4, nProbe = p,
+          dsub = dsub, rPerProbe = 4, rMin = 4), exact)
+        .agg(sum("n_hit"), sum("n_exact")).first()
+      assert(nHit == rep.getLong(0) && nExact == rep.getLong(1),
+        s"micro counters diverge at nProbe=$p")
+      assert(rec ==
+        BigDecimal(nHit.toDouble / nExact).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      intercept[IllegalArgumentException](
+        Pq.probeBudgetCurve(codes, cb2, cents, q, df, 4, Seq.empty, dsub))
+    }
+
+    // the targeted serve IS ivfAdcServe at the budget the calibration
+    // chose, bit-for-bit, and reports that budget's calibrated recall
+    val served = Pq.ivfAdcServeAtRecall(codes, cb2, cents, q, q, df,
+      k = 4, target = 0.8, budgets = Seq(1, 2, 4, 8), dsub = dsub,
+      rPerProbe = 4, rMin = 4)
+    val want = Pq.chooseProbeBudget(
+      Pq.probeBudgetCurve(codes, cb2, cents, q, df, k = 4,
+        Seq(1, 2, 4, 8), dsub = dsub, rPerProbe = 4, rMin = 4),
+      Seq(0.8)).first()
+    assert(served.nProbe == want.getInt(1)
+      && served.shortlist == want.getInt(2)
+      && served.expectedRecall == want.getDouble(3))
+    def rows3(d: DataFrame): Seq[(Long, Long, Double)] =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows3(served.result) ==
+      rows3(Pq.ivfAdcServe(codes, cb2, cents, q, df, k = 4,
+        nProbe = served.nProbe, dsub = dsub, rPerProbe = 4, rMin = 4)))
+  }
+
   test("marginMinedPairs: mines the planted aligned pair, matches the driver reference") {
     // side A: 1 vector aligned with a B vector + unaligned noise
     val aligned = unitVec(7L)
