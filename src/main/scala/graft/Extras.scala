@@ -200,6 +200,68 @@ object Extras {
     banded
   }
 
+  /** Per-corpus persisted stage-0 substring-clean table — the X121 v2
+    * curation basis: (doc_id, n_tokens, dup_tokens, clean_text) of the
+    * NON-benchmark slice under the X118/X119 window contract (w=10).
+    * The v2 banded index is built over exactly this text, so both ride
+    * one stamped artifact and can never drift apart.
+    */
+  private def cleanCorpusTable(c: Catalog): DataFrame =
+    stampedArtifact(c, "subclean", "subclean:v1:w10") {
+      graft.text.SubstringDedup.cleanCorpus(
+        c.documents.filter(col("source") =!= "src0"), 10)
+    }
+
+  /** The v2 curation document view: every non-benchmark row's text
+    * replaced by its stage-0 span-cleaned text; the benchmark slice
+    * (source = 'src0') untouched — substring dedup transforms the
+    * TRAINING corpus, never the held-out set it is gated against.
+    */
+  private def v2Documents(c: Catalog): DataFrame = {
+    val bench = c.documents.filter(col("source") === "src0")
+    c.documents.filter(col("source") =!= "src0").drop("text")
+      .join(cleanCorpusTable(c)
+        .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+      .select(bench.columns.map(col): _*)
+      .unionByName(bench)
+  }
+
+  /** Per-corpus persisted banded member table over the V2 documents
+    * (cleaned corpus ∪ benchmark) — [[bandedTable]]'s scheme keyed by
+    * its own stamp (the clean-window contract rides the key), mirrored
+    * as `minhash_banded_v2` for the X121 oracle, with the same
+    * uncapped-bucket precondition (its static SQL enumerates buckets
+    * uncapped).
+    */
+  private def bandedV2Table(c: Catalog): DataFrame = {
+    val cfg = graft.text.MinHashConfig()
+    val st = stamp(c.dir, "documents",
+      s"mhbv2:v${MinHashDedup.SignatureVersion}:w10:${cfg.shingleSize}:${cfg.numHashes}:${cfg.bands}")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_minhash_banded_v2_" + st).toString
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      MinHashDedup.writeBandedIndex(
+        MinHashDedup.signatures(v2Documents(c), cfg), dir, cfg)
+    val banded =
+      try MinHashDedup.readBandedIndex(c.spark, dir, cfg)
+      catch {
+        case _: IllegalArgumentException =>
+          MinHashDedup.writeBandedIndex(
+            MinHashDedup.signatures(v2Documents(c), cfg), dir, cfg)
+          MinHashDedup.readBandedIndex(c.spark, dir, cfg)
+      }
+    mirrorStable(dir, "minhash_banded_v2", s"$st:cap${cfg.maxBucket}:guard1",
+      precondition = () => {
+        val over = banded.groupBy("band", "bucket").count()
+          .filter(col("count") > cfg.maxBucket).count()
+        require(over == 0,
+          s"index-backed oracle precondition violated: $over v2 banded buckets " +
+            s"exceed maxBucket=${cfg.maxBucket}; the capped Spark dedup and the " +
+            "uncapped X121 SQL oracle would diverge on this corpus")
+      })
+    banded
+  }
+
   /** Shared write-once/read-forever scheme for derived-report
     * artifacts (the production shape: a heavy report is computed once
     * per corpus and every downstream consumer reads the stored rows).
@@ -1704,6 +1766,24 @@ object Extras {
           budgets = Seq(1, 2, 4, 8, 16), dsub = 8),
         Seq(0.3, 0.6, 0.9, 0.99))
     }),
+    // the curation manifest V2 — exact substring-level dedup (X118/X119,
+    // Lee et al. ACL 2022) as STAGE 0 of the composed release pipeline:
+    // duplicated token spans are cut from the corpus text FIRST, then
+    // the X93 stage chain (decon channels, near-dup starring, LM gate,
+    // mixture) runs entirely over the span-cleaned text, against a
+    // banded index built over that same cleaned text. One row per
+    // corpus doc: stage-0 token accounting (n_tokens, sub_dup_tokens)
+    // + the full v1 verdict schema. Unlike X93 (which reads the
+    // persisted channel artifacts), this query runs the channels
+    // from scratch — the cleaned text has no pre-existing artifacts,
+    // which is exactly the state a release hits the first time it
+    // turns substring dedup on; fully oracle-checked
+    "X121_curation_manifest_v2" -> q(c =>
+      graft.pipeline.TrainingSet.curationManifestV2(
+        c.documents.filter(col("source") =!= "src0"),
+        c.documents.filter(col("source") === "src0"),
+        bandedV2Table(c),
+        c.embeddings)),
     // OPQ vs plain PQ at EQUAL m·ks budget (Ge et al. 2013 — a learned
     // orthogonal rotation before the subspace split; graft.vector.Opq):
     // recall@5 per (variant, query) over 25 queries against the
@@ -3380,6 +3460,189 @@ SELECT m0.doc_id, m0.ngram_frac, m0.near_dup, m0.semantic_cos, m0.decon_verdict,
   CASE WHEN mixv.mixture_keep THEN 'keep' WHEN NOT mixv.mixture_keep THEN 'drop' END AS mixture_verdict,
   COALESCE(mixv.mixture_keep, FALSE) AS keep
 FROM m0
+LEFT JOIN ded ON m0.doc_id = ded.doc_id
+LEFT JOIN pplv ON m0.doc_id = pplv.doc_id
+LEFT JOIN mixv ON m0.doc_id = mixv.doc_id
+ORDER BY m0.doc_id
+""".trim
+    },
+    // the curation manifest V2: the X119 substring-clean chain (CTEs
+    // suffixed 0) produces the corpus the X93 stage chain then runs
+    // over — text reads that were `documents` become the cleaned
+    // corpus view (union'd with the untouched benchmark where the
+    // verify needs both sides), the banded index is the v2 mirror
+    // (built over the same cleaned text), and the final row gains the
+    // stage-0 token accounting
+    "X121_curation_manifest_v2" -> {
+      val b2 = s"$oracleIdxRoot/minhash_banded_v2/*.parquet"
+      s"""
+WITH RECURSIVE raw AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+t0 AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS words FROM raw),
+w0 AS (SELECT doc_id, unnest(generate_series(1, len(words) - 9)) AS p, words FROM t0 WHERE len(words) >= 10),
+k0 AS (SELECT doc_id, p, array_to_string(words[p : p+9], ' ') AS win FROM w0),
+r0 AS (SELECT doc_id, p,
+        COUNT(*) OVER (PARTITION BY win) AS occ,
+        ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, p) AS rk
+      FROM k0),
+h0 AS (SELECT doc_id, p, p + 9 AS e FROM r0 WHERE occ > 1 AND rk > 1),
+g0 AS (SELECT doc_id, p, e,
+        CASE WHEN p > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY p
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS ng0
+      FROM h0),
+gg0 AS (SELECT *, SUM(ng0) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS grp FROM g0),
+sp0 AS (SELECT doc_id, MIN(p) AS s, MAX(e) AS e2 FROM gg0 GROUP BY doc_id, grp),
+pos0 AS (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS i FROM t0 WHERE len(words) >= 1),
+kept0 AS (SELECT pos0.doc_id, pos0.i, pos0.words[pos0.i] AS wtok
+          FROM pos0 LEFT JOIN sp0 ON pos0.doc_id = sp0.doc_id AND pos0.i BETWEEN sp0.s AND sp0.e2
+          WHERE sp0.doc_id IS NULL),
+agg0 AS (SELECT doc_id, COALESCE(string_agg(wtok, ' ' ORDER BY i), '') AS clean_text FROM kept0 GROUP BY doc_id),
+dup0 AS (SELECT doc_id, SUM(e2 - s + 1) AS dup_tokens FROM sp0 GROUP BY doc_id),
+stage0 AS MATERIALIZED (SELECT t0.doc_id,
+    CAST(len(t0.words) AS BIGINT) AS n_tokens,
+    CAST(COALESCE(dup0.dup_tokens, 0) AS BIGINT) AS sub_dup_tokens,
+    COALESCE(agg0.clean_text, '') AS clean_text
+  FROM t0 LEFT JOIN dup0 ON t0.doc_id = dup0.doc_id
+          LEFT JOIN agg0 ON t0.doc_id = agg0.doc_id),
+corpus AS (SELECT doc_id, clean_text AS text FROM stage0),
+bench AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+alltext AS (SELECT doc_id, text FROM corpus UNION ALL SELECT doc_id, text FROM bench),
+ct AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM corpus),
+csh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+  FROM ct WHERE len(toks) >= 5) u),
+bt AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM bench),
+bsh AS MATERIALIZED (SELECT DISTINCT s FROM (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 4),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+  FROM bt WHERE len(toks) >= 5) u),
+ng AS MATERIALIZED (SELECT csh.doc_id,
+         ROUND(CAST(COUNT(bsh.s) AS DOUBLE) / COUNT(*), 6) AS ngram_frac
+       FROM csh LEFT JOIN bsh ON csh.s = bsh.s GROUP BY csh.doc_id),
+cand AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM read_parquet('$b2') a
+  JOIN read_parquet('$b2') b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id IN (SELECT doc_id FROM corpus)
+    AND b.id IN (SELECT doc_id FROM bench)),
+cids AS (SELECT i AS doc_id FROM cand UNION SELECT j FROM cand),
+tt AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks
+       FROM alltext WHERE doc_id IN (SELECT doc_id FROM cids)),
+sh05 AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM tt WHERE len(toks) >= 3) u),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh05 GROUP BY doc_id),
+inter AS (SELECT cand.i, cand.j, COUNT(*) AS c
+          FROM cand JOIN sh05 a ON cand.i = a.doc_id
+                    JOIN sh05 b ON cand.j = b.doc_id AND a.s = b.s
+          GROUP BY 1, 2),
+nd AS (SELECT DISTINCT inter.i AS doc_id
+       FROM inter JOIN sz sa ON inter.i = sa.doc_id
+                  JOIN sz sb ON inter.j = sb.doc_id
+       WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
+cemb AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id IN (SELECT doc_id FROM corpus)),
+bemb AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id IN (SELECT doc_id FROM bench)),
+sem AS (SELECT c.vec_id AS doc_id,
+          ROUND(MAX(list_inner_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS semantic_cos
+        FROM cemb c CROSS JOIN bemb b GROUP BY c.vec_id),
+m0 AS MATERIALIZED (SELECT c.doc_id,
+  COALESCE(ng.ngram_frac, CAST(0 AS DOUBLE)) AS ngram_frac,
+  (nd.doc_id IS NOT NULL) AS near_dup,
+  sem.semantic_cos,
+  CASE WHEN COALESCE(ng.ngram_frac, CAST(0 AS DOUBLE)) >= 0.2
+         OR nd.doc_id IS NOT NULL
+         OR sem.semantic_cos >= 0.35 THEN 'drop' ELSE 'keep' END AS decon_verdict
+  FROM corpus c
+  LEFT JOIN ng ON c.doc_id = ng.doc_id
+  LEFT JOIN nd ON c.doc_id = nd.doc_id
+  LEFT JOIN sem ON c.doc_id = sem.doc_id),
+s1 AS MATERIALIZED (SELECT doc_id FROM m0 WHERE decon_verdict = 'keep'),
+cand8 AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM read_parquet('$b2') a
+  JOIN read_parquet('$b2') b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+  WHERE a.id IN (SELECT doc_id FROM s1) AND b.id IN (SELECT doc_id FROM s1)),
+cid8 AS (SELECT i AS doc_id FROM cand8 UNION SELECT j FROM cand8),
+sh8 AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks
+        FROM corpus WHERE doc_id IN (SELECT doc_id FROM cid8)) t
+  WHERE len(toks) >= 3) u),
+sz8 AS (SELECT doc_id, COUNT(*) AS sz FROM sh8 GROUP BY doc_id),
+ix8 AS (SELECT cand8.i, cand8.j, COUNT(*) AS c
+         FROM cand8 JOIN sh8 a ON cand8.i = a.doc_id
+                    JOIN sh8 b ON cand8.j = b.doc_id AND a.s = b.s
+         GROUP BY 1, 2),
+ver8 AS (SELECT ix8.i, ix8.j FROM ix8
+  JOIN sz8 sa ON ix8.i = sa.doc_id JOIN sz8 sb ON ix8.j = sb.doc_id
+  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8),
+edges AS (SELECT i AS a, j AS b FROM ver8 UNION SELECT j, i FROM ver8),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, re.r AS r FROM edges e JOIN reach re ON e.b = re.node),
+clus AS MATERIALIZED (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+qual AS (SELECT doc_id,
+  CAST(len(list_distinct(list_filter(str_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_uniq
+  FROM corpus WHERE doc_id IN (SELECT doc_id FROM s1)),
+mm AS (SELECT clus.cluster_id, clus.doc_id, qual.n_uniq FROM clus JOIN qual USING (doc_id)),
+rw AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_uniq DESC, doc_id) AS rk FROM mm),
+win AS (SELECT doc_id FROM rw WHERE rk = 1),
+ded AS MATERIALIZED (SELECT s1.doc_id,
+  (cl.doc_id IS NULL OR w.doc_id IS NOT NULL) AS dedup_keep
+  FROM s1 LEFT JOIN (SELECT DISTINCT doc_id FROM clus) cl ON s1.doc_id = cl.doc_id
+          LEFT JOIN win w ON s1.doc_id = w.doc_id),
+s3ids AS MATERIALIZED (SELECT doc_id FROM ded WHERE dedup_keep),
+tp AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+       FROM corpus WHERE doc_id IN (SELECT doc_id FROM s3ids)),
+bgp AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM tp WHERE len(toks) >= 2) u),
+mp AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgp GROUP BY w1, w2),
+cxp AS (SELECT w1, SUM(c12) AS c1 FROM mp GROUP BY w1),
+vp AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM tp) z),
+sp AS MATERIALIZED (SELECT bgp.doc_id,
+         ROUND(AVG(log10(CAST(mp.c12 + 1 AS DOUBLE) / CAST(cxp.c1 + vp.v AS DOUBLE))), 6) AS mean_logp
+       FROM bgp JOIN mp USING (w1, w2) JOIN cxp USING (w1) CROSS JOIN vp
+       GROUP BY bgp.doc_id),
+rp AS (SELECT doc_id, mean_logp,
+         ROW_NUMBER() OVER (ORDER BY mean_logp DESC, doc_id) AS rank FROM sp),
+np AS (SELECT COUNT(*) AS n FROM sp),
+ppl AS (SELECT rp.doc_id,
+          CAST(FLOOR(CAST((rp.rank - 1) * 3 AS DOUBLE) / np.n) AS BIGINT) AS ppl_bucket
+        FROM rp, np),
+pplv AS MATERIALIZED (SELECT s3ids.doc_id, ppl.ppl_bucket,
+           COALESCE(ppl.ppl_bucket < 2, FALSE) AS ppl_keep
+         FROM s3ids LEFT JOIN ppl ON s3ids.doc_id = ppl.doc_id),
+s4ids AS MATERIALIZED (SELECT doc_id FROM pplv WHERE ppl_keep),
+cnt4 AS (SELECT d.lang, COUNT(*) AS n
+         FROM documents d JOIN s4ids ON d.doc_id = s4ids.doc_id GROUP BY d.lang),
+j4 AS (SELECT lang, n, pow(n, 0.5) AS t FROM cnt4),
+tm4 AS (SELECT MIN(n / t) AS tmax FROM j4),
+fr4 AS (SELECT lang, CASE WHEN n / t = tmax THEN 'g'
+          WHEN tmax * t / n >= 1.0 THEN 'g'
+          ELSE printf('%08x', CAST(least(floor(tmax * t / n * 4294967296), 4294967295) AS BIGINT)) END AS cut
+        FROM j4 CROSS JOIN tm4),
+mix AS (SELECT d.doc_id FROM documents d
+        JOIN s4ids ON d.doc_id = s4ids.doc_id
+        JOIN fr4 ON d.lang = fr4.lang
+        WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || ':' || '42'), 1, 8) < fr4.cut),
+mixv AS MATERIALIZED (SELECT s4ids.doc_id, (mix.doc_id IS NOT NULL) AS mixture_keep
+         FROM s4ids LEFT JOIN mix ON s4ids.doc_id = mix.doc_id)
+SELECT m0.doc_id, s0.n_tokens, s0.sub_dup_tokens,
+  m0.ngram_frac, m0.near_dup, m0.semantic_cos, m0.decon_verdict,
+  CASE WHEN ded.dedup_keep THEN 'keep' WHEN NOT ded.dedup_keep THEN 'drop' END AS dedup_verdict,
+  pplv.ppl_bucket,
+  CASE WHEN pplv.ppl_keep THEN 'keep' WHEN NOT pplv.ppl_keep THEN 'drop' END AS ppl_verdict,
+  CASE WHEN mixv.mixture_keep THEN 'keep' WHEN NOT mixv.mixture_keep THEN 'drop' END AS mixture_verdict,
+  COALESCE(mixv.mixture_keep, FALSE) AS keep
+FROM m0
+JOIN stage0 s0 ON m0.doc_id = s0.doc_id
 LEFT JOIN ded ON m0.doc_id = ded.doc_id
 LEFT JOIN pplv ON m0.doc_id = pplv.doc_id
 LEFT JOIN mixv ON m0.doc_id = mixv.doc_id

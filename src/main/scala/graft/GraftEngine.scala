@@ -206,6 +206,32 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
     graft.pipeline.TrainingSet.curateCorpus(
       corpus, benchmark, banded, tables.embeddings)
 
+  /** [[curationManifest]] with exact substring-level dedup as STAGE 0:
+    * duplicated token spans are cut from the corpus text first and
+    * every later stage runs over the span-cleaned text. `banded` must
+    * be built over (cleaned corpus ∪ benchmark) — see
+    * [[graft.pipeline.TrainingSet.curationManifestV2]]. Set
+    * `hashWindowKeys = true` at scale so the stage-0 shuffle carries
+    * 8-byte hashes instead of window text.
+    */
+  def curationManifestV2(corpus: DataFrame, benchmark: DataFrame,
+      banded: DataFrame, windowTokens: Int = 10,
+      hashWindowKeys: Boolean = false): DataFrame =
+    graft.pipeline.TrainingSet.curationManifestV2(
+      corpus, benchmark, banded, tables.embeddings, windowTokens,
+      hashWindowKeys)
+
+  /** The one-call v2 curation driver — [[curateCorpus]] with substring
+    * dedup in front; survivors ship the span-cleaned text (see
+    * [[graft.pipeline.TrainingSet.curateCorpusV2]]).
+    */
+  def curateCorpusV2(corpus: DataFrame, benchmark: DataFrame,
+      banded: DataFrame, windowTokens: Int = 10,
+      hashWindowKeys: Boolean = false): graft.pipeline.CurationResult =
+    graft.pipeline.TrainingSet.curateCorpusV2(
+      corpus, benchmark, banded, tables.embeddings, windowTokens,
+      hashWindowKeys)
+
   /** Corpus in, training batches out — the full release pipeline in
     * one call: [[curateCorpus]] (decontaminate → near-dup star →
     * perplexity gate → mixture), then the bin-partitioned model-batch

@@ -1115,6 +1115,182 @@ object TrainingSet {
       TrainingSetResult(Scale.shuffleOrder(survivors, "doc_id", seed), audit))
   }
 
+  /** [[curationManifest]] with exact substring-level dedup
+    * ([[graft.text.SubstringDedup]] — Lee et al. ACL 2022's span-granular
+    * posture) as STAGE 0: duplicated token spans are CUT from the corpus
+    * text FIRST, and every later stage — all three decontamination
+    * channels, the near-dup starring, the LM perplexity gate, the
+    * mixture — runs over the span-cleaned text. This is the order a real
+    * release runs (RefinedWeb/Chinchilla-style): substring dedup is a
+    * TRANSFORM (it drops tokens, never documents), so it must precede
+    * the per-doc verdict stages or their scores are computed on text
+    * that won't ship.
+    *
+    * Consequences the caller owns:
+    *  - `banded` must be built over the CLEANED corpus ∪ the benchmark —
+    *    signatures of pre-clean text would nominate candidates for spans
+    *    that no longer exist (and miss ones the cut created);
+    *  - embeddings are an input artifact, unchanged by the cut (the
+    *    semantic channel still scores the original embedding — re-embed
+    *    upstream if the cut is expected to move vectors materially).
+    *
+    * Output = the v1 manifest schema with two stage-0 accounting columns
+    * prepended after doc_id: `n_tokens` (pre-clean) and `sub_dup_tokens`
+    * (tokens the cut removed; 0 for untouched docs). A doc whose text
+    * the cut empties stays in the manifest and flows through the stages
+    * as a 0-token doc (no shingles → no channels fire; the LM gate
+    * cannot score it → ppl drop), so count conservation holds: one row
+    * per input corpus doc, always.
+    *
+    * Scale shape: stage 0 is the substring operator's own audited shape
+    * (one shuffle keyed by the window fingerprint — set
+    * `hashWindowKeys = true` at scale so the shuffle carries 8-byte
+    * hashes, never window text), then exactly [[curationManifest]].
+    */
+  def curationManifestV2(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      banded: DataFrame,
+      embeddings: DataFrame,
+      windowTokens: Int = 10,
+      hashWindowKeys: Boolean = false,
+      n: Int = 5,
+      ngramThreshold: Double = 0.2,
+      deconDedup: MinHashConfig = MinHashConfig(threshold = 0.5),
+      cosThreshold: Double = 0.35,
+      corpusDedup: MinHashConfig = MinHashConfig(),
+      pplBuckets: Int = 3,
+      mixtureStrata: String = "lang",
+      mixtureAlpha: Double = 0.5,
+      seed: Long = 42L,
+      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None,
+      nearDupPairs: Option[DataFrame] = None,
+      ngramScores: Option[DataFrame] = None,
+      corpusPairs: Option[DataFrame] = None,
+      maxSpanTokens: Option[Int] = None,
+      minIdDedupWinners: Boolean = false): DataFrame =
+    // stage 0 — cut duplicated spans; lazy checkpoint because the clean
+    // text feeds every downstream stage AND the accounting columns
+    manifestV2FromCleaned(
+      graft.text.SubstringDedup
+        .cleanCorpus(corpus, windowTokens, hashWindowKeys)
+        .localCheckpoint(false),
+      corpus, benchmark, banded, embeddings, n, ngramThreshold, deconDedup,
+      cosThreshold, corpusDedup, pplBuckets, mixtureStrata, mixtureAlpha,
+      seed, qualityModel, nearDupPairs, ngramScores, corpusPairs,
+      maxSpanTokens, minIdDedupWinners)
+
+  /** [[curationManifestV2]] over an already-materialized stage-0 table —
+    * shared with [[curateCorpusV2]] so the driver pays the substring
+    * chain once for the manifest AND the survivor texts.
+    */
+  private def manifestV2FromCleaned(
+      cleaned: DataFrame,
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      banded: DataFrame,
+      embeddings: DataFrame,
+      n: Int,
+      ngramThreshold: Double,
+      deconDedup: MinHashConfig,
+      cosThreshold: Double,
+      corpusDedup: MinHashConfig,
+      pplBuckets: Int,
+      mixtureStrata: String,
+      mixtureAlpha: Double,
+      seed: Long,
+      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)],
+      nearDupPairs: Option[DataFrame],
+      ngramScores: Option[DataFrame],
+      corpusPairs: Option[DataFrame],
+      maxSpanTokens: Option[Int],
+      minIdDedupWinners: Boolean): DataFrame = {
+    val corpusClean = corpus.drop("text").join(
+      cleaned.select(col("doc_id"), col("clean_text").as("text")),
+      Seq("doc_id"))
+    cleaned
+      .select(col("doc_id"), col("n_tokens"),
+        col("dup_tokens").as("sub_dup_tokens"))
+      .join(
+        curationManifest(corpusClean, benchmark, banded, embeddings,
+          n, ngramThreshold, deconDedup, cosThreshold, corpusDedup,
+          pplBuckets, mixtureStrata, mixtureAlpha, seed, qualityModel,
+          nearDupPairs, ngramScores, corpusPairs, maxSpanTokens,
+          minIdDedupWinners),
+        Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** The composed batch curation DRIVER with substring dedup in front —
+    * [[curationManifestV2]] plus what [[curateCorpus]] does with the v1
+    * manifest: one eager materialization, the per-stage audit from ONE
+    * aggregate (prefixed with the stage-0 token accounting), survivors
+    * in the deterministic training order. The survivors carry the
+    * CLEANED text — that is the text the release ships, so it is the
+    * text the chunk/pack/write tail must see.
+    */
+  def curateCorpusV2(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      banded: DataFrame,
+      embeddings: DataFrame,
+      windowTokens: Int = 10,
+      hashWindowKeys: Boolean = false,
+      n: Int = 5,
+      ngramThreshold: Double = 0.2,
+      deconDedup: MinHashConfig = MinHashConfig(threshold = 0.5),
+      cosThreshold: Double = 0.35,
+      corpusDedup: MinHashConfig = MinHashConfig(),
+      pplBuckets: Int = 3,
+      mixtureStrata: String = "lang",
+      mixtureAlpha: Double = 0.5,
+      seed: Long = 42L,
+      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None,
+      nearDupPairs: Option[DataFrame] = None,
+      ngramScores: Option[DataFrame] = None,
+      corpusPairs: Option[DataFrame] = None,
+      maxSpanTokens: Option[Int] = None,
+      minIdDedupWinners: Boolean = false): CurationResult = {
+    val cleaned = graft.text.SubstringDedup
+      .cleanCorpus(corpus, windowTokens, hashWindowKeys)
+      .localCheckpoint(false)
+    val manifest = manifestV2FromCleaned(cleaned, corpus, benchmark, banded,
+      embeddings, n, ngramThreshold, deconDedup, cosThreshold, corpusDedup,
+      pplBuckets, mixtureStrata, mixtureAlpha, seed, qualityModel,
+      nearDupPairs, ngramScores, corpusPairs, maxSpanTokens,
+      minIdDedupWinners)
+      .localCheckpoint(true)
+    val a = manifest.agg(
+      count(lit(1)).as("input"),
+      coalesce(sum("n_tokens"), lit(0L)).as("in_tokens"),
+      coalesce(sum("sub_dup_tokens"), lit(0L)).as("cut_tokens"),
+      count(when(col("decon_verdict") === "keep", 1)).as("decon"),
+      count(col("dedup_verdict")).as("reached_dedup"),
+      count(when(col("dedup_verdict") === "keep", 1)).as("dedup"),
+      count(when(col("ppl_verdict") === "keep", 1)).as("ppl"),
+      count(when(col("keep"), 1)).as("kept")).first()
+    val audit = Seq(
+      "0_input" -> a.getLong(0),
+      "0a_input_tokens" -> a.getLong(1),
+      "0b_substring_cut_tokens" -> a.getLong(2),
+      "1_decontaminated" -> a.getLong(3)) ++
+      (if (qualityModel.isDefined) Seq("1b_model_quality" -> a.getLong(4)) else Nil) ++
+      Seq(
+        "2_near_dedup" -> a.getLong(5),
+        "3_perplexity_gate" -> a.getLong(6),
+        "4_mixture" -> a.getLong(7))
+    // survivors ship the CLEANED text (the text the release ships is
+    // the text the chunk/pack/write tail must see), off the one
+    // checkpointed stage-0 table
+    val keptIds = manifest.filter(col("keep")).select("doc_id")
+    val survivors = corpus.drop("text")
+      .join(cleaned.select(col("doc_id"), col("clean_text").as("text")),
+        Seq("doc_id"))
+      .join(keptIds, Seq("doc_id"), "left_semi")
+    CurationResult(manifest,
+      TrainingSetResult(Scale.shuffleOrder(survivors, "doc_id", seed), audit))
+  }
+
   /** Fail-loud coverage check shared by every consumer that semi-joins
     * a banded index against corpus ids: a benchmark-only index (the
     * streaming gate's artifact shape) — or a STALE index built from a

@@ -215,4 +215,133 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     got.foreach { case (id, pos) => assert(want(id) == pos) }
   }
+
+  // --- V2: substring dedup as stage 0 ------------------------------
+
+  /** Banded index over (span-cleaned corpus ∪ benchmark) — the v2
+    * coverage contract: signatures must be of the text the stages see.
+    */
+  private def bandedOverCleaned(corp: DataFrame, bnch: DataFrame): DataFrame = {
+    val cleaned = graft.text.SubstringDedup.cleanCorpus(corp, 10)
+    val v2docs = corp.drop("text")
+      .join(cleaned.select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+      .select(bnch.columns.map(col): _*)
+      .unionByName(bnch)
+    val dir = Files.createTempDirectory("graft-curation-banded-v2").toString
+    val cfg = MinHashConfig()
+    MinHashDedup.writeBandedIndex(MinHashDedup.signatures(v2docs, cfg), dir, cfg)
+    MinHashDedup.readBandedIndex(spark, dir, cfg).localCheckpoint(true)
+  }
+
+  test("curationManifestV2 equals stage-0 accounting + the v1 manifest over the pre-cleaned corpus, column by column") {
+    val bandedV2 = bandedOverCleaned(corpus, bench)
+    val v2 = TrainingSet.curationManifestV2(corpus, bench, bandedV2, cat.embeddings)
+      .localCheckpoint(true)
+
+    // hand-compose: clean first, then the v1 manifest over cleaned text
+    val cleaned = graft.text.SubstringDedup.cleanCorpus(corpus, 10)
+      .localCheckpoint(true)
+    val corpusClean = corpus.drop("text")
+      .join(cleaned.select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+    val want = cleaned
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens").as("sub_dup_tokens"))
+      .join(TrainingSet.curationManifest(corpusClean, bench, bandedV2, cat.embeddings),
+        Seq("doc_id"))
+      .orderBy("doc_id")
+    assert(v2.columns.toSeq == want.columns.toSeq)
+    assert(v2.collect().toSeq == want.collect().toSeq,
+      "v2 manifest must BE the v1 manifest over the cleaned corpus plus stage-0 accounting")
+    // count conservation: substring dedup drops tokens, never documents
+    assert(v2.count() == corpus.count())
+    assert(v2.select("doc_id").distinct().count() == corpus.count())
+  }
+
+  test("v2 planted fixture: cutting a duplicated span BEFORE decon rescues the non-canonical copy; the canonical still drops") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    def docsDf(rows: Seq[(Long, String)]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map { case (i, t) => Row(i, t, "en") }: _*),
+        schema)
+    // span S: 12 tokens — long enough for stride-1 10-token windows
+    val s = (1 to 12).map(i => s"s$i").mkString(" ")
+    def filler(tag: String, n: Int): String = (1 to n).map(i => s"$tag$i").mkString(" ")
+    // A (canonical, min doc_id) and B both carry S; the benchmark doc
+    // carries S too, so S's 5-grams are contaminated. 8 of A's/B's 28
+    // distinct 5-grams come from S → overlap 0.286 ≥ 0.2: BOTH drop
+    // under the v1 order. V2 cuts S from B first (non-canonical), so
+    // B's cleaned text has zero benchmark overlap and survives.
+    val corpusV = docsDf(Seq(
+      1L -> s"$s ${filler("a", 20)}",
+      2L -> s"$s ${filler("b", 20)}",
+      3L -> filler("c", 25), 4L -> filler("d", 25), 5L -> filler("e", 25),
+      6L -> filler("f", 25)))
+    val benchV = docsDf(Seq(100L -> s"$s ${filler("z", 8)}"))
+    val emptyEmb = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+
+    // v1 order (substring dedup off): both span carriers drop at decon
+    val dirV1 = Files.createTempDirectory("graft-v2fix-banded").toString
+    val cfg = MinHashConfig()
+    MinHashDedup.writeBandedIndex(
+      MinHashDedup.signatures(corpusV.unionByName(benchV), cfg), dirV1, cfg)
+    val bandedV1 = MinHashDedup.readBandedIndex(spark, dirV1, cfg)
+    val m1 = TrainingSet.curationManifest(corpusV, benchV, bandedV1, emptyEmb)
+      .select("doc_id", "decon_verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1(1L) == "drop" && m1(2L) == "drop",
+      s"v1 must drop both span carriers at decon: $m1")
+
+    // v2: stage 0 cuts S from doc 2 (doc 1 keeps the canonical copy)
+    val bandedV2 = bandedOverCleaned(corpusV, benchV)
+    val v2 = TrainingSet.curationManifestV2(corpusV, benchV, bandedV2, emptyEmb)
+      .localCheckpoint(true)
+    val rows = v2.select("doc_id", "n_tokens", "sub_dup_tokens", "decon_verdict")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows(1L) == ((32L, 0L, "drop")),
+      s"canonical copy keeps its span and still drops: ${rows(1L)}")
+    assert(rows(2L) == ((32L, 12L, "keep")),
+      s"non-canonical copy is span-cut and survives decon: ${rows(2L)}")
+    rows.filterKeys(_ >= 3L).foreach { case (id, r) =>
+      assert(r == ((25L, 0L, "keep")), s"neutral doc $id must pass untouched: $r")
+    }
+    // the rescued doc flows through the whole chain as its CLEANED self
+    assert(v2.filter(col("doc_id") === 2L && col("keep")).count() +
+      v2.filter(col("doc_id") === 2L && !col("keep")).count() == 1L)
+  }
+
+  test("curateCorpusV2: stage-0 token audit, survivors ship the cleaned text in training order") {
+    val bandedV2 = bandedOverCleaned(corpus, bench)
+    val cur = TrainingSet.curateCorpusV2(corpus, bench, bandedV2, cat.embeddings)
+    val m = cur.manifest.localCheckpoint(true)
+    val audit = cur.result.audit.toMap
+    assert(audit("0_input") == m.count())
+    assert(audit("0a_input_tokens") ==
+      m.agg(sum("n_tokens")).first().getLong(0))
+    assert(audit("0b_substring_cut_tokens") ==
+      m.agg(sum("sub_dup_tokens")).first().getLong(0))
+    assert(audit("0b_substring_cut_tokens") > 0L,
+      "the sf0.001 corpus must exhibit some substring duplication for this pin to bite")
+    assert(audit("1_decontaminated") ==
+      m.filter(col("decon_verdict") === "keep").count())
+    assert(audit("4_mixture") == m.filter(col("keep")).count())
+    // survivors = keep set, text = the span-cleaned text, order = X47
+    val docs = cur.result.docs.localCheckpoint(true)
+    val keepIds = m.filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(docs.select("doc_id").collect().map(_.getLong(0)).toSet == keepIds)
+    val cleanText = graft.text.SubstringDedup.cleanCorpus(corpus, 10)
+      .select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      assert(r.getString(1) == cleanText(r.getLong(0)),
+        s"survivor ${r.getLong(0)} must ship its cleaned text")
+    }
+    val pos = docs.select("shuffle_pos").collect().map(_.getLong(0)).sorted
+    assert(pos.sameElements(1L to pos.length.toLong))
+  }
 }

@@ -71,6 +71,22 @@ class GraftEngineSpec extends SparkSpec {
     val clean = engine.substringDedup()
     assert(clean.count() == 500 &&
       clean.filter(col("dup_tokens") > col("n_tokens")).isEmpty)
+    // v2 curation: substring dedup as stage 0 — one manifest row per
+    // corpus doc, stage-0 accounting bounded by the doc's own tokens
+    val corpusV2 = engine.tables.documents.filter(col("source") =!= "src0")
+    val cleanedDocs = corpusV2.drop("text").join(
+      graft.text.SubstringDedup.cleanCorpus(corpusV2, 10)
+        .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+      .select(bench.columns.map(col): _*).unionByName(bench)
+    val v2dir = java.nio.file.Files.createTempDirectory("graft-engine-v2b").toString
+    val v2cfg = graft.text.MinHashConfig()
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(cleanedDocs, v2cfg), v2dir, v2cfg)
+    val v2banded = graft.text.MinHashDedup.readBandedIndex(spark, v2dir, v2cfg)
+    val v2 = engine.curationManifestV2(corpusV2, bench, v2banded)
+    assert(v2.count() == corpusV2.count())
+    assert(v2.filter(col("sub_dup_tokens") > col("n_tokens")).isEmpty)
+    assert(v2.columns.take(3).toSeq == Seq("doc_id", "n_tokens", "sub_dup_tokens"))
   }
 
   test("facade index surface: build once, probe and dedup from the artifacts") {
@@ -104,6 +120,15 @@ class GraftEngineSpec extends SparkSpec {
     assert(served.filter(
       org.apache.spark.sql.functions.col("query_id") ===
         org.apache.spark.sql.functions.col("vec_id")).isEmpty)
+    // recall-targeted serve: the calibration picks a budget from the
+    // curve and the result is the plain serve at that budget
+    val cal = engine.ivfAdcServeAtRecall(s"$root/pqr", q, q, k = 3,
+      target = 0.5, budgets = Seq(1, 2, 8))
+    assert(Seq(1, 2, 8).contains(cal.nProbe)
+      && cal.expectedRecall >= 0.0 && cal.expectedRecall <= 1.0)
+    assert(cal.result.collect().toSeq ==
+      engine.ivfAdcServe(s"$root/pqr", q, k = 3, nProbe = cal.nProbe)
+        .collect().toSeq)
     // OPQ: build once, search from the persisted rotation+codebook+codes
     engine.buildOpqIndex(s"$root/opq", ks = 8, iters = 2, opqIters = 1)
     val ohits = engine.opqSearch(s"$root/opq", q, k = 3)
