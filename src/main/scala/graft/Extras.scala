@@ -207,7 +207,8 @@ object Extras {
     * one stamped artifact and can never drift apart.
     */
   private def cleanCorpusTable(c: Catalog): DataFrame =
-    stampedArtifact(c, "subclean", "subclean:v1:w10") {
+    stampedArtifact(c, "subclean",
+      s"subclean:v${graft.text.SubstringDedup.AlgorithmVersion}:w10") {
       graft.text.SubstringDedup.cleanCorpus(
         c.documents.filter(col("source") =!= "src0"), 10)
     }
@@ -219,9 +220,9 @@ object Extras {
     */
   private def v2Documents(c: Catalog): DataFrame = {
     val bench = c.documents.filter(col("source") === "src0")
-    c.documents.filter(col("source") =!= "src0").drop("text")
-      .join(cleanCorpusTable(c)
-        .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+    graft.text.SubstringDedup
+      .withCleanText(c.documents.filter(col("source") =!= "src0"),
+        cleanCorpusTable(c))
       .select(bench.columns.map(col): _*)
       .unionByName(bench)
   }
@@ -235,8 +236,14 @@ object Extras {
     */
   private def bandedV2Table(c: Catalog): DataFrame = {
     val cfg = graft.text.MinHashConfig()
+    // the subclean algorithm version rides the stamp (the stampedArtifact
+    // rule: the key carries every parameter the build depends on) — a
+    // substring-dedup semantics change must rebuild this index, never
+    // reuse one built over old cleaned text
     val st = stamp(c.dir, "documents",
-      s"mhbv2:v${MinHashDedup.SignatureVersion}:w10:${cfg.shingleSize}:${cfg.numHashes}:${cfg.bands}")
+      s"mhbv2:v${MinHashDedup.SignatureVersion}:" +
+        s"sc${graft.text.SubstringDedup.AlgorithmVersion}w10:" +
+        s"${cfg.shingleSize}:${cfg.numHashes}:${cfg.bands}")
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_minhash_banded_v2_" + st).toString
     if (!new java.io.File(dir, "_SUCCESS").exists())

@@ -1205,9 +1205,8 @@ object TrainingSet {
       corpusPairs: Option[DataFrame],
       maxSpanTokens: Option[Int],
       minIdDedupWinners: Boolean): DataFrame = {
-    val corpusClean = corpus.drop("text").join(
-      cleaned.select(col("doc_id"), col("clean_text").as("text")),
-      Seq("doc_id"))
+    val corpusClean =
+      graft.text.SubstringDedup.withCleanText(corpus, cleaned)
     cleaned
       .select(col("doc_id"), col("n_tokens"),
         col("dup_tokens").as("sub_dup_tokens"))
@@ -1269,6 +1268,15 @@ object TrainingSet {
       count(when(col("dedup_verdict") === "keep", 1)).as("dedup"),
       count(when(col("ppl_verdict") === "keep", 1)).as("ppl"),
       count(when(col("keep"), 1)).as("kept")).first()
+    // the v1 audit's index capped-bucket exposure rides the v2 audit
+    // unchanged — the v2 banded index (built over the cleaned text) has
+    // the same recall-degradation contract
+    val cap = corpusDedup.maxBucket
+    val bs = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+      .agg(
+        coalesce(sum(when(col("__n") > cap, col("__n"))), lit(0L)),
+        coalesce(sum(col("__n")), lit(0L)))
+      .first()
     val audit = Seq(
       "0_input" -> a.getLong(0),
       "0a_input_tokens" -> a.getLong(1),
@@ -1278,14 +1286,14 @@ object TrainingSet {
       Seq(
         "2_near_dedup" -> a.getLong(5),
         "3_perplexity_gate" -> a.getLong(6),
-        "4_mixture" -> a.getLong(7))
+        "4_mixture" -> a.getLong(7),
+        "idx_capped_member_rows" -> bs.getLong(0),
+        "idx_member_rows" -> bs.getLong(1))
     // survivors ship the CLEANED text (the text the release ships is
     // the text the chunk/pack/write tail must see), off the one
     // checkpointed stage-0 table
     val keptIds = manifest.filter(col("keep")).select("doc_id")
-    val survivors = corpus.drop("text")
-      .join(cleaned.select(col("doc_id"), col("clean_text").as("text")),
-        Seq("doc_id"))
+    val survivors = graft.text.SubstringDedup.withCleanText(corpus, cleaned)
       .join(keptIds, Seq("doc_id"), "left_semi")
     CurationResult(manifest,
       TrainingSetResult(Scale.shuffleOrder(survivors, "doc_id", seed), audit))

@@ -51,6 +51,26 @@ import org.apache.spark.sql.functions._
   */
 object SubstringDedup {
 
+  /** Bump on ANY semantic change to windowing/span-merge/cleaning —
+    * cached artifacts derived from cleaned text (e.g. a banded index
+    * built over it) carry this in their cache keys, so a semantics
+    * change can never silently ride a stale artifact.
+    */
+  val AlgorithmVersion = 1
+
+  /** `documents` with each row's text replaced by its span-cleaned
+    * text from a [[cleanCorpus]] table — the one place the v2
+    * text-substitution contract lives (INNER join on doc_id: a doc
+    * missing from `cleaned` is a caller bug, not a row to pass
+    * through silently; cleanCorpus emits every input doc). The text
+    * column moves to the end — callers needing the original column
+    * order re-select.
+    */
+  def withCleanText(documents: DataFrame, cleaned: DataFrame): DataFrame =
+    documents.drop("text").join(
+      cleaned.select(col("doc_id"), col("clean_text").as("text")),
+      Seq("doc_id"))
+
   /** One row per stride-1 window: (doc_id, p, __key) with p the
     * 1-based token position. Documents shorter than minTokens emit
     * nothing (they cannot contain a duplicated run of that length).

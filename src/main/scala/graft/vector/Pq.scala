@@ -431,6 +431,15 @@ object Pq {
     require(budgets.nonEmpty && budgets.forall(_ > 0),
       s"probeBudgetCurve needs at least one positive budget, got $budgets")
     val exact = exactL2TopK(embeddings, sample, k).localCheckpoint(false)
+    // a sample with no ground truth (empty, or its only vector is also
+    // the whole corpus) would propagate NULL recalls into the decision
+    // table and NPE deep inside the serve — fail loudly at the source;
+    // the check is one action on a sample-sized frame, paid once per
+    // calibration
+    require(!exact.isEmpty,
+      "probeBudgetCurve calibration sample produced no exact ground-truth " +
+        "rows — pass a non-empty sample with at least one other corpus " +
+        "vector to rank against")
     budgets.distinct.sorted.map { p =>
       recallAtK(
         ivfAdcServe(codes, codebook, cents, sample, embeddings, k, p, dsub,

@@ -330,6 +330,10 @@ class CurationSpec extends SparkSpec {
     assert(audit("1_decontaminated") ==
       m.filter(col("decon_verdict") === "keep").count())
     assert(audit("4_mixture") == m.filter(col("keep")).count())
+    // the v1 audit's index-exposure rows ride the v2 audit too (a v2
+    // consumer must not lose the capped-bucket recall trace)
+    assert(audit("idx_capped_member_rows") == 0L)
+    assert(audit("idx_member_rows") > 0L)
     // survivors = keep set, text = the span-cleaned text, order = X47
     val docs = cur.result.docs.localCheckpoint(true)
     val keepIds = m.filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet

@@ -662,6 +662,10 @@ class PqSpec extends SparkSpec {
       intercept[IllegalArgumentException](
         Pq.probeBudgetCurve(codes, cb2, cents, q, df, 4, Seq.empty, dsub))
     }
+    // a degenerate calibration sample (no ground-truth rows) fails
+    // loudly at the source instead of propagating NULL recalls
+    intercept[IllegalArgumentException](
+      Pq.probeBudgetCurve(codes, cb2, cents, q.limit(0), df, 4, Seq(1), dsub))
 
     // the targeted serve IS ivfAdcServe at the budget the calibration
     // chose, bit-for-bit, and reports that budget's calibrated recall
