@@ -1052,6 +1052,157 @@ object StreamOps {
       .start()
   }
 
+  /** [[curationIngestStream]] with incremental exact substring dedup as
+    * STAGE 0 — the streaming twin of
+    * [[graft.pipeline.TrainingSet.curationManifestV2]]: every arriving
+    * doc first has its duplicated token spans CUT (spans whose window
+    * keys exist in the corpus — known by its persisted
+    * [[graft.text.SubstringDedup.windowKeys]] table at `windowKeysPath`
+    * — in an earlier accepted batch's key delta, or earlier in the
+    * batch itself), and every later gate (decon channels, incremental
+    * near-dup ingest) sees the CLEANED text, which is also the text the
+    * accepted table ships. The per-doc manifest gains the stage-0
+    * accounting columns (n_tokens, sub_dup_tokens). Writes
+    * `key_delta/b<id>` (the [[ingestSubstringDedupStream]] contract —
+    * keys of the RAW batch, so replay is idempotent and later batches
+    * dedup against everything seen) alongside the v1 sinks.
+    *
+    * Caller contracts on top of v1's: `corpusDocs` and the banded index
+    * at `corpusIndexPath` must carry the CLEANED corpus text (the batch
+    * v2 contract — signatures of pre-clean text would verify candidates
+    * against text that no longer exists), and ids are append-only.
+    * Under those + v1's steady-state conditions AND a seed corpus the
+    * span cut leaves untouched (no internal duplicated windows — the
+    * state a corpus built by THIS pipeline is in), StreamingSpec pins
+    * the manifest's stage-0 + channel + verdict columns equal to the
+    * batch [[graft.pipeline.TrainingSet.curationManifestV2]] with
+    * `minIdDedupWinners = true` restricted to the new ids.
+    */
+  def curationIngestStreamV2(
+      newDocs: DataFrame,
+      corpusDocs: DataFrame,
+      corpusIndexPath: String,
+      windowKeysPath: String,
+      benchmark: DataFrame,
+      benchBanded: DataFrame,
+      outDir: String,
+      checkpoint: String,
+      benchEmbeddings: Option[DataFrame] = None,
+      reference: Option[DataFrame] = None,
+      windowTokens: Int = 10,
+      n: Int = 5,
+      ngramThreshold: Double = 0.2,
+      deconDedup: graft.text.MinHashConfig =
+        graft.text.MinHashConfig(threshold = 0.5),
+      cosThreshold: Double = 0.35,
+      maxSpanTokens: Option[Int] = None,
+      cfg: graft.text.MinHashConfig = graft.text.MinHashConfig())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val shingleSet = graft.text.TextAnalysis
+      .benchmarkShingleSet(benchmark, n).localCheckpoint(true)
+    val benchDocs = benchmark.localCheckpoint(true)
+    val banded = benchBanded.localCheckpoint(true)
+    val cents = benchEmbeddings.map(
+      _.select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+        .localCheckpoint(true))
+    val refToks = reference.map(
+      graft.text.TextAnalysis.referenceTokens(_).localCheckpoint(true))
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val raw = batch.toDF().localCheckpoint(true)
+          // drift monitor watches what the SOURCE sends — pre-cut, like
+          // v1's pre-gate placement
+          refToks.foreach { rt =>
+            graft.text.TextAnalysis.unigramDriftAgainst(raw, rt)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").parquet(s"$outDir/drift/b$batchId")
+          }
+          // stage 0 — incremental span cut vs corpus keys ∪ COMPLETE
+          // earlier key deltas (never this batch's own — replay must
+          // not self-collide)
+          val keyDeltas = completeBatchDirs(s"$outDir/key_delta", batchId)
+          val keys = keyDeltas.foldLeft(spark.read.parquet(windowKeysPath)) {
+            (acc, d) => acc.unionByName(spark.read.parquet(d))
+          }
+          val cleaned = graft.text.SubstringDedup
+            .incrementalCleanCorpus(raw, keys, windowTokens)
+            .localCheckpoint(true)
+          val bdf = graft.text.SubstringDedup.withCleanText(raw, cleaned)
+            .localCheckpoint(true)
+          // stages 1–2 over the CLEANED text — v1's exact chain
+          val ngram = graft.text.TextAnalysis
+            .contaminationScoresAgainst(bdf, shingleSet, n)
+            .select(col("doc_id"), col("overlap_frac"))
+          val nd = graft.text.MinHashDedup
+            .crossNearDupsAgainstBanded(bdf, benchDocs, banded, deconDedup)
+            .select(col("i").as("doc_id")).distinct()
+            .withColumn("__nd", lit(true))
+          val sem = cents.filter(_ => bdf.columns.contains("embedding")).map(cc =>
+            graft.vector.SemDedup.assignWithScore(
+                bdf.select(col("doc_id").as("vec_id"), col("embedding")), cc)
+              .select(col("vec_id").as("doc_id"),
+                round(col("ccos"), 6).as("semantic_cos")))
+          val joined0 = bdf.select("doc_id")
+            .join(ngram, Seq("doc_id"), "left")
+            .join(nd, Seq("doc_id"), "left")
+          val joined1 = sem.fold(
+            joined0.withColumn("semantic_cos", lit(null).cast("double")))(
+            s => joined0.join(s, Seq("doc_id"), "left"))
+          val joined = maxSpanTokens.fold(joined1)(_ => joined1.join(
+            graft.text.TextAnalysis
+              .maxBenchmarkOverlapSpanAgainst(bdf, shingleSet, n)
+              .select(col("doc_id"), col("max_span_tokens").as("span_tokens")),
+            Seq("doc_id"), "left"))
+          val decon = graft.pipeline.TrainingSet
+            .assembleDecontaminationVerdict(
+              joined, ngramThreshold, cosThreshold, maxSpanTokens)
+            .withColumnRenamed("verdict", "decon_verdict")
+            .localCheckpoint(true)
+          val keepIds = decon.filter(col("decon_verdict") === "keep").select("doc_id")
+          // exact-fingerprint pre-shrink OFF, deliberately: stage 0
+          // already removed every exact duplicate run ≥ windowTokens,
+          // so the only texts the exact stage could additionally
+          // reject are sub-window exact twins — above all the
+          // fully-cut EMPTY docs, which the batch v2 rule keeps (no
+          // shingles → no near-dup pair; a release's packing tail
+          // drops 0-token docs naturally). Rejecting them here would
+          // break stream ≡ batch; identical ≥-shingle texts are still
+          // caught as Jaccard-1.0 pairs by the banded stage.
+          val accepted = processIngestBatch(bdf, batchId, corpusDocs,
+            corpusIndexPath, outDir, cfg,
+            gate = b => b.join(keepIds, Seq("doc_id"), "left_semi"),
+            exactDedup = false)
+          // manifest = stage-0 accounting + v1's column contract
+          cleaned
+            .select(col("doc_id"), col("n_tokens"),
+              col("dup_tokens").as("sub_dup_tokens"))
+            .join(decon, Seq("doc_id"))
+            .join(accepted.select(col("doc_id"), lit(true).as("__acc")),
+              Seq("doc_id"), "left")
+            .select((Seq("doc_id", "n_tokens", "sub_dup_tokens").map(col) ++
+              decon.columns.filterNot(_ == "doc_id").map(col)).toSeq :+
+              when(col("decon_verdict") =!= "keep", lit(null).cast("string"))
+                .when(coalesce(col("__acc"), lit(false)), "keep")
+                .otherwise("drop").as("dedup_verdict") :+
+              (col("decon_verdict") === "keep" &&
+                coalesce(col("__acc"), lit(false))).as("keep"): _*)
+            .orderBy("doc_id")
+            .write.mode("overwrite").parquet(s"$outDir/manifest/b$batchId")
+          // key delta LAST (the ingestSubstringDedupStream contract):
+          // keys of the RAW batch; an all-short batch writes nothing
+          val delta = graft.text.SubstringDedup.windowKeys(raw, windowTokens)
+          if (!delta.isEmpty)
+            delta.write.mode("overwrite").parquet(s"$outDir/key_delta/b$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming VECTOR-index ingest — incremental maintenance of a
     * persisted IVF index ([[graft.vector.Ivf.writeIndex]]) from an
     * arriving embedding stream: each micro-batch is assigned against

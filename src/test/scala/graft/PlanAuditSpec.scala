@@ -100,7 +100,16 @@ class PlanAuditSpec extends SparkSpec {
       // matrix to a 1-row broadcast array (Opq.collectRotation's
       // shape, = X60's collapsed-centroid idiom); X115's avg |Rx−y|²
       // is additionally a per-variant global aggregate over 2 rows
-      "X114_opq_recall", "X115_opq_error")
+      "X114_opq_recall", "X115_opq_error",
+      // X120 (round 13): the calibration curve IS five per-budget
+      // 1-row Σhits/Σexact aggregates over the sample-sized recall
+      // report, plus the 1-row fallback max over the |budgets|-row
+      // curve (the X19/X37 single-row-stats shape)
+      "X120_serve_calibration",
+      // X121 (round 13): composes X93's chain from scratch — it
+      // inherits the benchmark-embedding array collapse, the 1-row LM
+      // normalizer, and the mixture's min(n/t) row (X93/X48's shapes)
+      "X121_curation_manifest_v2")
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against
@@ -178,7 +187,12 @@ class PlanAuditSpec extends SparkSpec {
       // array idiom), the reconstruction through ONE broadcast
       // codebook row; X114's exact side is the broadcast-queries scan
       // (X52's shape) and its ADC side X104's broadcast LUT frame
-      "X114_opq_recall", "X115_opq_error")
+      "X114_opq_recall", "X115_opq_error",
+      // X120 (round 13): the decision rule IS a |targets|×|budgets|
+      // broadcast threshold join (recall ≥ target has no equi key) plus
+      // the 1-row fallback cross — both frames metadata-sized by
+      // construction, on top of X113's serve shapes per budget
+      "X120_serve_calibration")
     val sf001Dir = "/root/testdata/sf0.001"
     // AUDIT BLIND SPOT (ADVICE r8, accepted): queries that lazily
     // localCheckpoint an expensive prefix (X53, X80, X81) truncate

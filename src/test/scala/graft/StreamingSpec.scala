@@ -1415,6 +1415,152 @@ class StreamingSpec extends SparkSpec {
       "one drift report per micro-batch expected")
   }
 
+  test("streaming curation driver V2: span-cut ingest manifest equals the batch curationManifestV2 columns") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf001, "documents")
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val bench = docs.filter(col("source") === "src0")
+    val nonBench = docs.filter(col("source") =!= "src0")
+    val gcfg = graft.text.MinHashConfig(threshold = 0.5)
+    val spanT = 30
+    def mk(id: Long, text: String): DataFrame =
+      Seq((id, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .select(Tables.schemas("documents").fields.map(f => col(f.name).cast(f.dataType)): _*)
+    val bdir = Files.createTempDirectory("graft-cur2-bbanded").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(bench, gcfg), bdir, gcfg)
+    val benchBanded = graft.text.MinHashDedup.readBandedIndex(spark, bdir, gcfg)
+    val emptyEmb = emb.limit(0)
+    // seed = docs < 200 that (a) pass the frozen decon gate and (b) the
+    // span cut leaves untouched — the steady state the v2 equivalence
+    // assumes (a corpus built by THIS pipeline has no non-canonical
+    // duplicated windows). One filtering pass suffices: a kept doc had
+    // zero duplicated windows in the FULL seed context, and dropping
+    // other docs only removes window occurrences.
+    val seed0 = nonBench.filter(col("doc_id") < 200)
+    val seedKeepIds = graft.pipeline.TrainingSet.decontaminationReport(
+        seed0, bench, benchBanded, emptyEmb, dedup = gcfg,
+        nearDupPairs = Some(graft.text.MinHashDedup
+          .crossNearDupsAgainstBanded(seed0, bench, benchBanded, gcfg)),
+        maxSpanTokens = Some(spanT))
+      .filter(col("verdict") === "keep").select("doc_id")
+    val seed1 = seed0.join(seedKeepIds, Seq("doc_id"), "left_semi")
+    val corpus = seed1.join(
+      graft.text.SubstringDedup.cleanCorpus(seed1, 10)
+        .filter(col("dup_tokens") === 0).select("doc_id"),
+      Seq("doc_id"), "left_semi").localCheckpoint(true)
+    assert(corpus.count() > 50, "fixture needs a non-trivial clean seed")
+    // streaming artifacts: banded index + window keys over the (clean)
+    // seed corpus
+    val idxDir = Files.createTempDirectory("graft-cur2-idx").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(corpus), idxDir)
+    val keysDir = Files.createTempDirectory("graft-cur2-keys").toString
+    graft.text.SubstringDedup.windowKeys(corpus, 10)
+      .write.mode("overwrite").parquet(keysDir)
+    // arrivals: natural docs (3 slices) + constructed tails forcing all
+    // THREE substring-hit channels on top of v1's verdict shapes:
+    //   9000 exact seed clone  → fully span-cut vs corpus (empty text)
+    //   9001 benchmark copy    → decon drop (bench windows not in keys)
+    //   9002 fresh unique      → keep
+    //   9003 seed span + fresh filler → partial cut vs corpus
+    //   9004/9005 same fresh span, distinct fillers → within-batch cut
+    //   9006 (later batch) repeats 9004's span → cross-batch cut
+    val seedText = corpus
+      .filter(size(split(col("text"), " ")) >= 25)
+      .orderBy("doc_id").select("text").first().getString(0)
+    val benchText = bench.orderBy("doc_id").select("text").first().getString(0)
+    val seedSpan = seedText.split(" ").filter(_.nonEmpty).take(15).mkString(" ")
+    val freshSpan = (1 to 12).map(i => s"vspan$i").mkString(" ")
+    val natural = nonBench.filter(col("doc_id") >= 200)
+    val tail = mk(9000L, seedText)
+      .unionByName(mk(9001L, benchText))
+      .unionByName(mk(9002L, "totally fresh standalone ingest document nothing like others"))
+      .unionByName(mk(9003L, s"$seedSpan beta unique trailing content for the partial cut case"))
+      .unionByName(mk(9004L, s"$freshSpan gamma one distinct tail here"))
+      .unionByName(mk(9005L, s"$freshSpan delta another distinct tail there"))
+    val tail2 = mk(9006L, s"$freshSpan epsilon a third arrival one batch later")
+    val newAll = natural.unionByName(tail).unionByName(tail2).localCheckpoint(true)
+    val ids = natural.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val slices = ids.grouped((ids.length + 2) / 3).toSeq
+    val srcDir = Files.createTempDirectory("graft-cur2-src")
+    val outDir = Files.createTempDirectory("graft-cur2-out").toString
+    val ckpt = Files.createTempDirectory("graft-cur2-ckpt").toString
+    val query = StreamOps.curationIngestStreamV2(
+      StreamOps.documentsStream(spark, srcDir.toString), corpus, idxDir,
+      keysDir, bench, benchBanded, outDir, ckpt,
+      reference = Some(corpus), deconDedup = gcfg,
+      maxSpanTokens = Some(spanT))
+    try {
+      slices.zipWithIndex.foreach { case (s, i) =>
+        writeChunk(natural.filter(col("doc_id").isInCollection(s.toSet)), srcDir, s"chunk$i")
+        query.processAllAvailable()
+      }
+      writeChunk(tail, srcDir, "chunk3")
+      query.processAllAvailable()
+      writeChunk(tail2, srcDir, "chunk4")
+      query.processAllAvailable()
+    } finally query.stop()
+    // batch twin: curationManifestV2 over (clean seed ∪ all new) with
+    // the pairwise min-id rule, decon near-dup channel from the same
+    // frozen benchmark index over the UNION-cleaned text, stage-2
+    // banded index over that same cleaned text
+    val corpusAll = corpus.unionByName(newAll).localCheckpoint(true)
+    val unionClean = graft.text.SubstringDedup.withCleanText(
+      corpusAll, graft.text.SubstringDedup.cleanCorpus(corpusAll, 10))
+      .localCheckpoint(true)
+    val adir = Files.createTempDirectory("graft-cur2-abanded").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(unionClean), adir)
+    val want = graft.pipeline.TrainingSet.curationManifestV2(
+        corpusAll, bench, graft.text.MinHashDedup.readBandedIndex(
+          spark, adir, graft.text.MinHashConfig()),
+        emptyEmb, deconDedup = gcfg,
+        nearDupPairs = Some(graft.text.MinHashDedup
+          .crossNearDupsAgainstBanded(unionClean, bench, benchBanded, gcfg)),
+        maxSpanTokens = Some(spanT), minIdDedupWinners = true)
+      .filter(col("doc_id") >= 200)
+      .select("doc_id", "n_tokens", "sub_dup_tokens", "ngram_frac",
+        "near_dup", "semantic_cos", "span_tokens", "decon_verdict",
+        "dedup_verdict")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getLong(6),
+        r.getString(7), Option(r.getString(8)))).toSeq
+    val manifest = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$outDir/manifest").orderBy("doc_id").localCheckpoint(true)
+    val got = manifest
+      .select("doc_id", "n_tokens", "sub_dup_tokens", "ngram_frac",
+        "near_dup", "semantic_cos", "span_tokens", "decon_verdict",
+        "dedup_verdict")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getLong(6),
+        r.getString(7), Option(r.getString(8)))).toSeq
+    assert(got == want,
+      s"streaming v2 manifest ≠ batch curationManifestV2: first diff " +
+        s"${got.zip(want).find(p => p._1 != p._2)} (sizes ${got.size}/${want.size})")
+    // all three substring-hit channels actually occurred
+    val cuts = got.map(t => t._1 -> t._3).toMap
+    assert(got.find(_._1 == 9000L).exists(t => t._3 == t._2 && t._2 > 0),
+      "vs-corpus channel: the exact clone is fully cut")
+    assert(cuts(9003L) == 15L,
+      s"partial vs-corpus cut: exactly the 15 copied seed tokens: ${cuts(9003L)}")
+    assert(cuts(9004L) == 0L && cuts(9005L) == 12L,
+      s"within-batch channel: first occurrence canonical, second cut: ${cuts(9004L)}/${cuts(9005L)}")
+    assert(cuts(9006L) == 12L,
+      s"cross-batch channel: later batch hits the earlier key delta: ${cuts(9006L)}")
+    // accepted rows ship the CLEANED text (the batch-v2 survivor rule)
+    val acc9003 = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$outDir/accepted").filter(col("doc_id") === 9003L)
+    if (!acc9003.isEmpty) {
+      val t = acc9003.select("text").first().getString(0)
+      assert(!t.contains(seedSpan.split(" ").take(10).mkString(" ")),
+        "accepted 9003 must not carry the cut span")
+    }
+  }
+
   test("streaming vector-index ingest: deltas + compaction keep probes exactly equal to brute force") {
     val emb = Tables.load(spark, sf01, "embeddings")
     val a = emb.filter(col("vec_id") % 2 === 0)
