@@ -77,6 +77,9 @@ object ScaleGrowthBench {
     val x05Mass = scala.collection.mutable.Map[Int, Long]()
     // (deconDrops, dedupDrops) per factor for the curation invariants
     val x93Stats = scala.collection.mutable.Map[Int, (Long, Long)]()
+    // (deconDrops, dedupDrops, subCutTokens) per factor for the v2
+    // composed-pipeline invariants
+    val x121Stats = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
     var curFactor = 0
 
     // each path returns (outputMeasure, linearInFactor): the measure of
@@ -199,6 +202,61 @@ object ScaleGrowthBench {
         // factor, not proportional — the in-closure cover-every-doc
         // require plus the post-sweep stage invariants carry exactness
         false),
+      // X121 composed curation V2 (X93's growth model + substring
+      // stage 0): span-cut the corpus FIRST, then the full release
+      // chain over the cleaned text against a banded index built over
+      // that same cleaned text (fresh per factor — the run's own
+      // linear indexing pass). Windows never cross replicas (the
+      // per-token tag), so the cut mass is AFFINE in the factor
+      // (replica 0's corpus slice ≠ a full replica, exactly like X93's
+      // dedup drops); decon drops stay CONSTANT (replica 0's cleaning
+      // is factor-independent — no cross-replica window exists to
+      // change its spans); ppl keeps equal the exact tertile formula.
+      ("X121_curation_v2",
+        d => {
+          val cfg = graft.text.MinHashConfig()
+          val bench = d.filter(col("doc_id") < 250).select("doc_id", "text")
+          val cor = d.filter(col("doc_id") >= 250)
+            .select("doc_id", "text", "lang")
+          // the v2 banded contract: signatures of the CLEANED corpus
+          // text (∪ the untouched benchmark)
+          val corClean = graft.text.SubstringDedup.withCleanText(cor,
+            graft.text.SubstringDedup.cleanCorpus(cor, 10, hashKeys = true))
+          val bdir = java.nio.file.Files
+            .createTempDirectory("growth-x121-banded").toString
+          MinHashDedup.writeBandedIndex(
+            MinHashDedup.signatures(
+              corClean.select("doc_id", "text").unionByName(bench), cfg),
+            bdir, cfg)
+          val banded = MinHashDedup.readBandedIndex(spark, bdir, cfg)
+          val m = graft.pipeline.TrainingSet
+            .curationManifestV2(cor, bench, banded, emb,
+              hashWindowKeys = true)
+            .localCheckpoint(true)
+          val rows = m.count()
+          require(rows == d.count() - 250, "v2 manifest must cover every corpus doc")
+          val deconDrops = m.filter(col("decon_verdict") === "drop").count()
+          val dedupDrops = m.filter(col("dedup_verdict") === "drop").count()
+          // the tertile formula binds on the SCORED survivors: a doc
+          // whose span cut leaves < 2 tokens has no bigram, the LM
+          // cannot score it, and the gate drops it (null bucket) — the
+          // v2-specific population X93's raw-text chain never has
+          val scoredN = m.filter(col("dedup_verdict") === "keep" &&
+            col("ppl_bucket").isNotNull).count()
+          val pplKeeps = m.filter(col("ppl_verdict") === "keep").count()
+          val wantPpl = (1L to scoredN).count(r => (r - 1) * 3 < 2 * scoredN).toLong
+          require(pplKeeps == wantPpl,
+            s"v2 ppl gate must keep the exact head+middle tertiles of the " +
+              s"scored survivors: $pplKeeps vs $wantPpl (scored $scoredN)")
+          val subCut = m.agg(coalesce(sum("sub_dup_tokens"), lit(0L)))
+            .first().getLong(0)
+          val kept = m.filter(col("keep")).count()
+          x121Stats(curFactor) = (deconDrops, dedupDrops, subCut)
+          println(f"SCALEGROWTH X121 stages factor=$curFactor%2d  decon_drops=$deconDrops " +
+            f"dedup_drops=$dedupDrops sub_cut=$subCut ppl_keeps=$pplKeeps kept=$kept")
+          rows
+        },
+        false),
       // X91 held-out LM: train on the md5 train slice of the grown
       // corpus, score everything — bigram totals are a per-doc pure
       // function, so the measure is exactly linear
@@ -320,6 +378,32 @@ object ScaleGrowthBench {
             s"dedup drops must be affine in the factor: $d")
         }
         println(s"SCALEGROWTH X93 dedup drops affine: $d (slope ${num0.toDouble / den0}/replica)")
+      }
+    }
+
+    // X121 v2 composed-pipeline invariants: X93's (constant decon,
+    // affine dedup) plus the stage-0 cut mass AFFINE in the factor
+    // (replica 0's corpus slice vs a full replica — the X93 shape)
+    if (keep("X121_curation_v2") && x121Stats.size >= 2) {
+      val fs = x121Stats.keys.toSeq.sorted
+      val decons = fs.map(f => x121Stats(f)._1)
+      require(decons.distinct.size == 1,
+        s"v2 fixed-benchmark decon drops must be constant: ${fs.zip(decons)}")
+      println(s"SCALEGROWTH X121 decon drops constant at ${decons.head} across factors $fs")
+      if (fs.size >= 3) {
+        def affine(tag: String, pick: ((Long, Long, Long)) => Long): Unit = {
+          val d = fs.map(f => f.toLong -> pick(x121Stats(f)))
+          val (f1, d1) = d.head
+          val slopes = d.tail.map { case (f, dd) => (dd - d1, f - f1) }
+          val (num0, den0) = slopes.head
+          slopes.tail.foreach { case (num, den) =>
+            require(num * den0 == num0 * den,
+              s"v2 $tag must be affine in the factor: $d")
+          }
+          println(s"SCALEGROWTH X121 $tag affine: $d (slope ${num0.toDouble / den0}/replica)")
+        }
+        affine("dedup drops", _._2)
+        affine("sub-cut tokens", _._3)
       }
     }
 
