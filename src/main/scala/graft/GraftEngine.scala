@@ -252,6 +252,25 @@ final class GraftEngine private (val spark: SparkSession, val dir: String) {
     cur
   }
 
+  /** [[curateAndWrite]] with substring dedup in front — the complete
+    * v2 release run in one call: span cut → verdict stages →
+    * bin-partitioned model batches over the survivors' CLEANED text,
+    * manifest (incl. the stage-0 token accounting) written alongside.
+    * `banded` must be built over (cleaned corpus ∪ benchmark).
+    */
+  def curateAndWriteV2(corpus: DataFrame, benchmark: DataFrame,
+      banded: DataFrame, outDir: String,
+      windowTokens: Int = 10, hashWindowKeys: Boolean = false,
+      maxTokens: Int = 2048, stride: Int = 2048,
+      binTokens: Long = 1 << 20): graft.pipeline.CurationResult = {
+    val cur = curateCorpusV2(corpus, benchmark, banded, windowTokens,
+      hashWindowKeys)
+    graft.pipeline.TrainingSet.writeBinnedChunks(
+      cur.result, s"$outDir/batches", maxTokens, stride, binTokens)
+    cur.manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
+    cur
+  }
+
   /** Longest consecutive benchmark n-gram run per doc — the GPT-3-style
     * span rule (see [[graft.text.TextAnalysis.maxBenchmarkOverlapSpan]]).
     */

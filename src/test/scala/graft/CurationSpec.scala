@@ -182,6 +182,37 @@ class CurationSpec extends SparkSpec {
       .exists(f => f.isDirectory && f.getName.startsWith("bin=")))
   }
 
+  test("curateAndWriteV2: the one-call v2 release run ships span-cleaned batches + the stage-0 manifest") {
+    val eng = GraftEngine(spark, sf001)
+    val bandedV2 = bandedOverCleaned(corpus, bench)
+    val out = Files.createTempDirectory("graft-curate-write-v2").toString
+    val cur = eng.curateAndWriteV2(corpus, bench, bandedV2, out,
+      maxTokens = 64, stride = 64, binTokens = 500L)
+    val shipped = spark.read.parquet(s"$out/manifest")
+    assert(shipped.columns.take(3).toSeq ==
+      Seq("doc_id", "n_tokens", "sub_dup_tokens"))
+    assert(shipped.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      cur.manifest.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    // the batch text is the CLEANED text: no chunk may contain a cut
+    // span's content beyond its canonical copy — verified through the
+    // token accounting (total chunk tokens over a doc ≤ its cleaned
+    // token count)
+    val batches = spark.read.parquet(s"$out/batches")
+    val keepIds = cur.manifest.filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(batches.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == keepIds)
+    val cleanTok = graft.text.SubstringDedup.cleanCorpus(corpus, 10)
+      .select(col("doc_id"), (col("n_tokens") - col("dup_tokens")).as("ct"))
+    val over = batches
+      .select(col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col("chunk"))).cast("long").as("t"))
+      .groupBy("doc_id").agg(sum("t").as("t"))
+      .join(cleanTok, Seq("doc_id"))
+      .filter(col("t") > col("ct"))
+    assert(over.isEmpty, "chunk tokens must be bounded by the cleaned doc tokens")
+  }
+
   test("curateCorpus: audit equals manifest aggregates, result is writer-ready") {
     val cur = TrainingSet.curateCorpus(corpus, bench, banded, cat.embeddings)
     val m = cur.manifest
