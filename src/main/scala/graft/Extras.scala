@@ -1,7 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{asc, broadcast, col, count, desc, element_at, exp, explode, greatest, length, lit, max, min, octet_length, round, size, slice, sum, transform}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{asc, broadcast, coalesce, col, count, desc, element_at, exp, explode, greatest, length, lit, max, min, octet_length, round, size, slice, sum, transform, when}
 
 import graft.core.Engine
 import graft.functions.ZOrderValue
@@ -268,6 +268,30 @@ object Extras {
       })
     banded
   }
+
+  /** The X93 manifest (v1 order: verdicts on raw text, channels from
+    * the persisted artifacts) — shared by X93 and X122.
+    */
+  private def x93Manifest(c: Catalog): DataFrame =
+    graft.pipeline.TrainingSet.curationManifest(
+      c.documents.filter(col("source") =!= "src0"),
+      c.documents.filter(col("source") === "src0"),
+      bandedTable(c),
+      c.embeddings,
+      nearDupPairs = Some(crossNearDupsTable(c)),
+      ngramScores = Some(contaminationTable(c)),
+      corpusPairs = Some(vpairsTable(c)))
+
+  /** The X121 manifest (v2 order: substring span cut first, every
+    * stage over the cleaned text, channels from scratch) — shared by
+    * X121 and X122.
+    */
+  private def x121Manifest(c: Catalog): DataFrame =
+    graft.pipeline.TrainingSet.curationManifestV2(
+      c.documents.filter(col("source") =!= "src0"),
+      c.documents.filter(col("source") === "src0"),
+      bandedV2Table(c),
+      c.embeddings)
 
   /** Shared write-once/read-forever scheme for derived-report
     * artifacts (the production shape: a heavy report is computed once
@@ -1498,15 +1522,7 @@ object Extras {
     // doc X in the training set" table; fully oracle-checked (every
     // stage is an oracle-green operator and the composition is doc_id
     // set algebra). Rides the same persisted X30/X46 artifacts as X90.
-    "X93_curation_manifest" -> q(c =>
-      graft.pipeline.TrainingSet.curationManifest(
-        c.documents.filter(col("source") =!= "src0"),
-        c.documents.filter(col("source") === "src0"),
-        bandedTable(c),
-        c.embeddings,
-        nearDupPairs = Some(crossNearDupsTable(c)),
-        ngramScores = Some(contaminationTable(c)),
-        corpusPairs = Some(vpairsTable(c)))),
+    "X93_curation_manifest" -> q(x93Manifest),
     // the X79 epoch plan MATERIALIZED as the repeated training stream
     // (1 M-token budget, n^0.5 temperature over source): each doc
     // appears ⌊epochs⌋ times plus a coin-selected residual — expected
@@ -1785,12 +1801,30 @@ object Extras {
     // from scratch — the cleaned text has no pre-existing artifacts,
     // which is exactly the state a release hits the first time it
     // turns substring dedup on; fully oracle-checked
-    "X121_curation_manifest_v2" -> q(c =>
-      graft.pipeline.TrainingSet.curationManifestV2(
-        c.documents.filter(col("source") =!= "src0"),
-        c.documents.filter(col("source") === "src0"),
-        bandedV2Table(c),
-        c.embeddings)),
+    "X121_curation_manifest_v2" -> q(x121Manifest),
+    // the stage-ORDER impact report: the same corpus through BOTH
+    // release orders — v1 (X93's artifact-backed manifest: verdicts on
+    // raw text) and v2 (X121: substring span cut FIRST, verdicts on
+    // cleaned text) — summarized per pipeline. This is the table a
+    // release engineer reads to decide whether to pay the span-cut
+    // stage: on this corpus it shows the cut subsuming the doc-level
+    // near-dup mass (dedup_drops fall to zero) while keeping strictly
+    // more unique content; fully oracle-checked
+    "X122_order_impact" -> q(c => {
+      def stats(m: DataFrame, tag: String, subCut: Column) = m.agg(
+        count(lit(1)).as("docs"),
+        count(when(col("decon_verdict") === "drop", 1)).as("decon_drops"),
+        count(when(col("dedup_verdict") === "drop", 1)).as("dedup_drops"),
+        coalesce(subCut, lit(0L)).as("sub_cut_tokens"),
+        count(when(col("keep"), 1)).as("kept"))
+        .select(lit(tag).as("pipeline"), col("docs"), col("decon_drops"),
+          col("dedup_drops"), col("sub_cut_tokens"), col("kept"))
+      stats(x93Manifest(c), "v1_doc_level_first", sum(lit(0L)))
+        .unionByName(
+          stats(x121Manifest(c), "v2_span_cut_first",
+            sum(col("sub_dup_tokens"))))
+        .orderBy("pipeline")
+    }),
     // OPQ vs plain PQ at EQUAL m·ks budget (Ge et al. 2013 — a learned
     // orthogonal rotation before the subspace split; graft.vector.Opq):
     // recall@5 per (variant, query) over 25 queries against the
@@ -2054,6 +2088,342 @@ exact AS (
       - 2 * list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
       + list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6),
     e.vec_id) <= 5)""".trim
+
+  /** The X93 manifest oracle (v1 release order) — referenced by the
+    * X93 map entry and nested verbatim inside X122's comparison.
+    */
+  private def x93OracleSql: String = {
+    val b = s"$oracleIdxRoot/minhash_banded/*.parquet"
+    s"""
+WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+bench AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+ct AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM corpus),
+csh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+  FROM ct WHERE len(toks) >= 5) u),
+bt AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM bench),
+bsh AS MATERIALIZED (SELECT DISTINCT s FROM (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 4),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+  FROM bt WHERE len(toks) >= 5) u),
+ng AS MATERIALIZED (SELECT csh.doc_id,
+         ROUND(CAST(COUNT(bsh.s) AS DOUBLE) / COUNT(*), 6) AS ngram_frac
+       FROM csh LEFT JOIN bsh ON csh.s = bsh.s GROUP BY csh.doc_id),
+cand AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM read_parquet('$b') a
+  JOIN read_parquet('$b') b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id IN (SELECT doc_id FROM corpus)
+    AND b.id IN (SELECT doc_id FROM bench)),
+cids AS (SELECT i AS doc_id FROM cand UNION SELECT j FROM cand),
+tt AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks
+       FROM documents WHERE doc_id IN (SELECT doc_id FROM cids)),
+sh05 AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM tt WHERE len(toks) >= 3) u),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh05 GROUP BY doc_id),
+inter AS (SELECT cand.i, cand.j, COUNT(*) AS c
+          FROM cand JOIN sh05 a ON cand.i = a.doc_id
+                    JOIN sh05 b ON cand.j = b.doc_id AND a.s = b.s
+          GROUP BY 1, 2),
+nd AS (SELECT DISTINCT inter.i AS doc_id
+       FROM inter JOIN sz sa ON inter.i = sa.doc_id
+                  JOIN sz sb ON inter.j = sb.doc_id
+       WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
+cemb AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id IN (SELECT doc_id FROM corpus)),
+bemb AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id IN (SELECT doc_id FROM bench)),
+sem AS (SELECT c.vec_id AS doc_id,
+          ROUND(MAX(list_inner_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS semantic_cos
+        FROM cemb c CROSS JOIN bemb b GROUP BY c.vec_id),
+m0 AS MATERIALIZED (SELECT c.doc_id,
+  COALESCE(ng.ngram_frac, CAST(0 AS DOUBLE)) AS ngram_frac,
+  (nd.doc_id IS NOT NULL) AS near_dup,
+  sem.semantic_cos,
+  CASE WHEN COALESCE(ng.ngram_frac, CAST(0 AS DOUBLE)) >= 0.2
+         OR nd.doc_id IS NOT NULL
+         OR sem.semantic_cos >= 0.35 THEN 'drop' ELSE 'keep' END AS decon_verdict
+  FROM corpus c
+  LEFT JOIN ng ON c.doc_id = ng.doc_id
+  LEFT JOIN nd ON c.doc_id = nd.doc_id
+  LEFT JOIN sem ON c.doc_id = sem.doc_id),
+s1 AS MATERIALIZED (SELECT doc_id FROM m0 WHERE decon_verdict = 'keep'),
+cand8 AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM read_parquet('$b') a
+  JOIN read_parquet('$b') b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+  WHERE a.id IN (SELECT doc_id FROM s1) AND b.id IN (SELECT doc_id FROM s1)),
+cid8 AS (SELECT i AS doc_id FROM cand8 UNION SELECT j FROM cand8),
+sh8 AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM cid8)) t
+  WHERE len(toks) >= 3) u),
+sz8 AS (SELECT doc_id, COUNT(*) AS sz FROM sh8 GROUP BY doc_id),
+ix8 AS (SELECT cand8.i, cand8.j, COUNT(*) AS c
+         FROM cand8 JOIN sh8 a ON cand8.i = a.doc_id
+                    JOIN sh8 b ON cand8.j = b.doc_id AND a.s = b.s
+         GROUP BY 1, 2),
+ver8 AS (SELECT ix8.i, ix8.j FROM ix8
+  JOIN sz8 sa ON ix8.i = sa.doc_id JOIN sz8 sb ON ix8.j = sb.doc_id
+  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8),
+edges AS (SELECT i AS a, j AS b FROM ver8 UNION SELECT j, i FROM ver8),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, re.r AS r FROM edges e JOIN reach re ON e.b = re.node),
+clus AS MATERIALIZED (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+qual AS (SELECT doc_id,
+  CAST(len(list_distinct(list_filter(str_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_uniq
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM s1)),
+mm AS (SELECT clus.cluster_id, clus.doc_id, qual.n_uniq FROM clus JOIN qual USING (doc_id)),
+rw AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_uniq DESC, doc_id) AS rk FROM mm),
+win AS (SELECT doc_id FROM rw WHERE rk = 1),
+ded AS MATERIALIZED (SELECT s1.doc_id,
+  (cl.doc_id IS NULL OR w.doc_id IS NOT NULL) AS dedup_keep
+  FROM s1 LEFT JOIN (SELECT DISTINCT doc_id FROM clus) cl ON s1.doc_id = cl.doc_id
+          LEFT JOIN win w ON s1.doc_id = w.doc_id),
+s3ids AS MATERIALIZED (SELECT doc_id FROM ded WHERE dedup_keep),
+tp AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+       FROM documents WHERE doc_id IN (SELECT doc_id FROM s3ids)),
+bgp AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM tp WHERE len(toks) >= 2) u),
+mp AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgp GROUP BY w1, w2),
+cxp AS (SELECT w1, SUM(c12) AS c1 FROM mp GROUP BY w1),
+vp AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM tp) z),
+sp AS MATERIALIZED (SELECT bgp.doc_id,
+         ROUND(AVG(log10(CAST(mp.c12 + 1 AS DOUBLE) / CAST(cxp.c1 + vp.v AS DOUBLE))), 6) AS mean_logp
+       FROM bgp JOIN mp USING (w1, w2) JOIN cxp USING (w1) CROSS JOIN vp
+       GROUP BY bgp.doc_id),
+rp AS (SELECT doc_id, mean_logp,
+         ROW_NUMBER() OVER (ORDER BY mean_logp DESC, doc_id) AS rank FROM sp),
+np AS (SELECT COUNT(*) AS n FROM sp),
+ppl AS (SELECT rp.doc_id,
+          CAST(FLOOR(CAST((rp.rank - 1) * 3 AS DOUBLE) / np.n) AS BIGINT) AS ppl_bucket
+        FROM rp, np),
+pplv AS MATERIALIZED (SELECT s3ids.doc_id, ppl.ppl_bucket,
+           COALESCE(ppl.ppl_bucket < 2, FALSE) AS ppl_keep
+         FROM s3ids LEFT JOIN ppl ON s3ids.doc_id = ppl.doc_id),
+s4ids AS MATERIALIZED (SELECT doc_id FROM pplv WHERE ppl_keep),
+cnt4 AS (SELECT d.lang, COUNT(*) AS n
+         FROM documents d JOIN s4ids ON d.doc_id = s4ids.doc_id GROUP BY d.lang),
+j4 AS (SELECT lang, n, pow(n, 0.5) AS t FROM cnt4),
+tm4 AS (SELECT MIN(n / t) AS tmax FROM j4),
+fr4 AS (SELECT lang, CASE WHEN n / t = tmax THEN 'g'
+          WHEN tmax * t / n >= 1.0 THEN 'g'
+          ELSE printf('%08x', CAST(least(floor(tmax * t / n * 4294967296), 4294967295) AS BIGINT)) END AS cut
+        FROM j4 CROSS JOIN tm4),
+mix AS (SELECT d.doc_id FROM documents d
+        JOIN s4ids ON d.doc_id = s4ids.doc_id
+        JOIN fr4 ON d.lang = fr4.lang
+        WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || ':' || '42'), 1, 8) < fr4.cut),
+mixv AS MATERIALIZED (SELECT s4ids.doc_id, (mix.doc_id IS NOT NULL) AS mixture_keep
+         FROM s4ids LEFT JOIN mix ON s4ids.doc_id = mix.doc_id)
+SELECT m0.doc_id, m0.ngram_frac, m0.near_dup, m0.semantic_cos, m0.decon_verdict,
+  CASE WHEN ded.dedup_keep THEN 'keep' WHEN NOT ded.dedup_keep THEN 'drop' END AS dedup_verdict,
+  pplv.ppl_bucket,
+  CASE WHEN pplv.ppl_keep THEN 'keep' WHEN NOT pplv.ppl_keep THEN 'drop' END AS ppl_verdict,
+  CASE WHEN mixv.mixture_keep THEN 'keep' WHEN NOT mixv.mixture_keep THEN 'drop' END AS mixture_verdict,
+  COALESCE(mixv.mixture_keep, FALSE) AS keep
+FROM m0
+LEFT JOIN ded ON m0.doc_id = ded.doc_id
+LEFT JOIN pplv ON m0.doc_id = pplv.doc_id
+LEFT JOIN mixv ON m0.doc_id = mixv.doc_id
+ORDER BY m0.doc_id
+""".trim
+  }
+
+  /** The X121 manifest oracle (v2 release order): the X119
+    * substring-clean chain (CTEs suffixed 0) produces the corpus the
+    * X93 stage chain then runs over — text reads that were
+    * `documents` become the cleaned corpus view (union'd with the
+    * untouched benchmark where the verify needs both sides), the
+    * banded index is the v2 mirror (built over the same cleaned
+    * text), and the final row gains the stage-0 token accounting.
+    * Referenced by the X121 map entry and nested inside X122.
+    */
+  private def x121OracleSql: String = {
+    val b2 = s"$oracleIdxRoot/minhash_banded_v2/*.parquet"
+    s"""
+WITH RECURSIVE raw AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+t0 AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS words FROM raw),
+w0 AS (SELECT doc_id, unnest(generate_series(1, len(words) - 9)) AS p, words FROM t0 WHERE len(words) >= 10),
+k0 AS (SELECT doc_id, p, array_to_string(words[p : p+9], ' ') AS win FROM w0),
+r0 AS (SELECT doc_id, p,
+        COUNT(*) OVER (PARTITION BY win) AS occ,
+        ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, p) AS rk
+      FROM k0),
+h0 AS (SELECT doc_id, p, p + 9 AS e FROM r0 WHERE occ > 1 AND rk > 1),
+g0 AS (SELECT doc_id, p, e,
+        CASE WHEN p > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY p
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS ng0
+      FROM h0),
+gg0 AS (SELECT *, SUM(ng0) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS grp FROM g0),
+sp0 AS (SELECT doc_id, MIN(p) AS s, MAX(e) AS e2 FROM gg0 GROUP BY doc_id, grp),
+pos0 AS (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS i FROM t0 WHERE len(words) >= 1),
+kept0 AS (SELECT pos0.doc_id, pos0.i, pos0.words[pos0.i] AS wtok
+          FROM pos0 LEFT JOIN sp0 ON pos0.doc_id = sp0.doc_id AND pos0.i BETWEEN sp0.s AND sp0.e2
+          WHERE sp0.doc_id IS NULL),
+agg0 AS (SELECT doc_id, COALESCE(string_agg(wtok, ' ' ORDER BY i), '') AS clean_text FROM kept0 GROUP BY doc_id),
+dup0 AS (SELECT doc_id, SUM(e2 - s + 1) AS dup_tokens FROM sp0 GROUP BY doc_id),
+stage0 AS MATERIALIZED (SELECT t0.doc_id,
+    CAST(len(t0.words) AS BIGINT) AS n_tokens,
+    CAST(COALESCE(dup0.dup_tokens, 0) AS BIGINT) AS sub_dup_tokens,
+    COALESCE(agg0.clean_text, '') AS clean_text
+  FROM t0 LEFT JOIN dup0 ON t0.doc_id = dup0.doc_id
+          LEFT JOIN agg0 ON t0.doc_id = agg0.doc_id),
+corpus AS (SELECT doc_id, clean_text AS text FROM stage0),
+bench AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+alltext AS (SELECT doc_id, text FROM corpus UNION ALL SELECT doc_id, text FROM bench),
+ct AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM corpus),
+csh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+  FROM ct WHERE len(toks) >= 5) u),
+bt AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM bench),
+bsh AS MATERIALIZED (SELECT DISTINCT s FROM (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 4),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+  FROM bt WHERE len(toks) >= 5) u),
+ng AS MATERIALIZED (SELECT csh.doc_id,
+         ROUND(CAST(COUNT(bsh.s) AS DOUBLE) / COUNT(*), 6) AS ngram_frac
+       FROM csh LEFT JOIN bsh ON csh.s = bsh.s GROUP BY csh.doc_id),
+cand AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM read_parquet('$b2') a
+  JOIN read_parquet('$b2') b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id IN (SELECT doc_id FROM corpus)
+    AND b.id IN (SELECT doc_id FROM bench)),
+cids AS (SELECT i AS doc_id FROM cand UNION SELECT j FROM cand),
+tt AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks
+       FROM alltext WHERE doc_id IN (SELECT doc_id FROM cids)),
+sh05 AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM tt WHERE len(toks) >= 3) u),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh05 GROUP BY doc_id),
+inter AS (SELECT cand.i, cand.j, COUNT(*) AS c
+          FROM cand JOIN sh05 a ON cand.i = a.doc_id
+                    JOIN sh05 b ON cand.j = b.doc_id AND a.s = b.s
+          GROUP BY 1, 2),
+nd AS (SELECT DISTINCT inter.i AS doc_id
+       FROM inter JOIN sz sa ON inter.i = sa.doc_id
+                  JOIN sz sb ON inter.j = sb.doc_id
+       WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
+cemb AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id IN (SELECT doc_id FROM corpus)),
+bemb AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id IN (SELECT doc_id FROM bench)),
+sem AS (SELECT c.vec_id AS doc_id,
+          ROUND(MAX(list_inner_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS semantic_cos
+        FROM cemb c CROSS JOIN bemb b GROUP BY c.vec_id),
+m0 AS MATERIALIZED (SELECT c.doc_id,
+  COALESCE(ng.ngram_frac, CAST(0 AS DOUBLE)) AS ngram_frac,
+  (nd.doc_id IS NOT NULL) AS near_dup,
+  sem.semantic_cos,
+  CASE WHEN COALESCE(ng.ngram_frac, CAST(0 AS DOUBLE)) >= 0.2
+         OR nd.doc_id IS NOT NULL
+         OR sem.semantic_cos >= 0.35 THEN 'drop' ELSE 'keep' END AS decon_verdict
+  FROM corpus c
+  LEFT JOIN ng ON c.doc_id = ng.doc_id
+  LEFT JOIN nd ON c.doc_id = nd.doc_id
+  LEFT JOIN sem ON c.doc_id = sem.doc_id),
+s1 AS MATERIALIZED (SELECT doc_id FROM m0 WHERE decon_verdict = 'keep'),
+cand8 AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM read_parquet('$b2') a
+  JOIN read_parquet('$b2') b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+  WHERE a.id IN (SELECT doc_id FROM s1) AND b.id IN (SELECT doc_id FROM s1)),
+cid8 AS (SELECT i AS doc_id FROM cand8 UNION SELECT j FROM cand8),
+sh8 AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks
+        FROM corpus WHERE doc_id IN (SELECT doc_id FROM cid8)) t
+  WHERE len(toks) >= 3) u),
+sz8 AS (SELECT doc_id, COUNT(*) AS sz FROM sh8 GROUP BY doc_id),
+ix8 AS (SELECT cand8.i, cand8.j, COUNT(*) AS c
+         FROM cand8 JOIN sh8 a ON cand8.i = a.doc_id
+                    JOIN sh8 b ON cand8.j = b.doc_id AND a.s = b.s
+         GROUP BY 1, 2),
+ver8 AS (SELECT ix8.i, ix8.j FROM ix8
+  JOIN sz8 sa ON ix8.i = sa.doc_id JOIN sz8 sb ON ix8.j = sb.doc_id
+  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8),
+edges AS (SELECT i AS a, j AS b FROM ver8 UNION SELECT j, i FROM ver8),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, re.r AS r FROM edges e JOIN reach re ON e.b = re.node),
+clus AS MATERIALIZED (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+qual AS (SELECT doc_id,
+  CAST(len(list_distinct(list_filter(str_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_uniq
+  FROM corpus WHERE doc_id IN (SELECT doc_id FROM s1)),
+mm AS (SELECT clus.cluster_id, clus.doc_id, qual.n_uniq FROM clus JOIN qual USING (doc_id)),
+rw AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_uniq DESC, doc_id) AS rk FROM mm),
+win AS (SELECT doc_id FROM rw WHERE rk = 1),
+ded AS MATERIALIZED (SELECT s1.doc_id,
+  (cl.doc_id IS NULL OR w.doc_id IS NOT NULL) AS dedup_keep
+  FROM s1 LEFT JOIN (SELECT DISTINCT doc_id FROM clus) cl ON s1.doc_id = cl.doc_id
+          LEFT JOIN win w ON s1.doc_id = w.doc_id),
+s3ids AS MATERIALIZED (SELECT doc_id FROM ded WHERE dedup_keep),
+tp AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+       FROM corpus WHERE doc_id IN (SELECT doc_id FROM s3ids)),
+bgp AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM tp WHERE len(toks) >= 2) u),
+mp AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgp GROUP BY w1, w2),
+cxp AS (SELECT w1, SUM(c12) AS c1 FROM mp GROUP BY w1),
+vp AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM tp) z),
+sp AS MATERIALIZED (SELECT bgp.doc_id,
+         ROUND(AVG(log10(CAST(mp.c12 + 1 AS DOUBLE) / CAST(cxp.c1 + vp.v AS DOUBLE))), 6) AS mean_logp
+       FROM bgp JOIN mp USING (w1, w2) JOIN cxp USING (w1) CROSS JOIN vp
+       GROUP BY bgp.doc_id),
+rp AS (SELECT doc_id, mean_logp,
+         ROW_NUMBER() OVER (ORDER BY mean_logp DESC, doc_id) AS rank FROM sp),
+np AS (SELECT COUNT(*) AS n FROM sp),
+ppl AS (SELECT rp.doc_id,
+          CAST(FLOOR(CAST((rp.rank - 1) * 3 AS DOUBLE) / np.n) AS BIGINT) AS ppl_bucket
+        FROM rp, np),
+pplv AS MATERIALIZED (SELECT s3ids.doc_id, ppl.ppl_bucket,
+           COALESCE(ppl.ppl_bucket < 2, FALSE) AS ppl_keep
+         FROM s3ids LEFT JOIN ppl ON s3ids.doc_id = ppl.doc_id),
+s4ids AS MATERIALIZED (SELECT doc_id FROM pplv WHERE ppl_keep),
+cnt4 AS (SELECT d.lang, COUNT(*) AS n
+         FROM documents d JOIN s4ids ON d.doc_id = s4ids.doc_id GROUP BY d.lang),
+j4 AS (SELECT lang, n, pow(n, 0.5) AS t FROM cnt4),
+tm4 AS (SELECT MIN(n / t) AS tmax FROM j4),
+fr4 AS (SELECT lang, CASE WHEN n / t = tmax THEN 'g'
+          WHEN tmax * t / n >= 1.0 THEN 'g'
+          ELSE printf('%08x', CAST(least(floor(tmax * t / n * 4294967296), 4294967295) AS BIGINT)) END AS cut
+        FROM j4 CROSS JOIN tm4),
+mix AS (SELECT d.doc_id FROM documents d
+        JOIN s4ids ON d.doc_id = s4ids.doc_id
+        JOIN fr4 ON d.lang = fr4.lang
+        WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || ':' || '42'), 1, 8) < fr4.cut),
+mixv AS MATERIALIZED (SELECT s4ids.doc_id, (mix.doc_id IS NOT NULL) AS mixture_keep
+         FROM s4ids LEFT JOIN mix ON s4ids.doc_id = mix.doc_id)
+SELECT m0.doc_id, s0.n_tokens, s0.sub_dup_tokens,
+  m0.ngram_frac, m0.near_dup, m0.semantic_cos, m0.decon_verdict,
+  CASE WHEN ded.dedup_keep THEN 'keep' WHEN NOT ded.dedup_keep THEN 'drop' END AS dedup_verdict,
+  pplv.ppl_bucket,
+  CASE WHEN pplv.ppl_keep THEN 'keep' WHEN NOT pplv.ppl_keep THEN 'drop' END AS ppl_verdict,
+  CASE WHEN mixv.mixture_keep THEN 'keep' WHEN NOT mixv.mixture_keep THEN 'drop' END AS mixture_verdict,
+  COALESCE(mixv.mixture_keep, FALSE) AS keep
+FROM m0
+JOIN stage0 s0 ON m0.doc_id = s0.doc_id
+LEFT JOIN ded ON m0.doc_id = ded.doc_id
+LEFT JOIN pplv ON m0.doc_id = pplv.doc_id
+LEFT JOIN mixv ON m0.doc_id = mixv.doc_id
+ORDER BY m0.doc_id
+""".trim
+  }
 
   val oracleSql: Map[String, String] = Map(
     // -- index-backed extras, oracle-checked against the MIRRORED
@@ -3327,335 +3697,31 @@ ORDER BY c.doc_id
     // to stage-1 survivors; stage 3 is the X81 LM chain over stage-2
     // survivors; stage 4 the X74 temperature-mixture arithmetic over
     // stage-3 survivors (alpha 0.5, lang strata, seed-42 coin)
-    "X93_curation_manifest" -> {
-      val b = s"$oracleIdxRoot/minhash_banded/*.parquet"
-      s"""
-WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
-bench AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
-ct AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM corpus),
-csh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
-  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
-    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
-  FROM ct WHERE len(toks) >= 5) u),
-bt AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM bench),
-bsh AS MATERIALIZED (SELECT DISTINCT s FROM (
-  SELECT unnest(list_transform(generate_series(1, len(toks) - 4),
-    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
-  FROM bt WHERE len(toks) >= 5) u),
-ng AS MATERIALIZED (SELECT csh.doc_id,
-         ROUND(CAST(COUNT(bsh.s) AS DOUBLE) / COUNT(*), 6) AS ngram_frac
-       FROM csh LEFT JOIN bsh ON csh.s = bsh.s GROUP BY csh.doc_id),
-cand AS (
-  SELECT DISTINCT a.id AS i, b.id AS j
-  FROM read_parquet('$b') a
-  JOIN read_parquet('$b') b ON a.band = b.band AND a.bucket = b.bucket
-  WHERE a.id IN (SELECT doc_id FROM corpus)
-    AND b.id IN (SELECT doc_id FROM bench)),
-cids AS (SELECT i AS doc_id FROM cand UNION SELECT j FROM cand),
-tt AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks
-       FROM documents WHERE doc_id IN (SELECT doc_id FROM cids)),
-sh05 AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
-  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
-    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
-  FROM tt WHERE len(toks) >= 3) u),
-sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh05 GROUP BY doc_id),
-inter AS (SELECT cand.i, cand.j, COUNT(*) AS c
-          FROM cand JOIN sh05 a ON cand.i = a.doc_id
-                    JOIN sh05 b ON cand.j = b.doc_id AND a.s = b.s
-          GROUP BY 1, 2),
-nd AS (SELECT DISTINCT inter.i AS doc_id
-       FROM inter JOIN sz sa ON inter.i = sa.doc_id
-                  JOIN sz sb ON inter.j = sb.doc_id
-       WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
-cemb AS (SELECT vec_id, embedding FROM embeddings
-         WHERE vec_id IN (SELECT doc_id FROM corpus)),
-bemb AS (SELECT vec_id, embedding FROM embeddings
-         WHERE vec_id IN (SELECT doc_id FROM bench)),
-sem AS (SELECT c.vec_id AS doc_id,
-          ROUND(MAX(list_inner_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS semantic_cos
-        FROM cemb c CROSS JOIN bemb b GROUP BY c.vec_id),
-m0 AS MATERIALIZED (SELECT c.doc_id,
-  COALESCE(ng.ngram_frac, CAST(0 AS DOUBLE)) AS ngram_frac,
-  (nd.doc_id IS NOT NULL) AS near_dup,
-  sem.semantic_cos,
-  CASE WHEN COALESCE(ng.ngram_frac, CAST(0 AS DOUBLE)) >= 0.2
-         OR nd.doc_id IS NOT NULL
-         OR sem.semantic_cos >= 0.35 THEN 'drop' ELSE 'keep' END AS decon_verdict
-  FROM corpus c
-  LEFT JOIN ng ON c.doc_id = ng.doc_id
-  LEFT JOIN nd ON c.doc_id = nd.doc_id
-  LEFT JOIN sem ON c.doc_id = sem.doc_id),
-s1 AS MATERIALIZED (SELECT doc_id FROM m0 WHERE decon_verdict = 'keep'),
-cand8 AS (
-  SELECT DISTINCT a.id AS i, b.id AS j
-  FROM read_parquet('$b') a
-  JOIN read_parquet('$b') b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-  WHERE a.id IN (SELECT doc_id FROM s1) AND b.id IN (SELECT doc_id FROM s1)),
-cid8 AS (SELECT i AS doc_id FROM cand8 UNION SELECT j FROM cand8),
-sh8 AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
-  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
-    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
-  FROM (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks
-        FROM documents WHERE doc_id IN (SELECT doc_id FROM cid8)) t
-  WHERE len(toks) >= 3) u),
-sz8 AS (SELECT doc_id, COUNT(*) AS sz FROM sh8 GROUP BY doc_id),
-ix8 AS (SELECT cand8.i, cand8.j, COUNT(*) AS c
-         FROM cand8 JOIN sh8 a ON cand8.i = a.doc_id
-                    JOIN sh8 b ON cand8.j = b.doc_id AND a.s = b.s
-         GROUP BY 1, 2),
-ver8 AS (SELECT ix8.i, ix8.j FROM ix8
-  JOIN sz8 sa ON ix8.i = sa.doc_id JOIN sz8 sb ON ix8.j = sb.doc_id
-  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8),
-edges AS (SELECT i AS a, j AS b FROM ver8 UNION SELECT j, i FROM ver8),
-reach AS (
-  SELECT a AS node, a AS r FROM edges
-  UNION
-  SELECT e.a AS node, re.r AS r FROM edges e JOIN reach re ON e.b = re.node),
-clus AS MATERIALIZED (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
-qual AS (SELECT doc_id,
-  CAST(len(list_distinct(list_filter(str_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_uniq
-  FROM documents WHERE doc_id IN (SELECT doc_id FROM s1)),
-mm AS (SELECT clus.cluster_id, clus.doc_id, qual.n_uniq FROM clus JOIN qual USING (doc_id)),
-rw AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_uniq DESC, doc_id) AS rk FROM mm),
-win AS (SELECT doc_id FROM rw WHERE rk = 1),
-ded AS MATERIALIZED (SELECT s1.doc_id,
-  (cl.doc_id IS NULL OR w.doc_id IS NOT NULL) AS dedup_keep
-  FROM s1 LEFT JOIN (SELECT DISTINCT doc_id FROM clus) cl ON s1.doc_id = cl.doc_id
-          LEFT JOIN win w ON s1.doc_id = w.doc_id),
-s3ids AS MATERIALIZED (SELECT doc_id FROM ded WHERE dedup_keep),
-tp AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
-       FROM documents WHERE doc_id IN (SELECT doc_id FROM s3ids)),
-bgp AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
-              FROM tp WHERE len(toks) >= 2) u),
-mp AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgp GROUP BY w1, w2),
-cxp AS (SELECT w1, SUM(c12) AS c1 FROM mp GROUP BY w1),
-vp AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM tp) z),
-sp AS MATERIALIZED (SELECT bgp.doc_id,
-         ROUND(AVG(log10(CAST(mp.c12 + 1 AS DOUBLE) / CAST(cxp.c1 + vp.v AS DOUBLE))), 6) AS mean_logp
-       FROM bgp JOIN mp USING (w1, w2) JOIN cxp USING (w1) CROSS JOIN vp
-       GROUP BY bgp.doc_id),
-rp AS (SELECT doc_id, mean_logp,
-         ROW_NUMBER() OVER (ORDER BY mean_logp DESC, doc_id) AS rank FROM sp),
-np AS (SELECT COUNT(*) AS n FROM sp),
-ppl AS (SELECT rp.doc_id,
-          CAST(FLOOR(CAST((rp.rank - 1) * 3 AS DOUBLE) / np.n) AS BIGINT) AS ppl_bucket
-        FROM rp, np),
-pplv AS MATERIALIZED (SELECT s3ids.doc_id, ppl.ppl_bucket,
-           COALESCE(ppl.ppl_bucket < 2, FALSE) AS ppl_keep
-         FROM s3ids LEFT JOIN ppl ON s3ids.doc_id = ppl.doc_id),
-s4ids AS MATERIALIZED (SELECT doc_id FROM pplv WHERE ppl_keep),
-cnt4 AS (SELECT d.lang, COUNT(*) AS n
-         FROM documents d JOIN s4ids ON d.doc_id = s4ids.doc_id GROUP BY d.lang),
-j4 AS (SELECT lang, n, pow(n, 0.5) AS t FROM cnt4),
-tm4 AS (SELECT MIN(n / t) AS tmax FROM j4),
-fr4 AS (SELECT lang, CASE WHEN n / t = tmax THEN 'g'
-          WHEN tmax * t / n >= 1.0 THEN 'g'
-          ELSE printf('%08x', CAST(least(floor(tmax * t / n * 4294967296), 4294967295) AS BIGINT)) END AS cut
-        FROM j4 CROSS JOIN tm4),
-mix AS (SELECT d.doc_id FROM documents d
-        JOIN s4ids ON d.doc_id = s4ids.doc_id
-        JOIN fr4 ON d.lang = fr4.lang
-        WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || ':' || '42'), 1, 8) < fr4.cut),
-mixv AS MATERIALIZED (SELECT s4ids.doc_id, (mix.doc_id IS NOT NULL) AS mixture_keep
-         FROM s4ids LEFT JOIN mix ON s4ids.doc_id = mix.doc_id)
-SELECT m0.doc_id, m0.ngram_frac, m0.near_dup, m0.semantic_cos, m0.decon_verdict,
-  CASE WHEN ded.dedup_keep THEN 'keep' WHEN NOT ded.dedup_keep THEN 'drop' END AS dedup_verdict,
-  pplv.ppl_bucket,
-  CASE WHEN pplv.ppl_keep THEN 'keep' WHEN NOT pplv.ppl_keep THEN 'drop' END AS ppl_verdict,
-  CASE WHEN mixv.mixture_keep THEN 'keep' WHEN NOT mixv.mixture_keep THEN 'drop' END AS mixture_verdict,
-  COALESCE(mixv.mixture_keep, FALSE) AS keep
-FROM m0
-LEFT JOIN ded ON m0.doc_id = ded.doc_id
-LEFT JOIN pplv ON m0.doc_id = pplv.doc_id
-LEFT JOIN mixv ON m0.doc_id = mixv.doc_id
-ORDER BY m0.doc_id
-""".trim
-    },
-    // the curation manifest V2: the X119 substring-clean chain (CTEs
-    // suffixed 0) produces the corpus the X93 stage chain then runs
-    // over — text reads that were `documents` become the cleaned
-    // corpus view (union'd with the untouched benchmark where the
-    // verify needs both sides), the banded index is the v2 mirror
-    // (built over the same cleaned text), and the final row gains the
-    // stage-0 token accounting
-    "X121_curation_manifest_v2" -> {
-      val b2 = s"$oracleIdxRoot/minhash_banded_v2/*.parquet"
-      s"""
-WITH RECURSIVE raw AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
-t0 AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS words FROM raw),
-w0 AS (SELECT doc_id, unnest(generate_series(1, len(words) - 9)) AS p, words FROM t0 WHERE len(words) >= 10),
-k0 AS (SELECT doc_id, p, array_to_string(words[p : p+9], ' ') AS win FROM w0),
-r0 AS (SELECT doc_id, p,
-        COUNT(*) OVER (PARTITION BY win) AS occ,
-        ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, p) AS rk
-      FROM k0),
-h0 AS (SELECT doc_id, p, p + 9 AS e FROM r0 WHERE occ > 1 AND rk > 1),
-g0 AS (SELECT doc_id, p, e,
-        CASE WHEN p > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY p
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS ng0
-      FROM h0),
-gg0 AS (SELECT *, SUM(ng0) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS grp FROM g0),
-sp0 AS (SELECT doc_id, MIN(p) AS s, MAX(e) AS e2 FROM gg0 GROUP BY doc_id, grp),
-pos0 AS (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS i FROM t0 WHERE len(words) >= 1),
-kept0 AS (SELECT pos0.doc_id, pos0.i, pos0.words[pos0.i] AS wtok
-          FROM pos0 LEFT JOIN sp0 ON pos0.doc_id = sp0.doc_id AND pos0.i BETWEEN sp0.s AND sp0.e2
-          WHERE sp0.doc_id IS NULL),
-agg0 AS (SELECT doc_id, COALESCE(string_agg(wtok, ' ' ORDER BY i), '') AS clean_text FROM kept0 GROUP BY doc_id),
-dup0 AS (SELECT doc_id, SUM(e2 - s + 1) AS dup_tokens FROM sp0 GROUP BY doc_id),
-stage0 AS MATERIALIZED (SELECT t0.doc_id,
-    CAST(len(t0.words) AS BIGINT) AS n_tokens,
-    CAST(COALESCE(dup0.dup_tokens, 0) AS BIGINT) AS sub_dup_tokens,
-    COALESCE(agg0.clean_text, '') AS clean_text
-  FROM t0 LEFT JOIN dup0 ON t0.doc_id = dup0.doc_id
-          LEFT JOIN agg0 ON t0.doc_id = agg0.doc_id),
-corpus AS (SELECT doc_id, clean_text AS text FROM stage0),
-bench AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
-alltext AS (SELECT doc_id, text FROM corpus UNION ALL SELECT doc_id, text FROM bench),
-ct AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM corpus),
-csh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
-  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
-    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
-  FROM ct WHERE len(toks) >= 5) u),
-bt AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM bench),
-bsh AS MATERIALIZED (SELECT DISTINCT s FROM (
-  SELECT unnest(list_transform(generate_series(1, len(toks) - 4),
-    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
-  FROM bt WHERE len(toks) >= 5) u),
-ng AS MATERIALIZED (SELECT csh.doc_id,
-         ROUND(CAST(COUNT(bsh.s) AS DOUBLE) / COUNT(*), 6) AS ngram_frac
-       FROM csh LEFT JOIN bsh ON csh.s = bsh.s GROUP BY csh.doc_id),
-cand AS (
-  SELECT DISTINCT a.id AS i, b.id AS j
-  FROM read_parquet('$b2') a
-  JOIN read_parquet('$b2') b ON a.band = b.band AND a.bucket = b.bucket
-  WHERE a.id IN (SELECT doc_id FROM corpus)
-    AND b.id IN (SELECT doc_id FROM bench)),
-cids AS (SELECT i AS doc_id FROM cand UNION SELECT j FROM cand),
-tt AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks
-       FROM alltext WHERE doc_id IN (SELECT doc_id FROM cids)),
-sh05 AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
-  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
-    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
-  FROM tt WHERE len(toks) >= 3) u),
-sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh05 GROUP BY doc_id),
-inter AS (SELECT cand.i, cand.j, COUNT(*) AS c
-          FROM cand JOIN sh05 a ON cand.i = a.doc_id
-                    JOIN sh05 b ON cand.j = b.doc_id AND a.s = b.s
-          GROUP BY 1, 2),
-nd AS (SELECT DISTINCT inter.i AS doc_id
-       FROM inter JOIN sz sa ON inter.i = sa.doc_id
-                  JOIN sz sb ON inter.j = sb.doc_id
-       WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
-cemb AS (SELECT vec_id, embedding FROM embeddings
-         WHERE vec_id IN (SELECT doc_id FROM corpus)),
-bemb AS (SELECT vec_id, embedding FROM embeddings
-         WHERE vec_id IN (SELECT doc_id FROM bench)),
-sem AS (SELECT c.vec_id AS doc_id,
-          ROUND(MAX(list_inner_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS semantic_cos
-        FROM cemb c CROSS JOIN bemb b GROUP BY c.vec_id),
-m0 AS MATERIALIZED (SELECT c.doc_id,
-  COALESCE(ng.ngram_frac, CAST(0 AS DOUBLE)) AS ngram_frac,
-  (nd.doc_id IS NOT NULL) AS near_dup,
-  sem.semantic_cos,
-  CASE WHEN COALESCE(ng.ngram_frac, CAST(0 AS DOUBLE)) >= 0.2
-         OR nd.doc_id IS NOT NULL
-         OR sem.semantic_cos >= 0.35 THEN 'drop' ELSE 'keep' END AS decon_verdict
-  FROM corpus c
-  LEFT JOIN ng ON c.doc_id = ng.doc_id
-  LEFT JOIN nd ON c.doc_id = nd.doc_id
-  LEFT JOIN sem ON c.doc_id = sem.doc_id),
-s1 AS MATERIALIZED (SELECT doc_id FROM m0 WHERE decon_verdict = 'keep'),
-cand8 AS (
-  SELECT DISTINCT a.id AS i, b.id AS j
-  FROM read_parquet('$b2') a
-  JOIN read_parquet('$b2') b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-  WHERE a.id IN (SELECT doc_id FROM s1) AND b.id IN (SELECT doc_id FROM s1)),
-cid8 AS (SELECT i AS doc_id FROM cand8 UNION SELECT j FROM cand8),
-sh8 AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
-  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
-    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
-  FROM (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks
-        FROM corpus WHERE doc_id IN (SELECT doc_id FROM cid8)) t
-  WHERE len(toks) >= 3) u),
-sz8 AS (SELECT doc_id, COUNT(*) AS sz FROM sh8 GROUP BY doc_id),
-ix8 AS (SELECT cand8.i, cand8.j, COUNT(*) AS c
-         FROM cand8 JOIN sh8 a ON cand8.i = a.doc_id
-                    JOIN sh8 b ON cand8.j = b.doc_id AND a.s = b.s
-         GROUP BY 1, 2),
-ver8 AS (SELECT ix8.i, ix8.j FROM ix8
-  JOIN sz8 sa ON ix8.i = sa.doc_id JOIN sz8 sb ON ix8.j = sb.doc_id
-  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8),
-edges AS (SELECT i AS a, j AS b FROM ver8 UNION SELECT j, i FROM ver8),
-reach AS (
-  SELECT a AS node, a AS r FROM edges
-  UNION
-  SELECT e.a AS node, re.r AS r FROM edges e JOIN reach re ON e.b = re.node),
-clus AS MATERIALIZED (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
-qual AS (SELECT doc_id,
-  CAST(len(list_distinct(list_filter(str_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_uniq
-  FROM corpus WHERE doc_id IN (SELECT doc_id FROM s1)),
-mm AS (SELECT clus.cluster_id, clus.doc_id, qual.n_uniq FROM clus JOIN qual USING (doc_id)),
-rw AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_uniq DESC, doc_id) AS rk FROM mm),
-win AS (SELECT doc_id FROM rw WHERE rk = 1),
-ded AS MATERIALIZED (SELECT s1.doc_id,
-  (cl.doc_id IS NULL OR w.doc_id IS NOT NULL) AS dedup_keep
-  FROM s1 LEFT JOIN (SELECT DISTINCT doc_id FROM clus) cl ON s1.doc_id = cl.doc_id
-          LEFT JOIN win w ON s1.doc_id = w.doc_id),
-s3ids AS MATERIALIZED (SELECT doc_id FROM ded WHERE dedup_keep),
-tp AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
-       FROM corpus WHERE doc_id IN (SELECT doc_id FROM s3ids)),
-bgp AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
-              FROM tp WHERE len(toks) >= 2) u),
-mp AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgp GROUP BY w1, w2),
-cxp AS (SELECT w1, SUM(c12) AS c1 FROM mp GROUP BY w1),
-vp AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM tp) z),
-sp AS MATERIALIZED (SELECT bgp.doc_id,
-         ROUND(AVG(log10(CAST(mp.c12 + 1 AS DOUBLE) / CAST(cxp.c1 + vp.v AS DOUBLE))), 6) AS mean_logp
-       FROM bgp JOIN mp USING (w1, w2) JOIN cxp USING (w1) CROSS JOIN vp
-       GROUP BY bgp.doc_id),
-rp AS (SELECT doc_id, mean_logp,
-         ROW_NUMBER() OVER (ORDER BY mean_logp DESC, doc_id) AS rank FROM sp),
-np AS (SELECT COUNT(*) AS n FROM sp),
-ppl AS (SELECT rp.doc_id,
-          CAST(FLOOR(CAST((rp.rank - 1) * 3 AS DOUBLE) / np.n) AS BIGINT) AS ppl_bucket
-        FROM rp, np),
-pplv AS MATERIALIZED (SELECT s3ids.doc_id, ppl.ppl_bucket,
-           COALESCE(ppl.ppl_bucket < 2, FALSE) AS ppl_keep
-         FROM s3ids LEFT JOIN ppl ON s3ids.doc_id = ppl.doc_id),
-s4ids AS MATERIALIZED (SELECT doc_id FROM pplv WHERE ppl_keep),
-cnt4 AS (SELECT d.lang, COUNT(*) AS n
-         FROM documents d JOIN s4ids ON d.doc_id = s4ids.doc_id GROUP BY d.lang),
-j4 AS (SELECT lang, n, pow(n, 0.5) AS t FROM cnt4),
-tm4 AS (SELECT MIN(n / t) AS tmax FROM j4),
-fr4 AS (SELECT lang, CASE WHEN n / t = tmax THEN 'g'
-          WHEN tmax * t / n >= 1.0 THEN 'g'
-          ELSE printf('%08x', CAST(least(floor(tmax * t / n * 4294967296), 4294967295) AS BIGINT)) END AS cut
-        FROM j4 CROSS JOIN tm4),
-mix AS (SELECT d.doc_id FROM documents d
-        JOIN s4ids ON d.doc_id = s4ids.doc_id
-        JOIN fr4 ON d.lang = fr4.lang
-        WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || ':' || '42'), 1, 8) < fr4.cut),
-mixv AS MATERIALIZED (SELECT s4ids.doc_id, (mix.doc_id IS NOT NULL) AS mixture_keep
-         FROM s4ids LEFT JOIN mix ON s4ids.doc_id = mix.doc_id)
-SELECT m0.doc_id, s0.n_tokens, s0.sub_dup_tokens,
-  m0.ngram_frac, m0.near_dup, m0.semantic_cos, m0.decon_verdict,
-  CASE WHEN ded.dedup_keep THEN 'keep' WHEN NOT ded.dedup_keep THEN 'drop' END AS dedup_verdict,
-  pplv.ppl_bucket,
-  CASE WHEN pplv.ppl_keep THEN 'keep' WHEN NOT pplv.ppl_keep THEN 'drop' END AS ppl_verdict,
-  CASE WHEN mixv.mixture_keep THEN 'keep' WHEN NOT mixv.mixture_keep THEN 'drop' END AS mixture_verdict,
-  COALESCE(mixv.mixture_keep, FALSE) AS keep
-FROM m0
-JOIN stage0 s0 ON m0.doc_id = s0.doc_id
-LEFT JOIN ded ON m0.doc_id = ded.doc_id
-LEFT JOIN pplv ON m0.doc_id = pplv.doc_id
-LEFT JOIN mixv ON m0.doc_id = mixv.doc_id
-ORDER BY m0.doc_id
-""".trim
-    },
+    "X93_curation_manifest" -> x93OracleSql,
+    "X121_curation_manifest_v2" -> x121OracleSql,
+    // X122: both release orders summarized per pipeline — the two
+    // manifest statements nested verbatim as derived tables, then one
+    // conditional-count aggregate each (v1 cuts nothing by definition)
+    "X122_order_impact" -> s"""
+WITH m1 AS (SELECT * FROM ($x93OracleSql) z1),
+m2 AS (SELECT * FROM ($x121OracleSql) z2)
+SELECT 'v1_doc_level_first' AS pipeline,
+  CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(COALESCE(SUM(CASE WHEN decon_verdict = 'drop' THEN 1 END), 0) AS BIGINT) AS decon_drops,
+  CAST(COALESCE(SUM(CASE WHEN dedup_verdict = 'drop' THEN 1 END), 0) AS BIGINT) AS dedup_drops,
+  CAST(0 AS BIGINT) AS sub_cut_tokens,
+  CAST(COALESCE(SUM(CASE WHEN keep THEN 1 END), 0) AS BIGINT) AS kept
+FROM m1
+UNION ALL
+SELECT 'v2_span_cut_first',
+  CAST(COUNT(*) AS BIGINT),
+  CAST(COALESCE(SUM(CASE WHEN decon_verdict = 'drop' THEN 1 END), 0) AS BIGINT),
+  CAST(COALESCE(SUM(CASE WHEN dedup_verdict = 'drop' THEN 1 END), 0) AS BIGINT),
+  CAST(COALESCE(SUM(sub_dup_tokens), 0) AS BIGINT),
+  CAST(COALESCE(SUM(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+FROM m2
+ORDER BY pipeline
+""".trim,
     // X79's plan arithmetic at a 1 M budget, then the repetition
     // explode: full epochs via generate_series, the residual via the
     // hexCutoff printf idiom (the X74 oracle's guard) on the portable
