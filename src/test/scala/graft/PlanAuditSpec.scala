@@ -109,7 +109,11 @@ class PlanAuditSpec extends SparkSpec {
       // X121 (round 13): composes X93's chain from scratch — it
       // inherits the benchmark-embedding array collapse, the 1-row LM
       // normalizer, and the mixture's min(n/t) row (X93/X48's shapes)
-      "X121_curation_manifest_v2")
+      "X121_curation_manifest_v2",
+      // X122 (round 13): BOTH manifests' inherited collapses plus its
+      // own two 1-row summary aggregates (one per pipeline) — the
+      // comparison IS two single-row rollups by design
+      "X122_order_impact")
     // one-row broadcast scalars (probe vectors, totals, thresholds,
     // the collapsed centroid array) or candidate stages that ARE cross
     // joins by design (exact oracle twins, batched kNN against
