@@ -117,6 +117,46 @@ class SubstringDedupSpec extends SparkSpec {
     assert(incClean === batchClean)
   }
 
+  test("one filtering pass yields a span-clean sub-corpus: dup-free docs stay dup-free among themselves") {
+    // the lemma the streaming-v2 equivalence's seed construction leans
+    // on: docs with dup_tokens == 0 from a FULL-corpus clean form a
+    // sub-corpus on which cleanCorpus is identity — a kept doc had zero
+    // duplicated windows in the full context, and dropping other docs
+    // only removes window occurrences, so no new duplication can
+    // appear. Checked on the real corpus (which has genuine duplicated
+    // spans — require that, so the filter actually bites) and on an
+    // adversarial chain fixture where every doc shares a window with
+    // the next one.
+    def lemma(corpus: DataFrame, l: Int): Unit = {
+      val cleaned = SubstringDedup.cleanCorpus(corpus, l)
+      val full = corpus.count()
+      val keep = cleaned.filter(col("dup_tokens") === 0).select("doc_id")
+      val sub = corpus.join(keep, Seq("doc_id"), "left_semi")
+      val again = SubstringDedup.cleanCorpus(sub, l)
+      assert(again.filter(col("dup_tokens") =!= 0).isEmpty,
+        "the filtered sub-corpus must be span-clean in one pass")
+      assert(again.count() == sub.count())
+      (full, sub.count())
+    }
+    val (f, k) = {
+      val c = cat.documents.select("doc_id", "text")
+      val cleaned = SubstringDedup.cleanCorpus(c, 10)
+      val dupDocs = cleaned.filter(col("dup_tokens") > 0).count()
+      assert(dupDocs > 0, "fixture must exhibit duplication for the lemma to bite")
+      lemma(c, 10)
+      (c.count(), c.count() - dupDocs)
+    }
+    assert(k < f, s"the filter must drop something: $k of $f")
+    // adversarial chain: doc i shares its tail window with doc i+1's
+    // head — only the first doc of the chain survives the filter
+    val chain = docs((1L to 6L).map { i =>
+      val shared = (1 to 5).map(t => s"s${i}_$t").mkString(" ")
+      val prev = (1 to 5).map(t => s"s${i - 1}_$t").mkString(" ")
+      i -> (if (i == 1L) s"$shared u$i a b c" else s"$prev mid$i $shared")
+    }: _*)
+    lemma(chain, 5)
+  }
+
   test("minTokens must be positive") {
     intercept[IllegalArgumentException] {
       SubstringDedup.duplicatedSpans(cat.documents, 0)
