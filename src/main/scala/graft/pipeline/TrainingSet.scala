@@ -1180,31 +1180,34 @@ object TrainingSet {
       seed, qualityModel, nearDupPairs, ngramScores, corpusPairs,
       maxSpanTokens, minIdDedupWinners)
 
-  /** [[curationManifestV2]] over an already-materialized stage-0 table —
-    * shared with [[curateCorpusV2]] so the driver pays the substring
-    * chain once for the manifest AND the survivor texts.
+  /** [[curationManifestV2]] over an already-materialized stage-0 table
+    * ([[graft.text.SubstringDedup.cleanCorpus]]'s output for exactly
+    * `corpus`) — shared with [[curateCorpusV2]] so the driver pays the
+    * substring chain once for the manifest AND the survivor texts, and
+    * public for any caller that already holds the cleaned table (e.g.
+    * because it also built the v2 banded index from it).
     */
-  private def manifestV2FromCleaned(
+  def manifestV2FromCleaned(
       cleaned: DataFrame,
       corpus: DataFrame,
       benchmark: DataFrame,
       banded: DataFrame,
       embeddings: DataFrame,
-      n: Int,
-      ngramThreshold: Double,
-      deconDedup: MinHashConfig,
-      cosThreshold: Double,
-      corpusDedup: MinHashConfig,
-      pplBuckets: Int,
-      mixtureStrata: String,
-      mixtureAlpha: Double,
-      seed: Long,
-      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)],
-      nearDupPairs: Option[DataFrame],
-      ngramScores: Option[DataFrame],
-      corpusPairs: Option[DataFrame],
-      maxSpanTokens: Option[Int],
-      minIdDedupWinners: Boolean): DataFrame = {
+      n: Int = 5,
+      ngramThreshold: Double = 0.2,
+      deconDedup: MinHashConfig = MinHashConfig(threshold = 0.5),
+      cosThreshold: Double = 0.35,
+      corpusDedup: MinHashConfig = MinHashConfig(),
+      pplBuckets: Int = 3,
+      mixtureStrata: String = "lang",
+      mixtureAlpha: Double = 0.5,
+      seed: Long = 42L,
+      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None,
+      nearDupPairs: Option[DataFrame] = None,
+      ngramScores: Option[DataFrame] = None,
+      corpusPairs: Option[DataFrame] = None,
+      maxSpanTokens: Option[Int] = None,
+      minIdDedupWinners: Boolean = false): DataFrame = {
     val corpusClean =
       graft.text.SubstringDedup.withCleanText(corpus, cleaned)
     cleaned

@@ -565,9 +565,19 @@ object StreamOps {
         // empty tables by design)
         if (!accepted.isEmpty) {
           accepted.write.mode("overwrite").parquet(s"$acceptedRoot/b$batchId")
-          graft.text.MinHashDedup.writeBandedIndex(
-            graft.text.MinHashDedup.signatures(accepted, cfg),
-            s"$deltaRoot/b$batchId", cfg)
+          // a non-empty accepted batch can still have ZERO signatures —
+          // every accepted text below shingleSize tokens (the normal
+          // case in the v2 driver, where a fully span-cut doc arrives
+          // empty): a row-less banded delta would poison every LATER
+          // batch's readBandedIndex (which refuses empty tables), so
+          // skip the delta exactly like the all-rejected case. Those
+          // docs still dedup downstream through the accepted table's
+          // exact channel / text verify.
+          val sigs = graft.text.MinHashDedup.signatures(accepted, cfg)
+            .localCheckpoint(true)
+          if (!sigs.isEmpty)
+            graft.text.MinHashDedup.writeBandedIndex(
+              sigs, s"$deltaRoot/b$batchId", cfg)
         }
         accepted
       }
@@ -954,6 +964,72 @@ object StreamOps {
     * no streaming twin here — a release run applies them over the
     * accepted table, not per micro-batch.
     */
+  /** Stage-1 decontamination channel assembly shared by the two
+    * streaming curation drivers — the X90 channels against the
+    * construction-time FROZEN benchmark artifacts, assembled by the
+    * batch report's own verdict helper so the semantics cannot drift
+    * (one definition, two drivers).
+    */
+  private def streamDeconChannels(
+      bdf: DataFrame,
+      shingleSet: DataFrame,
+      benchDocs: DataFrame,
+      banded: DataFrame,
+      cents: Option[DataFrame],
+      n: Int,
+      ngramThreshold: Double,
+      deconDedup: graft.text.MinHashConfig,
+      cosThreshold: Double,
+      maxSpanTokens: Option[Int]): DataFrame = {
+    val ngram = graft.text.TextAnalysis
+      .contaminationScoresAgainst(bdf, shingleSet, n)
+      .select(col("doc_id"), col("overlap_frac"))
+    val nd = graft.text.MinHashDedup
+      .crossNearDupsAgainstBanded(bdf, benchDocs, banded, deconDedup)
+      .select(col("i").as("doc_id")).distinct()
+      .withColumn("__nd", lit(true))
+    val sem = cents.filter(_ => bdf.columns.contains("embedding")).map(cc =>
+      graft.vector.SemDedup.assignWithScore(
+          bdf.select(col("doc_id").as("vec_id"), col("embedding")), cc)
+        .select(col("vec_id").as("doc_id"),
+          round(col("ccos"), 6).as("semantic_cos")))
+    val joined0 = bdf.select("doc_id")
+      .join(ngram, Seq("doc_id"), "left")
+      .join(nd, Seq("doc_id"), "left")
+    val joined1 = sem.fold(
+      joined0.withColumn("semantic_cos", lit(null).cast("double")))(
+      s => joined0.join(s, Seq("doc_id"), "left"))
+    val joined = maxSpanTokens.fold(joined1)(_ => joined1.join(
+      graft.text.TextAnalysis
+        .maxBenchmarkOverlapSpanAgainst(bdf, shingleSet, n)
+        .select(col("doc_id"), col("max_span_tokens").as("span_tokens")),
+      Seq("doc_id"), "left"))
+    graft.pipeline.TrainingSet
+      .assembleDecontaminationVerdict(
+        joined, ngramThreshold, cosThreshold, maxSpanTokens)
+      .withColumnRenamed("verdict", "decon_verdict")
+      .localCheckpoint(true)
+  }
+
+  /** The per-doc manifest projection shared by both streaming curation
+    * drivers: `base` (channel columns incl. decon_verdict, plus any
+    * leading accounting columns) gains the three-valued dedup verdict
+    * (null = never reached the stage) and the final keep — the batch
+    * manifest's exact column contract.
+    */
+  private def manifestWithVerdicts(
+      base: DataFrame, accepted: DataFrame): DataFrame =
+    base
+      .join(accepted.select(col("doc_id"), lit(true).as("__acc")),
+        Seq("doc_id"), "left")
+      .select(base.columns.map(col).toSeq :+
+        when(col("decon_verdict") =!= "keep", lit(null).cast("string"))
+          .when(coalesce(col("__acc"), lit(false)), "keep")
+          .otherwise("drop").as("dedup_verdict") :+
+        (col("decon_verdict") === "keep" &&
+          coalesce(col("__acc"), lit(false))).as("keep"): _*)
+      .orderBy("doc_id")
+
   def curationIngestStream(
       newDocs: DataFrame,
       corpusDocs: DataFrame,
@@ -997,34 +1073,9 @@ object StreamOps {
               .write.mode("overwrite").parquet(s"$outDir/drift/b$batchId")
           }
           // stage 1 — decon channels vs the frozen benchmark artifacts
-          val ngram = graft.text.TextAnalysis
-            .contaminationScoresAgainst(bdf, shingleSet, n)
-            .select(col("doc_id"), col("overlap_frac"))
-          val nd = graft.text.MinHashDedup
-            .crossNearDupsAgainstBanded(bdf, benchDocs, banded, deconDedup)
-            .select(col("i").as("doc_id")).distinct()
-            .withColumn("__nd", lit(true))
-          val sem = cents.filter(_ => bdf.columns.contains("embedding")).map(cc =>
-            graft.vector.SemDedup.assignWithScore(
-                bdf.select(col("doc_id").as("vec_id"), col("embedding")), cc)
-              .select(col("vec_id").as("doc_id"),
-                round(col("ccos"), 6).as("semantic_cos")))
-          val joined0 = bdf.select("doc_id")
-            .join(ngram, Seq("doc_id"), "left")
-            .join(nd, Seq("doc_id"), "left")
-          val joined1 = sem.fold(
-            joined0.withColumn("semantic_cos", lit(null).cast("double")))(
-            s => joined0.join(s, Seq("doc_id"), "left"))
-          val joined = maxSpanTokens.fold(joined1)(_ => joined1.join(
-            graft.text.TextAnalysis
-              .maxBenchmarkOverlapSpanAgainst(bdf, shingleSet, n)
-              .select(col("doc_id"), col("max_span_tokens").as("span_tokens")),
-            Seq("doc_id"), "left"))
-          val decon = graft.pipeline.TrainingSet
-            .assembleDecontaminationVerdict(
-              joined, ngramThreshold, cosThreshold, maxSpanTokens)
-            .withColumnRenamed("verdict", "decon_verdict")
-            .localCheckpoint(true)
+          val decon = streamDeconChannels(bdf, shingleSet, benchDocs,
+            banded, cents, n, ngramThreshold, deconDedup, cosThreshold,
+            maxSpanTokens)
           // stage 2 — incremental near-dup ingest of the decon
           // survivors (exact min-id + banded candidates + verify, with
           // the batch-keyed accepted/delta writes)
@@ -1036,16 +1087,7 @@ object StreamOps {
           // per-doc manifest: channel columns + three-valued stage
           // verdicts (null dedup verdict = never reached the stage),
           // the batch manifest's exact column contract
-          decon
-            .join(accepted.select(col("doc_id"), lit(true).as("__acc")),
-              Seq("doc_id"), "left")
-            .select(decon.columns.map(col).toSeq :+
-              when(col("decon_verdict") =!= "keep", lit(null).cast("string"))
-                .when(coalesce(col("__acc"), lit(false)), "keep")
-                .otherwise("drop").as("dedup_verdict") :+
-              (col("decon_verdict") === "keep" &&
-                coalesce(col("__acc"), lit(false))).as("keep"): _*)
-            .orderBy("doc_id")
+          manifestWithVerdicts(decon, accepted)
             .write.mode("overwrite").parquet(s"$outDir/manifest/b$batchId")
         }
       }
@@ -1133,35 +1175,11 @@ object StreamOps {
             .localCheckpoint(true)
           val bdf = graft.text.SubstringDedup.withCleanText(raw, cleaned)
             .localCheckpoint(true)
-          // stages 1–2 over the CLEANED text — v1's exact chain
-          val ngram = graft.text.TextAnalysis
-            .contaminationScoresAgainst(bdf, shingleSet, n)
-            .select(col("doc_id"), col("overlap_frac"))
-          val nd = graft.text.MinHashDedup
-            .crossNearDupsAgainstBanded(bdf, benchDocs, banded, deconDedup)
-            .select(col("i").as("doc_id")).distinct()
-            .withColumn("__nd", lit(true))
-          val sem = cents.filter(_ => bdf.columns.contains("embedding")).map(cc =>
-            graft.vector.SemDedup.assignWithScore(
-                bdf.select(col("doc_id").as("vec_id"), col("embedding")), cc)
-              .select(col("vec_id").as("doc_id"),
-                round(col("ccos"), 6).as("semantic_cos")))
-          val joined0 = bdf.select("doc_id")
-            .join(ngram, Seq("doc_id"), "left")
-            .join(nd, Seq("doc_id"), "left")
-          val joined1 = sem.fold(
-            joined0.withColumn("semantic_cos", lit(null).cast("double")))(
-            s => joined0.join(s, Seq("doc_id"), "left"))
-          val joined = maxSpanTokens.fold(joined1)(_ => joined1.join(
-            graft.text.TextAnalysis
-              .maxBenchmarkOverlapSpanAgainst(bdf, shingleSet, n)
-              .select(col("doc_id"), col("max_span_tokens").as("span_tokens")),
-            Seq("doc_id"), "left"))
-          val decon = graft.pipeline.TrainingSet
-            .assembleDecontaminationVerdict(
-              joined, ngramThreshold, cosThreshold, maxSpanTokens)
-            .withColumnRenamed("verdict", "decon_verdict")
-            .localCheckpoint(true)
+          // stages 1–2 over the CLEANED text — v1's exact chain (one
+          // shared definition, so the two drivers cannot drift)
+          val decon = streamDeconChannels(bdf, shingleSet, benchDocs,
+            banded, cents, n, ngramThreshold, deconDedup, cosThreshold,
+            maxSpanTokens)
           val keepIds = decon.filter(col("decon_verdict") === "keep").select("doc_id")
           // exact-fingerprint pre-shrink OFF, deliberately: stage 0
           // already removed every exact duplicate run ≥ windowTokens,
@@ -1177,20 +1195,12 @@ object StreamOps {
             gate = b => b.join(keepIds, Seq("doc_id"), "left_semi"),
             exactDedup = false)
           // manifest = stage-0 accounting + v1's column contract
-          cleaned
-            .select(col("doc_id"), col("n_tokens"),
-              col("dup_tokens").as("sub_dup_tokens"))
-            .join(decon, Seq("doc_id"))
-            .join(accepted.select(col("doc_id"), lit(true).as("__acc")),
-              Seq("doc_id"), "left")
-            .select((Seq("doc_id", "n_tokens", "sub_dup_tokens").map(col) ++
-              decon.columns.filterNot(_ == "doc_id").map(col)).toSeq :+
-              when(col("decon_verdict") =!= "keep", lit(null).cast("string"))
-                .when(coalesce(col("__acc"), lit(false)), "keep")
-                .otherwise("drop").as("dedup_verdict") :+
-              (col("decon_verdict") === "keep" &&
-                coalesce(col("__acc"), lit(false))).as("keep"): _*)
-            .orderBy("doc_id")
+          manifestWithVerdicts(
+            cleaned
+              .select(col("doc_id"), col("n_tokens"),
+                col("dup_tokens").as("sub_dup_tokens"))
+              .join(decon, Seq("doc_id")),
+            accepted)
             .write.mode("overwrite").parquet(s"$outDir/manifest/b$batchId")
           // key delta LAST (the ingestSubstringDedupStream contract):
           // keys of the RAW batch; an all-short batch writes nothing

@@ -62,14 +62,20 @@ object SubstringDedup {
     * text from a [[cleanCorpus]] table — the one place the v2
     * text-substitution contract lives (INNER join on doc_id: a doc
     * missing from `cleaned` is a caller bug, not a row to pass
-    * through silently; cleanCorpus emits every input doc). The text
-    * column moves to the end — callers needing the original column
-    * order re-select.
+    * through silently; cleanCorpus emits every input doc). A carried
+    * `n_chars` column is RECOMPUTED from the substituted text — the
+    * raw length would silently over-count for every cut doc in any
+    * downstream char accounting. The text column moves to the end —
+    * callers needing the original column order re-select.
     */
-  def withCleanText(documents: DataFrame, cleaned: DataFrame): DataFrame =
-    documents.drop("text").join(
+  def withCleanText(documents: DataFrame, cleaned: DataFrame): DataFrame = {
+    val joined = documents.drop("text").join(
       cleaned.select(col("doc_id"), col("clean_text").as("text")),
       Seq("doc_id"))
+    if (documents.columns.contains("n_chars"))
+      joined.withColumn("n_chars", length(col("text")).cast("long"))
+    else joined
+  }
 
   /** One row per stride-1 window: (doc_id, p, __key) with p the
     * 1-based token position. Documents shorter than minTokens emit

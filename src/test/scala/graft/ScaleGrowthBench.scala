@@ -219,9 +219,13 @@ object ScaleGrowthBench {
           val cor = d.filter(col("doc_id") >= 250)
             .select("doc_id", "text", "lang")
           // the v2 banded contract: signatures of the CLEANED corpus
-          // text (∪ the untouched benchmark)
-          val corClean = graft.text.SubstringDedup.withCleanText(cor,
-            graft.text.SubstringDedup.cleanCorpus(cor, 10, hashKeys = true))
+          // text (∪ the untouched benchmark). ONE stage-0 pass feeds
+          // both the index build and the manifest (the public
+          // precleaned entry — the bench must not double-pay the
+          // dominant window shuffle)
+          val cleaned = graft.text.SubstringDedup
+            .cleanCorpus(cor, 10, hashKeys = true).localCheckpoint(true)
+          val corClean = graft.text.SubstringDedup.withCleanText(cor, cleaned)
           val bdir = java.nio.file.Files
             .createTempDirectory("growth-x121-banded").toString
           MinHashDedup.writeBandedIndex(
@@ -230,8 +234,7 @@ object ScaleGrowthBench {
             bdir, cfg)
           val banded = MinHashDedup.readBandedIndex(spark, bdir, cfg)
           val m = graft.pipeline.TrainingSet
-            .curationManifestV2(cor, bench, banded, emb,
-              hashWindowKeys = true)
+            .manifestV2FromCleaned(cleaned, cor, bench, banded, emb)
             .localCheckpoint(true)
           val rows = m.count()
           require(rows == d.count() - 250, "v2 manifest must cover every corpus doc")

@@ -1561,6 +1561,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("v2 ingest survives a batch whose accepted docs are all fully span-cut (no row-less banded delta)") {
+    import spark.implicits._
+    // corpus: one long doc; benchmark: one unrelated doc
+    def mk(id: Long, text: String): DataFrame =
+      Seq((id, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .select(Tables.schemas("documents").fields.map(f => col(f.name).cast(f.dataType)): _*)
+    val longText = (1 to 30).map(i => s"c$i").mkString(" ")
+    val corpus = mk(1L, longText).localCheckpoint(true)
+    val bench = mk(100L, (1 to 12).map(i => s"b$i").mkString(" ")).localCheckpoint(true)
+    val gcfg = graft.text.MinHashConfig(threshold = 0.5)
+    val bdir = Files.createTempDirectory("graft-cur2e-bb").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(bench, gcfg), bdir, gcfg)
+    val benchBanded = graft.text.MinHashDedup.readBandedIndex(spark, bdir, gcfg)
+    val idxDir = Files.createTempDirectory("graft-cur2e-idx").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(corpus), idxDir)
+    val keysDir = Files.createTempDirectory("graft-cur2e-keys").toString
+    graft.text.SubstringDedup.windowKeys(corpus, 10)
+      .write.mode("overwrite").parquet(keysDir)
+    val srcDir = Files.createTempDirectory("graft-cur2e-src")
+    val outDir = Files.createTempDirectory("graft-cur2e-out").toString
+    val ckpt = Files.createTempDirectory("graft-cur2e-ckpt").toString
+    val query = StreamOps.curationIngestStreamV2(
+      StreamOps.documentsStream(spark, srcDir.toString), corpus, idxDir,
+      keysDir, bench, benchBanded, outDir, ckpt, deconDedup = gcfg)
+    try {
+      // batch 0: ONLY an exact clone of the corpus doc — fully cut to
+      // empty text, accepted (no shingles → no near-dup loss), with
+      // ZERO signatures: the delta write must be SKIPPED, not row-less
+      writeChunk(mk(9000L, longText), srcDir, "chunk0")
+      query.processAllAvailable()
+      // batch 1 must still process (a row-less delta would kill
+      // readBandedIndex here and every replay after it)
+      writeChunk(mk(9001L, (1 to 15).map(i => s"z$i").mkString(" ")), srcDir, "chunk1")
+      query.processAllAvailable()
+    } finally query.stop()
+    val accepted = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$outDir/accepted")
+    val accRows = accepted.select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(accRows.keySet == Set(9000L, 9001L), s"both arrivals accepted: $accRows")
+    // the cut doc ships empty text AND recomputed char accounting
+    assert(accRows(9000L) == (("", 0L)),
+      s"fully cut doc must ship empty text with n_chars recomputed: ${accRows(9000L)}")
+    // batch 0 wrote NO banded delta (nothing to sign); batch 1 did
+    val deltas = new java.io.File(s"$outDir/index_delta").listFiles()
+    assert(deltas == null || !deltas.exists(_.getName == "b0"),
+      "the signature-less batch must not write a banded delta")
+    val manifest = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$outDir/manifest")
+    assert(manifest.count() == 2 &&
+      manifest.filter(col("doc_id") === 9000L).select("sub_dup_tokens")
+        .first().getLong(0) == 30L)
+  }
+
   test("streaming vector-index ingest: deltas + compaction keep probes exactly equal to brute force") {
     val emb = Tables.load(spark, sf01, "embeddings")
     val a = emb.filter(col("vec_id") % 2 === 0)
