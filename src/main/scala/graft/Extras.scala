@@ -496,31 +496,35 @@ object Extras {
     dir
   }
 
+  /** The ONE ordered chunk stream behind X73/X75 and X116/X117 —
+    * 64/48 chunking joined to the X47 shuffle order; `keepText`
+    * controls whether the chunk text column rides along (the
+    * exact-packing queries slice it, the stats queries only count).
+    * LAZY checkpoint: the prefix-sum machinery drives its input
+    * through three jobs — without this the explode-heavy chunker
+    * re-runs per job (the X81/X53 fix applied here).
+    */
+  private def orderedChunkStream(c: Catalog, keepText: Boolean): DataFrame = {
+    val chunks = TextAnalysis.chunkDocuments(c.documents, maxTokens = 64, stride = 48)
+    (if (keepText) chunks else chunks.select("doc_id", "chunk_idx", "n_tokens"))
+      .join(graft.ops.Scale.shuffleOrder(
+        c.documents.select("doc_id"), "doc_id"), Seq("doc_id"))
+      .localCheckpoint(false)
+  }
+
   /** The shared X73/X75 packed-chunk stream: 64/48 chunking, the X47
     * shuffle order, 256-token packs.
     */
   private def packedChunks(c: Catalog): DataFrame =
     graft.pipeline.TrainingSet.packChunks(
-      TextAnalysis.chunkDocuments(c.documents, maxTokens = 64, stride = 48)
-        .select("doc_id", "chunk_idx", "n_tokens")
-        .join(graft.ops.Scale.shuffleOrder(
-          c.documents.select("doc_id"), "doc_id"), Seq("doc_id"))
-        // LAZY checkpoint: the prefix-sum machinery drives its input
-        // through three jobs — without this the explode-heavy chunker
-        // re-runs per job (the X81/X53 fix applied here)
-        .localCheckpoint(false),
-      packTokens = 256L)
+      orderedChunkStream(c, keepText = false), packTokens = 256L)
 
   /** The [[packedChunks]] stream EXACT-packed (chunk text kept — the
     * pieces carry their token slices) — shared by X116 + X117.
     */
   private def exactPieces(c: Catalog): DataFrame =
     graft.pipeline.TrainingSet.packExactChunks(
-      TextAnalysis.chunkDocuments(c.documents, maxTokens = 64, stride = 48)
-        .join(graft.ops.Scale.shuffleOrder(
-          c.documents.select("doc_id"), "doc_id"), Seq("doc_id"))
-        .localCheckpoint(false),
-      packTokens = 256L)
+      orderedChunkStream(c, keepText = true), packTokens = 256L)
 
   /** Per-corpus persisted sign-LSH (hyperplane) ANN index — the
     * bucket-partitioned corpus of [[graft.vector.Ann.writeIndex]] at

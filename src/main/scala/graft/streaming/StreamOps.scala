@@ -506,19 +506,12 @@ object StreamOps {
       exactDedup: Boolean): DataFrame = {
     val acceptedRoot = s"$outDir/accepted"
     val deltaRoot = s"$outDir/index_delta"
-    // COMPLETE batch directories only (_SUCCESS present), excluding the
-    // batch currently being (re)processed: a replayed batch must never
-    // see its own earlier partial or complete write as "prior corpus" —
-    // its docs would collide with themselves at Jaccard 1.0 and the
-    // whole batch would silently self-reject
-    def batchDirs(root: String, excludeBatch: Long): Seq[String] = {
-      val r = new java.io.File(root)
-      if (!r.isDirectory) Nil
-      else r.listFiles.toSeq
-        .filter(d => d.isDirectory && d.getName != s"b$excludeBatch" &&
-          new java.io.File(d, "_SUCCESS").exists())
-        .map(_.getPath).sorted
-    }
+    // COMPLETE batch directories only (completeBatchDirs: _SUCCESS
+    // present, excluding the batch currently being (re)processed): a
+    // replayed batch must never see its own earlier partial or
+    // complete write as "prior corpus" — its docs would collide with
+    // themselves at Jaccard 1.0 and the whole batch would silently
+    // self-reject
     if (batch.isEmpty) batch.toDF().limit(0)
     else {
       val spark = batch.sparkSession
@@ -527,14 +520,14 @@ object StreamOps {
       else {
         val b1 = b0.localCheckpoint(true)
         // corpus side: base index + every COMPLETE earlier batch's delta
-        val banded = batchDirs(deltaRoot, batchId).foldLeft(
+        val banded = completeBatchDirs(deltaRoot, batchId).foldLeft(
           graft.text.MinHashDedup.readBandedIndex(spark, corpusIndexPath, cfg)) {
           (acc, d) => acc.unionByName(
             graft.text.MinHashDedup.readBandedIndex(spark, d, cfg))
         }
         // texts of earlier COMPLETE acceptances, for exact verification
         // of the (few) candidate pairs
-        val acceptedPrior = batchDirs(acceptedRoot, batchId)
+        val acceptedPrior = completeBatchDirs(acceptedRoot, batchId)
         val priorAccepted =
           if (acceptedPrior.isEmpty) b1.limit(0)
           else acceptedPrior.map(spark.read.parquet(_))

@@ -170,6 +170,17 @@ object Ivf {
       .withColumn("cents",
         flatten(transform(col("__top"), t =>
           element_at(col("groups"), (t("pid") + 1).cast("int")))))
+      // a vector whose probed supers are ALL memberless (possible under
+      // the dot metric: a super dominated by a colinear higher-norm
+      // super attracts no members, itself included) would otherwise
+      // argmax over an empty array → null list_id → a row written to a
+      // default partition no probe ever reads (silent recall loss).
+      // Fall back to the FULL member union — the exact argmax — for
+      // exactly those rows; CaseWhen evaluates the wide branch only
+      // where the gather came back empty.
+      .withColumn("cents",
+        when(size(col("cents")) > 0, col("cents"))
+          .otherwise(flatten(col("groups"))))
       .withColumn("best",
         org.apache.spark.sql.GraftColumnBridge.column(
           graft.functions.BestCentroid(
@@ -337,8 +348,14 @@ object Ivf {
     // list dir it sees — at nLists ∝ N that is tasks × nLists fragments,
     // and fragment count is what probes pay per file-open. Assignment
     // routes through assignForBuild: exact argmax below
-    // HierarchicalThreshold lists, the two-level path above it.
-    assignForBuild(embeddings, saved, nLists.toLong)
+    // HierarchicalThreshold lists, the two-level path above it. The
+    // switch input is the ACTUAL persisted centroid count, not the
+    // requested nLists — centroids() caps at the corpus size, and a
+    // request far above it must not buy the approximate path for an
+    // index whose real list count the exact argmax handles fine (it is
+    // also what appendToIndex computes, so base and appends always use
+    // the same policy).
+    assignForBuild(embeddings, saved, saved.count())
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/vectors")
   }

@@ -175,12 +175,20 @@ object Opq {
       if (sampleFraction >= 1.0) embeddings
       else embeddings.sample(withReplacement = false, sampleFraction, seed)
     var rot = identityRotation(spark, dim)
+    var prev: Option[DataFrame] = None
     for (_ <- 0 until opqIters) {
       val rotated = rotateVectors(pool, rot).localCheckpoint(true)
+      // free the PREVIOUS round's pool-sized checkpoint now that this
+      // round's exists — without it the loop pins up to opqIters full
+      // rotated-corpus copies in executor storage (the Bpe.learnMerges
+      // iterative-loop discipline)
+      prev.foreach(_.unpersist())
+      prev = Some(rotated)
       val cb = Pq.trainCodebooks(rotated, m, ks, pqIters, dim)
       val recon = reconstruct(Pq.encode(rotated, cb, dim / m), cb)
       rot = procrustes(spark, crossCovariance(pool, recon, dim))
     }
+    prev.foreach(_.unpersist())
     rot
   }
 

@@ -258,6 +258,36 @@ class IvfSpec extends SparkSpec {
     val cagree = cexact.count { case (v, l) => capprox(v) == l }
     assert(cagree.toDouble / cexact.size >= 0.99,
       s"clustered corpus must keep near-perfect narrow agreement: $cagree/${cexact.size}")
+
+    // memberless-super fallback: colinear centroids with growing norms —
+    // under the dot metric every centroid's nearest super is the
+    // largest-norm sampled super, so every OTHER super is memberless;
+    // a query anti-aligned with the shared direction ranks exactly
+    // those memberless supers first, and a narrow probe would
+    // previously argmax over an empty candidate array (null list_id —
+    // a row written to a partition no probe ever reads). The fallback
+    // must route such rows to the FULL member union, i.e. the exact
+    // argmax.
+    val u = unitVec(77L)
+    val colCents = spark.createDataFrame(java.util.Arrays.asList(
+      (0 until 64).map(k => org.apache.spark.sql.Row(
+        k.toLong, u.map(x => x * (k + 1)))): _*),
+      StructType(Seq(StructField("centroid_id", LongType),
+        StructField("centroid", ArrayType(FloatType)))))
+    val anti = spark.createDataFrame(java.util.Arrays.asList(
+      (0L until 8L).map { i =>
+        val n = unitVec(100L + i)
+        org.apache.spark.sql.Row(i,
+          u.zip(n).map { case (a, b) => -a + 0.01f * b })
+      }: _*),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val happrox = Ivf.assignHierarchical(anti, colCents, superProbe = 1)
+      .localCheckpoint(true)
+    assert(happrox.filter(col("list_id").isNull).isEmpty,
+      "the empty-gather fallback must never emit a null list_id")
+    assert(memb(happrox) == memb(Ivf.assign(anti, colCents)),
+      "empty-gather rows must fall back to the exact argmax")
   }
 
   test("IVF delta probe: a committed-but-dataless delta yields zero candidates, not a schema failure") {
