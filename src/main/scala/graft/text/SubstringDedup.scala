@@ -45,9 +45,9 @@ import org.apache.spark.sql.functions._
   * (expected collisions ~ T²/2⁶⁵ for T distinct windows — at 10¹²
   * windows, ~30 spurious L-token spans corpus-wide, each bounded by
   * minTokens tokens lost). Boilerplate windows repeated millions of
-  * times concentrate on one reducer like an LSH hot bucket; WindowExec
-  * sorts and spills rather than buffering, and the hits they emit are
-  * position-sized, so the skew bounds task time, not memory.
+  * times (the LSH-hot-bucket analogue) never concentrate on one task:
+  * duplicate marking is a partial-aggregated groupBy plus a skew-
+  * splittable join, not a window over the key — see [[duplicatedHits]].
   */
 object SubstringDedup {
 
@@ -98,18 +98,37 @@ object SubstringDedup {
 
   /** Non-canonical occurrences of duplicated windows: every (doc_id, p)
     * whose window key occurs elsewhere too AND is not the globally
-    * first occurrence of that key (ORDER BY doc_id, p). Positions are
+    * first occurrence of that key (min (doc_id, p)). Positions are
     * unique per doc (one window per position), so downstream per-doc
     * orderings are total.
+    *
+    * Hot-key shape (the 100 TB reason this is a groupBy + join, NOT a
+    * window over `__key`): a boilerplate window repeated 10⁶–10⁸×
+    * (license headers, templated pages) would land every occurrence in
+    * ONE WindowExec partition — and AQE can split skewed join
+    * partitions but never window partitions. Here the hot key
+    * collapses map-side in the partial aggregate (each mapper emits
+    * one (key, count, min-struct) row), the per-key stats table
+    * carries only keys with __occ > 1, and the join back is either a
+    * broadcast (stats small) or an AQE-skew-splittable shuffle join —
+    * in both cases no task ever buffers all occurrences of one key.
+    * Pinned by the hot-key fixture in ScaleGrowthBench (max task time
+    * vs median on a 10⁶-occurrence key) and row-identical to the old
+    * window formulation by SubstringDedupSpec's planted fixtures +
+    * corpus pins (X118/X119 hashes unchanged).
     */
   private def duplicatedHits(documents: DataFrame, minTokens: Int, hashKeys: Boolean): DataFrame = {
-    val byKey = Window.partitionBy("__key")
-    val firstByKey = byKey.orderBy("doc_id", "p")
-    windowHits(documents, minTokens, hashKeys)
-      .select(col("doc_id"), col("p"),
-        count(lit(1)).over(byKey).as("__occ"),
-        row_number().over(firstByKey).as("__rk"))
-      .where(col("__occ") > 1 && col("__rk") > 1)
+    val wins = windowHits(documents, minTokens, hashKeys)
+    val dupKeyStats = wins
+      .groupBy("__key")
+      .agg(count(lit(1)).as("__occ"),
+        min(struct(col("doc_id"), col("p"))).as("__first"))
+      .where(col("__occ") > 1)
+      .select(col("__key"), col("__first"))
+    wins
+      .join(dupKeyStats, Seq("__key"))
+      .where(col("doc_id") =!= col("__first.doc_id") ||
+        col("p") =!= col("__first.p"))
       .select(col("doc_id"), col("p"), (col("p") + (minTokens - 1)).as("e"))
   }
 
@@ -201,13 +220,23 @@ object SubstringDedup {
   def incrementalDuplicatedSpans(
       newDocs: DataFrame, existingKeys: DataFrame, minTokens: Int): DataFrame = {
     val wins = windowHits(newDocs, minTokens, hashKeys = true)
-    val firstInBatch = Window.partitionBy("__key").orderBy("doc_id", "p")
+    // first-in-batch via groupBy + join (not a window over __key) for
+    // the same hot-key reason as duplicatedHits: a boilerplate window
+    // repeated across the whole batch must collapse map-side, never
+    // pile into one WindowExec partition. struct(doc_id, p) ≠ __first
+    // is exactly "not the batch-first occurrence" (a key occurring
+    // once IS its own first, so the predicate is false for it).
+    val firstInBatch = wins
+      .groupBy("__key")
+      .agg(min(struct(col("doc_id"), col("p"))).as("__first"))
     val marked = wins
       .join(existingKeys.select(col("key").as("__key"), lit(true).as("__old"))
         .distinct(), Seq("__key"), "left_outer")
+      .join(firstInBatch, Seq("__key"))
       .select(col("doc_id"), col("p"),
         (coalesce(col("__old"), lit(false)) ||
-          row_number().over(firstInBatch) > 1).as("__hit"))
+          col("doc_id") =!= col("__first.doc_id") ||
+          col("p") =!= col("__first.p")).as("__hit"))
     mergeSpans(marked.where(col("__hit"))
       .select(col("doc_id"), col("p"), (col("p") + (minTokens - 1)).as("e")))
   }

@@ -469,6 +469,72 @@ object ScaleGrowthBench {
     }
     }
 
+    // X118 HOT-KEY straggler probe (VERDICT r13 item 1): one window key
+    // repeated ~10⁶× — the license-boilerplate shape the block-diagonal
+    // growth fixture cannot exhibit (its replica tags make every window
+    // unique to its replica). Every doc carries the SAME 10-token
+    // boilerplate plus doc-unique tokens, so exactly one window key has
+    // n occurrences while every other key is doc-unique. Under the old
+    // count/row_number-over-__key plan all n occurrences landed in ONE
+    // WindowExec partition (AQE cannot split window partitions); under
+    // the groupBy+join plan the hot key collapses in the map-side
+    // partial aggregate and the join back is broadcast/skew-splittable,
+    // so no task dominates. Evidence: per-task durations from a
+    // listener — in every material stage of the job, max task time must
+    // stay within ~2× of the stage median (3× required, headroom for
+    // local[32] scheduling noise on ms-scale tasks).
+    if (keep("X118_hotkey")) {
+      val nHot = 1000000L
+      val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+      val hotDocs = spark.range(1L, nHot + 1L).select(
+        col("id").as("doc_id"),
+        concat(lit("u"), col("id"), lit("a u"), col("id"), lit("b "),
+          lit(boiler), lit(" u"), col("id"), lit("c")).as("text"))
+        .repartition(32).localCheckpoint(true)
+      val stageTasks = scala.collection.concurrent.TrieMap[
+        Int, scala.collection.mutable.ArrayBuffer[Long]]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskInfo != null && e.taskInfo.successful)
+            stageTasks.getOrElseUpdate(e.stageId,
+              scala.collection.mutable.ArrayBuffer()) += e.taskInfo.duration
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val (mass, tHot) = timed(
+        graft.text.SubstringDedup
+          .duplicatedSpans(hotDocs, minTokens = 10, hashKeys = true)
+          .agg(coalesce(sum("span_tokens"), lit(0L))).first().getLong(0))
+      Thread.sleep(2000) // let the listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      // 13 tokens/doc, boilerplate at positions 3..12: every doc except
+      // the canonical first occurrence loses exactly that 10-token span
+      require(mass == 10L * (nHot - 1),
+        s"hot-key fixture span mass must be 10*(n-1): got $mass")
+      // material stages only: ≥ 8 tasks and ≥ 2 s of total task time —
+      // below that, constant per-task overhead dominates and the ratio
+      // measures the scheduler, not the plan
+      val material = stageTasks.toSeq
+        .map { case (sid, ds) => (sid, ds.toVector.sorted) }
+        .filter { case (_, ds) => ds.size >= 8 && ds.sum >= 2000L }
+        .sortBy { case (_, ds) => -ds.sum }
+      require(material.nonEmpty,
+        "hot-key probe produced no material stage — fixture too small to measure")
+      material.foreach { case (sid, ds) =>
+        val med = ds(ds.size / 2).toDouble
+        val ratio = ds.last / med
+        println(f"SCALEGROWTH X118_hotkey stage=$sid%4d tasks=${ds.size}%3d " +
+          f"total=${ds.sum / 1000.0}%7.1f s  median=${med / 1000.0}%6.2f s  " +
+          f"max=${ds.last / 1000.0}%6.2f s  max/median=$ratio%.2f")
+        require(ratio <= 3.0,
+          s"hot-key straggler in stage $sid: max ${ds.last} ms vs median $med ms " +
+            s"(${ds.size} tasks) — the duplicate-marking plan is not skew-proof")
+      }
+      println(f"SCALEGROWTH X118_hotkey wall $tHot%.2f s  n=$nHot%,d  " +
+        f"hot-key occurrences=$nHot%,d  span_tokens=$mass%,d  — no straggler")
+      hotDocs.unpersist()
+    }
+
     spark.stop()
   }
 }
