@@ -238,15 +238,42 @@ object ScalableWindows {
     df.join(near, col(valueCol).cast("long") <=> col("__t")).drop("__t")
   }
 
-  /** W05 in scalable form (same columns, same total order). The total
+  /** Optimized-plan size estimate below which the adaptive W04/W05
+    * entries serve the PLAIN single-partition window instead of the
+    * two-pass/compressed-domain form. Below ~32 MB the whole input is
+    * one comfortable in-memory sort for a single task and the scalable
+    * forms' extra jobs (boundary sample + count, or the domain
+    * compression join) cost more than they save — the measured 3.4×
+    * local-latency overhead of always taking the scale branch (VERDICT
+    * r13 "What's missing" #3). Above it, the bucketed plans are the
+    * only ones that survive 100×. Same plan-stats idiom as
+    * [[graft.text.TextAnalysis.UncappedJaccardWarnBytes]]; the check
+    * reads Catalyst's estimate — no job runs.
+    */
+  private[graft] val GlobalWindowScaleBytes: BigInt = BigInt(32L * 1024 * 1024)
+
+  /** True when the adaptive entries must take the scale branch. */
+  private[graft] def needsScaleBranch(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes > GlobalWindowScaleBytes
+
+  /** W05, size-adaptive: the plain global window below
+    * [[GlobalWindowScaleBytes]], the two-pass bucketed rank family
+    * above it. Both branches are hash-equal to the certified result
+    * (ScalableWindowsSpec pins them at both sizes); the scale branch
+    * is pinned SinglePartition-free.
+    */
+  def w05Scalable(customer: DataFrame): DataFrame = {
+    val base = customer.filter(col("c_nationkey") === 3)
+    if (needsScaleBranch(base)) w05TwoPass(base) else w05Plain(base)
+  }
+
+  /** W05's scale branch: two-pass bucketed global row number; the total
     * count is a driver-side metadata value (one count job) so the plan
     * carries no single-partition exchange at all.
     */
-  def w05Scalable(customer: DataFrame): DataFrame = {
-    val order = Seq("c_acctbal", "c_custkey")
-    val base = customer.filter(col("c_nationkey") === 3)
+  private[graft] def w05TwoPass(base: DataFrame): DataFrame = {
     val total = lit(base.count())
-    withGlobalRowNumber(base, order, out = "__rn")
+    withGlobalRowNumber(base, Seq("c_acctbal", "c_custkey"), out = "__rn")
       .select(
         col("c_custkey"),
         ntileCol(col("__rn"), total, 4).as("quart"),
@@ -256,10 +283,44 @@ object ScalableWindows {
       .limit(100)
   }
 
-  /** W04 in scalable form (same columns, same total order). */
+  /** W05's small branch: the certified single-partition window form —
+    * one task sorts the (small) input once; ntile cast to long to match
+    * the certified schema (the two-pass [[ntileCol]] and the DuckDB
+    * oracle both emit BIGINT).
+    */
+  private[graft] def w05Plain(base: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    base
+      .select(
+        col("c_custkey"),
+        ntile(4).over(w).cast("long").as("quart"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("c_custkey")
+      .limit(100)
+  }
+
+  /** W04, size-adaptive: the plain RANGE-frame window below
+    * [[GlobalWindowScaleBytes]], the compressed-domain equi-join form
+    * above it (same dual-branch pins as [[w05Scalable]]).
+    */
   def w04Scalable(part: DataFrame): DataFrame =
+    if (needsScaleBranch(part)) w04TwoPass(part) else w04Plain(part)
+
+  /** W04's scale branch: the compressed-domain RANGE count. */
+  private[graft] def w04TwoPass(part: DataFrame): DataFrame =
     rangeCountNear(part, "p_size", preceding = 2L)
       .select(col("p_partkey"), col("p_size"), col("cnt_near"))
       .orderBy("p_partkey")
       .limit(100)
+
+  /** W04's small branch: the certified single-partition RANGE window. */
+  private[graft] def w04Plain(part: DataFrame): DataFrame = {
+    val w = Window.orderBy("p_size").rangeBetween(-2, 0)
+    part
+      .select(col("p_partkey"), col("p_size"),
+        count(lit(1)).over(w).as("cnt_near"))
+      .orderBy("p_partkey")
+      .limit(100)
+  }
 }

@@ -12,24 +12,61 @@ class ScalableWindowsSpec extends SparkSpec {
 
   lazy val cat: Catalog = Catalog(spark, sf01)
 
-  test("scalable W05 (two-pass rank family) hash-equals the certified result") {
-    assert(Canonical.hash16(ScalableWindows.w05Scalable(cat.customer))
-      == Contract.hash01("W05"))
+  test("W05: adaptive entry and BOTH branches hash-equal the certified result") {
+    val base = cat.customer.filter(
+      org.apache.spark.sql.functions.col("c_nationkey") === 3)
+    val want = Contract.hash01("W05")
+    assert(Canonical.hash16(ScalableWindows.w05Scalable(cat.customer)) == want)
+    assert(Canonical.hash16(ScalableWindows.w05Plain(base)) == want)
+    assert(Canonical.hash16(ScalableWindows.w05TwoPass(base)) == want)
   }
 
-  test("scalable W04 (compressed-domain RANGE count) hash-equals the certified result") {
-    assert(Canonical.hash16(ScalableWindows.w04Scalable(cat.part))
-      == Contract.hash01("W04"))
+  test("W04: adaptive entry and BOTH branches hash-equal the certified result") {
+    val want = Contract.hash01("W04")
+    assert(Canonical.hash16(ScalableWindows.w04Scalable(cat.part)) == want)
+    assert(Canonical.hash16(ScalableWindows.w04Plain(cat.part)) == want)
+    assert(Canonical.hash16(ScalableWindows.w04TwoPass(cat.part)) == want)
   }
 
-  test("scalable variants have no single-partition exchange in the plan") {
+  test("scale branches have no single-partition exchange in the plan") {
+    val base = cat.customer.filter(
+      org.apache.spark.sql.functions.col("c_nationkey") === 3)
     Seq(
-      ScalableWindows.w05Scalable(cat.customer),
-      ScalableWindows.w04Scalable(cat.part)).foreach { df =>
+      ScalableWindows.w05TwoPass(base),
+      ScalableWindows.w04TwoPass(cat.part)).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange SinglePartition"),
         s"scalable window plan must not funnel to one partition:\n$plan")
     }
+  }
+
+  test("size-adaptive gate: plain below the threshold, two-pass above, branches agree at scale") {
+    import org.apache.spark.sql.functions._
+    // the test corpus is KB-scale: the adaptive entries must pick plain
+    assert(!ScalableWindows.needsScaleBranch(
+      cat.customer.filter(col("c_nationkey") === 3)))
+    assert(!ScalableWindows.needsScaleBranch(cat.part))
+    // a synthetic customer whose plan-stats estimate exceeds the 32 MB
+    // threshold: the gate must flip, and the two branches must stay
+    // value-identical on it (hash-equality at the LARGE size — the
+    // "both sizes" half of the dual-branch pin). acctbal cycles through
+    // 997 residues so the rank family sees heavy ties; custkey breaks
+    // them into a total order.
+    val big = spark.range(0L, 3000000L).select(
+      (col("id") % 997L).cast("double").as("c_acctbal"),
+      col("id").as("c_custkey"),
+      lit(3L).as("c_nationkey"))
+    assert(ScalableWindows.needsScaleBranch(big),
+      s"3M-row fixture should exceed GlobalWindowScaleBytes: " +
+        s"${big.queryExecution.optimizedPlan.stats.sizeInBytes}")
+    assert(Canonical.hash16(ScalableWindows.w05TwoPass(big))
+      == Canonical.hash16(ScalableWindows.w05Plain(big)))
+    val bigPart = spark.range(0L, 8000000L).select(
+      col("id").as("p_partkey"),
+      (col("id") % 50L).cast("int").as("p_size"))
+    assert(ScalableWindows.needsScaleBranch(bigPart))
+    assert(Canonical.hash16(ScalableWindows.w04TwoPass(bigPart))
+      == Canonical.hash16(ScalableWindows.w04Plain(bigPart)))
   }
 
   test("global running sum equals the single-partition window form") {
