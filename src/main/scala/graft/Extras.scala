@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{asc, broadcast, coalesce, col, count, desc, element_at, exp, explode, greatest, length, lit, max, min, octet_length, round, size, slice, sum, transform, when}
+import org.apache.spark.sql.functions.{asc, broadcast, coalesce, col, count, desc, element_at, exp, explode, greatest, length, lit, max, md5, min, octet_length, regexp_replace, round, size, slice, sum, transform, upper, when}
 
 import graft.core.Engine
 import graft.functions.ZOrderValue
@@ -292,6 +292,24 @@ object Extras {
       c.documents.filter(col("source") === "src0"),
       bandedV2Table(c),
       c.embeddings)
+
+  /** [[x93Manifest]] from the write-once stamped store — the persisted
+    * release manifest an order-impact audit reads. Keyed on every
+    * version the manifest content depends on.
+    */
+  private def x93ManifestStored(c: Catalog): DataFrame =
+    stampedArtifact(c, "manifest_v1",
+      s"manifest_v1:1:sig${MinHashDedup.SignatureVersion}")(x93Manifest(c))
+
+  /** [[x121Manifest]] from the write-once stamped store (the span cut
+    * and the from-scratch channels are paid once per corpus; X121
+    * itself keeps running the chain live — it certifies the first-run
+    * state, this certifies the audit-over-stored-manifests state).
+    */
+  private def x121ManifestStored(c: Catalog): DataFrame =
+    stampedArtifact(c, "manifest_v2",
+      s"manifest_v2:1:sub${graft.text.SubstringDedup.AlgorithmVersion}" +
+        s":sig${MinHashDedup.SignatureVersion}:w10")(x121Manifest(c))
 
   /** Shared write-once/read-forever scheme for derived-report
     * artifacts (the production shape: a heavy report is computed once
@@ -1813,7 +1831,12 @@ object Extras {
     // release engineer reads to decide whether to pay the span-cut
     // stage: on this corpus it shows the cut subsuming the doc-level
     // near-dup mass (dedup_drops fall to zero) while keeping strictly
-    // more unique content; fully oracle-checked
+    // more unique content; fully oracle-checked. Both manifests come
+    // from the write-once stamped store (the production shape — an
+    // order-impact audit reads the two releases' persisted manifests,
+    // it never re-runs both pipelines): X121 keeps measuring the v2
+    // chain from scratch, X122 aggregates stored rows (VERDICT r13
+    // item 4 — the shared stages are paid once per corpus, not twice)
     "X122_order_impact" -> q(c => {
       def stats(m: DataFrame, tag: String, subCut: Column) = m.agg(
         count(lit(1)).as("docs"),
@@ -1823,11 +1846,44 @@ object Extras {
         count(when(col("keep"), 1)).as("kept"))
         .select(lit(tag).as("pipeline"), col("docs"), col("decon_drops"),
           col("dedup_drops"), col("sub_cut_tokens"), col("kept"))
-      stats(x93Manifest(c), "v1_doc_level_first", sum(lit(0L)))
+      stats(x93ManifestStored(c), "v1_doc_level_first", sum(lit(0L)))
         .unionByName(
-          stats(x121Manifest(c), "v2_span_cut_first",
+          stats(x121ManifestStored(c), "v2_span_cut_first",
             sum(col("sub_dup_tokens"))))
         .orderBy("pipeline")
+    }),
+    // CCNet-style normalization (Wenzek et al. 2020) vs raw
+    // fingerprinting (TextAnalysis.normalizeText: native-codegen'd NFC
+    // → casefold → digit fold → punctuation fold → whitespace
+    // collapse): each corpus doc gets two planted variants that differ
+    // ONLY in normalization-removable ways — v1 swaps 'a' for
+    // precomposed U+00E1, v2 swaps 'a' for decomposed 'a'+COMBINING
+    // ACUTE (U+0301) and uppercases the whole doc. Raw fingerprints
+    // see three distinct documents; normalized fingerprints collapse
+    // v1 ≡ v2 (NFC unifies the composition forms, casefold the case) —
+    // exactly the near-dup class every raw-text dedup tier misses.
+    // One row per union doc: its raw and normalized fingerprint-group
+    // sizes and whether only normalization catches it. Oracle: DuckDB
+    // nfc_normalize + lower + RE2 \p{N}/\p{P} (the same Unicode
+    // categories Java's regex uses); fully oracle-checked — which is
+    // what pins the Spark-vs-DuckDB normalization parity itself
+    "X123_normalized_dedup" -> q(c => {
+      val slice = c.documents.filter(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val v1 = slice.select((col("doc_id") + 100000L).as("doc_id"),
+        regexp_replace(col("text"), "a", "\u00e1").as("text"))
+      val v2 = slice.select((col("doc_id") + 200000L).as("doc_id"),
+        upper(regexp_replace(col("text"), "a", "a\u0301")).as("text"))
+      val u = slice.unionByName(v1).unionByName(v2)
+      val fp = u.select(col("doc_id"),
+        md5(col("text")).as("rfp"),
+        md5(graft.text.TextAnalysis.normalizeText(col("text"))).as("nfp"))
+      val rawCnt = fp.groupBy("rfp").agg(count(lit(1)).as("raw_grp"))
+      val normCnt = fp.groupBy("nfp").agg(count(lit(1)).as("norm_grp"))
+      fp.join(rawCnt, Seq("rfp")).join(normCnt, Seq("nfp"))
+        .select(col("doc_id"), col("raw_grp"), col("norm_grp"),
+          (col("norm_grp") > col("raw_grp")).as("caught_by_normalization"))
+        .orderBy("doc_id")
     }),
     // OPQ vs plain PQ at EQUAL m·ks budget (Ge et al. 2013 — a learned
     // orthogonal rotation before the subspace split; graft.vector.Opq):
@@ -3725,6 +3781,31 @@ SELECT 'v2_span_cut_first',
   CAST(COALESCE(SUM(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
 FROM m2
 ORDER BY pipeline
+""".trim,
+    // X123: CCNet normalization vs raw fingerprinting — the DuckDB
+    // restatement of TextAnalysis.normalizeText is
+    // nfc_normalize → lower → \p{N}→'0' → \p{P}+→' ' → \s+ collapse
+    // (RE2's Unicode categories match Java's); variants are planted
+    // with chr() so no non-ASCII literal rides the SQL string
+    "X123_normalized_dedup" -> """
+WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+u AS (
+  SELECT doc_id, text FROM s
+  UNION ALL
+  SELECT doc_id + 100000, replace(text, 'a', chr(225)) FROM s
+  UNION ALL
+  SELECT doc_id + 200000, upper(replace(text, 'a', 'a' || chr(769))) FROM s),
+f AS (SELECT doc_id, md5(text) AS rfp,
+  md5(trim(regexp_replace(regexp_replace(regexp_replace(
+    lower(nfc_normalize(text)),
+    '\p{N}', '0', 'g'), '\p{P}+', ' ', 'g'), '\s+', ' ', 'g'))) AS nfp
+  FROM u),
+rc AS (SELECT rfp, CAST(COUNT(*) AS BIGINT) AS raw_grp FROM f GROUP BY 1),
+nc AS (SELECT nfp, CAST(COUNT(*) AS BIGINT) AS norm_grp FROM f GROUP BY 1)
+SELECT CAST(f.doc_id AS BIGINT) AS doc_id, rc.raw_grp, nc.norm_grp,
+  nc.norm_grp > rc.raw_grp AS caught_by_normalization
+FROM f JOIN rc ON f.rfp = rc.rfp JOIN nc ON f.nfp = nc.nfp
+ORDER BY doc_id
 """.trim,
     // X79's plan arithmetic at a 1 M budget, then the repetition
     // explode: full epochs via generate_series, the residual via the

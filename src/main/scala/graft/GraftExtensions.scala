@@ -29,6 +29,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "graft_zorder(x, y) takes two bigint args")
         graft.functions.ZOrderValue(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_nfc(s) takes one string arg")
+        graft.functions.NfcNormalize(exprs.head)
+      }))
     // SQL-dialect aggregate(zip_with(...)) folds → codegen'd DotProduct
     ext.injectOptimizerRule(_ => DotProductRewrite)
     // native merge-based as-of join (AsOfJoinPlan → AsOfJoinExec)

@@ -132,6 +132,13 @@ object VectorFunctions {
         require(exprs.length == 1, "graft_deflate_len(s) takes one string arg")
         DeflateLen(exprs.head)
       })
+    registry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_nfc(s) takes one string arg")
+        NfcNormalize(exprs.head)
+      })
   }
 
   /** Column form of [[DeflateLen]]. */

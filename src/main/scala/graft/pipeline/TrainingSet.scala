@@ -1168,17 +1168,34 @@ object TrainingSet {
       ngramScores: Option[DataFrame] = None,
       corpusPairs: Option[DataFrame] = None,
       maxSpanTokens: Option[Int] = None,
-      minIdDedupWinners: Boolean = false): DataFrame =
+      minIdDedupWinners: Boolean = false,
+      normalizeFirst: Boolean = false): DataFrame = {
+    // optional stage −1 — CCNet text normalization (NFC, case/digit/
+    // punctuation folds) of corpus AND benchmark, so every downstream
+    // fingerprint (substring windows, MinHash shingles, decon n-grams)
+    // sees one canonical form and composition-/case-only near-dups
+    // stop escaping the tiers. Normalizing the corpus but not the
+    // benchmark would silently blind decontamination — both or neither.
+    // Under normalizeFirst the manifest's accounting and the shipped
+    // clean_text are in NORMALIZED form, and the caller's banded index
+    // must be built over the normalized+cleaned text (the same v2
+    // contract as hashWindowKeys — one text pipeline end to end).
+    val (cor, bench) =
+      if (normalizeFirst)
+        (graft.text.TextAnalysis.withNormalizedText(corpus),
+          graft.text.TextAnalysis.withNormalizedText(benchmark))
+      else (corpus, benchmark)
     // stage 0 — cut duplicated spans; lazy checkpoint because the clean
     // text feeds every downstream stage AND the accounting columns
     manifestV2FromCleaned(
       graft.text.SubstringDedup
-        .cleanCorpus(corpus, windowTokens, hashWindowKeys)
+        .cleanCorpus(cor, windowTokens, hashWindowKeys)
         .localCheckpoint(false),
-      corpus, benchmark, banded, embeddings, n, ngramThreshold, deconDedup,
+      cor, bench, banded, embeddings, n, ngramThreshold, deconDedup,
       cosThreshold, corpusDedup, pplBuckets, mixtureStrata, mixtureAlpha,
       seed, qualityModel, nearDupPairs, ngramScores, corpusPairs,
       maxSpanTokens, minIdDedupWinners)
+  }
 
   /** [[curationManifestV2]] over an already-materialized stage-0 table
     * ([[graft.text.SubstringDedup.cleanCorpus]]'s output for exactly
@@ -1207,7 +1224,10 @@ object TrainingSet {
       ngramScores: Option[DataFrame] = None,
       corpusPairs: Option[DataFrame] = None,
       maxSpanTokens: Option[Int] = None,
-      minIdDedupWinners: Boolean = false): DataFrame = {
+      minIdDedupWinners: Boolean = false,
+      verifyBandedText: Boolean = true): DataFrame = {
+    if (verifyBandedText && corpusPairs.isEmpty)
+      requireBandedOverCleanedText(cleaned, banded, corpusDedup)
     val corpusClean =
       graft.text.SubstringDedup.withCleanText(corpus, cleaned)
     cleaned
@@ -1317,6 +1337,67 @@ object TrainingSet {
     * first uncovered doc. `remedy` tells the caller the artifact-param
     * escape hatch for their entry point.
     */
+  /** The v2 banded contract ([[manifestV2FromCleaned]]: the index was
+    * built over THIS run's CLEANED corpus text) enforced at runtime by
+    * a one-doc spot check: an index built over raw pre-clean text
+    * carries the same doc_ids, so [[requireBandedCoversCorpus]] passes
+    * while every near-dup candidate comes from stale signatures —
+    * silent verdict drift. Recomputing ONE sampled doc's member rows
+    * from its clean_text and requiring the index to carry exactly them
+    * catches that with near-certainty (one changed token moves the
+    * whole signature, hence every band bucket). Cost: one
+    * TakeOrdered(1) over the (checkpointed) cleaned table, one pushed-
+    * predicate scan of the index, one 1-row signature job — metadata-
+    * sized against the stages this guards.
+    */
+  private def requireBandedOverCleanedText(
+      cleaned: DataFrame,
+      banded: DataFrame,
+      cfg: MinHashConfig): Unit = {
+    val shingleable =
+      size(TextAnalysis.tokens(col("clean_text"))) >= cfg.shingleSize
+    // prefer a doc the span cut actually CHANGED (dup_tokens > 0): an
+    // unchanged doc signs identically under raw and cleaned text, so
+    // it can validate the config/scheme but never the text version.
+    // When no changed doc shingles, cleaned ≡ raw on every probeable
+    // doc and the fallback still pins config/scheme drift.
+    val probe = cleaned
+      .filter(col("dup_tokens") > 0 && shingleable)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text")
+      .limit(1).collect() match {
+        case found if found.nonEmpty => found
+        case _ => cleaned.filter(shingleable).orderBy("doc_id")
+          .select("doc_id", "clean_text").limit(1).collect()
+      }
+    if (probe.isEmpty) return // nothing shingles — nothing the index could index
+    val id = probe.head.getLong(0)
+    val spark = cleaned.sparkSession
+    val one = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(id, probe.head.getString(1))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val want = MinHashDedup.expectedMemberRows(one, cfg)
+      .select("sigh", "band", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = banded.filter(col("id") === id)
+      .select("sigh", "band", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    require(got == want,
+      s"v2 banded contract violated: the index's rows for sampled doc_id $id " +
+        s"do not match the signature of its CLEANED text (AlgorithmVersion " +
+        s"${graft.text.SubstringDedup.AlgorithmVersion}). The index was built " +
+        "over a different text version (likely the raw pre-clean corpus) or a " +
+        "different MinHash config — near-dup candidates would come from stale " +
+        "signatures. Rebuild the banded index over cleanCorpus output, or pass " +
+        "verifyBandedText = false only if the index provenance is externally " +
+        "guaranteed.")
+  }
+
   private def requireBandedCoversCorpus(
       corpus: DataFrame,
       banded: DataFrame,

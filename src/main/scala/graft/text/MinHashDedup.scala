@@ -180,6 +180,17 @@ object MinHashDedup {
         explode(array(bandStructs(cfg): _*)).as("bb"))
       .select(col("id"), col("sigh"), col("bb.band").as("band"), col("bb.band_hash").as("bucket"))
 
+  /** The banded member rows (id, sigh, band, bucket) that `documents`
+    * WOULD contribute to an index built under `cfg` — the recompute
+    * half of index-provenance spot checks: sample a doc, recompute its
+    * rows from the text the index is CLAIMED to cover, and require the
+    * persisted index carries exactly them (an index built over any
+    * other text version disagrees with near-certainty — one changed
+    * token moves the whole signature).
+    */
+  def expectedMemberRows(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    memberTable(signatures(documents, cfg), cfg)
+
   def candidatePairsFromSignatures(sigs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame =
     // the distinct pair set is consumed several times downstream
     // (candidate-id extraction for both sides + the verification join);

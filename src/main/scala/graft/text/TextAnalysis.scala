@@ -36,6 +36,57 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), w => w =!= "")
 
+  /** CCNet-style text normalization (Wenzek et al. 2020) as a pure
+    * Column program — the opt-in front end of every dedup tier
+    * (fingerprint, MinHash, substring): near-dups differing only in
+    * Unicode composition form, case, digits or punctuation escape raw
+    * fingerprinting entirely; normalizing BEFORE fingerprinting catches
+    * them. Steps, in order:
+    *
+    *   1. NFC (native codegen'd [[graft.functions.NfcNormalize]]) —
+    *      canonically-equivalent byte sequences become one form;
+    *   2. case fold (`lower`);
+    *   3. digit fold — every Unicode number (\p{N}) becomes '0', so
+    *      "page 17 of 438" and "page 3 of 12" fingerprint identically;
+    *   4. punctuation fold — runs of Unicode punctuation (\p{P})
+    *      become one space (boilerplate differing only in quote style
+    *      or dash width collapses);
+    *   5. whitespace collapse + trim, so the result re-tokenizes
+    *      cleanly under [[tokens]]'s single-space convention.
+    *
+    * Each fold is independently optional; defaults are the full CCNet
+    * recipe. Restated in portable SQL (DuckDB `nfc_normalize` + `lower`
+    * + RE2 `\p{N}`/`\p{P}`, which match Java's Unicode categories) —
+    * the X123 oracle pins the parity. Normalization is for KEYS
+    * (fingerprints, shingles, window hashes), not for shipped text:
+    * callers keep the raw text column and derive keys from this.
+    */
+  def normalizeText(
+      text: Column,
+      caseFold: Boolean = true,
+      foldDigits: Boolean = true,
+      foldPunct: Boolean = true): Column = {
+    val nfc = graft.functions.NfcNormalize(text)
+    val cased = if (caseFold) lower(nfc) else nfc
+    val digits = if (foldDigits) regexp_replace(cased, "\\p{N}", "0") else cased
+    val punct = if (foldPunct) regexp_replace(digits, "\\p{P}+", " ") else digits
+    trim(regexp_replace(punct, "\\s+", " "))
+  }
+
+  /** `documents` with `text` replaced by [[normalizeText]] of itself —
+    * the convenience wrapper for running a whole dedup tier over
+    * normalized text (every other column rides along unchanged). For
+    * pipelines that must SHIP raw text while DEDUPING normalized text,
+    * derive keys with [[normalizeText]] directly instead.
+    */
+  def withNormalizedText(
+      documents: DataFrame,
+      caseFold: Boolean = true,
+      foldDigits: Boolean = true,
+      foldPunct: Boolean = true): DataFrame =
+    documents.withColumn("text",
+      normalizeText(col("text"), caseFold, foldDigits, foldPunct))
+
   /** Word n-gram shingles: positions 1..len-n+1, space-joined. The unit
     * of near-dup detection — shingle collisions across documents are
     * rare for independent texts, so shingle-keyed joins stay sparse.

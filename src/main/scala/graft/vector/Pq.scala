@@ -470,6 +470,17 @@ object Pq {
   def chooseProbeBudget(curve: DataFrame, targets: Seq[Double]): DataFrame = {
     require(targets.nonEmpty && targets.forall(t => t >= 0.0 && t <= 1.0),
       s"chooseProbeBudget targets must be in [0, 1], got $targets")
+    // fail-loud on a NULL recall row in a caller-supplied curve:
+    // NULL never satisfies recall >= target, so such a budget would be
+    // silently unselectable and the fallback could pick a budget whose
+    // recall was never measured. probeBudgetCurve guards its own
+    // output; this mirrors it for the documented direct-DataFrame use.
+    val nullRecall = curve.filter(col("recall").isNull)
+    require(nullRecall.isEmpty,
+      "chooseProbeBudget: the calibration curve has NULL recall at nprobe " +
+        nullRecall.select("nprobe").limit(3).collect().map(_.get(0)).mkString(", ") +
+        " — re-measure the curve (probeBudgetCurve fails loud on an empty " +
+        "ground truth) before choosing budgets from it")
     val spark = curve.sparkSession
     import spark.implicits._
     val tg = targets.distinct.sorted.toDF("target")

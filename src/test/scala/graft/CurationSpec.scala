@@ -379,4 +379,98 @@ class CurationSpec extends SparkSpec {
     val pos = docs.select("shuffle_pos").collect().map(_.getLong(0)).sorted
     assert(pos.sameElements(1L to pos.length.toLong))
   }
+
+  private def plantedDocs(rows: Seq[(Long, String)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (i, t) => Row(i, t, "en") }: _*),
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType))))
+  }
+
+  private lazy val emptyEmb: DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Collections.emptyList[Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+  }
+
+  test("v2 banded contract is enforced: an index built over RAW pre-clean text fails loud") {
+    // doc 2 carries a non-canonical copy of a 12-token span, so its
+    // CLEANED text differs from its raw text — the probe doc whose
+    // signature discriminates a raw-built index from a cleaned-built one
+    val s = (1 to 12).map(i => s"s$i").mkString(" ")
+    def filler(tag: String, n: Int): String = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val corpusV = plantedDocs(Seq(
+      1L -> s"$s ${filler("a", 20)}",
+      2L -> s"$s ${filler("b", 20)}",
+      3L -> filler("c", 25)))
+    val benchV = plantedDocs(Seq(100L -> filler("z", 25)))
+    // the V1 index: signatures of the RAW corpus ∪ benchmark — exactly
+    // the stale artifact the v2 contract exists to reject
+    val dir = Files.createTempDirectory("graft-v2prov-raw-banded").toString
+    val cfg = MinHashConfig()
+    MinHashDedup.writeBandedIndex(
+      MinHashDedup.signatures(corpusV.unionByName(benchV), cfg), dir, cfg)
+    val rawBanded = MinHashDedup.readBandedIndex(spark, dir, cfg)
+    val e = intercept[IllegalArgumentException] {
+      TrainingSet.curationManifestV2(corpusV, benchV, rawBanded, emptyEmb)
+        .collect()
+    }
+    assert(e.getMessage.contains("v2 banded contract violated"),
+      s"wrong failure: ${e.getMessage}")
+    // the same corpus with a properly-built index passes
+    val good = bandedOverCleaned(corpusV, benchV)
+    assert(TrainingSet.curationManifestV2(corpusV, benchV, good, emptyEmb)
+      .count() == 3L)
+  }
+
+  test("normalizeFirst catches normalization-only near-dups the raw pipeline misses") {
+    // doc 11 is doc 10 up to case and Unicode composition form only:
+    // 10 carries precomposed á tokens, 11 the decomposed
+    // 'a' + COMBINING ACUTE form fully uppercased. Raw fingerprints (and raw
+    // MinHash shingles, and raw substring windows) see two unrelated
+    // documents; the CCNet normalization stage (NFC + casefold) makes
+    // them byte-identical, so stage 0 cuts the non-canonical copy
+    // entirely.
+    // letter-run suffixes, not digits: the digit fold would otherwise
+    // collapse numbered tokens into self-repeating runs and the
+    // substring stage would cut WITHIN every doc
+    def filler(tag: String, n: Int): String =
+      (1 to n).map(i => tag + ("q" * i)).mkString(" ")
+    val base = (1 to 25).map(i => "t\u00e1" + ("b" * i)).mkString(" ")
+    val variant = (1 to 25).map(i => "TA\u0301" + ("B" * i)).mkString(" ")
+    val corpusV = plantedDocs(Seq(
+      10L -> base, 11L -> variant,
+      12L -> filler("c", 25), 13L -> filler("d", 25)))
+    val benchV = plantedDocs(Seq(100L -> filler("z", 25)))
+
+    // raw order: nothing fires — both variants ship
+    val rawBanded = bandedOverCleaned(corpusV, benchV)
+    val mRaw = TrainingSet.curationManifestV2(corpusV, benchV, rawBanded, emptyEmb)
+      .select("doc_id", "sub_dup_tokens", "keep").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(mRaw(10L)._1 == 0L && mRaw(11L)._1 == 0L,
+      s"raw pipeline must not see the planted pair: $mRaw")
+
+    // normalized order: the banded contract follows the text pipeline —
+    // index over cleanCorpus(normalized corpus) ∪ normalized benchmark
+    val normBanded = bandedOverCleaned(
+      TextAnalysis.withNormalizedText(corpusV),
+      TextAnalysis.withNormalizedText(benchV))
+    val mNorm = TrainingSet.curationManifestV2(
+        corpusV, benchV, normBanded, emptyEmb, normalizeFirst = true)
+      .select("doc_id", "n_tokens", "sub_dup_tokens", "keep").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(mNorm(10L)._2 == 0L && mNorm(10L)._3,
+      s"canonical copy must survive untouched: ${mNorm(10L)}")
+    assert(mNorm(11L)._2 == mNorm(11L)._1 && !mNorm(11L)._3,
+      s"non-canonical copy must be fully span-cut and dropped: ${mNorm(11L)}")
+    assert(mNorm(12L)._2 == 0L && mNorm(13L)._2 == 0L,
+      s"neutral docs untouched: $mNorm")
+  }
 }

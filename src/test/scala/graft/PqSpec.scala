@@ -633,6 +633,14 @@ class PqSpec extends SparkSpec {
     assert(mono == mono.sorted, s"chosen budgets must be monotone: $mono")
     intercept[IllegalArgumentException](Pq.chooseProbeBudget(curve, Seq(1.5)))
     intercept[IllegalArgumentException](Pq.chooseProbeBudget(curve, Seq.empty))
+    // a caller-supplied curve with a NULL recall row fails loud — NULL
+    // never satisfies recall >= target, so that budget would be
+    // silently unselectable and the fallback could pick an unmeasured one
+    val holed = curve.withColumn("recall",
+      when(col("nprobe") === 4, lit(null).cast(DoubleType)).otherwise(col("recall")))
+    val err = intercept[IllegalArgumentException](
+      Pq.chooseProbeBudget(holed, Seq(0.5)))
+    assert(err.getMessage.contains("NULL recall"), err.getMessage)
 
     // measured curve on the unstructured fixture: micro arithmetic is
     // Σ hits / Σ exact of the per-budget recall report, one row per
