@@ -85,28 +85,124 @@ object Bpe {
     val merges = ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var done = false
+    // Batched distributed loop (VERDICT r13 item 5): each scan collects
+    // the top candidate WINDOW and applies every merge that is provably
+    // the sequential argmax at its turn — see [[acceptBatch]] for the
+    // exactness argument. A chain-heavy corpus (each merge's token
+    // feeding the next top pair) degenerates to one merge per scan —
+    // same job count as the old per-merge loop (the collision-check job
+    // is skipped for singleton batches); a corpus with independent
+    // high-count pairs (any real multilingual vocab) folds whole
+    // windows per scan. BpeSpec pins batched ≡ driver-reference on
+    // chain-heavy + supplementary-plane fixtures and the corpus, and
+    // pins the job-count win mechanically.
     while (step <= numMerges && !done) {
-      val top = vocab
+      val window = vocab
         .select(col("freq"), explode(adjacentPairs(col("syms"))).as("p"))
         .groupBy(col("p.a"), col("p.b"))
         .agg(sum("freq").as("cnt"))
         .orderBy(desc("cnt"), asc("a"), asc("b"))
-        .limit(1)
+        .limit(BatchWindow + 1)
         .collect()
-      if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (window.isEmpty || window.head._3 < minPairCount) done = true
       else {
-        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((step, a, b, cnt))
+        val batch = acceptBatch(vocab, window, minPairCount,
+          maxAccept = numMerges - step + 1)
+        batch.foreach { case (a, b, cnt) =>
+          merges += ((step, a, b, cnt)); step += 1
+        }
         val prev = vocab
         vocab = vocab
-          .select(mergeFold(col("syms"), a, b).as("syms"), col("freq"))
+          .select(mergeFoldAll(col("syms"), batch.map(m => (m._1, m._2)))
+            .as("syms"), col("freq"))
           .localCheckpoint(true)
         prev.unpersist()
-        step += 1
       }
     }
     vocab.unpersist()
     merges.toSeq.toDF("step", "left", "right", "pair_count")
+  }
+
+  /** Candidate window per batched scan. Also the per-scan batch-size
+    * cap: the combined fold carries one when-branch per accepted merge,
+    * so the cap bounds expression size.
+    */
+  private val BatchWindow = 64
+
+  /** The longest prefix of the sorted candidate `window` that provably
+    * equals the next |prefix| steps of SEQUENTIAL BPE, so applying it
+    * in one vocab pass changes no hash. A pair is tentatively accepted
+    * in (cnt desc, left asc, right asc) order while
+    *
+    *   1. its symbols are disjoint from every accepted pair's symbols
+    *      (its count is then invariant under the accepted merges —
+    *      occurrences can neither be consumed nor created);
+    *   2. its merged token a+b is NOT an existing vocab symbol and not
+    *      another accepted pair's merged token (a fresh token cannot
+    *      conflate with pairs counted in this scan);
+    *
+    * and the scan STOPS at the first rejection (prefix rule: a skipped
+    * pair's sequential count after earlier merges is unknowable without
+    * a rescan). The prefix is then truncated to counts STRICTLY above
+    * the stop bound — the first rejected pair's count, or the first
+    * unseen pair's count when the window was full. Why that makes the
+    * batch exact: every pair CONFLICTING with the accepted set ranks at
+    * or below the stop point (the scan would have stopped there), so
+    * its count is ≤ the bound; and every pair the accepted merges can
+    * CREATE (x, a+b)/(a+b, y) is count-bounded by an old conflicting
+    * pair ((x, a)/(b, y) share a symbol) — so after any accepted
+    * prefix, nothing can reach, let alone outrank, the next accepted
+    * pair's strictly-greater count. The empty-truncation case falls
+    * back to the plain argmax — a single sequential step is exact by
+    * definition. Cost: one distributed semi-join (the fresh-token
+    * check) per MULTI-merge batch; singleton batches skip it.
+    */
+  private def acceptBatch(
+      vocab: DataFrame,
+      window: Array[(String, String, Long)],
+      minPairCount: Long,
+      maxAccept: Int): Seq[(String, String, Long)] = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val windowFull = window.length >= BatchWindow + 1
+    val candidates = if (windowFull) window.dropRight(1) else window
+    // fresh-token check in ONE bounded job: which candidate merged
+    // strings are already vocab symbols (includes symbols that occur
+    // only as single-symbol words — conflation with those would boost
+    // pairs the scan already counted)
+    val candTs = candidates.map(p => p._1 + p._2).distinct.toSeq
+    val existing: Set[String] =
+      if (candidates.length <= 1) Set.empty // singleton batch: no check needed
+      else vocab.select(explode(col("syms")).as("s"))
+        .join(candTs.toDF("s"), Seq("s"), "left_semi")
+        .distinct().collect().map(_.getString(0)).toSet
+    val accepted = ArrayBuffer.empty[(String, String, Long)]
+    val used = scala.collection.mutable.Set.empty[String]
+    val newTs = scala.collection.mutable.Set.empty[String]
+    var stopCnt = if (windowFull) window.last._3 else -1L
+    var idx = 0
+    var stopped = false
+    while (!stopped && idx < candidates.length && accepted.size < maxAccept) {
+      val (a, b, cnt) = candidates(idx)
+      val t = a + b
+      if (cnt < minPairCount) stopped = true
+      else if (used(a) || used(b) || existing(t) || newTs(t)) {
+        stopCnt = math.max(stopCnt, cnt)
+        stopped = true
+      } else {
+        accepted += ((a, b, cnt)); used += a; used += b; newTs += t
+        idx += 1
+      }
+    }
+    // window cut by maxAccept/BatchWindow with pairs left over: the
+    // next unprocessed pair bounds everything below it
+    if (!stopped && idx < candidates.length)
+      stopCnt = math.max(stopCnt, candidates(idx)._3)
+    val safe =
+      if (stopCnt >= 0) accepted.takeWhile(_._3 > stopCnt) else accepted
+    if (safe.nonEmpty) safe.toSeq
+    else Seq(window.head) // plain sequential argmax step — always exact
   }
 
   /** Codepoint-lexicographic string comparison — identical to Spark's
@@ -445,4 +541,29 @@ object Bpe {
             slice(acc, lit(1), size(acc) - 1),
             array(lit(a + b))))
           .otherwise(concat(acc, array(x))))
+
+  /** [[mergeFold]] for a whole ACCEPTED BATCH in one pass — sound only
+    * under [[acceptBatch]]'s invariants: pairwise symbol-disjoint pairs
+    * (at most one rule can fire at any position) whose merged tokens
+    * are fresh (a written token can never re-fire a rule), so one fold
+    * applying whichever rule matches equals applying the merges one
+    * after another over the whole vocab.
+    */
+  private def mergeFoldAll(syms: Column, pairs: Seq[(String, String)]): Column = {
+    require(pairs.nonEmpty, "mergeFoldAll needs at least one merge")
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) => {
+        val last = element_at(acc, -1)
+        val merged = pairs.tail.foldLeft(
+          when(last === lit(pairs.head._1) && x === lit(pairs.head._2),
+            lit(pairs.head._1 + pairs.head._2))) { case (w, (a, b)) =>
+          w.when(last === lit(a) && x === lit(b), lit(a + b))
+        }
+        when(size(acc) > 0 && merged.isNotNull,
+          concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+          .otherwise(concat(acc, array(x)))
+      })
+  }
 }

@@ -183,6 +183,53 @@ class BpeSpec extends SparkSpec {
         s"$jobsDriver vs $jobsDistributed")
   }
 
+  test("batched distributed trainer: >=4x fewer jobs than 2-per-merge at 64 merges, hash-identical") {
+    import spark.implicits._
+    // independence-rich fixture — the real-vocab shape the batching is
+    // for: 64 two-codepoint words over 128 DISTINCT codepoints with
+    // strictly distinct frequencies, so every top pair is symbol-
+    // disjoint from every other, no merged token collides, and the
+    // whole merge table folds in one or two scans. (The chain-heavy
+    // `fixture` above exercises the opposite regime — there exactness
+    // forces near-singleton batches, pinned equal in the previous
+    // test.)
+    val texts = (0 until 64).map { i =>
+      val w = new String(Character.toChars(0x400 + 2 * i)) +
+        new String(Character.toChars(0x400 + 2 * i + 1))
+      Array.fill(200 - i)(w).mkString(" ")
+    }
+    val docs = texts.toDF("text")
+    val got = Bpe.learnMerges(docs, numMerges = 64, minPairCount = 1L,
+        driverVocabLimit = 0)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == refMerges(wordFreq(texts), k = 64, minCnt = 1L),
+      "batched distributed trainer must equal the sequential reference")
+    assert(got.size == 64)
+
+    def countJobs(run: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { run; Thread.sleep(500) }
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    val jobs = countJobs {
+      Bpe.learnMerges(docs, numMerges = 64, minPairCount = 1L,
+        driverVocabLimit = 0).collect()
+    }
+    // the old per-merge loop paid 2 jobs (argmax + checkpoint) per
+    // merge; the batch must beat that by at least 4x here
+    val sequentialJobs = 2 * 64
+    assert(jobs * 4 <= sequentialJobs,
+      s"batched distributed trainer must cut jobs at least 4x vs the " +
+        s"per-merge loop: $jobs vs $sequentialJobs")
+  }
+
   test("rank-greedy one-pass encode ≡ sequential merge replay on the learned table") {
     import spark.implicits._
     val docs = fixture.toDF("text").withColumn("doc_id", monotonically_increasing_id())

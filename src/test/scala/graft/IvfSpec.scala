@@ -290,6 +290,25 @@ class IvfSpec extends SparkSpec {
       "empty-gather rows must fall back to the exact argmax")
   }
 
+  test("hierarchical member broadcast enforces its sizing ceiling at the boundary") {
+    val emb = cat.embeddings
+    val cents = Ivf.centroids(emb, 64).localCheckpoint(true)
+    val dim = cents.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("centroid"))).first().getInt(0)
+    val est = 64L * (4L * dim + 24L) // the documented estimate formula
+    // one byte under the estimate: the build must refuse, naming sizes
+    val e = intercept[IllegalArgumentException] {
+      Ivf.assignHierarchical(emb, cents, maxMemberBroadcastBytes = est - 1)
+    }
+    assert(e.getMessage.contains("ceiling") && e.getMessage.contains(est.toString),
+      e.getMessage)
+    // exactly at the estimate: the build runs (the ceiling is inclusive)
+    assert(Ivf.assignHierarchical(emb, cents, maxMemberBroadcastBytes = est)
+      .count() == emb.count())
+    // the default ceiling admits the declared design sizes (16k x dim)
+    assert(64L * (4L * dim + 24L) <= Ivf.DefaultMaxMemberBroadcastBytes)
+  }
+
   test("IVF delta probe: a committed-but-dataless delta yields zero candidates, not a schema failure") {
     import org.apache.spark.sql.functions._
     val emb = cat.embeddings

@@ -39,6 +39,53 @@ object ScaleGrowthBench {
     (r, (System.nanoTime - t0) / 1e9)
   }
 
+  /** Run `run` under a per-task-duration listener; returns (result,
+    * wall seconds, stages as (stageId, sorted task durations ms)
+    * largest-total first).
+    */
+  private def collectTaskTimes[T](
+      spark: org.apache.spark.sql.SparkSession)(run: => T): (T, Double, Seq[(Int, Vector[Long])]) = {
+    val stageTasks = scala.collection.concurrent.TrieMap[
+      Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null && e.taskInfo.successful)
+          stageTasks.getOrElseUpdate(e.stageId,
+            scala.collection.mutable.ArrayBuffer()) += e.taskInfo.duration
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (r, t) = timed(run)
+    Thread.sleep(2000) // let the listener bus drain
+    spark.sparkContext.removeSparkListener(listener)
+    val stages = stageTasks.toSeq
+      .map { case (sid, ds) => (sid, ds.toVector.sorted) }
+      .sortBy { case (_, ds) => -ds.sum }
+    (r, t, stages)
+  }
+
+  /** Straggler gate over every MATERIAL stage (≥ 8 tasks, ≥ 2 s total
+    * task time — below that, constant per-task overhead dominates and
+    * the ratio measures the scheduler, not the plan): max task within
+    * 3× of the stage median.
+    */
+  private def assertNoStraggler(
+      tag: String, stages: Seq[(Int, Vector[Long])]): Unit = {
+    val material = stages.filter { case (_, ds) => ds.size >= 8 && ds.sum >= 2000L }
+    require(material.nonEmpty,
+      s"$tag produced no material stage — fixture too small to measure")
+    material.foreach { case (sid, ds) =>
+      val med = ds(ds.size / 2).toDouble
+      val ratio = ds.last / med
+      println(f"SCALEGROWTH $tag stage=$sid%4d tasks=${ds.size}%3d " +
+        f"total=${ds.sum / 1000.0}%7.1f s  median=${med / 1000.0}%6.2f s  " +
+        f"max=${ds.last / 1000.0}%6.2f s  max/median=$ratio%.2f")
+      require(ratio <= 3.0,
+        s"$tag straggler in stage $sid: max ${ds.last} ms vs median $med ms " +
+          s"(${ds.size} tasks)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.core.Engine.session(
       master = "local[32]", shufflePartitions = 32, appName = "scalegrowth")
@@ -491,48 +538,62 @@ object ScaleGrowthBench {
         concat(lit("u"), col("id"), lit("a u"), col("id"), lit("b "),
           lit(boiler), lit(" u"), col("id"), lit("c")).as("text"))
         .repartition(32).localCheckpoint(true)
-      val stageTasks = scala.collection.concurrent.TrieMap[
-        Int, scala.collection.mutable.ArrayBuffer[Long]]()
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (e.taskInfo != null && e.taskInfo.successful)
-            stageTasks.getOrElseUpdate(e.stageId,
-              scala.collection.mutable.ArrayBuffer()) += e.taskInfo.duration
-      }
-      spark.sparkContext.addSparkListener(listener)
-      val (mass, tHot) = timed(
+      val (mass, tHot, stages) = collectTaskTimes(spark)(
         graft.text.SubstringDedup
           .duplicatedSpans(hotDocs, minTokens = 10, hashKeys = true)
           .agg(coalesce(sum("span_tokens"), lit(0L))).first().getLong(0))
-      Thread.sleep(2000) // let the listener bus drain
-      spark.sparkContext.removeSparkListener(listener)
       // 13 tokens/doc, boilerplate at positions 3..12: every doc except
       // the canonical first occurrence loses exactly that 10-token span
       require(mass == 10L * (nHot - 1),
         s"hot-key fixture span mass must be 10*(n-1): got $mass")
-      // material stages only: ≥ 8 tasks and ≥ 2 s of total task time —
-      // below that, constant per-task overhead dominates and the ratio
-      // measures the scheduler, not the plan
-      val material = stageTasks.toSeq
-        .map { case (sid, ds) => (sid, ds.toVector.sorted) }
-        .filter { case (_, ds) => ds.size >= 8 && ds.sum >= 2000L }
-        .sortBy { case (_, ds) => -ds.sum }
-      require(material.nonEmpty,
-        "hot-key probe produced no material stage — fixture too small to measure")
-      material.foreach { case (sid, ds) =>
-        val med = ds(ds.size / 2).toDouble
-        val ratio = ds.last / med
-        println(f"SCALEGROWTH X118_hotkey stage=$sid%4d tasks=${ds.size}%3d " +
-          f"total=${ds.sum / 1000.0}%7.1f s  median=${med / 1000.0}%6.2f s  " +
-          f"max=${ds.last / 1000.0}%6.2f s  max/median=$ratio%.2f")
-        require(ratio <= 3.0,
-          s"hot-key straggler in stage $sid: max ${ds.last} ms vs median $med ms " +
-            s"(${ds.size} tasks) — the duplicate-marking plan is not skew-proof")
-      }
+      assertNoStraggler("X118_hotkey", stages)
       println(f"SCALEGROWTH X118_hotkey wall $tHot%.2f s  n=$nHot%,d  " +
         f"hot-key occurrences=$nHot%,d  span_tokens=$mass%,d  — no straggler")
       hotDocs.unpersist()
+    }
+
+    // X07 HOT-BUCKET probe (VERDICT r13 item 7): a NEAR-CONSTANT corpus
+    // — one text mirrored 50,000× (the license-file pile) among 5,000
+    // unique docs — sends 50k identical signatures into ONE (band,
+    // bucket) key per band, far past maxBucket = 4096. The capped
+    // generation must (a) actually engage, (b) keep the identical-
+    // signature pile fully connected (its star to the min id is the
+    // cap's EXACT tier — recall floor 1.0 for identical signatures, the
+    // only mass a constant pile has), and (c) produce no straggler
+    // task: the pile's pairs are linear (m−1 per band), not m², and the
+    // star fan-out is bounded by the cap chunking.
+    if (keep("X07_hotbucket")) {
+      val nPile = 50000L
+      val nUnique = 5000L
+      val pileText = (1 to 40).map(i => s"lic$i").mkString(" ")
+      val hotCorpus = spark.range(0L, nPile + nUnique).select(
+        col("id").as("doc_id"),
+        when(col("id") < nPile, lit(pileText))
+          .otherwise(concat_ws(" ",
+            (1 to 40).map(i => concat(lit(s"u${i}_"), col("id"))): _*)).as("text"))
+        .repartition(32).localCheckpoint(true)
+      val cfg = graft.text.MinHashConfig()
+      // cap engagement is observed, not assumed: the banded member
+      // table must carry buckets larger than maxBucket
+      val maxBucket = graft.text.MinHashDedup
+        .bandedSignatures(hotCorpus, cfg)
+        .groupBy("band", "band_hash").agg(count(lit(1)).as("n"))
+        .agg(max("n")).first().getLong(0)
+      require(maxBucket > cfg.maxBucket,
+        s"fixture must overflow the bucket cap: max bucket $maxBucket vs cap ${cfg.maxBucket}")
+      val (winners, tHot, stages) = collectTaskTimes(spark)(
+        graft.text.MinHashDedup.dedupWinners(hotCorpus).count())
+      // recall floor on the pile: identical signatures stay connected
+      // through the cap's exact tier, so the 50k-doc pile collapses to
+      // exactly ONE winner; unique docs pair with nothing
+      require(winners == 1L + nUnique,
+        s"capped dedup must keep the identical pile fully connected: " +
+          s"$winners winners vs ${1L + nUnique} expected")
+      assertNoStraggler("X07_hotbucket", stages)
+      println(f"SCALEGROWTH X07_hotbucket wall $tHot%.2f s  pile=$nPile%,d  " +
+        f"max_bucket=$maxBucket%,d (cap ${cfg.maxBucket})  winners=$winners%,d  — " +
+        "cap engaged, recall floor held, no straggler")
+      hotCorpus.unpersist()
     }
 
     spark.stop()
