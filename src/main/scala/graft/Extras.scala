@@ -293,13 +293,26 @@ object Extras {
       bandedV2Table(c),
       c.embeddings)
 
+  /** Stamp-key fragment carrying every curationManifest parameter the
+    * two manifest builds run with (their defaults, spelled out — a
+    * default change must never ride a stale manifest) plus the manual
+    * manifest-assembly version (bump on any semantic change to the
+    * stage chain itself, the sigTable v-guard idiom).
+    */
+  private def manifestParamsKey: String =
+    "mv1:n5:ng0.2:cos0.35:dedup0.8b16h64c4096:decon0.5b16h64c4096" +
+      ":ppl3:mixlang0.5:seed42"
+
   /** [[x93Manifest]] from the write-once stamped store — the persisted
     * release manifest an order-impact audit reads. Keyed on every
-    * version the manifest content depends on.
+    * version + parameter the manifest content depends on (the channel
+    * artifacts it reads are themselves stamped, so their semantic
+    * versions ride [[manifestParamsKey]]'s assembly version).
     */
   private def x93ManifestStored(c: Catalog): DataFrame =
     stampedArtifact(c, "manifest_v1",
-      s"manifest_v1:1:sig${MinHashDedup.SignatureVersion}")(x93Manifest(c))
+      s"manifest_v1:1:sig${MinHashDedup.SignatureVersion}:$manifestParamsKey")(
+      x93Manifest(c))
 
   /** [[x121Manifest]] from the write-once stamped store (the span cut
     * and the from-scratch channels are paid once per corpus; X121
@@ -309,7 +322,8 @@ object Extras {
   private def x121ManifestStored(c: Catalog): DataFrame =
     stampedArtifact(c, "manifest_v2",
       s"manifest_v2:1:sub${graft.text.SubstringDedup.AlgorithmVersion}" +
-        s":sig${MinHashDedup.SignatureVersion}:w10")(x121Manifest(c))
+        s":sig${MinHashDedup.SignatureVersion}:w10:$manifestParamsKey")(
+      x121Manifest(c))
 
   /** Shared write-once/read-forever scheme for derived-report
     * artifacts (the production shape: a heavy report is computed once

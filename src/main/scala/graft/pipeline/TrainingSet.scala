@@ -1226,8 +1226,22 @@ object TrainingSet {
       maxSpanTokens: Option[Int] = None,
       minIdDedupWinners: Boolean = false,
       verifyBandedText: Boolean = true): DataFrame = {
-    if (verifyBandedText && corpusPairs.isEmpty)
-      requireBandedOverCleanedText(cleaned, banded, corpusDedup)
+    // the provenance spot check runs for every config the index is
+    // ACTUALLY consumed under: the dedup stage reads it with
+    // corpusDedup unless corpusPairs short-circuits that stage, and
+    // the decon near-dup channel reads it with deconDedup unless
+    // nearDupPairs does — a stale index must fail loud on whichever
+    // path still touches it. Configs agreeing on every member-row
+    // parameter (shingleSize, numHashes, bands) are checked once.
+    if (verifyBandedText) {
+      val consumedUnder =
+        (if (corpusPairs.isEmpty) Seq(corpusDedup) else Nil) ++
+          (if (nearDupPairs.isEmpty) Seq(deconDedup) else Nil)
+      consumedUnder
+        .groupBy(c => (c.shingleSize, c.numHashes, c.bands))
+        .values.map(_.head)
+        .foreach(requireBandedOverCleanedText(cleaned, banded, _))
+    }
     val corpusClean =
       graft.text.SubstringDedup.withCleanText(corpus, cleaned)
     cleaned

@@ -167,42 +167,56 @@ object Bpe {
     import spark.implicits._
     val windowFull = window.length >= BatchWindow + 1
     val candidates = if (windowFull) window.dropRight(1) else window
-    // fresh-token check in ONE bounded job: which candidate merged
-    // strings are already vocab symbols (includes symbols that occur
-    // only as single-symbol words — conflation with those would boost
-    // pairs the scan already counted)
-    val candTs = candidates.map(p => p._1 + p._2).distinct.toSeq
-    val existing: Set[String] =
-      if (candidates.length <= 1) Set.empty // singleton batch: no check needed
-      else vocab.select(explode(col("syms")).as("s"))
+
+    // one driver-side acceptance scan under a given fresh-token oracle
+    def scan(existing: String => Boolean): Seq[(String, String, Long)] = {
+      val accepted = ArrayBuffer.empty[(String, String, Long)]
+      val used = scala.collection.mutable.Set.empty[String]
+      val newTs = scala.collection.mutable.Set.empty[String]
+      var stopCnt = if (windowFull) window.last._3 else -1L
+      var idx = 0
+      var stopped = false
+      while (!stopped && idx < candidates.length && accepted.size < maxAccept) {
+        val (a, b, cnt) = candidates(idx)
+        val t = a + b
+        if (cnt < minPairCount) stopped = true
+        else if (used(a) || used(b) || existing(t) || newTs(t)) {
+          stopCnt = math.max(stopCnt, cnt)
+          stopped = true
+        } else {
+          accepted += ((a, b, cnt)); used += a; used += b; newTs += t
+          idx += 1
+        }
+      }
+      // window cut by maxAccept/BatchWindow with pairs left over: the
+      // next unprocessed pair bounds everything below it
+      if (!stopped && idx < candidates.length)
+        stopCnt = math.max(stopCnt, candidates(idx)._3)
+      val safe =
+        if (stopCnt >= 0) accepted.takeWhile(_._3 > stopCnt) else accepted
+      if (safe.nonEmpty) safe.toSeq
+      else Seq(window.head) // plain sequential argmax step — always exact
+    }
+
+    // tentative pass with an empty oracle first: a batch that comes out
+    // a SINGLETON is exact without any check (a single argmax step is
+    // sequential BPE whatever its token collides with), so the
+    // chain-heavy regime pays the same 2 jobs per merge as the old
+    // per-merge loop. Only a multi-merge tentative batch buys the
+    // fresh-token job: which candidate merged strings are already
+    // vocab symbols (including symbols occurring only as single-symbol
+    // words — conflation with those would boost pairs the scan already
+    // counted). The real oracle can only stop the scan EARLIER, so
+    // re-scanning with it is the exact algorithm, not an approximation.
+    val tentative = scan(_ => false)
+    if (tentative.lengthCompare(1) <= 0) tentative
+    else {
+      val candTs = candidates.map(p => p._1 + p._2).distinct.toSeq
+      val existing: Set[String] = vocab.select(explode(col("syms")).as("s"))
         .join(candTs.toDF("s"), Seq("s"), "left_semi")
         .distinct().collect().map(_.getString(0)).toSet
-    val accepted = ArrayBuffer.empty[(String, String, Long)]
-    val used = scala.collection.mutable.Set.empty[String]
-    val newTs = scala.collection.mutable.Set.empty[String]
-    var stopCnt = if (windowFull) window.last._3 else -1L
-    var idx = 0
-    var stopped = false
-    while (!stopped && idx < candidates.length && accepted.size < maxAccept) {
-      val (a, b, cnt) = candidates(idx)
-      val t = a + b
-      if (cnt < minPairCount) stopped = true
-      else if (used(a) || used(b) || existing(t) || newTs(t)) {
-        stopCnt = math.max(stopCnt, cnt)
-        stopped = true
-      } else {
-        accepted += ((a, b, cnt)); used += a; used += b; newTs += t
-        idx += 1
-      }
+      scan(existing)
     }
-    // window cut by maxAccept/BatchWindow with pairs left over: the
-    // next unprocessed pair bounds everything below it
-    if (!stopped && idx < candidates.length)
-      stopCnt = math.max(stopCnt, candidates(idx)._3)
-    val safe =
-      if (stopCnt >= 0) accepted.takeWhile(_._3 > stopCnt) else accepted
-    if (safe.nonEmpty) safe.toSeq
-    else Seq(window.head) // plain sequential argmax step — always exact
   }
 
   /** Codepoint-lexicographic string comparison — identical to Spark's

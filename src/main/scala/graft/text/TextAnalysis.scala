@@ -46,8 +46,10 @@ object TextAnalysis {
     *   1. NFC (native codegen'd [[graft.functions.NfcNormalize]]) —
     *      canonically-equivalent byte sequences become one form;
     *   2. case fold (`lower`);
-    *   3. digit fold — every Unicode number (\p{N}) becomes '0', so
-    *      "page 17 of 438" and "page 3 of 12" fingerprint identically;
+    *   3. digit fold — every Unicode number codepoint (\p{N}) becomes
+    *      one '0' (the CCNet per-digit rule: "page 17" ≡ "page 99" ≡
+    *      "page 00"; numbers with DIFFERENT digit counts still differ —
+    *      "17" → "00" vs "438" → "000");
     *   4. punctuation fold — runs of Unicode punctuation (\p{P})
     *      become one space (boilerplate differing only in quote style
     *      or dash width collapses);

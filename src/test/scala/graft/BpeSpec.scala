@@ -94,6 +94,23 @@ class BpeSpec extends SparkSpec {
     texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
       .groupMapReduce(identity)(_ => 1L)(_ + _)
 
+  /** Spark jobs started while `run` executes. Drains the async
+    * listener bus (onJobStart is delivered off the calling thread)
+    * before reading the counter.
+    */
+  private def countJobs(run: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { run; Thread.sleep(500) }
+    finally spark.sparkContext.removeSparkListener(l)
+    n.get()
+  }
+
   private val fixture = Seq(
     "the theme of the thesis is the same theme",
     "low lower lowest low low slower slow",
@@ -157,20 +174,6 @@ class BpeSpec extends SparkSpec {
 
     // the point of the hybrid: a 64-merge train is O(1) jobs, not O(2
     // per merge) — count jobs via a listener around each path
-    def countJobs(run: => Unit): Int = {
-      val n = new java.util.concurrent.atomic.AtomicInteger(0)
-      val l = new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          n.incrementAndGet()
-      }
-      spark.sparkContext.addSparkListener(l)
-      // drain the async listener bus before reading the counter —
-      // onJobStart events are delivered off the calling thread
-      try { run; Thread.sleep(500) }
-      finally spark.sparkContext.removeSparkListener(l)
-      n.get()
-    }
     val jobsDriver = countJobs {
       Bpe.learnMerges(docs, numMerges = 64, minPairCount = 1L).collect()
     }
@@ -206,18 +209,6 @@ class BpeSpec extends SparkSpec {
       "batched distributed trainer must equal the sequential reference")
     assert(got.size == 64)
 
-    def countJobs(run: => Unit): Int = {
-      val n = new java.util.concurrent.atomic.AtomicInteger(0)
-      val l = new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          n.incrementAndGet()
-      }
-      spark.sparkContext.addSparkListener(l)
-      try { run; Thread.sleep(500) }
-      finally spark.sparkContext.removeSparkListener(l)
-      n.get()
-    }
     val jobs = countJobs {
       Bpe.learnMerges(docs, numMerges = 64, minPairCount = 1L,
         driverVocabLimit = 0).collect()
