@@ -126,11 +126,39 @@ object SubstringDedup {
       .where(col("__occ") > 1)
       .select(col("__key"), col("__first"))
     wins
-      .join(dupKeyStats, Seq("__key"))
+      .join(statsJoinSide(documents, dupKeyStats), Seq("__key"))
       .where(col("doc_id") =!= col("__first.doc_id") ||
         col("p") =!= col("__first.p"))
       .select(col("doc_id"), col("p"), (col("p") + (minTokens - 1)).as("e"))
   }
+
+  /** Corpus-size estimate below which the duplicated-key stats table is
+    * explicitly broadcast (zero probe-side shuffle — the fast local
+    * plan). Worst case EVERY window is duplicated, so the stats table
+    * is bounded by ~32 B × corpus tokens ≈ 5× the corpus bytes: 16 MB
+    * of input bounds the broadcast at ~80 MB.
+    */
+  private[graft] val BroadcastDupStatsMaxInputBytes: BigInt =
+    BigInt(16L * 1024 * 1024)
+
+  /** The join strategy for the per-key stats table, decided on the
+    * INPUT's scan-based plan estimate — never on the stats table's own
+    * post-aggregation estimate, which Catalyst routinely underestimates:
+    * left to itself it planned a compile-time broadcast of a 12.7M-row
+    * stats table at the 1000× growth point and died serializing it
+    * (heap OOM — AQE cannot undo a statically planned broadcast).
+    * Above the threshold the `merge` hint pins a shuffle join whose
+    * runtime properties AQE then optimizes from MEASURED sizes: a
+    * genuinely tiny stats side (few duplicated keys) converts to a
+    * runtime broadcast, and a hot-key-skewed probe side splits under
+    * the skew-join rule — both decisions from real bytes, not
+    * estimates. The hot-key probe in ScaleGrowthBench pins the no-
+    * straggler property of exactly this path.
+    */
+  private def statsJoinSide(documents: DataFrame, stats: DataFrame): DataFrame =
+    if (documents.queryExecution.optimizedPlan.stats.sizeInBytes
+      <= BroadcastDupStatsMaxInputBytes) broadcast(stats)
+    else stats.hint("merge")
 
   /** Gaps-and-islands merge of per-doc hit intervals (doc_id, p, e)
     * into maximal spans — covered positions form a set; spans are its
@@ -232,7 +260,7 @@ object SubstringDedup {
     val marked = wins
       .join(existingKeys.select(col("key").as("__key"), lit(true).as("__old"))
         .distinct(), Seq("__key"), "left_outer")
-      .join(firstInBatch, Seq("__key"))
+      .join(statsJoinSide(newDocs, firstInBatch), Seq("__key"))
       .select(col("doc_id"), col("p"),
         (coalesce(col("__old"), lit(false)) ||
           col("doc_id") =!= col("__first.doc_id") ||

@@ -90,6 +90,14 @@ object ScaleGrowthBench {
     val spark = graft.core.Engine.session(
       master = "local[32]", shufflePartitions = 32, appName = "scalegrowth")
     spark.sparkContext.setLogLevel("ERROR")
+    // scale the AQE skew-join thresholds down with the fixtures: the
+    // hot-key probes build deliberately skewed shuffle partitions of
+    // tens of MB, which at 100 TB would be tens of GB — far past the
+    // 256 MB default that engages the split automatically there. The
+    // probe demonstrates the MECHANISM (skew-split applies to these
+    // join shapes); production runs keep the defaults.
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 30)
 
     val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
@@ -538,6 +546,13 @@ object ScaleGrowthBench {
         concat(lit("u"), col("id"), lit("a u"), col("id"), lit("b "),
           lit(boiler), lit(" u"), col("id"), lit("c")).as("text"))
         .repartition(32).localCheckpoint(true)
+      // the probe must exercise the SCALE join strategy (merge-hinted
+      // shuffle join + AQE runtime adaptation), not the small-corpus
+      // explicit broadcast — require the fixture actually crosses the
+      // gate, or the no-straggler evidence proves the wrong plan
+      require(hotDocs.queryExecution.optimizedPlan.stats.sizeInBytes >
+        graft.text.SubstringDedup.BroadcastDupStatsMaxInputBytes,
+        "hot-key fixture too small to engage the merge-join path — grow nHot")
       val (mass, tHot, stages) = collectTaskTimes(spark)(
         graft.text.SubstringDedup
           .duplicatedSpans(hotDocs, minTokens = 10, hashKeys = true)

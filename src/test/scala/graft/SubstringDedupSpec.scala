@@ -157,4 +157,45 @@ class SubstringDedupSpec extends SparkSpec {
       SubstringDedup.duplicatedSpans(cat.documents, 0)
     }
   }
+
+  test("stats join strategy: explicit broadcast below the input gate, merge-hinted shuffle above, both exact") {
+    // small corpus (KB-scale estimate): the duplicate-marking join must
+    // be the explicit broadcast — zero probe-side shuffle locally
+    assert(cat.documents.queryExecution.optimizedPlan.stats.sizeInBytes
+      <= SubstringDedup.BroadcastDupStatsMaxInputBytes,
+      "test corpus unexpectedly exceeds the broadcast gate")
+    val smallPlan = SubstringDedup.duplicatedSpans(cat.documents, 10, hashKeys = true)
+      .queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastHashJoin"),
+      s"small corpus must plan the broadcast stats join:\n$smallPlan")
+
+    // >16 MB-estimate fixture (the hot-key shape): the gate must flip
+    // to the merge-hinted shuffle join — the compile-time plan that can
+    // never OOM building a statically planned broadcast (the 1000×
+    // growth failure this gate exists for); AQE still runtime-adapts.
+    // Exactness on this path is analytic: every doc except the
+    // canonical first loses exactly the 10-token boilerplate span.
+    val n = 1000000L
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val big = spark.range(1L, n + 1L).select(
+      org.apache.spark.sql.functions.col("id").as("doc_id"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("u"),
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.lit("a " + boiler + " u"),
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.lit("c")).as("text"))
+    assert(big.queryExecution.optimizedPlan.stats.sizeInBytes
+      > SubstringDedup.BroadcastDupStatsMaxInputBytes,
+      "big fixture must cross the broadcast gate")
+    val spans = SubstringDedup.duplicatedSpans(big, 10, hashKeys = true)
+    val bigPlan = spans.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("SortMergeJoin"),
+      s"big input must plan the merge-hinted stats join:\n$bigPlan")
+    val mass = spans
+      .agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("span_tokens"),
+        org.apache.spark.sql.functions.lit(0L))).first().getLong(0)
+    assert(mass == 10L * (n - 1), s"merge-path span mass must be 10*(n-1): $mass")
+  }
 }
