@@ -299,9 +299,16 @@ object Extras {
     * manifest-assembly version (bump on any semantic change to the
     * stage chain itself, the sigTable v-guard idiom).
     */
-  private def manifestParamsKey: String =
-    "mv1:n5:ng0.2:cos0.35:dedup0.8b16h64c4096:decon0.5b16h64c4096" +
-      ":ppl3:mixlang0.5:seed42"
+  private def manifestParamsKey: String = {
+    // the MinHash fragments DERIVE from the config objects the builds
+    // actually pass, so a MinHashConfig default change re-keys the
+    // store automatically instead of riding a stale literal
+    def cfg(c: graft.text.MinHashConfig): String =
+      s"t${c.threshold}s${c.shingleSize}b${c.bands}h${c.numHashes}c${c.maxBucket}"
+    s"mv1:n5:ng0.2:cos0.35:dedup${cfg(graft.text.MinHashConfig())}" +
+      s":decon${cfg(graft.text.MinHashConfig(threshold = 0.5))}" +
+      ":ppl3:mixlang0.5:seed42:minid0:span-:qm-:norm0"
+  }
 
   /** [[x93Manifest]] from the write-once stamped store — the persisted
     * release manifest an order-impact audit reads. Keyed on every

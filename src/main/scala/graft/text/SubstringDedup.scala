@@ -126,20 +126,27 @@ object SubstringDedup {
       .where(col("__occ") > 1)
       .select(col("__key"), col("__first"))
     wins
-      .join(statsJoinSide(documents, dupKeyStats), Seq("__key"))
+      .join(statsJoinSide(documents, dupKeyStats, hashKeys), Seq("__key"))
       .where(col("doc_id") =!= col("__first.doc_id") ||
         col("p") =!= col("__first.p"))
       .select(col("doc_id"), col("p"), (col("p") + (minTokens - 1)).as("e"))
   }
 
-  /** Corpus-size estimate below which the duplicated-key stats table is
-    * explicitly broadcast (zero probe-side shuffle — the fast local
-    * plan). Worst case EVERY window is duplicated, so the stats table
-    * is bounded by ~32 B × corpus tokens ≈ 5× the corpus bytes: 16 MB
-    * of input bounds the broadcast at ~80 MB.
+  /** Corpus-size estimates below which the duplicated-key stats table
+    * is explicitly broadcast (zero probe-side shuffle — the fast local
+    * plan). The bound is worst-case honest per key representation:
+    * EVERY window duplicated means one stats row per corpus token —
+    * ~32 B/row hashed, ~(7·minTokens + 24) B/row ≈ 100 B/row with raw
+    * window-text keys — and the input estimate itself can sit ~4×
+    * under the decoded bytes for a compressed columnar scan (Spark
+    * prices a FileScan at file size). 8 MB (hashed) / 2 MB (string)
+    * caps the forced broadcast at roughly 8·4·(32/6) ≈ 170 MB /
+    * 2·4·(100/6) ≈ 130 MB even under both worst cases together.
     */
   private[graft] val BroadcastDupStatsMaxInputBytes: BigInt =
-    BigInt(16L * 1024 * 1024)
+    BigInt(8L * 1024 * 1024)
+  private[graft] val BroadcastDupStatsMaxInputBytesStringKeys: BigInt =
+    BigInt(2L * 1024 * 1024)
 
   /** The join strategy for the per-key stats table, decided on the
     * INPUT's scan-based plan estimate — never on the stats table's own
@@ -147,18 +154,26 @@ object SubstringDedup {
     * left to itself it planned a compile-time broadcast of a 12.7M-row
     * stats table at the 1000× growth point and died serializing it
     * (heap OOM — AQE cannot undo a statically planned broadcast).
-    * Above the threshold the `merge` hint pins a shuffle join whose
-    * runtime properties AQE then optimizes from MEASURED sizes: a
-    * genuinely tiny stats side (few duplicated keys) converts to a
-    * runtime broadcast, and a hot-key-skewed probe side splits under
-    * the skew-join rule — both decisions from real bytes, not
-    * estimates. The hot-key probe in ScaleGrowthBench pins the no-
-    * straggler property of exactly this path.
+    * Above the threshold the `merge` hint pins a shuffle join; AQE
+    * still splits a hot-key-skewed probe partition under the skew-join
+    * rule (runtime-measured bytes), but — because AQE honors user
+    * join-strategy hints — it will NOT demote the hinted join to a
+    * runtime broadcast when the stats side turns out tiny: the
+    * sparse-duplication regime above the gate pays the probe-side
+    * shuffle of ~24 B hashed rows. That is the accepted cost of never
+    * trusting a compile-time underestimate with an unshardable
+    * broadcast. The hot-key probe in ScaleGrowthBench pins the
+    * no-straggler property of exactly this path.
     */
-  private def statsJoinSide(documents: DataFrame, stats: DataFrame): DataFrame =
-    if (documents.queryExecution.optimizedPlan.stats.sizeInBytes
-      <= BroadcastDupStatsMaxInputBytes) broadcast(stats)
+  private def statsJoinSide(
+      documents: DataFrame, stats: DataFrame, hashKeys: Boolean): DataFrame = {
+    val gate =
+      if (hashKeys) BroadcastDupStatsMaxInputBytes
+      else BroadcastDupStatsMaxInputBytesStringKeys
+    if (documents.queryExecution.optimizedPlan.stats.sizeInBytes <= gate)
+      broadcast(stats)
     else stats.hint("merge")
+  }
 
   /** Gaps-and-islands merge of per-doc hit intervals (doc_id, p, e)
     * into maximal spans — covered positions form a set; spans are its
@@ -260,7 +275,7 @@ object SubstringDedup {
     val marked = wins
       .join(existingKeys.select(col("key").as("__key"), lit(true).as("__old"))
         .distinct(), Seq("__key"), "left_outer")
-      .join(statsJoinSide(newDocs, firstInBatch), Seq("__key"))
+      .join(statsJoinSide(newDocs, firstInBatch, hashKeys = true), Seq("__key"))
       .select(col("doc_id"), col("p"),
         (coalesce(col("__old"), lit(false)) ||
           col("doc_id") =!= col("__first.doc_id") ||

@@ -67,7 +67,12 @@ object ScaleGrowthBench {
   /** Straggler gate over every MATERIAL stage (≥ 8 tasks, ≥ 2 s total
     * task time — below that, constant per-task overhead dominates and
     * the ratio measures the scheduler, not the plan): max task within
-    * 3× of the stage median.
+    * 4× of the stage median. The bound separates plans, not noise: a
+    * genuine hot-key pile-up puts ~all N occurrences in one task
+    * (measured 10×+ median under the old window-over-key plan), while
+    * the skew-proof plans' sub-second-median tail stages jitter up to
+    * ~3× on a 32-thread box from GC/scheduler interference alone
+    * (observed 2.3–3.0 across quiet reruns of the SAME build).
     */
   private def assertNoStraggler(
       tag: String, stages: Seq[(Int, Vector[Long])]): Unit = {
@@ -80,7 +85,7 @@ object ScaleGrowthBench {
       println(f"SCALEGROWTH $tag stage=$sid%4d tasks=${ds.size}%3d " +
         f"total=${ds.sum / 1000.0}%7.1f s  median=${med / 1000.0}%6.2f s  " +
         f"max=${ds.last / 1000.0}%6.2f s  max/median=$ratio%.2f")
-      require(ratio <= 3.0,
+      require(ratio <= 4.0,
         s"$tag straggler in stage $sid: max ${ds.last} ms vs median $med ms " +
           s"(${ds.size} tasks)")
     }
@@ -90,14 +95,26 @@ object ScaleGrowthBench {
     val spark = graft.core.Engine.session(
       master = "local[32]", shufflePartitions = 32, appName = "scalegrowth")
     spark.sparkContext.setLogLevel("ERROR")
-    // scale the AQE skew-join thresholds down with the fixtures: the
-    // hot-key probes build deliberately skewed shuffle partitions of
-    // tens of MB, which at 100 TB would be tens of GB — far past the
-    // 256 MB default that engages the split automatically there. The
-    // probe demonstrates the MECHANISM (skew-split applies to these
-    // join shapes); production runs keep the defaults.
-    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    // scale the AQE skew-join thresholds down with the fixtures, but
+    // ONLY around the hot-key probes that need them: their deliberately
+    // skewed shuffle partitions are tens of MB where 100 TB partitions
+    // would be tens of GB — far past the 256 MB default that engages
+    // the split automatically there. The probes demonstrate the
+    // MECHANISM; every growth measurement runs on production defaults
+    // (set/restore scoped, so altered coalescing can neither mask nor
+    // fabricate a growth regression).
+    def withProbeSkewConfs[T](body: => T): T = {
+      val keys = Seq(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m")
+      val prior = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
     val factors = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 30)
 
     val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
@@ -553,10 +570,10 @@ object ScaleGrowthBench {
       require(hotDocs.queryExecution.optimizedPlan.stats.sizeInBytes >
         graft.text.SubstringDedup.BroadcastDupStatsMaxInputBytes,
         "hot-key fixture too small to engage the merge-join path — grow nHot")
-      val (mass, tHot, stages) = collectTaskTimes(spark)(
+      val (mass, tHot, stages) = withProbeSkewConfs(collectTaskTimes(spark)(
         graft.text.SubstringDedup
           .duplicatedSpans(hotDocs, minTokens = 10, hashKeys = true)
-          .agg(coalesce(sum("span_tokens"), lit(0L))).first().getLong(0))
+          .agg(coalesce(sum("span_tokens"), lit(0L))).first().getLong(0)))
       // 13 tokens/doc, boilerplate at positions 3..12: every doc except
       // the canonical first occurrence loses exactly that 10-token span
       require(mass == 10L * (nHot - 1),
@@ -596,8 +613,8 @@ object ScaleGrowthBench {
         .agg(max("n")).first().getLong(0)
       require(maxBucket > cfg.maxBucket,
         s"fixture must overflow the bucket cap: max bucket $maxBucket vs cap ${cfg.maxBucket}")
-      val (winners, tHot, stages) = collectTaskTimes(spark)(
-        graft.text.MinHashDedup.dedupWinners(hotCorpus).count())
+      val (winners, tHot, stages) = withProbeSkewConfs(collectTaskTimes(spark)(
+        graft.text.MinHashDedup.dedupWinners(hotCorpus).count()))
       // recall floor on the pile: identical signatures stay connected
       // through the cap's exact tier, so the 50k-doc pile collapses to
       // exactly ONE winner; unique docs pair with nothing
