@@ -472,5 +472,23 @@ class CurationSpec extends SparkSpec {
       s"non-canonical copy must be fully span-cut and dropped: ${mNorm(11L)}")
     assert(mNorm(12L)._2 == 0L && mNorm(13L)._2 == 0L,
       s"neutral docs untouched: $mNorm")
+
+    // normalizeFirst ≡ the same pipeline over pre-normalized inputs,
+    // column by column — the reduction that carries normalization to
+    // the STREAMING ingest for free: the v2 stream ≡ batch pin
+    // (StreamingSpec) holds for ANY input corpus, so feeding the
+    // stream withNormalizedText-mapped batches against
+    // normalized-text artifacts equals batch normalizeFirst = true by
+    // transitivity; no stream-side normalization flag is needed
+    // (normalization is a stateless per-row map).
+    val viaPre = TrainingSet.curationManifestV2(
+        TextAnalysis.withNormalizedText(corpusV),
+        TextAnalysis.withNormalizedText(benchV), normBanded, emptyEmb)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaFlag = TrainingSet.curationManifestV2(
+        corpusV, benchV, normBanded, emptyEmb, normalizeFirst = true)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaFlag == viaPre,
+      "normalizeFirst must equal the pipeline over withNormalizedText inputs")
   }
 }
