@@ -1112,6 +1112,26 @@ object StreamOps {
     * the manifest's stage-0 + channel + verdict columns equal to the
     * batch [[graft.pipeline.TrainingSet.curationManifestV2]] with
     * `minIdDedupWinners = true` restricted to the new ids.
+    *
+    * `normalizeFirst` is the streaming twin of the batch flag: each
+    * arriving doc is CCNet-normalized
+    * ([[graft.text.TextAnalysis.normalizeText]] — NFC, case/digit/
+    * punctuation folds) BEFORE the span cut, so every fingerprint
+    * (window keys, MinHash shingles, decon n-grams) sees the canonical
+    * form, exactly as the batch driver's stage −1. The benchmark-side
+    * artifacts built here (shingle set, verify texts) are normalized at
+    * stream construction to match; the drift monitor still watches the
+    * RAW source (it alarms on what arrives, not on what survives the
+    * folds). Caller contracts widen the same way the batch ones do:
+    * `corpusDocs`, the banded index at `corpusIndexPath`, the window
+    * keys at `windowKeysPath` AND `benchBanded` must all be built over
+    * NORMALIZED (+cleaned, for corpus-side) text — one text pipeline
+    * end to end; a raw-text index fails loud in the batch twin's
+    * provenance check and would silently mis-candidate here. Under
+    * normalizeFirst the accepted table ships NORMALIZED cleaned text
+    * and key deltas carry normalized window keys, so replay and
+    * steady-state growth stay within one canonical form. StreamingSpec
+    * pins stream ≡ batch for `normalizeFirst = true` separately.
     */
   def curationIngestStreamV2(
       newDocs: DataFrame,
@@ -1131,11 +1151,19 @@ object StreamOps {
         graft.text.MinHashConfig(threshold = 0.5),
       cosThreshold: Double = 0.35,
       maxSpanTokens: Option[Int] = None,
-      cfg: graft.text.MinHashConfig = graft.text.MinHashConfig())
+      cfg: graft.text.MinHashConfig = graft.text.MinHashConfig(),
+      normalizeFirst: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // under normalizeFirst the frozen benchmark artifacts must see the
+    // same canonical form the arriving docs are folded into —
+    // normalizing the corpus but not the benchmark would silently
+    // blind decontamination (the batch driver's exact rule)
+    val benchSrc =
+      if (normalizeFirst) graft.text.TextAnalysis.withNormalizedText(benchmark)
+      else benchmark
     val shingleSet = graft.text.TextAnalysis
-      .benchmarkShingleSet(benchmark, n).localCheckpoint(true)
-    val benchDocs = benchmark.localCheckpoint(true)
+      .benchmarkShingleSet(benchSrc, n).localCheckpoint(true)
+    val benchDocs = benchSrc.localCheckpoint(true)
     val banded = benchBanded.localCheckpoint(true)
     val cents = benchEmbeddings.map(
       _.select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
@@ -1156,6 +1184,15 @@ object StreamOps {
               .withColumn("batch_id", lit(batchId))
               .write.mode("overwrite").parquet(s"$outDir/drift/b$batchId")
           }
+          // stage −1 (opt-in) — CCNet normalization of the arriving
+          // batch, a stateless per-row map; everything from the span
+          // cut down (window keys, decon fingerprints, near-dup
+          // signatures, the shipped accepted text) sees the canonical
+          // form, mirroring the batch driver's normalizeFirst stage
+          val src =
+            if (normalizeFirst)
+              graft.text.TextAnalysis.withNormalizedText(raw).localCheckpoint(true)
+            else raw
           // stage 0 — incremental span cut vs corpus keys ∪ COMPLETE
           // earlier key deltas (never this batch's own — replay must
           // not self-collide)
@@ -1164,9 +1201,9 @@ object StreamOps {
             (acc, d) => acc.unionByName(spark.read.parquet(d))
           }
           val cleaned = graft.text.SubstringDedup
-            .incrementalCleanCorpus(raw, keys, windowTokens)
+            .incrementalCleanCorpus(src, keys, windowTokens)
             .localCheckpoint(true)
-          val bdf = graft.text.SubstringDedup.withCleanText(raw, cleaned)
+          val bdf = graft.text.SubstringDedup.withCleanText(src, cleaned)
             .localCheckpoint(true)
           // stages 1–2 over the CLEANED text — v1's exact chain (one
           // shared definition, so the two drivers cannot drift)
@@ -1196,8 +1233,10 @@ object StreamOps {
             accepted)
             .write.mode("overwrite").parquet(s"$outDir/manifest/b$batchId")
           // key delta LAST (the ingestSubstringDedupStream contract):
-          // keys of the RAW batch; an all-short batch writes nothing
-          val delta = graft.text.SubstringDedup.windowKeys(raw, windowTokens)
+          // keys of the PRE-CUT batch (normalized under normalizeFirst,
+          // matching the persisted key table's text form); an all-short
+          // batch writes nothing
+          val delta = graft.text.SubstringDedup.windowKeys(src, windowTokens)
           if (!delta.isEmpty)
             delta.write.mode("overwrite").parquet(s"$outDir/key_delta/b$batchId")
         }

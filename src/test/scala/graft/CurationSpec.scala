@@ -474,13 +474,12 @@ class CurationSpec extends SparkSpec {
       s"neutral docs untouched: $mNorm")
 
     // normalizeFirst ≡ the same pipeline over pre-normalized inputs,
-    // column by column — the reduction that carries normalization to
-    // the STREAMING ingest for free: the v2 stream ≡ batch pin
-    // (StreamingSpec) holds for ANY input corpus, so feeding the
-    // stream withNormalizedText-mapped batches against
-    // normalized-text artifacts equals batch normalizeFirst = true by
-    // transitivity; no stream-side normalization flag is needed
-    // (normalization is a stateless per-row map).
+    // column by column — the reduction the STREAMING twin's
+    // normalizeFirst flag (StreamOps.curationIngestStreamV2) relies
+    // on: normalization is a stateless per-row map, so folding each
+    // arriving batch equals pre-normalizing the whole corpus.
+    // StreamingSpec pins stream ≡ batch for normalizeFirst = true
+    // directly on top of this identity.
     val viaPre = TrainingSet.curationManifestV2(
         TextAnalysis.withNormalizedText(corpusV),
         TextAnalysis.withNormalizedText(benchV), normBanded, emptyEmb)
@@ -490,5 +489,44 @@ class CurationSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(viaFlag == viaPre,
       "normalizeFirst must equal the pipeline over withNormalizedText inputs")
+  }
+
+  test("v2 banded contract fires across the normalization boundary, both directions") {
+    // corpus whose texts CHANGE under normalization (capitalized tags),
+    // so the provenance probe doc's signature discriminates a raw-text
+    // index from a normalized-text one
+    def filler(tag: String, n: Int): String =
+      (1 to n).map(i => tag + ("Q" * i)).mkString(" ")
+    val corpusV = plantedDocs(Seq(
+      1L -> filler("Alpha", 25), 2L -> filler("Bravo", 25),
+      3L -> filler("Carol", 25)))
+    val benchV = plantedDocs(Seq(100L -> filler("Zulu", 25)))
+    // a RAW-text index (correct for normalizeFirst = false) meeting the
+    // normalized pipeline must fail loud — its signatures nominate
+    // candidates for text that no longer exists post-fold
+    val rawBanded = bandedOverCleaned(corpusV, benchV)
+    val e1 = intercept[IllegalArgumentException] {
+      TrainingSet.curationManifestV2(
+        corpusV, benchV, rawBanded, emptyEmb, normalizeFirst = true).collect()
+    }
+    assert(e1.getMessage.contains("v2 banded contract violated"),
+      s"wrong failure: ${e1.getMessage}")
+    // ...and a NORMALIZED-text index meeting the raw pipeline fails the
+    // same way (vice versa: the index folded text the stages never see)
+    val normBanded = bandedOverCleaned(
+      TextAnalysis.withNormalizedText(corpusV),
+      TextAnalysis.withNormalizedText(benchV))
+    val e2 = intercept[IllegalArgumentException] {
+      TrainingSet.curationManifestV2(corpusV, benchV, normBanded, emptyEmb)
+        .collect()
+    }
+    assert(e2.getMessage.contains("v2 banded contract violated"),
+      s"wrong failure: ${e2.getMessage}")
+    // each index passes under ITS OWN text pipeline
+    assert(TrainingSet.curationManifestV2(corpusV, benchV, rawBanded, emptyEmb)
+      .count() == 3L)
+    assert(TrainingSet.curationManifestV2(
+      corpusV, benchV, normBanded, emptyEmb, normalizeFirst = true)
+      .count() == 3L)
   }
 }

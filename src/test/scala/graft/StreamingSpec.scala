@@ -1618,6 +1618,148 @@ class StreamingSpec extends SparkSpec {
         .first().getLong(0) == 30L)
   }
 
+  test("streaming curation V2 normalizeFirst: manifest equals batch curationManifestV2(normalizeFirst = true)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf001, "documents")
+    val emb = Tables.load(spark, sf001, "embeddings")
+    val bench = docs.filter(col("source") === "src0")
+    val benchN = graft.text.TextAnalysis.withNormalizedText(bench)
+      .localCheckpoint(true)
+    val nonBench = docs.filter(col("source") =!= "src0")
+    val gcfg = graft.text.MinHashConfig(threshold = 0.5)
+    val spanT = 30
+    def mk(id: Long, text: String): DataFrame =
+      Seq((id, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .select(Tables.schemas("documents").fields.map(f => col(f.name).cast(f.dataType)): _*)
+    // benchBanded over the NORMALIZED benchmark — the widened caller
+    // contract: one canonical text form end to end
+    val bdir = Files.createTempDirectory("graft-cur2n-bbanded").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(benchN, gcfg), bdir, gcfg)
+    val benchBanded = graft.text.MinHashDedup.readBandedIndex(spark, bdir, gcfg)
+    val emptyEmb = emb.limit(0)
+    // seed = NORMALIZED docs < 200 that pass the frozen decon gate and
+    // that the span cut leaves untouched — the v2 steady state, now in
+    // canonical form (a corpus built by THIS pipeline under
+    // normalizeFirst ships normalized clean text)
+    val seed0 = graft.text.TextAnalysis
+      .withNormalizedText(nonBench.filter(col("doc_id") < 200))
+      .localCheckpoint(true)
+    val seedKeepIds = graft.pipeline.TrainingSet.decontaminationReport(
+        seed0, benchN, benchBanded, emptyEmb, dedup = gcfg,
+        nearDupPairs = Some(graft.text.MinHashDedup
+          .crossNearDupsAgainstBanded(seed0, benchN, benchBanded, gcfg)),
+        maxSpanTokens = Some(spanT))
+      .filter(col("verdict") === "keep").select("doc_id")
+    val seed1 = seed0.join(seedKeepIds, Seq("doc_id"), "left_semi")
+    val corpus = seed1.join(
+      graft.text.SubstringDedup.cleanCorpus(seed1, 10)
+        .filter(col("dup_tokens") === 0).select("doc_id"),
+      Seq("doc_id"), "left_semi").localCheckpoint(true)
+    assert(corpus.count() > 30, "fixture needs a non-trivial clean seed")
+    val idxDir = Files.createTempDirectory("graft-cur2n-idx").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(corpus), idxDir)
+    val keysDir = Files.createTempDirectory("graft-cur2n-keys").toString
+    graft.text.SubstringDedup.windowKeys(corpus, 10)
+      .write.mode("overwrite").parquet(keysDir)
+    // arrivals: a natural slice + planted variants that ONLY the
+    // normalization stage can catch:
+    //   9000 UPPERCASED clone of a seed doc → fully span-cut vs corpus
+    //   9004 fresh 12-token span (precomposed á) + tail → canonical
+    //   9005 same span DECOMPOSED (A + combining acute) uppercased +
+    //        distinct tail → within-batch cut, only under NFC+casefold
+    //   9006 (later batch) the span uppercased again → cross-batch cut
+    //        via the normalized key delta
+    val seedText = corpus
+      .filter(col("text").rlike("^[a-z0-9 ]+$") &&
+        size(split(col("text"), " ")) >= 25)
+      .orderBy("doc_id").select("text").first().getString(0)
+    val freshSpan = (1 to 12).map(i => "vá" + ("q" * i)).mkString(" ")
+    val freshSpanVariant = (1 to 12).map(i => "VÁ" + ("Q" * i)).mkString(" ")
+    val natural = nonBench.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+    val tail = mk(9000L, seedText.toUpperCase)
+      .unionByName(mk(9004L, s"$freshSpan gamma one distinct tail here"))
+      .unionByName(mk(9005L, s"$freshSpanVariant delta another distinct tail there"))
+    val tail2 = mk(9006L, s"${freshSpan.toUpperCase} epsilon a third arrival one batch later")
+    val newAll = natural.unionByName(tail).unionByName(tail2).localCheckpoint(true)
+    val ids = natural.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val slices = ids.grouped((ids.length + 1) / 2).toSeq
+    val srcDir = Files.createTempDirectory("graft-cur2n-src")
+    val outDir = Files.createTempDirectory("graft-cur2n-out").toString
+    val ckpt = Files.createTempDirectory("graft-cur2n-ckpt").toString
+    val query = StreamOps.curationIngestStreamV2(
+      StreamOps.documentsStream(spark, srcDir.toString), corpus, idxDir,
+      keysDir, bench, benchBanded, outDir, ckpt,
+      reference = Some(corpus), deconDedup = gcfg,
+      maxSpanTokens = Some(spanT), normalizeFirst = true)
+    try {
+      slices.zipWithIndex.foreach { case (s, i) =>
+        writeChunk(natural.filter(col("doc_id").isInCollection(s.toSet)), srcDir, s"chunk$i")
+        query.processAllAvailable()
+      }
+      writeChunk(tail, srcDir, "chunk2")
+      query.processAllAvailable()
+      writeChunk(tail2, srcDir, "chunk3")
+      query.processAllAvailable()
+    } finally query.stop()
+    // batch twin: curationManifestV2(normalizeFirst = true) over
+    // (normalized clean seed ∪ RAW arrivals) — normalization is
+    // idempotent, so the pre-normalized seed re-folds to itself
+    val corpusAll = corpus.unionByName(newAll).localCheckpoint(true)
+    val unionNorm = graft.text.TextAnalysis.withNormalizedText(corpusAll)
+      .localCheckpoint(true)
+    val unionClean = graft.text.SubstringDedup.withCleanText(
+      unionNorm, graft.text.SubstringDedup.cleanCorpus(unionNorm, 10))
+      .localCheckpoint(true)
+    val adir = Files.createTempDirectory("graft-cur2n-abanded").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(unionClean), adir)
+    val want = graft.pipeline.TrainingSet.curationManifestV2(
+        corpusAll, bench, graft.text.MinHashDedup.readBandedIndex(
+          spark, adir, graft.text.MinHashConfig()),
+        emptyEmb, deconDedup = gcfg,
+        nearDupPairs = Some(graft.text.MinHashDedup
+          .crossNearDupsAgainstBanded(unionClean, benchN, benchBanded, gcfg)),
+        maxSpanTokens = Some(spanT), minIdDedupWinners = true,
+        normalizeFirst = true)
+      .filter(col("doc_id") >= 200)
+      .select("doc_id", "n_tokens", "sub_dup_tokens", "ngram_frac",
+        "near_dup", "semantic_cos", "span_tokens", "decon_verdict",
+        "dedup_verdict")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getLong(6),
+        r.getString(7), Option(r.getString(8)))).toSeq
+    val got = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$outDir/manifest").orderBy("doc_id")
+      .select("doc_id", "n_tokens", "sub_dup_tokens", "ngram_frac",
+        "near_dup", "semantic_cos", "span_tokens", "decon_verdict",
+        "dedup_verdict")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getLong(6),
+        r.getString(7), Option(r.getString(8)))).toSeq
+    assert(got == want,
+      s"streaming v2 normalizeFirst manifest ≠ batch: first diff " +
+        s"${got.zip(want).find(p => p._1 != p._2)} (sizes ${got.size}/${want.size})")
+    // the normalization-only channels actually fired in the STREAM
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(9000L)._3 == byId(9000L)._2 && byId(9000L)._2 > 0,
+      s"uppercased seed clone fully cut only via normalization: ${byId(9000L)}")
+    assert(byId(9004L)._3 == 0L && byId(9005L)._3 == 12L,
+      s"within-batch NFC+case variant cut: ${byId(9004L)}/${byId(9005L)}")
+    assert(byId(9006L)._3 == 12L,
+      s"cross-batch cut via normalized key delta: ${byId(9006L)}")
+    // accepted rows ship NORMALIZED cleaned text
+    val acc9004 = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$outDir/accepted").filter(col("doc_id") === 9004L)
+      .select("text").collect()
+    assert(acc9004.nonEmpty && acc9004.head.getString(0).startsWith("váq "),
+      s"accepted text must be the normalized form: ${acc9004.map(_.getString(0)).mkString}")
+  }
+
   test("streaming vector-index ingest: deltas + compaction keep probes exactly equal to brute force") {
     val emb = Tables.load(spark, sf01, "embeddings")
     val a = emb.filter(col("vec_id") % 2 === 0)
