@@ -299,15 +299,24 @@ object Extras {
     * manifest-assembly version (bump on any semantic change to the
     * stage chain itself, the sigTable v-guard idiom).
     */
-  private def manifestParamsKey: String = {
-    // the MinHash fragments DERIVE from the config objects the builds
-    // actually pass, so a MinHashConfig default change re-keys the
-    // store automatically instead of riding a stale literal
+  private[graft] def manifestParamsKey: String = {
+    // EVERY fragment derives from the values the builds actually run
+    // with — the MinHash ones from the config objects they pass, the
+    // scalar ones from TrainingSet.CurationDefaults (the builders'
+    // actual default arguments) — so a default change anywhere re-keys
+    // the store automatically instead of riding a stale literal
     def cfg(c: graft.text.MinHashConfig): String =
       s"t${c.threshold}s${c.shingleSize}b${c.bands}h${c.numHashes}c${c.maxBucket}"
-    s"mv1:n5:ng0.2:cos0.35:dedup${cfg(graft.text.MinHashConfig())}" +
+    val D = graft.pipeline.TrainingSet.CurationDefaults
+    def bit(b: Boolean): String = if (b) "1" else "0"
+    s"mv1:n${D.N}:ng${D.NgramThreshold}:cos${D.CosThreshold}" +
+      s":dedup${cfg(graft.text.MinHashConfig())}" +
       s":decon${cfg(graft.text.MinHashConfig(threshold = 0.5))}" +
-      ":ppl3:mixlang0.5:seed42:minid0:span-:qm-:norm0"
+      s":ppl${D.PplBuckets}:mix${D.MixtureStrata}${D.MixtureAlpha}" +
+      s":seed${D.Seed}:minid${bit(D.MinIdDedupWinners)}" +
+      s":span${D.MaxSpanTokens.map(_.toString).getOrElse("-")}" +
+      s":qm${if (D.QualityModel.isEmpty) "-" else "set"}" +
+      s":norm${bit(D.NormalizeFirst)}"
   }
 
   /** [[x93Manifest]] from the write-once stamped store — the persisted
@@ -329,7 +338,9 @@ object Extras {
   private def x121ManifestStored(c: Catalog): DataFrame =
     stampedArtifact(c, "manifest_v2",
       s"manifest_v2:1:sub${graft.text.SubstringDedup.AlgorithmVersion}" +
-        s":sig${MinHashDedup.SignatureVersion}:w10:$manifestParamsKey")(
+        s":sig${MinHashDedup.SignatureVersion}" +
+        s":w${graft.pipeline.TrainingSet.CurationDefaults.WindowTokens}" +
+        s":$manifestParamsKey")(
       x121Manifest(c))
 
   /** Shared write-once/read-forever scheme for derived-report
@@ -3805,9 +3816,11 @@ ORDER BY pipeline
 """.trim,
     // X123: CCNet normalization vs raw fingerprinting — the DuckDB
     // restatement of TextAnalysis.normalizeText is
-    // nfc_normalize → lower → \p{N}→'0' → \p{P}+→' ' → \s+ collapse
-    // (RE2's Unicode categories match Java's); variants are planted
-    // with chr() so no non-ASCII literal rides the SQL string
+    // nfc_normalize → lower → \p{N}→'0' → \p{P}+→' ' → whitespace
+    // collapse (RE2's Unicode categories match Java's; whitespace is an
+    // EXPLICIT class because RE2's \s excludes the vertical tab Java's
+    // includes); variants are planted with chr() so no non-ASCII
+    // literal rides the SQL string
     "X123_normalized_dedup" -> """
 WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
 u AS (
@@ -3819,7 +3832,7 @@ u AS (
 f AS (SELECT doc_id, md5(text) AS rfp,
   md5(trim(regexp_replace(regexp_replace(regexp_replace(
     lower(nfc_normalize(text)),
-    '\p{N}', '0', 'g'), '\p{P}+', ' ', 'g'), '\s+', ' ', 'g'))) AS nfp
+    '\p{N}', '0', 'g'), '\p{P}+', ' ', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS nfp
   FROM u),
 rc AS (SELECT rfp, CAST(COUNT(*) AS BIGINT) AS raw_grp FROM f GROUP BY 1),
 nc AS (SELECT nfp, CAST(COUNT(*) AS BIGINT) AS norm_grp FROM f GROUP BY 1)

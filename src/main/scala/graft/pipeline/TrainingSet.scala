@@ -51,6 +51,29 @@ final case class CurationResult(manifest: DataFrame, result: TrainingSetResult)
   */
 object TrainingSet {
 
+  /** The curation manifest builders' shared default parameters —
+    * public so stamp keys over PERSISTED manifests (graft.Extras)
+    * derive from the SAME values the builders actually default to:
+    * changing a default here re-keys every stored manifest
+    * automatically. A frozen literal key would let a default change
+    * silently ride stale persisted artifacts — the exact failure the
+    * stamped-store scheme exists to prevent.
+    */
+  object CurationDefaults {
+    val N: Int = 5
+    val NgramThreshold: Double = 0.2
+    val CosThreshold: Double = 0.35
+    val PplBuckets: Int = 3
+    val MixtureStrata: String = "lang"
+    val MixtureAlpha: Double = 0.5
+    val Seed: Long = 42L
+    val MinIdDedupWinners: Boolean = false
+    val MaxSpanTokens: Option[Int] = None
+    val QualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None
+    val NormalizeFirst: Boolean = false
+    val WindowTokens: Int = 10
+  }
+
   /** Run stages 1–6 (plus the opt-in 1b/2b/5b below); `audit` holds
     * surviving-doc counts per stage (the id sets are
     * localCheckpoint'ed, so the counts are metadata reads, not
@@ -886,16 +909,16 @@ object TrainingSet {
       benchmark: DataFrame,
       banded: DataFrame,
       embeddings: DataFrame,
-      n: Int = 5,
-      ngramThreshold: Double = 0.2,
+      n: Int = CurationDefaults.N,
+      ngramThreshold: Double = CurationDefaults.NgramThreshold,
       deconDedup: MinHashConfig = MinHashConfig(threshold = 0.5),
-      cosThreshold: Double = 0.35,
+      cosThreshold: Double = CurationDefaults.CosThreshold,
       corpusDedup: MinHashConfig = MinHashConfig(),
-      pplBuckets: Int = 3,
-      mixtureStrata: String = "lang",
-      mixtureAlpha: Double = 0.5,
-      seed: Long = 42L,
-      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None,
+      pplBuckets: Int = CurationDefaults.PplBuckets,
+      mixtureStrata: String = CurationDefaults.MixtureStrata,
+      mixtureAlpha: Double = CurationDefaults.MixtureAlpha,
+      seed: Long = CurationDefaults.Seed,
+      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = CurationDefaults.QualityModel,
       nearDupPairs: Option[DataFrame] = None,
       ngramScores: Option[DataFrame] = None,
       corpusPairs: Option[DataFrame] = None,
@@ -1056,21 +1079,21 @@ object TrainingSet {
       benchmark: DataFrame,
       banded: DataFrame,
       embeddings: DataFrame,
-      n: Int = 5,
-      ngramThreshold: Double = 0.2,
+      n: Int = CurationDefaults.N,
+      ngramThreshold: Double = CurationDefaults.NgramThreshold,
       deconDedup: MinHashConfig = MinHashConfig(threshold = 0.5),
-      cosThreshold: Double = 0.35,
+      cosThreshold: Double = CurationDefaults.CosThreshold,
       corpusDedup: MinHashConfig = MinHashConfig(),
-      pplBuckets: Int = 3,
-      mixtureStrata: String = "lang",
-      mixtureAlpha: Double = 0.5,
-      seed: Long = 42L,
-      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None,
+      pplBuckets: Int = CurationDefaults.PplBuckets,
+      mixtureStrata: String = CurationDefaults.MixtureStrata,
+      mixtureAlpha: Double = CurationDefaults.MixtureAlpha,
+      seed: Long = CurationDefaults.Seed,
+      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = CurationDefaults.QualityModel,
       nearDupPairs: Option[DataFrame] = None,
       ngramScores: Option[DataFrame] = None,
       corpusPairs: Option[DataFrame] = None,
-      maxSpanTokens: Option[Int] = None,
-      minIdDedupWinners: Boolean = false): CurationResult = {
+      maxSpanTokens: Option[Int] = CurationDefaults.MaxSpanTokens,
+      minIdDedupWinners: Boolean = CurationDefaults.MinIdDedupWinners): CurationResult = {
     val manifest = curationManifest(corpus, benchmark, banded, embeddings,
       n, ngramThreshold, deconDedup, cosThreshold, corpusDedup, pplBuckets,
       mixtureStrata, mixtureAlpha, seed, qualityModel, nearDupPairs, ngramScores,
@@ -1152,24 +1175,24 @@ object TrainingSet {
       benchmark: DataFrame,
       banded: DataFrame,
       embeddings: DataFrame,
-      windowTokens: Int = 10,
+      windowTokens: Int = CurationDefaults.WindowTokens,
       hashWindowKeys: Boolean = false,
-      n: Int = 5,
-      ngramThreshold: Double = 0.2,
+      n: Int = CurationDefaults.N,
+      ngramThreshold: Double = CurationDefaults.NgramThreshold,
       deconDedup: MinHashConfig = MinHashConfig(threshold = 0.5),
-      cosThreshold: Double = 0.35,
+      cosThreshold: Double = CurationDefaults.CosThreshold,
       corpusDedup: MinHashConfig = MinHashConfig(),
-      pplBuckets: Int = 3,
-      mixtureStrata: String = "lang",
-      mixtureAlpha: Double = 0.5,
-      seed: Long = 42L,
-      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None,
+      pplBuckets: Int = CurationDefaults.PplBuckets,
+      mixtureStrata: String = CurationDefaults.MixtureStrata,
+      mixtureAlpha: Double = CurationDefaults.MixtureAlpha,
+      seed: Long = CurationDefaults.Seed,
+      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = CurationDefaults.QualityModel,
       nearDupPairs: Option[DataFrame] = None,
       ngramScores: Option[DataFrame] = None,
       corpusPairs: Option[DataFrame] = None,
-      maxSpanTokens: Option[Int] = None,
-      minIdDedupWinners: Boolean = false,
-      normalizeFirst: Boolean = false): DataFrame = {
+      maxSpanTokens: Option[Int] = CurationDefaults.MaxSpanTokens,
+      minIdDedupWinners: Boolean = CurationDefaults.MinIdDedupWinners,
+      normalizeFirst: Boolean = CurationDefaults.NormalizeFirst): DataFrame = {
     // optional stage −1 — CCNet text normalization (NFC, case/digit/
     // punctuation folds) of corpus AND benchmark, so every downstream
     // fingerprint (substring windows, MinHash shingles, decon n-grams)
@@ -1210,21 +1233,21 @@ object TrainingSet {
       benchmark: DataFrame,
       banded: DataFrame,
       embeddings: DataFrame,
-      n: Int = 5,
-      ngramThreshold: Double = 0.2,
+      n: Int = CurationDefaults.N,
+      ngramThreshold: Double = CurationDefaults.NgramThreshold,
       deconDedup: MinHashConfig = MinHashConfig(threshold = 0.5),
-      cosThreshold: Double = 0.35,
+      cosThreshold: Double = CurationDefaults.CosThreshold,
       corpusDedup: MinHashConfig = MinHashConfig(),
-      pplBuckets: Int = 3,
-      mixtureStrata: String = "lang",
-      mixtureAlpha: Double = 0.5,
-      seed: Long = 42L,
-      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None,
+      pplBuckets: Int = CurationDefaults.PplBuckets,
+      mixtureStrata: String = CurationDefaults.MixtureStrata,
+      mixtureAlpha: Double = CurationDefaults.MixtureAlpha,
+      seed: Long = CurationDefaults.Seed,
+      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = CurationDefaults.QualityModel,
       nearDupPairs: Option[DataFrame] = None,
       ngramScores: Option[DataFrame] = None,
       corpusPairs: Option[DataFrame] = None,
-      maxSpanTokens: Option[Int] = None,
-      minIdDedupWinners: Boolean = false,
+      maxSpanTokens: Option[Int] = CurationDefaults.MaxSpanTokens,
+      minIdDedupWinners: Boolean = CurationDefaults.MinIdDedupWinners,
       verifyBandedText: Boolean = true): DataFrame = {
     // the provenance spot check runs for every config the index is
     // ACTUALLY consumed under: the dedup stage reads it with
@@ -1270,23 +1293,23 @@ object TrainingSet {
       benchmark: DataFrame,
       banded: DataFrame,
       embeddings: DataFrame,
-      windowTokens: Int = 10,
+      windowTokens: Int = CurationDefaults.WindowTokens,
       hashWindowKeys: Boolean = false,
-      n: Int = 5,
-      ngramThreshold: Double = 0.2,
+      n: Int = CurationDefaults.N,
+      ngramThreshold: Double = CurationDefaults.NgramThreshold,
       deconDedup: MinHashConfig = MinHashConfig(threshold = 0.5),
-      cosThreshold: Double = 0.35,
+      cosThreshold: Double = CurationDefaults.CosThreshold,
       corpusDedup: MinHashConfig = MinHashConfig(),
-      pplBuckets: Int = 3,
-      mixtureStrata: String = "lang",
-      mixtureAlpha: Double = 0.5,
-      seed: Long = 42L,
-      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None,
+      pplBuckets: Int = CurationDefaults.PplBuckets,
+      mixtureStrata: String = CurationDefaults.MixtureStrata,
+      mixtureAlpha: Double = CurationDefaults.MixtureAlpha,
+      seed: Long = CurationDefaults.Seed,
+      qualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = CurationDefaults.QualityModel,
       nearDupPairs: Option[DataFrame] = None,
       ngramScores: Option[DataFrame] = None,
       corpusPairs: Option[DataFrame] = None,
-      maxSpanTokens: Option[Int] = None,
-      minIdDedupWinners: Boolean = false): CurationResult = {
+      maxSpanTokens: Option[Int] = CurationDefaults.MaxSpanTokens,
+      minIdDedupWinners: Boolean = CurationDefaults.MinIdDedupWinners): CurationResult = {
     val cleaned = graft.text.SubstringDedup
       .cleanCorpus(corpus, windowTokens, hashWindowKeys)
       .localCheckpoint(false)

@@ -72,7 +72,11 @@ object TextAnalysis {
     val cased = if (caseFold) lower(nfc) else nfc
     val digits = if (foldDigits) regexp_replace(cased, "\\p{N}", "0") else cased
     val punct = if (foldPunct) regexp_replace(digits, "\\p{P}+", " ") else digits
-    trim(regexp_replace(punct, "\\s+", " "))
+    // whitespace spelled as an explicit class, NOT \s: Java's \s is
+    // [ \t\n\x0B\f\r] while RE2's (the DuckDB oracle) excludes vertical
+    // tab — the X123 parity pin requires the identical class on both
+    // sides, so both spell it out
+    trim(regexp_replace(punct, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 
   /** `documents` with `text` replaced by [[normalizeText]] of itself —

@@ -1450,4 +1450,22 @@ class ExtrasSpec extends SparkSpec {
       .select("i_doc", "j_doc", "hamming").collect().toSet
     assert(viaDefault == viaTag)
   }
+
+  test("manifest stamp key derives from the builders' actual defaults, unchanged from the recorded value") {
+    // the key is rebuilt from TrainingSet.CurationDefaults + the
+    // MinHashConfig objects each run — this pin records the CURRENT
+    // rendering so an accidental format change (which would silently
+    // orphan every persisted manifest and force rebuilds) fails loud,
+    // while a deliberate default change re-keys automatically and the
+    // pin's failure message documents that the stored artifacts WILL
+    // rebuild under the new key
+    val c = graft.text.MinHashConfig()
+    val d = graft.text.MinHashConfig(threshold = 0.5)
+    def cfg(x: graft.text.MinHashConfig): String =
+      s"t${x.threshold}s${x.shingleSize}b${x.bands}h${x.numHashes}c${x.maxBucket}"
+    assert(Extras.manifestParamsKey ==
+      s"mv1:n5:ng0.2:cos0.35:dedup${cfg(c)}:decon${cfg(d)}" +
+        ":ppl3:mixlang0.5:seed42:minid0:span-:qm-:norm0",
+      s"stamp key changed — persisted manifests re-key and rebuild once: ${Extras.manifestParamsKey}")
+  }
 }

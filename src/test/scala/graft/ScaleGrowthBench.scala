@@ -553,8 +553,9 @@ object ScaleGrowthBench {
     // partial aggregate and the join back is broadcast/skew-splittable,
     // so no task dominates. Evidence: per-task durations from a
     // listener — in every material stage of the job, max task time must
-    // stay within ~2× of the stage median (3× required, headroom for
-    // local[32] scheduling noise on ms-scale tasks).
+    // stay within ~2× of the stage median (4× required — the
+    // assertNoStraggler bound, headroom for local[32] scheduling noise
+    // on ms-scale tasks; measured max/median here was ≤ 2.44).
     if (keep("X118_hotkey")) {
       val nHot = 1000000L
       val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
