@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{asc, broadcast, coalesce, col, count, desc, element_at, exp, explode, greatest, length, lit, max, md5, min, octet_length, regexp_replace, round, size, slice, sum, transform, upper, when}
+import org.apache.spark.sql.functions.{array_distinct, array_intersect, asc, broadcast, coalesce, col, concat, count, desc, element_at, exp, explode, greatest, length, lit, max, md5, min, octet_length, regexp_replace, round, size, slice, substring, sum, transform, upper, when}
 
 import graft.core.Engine
 import graft.functions.ZOrderValue
@@ -306,7 +306,9 @@ object Extras {
     // actual default arguments) — so a default change anywhere re-keys
     // the store automatically instead of riding a stale literal
     def cfg(c: graft.text.MinHashConfig): String =
-      s"t${c.threshold}s${c.shingleSize}b${c.bands}h${c.numHashes}c${c.maxBucket}"
+      s"t${c.threshold}s${c.shingleSize}b${c.bands}h${c.numHashes}c${c.maxBucket}" +
+        // rendered only when ON so pre-existing stores keep their keys
+        (if (c.charK > 0) s"k${c.charK}" else "")
     val D = graft.pipeline.TrainingSet.CurationDefaults
     def bit(b: Boolean): String = if (b) "1" else "0"
     s"mv1:n${D.N}:ng${D.NgramThreshold}:cos${D.CosThreshold}" +
@@ -1915,6 +1917,41 @@ object Extras {
       fp.join(rawCnt, Seq("rfp")).join(normCnt, Seq("nfp"))
         .select(col("doc_id"), col("raw_grp"), col("norm_grp"),
           (col("norm_grp") > col("raw_grp")).as("caught_by_normalization"))
+        .orderBy("doc_id")
+    }),
+    // X124: spaceless-script (CJK-style) near-dup shingling — planted
+    // space-stripped docs plus one-char-edited variants. Word shingles
+    // see ONE token per doc (0 shingles — the whole near-dup class is
+    // invisible), while the character-5-gram fallback
+    // (TextAnalysis.charShingles, the MinHashConfig.charK path) scores
+    // the pair ≈ 0.90 exact Jaccard. Per doc: the word-shingle count
+    // (0), the doc-level dispatch verdict (TextAnalysis.spaceless — the
+    // same integer arithmetic the native ShingleHash uses), the char
+    // k-gram stats and the pair's char Jaccard. Oracle: DuckDB
+    // substring/list ops restate the code-point windows exactly — which
+    // pins the Spark↔DuckDB char-shingle parity itself
+    "X124_cjk_char_shingles" -> q(c => {
+      val k = 5
+      val s1 = c.documents.filter(col("doc_id") < 150)
+        .select(col("doc_id"), regexp_replace(col("text"), " ", "").as("s"))
+        .filter(length(col("s")) >= 100)
+        .select(col("doc_id"), col("s"),
+          concat(substring(col("s"), 1, 49), lit("q"),
+            col("s").substr(lit(51), length(col("s")))).as("v"))
+      def grams(cc: Column) =
+        array_distinct(graft.text.TextAnalysis.charShingles(cc, k))
+      val g = s1.select(col("doc_id"),
+        size(graft.text.TextAnalysis.shingles(col("s"), 3)).cast("long")
+          .as("n_word_shingles"),
+        graft.text.TextAnalysis.spaceless(col("s"), 3).as("dispatch_char"),
+        grams(col("s")).as("ga"), grams(col("v")).as("gb"))
+      val jac = round(
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          (size(col("ga")) + size(col("gb")) -
+            size(array_intersect(col("ga"), col("gb")))).cast("double"), 6)
+      g.select(col("doc_id"), col("n_word_shingles"), col("dispatch_char"),
+          size(col("ga")).cast("long").as("n_char_grams"),
+          jac.as("char_jac"), (jac >= 0.8).as("caught_char"))
         .orderBy("doc_id")
     }),
     // OPQ vs plain PQ at EQUAL m·ks budget (Ge et al. 2013 — a learned
@@ -3840,6 +3877,37 @@ SELECT CAST(f.doc_id AS BIGINT) AS doc_id, rc.raw_grp, nc.norm_grp,
   nc.norm_grp > rc.raw_grp AS caught_by_normalization
 FROM f JOIN rc ON f.rfp = rc.rfp JOIN nc ON f.nfp = nc.nfp
 ORDER BY doc_id
+""".trim,
+    // X124: character-5-gram shingles over space-stripped docs + their
+    // one-char-edited variants, as code-point substring windows; the
+    // dispatch predicate restates TextAnalysis.spaceless's integer
+    // arithmetic (ntok < n OR length >= 16*ntok) verbatim
+    "X124_cjk_char_shingles" -> """
+WITH s0 AS (
+  SELECT doc_id, replace(text, ' ', '') AS s
+  FROM documents WHERE doc_id < 150),
+s1 AS (
+  SELECT doc_id, s,
+    substring(s, 1, 49) || 'q' || substring(s, 51, length(s)) AS v
+  FROM s0 WHERE length(s) >= 100),
+g AS (
+  SELECT doc_id,
+    len(list_filter(str_split(s, ' '), w -> w <> '')) AS ntok,
+    length(s) AS ls,
+    list_distinct(list_transform(range(1, length(s) - 3), i -> substring(s, i, 5))) AS ga,
+    list_distinct(list_transform(range(1, length(v) - 3), i -> substring(v, i, 5))) AS gb
+  FROM s1),
+j AS (
+  SELECT doc_id,
+    CAST(CASE WHEN ntok >= 3 THEN ntok - 2 ELSE 0 END AS BIGINT) AS n_word_shingles,
+    (ntok < 3 OR ls >= 16 * ntok) AS dispatch_char,
+    CAST(len(ga) AS BIGINT) AS n_char_grams,
+    ROUND(CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+      CAST(len(ga) + len(gb) - len(list_intersect(ga, gb)) AS DOUBLE), 6) AS char_jac
+  FROM g)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_word_shingles, dispatch_char,
+  n_char_grams, char_jac, char_jac >= 0.8 AS caught_char
+FROM j ORDER BY doc_id
 """.trim,
     // X79's plan arithmetic at a 1 M budget, then the repetition
     // explode: full epochs via generate_series, the residual via the

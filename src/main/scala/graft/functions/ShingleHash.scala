@@ -20,11 +20,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingles equal iff their token sequences are equal (modulo 64-bit
   * collisions, which MinHash tolerates by construction). Exact-Jaccard
   * verification keeps using real string shingles.
+  *
+  * `charK > 0` enables the SPACELESS-SCRIPT fallback: a document the
+  * doc-level dispatch classifies as spaceless (fewer than `n`
+  * whitespace tokens, or average token length ≥
+  * [[graft.text.TextAnalysis.SpacelessAvgTokenLen]] code points — CJK/
+  * Thai text carries no ASCII spaces, so its "tokens" are whole
+  * sentences) hashes character `charK`-grams of the raw text instead:
+  * word shingling would otherwise collapse its near-dup granularity to
+  * the whole document. K-grams are CODE-POINT windows (not UTF-16
+  * units) so they agree with the Column-level
+  * [[graft.text.TextAnalysis.charShingles]] (`substr` counts code
+  * points) that exact-Jaccard verification and the X124 DuckDB oracle
+  * use. The two granularities never mix: a doc is EITHER word- or
+  * char-shingled, and cross-granularity band collisions are chance
+  * (rejected by exact verification like any false candidate).
   */
-case class ShingleHash(child: Expression, n: Int)
+case class ShingleHash(child: Expression, n: Int, charK: Int = 0)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, "shingle size must be >= 1")
+  require(charK >= 0, "charK must be >= 0 (0 = word shingles only)")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -39,6 +55,15 @@ case class ShingleHash(child: Expression, n: Int)
     val s = input.asInstanceOf[UTF8String].toString
     // whitespace tokens, empties dropped (same rule as TextAnalysis.tokens)
     val toks = s.split(' ').filter(_.nonEmpty)
+    if (charK > 0) {
+      // doc-level spaceless dispatch — MUST stay arithmetic-identical
+      // to TextAnalysis.spaceless (Column) and the X124 oracle SQL:
+      // ntokens < n  OR  codePoints(text) >= SpacelessAvgTokenLen * ntokens
+      val cp = s.codePointCount(0, s.length)
+      if (toks.length < n ||
+          cp >= graft.text.TextAnalysis.SpacelessAvgTokenLen.toLong * toks.length)
+        return charGramHashes(s, cp)
+    }
     if (toks.length < n) return new GenericArrayData(Array.empty[Long])
     // rolling per-token hashes, then combine n of them per shingle with
     // a separator multiplier so token boundaries stay significant
@@ -60,6 +85,42 @@ case class ShingleHash(child: Expression, n: Int)
       var h = 0L
       var j = 0
       while (j < n) { h = h * P + 0x1f; h = h * P + th(i + j); j += 1 }
+      raw(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(raw)
+    var w = 0
+    i = 0
+    while (i < raw.length) {
+      if (w == 0 || raw(i) != raw(w - 1)) { raw(w) = raw(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(raw, w))
+  }
+
+  /** DISTINCT polynomial hashes of every `charK`-code-point window of
+    * the raw text — the spaceless-script shingle base (`cp` = the
+    * text's code-point count, already computed by the dispatch).
+    */
+  private def charGramHashes(s: String, cp: Int): GenericArrayData = {
+    if (cp < charK) return new GenericArrayData(Array.empty[Long])
+    // one surrogate-aware pass to code points, so windows count code
+    // points exactly like Column substr / DuckDB substring do
+    val cps = new Array[Int](cp)
+    var i = 0
+    var o = 0
+    while (i < s.length) {
+      val c = s.codePointAt(i)
+      cps(o) = c
+      o += 1
+      i += Character.charCount(c)
+    }
+    val raw = new Array[Long](cp - charK + 1)
+    i = 0
+    while (i + charK <= cp) {
+      var h = 0L
+      var j = 0
+      while (j < charK) { h = h * P + cps(i + j); j += 1 }
       raw(i) = h
       i += 1
     }

@@ -1261,7 +1261,7 @@ object TrainingSet {
         (if (corpusPairs.isEmpty) Seq(corpusDedup) else Nil) ++
           (if (nearDupPairs.isEmpty) Seq(deconDedup) else Nil)
       consumedUnder
-        .groupBy(c => (c.shingleSize, c.numHashes, c.bands))
+        .groupBy(c => (c.shingleSize, c.numHashes, c.bands, c.charK))
         .values.map(_.head)
         .foreach(requireBandedOverCleanedText(cleaned, banded, _))
     }
@@ -1391,8 +1391,14 @@ object TrainingSet {
       cleaned: DataFrame,
       banded: DataFrame,
       cfg: MinHashConfig): Unit = {
+    // under a charK config a spaceless doc signs through the char-gram
+    // fallback even with < shingleSize tokens, so "has signature rows"
+    // must follow the same dispatch the signer uses
     val shingleable =
-      size(TextAnalysis.tokens(col("clean_text"))) >= cfg.shingleSize
+      if (cfg.charK > 0)
+        size(TextAnalysis.shinglesAuto(
+          col("clean_text"), cfg.shingleSize, cfg.charK)) > 0
+      else size(TextAnalysis.tokens(col("clean_text"))) >= cfg.shingleSize
     // prefer a doc the span cut actually CHANGED (dup_tokens > 0): an
     // unchanged doc signs identically under raw and cleaned text, so
     // it can validate the config/scheme but never the text version.

@@ -26,9 +26,11 @@ final case class MinHashConfig(
     numHashes: Int = 64,
     bands: Int = 16,
     threshold: Double = 0.8,
-    maxBucket: Int = 4096) {
+    maxBucket: Int = 4096,
+    charK: Int = 0) {
   require(numHashes % bands == 0, "bands must divide numHashes")
   require(maxBucket >= 2, "maxBucket must allow at least one pair")
+  require(charK >= 0, "charK must be >= 0 (0 = word shingles only)")
   def rowsPerBand: Int = numHashes / bands
 }
 
@@ -42,7 +44,8 @@ object MinHashDedup {
     */
   private def shingleRows(documents: DataFrame, cfg: MinHashConfig): DataFrame =
     documents.select(col("doc_id"),
-      explode(array_distinct(TextAnalysis.shingles(col("text"), cfg.shingleSize))).as("s"))
+      explode(array_distinct(
+        TextAnalysis.shinglesAuto(col("text"), cfg.shingleSize, cfg.charK))).as("s"))
       .distinct()
 
   /** Per-k odd multipliers/offsets for the linear hash family
@@ -69,7 +72,8 @@ object MinHashDedup {
     val sh = documents.select(col("doc_id"),
       explode(org.apache.spark.sql.GraftColumnBridge.column(
         graft.functions.ShingleHash(
-          org.apache.spark.sql.GraftColumnBridge.expression(col("text")), cfg.shingleSize))).as("h0"))
+          org.apache.spark.sql.GraftColumnBridge.expression(col("text")),
+          cfg.shingleSize, cfg.charK))).as("h0"))
     val mins = (0 until cfg.numHashes).map { k =>
       val (a, b) = hashFamily(k)
       min(graft.functions.LinearHash(col("h0"), a, b)).as(s"h$k")
@@ -100,6 +104,7 @@ object MinHashDedup {
       .withColumn("sig_v", lit(SignatureVersion))
       .withColumn("cfg_shingle", lit(cfg.shingleSize))
       .withColumn("cfg_hashes", lit(cfg.numHashes))
+      .withColumn("cfg_chark", lit(cfg.charK))
       .write.mode("overwrite").parquet(path)
 
   /** Reads refuse any scheme OR config mismatch: signatures built with
@@ -127,6 +132,15 @@ object MinHashDedup {
     require(v == SignatureVersion && sh == cfg.shingleSize && nh == cfg.numHashes,
       s"signature table at $path was built as scheme v$v shingle=$sh hashes=$nh, this run " +
         s"expects v$SignatureVersion shingle=${cfg.shingleSize} hashes=${cfg.numHashes} — rebuild it")
+    // charK changes which shingles sign a spaceless doc; tables from
+    // before the column existed could only have been built word-only
+    val ck =
+      if (df.columns.contains("cfg_chark"))
+        df.select("cfg_chark").limit(1).collect().head.getInt(0)
+      else 0
+    require(ck == cfg.charK,
+      s"signature table at $path was built with charK=$ck, this run expects " +
+        s"charK=${cfg.charK} — spaceless docs signed a different granularity; rebuild it")
     df.select("doc_id", "sig")
   }
 

@@ -108,6 +108,55 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Average-token-length bound of the spaceless-script dispatch: a
+    * doc whose tokens average ≥ this many code points is treated as a
+    * spaceless-script run (CJK/Thai text carries no ASCII spaces, so
+    * whitespace "tokens" are whole sentences — Latin words average
+    * 5–6 chars plus the space). Shared verbatim by the Column
+    * predicate [[spaceless]], the native
+    * [[graft.functions.ShingleHash]] dispatch, and the X124 oracle
+    * SQL — the three must stay arithmetic-identical.
+    */
+  val SpacelessAvgTokenLen: Int = 16
+
+  /** Doc-level spaceless-script predicate: word shingling produces
+    * nothing (fewer than `n` tokens) or would be near-useless (tokens
+    * averaging [[SpacelessAvgTokenLen]]+ code points — whole sentences
+    * between rare spaces, so one edited char kills every shingle that
+    * run appears in). Integer arithmetic only, so the DuckDB
+    * restatement is exact: `ntokens < n OR length(text) >= 16 * ntokens`.
+    */
+  def spaceless(text: Column, n: Int): Column = {
+    val ntoks = size(tokens(text))
+    ntoks < n || length(text) >= lit(SpacelessAvgTokenLen) * ntoks
+  }
+
+  /** Character k-gram shingles over the raw text (code-point windows —
+    * `substr` counts code points, matching DuckDB `substring` and the
+    * native expression's dispatch) — the near-dup unit for spaceless
+    * scripts, where word shingles collapse to near-document
+    * granularity. Public recipe: character-n-gram shingling for CJK
+    * (e.g. Broder-style shingling applied at character granularity).
+    */
+  def charShingles(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => text.substr(i, lit(k))))
+      .otherwise(array().cast("array<string>"))
+
+  /** [[shingles]] with the [[spaceless]] char-gram fallback — what the
+    * MinHash tier computes when `MinHashConfig.charK > 0`: word
+    * n-grams for normal text, character `charK`-grams for docs the
+    * doc-level dispatch classifies as spaceless. Exact-Jaccard
+    * verification uses THIS definition so candidates from the native
+    * hash path verify against the same granularity they signed with.
+    */
+  def shinglesAuto(text: Column, n: Int, charK: Int): Column =
+    if (charK <= 0) shingles(text, n)
+    else when(spaceless(text, n), charShingles(text, charK))
+      .otherwise(shingles(text, n))
+
   /** GPT-2-style pre-tokenization regex (ASCII-simplified): English
     * contraction suffixes, space-prefixed letter runs, space-prefixed
     * digit runs, space-prefixed punctuation runs, residual whitespace.

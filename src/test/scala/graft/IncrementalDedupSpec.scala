@@ -79,6 +79,100 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(viaNative == viaSpark)
   }
 
+  test("charK fallback: spaceless near-dups invisible to word shingling are caught; word path untouched") {
+    import spark.implicits._
+    // deterministic CJK-style texts: 100 code points from the CJK
+    // Unified Ideographs block, no spaces — word shingling sees ONE
+    // token per doc, so the default config cannot even nominate the
+    // planted pair. 11 = 10 with one mid-string char edit (char-5-gram
+    // Jaccard ≈ 0.90 ≥ 0.8); 12 is an unrelated spaceless doc; 20/21
+    // are a WORDY near-dup pair the fallback must not disturb.
+    def cjk(seed: Int, n: Int): String = {
+      val rng = new scala.util.Random(seed)
+      (1 to n).map(_ => (0x4e00 + rng.nextInt(2000)).toChar).mkString
+    }
+    val base = cjk(7, 100)
+    val variant = base.updated(50, '龠')
+    val wordy = (1 to 40).map(i => s"w$i").mkString(" ")
+    val wordyVar = ((1 to 40).map(i => s"w$i") :+ "tail").mkString(" ")
+    val docs = Seq(
+      10L -> base, 11L -> variant, 12L -> cjk(99, 100),
+      20L -> wordy, 21L -> wordyVar).toDF("doc_id", "text")
+    val ck = graft.text.MinHashConfig(charK = 5)
+    def pairs(cfg: graft.text.MinHashConfig): Set[(Long, Long)] =
+      MinHashDedup.verifiedPairs(docs, cfg)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDefault = pairs(graft.text.MinHashConfig())
+    val viaCharK = pairs(ck)
+    assert(!viaDefault.contains((10L, 11L)),
+      s"word shingling must MISS the spaceless pair (the gap charK closes): $viaDefault")
+    assert(viaCharK.contains((10L, 11L)),
+      s"charK=5 must catch the spaceless pair: $viaCharK")
+    assert(!viaCharK.exists(p => p._1 == 12L || p._2 == 12L),
+      s"unrelated spaceless doc must not pair: $viaCharK")
+    assert(viaDefault.contains((20L, 21L)) && viaCharK.contains((20L, 21L)),
+      s"the wordy pair is found under BOTH configs: $viaDefault / $viaCharK")
+    // winners under charK: 11 loses to min-id 10, 21 to 20
+    val winners = MinHashDedup.dedupWinners(docs, ck)
+      .collect().map(_.getLong(0)).toSet
+    assert(winners == Set(10L, 12L, 20L),
+      s"winners under charK: $winners")
+  }
+
+  test("ShingleHash charK universe matches shinglesAuto on adversarial docs (incl. surrogate pairs)") {
+    import spark.implicits._
+    // the native dispatch + code-point k-grams and the Column twin
+    // (spaceless → charShingles via substr, else word shingles) must
+    // agree on the DISTINCT shingle count per doc — including astral
+    // chars, where UTF-16 charAt windows would diverge from the
+    // code-point windows substr/DuckDB substring use
+    val astral = "𝔘" // 𝔘 U+1D518, one code point, two chars
+    val docs = Seq(
+      (1L, "short"), (2L, ""), (3L, "one two three four five six"),
+      (4L, (0x4e00 to 0x4e60).map(_.toChar).mkString),
+      (5L, astral * 8 + "abc" + astral * 3),
+      (6L, "ab cd"), (7L, "a b c d e f g h i j k l m n o p q r"),
+      // wordy but LONG tokens (avg ≥ 16): dispatches to char grams
+      (8L, Seq.fill(6)((0x4e00 to 0x4e20).map(_.toChar).mkString).mkString(" ")))
+      .toDF("doc_id", "text")
+    val viaNative = docs.select(col("doc_id"),
+      size(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.ShingleHash(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("text")), 3, 5))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaSpark = docs.select(col("doc_id"),
+      size(array_distinct(
+        graft.text.TextAnalysis.shinglesAuto(col("text"), 3, 5))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaNative == viaSpark, s"native=$viaNative spark=$viaSpark")
+    // the astral doc really went through the char path with code-point
+    // windows: 11 code points → 7 distinct 5-gram windows at most
+    assert(viaNative(5L) > 0 && viaNative(5L) <= 7, s"astral windows: ${viaNative(5L)}")
+  }
+
+  test("readSignatures refuses a charK mismatch, including legacy tables without the column") {
+    val ck = graft.text.MinHashConfig(charK = 5)
+    val path = java.nio.file.Files.createTempDirectory("graft_sig_chark").toString
+    MinHashDedup.writeSignatures(cat.documents, path, ck)
+    // same config reads back fine
+    assert(MinHashDedup.readSignatures(spark, path, ck).count() > 0)
+    // a word-only run must refuse the charK table and vice versa
+    val e1 = intercept[IllegalArgumentException] {
+      MinHashDedup.readSignatures(spark, path)
+    }
+    assert(e1.getMessage.contains("charK"), e1.getMessage)
+    // legacy table (written before the column existed) can only have
+    // been built word-only: accept charK=0, refuse charK>0
+    val legacy = java.nio.file.Files.createTempDirectory("graft_sig_nock").toString
+    spark.read.parquet(path).drop("cfg_chark")
+      .write.mode("overwrite").parquet(legacy)
+    val e2 = intercept[IllegalArgumentException] {
+      MinHashDedup.readSignatures(spark, legacy, ck)
+    }
+    assert(e2.getMessage.contains("charK"), e2.getMessage)
+    assert(MinHashDedup.readSignatures(spark, legacy).count() > 0)
+  }
+
   test("readSignatures refuses tables without a matching scheme version") {
     val path = java.nio.file.Files.createTempDirectory("graft_sig_ver").toString
     MinHashDedup.writeSignatures(cat.documents, path)
