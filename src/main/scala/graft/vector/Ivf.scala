@@ -440,8 +440,21 @@ object Ivf {
     */
   private def completedDeltas(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(s"$path/delta")
+      path: String): Seq[String] =
+    completedDirs(spark, s"$path/delta")
+
+  /** COMPLETED tombstone batch dirs under `path/tombstone` — the
+    * delete twin of [[completedDeltas]].
+    */
+  private def completedTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] =
+    completedDirs(spark, s"$path/tombstone")
+
+  private def completedDirs(
+      spark: org.apache.spark.sql.SparkSession,
+      root0: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(root0)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq
@@ -449,6 +462,65 @@ object Ivf {
         fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.toString).sorted
   }
+
+  /** Mark vectors DELETED — the takedown/opt-out path a real pipeline
+    * needs between rebuilds: `ids` (a `vec_id` column) land as a
+    * batch-keyed TOMBSTONE delta under `path/tombstone/d<k>`, fitting
+    * the existing delta machinery exactly. Every serve path
+    * ([[probeIndex]], [[probeIndexWithDeltas]], [[ivfKnnJoin]])
+    * anti-joins the completed tombstone batches BEFORE its top-k, so a
+    * deleted vector stops surfacing immediately — whether its row
+    * lives in the base layout or a not-yet-compacted ingest delta —
+    * and [[compactIndex]] folds tombstones away physically (rows
+    * dropped from the staged layout, tombstone dirs absorbed through
+    * the same crash-safe manifest as vector deltas). Costs nothing
+    * when no tombstones exist: one existence check, no join.
+    *
+    * Contracts: ids are append-only and deletes are final (re-adding a
+    * tombstoned vec_id is undefined — it stays filtered until a
+    * compaction clears the tombstone, which also removes the row).
+    * Like compaction, run deletes from the maintenance schedule, not
+    * concurrently with each other. The compressed ADC tier
+    * ([[Pq]]) has its own codes artifacts: serve-time filtering there
+    * follows the rebuild/re-encode schedule, so route takedown-window
+    * ADC serves through a rerank against this index or compact first.
+    */
+  def deleteFromIndex(ids: DataFrame, path: String): Unit = {
+    val spark = ids.sparkSession
+    val root = new org.apache.hadoop.fs.Path(s"$path/tombstone")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next =
+      if (!fs.exists(root)) 0L
+      else fs.listStatus(root).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .collect { case n if n.startsWith("d") && n.drop(1).forall(_.isDigit) =>
+          n.drop(1).toLong }
+        .maxOption.map(_ + 1L).getOrElse(0L)
+    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .write.mode("overwrite").parquet(s"$path/tombstone/d$next")
+  }
+
+  /** Union of the completed tombstone batches, or None when there are
+    * none — so serve paths skip the anti-join entirely in the common
+    * tombstone-free case.
+    */
+  private def tombstoneIds(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] =
+    completedTombstones(spark, path) match {
+      case Nil => None
+      case dirs => Some(spark.read.parquet(dirs: _*).select("vec_id"))
+    }
+
+  /** `cand` minus tombstoned ids — applied BEFORE any top-k, so
+    * deleted vectors neither surface nor occupy result slots.
+    */
+  private def withoutTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cand: DataFrame): DataFrame =
+    tombstoneIds(spark, path).fold(cand)(t =>
+      cand.join(t, Seq("vec_id"), "left_anti"))
 
   /** [[probeIndex]] over base vectors PLUS the completed streaming
     * deltas ([[graft.streaming.StreamOps.vectorIngestStream]]'s
@@ -487,7 +559,7 @@ object Ivf {
         .select(col("vec_id"), col("embedding")))
       .foldLeft(probedVectors(spark, path, lists)
         .select(col("vec_id"), col("embedding")))(_ unionByName _)
-    cand
+    withoutTombstones(spark, path, cand)
       .select(col("vec_id"), round(dot(probe, col("embedding")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
@@ -530,15 +602,27 @@ object Ivf {
       path: String,
       failpoint: String = ""): Unit =
     compactLayout(spark, s"$path/vectors",
-      () => completedDeltas(spark, path),
-      (deltas, next) => {
+      // tombstone batches ride the SAME absorbed-dirs list as vector
+      // deltas: the staged layout's manifest names them, so every
+      // crash-recovery pass deletes them exactly once with the deltas —
+      // a tombstone folded into the layout but left on disk would
+      // re-filter already-removed ids (harmless), but one DELETED
+      // without being folded would resurrect the rows; the manifest
+      // ordering (stage fully, then clean) forbids the latter
+      () => completedDeltas(spark, path) ++ completedTombstones(spark, path),
+      (dirs, next) => {
+        val (tombs, deltas) = dirs.partition(_.contains("/tombstone/"))
         val all = deltas
           .map(d => spark.read.parquet(d)
             .select(col("vec_id"), col("embedding"), col("list_id").cast("long").as("list_id")))
           .foldLeft(spark.read.parquet(s"$path/vectors")
             .select(col("vec_id"), col("embedding"), col("list_id").cast("long").as("list_id")))(
             _ unionByName _)
-        all.repartition(col("list_id"))
+        val kept =
+          if (tombs.isEmpty) all
+          else all.join(spark.read.parquet(tombs: _*).select("vec_id"),
+            Seq("vec_id"), "left_anti")
+        kept.repartition(col("list_id"))
           .write.mode("overwrite").partitionBy("list_id")
           .parquet(next)
       },
@@ -703,7 +787,7 @@ object Ivf {
       .orderBy(col("cs").desc, col("centroid_id"))
       .limit(nProbe)
       .collect().map(_.getLong(0)).toSeq
-    probedVectors(spark, path, lists)
+    withoutTombstones(spark, path, probedVectors(spark, path, lists))
       .select(col("vec_id"), round(dot(probe, col("embedding")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
@@ -746,7 +830,7 @@ object Ivf {
     // in nLists — see probedVectors)
     val probed = qLists.select("list_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cand = probedVectors(spark, path, probed)
+    val cand = withoutTombstones(spark, path, probedVectors(spark, path, probed))
     val kw = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     cand
       .join(broadcast(qLists), Seq("list_id"))

@@ -334,6 +334,101 @@ class IvfSpec extends SparkSpec {
       s"probe over base + dataless delta must equal brute force: $probed vs $brute")
   }
 
+  test("IVF delete tombstones: every serve path excludes deleted ids; compaction folds them physically") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = cat.embeddings
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val b = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    Ivf.writeIndex(a, dir, nLists = 16)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    Ivf.assign(b, cents).repartition(col("list_id"))
+      .write.partitionBy("list_id").parquet(s"$dir/delta/b0")
+    val probeVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0).toArray
+    // delete the top-2 of the union brute force — ids that PROVABLY
+    // change every serve result, one of which may live in the delta
+    val doomed = Ann.bruteForceTopK(emb, 0, 2)
+      .collect().map(_.getLong(0)).toSeq
+    Ivf.deleteFromIndex(doomed.toDF("vec_id"), dir)
+    val remaining = emb.filter(!col("vec_id").isInCollection(doomed.toSet))
+    def top5(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("vec_id") =!= 0)
+      .orderBy(desc("cos"), col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bruteLeft = Ann.bruteForceTopK(remaining, 0, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // probe-after-delete ≡ rebuild-without-deleted, row-identical
+    assert(top5(Ivf.probeIndexWithDeltas(spark, dir, probeVec, k = 8, nProbe = 16))
+      == bruteLeft, "deltas probe must equal brute force over the remaining corpus")
+    // the base-only probe excludes tombstoned ids too (no resurrect
+    // window between delete and compaction)
+    val bruteLeftA = Ann.bruteForceTopK(
+        a.filter(!col("vec_id").isInCollection(doomed.toSet)), 0, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top5(Ivf.probeIndex(spark, dir, probeVec, k = 8, nProbe = 16))
+      == bruteLeftA, "base probe must exclude tombstoned ids")
+    // the batched kNN join path as well
+    val joined = Ivf.ivfKnnJoin(spark, dir,
+        emb.filter(col("vec_id") === 0), k = 5, nProbe = 16)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(doomed.forall(!joined.contains(_)),
+      s"ivfKnnJoin must exclude tombstoned ids: $joined")
+    // a second delete batch gets its own dir and composes
+    val extra = bruteLeft.head._1
+    Ivf.deleteFromIndex(Seq(extra).toDF("vec_id"), dir)
+    assert(new java.io.File(s"$dir/tombstone/d1").exists(), "second batch keyed d1")
+    val bruteLeft2 = Ann.bruteForceTopK(
+        remaining.filter(col("vec_id") =!= extra), 0, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top5(Ivf.probeIndexWithDeltas(spark, dir, probeVec, k = 8, nProbe = 16))
+      == bruteLeft2, "both tombstone batches filter")
+    // compaction folds rows AND tombstones away — physical removal
+    Ivf.compactIndex(spark, dir)
+    for (leftover <- Seq("tombstone/d0", "tombstone/d1", "delta/b0",
+        "vectors.next", "vectors.old", "vectors/_FOLDED_DELTAS"))
+      assert(!new java.io.File(s"$dir/$leftover").exists(),
+        s"$leftover must be gone after compaction")
+    val folded = spark.read.parquet(s"$dir/vectors")
+    assert(folded.count() == emb.count() - 3, "rows physically removed")
+    assert(folded.filter(col("vec_id").isInCollection((doomed :+ extra).toSet))
+      .count() == 0, "deleted ids absent from the folded layout")
+    assert(top5(Ivf.probeIndex(spark, dir, probeVec, k = 8, nProbe = 16))
+      == bruteLeft2, "post-compaction probe still equals the rebuilt-without-deleted result")
+  }
+
+  test("IVF delete crash window: a crash between tombstone fold and cleanup recovers exactly once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = cat.embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-del-crash").toString
+    Ivf.writeIndex(emb, dir, nLists = 16)
+    val probeVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0).toArray
+    val doomed = Ann.bruteForceTopK(emb, 0, 1)
+      .collect().map(_.getLong(0)).toSeq
+    Ivf.deleteFromIndex(doomed.toDF("vec_id"), dir)
+    val ex = intercept[IllegalStateException] {
+      Ivf.compactIndex(spark, dir, failpoint = "after-swap-out")
+    }
+    assert(ex.getMessage.contains("after-swap-out"))
+    Ivf.compactIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstone/d0").exists(),
+      "tombstone absorbed exactly once on recovery")
+    val folded = spark.read.parquet(s"$dir/vectors")
+    assert(folded.count() == emb.count() - 1 &&
+      folded.filter(col("vec_id") === doomed.head).count() == 0)
+    val bruteLeft = Ann.bruteForceTopK(
+        emb.filter(col("vec_id") =!= doomed.head), 0, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probed = Ivf.probeIndex(spark, dir, probeVec, k = 6, nProbe = 16)
+      .filter(col("vec_id") =!= 0)
+      .orderBy(desc("cos"), col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probed == bruteLeft, s"recovered probe: $probed vs $bruteLeft")
+  }
+
   test("IVF compaction: a crash injected at every swap window recovers on retry — no lost or double-folded rows") {
     import org.apache.spark.sql.functions._
     val emb = cat.embeddings
