@@ -152,6 +152,8 @@ object ScaleGrowthBench {
     // (deconDrops, dedupDrops, subCutTokens) per factor for the v2
     // composed-pipeline invariants
     val x121Stats = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
+    // same stats for the NORMALIZED v2 chain (X121n)
+    val x121nStats = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
     var curFactor = 0
 
     // each path returns (outputMeasure, linearInFactor): the measure of
@@ -332,6 +334,65 @@ object ScaleGrowthBench {
           rows
         },
         false),
+      // X121n — the v2 chain with CCNet normalization as stage −1
+      // (the curationManifestV2 normalizeFirst pipeline, decomposed
+      // exactly like X121 so the index build is paid once). Replica
+      // tags are remapped to LETTERS first: the digit fold would
+      // otherwise collapse "r00"/"r05"... into one tag, the replicas
+      // would become byte-identical and stage 0 would cut all of them
+      // — a degenerate corpus measuring duplicate-mass handling, not
+      // normalization cost. translate is a per-char bijection on the
+      // tag alphabet, so token equality structure is ISOMORPHIC to
+      // X121's corpus, and on this already-canonical text (lowercase
+      // ASCII words, no digits/punct) normalization is semantically a
+      // no-op: every X121 stage invariant must hold EXACTLY, and when
+      // both paths run in one sweep their per-factor stats must be
+      // EQUAL. What the point measures is the normalization pass's
+      // wall growth — the NFC expression plus three regex folds over
+      // every doc, which must stay factor-linear.
+      ("X121n_curation_v2_norm",
+        d0 => {
+          val d = d0.select(col("doc_id"),
+            translate(col("text"), "0123456789", "abcdefghij").as("text"),
+            col("n_chars"), col("lang")).localCheckpoint(true)
+          val cfg = graft.text.MinHashConfig()
+          val bench = TextAnalysis.withNormalizedText(
+            d.filter(col("doc_id") < 250).select("doc_id", "text"))
+          val corRaw = d.filter(col("doc_id") >= 250)
+            .select("doc_id", "text", "lang")
+          val cor = TextAnalysis.withNormalizedText(corRaw)
+          val cleaned = graft.text.SubstringDedup
+            .cleanCorpus(cor, 10, hashKeys = true).localCheckpoint(true)
+          val corClean = graft.text.SubstringDedup.withCleanText(cor, cleaned)
+          val bdir = java.nio.file.Files
+            .createTempDirectory("growth-x121n-banded").toString
+          MinHashDedup.writeBandedIndex(
+            MinHashDedup.signatures(
+              corClean.select("doc_id", "text").unionByName(bench), cfg),
+            bdir, cfg)
+          val banded = MinHashDedup.readBandedIndex(spark, bdir, cfg)
+          val m = graft.pipeline.TrainingSet
+            .manifestV2FromCleaned(cleaned, cor, bench, banded, emb)
+            .localCheckpoint(true)
+          val rows = m.count()
+          require(rows == d.count() - 250, "normalized v2 manifest must cover every corpus doc")
+          val deconDrops = m.filter(col("decon_verdict") === "drop").count()
+          val dedupDrops = m.filter(col("dedup_verdict") === "drop").count()
+          val scoredN = m.filter(col("dedup_verdict") === "keep" &&
+            col("ppl_bucket").isNotNull).count()
+          val pplKeeps = m.filter(col("ppl_verdict") === "keep").count()
+          val wantPpl = (1L to scoredN).count(r => (r - 1) * 3 < 2 * scoredN).toLong
+          require(pplKeeps == wantPpl,
+            s"normalized v2 ppl gate must keep the exact tertiles: $pplKeeps vs $wantPpl")
+          val subCut = m.agg(coalesce(sum("sub_dup_tokens"), lit(0L)))
+            .first().getLong(0)
+          val kept = m.filter(col("keep")).count()
+          x121nStats(curFactor) = (deconDrops, dedupDrops, subCut)
+          println(f"SCALEGROWTH X121n stages factor=$curFactor%2d  decon_drops=$deconDrops " +
+            f"dedup_drops=$dedupDrops sub_cut=$subCut ppl_keeps=$pplKeeps kept=$kept")
+          rows
+        },
+        false),
       // X91 held-out LM: train on the md5 train slice of the grown
       // corpus, score everything — bigram totals are a per-doc pure
       // function, so the measure is exactly linear
@@ -480,6 +541,42 @@ object ScaleGrowthBench {
         affine("dedup drops", _._2)
         affine("sub-cut tokens", _._3)
       }
+    }
+
+    // X121n invariants: the normalized chain on the letter-tag corpus
+    // must reproduce X121's shape exactly (constant decon, affine
+    // dedup/sub-cut) — and when both chains ran in this sweep, their
+    // per-factor stats must be EQUAL (tag remap is a bijection and the
+    // corpus is already canonical, so normalization changes nothing
+    // semantically; only the wall may differ, by the folds' linear cost)
+    if (keep("X121n_curation_v2_norm") && x121nStats.size >= 2) {
+      val fs = x121nStats.keys.toSeq.sorted
+      val decons = fs.map(f => x121nStats(f)._1)
+      require(decons.distinct.size == 1,
+        s"normalized v2 decon drops must be constant: ${fs.zip(decons)}")
+      println(s"SCALEGROWTH X121n decon drops constant at ${decons.head} across factors $fs")
+      if (fs.size >= 3) {
+        def affine(tag: String, pick: ((Long, Long, Long)) => Long): Unit = {
+          val d = fs.map(f => f.toLong -> pick(x121nStats(f)))
+          val (f1, d1) = d.head
+          val slopes = d.tail.map { case (f, dd) => (dd - d1, f - f1) }
+          val (num0, den0) = slopes.head
+          slopes.tail.foreach { case (num, den) =>
+            require(num * den0 == num0 * den,
+              s"normalized v2 $tag must be affine in the factor: $d")
+          }
+          println(s"SCALEGROWTH X121n $tag affine: $d (slope ${num0.toDouble / den0}/replica)")
+        }
+        affine("dedup drops", _._2)
+        affine("sub-cut tokens", _._3)
+      }
+      fs.filter(x121Stats.contains).foreach { f =>
+        require(x121nStats(f) == x121Stats(f),
+          s"normalization must be a semantic no-op on the canonical corpus: " +
+            s"factor $f ${x121nStats(f)} vs ${x121Stats(f)}")
+      }
+      if (fs.exists(x121Stats.contains))
+        println(s"SCALEGROWTH X121n stats EQUAL X121 at factors ${fs.filter(x121Stats.contains)}")
     }
 
     // X96's fixed-benchmark invariant: replicas ≥ 1 cannot hit the
