@@ -465,6 +465,15 @@ object Scale {
         .select(col(strata), col("__n"), col("__cut"))
       val survivors = df.join(broadcast(cutsDf), Seq(strata))
         .filter(coin < col("__cut"))
+        // one corpus scan per attempt, consumed twice (the completeness
+        // aggregate and, on success, the exact window): materialize the
+        // ~(k+slack)-per-stratum survivor set so neither consumer
+        // re-scans the full input. This bounds the convergence loop at
+        // ONE scan per attempt (≤16 total by the require above, ≤1 in
+        // practice) instead of two — and is why the INPUT itself is
+        // never checkpointed: at 100 TB that write costs more than any
+        // plausible number of re-scans, while the survivor set is tiny
+        .localCheckpoint(true)
       val admitted = survivors.groupBy(strata)
         .agg(count(lit(1)).as("__a"), first("__n").as("__n"))
         .collect()

@@ -547,17 +547,35 @@ object Pq {
     * normalized by the EXACT side's row count (so the frames define k —
     * there is deliberately no separate k parameter to disagree with
     * them).
+    *
+    * Fail-loud contract: a query present in `approx` but with an EMPTY
+    * exact set raises at execution (via a plan-embedded `raise_error`,
+    * zero extra jobs) instead of silently vanishing from the recall
+    * table — an empty ground truth means the exact baseline was
+    * mis-built (empty corpus, wrong id space), and a curve aggregated
+    * over the surviving rows would read as healthy. The reverse
+    * direction (exact has the query, approx found nothing) is an
+    * honest recall-0 row and stays one.
     */
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
     val hits = approx.select("query_id", "vec_id")
       .join(exact.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    val guardedExact = when(col("n_exact").isNull,
+      org.apache.spark.sql.functions.raise_error(concat(
+        lit("recallAtK: query "), col("query_id").cast("string"),
+        lit(" has an EMPTY exact ground-truth set — the exact baseline " +
+          "was mis-built (empty corpus or mismatched query ids); refusing " +
+          "to report recall over a vacuous denominator"))).cast("long"))
+      .otherwise(col("n_exact"))
     exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(approx.groupBy("query_id").agg(count(lit(1)).as("n_approx")),
+        Seq("query_id"), "full")
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        col("n_exact"),
-        round(coalesce(col("n_hit"), lit(0L)) / col("n_exact"), 6)
+        guardedExact.as("n_exact"),
+        round(coalesce(col("n_hit"), lit(0L)) / guardedExact, 6)
           .as("recall"))
       .orderBy("query_id")
   }

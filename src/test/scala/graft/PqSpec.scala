@@ -445,6 +445,27 @@ class PqSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSeq
     assert(got == Seq((1L, 1L, 2L, 0.5), (2L, 0L, 2L, 0.0)))
+    // a query that only EXACT has (approx found nothing) is an honest
+    // recall-0 row, not an error
+    val sparse = Pq.recallAtK(pairs(Seq((1L, 10L))), exact).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(sparse == Seq((1L, 1L, 2L, 0.5), (2L, 0L, 2L, 0.0)))
+    // ...but a query APPROX has with an EMPTY exact ground-truth set
+    // must fail loud at execution: the baseline was mis-built, and a
+    // curve aggregated over the surviving rows would read healthy
+    val e1 = intercept[Exception] {
+      Pq.recallAtK(pairs(Seq((1L, 10L), (3L, 30L))), exact).collect()
+    }
+    assert(e1.getMessage.contains("EMPTY exact ground-truth"),
+      s"wrong failure: ${e1.getMessage}")
+    // the fully-vacuous case (exact baseline empty) fails the same way
+    // instead of returning an empty recall table
+    val e2 = intercept[Exception] {
+      Pq.recallAtK(approx, pairs(Seq.empty)).collect()
+    }
+    assert(e2.getMessage.contains("EMPTY exact ground-truth"),
+      s"wrong failure: ${e2.getMessage}")
   }
 
   test("writeIndex round-trips: stored codebook/codes reproduce the live ADC result") {
