@@ -312,8 +312,8 @@ object Extras {
     val D = graft.pipeline.TrainingSet.CurationDefaults
     def bit(b: Boolean): String = if (b) "1" else "0"
     s"mv1:n${D.N}:ng${D.NgramThreshold}:cos${D.CosThreshold}" +
-      s":dedup${cfg(graft.text.MinHashConfig())}" +
-      s":decon${cfg(graft.text.MinHashConfig(threshold = 0.5))}" +
+      s":dedup${cfg(D.CorpusDedup)}" +
+      s":decon${cfg(D.DeconDedup)}" +
       s":ppl${D.PplBuckets}:mix${D.MixtureStrata}${D.MixtureAlpha}" +
       s":seed${D.Seed}:minid${bit(D.MinIdDedupWinners)}" +
       s":span${D.MaxSpanTokens.map(_.toString).getOrElse("-")}" +

@@ -62,6 +62,8 @@ object TrainingSet {
   object CurationDefaults {
     val N: Int = 5
     val NgramThreshold: Double = 0.2
+    val DeconDedup: MinHashConfig = MinHashConfig(threshold = 0.5)
+    val CorpusDedup: MinHashConfig = MinHashConfig()
     val CosThreshold: Double = 0.35
     val PplBuckets: Int = 3
     val MixtureStrata: String = "lang"
@@ -911,9 +913,9 @@ object TrainingSet {
       embeddings: DataFrame,
       n: Int = CurationDefaults.N,
       ngramThreshold: Double = CurationDefaults.NgramThreshold,
-      deconDedup: MinHashConfig = MinHashConfig(threshold = 0.5),
+      deconDedup: MinHashConfig = CurationDefaults.DeconDedup,
       cosThreshold: Double = CurationDefaults.CosThreshold,
-      corpusDedup: MinHashConfig = MinHashConfig(),
+      corpusDedup: MinHashConfig = CurationDefaults.CorpusDedup,
       pplBuckets: Int = CurationDefaults.PplBuckets,
       mixtureStrata: String = CurationDefaults.MixtureStrata,
       mixtureAlpha: Double = CurationDefaults.MixtureAlpha,
@@ -1081,9 +1083,9 @@ object TrainingSet {
       embeddings: DataFrame,
       n: Int = CurationDefaults.N,
       ngramThreshold: Double = CurationDefaults.NgramThreshold,
-      deconDedup: MinHashConfig = MinHashConfig(threshold = 0.5),
+      deconDedup: MinHashConfig = CurationDefaults.DeconDedup,
       cosThreshold: Double = CurationDefaults.CosThreshold,
-      corpusDedup: MinHashConfig = MinHashConfig(),
+      corpusDedup: MinHashConfig = CurationDefaults.CorpusDedup,
       pplBuckets: Int = CurationDefaults.PplBuckets,
       mixtureStrata: String = CurationDefaults.MixtureStrata,
       mixtureAlpha: Double = CurationDefaults.MixtureAlpha,
@@ -1179,9 +1181,9 @@ object TrainingSet {
       hashWindowKeys: Boolean = false,
       n: Int = CurationDefaults.N,
       ngramThreshold: Double = CurationDefaults.NgramThreshold,
-      deconDedup: MinHashConfig = MinHashConfig(threshold = 0.5),
+      deconDedup: MinHashConfig = CurationDefaults.DeconDedup,
       cosThreshold: Double = CurationDefaults.CosThreshold,
-      corpusDedup: MinHashConfig = MinHashConfig(),
+      corpusDedup: MinHashConfig = CurationDefaults.CorpusDedup,
       pplBuckets: Int = CurationDefaults.PplBuckets,
       mixtureStrata: String = CurationDefaults.MixtureStrata,
       mixtureAlpha: Double = CurationDefaults.MixtureAlpha,
@@ -1235,9 +1237,9 @@ object TrainingSet {
       embeddings: DataFrame,
       n: Int = CurationDefaults.N,
       ngramThreshold: Double = CurationDefaults.NgramThreshold,
-      deconDedup: MinHashConfig = MinHashConfig(threshold = 0.5),
+      deconDedup: MinHashConfig = CurationDefaults.DeconDedup,
       cosThreshold: Double = CurationDefaults.CosThreshold,
-      corpusDedup: MinHashConfig = MinHashConfig(),
+      corpusDedup: MinHashConfig = CurationDefaults.CorpusDedup,
       pplBuckets: Int = CurationDefaults.PplBuckets,
       mixtureStrata: String = CurationDefaults.MixtureStrata,
       mixtureAlpha: Double = CurationDefaults.MixtureAlpha,
@@ -1297,9 +1299,9 @@ object TrainingSet {
       hashWindowKeys: Boolean = false,
       n: Int = CurationDefaults.N,
       ngramThreshold: Double = CurationDefaults.NgramThreshold,
-      deconDedup: MinHashConfig = MinHashConfig(threshold = 0.5),
+      deconDedup: MinHashConfig = CurationDefaults.DeconDedup,
       cosThreshold: Double = CurationDefaults.CosThreshold,
-      corpusDedup: MinHashConfig = MinHashConfig(),
+      corpusDedup: MinHashConfig = CurationDefaults.CorpusDedup,
       pplBuckets: Int = CurationDefaults.PplBuckets,
       mixtureStrata: String = CurationDefaults.MixtureStrata,
       mixtureAlpha: Double = CurationDefaults.MixtureAlpha,

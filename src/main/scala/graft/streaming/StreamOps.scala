@@ -223,7 +223,7 @@ object StreamOps {
       corpusIndexPath: String,
       outDir: String,
       checkpoint: String,
-      cfg: graft.text.MinHashConfig = graft.text.MinHashConfig())
+      cfg: graft.text.MinHashConfig = graft.pipeline.TrainingSet.CurationDefaults.CorpusDedup)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
@@ -358,7 +358,7 @@ object StreamOps {
       corpusIndexPath: String,
       outDir: String,
       checkpoint: String,
-      cfg: graft.text.MinHashConfig = graft.text.MinHashConfig(),
+      cfg: graft.text.MinHashConfig = graft.pipeline.TrainingSet.CurationDefaults.CorpusDedup,
       minWords: Long = 10L,
       maxWords: Long = 100000L,
       maxDupWordFrac: Double = 0.9,
@@ -468,7 +468,7 @@ object StreamOps {
       outDir: String,
       checkpoint: String,
       delay: String = "1 hour",
-      cfg: graft.text.MinHashConfig = graft.text.MinHashConfig())
+      cfg: graft.text.MinHashConfig = graft.pipeline.TrainingSet.CurationDefaults.CorpusDedup)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val exactDeduped = newDocs
       .withColumn("__fp", xxhash64(col("text")))
@@ -1036,10 +1036,10 @@ object StreamOps {
       n: Int = 5,
       ngramThreshold: Double = 0.2,
       deconDedup: graft.text.MinHashConfig =
-        graft.text.MinHashConfig(threshold = 0.5),
+        graft.pipeline.TrainingSet.CurationDefaults.DeconDedup,
       cosThreshold: Double = 0.35,
       maxSpanTokens: Option[Int] = None,
-      cfg: graft.text.MinHashConfig = graft.text.MinHashConfig())
+      cfg: graft.text.MinHashConfig = graft.pipeline.TrainingSet.CurationDefaults.CorpusDedup)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // freeze every benchmark/reference-side artifact once at stream
     // construction — never re-shingled / re-tokenized per micro-batch
@@ -1148,10 +1148,10 @@ object StreamOps {
       n: Int = 5,
       ngramThreshold: Double = 0.2,
       deconDedup: graft.text.MinHashConfig =
-        graft.text.MinHashConfig(threshold = 0.5),
+        graft.pipeline.TrainingSet.CurationDefaults.DeconDedup,
       cosThreshold: Double = 0.35,
       maxSpanTokens: Option[Int] = None,
-      cfg: graft.text.MinHashConfig = graft.text.MinHashConfig(),
+      cfg: graft.text.MinHashConfig = graft.pipeline.TrainingSet.CurationDefaults.CorpusDedup,
       normalizeFirst: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // under normalizeFirst the frozen benchmark artifacts must see the

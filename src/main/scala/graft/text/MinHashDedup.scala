@@ -124,20 +124,20 @@ object MinHashDedup {
       s"signature table at $path has no version/config columns — written by an incompatible build")
     // an empty table is as unusable as a wrong-version one; surface both
     // as IllegalArgumentException so cache layers (Extras.sigTable) can
-    // treat "refused" uniformly and rebuild
-    val head = df.select("sig_v", "cfg_shingle", "cfg_hashes").limit(1).collect().headOption
+    // treat "refused" uniformly and rebuild. charK rides the SAME
+    // 1-row collect (tables from before the column existed can only
+    // have been built word-only)
+    val hasCk = df.columns.contains("cfg_chark")
+    val cols = Seq("sig_v", "cfg_shingle", "cfg_hashes") ++
+      (if (hasCk) Seq("cfg_chark") else Nil)
+    val head = df.select(cols.map(col): _*).limit(1).collect().headOption
     require(head.nonEmpty,
       s"signature table at $path is empty — corrupt or partial write; rebuild it")
     val (v, sh, nh) = (head.get.getInt(0), head.get.getInt(1), head.get.getInt(2))
     require(v == SignatureVersion && sh == cfg.shingleSize && nh == cfg.numHashes,
       s"signature table at $path was built as scheme v$v shingle=$sh hashes=$nh, this run " +
         s"expects v$SignatureVersion shingle=${cfg.shingleSize} hashes=${cfg.numHashes} — rebuild it")
-    // charK changes which shingles sign a spaceless doc; tables from
-    // before the column existed could only have been built word-only
-    val ck =
-      if (df.columns.contains("cfg_chark"))
-        df.select("cfg_chark").limit(1).collect().head.getInt(0)
-      else 0
+    val ck = if (hasCk) head.get.getInt(3) else 0
     require(ck == cfg.charK,
       s"signature table at $path was built with charK=$ck, this run expects " +
         s"charK=${cfg.charK} — spaceless docs signed a different granularity; rebuild it")
@@ -233,6 +233,7 @@ object MinHashDedup {
       .withColumn("sig_v", lit(SignatureVersion))
       .withColumn("cfg_bands", lit(cfg.bands))
       .withColumn("cfg_rows", lit(cfg.rowsPerBand))
+      .withColumn("cfg_chark", lit(cfg.charK))
       .write.mode("overwrite").parquet(path)
 
   def readBandedIndex(
@@ -242,13 +243,34 @@ object MinHashDedup {
     val df = spark.read.parquet(path)
     require(Seq("sig_v", "cfg_bands", "cfg_rows").forall(df.columns.contains),
       s"banded index at $path has no version/config columns — written by an incompatible build")
-    val head = df.select("sig_v", "cfg_bands", "cfg_rows").limit(1).collect().headOption
-    require(head.nonEmpty, s"banded index at $path is empty — corrupt or partial write; rebuild it")
+    requireBandedConfig(df, cfg, s"banded index at $path")
+    df.select("id", "sigh", "band", "bucket")
+  }
+
+  /** The shared version/config gate of the two banded-index readers:
+    * scheme version, banding geometry AND charK must all match — a
+    * word-only (charK=0) index read under a charK>0 run signed its
+    * spaceless docs with ZERO shingles, so their buckets never
+    * nominate the near-dup pairs the fallback exists to catch, and the
+    * one-doc provenance probe cannot see it (any wordy probe doc signs
+    * identically under both). Legacy tables (written before the
+    * column existed) can only have been built word-only.
+    */
+  private def requireBandedConfig(
+      df: DataFrame, cfg: MinHashConfig, what: String): Unit = {
+    val hasCk = df.columns.contains("cfg_chark")
+    val cols = Seq("sig_v", "cfg_bands", "cfg_rows") ++
+      (if (hasCk) Seq("cfg_chark") else Nil)
+    val head = df.select(cols.map(col): _*).limit(1).collect().headOption
+    require(head.nonEmpty, s"$what is empty — corrupt or partial write; rebuild it")
     val (v, b, r) = (head.get.getInt(0), head.get.getInt(1), head.get.getInt(2))
     require(v == SignatureVersion && b == cfg.bands && r == cfg.rowsPerBand,
-      s"banded index at $path was built as scheme v$v/${b}x$r, this run expects " +
+      s"$what was built as scheme v$v/${b}x$r, this run expects " +
         s"v$SignatureVersion/${cfg.bands}x${cfg.rowsPerBand} — rebuild it")
-    df.select("id", "sigh", "band", "bucket")
+    val ck = if (hasCk) head.get.getInt(3) else 0
+    require(ck == cfg.charK,
+      s"$what was built with charK=$ck, this run expects charK=${cfg.charK} — " +
+        "spaceless docs signed a different shingle granularity; rebuild it")
   }
 
   /** Candidate pairs straight from a persisted banded index — no
@@ -283,6 +305,7 @@ object MinHashDedup {
       .withColumn("sig_v", lit(SignatureVersion))
       .withColumn("cfg_bands", lit(cfg.bands))
       .withColumn("cfg_rows", lit(cfg.rowsPerBand))
+      .withColumn("cfg_chark", lit(cfg.charK))
       .write.mode("overwrite")
       .format("parquet")
       .bucketBy(numBuckets, "band", "bucket")
@@ -296,12 +319,7 @@ object MinHashDedup {
     val df = spark.table(tableName)
     require(Seq("sig_v", "cfg_bands", "cfg_rows").forall(df.columns.contains),
       s"banded index table $tableName has no version/config columns — written by an incompatible build")
-    val head = df.select("sig_v", "cfg_bands", "cfg_rows").limit(1).collect().headOption
-    require(head.nonEmpty, s"banded index table $tableName is empty — corrupt or partial write; rebuild it")
-    val (v, b, r) = (head.get.getInt(0), head.get.getInt(1), head.get.getInt(2))
-    require(v == SignatureVersion && b == cfg.bands && r == cfg.rowsPerBand,
-      s"banded index table $tableName was built as scheme v$v/${b}x$r, this run expects " +
-        s"v$SignatureVersion/${cfg.bands}x${cfg.rowsPerBand} — rebuild it")
+    requireBandedConfig(df, cfg, s"banded index table $tableName")
     df.select("id", "sigh", "band", "bucket")
   }
 

@@ -611,7 +611,12 @@ object Ivf {
       // ordering (stage fully, then clean) forbids the latter
       () => completedDeltas(spark, path) ++ completedTombstones(spark, path),
       (dirs, next) => {
-        val (tombs, deltas) = dirs.partition(_.contains("/tombstone/"))
+        // classify by the PARENT DIR NAME, not a substring of the full
+        // path: an index rooted under a directory that happens to be
+        // named "tombstone" would otherwise classify its vector deltas
+        // as tombstone batches and anti-join their rows away forever
+        val (tombs, deltas) = dirs.partition(p =>
+          new org.apache.hadoop.fs.Path(p).getParent.getName == "tombstone")
         val all = deltas
           .map(d => spark.read.parquet(d)
             .select(col("vec_id"), col("embedding"), col("list_id").cast("long").as("list_id")))

@@ -569,8 +569,10 @@ object Pq {
           "to report recall over a vacuous denominator"))).cast("long"))
       .otherwise(col("n_exact"))
     exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
-      .join(approx.groupBy("query_id").agg(count(lit(1)).as("n_approx")),
-        Seq("query_id"), "full")
+      // full join against approx's DISTINCT query ids (no count — only
+      // the id's presence matters): a query approx served with no
+      // exact twin surfaces with null n_exact and trips the guard
+      .join(approx.select("query_id").distinct(), Seq("query_id"), "full")
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),

@@ -171,6 +171,28 @@ class IncrementalDedupSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("charK"), e2.getMessage)
     assert(MinHashDedup.readSignatures(spark, legacy).count() > 0)
+    // the BANDED index pins charK the same way — a word-only index
+    // under a charK run signed spaceless docs with zero shingles, so
+    // its buckets can never nominate the pairs the fallback catches,
+    // and the one-doc provenance probe cannot see it
+    val bandDir = java.nio.file.Files.createTempDirectory("graft_band_chark").toString
+    MinHashDedup.writeBandedIndex(
+      MinHashDedup.signatures(cat.documents, ck), bandDir, ck)
+    assert(MinHashDedup.readBandedIndex(spark, bandDir, ck).count() > 0)
+    val e3 = intercept[IllegalArgumentException] {
+      MinHashDedup.readBandedIndex(spark, bandDir)
+    }
+    assert(e3.getMessage.contains("charK"), e3.getMessage)
+    // legacy banded index (no cfg_chark column): word-only reads pass,
+    // charK runs are refused
+    val bandLegacy = java.nio.file.Files.createTempDirectory("graft_band_nock").toString
+    spark.read.parquet(bandDir).drop("cfg_chark")
+      .write.mode("overwrite").parquet(bandLegacy)
+    val e4 = intercept[IllegalArgumentException] {
+      MinHashDedup.readBandedIndex(spark, bandLegacy, ck)
+    }
+    assert(e4.getMessage.contains("charK"), e4.getMessage)
+    assert(MinHashDedup.readBandedIndex(spark, bandLegacy).count() > 0)
   }
 
   test("readSignatures refuses tables without a matching scheme version") {
