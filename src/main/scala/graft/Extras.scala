@@ -1954,6 +1954,32 @@ object Extras {
           jac.as("char_jac"), (jac >= 0.8).as("caught_char"))
         .orderBy("doc_id")
     }),
+    // X125: substring-tier spaceless dedup — duplicatedSpans with
+    // charTokens over a mixed corpus: space-stripped docs (one token
+    // each — the WORD windowing is structurally blind to them),
+    // planted variants embedding a 40-char run of their original
+    // between repeated-char fillers (cross-doc char spans, plus the
+    // fillers' own self-/cross-dup runs), and the RAW wordy docs
+    // riding along to pin the dispatch boundary (they must take the
+    // word path — avg token length ~6 < 16). Oracle: the unified
+    // units CASE (chars when len ≥ 16·ntok else words) + the X118
+    // window/mark/merge SQL — which pins the whole char-unit
+    // machinery, dispatch arithmetic included, against DuckDB
+    "X125_cjk_substring_spans" -> q(c => {
+      val slice = c.documents.filter(col("doc_id") < 120)
+        .select(col("doc_id"), col("text"))
+      val sp = slice.select(col("doc_id"),
+        regexp_replace(col("text"), " ", "").as("text"))
+      val variants = sp.filter(length(col("text")) >= 80)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("q" * 15), substring(col("text"), 21, 40),
+            lit("j" * 15)).as("text"))
+      val wordy = slice.select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      val u = sp.unionByName(variants).unionByName(wordy)
+      graft.text.SubstringDedup
+        .duplicatedSpans(u, 10, hashKeys = false, charTokens = true)
+        .orderBy("doc_id", "span_start")
+    }),
     // OPQ vs plain PQ at EQUAL m·ks budget (Ge et al. 2013 — a learned
     // orthogonal rotation before the subspace split; graft.vector.Opq):
     // recall@5 per (variant, query) over 25 queries against the
@@ -3908,6 +3934,49 @@ j AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id, n_word_shingles, dispatch_char,
   n_char_grams, char_jac, char_jac >= 0.8 AS caught_char
 FROM j ORDER BY doc_id
+""".trim,
+    // X125: the substring tier's char-unit path — units = single chars
+    // when len >= 16*ntok (the spacelessRun dispatch, integer
+    // arithmetic verbatim) else words; windows join with '' in char
+    // mode, ' ' in word mode; then the X118 mark/merge pipeline
+    "X125_cjk_substring_spans" -> """
+WITH raw AS (
+  SELECT doc_id, replace(text, ' ', '') AS text
+  FROM documents WHERE doc_id < 120),
+va AS (
+  SELECT doc_id + 100000 AS doc_id,
+    repeat('q', 15) || substring(text, 21, 40) || repeat('j', 15) AS text
+  FROM raw WHERE length(text) >= 80),
+wo AS (SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 120),
+u AS (SELECT * FROM raw UNION ALL SELECT * FROM va UNION ALL SELECT * FROM wo),
+t AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= 16 * len(list_filter(str_split(text, ' '), x -> x <> ''))
+      THEN list_transform(generate_series(1, length(text)), i -> text[i:i])
+      ELSE list_filter(str_split(text, ' '), x -> x <> '') END AS units,
+    (length(text) >= 16 * len(list_filter(str_split(text, ' '), x -> x <> ''))) AS cm
+  FROM u),
+w AS (SELECT doc_id, unnest(generate_series(1, len(units) - 9)) AS p, units, cm
+      FROM t WHERE len(units) >= 10),
+k AS (SELECT doc_id, p,
+        CASE WHEN cm THEN array_to_string(units[p : p+9], '')
+             ELSE array_to_string(units[p : p+9], ' ') END AS win
+      FROM w),
+r AS (SELECT doc_id, p,
+        COUNT(*) OVER (PARTITION BY win) AS occ,
+        ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, p) AS rk
+      FROM k),
+h AS (SELECT doc_id, p, p + 9 AS e FROM r WHERE occ > 1 AND rk > 1),
+g AS (SELECT doc_id, p, e,
+        CASE WHEN p > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY p
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 THEN 1 ELSE 0 END AS ng
+      FROM h),
+gg AS (SELECT *, SUM(ng) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS grp FROM g)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(MIN(p) AS BIGINT) AS span_start,
+  CAST(MAX(e) AS BIGINT) AS span_end,
+  CAST(MAX(e) - MIN(p) + 1 AS BIGINT) AS span_tokens
+FROM gg GROUP BY doc_id, grp ORDER BY doc_id, span_start
 """.trim,
     // X79's plan arithmetic at a 1 M budget, then the repetition
     // explode: full epochs via generate_series, the residual via the

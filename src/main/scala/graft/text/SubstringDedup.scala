@@ -77,21 +77,50 @@ object SubstringDedup {
     else joined
   }
 
-  /** One row per stride-1 window: (doc_id, p, __key) with p the
-    * 1-based token position. Documents shorter than minTokens emit
-    * nothing (they cannot contain a duplicated run of that length).
+  /** The doc-level unit representation: word tokens, or — under
+    * `charTokens`, for docs [[TextAnalysis.spacelessRun]] classifies
+    * as spaceless-script runs — single code points (spaces ride along
+    * as units, so the span cut reconstructs text exactly). Returns the
+    * units column and the per-doc char-mode flag; every consumer
+    * (windowing, window text, the clean rejoin) dispatches on the SAME
+    * flag, so a doc's windows and its cut always agree.
     */
-  private def windowHits(documents: DataFrame, minTokens: Int, hashKeys: Boolean): DataFrame = {
+  private def unitCols(charTokens: Boolean): (Column, Column) = {
+    val cm =
+      if (charTokens) TextAnalysis.spacelessRun(col("text")) else lit(false)
+    (when(cm, TextAnalysis.charUnits(col("text")))
+      .otherwise(TextAnalysis.tokens(col("text"))), cm)
+  }
+
+  /** One row per stride-1 window: (doc_id, p, __key) with p the
+    * 1-based unit position (word tokens; single code points for
+    * spaceless docs under `charTokens`). Documents shorter than
+    * minTokens units emit nothing (they cannot contain a duplicated
+    * run of that length). Char windows join with "" (the run itself)
+    * and word windows with " " — for minTokens ≥ 2 the two key spaces
+    * cannot collide (a w-token word window carries w−1 spaces, so it
+    * is at least 2w−1 chars; a char window is exactly w), so no
+    * granularity sentinel is needed and the SQL restatement stays
+    * plain substring arithmetic.
+    */
+  private def windowHits(
+      documents: DataFrame, minTokens: Int, hashKeys: Boolean,
+      charTokens: Boolean): DataFrame = {
     require(minTokens >= 1, s"minTokens must be positive, got $minTokens")
-    val winText = concat_ws(" ", slice(col("__toks"), col("p"), lit(minTokens)))
+    val (units, cm) = unitCols(charTokens)
+    val sliced = slice(col("__toks"), col("p"), lit(minTokens))
+    val winText =
+      if (charTokens) when(col("__cm"), concat_ws("", sliced))
+        .otherwise(concat_ws(" ", sliced))
+      else concat_ws(" ", sliced)
     documents
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), units.as("__toks"), cm.as("__cm"))
       // sequence(1, k) runs DESCENDING for k < 1 — short docs must be
       // dropped before the sequence, not patched after
       .where(size(col("__toks")) >= minTokens)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("__toks")) - (minTokens - 1))).as("p"),
-        col("__toks"))
+        col("__toks"), col("__cm"))
       .select(col("doc_id"), col("p").cast("long").as("p"),
         (if (hashKeys) xxhash64(winText) else winText).as("__key"))
   }
@@ -117,8 +146,10 @@ object SubstringDedup {
     * window formulation by SubstringDedupSpec's planted fixtures +
     * corpus pins (X118/X119 hashes unchanged).
     */
-  private def duplicatedHits(documents: DataFrame, minTokens: Int, hashKeys: Boolean): DataFrame = {
-    val wins = windowHits(documents, minTokens, hashKeys)
+  private def duplicatedHits(
+      documents: DataFrame, minTokens: Int, hashKeys: Boolean,
+      charTokens: Boolean): DataFrame = {
+    val wins = windowHits(documents, minTokens, hashKeys, charTokens)
     val dupKeyStats = wins
       .groupBy("__key")
       .agg(count(lit(1)).as("__occ"),
@@ -196,8 +227,10 @@ object SubstringDedup {
     * window's canonical first occurrence: (doc_id, span_start,
     * span_end, span_tokens), positions 1-based inclusive.
     */
-  def duplicatedSpans(documents: DataFrame, minTokens: Int, hashKeys: Boolean = false): DataFrame =
-    mergeSpans(duplicatedHits(documents, minTokens, hashKeys))
+  def duplicatedSpans(
+      documents: DataFrame, minTokens: Int, hashKeys: Boolean = false,
+      charTokens: Boolean = false): DataFrame =
+    mergeSpans(duplicatedHits(documents, minTokens, hashKeys, charTokens))
 
   /** The corpus with every duplicated span (except canonical first
     * occurrences) cut out: (doc_id, n_tokens, dup_tokens, clean_text).
@@ -209,14 +242,19 @@ object SubstringDedup {
     * then everything is map-side higher-order functions — the token
     * arrays never shuffle.
     */
-  def cleanCorpus(documents: DataFrame, minTokens: Int, hashKeys: Boolean = false): DataFrame =
-    cleanFromSpans(documents, duplicatedSpans(documents, minTokens, hashKeys))
+  def cleanCorpus(
+      documents: DataFrame, minTokens: Int, hashKeys: Boolean = false,
+      charTokens: Boolean = false): DataFrame =
+    cleanFromSpans(documents,
+      duplicatedSpans(documents, minTokens, hashKeys, charTokens), charTokens)
 
   /** The rewrite half of [[cleanCorpus]], reusable over any span table
     * (batch or incremental): cut `spans` out of `documents` and rejoin
     * the uncovered tokens.
     */
-  private def cleanFromSpans(documents: DataFrame, spansRaw: DataFrame): DataFrame = {
+  private def cleanFromSpans(
+      documents: DataFrame, spansRaw: DataFrame,
+      charTokens: Boolean = false): DataFrame = {
     val spans = spansRaw
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"),
@@ -228,15 +266,26 @@ object SubstringDedup {
     val covered = (i: Column) => coalesce(
       exists(col("__spans"), s => i >= s("span_start") && i <= s("span_end")),
       lit(false))
+    val (units, cm) = unitCols(charTokens)
+    val kept = transform(filter(positions, i => !covered(i)),
+      i => element_at(toks, i))
+    // char-mode docs rejoin with "" — the kept units include the
+    // original spaces, so the clean text is exactly the input minus
+    // the cut runs; word-mode keeps the single-space convention.
+    // n_tokens/dup_tokens count the doc's OWN units (chars for
+    // spaceless docs) — the accounting unit follows the granularity
+    // the cut operated in.
+    val cleanText =
+      if (charTokens) when(col("__cm"), concat_ws("", kept))
+        .otherwise(concat_ws(" ", kept))
+      else concat_ws(" ", kept)
     documents
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), units.as("__toks"), cm.as("__cm"))
       .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         coalesce(col("__dup"), lit(0L)).as("dup_tokens"),
-        concat_ws(" ",
-          transform(filter(positions, i => !covered(i)), i => element_at(toks, i)))
-          .as("clean_text"))
+        cleanText.as("clean_text"))
   }
 
   /** The DISTINCT 64-bit window fingerprints of `documents` — the
@@ -245,8 +294,10 @@ object SubstringDedup {
     * precedes every new doc under the append-only contract), so the
     * index stores 8 bytes per distinct window, not positions.
     */
-  def windowKeys(documents: DataFrame, minTokens: Int): DataFrame =
-    windowHits(documents, minTokens, hashKeys = true)
+  def windowKeys(
+      documents: DataFrame, minTokens: Int,
+      charTokens: Boolean = false): DataFrame =
+    windowHits(documents, minTokens, hashKeys = true, charTokens)
       .select(col("__key").as("key")).distinct()
 
   /** Incremental duplicated spans for an ingest BATCH against an
@@ -261,8 +312,9 @@ object SubstringDedup {
     * one 8-byte-key semi-join scan — never a re-window.
     */
   def incrementalDuplicatedSpans(
-      newDocs: DataFrame, existingKeys: DataFrame, minTokens: Int): DataFrame = {
-    val wins = windowHits(newDocs, minTokens, hashKeys = true)
+      newDocs: DataFrame, existingKeys: DataFrame, minTokens: Int,
+      charTokens: Boolean = false): DataFrame = {
+    val wins = windowHits(newDocs, minTokens, hashKeys = true, charTokens)
     // first-in-batch via groupBy + join (not a window over __key) for
     // the same hot-key reason as duplicatedHits: a boilerplate window
     // repeated across the whole batch must collapse map-side, never
@@ -289,7 +341,9 @@ object SubstringDedup {
     * batch) cut out — (doc_id, n_tokens, dup_tokens, clean_text).
     */
   def incrementalCleanCorpus(
-      newDocs: DataFrame, existingKeys: DataFrame, minTokens: Int): DataFrame =
+      newDocs: DataFrame, existingKeys: DataFrame, minTokens: Int,
+      charTokens: Boolean = false): DataFrame =
     cleanFromSpans(newDocs,
-      incrementalDuplicatedSpans(newDocs, existingKeys, minTokens))
+      incrementalDuplicatedSpans(newDocs, existingKeys, minTokens, charTokens),
+      charTokens)
 }

@@ -126,10 +126,29 @@ object TextAnalysis {
     * run appears in). Integer arithmetic only, so the DuckDB
     * restatement is exact: `ntokens < n OR length(text) >= 16 * ntokens`.
     */
-  def spaceless(text: Column, n: Int): Column = {
-    val ntoks = size(tokens(text))
-    ntoks < n || length(text) >= lit(SpacelessAvgTokenLen) * ntoks
-  }
+  def spaceless(text: Column, n: Int): Column =
+    size(tokens(text)) < n || spacelessRun(text)
+
+  /** The average-token-length HALF of [[spaceless]] alone:
+    * `length(text) >= 16 * ntokens`. The substring tier dispatches on
+    * this and deliberately NOT on the too-few-tokens case — a short
+    * Latin doc legitimately emits no windows (it cannot contain a
+    * duplicated run of window length), and char-tokenizing it would
+    * invent sub-word duplication inside ordinary words.
+    */
+  def spacelessRun(text: Column): Column =
+    length(text) >= lit(SpacelessAvgTokenLen) * size(tokens(text))
+
+  /** Single-code-point units of `text`, spaces included as units — the
+    * spaceless-script token representation of the substring tier
+    * (windows become k-char runs; the span cut rejoins with "" and
+    * reconstructs the text exactly minus the cut runs). `substr`
+    * counts code points, matching DuckDB substring/indexing exactly.
+    */
+  def charUnits(text: Column): Column =
+    when(length(text) >= 1,
+      transform(sequence(lit(1), length(text)), i => text.substr(i, lit(1))))
+      .otherwise(array().cast("array<string>"))
 
   /** Character k-gram shingles over the raw text (code-point windows —
     * `substr` counts code points, matching DuckDB `substring` and the

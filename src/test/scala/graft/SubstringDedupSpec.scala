@@ -152,6 +152,76 @@ class SubstringDedupSpec extends SparkSpec {
     lemma(chain, 5)
   }
 
+  test("charTokens: spaceless duplicated char runs are cut exactly; word path blind; wordy docs byte-identical") {
+    // deterministic spaceless texts (CJK block, no spaces, effectively
+    // collision-free 10-grams)
+    def cjk(seed: Int, n: Int): String = {
+      val rng = new scala.util.Random(seed)
+      (1 to n).map(_ => (0x4e00 + rng.nextInt(2000)).toChar).mkString
+    }
+    val a = cjk(3, 200)
+    val shared = a.substring(60, 100) // 40-char run, positions 61..100 of doc 1
+    val fillL = cjk(91, 20)
+    val fillR = cjk(92, 20)
+    val wordy1 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val wordy2 = wordy1 + " tail extra"
+    val corpus = docs(
+      1L -> a, 2L -> (fillL + shared + fillR), 3L -> cjk(77, 150),
+      10L -> wordy1, 11L -> wordy2)
+    val viaChar = SubstringDedup.cleanCorpus(corpus, 10, charTokens = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 2: exactly the 40 shared chars cut (canonical copy lives in
+    // doc 1); fillers survive, rejoined with "" — exact reconstruction
+    assert(viaChar(2L) == ((80L, 40L, fillL + fillR)), s"doc2: ${viaChar(2L)}")
+    assert(viaChar(1L)._2 == 0L && viaChar(3L)._2 == 0L,
+      s"canonical + unrelated untouched: ${viaChar(1L)} ${viaChar(3L)}")
+    // wordy docs behave byte-identically to the word-only path — the
+    // dispatch must not fire on them
+    val viaWord = SubstringDedup.cleanCorpus(corpus, 10)
+      .filter(col("doc_id") >= 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(Seq(10L, 11L).map(k => k -> viaChar(k)).toMap == viaWord,
+      s"wordy rows must not move under charTokens: $viaWord vs $viaChar")
+    assert(viaChar(11L)._2 == 40L && viaChar(11L)._3 == "tail extra",
+      s"the wordy near-dup still cut through the word machinery: ${viaChar(11L)}")
+    // the word-only path is BLIND to the spaceless pair — the gap
+    // charTokens exists to close
+    val blind = SubstringDedup.cleanCorpus(corpus, 10)
+      .filter(col("doc_id") === 2L).select("dup_tokens").first().getLong(0)
+    assert(blind == 0L, s"word path must miss the spaceless run: $blind")
+  }
+
+  test("charTokens: embedded spaces survive the char cut; incremental equals batch on the union") {
+    def cjk(seed: Int, n: Int): String = {
+      val rng = new scala.util.Random(seed)
+      (1 to n).map(_ => (0x4e00 + rng.nextInt(2000)).toChar).mkString
+    }
+    val a = cjk(3, 200)
+    // two "tokens" but avg length >> 16 → char mode; the first 90 chars
+    // duplicate doc 1's prefix, the space + tail are original
+    val tail = cjk(5, 60)
+    val c = a.substring(0, 90) + " " + tail
+    val corpus = docs(1L -> a)
+    val batch = docs(4L -> c, 5L -> cjk(88, 120))
+    val keys = SubstringDedup.windowKeys(corpus, 10, charTokens = true)
+      .localCheckpoint(true)
+    val inc = SubstringDedup.incrementalCleanCorpus(batch, keys, 10, charTokens = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(inc(4L) == ((151L, 90L, " " + tail)),
+      s"char cut must preserve the embedded space exactly: ${inc(4L)}")
+    assert(inc(5L)._2 == 0L)
+    // incremental ≡ batch over (corpus ∪ batch) restricted to batch ids
+    val batchTwin = SubstringDedup
+      .cleanCorpus(corpus.unionByName(batch), 10, hashKeys = true, charTokens = true)
+      .filter(col("doc_id") >= 4L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(inc == batchTwin, s"incremental ≠ batch: $inc vs $batchTwin")
+  }
+
   test("minTokens must be positive") {
     intercept[IllegalArgumentException] {
       SubstringDedup.duplicatedSpans(cat.documents, 0)
