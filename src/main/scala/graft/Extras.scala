@@ -318,7 +318,9 @@ object Extras {
       s":seed${D.Seed}:minid${bit(D.MinIdDedupWinners)}" +
       s":span${D.MaxSpanTokens.map(_.toString).getOrElse("-")}" +
       s":qm${if (D.QualityModel.isEmpty) "-" else "set"}" +
-      s":norm${bit(D.NormalizeFirst)}"
+      s":norm${bit(D.NormalizeFirst)}" +
+      // rendered only when ON so pre-existing stores keep their keys
+      (if (D.CharTokens) ":sct1" else "")
   }
 
   /** [[x93Manifest]] from the write-once stamped store — the persisted

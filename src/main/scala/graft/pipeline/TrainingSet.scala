@@ -74,6 +74,7 @@ object TrainingSet {
     val QualityModel: Option[(graft.text.QualityClassifier.Model, Double)] = None
     val NormalizeFirst: Boolean = false
     val WindowTokens: Int = 10
+    val CharTokens: Boolean = false
   }
 
   /** Run stages 1–6 (plus the opt-in 1b/2b/5b below); `audit` holds
@@ -1171,6 +1172,14 @@ object TrainingSet {
     * (one shuffle keyed by the window fingerprint — set
     * `hashWindowKeys = true` at scale so the shuffle carries 8-byte
     * hashes, never window text), then exactly [[curationManifest]].
+    *
+    * `charTokens` makes stage 0 spaceless-script aware
+    * ([[graft.text.SubstringDedup.cleanCorpus]]'s char-unit dispatch:
+    * CJK-style docs window and cut at code-point granularity; wordy
+    * docs are byte-identical to the default). Pair it with a
+    * `charK`-enabled deconDedup/corpusDedup so the MinHash tiers see
+    * the same scripts — and note stage-0 accounting counts each doc's
+    * OWN units (chars for spaceless docs).
     */
   def curationManifestV2(
       corpus: DataFrame,
@@ -1194,7 +1203,8 @@ object TrainingSet {
       corpusPairs: Option[DataFrame] = None,
       maxSpanTokens: Option[Int] = CurationDefaults.MaxSpanTokens,
       minIdDedupWinners: Boolean = CurationDefaults.MinIdDedupWinners,
-      normalizeFirst: Boolean = CurationDefaults.NormalizeFirst): DataFrame = {
+      normalizeFirst: Boolean = CurationDefaults.NormalizeFirst,
+      charTokens: Boolean = CurationDefaults.CharTokens): DataFrame = {
     // optional stage −1 — CCNet text normalization (NFC, case/digit/
     // punctuation folds) of corpus AND benchmark, so every downstream
     // fingerprint (substring windows, MinHash shingles, decon n-grams)
@@ -1214,7 +1224,7 @@ object TrainingSet {
     // text feeds every downstream stage AND the accounting columns
     manifestV2FromCleaned(
       graft.text.SubstringDedup
-        .cleanCorpus(cor, windowTokens, hashWindowKeys)
+        .cleanCorpus(cor, windowTokens, hashWindowKeys, charTokens)
         .localCheckpoint(false),
       cor, bench, banded, embeddings, n, ngramThreshold, deconDedup,
       cosThreshold, corpusDedup, pplBuckets, mixtureStrata, mixtureAlpha,
@@ -1311,9 +1321,10 @@ object TrainingSet {
       ngramScores: Option[DataFrame] = None,
       corpusPairs: Option[DataFrame] = None,
       maxSpanTokens: Option[Int] = CurationDefaults.MaxSpanTokens,
-      minIdDedupWinners: Boolean = CurationDefaults.MinIdDedupWinners): CurationResult = {
+      minIdDedupWinners: Boolean = CurationDefaults.MinIdDedupWinners,
+      charTokens: Boolean = CurationDefaults.CharTokens): CurationResult = {
     val cleaned = graft.text.SubstringDedup
-      .cleanCorpus(corpus, windowTokens, hashWindowKeys)
+      .cleanCorpus(corpus, windowTokens, hashWindowKeys, charTokens)
       .localCheckpoint(false)
     val manifest = manifestV2FromCleaned(cleaned, corpus, benchmark, banded,
       embeddings, n, ngramThreshold, deconDedup, cosThreshold, corpusDedup,

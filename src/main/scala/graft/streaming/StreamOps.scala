@@ -1132,6 +1132,12 @@ object StreamOps {
     * and key deltas carry normalized window keys, so replay and
     * steady-state growth stay within one canonical form. StreamingSpec
     * pins stream ≡ batch for `normalizeFirst = true` separately.
+    *
+    * `charTokens` is the batch flag's streaming twin for stage 0
+    * (spaceless-script char-unit windows/cuts); the persisted window
+    * keys at `windowKeysPath` and every key delta must be built under
+    * the SAME flag — mixed-granularity keys never match and the span
+    * cut silently degrades to word-blind behavior on spaceless docs.
     */
   def curationIngestStreamV2(
       newDocs: DataFrame,
@@ -1152,7 +1158,8 @@ object StreamOps {
       cosThreshold: Double = 0.35,
       maxSpanTokens: Option[Int] = None,
       cfg: graft.text.MinHashConfig = graft.pipeline.TrainingSet.CurationDefaults.CorpusDedup,
-      normalizeFirst: Boolean = false)
+      normalizeFirst: Boolean = false,
+      charTokens: Boolean = graft.pipeline.TrainingSet.CurationDefaults.CharTokens)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // under normalizeFirst the frozen benchmark artifacts must see the
     // same canonical form the arriving docs are folded into —
@@ -1201,7 +1208,7 @@ object StreamOps {
             (acc, d) => acc.unionByName(spark.read.parquet(d))
           }
           val cleaned = graft.text.SubstringDedup
-            .incrementalCleanCorpus(src, keys, windowTokens)
+            .incrementalCleanCorpus(src, keys, windowTokens, charTokens)
             .localCheckpoint(true)
           val bdf = graft.text.SubstringDedup.withCleanText(src, cleaned)
             .localCheckpoint(true)
@@ -1236,7 +1243,7 @@ object StreamOps {
           // keys of the PRE-CUT batch (normalized under normalizeFirst,
           // matching the persisted key table's text form); an all-short
           // batch writes nothing
-          val delta = graft.text.SubstringDedup.windowKeys(src, windowTokens)
+          val delta = graft.text.SubstringDedup.windowKeys(src, windowTokens, charTokens)
           if (!delta.isEmpty)
             delta.write.mode("overwrite").parquet(s"$outDir/key_delta/b$batchId")
         }

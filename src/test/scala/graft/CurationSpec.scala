@@ -252,8 +252,10 @@ class CurationSpec extends SparkSpec {
   /** Banded index over (span-cleaned corpus ∪ benchmark) — the v2
     * coverage contract: signatures must be of the text the stages see.
     */
-  private def bandedOverCleaned(corp: DataFrame, bnch: DataFrame): DataFrame = {
-    val cleaned = graft.text.SubstringDedup.cleanCorpus(corp, 10)
+  private def bandedOverCleaned(
+      corp: DataFrame, bnch: DataFrame, charTokens: Boolean = false): DataFrame = {
+    val cleaned = graft.text.SubstringDedup
+      .cleanCorpus(corp, 10, charTokens = charTokens)
     val v2docs = corp.drop("text")
       .join(cleaned.select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
       .select(bnch.columns.map(col): _*)
@@ -489,6 +491,48 @@ class CurationSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(viaFlag == viaPre,
       "normalizeFirst must equal the pipeline over withNormalizedText inputs")
+  }
+
+  test("charTokens carries the spaceless-script cut into the v2 release pipeline") {
+    def cjk(seed: Int, n: Int): String = {
+      val rng = new scala.util.Random(seed)
+      (1 to n).map(_ => (0x4e00 + rng.nextInt(2000)).toChar).mkString
+    }
+    def filler(tag: String, n: Int): String =
+      (1 to n).map(i => tag + ("q" * i)).mkString(" ")
+    val base = cjk(3, 200)
+    // 11 embeds 40 chars of 10 between distinct random fillers — the
+    // near-dup class the word-windowed stage is structurally blind to
+    val corpusV = plantedDocs(Seq(
+      10L -> base,
+      11L -> (cjk(91, 20) + base.substring(60, 100) + cjk(92, 20)),
+      12L -> filler("c", 25), 13L -> filler("d", 25)))
+    val benchV = plantedDocs(Seq(100L -> filler("z", 25)))
+    // word order: stage 0 cannot see inside the one-token docs
+    val mWord = TrainingSet.curationManifestV2(
+        corpusV, benchV, bandedOverCleaned(corpusV, benchV), emptyEmb)
+      .select("doc_id", "sub_dup_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mWord(11L) == 0L, s"word-windowed stage 0 must be blind: $mWord")
+    // char order: the banded contract follows the text pipeline (index
+    // over the char-cut cleaned text); exactly the 40 shared chars cut
+    val mChar = TrainingSet.curationManifestV2(
+        corpusV, benchV,
+        bandedOverCleaned(corpusV, benchV, charTokens = true), emptyEmb,
+        charTokens = true)
+      .select("doc_id", "n_tokens", "sub_dup_tokens", "decon_verdict").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(mChar(11L)._1 == 80L && mChar(11L)._2 == 40L,
+      s"char stage 0 must cut exactly the shared run: ${mChar(11L)}")
+    // the canonical copy is untouched by stage 0 and passes decon; the
+    // downstream word-bigram LM gate legitimately cannot score a
+    // one-token doc (ppl drop) — a spaceless-aware release pairs this
+    // with charK MinHash configs and a char-level LM, out of scope here
+    assert(mChar(10L)._2 == 0L && mChar(10L)._3 == "keep",
+      s"canonical copy untouched through decon: ${mChar(10L)}")
+    // wordy docs: unit accounting and cuts identical to the word path
+    assert(mChar(12L)._1 == 25L && mChar(12L)._2 == 0L && mChar(13L)._2 == 0L,
+      s"wordy docs ride the word machinery unchanged: $mChar")
   }
 
   test("v2 banded contract fires across the normalization boundary, both directions") {

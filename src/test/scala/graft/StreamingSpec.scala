@@ -1760,6 +1760,91 @@ class StreamingSpec extends SparkSpec {
       s"accepted text must be the normalized form: ${acc9004.map(_.getString(0)).mkString}")
   }
 
+  test("streaming curation V2 charTokens: spaceless span cuts match the batch pipeline across batches") {
+    import spark.implicits._
+    def mk(id: Long, text: String): DataFrame =
+      Seq((id, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .select(Tables.schemas("documents").fields.map(f => col(f.name).cast(f.dataType)): _*)
+    def cjk(seed: Int, n: Int): String = {
+      val rng = new scala.util.Random(seed)
+      (1 to n).map(_ => (0x4e00 + rng.nextInt(2000)).toChar).mkString
+    }
+    val base = cjk(3, 200)
+    val wordy = (1 to 30).map(i => s"c$i").mkString(" ")
+    val corpus = mk(1L, base).unionByName(mk(2L, wordy)).localCheckpoint(true)
+    val bench = mk(100L, (1 to 12).map(i => s"b$i").mkString(" ")).localCheckpoint(true)
+    val gcfg = graft.text.MinHashConfig(threshold = 0.5)
+    val bdir = Files.createTempDirectory("graft-cur2c-bb").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(bench, gcfg), bdir, gcfg)
+    val benchBanded = graft.text.MinHashDedup.readBandedIndex(spark, bdir, gcfg)
+    val idxDir = Files.createTempDirectory("graft-cur2c-idx").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(corpus), idxDir)
+    val keysDir = Files.createTempDirectory("graft-cur2c-keys").toString
+    graft.text.SubstringDedup.windowKeys(corpus, 10, charTokens = true)
+      .write.mode("overwrite").parquet(keysDir)
+    // arrivals exercise all three char-cut channels:
+    //   9000 exact spaceless clone of the corpus doc → fully cut
+    //   9001 40 chars of it between fresh fillers → partial cut vs corpus
+    //   9002 a FRESH 40-char span + tail → canonical, no cut
+    //   9003 (next batch) repeats 9002's span → cross-batch cut via the
+    //        char-unit key delta
+    val fresh = cjk(55, 40)
+    val tail0 = mk(9000L, base)
+      .unionByName(mk(9001L, cjk(91, 20) + base.substring(60, 100) + cjk(92, 20)))
+      .unionByName(mk(9002L, fresh + cjk(93, 30)))
+    val tail1 = mk(9003L, fresh + cjk(94, 30))
+    val srcDir = Files.createTempDirectory("graft-cur2c-src")
+    val outDir = Files.createTempDirectory("graft-cur2c-out").toString
+    val ckpt = Files.createTempDirectory("graft-cur2c-ckpt").toString
+    val query = StreamOps.curationIngestStreamV2(
+      StreamOps.documentsStream(spark, srcDir.toString), corpus, idxDir,
+      keysDir, bench, benchBanded, outDir, ckpt,
+      deconDedup = gcfg, charTokens = true)
+    try {
+      writeChunk(tail0, srcDir, "chunk0")
+      query.processAllAvailable()
+      writeChunk(tail1, srcDir, "chunk1")
+      query.processAllAvailable()
+    } finally query.stop()
+    // batch twin over (corpus ∪ arrivals) with the char-unit stage 0
+    val newAll = tail0.unionByName(tail1)
+    val corpusAll = corpus.unionByName(newAll).localCheckpoint(true)
+    val unionClean = graft.text.SubstringDedup.withCleanText(
+      corpusAll,
+      graft.text.SubstringDedup.cleanCorpus(corpusAll, 10, charTokens = true))
+      .localCheckpoint(true)
+    val adir = Files.createTempDirectory("graft-cur2c-ab").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(unionClean), adir)
+    val cols = Seq("doc_id", "n_tokens", "sub_dup_tokens", "ngram_frac",
+      "near_dup", "semantic_cos", "decon_verdict", "dedup_verdict")
+    def rows(df: DataFrame) = df.select(cols.map(col): _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        r.getString(6), Option(r.getString(7)))).toSeq
+    val want = rows(graft.pipeline.TrainingSet.curationManifestV2(
+        corpusAll, bench, graft.text.MinHashDedup.readBandedIndex(
+          spark, adir, graft.text.MinHashConfig()),
+        Tables.load(spark, sf001, "embeddings").limit(0), deconDedup = gcfg,
+        nearDupPairs = Some(graft.text.MinHashDedup
+          .crossNearDupsAgainstBanded(unionClean, bench, benchBanded, gcfg)),
+        minIdDedupWinners = true, charTokens = true)
+      .filter(col("doc_id") >= 9000L).orderBy("doc_id"))
+    val got = rows(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$outDir/manifest").orderBy("doc_id"))
+    assert(got == want,
+      s"streaming charTokens manifest ≠ batch: ${got.zip(want).find(p => p._1 != p._2)}")
+    val cuts = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(cuts(9000L) == ((200L, 200L)), s"exact clone fully char-cut: ${cuts(9000L)}")
+    assert(cuts(9001L) == ((80L, 40L)), s"partial vs-corpus char cut: ${cuts(9001L)}")
+    assert(cuts(9002L)._2 == 0L, s"fresh span canonical: ${cuts(9002L)}")
+    assert(cuts(9003L)._2 == 40L, s"cross-batch char cut: ${cuts(9003L)}")
+  }
+
   test("streaming vector-index ingest: deltas + compaction keep probes exactly equal to brute force") {
     val emb = Tables.load(spark, sf01, "embeddings")
     val a = emb.filter(col("vec_id") % 2 === 0)
