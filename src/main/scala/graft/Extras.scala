@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array_distinct, array_intersect, asc, broadcast, coalesce, col, concat, count, desc, element_at, exp, explode, greatest, length, lit, max, md5, min, octet_length, regexp_replace, round, size, slice, substring, sum, transform, upper, when}
+import org.apache.spark.sql.functions.{array_distinct, array_intersect, array_join, asc, ascii, broadcast, coalesce, col, concat, count, desc, element_at, exp, explode, greatest, length, lit, max, md5, min, octet_length, regexp_replace, round, size, slice, substring, sum, transform, typedLit, upper, when}
 
 import graft.core.Engine
 import graft.functions.ZOrderValue
@@ -1970,8 +1970,19 @@ object Extras {
     "X125_cjk_substring_spans" -> q(c => {
       val slice = c.documents.filter(col("doc_id") < 120)
         .select(col("doc_id"), col("text"))
-      val sp = slice.select(col("doc_id"),
-        regexp_replace(col("text"), " ", "").as("text"))
+      // spaceless planted docs: space-stripped text transliterated
+      // a→一, b→丁, … (char-indexed CJK alphabet, the chr(19968+k)
+      // block) — genuinely non-ASCII, so the dispatch's
+      // majority-non-ASCII test fires; the raw wordy docs ride along
+      // ASCII and must take the word path
+      val cjkAlpha = (0 until 26)
+        .map(i => new String(Character.toChars(0x4e00 + i)))
+      val sp = slice
+        .select(col("doc_id"), regexp_replace(col("text"), " ", "").as("s"))
+        .filter(col("s").rlike("^[a-z]+$"))
+        .select(col("doc_id"),
+          array_join(transform(graft.text.TextAnalysis.charUnits(col("s")),
+            ch => element_at(typedLit(cjkAlpha), ascii(ch) - 96)), "").as("text"))
       val variants = sp.filter(length(col("text")) >= 80)
         .select((col("doc_id") + 100000L).as("doc_id"),
           concat(lit("q" * 15), substring(col("text"), 21, 40),
@@ -3922,13 +3933,14 @@ g AS (
   SELECT doc_id,
     len(list_filter(str_split(s, ' '), w -> w <> '')) AS ntok,
     length(s) AS ls,
+    length(regexp_replace(s, '[\x00-\x7F]', '', 'g')) AS nasc,
     list_distinct(list_transform(range(1, length(s) - 3), i -> substring(s, i, 5))) AS ga,
     list_distinct(list_transform(range(1, length(v) - 3), i -> substring(v, i, 5))) AS gb
   FROM s1),
 j AS (
   SELECT doc_id,
     CAST(CASE WHEN ntok >= 3 THEN ntok - 2 ELSE 0 END AS BIGINT) AS n_word_shingles,
-    (ntok < 3 OR ls >= 16 * ntok) AS dispatch_char,
+    (ntok < 3 OR (ls >= 16 * ntok AND 2 * nasc >= ls)) AS dispatch_char,
     CAST(len(ga) AS BIGINT) AS n_char_grams,
     ROUND(CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
       CAST(len(ga) + len(gb) - len(list_intersect(ga, gb)) AS DOUBLE), 6) AS char_jac
@@ -3942,9 +3954,13 @@ FROM j ORDER BY doc_id
     // arithmetic verbatim) else words; windows join with '' in char
     // mode, ' ' in word mode; then the X118 mark/merge pipeline
     "X125_cjk_substring_spans" -> """
-WITH raw AS (
-  SELECT doc_id, replace(text, ' ', '') AS text
+WITH s0 AS (
+  SELECT doc_id, replace(text, ' ', '') AS s
   FROM documents WHERE doc_id < 120),
+raw AS (
+  SELECT doc_id, array_to_string(list_transform(
+    generate_series(1, length(s)), i -> chr(unicode(s[i:i]) + 19871)), '') AS text
+  FROM s0 WHERE regexp_matches(s, '^[a-z]+$')),
 va AS (
   SELECT doc_id + 100000 AS doc_id,
     repeat('q', 15) || substring(text, 21, 40) || repeat('j', 15) AS text
@@ -3953,11 +3969,14 @@ wo AS (SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 120)
 u AS (SELECT * FROM raw UNION ALL SELECT * FROM va UNION ALL SELECT * FROM wo),
 t AS (
   SELECT doc_id,
-    CASE WHEN length(text) >= 16 * len(list_filter(str_split(text, ' '), x -> x <> ''))
+    CASE WHEN cm0
       THEN list_transform(generate_series(1, length(text)), i -> text[i:i])
       ELSE list_filter(str_split(text, ' '), x -> x <> '') END AS units,
-    (length(text) >= 16 * len(list_filter(str_split(text, ' '), x -> x <> ''))) AS cm
-  FROM u),
+    cm0 AS cm
+  FROM (SELECT doc_id, text,
+    (length(text) >= 16 * len(list_filter(str_split(text, ' '), x -> x <> ''))
+      AND 2 * length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) >= length(text)) AS cm0
+    FROM u)),
 w AS (SELECT doc_id, unnest(generate_series(1, len(units) - 9)) AS p, units, cm
       FROM t WHERE len(units) >= 10),
 k AS (SELECT doc_id, p,

@@ -58,10 +58,21 @@ case class ShingleHash(child: Expression, n: Int, charK: Int = 0)
     if (charK > 0) {
       // doc-level spaceless dispatch — MUST stay arithmetic-identical
       // to TextAnalysis.spaceless (Column) and the X124 oracle SQL:
-      // ntokens < n  OR  codePoints(text) >= SpacelessAvgTokenLen * ntokens
-      val cp = s.codePointCount(0, s.length)
+      // ntokens < n  OR  (codePoints >= SpacelessAvgTokenLen * ntokens
+      // AND 2 * nonAsciiCodePoints >= codePoints — the majority test
+      // that keeps one-long-token LATIN docs on word semantics)
+      var i = 0
+      var cp = 0
+      var nonAscii = 0
+      while (i < s.length) {
+        val c = s.codePointAt(i)
+        cp += 1
+        if (c > 0x7f) nonAscii += 1
+        i += Character.charCount(c)
+      }
       if (toks.length < n ||
-          cp >= graft.text.TextAnalysis.SpacelessAvgTokenLen.toLong * toks.length)
+          (cp.toLong >= graft.text.TextAnalysis.SpacelessAvgTokenLen.toLong * toks.length &&
+            nonAscii.toLong * 2 >= cp))
         return charGramHashes(s, cp)
     }
     if (toks.length < n) return new GenericArrayData(Array.empty[Long])

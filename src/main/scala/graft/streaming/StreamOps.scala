@@ -280,8 +280,10 @@ object StreamOps {
           // COMPLETE earlier deltas only, never this batch's own
           // (replay must not self-collide)
           val deltas = completeBatchDirs(s"$outDir/key_delta", batchId)
-          val keys = deltas.foldLeft(spark.read.parquet(corpusKeysPath)) {
-            (acc, d) => acc.unionByName(spark.read.parquet(d))
+          val keys = deltas.foldLeft(
+            graft.text.SubstringDedup.loadWindowKeys(spark, corpusKeysPath, minTokens)) {
+            (acc, d) => acc.unionByName(
+              graft.text.SubstringDedup.loadWindowKeys(spark, d, minTokens))
           }
           val cleaned = graft.text.SubstringDedup
             .incrementalCleanCorpus(b, keys, minTokens)
@@ -1204,8 +1206,13 @@ object StreamOps {
           // earlier key deltas (never this batch's own — replay must
           // not self-collide)
           val keyDeltas = completeBatchDirs(s"$outDir/key_delta", batchId)
-          val keys = keyDeltas.foldLeft(spark.read.parquet(windowKeysPath)) {
-            (acc, d) => acc.unionByName(spark.read.parquet(d))
+          // per-table granularity pin + strip (fail-loud on a
+          // word-built store under charTokens and vice versa)
+          val keys = keyDeltas.foldLeft(
+            graft.text.SubstringDedup.loadWindowKeys(
+              spark, windowKeysPath, windowTokens, charTokens)) {
+            (acc, d) => acc.unionByName(
+              graft.text.SubstringDedup.loadWindowKeys(spark, d, windowTokens, charTokens))
           }
           val cleaned = graft.text.SubstringDedup
             .incrementalCleanCorpus(src, keys, windowTokens, charTokens)

@@ -107,6 +107,11 @@ object SubstringDedup {
       documents: DataFrame, minTokens: Int, hashKeys: Boolean,
       charTokens: Boolean): DataFrame = {
     require(minTokens >= 1, s"minTokens must be positive, got $minTokens")
+    // the char/word key-space disjointness proof needs windows of >= 2
+    // units (see the scaladoc); at width 1 a word token could equal a
+    // char unit and mark a false cross-granularity duplicate
+    require(!charTokens || minTokens >= 2,
+      s"charTokens requires minTokens >= 2, got $minTokens")
     val (units, cm) = unitCols(charTokens)
     val sliced = slice(col("__toks"), col("p"), lit(minTokens))
     val winText =
@@ -254,7 +259,7 @@ object SubstringDedup {
     */
   private def cleanFromSpans(
       documents: DataFrame, spansRaw: DataFrame,
-      charTokens: Boolean = false): DataFrame = {
+      charTokens: Boolean): DataFrame = {
     val spans = spansRaw
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"),
@@ -299,6 +304,35 @@ object SubstringDedup {
       charTokens: Boolean = false): DataFrame =
     windowHits(documents, minTokens, hashKeys = true, charTokens)
       .select(col("__key").as("key")).distinct()
+      // the granularity pin: a word-built key table consumed by a
+      // charTokens run (or vice versa) never matches anything and the
+      // span cut silently degrades — the same silent-failure class the
+      // banded index pins with cfg_chark. Consumers check and strip.
+      .withColumn("cfg_chartok", lit(if (charTokens) 1 else 0))
+
+  /** Load a persisted [[windowKeys]] table/delta, require its
+    * granularity stamp to match `charTokens` (a table written before
+    * the stamp existed can only have been word-built), and strip the
+    * stamp so heterogeneous-era tables union cleanly. The check is one
+    * 1-row collect per table — each parquet dir carries one constant.
+    */
+  def loadWindowKeys(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      minTokens: Int,
+      charTokens: Boolean = false): DataFrame = {
+    val df = spark.read.parquet(path)
+    val want = if (charTokens) 1 else 0
+    val got =
+      if (df.columns.contains("cfg_chartok"))
+        df.select("cfg_chartok").limit(1).collect().headOption.map(_.getInt(0))
+      else df.limit(1).collect().headOption.map(_ => 0)
+    require(got.forall(_ == want),
+      s"window-key table at $path was built with charTokens=${got.contains(1)}, " +
+        s"this run uses charTokens=$charTokens — mixed-granularity keys never " +
+        "match and the span cut silently degrades; rebuild the key store")
+    df.select("key")
+  }
 
   /** Incremental duplicated spans for an ingest BATCH against an
     * existing corpus known only by its [[windowKeys]] table: a batch
@@ -314,6 +348,19 @@ object SubstringDedup {
   def incrementalDuplicatedSpans(
       newDocs: DataFrame, existingKeys: DataFrame, minTokens: Int,
       charTokens: Boolean = false): DataFrame = {
+    // direct callers may hand a stamped key frame; require the stamp
+    // to match and strip it (loadWindowKeys already did both for
+    // tables it loaded — the column is then absent here)
+    val existing =
+      if (existingKeys.columns.contains("cfg_chartok")) {
+        val want = if (charTokens) 1 else 0
+        val got = existingKeys.select("cfg_chartok").limit(1).collect()
+          .headOption.map(_.getInt(0))
+        require(got.forall(_ == want),
+          s"window-key frame was built with charTokens=${got.contains(1)}, " +
+            s"this run uses charTokens=$charTokens — rebuild the key store")
+        existingKeys.select("key")
+      } else existingKeys
     val wins = windowHits(newDocs, minTokens, hashKeys = true, charTokens)
     // first-in-batch via groupBy + join (not a window over __key) for
     // the same hot-key reason as duplicatedHits: a boilerplate window
@@ -325,7 +372,7 @@ object SubstringDedup {
       .groupBy("__key")
       .agg(min(struct(col("doc_id"), col("p"))).as("__first"))
     val marked = wins
-      .join(existingKeys.select(col("key").as("__key"), lit(true).as("__old"))
+      .join(existing.select(col("key").as("__key"), lit(true).as("__old"))
         .distinct(), Seq("__key"), "left_outer")
       .join(statsJoinSide(newDocs, firstInBatch, hashKeys = true), Seq("__key"))
       .select(col("doc_id"), col("p"),

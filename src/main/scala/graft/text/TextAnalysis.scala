@@ -129,23 +129,45 @@ object TextAnalysis {
   def spaceless(text: Column, n: Int): Column =
     size(tokens(text)) < n || spacelessRun(text)
 
-  /** The average-token-length HALF of [[spaceless]] alone:
-    * `length(text) >= 16 * ntokens`. The substring tier dispatches on
-    * this and deliberately NOT on the too-few-tokens case — a short
-    * Latin doc legitimately emits no windows (it cannot contain a
-    * duplicated run of window length), and char-tokenizing it would
-    * invent sub-word duplication inside ordinary words.
+  /** The spaceless-RUN predicate of [[spaceless]] (its second
+    * disjunct): tokens average ≥ [[SpacelessAvgTokenLen]] code points
+    * AND the doc is majority non-ASCII. Both conditions matter:
+    *  - the substring tier dispatches on THIS alone and deliberately
+    *    not on the too-few-tokens case — a short Latin doc
+    *    legitimately emits no windows (it cannot contain a duplicated
+    *    run of window length), and char-cutting it would invent
+    *    sub-word duplication inside ordinary words;
+    *  - the non-ASCII-majority test keeps single-long-token LATIN docs
+    *    (URLs, base64 blobs, long identifiers) on word semantics —
+    *    spaceless SCRIPTS are non-ASCII by construction, while
+    *    char-cutting two URLs' shared prefix would mangle ordinary
+    *    data. The ASCII class `[\x00-\x7F]` is spelled identically in
+    *    Java regex and RE2, so the DuckDB restatement stays exact:
+    *    `len >= 16*ntok AND 2*len(non_ascii_chars) >= len`.
     */
   def spacelessRun(text: Column): Column =
-    length(text) >= lit(SpacelessAvgTokenLen) * size(tokens(text))
+    length(text) >= lit(SpacelessAvgTokenLen) * size(tokens(text)) &&
+      length(regexp_replace(text, "[\\x00-\\x7F]", "")) * 2 >= length(text)
 
   /** Single-code-point units of `text`, spaces included as units — the
     * spaceless-script token representation of the substring tier
     * (windows become k-char runs; the span cut rejoins with "" and
-    * reconstructs the text exactly minus the cut runs). `substr`
-    * counts code points, matching DuckDB substring/indexing exactly.
+    * reconstructs the text exactly minus the cut runs). The native
+    * [[graft.functions.CodePointUnits]] walks the bytes ONCE — the
+    * Column twin below re-scans from offset 0 per position (O(n²) per
+    * doc, ruinous for long spaceless docs); [[charUnitsTwin]] remains
+    * the certified restatement (code-point `substr`, matching DuckDB
+    * substring/indexing exactly) and the two are spec-pinned equal,
+    * astral chars included.
     */
   def charUnits(text: Column): Column =
+    graft.functions.CodePointUnits(text)
+
+  /** The interpreted Column twin of [[charUnits]] — oracle-shaped
+    * (`substr` is code-point based like DuckDB's substring), used only
+    * by the equality pin.
+    */
+  private[graft] def charUnitsTwin(text: Column): Column =
     when(length(text) >= 1,
       transform(sequence(lit(1), length(text)), i => text.substr(i, lit(1))))
       .otherwise(array().cast("array<string>"))

@@ -107,4 +107,25 @@ class FunctionSurfaceSpec extends SparkSpec {
     val n = spark.sql("SELECT graft_zorder_n(CAST(NULL AS BIGINT), 1L, 2L)").collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("CodePointUnits (native, one pass) equals the substr Column twin on adversarial strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // astral 𝔘 = one code point / two UTF-16 units; the native walk
+    // must window code points exactly like Column substr (and DuckDB)
+    val rows = Seq(
+      (1L, ""), (2L, "a"), (3L, "plain ascii words"),
+      (4L, (0x4e00 to 0x4e40).map(_.toChar).mkString),
+      (5L, "𝔘" * 5 + " ab " + "𝔘"), (6L, "  spaces  kept  "),
+      (7L, "é mixé́ nfc-sensitive")).toDF("id", "s")
+    val got = rows.select(col("id"),
+        graft.text.TextAnalysis.charUnits(col("s")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val want = rows.select(col("id"),
+        graft.text.TextAnalysis.charUnitsTwin(col("s")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got == want, s"native ≠ twin: ${got.keys.filter(k => got(k) != want(k))}")
+    assert(got(5L).count(_ == "𝔘") == 6 && got(5L).size == 10,
+      s"astral units counted as single code points: ${got(5L)}")
+  }
 }

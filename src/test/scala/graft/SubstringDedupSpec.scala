@@ -222,6 +222,77 @@ class SubstringDedupSpec extends SparkSpec {
     assert(inc == batchTwin, s"incremental ≠ batch: $inc vs $batchTwin")
   }
 
+  test("charTokens: one-long-token LATIN docs (URLs, base64) keep word semantics — no destructive prefix cuts") {
+    // each doc is ONE token averaging far past the length bound, but
+    // pure ASCII — the majority-non-ASCII half of the dispatch must
+    // keep them on word semantics (char-cutting their shared prefix
+    // would mangle ordinary data, exactly what the doc contract forbids)
+    val corpus = docs(
+      1L -> "https://www.example.com/alpha/beta/gamma/delta/epsilon",
+      2L -> "https://www.example.com/alpha/beta/gamma/zeta/omega",
+      3L -> ("MIIBIjANBgkqhkiG9w0BAQEFAAOCAQ8A" * 3),
+      4L -> ("MIIBIjANBgkqhkiG9w0BAQEFAAOCAQ8A" * 2 + "tailblob"))
+    val cleaned = SubstringDedup.cleanCorpus(corpus, 10, charTokens = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(cleaned.values.forall(_._2 == 0L),
+      s"ASCII one-token docs must stay word-windowed (no cuts): $cleaned")
+    assert(cleaned(2L)._1 == 1L && cleaned(2L)._3.startsWith("https://"),
+      s"unit accounting stays word-based: ${cleaned(2L)}")
+    // an all-whitespace doc stays word-mode too (its non-ASCII count is 0)
+    val ws = SubstringDedup.cleanCorpus(docs(9L -> "   "), 10, charTokens = true)
+      .collect().map(r => (r.getLong(1), r.getString(3))).head
+    assert(ws == ((0L, "")), s"all-whitespace doc: $ws")
+  }
+
+  test("window-key granularity pin: a word-built store under charTokens fails loud, and vice versa") {
+    def cjk(seed: Int, n: Int): String = {
+      val rng = new scala.util.Random(seed)
+      (1 to n).map(_ => (0x4e00 + rng.nextInt(2000)).toChar).mkString
+    }
+    val corpus = docs(1L -> cjk(3, 200), 2L -> (1 to 30).map(i => s"c$i").mkString(" "))
+    val wordDir = java.nio.file.Files.createTempDirectory("graft_wk_word").toString
+    SubstringDedup.windowKeys(corpus, 10).write.mode("overwrite").parquet(wordDir)
+    val charDir = java.nio.file.Files.createTempDirectory("graft_wk_char").toString
+    SubstringDedup.windowKeys(corpus, 10, charTokens = true)
+      .write.mode("overwrite").parquet(charDir)
+    // matched loads pass and strip the stamp
+    assert(SubstringDedup.loadWindowKeys(spark, wordDir, 10).columns.toSeq == Seq("key"))
+    assert(SubstringDedup.loadWindowKeys(spark, charDir, 10, charTokens = true)
+      .columns.toSeq == Seq("key"))
+    // crossed loads fail loud in BOTH directions
+    val e1 = intercept[IllegalArgumentException] {
+      SubstringDedup.loadWindowKeys(spark, wordDir, 10, charTokens = true)
+    }
+    assert(e1.getMessage.contains("charTokens"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      SubstringDedup.loadWindowKeys(spark, charDir, 10)
+    }
+    assert(e2.getMessage.contains("charTokens"), e2.getMessage)
+    // a LEGACY table (no stamp column) can only have been word-built
+    val legacy = java.nio.file.Files.createTempDirectory("graft_wk_legacy").toString
+    spark.read.parquet(wordDir).drop("cfg_chartok")
+      .write.mode("overwrite").parquet(legacy)
+    assert(SubstringDedup.loadWindowKeys(spark, legacy, 10).count() > 0)
+    val e3 = intercept[IllegalArgumentException] {
+      SubstringDedup.loadWindowKeys(spark, legacy, 10, charTokens = true)
+    }
+    assert(e3.getMessage.contains("charTokens"), e3.getMessage)
+    // the incremental consumer guards a stamped frame directly too
+    val e4 = intercept[IllegalArgumentException] {
+      SubstringDedup.incrementalDuplicatedSpans(
+        corpus, spark.read.parquet(wordDir), 10, charTokens = true)
+    }
+    assert(e4.getMessage.contains("charTokens"), e4.getMessage)
+  }
+
+  test("charTokens requires minTokens >= 2 (width-1 windows would collide across granularities)") {
+    intercept[IllegalArgumentException] {
+      SubstringDedup.duplicatedSpans(
+        docs(1L -> "abc"), 1, charTokens = true).collect()
+    }
+  }
+
   test("minTokens must be positive") {
     intercept[IllegalArgumentException] {
       SubstringDedup.duplicatedSpans(cat.documents, 0)
