@@ -190,6 +190,50 @@ object ScaleGrowthBench {
           .duplicatedSpans(d, minTokens = 10, hashKeys = true)
           .agg(coalesce(sum("span_tokens"), lit(0L))).first().getLong(0),
         true),
+      // X125c — the substring tier's CHAR-UNIT path at growth: a
+      // spaceless replica fixture built for EXACT block-diagonality.
+      // Each replica transliterates the base words a–z → CJK
+      // (translate: a per-char BIJECTION, so within-replica window
+      // equality structure is isomorphic to the base), appends a
+      // per-token tag "r"+ℓ_i (ℓ_i a unique letter per replica, 'r'
+      // excluded from the alphabet so tag chars never collide), then
+      // strips spaces. The longest base word is ≤ 8 chars (required
+      // in-closure), so consecutive distinguishing ℓ chars sit ≤ 9
+      // apart and EVERY 10-char window contains one — windows never
+      // match across replicas, and within-replica masses are equal by
+      // the bijection, so total span mass is EXACTLY factor-linear.
+      // What the point measures: the char path emits one window per
+      // CODE POINT (~5× the word path's row density per byte) — its
+      // wall must stay factor-linear through the same groupBy+join
+      // hot-key-safe marking shape.
+      ("X125c_char_substring",
+        _ => {
+          val letters = "abcdefghijklmnopqstuvwxyz" // 25 tags, no 'r'
+          require(curFactor <= letters.length,
+            s"char growth fixture supports factors <= ${letters.length}")
+          require(base
+            .select(max(array_max(transform(
+              graft.text.TextAnalysis.tokens(col("text")), t => length(t)))))
+            .first().getInt(0) <= 8,
+            "block-diagonality proof needs base words <= 8 chars")
+          val tags = typedLit(letters.map(_.toString))
+          val cjk26 = (0 until 26).map(i => (0x4e00 + i).toChar).mkString
+          val d2 = base.select(col("doc_id"), col("text"),
+              explode(sequence(lit(0), lit(curFactor - 1))).as("__r"))
+            .select(
+              (col("doc_id") + col("__r").cast("long") * 1000000L).as("doc_id"),
+              regexp_replace(
+                regexp_replace(
+                  translate(col("text"), "abcdefghijklmnopqrstuvwxyz", cjk26),
+                  lit("(\\S+)"),
+                  concat(lit("$1r"), element_at(tags, col("__r") + 1))),
+                lit(" "), lit("")).as("text"))
+            .repartition(32).localCheckpoint(true)
+          graft.text.SubstringDedup
+            .duplicatedSpans(d2, minTokens = 10, hashKeys = true, charTokens = true)
+            .agg(coalesce(sum("span_tokens"), lit(0L))).first().getLong(0)
+        },
+        true),
       ("X84_dedup_report",
         d => {
           val clusters = MinHashDedup
