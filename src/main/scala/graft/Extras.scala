@@ -1921,24 +1921,33 @@ object Extras {
           (col("norm_grp") > col("raw_grp")).as("caught_by_normalization"))
         .orderBy("doc_id")
     }),
-    // X124: spaceless-script (CJK-style) near-dup shingling — planted
-    // space-stripped docs plus one-char-edited variants. Word shingles
-    // see ONE token per doc (0 shingles — the whole near-dup class is
-    // invisible), while the character-5-gram fallback
+    // X124: spaceless-script near-dup shingling — space-stripped docs
+    // transliterated a→ก, b→ข, … into the Thai consonant block
+    // (U+0E01+, 3-byte UTF-8 — a REAL spaceless script, so the
+    // dispatch's majority-non-ASCII guard is exercised on non-BMP-
+    // trivial arithmetic), plus one-char-edited variants. Word
+    // shingles see ONE token per doc (0 shingles — the whole near-dup
+    // class is invisible), while the character-5-gram fallback
     // (TextAnalysis.charShingles, the MinHashConfig.charK path) scores
     // the pair ≈ 0.90 exact Jaccard. Per doc: the word-shingle count
     // (0), the doc-level dispatch verdict (TextAnalysis.spaceless — the
-    // same integer arithmetic the native ShingleHash uses), the char
-    // k-gram stats and the pair's char Jaccard. Oracle: DuckDB
-    // substring/list ops restate the code-point windows exactly — which
-    // pins the Spark↔DuckDB char-shingle parity itself
+    // same integer arithmetic the native ShingleHash uses, BOTH
+    // disjuncts majority-non-ASCII-guarded since r16), the char k-gram
+    // stats and the pair's char Jaccard. Oracle: DuckDB substring/list
+    // ops restate the code-point windows exactly — which pins the
+    // Spark↔DuckDB char-shingle parity itself
     "X124_cjk_char_shingles" -> q(c => {
       val k = 5
+      val thaiAlpha = (0 until 26)
+        .map(i => new String(Character.toChars(0x0e01 + i)))
       val s1 = c.documents.filter(col("doc_id") < 150)
-        .select(col("doc_id"), regexp_replace(col("text"), " ", "").as("s"))
-        .filter(length(col("s")) >= 100)
+        .select(col("doc_id"), regexp_replace(col("text"), " ", "").as("s0"))
+        .filter(col("s0").rlike("^[a-z]+$") && length(col("s0")) >= 100)
+        .select(col("doc_id"),
+          array_join(transform(graft.text.TextAnalysis.charUnits(col("s0")),
+            ch => element_at(typedLit(thaiAlpha), ascii(ch) - 96)), "").as("s"))
         .select(col("doc_id"), col("s"),
-          concat(substring(col("s"), 1, 49), lit("q"),
+          concat(substring(col("s"), 1, 49), lit("ฯ"),
             col("s").substr(lit(51), length(col("s")))).as("v"))
       def grams(cc: Column) =
         array_distinct(graft.text.TextAnalysis.charShingles(cc, k))
@@ -3917,18 +3926,24 @@ SELECT CAST(f.doc_id AS BIGINT) AS doc_id, rc.raw_grp, nc.norm_grp,
 FROM f JOIN rc ON f.rfp = rc.rfp JOIN nc ON f.nfp = nc.nfp
 ORDER BY doc_id
 """.trim,
-    // X124: character-5-gram shingles over space-stripped docs + their
-    // one-char-edited variants, as code-point substring windows; the
-    // dispatch predicate restates TextAnalysis.spaceless's integer
-    // arithmetic (ntok < n OR length >= 16*ntok) verbatim
+    // X124: character-5-gram shingles over space-stripped docs
+    // transliterated into the Thai consonant block (chr(unicode+3488):
+    // 'a' 97 → U+0E01 3585) + their one-char-edited variants, as
+    // code-point substring windows; the dispatch predicate restates
+    // TextAnalysis.spaceless's integer arithmetic (majority-non-ASCII
+    // AND (ntok < n OR length >= 16*ntok)) verbatim
     "X124_cjk_char_shingles" -> """
-WITH s0 AS (
-  SELECT doc_id, replace(text, ' ', '') AS s
+WITH p0 AS (
+  SELECT doc_id, replace(text, ' ', '') AS s0
   FROM documents WHERE doc_id < 150),
+s0 AS (
+  SELECT doc_id, array_to_string(list_transform(
+    generate_series(1, length(s0)), i -> chr(unicode(s0[i:i]) + 3488)), '') AS s
+  FROM p0 WHERE regexp_matches(s0, '^[a-z]+$') AND length(s0) >= 100),
 s1 AS (
   SELECT doc_id, s,
-    substring(s, 1, 49) || 'q' || substring(s, 51, length(s)) AS v
-  FROM s0 WHERE length(s) >= 100),
+    substring(s, 1, 49) || chr(3631) || substring(s, 51, length(s)) AS v
+  FROM s0),
 g AS (
   SELECT doc_id,
     len(list_filter(str_split(s, ' '), w -> w <> '')) AS ntok,
@@ -3940,7 +3955,7 @@ g AS (
 j AS (
   SELECT doc_id,
     CAST(CASE WHEN ntok >= 3 THEN ntok - 2 ELSE 0 END AS BIGINT) AS n_word_shingles,
-    (ntok < 3 OR (ls >= 16 * ntok AND 2 * nasc >= ls)) AS dispatch_char,
+    (2 * nasc >= ls AND (ntok < 3 OR ls >= 16 * ntok)) AS dispatch_char,
     CAST(len(ga) AS BIGINT) AS n_char_grams,
     ROUND(CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
       CAST(len(ga) + len(gb) - len(list_intersect(ga, gb)) AS DOUBLE), 6) AS char_jac

@@ -22,11 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * verification keeps using real string shingles.
   *
   * `charK > 0` enables the SPACELESS-SCRIPT fallback: a document the
-  * doc-level dispatch classifies as spaceless (fewer than `n`
-  * whitespace tokens, or average token length ≥
-  * [[graft.text.TextAnalysis.SpacelessAvgTokenLen]] code points — CJK/
-  * Thai text carries no ASCII spaces, so its "tokens" are whole
-  * sentences) hashes character `charK`-grams of the raw text instead:
+  * doc-level dispatch classifies as spaceless (majority non-ASCII code
+  * points AND — fewer than `n` whitespace tokens, or average token
+  * length ≥ [[graft.text.TextAnalysis.SpacelessAvgTokenLen]] code
+  * points — CJK/Thai text carries no ASCII spaces, so its "tokens" are
+  * whole sentences; the majority guard keeps pure-ASCII URLs/base64/
+  * short phrases on word semantics) hashes character `charK`-grams of
+  * the raw text instead:
   * word shingling would otherwise collapse its near-dup granularity to
   * the whole document. K-grams are CODE-POINT windows (not UTF-16
   * units) so they agree with the Column-level
@@ -58,9 +60,10 @@ case class ShingleHash(child: Expression, n: Int, charK: Int = 0)
     if (charK > 0) {
       // doc-level spaceless dispatch — MUST stay arithmetic-identical
       // to TextAnalysis.spaceless (Column) and the X124 oracle SQL:
-      // ntokens < n  OR  (codePoints >= SpacelessAvgTokenLen * ntokens
-      // AND 2 * nonAsciiCodePoints >= codePoints — the majority test
-      // that keeps one-long-token LATIN docs on word semantics)
+      // 2 * nonAsciiCodePoints >= codePoints (the majority test that
+      // keeps LATIN docs — URLs, base64, short phrases — on word
+      // semantics under BOTH disjuncts) AND (ntokens < n OR
+      // codePoints >= SpacelessAvgTokenLen * ntokens)
       var i = 0
       var cp = 0
       var nonAscii = 0
@@ -70,9 +73,9 @@ case class ShingleHash(child: Expression, n: Int, charK: Int = 0)
         if (c > 0x7f) nonAscii += 1
         i += Character.charCount(c)
       }
-      if (toks.length < n ||
-          (cp.toLong >= graft.text.TextAnalysis.SpacelessAvgTokenLen.toLong * toks.length &&
-            nonAscii.toLong * 2 >= cp))
+      if (nonAscii.toLong * 2 >= cp &&
+          (toks.length < n ||
+            cp.toLong >= graft.text.TextAnalysis.SpacelessAvgTokenLen.toLong * toks.length))
         return charGramHashes(s, cp)
     }
     if (toks.length < n) return new GenericArrayData(Array.empty[Long])

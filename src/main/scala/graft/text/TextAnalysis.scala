@@ -123,11 +123,25 @@ object TextAnalysis {
     * nothing (fewer than `n` tokens) or would be near-useless (tokens
     * averaging [[SpacelessAvgTokenLen]]+ code points — whole sentences
     * between rare spaces, so one edited char kills every shingle that
-    * run appears in). Integer arithmetic only, so the DuckDB
-    * restatement is exact: `ntokens < n OR length(text) >= 16 * ntokens`.
+    * run appears in). BOTH disjuncts carry the majority-non-ASCII
+    * guard: spaceless scripts are non-ASCII by construction, while a
+    * short pure-ASCII doc (URL, base64 blob, ID list) sharing a long
+    * prefix with another would otherwise char-gram into a ≥0.8-Jaccard
+    * "near-dup" and be dropped by dedup winners — short Latin docs
+    * must stay word-shingled (and, below `n` tokens, legitimately
+    * invisible). Integer arithmetic only, so the DuckDB restatement is
+    * exact: `2*len(non_ascii) >= len AND (ntok < n OR len >= 16*ntok)`.
     */
   def spaceless(text: Column, n: Int): Column =
-    size(tokens(text)) < n || spacelessRun(text)
+    (size(tokens(text)) < n && nonAsciiMajority(text)) || spacelessRun(text)
+
+  /** Majority-non-ASCII test shared by both [[spaceless]] disjuncts.
+    * The ASCII class `[\x00-\x7F]` is spelled identically in Java
+    * regex and RE2, so the DuckDB restatement stays exact:
+    * `2*len(non_ascii_chars) >= len`.
+    */
+  private def nonAsciiMajority(text: Column): Column =
+    length(regexp_replace(text, "[\\x00-\\x7F]", "")) * 2 >= length(text)
 
   /** The spaceless-RUN predicate of [[spaceless]] (its second
     * disjunct): tokens average ≥ [[SpacelessAvgTokenLen]] code points
@@ -147,7 +161,7 @@ object TextAnalysis {
     */
   def spacelessRun(text: Column): Column =
     length(text) >= lit(SpacelessAvgTokenLen) * size(tokens(text)) &&
-      length(regexp_replace(text, "[\\x00-\\x7F]", "")) * 2 >= length(text)
+      nonAsciiMajority(text)
 
   /** Single-code-point units of `text`, spaces included as units — the
     * spaceless-script token representation of the substring tier

@@ -119,6 +119,44 @@ class IncrementalDedupSpec extends SparkSpec {
       s"winners under charK: $winners")
   }
 
+  test("charK guard: short pure-ASCII docs (URLs) stay word-shingled — never char-gram near-dups") {
+    import spark.implicits._
+    // two URLs differing in one trailing char share char-5-gram
+    // Jaccard ≈ 0.97 — before the majority-non-ASCII guard covered the
+    // ntok<n disjunct they verified as near-dups under charK>0 and one
+    // was DROPPED by dedup winners (real data loss: distinct pages).
+    // The guard keeps them on word semantics (1 token < n → invisible,
+    // both kept), without disturbing the genuinely spaceless pair.
+    val u1 = "https://example.com/articles/2026/08/16/long-shared-slug-here?id=1"
+    val u2 = "https://example.com/articles/2026/08/16/long-shared-slug-here?id=2"
+    val b64a = "aGVsbG8gd29ybGQgdGhpcyBpcyBhIGxvbmcgYmFzZTY0IGJsb2IgMDAwMDAwMDAx"
+    val b64b = "aGVsbG8gd29ybGQgdGhpcyBpcyBhIGxvbmcgYmFzZTY0IGJsb2IgMDAwMDAwMDAy"
+    def thai(seed: Int, n: Int): String = {
+      val rng = new scala.util.Random(seed)
+      (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
+    }
+    val tb = thai(3, 100)
+    val docs = Seq(
+      10L -> u1, 11L -> u2, 12L -> b64a, 13L -> b64b,
+      30L -> tb, 31L -> tb.updated(50, '๛')).toDF("doc_id", "text")
+    val ck = graft.text.MinHashConfig(charK = 5)
+    val pairs = MinHashDedup.verifiedPairs(docs, ck)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((30L, 31L)),
+      s"only the Thai spaceless pair may verify — ASCII URLs/base64 must stay invisible: $pairs")
+    val winners = MinHashDedup.dedupWinners(docs, ck)
+      .collect().map(_.getLong(0)).toSet
+    assert(winners == Set(10L, 11L, 12L, 13L, 30L),
+      s"every ASCII doc kept, Thai variant deduped: $winners")
+    // dispatch parity on exactly these shapes: Column, native, and the
+    // X124 SQL arithmetic all say ASCII→word, Thai→char
+    val disp = docs.select(col("doc_id"),
+      graft.text.TextAnalysis.spaceless(col("text"), 3).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(disp == Map(10L -> false, 11L -> false, 12L -> false,
+      13L -> false, 30L -> true, 31L -> true), s"dispatch: $disp")
+  }
+
   test("ShingleHash charK universe matches shinglesAuto on adversarial docs (incl. surrogate pairs)") {
     import spark.implicits._
     // the native dispatch + code-point k-grams and the Column twin
