@@ -269,7 +269,10 @@ object StreamOps {
       corpusKeysPath: String,
       outDir: String,
       checkpoint: String,
-      minTokens: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
+      minTokens: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
+    // deltas this stream wrote are validated once, then trusted
+    val validatedDeltas =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -280,11 +283,8 @@ object StreamOps {
           // COMPLETE earlier deltas only, never this batch's own
           // (replay must not self-collide)
           val deltas = completeBatchDirs(s"$outDir/key_delta", batchId)
-          val keys = deltas.foldLeft(
-            graft.text.SubstringDedup.loadWindowKeys(spark, corpusKeysPath, minTokens)) {
-            (acc, d) => acc.unionByName(
-              graft.text.SubstringDedup.loadWindowKeys(spark, d, minTokens))
-          }
+          val keys = foldWindowKeys(spark, corpusKeysPath, deltas,
+            minTokens, charTokens = false, validatedDeltas)
           val cleaned = graft.text.SubstringDedup
             .incrementalCleanCorpus(b, keys, minTokens)
             .localCheckpoint(true)
@@ -298,6 +298,41 @@ object StreamOps {
         ()
       }
       .start()
+  }
+
+  /** Base window-key table ∪ completed key deltas, stamp-checked — the
+    * per-micro-batch corpus side of the substring ingest streams. The
+    * BASE table is re-validated every batch (it is external state:
+    * another writer may replace it between batches), but delta dirs
+    * are immutable once complete and were written BY this stream with
+    * a known stamp, so each is validated on first read only and then
+    * served from `validated` (a per-stream path cache) — without it
+    * every batch re-pays loadWindowKeys' parquet-footer read + 1-row
+    * collect per accumulated delta, O(batches²) driver jobs over the
+    * stream's life.
+    */
+  private def foldWindowKeys(
+      spark: org.apache.spark.sql.SparkSession,
+      basePath: String,
+      deltas: Seq[String],
+      minTokens: Int,
+      charTokens: Boolean,
+      validated: java.util.Set[String]): DataFrame =
+    deltas.foldLeft(
+      graft.text.SubstringDedup.loadWindowKeys(spark, basePath, minTokens, charTokens)) {
+      (acc, d) =>
+        val keys =
+          if (validated.contains(d)) spark.read.parquet(d).select("key")
+          else {
+            // loadWindowKeys validates eagerly (the require fires on
+            // the collect inside), so reaching the add() means the
+            // stamp matched
+            val k = graft.text.SubstringDedup.loadWindowKeys(spark, d, minTokens, charTokens)
+            validated.add(d)
+            k
+          }
+        acc.unionByName(keys)
+    }
 
   /** COMPLETE batch directories (_SUCCESS present) under `root`,
     * excluding the batch currently being (re)processed — shared
@@ -1179,6 +1214,9 @@ object StreamOps {
         .localCheckpoint(true))
     val refToks = reference.map(
       graft.text.TextAnalysis.referenceTokens(_).localCheckpoint(true))
+    // key deltas this stream wrote are validated once, then trusted
+    val validatedDeltas =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -1207,13 +1245,10 @@ object StreamOps {
           // not self-collide)
           val keyDeltas = completeBatchDirs(s"$outDir/key_delta", batchId)
           // per-table granularity pin + strip (fail-loud on a
-          // word-built store under charTokens and vice versa)
-          val keys = keyDeltas.foldLeft(
-            graft.text.SubstringDedup.loadWindowKeys(
-              spark, windowKeysPath, windowTokens, charTokens)) {
-            (acc, d) => acc.unionByName(
-              graft.text.SubstringDedup.loadWindowKeys(spark, d, windowTokens, charTokens))
-          }
+          // word-built store under charTokens and vice versa); deltas
+          // validated once per stream, base every batch
+          val keys = foldWindowKeys(spark, windowKeysPath, keyDeltas,
+            windowTokens, charTokens, validatedDeltas)
           val cleaned = graft.text.SubstringDedup
             .incrementalCleanCorpus(src, keys, windowTokens, charTokens)
             .localCheckpoint(true)

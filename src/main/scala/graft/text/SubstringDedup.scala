@@ -304,33 +304,56 @@ object SubstringDedup {
       charTokens: Boolean = false): DataFrame =
     windowHits(documents, minTokens, hashKeys = true, charTokens)
       .select(col("__key").as("key")).distinct()
-      // the granularity pin: a word-built key table consumed by a
-      // charTokens run (or vice versa) never matches anything and the
-      // span cut silently degrades — the same silent-failure class the
-      // banded index pins with cfg_chark. Consumers check and strip.
+      // the granularity pins: a key table built at a different unit
+      // (word vs char) OR a different window length never matches
+      // anything and the span cut silently degrades — the same
+      // silent-failure class the banded index pins with cfg_chark.
+      // Consumers check both stamps and strip.
       .withColumn("cfg_chartok", lit(if (charTokens) 1 else 0))
+      .withColumn("cfg_wintok", lit(minTokens))
 
   /** Load a persisted [[windowKeys]] table/delta, require its
-    * granularity stamp to match `charTokens` (a table written before
-    * the stamp existed can only have been word-built), and strip the
-    * stamp so heterogeneous-era tables union cleanly. The check is one
-    * 1-row collect per table — each parquet dir carries one constant.
+    * granularity stamps to match this run — `cfg_chartok` must equal
+    * `charTokens` (a table written before the stamp existed can only
+    * have been word-built) and `cfg_wintok` must equal `minTokens`
+    * (tables from before that stamp are grandfathered — their window
+    * length is unknowable) — and strip the stamps so
+    * heterogeneous-era tables union cleanly. The check is one 1-row
+    * collect per table — each parquet dir carries one constant.
     */
   def loadWindowKeys(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       minTokens: Int,
-      charTokens: Boolean = false): DataFrame = {
-    val df = spark.read.parquet(path)
+      charTokens: Boolean = false): DataFrame =
+    checkedKeys(spark.read.parquet(path), s"window-key table at $path",
+      minTokens, charTokens)
+
+  /** Shared stamp check of [[loadWindowKeys]] and the direct-frame
+    * path of [[incrementalDuplicatedSpans]]: validate whichever of the
+    * two stamp columns are present (absent `cfg_chartok` ⇒ word-built;
+    * absent `cfg_wintok` ⇒ grandfathered) in ONE 1-row collect, then
+    * strip to the bare `key` column.
+    */
+  private def checkedKeys(
+      df: DataFrame, what: String,
+      minTokens: Int, charTokens: Boolean): DataFrame = {
     val want = if (charTokens) 1 else 0
-    val got =
-      if (df.columns.contains("cfg_chartok"))
-        df.select("cfg_chartok").limit(1).collect().headOption.map(_.getInt(0))
-      else df.limit(1).collect().headOption.map(_ => 0)
-    require(got.forall(_ == want),
-      s"window-key table at $path was built with charTokens=${got.contains(1)}, " +
-        s"this run uses charTokens=$charTokens — mixed-granularity keys never " +
-        "match and the span cut silently degrades; rebuild the key store")
+    val ckCol =
+      if (df.columns.contains("cfg_chartok")) col("cfg_chartok") else lit(0)
+    val wtCol =
+      if (df.columns.contains("cfg_wintok")) col("cfg_wintok") else lit(minTokens)
+    df.select(ckCol.as("ck"), wtCol.as("wt")).limit(1).collect()
+      .headOption.foreach { r =>
+        require(r.getInt(0) == want,
+          s"$what was built with charTokens=${r.getInt(0) == 1}, this run " +
+            s"uses charTokens=$charTokens — mixed-granularity keys never " +
+            "match and the span cut silently degrades; rebuild the key store")
+        require(r.getInt(1) == minTokens,
+          s"$what was built with windowTokens=${r.getInt(1)}, this run uses " +
+            s"windowTokens=$minTokens — keys at a different window length " +
+            "never match and the span cut silently degrades; rebuild the key store")
+      }
     df.select("key")
   }
 
@@ -348,19 +371,14 @@ object SubstringDedup {
   def incrementalDuplicatedSpans(
       newDocs: DataFrame, existingKeys: DataFrame, minTokens: Int,
       charTokens: Boolean = false): DataFrame = {
-    // direct callers may hand a stamped key frame; require the stamp
-    // to match and strip it (loadWindowKeys already did both for
-    // tables it loaded — the column is then absent here)
+    // direct callers may hand a stamped key frame; require the stamps
+    // to match and strip them (loadWindowKeys already did both for
+    // tables it loaded — the columns are then absent here)
     val existing =
-      if (existingKeys.columns.contains("cfg_chartok")) {
-        val want = if (charTokens) 1 else 0
-        val got = existingKeys.select("cfg_chartok").limit(1).collect()
-          .headOption.map(_.getInt(0))
-        require(got.forall(_ == want),
-          s"window-key frame was built with charTokens=${got.contains(1)}, " +
-            s"this run uses charTokens=$charTokens — rebuild the key store")
-        existingKeys.select("key")
-      } else existingKeys
+      if (existingKeys.columns.contains("cfg_chartok") ||
+          existingKeys.columns.contains("cfg_wintok"))
+        checkedKeys(existingKeys, "window-key frame", minTokens, charTokens)
+      else existingKeys
     val wins = windowHits(newDocs, minTokens, hashKeys = true, charTokens)
     // first-in-batch via groupBy + join (not a window over __key) for
     // the same hot-key reason as duplicatedHits: a boilerplate window

@@ -286,6 +286,32 @@ class SubstringDedupSpec extends SparkSpec {
     assert(e4.getMessage.contains("charTokens"), e4.getMessage)
   }
 
+  test("window-key length pin: a store built at a different windowTokens fails loud; legacy grandfathered") {
+    // a key table built at windowTokens=8 consumed by a 10-token run
+    // never matches anything and the span cut silently degrades — the
+    // cfg_wintok stamp turns that into a loud refusal
+    val corpus = docs(1L -> (1 to 40).map(i => s"c$i").mkString(" "))
+    val dir8 = java.nio.file.Files.createTempDirectory("graft_wk_w8").toString
+    SubstringDedup.windowKeys(corpus, 8).write.mode("overwrite").parquet(dir8)
+    assert(SubstringDedup.loadWindowKeys(spark, dir8, 8).columns.toSeq == Seq("key"))
+    val e1 = intercept[IllegalArgumentException] {
+      SubstringDedup.loadWindowKeys(spark, dir8, 10)
+    }
+    assert(e1.getMessage.contains("windowTokens"), e1.getMessage)
+    // the incremental consumer guards a stamped frame directly too
+    val e2 = intercept[IllegalArgumentException] {
+      SubstringDedup.incrementalDuplicatedSpans(
+        corpus, spark.read.parquet(dir8), 10)
+    }
+    assert(e2.getMessage.contains("windowTokens"), e2.getMessage)
+    // a table from before the stamp existed is grandfathered — its
+    // window length is unknowable, so any minTokens loads it
+    val legacy = java.nio.file.Files.createTempDirectory("graft_wk_w8_legacy").toString
+    spark.read.parquet(dir8).drop("cfg_wintok")
+      .write.mode("overwrite").parquet(legacy)
+    assert(SubstringDedup.loadWindowKeys(spark, legacy, 10).count() > 0)
+  }
+
   test("charTokens requires minTokens >= 2 (width-1 windows would collide across granularities)") {
     intercept[IllegalArgumentException] {
       SubstringDedup.duplicatedSpans(
