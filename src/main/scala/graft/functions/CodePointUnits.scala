@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,13 +18,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[graft.text.TextAnalysis.charUnitsTwin]]) re-scans the UTF-8
   * buffer from offset 0 for EVERY position — O(n²) per document,
   * quadratic in spaceless doc length on the stage-0 hot path. This
-  * walks the bytes once. Code-POINT windows (surrogate-pair aware, not
-  * UTF-16 units) so results agree with Column `substr` and DuckDB
-  * `substring`/indexing — the twin equality is spec-pinned including
-  * astral chars.
+  * walks the bytes once, directly on the UTF-8 buffer (a code point is
+  * 1–4 bytes, delimited by its lead byte — no UTF-16 surrogate
+  * round-trip), and participates in whole-stage codegen via a static
+  * call so the spaceless stage-0 pipeline stays fused. Units are
+  * code-POINT strings (surrogate-pair aware, not UTF-16 units) so
+  * results agree with Column `substr` and DuckDB `substring`/indexing
+  * — the twin equality is spec-pinned including astral chars.
   */
-case class CodePointUnits(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class CodePointUnits(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -33,17 +35,11 @@ case class CodePointUnits(child: Expression)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](s.length)
-    var i = 0
-    while (i < s.length) {
-      val n = Character.charCount(s.codePointAt(i))
-      out += UTF8String.fromString(s.substring(i, i + n))
-      i += n
-    }
-    new GenericArrayData(out.toArray)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    CodePointUnits.split(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CodePointUnits.split($c)")
 
   override def prettyName: String = "code_point_units"
 
@@ -56,4 +52,31 @@ object CodePointUnits {
   /** Column form. */
   def apply(col: Column): Column =
     GraftColumnBridge.column(CodePointUnits(GraftColumnBridge.expression(col)))
+
+  /** One linear pass over the UTF-8 bytes: each unit is the 1–4-byte
+    * slice of one code point (`numBytesForFirstByte` reads the width
+    * off the lead byte). The unit strings share the single copied
+    * buffer — no per-unit byte copies. Static so generated code can
+    * call it (interpreted eval shares it).
+    */
+  def split(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    var i = 0
+    var n = 0
+    while (i < nb) {
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      n += 1
+    }
+    val out = new Array[AnyRef](n)
+    i = 0
+    var o = 0
+    while (i < nb) {
+      val w = UTF8String.numBytesForFirstByte(bytes(i))
+      out(o) = UTF8String.fromBytes(bytes, i, w)
+      o += 1
+      i += w
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -118,14 +118,24 @@ class FunctionSurfaceSpec extends SparkSpec {
       (4L, (0x4e00 to 0x4e40).map(_.toChar).mkString),
       (5L, "𝔘" * 5 + " ab " + "𝔘"), (6L, "  spaces  kept  "),
       (7L, "é mixé́ nfc-sensitive")).toDF("id", "s")
-    val got = rows.select(col("id"),
-        graft.text.TextAnalysis.charUnits(col("s")).as("u"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     val want = rows.select(col("id"),
         graft.text.TextAnalysis.charUnitsTwin(col("s")).as("u"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-    assert(got == want, s"native ≠ twin: ${got.keys.filter(k => got(k) != want(k))}")
-    assert(got(5L).count(_ == "𝔘") == 6 && got(5L).size == 10,
-      s"astral units counted as single code points: ${got(5L)}")
+    // pin BOTH evaluation paths: CODEGEN_ONLY exercises doGenCode
+    // (the generated static-call code), NO_CODEGEN the interpreted
+    // nullSafeEval — the two must agree with the substr twin exactly
+    val before = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+        spark.conf.set("spark.sql.codegen.factoryMode", mode)
+        val got = rows.select(col("id"),
+            graft.text.TextAnalysis.charUnits(col("s")).as("u"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+        assert(got == want,
+          s"native ≠ twin under $mode: ${got.keys.filter(k => got(k) != want(k))}")
+        assert(got(5L).count(_ == "𝔘") == 6 && got(5L).size == 10,
+          s"astral units counted as single code points under $mode: ${got(5L)}")
+      }
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", before)
   }
 }
