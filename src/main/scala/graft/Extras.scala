@@ -2002,6 +2002,56 @@ object Extras {
         .duplicatedSpans(u, 10, hashKeys = false, charTokens = true)
         .orderBy("doc_id", "span_start")
     }),
+    // X126: RUN-LEVEL spaceless shingling (MinHashConfig.runLevel) —
+    // the mixed-script gap the doc-level dispatch cannot see: a
+    // standalone Thai doc (base, 100 cp) vs an ASCII-majority English
+    // doc embedding 95 of those 100 cp as a quote. Doc-level signs
+    // base as char grams and mixed as word shingles → Jaccard 0; the
+    // run-level set (word shingles of the run-replaced remainder ∪
+    // char 5-grams of each ≥16-cp non-ASCII run) shares the quote's
+    // grams → Jaccard ≈ 0.8. Per doc: both dispatch verdicts, the
+    // mixed doc's run count, doc-level and run-level Jaccards, and
+    // catch flags at 0.7 (a run-level dedup config would set its
+    // verify threshold there). Oracle: the X124 gram/dispatch SQL
+    // extended with regexp_extract_all/regexp_replace run splitting —
+    // which pins the Spark↔DuckDB run-segmentation parity itself
+    "X126_runlevel_minhash" -> q(c => {
+      val k = 5
+      val thaiAlpha = (0 until 26)
+        .map(i => new String(Character.toChars(0x0e01 + i)))
+      val base0 = c.documents.filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"),
+          regexp_replace(col("text"), " ", "").as("s0"))
+        .filter(col("s0").rlike("^[a-z]+$") && length(col("s0")) >= 100)
+      val pairsDf = base0.select(col("doc_id"),
+          col("text"),
+          array_join(transform(
+            graft.text.TextAnalysis.charUnits(substring(col("s0"), 1, 100)),
+            ch => element_at(typedLit(thaiAlpha), ascii(ch) - 96)), "").as("th"))
+        .select(col("doc_id"), col("th").as("base_text"),
+          concat(substring(col("text"), 1, 50), lit(" "),
+            substring(col("th"), 1, 95), lit(" "),
+            substring(col("text"), 51, 50)).as("mixed_text"))
+      def setDoc(cc: Column) =
+        array_distinct(graft.text.TextAnalysis.shinglesAuto(cc, 3, k))
+      def setRun(cc: Column) =
+        array_distinct(graft.text.TextAnalysis.shinglesAuto(cc, 3, k, runLevel = true))
+      def jac(a: Column, b: Column) = round(
+        size(array_intersect(a, b)).cast("double") /
+          (size(a) + size(b) - size(array_intersect(a, b))).cast("double"), 6)
+      pairsDf.select(col("doc_id"),
+          graft.text.TextAnalysis.spaceless(col("base_text"), 3).as("dispatch_base"),
+          graft.text.TextAnalysis.spaceless(col("mixed_text"), 3).as("dispatch_mixed"),
+          size(graft.text.TextAnalysis.scriptRuns(col("mixed_text")))
+            .cast("long").as("n_runs_mixed"),
+          jac(setDoc(col("base_text")), setDoc(col("mixed_text"))).as("jac_doc"),
+          jac(setRun(col("base_text")), setRun(col("mixed_text"))).as("jac_run"))
+        .select(col("doc_id"), col("dispatch_base"), col("dispatch_mixed"),
+          col("n_runs_mixed"), col("jac_doc"), col("jac_run"),
+          (col("jac_doc") >= 0.7).as("caught_doc"),
+          (col("jac_run") >= 0.7).as("caught_run"))
+        .orderBy("doc_id")
+    }),
     // OPQ vs plain PQ at EQUAL m·ks budget (Ge et al. 2013 — a learned
     // orthogonal rotation before the subspace split; graft.vector.Opq):
     // recall@5 per (variant, query) over 25 queries against the
@@ -4013,6 +4063,78 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST(MAX(e) AS BIGINT) AS span_end,
   CAST(MAX(e) - MIN(p) + 1 AS BIGINT) AS span_tokens
 FROM gg GROUP BY doc_id, grp ORDER BY doc_id, span_start
+""".trim,
+    // X126: run-level shingle sets — per side (base/mixed): the
+    // doc-level dispatch (the X124 arithmetic verbatim), word
+    // 3-shingles, char 5-grams, runs via regexp_extract_all +
+    // remainder via regexp_replace(.., ' ', 'g'); run-level set =
+    // remainder word shingles ∪ per-run grams; then both Jaccards
+    "X126_runlevel_minhash" -> """
+WITH p0 AS (
+  SELECT doc_id, text, replace(text, ' ', '') AS s0
+  FROM documents WHERE doc_id < 150),
+f0 AS (
+  SELECT doc_id, text, substring(s0, 1, 100) AS s1
+  FROM p0 WHERE regexp_matches(s0, '^[a-z]+$') AND length(s0) >= 100),
+th AS (
+  SELECT doc_id, text, array_to_string(list_transform(
+    generate_series(1, length(s1)), i -> chr(unicode(s1[i:i]) + 3488)), '') AS t
+  FROM f0),
+pr AS (
+  SELECT doc_id, t AS base_text,
+    substring(text, 1, 50) || ' ' || substring(t, 1, 95) || ' ' ||
+      substring(text, 51, 50) AS mixed_text
+  FROM th),
+sides AS (
+  SELECT doc_id, 0 AS side, base_text AS x FROM pr
+  UNION ALL
+  SELECT doc_id, 1 AS side, mixed_text AS x FROM pr),
+c0 AS (
+  SELECT doc_id, side, x,
+    list_filter(str_split(x, ' '), w -> w <> '') AS toks,
+    length(x) AS ls,
+    length(regexp_replace(x, '[\x00-\x7F]', '', 'g')) AS nasc,
+    regexp_replace(x, '[^\x00-\x7F]{16,}', ' ', 'g') AS rem,
+    regexp_extract_all(x, '[^\x00-\x7F]{16,}') AS runs
+  FROM sides),
+c1 AS (
+  SELECT doc_id, side, x, toks, ls, runs,
+    (2 * nasc >= ls AND (len(toks) < 3 OR ls >= 16 * len(toks))) AS sp,
+    list_filter(str_split(rem, ' '), w -> w <> '') AS rtoks
+  FROM c0),
+c2 AS (
+  SELECT doc_id, side, sp, len(runs) AS nruns,
+    list_distinct(list_transform(range(1, len(toks) - 1),
+      i -> array_to_string(toks[i:i+2], ' '))) AS wsh,
+    list_distinct(list_transform(range(1, ls - 3),
+      i -> substring(x, i, 5))) AS grams,
+    list_distinct(list_transform(range(1, len(rtoks) - 1),
+      i -> array_to_string(rtoks[i:i+2], ' '))) AS wshr,
+    list_distinct(flatten(list_transform(runs,
+      r -> list_transform(range(1, length(r) - 3),
+        i -> substring(r, i, 5))))) AS rgrams
+  FROM c1),
+c3 AS (
+  SELECT doc_id, side, sp, nruns,
+    CASE WHEN sp THEN grams ELSE wsh END AS set_doc,
+    CASE WHEN sp THEN grams
+         ELSE list_distinct(list_concat(wshr, rgrams)) END AS set_run
+  FROM c2),
+j AS (
+  SELECT a.doc_id,
+    a.sp AS dispatch_base, b.sp AS dispatch_mixed,
+    CAST(b.nruns AS BIGINT) AS n_runs_mixed,
+    ROUND(CAST(len(list_intersect(a.set_doc, b.set_doc)) AS DOUBLE) /
+      CAST(len(a.set_doc) + len(b.set_doc)
+        - len(list_intersect(a.set_doc, b.set_doc)) AS DOUBLE), 6) AS jac_doc,
+    ROUND(CAST(len(list_intersect(a.set_run, b.set_run)) AS DOUBLE) /
+      CAST(len(a.set_run) + len(b.set_run)
+        - len(list_intersect(a.set_run, b.set_run)) AS DOUBLE), 6) AS jac_run
+  FROM c3 a JOIN c3 b ON a.doc_id = b.doc_id AND a.side = 0 AND b.side = 1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, dispatch_base, dispatch_mixed,
+  n_runs_mixed, jac_doc, jac_run,
+  jac_doc >= 0.7 AS caught_doc, jac_run >= 0.7 AS caught_run
+FROM j ORDER BY doc_id
 """.trim,
     // X79's plan arithmetic at a 1 M budget, then the repetition
     // explode: full epochs via generate_series, the residual via the

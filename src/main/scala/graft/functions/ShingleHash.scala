@@ -37,12 +37,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * use. The two granularities never mix: a doc is EITHER word- or
   * char-shingled, and cross-granularity band collisions are chance
   * (rejected by exact verification like any false candidate).
+  *
+  * `runLevel` (requires `charK > 0`) refines the mixed-doc case: a doc
+  * that is NOT doc-level spaceless but contains long non-ASCII runs
+  * ([[graft.text.TextAnalysis.RunPattern]]) emits word-shingle hashes
+  * of the remainder (runs replaced by a space) PLUS char-gram hashes
+  * of each run — so an embedded CJK/Thai quote signs at the same
+  * granularity a standalone spaceless doc of that quote does, and the
+  * two can meet in a band bucket. Within one doc the two hash families
+  * collide only by 64-bit chance (tolerated like any collision).
   */
-case class ShingleHash(child: Expression, n: Int, charK: Int = 0)
+case class ShingleHash(
+    child: Expression, n: Int, charK: Int = 0, runLevel: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, "shingle size must be >= 1")
   require(charK >= 0, "charK must be >= 0 (0 = word shingles only)")
+  require(!runLevel || charK > 0, "runLevel requires charK > 0")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -76,11 +87,35 @@ case class ShingleHash(child: Expression, n: Int, charK: Int = 0)
       if (nonAscii.toLong * 2 >= cp &&
           (toks.length < n ||
             cp.toLong >= graft.text.TextAnalysis.SpacelessAvgTokenLen.toLong * toks.length))
-        return charGramHashes(s, cp)
+        return dedupSorted(charGramHashes(s))
+      if (runLevel) {
+        // mixed doc under run-level: word shingles of the remainder
+        // (long non-ASCII runs replaced by a space — the exact Column
+        // regexp_replace semantics, same Java regex) ∪ char grams of
+        // each run. MUST stay set-identical to the Column twin
+        // TextAnalysis.shinglesAuto(_, n, charK, runLevel = true).
+        val m = ShingleHash.RunRegex.matcher(s)
+        if (m.find()) {
+          m.reset()
+          var out = wordShingleHashes(
+            ShingleHash.RunRegex.matcher(s).replaceAll(" ")
+              .split(' ').filter(_.nonEmpty))
+          while (m.find())
+            out = concatLongs(out, charGramHashes(s.substring(m.start, m.end)))
+          return dedupSorted(out)
+        }
+        // no runs: plain word path below
+      }
     }
-    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
-    // rolling per-token hashes, then combine n of them per shingle with
-    // a separator multiplier so token boundaries stay significant
+    dedupSorted(wordShingleHashes(toks))
+  }
+
+  /** Polynomial hashes of every `n`-token shingle (raw, un-deduped):
+    * rolling per-token hashes combined with a separator multiplier so
+    * token boundaries stay significant.
+    */
+  private def wordShingleHashes(toks: Array[String]): Array[Long] = {
+    if (toks.length < n) return Array.empty[Long]
     val th = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) {
@@ -91,8 +126,6 @@ case class ShingleHash(child: Expression, n: Int, charK: Int = 0)
       th(i) = h
       i += 1
     }
-    // dedup by primitive sort (output order is irrelevant downstream —
-    // only MIN aggregates consume these), avoiding per-shingle boxing
     val raw = new Array[Long](toks.length - n + 1)
     i = 0
     while (i + n <= toks.length) {
@@ -102,26 +135,24 @@ case class ShingleHash(child: Expression, n: Int, charK: Int = 0)
       raw(i) = h
       i += 1
     }
-    java.util.Arrays.sort(raw)
-    var w = 0
-    i = 0
-    while (i < raw.length) {
-      if (w == 0 || raw(i) != raw(w - 1)) { raw(w) = raw(i); w += 1 }
-      i += 1
-    }
-    new GenericArrayData(java.util.Arrays.copyOf(raw, w))
+    raw
   }
 
-  /** DISTINCT polynomial hashes of every `charK`-code-point window of
-    * the raw text — the spaceless-script shingle base (`cp` = the
-    * text's code-point count, already computed by the dispatch).
+  /** Polynomial hashes of every `charK`-code-point window of `s` (raw,
+    * un-deduped) — the spaceless-script shingle base. One
+    * surrogate-aware pass to code points, so windows count code points
+    * exactly like Column substr / DuckDB substring do.
     */
-  private def charGramHashes(s: String, cp: Int): GenericArrayData = {
-    if (cp < charK) return new GenericArrayData(Array.empty[Long])
-    // one surrogate-aware pass to code points, so windows count code
-    // points exactly like Column substr / DuckDB substring do
-    val cps = new Array[Int](cp)
+  private def charGramHashes(s: String): Array[Long] = {
     var i = 0
+    var cp = 0
+    while (i < s.length) {
+      cp += 1
+      i += Character.charCount(s.codePointAt(i))
+    }
+    if (cp < charK) return Array.empty[Long]
+    val cps = new Array[Int](cp)
+    i = 0
     var o = 0
     while (i < s.length) {
       val c = s.codePointAt(i)
@@ -138,9 +169,25 @@ case class ShingleHash(child: Expression, n: Int, charK: Int = 0)
       raw(i) = h
       i += 1
     }
+    raw
+  }
+
+  private def concatLongs(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = java.util.Arrays.copyOf(a, a.length + b.length)
+    System.arraycopy(b, 0, out, a.length, b.length)
+    out
+  }
+
+  /** Dedup by primitive sort (output order is irrelevant downstream —
+    * only MIN aggregates consume these), avoiding per-shingle boxing.
+    */
+  private def dedupSorted(raw: Array[Long]): GenericArrayData = {
+    if (raw.isEmpty) return new GenericArrayData(Array.empty[Long])
     java.util.Arrays.sort(raw)
     var w = 0
-    i = 0
+    var i = 0
     while (i < raw.length) {
       if (w == 0 || raw(i) != raw(w - 1)) { raw(w) = raw(i); w += 1 }
       i += 1
@@ -152,4 +199,12 @@ case class ShingleHash(child: Expression, n: Int, charK: Int = 0)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object ShingleHash {
+  /** [[graft.text.TextAnalysis.RunPattern]] compiled once — the same
+    * Java regex the Column twin's regexp ops use.
+    */
+  private val RunRegex =
+    java.util.regex.Pattern.compile(graft.text.TextAnalysis.RunPattern)
 }

@@ -27,10 +27,12 @@ final case class MinHashConfig(
     bands: Int = 16,
     threshold: Double = 0.8,
     maxBucket: Int = 4096,
-    charK: Int = 0) {
+    charK: Int = 0,
+    runLevel: Boolean = false) {
   require(numHashes % bands == 0, "bands must divide numHashes")
   require(maxBucket >= 2, "maxBucket must allow at least one pair")
   require(charK >= 0, "charK must be >= 0 (0 = word shingles only)")
+  require(!runLevel || charK > 0, "runLevel requires charK > 0")
   def rowsPerBand: Int = numHashes / bands
 }
 
@@ -45,7 +47,8 @@ object MinHashDedup {
   private def shingleRows(documents: DataFrame, cfg: MinHashConfig): DataFrame =
     documents.select(col("doc_id"),
       explode(array_distinct(
-        TextAnalysis.shinglesAuto(col("text"), cfg.shingleSize, cfg.charK))).as("s"))
+        TextAnalysis.shinglesAuto(
+          col("text"), cfg.shingleSize, cfg.charK, cfg.runLevel))).as("s"))
       .distinct()
 
   /** Per-k odd multipliers/offsets for the linear hash family
@@ -73,7 +76,7 @@ object MinHashDedup {
       explode(org.apache.spark.sql.GraftColumnBridge.column(
         graft.functions.ShingleHash(
           org.apache.spark.sql.GraftColumnBridge.expression(col("text")),
-          cfg.shingleSize, cfg.charK))).as("h0"))
+          cfg.shingleSize, cfg.charK, cfg.runLevel))).as("h0"))
     val mins = (0 until cfg.numHashes).map { k =>
       val (a, b) = hashFamily(k)
       min(graft.functions.LinearHash(col("h0"), a, b)).as(s"h$k")
@@ -105,6 +108,7 @@ object MinHashDedup {
       .withColumn("cfg_shingle", lit(cfg.shingleSize))
       .withColumn("cfg_hashes", lit(cfg.numHashes))
       .withColumn("cfg_chark", lit(cfg.charK))
+      .withColumn("cfg_runlevel", lit(if (cfg.runLevel) 1 else 0))
       .write.mode("overwrite").parquet(path)
 
   /** Reads refuse any scheme OR config mismatch: signatures built with
@@ -128,19 +132,27 @@ object MinHashDedup {
     // 1-row collect (tables from before the column existed can only
     // have been built word-only)
     val hasCk = df.columns.contains("cfg_chark")
-    val cols = Seq("sig_v", "cfg_shingle", "cfg_hashes") ++
-      (if (hasCk) Seq("cfg_chark") else Nil)
-    val head = df.select(cols.map(col): _*).limit(1).collect().headOption
+    val ckCol = if (hasCk) col("cfg_chark") else lit(0)
+    // runLevel rides the same collect: tables from before the column
+    // existed can only have been built doc-level
+    val rlCol =
+      if (df.columns.contains("cfg_runlevel")) col("cfg_runlevel") else lit(0)
+    val head = df.select(col("sig_v"), col("cfg_shingle"), col("cfg_hashes"),
+      ckCol.as("ck"), rlCol.as("rl")).limit(1).collect().headOption
     require(head.nonEmpty,
       s"signature table at $path is empty — corrupt or partial write; rebuild it")
     val (v, sh, nh) = (head.get.getInt(0), head.get.getInt(1), head.get.getInt(2))
     require(v == SignatureVersion && sh == cfg.shingleSize && nh == cfg.numHashes,
       s"signature table at $path was built as scheme v$v shingle=$sh hashes=$nh, this run " +
         s"expects v$SignatureVersion shingle=${cfg.shingleSize} hashes=${cfg.numHashes} — rebuild it")
-    val ck = if (hasCk) head.get.getInt(3) else 0
+    val ck = head.get.getInt(3)
     require(ck == cfg.charK,
       s"signature table at $path was built with charK=$ck, this run expects " +
         s"charK=${cfg.charK} — spaceless docs signed a different granularity; rebuild it")
+    val rl = head.get.getInt(4) == 1
+    require(rl == cfg.runLevel,
+      s"signature table at $path was built with runLevel=$rl, this run expects " +
+        s"runLevel=${cfg.runLevel} — mixed docs signed embedded runs differently; rebuild it")
     df.select("doc_id", "sig")
   }
 
@@ -234,6 +246,7 @@ object MinHashDedup {
       .withColumn("cfg_bands", lit(cfg.bands))
       .withColumn("cfg_rows", lit(cfg.rowsPerBand))
       .withColumn("cfg_chark", lit(cfg.charK))
+      .withColumn("cfg_runlevel", lit(if (cfg.runLevel) 1 else 0))
       .write.mode("overwrite").parquet(path)
 
   def readBandedIndex(
@@ -258,19 +271,25 @@ object MinHashDedup {
     */
   private def requireBandedConfig(
       df: DataFrame, cfg: MinHashConfig, what: String): Unit = {
-    val hasCk = df.columns.contains("cfg_chark")
-    val cols = Seq("sig_v", "cfg_bands", "cfg_rows") ++
-      (if (hasCk) Seq("cfg_chark") else Nil)
-    val head = df.select(cols.map(col): _*).limit(1).collect().headOption
+    val ckCol =
+      if (df.columns.contains("cfg_chark")) col("cfg_chark") else lit(0)
+    val rlCol =
+      if (df.columns.contains("cfg_runlevel")) col("cfg_runlevel") else lit(0)
+    val head = df.select(col("sig_v"), col("cfg_bands"), col("cfg_rows"),
+      ckCol.as("ck"), rlCol.as("rl")).limit(1).collect().headOption
     require(head.nonEmpty, s"$what is empty — corrupt or partial write; rebuild it")
     val (v, b, r) = (head.get.getInt(0), head.get.getInt(1), head.get.getInt(2))
     require(v == SignatureVersion && b == cfg.bands && r == cfg.rowsPerBand,
       s"$what was built as scheme v$v/${b}x$r, this run expects " +
         s"v$SignatureVersion/${cfg.bands}x${cfg.rowsPerBand} — rebuild it")
-    val ck = if (hasCk) head.get.getInt(3) else 0
+    val ck = head.get.getInt(3)
     require(ck == cfg.charK,
       s"$what was built with charK=$ck, this run expects charK=${cfg.charK} — " +
         "spaceless docs signed a different shingle granularity; rebuild it")
+    val rl = head.get.getInt(4) == 1
+    require(rl == cfg.runLevel,
+      s"$what was built with runLevel=$rl, this run expects runLevel=${cfg.runLevel} — " +
+        "mixed docs signed embedded runs differently; rebuild it")
   }
 
   /** Candidate pairs straight from a persisted banded index — no
@@ -306,6 +325,7 @@ object MinHashDedup {
       .withColumn("cfg_bands", lit(cfg.bands))
       .withColumn("cfg_rows", lit(cfg.rowsPerBand))
       .withColumn("cfg_chark", lit(cfg.charK))
+      .withColumn("cfg_runlevel", lit(if (cfg.runLevel) 1 else 0))
       .write.mode("overwrite")
       .format("parquet")
       .bucketBy(numBuckets, "band", "bucket")

@@ -208,9 +208,52 @@ object TextAnalysis {
     * hash path verify against the same granularity they signed with.
     */
   def shinglesAuto(text: Column, n: Int, charK: Int): Column =
+    shinglesAuto(text, n, charK, runLevel = false)
+
+  /** [[shinglesAuto]] with the RUN-LEVEL refinement
+    * (`MinHashConfig.runLevel`): a doc the doc-level dispatch
+    * classifies as spaceless keeps the whole-text char path (the
+    * homogeneous fast path), but a MIXED doc — majority-ASCII with
+    * embedded spaceless-script runs — additionally char-grams each
+    * long non-ASCII run ([[RunPattern]]: ≥ [[SpacelessAvgTokenLen]]
+    * contiguous non-ASCII code points) while word-shingling the
+    * remainder (runs replaced by a space). Without this, an embedded
+    * CJK/Thai quote is ONE opaque token: a spaceless doc and a mixed
+    * doc quoting it can never meet (the quote signs as char grams in
+    * one and as part of a word shingle in the other). Word shingles
+    * and run char-grams cannot collide as strings: a word shingle
+    * (n ≥ 2) carries an ASCII space, a run gram is 100% non-ASCII.
+    */
+  def shinglesAuto(text: Column, n: Int, charK: Int, runLevel: Boolean): Column =
     if (charK <= 0) shingles(text, n)
-    else when(spaceless(text, n), charShingles(text, charK))
-      .otherwise(shingles(text, n))
+    else if (!runLevel)
+      when(spaceless(text, n), charShingles(text, charK))
+        .otherwise(shingles(text, n))
+    else
+      when(spaceless(text, n), charShingles(text, charK))
+        .otherwise(concat(
+          shingles(runRemainder(text), n),
+          flatten(transform(scriptRuns(text), r => charShingles(r, charK)))))
+
+  /** Maximal spaceless-script runs of `text`: every contiguous
+    * sequence of ≥ [[SpacelessAvgTokenLen]] non-ASCII code points.
+    * The `{16,}`-quantified class is spelled identically in Java regex
+    * and RE2, so the DuckDB restatement (`regexp_extract_all`) is
+    * exact. Shorter non-ASCII stretches (accented words, isolated CJK
+    * chars) stay embedded in the word remainder — char-cutting them
+    * would invent sub-word duplication inside ordinary words.
+    */
+  val RunPattern: String = s"[^\\x00-\\x7F]{$SpacelessAvgTokenLen,}"
+
+  def scriptRuns(text: Column): Column =
+    regexp_extract_all(text, lit(RunPattern), lit(0))
+
+  /** `text` with every [[RunPattern]] run replaced by one space — the
+    * word-semantics remainder of run-level processing. DuckDB twin:
+    * `regexp_replace(text, pat, ' ', 'g')`.
+    */
+  def runRemainder(text: Column): Column =
+    regexp_replace(text, RunPattern, " ")
 
   /** GPT-2-style pre-tokenization regex (ASCII-simplified): English
     * contraction suffixes, space-prefixed letter runs, space-prefixed

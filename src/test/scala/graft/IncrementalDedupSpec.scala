@@ -188,6 +188,122 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(viaNative(5L) > 0 && viaNative(5L) <= 7, s"astral windows: ${viaNative(5L)}")
   }
 
+  test("runLevel: an embedded spaceless quote pairs with its standalone doc; doc-level misses it") {
+    import spark.implicits._
+    // the canonical mixed-script miss: doc 10 is a standalone Thai
+    // quote (doc-level spaceless → char grams); doc 20 embeds the SAME
+    // quote in a short English wrapper (doc-level → word path, the
+    // quote is ONE opaque token) — under doc-level charK the two sign
+    // at different granularities and can never meet. Run-level
+    // char-grams doc 20's run too, so the pair verifies. Controls:
+    // 30/31 a wordy near-dup pair (both configs find it), 40 an
+    // unrelated mixed doc (its own Thai run must not pair).
+    def thai(seed: Int, n: Int): String = {
+      val rng = new scala.util.Random(seed)
+      (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
+    }
+    // doc 20 must be ASCII-MAJORITY (else the doc-level dispatch
+    // already char-grams the whole doc and the pair is found): 24
+    // wrapper words ≈ 170 ASCII chars around a 120-cp quote. Under
+    // run-level its shingle set = 22 word shingles + 116 run grams;
+    // doc 10 contributes the same 116 grams → Jaccard ≈ 0.84 ≥ 0.8.
+    val quote = thai(11, 120)
+    val intro = (1 to 12).map(i => s"intro$i").mkString(" ")
+    val outro = (1 to 12).map(i => s"outro$i").mkString(" ")
+    val wordy = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      10L -> quote,
+      20L -> s"$intro $quote $outro",
+      30L -> wordy,
+      31L -> ((1 to 40).map(i => s"w$i") :+ "tail").mkString(" "),
+      40L -> s"$intro ${thai(99, 120)} $outro").toDF("doc_id", "text")
+    val docLevel = graft.text.MinHashConfig(charK = 5)
+    val runLevel = graft.text.MinHashConfig(charK = 5, runLevel = true)
+    def pairs(cfg: graft.text.MinHashConfig): Set[(Long, Long)] =
+      MinHashDedup.verifiedPairs(docs, cfg)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDoc = pairs(docLevel)
+    val viaRun = pairs(runLevel)
+    assert(!viaDoc.contains((10L, 20L)),
+      s"doc-level must MISS the embedded quote (the gap runLevel closes): $viaDoc")
+    assert(viaRun.contains((10L, 20L)),
+      s"run-level must catch the embedded quote: $viaRun")
+    assert(viaDoc.contains((30L, 31L)) && viaRun.contains((30L, 31L)),
+      s"the wordy pair is found under BOTH configs: $viaDoc / $viaRun")
+    assert(!viaRun.exists(p => p._1 == 40L || p._2 == 40L),
+      s"unrelated mixed doc must not pair: $viaRun")
+  }
+
+  test("ShingleHash runLevel universe matches shinglesAuto runLevel on mixed/adversarial docs") {
+    import spark.implicits._
+    def thai(seed: Int, n: Int): String = {
+      val rng = new scala.util.Random(seed)
+      (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
+    }
+    val astral = "𝔘"
+    val wrap = (1 to 14).map(i => s"wrapper$i").mkString(" ")  // ~130 ASCII chars
+    val docs = Seq(
+      (1L, "plain ascii words only here"),
+      (2L, s"$wrap ${thai(1, 50)} $wrap"),                   // one run, ASCII majority
+      (3L, s"$wrap ${thai(2, 20)} mid ${thai(3, 30)} $wrap"), // two runs
+      (4L, thai(4, 80)),                                     // homogeneous → doc-level char path
+      (5L, s"$wrap ${thai(5, 15)}"),                         // run BELOW 16 cp → word only
+      (6L, s"$wrap $astral${astral}b ${thai(6, 17)}"),       // astral short run + long run
+      (7L, ""), (8L, "one two")).toDF("doc_id", "text")
+    val viaNative = docs.select(col("doc_id"),
+      size(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.ShingleHash(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("text")),
+          3, 5, runLevel = true))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaSpark = docs.select(col("doc_id"),
+      size(array_distinct(
+        graft.text.TextAnalysis.shinglesAuto(col("text"), 3, 5, runLevel = true))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaNative == viaSpark, s"native=$viaNative spark=$viaSpark")
+    // doc 2 really contributed run grams on TOP of its word shingles
+    val wordOnly = docs.select(col("doc_id"),
+      size(array_distinct(
+        graft.text.TextAnalysis.shingles(col("text"), 3))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaNative(2L) > wordOnly(2L) + 40,
+      s"doc 2 must add ~46 run grams: run-level ${viaNative(2L)} vs word ${wordOnly(2L)}")
+    // doc 5's 15-cp run is below the run threshold: word path only —
+    // the same universe the plain word shingling sees
+    assert(viaNative(5L) == wordOnly(5L),
+      s"doc 5 short-run universe: ${viaNative(5L)} vs ${wordOnly(5L)}")
+  }
+
+  test("readSignatures and banded readers refuse a runLevel mismatch; legacy tables are doc-level") {
+    val rl = graft.text.MinHashConfig(charK = 5, runLevel = true)
+    val dl = graft.text.MinHashConfig(charK = 5)
+    val path = java.nio.file.Files.createTempDirectory("graft_sig_rl").toString
+    MinHashDedup.writeSignatures(cat.documents, path, rl)
+    assert(MinHashDedup.readSignatures(spark, path, rl).count() > 0)
+    val e1 = intercept[IllegalArgumentException] {
+      MinHashDedup.readSignatures(spark, path, dl)
+    }
+    assert(e1.getMessage.contains("runLevel"), e1.getMessage)
+    // legacy (pre-column) tables can only have been built doc-level
+    val legacy = java.nio.file.Files.createTempDirectory("graft_sig_norl").toString
+    spark.read.parquet(path).drop("cfg_runlevel")
+      .write.mode("overwrite").parquet(legacy)
+    assert(MinHashDedup.readSignatures(spark, legacy, dl).count() > 0)
+    val e2 = intercept[IllegalArgumentException] {
+      MinHashDedup.readSignatures(spark, legacy, rl)
+    }
+    assert(e2.getMessage.contains("runLevel"), e2.getMessage)
+    // the banded index pins runLevel identically
+    val band = java.nio.file.Files.createTempDirectory("graft_band_rl").toString
+    MinHashDedup.writeBandedIndex(
+      MinHashDedup.readSignatures(spark, path, rl), band, rl)
+    assert(MinHashDedup.readBandedIndex(spark, band, rl).count() > 0)
+    val e3 = intercept[IllegalArgumentException] {
+      MinHashDedup.readBandedIndex(spark, band, dl)
+    }
+    assert(e3.getMessage.contains("runLevel"), e3.getMessage)
+  }
+
   test("readSignatures refuses a charK mismatch, including legacy tables without the column") {
     val ck = graft.text.MinHashConfig(charK = 5)
     val path = java.nio.file.Files.createTempDirectory("graft_sig_chark").toString
