@@ -2052,6 +2052,46 @@ object Extras {
           (col("jac_run") >= 0.7).as("caught_run"))
         .orderBy("doc_id")
     }),
+    // X127: run-level SUBSTRING dedup (SubstringDedup
+    // .duplicatedSpansRunLevel) over a planted 4-class corpus:
+    // originals (wordy), two mixed variants A/B embedding the same
+    // 95-cp Thai quote between stretches of the original's words, and
+    // the homogeneous Thai doc. Char tier: A's run is canonical, so B
+    // and the homo doc carry 95-unit cut spans — the quote class no
+    // doc-level tier can see (A/B are ASCII-majority). Word tier: A/B
+    // share their 100-char word prefix with the ORIGINAL (canonical),
+    // so both carry word spans over the SPLICED text. Oracle: the
+    // X125 window/mark/merge SQL run TWICE — once over the virtual
+    // char corpus (runs via regexp_extract_all with zip ordinality +
+    // homo whole-docs), then, after rebuilding each mixed doc's
+    // cleaned runs into its stretches (string_split_regex + list
+    // interleave), once over the spliced word corpus — which pins the
+    // whole two-stage composition against DuckDB
+    "X127_runlevel_substring" -> q(c => {
+      val thaiAlpha = (0 until 26)
+        .map(i => new String(Character.toChars(0x0e01 + i)))
+      val withThai = c.documents.filter(col("doc_id") < 120)
+        .select(col("doc_id"), col("text"),
+          regexp_replace(col("text"), " ", "").as("s0"))
+        .filter(col("s0").rlike("^[a-z]+$") && length(col("s0")) >= 100)
+        .select(col("doc_id"), col("text"),
+          array_join(transform(
+            graft.text.TextAnalysis.charUnits(substring(col("s0"), 1, 100)),
+            ch => element_at(typedLit(thaiAlpha), ascii(ch) - 96)), "").as("th"))
+      val quote = substring(col("th"), 1, 95)
+      val orig = withThai.select(col("doc_id"), col("text"))
+      val va = withThai.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(substring(col("text"), 1, 100), lit(" "), quote, lit(" "),
+          substring(col("text"), 101, 60)).as("text"))
+      val vb = withThai.select((col("doc_id") + 200000L).as("doc_id"),
+        concat(substring(col("text"), 1, 100), lit(" "), quote, lit(" "),
+          substring(col("text"), 161, 60)).as("text"))
+      val homo = withThai.select(
+        (col("doc_id") + 300000L).as("doc_id"), col("th").as("text"))
+      val u = orig.unionByName(va).unionByName(vb).unionByName(homo)
+      graft.text.SubstringDedup.duplicatedSpansRunLevel(u, 10, hashKeys = false)
+        .orderBy("doc_id", "tier", "run_idx", "span_start")
+    }),
     // OPQ vs plain PQ at EQUAL m·ks budget (Ge et al. 2013 — a learned
     // orthogonal rotation before the subspace split; graft.vector.Opq):
     // recall@5 per (variant, query) over 25 queries against the
@@ -4135,6 +4175,126 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, dispatch_base, dispatch_mixed,
   n_runs_mixed, jac_doc, jac_run,
   jac_doc >= 0.7 AS caught_doc, jac_run >= 0.7 AS caught_run
 FROM j ORDER BY doc_id
+""".trim,
+    // X127: the run-level substring composition — stage 1 char windows
+    // over {homo whole-docs ∪ mixed docs' ≥16-cp non-ASCII runs}
+    // (canonical order doc_id, run_idx, p), per-vdoc clean rebuild from
+    // uncovered positions, splice via string_split_regex interleave,
+    // stage 2 word windows over the spliced corpus
+    "X127_runlevel_substring" -> """
+WITH p0 AS (
+  SELECT doc_id, text, replace(text, ' ', '') AS s0
+  FROM documents WHERE doc_id < 120),
+f0 AS (
+  SELECT doc_id, text, substring(s0, 1, 100) AS s1
+  FROM p0 WHERE regexp_matches(s0, '^[a-z]+$') AND length(s0) >= 100),
+th AS (
+  SELECT doc_id, text, array_to_string(list_transform(
+    generate_series(1, length(s1)), i -> chr(unicode(s1[i:i]) + 3488)), '') AS t
+  FROM f0),
+u AS (
+  SELECT doc_id, text FROM th
+  UNION ALL
+  SELECT doc_id + 100000, substring(text, 1, 100) || ' ' ||
+    substring(t, 1, 95) || ' ' || substring(text, 101, 60) FROM th
+  UNION ALL
+  SELECT doc_id + 200000, substring(text, 1, 100) || ' ' ||
+    substring(t, 1, 95) || ' ' || substring(text, 161, 60) FROM th
+  UNION ALL
+  SELECT doc_id + 300000, t FROM th),
+cls AS (
+  SELECT doc_id, text,
+    (length(text) >= 16 * len(list_filter(str_split(text, ' '), x -> x <> ''))
+      AND 2 * length(regexp_replace(text, '[\x00-\x7F]', '', 'g'))
+        >= length(text)) AS sp
+  FROM u),
+vruns AS (
+  SELECT doc_id, list_zip(regexp_extract_all(text, '[^\x00-\x7F]{16,}'),
+    generate_series(1, len(regexp_extract_all(text, '[^\x00-\x7F]{16,}')))) AS zz
+  FROM cls WHERE NOT sp),
+vhet AS (
+  SELECT doc_id, z[1] AS t, CAST(z[2] AS INT) - 1 AS run_idx
+  FROM (SELECT doc_id, unnest(zz) AS z FROM vruns)),
+vd AS (
+  SELECT doc_id, 0 AS run_idx, text AS t FROM cls WHERE sp
+  UNION ALL
+  SELECT doc_id, run_idx, t FROM vhet),
+cw AS (
+  SELECT doc_id, run_idx, unnest(generate_series(1, length(t) - 9)) AS p, t
+  FROM vd WHERE length(t) >= 10),
+ck AS (SELECT doc_id, run_idx, p, substring(t, p, 10) AS win FROM cw),
+cr AS (SELECT doc_id, run_idx, p,
+         COUNT(*) OVER (PARTITION BY win) AS occ,
+         ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, run_idx, p) AS rk
+       FROM ck),
+chh AS (SELECT doc_id, run_idx, p, p + 9 AS e FROM cr WHERE occ > 1 AND rk > 1),
+cg AS (SELECT doc_id, run_idx, p, e,
+         CASE WHEN p > COALESCE(MAX(e) OVER (PARTITION BY doc_id, run_idx ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+           THEN 1 ELSE 0 END AS ng
+       FROM chh),
+cgg AS (SELECT *, SUM(ng) OVER (PARTITION BY doc_id, run_idx ORDER BY p
+          ROWS UNBOUNDED PRECEDING) AS grp FROM cg),
+cspans AS (
+  SELECT doc_id, run_idx, MIN(p) AS span_start, MAX(e) AS span_end,
+         MAX(e) - MIN(p) + 1 AS span_tokens
+  FROM cgg GROUP BY doc_id, run_idx, grp),
+cov AS (
+  SELECT doc_id, run_idx, unnest(generate_series(span_start, span_end)) AS q
+  FROM cspans),
+allpos AS (
+  SELECT doc_id, run_idx, unnest(generate_series(1, length(t))) AS q, t FROM vd),
+kept AS (
+  SELECT ap.doc_id, ap.run_idx, ap.q, substring(ap.t, ap.q, 1) AS uu
+  FROM allpos ap LEFT JOIN cov c
+    ON ap.doc_id = c.doc_id AND ap.run_idx = c.run_idx AND ap.q = c.q
+  WHERE c.q IS NULL),
+ckagg AS (
+  SELECT doc_id, run_idx, string_agg(uu, '' ORDER BY q) AS clean
+  FROM kept GROUP BY doc_id, run_idx),
+cclean AS (
+  SELECT vd.doc_id, vd.run_idx, COALESCE(k.clean, '') AS clean
+  FROM vd LEFT JOIN ckagg k
+    ON vd.doc_id = k.doc_id AND vd.run_idx = k.run_idx),
+runsclean AS (
+  SELECT c0.doc_id, list(c0.clean ORDER BY c0.run_idx) AS cr
+  FROM cclean c0 JOIN cls ON c0.doc_id = cls.doc_id
+  WHERE NOT cls.sp GROUP BY c0.doc_id),
+spl0 AS (
+  SELECT c.doc_id, string_split_regex(c.text, '[^\x00-\x7F]{16,}') AS st,
+    COALESCE(r.cr, CAST([] AS VARCHAR[])) AS cr
+  FROM (SELECT doc_id, text FROM cls WHERE NOT sp) c
+  LEFT JOIN runsclean r ON c.doc_id = r.doc_id),
+spliced AS (
+  SELECT doc_id, array_to_string(list_transform(
+    generate_series(1, len(st)), i -> st[i] || COALESCE(cr[i], '')), '') AS text
+  FROM spl0),
+wt AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+       FROM spliced),
+ww AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 9)) AS p, toks
+       FROM wt WHERE len(toks) >= 10),
+wk AS (SELECT doc_id, p, array_to_string(toks[p : p + 9], ' ') AS win FROM ww),
+wr AS (SELECT doc_id, p, COUNT(*) OVER (PARTITION BY win) AS occ,
+         ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, p) AS rk FROM wk),
+wh AS (SELECT doc_id, p, p + 9 AS e FROM wr WHERE occ > 1 AND rk > 1),
+wg AS (SELECT doc_id, p, e,
+         CASE WHEN p > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+           THEN 1 ELSE 0 END AS ng
+       FROM wh),
+wgg AS (SELECT *, SUM(ng) OVER (PARTITION BY doc_id ORDER BY p
+          ROWS UNBOUNDED PRECEDING) AS grp FROM wg),
+wspans AS (SELECT doc_id, MIN(p) AS span_start, MAX(e) AS span_end,
+             MAX(e) - MIN(p) + 1 AS span_tokens FROM wgg GROUP BY doc_id, grp)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 'char' AS tier,
+  CAST(run_idx AS INT) AS run_idx, CAST(span_start AS BIGINT) AS span_start,
+  CAST(span_end AS BIGINT) AS span_end, CAST(span_tokens AS BIGINT) AS span_tokens
+FROM cspans
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'word', CAST(-1 AS INT), CAST(span_start AS BIGINT),
+  CAST(span_end AS BIGINT), CAST(span_tokens AS BIGINT)
+FROM wspans
+ORDER BY doc_id, tier, run_idx, span_start
 """.trim,
     // X79's plan arithmetic at a 1 M budget, then the repetition
     // explode: full epochs via generate_series, the residual via the

@@ -293,6 +293,176 @@ object SubstringDedup {
         cleanText.as("clean_text"))
   }
 
+  // ------------- run-level (mixed-script) substring dedup -------------
+
+  /** Bits reserved for the run index inside the char stage's packed
+    * virtual doc id — 2^20 runs per doc (a run is ≥ 16 code points, so
+    * this caps run-level docs at ~16M non-ASCII chars) and 2^42 doc
+    * ids. Packing keeps the virtual id ORDER equal to (doc_id,
+    * run_idx) lexicographic order, so the char stage's canonical
+    * first-occurrence rule (min (vid, pos)) follows document order
+    * exactly like the doc-level tiers.
+    */
+  private val RunIdxBits = 20
+
+  /** Overflow is a plan-embedded raise_error, not a silent wrap — a
+    * wrapped vid would alias two documents and cut the wrong text.
+    */
+  private def packVid(docId: Column, runIdx: Column): Column =
+    when(docId >= 0 && docId < lit(1L << (62 - RunIdxBits)) &&
+        runIdx >= 0 && runIdx < lit(1 << RunIdxBits),
+      docId * lit(1L << RunIdxBits) + runIdx)
+      .otherwise(raise_error(concat(
+        lit(s"runLevel vid overflow (doc_id needs [0, 2^${62 - RunIdxBits}), " +
+          s"run_idx [0, 2^$RunIdxBits)): doc_id="),
+        docId.cast("string"), lit(" run_idx="), runIdx.cast("string")))
+        .cast("long"))
+
+  private def unpackDocId(vid: Column): Column =
+    shiftright(vid, RunIdxBits)
+
+  private def unpackRunIdx(vid: Column): Column =
+    vid.bitwiseAND(lit((1L << RunIdxBits) - 1)).cast("int")
+
+  /** The char-stage virtual corpus of run-level dedup — one row per
+    * spaceless unit, every row guaranteed char-mode under the existing
+    * per-doc dispatch (a doc-level spaceless doc is its own unit at
+    * run_idx 0; a mixed doc contributes each maximal
+    * [[TextAnalysis.RunPattern]] run, which is 100% non-ASCII and ≥ 16
+    * code points, hence spacelessRun by construction). Pure-ASCII and
+    * short-run docs contribute nothing.
+    */
+  private def charVirtualDocs(documents: DataFrame): DataFrame = {
+    val homo = documents
+      .where(TextAnalysis.spacelessRun(col("text")))
+      .select(col("doc_id"), lit(0).as("run_idx"), col("text"))
+    val runs = documents
+      .where(!TextAnalysis.spacelessRun(col("text")))
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.scriptRuns(col("text"))).as(Seq("run_idx", "text")))
+    homo.unionByName(runs)
+      .select(packVid(col("doc_id"), col("run_idx")).as("doc_id"), col("text"))
+  }
+
+  /** The two run-level stages, shared by [[duplicatedSpansRunLevel]]
+    * and [[cleanCorpusRunLevel]]:
+    *
+    *  1. CHAR stage — the existing charTokens machinery over the
+    *     virtual corpus of [[charVirtualDocs]] (homogeneous docs whole,
+    *     mixed docs' long runs): cross- and self-duplicated char runs
+    *     are found ACROSS the homo/mixed boundary, which is exactly
+    *     the class the doc-level dispatch is blind to.
+    *  2. SPLICE — each mixed doc's cleaned runs are put back between
+    *     its ASCII stretches (`split` on the same run pattern yields
+    *     nRuns+1 stretches; zip_with re-interleaves, a fully-cut run
+    *     contributes ""), reconstructing the doc verbatim except for
+    *     cut runs.
+    *  3. WORD stage — the existing word machinery over the spliced
+    *     mixed docs (homogeneous docs are char-only by doc-level
+    *     semantics and skip it).
+    *
+    * 100 TB shape: both stages are the audited hot-key-safe
+    * groupBy+join pipelines; the only additions are one posexplode of
+    * run texts (map-side), one per-doc metadata join of cleaned runs
+    * (collect_list bounded by the doc's own run count), and the
+    * packed-vid arithmetic. Span tables are per-doc metadata and are
+    * localCheckpoint'd so the two consumers (span output + clean
+    * rejoin) never re-run a window shuffle.
+    */
+  private def runLevelStages(
+      documents: DataFrame, minTokens: Int, hashKeys: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val vdocs = charVirtualDocs(documents)
+    val charSpans = duplicatedSpans(vdocs, minTokens, hashKeys, charTokens = true)
+      .localCheckpoint(true)
+    val charClean = cleanFromSpans(vdocs, charSpans, charTokens = true)
+    val hetero = documents.where(!TextAnalysis.spacelessRun(col("text")))
+    val heteroIds = hetero.select("doc_id")
+    // cleaned runs per mixed doc, in run order
+    val perDoc = charClean
+      .select(unpackDocId(col("doc_id")).as("doc_id"),
+        unpackRunIdx(col("doc_id")).as("run_idx"),
+        col("clean_text"), col("dup_tokens"))
+      .join(heteroIds, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("run_idx"), col("clean_text")))),
+          s => s.getField("clean_text")).as("__runs_clean"),
+        sum("dup_tokens").as("__run_dup"))
+    val spliced = hetero
+      .select(col("doc_id"),
+        split(col("text"), TextAnalysis.RunPattern, -1).as("__stretch"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__run_dup"), lit(0L)).as("run_dup_chars"),
+        // stretches = runs+1 pieces; pad the cleaned runs with one ""
+        // so zip_with never pairs a stretch with null
+        array_join(zip_with(col("__stretch"),
+          concat(coalesce(col("__runs_clean"),
+            array().cast("array<string>")), array(lit(""))),
+          (st, rc) => concat(st, coalesce(rc, lit("")))), "").as("text"))
+    val wordSpans = duplicatedSpans(
+      spliced.select("doc_id", "text"), minTokens, hashKeys,
+      charTokens = false).localCheckpoint(true)
+    (charSpans, wordSpans, spliced)
+  }
+
+  /** Run-level duplicated spans: (doc_id, tier, run_idx, span_start,
+    * span_end, span_tokens). `tier = "char"` rows are code-point spans
+    * WITHIN run `run_idx` of the doc (run_idx 0 and the whole text for
+    * doc-level spaceless docs); `tier = "word"` rows are word-token
+    * spans of the doc's SPLICED text (run_idx −1; mixed and pure-word
+    * docs only). This is the mixed-script completion of
+    * [[duplicatedSpans]]: an embedded CJK/Thai quote duplicated across
+    * docs — invisible to the word windowing (one opaque token) and
+    * excluded from the doc-level charTokens dispatch (the doc is
+    * ASCII-majority) — is found by the char stage, while ordinary word
+    * duplication is still found by the word stage over the spliced
+    * text.
+    */
+  def duplicatedSpansRunLevel(
+      documents: DataFrame, minTokens: Int,
+      hashKeys: Boolean = false): DataFrame = {
+    val (charSpans, wordSpans, _) = runLevelStages(documents, minTokens, hashKeys)
+    charSpans
+      .select(unpackDocId(col("doc_id")).as("doc_id"), lit("char").as("tier"),
+        unpackRunIdx(col("doc_id")).as("run_idx"),
+        col("span_start"), col("span_end"), col("span_tokens"))
+      .unionByName(wordSpans
+        .select(col("doc_id"), lit("word").as("tier"), lit(-1).as("run_idx"),
+          col("span_start"), col("span_end"), col("span_tokens")))
+  }
+
+  /** Run-level [[cleanCorpus]]: (doc_id, n_tokens, dup_tokens,
+    * run_dup_chars, clean_text). For mixed and pure-word docs,
+    * n_tokens/dup_tokens account the WORD stage over the spliced text
+    * and run_dup_chars counts the code points the char stage cut from
+    * embedded runs; for doc-level spaceless docs the char stage IS the
+    * cut (dup_tokens = run_dup_chars, both in code points). Every
+    * input doc comes out exactly once.
+    */
+  def cleanCorpusRunLevel(
+      documents: DataFrame, minTokens: Int,
+      hashKeys: Boolean = false): DataFrame = {
+    val (charSpans, wordSpans, spliced) = runLevelStages(documents, minTokens, hashKeys)
+    val heteroIds = spliced.select("doc_id")
+    val vdocs = charVirtualDocs(documents)
+    val homoOut = cleanFromSpans(vdocs, charSpans, charTokens = true)
+      .select(unpackDocId(col("doc_id")).as("doc_id"),
+        unpackRunIdx(col("doc_id")).as("run_idx"),
+        col("n_tokens"), col("dup_tokens"), col("clean_text"))
+      .join(heteroIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        col("dup_tokens").as("run_dup_chars"), col("clean_text"))
+    val heteroOut = cleanFromSpans(
+      spliced.select("doc_id", "text"), wordSpans, charTokens = false)
+      .join(spliced.select("doc_id", "run_dup_chars"), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        col("run_dup_chars"), col("clean_text"))
+    homoOut.unionByName(heteroOut)
+  }
+
   /** The DISTINCT 64-bit window fingerprints of `documents` — the
     * persisted corpus state of incremental substring dedup: (key).
     * Existence is all the hit test needs (every indexed occurrence

@@ -312,6 +312,67 @@ class SubstringDedupSpec extends SparkSpec {
     assert(SubstringDedup.loadWindowKeys(spark, legacy, 10).count() > 0)
   }
 
+  test("run-level: embedded quote cut across mixed and homogeneous docs; word tier rides the spliced text") {
+    def thai(seed: Int, n: Int): String = {
+      val rng = new scala.util.Random(seed)
+      (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
+    }
+    val quote = thai(21, 40)
+    val tail2 = thai(22, 30)
+    val w = (1 to 12).map(i => s"w$i").mkString(" ")           // 12 shared-prefix words
+    val fixture = docs(
+      1L -> w,                                                 // word canonical
+      2L -> s"${(1 to 11).map(i => s"w$i").mkString(" ")} $quote tail one",
+      3L -> s"completely different words here right now okay yes no maybe $quote other end",
+      4L -> (quote + tail2))                                   // homogeneous spaceless
+    val spans = SubstringDedup.duplicatedSpansRunLevel(fixture, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(spans === Set(
+      // doc 2's quote run is the char-stage canonical (lowest vid) —
+      // docs 3 and 4 carry the cut; doc 4's span is in whole-doc units
+      (3L, "char", 0, 1L, 40L, 40L),
+      (4L, "char", 0, 1L, 40L, 40L),
+      // word tier: doc 2 shares its first 11 tokens with doc 1
+      (2L, "word", -1, 1L, 11L, 11L)), s"spans: $spans")
+    val clean = SubstringDedup.cleanCorpusRunLevel(fixture, 10).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(clean(1L) === ((12L, 0L, 0L, w)), s"doc 1: ${clean(1L)}")
+    // doc 2: quote kept (canonical), 11-token word prefix cut
+    assert(clean(2L) === ((14L, 11L, 0L, s"$quote tail one")), s"doc 2: ${clean(2L)}")
+    // doc 3: run fully cut (40 chars), words unique and kept (the
+    // splice's doubled space normalizes away in the word rejoin)
+    assert(clean(3L) === ((12L, 0L, 40L,
+      "completely different words here right now okay yes no maybe other end")),
+      s"doc 3: ${clean(3L)}")
+    // doc 4 (homogeneous): char accounting, quote prefix cut
+    assert(clean(4L) === ((70L, 40L, 40L, tail2)), s"doc 4: ${clean(4L)}")
+  }
+
+  test("run-level: nothing duplicated → every doc passes through; vid overflow fails loud") {
+    val fixture = docs(
+      1L -> "plain english words only in this one document here",
+      2L -> s"mixed context ${(0x0e01 to 0x0e1a).map(_.toChar).mkString} trailing words",
+      3L -> (0x4e00 to 0x4e60).map(_.toChar).mkString)
+    val clean = SubstringDedup.cleanCorpusRunLevel(fixture, 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    assert(clean.keySet === Set(1L, 2L, 3L))
+    assert(clean(1L) === ((0L, "plain english words only in this one document here")))
+    // the mixed doc reconstructs verbatim (single-spaced input)
+    assert(clean(2L) ===
+      ((0L, s"mixed context ${(0x0e01 to 0x0e1a).map(_.toChar).mkString} trailing words")))
+    assert(clean(3L) === ((0L, (0x4e00 to 0x4e60).map(_.toChar).mkString)))
+    // packed-vid overflow raises instead of aliasing documents
+    val big = docs((1L << 50) -> (0x4e00 to 0x4e60).map(_.toChar).mkString)
+    val e = intercept[Exception] {
+      SubstringDedup.cleanCorpusRunLevel(big, 10).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("vid overflow"),
+      s"expected vid-overflow raise, got: ${e.getMessage}")
+  }
+
   test("charTokens requires minTokens >= 2 (width-1 windows would collide across granularities)") {
     intercept[IllegalArgumentException] {
       SubstringDedup.duplicatedSpans(
