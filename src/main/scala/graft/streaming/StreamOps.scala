@@ -263,6 +263,13 @@ object StreamOps {
     * [[graft.text.SubstringDedup.cleanCorpus]] (hashKeys=true) over
     * (corpus ∪ all new docs) restricted to the new ids
     * (StreamingSpec pins it).
+    *
+    * Maintenance: a long-lived stream accumulates one key-delta dir
+    * per batch — run
+    * [[graft.text.SubstringDedup.compactWindowKeys]](corpusKeysPath,
+    * s"\$outDir/key_delta") periodically (between batches, like
+    * [[graft.vector.Ivf.compactIndex]]) to fold them into the base;
+    * the stream keeps working across it (TextStoreMaintenanceSpec).
     */
   def ingestSubstringDedupStream(
       newDocs: DataFrame,
@@ -1175,6 +1182,14 @@ object StreamOps {
     * keys at `windowKeysPath` and every key delta must be built under
     * the SAME flag — mixed-granularity keys never match and the span
     * cut silently degrades to word-blind behavior on spaceless docs.
+    *
+    * Maintenance (between batches, like the vector side's
+    * [[graft.vector.Ivf.compactIndex]]):
+    * [[graft.text.SubstringDedup.compactWindowKeys]](windowKeysPath,
+    * s"\$outDir/key_delta") folds the per-batch key deltas and
+    * [[graft.text.MinHashDedup.compactBandedIndex]](corpusIndexPath,
+    * s"\$outDir/index_delta") the banded-index deltas — both staged
+    * crash-safe swaps; the stream keeps working across either.
     */
   def curationIngestStreamV2(
       newDocs: DataFrame,

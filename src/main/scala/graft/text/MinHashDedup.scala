@@ -153,7 +153,7 @@ object MinHashDedup {
     require(rl == cfg.runLevel,
       s"signature table at $path was built with runLevel=$rl, this run expects " +
         s"runLevel=${cfg.runLevel} — mixed docs signed embedded runs differently; rebuild it")
-    df.select("doc_id", "sig")
+    withoutDeleted(spark, path, df.select("doc_id", "sig"), "doc_id")
   }
 
   private def bandStructs(cfg: MinHashConfig) = (0 until cfg.bands).map { b =>
@@ -257,7 +257,7 @@ object MinHashDedup {
     require(Seq("sig_v", "cfg_bands", "cfg_rows").forall(df.columns.contains),
       s"banded index at $path has no version/config columns — written by an incompatible build")
     requireBandedConfig(df, cfg, s"banded index at $path")
-    df.select("id", "sigh", "band", "bucket")
+    withoutDeleted(spark, path, df.select("id", "sigh", "band", "bucket"), "id")
   }
 
   /** The shared version/config gate of the two banded-index readers:
@@ -291,6 +291,112 @@ object MinHashDedup {
       s"$what was built with runLevel=$rl, this run expects runLevel=${cfg.runLevel} — " +
         "mixed docs signed embedded runs differently; rebuild it")
   }
+
+  // ---------------- takedowns (text-index doc tombstones) ----------------
+
+  /** Tombstone root of a persisted text store at `path` — a SIBLING
+    * directory (`<path>.tombstones`), never inside the store (the
+    * store is itself a parquet dir; a subdir would be swept into its
+    * scan). Batch-keyed `d<n>` dirs like the Ivf tombstone contract.
+    */
+  private def tombstoneRoot(path: String): String =
+    path.stripSuffix("/") + ".tombstones"
+
+  private def tombstoneDirs(path: String): Seq[String] =
+    graft.text.SubstringDedup.completedDirs(tombstoneRoot(path))
+
+  /** Record a doc takedown against a persisted signature table or
+    * banded index at `path` — the text-side mirror of
+    * [[graft.vector.Ivf.deleteFromIndex]]: ids land as a batch-keyed
+    * tombstone dir beside the store, every reader ([[readSignatures]],
+    * [[readBandedIndex]]) anti-joins them out at serve time (one
+    * directory existence check when none exist, no join), and
+    * [[compactBandedIndex]] folds them into the layout physically.
+    *
+    * Contracts: doc ids are append-only and deletes are FINAL — a
+    * tombstone outlives store rebuilds on the same path by design (the
+    * takedown binds to the doc id, not a table generation; clear the
+    * sibling dir explicitly once the source corpus itself is
+    * cleansed). The bucketed CATALOG-TABLE store
+    * ([[readBandedIndexTable]]) is rebuilt wholesale on its own
+    * schedule and does not serve tombstones — route takedown-window
+    * reads through the parquet store or rebuild the table.
+    */
+  def deleteDocs(ids: DataFrame, path: String): Unit = {
+    val root = new java.io.File(tombstoneRoot(path))
+    val next =
+      if (!root.isDirectory) 0L
+      else root.listFiles.toSeq.filter(_.isDirectory).map(_.getName)
+        .collect { case n if n.startsWith("d") && n.drop(1).nonEmpty &&
+          n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
+        .maxOption.map(_ + 1L).getOrElse(0L)
+    ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"${tombstoneRoot(path)}/d$next")
+  }
+
+  /** `df` minus tombstoned doc ids of the store at `path` — applied by
+    * every reader BEFORE any downstream banding/bucketing, so a
+    * deleted doc stops nominating candidates immediately. Free when no
+    * tombstones exist.
+    */
+  private def withoutDeleted(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, idCol: String): DataFrame =
+    tombstoneDirs(path) match {
+      case Nil => df
+      case dirs => df.join(
+        spark.read.parquet(dirs: _*).select(col("doc_id").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    }
+
+  /** Fold the completed streaming banded-index deltas under
+    * `deltaRoot` (the ingest streams' `index_delta/b<id>` dirs) into
+    * the base index at `basePath` — the text-side analogue of
+    * [[graft.vector.Ivf.compactIndex]]: a long-lived ingest stream
+    * otherwise accumulates one tiny parquet dir per micro-batch and
+    * every later batch re-reads all of them. Every table is
+    * version/config-validated on the way in (readBandedIndex), member
+    * rows are pure ROW MOVEMENT (batch-keyed overwrite upstream means
+    * no row exists twice), and the config stamps are re-written on the
+    * compacted table. Any pending [[deleteDocs]] tombstones fold in
+    * the same pass (their rows anti-joined away, the tombstone dirs
+    * absorbed via the manifest) — exactly the Ivf tombstone contract.
+    *
+    * Crash discipline is [[graft.vector.Ivf.compactLayout]]'s staged
+    * swap + `_FOLDED_DELTAS` manifest (every window re-runnable, each
+    * absorbed dir deleted exactly once). Run from the maintenance
+    * schedule, not concurrently with a micro-batch mid-read.
+    */
+  def compactBandedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      basePath: String,
+      deltaRoot: String,
+      cfg: MinHashConfig = MinHashConfig(),
+      failpoint: String = ""): Unit =
+    graft.vector.Ivf.compactLayout(spark, basePath,
+      () => graft.text.SubstringDedup.completedDirs(deltaRoot) ++
+        tombstoneDirs(basePath),
+      (dirs, next) => {
+        val (tombs, deltas) = dirs.partition(p =>
+          new org.apache.hadoop.fs.Path(p).getParent.getName ==
+            new org.apache.hadoop.fs.Path(tombstoneRoot(basePath)).getName)
+        val all = deltas
+          .map(readBandedIndex(spark, _, cfg))
+          .foldLeft(readBandedIndex(spark, basePath, cfg))(_ unionByName _)
+        val kept =
+          if (tombs.isEmpty) all
+          else all.join(
+            spark.read.parquet(tombs: _*).select(col("doc_id").as("id")).distinct(),
+            Seq("id"), "left_anti")
+        kept
+          .withColumn("sig_v", lit(SignatureVersion))
+          .withColumn("cfg_bands", lit(cfg.bands))
+          .withColumn("cfg_rows", lit(cfg.rowsPerBand))
+          .withColumn("cfg_chark", lit(cfg.charK))
+          .withColumn("cfg_runlevel", lit(if (cfg.runLevel) 1 else 0))
+          .write.mode("overwrite").parquet(next)
+      },
+      failpoint)
 
   /** Candidate pairs straight from a persisted banded index — no
     * shingling, no signing, no banding; the same hot-bucket defense as

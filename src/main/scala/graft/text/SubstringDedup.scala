@@ -527,6 +527,65 @@ object SubstringDedup {
     df.select("key")
   }
 
+  /** Fold the completed streaming key deltas under `deltaRoot` into
+    * the base [[windowKeys]] table at `basePath` — streaming substring
+    * ingest writes one delta dir per micro-batch forever, so without
+    * compaction a long-lived stream accumulates thousands of tiny
+    * parquet dirs and every batch re-reads all of them (unbounded read
+    * amplification). Every table is stamp-validated on the way in
+    * (loadWindowKeys), keys are DISTINCT-folded (set semantics make a
+    * replayed fold idempotent), and the stamps are re-written on the
+    * compacted table.
+    *
+    * Crash discipline is [[graft.vector.Ivf.compactLayout]]'s staged
+    * swap + `_FOLDED_DELTAS` manifest: any crash window is
+    * re-runnable, a folded delta dir is deleted exactly once, and
+    * a half-staged `basePath.next` without its manifest is ignored.
+    * Like the vector side: run from the maintenance schedule, not
+    * concurrently with a micro-batch mid-read (the base dir does not
+    * exist for the instant between the two swap renames).
+    *
+    * TAKEDOWN POSTURE (documented, deliberate): window-key stores hold
+    * doc-ANONYMOUS 8-byte window fingerprints — no row can be traced
+    * to a document, so per-doc deletion does not apply. Removing the
+    * keys a departed doc once contributed would also be semantically
+    * wrong: those fingerprints mark CONTENT as previously seen, and
+    * other docs carrying the same content must keep deduping against
+    * it. A takedown of the doc's TEXT is served by the accepted-table/
+    * signature tiers ([[MinHashDedup.deleteDocs]]), not here.
+    */
+  def compactWindowKeys(
+      spark: org.apache.spark.sql.SparkSession,
+      basePath: String,
+      deltaRoot: String,
+      minTokens: Int,
+      charTokens: Boolean = false,
+      failpoint: String = ""): Unit =
+    graft.vector.Ivf.compactLayout(spark, basePath,
+      () => completedDirs(deltaRoot),
+      (deltas, next) => {
+        deltas
+          .map(loadWindowKeys(spark, _, minTokens, charTokens))
+          .foldLeft(loadWindowKeys(spark, basePath, minTokens, charTokens))(
+            _ unionByName _)
+          .distinct()
+          .withColumn("cfg_chartok", lit(if (charTokens) 1 else 0))
+          .withColumn("cfg_wintok", lit(minTokens))
+          .write.mode("overwrite").parquet(next)
+      },
+      failpoint)
+
+  /** COMPLETE (_SUCCESS-bearing) delta dirs under `root`, sorted — the
+    * compaction-side twin of the streams' delta discovery.
+    */
+  private[text] def completedDirs(root: String): Seq[String] = {
+    val r = new java.io.File(root)
+    if (!r.isDirectory) Nil
+    else r.listFiles.toSeq
+      .filter(d => d.isDirectory && new java.io.File(d, "_SUCCESS").exists())
+      .map(_.getPath).sorted
+  }
+
   /** Incremental duplicated spans for an ingest BATCH against an
     * existing corpus known only by its [[windowKeys]] table: a batch
     * window is a hit when its key exists in the corpus (every corpus

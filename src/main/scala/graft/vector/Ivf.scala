@@ -647,9 +647,12 @@ object Ivf {
     * layout still recoverable by a retry.
     *
     * `failpoint` crash-injects after the named step (the spec suites
-    * exercise every window on both layouts).
+    * exercise every window on both layouts). Also reused by the TEXT
+    * side ([[graft.text.SubstringDedup.compactWindowKeys]],
+    * [[graft.text.MinHashDedup.compactBandedIndex]]) — one state
+    * machine, every store.
     */
-  private[vector] def compactLayout(
+  private[graft] def compactLayout(
       spark: org.apache.spark.sql.SparkSession,
       base: String,
       listDeltas: () => Seq[String],
