@@ -87,21 +87,39 @@ case class ShingleHash(
       if (nonAscii.toLong * 2 >= cp &&
           (toks.length < n ||
             cp.toLong >= graft.text.TextAnalysis.SpacelessAvgTokenLen.toLong * toks.length))
-        return dedupSorted(charGramHashes(s))
+        return dedupSorted(charGramHashes(s, cp))
       if (runLevel) {
         // mixed doc under run-level: word shingles of the remainder
         // (long non-ASCII runs replaced by a space — the exact Column
         // regexp_replace semantics, same Java regex) ∪ char grams of
         // each run. MUST stay set-identical to the Column twin
         // TextAnalysis.shinglesAuto(_, n, charK, runLevel = true).
+        // Per-run hash arrays are collected and copied ONCE — a
+        // growing concat per run would be quadratic in the run count
+        // on this stage-0 hot path.
         val m = ShingleHash.RunRegex.matcher(s)
         if (m.find()) {
           m.reset()
-          var out = wordShingleHashes(
-            ShingleHash.RunRegex.matcher(s).replaceAll(" ")
-              .split(' ').filter(_.nonEmpty))
-          while (m.find())
-            out = concatLongs(out, charGramHashes(s.substring(m.start, m.end)))
+          val parts = scala.collection.mutable.ArrayBuffer[Array[Long]](
+            wordShingleHashes(
+              ShingleHash.RunRegex.matcher(s).replaceAll(" ")
+                .split(' ').filter(_.nonEmpty)))
+          while (m.find()) {
+            val run = s.substring(m.start, m.end)
+            var j = 0
+            var rcp = 0
+            while (j < run.length) {
+              rcp += 1
+              j += Character.charCount(run.codePointAt(j))
+            }
+            parts += charGramHashes(run, rcp)
+          }
+          val out = new Array[Long](parts.iterator.map(_.length).sum)
+          var o = 0
+          parts.foreach { a =>
+            System.arraycopy(a, 0, out, o, a.length)
+            o += a.length
+          }
           return dedupSorted(out)
         }
         // no runs: plain word path below
@@ -139,20 +157,15 @@ case class ShingleHash(
   }
 
   /** Polynomial hashes of every `charK`-code-point window of `s` (raw,
-    * un-deduped) — the spaceless-script shingle base. One
+    * un-deduped) — the spaceless-script shingle base (`cp` = the
+    * text's code-point count, already known to every caller). One
     * surrogate-aware pass to code points, so windows count code points
     * exactly like Column substr / DuckDB substring do.
     */
-  private def charGramHashes(s: String): Array[Long] = {
-    var i = 0
-    var cp = 0
-    while (i < s.length) {
-      cp += 1
-      i += Character.charCount(s.codePointAt(i))
-    }
+  private def charGramHashes(s: String, cp: Int): Array[Long] = {
     if (cp < charK) return Array.empty[Long]
     val cps = new Array[Int](cp)
-    i = 0
+    var i = 0
     var o = 0
     while (i < s.length) {
       val c = s.codePointAt(i)
@@ -170,14 +183,6 @@ case class ShingleHash(
       i += 1
     }
     raw
-  }
-
-  private def concatLongs(a: Array[Long], b: Array[Long]): Array[Long] = {
-    if (a.isEmpty) return b
-    if (b.isEmpty) return a
-    val out = java.util.Arrays.copyOf(a, a.length + b.length)
-    System.arraycopy(b, 0, out, a.length, b.length)
-    out
   }
 
   /** Dedup by primitive sort (output order is irrelevant downstream —

@@ -95,9 +95,13 @@ object MinHashDedup {
     * base hash ([[graft.functions.ShingleHash]]) or the hash family
     * changes — persisted tables from a different scheme must never mix
     * with live signatures (band hashes would simply never collide and
-    * dedup would silently admit every duplicate).
+    * dedup would silently admit every duplicate). v3: the spaceless
+    * dispatch gained the majority-non-ASCII guard on its ntok<n
+    * disjunct (round 16) — a v2 charK>0 table signed short pure-ASCII
+    * docs as char grams, so mixing it with live word-shingled
+    * signatures would silently admit duplicate URLs/base64 blobs.
     */
-  val SignatureVersion = 2
+  val SignatureVersion = 3
 
   def writeSignatures(
       documents: DataFrame,
@@ -302,8 +306,9 @@ object MinHashDedup {
   private def tombstoneRoot(path: String): String =
     path.stripSuffix("/") + ".tombstones"
 
-  private def tombstoneDirs(path: String): Seq[String] =
-    graft.text.SubstringDedup.completedDirs(tombstoneRoot(path))
+  private def tombstoneDirs(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] =
+    graft.vector.Ivf.completedDirs(spark, tombstoneRoot(path))
 
   /** Record a doc takedown against a persisted signature table or
     * banded index at `path` — the text-side mirror of
@@ -323,10 +328,17 @@ object MinHashDedup {
     * reads through the parquet store or rebuild the table.
     */
   def deleteDocs(ids: DataFrame, path: String): Unit = {
-    val root = new java.io.File(tombstoneRoot(path))
+    val spark = ids.sparkSession
+    // Hadoop FileSystem listing (the Ivf.deleteFromIndex idiom), NOT
+    // java.io.File — on a remote store a local-File listing is always
+    // empty, so every delete batch would overwrite d0 and takedowns
+    // would silently destroy each other
+    val root = new org.apache.hadoop.fs.Path(tombstoneRoot(path))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next =
-      if (!root.isDirectory) 0L
-      else root.listFiles.toSeq.filter(_.isDirectory).map(_.getName)
+      if (!fs.exists(root)) 0L
+      else fs.listStatus(root).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
         .collect { case n if n.startsWith("d") && n.drop(1).nonEmpty &&
           n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
         .maxOption.map(_ + 1L).getOrElse(0L)
@@ -342,7 +354,7 @@ object MinHashDedup {
   private def withoutDeleted(
       spark: org.apache.spark.sql.SparkSession,
       path: String, df: DataFrame, idCol: String): DataFrame =
-    tombstoneDirs(path) match {
+    tombstoneDirs(spark, path) match {
       case Nil => df
       case dirs => df.join(
         spark.read.parquet(dirs: _*).select(col("doc_id").as(idCol)).distinct(),
@@ -374,8 +386,8 @@ object MinHashDedup {
       cfg: MinHashConfig = MinHashConfig(),
       failpoint: String = ""): Unit =
     graft.vector.Ivf.compactLayout(spark, basePath,
-      () => graft.text.SubstringDedup.completedDirs(deltaRoot) ++
-        tombstoneDirs(basePath),
+      () => graft.vector.Ivf.completedDirs(spark, deltaRoot) ++
+        tombstoneDirs(spark, basePath),
       (dirs, next) => {
         val (tombs, deltas) = dirs.partition(p =>
           new org.apache.hadoop.fs.Path(p).getParent.getName ==

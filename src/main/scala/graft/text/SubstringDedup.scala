@@ -333,11 +333,16 @@ object SubstringDedup {
     * short-run docs contribute nothing.
     */
   private def charVirtualDocs(documents: DataFrame): DataFrame = {
+    // null text is NOT spaceless (coalesce, not a bare predicate: a
+    // null spacelessRun would fail BOTH this filter and the hetero
+    // complement and the doc would silently vanish from the output —
+    // it must ride the hetero/word path like doc-level cleanCorpus's
+    // dispatch sends it)
     val homo = documents
-      .where(TextAnalysis.spacelessRun(col("text")))
+      .where(coalesce(TextAnalysis.spacelessRun(col("text")), lit(false)))
       .select(col("doc_id"), lit(0).as("run_idx"), col("text"))
     val runs = documents
-      .where(!TextAnalysis.spacelessRun(col("text")))
+      .where(!coalesce(TextAnalysis.spacelessRun(col("text")), lit(false)))
       .select(col("doc_id"),
         posexplode(TextAnalysis.scriptRuns(col("text"))).as(Seq("run_idx", "text")))
     homo.unionByName(runs)
@@ -371,12 +376,18 @@ object SubstringDedup {
     */
   private def runLevelStages(
       documents: DataFrame, minTokens: Int, hashKeys: Boolean)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val vdocs = charVirtualDocs(documents)
     val charSpans = duplicatedSpans(vdocs, minTokens, hashKeys, charTokens = true)
       .localCheckpoint(true)
+    // materialized: consumed by the splice AND (in cleanCorpusRunLevel)
+    // by the homogeneous output — without the checkpoint each consumer
+    // would re-run the charUnits explode + clean transform over every
+    // virtual doc, a full extra corpus pass
     val charClean = cleanFromSpans(vdocs, charSpans, charTokens = true)
-    val hetero = documents.where(!TextAnalysis.spacelessRun(col("text")))
+      .localCheckpoint(true)
+    val hetero = documents
+      .where(!coalesce(TextAnalysis.spacelessRun(col("text")), lit(false)))
     val heteroIds = hetero.select("doc_id")
     // cleaned runs per mixed doc, in run order
     val perDoc = charClean
@@ -405,7 +416,7 @@ object SubstringDedup {
     val wordSpans = duplicatedSpans(
       spliced.select("doc_id", "text"), minTokens, hashKeys,
       charTokens = false).localCheckpoint(true)
-    (charSpans, wordSpans, spliced)
+    (charSpans, charClean, wordSpans, spliced)
   }
 
   /** Run-level duplicated spans: (doc_id, tier, run_idx, span_start,
@@ -424,7 +435,7 @@ object SubstringDedup {
   def duplicatedSpansRunLevel(
       documents: DataFrame, minTokens: Int,
       hashKeys: Boolean = false): DataFrame = {
-    val (charSpans, wordSpans, _) = runLevelStages(documents, minTokens, hashKeys)
+    val (charSpans, _, wordSpans, _) = runLevelStages(documents, minTokens, hashKeys)
     charSpans
       .select(unpackDocId(col("doc_id")).as("doc_id"), lit("char").as("tier"),
         unpackRunIdx(col("doc_id")).as("run_idx"),
@@ -445,10 +456,9 @@ object SubstringDedup {
   def cleanCorpusRunLevel(
       documents: DataFrame, minTokens: Int,
       hashKeys: Boolean = false): DataFrame = {
-    val (charSpans, wordSpans, spliced) = runLevelStages(documents, minTokens, hashKeys)
+    val (_, charClean, wordSpans, spliced) = runLevelStages(documents, minTokens, hashKeys)
     val heteroIds = spliced.select("doc_id")
-    val vdocs = charVirtualDocs(documents)
-    val homoOut = cleanFromSpans(vdocs, charSpans, charTokens = true)
+    val homoOut = charClean
       .select(unpackDocId(col("doc_id")).as("doc_id"),
         unpackRunIdx(col("doc_id")).as("run_idx"),
         col("n_tokens"), col("dup_tokens"), col("clean_text"))
@@ -562,7 +572,7 @@ object SubstringDedup {
       charTokens: Boolean = false,
       failpoint: String = ""): Unit =
     graft.vector.Ivf.compactLayout(spark, basePath,
-      () => completedDirs(deltaRoot),
+      () => graft.vector.Ivf.completedDirs(spark, deltaRoot),
       (deltas, next) => {
         deltas
           .map(loadWindowKeys(spark, _, minTokens, charTokens))
@@ -574,17 +584,6 @@ object SubstringDedup {
           .write.mode("overwrite").parquet(next)
       },
       failpoint)
-
-  /** COMPLETE (_SUCCESS-bearing) delta dirs under `root`, sorted — the
-    * compaction-side twin of the streams' delta discovery.
-    */
-  private[text] def completedDirs(root: String): Seq[String] = {
-    val r = new java.io.File(root)
-    if (!r.isDirectory) Nil
-    else r.listFiles.toSeq
-      .filter(d => d.isDirectory && new java.io.File(d, "_SUCCESS").exists())
-      .map(_.getPath).sorted
-  }
 
   /** Incremental duplicated spans for an ingest BATCH against an
     * existing corpus known only by its [[windowKeys]] table: a batch

@@ -451,7 +451,11 @@ object Ivf {
       path: String): Seq[String] =
     completedDirs(spark, s"$path/tombstone")
 
-  private def completedDirs(
+  /** COMPLETE (_SUCCESS-bearing) dirs under `root0`, via the Hadoop
+    * FileSystem API so remote stores list correctly — shared with the
+    * text-side stores (SubstringDedup/MinHashDedup maintenance).
+    */
+  private[graft] def completedDirs(
       spark: org.apache.spark.sql.SparkSession,
       root0: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(root0)

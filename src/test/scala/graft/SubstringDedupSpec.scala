@@ -364,6 +364,15 @@ class SubstringDedupSpec extends SparkSpec {
     assert(clean(2L) ===
       ((0L, s"mixed context ${(0x0e01 to 0x0e1a).map(_.toChar).mkString} trailing words")))
     assert(clean(3L) === ((0L, (0x4e00 to 0x4e60).map(_.toChar).mkString)))
+    // a null-text doc must come out exactly once (on the word path,
+    // like doc-level cleanCorpus sends it), never silently vanish
+    val withNull = fixture.unionByName(
+      Seq(9L).toDF("doc_id").select(col("doc_id"),
+        lit(null).cast("string").as("text")))
+    val nulled = SubstringDedup.cleanCorpusRunLevel(withNull, 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nulled === Set(1L, 2L, 3L, 9L),
+      s"null-text doc must not vanish: $nulled")
     // packed-vid overflow raises instead of aliasing documents
     val big = docs((1L << 50) -> (0x4e00 to 0x4e60).map(_.toChar).mkString)
     val e = intercept[Exception] {
