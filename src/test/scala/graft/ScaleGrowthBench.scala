@@ -234,6 +234,51 @@ object ScaleGrowthBench {
             .agg(coalesce(sum("span_tokens"), lit(0L))).first().getLong(0)
         },
         true),
+      // X127g — RUN-LEVEL substring dedup at growth: a mixed-script
+      // replica fixture with exact block-diagonality. Each replica doc
+      // is its per-token-tagged English text (every 10-token word
+      // window carries 10 replica tags, so word windows never match
+      // across replicas) followed by ONE spaceless run: the doc's
+      // letters-only text transliterated a–z into a DISTINCT 26-char
+      // CJK block per replica (all chars stay inside one 26-wide band,
+      // so no code point — hence no char window — is shared across
+      // replicas). Within a replica both parts are bijective images of
+      // the base, so span mass (char tier + word tier together) is
+      // EXACTLY factor-linear. What the point measures: the two-stage
+      // run-level composition (char virtual docs → splice → word
+      // stage) must stay wall-linear through the same hot-key-safe
+      // marking shape as the single-stage tiers.
+      ("X127g_runlevel_substring",
+        _ => {
+          val letters = "abcdefghijklmnopqstuvwxyz" // 25 tags, no 'r'
+          require(curFactor <= letters.length,
+            s"run-level growth fixture supports factors <= ${letters.length}")
+          val tags = typedLit(letters.map(_.toString))
+          // per-replica 26-char CJK blocks as STRINGS — Spark's chr()
+          // wraps mod 256, so arithmetic code-point construction would
+          // land back in ASCII and destroy block-diagonality
+          val blocks = typedLit((0 until 25).map(r =>
+            (0 until 26).map(i => (0x4e00 + 26 * r + i).toChar).mkString))
+          val d2 = base.select(col("doc_id"), col("text"),
+              explode(sequence(lit(0), lit(curFactor - 1))).as("__r"))
+            .select(
+              (col("doc_id") + col("__r").cast("long") * 1000000L).as("doc_id"),
+              concat(
+                regexp_replace(col("text"), lit("(\\S+)"),
+                  concat(lit("$1r"), element_at(tags, col("__r") + 1))),
+                lit(" "),
+                array_join(transform(
+                  graft.text.TextAnalysis.charUnits(
+                    regexp_replace(lower(col("text")), "[^a-z]", "")),
+                  ch => element_at(blocks, col("__r") + 1)
+                    .substr(ascii(ch) - 96, lit(1))), ""))
+                .as("text"))
+            .repartition(32).localCheckpoint(true)
+          graft.text.SubstringDedup
+            .duplicatedSpansRunLevel(d2, minTokens = 10, hashKeys = true)
+            .agg(coalesce(sum("span_tokens"), lit(0L))).first().getLong(0)
+        },
+        true),
       ("X84_dedup_report",
         d => {
           val clusters = MinHashDedup
