@@ -28,42 +28,67 @@ object Bench {
 
   /** One successful timed run: its 1-based index within the query's
     * attempt sequence, wall seconds, and the stamped artifact dirs
-    * that APPEARED during it (empty = pure reuse).
+    * that appeared or were rebuilt into during it (empty = pure
+    * reuse).
     */
   final case class Run(idx: Int, secs: Double, built: Seq[String]) {
     def builtArtifacts: Boolean = built.nonEmpty
   }
 
-  /** Stamped-artifact dirs currently under java.io.tmpdir. */
-  private def artifactDirs(): Set[String] = {
+  /** Stamped-artifact dirs currently under java.io.tmpdir, with a
+    * depth-1 modification signature (max of the dir's and its direct
+    * children's mtimes). A dir that merely APPEARS is not the only
+    * build shape: a crashed first run can leave a partial dir that the
+    * next run rebuilds INTO — existence alone would report that
+    * timed rebuild as reuse, recreating the build-vs-regression
+    * ambiguity this instrumentation exists to remove. The signature
+    * catches in-place rebuilds: Spark's commit renames fresh files/
+    * subdirs into the dir, bumping a depth-1 mtime.
+    */
+  private def artifactSigs(): Map[String, Long] = {
     val tmp = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     Option(tmp.listFiles()).map(_.toSeq).getOrElse(Nil)
       .filter(f => f.isDirectory && f.getName.startsWith("graft_"))
-      .map(_.getName).toSet
+      .map { d =>
+        val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+        d.getName -> (d.lastModified() +: kids.map(_.lastModified())).max
+      }.toMap
   }
 
   /** Warm-spread contention witness over a query's successful runs.
     * The EARLIEST successful run is excluded (first-touch artifact
     * builds legitimately dominate it). Single-warm-sample fallback
     * (a run failed), gated on BUILD EVIDENCE (the round-15 direction-
-    * of-bias note, closed): when the surviving warm sample is SLOWER
-    * than first-touch, contention is witnessed — include both. When it
-    * is FASTER, a slow first run is only benign if it actually BUILT
-    * artifacts; an unexplained slow first run re-enters the spread so
-    * a contended fast-fail sweep can't read as quiet.
+    * of-bias note, closed):
+    *  - warm FASTER than first-touch: benign only if the first run
+    *    actually BUILT artifacts; an unexplained slow first run
+    *    re-enters the spread so a contended fast-fail sweep can't
+    *    read as quiet;
+    *  - warm SLOWER than a first-touch that built artifacts: the
+    *    build-inflated first is useless as a denominator (35 s warm /
+    *    30 s build-run reads as 1.17), and a warm run slower than a
+    *    run that PAID A BUILD is contention by construction — the
+    *    spread is unquantifiable, so report infinity and let the solo
+    *    retime measure it;
+    *  - warm slower, no build: both runs are comparable — plain ratio.
     */
   private[graft] def warmSpread(ts: Seq[Run]): Double = {
     val all = ts.sortBy(_.idx)
     val warm = all.drop(1)
-    val usable: Seq[Double] =
-      if (warm.size >= 2) warm.map(_.secs)
-      else if (warm.size == 1) {
-        val first = all.head
-        if (warm.head.secs >= first.secs) all.map(_.secs)
-        else if (first.builtArtifacts) warm.map(_.secs)
-        else all.map(_.secs)
-      } else warm.map(_.secs)
-    if (usable.size < 2 || usable.min <= 0) 1.0 else usable.max / usable.min
+    if (warm.size >= 2) {
+      val u = warm.map(_.secs)
+      if (u.min <= 0) 1.0 else u.max / u.min
+    } else if (warm.size == 1) {
+      val first = all.head
+      val w = warm.head.secs
+      if (w >= first.secs) {
+        if (first.builtArtifacts) Double.PositiveInfinity
+        else if (first.secs <= 0) 1.0
+        else w / first.secs
+      } else if (first.builtArtifacts) 1.0
+      else if (w <= 0) 1.0
+      else first.secs / w
+    } else 1.0
   }
 
   def main(args: Array[String]): Unit = {
@@ -99,12 +124,15 @@ object Bench {
     def timesOf(s: SparkSession, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         runs: Int): Seq[Run] =
       (1 to runs).flatMap { i =>
-        val before = artifactDirs()
+        val before = artifactSigs()
         val t0 = System.nanoTime()
         try {
           fn(s, sfDir).collect()
           val secs = (System.nanoTime() - t0) / 1e9
-          Some(Run(i, secs, (artifactDirs() -- before).toSeq.sorted))
+          val built = artifactSigs().collect {
+            case (name, sig) if !before.get(name).contains(sig) => name
+          }.toSeq.sorted
+          Some(Run(i, secs, built))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] run failed: ${String.valueOf(e.getMessage).take(120)}")
           None

@@ -106,13 +106,7 @@ case class ShingleHash(
                 .split(' ').filter(_.nonEmpty)))
           while (m.find()) {
             val run = s.substring(m.start, m.end)
-            var j = 0
-            var rcp = 0
-            while (j < run.length) {
-              rcp += 1
-              j += Character.charCount(run.codePointAt(j))
-            }
-            parts += charGramHashes(run, rcp)
+            parts += charGramHashes(run, run.codePointCount(0, run.length))
           }
           val out = new Array[Long](parts.iterator.map(_.length).sum)
           var o = 0

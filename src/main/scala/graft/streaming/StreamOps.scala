@@ -289,7 +289,7 @@ object StreamOps {
           val b = batch.toDF().localCheckpoint(true)
           // COMPLETE earlier deltas only, never this batch's own
           // (replay must not self-collide)
-          val deltas = completeBatchDirs(s"$outDir/key_delta", batchId)
+          val deltas = completedBatchDirs(spark, s"$outDir/key_delta", batchId)
           val keys = foldWindowKeys(spark, corpusKeysPath, deltas,
             minTokens, charTokens = false, validatedDeltas)
           val cleaned = graft.text.SubstringDedup
@@ -343,17 +343,15 @@ object StreamOps {
 
   /** COMPLETE batch directories (_SUCCESS present) under `root`,
     * excluding the batch currently being (re)processed — shared
-    * delta-discovery shape of the ingest streams (production on an
-    * object store would use FileSystem.listStatus — same contract).
+    * delta-discovery shape of every batch-keyed idempotent sink.
+    * Hadoop FileSystem listing (like the store maintenance side): a
+    * java.io.File listing is always empty on a remote store, so every
+    * batch would silently see zero prior state.
     */
-  private def completeBatchDirs(root: String, excludeBatch: Long): Seq[String] = {
-    val r = new java.io.File(root)
-    if (!r.isDirectory) Nil
-    else r.listFiles.toSeq
-      .filter(d => d.isDirectory && d.getName != s"b$excludeBatch" &&
-        new java.io.File(d, "_SUCCESS").exists())
-      .map(_.getPath).sorted
-  }
+  private def completedBatchDirs(
+      spark: SparkSession, root: String, excludeBatch: Long): Seq[String] =
+    graft.vector.Ivf.completedDirs(spark, root)
+      .filterNot(d => new org.apache.hadoop.fs.Path(d).getName == s"b$excludeBatch")
 
   /** Frozen benchmark-decontamination stage config for
     * [[ingestPipelineStream]] (stage 1d): drop arriving docs whose
@@ -550,7 +548,7 @@ object StreamOps {
       exactDedup: Boolean): DataFrame = {
     val acceptedRoot = s"$outDir/accepted"
     val deltaRoot = s"$outDir/index_delta"
-    // COMPLETE batch directories only (completeBatchDirs: _SUCCESS
+    // COMPLETE batch directories only (completedBatchDirs: _SUCCESS
     // present, excluding the batch currently being (re)processed): a
     // replayed batch must never see its own earlier partial or
     // complete write as "prior corpus" — its docs would collide with
@@ -564,14 +562,14 @@ object StreamOps {
       else {
         val b1 = b0.localCheckpoint(true)
         // corpus side: base index + every COMPLETE earlier batch's delta
-        val banded = completeBatchDirs(deltaRoot, batchId).foldLeft(
+        val banded = completedBatchDirs(spark, deltaRoot, batchId).foldLeft(
           graft.text.MinHashDedup.readBandedIndex(spark, corpusIndexPath, cfg)) {
           (acc, d) => acc.unionByName(
             graft.text.MinHashDedup.readBandedIndex(spark, d, cfg))
         }
         // texts of earlier COMPLETE acceptances, for exact verification
         // of the (few) candidate pairs
-        val acceptedPrior = completeBatchDirs(acceptedRoot, batchId)
+        val acceptedPrior = completedBatchDirs(spark, acceptedRoot, batchId)
         val priorAccepted =
           if (acceptedPrior.isEmpty) b1.limit(0)
           else acceptedPrior.map(spark.read.parquet(_))
@@ -712,19 +710,6 @@ object StreamOps {
       }
       .start()
 
-  /** COMPLETE (_SUCCESS-committed) batch-keyed subdirectories of
-    * `root`, excluding `excludeBatch` — the shared bookkeeping of every
-    * batch-keyed idempotent sink: a replayed batch must never read its
-    * own earlier partial or complete write as prior state.
-    */
-  private def completedBatchDirs(root: String, excludeBatch: Long): Seq[String] = {
-    val r = new java.io.File(root)
-    if (!r.isDirectory) Nil
-    else r.listFiles.toSeq
-      .filter(d => d.isDirectory && d.getName != s"b$excludeBatch" &&
-        new java.io.File(d, "_SUCCESS").exists())
-      .map(_.getPath).sorted
-  }
 
   /** Streaming twin of the token-budget cut (batch X80,
     * [[graft.pipeline.TrainingSet.budgetCut]]): MONOTONE ADMISSION —
@@ -759,7 +744,7 @@ object StreamOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val priorDirs = completedBatchDirs(path, batchId)
+          val priorDirs = completedBatchDirs(spark, path, batchId)
           val prior =
             if (priorDirs.isEmpty) 0L
             else spark.read.parquet(priorDirs: _*)
@@ -809,7 +794,7 @@ object StreamOps {
           val words = batch
             .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("w"))
             .distinct()
-          val priorDirs = completedBatchDirs(path, batchId)
+          val priorDirs = completedBatchDirs(spark, path, batchId)
           val fresh =
             if (priorDirs.isEmpty) words
             else words.join(
@@ -1258,7 +1243,7 @@ object StreamOps {
           // stage 0 — incremental span cut vs corpus keys ∪ COMPLETE
           // earlier key deltas (never this batch's own — replay must
           // not self-collide)
-          val keyDeltas = completeBatchDirs(s"$outDir/key_delta", batchId)
+          val keyDeltas = completedBatchDirs(spark, s"$outDir/key_delta", batchId)
           // per-table granularity pin + strip (fail-loud on a
           // word-built store under charTokens and vice versa); deltas
           // validated once per stream, base every batch
@@ -1392,10 +1377,10 @@ object StreamOps {
   def noveltySummary(
       spark: SparkSession,
       path: String): Seq[(Long, Long, Long)] = {
-    val dirs = completedBatchDirs(path, excludeBatch = -1L)
+    val dirs = completedBatchDirs(spark, path, excludeBatch = -1L)
     if (dirs.isEmpty) Nil
     else {
-      val ids = dirs.map(d => new java.io.File(d).getName.drop(1).toLong).sorted
+      val ids = dirs.map(d => new org.apache.hadoop.fs.Path(d).getName.drop(1).toLong).sorted
       val counted = spark.read.parquet(dirs: _*)
         .groupBy("batch_id").count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

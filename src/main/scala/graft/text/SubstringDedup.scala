@@ -375,17 +375,21 @@ object SubstringDedup {
     * rejoin) never re-run a window shuffle.
     */
   private def runLevelStages(
-      documents: DataFrame, minTokens: Int, hashKeys: Boolean)
+      documents: DataFrame, minTokens: Int, hashKeys: Boolean,
+      materializeCharClean: Boolean)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val vdocs = charVirtualDocs(documents)
     val charSpans = duplicatedSpans(vdocs, minTokens, hashKeys, charTokens = true)
       .localCheckpoint(true)
-    // materialized: consumed by the splice AND (in cleanCorpusRunLevel)
-    // by the homogeneous output — without the checkpoint each consumer
-    // would re-run the charUnits explode + clean transform over every
-    // virtual doc, a full extra corpus pass
-    val charClean = cleanFromSpans(vdocs, charSpans, charTokens = true)
-      .localCheckpoint(true)
+    // materialized only for cleanCorpusRunLevel, whose TWO consumers
+    // (splice chain + homogeneous output) would otherwise each re-run
+    // the charUnits explode + clean transform over every virtual doc —
+    // a full extra corpus pass. The spans-only path consumes it once
+    // (through the wordSpans checkpoint) and must not pay a
+    // corpus-size block-manager round trip for nothing.
+    val charClean0 = cleanFromSpans(vdocs, charSpans, charTokens = true)
+    val charClean =
+      if (materializeCharClean) charClean0.localCheckpoint(true) else charClean0
     val hetero = documents
       .where(!coalesce(TextAnalysis.spacelessRun(col("text")), lit(false)))
     val heteroIds = hetero.select("doc_id")
@@ -435,7 +439,8 @@ object SubstringDedup {
   def duplicatedSpansRunLevel(
       documents: DataFrame, minTokens: Int,
       hashKeys: Boolean = false): DataFrame = {
-    val (charSpans, _, wordSpans, _) = runLevelStages(documents, minTokens, hashKeys)
+    val (charSpans, _, wordSpans, _) =
+      runLevelStages(documents, minTokens, hashKeys, materializeCharClean = false)
     charSpans
       .select(unpackDocId(col("doc_id")).as("doc_id"), lit("char").as("tier"),
         unpackRunIdx(col("doc_id")).as("run_idx"),
@@ -456,7 +461,8 @@ object SubstringDedup {
   def cleanCorpusRunLevel(
       documents: DataFrame, minTokens: Int,
       hashKeys: Boolean = false): DataFrame = {
-    val (_, charClean, wordSpans, spliced) = runLevelStages(documents, minTokens, hashKeys)
+    val (_, charClean, wordSpans, spliced) =
+      runLevelStages(documents, minTokens, hashKeys, materializeCharClean = true)
     val heteroIds = spliced.select("doc_id")
     val homoOut = charClean
       .select(unpackDocId(col("doc_id")).as("doc_id"),

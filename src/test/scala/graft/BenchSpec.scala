@@ -31,6 +31,14 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.warmSpread(Seq(run(1, 30.0, built = true), run(3, 2.0))) === 1.0)
   }
 
+  test("single warm sample SLOWER than a first-touch that BUILT: unquantifiable, always retimes") {
+    // the masked case: 30 s first run includes a ~25 s build, warm run
+    // at 35 s under contention — a plain ratio would read 1.17 (quiet)
+    // and commit a contended 30 s as the per-query value
+    assert(Bench.warmSpread(Seq(run(1, 30.0, built = true), run(3, 35.0)))
+      .isPosInfinity)
+  }
+
   test("single warm sample faster, first-touch built NOTHING: unexplained slow first re-enters") {
     // the closed loophole: warm 2 s, first 12 s with no build → 6.0 (> 3 retimes)
     assert(Bench.warmSpread(Seq(run(1, 12.0), run(3, 2.0))) === 6.0)
