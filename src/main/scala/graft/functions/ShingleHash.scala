@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -49,7 +49,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class ShingleHash(
     child: Expression, n: Int, charK: Int = 0, runLevel: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
   require(charK >= 0, "charK must be >= 0 (0 = word shingles only)")
@@ -62,10 +62,37 @@ case class ShingleHash(
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHash.hashDoc(input.asInstanceOf[UTF8String], n, charK, runLevel)
+
+  // a static call with the (n, charK, runLevel) literals baked into the
+  // generated code — participates in whole-stage codegen like
+  // CodePointUnits, keeping the MinHash stage-0 signing stage fused
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHash.hashDoc($c, $n, $charK, $runLevel)")
+
+  override def prettyName: String = "shingle_hash"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHash {
+  /** [[graft.text.TextAnalysis.RunPattern]] compiled once — the same
+    * Java regex the Column twin's regexp ops use.
+    */
+  private val RunRegex =
+    java.util.regex.Pattern.compile(graft.text.TextAnalysis.RunPattern)
+
   private val P = 1099511628211L
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** The whole per-document hash pipeline (dispatch + hashing +
+    * dedup), static so generated code can call it (interpreted eval
+    * shares it).
+    */
+  def hashDoc(input: UTF8String, n: Int, charK: Int, runLevel: Boolean): GenericArrayData = {
+    val s = input.toString
     // whitespace tokens, empties dropped (same rule as TextAnalysis.tokens)
     val toks = s.split(' ').filter(_.nonEmpty)
     if (charK > 0) {
@@ -87,7 +114,7 @@ case class ShingleHash(
       if (nonAscii.toLong * 2 >= cp &&
           (toks.length < n ||
             cp.toLong >= graft.text.TextAnalysis.SpacelessAvgTokenLen.toLong * toks.length))
-        return dedupSorted(charGramHashes(s, cp))
+        return dedupSorted(charGramHashes(s, cp, charK))
       if (runLevel) {
         // mixed doc under run-level: word shingles of the remainder
         // (long non-ASCII runs replaced by a space — the exact Column
@@ -97,16 +124,16 @@ case class ShingleHash(
         // Per-run hash arrays are collected and copied ONCE — a
         // growing concat per run would be quadratic in the run count
         // on this stage-0 hot path.
-        val m = ShingleHash.RunRegex.matcher(s)
+        val m = RunRegex.matcher(s)
         if (m.find()) {
           m.reset()
           val parts = scala.collection.mutable.ArrayBuffer[Array[Long]](
             wordShingleHashes(
-              ShingleHash.RunRegex.matcher(s).replaceAll(" ")
-                .split(' ').filter(_.nonEmpty)))
+              RunRegex.matcher(s).replaceAll(" ")
+                .split(' ').filter(_.nonEmpty), n))
           while (m.find()) {
             val run = s.substring(m.start, m.end)
-            parts += charGramHashes(run, run.codePointCount(0, run.length))
+            parts += charGramHashes(run, run.codePointCount(0, run.length), charK)
           }
           val out = new Array[Long](parts.iterator.map(_.length).sum)
           var o = 0
@@ -119,14 +146,14 @@ case class ShingleHash(
         // no runs: plain word path below
       }
     }
-    dedupSorted(wordShingleHashes(toks))
+    dedupSorted(wordShingleHashes(toks, n))
   }
 
   /** Polynomial hashes of every `n`-token shingle (raw, un-deduped):
     * rolling per-token hashes combined with a separator multiplier so
     * token boundaries stay significant.
     */
-  private def wordShingleHashes(toks: Array[String]): Array[Long] = {
+  private def wordShingleHashes(toks: Array[String], n: Int): Array[Long] = {
     if (toks.length < n) return Array.empty[Long]
     val th = new Array[Long](toks.length)
     var i = 0
@@ -156,7 +183,7 @@ case class ShingleHash(
     * surrogate-aware pass to code points, so windows count code points
     * exactly like Column substr / DuckDB substring do.
     */
-  private def charGramHashes(s: String, cp: Int): Array[Long] = {
+  private def charGramHashes(s: String, cp: Int, charK: Int): Array[Long] = {
     if (cp < charK) return Array.empty[Long]
     val cps = new Array[Int](cp)
     var i = 0
@@ -194,16 +221,4 @@ case class ShingleHash(
     new GenericArrayData(java.util.Arrays.copyOf(raw, w))
   }
 
-  override def prettyName: String = "shingle_hash"
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object ShingleHash {
-  /** [[graft.text.TextAnalysis.RunPattern]] compiled once — the same
-    * Java regex the Column twin's regexp ops use.
-    */
-  private val RunRegex =
-    java.util.regex.Pattern.compile(graft.text.TextAnalysis.RunPattern)
 }

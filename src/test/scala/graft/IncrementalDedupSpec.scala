@@ -274,6 +274,39 @@ class IncrementalDedupSpec extends SparkSpec {
       s"doc 5 short-run universe: ${viaNative(5L)} vs ${wordOnly(5L)}")
   }
 
+  test("ShingleHash codegen path equals interpreted eval on every dispatch shape") {
+    import spark.implicits._
+    // hashDoc is a static call from generated code (the CodePointUnits
+    // idiom) — CODEGEN_ONLY exercises doGenCode, NO_CODEGEN the
+    // interpreted nullSafeEval; the hash multisets must be identical
+    // across word, doc-level char, run-level and degenerate shapes
+    def thai(seed: Int, n: Int): String = {
+      val rng = new scala.util.Random(seed)
+      (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
+    }
+    val wrap = (1 to 14).map(i => s"wrapper$i").mkString(" ")
+    val docs = Seq(
+      (1L, "plain ascii words only here today"),
+      (2L, thai(1, 80)),
+      (3L, s"$wrap ${thai(2, 40)} $wrap"),
+      (4L, ""), (5L, "https://example.com/short?x=1")).toDF("doc_id", "text")
+    def universes(mode: String): Map[Long, Seq[Long]] = {
+      val before = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try docs.select(col("doc_id"),
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.functions.ShingleHash(
+              org.apache.spark.sql.GraftColumnBridge.expression(col("text")),
+              3, 5, runLevel = true)).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      finally spark.conf.set("spark.sql.codegen.factoryMode", before)
+    }
+    val gen = universes("CODEGEN_ONLY")
+    val interp = universes("NO_CODEGEN")
+    assert(gen == interp, s"codegen ≠ interpreted: ${gen.keys.filter(k => gen(k) != interp(k))}")
+    assert(gen(2L).nonEmpty && gen(3L).nonEmpty && gen(4L).isEmpty)
+  }
+
   test("readSignatures and banded readers refuse a runLevel mismatch; legacy tables are doc-level") {
     val rl = graft.text.MinHashConfig(charK = 5, runLevel = true)
     val dl = graft.text.MinHashConfig(charK = 5)
