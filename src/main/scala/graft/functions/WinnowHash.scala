@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,11 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * of the 64-bit polynomial hash are irrelevant at fingerprint scale —
   * winnowing (Schleimer et al., MOSS) specifies exactly this scheme.
   *
-  * Evaluated per ROW (one call per document), so CodegenFallback costs
-  * one virtual call per row, not per element.
+  * Generates a static call with the (k, w) literals baked in (the
+  * CodePointUnits/ShingleHash idiom), so the fingerprint scan stays
+  * inside whole-stage codegen.
   */
 case class WinnowHash(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 2 && w >= 1, "winnow requires k >= 2, w >= 1")
 
@@ -34,10 +35,29 @@ case class WinnowHash(child: Expression, k: Int, w: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowHash.fingerprints(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowHash.fingerprints($c, $k, $w)")
+
+  override def prettyName: String = "winnow_hash"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowHash {
+
   private val P = 1099511628211L // FNV-1a prime as the polynomial base
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** The whole per-document winnowing pass (rolling k-gram hashes →
+    * per-window minima → first-seen-ordered distinct set), static so
+    * generated code can call it (interpreted eval shares it).
+    */
+  def fingerprints(input: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val s = input.toString
     val len = s.length
     if (len < k + w - 1) return new GenericArrayData(Array.empty[Long])
     val n = len - k + 1
@@ -70,9 +90,4 @@ case class WinnowHash(child: Expression, k: Int, w: Int)
     while (it.hasNext) { arr(i) = it.next(); i += 1 }
     new GenericArrayData(arr)
   }
-
-  override def prettyName: String = "winnow_hash"
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

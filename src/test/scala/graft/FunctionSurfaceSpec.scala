@@ -108,6 +108,27 @@ class FunctionSurfaceSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("WinnowHash codegen path equals interpreted eval") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq((1L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (2L, "tiny"), (3L, ""), (4L, "aaaaaaaaaaaaaaaaaaaaaaaa")).toDF("id", "s")
+    def prints(mode: String): Map[Long, Seq[Long]] = {
+      val before = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try rows.select(col("id"),
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.functions.WinnowHash(
+              org.apache.spark.sql.GraftColumnBridge.expression(col("s")), 5, 4)).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      finally spark.conf.set("spark.sql.codegen.factoryMode", before)
+    }
+    val gen = prints("CODEGEN_ONLY")
+    val interp = prints("NO_CODEGEN")
+    assert(gen == interp, s"codegen ≠ interpreted: $gen vs $interp")
+    assert(gen(1L).nonEmpty && gen(2L).isEmpty && gen(4L).size == 1)
+  }
+
   test("CodePointUnits (native, one pass) equals the substr Column twin on adversarial strings") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
