@@ -48,7 +48,13 @@ object Bench {
   private def artifactSigs(): Map[String, Long] = {
     val tmp = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     Option(tmp.listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filter(f => f.isDirectory && f.getName.startsWith("graft_"))
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_") &&
+        // the stable DuckDB-oracle mirrors are refreshed (last-writer-
+        // wins) as a side channel whenever a query's stamped artifact
+        // is touched — they are correctness plumbing, not a timed
+        // build, and flagging them would mark half the artifact-backed
+        // queries as "built" on every sweep
+        !f.getName.startsWith("graft_oracle"))
       .map { d =>
         val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
         d.getName -> (d.lastModified() +: kids.map(_.lastModified())).max
