@@ -36,15 +36,32 @@ object Bench {
   }
 
   /** Stamped-artifact dirs currently under java.io.tmpdir, with a
-    * depth-1 modification signature (max of the dir's and its direct
-    * children's mtimes). A dir that merely APPEARS is not the only
-    * build shape: a crashed first run can leave a partial dir that the
-    * next run rebuilds INTO — existence alone would report that
-    * timed rebuild as reuse, recreating the build-vs-regression
-    * ambiguity this instrumentation exists to remove. The signature
-    * catches in-place rebuilds: Spark's commit renames fresh files/
-    * subdirs into the dir, bumping a depth-1 mtime.
+    * RECURSIVE modification signature (max mtime ⊕ file count ⊕ total
+    * bytes over the whole subtree). A dir that merely APPEARS is not
+    * the only build shape: a crashed first run can leave a partial dir
+    * that the next run rebuilds INTO — existence alone would report
+    * that timed rebuild as reuse, recreating the build-vs-regression
+    * ambiguity this instrumentation exists to remove. The signature is
+    * recursive (not depth-1) because a rebuild of a PARTITIONED layout
+    * can rewrite only files two+ levels deep (partition subdirs keep
+    * their names and the parent's child list is unchanged) — ADVICE
+    * r16; count+bytes ride along so a same-second rewrite still moves
+    * the signature.
     */
+  private def dirSig(d: java.io.File): Long = {
+    def walk(f: java.io.File): (Long, Long, Long) = {
+      val kids =
+        if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        else Nil
+      kids.map(walk).foldLeft(
+        (f.lastModified(), 1L, if (f.isFile) f.length() else 0L)) {
+        case ((m, c, b), (m2, c2, b2)) => (math.max(m, m2), c + c2, b + b2)
+      }
+    }
+    val (m, c, b) = walk(d)
+    m ^ java.lang.Long.rotateLeft(c, 21) ^ java.lang.Long.rotateLeft(b, 42)
+  }
+
   private def artifactSigs(): Map[String, Long] = {
     val tmp = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     Option(tmp.listFiles()).map(_.toSeq).getOrElse(Nil)
@@ -55,10 +72,7 @@ object Bench {
         // build, and flagging them would mark half the artifact-backed
         // queries as "built" on every sweep
         !f.getName.startsWith("graft_oracle"))
-      .map { d =>
-        val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
-        d.getName -> (d.lastModified() +: kids.map(_.lastModified())).max
-      }.toMap
+      .map(d => d.getName -> dirSig(d)).toMap
   }
 
   /** Warm-spread contention witness over a query's successful runs.

@@ -146,10 +146,15 @@ object MinHashDedup {
     require(head.nonEmpty,
       s"signature table at $path is empty — corrupt or partial write; rebuild it")
     val (v, sh, nh) = (head.get.getInt(0), head.get.getInt(1), head.get.getInt(2))
-    require(v == SignatureVersion && sh == cfg.shingleSize && nh == cfg.numHashes,
-      s"signature table at $path was built as scheme v$v shingle=$sh hashes=$nh, this run " +
-        s"expects v$SignatureVersion shingle=${cfg.shingleSize} hashes=${cfg.numHashes} — rebuild it")
     val ck = head.get.getInt(3)
+    // v2→v3 changed ONLY the charK>0 spaceless dispatch (the majority-
+    // non-ASCII guard); a charK=0 table never dispatched, so its
+    // shingle universe is identical under v3 and forcing a rebuild
+    // would discard a valid 100 TB artifact for nothing (ADVICE r16)
+    val versionOk = v == SignatureVersion || (v == 2 && ck == 0)
+    require(versionOk && sh == cfg.shingleSize && nh == cfg.numHashes,
+      s"signature table at $path was built as scheme v$v shingle=$sh hashes=$nh charK=$ck, this run " +
+        s"expects v$SignatureVersion (or v2 with charK=0) shingle=${cfg.shingleSize} hashes=${cfg.numHashes} — rebuild it")
     require(ck == cfg.charK,
       s"signature table at $path was built with charK=$ck, this run expects " +
         s"charK=${cfg.charK} — spaceless docs signed a different granularity; rebuild it")
@@ -283,10 +288,13 @@ object MinHashDedup {
       ckCol.as("ck"), rlCol.as("rl")).limit(1).collect().headOption
     require(head.nonEmpty, s"$what is empty — corrupt or partial write; rebuild it")
     val (v, b, r) = (head.get.getInt(0), head.get.getInt(1), head.get.getInt(2))
-    require(v == SignatureVersion && b == cfg.bands && r == cfg.rowsPerBand,
-      s"$what was built as scheme v$v/${b}x$r, this run expects " +
-        s"v$SignatureVersion/${cfg.bands}x${cfg.rowsPerBand} — rebuild it")
     val ck = head.get.getInt(3)
+    // same v2 grandfathering as readSignatures: the v2→v3 dispatch
+    // change is invisible to charK=0 stores (ADVICE r16)
+    val versionOk = v == SignatureVersion || (v == 2 && ck == 0)
+    require(versionOk && b == cfg.bands && r == cfg.rowsPerBand,
+      s"$what was built as scheme v$v/${b}x$r charK=$ck, this run expects " +
+        s"v$SignatureVersion (or v2 with charK=0)/${cfg.bands}x${cfg.rowsPerBand} — rebuild it")
     require(ck == cfg.charK,
       s"$what was built with charK=$ck, this run expects charK=${cfg.charK} — " +
         "spaceless docs signed a different shingle granularity; rebuild it")
@@ -322,29 +330,42 @@ object MinHashDedup {
     * tombstone outlives store rebuilds on the same path by design (the
     * takedown binds to the doc id, not a table generation; clear the
     * sibling dir explicitly once the source corpus itself is
-    * cleansed). The bucketed CATALOG-TABLE store
-    * ([[readBandedIndexTable]]) is rebuilt wholesale on its own
-    * schedule and does not serve tombstones — route takedown-window
-    * reads through the parquet store or rebuild the table.
+    * cleansed). For the bucketed CATALOG-TABLE store use
+    * [[deleteDocsFromTable]], which resolves the table's storage
+    * location and tombstones beside it — [[readBandedIndexTable]]
+    * serves those tombstones like the parquet readers do.
     */
-  def deleteDocs(ids: DataFrame, path: String): Unit = {
-    val spark = ids.sparkSession
-    // Hadoop FileSystem listing (the Ivf.deleteFromIndex idiom), NOT
-    // java.io.File — on a remote store a local-File listing is always
-    // empty, so every delete batch would overwrite d0 and takedowns
-    // would silently destroy each other
-    val root = new org.apache.hadoop.fs.Path(tombstoneRoot(path))
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next =
-      if (!fs.exists(root)) 0L
-      else fs.listStatus(root).toSeq
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .collect { case n if n.startsWith("d") && n.drop(1).nonEmpty &&
-          n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
-        .maxOption.map(_ + 1L).getOrElse(0L)
-    ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
-      .write.mode("overwrite").parquet(s"${tombstoneRoot(path)}/d$next")
-  }
+  def deleteDocs(ids: DataFrame, path: String): Unit =
+    // stage-then-rename batch claim ([[graft.vector.Ivf.claimBatchDir]])
+    // — two concurrent takedown calls can never collide on one d<n> and
+    // silently destroy each other's batch (ADVICE r16)
+    graft.vector.Ivf.claimBatchDir(
+      ids.select(col("doc_id").cast("long").as("doc_id")).distinct(),
+      tombstoneRoot(path), "d")
+
+  /** The storage location backing a catalog table — the path the
+    * table-path takedown/serve pair keys its tombstone sibling on. One
+    * metadata lookup; fails loud on a non-existent table.
+    */
+  private def tableLocation(
+      spark: org.apache.spark.sql.SparkSession, tableName: String): String =
+    spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+      .location.toString
+
+  /** [[deleteDocs]] against a BUCKETED catalog-table store
+    * ([[writeBandedIndexTable]]): the tombstone batch lands beside the
+    * table's storage location, and [[readBandedIndexTable]] anti-joins
+    * it out at serve time — closing the takedown window the
+    * table path used to have between wholesale rebuilds (VERDICT r16).
+    * Same contracts as [[deleteDocs]]: ids append-only, deletes final,
+    * tombstones outlive `saveAsTable` rebuilds on the same name (the
+    * overwrite replaces the table dir, never its `.tombstones`
+    * sibling) until the source corpus itself is cleansed and the
+    * sibling dir cleared explicitly.
+    */
+  def deleteDocsFromTable(ids: DataFrame, tableName: String): Unit =
+    deleteDocs(ids, tableLocation(ids.sparkSession, tableName))
 
   /** `df` minus tombstoned doc ids of the store at `path` — applied by
     * every reader BEFORE any downstream banding/bucketing, so a
@@ -458,7 +479,13 @@ object MinHashDedup {
     require(Seq("sig_v", "cfg_bands", "cfg_rows").forall(df.columns.contains),
       s"banded index table $tableName has no version/config columns — written by an incompatible build")
     requireBandedConfig(df, cfg, s"banded index table $tableName")
-    df.select("id", "sigh", "band", "bucket")
+    // serve [[deleteDocsFromTable]] tombstones exactly like the parquet
+    // readers: free (one existence check) when none exist, and the
+    // anti-join's build side is tombstone-sized (broadcast) so the
+    // table's (band, bucket) clustering survives for the exchange-free
+    // downstream joins
+    withoutDeleted(spark, tableLocation(spark, tableName),
+      df.select("id", "sigh", "band", "bucket"), "id")
   }
 
   /** Candidate pairs off a BUCKETED banded-index table

@@ -376,7 +376,8 @@ object SubstringDedup {
     */
   private def runLevelStages(
       documents: DataFrame, minTokens: Int, hashKeys: Boolean,
-      materializeCharClean: Boolean)
+      materializeCharClean: Boolean,
+      materializeSpliced: Boolean = false)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val vdocs = charVirtualDocs(documents)
     val charSpans = duplicatedSpans(vdocs, minTokens, hashKeys, charTokens = true)
@@ -405,7 +406,7 @@ object SubstringDedup {
           array_sort(collect_list(struct(col("run_idx"), col("clean_text")))),
           s => s.getField("clean_text")).as("__runs_clean"),
         sum("dup_tokens").as("__run_dup"))
-    val spliced = hetero
+    val spliced0 = hetero
       .select(col("doc_id"),
         split(col("text"), TextAnalysis.RunPattern, -1).as("__stretch"))
       .join(perDoc, Seq("doc_id"), "left")
@@ -417,6 +418,12 @@ object SubstringDedup {
           concat(coalesce(col("__runs_clean"),
             array().cast("array<string>")), array(lit(""))),
           (st, rc) => concat(st, coalesce(rc, lit("")))), "").as("text"))
+    // materialized only when the caller RETURNS the spliced table
+    // (duplicatedSpansRunLevelWithSpliced) — its two consumers (the
+    // word stage here + the caller's read) would otherwise each re-run
+    // the splice chain over every mixed doc
+    val spliced =
+      if (materializeSpliced) spliced0.localCheckpoint(true) else spliced0
     val wordSpans = duplicatedSpans(
       spliced.select("doc_id", "text"), minTokens, hashKeys,
       charTokens = false).localCheckpoint(true)
@@ -441,6 +448,11 @@ object SubstringDedup {
       hashKeys: Boolean = false): DataFrame = {
     val (charSpans, _, wordSpans, _) =
       runLevelStages(documents, minTokens, hashKeys, materializeCharClean = false)
+    assembleRunLevelSpans(charSpans, wordSpans)
+  }
+
+  private def assembleRunLevelSpans(
+      charSpans: DataFrame, wordSpans: DataFrame): DataFrame =
     charSpans
       .select(unpackDocId(col("doc_id")).as("doc_id"), lit("char").as("tier"),
         unpackRunIdx(col("doc_id")).as("run_idx"),
@@ -448,6 +460,48 @@ object SubstringDedup {
       .unionByName(wordSpans
         .select(col("doc_id"), lit("word").as("tier"), lit(-1).as("run_idx"),
           col("span_start"), col("span_end"), col("span_tokens")))
+
+  /** [[duplicatedSpansRunLevel]] PLUS the spliced document table the
+    * word-tier spans index into — the companion a span consumer needs
+    * to read the duplicated text without re-deriving the char stage
+    * and splice themselves (ADVICE r16): word-tier offsets are token
+    * positions in the SPLICED text (the original with each cut char
+    * run removed and the surviving run chars left in place), which is
+    * computed internally and, without this method, never returned.
+    *
+    * Returns (spans, spliced): `spans` is exactly
+    * [[duplicatedSpansRunLevel]]'s table; `spliced` is (doc_id,
+    * spliced_text) for every mixed/pure-word doc (doc-level spaceless
+    * docs have no word tier — their char spans index their own text
+    * directly). Both sides come off one shared stage computation (the
+    * spliced table is materialized once), so reading both costs one
+    * run-level pass, not two.
+    *
+    * Worked example — mapping a word-tier span back to text:
+    * take doc text `"alpha beta <RUN1> gamma delta"` where `<RUN1>` is
+    * a 20-cp Thai run the char stage cut ENTIRELY (a non-canonical
+    * duplicate). The spliced text is `"alpha beta  gamma delta"` (the
+    * run's chars gone, its flanking spaces intact), whose tokens are
+    * `[alpha, beta, gamma, delta]`. A word-tier span (span_start = 3,
+    * span_end = 4) therefore names `"gamma delta"` — i.e.
+    * `slice(tokens(spliced_text), span_start, span_tokens)` — NOT
+    * tokens 3–4 of the original text (`<RUN1>`, `gamma`). To locate
+    * the span in ORIGINAL coordinates, find the span's token strings
+    * in the original text while skipping cut-run characters: every
+    * spliced token appears verbatim in the original (the splice only
+    * DELETES characters, never rewrites them), in order, so a single
+    * forward scan — or `position = instr(text, token)` per distinct
+    * token for one-off lookups — recovers original offsets.
+    * RunLevelSplicedSpec pins this example's arithmetic.
+    */
+  def duplicatedSpansRunLevelWithSpliced(
+      documents: DataFrame, minTokens: Int,
+      hashKeys: Boolean = false): (DataFrame, DataFrame) = {
+    val (charSpans, _, wordSpans, spliced) =
+      runLevelStages(documents, minTokens, hashKeys,
+        materializeCharClean = false, materializeSpliced = true)
+    (assembleRunLevelSpans(charSpans, wordSpans),
+      spliced.select(col("doc_id"), col("text").as("spliced_text")))
   }
 
   /** Run-level [[cleanCorpus]]: (doc_id, n_tokens, dup_tokens,

@@ -463,8 +463,52 @@ object Ivf {
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq
       .filter(s => s.isDirectory &&
+        // dot-dirs are in-flight stages ([[claimBatchDir]]) — invisible
+        // until their atomic rename publishes them (Hadoop's own
+        // hidden-file convention): reading one mid-rename would race,
+        // and a compaction manifest absorbing one would delete a batch
+        // that is about to be published
+        !s.getPath.getName.startsWith(".") &&
         fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.toString).sorted
+  }
+
+  /** Race-safe claim of the next sequential batch dir under `root0`:
+    * the rows are written to a hidden stage dir first (invisible to
+    * [[completedDirs]] consumers), then atomically RENAMED to
+    * `<prefix><n>` for the smallest free n — two concurrent writers
+    * can compute the same list-max+1 but only one rename wins a slot;
+    * the loser takes the next one. The bare max+1-then-overwrite idiom
+    * this replaces let the second writer silently destroy the first
+    * batch (ADVICE r16). The explicit exists() guard matters on
+    * local filesystems, where rename INTO an existing directory moves
+    * the source inside it instead of failing.
+    */
+  private[graft] def claimBatchDir(
+      df: org.apache.spark.sql.DataFrame,
+      root0: String,
+      prefix: String): String = {
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(root0)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(root,
+      s".stage-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(stage.toString)
+    var n =
+      if (!fs.exists(root)) 0L
+      else fs.listStatus(root).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .collect { case nm if nm.startsWith(prefix) &&
+          nm.drop(prefix.length).nonEmpty &&
+          nm.drop(prefix.length).forall(_.isDigit) =>
+          nm.drop(prefix.length).toLong }
+        .maxOption.map(_ + 1L).getOrElse(0L)
+    var dst = new org.apache.hadoop.fs.Path(root, s"$prefix$n")
+    while (fs.exists(dst) || !fs.rename(stage, dst)) {
+      n += 1L
+      dst = new org.apache.hadoop.fs.Path(root, s"$prefix$n")
+    }
+    dst.toString
   }
 
   /** Mark vectors DELETED — the takedown/opt-out path a real pipeline
@@ -489,20 +533,10 @@ object Ivf {
     * follows the rebuild/re-encode schedule, so route takedown-window
     * ADC serves through a rerank against this index or compact first.
     */
-  def deleteFromIndex(ids: DataFrame, path: String): Unit = {
-    val spark = ids.sparkSession
-    val root = new org.apache.hadoop.fs.Path(s"$path/tombstone")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next =
-      if (!fs.exists(root)) 0L
-      else fs.listStatus(root).toSeq
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .collect { case n if n.startsWith("d") && n.drop(1).forall(_.isDigit) =>
-          n.drop(1).toLong }
-        .maxOption.map(_ + 1L).getOrElse(0L)
-    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
-      .write.mode("overwrite").parquet(s"$path/tombstone/d$next")
-  }
+  def deleteFromIndex(ids: DataFrame, path: String): Unit =
+    claimBatchDir(
+      ids.select(col("vec_id").cast("long").as("vec_id")).distinct(),
+      s"$path/tombstone", "d")
 
   /** Union of the completed tombstone batches, or None when there are
     * none — so serve paths skip the anti-join entirely in the common

@@ -226,4 +226,94 @@ class TextStoreMaintenanceSpec extends SparkSpec {
     MinHashDedup.writeSignatures(docs, clean, cfg)
     assert(MinHashDedup.readSignatures(spark, clean, cfg).count() == total)
   }
+
+  test("deleteDocsFromTable: bucketed table path serves tombstones — query-after-delete equals rebuild-without-deleted") {
+    import spark.implicits._
+    val cfg = MinHashConfig()
+    val tbl = "graft_takedown_tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      MinHashDedup.writeBandedIndexTable(
+        MinHashDedup.signatures(docs, cfg), tbl, numBuckets = 4, cfg = cfg)
+      val somePair = MinHashDedup.verifiedPairs(docs, cfg).limit(1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).head
+      val gone = somePair._2
+      MinHashDedup.deleteDocsFromTable(Seq(gone).toDF("doc_id"), tbl)
+      val served = MinHashDedup.readBandedIndexTable(spark, tbl, cfg)
+      assert(served.filter(col("id") === gone).count() == 0,
+        "table reads must drop the doc immediately")
+      val afterDelete = MinHashDedup
+        .candidatePairsFromBucketed(served, cfg)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rebuilt = tmp("graft_takedown_rebuilt")
+      MinHashDedup.writeBandedIndex(
+        MinHashDedup.signatures(docs.filter(col("doc_id") =!= gone), cfg),
+        rebuilt, cfg)
+      val viaRebuild = MinHashDedup
+        .candidatePairsFromBanded(MinHashDedup.readBandedIndex(spark, rebuilt, cfg), cfg)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterDelete === viaRebuild,
+        "table-path query-after-delete must equal rebuild-without-deleted")
+      assert(!afterDelete.exists(p => p._1 == gone || p._2 == gone))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("claimBatchDir: sequential naming survives pre-claimed slots; no stage dirs leak; dot-dirs invisible to discovery") {
+    import spark.implicits._
+    val root = tmp("graft_claim") + "/t"
+    val d0 = graft.vector.Ivf.claimBatchDir(Seq(1L).toDF("doc_id"), root, "d")
+    assert(d0.endsWith("/d0"), d0)
+    // a slot claimed out-of-band (the concurrent-writer shape: d1
+    // already exists when this writer computes its max+1) is never
+    // overwritten — the claim slides to the next free index
+    spark.createDataFrame(Seq(Tuple1(99L))).toDF("doc_id")
+      .write.parquet(s"$root/d1")
+    val d2 = graft.vector.Ivf.claimBatchDir(Seq(2L).toDF("doc_id"), root, "d")
+    assert(d2.endsWith("/d2"), d2)
+    assert(spark.read.parquet(s"$root/d1").first().getLong(0) == 99L,
+      "the pre-claimed batch must be intact")
+    // no hidden stage dirs linger, and discovery never lists dot-dirs
+    val names = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(names === Set("d0", "d1", "d2"), s"leftover entries: $names")
+    val probe = new java.io.File(s"$root/.stage-probe")
+    probe.mkdirs()
+    java.nio.file.Files.createFile(probe.toPath.resolve("_SUCCESS"))
+    val seen = graft.vector.Ivf.completedDirs(spark, root)
+      .map(p => new java.io.File(p).getName)
+    assert(!seen.exists(_.startsWith(".")),
+      s"completedDirs must skip in-flight stage dirs: $seen")
+  }
+
+  test("v2 grandfathering: a charK=0 v2 store still reads; charK>0 v2 stores are refused") {
+    val cfg = MinHashConfig() // charK = 0
+    val sigDir = tmp("graft_v2_sigs")
+    MinHashDedup.writeSignatures(docs, sigDir, cfg)
+    val asV2 = tmp("graft_v2_sigs_old")
+    spark.read.parquet(sigDir).withColumn("sig_v", lit(2))
+      .write.mode("overwrite").parquet(asV2)
+    // the v2→v3 dispatch change never touched charK=0 shingles — the
+    // store's universe is identical, so it must keep serving
+    assert(MinHashDedup.readSignatures(spark, asV2, cfg).count() ==
+      MinHashDedup.readSignatures(spark, sigDir, cfg).count())
+    val bandDir = tmp("graft_v2_band")
+    MinHashDedup.writeBandedIndex(MinHashDedup.signatures(docs, cfg), bandDir, cfg)
+    val bandV2 = tmp("graft_v2_band_old")
+    spark.read.parquet(bandDir).withColumn("sig_v", lit(2))
+      .write.mode("overwrite").parquet(bandV2)
+    assert(MinHashDedup.readBandedIndex(spark, bandV2, cfg).count() ==
+      MinHashDedup.readBandedIndex(spark, bandDir, cfg).count())
+    // a charK>0 v2 store signed short pure-ASCII docs at char
+    // granularity — mixing it with v3 word shingles silently admits
+    // duplicates, so the refusal stands
+    val ckCfg = MinHashConfig(charK = 5)
+    val ckDir = tmp("graft_v2_ck")
+    MinHashDedup.writeSignatures(docs, ckDir, ckCfg)
+    val ckV2 = tmp("graft_v2_ck_old")
+    spark.read.parquet(ckDir).withColumn("sig_v", lit(2))
+      .write.mode("overwrite").parquet(ckV2)
+    val e = intercept[IllegalArgumentException] {
+      MinHashDedup.readSignatures(spark, ckV2, ckCfg)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
 }
