@@ -308,7 +308,8 @@ object Extras {
     def cfg(c: graft.text.MinHashConfig): String =
       s"t${c.threshold}s${c.shingleSize}b${c.bands}h${c.numHashes}c${c.maxBucket}" +
         // rendered only when ON so pre-existing stores keep their keys
-        (if (c.charK > 0) s"k${c.charK}" else "")
+        (if (c.charK > 0) s"k${c.charK}" else "") +
+        (if (c.runLevel) "r1" else "")
     val D = graft.pipeline.TrainingSet.CurationDefaults
     def bit(b: Boolean): String = if (b) "1" else "0"
     s"mv1:n${D.N}:ng${D.NgramThreshold}:cos${D.CosThreshold}" +
@@ -320,7 +321,8 @@ object Extras {
       s":qm${if (D.QualityModel.isEmpty) "-" else "set"}" +
       s":norm${bit(D.NormalizeFirst)}" +
       // rendered only when ON so pre-existing stores keep their keys
-      (if (D.CharTokens) ":sct1" else "")
+      (if (D.CharTokens) ":sct1" else "") +
+      (if (D.RunLevel) ":srl1" else "")
   }
 
   /** [[x93Manifest]] from the write-once stamped store — the persisted
@@ -346,6 +348,117 @@ object Extras {
         s":w${graft.pipeline.TrainingSet.CurationDefaults.WindowTokens}" +
         s":$manifestParamsKey")(
       x121Manifest(c))
+
+  // ---- run-level curation fixture (X128): the X127 4-class corpus +
+  // lang strata + a quote-embedding benchmark, the artifacts the
+  // composed run-level release reads ----
+
+  /** MinHash configs of the run-level release: embedded runs sign as
+    * char 5-grams alongside the word remainder (X126's mechanism) in
+    * BOTH the corpus near-dup stage and the decon channel.
+    */
+  private[graft] val RlCorpusCfg =
+    graft.text.MinHashConfig(charK = 5, runLevel = true)
+  private[graft] val RlDeconCfg =
+    graft.text.MinHashConfig(threshold = 0.5, charK = 5, runLevel = true)
+
+  /** The X127 fixture corpus with the mixture strata riding along:
+    * originals (wordy), variants A/B embedding the same 95-cp Thai
+    * quote between stretches of the original's words, and the
+    * homogeneous Thai doc — each class keeping its source doc's lang.
+    * Built via the typedLit block-string transliteration (Spark `chr`
+    * wraps mod 256, so chr arithmetic can never build the fixture).
+    */
+  private def rlWithThai(c: Catalog): DataFrame = {
+    val thaiAlpha = (0 until 26)
+      .map(i => new String(Character.toChars(0x0e01 + i)))
+    c.documents.filter(col("doc_id") < 120)
+      .select(col("doc_id"), col("lang"), col("text"),
+        regexp_replace(col("text"), " ", "").as("s0"))
+      .filter(col("s0").rlike("^[a-z]+$") && length(col("s0")) >= 100)
+      .select(col("doc_id"), col("lang"), col("text"),
+        array_join(transform(
+          graft.text.TextAnalysis.charUnits(substring(col("s0"), 1, 100)),
+          ch => element_at(typedLit(thaiAlpha), ascii(ch) - 96)), "").as("th"))
+  }
+
+  private def rlFixture(c: Catalog): DataFrame = {
+    val withThai = rlWithThai(c)
+    val quote = substring(col("th"), 1, 95)
+    withThai.select(col("doc_id"), col("lang"), col("text"))
+      .unionByName(withThai.select((col("doc_id") + 100000L).as("doc_id"),
+        col("lang"),
+        concat(substring(col("text"), 1, 100), lit(" "), quote, lit(" "),
+          substring(col("text"), 101, 60)).as("text")))
+      .unionByName(withThai.select((col("doc_id") + 200000L).as("doc_id"),
+        col("lang"),
+        concat(substring(col("text"), 1, 100), lit(" "), quote, lit(" "),
+          substring(col("text"), 161, 60)).as("text")))
+      .unionByName(withThai.select((col("doc_id") + 300000L).as("doc_id"),
+        col("lang"), col("th").as("text")))
+  }
+
+  /** The benchmark the run-level release decontaminates against: an
+    * ASCII prefix of each original plus a 60-cp prefix of its Thai
+    * quote — the quote-embedding contamination class that doc-level
+    * shingling cannot see (the quote is ONE opaque token on the word
+    * side) and run-level char grams catch.
+    */
+  private def rlBench(c: Catalog): DataFrame =
+    rlWithThai(c).select((col("doc_id") + 400000L).as("doc_id"),
+      concat(substring(col("text"), 1, 80), lit(" "),
+        substring(col("th"), 1, 60)).as("text"))
+
+  /** Persisted stage-0 run-level clean table of the fixture — the text
+    * the run-level banded index must be built over (the v2 contract:
+    * one text pipeline end to end).
+    */
+  private def rlCleanTable(c: Catalog): DataFrame =
+    stampedArtifact(c, "rlclean",
+      s"rlclean:v${graft.text.SubstringDedup.AlgorithmVersion}:w10") {
+      graft.text.SubstringDedup.cleanCorpusRunLevel(rlFixture(c), 10)
+    }
+
+  /** Per-corpus persisted banded member table over the run-level
+    * documents (cleaned fixture ∪ benchmark) under [[RlCorpusCfg]],
+    * mirrored as `minhash_banded_rl` for the X128 oracle with the
+    * uncapped-bucket precondition (its static SQL enumerates buckets
+    * uncapped).
+    */
+  private def bandedRlTable(c: Catalog): DataFrame = {
+    val cfg = RlCorpusCfg
+    def rlDocs = graft.text.SubstringDedup
+      .withCleanText(rlFixture(c), rlCleanTable(c))
+      .select("doc_id", "text")
+      .unionByName(rlBench(c).select("doc_id", "text"))
+    val st = stamp(c.dir, "documents",
+      s"mhbrl:v${MinHashDedup.SignatureVersion}:" +
+        s"sc${graft.text.SubstringDedup.AlgorithmVersion}w10:" +
+        s"${cfg.shingleSize}:${cfg.numHashes}:${cfg.bands}:k${cfg.charK}r1")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_minhash_banded_rl_" + st).toString
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      MinHashDedup.writeBandedIndex(
+        MinHashDedup.signatures(rlDocs, cfg), dir, cfg)
+    val banded =
+      try MinHashDedup.readBandedIndex(c.spark, dir, cfg)
+      catch {
+        case _: IllegalArgumentException =>
+          MinHashDedup.writeBandedIndex(
+            MinHashDedup.signatures(rlDocs, cfg), dir, cfg)
+          MinHashDedup.readBandedIndex(c.spark, dir, cfg)
+      }
+    mirrorStable(dir, "minhash_banded_rl", s"$st:cap${cfg.maxBucket}:guard1",
+      precondition = () => {
+        val over = banded.groupBy("band", "bucket").count()
+          .filter(col("count") > cfg.maxBucket).count()
+        require(over == 0,
+          s"index-backed oracle precondition violated: $over run-level banded " +
+            s"buckets exceed maxBucket=${cfg.maxBucket}; the capped Spark dedup " +
+            "and the uncapped X128 SQL oracle would diverge on this corpus")
+      })
+    banded
+  }
 
   /** Shared write-once/read-forever scheme for derived-report
     * artifacts (the production shape: a heavy report is computed once
@@ -2092,6 +2205,22 @@ object Extras {
       graft.text.SubstringDedup.duplicatedSpansRunLevel(u, 10, hashKeys = false)
         .orderBy("doc_id", "tier", "run_idx", "span_start")
     }),
+    // X128: the COMPOSED run-level release (VERDICT r16 item 1) — the
+    // X121 v2 curation pipeline with runLevel end to end: stage 0 =
+    // cleanCorpusRunLevel (X127's two-stage span cut), near-dup stage
+    // AND decon channel under MinHashConfig.runLevel (X126's one-pass
+    // word∪run signing) off the run-level banded artifact, over the
+    // X127 4-class corpus against a quote-embedding benchmark. The
+    // manifest carries the stage-0 token accounting incl. the new
+    // run_dup_chars column. Oracle: the X127 stage-0 SQL feeding the
+    // X121 stage-chain SQL with run-level shingle sets (X126's
+    // regexp run splitting) in both verify tiers — the full DuckDB
+    // restatement of the composed release.
+    "X128_runlevel_curation" -> q(c =>
+      graft.pipeline.TrainingSet.curationManifestV2(
+        rlFixture(c), rlBench(c), bandedRlTable(c), c.embeddings,
+        deconDedup = RlDeconCfg, corpusDedup = RlCorpusCfg,
+        runLevel = true)),
     // OPQ vs plain PQ at EQUAL m·ks budget (Ge et al. 2013 — a learned
     // orthogonal rotation before the subspace split; graft.vector.Opq):
     // recall@5 per (variant, query) over 25 queries against the
@@ -2677,6 +2806,316 @@ mix AS (SELECT d.doc_id FROM documents d
 mixv AS MATERIALIZED (SELECT s4ids.doc_id, (mix.doc_id IS NOT NULL) AS mixture_keep
          FROM s4ids LEFT JOIN mix ON s4ids.doc_id = mix.doc_id)
 SELECT m0.doc_id, s0.n_tokens, s0.sub_dup_tokens,
+  m0.ngram_frac, m0.near_dup, m0.semantic_cos, m0.decon_verdict,
+  CASE WHEN ded.dedup_keep THEN 'keep' WHEN NOT ded.dedup_keep THEN 'drop' END AS dedup_verdict,
+  pplv.ppl_bucket,
+  CASE WHEN pplv.ppl_keep THEN 'keep' WHEN NOT pplv.ppl_keep THEN 'drop' END AS ppl_verdict,
+  CASE WHEN mixv.mixture_keep THEN 'keep' WHEN NOT mixv.mixture_keep THEN 'drop' END AS mixture_verdict,
+  COALESCE(mixv.mixture_keep, FALSE) AS keep
+FROM m0
+JOIN stage0 s0 ON m0.doc_id = s0.doc_id
+LEFT JOIN ded ON m0.doc_id = ded.doc_id
+LEFT JOIN pplv ON m0.doc_id = pplv.doc_id
+LEFT JOIN mixv ON m0.doc_id = mixv.doc_id
+ORDER BY m0.doc_id
+""".trim
+  }
+
+  /** The X128 manifest oracle (run-level release order): the X127
+    * two-stage substring SQL becomes stage 0 (char windows over the
+    * virtual run corpus, splice, word windows over the spliced text,
+    * plus the clean-text rebuild and per-doc token accounting), and
+    * the X121 stage chain runs over that cleaned corpus with RUN-LEVEL
+    * shingle sets (the X126 regexp run-splitting SQL) in BOTH verify
+    * tiers — near-dup decon at 0.5 and the corpus dedup stage at 0.8 —
+    * candidates off the `minhash_banded_rl` mirror. Strata for the
+    * mixture stage come from the fixture's lang column.
+    */
+  private def x128OracleSql: String = {
+    val brl = s"$oracleIdxRoot/minhash_banded_rl/*.parquet"
+    s"""
+WITH RECURSIVE p0 AS (
+  SELECT doc_id, lang, text, replace(text, ' ', '') AS s0
+  FROM documents WHERE doc_id < 120),
+f0 AS (
+  SELECT doc_id, lang, text, substring(s0, 1, 100) AS s1
+  FROM p0 WHERE regexp_matches(s0, '^[a-z]+$$') AND length(s0) >= 100),
+th AS (
+  SELECT doc_id, lang, text, array_to_string(list_transform(
+    generate_series(1, length(s1)), i -> chr(unicode(s1[i:i]) + 3488)), '') AS t
+  FROM f0),
+u AS (
+  SELECT doc_id, lang, text FROM th
+  UNION ALL
+  SELECT doc_id + 100000, lang, substring(text, 1, 100) || ' ' ||
+    substring(t, 1, 95) || ' ' || substring(text, 101, 60) FROM th
+  UNION ALL
+  SELECT doc_id + 200000, lang, substring(text, 1, 100) || ' ' ||
+    substring(t, 1, 95) || ' ' || substring(text, 161, 60) FROM th
+  UNION ALL
+  SELECT doc_id + 300000, lang, t FROM th),
+bench AS (
+  SELECT doc_id + 400000 AS doc_id,
+    substring(text, 1, 80) || ' ' || substring(t, 1, 60) AS text
+  FROM th),
+cls AS (
+  SELECT doc_id, text,
+    (length(text) >= 16 * len(list_filter(str_split(text, ' '), x -> x <> ''))
+      AND 2 * length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g'))
+        >= length(text)) AS sp
+  FROM u),
+vruns AS (
+  SELECT doc_id, list_zip(regexp_extract_all(text, '[^\\x00-\\x7F]{16,}'),
+    generate_series(1, len(regexp_extract_all(text, '[^\\x00-\\x7F]{16,}')))) AS zz
+  FROM cls WHERE NOT sp),
+vhet AS (
+  SELECT doc_id, z[1] AS t, CAST(z[2] AS INT) - 1 AS run_idx
+  FROM (SELECT doc_id, unnest(zz) AS z FROM vruns)),
+vd AS (
+  SELECT doc_id, 0 AS run_idx, text AS t FROM cls WHERE sp
+  UNION ALL
+  SELECT doc_id, run_idx, t FROM vhet),
+cw AS (
+  SELECT doc_id, run_idx, unnest(generate_series(1, length(t) - 9)) AS p, t
+  FROM vd WHERE length(t) >= 10),
+ck AS (SELECT doc_id, run_idx, p, substring(t, p, 10) AS win FROM cw),
+cr AS (SELECT doc_id, run_idx, p,
+         COUNT(*) OVER (PARTITION BY win) AS occ,
+         ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, run_idx, p) AS rk
+       FROM ck),
+chh AS (SELECT doc_id, run_idx, p, p + 9 AS e FROM cr WHERE occ > 1 AND rk > 1),
+cg AS (SELECT doc_id, run_idx, p, e,
+         CASE WHEN p > COALESCE(MAX(e) OVER (PARTITION BY doc_id, run_idx ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+           THEN 1 ELSE 0 END AS ng
+       FROM chh),
+cgg AS (SELECT *, SUM(ng) OVER (PARTITION BY doc_id, run_idx ORDER BY p
+          ROWS UNBOUNDED PRECEDING) AS grp FROM cg),
+cspans AS (
+  SELECT doc_id, run_idx, MIN(p) AS span_start, MAX(e) AS span_end,
+         MAX(e) - MIN(p) + 1 AS span_tokens
+  FROM cgg GROUP BY doc_id, run_idx, grp),
+rdup AS (SELECT doc_id, SUM(span_tokens) AS run_cut FROM cspans GROUP BY doc_id),
+cov AS (
+  SELECT doc_id, run_idx, unnest(generate_series(span_start, span_end)) AS q
+  FROM cspans),
+allpos AS (
+  SELECT doc_id, run_idx, unnest(generate_series(1, length(t))) AS q, t FROM vd),
+kept AS (
+  SELECT ap.doc_id, ap.run_idx, ap.q, substring(ap.t, ap.q, 1) AS uu
+  FROM allpos ap LEFT JOIN cov c
+    ON ap.doc_id = c.doc_id AND ap.run_idx = c.run_idx AND ap.q = c.q
+  WHERE c.q IS NULL),
+ckagg AS (
+  SELECT doc_id, run_idx, string_agg(uu, '' ORDER BY q) AS clean
+  FROM kept GROUP BY doc_id, run_idx),
+cclean AS (
+  SELECT vd.doc_id, vd.run_idx, COALESCE(k.clean, '') AS clean
+  FROM vd LEFT JOIN ckagg k
+    ON vd.doc_id = k.doc_id AND vd.run_idx = k.run_idx),
+runsclean AS (
+  SELECT c0.doc_id, list(c0.clean ORDER BY c0.run_idx) AS cr2
+  FROM cclean c0 JOIN cls ON c0.doc_id = cls.doc_id
+  WHERE NOT cls.sp GROUP BY c0.doc_id),
+spl0 AS (
+  SELECT c.doc_id, string_split_regex(c.text, '[^\\x00-\\x7F]{16,}') AS st,
+    COALESCE(r.cr2, CAST([] AS VARCHAR[])) AS cr2
+  FROM (SELECT doc_id, text FROM cls WHERE NOT sp) c
+  LEFT JOIN runsclean r ON c.doc_id = r.doc_id),
+spliced AS (
+  SELECT doc_id, array_to_string(list_transform(
+    generate_series(1, len(st)), i -> st[i] || COALESCE(cr2[i], '')), '') AS text
+  FROM spl0),
+wt AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+       FROM spliced),
+ww AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 9)) AS p, toks
+       FROM wt WHERE len(toks) >= 10),
+wk AS (SELECT doc_id, p, array_to_string(toks[p : p + 9], ' ') AS win FROM ww),
+wr AS (SELECT doc_id, p, COUNT(*) OVER (PARTITION BY win) AS occ,
+         ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, p) AS rk FROM wk),
+wh AS (SELECT doc_id, p, p + 9 AS e FROM wr WHERE occ > 1 AND rk > 1),
+wg AS (SELECT doc_id, p, e,
+         CASE WHEN p > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+           THEN 1 ELSE 0 END AS ng
+       FROM wh),
+wgg AS (SELECT *, SUM(ng) OVER (PARTITION BY doc_id ORDER BY p
+          ROWS UNBOUNDED PRECEDING) AS grp FROM wg),
+wspans AS (SELECT doc_id, MIN(p) AS span_start, MAX(e) AS span_end,
+             MAX(e) - MIN(p) + 1 AS span_tokens FROM wgg GROUP BY doc_id, grp),
+wpos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+         FROM wt WHERE len(toks) >= 1),
+wkept AS (SELECT wpos.doc_id, wpos.i, wpos.toks[wpos.i] AS tok
+          FROM wpos LEFT JOIN wspans ON wpos.doc_id = wspans.doc_id
+            AND wpos.i BETWEEN wspans.span_start AND wspans.span_end
+          WHERE wspans.doc_id IS NULL),
+wagg AS (SELECT doc_id, COALESCE(string_agg(tok, ' ' ORDER BY i), '') AS clean
+         FROM wkept GROUP BY doc_id),
+wdup AS (SELECT doc_id, SUM(span_tokens) AS dup FROM wspans GROUP BY doc_id),
+stage0 AS MATERIALIZED (
+  SELECT cls.doc_id,
+    CAST(length(cls.text) AS BIGINT) AS n_tokens,
+    CAST(COALESCE(rd.run_cut, 0) AS BIGINT) AS sub_dup_tokens,
+    CAST(COALESCE(rd.run_cut, 0) AS BIGINT) AS run_dup_chars,
+    cc.clean AS clean_text
+  FROM cls
+  JOIN cclean cc ON cls.doc_id = cc.doc_id AND cc.run_idx = 0
+  LEFT JOIN rdup rd ON cls.doc_id = rd.doc_id
+  WHERE cls.sp
+  UNION ALL
+  SELECT s.doc_id,
+    CAST(len(wt.toks) AS BIGINT) AS n_tokens,
+    CAST(COALESCE(wd.dup, 0) AS BIGINT) AS sub_dup_tokens,
+    CAST(COALESCE(rd.run_cut, 0) AS BIGINT) AS run_dup_chars,
+    COALESCE(wa.clean, '') AS clean_text
+  FROM spliced s
+  JOIN wt ON s.doc_id = wt.doc_id
+  LEFT JOIN wdup wd ON s.doc_id = wd.doc_id
+  LEFT JOIN wagg wa ON s.doc_id = wa.doc_id
+  LEFT JOIN rdup rd ON s.doc_id = rd.doc_id),
+corpus AS (SELECT doc_id, clean_text AS text FROM stage0),
+alltext AS (SELECT doc_id, text FROM corpus UNION ALL SELECT doc_id, text FROM bench),
+rl0 AS (
+  SELECT doc_id, text AS x,
+    list_filter(str_split(text, ' '), w -> w <> '') AS toks,
+    length(text) AS ls,
+    length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) AS nasc,
+    regexp_replace(text, '[^\\x00-\\x7F]{16,}', ' ', 'g') AS rem,
+    regexp_extract_all(text, '[^\\x00-\\x7F]{16,}') AS runs
+  FROM alltext),
+rl1 AS (
+  SELECT doc_id, x, toks, ls, runs,
+    (2 * nasc >= ls AND (len(toks) < 3 OR ls >= 16 * len(toks))) AS sp,
+    list_filter(str_split(rem, ' '), w -> w <> '') AS rtoks
+  FROM rl0),
+rlsets AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN sp THEN
+      list_distinct(list_transform(range(1, ls - 3), i -> substring(x, i, 5)))
+    ELSE
+      list_distinct(list_concat(
+        list_transform(range(1, len(rtoks) - 1),
+          i -> array_to_string(rtoks[i:i+2], ' ')),
+        flatten(list_transform(runs,
+          r -> list_transform(range(1, length(r) - 3),
+            i -> substring(r, i, 5))))))
+    END AS ss
+  FROM rl1),
+shr AS (SELECT doc_id, unnest(ss) AS s FROM rlsets),
+szall AS (SELECT doc_id, len(ss) AS sz FROM rlsets),
+ct AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM corpus),
+csh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+  FROM ct WHERE len(toks) >= 5) q1),
+bt AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS toks FROM bench),
+bsh AS MATERIALIZED (SELECT DISTINCT s FROM (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 4),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+  FROM bt WHERE len(toks) >= 5) q2),
+ng AS MATERIALIZED (SELECT csh.doc_id,
+         ROUND(CAST(COUNT(bsh.s) AS DOUBLE) / COUNT(*), 6) AS ngram_frac
+       FROM csh LEFT JOIN bsh ON csh.s = bsh.s GROUP BY csh.doc_id),
+cand AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM read_parquet('$brl') a
+  JOIN read_parquet('$brl') b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.id IN (SELECT doc_id FROM corpus)
+    AND b.id IN (SELECT doc_id FROM bench)),
+inter AS (SELECT cand.i, cand.j, COUNT(*) AS c
+          FROM cand JOIN shr a ON cand.i = a.doc_id
+                    JOIN shr b ON cand.j = b.doc_id AND a.s = b.s
+          GROUP BY 1, 2),
+nd AS (SELECT DISTINCT inter.i AS doc_id
+       FROM inter JOIN szall sa ON inter.i = sa.doc_id
+                  JOIN szall sb ON inter.j = sb.doc_id
+       WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
+cemb AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id IN (SELECT doc_id FROM corpus)),
+bemb AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id IN (SELECT doc_id FROM bench)),
+sem AS (SELECT c.vec_id AS doc_id,
+          ROUND(MAX(list_inner_product(c.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS semantic_cos
+        FROM cemb c CROSS JOIN bemb b GROUP BY c.vec_id),
+m0 AS MATERIALIZED (SELECT c.doc_id,
+  COALESCE(ng.ngram_frac, CAST(0 AS DOUBLE)) AS ngram_frac,
+  (nd.doc_id IS NOT NULL) AS near_dup,
+  sem.semantic_cos,
+  CASE WHEN COALESCE(ng.ngram_frac, CAST(0 AS DOUBLE)) >= 0.2
+         OR nd.doc_id IS NOT NULL
+         OR sem.semantic_cos >= 0.35 THEN 'drop' ELSE 'keep' END AS decon_verdict
+  FROM corpus c
+  LEFT JOIN ng ON c.doc_id = ng.doc_id
+  LEFT JOIN nd ON c.doc_id = nd.doc_id
+  LEFT JOIN sem ON c.doc_id = sem.doc_id),
+s1 AS MATERIALIZED (SELECT doc_id FROM m0 WHERE decon_verdict = 'keep'),
+cand8 AS (
+  SELECT DISTINCT a.id AS i, b.id AS j
+  FROM read_parquet('$brl') a
+  JOIN read_parquet('$brl') b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+  WHERE a.id IN (SELECT doc_id FROM s1) AND b.id IN (SELECT doc_id FROM s1)),
+ix8 AS (SELECT cand8.i, cand8.j, COUNT(*) AS c
+         FROM cand8 JOIN shr a ON cand8.i = a.doc_id
+                    JOIN shr b ON cand8.j = b.doc_id AND a.s = b.s
+         GROUP BY 1, 2),
+ver8 AS (SELECT ix8.i, ix8.j FROM ix8
+  JOIN szall sa ON ix8.i = sa.doc_id JOIN szall sb ON ix8.j = sb.doc_id
+  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8),
+edges AS (SELECT i AS a, j AS b FROM ver8 UNION SELECT j, i FROM ver8),
+reach AS (
+  SELECT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, re.r AS r FROM edges e JOIN reach re ON e.b = re.node),
+clus AS MATERIALIZED (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+qual AS (SELECT doc_id,
+  CAST(len(list_distinct(list_filter(str_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_uniq
+  FROM corpus WHERE doc_id IN (SELECT doc_id FROM s1)),
+mm AS (SELECT clus.cluster_id, clus.doc_id, qual.n_uniq FROM clus JOIN qual USING (doc_id)),
+rw AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_uniq DESC, doc_id) AS rk FROM mm),
+win AS (SELECT doc_id FROM rw WHERE rk = 1),
+ded AS MATERIALIZED (SELECT s1.doc_id,
+  (cl.doc_id IS NULL OR w.doc_id IS NOT NULL) AS dedup_keep
+  FROM s1 LEFT JOIN (SELECT DISTINCT doc_id FROM clus) cl ON s1.doc_id = cl.doc_id
+          LEFT JOIN win w ON s1.doc_id = w.doc_id),
+s3ids AS MATERIALIZED (SELECT doc_id FROM ded WHERE dedup_keep),
+tp AS (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS toks
+       FROM corpus WHERE doc_id IN (SELECT doc_id FROM s3ids)),
+bgp AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM tp WHERE len(toks) >= 2) q3),
+mp AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgp GROUP BY w1, w2),
+cxp AS (SELECT w1, SUM(c12) AS c1 FROM mp GROUP BY w1),
+vp AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM tp) z),
+sp AS MATERIALIZED (SELECT bgp.doc_id,
+         ROUND(AVG(log10(CAST(mp.c12 + 1 AS DOUBLE) / CAST(cxp.c1 + vp.v AS DOUBLE))), 6) AS mean_logp
+       FROM bgp JOIN mp USING (w1, w2) JOIN cxp USING (w1) CROSS JOIN vp
+       GROUP BY bgp.doc_id),
+rp AS (SELECT doc_id, mean_logp,
+         ROW_NUMBER() OVER (ORDER BY mean_logp DESC, doc_id) AS rank FROM sp),
+np AS (SELECT COUNT(*) AS n FROM sp),
+ppl AS (SELECT rp.doc_id,
+          CAST(FLOOR(CAST((rp.rank - 1) * 3 AS DOUBLE) / np.n) AS BIGINT) AS ppl_bucket
+        FROM rp, np),
+pplv AS MATERIALIZED (SELECT s3ids.doc_id, ppl.ppl_bucket,
+           COALESCE(ppl.ppl_bucket < 2, FALSE) AS ppl_keep
+         FROM s3ids LEFT JOIN ppl ON s3ids.doc_id = ppl.doc_id),
+s4ids AS MATERIALIZED (SELECT doc_id FROM pplv WHERE ppl_keep),
+cnt4 AS (SELECT u.lang, COUNT(*) AS n
+         FROM u JOIN s4ids ON u.doc_id = s4ids.doc_id GROUP BY u.lang),
+j4 AS (SELECT lang, n, pow(n, 0.5) AS t FROM cnt4),
+tm4 AS (SELECT MIN(n / t) AS tmax FROM j4),
+fr4 AS (SELECT lang, CASE WHEN n / t = tmax THEN 'g'
+          WHEN tmax * t / n >= 1.0 THEN 'g'
+          ELSE printf('%08x', CAST(least(floor(tmax * t / n * 4294967296), 4294967295) AS BIGINT)) END AS cut
+        FROM j4 CROSS JOIN tm4),
+mix AS (SELECT uu.doc_id FROM u uu
+        JOIN s4ids ON uu.doc_id = s4ids.doc_id
+        JOIN fr4 ON uu.lang = fr4.lang
+        WHERE substring(md5(CAST(uu.doc_id AS VARCHAR) || ':' || '42'), 1, 8) < fr4.cut),
+mixv AS MATERIALIZED (SELECT s4ids.doc_id, (mix.doc_id IS NOT NULL) AS mixture_keep
+         FROM s4ids LEFT JOIN mix ON s4ids.doc_id = mix.doc_id)
+SELECT m0.doc_id, s0.n_tokens, s0.sub_dup_tokens, s0.run_dup_chars,
   m0.ngram_frac, m0.near_dup, m0.semantic_cos, m0.decon_verdict,
   CASE WHEN ded.dedup_keep THEN 'keep' WHEN NOT ded.dedup_keep THEN 'drop' END AS dedup_verdict,
   pplv.ppl_bucket,
@@ -3966,6 +4405,7 @@ ORDER BY c.doc_id
     // stage-3 survivors (alpha 0.5, lang strata, seed-42 coin)
     "X93_curation_manifest" -> x93OracleSql,
     "X121_curation_manifest_v2" -> x121OracleSql,
+    "X128_runlevel_curation" -> x128OracleSql,
     // X122: both release orders summarized per pipeline — the two
     // manifest statements nested verbatim as derived tables, then one
     // conditional-count aggregate each (v1 cuts nothing by definition)

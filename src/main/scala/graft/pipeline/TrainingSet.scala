@@ -75,6 +75,7 @@ object TrainingSet {
     val NormalizeFirst: Boolean = false
     val WindowTokens: Int = 10
     val CharTokens: Boolean = false
+    val RunLevel: Boolean = false
   }
 
   /** Run stages 1–6 (plus the opt-in 1b/2b/5b below); `audit` holds
@@ -1180,6 +1181,21 @@ object TrainingSet {
     * `charK`-enabled deconDedup/corpusDedup so the MinHash tiers see
     * the same scripts — and note stage-0 accounting counts each doc's
     * OWN units (chars for spaceless docs).
+    *
+    * `runLevel` SUBSUMES `charTokens` (mutually exclusive flags) and
+    * closes the mixed-script release gap: stage 0 becomes
+    * [[graft.text.SubstringDedup.cleanCorpusRunLevel]] — embedded
+    * ≥16-cp non-ASCII runs dedup at code-point granularity ACROSS the
+    * homogeneous/mixed boundary, then word spans cut over the spliced
+    * text — and the manifest gains a `run_dup_chars` accounting column
+    * (code points the char tier cut; for doc-level spaceless docs it
+    * equals sub_dup_tokens). Pair it with `runLevel`-enabled
+    * deconDedup/corpusDedup (`MinHashConfig.runLevel`) so the near-dup
+    * channels sign embedded runs the same way — without that, a
+    * quote-embedding duplicate that survives stage 0 (its run is the
+    * canonical copy) still escapes the near-dup stage. The banded
+    * index must be built over the RUN-LEVEL cleaned text under the
+    * same configs (the one-doc provenance probe enforces it).
     */
   def curationManifestV2(
       corpus: DataFrame,
@@ -1204,7 +1220,11 @@ object TrainingSet {
       maxSpanTokens: Option[Int] = CurationDefaults.MaxSpanTokens,
       minIdDedupWinners: Boolean = CurationDefaults.MinIdDedupWinners,
       normalizeFirst: Boolean = CurationDefaults.NormalizeFirst,
-      charTokens: Boolean = CurationDefaults.CharTokens): DataFrame = {
+      charTokens: Boolean = CurationDefaults.CharTokens,
+      runLevel: Boolean = CurationDefaults.RunLevel): DataFrame = {
+    require(!(runLevel && charTokens),
+      "runLevel subsumes charTokens (homogeneous docs keep the char-unit " +
+        "path; mixed docs add the run tier) — set exactly one")
     // optional stage −1 — CCNet text normalization (NFC, case/digit/
     // punctuation folds) of corpus AND benchmark, so every downstream
     // fingerprint (substring windows, MinHash shingles, decon n-grams)
@@ -1222,10 +1242,14 @@ object TrainingSet {
       else (corpus, benchmark)
     // stage 0 — cut duplicated spans; lazy checkpoint because the clean
     // text feeds every downstream stage AND the accounting columns
-    manifestV2FromCleaned(
-      graft.text.SubstringDedup
+    val cleaned =
+      if (runLevel)
+        graft.text.SubstringDedup
+          .cleanCorpusRunLevel(cor, windowTokens, hashWindowKeys)
+      else graft.text.SubstringDedup
         .cleanCorpus(cor, windowTokens, hashWindowKeys, charTokens)
-        .localCheckpoint(false),
+    manifestV2FromCleaned(
+      cleaned.localCheckpoint(false),
       cor, bench, banded, embeddings, n, ngramThreshold, deconDedup,
       cosThreshold, corpusDedup, pplBuckets, mixtureStrata, mixtureAlpha,
       seed, qualityModel, nearDupPairs, ngramScores, corpusPairs,
@@ -1273,15 +1297,21 @@ object TrainingSet {
         (if (corpusPairs.isEmpty) Seq(corpusDedup) else Nil) ++
           (if (nearDupPairs.isEmpty) Seq(deconDedup) else Nil)
       consumedUnder
-        .groupBy(c => (c.shingleSize, c.numHashes, c.bands, c.charK))
+        .groupBy(c => (c.shingleSize, c.numHashes, c.bands, c.charK, c.runLevel))
         .values.map(_.head)
         .foreach(requireBandedOverCleanedText(cleaned, banded, _))
     }
     val corpusClean =
       graft.text.SubstringDedup.withCleanText(corpus, cleaned)
+    // a run-level stage-0 table carries its char-tier accounting too —
+    // ride it into the manifest right after sub_dup_tokens
+    val stage0Cols =
+      Seq(col("doc_id"), col("n_tokens"),
+        col("dup_tokens").as("sub_dup_tokens")) ++
+        (if (cleaned.columns.contains("run_dup_chars"))
+          Seq(col("run_dup_chars")) else Nil)
     cleaned
-      .select(col("doc_id"), col("n_tokens"),
-        col("dup_tokens").as("sub_dup_tokens"))
+      .select(stage0Cols: _*)
       .join(
         curationManifest(corpusClean, benchmark, banded, embeddings,
           n, ngramThreshold, deconDedup, cosThreshold, corpusDedup,
@@ -1322,9 +1352,15 @@ object TrainingSet {
       corpusPairs: Option[DataFrame] = None,
       maxSpanTokens: Option[Int] = CurationDefaults.MaxSpanTokens,
       minIdDedupWinners: Boolean = CurationDefaults.MinIdDedupWinners,
-      charTokens: Boolean = CurationDefaults.CharTokens): CurationResult = {
-    val cleaned = graft.text.SubstringDedup
-      .cleanCorpus(corpus, windowTokens, hashWindowKeys, charTokens)
+      charTokens: Boolean = CurationDefaults.CharTokens,
+      runLevel: Boolean = CurationDefaults.RunLevel): CurationResult = {
+    require(!(runLevel && charTokens),
+      "runLevel subsumes charTokens — set exactly one")
+    val cleaned = (if (runLevel)
+      graft.text.SubstringDedup
+        .cleanCorpusRunLevel(corpus, windowTokens, hashWindowKeys)
+    else graft.text.SubstringDedup
+      .cleanCorpus(corpus, windowTokens, hashWindowKeys, charTokens))
       .localCheckpoint(false)
     val manifest = manifestV2FromCleaned(cleaned, corpus, benchmark, banded,
       embeddings, n, ngramThreshold, deconDedup, cosThreshold, corpusDedup,
@@ -1332,15 +1368,19 @@ object TrainingSet {
       nearDupPairs, ngramScores, corpusPairs, maxSpanTokens,
       minIdDedupWinners)
       .localCheckpoint(true)
-    val a = manifest.agg(
+    val aggCols = Seq(
       count(lit(1)).as("input"),
       coalesce(sum("n_tokens"), lit(0L)).as("in_tokens"),
-      coalesce(sum("sub_dup_tokens"), lit(0L)).as("cut_tokens"),
-      count(when(col("decon_verdict") === "keep", 1)).as("decon"),
-      count(col("dedup_verdict")).as("reached_dedup"),
-      count(when(col("dedup_verdict") === "keep", 1)).as("dedup"),
-      count(when(col("ppl_verdict") === "keep", 1)).as("ppl"),
-      count(when(col("keep"), 1)).as("kept")).first()
+      coalesce(sum("sub_dup_tokens"), lit(0L)).as("cut_tokens")) ++
+      (if (runLevel)
+        Seq(coalesce(sum("run_dup_chars"), lit(0L)).as("run_chars")) else Nil) ++
+      Seq(
+        count(when(col("decon_verdict") === "keep", 1)).as("decon"),
+        count(col("dedup_verdict")).as("reached_dedup"),
+        count(when(col("dedup_verdict") === "keep", 1)).as("dedup"),
+        count(when(col("ppl_verdict") === "keep", 1)).as("ppl"),
+        count(when(col("keep"), 1)).as("kept"))
+    val a = manifest.agg(aggCols.head, aggCols.tail: _*).first()
     // the v1 audit's index capped-bucket exposure rides the v2 audit
     // unchanged — the v2 banded index (built over the cleaned text) has
     // the same recall-degradation contract
@@ -1351,15 +1391,24 @@ object TrainingSet {
         coalesce(sum(col("__n")), lit(0L)))
       .first()
     val audit = Seq(
-      "0_input" -> a.getLong(0),
-      "0a_input_tokens" -> a.getLong(1),
-      "0b_substring_cut_tokens" -> a.getLong(2),
-      "1_decontaminated" -> a.getLong(3)) ++
-      (if (qualityModel.isDefined) Seq("1b_model_quality" -> a.getLong(4)) else Nil) ++
+      "0_input" -> a.getAs[Long]("input"),
+      "0a_input_tokens" -> a.getAs[Long]("in_tokens"),
+      "0b_substring_cut_tokens" -> a.getAs[Long]("cut_tokens")) ++
+      // run-level char-tier token accounting: code points the char
+      // stage cut from embedded runs / spaceless docs. For doc-level
+      // spaceless docs run_dup_chars EQUALS their dup_tokens (one cut,
+      // counted in the doc's own units), so 0b and 0c overlap there by
+      // design — 0c answers "how much did the run tier remove", not
+      // "how much extra"
+      (if (runLevel)
+        Seq("0c_runlevel_cut_chars" -> a.getAs[Long]("run_chars")) else Nil) ++
+      Seq("1_decontaminated" -> a.getAs[Long]("decon")) ++
+      (if (qualityModel.isDefined)
+        Seq("1b_model_quality" -> a.getAs[Long]("reached_dedup")) else Nil) ++
       Seq(
-        "2_near_dedup" -> a.getLong(5),
-        "3_perplexity_gate" -> a.getLong(6),
-        "4_mixture" -> a.getLong(7),
+        "2_near_dedup" -> a.getAs[Long]("dedup"),
+        "3_perplexity_gate" -> a.getAs[Long]("ppl"),
+        "4_mixture" -> a.getAs[Long]("kept"),
         "idx_capped_member_rows" -> bs.getLong(0),
         "idx_member_rows" -> bs.getLong(1))
     // survivors ship the CLEANED text (the text the release ships is
@@ -1410,15 +1459,20 @@ object TrainingSet {
     val shingleable =
       if (cfg.charK > 0)
         size(TextAnalysis.shinglesAuto(
-          col("clean_text"), cfg.shingleSize, cfg.charK)) > 0
+          col("clean_text"), cfg.shingleSize, cfg.charK, cfg.runLevel)) > 0
       else size(TextAnalysis.tokens(col("clean_text"))) >= cfg.shingleSize
-    // prefer a doc the span cut actually CHANGED (dup_tokens > 0): an
-    // unchanged doc signs identically under raw and cleaned text, so
-    // it can validate the config/scheme but never the text version.
-    // When no changed doc shingles, cleaned ≡ raw on every probeable
-    // doc and the fallback still pins config/scheme drift.
+    // prefer a doc the span cut actually CHANGED (dup_tokens > 0 — or,
+    // on a run-level table, a char-tier run cut): an unchanged doc
+    // signs identically under raw and cleaned text, so it can validate
+    // the config/scheme but never the text version. When no changed
+    // doc shingles, cleaned ≡ raw on every probeable doc and the
+    // fallback still pins config/scheme drift.
+    val changed =
+      if (cleaned.columns.contains("run_dup_chars"))
+        col("dup_tokens") > 0 || col("run_dup_chars") > 0
+      else col("dup_tokens") > 0
     val probe = cleaned
-      .filter(col("dup_tokens") > 0 && shingleable)
+      .filter(changed && shingleable)
       .orderBy("doc_id")
       .select("doc_id", "clean_text")
       .limit(1).collect() match {

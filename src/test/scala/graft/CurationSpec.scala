@@ -253,7 +253,8 @@ class CurationSpec extends SparkSpec {
     * coverage contract: signatures must be of the text the stages see.
     */
   private def bandedOverCleaned(
-      corp: DataFrame, bnch: DataFrame, charTokens: Boolean = false): DataFrame = {
+      corp: DataFrame, bnch: DataFrame, charTokens: Boolean = false,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val cleaned = graft.text.SubstringDedup
       .cleanCorpus(corp, 10, charTokens = charTokens)
     val v2docs = corp.drop("text")
@@ -261,7 +262,6 @@ class CurationSpec extends SparkSpec {
       .select(bnch.columns.map(col): _*)
       .unionByName(bnch)
     val dir = Files.createTempDirectory("graft-curation-banded-v2").toString
-    val cfg = MinHashConfig()
     MinHashDedup.writeBandedIndex(MinHashDedup.signatures(v2docs, cfg), dir, cfg)
     MinHashDedup.readBandedIndex(spark, dir, cfg).localCheckpoint(true)
   }
@@ -533,6 +533,96 @@ class CurationSpec extends SparkSpec {
     // wordy docs: unit accounting and cuts identical to the word path
     assert(mChar(12L)._1 == 25L && mChar(12L)._2 == 0L && mChar(13L)._2 == 0L,
       s"wordy docs ride the word machinery unchanged: $mChar")
+  }
+
+  /** Banded index over (RUN-LEVEL cleaned corpus ∪ benchmark) under a
+    * run-level MinHash config — the v2 contract for the runLevel
+    * release: one text pipeline AND one signing dispatch end to end.
+    */
+  private def bandedOverCleanedRl(
+      corp: DataFrame, bnch: DataFrame, cfg: MinHashConfig): DataFrame = {
+    val cleaned = graft.text.SubstringDedup.cleanCorpusRunLevel(corp, 10)
+    val v2docs = corp.drop("text")
+      .join(cleaned.select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+      .select(bnch.columns.map(col): _*)
+      .unionByName(bnch)
+    val dir = Files.createTempDirectory("graft-curation-banded-rl").toString
+    MinHashDedup.writeBandedIndex(MinHashDedup.signatures(v2docs, cfg), dir, cfg)
+    MinHashDedup.readBandedIndex(spark, dir, cfg).localCheckpoint(true)
+  }
+
+  test("runLevel carries the mixed-script cut and run-aware decon into the v2 release pipeline") {
+    def thai(seed: Int, n: Int): String = {
+      val rng = new scala.util.Random(seed)
+      (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
+    }
+    def filler(tag: String, n: Int): String =
+      (1 to n).map(i => tag + ("q" * i)).mkString(" ")
+    val run = thai(7, 60)
+    val tail = thai(8, 30)
+    // 10 is the homogeneous canonical holder of the 60-cp run; 11 is an
+    // ASCII-majority doc EMBEDDING the same run — the class doc-level
+    // charTokens is structurally blind to (11 never dispatches to char
+    // units); the benchmark quotes the run too
+    val corpusV = plantedDocs(Seq(
+      10L -> (run + tail),
+      11L -> s"${filler("a", 20)} $run ${filler("b", 15)}",
+      12L -> filler("c", 25), 13L -> filler("d", 25)))
+    val benchV = plantedDocs(Seq(100L -> s"${filler("z", 20)} $run"))
+    val rlCfg = MinHashConfig(charK = 5, runLevel = true)
+    val rlDecon = MinHashConfig(threshold = 0.5, charK = 5, runLevel = true)
+
+    // doc-level charTokens baseline: stage 0 blind to 11's embedded run,
+    // decon blind to the benchmark's (word-signed vs char-signed)
+    val mCt = TrainingSet.curationManifestV2(
+        corpusV, benchV,
+        bandedOverCleaned(corpusV, benchV, charTokens = true,
+          cfg = MinHashConfig(charK = 5)), emptyEmb,
+        deconDedup = MinHashConfig(threshold = 0.5, charK = 5),
+        corpusDedup = MinHashConfig(charK = 5),
+        charTokens = true)
+      .select("doc_id", "sub_dup_tokens", "near_dup").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(mCt(11L)._1 == 0L, s"doc-level stage 0 must be blind to the embedded run: $mCt")
+    assert(mCt.values.forall(!_._2), s"doc-level decon must miss the quote benchmark: $mCt")
+
+    // run-level release: stage 0 cuts 11's run (10 is the char-tier
+    // canonical), and the decon channel catches 10 against the
+    // quote-embedding benchmark via run char-grams
+    val cur = TrainingSet.curateCorpusV2(
+      corpusV, benchV, bandedOverCleanedRl(corpusV, benchV, rlCfg), emptyEmb,
+      deconDedup = rlDecon, corpusDedup = rlCfg, runLevel = true)
+    val m = cur.manifest.localCheckpoint(true)
+    val rows = m.select("doc_id", "n_tokens", "sub_dup_tokens",
+        "run_dup_chars", "near_dup", "decon_verdict").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getString(5)))).toMap
+    assert(rows(10L) == ((90L, 0L, 0L, true, "drop")),
+      s"canonical holder keeps its run and drops via run-aware near-dup decon: ${rows(10L)}")
+    assert(rows(11L) == ((35L, 0L, 60L, false, "keep")),
+      s"embedded run cut at stage 0, contamination removed with it: ${rows(11L)}")
+    assert(rows(12L)._3 == 0L && rows(13L)._3 == 0L,
+      s"wordy docs untouched by the run tier: $rows")
+    // audit: the 0c row equals the manifest's run_dup_chars mass
+    val audit = cur.result.audit.toMap
+    assert(audit("0c_runlevel_cut_chars") == 60L,
+      s"audit must carry the char-tier cut: $audit")
+    assert(audit("0c_runlevel_cut_chars") ==
+      m.agg(sum("run_dup_chars")).first().getLong(0))
+    // survivors ship the run-level cleaned text
+    val t11 = cur.result.docs.filter(col("doc_id") === 11L)
+      .select("text").collect()
+    t11.foreach(r => assert(r.getString(0) ==
+      s"${filler("a", 20)} ${filler("b", 15)}",
+      s"survivor 11 must ship its spliced+cleaned text: ${r.getString(0)}"))
+
+    // the flags are mutually exclusive — runLevel subsumes charTokens
+    val e = intercept[IllegalArgumentException] {
+      TrainingSet.curationManifestV2(corpusV, benchV,
+        bandedOverCleanedRl(corpusV, benchV, rlCfg), emptyEmb,
+        charTokens = true, runLevel = true)
+    }
+    assert(e.getMessage.contains("subsumes"), e.getMessage)
   }
 
   test("v2 banded contract fires across the normalization boundary, both directions") {
