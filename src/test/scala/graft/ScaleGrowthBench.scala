@@ -154,7 +154,47 @@ object ScaleGrowthBench {
     val x121Stats = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
     // same stats for the NORMALIZED v2 chain (X121n)
     val x121nStats = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
+    // run-level signing mass (distinct shingles per doc, summed) per
+    // factor for the X126g linearity invariant
+    val x126Mass = scala.collection.mutable.Map[Int, Long]()
     var curFactor = 0
+
+    /** The mixed-script replica fixture shared by X127g and X126g:
+      * each replica doc is its per-token-tagged English text (every
+      * 10-token word window carries 10 replica tags, so word windows —
+      * and word shingles — never match across replicas) followed by
+      * ONE spaceless run: the doc's letters-only text transliterated
+      * a–z into a DISTINCT 26-char CJK block per replica (no code
+      * point — hence no char window or char gram — is shared across
+      * replicas). Within a replica both parts are bijective images of
+      * the base, so both span mass and shingle mass are EXACTLY
+      * factor-linear. Blocks are STRING literals — Spark's chr()
+      * wraps mod 256, so arithmetic code-point construction would
+      * land back in ASCII and destroy block-diagonality.
+      */
+    def mixedScriptReplicas(factor: Int): DataFrame = {
+      val letters = "abcdefghijklmnopqstuvwxyz" // 25 tags, no 'r'
+      require(factor <= letters.length,
+        s"mixed-script growth fixture supports factors <= ${letters.length}")
+      val tags = typedLit(letters.map(_.toString))
+      val blocks = typedLit((0 until 25).map(r =>
+        (0 until 26).map(i => (0x4e00 + 26 * r + i).toChar).mkString))
+      base.select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(factor - 1))).as("__r"))
+        .select(
+          (col("doc_id") + col("__r").cast("long") * 1000000L).as("doc_id"),
+          concat(
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1r"), element_at(tags, col("__r") + 1))),
+            lit(" "),
+            array_join(transform(
+              graft.text.TextAnalysis.charUnits(
+                regexp_replace(lower(col("text")), "[^a-z]", "")),
+              ch => element_at(blocks, col("__r") + 1)
+                .substr(ascii(ch) - 96, lit(1))), ""))
+            .as("text"))
+        .repartition(32).localCheckpoint(true)
+    }
 
     // each path returns (outputMeasure, linearInFactor): the measure of
     // the r-factor run must equal r × the 1-factor run when linear
@@ -250,33 +290,43 @@ object ScaleGrowthBench {
       // marking shape as the single-stage tiers.
       ("X127g_runlevel_substring",
         _ => {
-          val letters = "abcdefghijklmnopqstuvwxyz" // 25 tags, no 'r'
-          require(curFactor <= letters.length,
-            s"run-level growth fixture supports factors <= ${letters.length}")
-          val tags = typedLit(letters.map(_.toString))
-          // per-replica 26-char CJK blocks as STRINGS — Spark's chr()
-          // wraps mod 256, so arithmetic code-point construction would
-          // land back in ASCII and destroy block-diagonality
-          val blocks = typedLit((0 until 25).map(r =>
-            (0 until 26).map(i => (0x4e00 + 26 * r + i).toChar).mkString))
-          val d2 = base.select(col("doc_id"), col("text"),
-              explode(sequence(lit(0), lit(curFactor - 1))).as("__r"))
-            .select(
-              (col("doc_id") + col("__r").cast("long") * 1000000L).as("doc_id"),
-              concat(
-                regexp_replace(col("text"), lit("(\\S+)"),
-                  concat(lit("$1r"), element_at(tags, col("__r") + 1))),
-                lit(" "),
-                array_join(transform(
-                  graft.text.TextAnalysis.charUnits(
-                    regexp_replace(lower(col("text")), "[^a-z]", "")),
-                  ch => element_at(blocks, col("__r") + 1)
-                    .substr(ascii(ch) - 96, lit(1))), ""))
-                .as("text"))
-            .repartition(32).localCheckpoint(true)
-          graft.text.SubstringDedup
+          val d2 = mixedScriptReplicas(curFactor)
+          val mass = graft.text.SubstringDedup
             .duplicatedSpansRunLevel(d2, minTokens = 10, hashKeys = true)
             .agg(coalesce(sum("span_tokens"), lit(0L))).first().getLong(0)
+          d2.unpersist()
+          mass
+        },
+        true),
+      // X126g — RUN-LEVEL MinHash dedup at growth (VERDICT r16 item
+      // 4): the same mixed-script fixture through the FULL runLevel
+      // near-dup chain — one-pass ShingleHash signing (word shingles
+      // of the run-replaced remainder ∪ char 5-grams of each ≥16-cp
+      // run), banding, bucket join, exact run-level-Jaccard verify,
+      // min-id winners. Replica r's shingle universe is an injective
+      // image of replica 0's (word tags are per-replica suffixes; run
+      // grams live in a disjoint CJK block), so per-replica signing
+      // mass AND verified-pair structure are identical: winners (the
+      // returned measure) are exactly factor-linear, and the signing
+      // mass (stashed per factor, required exactly linear after the
+      // sweep) pins that the one-pass signer emits replica-
+      // proportional rows — no cross-replica gram leaks, no dispatch
+      // drift at scale. What the point measures: the runLevel signing
+      // path's wall must stay factor-linear through the same map-side
+      // combine + fixed-size signature shuffle as the doc-level X07.
+      ("X126g_runlevel_minhash",
+        _ => {
+          val d2 = mixedScriptReplicas(curFactor)
+          val cfg = graft.text.MinHashConfig(charK = 5, runLevel = true)
+          x126Mass(curFactor) = d2.agg(
+            coalesce(sum(size(array_distinct(
+              graft.text.TextAnalysis.shinglesAuto(
+                col("text"), cfg.shingleSize, cfg.charK, runLevel = true)))
+              .cast("long")), lit(0L)))
+            .first().getLong(0)
+          val winners = MinHashDedup.dedupWinners(d2, cfg).count()
+          d2.unpersist()
+          winners
         },
         true),
       ("X84_dedup_report",
@@ -578,6 +628,21 @@ object ScaleGrowthBench {
         f"${x05Mass(fb)}%,d (${fa}x→${fb}x), predicted wall $predicted%.2f s, " +
         f"measured $tb%.2f s, ratio ${tb / predicted}%.2f " +
         "(≈1 ⇒ candidate-mass bound — the maxDf cap governs cost)")
+    }
+
+    // X126g signing-mass invariant: the one-pass run-level signer must
+    // emit exactly replica-proportional shingle rows (a cross-replica
+    // gram leak or a dispatch drift at scale would break exactness)
+    if (keep("X126g_runlevel_minhash") && x126Mass.size >= 2) {
+      val fs = x126Mass.keys.toSeq.sorted
+      val (f1, m1) = (fs.head, x126Mass(fs.head))
+      fs.tail.foreach { f =>
+        require(x126Mass(f).toDouble * f1 == m1.toDouble * f,
+          s"X126g signing mass must scale exactly linearly: " +
+            s"factor $f1→$m1, factor $f→${x126Mass(f)}")
+      }
+      println(s"SCALEGROWTH X126g signing mass exactly linear: " +
+        fs.map(f => s"${f}x=${x126Mass(f)}").mkString(", "))
     }
 
     // X93 composed-pipeline invariants: the benchmark is fixed, so the
