@@ -296,16 +296,117 @@ object StreamOps {
             .incrementalCleanCorpus(b, keys, minTokens)
             .localCheckpoint(true)
           cleaned.write.mode("overwrite").parquet(s"$outDir/accepted/b$batchId")
-          val delta = graft.text.SubstringDedup.windowKeys(b, minTokens)
           // a batch of all-short docs has no windows: write nothing,
           // mirroring ingestDedupStream's all-rejected contract
-          if (!delta.isEmpty)
-            delta.write.mode("overwrite").parquet(s"$outDir/key_delta/b$batchId")
+          writeKeyDeltas(Seq(
+            graft.text.SubstringDedup.windowKeys(b, minTokens) ->
+              s"$outDir/key_delta/b$batchId"))
         }
         ()
       }
       .start()
   }
+
+  /** Streaming RUN-LEVEL substring-dedup ingest — the mixed-script
+    * completion of [[ingestSubstringDedupStream]] (round-16 VERDICT
+    * item 2): each micro-batch runs the incremental two-stage
+    * run-level pipeline ([[graft.text.SubstringDedup
+    * .incrementalRunLevelBatch]]) against the TWO-GRANULARITY key
+    * store at `corpusKeysRoot` ([[graft.text.SubstringDedup
+    * .writeWindowKeysRunLevel]]: `<root>/char` + `<root>/word`, each
+    * family stamp-validated). Cleaned docs land batch-keyed under
+    * `outDir/accepted/b<id>`; the batch's char-family keys (ORIGINAL
+    * virtual run windows) append under `outDir/key_delta_char/b<id>`
+    * and its word-family keys (SPLICED-text windows) under
+    * `outDir/key_delta_word/b<id>`, so batch N+1 dedups against
+    * batch N in both tiers at 8-bytes-per-distinct-window cost.
+    *
+    * Same replay/append-only contracts as the single-granularity
+    * stream: batch-keyed overwrite, a replayed batch excludes its OWN
+    * deltas from the corpus side (both families), and new doc_ids
+    * must exceed all existing — under that contract the accepted
+    * table provably equals batch [[graft.text.SubstringDedup
+    * .cleanCorpusRunLevel]] (hashKeys = true) over (corpus ∪ all new
+    * docs) restricted to the new ids (StreamingSpec pins it).
+    *
+    * Maintenance: [[graft.text.SubstringDedup
+    * .compactWindowKeysRunLevel]](corpusKeysRoot,
+    * s"\$outDir/key_delta_char", s"\$outDir/key_delta_word") folds
+    * both families periodically; the stream keeps working across it
+    * exactly like the single-granularity path.
+    */
+  def ingestSubstringDedupStreamRunLevel(
+      newDocs: DataFrame,
+      corpusKeysRoot: String,
+      outDir: String,
+      checkpoint: String,
+      minTokens: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
+    val validatedChar =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val validatedWord =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val b = batch.toDF().localCheckpoint(true)
+          val (cleaned, deltas) = runLevelStage0(spark, corpusKeysRoot,
+            outDir, batchId, b, minTokens, validatedChar, validatedWord)
+          cleaned.localCheckpoint(true)
+            .write.mode("overwrite").parquet(s"$outDir/accepted/b$batchId")
+          writeKeyDeltas(deltas)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The shared per-batch RUN-LEVEL stage 0 of
+    * [[ingestSubstringDedupStreamRunLevel]] and
+    * [[curationIngestStreamV2]]'s runLevel branch — ONE definition so
+    * the two streams' replay-exclusion / two-family fold / delta
+    * contracts can never drift: fold both key families (each with its
+    * own validated-delta cache), run the incremental two-stage
+    * pipeline, and return the cleaned batch plus the per-family delta
+    * writes for [[writeKeyDeltas]] to land LAST.
+    */
+  private def runLevelStage0(
+      spark: SparkSession,
+      keysRoot: String,
+      outDir: String,
+      batchId: Long,
+      src: DataFrame,
+      minTokens: Int,
+      validatedChar: java.util.Set[String],
+      validatedWord: java.util.Set[String])
+      : (DataFrame, Seq[(DataFrame, String)]) = {
+    val charKeys = foldWindowKeys(spark,
+      graft.text.SubstringDedup.charKeysPath(keysRoot),
+      completedBatchDirs(spark, s"$outDir/key_delta_char", batchId),
+      minTokens, charTokens = true, validatedChar)
+    val wordKeys = foldWindowKeys(spark,
+      graft.text.SubstringDedup.wordKeysPath(keysRoot),
+      completedBatchDirs(spark, s"$outDir/key_delta_word", batchId),
+      minTokens, charTokens = false, validatedWord)
+    val (cleaned, charDelta, wordDelta) = graft.text.SubstringDedup
+      .incrementalRunLevelBatch(src, charKeys, wordKeys, minTokens)
+    (cleaned, Seq(
+      charDelta -> s"$outDir/key_delta_char/b$batchId",
+      wordDelta -> s"$outDir/key_delta_word/b$batchId"))
+  }
+
+  /** Land key deltas, skipping empty frames (the all-short-batch
+    * contract). Each delta is materialized ONCE — the emptiness probe
+    * and the parquet write would otherwise each execute the full
+    * window-hash + distinct plan over the batch.
+    */
+  private def writeKeyDeltas(deltas: Seq[(DataFrame, String)]): Unit =
+    deltas.foreach { case (d, path) =>
+      val once = d.localCheckpoint(true)
+      if (!once.isEmpty) once.write.mode("overwrite").parquet(path)
+    }
 
   /** Base window-key table ∪ completed key deltas, stamp-checked — the
     * per-micro-batch corpus side of the substring ingest streams. The
@@ -1168,6 +1269,24 @@ object StreamOps {
     * the SAME flag — mixed-granularity keys never match and the span
     * cut silently degrades to word-blind behavior on spaceless docs.
     *
+    * `runLevel` (subsumes charTokens, mutually exclusive) is the
+    * batch runLevel flag's streaming twin — the full mixed-script
+    * release online: stage 0 becomes the incremental TWO-STAGE
+    * run-level cut ([[graft.text.SubstringDedup
+    * .incrementalRunLevelBatch]]), `windowKeysPath` must point at a
+    * TWO-GRANULARITY key store root ([[graft.text.SubstringDedup
+    * .writeWindowKeysRunLevel]]: `<root>/char` + `<root>/word`, each
+    * family stamp-validated every fold), key deltas split into
+    * `key_delta_char/b<id>` (ORIGINAL virtual run windows) and
+    * `key_delta_word/b<id>` (SPLICED-text windows), and the manifest
+    * gains the `run_dup_chars` stage-0 accounting column. Pair it
+    * with runLevel-enabled `deconDedup`/`cfg` and indexes built over
+    * the run-level cleaned corpus — one text pipeline AND one signing
+    * dispatch end to end. Maintenance:
+    * [[graft.text.SubstringDedup.compactWindowKeysRunLevel]](
+    * windowKeysPath, s"\$outDir/key_delta_char",
+    * s"\$outDir/key_delta_word") folds both families.
+    *
     * Maintenance (between batches, like the vector side's
     * [[graft.vector.Ivf.compactIndex]]):
     * [[graft.text.SubstringDedup.compactWindowKeys]](windowKeysPath,
@@ -1196,8 +1315,11 @@ object StreamOps {
       maxSpanTokens: Option[Int] = None,
       cfg: graft.text.MinHashConfig = graft.pipeline.TrainingSet.CurationDefaults.CorpusDedup,
       normalizeFirst: Boolean = false,
-      charTokens: Boolean = graft.pipeline.TrainingSet.CurationDefaults.CharTokens)
+      charTokens: Boolean = graft.pipeline.TrainingSet.CurationDefaults.CharTokens,
+      runLevel: Boolean = graft.pipeline.TrainingSet.CurationDefaults.RunLevel)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(!(runLevel && charTokens),
+      "runLevel subsumes charTokens — set exactly one (the batch twin's rule)")
     // under normalizeFirst the frozen benchmark artifacts must see the
     // same canonical form the arriving docs are folded into —
     // normalizing the corpus but not the benchmark would silently
@@ -1215,7 +1337,10 @@ object StreamOps {
     val refToks = reference.map(
       graft.text.TextAnalysis.referenceTokens(_).localCheckpoint(true))
     // key deltas this stream wrote are validated once, then trusted
+    // (two sets under runLevel — one per key family)
     val validatedDeltas =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val validatedWordDeltas =
       java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     newDocs.writeStream
       .outputMode("append")
@@ -1242,16 +1367,26 @@ object StreamOps {
             else raw
           // stage 0 — incremental span cut vs corpus keys ∪ COMPLETE
           // earlier key deltas (never this batch's own — replay must
-          // not self-collide)
-          val keyDeltas = completedBatchDirs(spark, s"$outDir/key_delta", batchId)
-          // per-table granularity pin + strip (fail-loud on a
-          // word-built store under charTokens and vice versa); deltas
-          // validated once per stream, base every batch
-          val keys = foldWindowKeys(spark, windowKeysPath, keyDeltas,
-            windowTokens, charTokens, validatedDeltas)
-          val cleaned = graft.text.SubstringDedup
-            .incrementalCleanCorpus(src, keys, windowTokens, charTokens)
-            .localCheckpoint(true)
+          // not self-collide). Per-table granularity pin + strip
+          // (fail-loud on a word-built store under charTokens and vice
+          // versa); deltas validated once per stream, base every
+          // batch. Under runLevel BOTH families fold and the batch's
+          // deltas split per family (written LAST, below).
+          val (cleaned0, keyDeltaWrites) =
+            if (runLevel)
+              runLevelStage0(spark, windowKeysPath, outDir, batchId, src,
+                windowTokens, validatedDeltas, validatedWordDeltas)
+            else {
+              val keyDeltas = completedBatchDirs(spark, s"$outDir/key_delta", batchId)
+              val keys = foldWindowKeys(spark, windowKeysPath, keyDeltas,
+                windowTokens, charTokens, validatedDeltas)
+              (graft.text.SubstringDedup
+                .incrementalCleanCorpus(src, keys, windowTokens, charTokens),
+                Seq(graft.text.SubstringDedup
+                  .windowKeys(src, windowTokens, charTokens) ->
+                  s"$outDir/key_delta/b$batchId"))
+            }
+          val cleaned = cleaned0.localCheckpoint(true)
           val bdf = graft.text.SubstringDedup.withCleanText(src, cleaned)
             .localCheckpoint(true)
           // stages 1–2 over the CLEANED text — v1's exact chain (one
@@ -1273,21 +1408,23 @@ object StreamOps {
             corpusIndexPath, outDir, cfg,
             gate = b => b.join(keepIds, Seq("doc_id"), "left_semi"),
             exactDedup = false)
-          // manifest = stage-0 accounting + v1's column contract
+          // manifest = stage-0 accounting + v1's column contract (the
+          // run-level char-tier accounting rides along under runLevel,
+          // mirroring the batch manifest's run_dup_chars column)
+          val stage0Cols =
+            Seq(col("doc_id"), col("n_tokens"),
+              col("dup_tokens").as("sub_dup_tokens")) ++
+              (if (runLevel) Seq(col("run_dup_chars")) else Nil)
           manifestWithVerdicts(
-            cleaned
-              .select(col("doc_id"), col("n_tokens"),
-                col("dup_tokens").as("sub_dup_tokens"))
-              .join(decon, Seq("doc_id")),
+            cleaned.select(stage0Cols: _*).join(decon, Seq("doc_id")),
             accepted)
             .write.mode("overwrite").parquet(s"$outDir/manifest/b$batchId")
-          // key delta LAST (the ingestSubstringDedupStream contract):
+          // key deltas LAST (the ingestSubstringDedupStream contract):
           // keys of the PRE-CUT batch (normalized under normalizeFirst,
-          // matching the persisted key table's text form); an all-short
-          // batch writes nothing
-          val delta = graft.text.SubstringDedup.windowKeys(src, windowTokens, charTokens)
-          if (!delta.isEmpty)
-            delta.write.mode("overwrite").parquet(s"$outDir/key_delta/b$batchId")
+          // matching the persisted key table's text form; the runLevel
+          // word family carries the SPLICED-text keys the batch word
+          // stage windows); a family with no windows writes nothing
+          writeKeyDeltas(keyDeltaWrites)
         }
         ()
       }

@@ -374,6 +374,43 @@ object SubstringDedup {
     * localCheckpoint'd so the two consumers (span output + clean
     * rejoin) never re-run a window shuffle.
     */
+  /** The splice half of [[runLevelStages]], shared with the
+    * incremental path: each mixed doc's CLEANED runs put back between
+    * its ASCII stretches (`split` on the run pattern yields nRuns+1
+    * stretches; zip_with re-interleaves; a fully-cut run contributes
+    * ""), reconstructing the doc verbatim except for cut runs. Output:
+    * (doc_id, run_dup_chars, text) — mixed and pure-word docs only.
+    */
+  private def spliceRuns(documents: DataFrame, charClean: DataFrame): DataFrame = {
+    val hetero = documents
+      .where(!coalesce(TextAnalysis.spacelessRun(col("text")), lit(false)))
+    val heteroIds = hetero.select("doc_id")
+    // cleaned runs per mixed doc, in run order
+    val perDoc = charClean
+      .select(unpackDocId(col("doc_id")).as("doc_id"),
+        unpackRunIdx(col("doc_id")).as("run_idx"),
+        col("clean_text"), col("dup_tokens"))
+      .join(heteroIds, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("run_idx"), col("clean_text")))),
+          s => s.getField("clean_text")).as("__runs_clean"),
+        sum("dup_tokens").as("__run_dup"))
+    hetero
+      .select(col("doc_id"),
+        split(col("text"), TextAnalysis.RunPattern, -1).as("__stretch"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__run_dup"), lit(0L)).as("run_dup_chars"),
+        // stretches = runs+1 pieces; pad the cleaned runs with one ""
+        // so zip_with never pairs a stretch with null
+        array_join(zip_with(col("__stretch"),
+          concat(coalesce(col("__runs_clean"),
+            array().cast("array<string>")), array(lit(""))),
+          (st, rc) => concat(st, coalesce(rc, lit("")))), "").as("text"))
+  }
+
   private def runLevelStages(
       documents: DataFrame, minTokens: Int, hashKeys: Boolean,
       materializeCharClean: Boolean,
@@ -391,33 +428,7 @@ object SubstringDedup {
     val charClean0 = cleanFromSpans(vdocs, charSpans, charTokens = true)
     val charClean =
       if (materializeCharClean) charClean0.localCheckpoint(true) else charClean0
-    val hetero = documents
-      .where(!coalesce(TextAnalysis.spacelessRun(col("text")), lit(false)))
-    val heteroIds = hetero.select("doc_id")
-    // cleaned runs per mixed doc, in run order
-    val perDoc = charClean
-      .select(unpackDocId(col("doc_id")).as("doc_id"),
-        unpackRunIdx(col("doc_id")).as("run_idx"),
-        col("clean_text"), col("dup_tokens"))
-      .join(heteroIds, Seq("doc_id"), "left_semi")
-      .groupBy("doc_id")
-      .agg(
-        transform(
-          array_sort(collect_list(struct(col("run_idx"), col("clean_text")))),
-          s => s.getField("clean_text")).as("__runs_clean"),
-        sum("dup_tokens").as("__run_dup"))
-    val spliced0 = hetero
-      .select(col("doc_id"),
-        split(col("text"), TextAnalysis.RunPattern, -1).as("__stretch"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("__run_dup"), lit(0L)).as("run_dup_chars"),
-        // stretches = runs+1 pieces; pad the cleaned runs with one ""
-        // so zip_with never pairs a stretch with null
-        array_join(zip_with(col("__stretch"),
-          concat(coalesce(col("__runs_clean"),
-            array().cast("array<string>")), array(lit(""))),
-          (st, rc) => concat(st, coalesce(rc, lit("")))), "").as("text"))
+    val spliced0 = spliceRuns(documents, charClean)
     // materialized only when the caller RETURNS the spliced table
     // (duplicatedSpansRunLevelWithSpliced) — its two consumers (the
     // word stage here + the caller's read) would otherwise each re-run
@@ -517,6 +528,18 @@ object SubstringDedup {
       hashKeys: Boolean = false): DataFrame = {
     val (_, charClean, wordSpans, spliced) =
       runLevelStages(documents, minTokens, hashKeys, materializeCharClean = true)
+    assembleRunLevelClean(charClean, wordSpans, spliced)
+  }
+
+  /** The output assembly shared by [[cleanCorpusRunLevel]] and the
+    * incremental path: homogeneous docs come out of the char stage
+    * with char-unit accounting (dup_tokens = run_dup_chars); mixed and
+    * pure-word docs out of the word stage over their spliced text,
+    * carrying the char tier's run_dup_chars alongside.
+    */
+  private def assembleRunLevelClean(
+      charClean: DataFrame, wordSpans: DataFrame,
+      spliced: DataFrame): DataFrame = {
     val heteroIds = spliced.select("doc_id")
     val homoOut = charClean
       .select(unpackDocId(col("doc_id")).as("doc_id"),
@@ -699,4 +722,135 @@ object SubstringDedup {
     cleanFromSpans(newDocs,
       incrementalDuplicatedSpans(newDocs, existingKeys, minTokens, charTokens),
       charTokens)
+
+  // ------- incremental run-level (two-granularity key stores) -------
+
+  /** TWO-GRANULARITY window-key store layout of run-level substring
+    * ingest (the round-16 design gap): run-level dedup needs a
+    * CHAR-unit key family (windows of the virtual run corpus —
+    * homogeneous docs whole, mixed docs' ≥16-cp non-ASCII runs) AND a
+    * word key family (windows of the SPLICED texts). One
+    * [[windowKeys]] table cannot express that — its `cfg_chartok`
+    * stamp pins exactly one granularity, by design — so the run-level
+    * store is TWO SIBLING windowKeys tables under one root:
+    * `<root>/char` (stamped cfg_chartok=1) and `<root>/word`
+    * (cfg_chartok=0), each carrying its family's full fail-loud stamp
+    * contract (granularity AND window length), validated on every
+    * load. A missing sibling fails loudly in loadWindowKeys (no
+    * parquet to read) rather than silently degrading one tier.
+    */
+  private[graft] def charKeysPath(root: String): String =
+    root.stripSuffix("/") + "/char"
+  private[graft] def wordKeysPath(root: String): String =
+    root.stripSuffix("/") + "/word"
+
+  /** The two key families `documents` contribute to a run-level
+    * store: char keys over the ORIGINAL virtual run corpus (cut or
+    * kept — batch semantics mark a later occurrence against ANY
+    * earlier one), word keys over the SPLICED texts (each doc's runs
+    * cleaned against `documents` itself — for a base corpus this IS
+    * the batch-mode spliced corpus, which is exactly the word
+    * universe the batch word stage windows).
+    */
+  def windowKeysRunLevel(
+      documents: DataFrame, minTokens: Int): (DataFrame, DataFrame) = {
+    // three consumers (char spans, char clean, the char key family) —
+    // materialize the virtual corpus once, lazily: the base-store
+    // build is the largest input this path ever sees, and without
+    // this the scriptRuns posexplode re-runs per consumer
+    val vdocs = charVirtualDocs(documents).localCheckpoint(false)
+    val spliced = spliceRuns(documents,
+      cleanFromSpans(vdocs,
+        duplicatedSpans(vdocs, minTokens, hashKeys = true, charTokens = true),
+        charTokens = true))
+    (windowKeys(vdocs, minTokens, charTokens = true),
+      windowKeys(spliced.select("doc_id", "text"), minTokens))
+  }
+
+  /** Persist both families of [[windowKeysRunLevel]] under `root`. */
+  def writeWindowKeysRunLevel(
+      documents: DataFrame, minTokens: Int, root: String): Unit = {
+    val (charKeys, wordKeys) = windowKeysRunLevel(documents, minTokens)
+    charKeys.write.mode("overwrite").parquet(charKeysPath(root))
+    wordKeys.write.mode("overwrite").parquet(wordKeysPath(root))
+  }
+
+  /** Load and stamp-validate both families of a run-level key store:
+    * (charKeys, wordKeys).
+    */
+  def loadWindowKeysRunLevel(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      minTokens: Int): (DataFrame, DataFrame) =
+    (loadWindowKeys(spark, charKeysPath(root), minTokens, charTokens = true),
+      loadWindowKeys(spark, wordKeysPath(root), minTokens, charTokens = false))
+
+  /** Fold completed streaming deltas of BOTH families into the base
+    * run-level store — [[compactWindowKeys]] applied per family
+    * (each fold has its own staged-swap crash discipline and stamp
+    * validation). Same takedown posture as the single-family store:
+    * window keys are doc-anonymous content fingerprints.
+    */
+  def compactWindowKeysRunLevel(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      charDeltaRoot: String,
+      wordDeltaRoot: String,
+      minTokens: Int): Unit = {
+    compactWindowKeys(spark, charKeysPath(root), charDeltaRoot,
+      minTokens, charTokens = true)
+    compactWindowKeys(spark, wordKeysPath(root), wordDeltaRoot,
+      minTokens, charTokens = false)
+  }
+
+  /** The incremental run-level stages for an ingest batch against the
+    * two key families: (cleaned, charKeysDelta, wordKeysDelta). The
+    * char stage runs [[incrementalDuplicatedSpans]] over the batch's
+    * VIRTUAL run corpus against the char family (packed vids order
+    * like (doc_id, run_idx), so append-only doc ids keep the batch
+    * canonical order equal to the batch-mode one); the splice and
+    * word stage then run exactly the batch shapes, the word stage
+    * incremental against the word family. Under append-only ids the
+    * cleaned output provably equals batch [[cleanCorpusRunLevel]]
+    * (hashKeys = true) over (corpus ∪ batch) restricted to the batch
+    * ids: corpus docs' char cuts and splices are unchanged by
+    * appending the batch (canonical first = min vid, and corpus vids
+    * are all smaller), so the word family built over corpus spliced
+    * texts IS the batch-mode word universe. StreamingSpec pins the
+    * equality end to end.
+    */
+  private[graft] def incrementalRunLevelBatch(
+      newDocs: DataFrame,
+      charKeys: DataFrame,
+      wordKeys: DataFrame,
+      minTokens: Int): (DataFrame, DataFrame, DataFrame) = {
+    // three consumers (char stage, char delta, splice) — materialize
+    // the batch-sized virtual corpus once; charSpans and wordSpans
+    // each feed exactly one consumer and stay lazy (the module rule:
+    // no block-manager round trip without reuse)
+    val vdocs = charVirtualDocs(newDocs).localCheckpoint(true)
+    val charSpans = incrementalDuplicatedSpans(
+      vdocs, charKeys, minTokens, charTokens = true)
+    val charClean = cleanFromSpans(vdocs, charSpans, charTokens = true)
+      .localCheckpoint(true)
+    val spliced = spliceRuns(newDocs, charClean).localCheckpoint(true)
+    val wordSpans = incrementalDuplicatedSpans(
+      spliced.select("doc_id", "text"), wordKeys, minTokens)
+    (assembleRunLevelClean(charClean, wordSpans, spliced),
+      windowKeys(vdocs, minTokens, charTokens = true),
+      windowKeys(spliced.select("doc_id", "text"), minTokens))
+  }
+
+  /** Incremental [[cleanCorpusRunLevel]] for an ingest batch against
+    * a corpus known only by its two-family [[windowKeysRunLevel]]
+    * store: (doc_id, n_tokens, dup_tokens, run_dup_chars,
+    * clean_text). Requires append-only doc ids (see
+    * [[incrementalRunLevelBatch]] for the equivalence contract).
+    */
+  def incrementalCleanCorpusRunLevel(
+      newDocs: DataFrame,
+      charKeys: DataFrame,
+      wordKeys: DataFrame,
+      minTokens: Int): DataFrame =
+    incrementalRunLevelBatch(newDocs, charKeys, wordKeys, minTokens)._1
 }

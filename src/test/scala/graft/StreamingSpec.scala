@@ -604,6 +604,97 @@ class StreamingSpec extends SparkSpec {
     assert(deltas == Set("b0", "b1"), s"key deltas wrong: $deltas")
   }
 
+  test("run-level substring ingest: stream over batches equals batch cleanCorpusRunLevel restricted to the new ids") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf001, "documents")
+    def thai(seed: Int, n: Int): String = {
+      val rng = new scala.util.Random(seed)
+      (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
+    }
+    def mk(id: Long, text: String): DataFrame =
+      Seq((id, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .select(Tables.schemas("documents").fields.map(f => col(f.name).cast(f.dataType)): _*)
+    val run1 = thai(41, 50)
+    val run2 = thai(42, 40)
+    // corpus: wordy docs + a homogeneous holder of run1 (id 295 keeps
+    // append-only: every batch id exceeds every corpus id)
+    val corpus = docs.filter(col("doc_id") < 290)
+      .unionByName(mk(295L, run1 + thai(43, 25)))
+    // batch 0: wordy slice (natural word dups vs the corpus: 360's
+    // canonical is corpus doc 8), a mixed doc EMBEDDING run1 (char
+    // new-vs-corpus: cut against the base char family), and a mixed
+    // doc introducing run2 (kept — it becomes the canonical holder)
+    val batch0 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 390)
+      .unionByName(mk(395L,
+        s"alpha beta gamma words surrounding the quote $run1 and the text goes on after it"))
+      .unionByName(mk(396L,
+        s"fresh carrier document with its own quote $run2 trailing words follow here"))
+    // batch 1: wordy slice (cross-batch word dup: 411's canonical 349
+    // is in batch 0; within-batch: 498 vs 474), a mixed doc embedding
+    // run2 (cross-BATCH char catch via batch 0's char delta), and a
+    // homogeneous doc whose PREFIX is run2 (homo-vs-embedded,
+    // cross-granularity AND cross-batch)
+    val batch1 = docs.filter(col("doc_id") >= 400)
+      .unionByName(mk(600L,
+        s"other words before the borrowed quote $run2 and different trailing content"))
+      .unionByName(mk(601L, run2 + thai(44, 30)))
+    val keysRoot = Files.createTempDirectory("graft-rlsd-keys").toString
+    graft.text.SubstringDedup.writeWindowKeysRunLevel(corpus, 10, keysRoot)
+    val srcDir = Files.createTempDirectory("graft-rlsd-src")
+    val outDir = Files.createTempDirectory("graft-rlsd-out").toString
+    val ckpt = Files.createTempDirectory("graft-rlsd-ckpt").toString
+    val query = StreamOps.ingestSubstringDedupStreamRunLevel(
+      StreamOps.documentsStream(spark, srcDir.toString), keysRoot, outDir, ckpt)
+    try {
+      writeChunk(batch0, srcDir, "chunk0")
+      query.processAllAvailable()
+    } finally query.stop()
+    // TRUE REPLAY of batch 0 (fresh checkpoint, its own deltas already
+    // on disk in BOTH families): the exclude-own-delta guard must keep
+    // either family from self-colliding
+    val ckpt2 = Files.createTempDirectory("graft-rlsd-ckpt2").toString
+    val q2 = StreamOps.ingestSubstringDedupStreamRunLevel(
+      StreamOps.documentsStream(spark, srcDir.toString), keysRoot, outDir, ckpt2)
+    try {
+      q2.processAllAvailable()
+      writeChunk(batch1, srcDir, "chunk1")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val cols = Seq("doc_id", "n_tokens", "dup_tokens", "run_dup_chars", "clean_text")
+    val accepted = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$outDir/accepted")
+      .select(cols.map(col): _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    val allNew = batch0.unionByName(batch1)
+    val batchMode = graft.text.SubstringDedup
+      .cleanCorpusRunLevel(corpus.unionByName(allNew), 10, hashKeys = true)
+      .filter(col("doc_id") >= 300)
+      .select(cols.map(col): _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    // every planted channel must actually fire: word cuts, char cuts
+    // in the embedding docs, and the homo doc's prefix cut
+    val byId = accepted.map(r => r._1 -> r).toMap
+    assert(byId(395L)._4 == 50L, s"395 must lose run1 to the corpus holder: ${byId(395L)}")
+    assert(byId(396L)._4 == 0L, s"396 is run2's canonical holder: ${byId(396L)}")
+    assert(byId(600L)._4 == 40L, s"600 must lose run2 cross-batch: ${byId(600L)}")
+    assert(byId(601L)._3 == 40L && byId(601L)._4 == 40L,
+      s"homo 601's run2 prefix must cut cross-granularity: ${byId(601L)}")
+    assert(accepted.exists(r => r._1 < 600 && r._3 > 0 && r._4 == 0),
+      "a wordy doc should carry a word-tier cut")
+    assert(accepted === batchMode,
+      "streaming run-level substring dedup must equal batch cleanCorpusRunLevel on the union")
+    // both batches left deltas in BOTH families
+    for (fam <- Seq("key_delta_char", "key_delta_word")) {
+      val deltas = new java.io.File(s"$outDir/$fam").listFiles().map(_.getName).toSet
+      assert(deltas == Set("b0", "b1"), s"$fam deltas wrong: $deltas")
+    }
+  }
+
   test("watermarked ingest: native dropDuplicatesWithinWatermark composes with near-dup ingest, set unchanged") {
     import spark.implicits._
     val docs = Tables.load(spark, sf001, "documents")
@@ -1558,6 +1649,119 @@ class StreamingSpec extends SparkSpec {
       val t = acc9003.select("text").first().getString(0)
       assert(!t.contains(seedSpan.split(" ").take(10).mkString(" ")),
         "accepted 9003 must not carry the cut span")
+    }
+  }
+
+  test("streaming curation driver V2 runLevel: mixed-script ingest manifest equals the batch runLevel curationManifestV2") {
+    import spark.implicits._
+    def thai(seed: Int, n: Int): String = {
+      val rng = new scala.util.Random(seed)
+      (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
+    }
+    def fill(tag: String, n: Int): String =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    def mk(id: Long, text: String): DataFrame =
+      Seq((id, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .select(Tables.schemas("documents").fields.map(f => col(f.name).cast(f.dataType)): _*)
+    val runA = thai(51, 60)
+    val runB = thai(52, 45)
+    val cfgRl = graft.text.MinHashConfig(charK = 5, runLevel = true)
+    val gcfgRl = graft.text.MinHashConfig(threshold = 0.5, charK = 5, runLevel = true)
+    // seed: distinct wordy docs + the homogeneous holder of runA — the
+    // run-level span cut leaves all of it untouched (steady state) and
+    // nothing overlaps the benchmark (gate-clean)
+    val corpus = mk(1L, fill("sa", 30))
+      .unionByName(mk(2L, fill("sb", 30)))
+      .unionByName(mk(3L, fill("sc", 30)))
+      .unionByName(mk(4L, fill("sd", 30)))
+      .unionByName(mk(5L, runA + thai(53, 20)))
+      .localCheckpoint(true)
+    // benchmark quotes a 40-cp prefix of runB — the mixed-script
+    // contamination class only run-level decon can see
+    val bench = mk(100L, s"${fill("bz", 8)} ${runB.substring(0, 40)}")
+      .localCheckpoint(true)
+    val bdir = Files.createTempDirectory("graft-cur2rl-bb").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(bench, gcfgRl), bdir, gcfgRl)
+    val benchBanded = graft.text.MinHashDedup.readBandedIndex(spark, bdir, gcfgRl)
+    val emptyEmb = Tables.load(spark, sf001, "embeddings").limit(0)
+    val idxDir = Files.createTempDirectory("graft-cur2rl-idx").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(corpus, cfgRl), idxDir, cfgRl)
+    val keysRoot = Files.createTempDirectory("graft-cur2rl-keys").toString
+    graft.text.SubstringDedup.writeWindowKeysRunLevel(corpus, 10, keysRoot)
+    // arrivals: 9001 introduces runB (canonical holder — run-aware
+    // decon should catch it against the benchmark quote); 9002 embeds
+    // the SEED's runA (char cut vs the corpus char family); batch 1:
+    // 9100 embeds runB (cross-batch char cut via 9001's delta), 9101
+    // is a homo arrival with runB as prefix (cross-granularity), 9102
+    // word-clones 9000 (cross-batch word cut)
+    val batch0 = mk(9000L, fill("na", 25))
+      .unionByName(mk(9001L, s"${fill("nb", 8)} $runB ${fill("nc", 8)}"))
+      .unionByName(mk(9002L, s"${fill("nd", 9)} $runA ${fill("ne", 9)}"))
+    val batch1 = mk(9100L, s"${fill("nf", 9)} $runB ${fill("ng", 9)}")
+      .unionByName(mk(9101L, runB + thai(54, 25)))
+      .unionByName(mk(9102L, fill("na", 25)))
+    val newAll = batch0.unionByName(batch1).localCheckpoint(true)
+    val srcDir = Files.createTempDirectory("graft-cur2rl-src")
+    val outDir = Files.createTempDirectory("graft-cur2rl-out").toString
+    val ckpt = Files.createTempDirectory("graft-cur2rl-ckpt").toString
+    val query = StreamOps.curationIngestStreamV2(
+      StreamOps.documentsStream(spark, srcDir.toString), corpus, idxDir,
+      keysRoot, bench, benchBanded, outDir, ckpt,
+      deconDedup = gcfgRl, cfg = cfgRl, runLevel = true)
+    try {
+      writeChunk(batch0, srcDir, "chunk0")
+      query.processAllAvailable()
+      writeChunk(batch1, srcDir, "chunk1")
+      query.processAllAvailable()
+    } finally query.stop()
+    // batch twin: runLevel curationManifestV2 over (seed ∪ all new),
+    // pairwise min-id rule, decon channel off the same frozen
+    // benchmark index over the UNION-cleaned text
+    val corpusAll = corpus.unionByName(newAll).localCheckpoint(true)
+    val unionClean = graft.text.SubstringDedup.withCleanText(
+      corpusAll, graft.text.SubstringDedup.cleanCorpusRunLevel(corpusAll, 10))
+      .localCheckpoint(true)
+    val adir = Files.createTempDirectory("graft-cur2rl-ab").toString
+    graft.text.MinHashDedup.writeBandedIndex(
+      graft.text.MinHashDedup.signatures(unionClean, cfgRl), adir, cfgRl)
+    val cols = Seq("doc_id", "n_tokens", "sub_dup_tokens", "run_dup_chars",
+      "ngram_frac", "near_dup", "decon_verdict", "dedup_verdict")
+    def rowsOf(df: DataFrame) = df
+      .select(cols.map(col): _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5), r.getString(6),
+        Option(r.getString(7)))).toSeq.sortBy(_._1)
+    val want = rowsOf(graft.pipeline.TrainingSet.curationManifestV2(
+        corpusAll, bench, graft.text.MinHashDedup.readBandedIndex(spark, adir, cfgRl),
+        emptyEmb, deconDedup = gcfgRl, corpusDedup = cfgRl,
+        nearDupPairs = Some(graft.text.MinHashDedup
+          .crossNearDupsAgainstBanded(unionClean, bench, benchBanded, gcfgRl)),
+        minIdDedupWinners = true, runLevel = true)
+      .filter(col("doc_id") >= 9000L))
+    val got = rowsOf(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$outDir/manifest"))
+    assert(got == want,
+      s"streaming runLevel v2 manifest ≠ batch twin: first diff " +
+        s"${got.zip(want).find(p => p._1 != p._2)} (sizes ${got.size}/${want.size})")
+    // every planted run-level channel actually fired
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(9001L)._6 && byId(9001L)._7 == "drop",
+      s"run-aware decon must catch the quote holder: ${byId(9001L)}")
+    assert(byId(9002L)._4 == 60L,
+      s"char cut vs the corpus run: ${byId(9002L)}")
+    assert(byId(9100L)._4 == 45L,
+      s"cross-batch char cut via 9001's char delta: ${byId(9100L)}")
+    assert(byId(9101L)._3 == 45L && byId(9101L)._4 == 45L,
+      s"homo arrival loses its runB prefix cross-granularity: ${byId(9101L)}")
+    assert(byId(9102L)._3 == 25L && byId(9102L)._4 == 0L,
+      s"cross-batch word cut of the 9000 clone: ${byId(9102L)}")
+    // both key-delta families exist for both batches
+    for (fam <- Seq("key_delta_char", "key_delta_word")) {
+      val deltas = new java.io.File(s"$outDir/$fam").listFiles().map(_.getName).toSet
+      assert(deltas == Set("b0", "b1"), s"$fam deltas wrong: $deltas")
     }
   }
 

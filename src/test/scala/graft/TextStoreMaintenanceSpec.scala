@@ -227,6 +227,48 @@ class TextStoreMaintenanceSpec extends SparkSpec {
     assert(MinHashDedup.readSignatures(spark, clean, cfg).count() == total)
   }
 
+  test("compactWindowKeysRunLevel: both families fold to base ∪ deltas; stamps survive per family") {
+    def thai(seed: Int, n: Int): String = {
+      val rng = new scala.util.Random(seed)
+      (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
+    }
+    import spark.implicits._
+    def mixed(lo: Int, hi: Int): DataFrame =
+      (lo until hi).map(i =>
+        (i.toLong, s"words w$i x$i y$i z$i around ${thai(i, 20 + i % 9)} " +
+          (1 to 12).map(j => s"t${i}_$j").mkString(" ")))
+        .toDF("doc_id", "text")
+    val root = tmp("graft_wkrl_base")
+    val charDeltas = tmp("graft_wkrl_dc")
+    val wordDeltas = tmp("graft_wkrl_dw")
+    SubstringDedup.writeWindowKeysRunLevel(mixed(0, 40), 10, root)
+    def famSet(path: String, charTokens: Boolean): Set[Long] =
+      SubstringDedup.loadWindowKeys(spark, path, 10, charTokens)
+        .collect().map(_.getLong(0)).toSet
+    val (cd, wd) = SubstringDedup.windowKeysRunLevel(mixed(40, 70), 10)
+    cd.write.parquet(s"$charDeltas/b0")
+    wd.write.parquet(s"$wordDeltas/b0")
+    val charRoot = root + "/char"
+    val wordRoot = root + "/word"
+    val wantChar = famSet(charRoot, true) ++ famSet(s"$charDeltas/b0", true)
+    val wantWord = famSet(wordRoot, false) ++ famSet(s"$wordDeltas/b0", false)
+    SubstringDedup.compactWindowKeysRunLevel(spark, root, charDeltas, wordDeltas, 10)
+    assert(famSet(charRoot, true) === wantChar, "char family must hold base ∪ deltas")
+    assert(famSet(wordRoot, false) === wantWord, "word family must hold base ∪ deltas")
+    assert(new java.io.File(charDeltas).listFiles().isEmpty &&
+      new java.io.File(wordDeltas).listFiles().isEmpty,
+      "folded delta dirs must be deleted in both families")
+    // per-family stamps survive compaction: a cross-granularity load
+    // still refuses
+    val e = intercept[IllegalArgumentException] {
+      SubstringDedup.loadWindowKeys(spark, charRoot, 10, charTokens = false)
+    }
+    assert(e.getMessage.contains("charTokens"), e.getMessage)
+    // the pair loader validates both families in one call
+    val (ck, wk) = SubstringDedup.loadWindowKeysRunLevel(spark, root, 10)
+    assert(ck.count() == wantChar.size && wk.count() == wantWord.size)
+  }
+
   test("deleteDocsFromTable: bucketed table path serves tombstones — query-after-delete equals rebuild-without-deleted") {
     import spark.implicits._
     val cfg = MinHashConfig()
