@@ -1304,14 +1304,10 @@ object TrainingSet {
     val corpusClean =
       graft.text.SubstringDedup.withCleanText(corpus, cleaned)
     // a run-level stage-0 table carries its char-tier accounting too —
-    // ride it into the manifest right after sub_dup_tokens
-    val stage0Cols =
-      Seq(col("doc_id"), col("n_tokens"),
-        col("dup_tokens").as("sub_dup_tokens")) ++
-        (if (cleaned.columns.contains("run_dup_chars"))
-          Seq(col("run_dup_chars")) else Nil)
+    // ride it into the manifest right after sub_dup_tokens (the one
+    // shared projection the streaming manifest also uses)
     cleaned
-      .select(stage0Cols: _*)
+      .select(graft.text.SubstringDedup.stage0AccountingCols(cleaned): _*)
       .join(
         curationManifest(corpusClean, benchmark, banded, embeddings,
           n, ngramThreshold, deconDedup, cosThreshold, corpusDedup,

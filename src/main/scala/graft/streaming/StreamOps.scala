@@ -292,10 +292,11 @@ object StreamOps {
           val deltas = completedBatchDirs(spark, s"$outDir/key_delta", batchId)
           val keys = foldWindowKeys(spark, corpusKeysPath, deltas,
             minTokens, charTokens = false, validatedDeltas)
-          val cleaned = graft.text.SubstringDedup
+          // the cleaned batch has exactly one consumer (this write) —
+          // a checkpoint would add a full batch-sized pass for nothing
+          graft.text.SubstringDedup
             .incrementalCleanCorpus(b, keys, minTokens)
-            .localCheckpoint(true)
-          cleaned.write.mode("overwrite").parquet(s"$outDir/accepted/b$batchId")
+            .write.mode("overwrite").parquet(s"$outDir/accepted/b$batchId")
           // a batch of all-short docs has no windows: write nothing,
           // mirroring ingestDedupStream's all-rejected contract
           writeKeyDeltas(Seq(
@@ -354,8 +355,9 @@ object StreamOps {
           val b = batch.toDF().localCheckpoint(true)
           val (cleaned, deltas) = runLevelStage0(spark, corpusKeysRoot,
             outDir, batchId, b, minTokens, validatedChar, validatedWord)
-          cleaned.localCheckpoint(true)
-            .write.mode("overwrite").parquet(s"$outDir/accepted/b$batchId")
+          // single consumer — write directly (every expensive upstream
+          // stage is already checkpointed inside the incremental batch)
+          cleaned.write.mode("overwrite").parquet(s"$outDir/accepted/b$batchId")
           writeKeyDeltas(deltas)
         }
         ()
@@ -1409,14 +1411,12 @@ object StreamOps {
             gate = b => b.join(keepIds, Seq("doc_id"), "left_semi"),
             exactDedup = false)
           // manifest = stage-0 accounting + v1's column contract (the
-          // run-level char-tier accounting rides along under runLevel,
-          // mirroring the batch manifest's run_dup_chars column)
-          val stage0Cols =
-            Seq(col("doc_id"), col("n_tokens"),
-              col("dup_tokens").as("sub_dup_tokens")) ++
-              (if (runLevel) Seq(col("run_dup_chars")) else Nil)
+          // shared presence-keyed projection, so run_dup_chars rides
+          // along under runLevel exactly as in the batch manifest)
           manifestWithVerdicts(
-            cleaned.select(stage0Cols: _*).join(decon, Seq("doc_id")),
+            cleaned.select(
+              graft.text.SubstringDedup.stage0AccountingCols(cleaned): _*)
+              .join(decon, Seq("doc_id")),
             accepted)
             .write.mode("overwrite").parquet(s"$outDir/manifest/b$batchId")
           // key deltas LAST (the ingestSubstringDedupStream contract):

@@ -723,6 +723,20 @@ object SubstringDedup {
       incrementalDuplicatedSpans(newDocs, existingKeys, minTokens, charTokens),
       charTokens)
 
+  /** Stage-0 accounting projection of a clean-corpus table, shared by
+    * the batch manifest ([[graft.pipeline.TrainingSet
+    * .manifestV2FromCleaned]]) and the streaming per-batch manifest —
+    * ONE definition keyed on COLUMN PRESENCE, so a run-level stage-0
+    * table carries its char-tier `run_dup_chars` into both manifests
+    * and a future accounting column cannot land in one and silently
+    * drift the stream ≡ batch pin.
+    */
+  private[graft] def stage0AccountingCols(cleaned: DataFrame): Seq[Column] =
+    Seq(col("doc_id"), col("n_tokens"),
+      col("dup_tokens").as("sub_dup_tokens")) ++
+      (if (cleaned.columns.contains("run_dup_chars"))
+        Seq(col("run_dup_chars")) else Nil)
+
   // ------- incremental run-level (two-granularity key stores) -------
 
   /** TWO-GRANULARITY window-key store layout of run-level substring

@@ -494,21 +494,39 @@ object Ivf {
     val stage = new org.apache.hadoop.fs.Path(root,
       s".stage-${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(stage.toString)
-    var n =
-      if (!fs.exists(root)) 0L
-      else fs.listStatus(root).toSeq
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .collect { case nm if nm.startsWith(prefix) &&
-          nm.drop(prefix.length).nonEmpty &&
-          nm.drop(prefix.length).forall(_.isDigit) =>
-          nm.drop(prefix.length).toLong }
-        .maxOption.map(_ + 1L).getOrElse(0L)
-    var dst = new org.apache.hadoop.fs.Path(root, s"$prefix$n")
-    while (fs.exists(dst) || !fs.rename(stage, dst)) {
+    // reclaim stage debris a crashed earlier claim left behind (a
+    // dot-dir is invisible to every reader, so the only cost is disk —
+    // but batch payloads are full parquet, not markers, and nothing
+    // else ever deletes them). One hour of age keeps any CONCURRENT
+    // writer's live stage safe.
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-") &&
+        s.getPath != stage && s.getModificationTime < cutoff)
+      .foreach(s => fs.delete(s.getPath, true))
+    var n = fs.listStatus(root).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case nm if nm.startsWith(prefix) &&
+        nm.drop(prefix.length).nonEmpty &&
+        nm.drop(prefix.length).forall(_.isDigit) =>
+        nm.drop(prefix.length).toLong }
+      .maxOption.map(_ + 1L).getOrElse(0L)
+    while (true) {
+      val dst = new org.apache.hadoop.fs.Path(root, s"$prefix$n")
+      if (!fs.exists(dst) && fs.rename(stage, dst)) {
+        // rename(src, existingDir) NESTS src inside dst and still
+        // returns true on HDFS (and via Hadoop's copy fallback on the
+        // local FS) — so a writer that lost the exists→rename window
+        // must detect the nesting and pull its payload back out to
+        // retry, or its batch lands at d<n>/.stage-<uuid> where every
+        // reader's hidden-path filter skips it forever
+        val nested = new org.apache.hadoop.fs.Path(dst, stage.getName)
+        if (!fs.exists(nested)) return dst.toString
+        fs.rename(nested, stage)
+      }
       n += 1L
-      dst = new org.apache.hadoop.fs.Path(root, s"$prefix$n")
     }
-    dst.toString
+    throw new IllegalStateException("unreachable")
   }
 
   /** Mark vectors DELETED — the takedown/opt-out path a real pipeline

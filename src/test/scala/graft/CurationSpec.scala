@@ -552,10 +552,6 @@ class CurationSpec extends SparkSpec {
   }
 
   test("runLevel carries the mixed-script cut and run-aware decon into the v2 release pipeline") {
-    def thai(seed: Int, n: Int): String = {
-      val rng = new scala.util.Random(seed)
-      (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
-    }
     def filler(tag: String, n: Int): String =
       (1 to n).map(i => tag + ("q" * i)).mkString(" ")
     val run = thai(7, 60)

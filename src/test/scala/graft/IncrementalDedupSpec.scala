@@ -131,10 +131,6 @@ class IncrementalDedupSpec extends SparkSpec {
     val u2 = "https://example.com/articles/2026/08/16/long-shared-slug-here?id=2"
     val b64a = "aGVsbG8gd29ybGQgdGhpcyBpcyBhIGxvbmcgYmFzZTY0IGJsb2IgMDAwMDAwMDAx"
     val b64b = "aGVsbG8gd29ybGQgdGhpcyBpcyBhIGxvbmcgYmFzZTY0IGJsb2IgMDAwMDAwMDAy"
-    def thai(seed: Int, n: Int): String = {
-      val rng = new scala.util.Random(seed)
-      (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
-    }
     val tb = thai(3, 100)
     val docs = Seq(
       10L -> u1, 11L -> u2, 12L -> b64a, 13L -> b64b,
@@ -198,10 +194,6 @@ class IncrementalDedupSpec extends SparkSpec {
     // char-grams doc 20's run too, so the pair verifies. Controls:
     // 30/31 a wordy near-dup pair (both configs find it), 40 an
     // unrelated mixed doc (its own Thai run must not pair).
-    def thai(seed: Int, n: Int): String = {
-      val rng = new scala.util.Random(seed)
-      (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
-    }
     // doc 20 must be ASCII-MAJORITY (else the doc-level dispatch
     // already char-grams the whole doc and the pair is found): 24
     // wrapper words ≈ 170 ASCII chars around a 120-cp quote. Under
@@ -236,10 +228,6 @@ class IncrementalDedupSpec extends SparkSpec {
 
   test("ShingleHash runLevel universe matches shinglesAuto runLevel on mixed/adversarial docs") {
     import spark.implicits._
-    def thai(seed: Int, n: Int): String = {
-      val rng = new scala.util.Random(seed)
-      (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
-    }
     val astral = "𝔘"
     val wrap = (1 to 14).map(i => s"wrapper$i").mkString(" ")  // ~130 ASCII chars
     val docs = Seq(
@@ -280,10 +268,6 @@ class IncrementalDedupSpec extends SparkSpec {
     // idiom) — CODEGEN_ONLY exercises doGenCode, NO_CODEGEN the
     // interpreted nullSafeEval; the hash multisets must be identical
     // across word, doc-level char, run-level and degenerate shapes
-    def thai(seed: Int, n: Int): String = {
-      val rng = new scala.util.Random(seed)
-      (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
-    }
     val wrap = (1 to 14).map(i => s"wrapper$i").mkString(" ")
     val docs = Seq(
       (1L, "plain ascii words only here today"),

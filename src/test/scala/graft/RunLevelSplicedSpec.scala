@@ -20,10 +20,6 @@ class RunLevelSplicedSpec extends SparkSpec {
   private def docs(rows: (Long, String)*): DataFrame =
     rows.toDF("doc_id", "text")
 
-  private def thai(seed: Int, n: Int): String = {
-    val rng = new scala.util.Random(seed)
-    (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
-  }
 
   test("spliced companion: word spans index the returned spliced text; spliced tokens map back to the original") {
     val quote = thai(31, 40)

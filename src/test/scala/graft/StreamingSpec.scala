@@ -607,10 +607,6 @@ class StreamingSpec extends SparkSpec {
   test("run-level substring ingest: stream over batches equals batch cleanCorpusRunLevel restricted to the new ids") {
     import spark.implicits._
     val docs = Tables.load(spark, sf001, "documents")
-    def thai(seed: Int, n: Int): String = {
-      val rng = new scala.util.Random(seed)
-      (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
-    }
     def mk(id: Long, text: String): DataFrame =
       Seq((id, text, "en", "s", text.length.toLong))
         .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -1654,10 +1650,6 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming curation driver V2 runLevel: mixed-script ingest manifest equals the batch runLevel curationManifestV2") {
     import spark.implicits._
-    def thai(seed: Int, n: Int): String = {
-      val rng = new scala.util.Random(seed)
-      (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
-    }
     def fill(tag: String, n: Int): String =
       (1 to n).map(i => s"$tag$i").mkString(" ")
     def mk(id: Long, text: String): DataFrame =

@@ -313,10 +313,6 @@ class SubstringDedupSpec extends SparkSpec {
   }
 
   test("run-level: embedded quote cut across mixed and homogeneous docs; word tier rides the spliced text") {
-    def thai(seed: Int, n: Int): String = {
-      val rng = new scala.util.Random(seed)
-      (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
-    }
     val quote = thai(21, 40)
     val tail2 = thai(22, 30)
     val w = (1 to 12).map(i => s"w$i").mkString(" ")           // 12 shared-prefix words

@@ -228,10 +228,6 @@ class TextStoreMaintenanceSpec extends SparkSpec {
   }
 
   test("compactWindowKeysRunLevel: both families fold to base ∪ deltas; stamps survive per family") {
-    def thai(seed: Int, n: Int): String = {
-      val rng = new scala.util.Random(seed)
-      (1 to n).map(_ => (0x0e01 + rng.nextInt(40)).toChar).mkString
-    }
     import spark.implicits._
     def mixed(lo: Int, hi: Int): DataFrame =
       (lo until hi).map(i =>
