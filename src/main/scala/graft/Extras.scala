@@ -1919,24 +1919,22 @@ object Extras {
       val cb = c.spark.read.parquet(s"$pqr/codebook")
       val cents = c.spark.read.parquet(s"$pqr/cents")
       val qs = pqQueries(c)
+      // one shared ranked scan serves all 10 (policy, budget) branches
+      // (Pq.multiBudgetServe — the 10 independent serve chains re-read
+      // codes and embeddings per branch); branch rows are pinned
+      // identical to the per-budget rerankExact ∘ ivfAdcResidualTopK
+      // composition by PqSpec, and the exact ground truth is computed
+      // once (lazy checkpoint) instead of once per branch's recall join
       val exact = graft.vector.Pq.exactL2TopK(c.embeddings, qs, k = 5)
-      Seq(1, 2, 4, 8, 16).flatMap { p =>
-        Seq(
-          ("fixed50", 50,
-            graft.vector.Pq.rerankExact(
-              graft.vector.Pq.ivfAdcResidualTopK(codes, cb, cents,
-                qs, k = 50, nProbe = p, dsub = 8),
-              qs, c.embeddings, k = 5)),
-          ("auto", graft.vector.Pq.adaptiveShortlist(p),
-            graft.vector.Pq.ivfAdcServe(codes, cb, cents,
-              qs, c.embeddings, k = 5, nProbe = p, dsub = 8)))
-          .map { case (pol, r, res) =>
-            graft.vector.Pq.recallAtK(res, exact)
-              .withColumn("policy", lit(pol))
-              .withColumn("nprobe", lit(p))
-              .withColumn("shortlist", lit(r))
-          }
-      }.reduce(_ unionByName _)
+        .localCheckpoint(false)
+      val branches = Seq(1, 2, 4, 8, 16).flatMap { p =>
+        Seq(("fixed50", p, 50),
+          ("auto", p, graft.vector.Pq.adaptiveShortlist(p)))
+      }
+      graft.vector.Pq.multiBudgetRecall(
+        graft.vector.Pq.multiBudgetServe(codes, cb, cents, qs,
+          c.embeddings, k = 5, branches, dsub = 8),
+        exact, branches)
         .select("policy", "nprobe", "shortlist", "query_id",
           "n_hit", "n_exact", "recall")
         .orderBy("policy", "nprobe", "query_id")

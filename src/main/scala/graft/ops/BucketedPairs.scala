@@ -84,7 +84,26 @@ object BucketedPairs {
       cap: Int,
       preMaterialized: Boolean = false): DataFrame = {
     require(cap >= 2, s"cap=$cap must allow at least one pair")
-    val m = if (preMaterialized) members else members.localCheckpoint(true)
+    // spread the bucket self-join's pair expansion: a member table
+    // fresh off a narrow parquet scan materializes with the scan's
+    // (often single-digit) partition count, and when the self-join
+    // below broadcasts one side the O(Σ n²) candidate expansion runs
+    // on exactly those few map tasks regardless of core count
+    // (measured: a 3.8 s two-task stage under X103 at sf0.1 on 32
+    // cores). One explicit exchange on the join key — 8-byte-key rows,
+    // the cheapest shuffle this pipeline has — re-establishes the
+    // session's configured parallelism for the expansion. The count is
+    // explicit (numShufflePartitions, config not code) because AQE's
+    // small-shuffle coalescing would otherwise fold the tiny key
+    // shuffle right back into the handful of tasks the expansion is
+    // being rescued from; a hot bucket still lands on one task, which
+    // is exactly what the cap bounds.
+    val m =
+      if (preMaterialized) members
+      else members
+        .repartition(members.sparkSession.sessionState.conf.numShufflePartitions,
+          col("band"), col("bucket"))
+        .localCheckpoint(true)
     val stats = m.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n"), min("id").as("__banchor"))
     val diag = stats.agg(

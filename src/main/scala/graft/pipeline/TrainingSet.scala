@@ -770,7 +770,13 @@ object TrainingSet {
       cosThreshold: Double = 0.35,
       nearDupPairs: Option[DataFrame] = None,
       ngramScores: Option[DataFrame] = None,
-      maxSpanTokens: Option[Int] = None): DataFrame = {
+      maxSpanTokens: Option[Int] = None,
+      // a composing caller (curationManifest) that has ALREADY paid the
+      // banded-coverage pass for this (corpus, banded, shingleSize)
+      // sets this so the same full-corpus guard scan is not re-run —
+      // the check itself is unchanged, it just runs once per
+      // composition instead of once per stage
+      assumeBandedCoversCorpus: Boolean = false): DataFrame = {
     // channel 1 likewise accepts a persisted contaminationScores table
     // (the X30 report) — one corpus shingle pass feeds both audits
     val ngram = ngramScores
@@ -790,11 +796,12 @@ object TrainingSet {
     // (the sign-in-place probe; see the streaming gate).
     val nd = nearDupPairs
       .getOrElse {
-        requireBandedCoversCorpus(corpus, banded, dedup.shingleSize,
-          "decontaminationReport",
-          "For a benchmark-only index, pass nearDupPairs = " +
-            "Some(MinHashDedup.crossNearDupsAgainstBanded(corpus, benchmark, " +
-            "benchBanded, dedup)) (the sign-in-place probe) instead.")
+        if (!assumeBandedCoversCorpus)
+          requireBandedCoversCorpus(corpus, banded, dedup.shingleSize,
+            "decontaminationReport",
+            "For a benchmark-only index, pass nearDupPairs = " +
+              "Some(MinHashDedup.crossNearDupsAgainstBanded(corpus, benchmark, " +
+              "benchBanded, dedup)) (the sign-in-place probe) instead.")
         MinHashDedup.crossNearDupsFromBanded(corpus, benchmark, banded, dedup)
       }
       .select(col("i").as("doc_id")).distinct()
@@ -939,12 +946,28 @@ object TrainingSet {
       minIdDedupWinners: Boolean = false): DataFrame = {
     require(pplBuckets >= 2, s"pplBuckets=$pplBuckets needs a droppable tail")
 
+    // ONE banded-coverage guard pass for the whole composition: the
+    // decon channel and the near-dup stage each guard the same
+    // (corpus, banded) pair against the silent-empty hazard, and when
+    // their configs agree on shingleSize (the production defaults do)
+    // the two full-corpus scans are byte-identical — pay the pass once
+    // per distinct shingleSize instead of once per stage
+    val coverageSizes =
+      (if (nearDupPairs.isEmpty) Seq(deconDedup.shingleSize) else Nil) ++
+        (if (corpusPairs.isEmpty) Seq(corpusDedup.shingleSize) else Nil)
+    coverageSizes.distinct.foreach { s =>
+      requireBandedCoversCorpus(corpus, banded, s, "curationManifest",
+        "Pass nearDupPairs = Some(<the persisted cross near-dup pair " +
+          "table>) / corpusPairs = Some(<the persisted full-corpus " +
+          "verified pair table>) when the banded index does not cover " +
+          "the corpus.")
+    }
     // stage 1 — release-gate decontamination over EVERY corpus doc.
     // Lazy checkpoint: the three channels feed both the survivor
     // filter and the final assembly.
     val decon = decontaminationReport(corpus, benchmark, banded, embeddings,
         n, ngramThreshold, deconDedup, cosThreshold, nearDupPairs, ngramScores,
-        maxSpanTokens)
+        maxSpanTokens, assumeBandedCoversCorpus = true)
       .withColumnRenamed("verdict", "decon_verdict")
       .localCheckpoint(false)
     val s1 = corpus.join(
@@ -983,11 +1006,8 @@ object TrainingSet {
       case None =>
         // same silent-empty hazard as the decon channel: a benchmark-
         // only index yields zero corpus pairs and every near-dup copy
-        // would ship with dedup_verdict = 'keep'
-        requireBandedCoversCorpus(corpus, banded, corpusDedup.shingleSize,
-          "curationManifest stage 2",
-          "Pass corpusPairs = Some(<the persisted full-corpus verified " +
-            "pair table>) when the banded index does not cover the corpus.")
+        // would ship with dedup_verdict = 'keep'. Guarded by the ONE
+        // up-front coverage pass above.
         MinHashDedup.verifiedPairsFromBanded(s2, banded, corpusDedup)
     }
     val dedupVerdict = (if (minIdDedupWinners) {
@@ -1487,12 +1507,16 @@ object TrainingSet {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("text",
           org.apache.spark.sql.types.StringType))))
-    val want = MinHashDedup.expectedMemberRows(one, cfg)
-      .select("sigh", "band", "bucket").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    val got = banded.filter(col("id") === id)
-      .select("sigh", "band", "bucket").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // both metadata-sized row sets in ONE action (a tagged union) —
+    // two separate collects pay the driver round trip twice
+    val sides = MinHashDedup.expectedMemberRows(one, cfg)
+      .select(lit(0).as("side"), col("sigh"), col("band"), col("bucket"))
+      .unionByName(banded.filter(col("id") === id)
+        .select(lit(1).as("side"), col("sigh"), col("band"), col("bucket")))
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getInt(2), r.getLong(3))))
+    val want = sides.collect { case (0, row) => row }.toSet
+    val got = sides.collect { case (1, row) => row }.toSet
     require(got == want,
       s"v2 banded contract violated: the index's rows for sampled doc_id $id " +
         s"do not match the signature of its CLEANED text (AlgorithmVersion " +

@@ -416,25 +416,35 @@ object SubstringDedup {
       materializeCharClean: Boolean,
       materializeSpliced: Boolean = false)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val vdocs = charVirtualDocs(documents)
+    // materialized (lazily) for the SAME multi-consumer reason the
+    // incremental path checkpoints its batch virtual corpus: the char
+    // stage's window pass consumes vdocs twice (the per-key stats
+    // groupBy side AND the join probe side — duplicatedHits' designed
+    // two-scan shape), and the clean rejoin reads it a third time;
+    // without the checkpoint every consumer re-runs the scriptRuns
+    // posexplode AND the caller's full upstream chain per scan
+    // (measured 8.3 s → 3.4 s on the X127 fixture at sf0.1).
+    val vdocs = charVirtualDocs(documents).localCheckpoint(false)
     val charSpans = duplicatedSpans(vdocs, minTokens, hashKeys, charTokens = true)
       .localCheckpoint(true)
     // materialized only for cleanCorpusRunLevel, whose TWO consumers
     // (splice chain + homogeneous output) would otherwise each re-run
     // the charUnits explode + clean transform over every virtual doc —
     // a full extra corpus pass. The spans-only path consumes it once
-    // (through the wordSpans checkpoint) and must not pay a
+    // (through the spliced checkpoint) and must not pay a
     // corpus-size block-manager round trip for nothing.
     val charClean0 = cleanFromSpans(vdocs, charSpans, charTokens = true)
     val charClean =
       if (materializeCharClean) charClean0.localCheckpoint(true) else charClean0
+    // always materialized (lazily): the word stage's window pass
+    // consumes the spliced table twice (the duplicatedHits two-scan
+    // shape again), and each un-checkpointed scan would re-run the
+    // whole splice chain INCLUDING the char-stage clean transform over
+    // every virtual doc. Callers that additionally RETURN the table
+    // (duplicatedSpansRunLevelWithSpliced) get an eager checkpoint so
+    // their read never races the word stage's first action.
     val spliced0 = spliceRuns(documents, charClean)
-    // materialized only when the caller RETURNS the spliced table
-    // (duplicatedSpansRunLevelWithSpliced) — its two consumers (the
-    // word stage here + the caller's read) would otherwise each re-run
-    // the splice chain over every mixed doc
-    val spliced =
-      if (materializeSpliced) spliced0.localCheckpoint(true) else spliced0
+    val spliced = spliced0.localCheckpoint(materializeSpliced)
     val wordSpans = duplicatedSpans(
       spliced.select("doc_id", "text"), minTokens, hashKeys,
       charTokens = false).localCheckpoint(true)

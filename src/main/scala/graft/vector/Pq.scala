@@ -440,18 +440,139 @@ object Pq {
       "probeBudgetCurve calibration sample produced no exact ground-truth " +
         "rows — pass a non-empty sample with at least one other corpus " +
         "vector to rank against")
-    budgets.distinct.sorted.map { p =>
-      recallAtK(
-        ivfAdcServe(codes, codebook, cents, sample, embeddings, k, p, dsub,
-          rPerProbe, rMin),
-        exact)
-        .agg(coalesce(sum("n_hit"), lit(0L)).as("n_hit"),
-          coalesce(sum("n_exact"), lit(0L)).as("n_exact"))
-        .select(lit(p).as("nprobe"),
-          lit(adaptiveShortlist(p, rPerProbe, rMin)).as("shortlist"),
-          col("n_hit"), col("n_exact"),
-          round(col("n_hit") / col("n_exact"), 6).as("recall"))
-    }.reduce(_ unionByName _).orderBy("nprobe")
+    // ONE ranked scan serves every budget (multiBudgetServe — the
+    // |budgets| independent ivfAdcServe passes re-read codes AND
+    // embeddings per budget for a scan whose per-(query, list) LUT
+    // never depends on the budget); per-branch rows are pinned
+    // identical to the per-budget composition by PqSpec, and the
+    // micro-averaged sums below are order-independent integer adds
+    val branches = budgets.distinct.sorted
+      .map(p => ("auto", p, adaptiveShortlist(p, rPerProbe, rMin)))
+    multiBudgetRecall(
+      multiBudgetServe(codes, codebook, cents, sample, embeddings, k,
+        branches, dsub),
+      exact, branches)
+      .groupBy("nprobe", "shortlist")
+      .agg(coalesce(sum("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(sum("n_exact"), lit(0L)).as("n_exact"))
+      .select(col("nprobe"), col("shortlist"), col("n_hit"), col("n_exact"),
+        round(col("n_hit") / col("n_exact"), 6).as("recall"))
+      .orderBy("nprobe")
+  }
+
+  /** The shared-scan multi-branch serve of a calibration sweep: every
+    * `(policy, nProbe, shortlist)` branch of the sweep served from ONE
+    * residual-ADC pass over `codes` at the largest budget and ONE
+    * raw-vector re-rank pass over `embeddings` — row-identical per
+    * branch to `rerankExact(ivfAdcResidualTopK(..., k = shortlist,
+    * nProbe), queries, embeddings, k)` (PqSpec pins the equality).
+    * Correct by construction: a candidate's LUT row depends only on
+    * (query, list, codebook), and budget p's probed lists are exactly
+    * the probe-rank ≤ p lists, so fanning each candidate (map-side,
+    * broadcast) to every branch whose budget covers its rank
+    * reproduces each branch's candidate set exactly; the per-branch
+    * ADC head and exact re-rank then use the same (d², vec_id) total
+    * order the single-branch operators use. Cost: the sweep stops
+    * re-reading the codes and raw-embedding tables once per branch —
+    * the guide-§1.2 "remove repeated passes" shape for X113/X120,
+    * which measured ~2× on the sf0.1 bench. The two shared passes
+    * stay sample-shaped (shortlists are nq-bounded per branch), so
+    * the materialized intermediates are calibration-sized, never ∝ N.
+    *
+    * Output: (policy, nprobe, shortlist, query_id, vec_id, d2).
+    */
+  private[graft] def multiBudgetServe(
+      codes: DataFrame,
+      codebook: DataFrame,
+      cents: DataFrame,
+      queries: DataFrame,
+      embeddings: DataFrame,
+      k: Int,
+      branches: Seq[(String, Int, Int)],
+      dsub: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(branches.nonEmpty && branches.forall(b => b._2 > 0 && b._3 > 0),
+      s"multiBudgetServe needs positive (nProbe, shortlist) branches, got $branches")
+    requireDsub(codebook, dsub)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val maxProbe = branches.map(_._2).max
+    val branchDf = branches.toDF("policy", "nprobe", "shortlist")
+    val cands = codes
+      .join(broadcast(
+        residualLutRowsRanked(queries, cents, codebook, maxProbe, dsub)),
+        Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("__rnk"),
+        round(adcFold(col("codes"), col("luts")), 6).as("adc_d2"))
+    // map-side fan-out: candidate of probe rank r belongs to every
+    // branch with nprobe >= r — a broadcast theta join against the
+    // |branches|-row table, no extra scan
+    val wShort = Window.partitionBy("policy", "nprobe", "query_id")
+      .orderBy(col("adc_d2"), col("vec_id"))
+    // lazy checkpoint: the shortlist feeds the distinct pair set AND
+    // the re-rank join; un-materialized, each consumer would re-run
+    // the codes scan. Branch-tagged top-R rows are nq × ΣR — sample-
+    // sized by construction
+    val shortlists = cands
+      .join(broadcast(branchDf), col("__rnk") <= col("nprobe"))
+      .withColumn("__r", row_number().over(wShort))
+      .filter(col("__r") <= col("shortlist"))
+      .select("policy", "nprobe", "shortlist", "query_id", "vec_id")
+      .localCheckpoint(false)
+    // ONE raw-vector pass re-scores the distinct (query, vec) pairs of
+    // every branch; d² per pair is branch-independent (same rounding
+    // as rerankExact), so attaching branches back is a broadcast join
+    val d2 = embeddings
+      .join(broadcast(shortlists.select("query_id", "vec_id").distinct()),
+        Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(sqDist(col("qvec"), col("embedding")), 6).as("d2"))
+    val wK = Window.partitionBy("policy", "nprobe", "query_id")
+      .orderBy(col("d2"), col("vec_id"))
+    shortlists.join(broadcast(d2), Seq("query_id", "vec_id"))
+      .withColumn("__r", row_number().over(wK))
+      .filter(col("__r") <= k)
+      .select("policy", "nprobe", "shortlist", "query_id", "vec_id", "d2")
+  }
+
+  /** Per-(branch, query) recall of a [[multiBudgetServe]] result —
+    * [[recallAtK]]'s exact row semantics applied per branch (every
+    * exact-side query gets a row per branch even when that branch
+    * served it nothing; a served query with an EMPTY exact set trips
+    * the same plan-embedded raise_error). Output: (policy, nprobe,
+    * shortlist, query_id, n_hit, n_exact, recall).
+    */
+  private[graft] def multiBudgetRecall(
+      served: DataFrame, exact: DataFrame,
+      branches: Seq[(String, Int, Int)]): DataFrame = {
+    val spark = served.sparkSession
+    import spark.implicits._
+    val branchDf = branches.toDF("policy", "nprobe", "shortlist")
+    val keys = Seq("policy", "nprobe", "shortlist", "query_id")
+    // served feeds the hit counts AND the branch-tagged query-id set;
+    // it is final-top-k-sized (nq × k × |branches|), so the lazy
+    // checkpoint is metadata-cheap and saves the second serve pass
+    val sv = served.localCheckpoint(false)
+    val hitCounts = sv
+      .join(exact.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_hit"))
+    val guardedExact = when(col("n_exact").isNull,
+      org.apache.spark.sql.functions.raise_error(concat(
+        lit("recallAtK: query "), col("query_id").cast("string"),
+        lit(" has an EMPTY exact ground-truth set — the exact baseline " +
+          "was mis-built (empty corpus or mismatched query ids); refusing " +
+          "to report recall over a vacuous denominator"))).cast("long"))
+      .otherwise(col("n_exact"))
+    branchDf
+      .crossJoin(exact.groupBy("query_id").agg(count(lit(1)).as("n_exact")))
+      .join(sv.select(keys.map(col): _*).distinct(), keys, "full")
+      .join(hitCounts, keys, "left")
+      .select(col("policy"), col("nprobe"), col("shortlist"), col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        guardedExact.as("n_exact"),
+        round(coalesce(col("n_hit"), lit(0L)) / guardedExact, 6).as("recall"))
   }
 
   /** Pick the serve budget for each recall target off a measured
@@ -714,6 +835,23 @@ object Pq {
       cents: DataFrame,
       codebook: DataFrame,
       nProbe: Int,
+      dsub: Int): DataFrame =
+    residualLutRowsRanked(queries, cents, codebook, nProbe, dsub)
+      .drop("__rnk")
+
+  /** [[residualLutRows]] with each (query, list) row carrying the
+    * list's probe rank (`__rnk`, 1-based): rank ≤ p is exactly "list
+    * probed at budget p", which is what lets one scan at the largest
+    * budget of a calibration sweep serve every smaller budget
+    * ([[multiBudgetServe]]). A LUT cell depends only on (query, list,
+    * codebook) — never on the budget — so the ranked rows at maxProbe
+    * restricted to rank ≤ p ARE the budget-p LUT rows.
+    */
+  private def residualLutRowsRanked(
+      queries: DataFrame,
+      cents: DataFrame,
+      codebook: DataFrame,
+      nProbe: Int,
       dsub: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // per-query nProbe nearest lists by the SAME float-dot expansion
@@ -728,22 +866,24 @@ object Pq {
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cd2"), col("list_id"))))
       .filter(col("rnk") <= nProbe)
-      .select("query_id", "list_id", "qr")
+      .select("query_id", "list_id", "qr", "rnk")
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
     val lut = probed.crossJoin(broadcast(codebook))
-      .select(col("query_id"), col("list_id"), col("sub"), col("cid"), {
+      .select(col("query_id"), col("list_id"), col("rnk"), col("sub"), col("cid"), {
         val qrs = slice(col("qr"), col("sub") * lit(dsub) + lit(1), lit(dsub))
         (dotD(qrs, qrs) - lit(2.0) * dotD(qrs, col("centroid")) +
           dot(col("centroid"), col("centroid"))).as("d2")
       })
-    lut.groupBy("query_id", "list_id", "sub")
+    // rnk is functionally determined by (query_id, list_id) — riding
+    // the group keys costs nothing and keeps the aggregation shape
+    lut.groupBy("query_id", "list_id", "rnk", "sub")
       .agg(sort_array(collect_list(struct(col("cid"), col("d2")))).as("cd"))
-      .select(col("query_id"), col("list_id"), col("sub"),
+      .select(col("query_id"), col("list_id"), col("rnk"), col("sub"),
         transform(col("cd"), x => x("d2")).as("ds"))
-      .groupBy("query_id", "list_id")
+      .groupBy("query_id", "list_id", "rnk")
       .agg(sort_array(collect_list(struct(col("sub"), col("ds")))).as("sd"))
-      .select(col("query_id"), col("list_id"),
+      .select(col("query_id"), col("list_id"), col("rnk").as("__rnk"),
         transform(col("sd"), x => x("ds")).as("luts"))
   }
 

@@ -770,4 +770,51 @@ class PqSpec extends SparkSpec {
       .sortBy(t => (t._1, t._2))
     assert(gotAll == wantAll)
   }
+
+  test("multiBudgetServe/Recall: row-identical per branch to the per-budget serve + recall composition") {
+    // the shared-scan sweep (one ranked codes pass + one raw-vector
+    // re-rank pass) must reproduce EVERY (policy, nProbe, shortlist)
+    // branch of the X113-shaped composition bit-for-bit — candidate
+    // sets, ADC head, exact re-rank ties, and the per-query recall rows
+    val df = vecsDf((0L until 400L).map(i => (i, unitVec(i))))
+    val cents = Ivf.refineCentroidsL2(df, Ivf.centroids(df, 8), iters = 3, dim = dim)
+    val cb = Pq.trainResidualCodebooks(df, cents, m, ks, iters = 2, dim = dim)
+    val codes = Pq.encode(Pq.residualVectors(df, cents), cb, dsub)
+    val q = df.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Pq.exactL2TopK(df, q, k = 4)
+    val budgets = Seq(1, 2, 4, 8)
+    val branches = budgets.flatMap { p =>
+      Seq(("fixed", p, 6),
+        ("auto", p, Pq.adaptiveShortlist(p, rPerProbe = 4, rMin = 4)))
+    }
+    val served = Pq.multiBudgetServe(codes, cb, cents, q, df, k = 4,
+      branches, dsub)
+    val recall = Pq.multiBudgetRecall(served, exact, branches)
+    def servedRows(d: DataFrame): Seq[(Long, Long, Double)] =
+      d.select("query_id", "vec_id", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+        .sortBy(t => (t._1, t._3, t._2))
+    def recallRows(d: DataFrame): Seq[(Long, Long, Long, Double)] =
+      d.select("query_id", "n_hit", "n_exact", "recall").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sortBy(_._1)
+    branches.foreach { case (pol, p, r) =>
+      val one = Pq.rerankExact(
+        Pq.ivfAdcResidualTopK(codes, cb, cents, q, k = r, nProbe = p,
+          dsub = dsub),
+        q, df, k = 4)
+      val branch = served.filter(col("policy") === pol &&
+        col("nprobe") === p && col("shortlist") === r)
+      assert(servedRows(branch) == servedRows(one),
+        s"served rows diverge for branch ($pol, $p, $r)")
+      val oneRecall = Pq.recallAtK(one, exact)
+      val branchRecall = recall.filter(col("policy") === pol &&
+        col("nprobe") === p && col("shortlist") === r)
+      assert(recallRows(branchRecall) == recallRows(oneRecall),
+        s"recall rows diverge for branch ($pol, $p, $r)")
+    }
+    intercept[IllegalArgumentException](
+      Pq.multiBudgetServe(codes, cb, cents, q, df, k = 4, Seq.empty, dsub))
+  }
 }
