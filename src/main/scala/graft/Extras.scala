@@ -2232,7 +2232,11 @@ object Extras {
       val pq = pqIndexDir(c)
       val opq = opqIndexDir(c)
       val qs = opqQueries(c)
+      // both variants score against the SAME exact ground truth —
+      // materialize the tiny top-5 table once, not one exact-L2
+      // corpus pass per recallAtK call
       val exact = graft.vector.Pq.exactL2TopK(c.embeddings, qs, k = 5)
+        .localCheckpoint(false)
       val recPq = graft.vector.Pq.recallAtK(
         graft.vector.Pq.adcTopK(
           c.spark.read.parquet(s"$pq/codes"),

@@ -1048,10 +1048,15 @@ object TrainingSet {
     // (an earlier stage may legitimately drop EVERYTHING — a fully
     // contaminated slice; temperatureResample of nothing is nothing,
     // so the manifest then reports keep = false everywhere)
-    val mixtureVerdict = s4.select("doc_id")
-      .join(Scale.temperatureResample(
-          s4.select(col("doc_id"), col(mixtureStrata)),
-          "doc_id", mixtureStrata, mixtureAlpha, seed)
+    // lazy checkpoint of the 2-column mixture input: the temperature
+    // resample pays two driver-side count collects plus the final
+    // filter scan, and the final assembly reads the verdict once more —
+    // without this the whole s4 survivor chain re-derives per action
+    val s4m = s4.select(col("doc_id"), col(mixtureStrata))
+      .localCheckpoint(false)
+    val mixtureVerdict = s4m.select("doc_id")
+      .join(Scale.temperatureResample(s4m, "doc_id", mixtureStrata,
+          mixtureAlpha, seed)
         .select(col("doc_id"), lit(true).as("__mx")), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("__mx"), lit(false)).as("mixture_keep"))
 
@@ -1321,8 +1326,15 @@ object TrainingSet {
         .values.map(_.head)
         .foreach(requireBandedOverCleanedText(cleaned, banded, _))
     }
+    // lazy checkpoint: every downstream consumer of the v2 corpus (the
+    // decon channels, each stage chain's semi-join re-derivation, the
+    // perplexity scorer's three scans, the final assembly) would
+    // otherwise re-pay the corpus ⨝ cleaned text-swap join per scan —
+    // the same corpus-sized-text class the `cleaned` table above
+    // already checkpoints
     val corpusClean =
       graft.text.SubstringDedup.withCleanText(corpus, cleaned)
+        .localCheckpoint(false)
     // a run-level stage-0 table carries its char-tier accounting too —
     // ride it into the manifest right after sub_dup_tokens (the one
     // shared projection the streaming manifest also uses)

@@ -91,10 +91,10 @@ object Bm25 {
     * query by 6-dp rounded score, ties by doc_id.
     *
     * Scale shape: one corpus scan into postings (shuffle on term — the
-    * inverted index build), corpus-level stats as a broadcast 1-row
-    * aggregate, the postings⋈query join shuffles only posting rows for
-    * terms some query mentions (Catalyst pushes the semi-join of query
-    * terms into the postings side via the join itself), and the final
+    * inverted index build), pruned by an explicit broadcast semi-join
+    * on the query-term dictionary BEFORE the aggregate so only matching
+    * token rows shuffle at all, corpus-level stats as a broadcast 1-row
+    * aggregate, the postings⋈query join over that slice, and the final
     * window partitions by query_id — never a global sort. Per-pair
     * score contributions sum through a hash aggregate; the float
     * accumulation order over a query's ≤|terms| matches is the one
@@ -130,9 +130,20 @@ object Bm25 {
     val toked = docs.select(
       col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")))
-    // postings: (term, doc_id, tf, dl) — the inverted index
+    val qterms = queries
+      .select(col("query_id"), explode(col("terms")).as("term"))
+      .distinct()
+    // postings: (term, doc_id, tf, dl) — the inverted index, pruned to
+    // the query-term dictionary BEFORE the groupBy shuffle: only terms
+    // some query mentions can reach the inner joins below, so dropping
+    // the rest at the explode cuts the posting shuffle from the whole
+    // corpus token stream to the matching slice (df per surviving term
+    // is unchanged — pruning removes only other terms' rows). The
+    // dictionary is broadcast: scoring batches carry a bounded query
+    // set (mining runs per positive batch), never a corpus-sized one.
     val postings = toked
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).cast("double").as("tf"))
     val docFreq = postings.groupBy("term")
@@ -140,9 +151,6 @@ object Bm25 {
     val stats = toked.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl").cast("bigint")).as("sum_dl"))
-    val qterms = queries
-      .select(col("query_id"), explode(col("terms")).as("term"))
-      .distinct()
 
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +

@@ -698,8 +698,15 @@ object MinHashDedup {
       .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // label init IS the first propagation round: from identity labels,
+    // round 1 assigns least(a, min over neighbors of their ids) — fold
+    // it into the init aggregate (edges are symmetric, so every node
+    // appears as `a`), saving one join + checkpoint + count round trip
+    // per call; the loop below still verifies convergence (a fixpoint
+    // round with zero changes) before returning
+    var labels = edges.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("label"))
+      .select(col("a").as("node"), col("label"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0

@@ -679,8 +679,15 @@ object Pq {
     * honest recall-0 row and stays one.
     */
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
-    val hits = approx.select("query_id", "vec_id")
-      .join(exact.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+    // each side is consumed twice below (hit join + denominator /
+    // distinct-query probe), and callers routinely hand in LIVE ANN
+    // chains (a full ADC scan, an exact-L2 pass) — materialize the
+    // tiny (nq·k rows) projected top-k tables once instead of
+    // re-running each chain per consumer
+    val a = approx.select("query_id", "vec_id").localCheckpoint(false)
+    val e = exact.select("query_id", "vec_id").localCheckpoint(false)
+    val hits = a
+      .join(e, Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
     val guardedExact = when(col("n_exact").isNull,
       org.apache.spark.sql.functions.raise_error(concat(
@@ -689,11 +696,11 @@ object Pq {
           "was mis-built (empty corpus or mismatched query ids); refusing " +
           "to report recall over a vacuous denominator"))).cast("long"))
       .otherwise(col("n_exact"))
-    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    e.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
       // full join against approx's DISTINCT query ids (no count — only
       // the id's presence matters): a query approx served with no
       // exact twin surfaces with null n_exact and trips the guard
-      .join(approx.select("query_id").distinct(), Seq("query_id"), "full")
+      .join(a.select("query_id").distinct(), Seq("query_id"), "full")
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
