@@ -693,9 +693,13 @@ object MinHashDedup {
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the (small) edge set ONCE — every iteration joins
     // against it, and without this the upstream pair pipeline (shingle
-    // join / LSH verify) would re-execute per round
-    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
-      .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
+    // join / LSH verify) would re-execute per round. The pair table is
+    // itself checkpointed FIRST: the symmetrizing union consumes it
+    // twice (once per direction), and a live verify chain would run
+    // twice just to build the edges
+    val p0 = pairs.select("i", "j").localCheckpoint(false)
+    val edges = p0.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(p0.select(col("j").as("a"), col("i").as("b")))
       .distinct()
       .localCheckpoint(true)
     // label init IS the first propagation round: from identity labels,

@@ -681,7 +681,17 @@ object TextAnalysis {
         col("bg.w2").as("w2"): _*)
   }
 
-  def bigramLogProb(documents: DataFrame): DataFrame = {
+  def bigramLogProb(documents: DataFrame): DataFrame =
+    bigramLogProbUnordered(documents).orderBy("doc_id")
+
+  /** [[bigramLogProb]] without the final doc_id sort — for internal
+    * consumers ([[perplexityBuckets]]) that immediately re-aggregate or
+    * re-rank by VALUE, where the scorer's row order is irrelevant and
+    * the global sort would cost a range exchange + boundary-sample job
+    * per materialization. Same rows, same values — only the order
+    * differs.
+    */
+  private[graft] def bigramLogProbUnordered(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val bgs = bigramRows(documents, Seq("doc_id"))
     val model = bgs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
@@ -699,7 +709,6 @@ object TextAnalysis {
         round(avg(log(10.0,
           (col("c12") + lit(1)).cast("double") /
             (col("c1") + col("v")).cast("double"))), 6).as("mean_logp"))
-      .orderBy("doc_id")
   }
 
   /** [[bigramLogProb]] under a model trained on a SEPARATE training
@@ -924,7 +933,8 @@ object TextAnalysis {
     // (measured 3.5 s → 1.3 s at sf0.1). Lazy, so plan-only callers
     // trigger no work; the scored table is 2 columns per doc — the
     // same per-executor footprint class as the dedup edge lists.
-    val scores = bigramLogProb(documents).select("doc_id", "mean_logp")
+    val scores = bigramLogProbUnordered(documents)
+      .select("doc_id", "mean_logp")
       .localCheckpoint(false)
     val ranked = graft.ops.ScalableWindows.withGlobalRowNumber(
         scores.withColumn("__neg", -col("mean_logp")),
