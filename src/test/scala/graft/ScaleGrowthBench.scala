@@ -592,6 +592,15 @@ object ScaleGrowthBench {
         val (m, t) = timed(run(docs))
         results(name) :+= ((f, t, m))
         println(f"SCALEGROWTH $name%-20s factor=$f%2d  $t%8.2f s  measure=$m%,d")
+        // release the finished probe's localCheckpoint block residue
+        // before the next one plans a broadcast: checkpointed RDD
+        // blocks free only when the ContextCleaner sees the RDD
+        // unreachable, and at the 25x fixtures the substring probes'
+        // materialized intermediates otherwise squeeze the next
+        // probe's broadcast build out of this JVM's 4 GB heap (probe
+        // ISOLATION, not measurement: the gc runs outside the timed
+        // block, and each probe's own work is unaffected)
+        System.gc()
       }
       x05Mass.get(f).foreach(mass =>
         println(f"SCALEGROWTH X05 candidate mass  factor=$f%2d  $mass%,d"))
