@@ -21,8 +21,18 @@ object AggregateQueries {
       val price = col("l_extendedprice").cast(DecimalType(12, 2))
       val disc = (lit(1) - col("l_discount")).cast(DecimalType(12, 2))
       val tax = (lit(1) + col("l_tax")).cast(DecimalType(12, 2))
-      c.lineitem
-        .filter(col("l_shipdate") <= lit(LocalDateTime.of(2001, 9, 1, 0, 0)))
+      // single-row-group rescue (Scale.spreadForCompute): the decimal
+      // partial aggregation is the cost and runs on the scan's task
+      // count — 1–3 tasks over a small file at any core count. Spread
+      // by the high-cardinality l_orderkey; every aggregate below is
+      // exact under partitioning (decimal sums, counts, and
+      // sum(l_quantity) is integer-valued-double arithmetic ≪ 2^53),
+      // so the result is bit-identical. No-op at scale (scan splits
+      // already exceed the session parallelism).
+      Scale.spreadForCompute(
+        c.lineitem
+          .filter(col("l_shipdate") <= lit(LocalDateTime.of(2001, 9, 1, 0, 0))),
+        col("l_orderkey"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(floor(col("l_quantity")).cast("bigint")).as("sum_qty"),

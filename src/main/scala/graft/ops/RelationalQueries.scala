@@ -141,7 +141,12 @@ object RelationalQueries {
     // J08 — theta join: equi on brand (hash join) + `<` residual, NOT a
     // cartesian — the equi key keeps it a 25-bucket shuffle at scale.
     "J08" -> { c =>
-      val p1 = c.part.as("p1")
+      // single-row-group rescue: the O(n²/brand) pair expansion runs on
+      // the probe side's scan task count (ONE task over a small part
+      // file — measured 0.64 s of the query's 0.79 s); spreading by the
+      // equi key gives each brand's expansion its own task. Counts are
+      // exact under partitioning; no-op at scale.
+      val p1 = Scale.spreadForCompute(c.part, col("p_brand")).as("p1")
       val p2 = c.part.as("p2")
       p1.join(p2, col("p1.p_brand") === col("p2.p_brand") && col("p1.p_size") < col("p2.p_size"))
         .groupBy(col("p1.p_brand").as("p_brand"))

@@ -80,6 +80,73 @@ object Scale {
     if (keys.isEmpty) df.agg(approx_count_distinct(target, rsd).as("approx_nd"))
     else df.groupBy(keys: _*).agg(approx_count_distinct(target, rsd).as("approx_nd"))
 
+  /** Re-establish task parallelism for a compute-heavy stream whose
+    * physical plan carries FEWER partitions than the session's
+    * configured parallelism — the single-row-group / small-file rescue.
+    *
+    * Why it exists: a parquet file is splittable only at row-group
+    * granularity, so a small table (or any single-row-group file)
+    * scans as ONE task, and everything narrow downstream of it —
+    * tokenize/explode passes, broadcast-probe joins, per-row codecs —
+    * inherits that single task no matter how many cores the session
+    * has (measured: X92's 7.5 M-row bigram probe ran a 3.2 s one-task
+    * stage on a 32-core box). AQE cannot help: its coalescing sizes by
+    * shuffle BYTES, and these stages sit before any exchange or behind
+    * a byte-light one.
+    *
+    * Scale-honest by the same contract as the banded-pair spread
+    * (BucketedPairs): the exchange fires ONLY when the plan's current
+    * partition count is below the session's shuffle parallelism. At
+    * real scale a corpus scan already carries orders of magnitude more
+    * splits than `spark.sql.shuffle.partitions`, so this is a plan-time
+    * no-op with zero added exchange; locally it moves the tiny input
+    * once and unlocks every core for the heavy map work above it.
+    *
+    * Determinism: hash-partitioning by `keys` sends every row of one
+    * key group to one partition, and rows that originate from the same
+    * input partition keep their relative order — so per-key aggregates
+    * (including order-sensitive float accumulations over one key's
+    * rows, e.g. a per-doc avg over its exploded bigrams) see their
+    * input in the same order as without the spread.
+    *
+    * Probe safety: the partition count comes from `toRdd`, which under
+    * AQE MATERIALIZES any exchange in the plan at compose time — and
+    * that execution is NOT reused by the caller's later action, so a
+    * join/aggregate-bearing input would run twice (measured +1.3 s on
+    * X127 when the run-level splice chain was probed). The helper
+    * therefore probes ONLY plans it can prove narrow — Project/Filter/
+    * Generate/Union chains over scans, local data or checkpointed RDDs,
+    * with no subquery expressions — and returns every other input
+    * unchanged. Callers never need to audit their argument.
+    */
+  def spreadForCompute(df: DataFrame, keys: Column*): DataFrame = {
+    require(keys.nonEmpty,
+      "spreadForCompute needs hash keys (keyless round-robin repartition " +
+        "pays a per-partition sort and breaks per-key order preservation)")
+    if (!narrowProbeSafe(df)) return df
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.queryExecution.toRdd.getNumPartitions >= n) df
+    else df.repartition(n, keys: _*)
+  }
+
+  /** True iff `df`'s analyzed plan is a narrow chain whose `toRdd` is
+    * pure RDD construction: whitelisted narrow operators over leaf
+    * relations, and no plan-expression (subquery) anywhere. Anything
+    * unrecognized is conservatively unsafe.
+    */
+  private def narrowProbeSafe(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
+    val plan = df.queryExecution.analyzed
+    val allNarrow = plan.collectFirst {
+      case p if !(p.isInstanceOf[Project] || p.isInstanceOf[Filter] ||
+        p.isInstanceOf[Generate] || p.isInstanceOf[Union] ||
+        p.isInstanceOf[SubqueryAlias] || p.isInstanceOf[LeafNode]) => p
+    }.isEmpty
+    allNarrow && !plan.exists(_.expressions.exists(
+      _.exists(_.isInstanceOf[PlanExpression[_]])))
+  }
+
   /** Range-partitioned write-side sort: cluster output by `keys` so
     * downstream range predicates prune files (the parquet min/max
     * footer statistics line up with the data order).

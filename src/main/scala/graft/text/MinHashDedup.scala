@@ -45,10 +45,11 @@ object MinHashDedup {
     * re-execute the shingle scan.
     */
   private def shingleRows(documents: DataFrame, cfg: MinHashConfig): DataFrame =
-    documents.select(col("doc_id"),
-      explode(array_distinct(
-        TextAnalysis.shinglesAuto(
-          col("text"), cfg.shingleSize, cfg.charK, cfg.runLevel))).as("s"))
+    graft.ops.Scale.spreadForCompute(documents, col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          TextAnalysis.shinglesAuto(
+            col("text"), cfg.shingleSize, cfg.charK, cfg.runLevel))).as("s"))
       .distinct()
 
   /** Per-k odd multipliers/offsets for the linear hash family
@@ -72,7 +73,12 @@ object MinHashDedup {
     */
   def signatures(documents: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     require(cfg.numHashes <= hashFamily.length)
-    val sh = documents.select(col("doc_id"),
+    // single-row-group rescue: the shingle hashing + 64-way min partial
+    // aggregation is the dominant dedup cost and runs on the scan's
+    // task count; min aggregates are exact under partitioning, so the
+    // signatures are bit-identical. No-op at scale.
+    val sh = graft.ops.Scale.spreadForCompute(documents, col("doc_id"))
+      .select(col("doc_id"),
       explode(org.apache.spark.sql.GraftColumnBridge.column(
         graft.functions.ShingleHash(
           org.apache.spark.sql.GraftColumnBridge.expression(col("text")),

@@ -105,20 +105,32 @@ object SubstringDedup {
     */
   private def windowHits(
       documents: DataFrame, minTokens: Int, hashKeys: Boolean,
-      charTokens: Boolean): DataFrame = {
+      charTokens: Boolean, spread: Boolean = true): DataFrame = {
     require(minTokens >= 1, s"minTokens must be positive, got $minTokens")
     // the char/word key-space disjointness proof needs windows of >= 2
     // units (see the scaladoc); at width 1 a word token could equal a
     // char unit and mark a false cross-granularity duplicate
     require(!charTokens || minTokens >= 2,
       s"charTokens requires minTokens >= 2, got $minTokens")
+    // single-row-group rescue (Scale.spreadForCompute): the per-position
+    // window explode is the dominant map cost of a CORPUS-sized dedup
+    // tier and otherwise runs on the input's task count — one task over
+    // a small corpus file. Everything downstream is exact (counts,
+    // min-structs, integer span arithmetic), so the result is
+    // bit-identical; no-op at scale. The run-level internals pass
+    // spread = false: their per-stage masses (virtual runs, spliced
+    // mixed docs) are fractions of the corpus, and the added exchanges
+    // measurably regressed X127 (+1.3 s) for nothing.
+    val docs =
+      if (spread) graft.ops.Scale.spreadForCompute(documents, col("doc_id"))
+      else documents
     val (units, cm) = unitCols(charTokens)
     val sliced = slice(col("__toks"), col("p"), lit(minTokens))
     val winText =
       if (charTokens) when(col("__cm"), concat_ws("", sliced))
         .otherwise(concat_ws(" ", sliced))
       else concat_ws(" ", sliced)
-    documents
+    docs
       .select(col("doc_id"), units.as("__toks"), cm.as("__cm"))
       // sequence(1, k) runs DESCENDING for k < 1 — short docs must be
       // dropped before the sequence, not patched after
@@ -153,8 +165,8 @@ object SubstringDedup {
     */
   private def duplicatedHits(
       documents: DataFrame, minTokens: Int, hashKeys: Boolean,
-      charTokens: Boolean): DataFrame = {
-    val wins = windowHits(documents, minTokens, hashKeys, charTokens)
+      charTokens: Boolean, spread: Boolean = true): DataFrame = {
+    val wins = windowHits(documents, minTokens, hashKeys, charTokens, spread)
     val dupKeyStats = wins
       .groupBy("__key")
       .agg(count(lit(1)).as("__occ"),
@@ -237,6 +249,16 @@ object SubstringDedup {
       charTokens: Boolean = false): DataFrame =
     mergeSpans(duplicatedHits(documents, minTokens, hashKeys, charTokens))
 
+  /** [[duplicatedSpans]] without the small-input spread — for the
+    * run-level internals, whose per-stage inputs are corpus fractions
+    * where the spread's exchanges cost more than they recover.
+    */
+  private def duplicatedSpansNoSpread(
+      documents: DataFrame, minTokens: Int, hashKeys: Boolean,
+      charTokens: Boolean): DataFrame =
+    mergeSpans(duplicatedHits(documents, minTokens, hashKeys, charTokens,
+      spread = false))
+
   /** The corpus with every duplicated span (except canonical first
     * occurrences) cut out: (doc_id, n_tokens, dup_tokens, clean_text).
     * clean_text is the uncovered tokens re-joined with single spaces —
@@ -259,7 +281,7 @@ object SubstringDedup {
     */
   private def cleanFromSpans(
       documents: DataFrame, spansRaw: DataFrame,
-      charTokens: Boolean): DataFrame = {
+      charTokens: Boolean, spread: Boolean = true): DataFrame = {
     val spans = spansRaw
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"),
@@ -274,6 +296,12 @@ object SubstringDedup {
     val (units, cm) = unitCols(charTokens)
     val kept = transform(filter(positions, i => !covered(i)),
       i => element_at(toks, i))
+    // single-row-group rescue: the rewrite pass (unit explode + span
+    // filter transform per doc) is map-side heavy; per-doc hofs are
+    // row-local so the spread is bit-identical. No-op at scale.
+    val docsSpread =
+      if (spread) graft.ops.Scale.spreadForCompute(documents, col("doc_id"))
+      else documents
     // char-mode docs rejoin with "" — the kept units include the
     // original spaces, so the clean text is exactly the input minus
     // the cut runs; word-mode keeps the single-space convention.
@@ -284,7 +312,7 @@ object SubstringDedup {
       if (charTokens) when(col("__cm"), concat_ws("", kept))
         .otherwise(concat_ws(" ", kept))
       else concat_ws(" ", kept)
-    documents
+    docsSpread
       .select(col("doc_id"), units.as("__toks"), cm.as("__cm"))
       .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -425,7 +453,8 @@ object SubstringDedup {
     // posexplode AND the caller's full upstream chain per scan
     // (measured 8.3 s → 3.4 s on the X127 fixture at sf0.1).
     val vdocs = charVirtualDocs(documents).localCheckpoint(false)
-    val charSpans = duplicatedSpans(vdocs, minTokens, hashKeys, charTokens = true)
+    val charSpans = duplicatedSpansNoSpread(vdocs, minTokens, hashKeys,
+        charTokens = true)
       .localCheckpoint(true)
     // materialized only for cleanCorpusRunLevel, whose TWO consumers
     // (splice chain + homogeneous output) would otherwise each re-run
@@ -433,7 +462,8 @@ object SubstringDedup {
     // a full extra corpus pass. The spans-only path consumes it once
     // (through the spliced checkpoint) and must not pay a
     // corpus-size block-manager round trip for nothing.
-    val charClean0 = cleanFromSpans(vdocs, charSpans, charTokens = true)
+    val charClean0 = cleanFromSpans(vdocs, charSpans, charTokens = true,
+      spread = false)
     val charClean =
       if (materializeCharClean) charClean0.localCheckpoint(true) else charClean0
     // always materialized (lazily): the word stage's window pass
@@ -445,7 +475,7 @@ object SubstringDedup {
     // their read never races the word stage's first action.
     val spliced0 = spliceRuns(documents, charClean)
     val spliced = spliced0.localCheckpoint(materializeSpliced)
-    val wordSpans = duplicatedSpans(
+    val wordSpans = duplicatedSpansNoSpread(
       spliced.select("doc_id", "text"), minTokens, hashKeys,
       charTokens = false).localCheckpoint(true)
     (charSpans, charClean, wordSpans, spliced)
@@ -785,8 +815,9 @@ object SubstringDedup {
     val vdocs = charVirtualDocs(documents).localCheckpoint(false)
     val spliced = spliceRuns(documents,
       cleanFromSpans(vdocs,
-        duplicatedSpans(vdocs, minTokens, hashKeys = true, charTokens = true),
-        charTokens = true))
+        duplicatedSpansNoSpread(vdocs, minTokens, hashKeys = true,
+          charTokens = true),
+        charTokens = true, spread = false))
     (windowKeys(vdocs, minTokens, charTokens = true),
       windowKeys(spliced.select("doc_id", "text"), minTokens))
   }

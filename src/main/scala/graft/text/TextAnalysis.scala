@@ -693,13 +693,19 @@ object TextAnalysis {
     */
   private[graft] def bigramLogProbUnordered(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val bgs = bigramRows(documents, Seq("doc_id"))
+    // single-row-group rescue: the tokenize/explode passes (bigrams AND
+    // vocab) and the model probe are all narrow over the documents
+    // scan, so a small corpus file pins them to one task; per-doc
+    // values are bit-identical under the doc_id spread (order preserved
+    // within a doc, counts exact) — Scale.spreadForCompute scaladoc
+    val docs = graft.ops.Scale.spreadForCompute(documents, col("doc_id"))
+    val bgs = bigramRows(docs, Seq("doc_id"))
     val model = bgs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     // context counts fold the model, so model+context is one join of
     // two model-sized sides, prepared BEFORE the corpus-sized probe
     val withCtx = model.join(
       model.groupBy("w1").agg(sum("c12").as("c1")), Seq("w1"))
-    val vocab = documents.select(explode(toks).as("w"))
+    val vocab = docs.select(explode(toks).as("w"))
       .agg(count_distinct(col("w")).as("v"))
     bgs.join(withCtx, Seq("w1", "w2"))
       .crossJoin(broadcast(vocab))
@@ -732,12 +738,15 @@ object TextAnalysis {
   def bigramLogProbFrom(
       trainDocs: DataFrame,
       scoreDocs: DataFrame): DataFrame = {
-    val model = bigramRows(trainDocs, Seq("doc_id"))
+    // single-row-group rescue on both sides (see bigramLogProbUnordered)
+    val train = graft.ops.Scale.spreadForCompute(trainDocs, col("doc_id"))
+    val model = bigramRows(train, Seq("doc_id"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val ctx = model.groupBy("w1").agg(sum("c12").as("c1"))
-    val vocab = trainDocs.select(explode(tokens(col("text"))).as("w"))
+    val vocab = train.select(explode(tokens(col("text"))).as("w"))
       .agg(count_distinct(col("w")).as("v"))
-    bigramRows(scoreDocs, Seq("doc_id"))
+    bigramRows(graft.ops.Scale.spreadForCompute(scoreDocs, col("doc_id")),
+        Seq("doc_id"))
       .join(model, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
@@ -793,7 +802,9 @@ object TextAnalysis {
       discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0,1): $discount")
-    val model = bigramRows(trainDocs, Seq("doc_id"))
+    // single-row-group rescue on both sides (see bigramLogProbUnordered)
+    val train = graft.ops.Scale.spreadForCompute(trainDocs, col("doc_id"))
+    val model = bigramRows(train, Seq("doc_id"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     // c1 = context total, n1p = distinct continuations of the context
     val ctx = model.groupBy("w1")
@@ -801,7 +812,7 @@ object TextAnalysis {
     // contc = in how many distinct contexts does w2 appear
     val cont = model.groupBy("w2").agg(count(lit(1)).as("contc"))
     val totals = model.agg(count(lit(1)).as("b")).crossJoin(
-      trainDocs.select(explode(tokens(col("text"))).as("w"))
+      train.select(explode(tokens(col("text"))).as("w"))
         .agg(count_distinct(col("w")).as("v")))
     val d = lit(discount)
     val pcont = (coalesce(col("contc"), lit(0L)) + 1).cast("double") /
@@ -811,7 +822,8 @@ object TextAnalysis {
         col("c1").cast("double") +
       d * col("n1p").cast("double") / col("c1").cast("double") * pcont
     val p = when(col("c1").isNull, pcont).otherwise(pSeen)
-    bigramRows(scoreDocs, Seq("doc_id"))
+    bigramRows(graft.ops.Scale.spreadForCompute(scoreDocs, col("doc_id")),
+        Seq("doc_id"))
       .join(model, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
       .join(cont, Seq("w2"), "left")
@@ -862,14 +874,20 @@ object TextAnalysis {
     require(minVocabOverlap >= 0.0 && minVocabOverlap <= 1.0,
       s"minVocabOverlap=$minVocabOverlap must be in [0, 1]")
     val toks = tokens(col("text"))
+    // single-row-group rescue: every pass below (bigram explode, vocab
+    // explode, the |S|-fold probe chain) is narrow over the documents
+    // scan or the checkpointed stream, so a small corpus file pinned
+    // the whole matrix to one task (measured: a 3.2 s single-task
+    // probe stage on 32 cores) — see Scale.spreadForCompute
+    val docs = graft.ops.Scale.spreadForCompute(documents, col("doc_id"))
     // consumed by the model aggregation AND the |S|-fold probe — one
     // tokenize/explode pass, not two (the X81 lazy-checkpoint idiom)
-    val bgs = bigramRows(documents, Seq("doc_id", "source"))
+    val bgs = bigramRows(docs, Seq("doc_id", "source"))
       .localCheckpoint(false)
     val model = bgs.groupBy("source", "w1", "w2").agg(count(lit(1)).as("c12"))
       .withColumnRenamed("source", "model_source")
     val ctx = model.groupBy("model_source", "w1").agg(sum("c12").as("c1"))
-    val vocab = documents
+    val vocab = docs
       .select(col("source").as("model_source"), explode(toks).as("w"))
       .groupBy("model_source").agg(count_distinct(col("w")).as("v"))
     // the |S|-fold fan-out table: every (model_source, v) row fans the
@@ -878,7 +896,7 @@ object TextAnalysis {
       if (minVocabOverlap <= 0.0)
         documents.select("source").distinct().crossJoin(vocab)
       else {
-        val sv = documents.select(col("source"), explode(toks).as("w")).distinct()
+        val sv = docs.select(col("source"), explode(toks).as("w")).distinct()
           .localCheckpoint(false)
         val sizes = sv.groupBy("source").agg(count(lit(1)).as("nv"))
         val inter = sv.as("a")

@@ -15,9 +15,10 @@ object ProfileQuery {
     val names = args(2).split(",").map(_.trim).filter(_.nonEmpty)
     val runs = if (args.length > 3) args(3).toInt else 2
     new java.io.File(logDir).mkdirs()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
