@@ -42,13 +42,21 @@ object ConnectedComponents {
     sym.join(sym.groupBy("u").agg(min("v").as("m")), Seq("u"))
   }
 
-  /** One large-star round: (v, m(u)) for every v ∈ N(u), v > u. */
+  /** One large-star round: (v, m(u)) for every v ∈ N(u), v > u.
+    *
+    * No trailing distinct: the only consumer is [[smallStar]], whose
+    * result depends on the edge SET alone (duplicate rows feed the
+    * same groupBy-min and join, and its own distinct restores set
+    * semantics), so the dedup exchange here bought nothing — one
+    * full shuffle per round removed. Duplicate mass is bounded at
+    * ≤ 2|E|+|V| rows (each endpoint emits once), never compounding
+    * across rounds.
+    */
   private def largeStar(edges: DataFrame): DataFrame =
     withMin(edges)
       .filter(col("v") > col("u"))
       .select(least(col("v"), col("m")).as("a"), greatest(col("v"), col("m")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
 
   /** One small-star round: (v, m(u)) for every v ∈ N(u) ∪ {u}, v ≤ u. */
   private def smallStar(edges: DataFrame): DataFrame =

@@ -127,8 +127,11 @@ object Bm25 {
       queries: DataFrame,
       k1: Double,
       b: Double): DataFrame = {
-    val toked = docs.select(
-      col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    // single-row-group rescue (Scale.spreadForCompute): the tokenize +
+    // postings explode + dictionary semi-join passes are the dominant
+    // map cost and run on the corpus scan's task count; no-op at scale
+    val toked = graft.ops.Scale.spreadForCompute(docs, col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")))
     val qterms = queries
       .select(col("query_id"), explode(col("terms")).as("term"))

@@ -287,7 +287,11 @@ object Pq {
       k: Int,
       dsub: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scan = codes
+    // single-row-group rescue (Scale.spreadForCompute): the per-code ADC
+    // fold × nq broadcast LUTs is the scan's whole cost and runs on the
+    // codes file's task count (one for a small artifact); per-row
+    // deterministic, so bit-identical. No-op at scale.
+    val scan = graft.ops.Scale.spreadForCompute(codes, col("vec_id"))
       .crossJoin(broadcast(lutRows(lookupTable(queries, codebook, dsub))))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -307,7 +311,9 @@ object Pq {
   def exactL2TopK(
       embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scan = embeddings
+    // single-row-group rescue: nq exact distances per vector, map-side
+    // over the scan — spread like adcTopK; bit-identical, no-op at scale
+    val scan = graft.ops.Scale.spreadForCompute(embeddings, col("vec_id"))
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -498,7 +504,8 @@ object Pq {
     import spark.implicits._
     val maxProbe = branches.map(_._2).max
     val branchDf = branches.toDF("policy", "nprobe", "shortlist")
-    val cands = codes
+    // same single-row-group rescue as adcTopK (per-row ADC fold)
+    val cands = graft.ops.Scale.spreadForCompute(codes, col("vec_id"))
       .join(broadcast(
         residualLutRowsRanked(queries, cents, codebook, maxProbe, dsub)),
         Seq("list_id"))
@@ -915,7 +922,8 @@ object Pq {
     // same fail-loud guard as every other ADC entry point: a wrong dsub
     // would NULL-poison every residual LUT cell and "rank" by vec_id
     requireDsub(codebook, dsub)
-    val scan = codes
+    // same single-row-group rescue as adcTopK (per-row ADC fold)
+    val scan = graft.ops.Scale.spreadForCompute(codes, col("vec_id"))
       .join(broadcast(residualLutRows(queries, cents, codebook, nProbe, dsub)),
         Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
