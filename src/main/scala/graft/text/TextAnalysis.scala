@@ -328,7 +328,7 @@ object TextAnalysis {
     * the frozen benchmark per batch.
     */
   def benchmarkShingleSet(benchmark: DataFrame, n: Int): DataFrame =
-    benchmark
+    graft.ops.Scale.spreadForCompute(benchmark, col("doc_id"))
       .select(explode(array_distinct(shingles(col("text"), n))).as("s"))
       .distinct()
 
@@ -338,8 +338,12 @@ object TextAnalysis {
       corpus: DataFrame,
       benchShingles: DataFrame,
       n: Int): DataFrame = {
-    val cs = corpus.select(col("doc_id"),
-      explode(array_distinct(shingles(col("text"), n))).as("s"))
+    // single-row-group rescue: the shingle explode is the dominant map
+    // cost and runs on the corpus scan's task count; counts are exact,
+    // so the spread is bit-identical. No-op at scale.
+    val cs = graft.ops.Scale.spreadForCompute(corpus, col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), n))).as("s"))
     // ONE pass over the corpus shingles: a left join against the deduped
     // benchmark (≤1 match per shingle, no fan-out) marks hits, and both
     // counts come out of the same doc_id aggregation — two separate
@@ -389,7 +393,7 @@ object TextAnalysis {
       bs: DataFrame,
       n: Int): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2: $n")
-    val hits = corpus
+    val hits = graft.ops.Scale.spreadForCompute(corpus, col("doc_id"))
       .select(col("doc_id"), posexplode(shingles(col("text"), n)).as(Seq("pos", "s")))
       .join(bs, Seq("s"), "left_semi")
       .groupBy("doc_id")
@@ -1105,7 +1109,7 @@ object TextAnalysis {
     // that all consumers below (the df filter, both join sides, sizes)
     // share via ReuseExchange — without it the whole shingle pipeline
     // re-executes per consumer (measured 3.5× slower at sf0.1)
-    val shAll = documents
+    val shAll = graft.ops.Scale.spreadForCompute(documents, col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("text"), n))).as("s"))
       .distinct()
@@ -1400,7 +1404,7 @@ object TextAnalysis {
     * shuffle — the X67/X68 declared queries share one such artifact.
     */
   def crossDocHitLists(documents: DataFrame, n: Int): DataFrame = {
-    val sh = documents
+    val sh = graft.ops.Scale.spreadForCompute(documents, col("doc_id"))
       .select(col("doc_id"), posexplode(shingles(col("text"), n)).as(Seq("pos", "s")))
     val shared = sh.groupBy("s")
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
@@ -1521,7 +1525,7 @@ object TextAnalysis {
       benchmark: DataFrame,
       n: Int = 5): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2: $n")
-    val sh = corpus
+    val sh = graft.ops.Scale.spreadForCompute(corpus, col("doc_id"))
       .select(col("doc_id"), posexplode(shingles(col("text"), n)).as(Seq("pos", "s")))
     val bs = benchmark
       .select(explode(array_distinct(shingles(col("text"), n))).as("s"))
@@ -1560,7 +1564,7 @@ object TextAnalysis {
             slice(toks, acc("cur") + 1, greatest(size(toks) - acc("cur"), lit(0)))),
           " "))
     }
-    documents
+    graft.ops.Scale.spreadForCompute(documents, col("doc_id"))
       .join(hits, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         when(col("ps").isNull, col("text")).otherwise(cleaned).as("text"))
@@ -1577,7 +1581,7 @@ object TextAnalysis {
     */
   def tfIdfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = documents
+    val toks = graft.ops.Scale.spreadForCompute(documents, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     // tf rows are distinct (doc, term) pairs, so df is a count over them
