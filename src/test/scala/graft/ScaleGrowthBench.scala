@@ -67,12 +67,22 @@ object ScaleGrowthBench {
   /** Straggler gate over every MATERIAL stage (≥ 8 tasks, ≥ 2 s total
     * task time — below that, constant per-task overhead dominates and
     * the ratio measures the scheduler, not the plan): max task within
-    * 4× of the stage median. The bound separates plans, not noise: a
-    * genuine hot-key pile-up puts ~all N occurrences in one task
-    * (measured 10×+ median under the old window-over-key plan), while
-    * the skew-proof plans' sub-second-median tail stages jitter up to
-    * ~3× on a 32-thread box from GC/scheduler interference alone
-    * (observed 2.3–3.0 across quiet reruns of the SAME build).
+    * 4× of the stage median, AND the breaching task itself must be
+    * material (≥ 1 s). The bound separates plans, not noise: a genuine
+    * hot-key pile-up puts ~all N occurrences in one task (measured
+    * 10×+ median and multi-second absolute under the old
+    * window-over-key plan), while the skew-proof plans' sub-second-
+    * median tail stages jitter up to ~3× on a 32-thread box from
+    * GC/scheduler interference alone (observed 2.3–3.0 across quiet
+    * reruns of the SAME build). The absolute floor exists because the
+    * round-18 small-input spread parallelized the NON-hot slice of
+    * these stages: the median dropped to ~100 ms while the planted
+    * hot bucket's task stayed ~0.5 s of a 13 s stage — a ratio-only
+    * gate then flags a 4 % task as a "straggler", which is exactly the
+    * scheduler-measuring failure mode this paragraph promises to
+    * avoid. A real pile-up cannot hide under the floor: one task
+    * carrying a 10⁶-occurrence key is seconds of work at any
+    * parallelism of the rest.
     */
   private def assertNoStraggler(
       tag: String, stages: Seq[(Int, Vector[Long])]): Unit = {
@@ -85,7 +95,7 @@ object ScaleGrowthBench {
       println(f"SCALEGROWTH $tag stage=$sid%4d tasks=${ds.size}%3d " +
         f"total=${ds.sum / 1000.0}%7.1f s  median=${med / 1000.0}%6.2f s  " +
         f"max=${ds.last / 1000.0}%6.2f s  max/median=$ratio%.2f")
-      require(ratio <= 4.0,
+      require(ratio <= 4.0 || ds.last < 1000L,
         s"$tag straggler in stage $sid: max ${ds.last} ms vs median $med ms " +
           s"(${ds.size} tasks)")
     }
@@ -588,6 +598,11 @@ object ScaleGrowthBench {
       curFactor = f
       val docs = corpus(f)
       println(s"SCALEGROWTH corpus factor=$f rows=${docs.count()}")
+      // blocks pinned at this point are load-bearing (this factor's
+      // checkpointed fixture, the shared base) — everything that
+      // APPEARS during a probe is that probe's residue and is dropped
+      // after it finishes
+      val pinnedRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
       paths.filter(p => keep(p._1)).foreach { case (name, run, _) =>
         val (m, t) = timed(run(docs))
         results(name) :+= ((f, t, m))
@@ -598,8 +613,19 @@ object ScaleGrowthBench {
         // unreachable, and at the 25x fixtures the substring probes'
         // materialized intermediates otherwise squeeze the next
         // probe's broadcast build out of this JVM's 4 GB heap (probe
-        // ISOLATION, not measurement: the gc runs outside the timed
-        // block, and each probe's own work is unaffected)
+        // ISOLATION, not measurement: the cleanup runs outside the
+        // timed block, and each probe's own work is unaffected).
+        // gc alone stopped sufficing once the round-18 spread split
+        // those checkpoints into parallelism-many blocks (the r17
+        // single-gc left enough unreclaimed residue that X126g's
+        // broadcast build OOMed in-sweep while passing solo) — drop
+        // the blocks DETERMINISTICALLY: everything persisted at this
+        // point belongs to finished probes (each probe fully collects
+        // before returning, and the shared `docs` fixture is re-cached
+        // by its own persist call), so unpersisting is safe.
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => pinnedRdds.contains(id) }
+          .values.foreach(_.unpersist(blocking = true))
         System.gc()
       }
       x05Mass.get(f).foreach(mass =>
